@@ -1,0 +1,290 @@
+"""Triple extraction: compiled mapping rules → quads DataFrame.
+
+The reference's convert loop is row-at-a-time Python: for each row, for
+each column spec, expand templates → emit (s, p, o) into an rdflib graph
+(src/converter/csvw.py:488-604). Here the whole mapping compiles **once on
+the driver** to Column expressions; execution is a single scan:
+
+    scan → [per-rule term expressions] → explode(array(rule structs))
+         → filter(valid) → dropDuplicates → quads
+
+Design notes for 100 TB:
+- one pass over the input: all rules are evaluated inside one projection,
+  so Catalyst prunes the scan to exactly the referenced columns and the
+  whole expression forest stays in whole-stage codegen (except templates
+  that genuinely need Jinja — those run as Arrow-batched pandas UDFs).
+- the only shuffle is the optional global dedup (COW dedups per chunk via
+  rdflib set semantics, csvw.py:460-462; global `distinct` is a superset
+  of that — it can only *remove* duplicate triples, which is safe for
+  precision/recall — and is the engine default; `dedup='none'` keeps the
+  raw stream, `dedup='partition'` reproduces chunk-local dedup without a
+  shuffle via per-partition hash sets).
+- null/skip semantics (csvw.py:916-930, 476-487, 520-533) compile to
+  boolean conditions; a failed template render or invalid IRI yields NULL
+  and the triple is filtered, mirroring COW's per-column exception
+  containment (csvw.py:544-552) without ever failing a task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.iri import iri_encode, is_valid_iri
+from ..model import (
+    PROV,
+    RDF,
+    SKOS,
+    XSD_ANYURI,
+    XSD_LINKURI,
+    XSD_STRING,
+    QUAD_COLS,
+)
+from ..spec.mapping import ColumnSpec, MappingSpec
+from ..spec.templates import compile_template, stringify
+
+
+@dataclass
+class Emission:
+    """One (s, p, o) triple pattern guarded by an emit condition."""
+
+    cond: Column
+    s: Column
+    p: Column
+    o_kind: Column
+    o_lex: Column
+    o_dt: Column
+    o_lang: Column
+
+    def struct(self) -> Column:
+        body = F.struct(
+            self.s.alias("s"),
+            self.p.alias("p"),
+            self.o_kind.alias("o_kind"),
+            self.o_lex.alias("o_lex"),
+            self.o_dt.alias("o_dt"),
+            self.o_lang.alias("o_lang"),
+        )
+        return F.when(self.cond, body)
+
+
+def _url_column(template: str, row: dict[str, Column]) -> Column:
+    """Template → rendered → %-encoded → validated IRI (null if invalid).
+
+    ≅ expandURL (csvw.py:897-914): render_pattern + iribaker + rfc3987,
+    with raise-on-invalid replaced by NULL-and-filter.
+    """
+    c = compile_template(template).column(row)
+    c = iri_encode(c)
+    return F.when(is_valid_iri(c), c)
+
+
+def _first_brace_fragment(template: str) -> str:
+    """COW's _extract_between_braces (csvw.py:624-625): value[find('{'):find('}')+1]."""
+    return template[template.find("{") : template.find("}") + 1]
+
+
+_S = lambda: F.lit(None).cast("string")  # noqa: E731
+
+
+def compile_rules(
+    spec: MappingSpec, df: DataFrame
+) -> tuple[list[Emission], dict[str, Column]]:
+    """Compile the mapping spec against the input schema → emissions."""
+    # Canonical stringified row view: every template / null check sees the
+    # same strings the CSV reference would (SQL NULL ≡ '').
+    row: dict[str, Column] = {
+        f.name: stringify(df[f.name], f.dataType) for f in df.schema.fields
+    }
+    input_cols = set(df.columns)
+
+    sdv = spec.namespaces["sdv"]
+    default_subject = _url_column(spec.about_url, row)
+
+    emissions: list[Emission] = []
+    for cs in spec.columns:
+        emissions.extend(
+            _compile_column(cs, spec, row, input_cols, default_subject, sdv)
+        )
+    return emissions, row
+
+
+def _null_skip_condition(
+    cs: ColumnSpec, spec: MappingSpec, row: dict[str, Column], input_cols: set[str]
+) -> Column:
+    """True when the rule should emit (cell not null/empty/cross-null).
+
+    isValueNull (csvw.py:916-930): empty + parseOnEmpty → keep; empty or
+    value in column nulls or value == schema null → skip.
+    Cross-column form (csvw.py:476-487,523-533): skip when any referenced
+    other column equals its null value — applies to virtual columns too
+    (the KeyError path at csvw.py:528-533).
+    """
+    cond = F.lit(True)
+    if cs.name in input_cols:
+        val = row[cs.name]
+        nulls = list(cs.nulls) + list(spec.schema_nulls)
+        empty = F.length(val) == 0
+        keep_nonempty = ~val.isin(nulls) if nulls else F.lit(True)
+        cond = F.when(empty, F.lit(cs.parse_on_empty)).otherwise(keep_nonempty)
+    if cs.null_on:
+        cross = reduce(
+            or_,
+            [
+                (row[name] == F.lit(nv)) if name in row else F.lit(False)
+                for name, nv in cs.null_on
+            ],
+        )
+        cond = cond & ~cross
+    return cond
+
+
+def _value_null_check(
+    value: Column, cs: ColumnSpec, spec: MappingSpec
+) -> Column:
+    """isValueNull applied to an arbitrary string (used for the valueUrl
+    basename suppression, csvw.py:577-581)."""
+    nulls = list(cs.nulls) + list(spec.schema_nulls)
+    empty = F.length(value) == 0
+    in_nulls = value.isin(nulls) if nulls else F.lit(False)
+    return F.when(empty, F.lit(not cs.parse_on_empty)).otherwise(in_nulls)
+
+
+def _compile_column(
+    cs: ColumnSpec,
+    spec: MappingSpec,
+    row: dict[str, Column],
+    input_cols: set[str],
+    default_subject: Column,
+    sdv: str,
+) -> list[Emission]:
+    cond = _null_skip_condition(cs, spec, row, input_cols)
+
+    # subject (csvw.py:569-572)
+    s = _url_column(cs.about_url, row) if cs.about_url else default_subject
+
+    # predicate (csvw.py:871-894; the default-ns branch at :885-887 is dead
+    # — namespaces() yields tuples — so the sdv fallback always fires)
+    p_template = cs.property_url if cs.property_url else sdv + (cs.name or "")
+    p = _url_column(p_template, row)
+
+    out: list[Emission] = []
+
+    if cs.value_url is not None:
+        o = _url_column(cs.value_url, row)
+        # suppression: if basename(object IRI) is null-valued, drop the
+        # triple (COW: return o=None then g.add throws → caught → skipped,
+        # csvw.py:577-581,544-552 — we reproduce the *observable* skip)
+        basename = F.regexp_extract(o, "([^/]*)$", 1)
+        cond = cond & ~_value_null_check(basename, cs, spec)
+
+        if cs.virtual and cs.datatype == XSD_ANYURI:
+            # virtual anyURI override (csvw.py:583-586): o = IRI(raw cell).
+            # A virtual column has no cell → KeyError → skipped in COW.
+            if cs.name in input_cols:
+                o = F.when(is_valid_iri(iri_encode(row[cs.name])),
+                           iri_encode(row[cs.name]))
+            else:
+                return []
+        if cs.virtual and cs.datatype == XSD_LINKURI and cs.about_url:
+            # linkURI (csvw.py:588-592): s and o re-derived from the first
+            # {...} fragment of aboutUrl/valueUrl
+            s = _url_column(_first_brace_fragment(cs.about_url), row)
+            o = _url_column(_first_brace_fragment(cs.value_url), row)
+
+        cond = cond & o.isNotNull()
+        out.append(Emission(cond, s, p, F.lit("iri"), o, _S(), _S()))
+
+        rdf_type = F.lit(RDF + "type")
+        if cs.collection_url:
+            # SKOS collection (csvw.py:627-631)
+            coll = _url_column(cs.collection_url, row)
+            c2 = cond & coll.isNotNull()
+            out.append(Emission(c2, coll, rdf_type, F.lit("iri"),
+                                F.lit(SKOS + "Collection"), _S(), _S()))
+            out.append(Emission(c2, o, rdf_type, F.lit("iri"),
+                                F.lit(SKOS + "Concept"), _S(), _S()))
+            out.append(Emission(c2, coll, F.lit(SKOS + "member"),
+                                F.lit("iri"), o, _S(), _S()))
+        if cs.scheme_url:
+            # SKOS scheme (csvw.py:633-637)
+            scheme = _url_column(cs.scheme_url, row)
+            c2 = cond & scheme.isNotNull()
+            out.append(Emission(c2, scheme, rdf_type, F.lit("iri"),
+                                F.lit(SKOS + "Scheme"), _S(), _S()))
+            out.append(Emission(c2, o, rdf_type, F.lit("iri"),
+                                F.lit(SKOS + "Concept"), _S(), _S()))
+            out.append(Emission(c2, o, F.lit(SKOS + "inScheme"),
+                                F.lit("iri"), scheme, _S(), _S()))
+    else:
+        # literal branch (csvw.py:600-622)
+        if cs.value is not None:
+            value = compile_template(cs.value).column(row)
+        elif cs.name in input_cols:
+            value = row[cs.name]
+        else:
+            # no value template and no backing cell → COW raises per row →
+            # triple skipped (csvw.py:606-612)
+            return []
+        cond = cond & value.isNotNull()
+
+        if cs.datatype == XSD_ANYURI:
+            o = F.when(is_valid_iri(iri_encode(value)), iri_encode(value))
+            out.append(Emission(cond & o.isNotNull(), s, p,
+                                F.lit("iri"), o, _S(), _S()))
+        elif cs.datatype == XSD_STRING and cs.lang is not None:
+            lang = compile_template(cs.lang).column(row)
+            out.append(Emission(cond, s, p, F.lit("lit"), value, _S(), lang))
+        elif cs.datatype is not None:
+            out.append(Emission(cond, s, p, F.lit("lit"), value,
+                                F.lit(cs.datatype), _S()))
+        else:
+            out.append(Emission(cond, s, p, F.lit("lit"), value, _S(), _S()))
+
+    # column-provenance triple (csvw.py:548-549): (p, prov:wasDerivedFrom,
+    # column @id) alongside every emitted triple; constant rows collapse in
+    # the map-side partial dedup so the per-row emission is effectively free
+    if cs.id and out:
+        out.append(
+            Emission(out[0].cond, p, F.lit(PROV + "wasDerivedFrom"),
+                     F.lit("iri"), F.lit(cs.id), _S(), _S())
+        )
+    return out
+
+
+def extract_quads(
+    df: DataFrame,
+    spec: MappingSpec,
+    graph: str | None = None,
+    dedup: str = "global",
+) -> DataFrame:
+    """Run the compiled mapping over ``df`` → quads DataFrame.
+
+    ``graph``: constant assertion-graph IRI (all chunks of a COW run share
+    one assertion graph, csvw.py:460-462). ``dedup``: 'global' | 'none'.
+    """
+    emissions, _ = compile_rules(spec, df)
+    if not emissions:
+        return df.sparkSession.createDataFrame([], schema=_quad_ddl())
+
+    arr = F.array(*[e.struct() for e in emissions])
+    q = (
+        df.select(F.explode(arr).alias("q"))
+        .where(F.col("q").isNotNull())
+        .select("q.*")
+        .where(F.col("s").isNotNull() & F.col("p").isNotNull()
+               & F.col("o_lex").isNotNull())
+        .withColumn("g", F.lit(graph).cast("string"))
+        .select(*QUAD_COLS)
+    )
+    if dedup == "global":
+        q = q.dropDuplicates(QUAD_COLS)
+    return q
+
+
+def _quad_ddl() -> str:
+    return ", ".join(f"{c} string" for c in QUAD_COLS)
