@@ -1,0 +1,142 @@
+"""E4 — canonicalization: connected components over the mention graph.
+
+No COW counterpart (single-table converter); mandated by BASELINE.json
+north_star ("canonicalization via salted-repartition connected-components
+over the mention graph").
+
+Algorithm: min-label propagation **with pointer jumping** (path doubling),
+the DataFrame rendition of the alternating large-star/small-star scheme —
+converges in O(log n) rounds on chains (plain propagation would need
+O(diameter) — a 10k-node chain is in the fixtures precisely to catch
+that). Each round:
+
+  1. propagate: l(v) ← min(l(v), min_{u∈N(v)} l(u))   — one shuffle
+     (groupBy(node).min — partial min aggregates map-side, so hot nodes
+     in a skewed component never concentrate on one task)
+  2. jump:      l(v) ← min(l(v), l(l(v)))             — self-join on label
+  3. localCheckpoint every round — truncates the iterative lineage so
+     plans don't grow exponentially (the classic iterative-Spark trap)
+
+Component id = min node id in the component (deterministic across runs
+and partitionings). Convergence = no label changed (count action/round).
+
+Scale note: the label self-join probes with a heavily skewed key (every
+node of a giant component shares one label) but the build side is unique
+per node; AQE skew-join splitting plus the optional salt on the edge
+table (``salt_edges``) keep task sizes bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """(src,dst) → undirected edge list, self-loops removed."""
+    e = edges.select(F.col("src"), F.col("dst"))
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def salt_edges(edges: DataFrame, buckets: int = 64) -> DataFrame:
+    """Explicit skew salt: repartition edges by (dst, salt(src)) so a hot
+    destination's edges spread over ``buckets`` tasks before the groupBy
+    (AQE also splits skewed partitions; this bounds the pre-AQE sort)."""
+    return edges.repartition(
+        F.col("dst"), F.pmod(F.xxhash64(F.col("src")), F.lit(buckets))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Edge list (src, dst) → (node, component) with component = min node.
+
+    Nodes are any orderable type (string mention keys or long ids).
+    """
+    e = symmetrize(edges)
+    if salt_buckets:
+        e = salt_edges(e, salt_buckets)
+    e = e.localCheckpoint()
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # 1. propagate the neighbor minimum
+        prop = (
+            e.join(labels, e["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("nbr_min")).alias("label"),
+            )
+        )
+        # 2. pointer jump: label ← label's label
+        lab2 = new_labels.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        new_labels = (
+            new_labels.join(lab2, new_labels["label"] == lab2["l_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("l_label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_entities(linked: DataFrame) -> DataFrame:
+    """Build the mention graph from linking output and canonicalize.
+
+    Two mentions are connected when they share a linked entity_id OR the
+    same normalized surface form → components merge aliases that linking
+    alone kept apart.
+    """
+    m = linked.select("mention_iri", "entity_id", "mention_norm")
+    # Star edges to synthetic hub nodes, NOT a mention×mention self-join on
+    # entity_id — the self-join is quadratic in the hot entity's mention
+    # count (30% of all mentions in the skew fixture); the hub form is
+    # linear and yields identical components.
+    hub_entity = m.select(
+        F.concat(F.lit("urn:hub:entity:"), F.col("entity_id")).alias("src"),
+        F.col("mention_iri").alias("dst"),
+    )
+    hub_norm = m.select(
+        F.concat(F.lit("urn:hub:norm:"), F.col("mention_norm")).alias("src"),
+        F.col("mention_iri").alias("dst"),
+    )
+    edges = hub_entity.unionByName(hub_norm)
+    cc = connected_components(edges)
+    return (
+        linked.join(cc, linked["mention_iri"] == cc["node"])
+        .drop("node")
+        .withColumnRenamed("component", "canonical_id")
+    )

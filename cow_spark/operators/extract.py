@@ -261,30 +261,31 @@ def extract_quads(
     spec: MappingSpec,
     graph: str | None = None,
     dedup: str = "global",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Run the compiled mapping over ``df`` → quads DataFrame.
 
     ``graph``: constant assertion-graph IRI (all chunks of a COW run share
     one assertion graph, csvw.py:460-462). ``dedup``: 'global' | 'none'.
+    ``passthrough``: input columns carried onto every emitted quad
+    (lineage/bucket keys for checkpoint-resume, E6).
     """
+    pt = passthrough or []
     emissions, _ = compile_rules(spec, df)
     if not emissions:
-        return df.sparkSession.createDataFrame([], schema=_quad_ddl())
+        ddl = ", ".join(f"{c} string" for c in QUAD_COLS)
+        return df.sparkSession.createDataFrame([], schema=ddl)
 
     arr = F.array(*[e.struct() for e in emissions])
     q = (
-        df.select(F.explode(arr).alias("q"))
+        df.select(*pt, F.explode(arr).alias("q"))
         .where(F.col("q").isNotNull())
-        .select("q.*")
+        .select(*pt, "q.*")
         .where(F.col("s").isNotNull() & F.col("p").isNotNull()
                & F.col("o_lex").isNotNull())
         .withColumn("g", F.lit(graph).cast("string"))
-        .select(*QUAD_COLS)
+        .select(*QUAD_COLS, *pt)
     )
     if dedup == "global":
-        q = q.dropDuplicates(QUAD_COLS)
+        q = q.dropDuplicates(QUAD_COLS + pt)
     return q
-
-
-def _quad_ddl() -> str:
-    return ", ".join(f"{c} string" for c in QUAD_COLS)

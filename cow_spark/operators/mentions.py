@@ -1,0 +1,123 @@
+"""E1 — batched mention detection over transcript text.
+
+No COW counterpart (BASELINE.json north_star: "batched mention
+detection"); generalizes COW's per-row template scan to entity mentions.
+
+Two paths:
+- **JVM path (default)**: ``regexp_extract_all`` with a gazetteer
+  alternation or generic pattern — stays inside whole-stage codegen,
+  zero Python. Right choice for gazetteers up to ~10⁴ names (the
+  compiled DFA is broadcast as part of the plan).
+- **Arrow path**: ``mapInPandas`` with a matcher compiled once per
+  executor — for matchers a regex can't express. Batched, never per-row
+  over the JVM boundary (input_hint mandate).
+
+Output grain: one row per (turn, mention occurrence), with a
+deterministic skolem mention IRI (E2) so re-runs mint identical IRIs —
+mirroring COW's deterministic URI-template expansion (csvw.py:897-914).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.iri import skolem_iri
+
+KEY_COLS = ["conv_id", "turn_idx"]
+
+
+def gazetteer_pattern(names: list[str]) -> str:
+    """Word-bounded alternation, longest-first (leftmost-first engines
+    like Java regex and RE2 then agree on matches)."""
+    ordered = sorted(set(names), key=lambda n: (-len(n), n))
+    return r"\b(?:" + "|".join(re.escape(n) for n in ordered) + r")\b"
+
+
+def normalize_mention(c):
+    return F.lower(F.trim(c))
+
+
+def block_key(c):
+    """Blocking key = first-2-chars + length of the normalized surface
+    form — must match the entity dictionary's block_key (FIXTURES.md F4)."""
+    n = normalize_mention(c)
+    return F.concat_ws("|", F.substring(n, 1, 2), F.length(n).cast("string"))
+
+
+def detect_mentions(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    mention_base: str = "https://example.com/id/mention",
+) -> DataFrame:
+    """JVM-path mention detection: text → exploded mention rows.
+
+    Plan shape: scan → regexp_extract_all → posexplode (no shuffle).
+    """
+    m = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+    out = df.select(
+        *KEY_COLS,
+        F.posexplode(m).alias("mention_pos", "mention"),
+    )
+    return out.select(
+        *KEY_COLS,
+        "mention_pos",
+        "mention",
+        normalize_mention(F.col("mention")).alias("mention_norm"),
+        block_key(F.col("mention")).alias("block_key"),
+        skolem_iri(
+            mention_base,
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("mention_pos").cast("string"),
+            F.col("mention"),
+        ).alias("mention_iri"),
+    )
+
+
+def detect_mentions_arrow(
+    df: DataFrame,
+    matcher_factory: Callable[[], Callable[[str], list[str]]],
+    text_col: str = "text",
+    mention_base: str = "https://example.com/id/mention",
+) -> DataFrame:
+    """Arrow-batched custom matcher (compiled once per executor via the
+    factory — ≅ COW's compile-once template cache, csvw.py:841-844)."""
+    key_cols = KEY_COLS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        match = matcher_factory()
+        for b in batches:
+            rows = []
+            for conv, turn, text in zip(b["conv_id"], b["turn_idx"], b[text_col]):
+                if text is None:
+                    continue
+                for pos, mention in enumerate(match(text)):
+                    rows.append((conv, int(turn), pos, mention))
+            yield pd.DataFrame(
+                rows, columns=[*key_cols, "mention_pos", "mention"]
+            )
+
+    raw = df.select(*key_cols, text_col).mapInPandas(
+        run,
+        schema="conv_id string, turn_idx int, mention_pos int, mention string",
+    )
+    return raw.select(
+        *key_cols,
+        "mention_pos",
+        "mention",
+        normalize_mention(F.col("mention")).alias("mention_norm"),
+        block_key(F.col("mention")).alias("block_key"),
+        skolem_iri(
+            mention_base,
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("mention_pos").cast("string"),
+            F.col("mention"),
+        ).alias("mention_iri"),
+    )

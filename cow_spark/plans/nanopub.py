@@ -1,0 +1,164 @@
+"""E7/A3 — nanopublication provenance, generalized to per-partition graphs.
+
+The reference wraps each conversion in ONE nanopublication: four named
+graphs (nanopub spine / assertion / provenance / pubinfo) minted under
+``{base}/{name}/{kind}/{short_sha1}/{timestamp}`` plus a dataset-version
+node carrying the source path and a git-blob-compatible sha1
+(src/converter/util/__init__.py:148-248, 64-83).
+
+We generalize to **one nanopub per partition** of the job (north_star:
+"per-partition nanopub-style provenance graphs with lineage + metrics"):
+the spine + run-level provenance stays a tiny driver-built DataFrame; the
+per-partition assertion/metrics rows come from a single groupBy over the
+quads (partial-aggregated map-side — one cheap shuffle of ~#partitions
+rows).
+
+Determinism: timestamps and snapshot ids are **passed in** by the caller
+(job parameters), never read from the wall clock here — re-runs of the
+same inputs produce byte-identical provenance, which the resume logic
+(E6) and the golden tests rely on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import NP, PROV, QUAD_COLS, RDF, XSD
+
+
+def git_blob_sha1(path: str) -> str:
+    """Git-blob-compatible sha1 of a file: sha1(b"blob {size}\\0" + bytes)
+    (≅ util/__init__.py:64-83) — identifies the exact source version."""
+    size = os.path.getsize(path)
+    h = hashlib.sha1()
+    h.update(f"blob {size}\0".encode())
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def dataset_sha1(identity: str) -> str:
+    """Snapshot identity for table inputs (Iceberg snapshot id, path +
+    mtime, ...) folded to a sha1 — the table-world stand-in for the
+    file-blob hash."""
+    return hashlib.sha1(identity.encode("utf-8")).hexdigest()
+
+
+class NanopubContext:
+    """URI minting for one conversion run (deterministic)."""
+
+    def __init__(self, base: str, name: str, source_hash: str, timestamp: str):
+        self.base = base.rstrip("/")
+        self.name = name
+        self.source_hash = source_hash
+        self.timestamp = timestamp  # e.g. "2026-08-16T10:00" (UTC minute)
+        hash_part = f"{source_hash[:8]}/{timestamp}"
+        mk = lambda kind: f"{self.base}/{name}/{kind}/{hash_part}"  # noqa: E731
+        self.np_uri = mk("nanopublication")
+        self.assertion = mk("assertion")
+        self.provenance = mk("provenance")
+        self.pubinfo = mk("pubinfo")
+        self.dataset_version = f"{self.base}/{source_hash}"
+        self.sdv = self.base + "/vocab/"
+
+    def partition_assertion(self, pid: int) -> str:
+        return f"{self.assertion}/partition/{pid}"
+
+
+def _q(g, s, p, kind, lex, dt=None, lang=None):
+    return (g, s, p, kind, lex, dt, lang)
+
+
+def spine_quads(
+    spark: SparkSession,
+    ctx: NanopubContext,
+    source_path: str,
+    generated_by: str = "https://example.com/cow-spark",
+) -> DataFrame:
+    """Driver-built nanopub spine + run provenance + pubinfo (tiny)."""
+    dt_string = XSD + "string"
+    dt_datetime = XSD + "dateTime"
+    rows = [
+        # dataset-version node (util/__init__.py:188-192)
+        _q(None, ctx.dataset_version, ctx.sdv + "path", "lit", source_path, dt_string),
+        _q(None, ctx.dataset_version, ctx.sdv + "sha1_hash", "lit",
+           ctx.source_hash, dt_string),
+        # spine (util/__init__.py:210-220)
+        _q(None, ctx.np_uri, RDF + "type", "iri", NP + "Nanopublication"),
+        _q(None, ctx.np_uri, NP + "hasAssertion", "iri", ctx.assertion),
+        _q(None, ctx.assertion, RDF + "type", "iri", NP + "Assertion"),
+        _q(None, ctx.np_uri, NP + "hasProvenance", "iri", ctx.provenance),
+        _q(None, ctx.provenance, RDF + "type", "iri", NP + "Provenance"),
+        _q(None, ctx.np_uri, NP + "hasPublicationInfo", "iri", ctx.pubinfo),
+        _q(None, ctx.pubinfo, RDF + "type", "iri", NP + "PublicationInfo"),
+        # provenance graph (util/__init__.py:228-233)
+        _q(ctx.provenance, ctx.assertion, PROV + "wasDerivedFrom", "iri",
+           ctx.dataset_version),
+        _q(ctx.provenance, ctx.assertion, PROV + "generatedAtTime", "lit",
+           ctx.timestamp, dt_datetime),
+        # pubinfo graph (util/__init__.py:243-247)
+        _q(ctx.pubinfo, ctx.np_uri, PROV + "wasGeneratedBy", "iri", generated_by),
+        _q(ctx.pubinfo, ctx.np_uri, PROV + "generatedAtTime", "lit",
+           ctx.timestamp, dt_datetime),
+    ]
+    return spark.createDataFrame(rows, schema=", ".join(f"{c} string" for c in QUAD_COLS))
+
+
+def partition_provenance_quads(
+    quads_with_pid: DataFrame, ctx: NanopubContext
+) -> DataFrame:
+    """Per-partition lineage + metrics: one assertion sub-graph per task
+    partition with its triple count — computed with a single partial
+    aggregation over ``_pid`` (attach via ``F.spark_partition_id()``
+    before shuffling ops)."""
+    m = quads_with_pid.groupBy("_pid").agg(F.count("*").alias("n_triples"))
+    pa = F.concat(F.lit(ctx.assertion + "/partition/"), F.col("_pid").cast("string"))
+    dt_int = F.lit(XSD + "integer")
+    g = F.lit(ctx.provenance)
+    rows = [
+        m.select(g.alias("g"), pa.alias("s"),
+                 F.lit(PROV + "wasDerivedFrom").alias("p"),
+                 F.lit("iri").alias("o_kind"),
+                 F.lit(ctx.dataset_version).alias("o_lex"),
+                 F.lit(None).cast("string").alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang")),
+        m.select(g.alias("g"), pa.alias("s"),
+                 F.lit(ctx.sdv + "n_triples").alias("p"),
+                 F.lit("lit").alias("o_kind"),
+                 F.col("n_triples").cast("string").alias("o_lex"),
+                 dt_int.alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang")),
+        m.select(g.alias("g"), F.lit(ctx.assertion).alias("s"),
+                 F.lit(ctx.sdv + "hasPartition").alias("p"),
+                 F.lit("iri").alias("o_kind"), pa.alias("o_lex"),
+                 F.lit(None).cast("string").alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def assemble_nanopub(
+    quads: DataFrame,
+    ctx: NanopubContext,
+    source_path: str,
+    with_partition_provenance: bool = True,
+) -> DataFrame:
+    """Full run output: assertion quads (graph = ctx.assertion) + spine +
+    per-partition provenance, one quads DataFrame."""
+    spark = quads.sparkSession
+    assertion = quads.withColumn(
+        "g", F.coalesce(F.col("g"), F.lit(ctx.assertion))
+    ).select(*QUAD_COLS)
+    out = spine_quads(spark, ctx, source_path)
+    if with_partition_provenance:
+        with_pid = quads.withColumn("_pid", F.spark_partition_id())
+        out = out.unionByName(partition_provenance_quads(with_pid, ctx))
+    return assertion.unionByName(out)

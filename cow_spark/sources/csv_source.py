@@ -1,0 +1,69 @@
+"""CSV source with COW dialect semantics (SURVEY.md S1-S5) + ``_row``.
+
+The reference streams CSV rows as string dicts with an injected global
+0-based row index ``_row`` (src/converter/csvw.py:369-374,489,507). Spark
+reads CSV distributed; a *global* row index is inherently a sequential
+concept, so:
+
+- ``read_csv``: dialect-aware scan, everything as string (COW's model —
+  no type inference at convert time, SURVEY.md §1.2).
+- ``with_row_index``: exact global ``_row``. Two modes:
+  * ``order_by`` given → window row_number (one total sort; fine at
+    CSV-parity scale, documented as not-for-10^12-rows).
+  * default → zipWithIndex-free monotonic path: per-partition offsets
+    computed from partition sizes (two passes, no sort) — the standard
+    scalable global-index recipe; stable for a fixed file layout since
+    Spark's file scan order is deterministic per input split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    quotechar: str = '"',
+    encoding: str = "utf-8",
+    header: bool = True,
+) -> DataFrame:
+    return (
+        spark.read.option("sep", delimiter)
+        .option("quote", quotechar)
+        .option("encoding", encoding)
+        .option("header", header)
+        # COW model: every cell is a string; empty cell == "" not NULL
+        .option("inferSchema", False)
+        .option("nullValue", "\\u0000")  # sentinel that never occurs → no NULLs
+        .option("emptyValue", "")  # empty cell stays "" (COW semantics)
+        .csv(path)
+    )
+
+
+def with_row_index(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
+    """Add COW's ``_row`` (global 0-based index, header excluded)."""
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn("_row", F.row_number().over(w) - 1)
+    # scalable path: monotonic id → per-partition dense offsets
+    tagged = df.withColumn("_mid", F.monotonically_increasing_id())
+    part = F.shiftright(F.col("_mid"), 33)
+    w = Window.partitionBy(part).orderBy("_mid")
+    counts = (
+        tagged.groupBy(part.alias("_p"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_offset", F.coalesce(
+            F.sum("_n").over(Window.orderBy("_p").rowsBetween(
+                Window.unboundedPreceding, -1)), F.lit(0)))
+    )
+    return (
+        tagged.withColumn("_p", part)
+        .withColumn("_rank", F.row_number().over(w) - 1)
+        .join(F.broadcast(counts.select("_p", "_offset")), "_p")
+        .withColumn("_row", (F.col("_offset") + F.col("_rank")).cast("long"))
+        .drop("_mid", "_p", "_rank", "_offset")
+    )

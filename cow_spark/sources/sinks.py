@@ -1,0 +1,64 @@
+"""Sinks (SURVEY.md S7/S9): quad tables + N-Quads text.
+
+Primary sink is a bucketed Parquet quads table (the offline-sandbox
+stand-in for an Iceberg table partitioned by ``bucket(N, ...)``); the
+N-Quads text sink reproduces the reference's .nq[.gz] output
+(src/converter/csvw.py:366-374, gzip :199-203).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import QUAD_COLS, to_nquads_lines
+
+
+def write_quads_table(
+    quads: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Quads → Parquet partitioned by a stable subject-hash bucket.
+
+    Bucketing by hash(s) keeps each entity's triples co-located (point
+    lookups prune to one directory) and spreads hot subjects' *files*
+    evenly — at 100 TB the partition count stays fixed at n_buckets
+    regardless of data volume, with many files per bucket.
+    """
+    (
+        quads.withColumn(
+            "s_bucket", F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode(mode)
+        .partitionBy("s_bucket")
+        .parquet(path)
+    )
+
+
+def read_quads_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(*QUAD_COLS)
+
+
+def write_nquads(
+    quads: DataFrame,
+    path: str,
+    graph: str | None = None,
+    gzip: bool = False,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """Quads → N-Quads text directory (optionally gzip, ≅ S9).
+
+    ``single_file`` coalesces to one part — only for small parity
+    fixtures; the distributed sink has no single-writer bottleneck
+    (unlike the reference's ordered parent-process write, csvw.py:421-422).
+    """
+    lines = to_nquads_lines(quads, graph=graph)
+    if single_file:
+        lines = lines.coalesce(1)
+    w = lines.write.mode(mode)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.text(path)

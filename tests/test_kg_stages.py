@@ -1,0 +1,176 @@
+"""E1 mentions → E3 linking → E4 canonicalization, plus E6 resume and
+E7 nanopub provenance."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cow_spark.operators.canon import canonical_entities, connected_components
+from cow_spark.operators.extract import extract_quads
+from cow_spark.operators.link import link_mentions
+from cow_spark.operators.mentions import (
+    detect_mentions,
+    detect_mentions_arrow,
+    gazetteer_pattern,
+)
+from cow_spark.plans.nanopub import NanopubContext, assemble_nanopub, dataset_sha1
+from cow_spark.plans.resume import run_with_resume
+from cow_spark.spec.mapping import MappingSpec
+from cow_spark.spec.presets import transcripts_default_spec
+from cow_spark.sources.transcripts import (
+    CITIES,
+    PERSONS,
+    entities_df,
+    transcripts_df,
+    transcripts_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return transcripts_df(spark, 600).cache()
+
+
+def test_mentions_jvm_matches_python(spark, tdf):
+    import re
+
+    pat = gazetteer_pattern(PERSONS + CITIES)
+    got = detect_mentions(tdf, pat)
+    rows = transcripts_rows(600)
+    want = []
+    rx = re.compile(pat)
+    for r in rows:
+        for pos, m in enumerate(rx.findall(r["text"])):
+            want.append((r["conv_id"], r["turn_idx"], pos, m))
+    got_set = {
+        (r.conv_id, r.turn_idx, r.mention_pos, r.mention) for r in got.collect()
+    }
+    assert got_set == set(want)
+    assert len(want) > 100
+    # skew fixture: Person00 dominates (~30% of person mentions)
+    p0 = sum(1 for *_k, m in want if m == "Person00")
+    assert p0 > len(want) * 0.1
+
+
+def test_mentions_arrow_path_agrees(spark, tdf):
+    import re
+
+    pat = gazetteer_pattern(PERSONS + CITIES)
+
+    def factory():
+        rx = re.compile(pat)
+        return lambda text: rx.findall(text)
+
+    jvm = detect_mentions(tdf, pat).select("conv_id", "turn_idx", "mention_pos", "mention")
+    arrow = detect_mentions_arrow(tdf, factory).select(
+        "conv_id", "turn_idx", "mention_pos", "mention"
+    )
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
+
+
+def test_linking_broadcast_and_exact_names(spark, tdf):
+    pat = gazetteer_pattern(PERSONS + CITIES)
+    mentions = detect_mentions(tdf, pat)
+    ents = entities_df(spark, 200)
+    linked = link_mentions(mentions, ents, min_score=0.5)
+    # every gazetteer surface form exists verbatim in the dictionary
+    assert linked.count() == mentions.count()
+    assert linked.where(F.col("score") < 1.0).count() == 0
+    # physical plan uses a broadcast join (scale requirement)
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # linking is deterministic: exact name → exactly one entity
+    amb = (
+        linked.groupBy("mention_norm")
+        .agg(F.countDistinct("entity_id").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert amb == 0
+
+
+def test_connected_components_chain_star(spark):
+    # 3 known components: size 2, a 50-chain, a 200-star (FIXTURES.md F5)
+    edges = [("a0", "a1")]
+    edges += [(f"c{i:05d}", f"c{i+1:05d}") for i in range(49)]
+    edges += [("hub", f"s{i:05d}") for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    cc = connected_components(df).collect()
+    comp = {r.node: r.component for r in cc}
+    assert comp["a1"] == "a0"
+    assert all(comp[f"c{i:05d}"] == "c00000" for i in range(50))
+    assert comp["s00199"] == "hub"
+    assert len({c for c in comp.values()}) == 3
+
+
+def test_canonicalization_merges_aliases(spark):
+    # same entity via two normalized forms + shared entity id
+    linked = spark.createDataFrame(
+        [
+            ("c1", 0, 0, "Amsterdam", "amsterdam", "m1", "ent-1", 1.0),
+            ("c2", 1, 0, "AMSTERDAM", "amsterdam", "m2", "ent-1", 0.9),
+            ("c3", 2, 0, "Adam", "adam", "m3", "ent-1", 0.6),
+            ("c4", 3, 0, "Berlin", "berlin", "m4", "ent-2", 1.0),
+        ],
+        "conv_id string, turn_idx int, mention_pos int, mention string, "
+        "mention_norm string, mention_iri string, entity_id string, score double",
+    )
+    out = canonical_entities(linked)
+    comps = {r.mention_iri: r.canonical_id for r in out.collect()}
+    assert comps["m1"] == comps["m2"] == comps["m3"]  # via ent-1 hub
+    assert comps["m4"] != comps["m1"]
+
+
+def test_resume_equals_fresh(spark, tmp_path):
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    df = transcripts_df(spark, 300)
+
+    def proc(d):
+        return extract_quads(d, spec, passthrough=["_bucket"])
+
+    out1, man1 = str(tmp_path / "o1"), str(tmp_path / "m1")
+    # fresh full run
+    b = run_with_resume(df, "conv_id", 8, proc, out1, man1)
+    assert sorted(b) == sorted(set(b))
+    full = spark.read.parquet(out1).drop("_bucket")
+
+    # interrupted run: first only 3 buckets completed, then resume
+    out2, man2 = str(tmp_path / "o2"), str(tmp_path / "m2")
+    from cow_spark.plans.resume import bucket_of
+
+    part = df.where(bucket_of(F.col("conv_id"), 8).isin([0, 1, 2]))
+    run_with_resume(part, "conv_id", 8, proc, out2, man2)
+    resumed = run_with_resume(df, "conv_id", 8, proc, out2, man2)
+    assert not set(resumed) & {0, 1, 2} or part.count() == 0
+    resumed_full = spark.read.parquet(out2).drop("_bucket")
+    assert full.exceptAll(resumed_full).count() == 0
+    assert resumed_full.exceptAll(full).count() == 0
+    # idempotence: a third run does nothing
+    assert run_with_resume(df, "conv_id", 8, proc, out2, man2) == []
+
+
+def test_nanopub_assembly(spark):
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    df = transcripts_df(spark, 200)
+    quads = extract_quads(df, spec)
+    ctx = NanopubContext(
+        base="https://example.com/id",
+        name="transcripts",
+        source_hash=dataset_sha1("snapshot-42"),
+        timestamp="2026-08-16T10:00",
+    )
+    out = assemble_nanopub(quads, ctx, source_path="transcripts@snapshot-42")
+    # assertion quads all land in the assertion graph
+    n_assert = out.where(F.col("g") == ctx.assertion).count()
+    assert n_assert == quads.count()
+    # spine present
+    spine = {(r.s, r.p, r.o_lex) for r in out.where(F.col("g").isNull()).collect()}
+    assert (ctx.np_uri, "http://www.nanopub.org/nschema#hasAssertion", ctx.assertion) in spine
+    # per-partition metrics sum to the assertion count
+    metric = out.where(
+        F.col("p") == "https://example.com/id/vocab/n_triples"
+    ).agg(F.sum(F.col("o_lex").cast("long"))).first()[0]
+    assert metric == quads.count()
+    # determinism: same inputs → identical provenance set
+    out2 = assemble_nanopub(quads, ctx, source_path="transcripts@snapshot-42")
+    assert out.exceptAll(out2).count() == 0
