@@ -1,0 +1,92 @@
+"""Text-analysis functions for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; zero Python) and all
+expressible in ANSI-ish SQL so the DuckDB oracle can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword probes (top function words). Deliberately
+# small: language ID here is an n-gram/stopword heuristic, not a model.
+LANG_PROBES: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|dans)\b",
+    "nl": r"\b(de|het|een|en|van|niet)\b",
+    "es": r"\b(el|la|los|y|es|en)\b",
+}
+
+_WS = r"\s+"
+_PUNCT = r"[!-/:-@\[-`{-~]"  # ASCII punctuation ranges
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens, empty-safe (''→ empty array)."""
+    t = F.split(F.trim(c), _WS)
+    return F.filter(t, lambda x: F.length(x) > 0)
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish count: runs of letters, digits, or single punctuation
+    (a cheap stand-in for BPE tokenization at data-audit time)."""
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"), 0)
+    )
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    return F.when(n > 0,
+                  F.round(F.size(F.regexp_extract_all(c, F.lit(_PUNCT), 0))
+                          / n.cast("double"), 6)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    nt = token_count(c)
+    hits = F.size(F.regexp_extract_all(F.lower(c), F.lit(LANG_PROBES[lang]), 0))
+    return F.when(nt > 0, F.round(hits / nt.cast("double"), 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """[0,1] heuristic: rewards mid-length text with stopwords, penalizes
+    punctuation soup — the classic pre-training quality gate shape."""
+    n = F.length(c)
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(c) * 4.0, F.lit(0.0))
+    return F.round((len_score + stop_score + punct_pen) / 3.0, 6)
+
+
+def lang_id(c: Column) -> Column:
+    """argmax over stopword-probe hit counts; 'und' when all zero.
+    Deterministic tie-break: first language in LANG_PROBES order wins."""
+    lowered = F.lower(c)
+    scores = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), 0))
+        for lang, pat in LANG_PROBES.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_PROBES)):  # build when-chain in order
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(c), _WS, " "))
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text —
+    portable to the oracle; use xxhash64 internally when replay isn't
+    needed)."""
+    return F.md5(normalize_text(c))

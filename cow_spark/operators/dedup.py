@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash (bitwise sketch + hamming), and word-n-gram Jaccard
+verification. All hashing is md5-based (:mod:`..functions.hashing`) so
+the DuckDB oracle can replay every stage bit-exactly.
+
+Scale notes:
+- candidate generation is always *blocked* (band buckets / sketch
+  buckets); nothing here ever does an unblocked O(n²) self-join.
+- the band-bucket self-join keys are salted by construction (band index
+  is part of the key) and bounded with a per-bucket cap to survive
+  adversarial buckets (e.g. empty documents all sharing one signature).
+- pair outputs are canonicalized as (a < b) so downstream dedup of the
+  pair list is a cheap distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60
+from ..functions.text import fingerprint, normalize_text, tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    One shuffle on the fingerprint; min(id) is the canonical survivor.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (empty-safe)."""
+    t = tokens(normalize_text(c))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)) - 1)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int"))
+                                          for j in range(n)])
+    )
+    # documents shorter than n words fall back to their full normalized text
+    grams = F.when(F.size(t) >= n, grams).otherwise(
+        F.when(F.size(t) > 0, F.array(F.concat_ws(" ", t))).otherwise(
+            F.array().cast("array<string>"))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """k independent min-hashes: min over md5('<seed>|' + shingle) hex
+    strings (lexicographic min ≡ min-hash over a random permutation)."""
+    def seeded(i: int):
+        # NB: a plain `lambda s, i=i:` would match pyspark's 2-arg
+        # (element, index) lambda form and silently rebind i to the index
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sigs = [F.array_min(F.transform(shingles, seeded(i))) for i in range(k)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash-LSH.
+
+    k minhashes split into ``bands`` bands of k/bands rows each; documents
+    sharing any full band land in one bucket; pairs within a bucket are
+    candidates. ``bucket_cap`` drops degenerate buckets (log-and-drop is
+    the 100 TB-safe behavior; a single pathological bucket otherwise
+    produces a quadratic task).
+    """
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(word_shingles(F.col(text_col)), k).alias("sig"),
+    ).where(F.size("sig") > 0)
+
+    band_entries = []
+    for b in range(bands):
+        parts = [F.element_at("sig", b * rows_per_band + j + 1)
+                 for j in range(rows_per_band)]
+        band_entries.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *parts).alias("band_key"),
+            )
+        )
+    buckets = band_entries[0]
+    for be in band_entries[1:]:
+        buckets = buckets.unionByName(be)
+
+    sized = buckets.join(
+        buckets.groupBy("band", "band_key").agg(F.count("*").alias("_bn")),
+        ["band", "band_key"],
+    ).where(F.col("_bn") <= bucket_cap).drop("_bn")
+
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with word-n-gram Jaccard similarity."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a")
+                     .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, F.round(inter / union.cast("double"), 6)).otherwise(0.0)
+    return (
+        j.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Bitwise majority sketch over token hashes — one expression tree,
+    no explode: for each bit j, sum ±1 over tokens; set bit if sum > 0."""
+    t = tokens(normalize_text(c))
+    hashes = F.transform(t, lambda x: portable_hash60(x))
+    def bit_vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_vote(j))
+        out = out + F.when(bit_sum > 0, F.lit(2 ** j).cast("bigint")).otherwise(0)
+    return F.when(F.size(t) > 0, out)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs: bucket on simhash byte-bands (any of bits/band_bits
+    bands equal → candidate), verify hamming ≤ max_hamming."""
+    s = df.select(F.col(id_col).alias("doc_id"),
+                  simhash(F.col(text_col)).alias("sh")).where(F.col("sh").isNotNull())
+    n_bands = SIMHASH_BITS // band_bits
+    bandsets = []
+    for b in range(n_bands):
+        key = F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1))
+        bandsets.append(s.select("doc_id", "sh", F.lit(b).alias("band"),
+                                 key.alias("band_key")))
+    bu = bandsets[0]
+    for x in bandsets[1:]:
+        bu = bu.unionByName(x)
+    a, b2 = bu.alias("a"), bu.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b2, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine within sign-sketch buckets)
+# ---------------------------------------------------------------------------
+
+
+def embedding_sign_sketch(vec: Column, bits: int = 16) -> Column:
+    """Sketch = sign bits of the first ``bits`` components (a fixed,
+    training-free hyperplane family — axis-aligned)."""
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + F.when(F.element_at(vec, j + 1) > 0,
+                           F.lit(2 ** j).cast("bigint")).otherwise(0)
+    return out
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.99,
+    bits: int = 16,
+) -> DataFrame:
+    """Near-identical embeddings: bucket by sign sketch, verify cosine.
+    Two near-identical vectors share all sign bits with overwhelming
+    probability, so recall loss is confined to near-zero components."""
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("sk", embedding_sign_sketch(F.col("v"), bits))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (na * nb), 6)
+    return (
+        a.join(b, "sk")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+                cos.alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+    )

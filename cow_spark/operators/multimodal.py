@@ -1,0 +1,111 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as ``binary`` columns with a small typed
+metadata struct; decode / feature-extraction / resize / frame-sampling
+run as Arrow-batched ``mapInPandas`` stages sized by bytes, not rows.
+
+The decode kernels themselves are **stubbed** in this environment (no
+image/audio libraries in the container): ``decoder='real'`` raises
+``NotImplementedError`` with the integration point documented, while
+``decoder='fake'`` produces deterministic md5-derived features so the
+Spark-side plumbing — schema, batching, partitioning, UDF signatures —
+is real and fully tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, content binary, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, "
+    f"features array<float>"
+)
+
+
+def media_from_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-fixture adapter: wrap document text bytes as fake media
+    payloads (deterministic; exercises the binary-column plumbing)."""
+    return df.select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(1000).alias("duration_ms"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real encoder: md5-seeded floats."""
+    h = hashlib.md5(payload or b"").digest()
+    out = []
+    for i in range(dim):
+        out.append(((h[i % 16] * 31 + i * 7) % 256) / 255.0)
+    return out
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: str = "fake",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """binary payloads → feature vectors via Arrow-batched mapInPandas.
+
+    ``decoder='real'`` is the integration point for PIL/librosa/ffmpeg —
+    not available in this container, so it raises with instructions.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(decoder)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "real decoders (PIL/librosa/pyav) are not installed in this "
+                "environment; plug them in here — the batch contract is: "
+                "pd.DataFrame[doc_id, media_type, content] → "
+                "pd.DataFrame[doc_id, media_type, n_bytes, features]"
+            )
+        for b in batches:
+            feats = [_fake_features(c) for c in b["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_type": b["media_type"],
+                    "n_bytes": [len(c or b"") for c in b["content"]],
+                    "features": [np.array(f, dtype=np.float32) for f in feats],
+                }
+            )
+
+    return media.select("doc_id", "media_type", "content").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 250
+) -> DataFrame:
+    """Frame-sampling plan for video rows: explode sample timestamps
+    JVM-side (the decode of each sampled frame is the stubbed kernel)."""
+    video = media.where(F.col("media_type").startswith("video/"))
+    stamps = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+    return video.select(
+        "doc_id",
+        F.explode(stamps).alias("frame_ms"),
+        "content",
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — exact brute-force top-k for a query set: the
+  correctness baseline and the right tool when |queries| is small
+  (broadcast queries × scan corpus; one partial-aggregating top-k, no
+  global sort).
+- :func:`ivf_topk` — IVF-style scale path: corpus is assigned to coarse
+  cells once; a query probes only its ``n_probe`` nearest cells. At 100 TB
+  the cell assignment is a write-time partition column, so a probe prunes
+  to n_probe/ n_cells of the data before any distance math.
+
+Cosine is computed with explicit zip_with/aggregate expressions (JVM
+codegen; doubles, rounded to 6dp) so the DuckDB oracle replays it
+bit-identically. No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (broadcast queries × corpus)."""
+    c = corpus.select(F.col(id_col).alias("nbr_id"),
+                      F.col(vec_col).cast("array<double>").alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids).
+
+    Centroids are any deterministic coarse set (e.g. first-C reservoir or
+    k-means output); at write time ``cell`` becomes a partition column.
+    """
+    c = centroids.select(F.col("cell_id"),
+                         F.col(vec_col).cast("array<double>").alias("cv"))
+    v = corpus.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    scored = v.join(F.broadcast(c)).select(
+        id_col, "v", "cell_id", cosine(F.col("v"), F.col("cv")).alias("sim"))
+    best = scored.groupBy(id_col).agg(
+        F.max_by(F.struct("cell_id", "v"), F.struct(F.col("sim"), -F.col("cell_id"))).alias("_b"))
+    return best.select(id_col, F.col("_b.cell_id").alias("cell"),
+                       F.col("_b.v").alias("v"))
+
+
+def take_centroids(corpus: DataFrame, n_cells: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic training-free centroids: the n_cells lowest-id vectors."""
+    w = Window.orderBy(F.asc(id_col))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_cells)
+        .select((F.col("_r") - 1).alias("cell_id"), F.col(vec_col))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the n_probe nearest cells per query."""
+    cents = take_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = assign_cells(corpus, cents, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = cents.select("cell_id", F.col(vec_col).cast("array<double>").alias("cv"))
+    qcells = (
+        F.broadcast(q).crossJoin(c)
+        .select("query_id", "qv", "cell_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    probes = (
+        qcells.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "qv", F.col("cell_id").alias("cell"))
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("nbr_id"),
+                cosine(F.col("qv"), F.col("v")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

@@ -1,0 +1,188 @@
+"""Training-data pipeline operators: text analysis, dedup family,
+similarity search, multimodal plumbing, streaming extraction."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cow_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from cow_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from cow_spark.operators.multimodal import (
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+from cow_spark.operators.simsearch import cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_text_functions(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+    assert all(r.n_tok >= 0 for r in out)
+    assert all(len(r.fp) == 32 for r in out)
+    langs = {r.lang for r in out}
+    assert langs <= {"en", "de", "fr", "nl", "es", "und"}
+    # python twin for token count on a sample
+    sample = docs.limit(20).collect()
+    for r in sample:
+        want = len([t for t in r.text.split() if t])
+        got = next(o.n_tok for o in out if o.doc_id == r.doc_id)
+        assert got == want
+
+
+def test_exact_duplicates(spark):
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "unique doc"),
+            (4, "HELLO\tWORLD"), (5, "another one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.canonical_id == 1 and g.members == [1, 2, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base.replace("today", "tomorrow")),
+            (3, "completely different content about spark partitions and shuffles here"),
+            (4, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, k=8, bands=4)
+    verified = jaccard_pairs(df, pairs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (1, 4) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
+    # exact-dup pair has jaccard 1.0
+    j = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert j[(1, 4)] == 1.0
+
+
+def test_simhash_near_duplicates(spark):
+    base = "spark executes declarative plans with catalyst and tungsten codegen stages"
+    rows = [(1, base), (2, base + " quickly"), (3, "totally unrelated short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in
+           simhash_near_duplicates(df, max_hamming=4).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, ""), (3, None)],
+                               "doc_id long, text string")
+    rows = df.select(word_shingles(F.col("text")).alias("sh")).collect()
+    assert rows[0].sh == ["one two"]
+    assert rows[1].sh == []
+    assert rows[2].sh is None or rows[2].sh == []
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    import numpy as np
+
+    queries = embs.where(F.col("vec_id") < 3)
+    got = cosine_topk(embs, queries, k=5).collect()
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in embs.collect()}
+    for qid in range(3):
+        q = data[qid]
+        sims = {}
+        for nid, v in data.items():
+            if nid == qid:
+                continue
+            sims[nid] = round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6)
+        want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        mine = [(r.nbr_id, r.cosine) for r in sorted(
+            (x for x in got if x.query_id == qid), key=lambda r: r.rank)]
+        assert mine == [(n, s) for n, s in want]
+
+
+def test_ivf_recall_vs_brute_force(spark, embs):
+    queries = embs.where(F.col("vec_id") < 10)
+    exact = cosine_topk(embs, queries, k=5)
+    approx = ivf_topk(embs, queries, k=5, n_cells=8, n_probe=4)
+    e = {(r.query_id, r.nbr_id) for r in exact.collect()}
+    a = {(r.query_id, r.nbr_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.001]),
+            (3, [-1.0, 2.0, -3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_duplicates(df, min_cosine=0.999, bits=4).collect()}
+    assert got == {(1, 2)}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = media_from_documents(docs.limit(50))
+    feats = extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.features) == 16 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.features)
+    # determinism
+    again = {r.doc_id: list(r.features) for r in extract_features(
+        media, decoder="fake").collect()}
+    assert all(list(r.features) == again[r.doc_id] for r in rows)
+    # real decoder is an explicit stub
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+    frames = sample_frames(media, every_ms=500)
+    vid = media.where("media_type like 'video/%'").count()
+    assert frames.count() == vid * 3  # 0, 500, 1000
+
+
+def test_streaming_extract(spark, tmp_path):
+    from cow_spark.spec.mapping import MappingSpec
+    from cow_spark.spec.presets import transcripts_default_spec
+    from cow_spark.sources.transcripts import transcripts_df
+    from cow_spark.streaming.stream import (
+        read_transcripts_stream,
+        stream_extract_quads,
+        write_quads_stream,
+    )
+    from cow_spark.operators.extract import extract_quads
+
+    src = str(tmp_path / "landing")
+    transcripts_df(spark, 200).write.parquet(src)
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=2)
+    q = stream_extract_quads(stream, spec)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_quads_stream(q, out, ckpt, available_now=True).awaitTermination(120)
+    batch = extract_quads(spark.read.parquet(src), spec)
+    # stream dedups per (quad, event-time) within the watermark; the batch
+    # comparison is set-based on the quad itself
+    got = spark.read.parquet(out).drop("ts").dropDuplicates()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
