@@ -1,38 +1,881 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG extraction on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the E*/training-data extensions), each runnable at any sf dir.
+``oracle_sql()`` — DuckDB-replayable ANSI SQL twin for every query that
+is SQL-expressible; hashing is md5-based everywhere so both engines
+produce bit-identical values. Floating-point outputs are floor-scaled to
+integers (``floor(x * 10^k)``) instead of rounded — floor is identical
+across engines, round-half modes are not.
+
+Non-SQL-expressible entries (iterative CC at scale, Arrow feature
+extraction) ship without an oracle → the driver records rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE = "https://example.com/id/docs"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _nq_escape_sql(e: str) -> str:
+    """DuckDB twin of cow_spark.model.nq_escape."""
+    x = f"replace({e}, chr(92), chr(92)||chr(92))"
+    x = f"replace({x}, chr(34), chr(92)||chr(34))"
+    x = f"replace({x}, chr(10), chr(92)||'n')"
+    x = f"replace({x}, chr(13), chr(92)||'r')"
+    x = f"replace({x}, chr(9),  chr(92)||'t')"
+    return x
+
+
+def _h60_sql(e: str) -> str:
+    return f"cast(concat('0x', substr(md5({e}), 1, 15)) as bigint)"
+
+
+_TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+_LANG_PROBES = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|dans)\b",
+    "nl": r"\b(de|het|een|en|van|niet)\b",
+    "es": r"\b(el|la|los|y|es|en)\b",
+}
+
+# the entity dictionary used by the linking demo (inline on both sides)
+_DICT = [
+    ("ent-001", "alpha"), ("ent-002", "beta"), ("ent-003", "gamma"),
+    ("ent-004", "delta"), ("ent-005", "epsilon"), ("ent-006", "omega"),
+    ("ent-007", "sigma"), ("ent-008", "lambda"), ("ent-009", "kappa"),
+    ("ent-010", "theta"),
+]
+_MENTION_PAT = r"\b[a-z]{5,}\b"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: declarative KG extraction over sf0.001 documents."""
+    return q_kg_default(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# KG extraction queries (SURVEY.md §2.2-2.4: P1-P17, D1-D4, A1)
+# ---------------------------------------------------------------------------
+
+
+def _docs_default_spec() -> dict:
+    return {
+        "@base": BASE,
+        "url": "documents",
+        "tableSchema": {
+            "aboutUrl": "{doc_id}",
+            "columns": [
+                {"name": "text"},
+                {"name": "lang"},
+                {"name": "source"},
+                {"name": "n_chars", "datatype": "integer"},
+            ],
+        },
+    }
+
+
+def _triples_view(quads: DataFrame) -> DataFrame:
+    from cow_spark.model import object_term
+
+    return quads.select(
+        F.col("s").alias("s"),
+        F.col("p").alias("p"),
+        object_term(F.col("o_kind"), F.col("o_lex"),
+                    F.col("o_dt"), F.col("o_lang")).alias("o"),
+    )
+
+
+def q_kg_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default mapping (COW build-mode skeleton semantics, S10/P1-P9)."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    spec = MappingSpec.from_json(_docs_default_spec())
+    return _triples_view(extract_quads(docs, spec))
+
+
+def _sql_kg_default() -> str:
+    esc = _nq_escape_sql("v")
+    lits = []
+    for col in ["text", "lang", "source"]:
+        lits.append(
+            f"select s, '{BASE}/vocab/{col}' as p, v from "
+            f"(select '{BASE}/' || cast(doc_id as varchar) as s, "
+            f"coalesce({col}, '') as v from documents) where length(v) > 0"
+        )
+    plain = " union all ".join(lits)
+    return f"""
+with plain as ({plain}),
+typed as (
+  select '{BASE}/' || cast(doc_id as varchar) as s,
+         '{BASE}/vocab/n_chars' as p,
+         cast(n_chars as varchar) as v
+  from documents where n_chars is not null
+)
+select distinct s, p, '"' || {esc} || '"' as o from plain
+union
+select distinct s, p, '"' || {esc} || '"^^<{XSD_INT}>' as o from typed
+"""
+
+
+def _docs_full_spec() -> dict:
+    return {
+        "@base": BASE,
+        "url": "documents",
+        "tableSchema": {
+            "aboutUrl": "{doc_id}",
+            "null": "N/A",
+            "columns": [
+                # lang-tagged literal with templated lang (D2/P4)
+                {"name": "text", "datatype": "string", "lang": "{lang}"},
+                # object IRI via valueUrl (P8) — empty source suppressed via
+                # basename null check
+                {"name": "source", "valueUrl": "source/{source}"},
+                # virtual rdf:type triple (P12/P6)
+                {"virtual": True, "propertyUrl": "rdf:type",
+                 "valueUrl": "Document"},
+                # anyURI literal branch (P10/D4)
+                {"virtual": True, "propertyUrl": f"{BASE}/vocab/page",
+                 "value": "https://docs.example.com/{doc_id}",
+                 "datatype": "anyURI"},
+                # csvw:value template + typed literal (P9/D1)
+                {"virtual": True, "propertyUrl": f"{BASE}/vocab/size",
+                 "value": "{n_chars}", "datatype": "integer"},
+            ],
+        },
+    }
+
+
+def q_kg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-term-kind mapping: lang literals, IRI objects, virtual
+    columns, anyURI, typed templates (P4-P14, D1-D4)."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    spec = MappingSpec.from_json(_docs_full_spec())
+    return _triples_view(extract_quads(docs, spec))
+
+
+def _sql_kg_full() -> str:
+    esc = _nq_escape_sql("v")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+with d as (
+  select '{BASE}/' || cast(doc_id as varchar) as s,
+         cast(doc_id as varchar) as doc_id,
+         coalesce(text, '') as text, coalesce(lang, '') as lang,
+         coalesce(source, '') as source, cast(n_chars as varchar) as n_chars
+  from documents
+),
+lang_lit as (
+  select s, '{BASE}/vocab/text' as p, text as v, lang from d
+  where length(text) > 0 and text <> 'N/A' and length(lang) > 0
+),
+src_iri as (
+  select s, '{BASE}/vocab/source' as p, '{BASE}/source/' || source as o
+  from d where length(source) > 0 and source <> 'N/A'
+),
+typ as (
+  select s, '{rdf_type}' as p, '{BASE}/Document' as o from d
+),
+page as (
+  select s, '{BASE}/vocab/page' as p,
+         'https://docs.example.com/' || doc_id as o from d
+),
+size_lit as (
+  select s, '{BASE}/vocab/size' as p, n_chars as v from d
+  where n_chars is not null and n_chars <> 'N/A'
+)
+select distinct s, p, '"' || {esc} || '"@' || lang as o from lang_lit
+union
+select distinct s, p, '<' || o || '>' as o from src_iri
+union
+select distinct s, p, '<' || o || '>' as o from typ
+union
+select distinct s, p, '<' || o || '>' as o from page
+union
+select distinct s, p, '"' || {esc} || '"^^<{XSD_INT}>' as o from size_lit
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators (joins / aggs / windows — SURVEY.md §2.7 "ours")
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregation (pushdown + partial aggregation)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.floor(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_c"),
+            F.floor(F.sum("l_extendedprice") * 100).cast("long").alias("sum_price_c"),
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 100).cast("long").alias("sum_disc_price_c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = """
+select l_returnflag, l_linestatus,
+       count(*) as count_order,
+       cast(floor(sum(l_quantity) * 100) as bigint) as sum_qty_c,
+       cast(floor(sum(l_extendedprice) * 100) as bigint) as sum_price_c,
+       cast(floor(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint)
+         as sum_disc_price_c
+from lineitem
+where l_shipdate <= timestamp '2024-09-01 00:00:00'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join family: broadcast dim joins + agg (region→nation→customer→
+    orders→lineitem)."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 100).cast("long").alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+    return rev
+
+
+_SQL_ORDER_REVENUE = """
+select n_name,
+       cast(floor(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint)
+         as revenue_c,
+       count(*) as n_items
+from lineitem
+join orders   on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation   on c_nationkey = n_nationkey
+group by n_name
+order by n_name
+"""
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-user event ordering + inter-event gap
+    (the stable-turn-ordering primitive from the input_hint invariant)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.row_number().over(w).alias("seq"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
+         ).cast("long").alias("gap_us"),
+    )
+
+
+_SQL_EVENTS_WINDOWED = """
+select cast(user_id as bigint) as user_id,
+       cast(event_id as bigint) as event_id,
+       cast(row_number() over w as int) as seq,
+       cast(epoch_us(ts) - epoch_us(lag(ts, 1) over w) as bigint) as gap_us
+from events
+window w as (partition by user_id order by ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E1-E3: mentions, skolem minting, linking
+# ---------------------------------------------------------------------------
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 JVM-path mention detection (multiset of (doc, surface form))."""
+    docs = _load(spark, sf_dir, "documents")
+    m = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_MENTION_PAT), 0)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(m).alias("mention"),
+    )
+
+
+_SQL_MENTIONS = f"""
+select cast(doc_id as bigint) as doc_id, u.mention as mention
+from documents,
+     unnest(regexp_extract_all(lower(text), '{_MENTION_PAT}')) as u(mention)
+"""
+
+
+def q_skolem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 deterministic skolem IRI minting (md5 variant for replay)."""
+    from cow_spark.functions.iri import skolem_iri
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        skolem_iri("https://example.com/id/skolem",
+                   F.col("doc_id").cast("string"), F.col("source"),
+                   alg="md5").alias("skolem_iri"),
+    )
+
+
+_SQL_SKOLEM = """
+select cast(doc_id as bigint) as doc_id,
+       'https://example.com/id/skolem/' ||
+       md5(concat_ws(chr(31), cast(doc_id as varchar), source)) as skolem_iri
+from documents
+"""
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: block join vs inline dictionary + levenshtein argmax."""
+    docs = _load(spark, sf_dir, "documents")
+    m = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_MENTION_PAT), 0)
+    mentions = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(m).alias("mention"),
+    ).distinct()
+    dic = spark.createDataFrame(_DICT, "entity_id string, name string")
+    # block on first letter
+    mb = mentions.withColumn("bk", F.substring("mention", 1, 1))
+    db = dic.withColumn("bk", F.substring("name", 1, 1))
+    scored = (
+        mb.join(F.broadcast(db), "bk")
+        .withColumn(
+            "score_m",
+            F.floor(
+                (1.0 - F.levenshtein("mention", "name")
+                 / F.greatest(F.length("mention"), F.length("name"))
+                 .cast("double")) * 10000
+            ).cast("long"),
+        )
+        .where(F.col("score_m") >= 5000)
+    )
+    best = scored.groupBy("doc_id", "mention").agg(
+        F.min_by(F.struct("entity_id", "score_m"),
+                 F.struct((-F.col("score_m")).alias("n"), F.col("entity_id"))
+                 ).alias("_b")
+    )
+    return best.select(
+        "doc_id", "mention",
+        F.col("_b.entity_id").alias("entity_id"),
+        F.col("_b.score_m").alias("score_m"),
+    )
+
+
+def _sql_entity_link() -> str:
+    vals = ", ".join(f"('{e}', '{n}')" for e, n in _DICT)
+    return f"""
+with dict(entity_id, name) as (values {vals}),
+mentions as (
+  select distinct cast(doc_id as bigint) as doc_id, u.mention as mention
+  from documents,
+       unnest(regexp_extract_all(lower(text), '{_MENTION_PAT}')) as u(mention)
+),
+scored as (
+  select m.doc_id, m.mention, d.entity_id,
+         cast(floor((1.0 - levenshtein(m.mention, d.name) /
+              cast(greatest(length(m.mention), length(d.name)) as double))
+              * 10000) as bigint) as score_m
+  from mentions m
+  join dict d on substr(m.mention, 1, 1) = substr(d.name, 1, 1)
+  where (1.0 - levenshtein(m.mention, d.name) /
+         cast(greatest(length(m.mention), length(d.name)) as double))
+         * 10000 >= 5000
+),
+ranked as (
+  select *, row_number() over (partition by doc_id, mention
+                               order by score_m desc, entity_id) as rk
+  from scored
+)
+select doc_id, mention, entity_id, score_m from ranked where rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# E4: connected components (small derived graph, recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") % 41 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 canonicalization: min-label components of an order-part graph."""
+    from cow_spark.operators.canon import connected_components
+
+    return connected_components(_cc_edges(spark, sf_dir)).select(
+        F.col("node"), F.col("component")
+    )
+
+
+_SQL_CC = """
+with recursive base as (
+  select distinct 'o' || cast(l_orderkey as varchar) as src,
+                  'p' || cast(l_partkey as varchar) as dst
+  from lineitem where l_orderkey % 41 = 0
+),
+e as (select src, dst from base union select dst, src from base),
+r(node, label) as (
+  select src as node, src as label from e
+  union
+  select e.dst as node, r.label
+  from e join r on e.src = r.node
+  where r.label < e.dst
+)
+select node, min(label) as component from r group by node
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, quality ratios, language ID, fingerprint."""
+    from cow_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(t).alias("n_tok"),
+        bpe_ish_token_count(t).alias("n_bpe"),
+        F.floor(punct_ratio(t) * 10000).cast("long").alias("punct_r4"),
+        F.floor(stopword_ratio(t) * 10000).cast("long").alias("stop_r4"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+def _sql_text_stats() -> str:
+    punct = r"[!-/:-@\[-`{-~]"
+    bpe = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
+    probes = {k: v for k, v in _LANG_PROBES.items()}
+    score = {k: f"len(regexp_extract_all(lower(text), '{v}'))"
+             for k, v in probes.items()}
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    lang_case = "case "
+    for k in probes:  # first language in order wins ties
+        lang_case += f"when {score[k]} > 0 and {score[k]} = {best} then '{k}' "
+    lang_case += "else 'und' end"
+    ntok = ("len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> length(x) > 0))")
+    stop_hits = f"len(regexp_extract_all(lower(text), '{probes['en']}'))"
+    return f"""
+select cast(doc_id as bigint) as doc_id,
+       cast({ntok} as int) as n_tok,
+       cast(len(regexp_extract_all(text, '{bpe}')) as int) as n_bpe,
+       cast(case when length(text) > 0 then
+            floor(len(regexp_extract_all(text, '{punct}'))
+                  / cast(length(text) as double) * 10000)
+            else 0 end as bigint) as punct_r4,
+       cast(case when {ntok} > 0 then
+            floor({stop_hits} / cast({ntok} as double) * 10000)
+            else 0 end as bigint) as stop_r4,
+       {lang_case} as lang_guess,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cow_spark.operators.dedup import exact_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select(
+        "fp", F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+_SQL_DEDUP_EXACT = """
+select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp,
+       count(*) as n_docs,
+       min(cast(doc_id as bigint)) as canonical_id
+from documents
+group by 1 having count(*) > 1
+"""
+
+_SHINGLE_N = 3
+_MINHASH_K = 8
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band keys per document (the LSH bucketing layer)."""
+    from cow_spark.operators.dedup import minhash_signatures
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    sig = minhash_signatures(docs, "doc_id", "text",
+                             _MINHASH_K, _SHINGLE_N).where(F.size("sig") > 0)
+    bands = []
+    rows_per_band = 2
+    for b in range(_MINHASH_K // rows_per_band):
+        parts = [F.element_at("sig", b * rows_per_band + j + 1)
+                 for j in range(rows_per_band)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat_ws("|", *parts).alias("band_key")))
+    out = bands[0]
+    for x in bands[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _sql_minhash_bands() -> str:
+    toks = ("list_filter(regexp_split_to_array("
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), "
+            "x -> length(x) > 0)")
+    grams = (f"list_transform(generate_series(1, greatest(len(t) - "
+             f"{_SHINGLE_N - 1}, 0)), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])")
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
+        for i in range(_MINHASH_K)
+    )
+    bands = []
+    for b in range(_MINHASH_K // 2):
+        bands.append(
+            f"select doc_id, {b} as band, "
+            f"sig[{2*b+1}] || '|' || sig[{2*b+2}] as band_key from sigs"
+        )
+    union = " union all ".join(bands)
+    return f"""
+with tok as (
+  select cast(doc_id as bigint) as doc_id, {toks} as t from documents
+),
+sh0 as (
+  select doc_id,
+         case when len(t) >= {_SHINGLE_N} then {grams}
+              when len(t) > 0 then [array_to_string(t, ' ')]
+              else [] end as sh_raw
+  from tok
+),
+shingled as (
+  select doc_id, list_distinct(sh_raw) as sh from sh0 where len(sh_raw) > 0
+),
+sigs as (
+  select doc_id, [{mins}] as sig from shingled
+)
+{union}
+"""
+
+
+_SIMHASH_BITS = 32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch per document (bitwise token-hash majority)."""
+    from cow_spark.operators.dedup import simhash
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash(F.col("text")).alias("sketch"),
+    ).where(F.col("sketch").isNotNull())
+
+
+def _sql_simhash() -> str:
+    toks = ("list_filter(regexp_split_to_array("
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), "
+            "x -> length(x) > 0)")
+    votes = " + ".join(
+        f"(case when sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) > 0 "
+        f"then cast({2**j} as bigint) else 0 end)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+with tok as (
+  select cast(doc_id as bigint) as doc_id, u.tk as tk
+  from (select doc_id, {toks} as t from documents where len({toks}) > 0),
+       unnest(t) as u(tk)
+),
+hashed as (
+  select doc_id, {_h60_sql('tk')} as h from tok
+)
+select doc_id, {votes} as sketch from hashed group by doc_id
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard over exact-band candidate pairs (band 0 only —
+    keeps the oracle join small; full pipeline uses all bands)."""
+    from cow_spark.operators.dedup import jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    bands = q_minhash_bands(spark, sf_dir).where(F.col("band") == 0)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    j = jaccard_pairs(docs, pairs, n=_SHINGLE_N, threshold=0.0)
+    return j.select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard4"),
+    )
+
+
+def _sql_jaccard_pairs() -> str:
+    bands = _sql_minhash_bands()
+    return f"""
+with bands as ({bands}),
+b0 as (select * from bands where band = 0),
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from b0 a join b0 b on a.band_key = b.band_key and a.doc_id < b.doc_id
+),
+tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+sh as (
+  select doc_id, list_distinct(
+    case when len(t) >= {_SHINGLE_N} then
+      list_transform(generate_series(1, greatest(len(t) - {_SHINGLE_N - 1}, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    when len(t) > 0 then [array_to_string(t, ' ')]
+    else [] end) as sh
+  from tok
+)
+select p.id_a, p.id_b,
+       cast(floor(
+         len(list_intersect(sa.sh, sb.sh)) /
+         cast(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+              as double) * 10000) as bigint) as jaccard4
+from pairs p
+join sh sa on sa.doc_id = p.id_a
+join sh sb on sb.doc_id = p.id_b
+where len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 vectors."""
+    from cow_spark.operators.simsearch import dot, norm
+
+    embs = _load(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"))
+    c = embs.select(F.col("vec_id").alias("nbr_id"),
+                    F.col("embedding").cast("array<double>").alias("nv"))
+    cos4 = F.floor(dot(F.col("qv"), F.col("nv"))
+                   / (norm(F.col("qv")) * norm(F.col("nv"))) * 10000
+                   ).cast("long")
+    scored = (F.broadcast(q).crossJoin(c)
+              .where(F.col("query_id") != F.col("nbr_id"))
+              .select("query_id", "nbr_id", cos4.alias("cos4")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos4"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.col("nbr_id").cast("long").alias("nbr_id"),
+                    "cos4", F.col("rank").cast("int").alias("rank")))
+
+
+_SQL_KNN = """
+with v as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+q as (select vec_id as query_id, e as qv from v where vec_id < 3),
+scored as (
+  select q.query_id, c.vec_id as nbr_id,
+         cast(floor(
+           list_sum(list_transform(generate_series(1, len(q.qv)),
+                                   i -> q.qv[i] * c.e[i])) /
+           (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+            sqrt(list_sum(list_transform(c.e, x -> x * x)))) * 10000)
+         as bigint) as cos4
+  from q, v c where c.vec_id <> q.query_id
+),
+ranked as (
+  select *, cast(row_number() over (partition by query_id
+                 order by cos4 desc, nbr_id) as int) as rank
+  from scored
+)
+select query_id, nbr_id, cos4, rank from ranked where rank <= 5
+"""
+
+
+def q_embedding_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-sketch bucketing layer of embedding near-dup detection."""
+    from cow_spark.operators.dedup import embedding_sign_sketch
+
+    embs = _load(spark, sf_dir, "embeddings")
+    return embs.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        embedding_sign_sketch(
+            F.col("embedding").cast("array<double>"), 16).alias("sketch"),
+    )
+
+
+_SQL_EMB_SKETCH = """
+select cast(vec_id as bigint) as vec_id,
+       cast(list_sum(list_transform(generate_series(1, 16),
+            j -> case when embedding[j] > 0 then power(2, j - 1) else 0 end))
+            as bigint) as sketch
+from embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL oracle — driver records weaker check)
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (iterative centroid assignment — not SQL-replayable;
+    recall vs brute force is asserted in tests/test_dataops.py)."""
+    from cow_spark.operators.simsearch import ivf_topk
+
+    embs = _load(spark, sf_dir, "embeddings")
+    return ivf_topk(embs, embs.where(F.col("vec_id") < 3), k=5,
+                    n_cells=8, n_probe=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary feature extraction (deterministic fake kernel)."""
+    from cow_spark.operators.multimodal import extract_features, media_from_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return extract_features(media_from_documents(docs), decoder="fake")
+
+
+def q_transcript_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transcript flagship on synthetic transcripts (mentions →
+    linking → triples with provenance); sf-independent generator size."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.spec.mapping import MappingSpec
+    from cow_spark.spec.presets import transcripts_default_spec
+    from cow_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, 5000)
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    return extract_quads(t, spec)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_default_triples": q_kg_default,
+        "kg_full_triples": q_kg_full,
+        "pricing_summary": q_pricing_summary,
+        "order_revenue": q_order_revenue,
+        "events_windowed": q_events_windowed,
+        "mentions": q_mentions,
+        "skolem_iris": q_skolem,
+        "entity_link": q_entity_link,
+        "connected_components": q_connected_components,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "knn_cosine": q_knn_cosine,
+        "embedding_sketch": q_embedding_sketch,
+        # rows-only (non-SQL-expressible)
+        "ivf_topk": q_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+        "transcript_kg": q_transcript_kg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_default_triples": _sql_kg_default(),
+        "kg_full_triples": _sql_kg_full(),
+        "pricing_summary": _SQL_PRICING,
+        "order_revenue": _SQL_ORDER_REVENUE,
+        "events_windowed": _SQL_EVENTS_WINDOWED,
+        "mentions": _SQL_MENTIONS,
+        "skolem_iris": _SQL_SKOLEM,
+        "entity_link": _sql_entity_link(),
+        "connected_components": _SQL_CC,
+        "text_stats": _sql_text_stats(),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "minhash_bands": _sql_minhash_bands(),
+        "simhash": _sql_simhash(),
+        "jaccard_pairs": _sql_jaccard_pairs(),
+        "knn_cosine": _SQL_KNN,
+        "embedding_sketch": _SQL_EMB_SKETCH,
+    }

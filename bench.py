@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timings use the noop sink (full execution, no driver collect). The
+flagship is the transcript KG pipeline (synthetic transcripts sized by
+sf: extraction → mentions → broadcast linking), reported both as seconds
+and triples/sec — the BASELINE.md comparison point against the
+reference's ~125 rows/s/core.
+
+Scaling evidence (north_rule): run this file twice with
+SPARK_GRAFT_CPUS=8 and =32 on the same input; BENCH/BASELINE.md records
+the pair + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from cow_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset of the driver queries (each also oracle-checked)
+HEADLINE = [
+    "kg_default_triples",
+    "kg_full_triples",
+    "pricing_summary",
+    "order_revenue",
+    "mentions",
+    "entity_link",
+    "text_stats",
+    "minhash_bands",
+    "simhash",
+    "knn_cosine",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _run(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def transcript_pipeline(spark, n_slots: int):
+    """Flagship: synthetic transcripts → triples + linked mentions."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.operators.link import link_mentions
+    from cow_spark.operators.mentions import detect_mentions, gazetteer_pattern
+    from cow_spark.sources.transcripts import (
+        CITIES,
+        PERSONS,
+        entities_df,
+        transcripts_df,
+    )
+    from cow_spark.spec.mapping import MappingSpec
+    from cow_spark.spec.presets import transcripts_full_spec
+
+    t = transcripts_df(spark, n_slots)
+    spec = MappingSpec.from_json(transcripts_full_spec())
+    quads = extract_quads(t, spec)
+    mentions = detect_mentions(t, gazetteer_pattern(PERSONS + CITIES))
+    linked = link_mentions(mentions, entities_df(spark, 1000))
+    return t, quads, linked
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_session(
+        master=f"local[{CPUS}]", app_name="cow_spark-bench",
+        shuffle_partitions=2 * CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    qmap = entry.queries()
+    for name in HEADLINE:
+        timings[name] = round(_run(qmap[name](spark, SF_DIR)), 3)
+
+    # flagship transcript KG pipeline, sized by sf (~4.6M turns at sf=1)
+    n_slots = max(int(10_000_000 * sf), 20_000)
+    t, quads, linked = transcript_pipeline(spark, n_slots)
+    n_turns = t.count()
+    t0 = time.perf_counter()
+    n_triples = quads.count()
+    timings["transcript_kg_extract"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_linked = linked.count()
+    timings["transcript_link"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    kg_secs = timings["transcript_kg_extract"]
+    out = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "transcript_turns": n_turns,
+        "transcript_triples": n_triples,
+        "linked_mentions": n_linked,
+        "triples_per_sec": round(n_triples / kg_secs, 1) if kg_secs > 0 else None,
+        "turns_per_sec": round(n_turns / kg_secs, 1) if kg_secs > 0 else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

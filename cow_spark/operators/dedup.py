@@ -54,7 +54,9 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 def word_shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text (empty-safe)."""
     t = tokens(normalize_text(c))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)) - 1)
+    # s-n+1 shingles → indices 0..s-n inclusive (greatest() keeps the
+    # sequence ascending for short docs; that branch is guarded below)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int"))
                                           for j in range(n)])
@@ -79,6 +81,35 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>) via explode + k min-aggregates.
+
+    Identical values to :func:`minhash_signature`, but the plan is
+    explode → partial map-side min → one small shuffle, instead of k
+    array traversals in a single projection — the all-in-one expression
+    tree overflows janino's 64KB method limit at k=8 and silently drops
+    the whole stage to interpreted mode (~20× slower).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"_s{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"_s{i}") for i in range(k)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,10 +127,7 @@ def minhash_lsh_pairs(
     produces a quadratic task).
     """
     rows_per_band = k // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(word_shingles(F.col(text_col)), k).alias("sig"),
-    ).where(F.size("sig") > 0)
+    sig = minhash_signatures(df, id_col, text_col, k).where(F.size("sig") > 0)
 
     band_entries = []
     for b in range(bands):

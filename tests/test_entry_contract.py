@@ -1,0 +1,87 @@
+"""Replays the driver's correctness gate: every queries() entry with an
+oracle_sql() twin must produce the identical multiset of rows in Spark
+and DuckDB at sf0.01 (row count + column names + values)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from '{p}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _spark_rows(df, cols):
+    return sorted(
+        tuple(_norm(r[c]) for c in cols) for r in df.collect()
+    )
+
+
+def _duck_rows(con, sql, cols):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    idx = [names.index(c) for c in cols]
+    return sorted(tuple(_norm(row[i]) for i in idx) for row in cur.fetchall())
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    df = q(spark, SF_DIR)
+    cols = sorted(df.columns)
+    got = _spark_rows(df, cols)
+    want = _duck_rows(ddb, sql, cols)
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    if got != want:
+        diff_g = [r for r in got if r not in set(want)][:3]
+        diff_w = [r for r in want if r not in set(got)][:3]
+        raise AssertionError(
+            f"{name}: value mismatch; spark-only={diff_g} duck-only={diff_w}"
+        )
+
+
+def test_rows_only_queries_run(spark):
+    for name, q in entry_mod.queries().items():
+        if name in entry_mod.oracle_sql():
+            continue
+        df = q(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
