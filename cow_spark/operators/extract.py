@@ -17,8 +17,10 @@ Design notes for 100 TB:
   rdflib set semantics, csvw.py:460-462; global `distinct` is a superset
   of that — it can only *remove* duplicate triples, which is safe for
   precision/recall — and is the engine default; `dedup='none'` keeps the
-  raw stream, `dedup='partition'` reproduces chunk-local dedup without a
-  shuffle via per-partition hash sets).
+  raw stream for sinks that dedup on write, e.g. an Iceberg MERGE).
+- every distinct template is materialized once per row in a staging
+  projection (see _ExprCache) — shared across all rules instead of
+  re-inlined per rule.
 - null/skip semantics (csvw.py:916-930, 476-487, 520-533) compile to
   boolean conditions; a failed template render or invalid IRI yields NULL
   and the triple is filtered, mirroring COW's per-column exception
@@ -72,15 +74,57 @@ class Emission:
         return F.when(self.cond, body)
 
 
-def _url_column(template: str, row: dict[str, Column]) -> Column:
-    """Template → rendered → %-encoded → validated IRI (null if invalid).
+class _ExprCache:
+    """Template → computed-once intermediate column.
 
-    ≅ expandURL (csvw.py:897-914): render_pattern + iribaker + rfc3987,
-    with raise-on-invalid replaced by NULL-and-filter.
+    Every distinct template (subject/predicate/value URL, literal value,
+    lang) is materialized once per row in a staging projection and
+    referenced by name from all rule structs. Without this the full
+    expression tree (13-deep replace chain + RLIKE, or a pandas UDF) is
+    inlined verbatim into every rule of the explode array — at 8+ rules
+    the generated method overflows janino's 64KB limit and the whole
+    stage silently falls back to interpreted evaluation.
     """
-    c = compile_template(template).column(row)
-    c = iri_encode(c)
-    return F.when(is_valid_iri(c), c)
+
+    def __init__(self, row: dict[str, Column]):
+        self.row = row
+        # two projection layers: layer 1 may reference layer-0 aliases
+        self.layers: list[dict[str, Column]] = [{}, {}]
+        self._by_key: dict[tuple, str] = {}
+        self._n = 0
+
+    def _add(self, key: tuple, col: Column, layer: int = 0) -> str:
+        name = self._by_key.get(key)
+        if name is None:
+            name = f"_t{self._n}"
+            self._n += 1
+            self._by_key[key] = name
+            self.layers[layer][name] = col
+        return name
+
+    def url(self, template: str) -> Column:
+        """≅ expandURL (csvw.py:897-914): render + iribaker-encode +
+        validate, with raise-on-invalid replaced by NULL-and-filter."""
+        ename = self._add(
+            ("enc", template),
+            iri_encode(compile_template(template).column(self.row)),
+        )
+        vname = self._add(
+            ("valid", template), is_valid_iri(F.col(ename)), layer=1
+        )
+        return F.when(F.col(vname), F.col(ename))
+
+    def value(self, template: str) -> Column:
+        name = self._add(
+            ("val", template), compile_template(template).column(self.row)
+        )
+        return F.col(name)
+
+    def staged(self, df: DataFrame) -> DataFrame:
+        for layer in self.layers:
+            if layer:
+                df = df.select("*", *[c.alias(n) for n, c in layer.items()])
+        return df
 
 
 def _first_brace_fragment(template: str) -> str:
@@ -93,24 +137,27 @@ _S = lambda: F.lit(None).cast("string")  # noqa: E731
 
 def compile_rules(
     spec: MappingSpec, df: DataFrame
-) -> tuple[list[Emission], dict[str, Column]]:
-    """Compile the mapping spec against the input schema → emissions."""
+) -> tuple[list[Emission], _ExprCache]:
+    """Compile the mapping spec against the input schema → emissions +
+    the shared-expression staging cache."""
     # Canonical stringified row view: every template / null check sees the
     # same strings the CSV reference would (SQL NULL ≡ '').
     row: dict[str, Column] = {
         f.name: stringify(df[f.name], f.dataType) for f in df.schema.fields
     }
     input_cols = set(df.columns)
+    cache = _ExprCache(row)
 
     sdv = spec.namespaces["sdv"]
-    default_subject = _url_column(spec.about_url, row)
+    default_subject = cache.url(spec.about_url)
 
     emissions: list[Emission] = []
     for cs in spec.columns:
         emissions.extend(
-            _compile_column(cs, spec, row, input_cols, default_subject, sdv)
+            _compile_column(cs, spec, row, input_cols, default_subject, sdv,
+                            cache)
         )
-    return emissions, row
+    return emissions, cache
 
 
 def _null_skip_condition(
@@ -161,21 +208,22 @@ def _compile_column(
     input_cols: set[str],
     default_subject: Column,
     sdv: str,
+    cache: _ExprCache,
 ) -> list[Emission]:
     cond = _null_skip_condition(cs, spec, row, input_cols)
 
     # subject (csvw.py:569-572)
-    s = _url_column(cs.about_url, row) if cs.about_url else default_subject
+    s = cache.url(cs.about_url) if cs.about_url else default_subject
 
     # predicate (csvw.py:871-894; the default-ns branch at :885-887 is dead
     # — namespaces() yields tuples — so the sdv fallback always fires)
     p_template = cs.property_url if cs.property_url else sdv + (cs.name or "")
-    p = _url_column(p_template, row)
+    p = cache.url(p_template)
 
     out: list[Emission] = []
 
     if cs.value_url is not None:
-        o = _url_column(cs.value_url, row)
+        o = cache.url(cs.value_url)
         # suppression: if basename(object IRI) is null-valued, drop the
         # triple (COW: return o=None then g.add throws → caught → skipped,
         # csvw.py:577-581,544-552 — we reproduce the *observable* skip)
@@ -186,15 +234,14 @@ def _compile_column(
             # virtual anyURI override (csvw.py:583-586): o = IRI(raw cell).
             # A virtual column has no cell → KeyError → skipped in COW.
             if cs.name in input_cols:
-                o = F.when(is_valid_iri(iri_encode(row[cs.name])),
-                           iri_encode(row[cs.name]))
+                o = cache.url("{" + cs.name + "}")
             else:
                 return []
         if cs.virtual and cs.datatype == XSD_LINKURI and cs.about_url:
             # linkURI (csvw.py:588-592): s and o re-derived from the first
             # {...} fragment of aboutUrl/valueUrl
-            s = _url_column(_first_brace_fragment(cs.about_url), row)
-            o = _url_column(_first_brace_fragment(cs.value_url), row)
+            s = cache.url(_first_brace_fragment(cs.about_url))
+            o = cache.url(_first_brace_fragment(cs.value_url))
 
         cond = cond & o.isNotNull()
         out.append(Emission(cond, s, p, F.lit("iri"), o, _S(), _S()))
@@ -202,7 +249,7 @@ def _compile_column(
         rdf_type = F.lit(RDF + "type")
         if cs.collection_url:
             # SKOS collection (csvw.py:627-631)
-            coll = _url_column(cs.collection_url, row)
+            coll = cache.url(cs.collection_url)
             c2 = cond & coll.isNotNull()
             out.append(Emission(c2, coll, rdf_type, F.lit("iri"),
                                 F.lit(SKOS + "Collection"), _S(), _S()))
@@ -212,7 +259,7 @@ def _compile_column(
                                 F.lit("iri"), o, _S(), _S()))
         if cs.scheme_url:
             # SKOS scheme (csvw.py:633-637)
-            scheme = _url_column(cs.scheme_url, row)
+            scheme = cache.url(cs.scheme_url)
             c2 = cond & scheme.isNotNull()
             out.append(Emission(c2, scheme, rdf_type, F.lit("iri"),
                                 F.lit(SKOS + "Scheme"), _S(), _S()))
@@ -223,7 +270,7 @@ def _compile_column(
     else:
         # literal branch (csvw.py:600-622)
         if cs.value is not None:
-            value = compile_template(cs.value).column(row)
+            value = cache.value(cs.value)
         elif cs.name in input_cols:
             value = row[cs.name]
         else:
@@ -233,11 +280,11 @@ def _compile_column(
         cond = cond & value.isNotNull()
 
         if cs.datatype == XSD_ANYURI:
-            o = F.when(is_valid_iri(iri_encode(value)), iri_encode(value))
+            o = cache.url(cs.value if cs.value is not None else "{" + (cs.name or "") + "}")
             out.append(Emission(cond & o.isNotNull(), s, p,
                                 F.lit("iri"), o, _S(), _S()))
         elif cs.datatype == XSD_STRING and cs.lang is not None:
-            lang = compile_template(cs.lang).column(row)
+            lang = cache.value(cs.lang)
             out.append(Emission(cond, s, p, F.lit("lit"), value, _S(), lang))
         elif cs.datatype is not None:
             out.append(Emission(cond, s, p, F.lit("lit"), value,
@@ -271,14 +318,14 @@ def extract_quads(
     (lineage/bucket keys for checkpoint-resume, E6).
     """
     pt = passthrough or []
-    emissions, _ = compile_rules(spec, df)
+    emissions, cache = compile_rules(spec, df)
     if not emissions:
         ddl = ", ".join(f"{c} string" for c in QUAD_COLS)
         return df.sparkSession.createDataFrame([], schema=ddl)
 
     arr = F.array(*[e.struct() for e in emissions])
     q = (
-        df.select(*pt, F.explode(arr).alias("q"))
+        cache.staged(df).select(*pt, F.explode(arr).alias("q"))
         .where(F.col("q").isNotNull())
         .select(*pt, "q.*")
         .where(F.col("s").isNotNull() & F.col("p").isNotNull()

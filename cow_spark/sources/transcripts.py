@@ -60,10 +60,16 @@ def _mix_py(i: int, salt: int) -> int:
     return (i * _A + salt * 12345 + 7) % _M
 
 
-def transcripts_df(spark: SparkSession, n_rows: int) -> DataFrame:
-    """~n_rows transcript turns, pure Column arithmetic end-to-end."""
-    n_slots = n_rows  # filter trims to ~62% of slots; callers size up if exact
-    df = spark.range(0, n_slots, 1)
+def transcripts_df(
+    spark: SparkSession, n_rows: int, start: int = 0
+) -> DataFrame:
+    """~0.47*n_rows transcript turns, pure Column arithmetic end-to-end.
+
+    ``start`` offsets the id range: slices [0,n) and [n,2n) compose to
+    exactly the rows of [0,2n) — lets separate executor processes generate
+    disjoint shards of one deterministic dataset.
+    """
+    df = spark.range(start, start + n_rows, 1)
     i = F.col("id")
     conv = (i / SLOT).cast("long")
     turn = F.pmod(i, F.lit(SLOT)).cast("int")

@@ -78,10 +78,25 @@ def stringify_py(v: object) -> str:
 # Tokenizer / classifier
 # ---------------------------------------------------------------------------
 
-# {{ name }} (Jinja echo) | {name} / {name:05d} (format field)
+# {{ name }} (Jinja echo) | {name} / {name:05d} (format field) |
+# {{ name|filter }} (simple filter) | {{ '%0Nd'|format(name|int) }}
 _TOKEN = re.compile(
     r"\{\{\s*([A-Za-z_]\w*)\s*\}\}"  # g1: jinja echo
     r"|\{([A-Za-z_]\w*)(?::(0?\d*d))?\}"  # g2: format field, g3: int fmt
+    r"|\{\{\s*([A-Za-z_]\w*)\s*\|\s*(lower|upper|trim|length)(?:\(\))?\s*\}\}"
+    # g4: var, g5: filter
+    r"|\{\{\s*'%(0\d+d|d)'\s*\|\s*format\(\s*([A-Za-z_]\w*)\s*\|\s*int\s*\)\s*\}\}"
+    # g6: printf spec, g7: var
+)
+
+# simple single if/else on a string-literal comparison — COW's documented
+# conditional idiom (docs/index.rst:597-611,637); everything else goes to
+# the exact Jinja renderer
+_IF_RE = re.compile(
+    r"^(?P<pre>.*?)\{%\s*if\s+(?P<var>[A-Za-z_]\w*)\s*(?P<op>==|!=)\s*"
+    r"(?P<q>['\"])(?P<val>.*?)(?P=q)\s*%\}(?P<then>.*?)"
+    r"(?:\{%\s*else\s*%\}(?P<els>.*?))?\{%\s*endif\s*%\}(?P<post>.*)$",
+    re.S,
 )
 
 
@@ -96,10 +111,10 @@ class CompiledTemplate:
 
     @property
     def refs(self) -> tuple[str, ...]:
-        if self.kind == "jinja":
-            # unknown statically — caller passes the full row
+        if self.kind in ("jinja", "ifelse"):
+            # jinja: unknown statically — caller passes the full row
             return ()
-        return tuple(p[1] for p in self.parts if p[0] == "ref")
+        return tuple(p[1] for p in self.parts if p[0] != "lit")
 
     # -- Spark side ---------------------------------------------------------
     def column(self, row: Mapping[str, Column]) -> Column:
@@ -109,17 +124,38 @@ class CompiledTemplate:
         if self.kind == "const":
             # const patterns contain no braces at all (classifier invariant)
             return F.lit(self.pattern)
+        if self.kind == "ifelse":
+            var, op, val, pre, then, els, post = self.parts
+            if var not in row:
+                return F.lit(None).cast("string")
+            cond = (row[var] == F.lit(val)) if op == "==" else (
+                row[var] != F.lit(val))
+            picked = F.when(cond, then.column(row)).otherwise(els.column(row))
+            return F.concat(pre.column(row), picked, post.column(row))
         if self.kind == "static":
             cols: list[Column] = []
             for p in self.parts:
                 if p[0] == "lit":
                     cols.append(F.lit(p[1]))
-                else:
-                    _, name, _fmt = p
-                    if name not in row:
-                        # unresolvable field ≅ COW KeyError → triple skipped
-                        return F.lit(None).cast("string")
-                    cols.append(row[name])
+                    continue
+                name = p[1]
+                if name not in row:
+                    # unresolvable field ≅ COW KeyError → triple skipped
+                    return F.lit(None).cast("string")
+                c = row[name]
+                if p[0] == "fn":
+                    fn = p[2]
+                    c = {
+                        "lower": F.lower,
+                        "upper": F.upper,
+                        "trim": F.trim,
+                        "length": lambda x: F.length(x).cast("string"),
+                    }[fn](c)
+                elif p[0] == "fmtint":
+                    # '%0Nd'|format(x|int): non-numeric → NULL → triple
+                    # skipped (jinja raises on int('x') → same skip)
+                    c = F.format_string("%" + p[2], c.cast("long"))
+                cols.append(c)
             if not cols:
                 return F.lit("")
             return F.concat(*cols)
@@ -132,8 +168,11 @@ class CompiledTemplate:
 
 def compile_template(pattern: str) -> CompiledTemplate:
     """Classify + compile one pattern string (already URL-resolved)."""
-    if "{%" in pattern or "{#" in pattern:
+    if "{#" in pattern:
         return CompiledTemplate(pattern, "jinja")
+    if "{%" in pattern:
+        lowered = _try_if_lowering(pattern)
+        return lowered or CompiledTemplate(pattern, "jinja")
     parts: list[tuple] = []
     pos = 0
     for m in _TOKEN.finditer(pattern):
@@ -142,6 +181,10 @@ def compile_template(pattern: str) -> CompiledTemplate:
             parts.append(("lit", lit))
         if m.group(1):
             parts.append(("ref", m.group(1), None))
+        elif m.group(4):
+            parts.append(("fn", m.group(4), m.group(5)))
+        elif m.group(6):
+            parts.append(("fmtint", m.group(7), m.group(6)))
         elif m.group(3):
             # format specs ({x:05d}) only work on int fields in COW (row
             # values are CSV strings; a 'd' spec on a str raises → triple
@@ -159,9 +202,30 @@ def compile_template(pattern: str) -> CompiledTemplate:
     joined_lits = "".join(p[1] for p in parts if p[0] == "lit")
     if "{" in joined_lits or "}" in joined_lits:
         return CompiledTemplate(pattern, "jinja")
-    if not any(p[0] == "ref" for p in parts):
+    if all(p[0] == "lit" for p in parts):
         return CompiledTemplate(pattern, "const", tuple(parts))
     return CompiledTemplate(pattern, "static", tuple(parts))
+
+
+def _try_if_lowering(pattern: str) -> CompiledTemplate | None:
+    """Lower ``pre {% if var == 'lit' %}A{% else %}B{% endif %} post`` to a
+    conditional Column when all fragments are themselves static. Returns
+    None (→ exact Jinja renderer) for anything more complex."""
+    m = _IF_RE.match(pattern)
+    if m is None:
+        return None
+    frags = {}
+    for key in ("pre", "then", "els", "post"):
+        sub = compile_template(m.group(key) or "")
+        if sub.kind not in ("const", "static"):
+            return None
+        frags[key] = sub
+    return CompiledTemplate(
+        pattern,
+        "ifelse",
+        (m.group("var"), m.group("op"), m.group("val"),
+         frags["pre"], frags["then"], frags["els"], frags["post"]),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ def test_classification():
     assert compile_template("https://x/{{conv_id}}").kind == "static"
     assert compile_template("https://x/constant").kind == "const"
     assert compile_template("{% if a %}x{% endif %}").kind == "jinja"
-    assert compile_template("{{'%05d'|format(t|int)}}").kind == "jinja"
+    assert compile_template("{{t|float() * 1000}}").kind == "jinja"
     assert compile_template("{a[0]}").kind == "jinja"  # odd braces → jinja
     assert compile_template("{turn_idx:05d}").kind == "jinja"  # fmt spec → exact path
 
@@ -62,8 +62,49 @@ def test_static_path_matches_python(spark, pattern):
     assert got == want
 
 
+def test_static_lowering_classification():
+    assert compile_template("{% if role == 'tool' %}A{% else %}B{% endif %}").kind == "ifelse"
+    assert compile_template("x/{% if a == 'b' %}{conv_id}{% endif %}").kind == "ifelse"
+    assert compile_template("{{text|length}}").kind == "static"
+    assert compile_template("{{text|lower}}").kind == "static"
+    assert compile_template("{{'%05d'|format(turn_idx|int)}}").kind == "static"
+    # nested / non-literal comparisons stay on the exact path
+    assert compile_template("{% if a == b %}x{% endif %}").kind == "jinja"
+    assert compile_template("{% for x in y %}z{% endfor %}").kind == "jinja"
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "{% if role == 'tool' %}T-{tool}{% else %}chat{% endif %}",
+        "p/{% if role != 'user' %}m{% endif %}/s",
+        "{{text|length}}",
+        "len={{text|length}} up={{role|upper}}",
+        "{{'%05d'|format(turn_idx|int)}}",
+    ],
+)
+def test_lowered_paths_match_exact_renderer(spark, pattern):
+    rows = [
+        {"role": "tool", "tool": "calc", "text": "a b c", "turn_idx": 7},
+        {"role": "user", "tool": None, "text": "", "turn_idx": 12345},
+    ]
+    df = spark.createDataFrame(
+        rows, "role string, tool string, text string, turn_idx int")
+    ct = compile_template(pattern)
+    assert ct.kind in ("static", "ifelse"), ct.kind
+    rowmap = {f.name: stringify(df[f.name], f.dataType) for f in df.schema.fields}
+    got = [r.v for r in df.select(ct.column(rowmap).alias("v")).collect()]
+    want = [
+        render_template_py(pattern, {k: stringify_py(v) for k, v in r.items()})
+        for r in rows
+    ]
+    assert got == want
+
+
 def test_jinja_path_matches_python(spark):
-    pattern = "{% if role == 'tool' %}T-{{tool}}{% else %}chat{% endif %}"
+    # replace() filter is not lowerable → exact Arrow-batched renderer
+    pattern = ("{% if role == 'tool' %}T-{{tool|replace('c','k')}}"
+               "{% else %}chat{% endif %}")
     rows = [
         {"role": "tool", "tool": "calc"},
         {"role": "user", "tool": None},
@@ -73,7 +114,7 @@ def test_jinja_path_matches_python(spark):
     assert ct.kind == "jinja"
     rowmap = {f.name: stringify(df[f.name], f.dataType) for f in df.schema.fields}
     got = [r.v for r in df.select(ct.column(rowmap).alias("v")).collect()]
-    assert got == ["T-calc", "chat"]
+    assert got == ["T-kalk", "chat"]
     want = [
         render_template_py(pattern, {k: stringify_py(v) for k, v in r.items()})
         for r in rows
