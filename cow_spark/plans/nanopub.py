@@ -145,6 +145,39 @@ def partition_provenance_quads(
     return out
 
 
+def spec_provenance_quads(spark: SparkSession, ctx: NanopubContext,
+                          spec) -> DataFrame:
+    """Q1 — record the mapping spec itself in the provenance graph.
+
+    The reference SPARQL-filters its metadata graph for aboutUrl /
+    propertyUrl / valueUrl terms and ingests the whole schema into the
+    provenance graph (convert_info, csvw.py:321-361). Our spec is plain
+    JSON parsed driver-side, so this is a dict walk emitting one triple
+    per URL template rule plus the spec derivation link.
+    """
+    dt_string = XSD + "string"
+    spec_uri = f"{ctx.base}/{ctx.name}/spec/{ctx.source_hash[:8]}"
+    rows = [
+        _q(ctx.provenance, ctx.assertion, PROV + "wasDerivedFrom", "iri",
+           spec_uri),
+        _q(ctx.provenance, spec_uri, ctx.sdv + "aboutUrl", "lit",
+           spec.about_url, dt_string),
+    ]
+    for i, cs in enumerate(spec.columns):
+        col_uri = cs.id or f"{spec_uri}/column/{i}"
+        rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "hasColumn",
+                       "iri", col_uri))
+        for label, tpl in [
+            ("aboutUrl", cs.about_url), ("propertyUrl", cs.property_url),
+            ("valueUrl", cs.value_url), ("value", cs.value),
+        ]:
+            if tpl is not None:
+                rows.append(_q(ctx.provenance, col_uri, ctx.sdv + label,
+                               "lit", tpl, dt_string))
+    return spark.createDataFrame(
+        rows, schema=", ".join(f"{c} string" for c in QUAD_COLS))
+
+
 def assemble_nanopub(
     quads: DataFrame,
     ctx: NanopubContext,

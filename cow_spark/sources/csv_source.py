@@ -31,16 +31,19 @@ def read_csv(
     encoding: str = "utf-8",
     header: bool = True,
 ) -> DataFrame:
-    return (
+    df = (
         spark.read.option("sep", delimiter)
         .option("quote", quotechar)
         .option("encoding", encoding)
         .option("header", header)
-        # COW model: every cell is a string; empty cell == "" not NULL
         .option("inferSchema", False)
-        .option("nullValue", "\\u0000")  # sentinel that never occurs → no NULLs
-        .option("emptyValue", "")  # empty cell stays "" (COW semantics)
         .csv(path)
+    )
+    # COW model: every cell is a string; empty cell == "" not NULL. Spark's
+    # CSV reader yields NULL for empty unquoted fields no matter the
+    # nullValue/emptyValue options — normalize here.
+    return df.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in df.columns]
     )
 
 

@@ -202,6 +202,21 @@ def resolve_url_template(template: str, base: str, namespaces: dict[str, str]) -
     return urljoin(b, template)
 
 
+def backup_spec(path: str) -> str | None:
+    """S11 — timestamped rename of an existing spec before a rebuild
+    (≅ csvw_tool.py:35-43). Returns the backup path, or None."""
+    import datetime
+    import os
+
+    if not os.path.exists(path):
+        return None
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y%m%d%H%M%S")
+    backup = f"{path}.{stamp}.bak"
+    os.rename(path, backup)
+    return backup
+
+
 def build_spec(
     headers: list[str],
     base: str = DEFAULT_BASE,

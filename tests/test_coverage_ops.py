@@ -1,0 +1,120 @@
+"""Coverage for the remaining SURVEY.md §2 operators: linkURI (P11), CSV
+dialect + _row (S1-S5, P1), build/backup spec (S10/S11), metrics (A3),
+spec provenance (Q1)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from cow_spark import oracle
+from cow_spark.plans.metrics import extraction_metrics
+from cow_spark.plans.nanopub import NanopubContext, dataset_sha1, spec_provenance_quads
+from cow_spark.operators.extract import extract_quads
+from cow_spark.sources.csv_source import read_csv, with_row_index
+from cow_spark.spec.mapping import MappingSpec, backup_spec, build_spec
+from cow_spark.spec.presets import transcripts_default_spec
+from cow_spark.sources.transcripts import transcripts_df, transcripts_rows
+
+from tests.test_extract import quad_triples
+
+
+def test_linkuri_engine_matches_oracle(spark):
+    # cells hold IRIs; linkURI re-derives s and o from the {..} fragments
+    rows = [
+        {"a": "https://x.org/s1", "b": "https://x.org/o1"},
+        {"a": "https://x.org/s2", "b": "https://x.org/o2"},
+    ]
+    spec_d = {
+        "@base": "https://example.com/id/links",
+        "tableSchema": {
+            "aboutUrl": "{a}",
+            "columns": [
+                {
+                    "name": "b",
+                    "virtual": True,
+                    "aboutUrl": "row/{a}",
+                    "propertyUrl": "linksTo",
+                    "valueUrl": "val/{b}",
+                    "datatype": "linkURI",
+                }
+            ],
+        },
+    }
+    spec = MappingSpec.from_json(spec_d)
+    df = spark.createDataFrame([tuple(r.values()) for r in rows],
+                               "a string, b string")
+    got = quad_triples(extract_quads(df, spec))
+    want = oracle.convert_rows(rows, spec)
+    assert got == want
+    assert ("https://x.org/s1",
+            "https://example.com/id/links/linksTo",
+            "<https://x.org/o1>") in got
+
+
+def test_csv_dialect_and_row_index(spark, tmp_path):
+    # semicolon dialect with quoted separators and empty cells (F6 style)
+    p = str(tmp_path / "buurt.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("name;count\n")
+        f.write('"Wijk 00; Centrum";1,5\n')
+        f.write("Oost;\n")
+        f.write("West é;7\n")
+    df = read_csv(spark, p, delimiter=";")
+    rows = {r.name: r["count"] for r in df.collect()}
+    assert rows["Wijk 00; Centrum"] == "1,5"
+    assert rows["Oost"] == ""  # empty cell is "", never NULL (COW model)
+    assert rows["West é"] == "7"
+
+    idx = with_row_index(df, order_by=None)
+    vals = sorted(r._row for r in idx.collect())
+    assert vals == [0, 1, 2]
+
+    # COW default spec over it: _row subject key
+    spec = MappingSpec.from_json(build_spec(["name", "count"],
+                                            base="https://example.com/id/b",
+                                            url="buurt"))
+    quads = extract_quads(with_row_index(df, order_by=["name"]), spec)
+    data = quads.where(~F.col("p").contains("wasDerivedFrom"))
+    subs = {r.s for r in data.select("s").distinct().collect()}
+    assert subs == {f"https://example.com/id/b/{i}" for i in range(3)}
+
+
+def test_build_and_backup_spec(tmp_path):
+    d = build_spec(["x", "y"], base="https://e.com/id", url="t")
+    spec = MappingSpec.from_json(d)
+    assert spec.about_url.endswith("{_row}")
+    assert spec.primary_key == "x"
+    assert all(c.datatype and c.datatype.endswith("string") for c in spec.columns)
+    spec.validate(["x", "y"])
+
+    p = str(tmp_path / "t-metadata.json")
+    with open(p, "w") as f:
+        json.dump(d, f)
+    b = backup_spec(p)
+    assert b and os.path.exists(b) and not os.path.exists(p)
+    assert backup_spec(str(tmp_path / "missing.json")) is None
+
+
+def test_extraction_metrics(spark):
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    df = transcripts_df(spark, 400).repartition(3)
+    m = extraction_metrics(df, spec).collect()
+    n_rows = sum(r.n_rows for r in m)
+    n_emitted = sum(r.n_emitted for r in m)
+    assert n_rows == df.count()
+    # metrics agree with the actual pre-dedup emission count
+    actual = extract_quads(df, spec, dedup="none").count()
+    assert n_emitted == actual
+    assert all(r.n_suppressed >= 0 for r in m)
+
+
+def test_spec_provenance(spark):
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    ctx = NanopubContext("https://example.com/id", "transcripts",
+                         dataset_sha1("snap"), "2026-08-16T12:00")
+    q = spec_provenance_quads(spark, ctx, spec)
+    rows = q.collect()
+    assert all(r.g == ctx.provenance for r in rows)
+    assert any(r.p.endswith("aboutUrl") for r in rows)
+    assert sum(1 for r in rows if r.p.endswith("hasColumn")) == len(spec.columns)
