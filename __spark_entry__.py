@@ -37,6 +37,16 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _load but repartitioned to the session parallelism — the sf*
+    tables are single parquet files (= one input split), which would pin
+    explode-heavy downstream stages (shingling, simhash votes) to one
+    core. At production scale inputs have many splits and this is a no-op
+    decision made by split planning."""
+    return _load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _nq_escape_sql(e: str) -> str:
     """DuckDB twin of cow_spark.model.nq_escape."""
     x = f"replace({e}, chr(92), chr(92)||chr(92))"
@@ -568,7 +578,7 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash band keys per document (the LSH bucketing layer)."""
     from cow_spark.operators.dedup import minhash_signatures
 
-    docs = _load(spark, sf_dir, "documents").withColumn(
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
     sig = minhash_signatures(docs, "doc_id", "text",
                              _MINHASH_K, _SHINGLE_N).where(F.size("sig") > 0)
@@ -592,8 +602,13 @@ def _sql_minhash_bands() -> str:
             "x -> length(x) > 0)")
     grams = (f"list_transform(generate_series(1, greatest(len(t) - "
              f"{_SHINGLE_N - 1}, 0)), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])")
+    from cow_spark.operators.dedup import MINHASH_P, MIX_A, MIX_B
+
+    h60 = "cast(concat('0x', substr(md5(s), 1, 15)) as bigint)"
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
+        f"list_aggregate(list_transform(sh, s -> "
+        f"(({h60} % {MINHASH_P}) * {MIX_A[i]} + {MIX_B[i]}) % {MINHASH_P}"
+        f"), 'min')"
         for i in range(_MINHASH_K)
     )
     bands = []
@@ -631,7 +646,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketch per document (bitwise token-hash majority)."""
     from cow_spark.operators.dedup import simhash
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         simhash(F.col("text")).alias("sketch"),
@@ -666,7 +681,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cow_spark.operators.dedup import jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    bands = q_minhash_bands(spark, sf_dir).where(F.col("band") == 0)
+    # persist: the band table feeds both self-join sides (else the whole
+    # shingle->minhash pipeline executes twice)
+    bands = q_minhash_bands(spark, sf_dir).where(F.col("band") == 0).persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, "band_key")

@@ -52,8 +52,17 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (empty-safe)."""
-    t = tokens(normalize_text(c))
+    """Distinct word n-grams of the normalized text (empty-safe).
+
+    NOTE: prefer :func:`shingles_from_tokens` over a *staged* token
+    column for bulk use — higher-order functions are interpreted, so the
+    tokenization subtree here is re-evaluated on every element access
+    inside the lambda (O(n_tokens²) per doc)."""
+    return shingles_from_tokens(tokens(normalize_text(c)), n)
+
+
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an already-materialized token array."""
     # s-n+1 shingles → indices 0..s-n inclusive (greatest() keeps the
     # sequence ascending for short docs; that branch is guarded below)
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
@@ -69,13 +78,28 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+# one md5 per shingle + k affine mixes over a prime field — k× less
+# hashing than k seeded md5s, same minhash semantics (each mix is a
+# near-uniform permutation of shingle space) and bit-identical integer
+# arithmetic in DuckDB for the oracle replay
+MINHASH_P = 1_000_000_007
+MIX_A = [769_230_769 + 2 * i + 1 for i in range(64)]
+MIX_B = [104_395_301 * (i + 1) % MINHASH_P for i in range(64)]
+
+
+def _mix(base: Column, i: int) -> Column:
+    m = F.pmod(base, F.lit(MINHASH_P))
+    return F.pmod(m * F.lit(MIX_A[i]) + F.lit(MIX_B[i]), F.lit(MINHASH_P))
+
+
 def minhash_signature(shingles: Column, k: int = 8) -> Column:
-    """k independent min-hashes: min over md5('<seed>|' + shingle) hex
-    strings (lexicographic min ≡ min-hash over a random permutation)."""
+    """k independent min-hashes as bigints (array-expression variant of
+    :func:`minhash_signatures`; same values)."""
+
     def seeded(i: int):
         # NB: a plain `lambda s, i=i:` would match pyspark's 2-arg
         # (element, index) lambda form and silently rebind i to the index
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+        return lambda s: _mix(portable_hash60(s), i)
 
     sigs = [F.array_min(F.transform(shingles, seeded(i))) for i in range(k)]
     return F.array(*sigs)
@@ -88,7 +112,7 @@ def minhash_signatures(
     k: int = 8,
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<string>) via explode + k min-aggregates.
+    """(id, sig array<bigint>) via explode + k min-aggregates.
 
     Identical values to :func:`minhash_signature`, but the plan is
     explode → partial map-side min → one small shuffle, instead of k
@@ -96,14 +120,15 @@ def minhash_signatures(
     tree overflows janino's 64KB method limit at k=8 and silently drops
     the whole stage to interpreted mode (~20× slower).
     """
-    sh = df.select(
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        tokens(normalize_text(F.col(text_col))).alias("_tok"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"_s{i}")
-        for i in range(k)
-    ]
+    sh = toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_tok"), n)).alias("s"),
+    ).withColumn("_h", portable_hash60(F.col("s")))
+    aggs = [F.min(_mix(F.col("_h"), i)).alias(f"_s{i}") for i in range(k)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"_s{i}") for i in range(k)]).alias("sig")
@@ -143,6 +168,10 @@ def minhash_lsh_pairs(
     buckets = band_entries[0]
     for be in band_entries[1:]:
         buckets = buckets.unionByName(be)
+    # the bucket table feeds three consumers (size stats + both self-join
+    # sides); without persisting, the whole shingle→minhash pipeline runs
+    # three times (AQE breaks ReuseExchange for it)
+    buckets = buckets.persist()
 
     sized = buckets.join(
         buckets.groupBy("band", "band_key").agg(F.count("*").alias("_bn")),
@@ -167,9 +196,22 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Verify candidate pairs with word-n-gram Jaccard similarity."""
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   word_shingles(F.col(text_col), n).alias("sh"))
+    """Verify candidate pairs with word-n-gram Jaccard similarity.
+
+    Shingles are computed only for documents that appear in a candidate
+    pair (semi-join first) — at 100 TB the pair set is orders of
+    magnitude smaller than the corpus.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    needed = df.join(ids, df[id_col] == ids["doc_id"], "left_semi")
+    toks = needed.select(F.col(id_col).alias("doc_id"),
+                         tokens(normalize_text(F.col(text_col))).alias("_tok"))
+    sh = toks.select("doc_id",
+                     shingles_from_tokens(F.col("_tok"), n).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a")
                      .withColumnRenamed("sh", "sh_a"), "id_a")
