@@ -89,12 +89,50 @@ class MappingSpec:
     # -- parsing -------------------------------------------------------------
 
     @staticmethod
-    def from_json(obj: dict | str) -> "MappingSpec":
+    def from_csvw_json(obj: dict | str) -> "MappingSpec":
+        """Load a *reference-format* CSVW metadata sidecar (the JSON-LD
+        shape COW's build mode emits, docs/index.rst:188-307): @base and
+        user prefixes live inside the ``@context`` list (the reference
+        reads ``@context[1]['@base']``, csvw.py:214-223, and rebases
+        sdr/sdv from it). An existing ``<file>.csv-metadata.json`` works
+        here unchanged."""
+        if isinstance(obj, str):
+            with open(obj) as f:
+                obj = json.load(f)
+        ctx = obj.get("@context", [])
+        base = None
+        extra_ns: dict[str, str] = {}
+        for entry in ctx if isinstance(ctx, list) else [ctx]:
+            if isinstance(entry, dict):
+                base = entry.get("@base", base)
+                extra_ns.update(
+                    {
+                        k: v
+                        for k, v in entry.items()
+                        if isinstance(v, str) and not k.startswith("@")
+                    }
+                )
+        plain = {
+            "@base": base or DEFAULT_BASE,
+            "url": obj.get("url", ""),
+            "dialect": obj.get("dialect", {}),
+            "tableSchema": obj.get("tableSchema", {}),
+        }
+        return MappingSpec.from_json(plain, extra_namespaces=extra_ns)
+
+    @staticmethod
+    def from_json(
+        obj: dict | str, extra_namespaces: dict[str, str] | None = None
+    ) -> "MappingSpec":
         if isinstance(obj, str):
             with open(obj) as f:
                 obj = json.load(f)
         base = obj.get("@base", DEFAULT_BASE)
+        # sdr/sdv rebase from @base ≅ csvw.py:220-223 (which concatenates
+        # base+'vocab/' verbatim; we normalize the missing-slash case)
         ns = namespaces_for_base(base)
+        if extra_namespaces:
+            ns.update(extra_namespaces)
         ts = obj.get("tableSchema", {})
 
         def res(t: str | None) -> str | None:
@@ -113,11 +151,15 @@ class MappingSpec:
                     scalar_nulls.append(str(n))
             for n in c.get("nullOn", []):
                 null_on.append((str(n["name"]), str(n["null"])))
+            dt = c.get("datatype")
+            if isinstance(dt, dict):
+                # CSVW dict form: {"@id": "xsd:string"} / {"base": "string"}
+                dt = dt.get("@id", dt.get("base"))
             cols.append(
                 ColumnSpec(
                     name=c.get("name"),
                     id=c.get("@id"),
-                    datatype=datatype_iri(c.get("datatype"), ns),
+                    datatype=datatype_iri(dt, ns),
                     lang=c.get("lang"),
                     nulls=tuple(scalar_nulls),
                     null_on=tuple(null_on),
@@ -127,8 +169,8 @@ class MappingSpec:
                     value_url=res(c.get("valueUrl")),
                     value=c.get("value", c.get("csvw:value")),
                     virtual=_truthy(c.get("virtual")),
-                    collection_url=res(c.get("collectionUrl")),
-                    scheme_url=res(c.get("schemeUrl")),
+                    collection_url=res(c.get("collectionUrl", c.get("csvw:collectionUrl"))),
+                    scheme_url=res(c.get("schemeUrl", c.get("csvw:schemeUrl"))),
                 )
             )
         schema_nulls = ts.get("null", [])

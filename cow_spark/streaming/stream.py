@@ -57,6 +57,28 @@ def stream_extract_quads(
     return quads.dropDuplicates(QUAD_COLS + [event_time_col])
 
 
+def stream_mention_rates(
+    stream: DataFrame,
+    pattern: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation: mention counts per (window,
+    surface form) over the transcript stream — the late-data-bounded
+    monitoring view of E1."""
+    with_wm = stream.withWatermark("ts", watermark)
+    m = with_wm.select(
+        "conv_id", "turn_idx", "ts",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)
+                  ).alias("mention"),
+    )
+    return (
+        m.groupBy(F.window("ts", window).alias("w"), F.col("mention"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "mention", "n")
+    )
+
+
 def write_quads_stream(
     quads: DataFrame,
     path: str,
