@@ -51,6 +51,26 @@ def similarity(a, b):
     )
 
 
+_KEY = ["conv_id", "turn_idx", "mention_pos", "mention", "mention_norm",
+        "mention_iri"]
+
+
+def _argmax_entity(scored: DataFrame) -> DataFrame:
+    """Best (entity_id, score) per mention occurrence; deterministic
+    tie-break: highest score, then smallest entity_id."""
+    best = scored.groupBy(*_KEY).agg(
+        F.min_by(
+            F.struct(F.col("score"), F.col("entity_id")),
+            F.struct((-F.col("score")).alias("ns"), F.col("entity_id")),
+        ).alias("_b"),
+    )
+    return best.select(
+        *_KEY,
+        F.col("_b.entity_id").alias("entity_id"),
+        F.col("_b.score").alias("score"),
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     entities: DataFrame,
@@ -58,29 +78,41 @@ def link_mentions(
 ) -> DataFrame:
     """mentions × broadcast(dictionary) → best entity per mention.
 
-    Returns one row per mention with (entity_id, score); mentions whose
-    block has no candidate above ``min_score`` are dropped (they stay
+    Two-phase cascade (identical results to scoring every block
+    candidate, proven by the score-1.0-iff-equal property of normalized
+    levenshtein):
+
+    1. **exact phase** — broadcast equi-join on the normalized surface
+       form; any hit is a guaranteed global argmax (score 1.0 beats every
+       fuzzy candidate; ties broken by min entity_id as usual).
+    2. **fuzzy phase** — only mentions with no exact alias go through
+       block-key candidate generation + levenshtein scoring. In
+       gazetteer-heavy corpora this is a tiny residue; without the
+       cascade a collision-prone block (all 'Pe…' persons share one key)
+       turns 0.7M mentions into ~34M scored candidates.
+
+    Mentions below ``min_score`` everywhere are dropped (they stay
     linkable via canonicalization, E4).
     """
     dic = candidate_dictionary(entities)
-    cand = mentions.join(F.broadcast(dic), "block_key")
+
+    exact_hits = mentions.join(
+        F.broadcast(dic.select("entity_id",
+                               F.col("alias_norm").alias("mention_norm"))),
+        "mention_norm",
+    ).withColumn("score", F.lit(1.0))
+    exact = _argmax_entity(exact_hits)
+
+    residue = mentions.join(
+        F.broadcast(dic.select(F.col("alias_norm").alias("mention_norm"))
+                    .distinct()),
+        "mention_norm",
+        "left_anti",
+    )
+    cand = residue.join(F.broadcast(dic), "block_key")
     scored = cand.withColumn(
         "score", similarity(F.col("mention_norm"), F.col("alias_norm"))
     ).where(F.col("score") >= min_score)
-    # argmax per mention occurrence; deterministic tie-break: highest
-    # score, then smallest entity_id (min_by over (-score, entity_id))
-    best = scored.groupBy(
-        "conv_id", "turn_idx", "mention_pos", "mention", "mention_norm",
-        "mention_iri",
-    ).agg(
-        F.min_by(
-            F.struct(F.col("score"), F.col("entity_id")),
-            F.struct((-F.col("score")).alias("ns"), F.col("entity_id")),
-        ).alias("_b"),
-    )
-    return best.select(
-        "conv_id", "turn_idx", "mention_pos", "mention", "mention_norm",
-        "mention_iri",
-        F.col("_b.entity_id").alias("entity_id"),
-        F.col("_b.score").alias("score"),
-    )
+    fuzzy = _argmax_entity(scored)
+
+    return exact.unionByName(fuzzy)
