@@ -100,9 +100,18 @@ def main() -> None:
     t0 = time.perf_counter()
     n_triples = quads.count()
     timings["transcript_kg_extract"] = round(time.perf_counter() - t0, 3)
+    linked = linked.persist()
     t0 = time.perf_counter()
     n_linked = linked.count()
     timings["transcript_link"] = round(time.perf_counter() - t0, 3)
+
+    from cow_spark.operators.canon import canonical_entities
+
+    t0 = time.perf_counter()
+    n_components = (
+        canonical_entities(linked).select("canonical_id").distinct().count()
+    )
+    timings["transcript_canon"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     kg_secs = timings["transcript_kg_extract"]
@@ -116,6 +125,7 @@ def main() -> None:
         "transcript_turns": n_turns,
         "transcript_triples": n_triples,
         "linked_mentions": n_linked,
+        "canonical_components": n_components,
         "triples_per_sec": round(n_triples / kg_secs, 1) if kg_secs > 0 else None,
         "turns_per_sec": round(n_turns / kg_secs, 1) if kg_secs > 0 else None,
     }

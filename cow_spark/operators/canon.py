@@ -119,24 +119,33 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
     Two mentions are connected when they share a linked entity_id OR the
     same normalized surface form → components merge aliases that linking
     alone kept apart.
+
+    Scale shape: mentions never enter the iterative CC. The mention graph
+    is bipartite through hub nodes (one per entity_id, one per surface
+    form), so its components are exactly the components of the **hub
+    projection** — a graph whose size tracks the vocabulary (distinct
+    entities + surface forms), not the corpus. CC runs on that small
+    graph; mentions attach to their hub's component with one broadcast
+    join. (A mention×mention self-join on entity_id would be quadratic in
+    the hot entity's mention count — 30% of all mentions in the skew
+    fixture.)
     """
     m = linked.select("mention_iri", "entity_id", "mention_norm")
-    # Star edges to synthetic hub nodes, NOT a mention×mention self-join on
-    # entity_id — the self-join is quadratic in the hot entity's mention
-    # count (30% of all mentions in the skew fixture); the hub form is
-    # linear and yields identical components.
-    hub_entity = m.select(
-        F.concat(F.lit("urn:hub:entity:"), F.col("entity_id")).alias("src"),
-        F.col("mention_iri").alias("dst"),
+    hub_edges = (
+        m.select(
+            F.concat(F.lit("urn:hub:entity:"), F.col("entity_id")).alias("src"),
+            F.concat(F.lit("urn:hub:norm:"), F.col("mention_norm")).alias("dst"),
+        )
+        .distinct()
     )
-    hub_norm = m.select(
-        F.concat(F.lit("urn:hub:norm:"), F.col("mention_norm")).alias("src"),
-        F.col("mention_iri").alias("dst"),
+    cc = connected_components(hub_edges)
+    ecomp = F.broadcast(
+        cc.where(F.col("node").startswith("urn:hub:entity:")).select(
+            F.expr("substring(node, 16)").alias("entity_id"),
+            F.col("component"),
+        )
     )
-    edges = hub_entity.unionByName(hub_norm)
-    cc = connected_components(edges)
     return (
-        linked.join(cc, linked["mention_iri"] == cc["node"])
-        .drop("node")
+        linked.join(ecomp, "entity_id")
         .withColumnRenamed("component", "canonical_id")
     )
