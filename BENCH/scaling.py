@@ -24,15 +24,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_once(cores: int, slots: int) -> dict:
+def run_once(cores: int, slots: int, execs: int = 0,
+             exec_cores: int = 4, exec_mem_mb: int = 4096) -> dict:
+    """One timed run. ``execs > 0`` switches to ``local-cluster`` mode —
+    N separate executor JVMs × exec_cores each, the direct sandbox
+    analogue of the north_rule's "N vs 4N executors"."""
     from cow_spark.operators.extract import extract_quads
     from cow_spark.session import get_session
     from cow_spark.sources.transcripts import transcripts_df
     from cow_spark.spec.mapping import MappingSpec
     from cow_spark.spec.presets import transcripts_full_spec
 
+    if execs:
+        master = f"local-cluster[{execs},{exec_cores},{exec_mem_mb}]"
+        cores = execs * exec_cores
+    else:
+        master = f"local[{cores}]"
     spark = get_session(
-        master=f"local[{cores}]",
+        master=master,
         app_name=f"cow_spark-scaling-{cores}",
         shuffle_partitions=2 * cores,
         extra_conf={"spark.default.parallelism": str(4 * cores)},
@@ -62,10 +71,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--slots", type=int, default=4_000_000)
+    ap.add_argument("--execs", type=int, default=0,
+                    help="local-cluster mode: N executor JVMs x 4 cores")
     args = ap.parse_args()
 
-    if args.cores:
-        print(json.dumps(run_once(args.cores, args.slots)))
+    if args.cores or args.execs:
+        print(json.dumps(run_once(args.cores or 0, args.slots,
+                                  execs=args.execs)))
         return
 
     low = run_once(8, args.slots)

@@ -834,9 +834,78 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_from_documents(docs), decoder="fake")
 
 
+def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/P17: metrics/quarantine accounting, aggregated to totals
+    (per-partition ids aren't stable across engines; the totals are)."""
+    from cow_spark.plans.metrics import extraction_metrics
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    m = extraction_metrics(docs, MappingSpec.from_json(_docs_default_spec()))
+    return m.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_emitted").cast("long").alias("n_emitted"),
+        F.sum("n_suppressed").cast("long").alias("n_suppressed"),
+    )
+
+
+_SQL_EXTRACTION_METRICS = """
+select count(*) as n_rows,
+       sum(cast(length(coalesce(text, '')) > 0 as int)
+           + cast(length(coalesce(lang, '')) > 0 as int)
+           + cast(length(coalesce(source, '')) > 0 as int)
+           + cast(n_chars is not null as int)) as n_emitted,
+       count(*) * 4 -
+       sum(cast(length(coalesce(text, '')) > 0 as int)
+           + cast(length(coalesce(lang, '')) > 0 as int)
+           + cast(length(coalesce(source, '')) > 0 as int)
+           + cast(n_chars is not null as int)) as n_suppressed
+from documents
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of the multimodal path: drives the real
+    Arrow-batched mapInPandas feature kernel, then projects the
+    md5-derived features as integer-exact strings (float arrays don't
+    hash identically across engines; round(x*255) recovers the exact
+    byte the kernel embedded)."""
+    feats = q_multimodal_features(spark, sf_dir)
+    f255 = F.transform(
+        "features", lambda x: F.round(x * 255).cast("int").cast("string"))
+    return feats.select(
+        "doc_id", "media_type",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.concat_ws("|", f255).alias("f255"),
+    )
+
+
+def _sql_multimodal_meta() -> str:
+    from cow_spark.operators.multimodal import FEATURE_DIM
+
+    byte = lambda i: (  # noqa: E731
+        f"cast(concat('0x', substr(md5(coalesce(text, '')), "
+        f"{2 * (i % 16) + 1}, 2)) as int)")
+    feats = ", ".join(
+        f"cast(({byte(i)} * 31 + {i * 7}) % 256 as varchar)"
+        for i in range(FEATURE_DIM))
+    return f"""
+select cast(doc_id as bigint) as doc_id,
+       case cast(doc_id as bigint) % 3
+            when 0 then 'image/png'
+            when 1 then 'audio/wav'
+            else 'video/mp4' end as media_type,
+       cast(octet_length(encode(coalesce(text, ''))) as int) as n_bytes,
+       concat_ws('|', {feats}) as f255
+from documents
+"""
+
+
 def q_transcript_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full transcript flagship on synthetic transcripts (mentions →
-    linking → triples with provenance); sf-independent generator size."""
+    """Transcript flagship: default-spec KG extraction over the
+    deterministic synthetic transcripts (sf-independent generator size).
+    Oracle-checked — the DuckDB twin regenerates the same transcripts
+    from the LCG arithmetic and replays the emission semantics."""
     from cow_spark.operators.extract import extract_quads
     from cow_spark.spec.mapping import MappingSpec
     from cow_spark.spec.presets import transcripts_default_spec
@@ -845,6 +914,114 @@ def q_transcript_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_df(spark, 5000)
     spec = MappingSpec.from_json(transcripts_default_spec())
     return extract_quads(t, spec)
+
+
+def _sql_transcripts_gen(n_slots: int = 5000) -> str:
+    """DuckDB twin of cow_spark.sources.transcripts.transcripts_df —
+    same LCG mixing, same printf templates, byte-identical rows."""
+    from cow_spark.sources.transcripts import (
+        _A, _M, CITIES, EPOCH, PERSONS, SLOT, TEMPLATES,
+    )
+
+    persons = "[" + ", ".join(f"'{p}'" for p in PERSONS) + "]"
+    cities = "[" + ", ".join(f"'{c}'" for c in CITIES) + "]"
+
+    def mix(e: str, salt: int) -> str:
+        return f"(({e}) * {_A} + {salt * 12345 + 7}) % {_M}"
+
+    tpl_cases = []
+    for k, (fmt, kinds) in enumerate(TEMPLATES):
+        f2 = fmt.replace("'", "''").replace("\n", "' || chr(10) || '")
+        args = ", ".join(
+            {"P": "person", "C": "city", "D": "date_s"}[x] for x in kinds)
+        tpl_cases.append(f"when tpl_idx = {k} then printf('{f2}', {args})")
+    tpl_case = "case " + " ".join(tpl_cases) + " end"
+
+    return f"""
+base as (
+  select i, i // {SLOT} as conv, cast(i % {SLOT} as int) as turn
+  from (select unnest(range(0, {n_slots})) as i)
+),
+kept as (
+  select * from (
+    select *,
+      case when ({mix('conv', 13)}) % 10 = 0 then {SLOT}
+           else cast(({mix('conv', 7)}) % 12 + 1 as int) end as conv_len
+    from base
+  ) where turn < conv_len
+),
+vals as (
+  select i, conv, turn,
+    case when ({mix('i', 19)}) % 10 < 3 then ({persons})[1]
+         else ({persons})[cast(({mix('i', 17)}) % {len(PERSONS)} as int) + 1]
+         end as person,
+    ({cities})[cast(({mix('i', 41)}) % {len(CITIES)} as int) + 1] as city,
+    to_timestamp({EPOCH} + i * 13) at time zone 'UTC' as ts,
+    strftime(to_timestamp({EPOCH} + i * 13) at time zone 'UTC',
+             '%Y-%m-%d') as date_s,
+    cast(({mix('i', 29)}) % {len(TEMPLATES)} as int) as tpl_idx,
+    (['user','assistant','tool'])[cast(({mix('i', 23)}) % 3 as int) + 1]
+      as role
+  from kept
+),
+transcripts_gen as (
+  select printf('conv-%06d', conv) as conv_id, turn as turn_idx, role,
+    case when ({mix('i', 31)}) % 20 = 0 then ''
+         when ({mix('i', 37)}) % 50 = 0 then 'N/A'
+         else {tpl_case} end as text,
+    case when role = 'tool' then
+      (['search','calc','browse'])[cast(({mix('i', 43)}) % 3 as int) + 1]
+      end as tool,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') as ts_s
+  from vals
+)"""
+
+
+def _sql_transcript_kg() -> str:
+    """Default-spec emission semantics replayed in SQL: one xsd:string
+    typed literal per non-empty column value, plus one column-provenance
+    triple per column that fired at least once; global dedup."""
+    base = "https://example.com/id/transcripts"
+    xsd_str = "http://www.w3.org/2001/XMLSchema#string"
+    prov = "http://www.w3.org/ns/prov#wasDerivedFrom"
+    col_vals = {
+        "conv_id": "conv_id",
+        "turn_idx": "cast(turn_idx as varchar)",
+        "role": "role",
+        "text": "text",
+        "tool": "coalesce(tool, '')",
+        "ts": "ts_s",
+    }
+    lits, provs = [], []
+    for c, v in col_vals.items():
+        lits.append(
+            f"select s, '{base}/vocab/{c}' as p, 'lit' as o_kind, "
+            f"{v} as o_lex, '{xsd_str}' as o_dt from t where length({v}) > 0"
+        )
+        provs.append(
+            f"(select '{base}/vocab/{c}' as p, "
+            f"'{base}/vocab/variable/{c}' as o "
+            f"from t where length({v}) > 0 limit 1)"
+        )
+    lit_union = " union all ".join(lits)
+    prov_union = " union all ".join(provs)
+    return f"""
+with {_sql_transcripts_gen()},
+t as (
+  select '{base}/' || conv_id || '/turn/' || cast(turn_idx as varchar) as s,
+         * from transcripts_gen
+),
+lits as ({lit_union}),
+provs as ({prov_union})
+select distinct cast(null as varchar) as g, s, p, o_kind, o_lex, o_dt,
+       cast(null as varchar) as o_lang
+from lits
+union
+select distinct cast(null as varchar) as g, p as s, '{prov}' as p,
+       'iri' as o_kind, o as o_lex, cast(null as varchar) as o_dt,
+       cast(null as varchar) as o_lang
+from provs
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -870,10 +1047,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
+        "transcript_kg": q_transcript_kg,
+        "multimodal_meta": q_multimodal_meta,
+        "extraction_metrics": q_extraction_metrics,
         # rows-only (non-SQL-expressible)
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
-        "transcript_kg": q_transcript_kg,
     }
 
 
@@ -895,4 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _sql_jaccard_pairs(),
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
+        "transcript_kg": _sql_transcript_kg(),
+        "multimodal_meta": _sql_multimodal_meta(),
+        "extraction_metrics": _SQL_EXTRACTION_METRICS,
     }

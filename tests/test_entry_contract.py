@@ -32,6 +32,8 @@ def ddb():
 
 
 def _norm(v):
+    if v is None:
+        return "\x00null"  # sortable alongside strings
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
