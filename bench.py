@@ -88,6 +88,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: JVM/JIT + parquet footer reads are not what we benchmark
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").write.format(
+        "noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     qmap = entry.queries()
     for name in HEADLINE:
@@ -100,6 +104,17 @@ def main() -> None:
     t0 = time.perf_counter()
     n_triples = quads.count()
     timings["transcript_kg_extract"] = round(time.perf_counter() - t0, 3)
+
+    # same extraction without the global-dedup shuffle (COW itself only
+    # dedups per chunk; 'global' is our stricter engine default) — shows
+    # what the dedup semantics cost vs the pure extraction pipeline
+    from cow_spark.operators.extract import extract_quads as _eq
+    from cow_spark.sources.transcripts import transcripts_df as _tdf
+    from cow_spark.spec.mapping import MappingSpec as _MS
+    from cow_spark.spec.presets import transcripts_full_spec as _tfs
+
+    raw = _eq(_tdf(spark, n_slots), _MS.from_json(_tfs()), dedup="none")
+    timings["transcript_kg_extract_nodedup"] = round(_run(raw), 3)
     linked = linked.persist()
     t0 = time.perf_counter()
     n_linked = linked.count()
@@ -128,6 +143,8 @@ def main() -> None:
         "canonical_components": n_components,
         "triples_per_sec": round(n_triples / kg_secs, 1) if kg_secs > 0 else None,
         "turns_per_sec": round(n_turns / kg_secs, 1) if kg_secs > 0 else None,
+        "turns_per_sec_nodedup": round(
+            n_turns / timings["transcript_kg_extract_nodedup"], 1),
     }
     print(json.dumps(out))
     spark.stop()
