@@ -582,18 +582,22 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").cast("long"))
     sig = minhash_signatures(docs, "doc_id", "text",
                              _MINHASH_K, _SHINGLE_N).where(F.size("sig") > 0)
-    bands = []
+    # one explode instead of a per-band union: a union re-executes the
+    # whole shingle→minhash pipeline per branch (Spark has no CSE across
+    # union branches — 4 scans / 4 signature computations for 4 bands)
     rows_per_band = 2
-    for b in range(_MINHASH_K // rows_per_band):
-        parts = [F.element_at("sig", b * rows_per_band + j + 1)
-                 for j in range(rows_per_band)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.concat_ws("|", *parts).alias("band_key")))
-    out = bands[0]
-    for x in bands[1:]:
-        out = out.unionByName(x)
-    return out
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                F.element_at("sig", b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ]).alias("band_key"),
+        )
+        for b in range(_MINHASH_K // rows_per_band)
+    ])
+    return (sig.select("doc_id", F.explode(band_structs).alias("x"))
+            .select("doc_id", "x.band", "x.band_key"))
 
 
 def _sql_minhash_bands() -> str:

@@ -154,20 +154,23 @@ def minhash_lsh_pairs(
     rows_per_band = k // bands
     sig = minhash_signatures(df, id_col, text_col, k).where(F.size("sig") > 0)
 
-    band_entries = []
-    for b in range(bands):
-        parts = [F.element_at("sig", b * rows_per_band + j + 1)
-                 for j in range(rows_per_band)]
-        band_entries.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *parts).alias("band_key"),
-            )
+    # explode one band-struct array instead of a per-band union: Spark
+    # has no CSE across union branches, so a union re-executes the whole
+    # shingle→minhash pipeline once per band
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                F.element_at("sig", b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ]).alias("band_key"),
         )
-    buckets = band_entries[0]
-    for be in band_entries[1:]:
-        buckets = buckets.unionByName(be)
+        for b in range(bands)
+    ])
+    buckets = (
+        sig.select("doc_id", F.explode(band_structs).alias("_x"))
+        .select("doc_id", "_x.band", "_x.band_key")
+    )
     # the bucket table feeds three consumers (size stats + both self-join
     # sides); without persisting, the whole shingle→minhash pipeline runs
     # three times (AQE breaks ReuseExchange for it)
@@ -202,9 +205,10 @@ def jaccard_pairs(
     pair (semi-join first) — at 100 TB the pair set is orders of
     magnitude smaller than the corpus.
     """
+    # explode, not a two-branch union — a union would re-execute the
+    # candidate-pair pipeline once per branch
     ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
     )
     needed = df.join(ids, df[id_col] == ids["doc_id"], "left_semi")
@@ -263,15 +267,22 @@ def simhash_near_duplicates(
     s = df.select(F.col(id_col).alias("doc_id"),
                   simhash(F.col(text_col)).alias("sh")).where(F.col("sh").isNotNull())
     n_bands = SIMHASH_BITS // band_bits
-    bandsets = []
-    for b in range(n_bands):
-        key = F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(
-            F.lit((1 << band_bits) - 1))
-        bandsets.append(s.select("doc_id", "sh", F.lit(b).alias("band"),
-                                 key.alias("band_key")))
-    bu = bandsets[0]
-    for x in bandsets[1:]:
-        bu = bu.unionByName(x)
+    # explode instead of per-band union (no CSE across union branches —
+    # the sketch would be recomputed per band, per join side); persist so
+    # the self-join's two sides share one sketch computation
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sh"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    bu = (
+        s.select("doc_id", "sh", F.explode(band_structs).alias("_x"))
+        .select("doc_id", "sh", "_x.band", "_x.band_key")
+        .persist()
+    )
     a, b2 = bu.alias("a"), bu.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
