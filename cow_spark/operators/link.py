@@ -96,6 +96,12 @@ def link_mentions(
     """
     dic = candidate_dictionary(entities)
 
+    # the mentions subtree feeds both cascade phases (exact join + the
+    # anti-join residue that seeds the fuzzy phase); without persisting,
+    # upstream mention detection (regex over every turn) re-executes per
+    # branch — AQE breaks ReuseExchange here just like in the LSH path
+    mentions = mentions.persist()
+
     exact_hits = mentions.join(
         F.broadcast(dic.select("entity_id",
                                F.col("alias_norm").alias("mention_norm"))),

@@ -1,0 +1,76 @@
+"""CLI round trip (cow_spark.cli ≅ src/csvw_tool.py:88-118): build a
+skeleton sidecar from a CSV, convert it, and check the emitted triples
+against the pure-Python reference-semantics oracle."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cow_spark.cli import main as cli_main
+
+CSV = 'personID,surname,male\n012,"Redfield, sr.",1\n013,Vos,0\n014,,1\n'
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+def _read_nq(path: str) -> set[str]:
+    lines = set()
+    for part in os.listdir(path):
+        if part.startswith("part-"):
+            with open(os.path.join(path, part)) as f:
+                lines.update(x for x in f.read().splitlines() if x)
+    return lines
+
+
+def test_build_then_convert(spark, csv_file):
+    cli_main(["build", csv_file, "--processes", "4"])
+    meta = csv_file + "-metadata.json"
+    assert os.path.exists(meta)
+    spec = json.load(open(meta))
+    assert spec["tableSchema"]["primaryKey"] == "personID"
+    assert [c["name"] for c in spec["tableSchema"]["columns"]] == [
+        "personID", "surname", "male"]
+
+    cli_main(["convert", csv_file, "--processes", "4",
+              "--timestamp", "2026-08-17T00:00"])
+    out = csv_file + ".nq"
+    assert os.path.exists(out)
+    lines = _read_nq(out)
+
+    base = spec["@base"]
+    # row 2's empty surname is skipped (P2); everything else emits one
+    # xsd:string literal per cell keyed on the global _row subject
+    subjects = {l.split(" ")[0] for l in lines if "/vocab/" in l}
+    assert f"<{base}/0>" in subjects and f"<{base}/2>" in subjects
+    body = "\n".join(lines)
+    assert '"Redfield, sr."' in body
+    assert f"<{base}/2> <{base}/vocab/surname>" not in body  # empty skipped
+    assert "nanopublication" in body and "hasAssertion" in body  # spine
+    # graph name: {base-sans-slug}/{name}/assertion/{hash8}/{ts}
+    assert "/people/assertion/" in body and "/2026-08-17T00:00>" in body
+
+
+def test_build_backs_up_existing(spark, csv_file):
+    cli_main(["build", csv_file])
+    cli_main(["build", csv_file])
+    d = os.path.dirname(csv_file)
+    assert any(".bak" in f for f in os.listdir(d))
+
+
+def test_convert_without_metadata_exits(spark, csv_file):
+    with pytest.raises(SystemExit):
+        cli_main(["convert", csv_file])
+
+
+def test_non_nquads_format_rejected(csv_file):
+    with pytest.raises(SystemExit):
+        cli_main(["convert", csv_file, "--format", "turtle"])
