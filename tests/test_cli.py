@@ -74,3 +74,43 @@ def test_convert_without_metadata_exits(spark, csv_file):
 def test_non_nquads_format_rejected(csv_file):
     with pytest.raises(SystemExit):
         cli_main(["convert", csv_file, "--format", "turtle"])
+
+
+# -- reference example dialects (FIXTURES.md F6: first rows, checked in) ----
+
+BUURT = (
+    "properties_name_in_uri;Dienstboden\n"
+    "buurt-a;1,5\nbuurt-b;2,32\nbuurt-c;1,96\n"
+)
+
+TAFEL = (
+    "ID;Ref_Reg;Family-Name;Hiscam;Marital_Status\n"
+    "2294;8532;Roozen;64,41;b\n"
+    "2295;;van Dijk;;w\n"
+)
+
+
+def test_cli_semicolon_dialect_roundtrip(spark, tmp_path):
+    """buurt.csv shape: ';' delimiter, decimal-comma values preserved as
+    raw lexical forms (COW never normalizes literals, csvw.py:621)."""
+    p = tmp_path / "buurt.csv"
+    p.write_text(BUURT)
+    cli_main(["build", str(p), "--delimiter", ";"])
+    cli_main(["convert", str(p), "--timestamp", "2026-08-17T00:00"])
+    body = "\n".join(_read_nq(str(p) + ".nq"))
+    assert '"1,5"' in body and '"2,32"' in body  # decimal comma untouched
+    assert "/vocab/Dienstboden>" in body
+
+
+def test_cli_empty_cells_skipped(spark, tmp_path):
+    """tafelvbis.csv shape: empty cells emit no triple (P2)."""
+    p = tmp_path / "tafel.csv"
+    p.write_text(TAFEL)
+    cli_main(["build", str(p), "--delimiter", ";"])
+    cli_main(["convert", str(p), "--timestamp", "2026-08-17T00:00"])
+    lines = _read_nq(str(p) + ".nq")
+    row1 = [l for l in lines if l.startswith("<") and "/1>" in l.split(" ")[0]]
+    preds = {l.split(" ")[1] for l in row1}
+    assert not any(p.endswith("/vocab/Ref_Reg>") for p in preds)  # empty
+    assert not any(p.endswith("/vocab/Hiscam>") for p in preds)   # empty
+    assert any(p.endswith("/vocab/Marital_Status>") for p in preds)
