@@ -79,6 +79,92 @@ def stream_mention_rates(
     )
 
 
+SESSION_OUTPUT_DDL = (
+    "conv_id string, n_turns bigint, n_chars bigint, "
+    "first_ts timestamp, last_ts timestamp, closed boolean"
+)
+_SESSION_STATE_DDL = "n_turns bigint, n_chars bigint, first_us bigint, last_us bigint"
+
+
+def stream_conversation_sessions(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator: assemble per-conversation session
+    summaries across micro-batches via ``applyInPandasWithState``.
+
+    State per conv_id = (n_turns, n_chars, first/last event time); each
+    batch emits the updated summary (``closed=false``), and an event-time
+    timeout ``gap`` past the last turn emits the final ``closed=true``
+    row and drops the state — the transcript-world session window. This
+    is the engine's template for stateful ops the built-in operators
+    can't express (the reference has no streaming at all, SURVEY §2.7).
+
+    Arrow-batched per group; state is a single tiny tuple per live
+    conversation, so memory tracks *active* conversations, not history.
+    """
+    import datetime
+
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+
+    def assemble(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_chars, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [conv_id], "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "closed": [True],
+            })
+            return
+        n_turns, n_chars, first_us, last_us = (
+            state.get if state.exists else (0, 0, None, None))
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            ts_us = pdf["ts"].astype("int64") // 1000
+            first_us = min(first_us, int(ts_us.min())) if first_us is not None else int(ts_us.min())
+            last_us = max(last_us, int(ts_us.max())) if last_us is not None else int(ts_us.max())
+        state.update((n_turns, n_chars, first_us, last_us))
+        # a timeout earlier than the watermark is invalid — sessions whose
+        # gap already elapsed close at the next watermark tick
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({
+            "conv_id": [conv_id], "n_turns": [n_turns], "n_chars": [n_chars],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "closed": [False],
+        })
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=SESSION_OUTPUT_DDL,
+            stateStructType=_SESSION_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60_000,
+            "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return int(n) * mult
+
+
 def write_quads_stream(
     quads: DataFrame,
     path: str,

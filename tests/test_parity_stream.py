@@ -72,3 +72,51 @@ def test_stream_windowed_mention_rates(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_stream_conversation_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState session assembly: summaries accumulate
+    across micro-batches and match the batch groupBy computed over the
+    same data (update-mode rows: last emission per conv wins)."""
+    from cow_spark.streaming.stream import (
+        read_transcripts_stream,
+        stream_conversation_sessions,
+    )
+
+    src = str(tmp_path / "landing")
+    t = transcripts_df(spark, 320)
+    # several files so the stream runs multiple micro-batches and state
+    # actually carries across batches
+    t.repartition(4).write.parquet(src)
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=1)
+    # watermark must cover the fixture's full event-time span: files are
+    # unordered, so a tight watermark would drop older files' rows as late
+    sessions = stream_conversation_sessions(stream, watermark="2 hours",
+                                            gap="1 minutes")
+    (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_t")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = spark.table("sessions_t")
+    # last (highest-n_turns) emission per conversation = final summary
+    final = (
+        got.groupBy("conv_id")
+        .agg(F.max(F.struct("n_turns", "n_chars")).alias("x"))
+        .select("conv_id", "x.n_turns", "x.n_chars")
+    )
+    want = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+             .alias("n_chars"))
+    )
+    diff = final.join(want, "conv_id") \
+        .where((final["n_turns"] != want["n_turns"])
+               | (final["n_chars"] != want["n_chars"]))
+    assert final.count() == want.count()
+    assert diff.count() == 0
