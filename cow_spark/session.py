@@ -16,12 +16,29 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+def iceberg_available() -> bool:
+    """True when an Iceberg Spark runtime jar is on the classpath.
+
+    This sandbox is offline (no jar download), so the quads sink falls
+    back to bucketed Parquet; on a real deployment ship
+    ``iceberg-spark-runtime`` via ``--packages`` and the same
+    ``get_session(iceberg_warehouse=...)`` call configures the catalog.
+    """
+    import glob as _glob
+
+    import pyspark
+
+    jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(_glob.glob(os.path.join(jar_dir, "iceberg-spark-runtime*")))
+
+
 def get_session(
     master: str | None = None,
     app_name: str = "cow_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     ship_package: bool = True,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -55,6 +72,20 @@ def get_session(
         # 1000-executor cluster; bump per-job if files are huge.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if iceberg_warehouse is not None and iceberg_available():
+        # Iceberg catalog "cow": bucketed quad tables with real partition
+        # transforms (bucket(N, conv_id)) + snapshot ids for lineage (E7)
+        b = (
+            b.config("spark.sql.catalog.cow",
+                     "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.cow.type", "hadoop")
+            .config("spark.sql.catalog.cow.warehouse", iceberg_warehouse)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -41,6 +41,41 @@ def read_quads_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(*QUAD_COLS)
 
 
+def write_quads_iceberg(
+    quads: DataFrame,
+    table: str = "cow.kg.quads",
+    n_buckets: int = 64,
+    mode: str = "append",
+) -> None:
+    """Primary production sink: Iceberg table partitioned by a real
+    ``bucket(N, s)`` transform (north_rule: explicit partitioning +
+    snapshot lineage). Requires the Iceberg Spark runtime jar and a
+    session built with ``get_session(iceberg_warehouse=...)``; this
+    offline sandbox has neither, so :func:`write_quads_table` (bucketed
+    Parquet) is the tested fallback with the same physical layout.
+    """
+    from pyspark.sql.functions import bucket, col
+
+    from ..session import iceberg_available
+
+    if not iceberg_available():
+        raise NotImplementedError(
+            "Iceberg runtime jar not on the classpath (offline sandbox). "
+            "Use write_quads_table (bucketed Parquet fallback), or on a "
+            "cluster submit with --packages org.apache.iceberg:"
+            "iceberg-spark-runtime-<spark>_<scala>:<version> and build "
+            "the session via get_session(iceberg_warehouse=...)."
+        )
+    w = quads.writeTo(table).partitionedBy(bucket(n_buckets, col("s")))
+    if mode == "overwrite":
+        w.createOrReplace()
+    else:
+        try:
+            w.append()
+        except Exception:
+            w.create()
+
+
 def write_nquads(
     quads: DataFrame,
     path: str,

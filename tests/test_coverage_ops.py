@@ -118,3 +118,21 @@ def test_spec_provenance(spark):
     assert all(r.g == ctx.provenance for r in rows)
     assert any(r.p.endswith("aboutUrl") for r in rows)
     assert sum(1 for r in rows if r.p.endswith("hasColumn")) == len(spec.columns)
+
+
+def test_iceberg_sink_gated_offline(spark):
+    """The Iceberg sink declares itself unavailable in this offline
+    sandbox (no runtime jar) and points at the Parquet fallback; the
+    session factory's availability probe agrees."""
+    import pytest
+
+    from cow_spark.session import iceberg_available
+    from cow_spark.sources.sinks import write_quads_iceberg
+
+    assert iceberg_available() is False
+    df = spark.createDataFrame(
+        [(None, "s", "p", "lit", "o", None, None)],
+        "g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+    with pytest.raises(NotImplementedError):
+        write_quads_iceberg(df)
