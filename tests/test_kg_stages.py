@@ -90,16 +90,19 @@ def test_linking_broadcast_and_exact_names(spark, tdf):
 
 
 def test_connected_components_chain_star(spark):
-    # 3 known components: size 2, a 50-chain, a 200-star (FIXTURES.md F5)
+    # 3 known components: size 2, a 50-chain, and a 10,000-node chain
+    # (FIXTURES.md F5). The 10k chain has diameter 9,999 — plain min-label
+    # propagation would need ~10k rounds; pointer jumping must converge
+    # within max_iter=25 (O(log n)), so this asserts the doubling works.
     edges = [("a0", "a1")]
     edges += [(f"c{i:05d}", f"c{i+1:05d}") for i in range(49)]
-    edges += [("hub", f"s{i:05d}") for i in range(200)]
+    edges += [(f"k{i:05d}", f"k{i+1:05d}") for i in range(9_999)]
     df = spark.createDataFrame(edges, "src string, dst string")
     cc = connected_components(df).collect()
     comp = {r.node: r.component for r in cc}
     assert comp["a1"] == "a0"
     assert all(comp[f"c{i:05d}"] == "c00000" for i in range(50))
-    assert comp["s00199"] == "hub"
+    assert comp["k09999"] == "k00000" and comp["k05000"] == "k00000"
     assert len({c for c in comp.values()}) == 3
 
 
