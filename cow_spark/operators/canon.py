@@ -55,15 +55,29 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     salt_buckets: int | None = None,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Edge list (src, dst) → (node, component) with component = min node.
 
     Nodes are any orderable type (string mention keys or long ids).
+
+    ``local_threshold``: when > 0 and the (symmetrized, deduped) edge
+    count is at or below it, solve with driver-side union-find instead of
+    the iterative joins — identical output, one job instead of
+    ~log(n)×4. This is NOT a scale path: it exists because running 14
+    distributed rounds over a vocabulary-sized graph (the hub projection
+    in :func:`canonical_entities` — thousands of nodes even when the
+    corpus has billions of mentions) is pure scheduler overhead. Large
+    graphs always take the distributed path; the threshold is an explicit
+    opt-in, default off.
     """
     e = symmetrize(edges)
     if salt_buckets:
         e = salt_edges(e, salt_buckets)
     e = e.localCheckpoint()
+
+    if local_threshold and e.count() <= local_threshold:
+        return _cc_local(e)
 
     labels = (
         e.select(F.col("src").alias("node"))
@@ -113,6 +127,36 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Driver-side union-find for graphs under the local threshold;
+    same (node, component=min node) contract as the distributed path."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in e.select("src", "dst").toLocalIterator():
+        for n in (src, dst):
+            parent.setdefault(n, n)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min keeps component = min node id deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = e.schema["src"].dataType
+    schema = StructType([StructField("node", node_t),
+                         StructField("component", node_t)])
+    return e.sparkSession.createDataFrame(rows, schema)
+
+
 def canonical_entities(linked: DataFrame) -> DataFrame:
     """Build the mention graph from linking output and canonicalize.
 
@@ -138,7 +182,11 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    cc = connected_components(hub_edges)
+    # hub graphs are vocabulary-sized; under ~200k edges the driver-local
+    # union-find beats ~14 scheduled rounds (identical output, see
+    # connected_components.local_threshold — bigger vocabularies go
+    # distributed automatically)
+    cc = connected_components(hub_edges, local_threshold=200_000)
     ecomp = F.broadcast(
         cc.where(F.col("node").startswith("urn:hub:entity:")).select(
             F.expr("substring(node, 16)").alias("entity_id"),

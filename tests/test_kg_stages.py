@@ -177,3 +177,15 @@ def test_nanopub_assembly(spark):
     # determinism: same inputs → identical provenance set
     out2 = assemble_nanopub(quads, ctx, source_path="transcripts@snapshot-42")
     assert out.exceptAll(out2).count() == 0
+
+
+def test_cc_local_path_matches_distributed(spark):
+    edges = [("a0", "a1")]
+    edges += [(f"c{i:05d}", f"c{i+1:05d}") for i in range(49)]
+    edges += [("hub", f"s{i:05d}") for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    dist = {(r.node, r.component)
+            for r in connected_components(df).collect()}
+    local = {(r.node, r.component)
+             for r in connected_components(df, local_threshold=10**6).collect()}
+    assert dist == local
