@@ -106,9 +106,11 @@ def convert_one(path: str, args) -> str:
     spark = _session(args)
     df = read_csv(spark, path, delimiter=delimiter, quotechar=quotechar,
                   encoding=encoding)
-    if "_row" in raw:
+    if _spec_uses_row(spec) and "_row" not in df.columns:
         # the skeleton default subject key; a global index needs a pass
-        # over the file (fine at CSV scale, csv_source.with_row_index)
+        # over the file (fine at CSV scale, csv_source.with_row_index).
+        # A CSV column literally named _row wins, matching the reference
+        # only up to its own overwrite quirk — we keep the data column.
         df = with_row_index(df)
     spec.validate(df.columns)
 
@@ -132,6 +134,17 @@ def convert_one(path: str, args) -> str:
                  single_file=not args.distributed)
     print(f"wrote {target}")
     return target
+
+
+def _spec_uses_row(spec) -> bool:
+    """True when any resolved template references the ``{_row}`` index —
+    including the implicit default subject (tableSchema.aboutUrl absent
+    → ``{_row}``, mapping.py), which raw-text scanning would miss."""
+    templates = [spec.about_url]
+    for cs in spec.columns:
+        templates += [cs.about_url, cs.property_url, cs.value_url,
+                      cs.value, cs.collection_url, cs.scheme_url, cs.lang]
+    return any(t is not None and "_row" in t for t in templates)
 
 
 def _session(args):

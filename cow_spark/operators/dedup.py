@@ -173,7 +173,11 @@ def minhash_lsh_pairs(
     )
     # the bucket table feeds three consumers (size stats + both self-join
     # sides); without persisting, the whole shingle→minhash pipeline runs
-    # three times (AQE breaks ReuseExchange for it)
+    # three times (AQE breaks ReuseExchange for it). Unlike the corpus,
+    # this is a sketch table (~4 short rows per doc, orders of magnitude
+    # smaller than the documents) — persisting it is the right trade;
+    # MEMORY_AND_DISK spills rather than OOMs. Callers running many LSH
+    # passes in one session should unpersist the returned plan's source.
     buckets = buckets.persist()
 
     sized = buckets.join(

@@ -96,11 +96,12 @@ def link_mentions(
     """
     dic = candidate_dictionary(entities)
 
-    # the mentions subtree feeds both cascade phases (exact join + the
-    # anti-join residue that seeds the fuzzy phase); without persisting,
-    # upstream mention detection (regex over every turn) re-executes per
-    # branch — AQE breaks ReuseExchange here just like in the LSH path
-    mentions = mentions.persist()
+    # NOTE: the mentions subtree feeds both cascade phases (exact join +
+    # the anti-join residue), so upstream mention detection executes once
+    # per branch. We deliberately do NOT persist here: mentions is the
+    # corpus-scale side, and pinning it in executor storage for the
+    # session lifetime is a worse failure mode than recomputing a regex
+    # scan. Callers that know their data is small can persist upstream.
 
     exact_hits = mentions.join(
         F.broadcast(dic.select("entity_id",

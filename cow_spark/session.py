@@ -17,19 +17,31 @@ from pyspark.sql import SparkSession
 
 
 def iceberg_available() -> bool:
-    """True when an Iceberg Spark runtime jar is on the classpath.
+    """True when an Iceberg Spark runtime jar is reachable.
 
-    This sandbox is offline (no jar download), so the quads sink falls
-    back to bucketed Parquet; on a real deployment ship
-    ``iceberg-spark-runtime`` via ``--packages`` and the same
-    ``get_session(iceberg_warehouse=...)`` call configures the catalog.
+    Checks, in order: the ``COW_SPARK_ICEBERG`` env override ("1"/"0" —
+    set "1" when the jar arrives by a route we can't probe, e.g.
+    ``--jars`` with a custom path), pyspark's bundled jar dir, and the
+    Ivy cache that ``spark-submit --packages`` resolves into. This
+    offline sandbox has none, so the quads sink falls back to bucketed
+    Parquet.
     """
     import glob as _glob
 
     import pyspark
 
-    jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
-    return bool(_glob.glob(os.path.join(jar_dir, "iceberg-spark-runtime*")))
+    override = os.environ.get("COW_SPARK_ICEBERG")
+    if override is not None:
+        return override not in ("", "0", "false")
+    candidates = [
+        os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                     "iceberg-spark-runtime*"),
+        os.path.expanduser("~/.ivy2/jars/*iceberg-spark-runtime*"),
+        os.path.expanduser("~/.ivy2.5.2/jars/*iceberg-spark-runtime*"),
+        os.path.join(os.environ.get("SPARK_HOME", "/nonexistent"), "jars",
+                     "iceberg-spark-runtime*"),
+    ]
+    return any(_glob.glob(p) for p in candidates)
 
 
 def get_session(

@@ -69,11 +69,12 @@ def write_quads_iceberg(
     w = quads.writeTo(table).partitionedBy(bucket(n_buckets, col("s")))
     if mode == "overwrite":
         w.createOrReplace()
+    elif quads.sparkSession.catalog.tableExists(table):
+        # append errors (schema drift, commit conflicts) must surface
+        # as-is — never masked by a doomed create attempt
+        w.append()
     else:
-        try:
-            w.append()
-        except Exception:
-            w.create()
+        w.create()
 
 
 def write_nquads(

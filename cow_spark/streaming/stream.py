@@ -83,7 +83,12 @@ SESSION_OUTPUT_DDL = (
     "conv_id string, n_turns bigint, n_chars bigint, "
     "first_ts timestamp, last_ts timestamp, closed boolean"
 )
-_SESSION_STATE_DDL = "n_turns bigint, n_chars bigint, first_us bigint, last_us bigint"
+# parallel arrays: one entry per open candidate sub-session (kept until
+# the watermark proves no late event can bridge them)
+_SESSION_STATE_DDL = (
+    "ns array<bigint>, chs array<bigint>, "
+    "firsts array<bigint>, lasts array<bigint>"
+)
 
 
 def stream_conversation_sessions(
@@ -91,59 +96,109 @@ def stream_conversation_sessions(
     watermark: str = "10 minutes",
     gap: str = "30 minutes",
 ) -> DataFrame:
-    """Custom stateful operator: assemble per-conversation session
-    summaries across micro-batches via ``applyInPandasWithState``.
+    """Custom stateful operator: event-time session windows per
+    conversation via ``applyInPandasWithState``.
 
-    State per conv_id = (n_turns, n_chars, first/last event time); each
-    batch emits the updated summary (``closed=false``), and an event-time
-    timeout ``gap`` past the last turn emits the final ``closed=true``
-    row and drops the state — the transcript-world session window. This
-    is the engine's template for stateful ops the built-in operators
-    can't express (the reference has no streaming at all, SURVEY §2.7).
+    True session-window semantics: turns more than ``gap`` apart in
+    *event time* belong to different sessions — whether the gap shows up
+    inside one pandas batch, between micro-batches, or only as silence
+    (the event-time timeout one gap past the last turn closes the final
+    session and drops the state). Each update emits the running summary
+    (``closed=false``); a session emits ``closed=true`` exactly once.
+    This is the engine's template for stateful ops the built-in
+    operators can't express (the reference has no streaming, SURVEY §2.7).
 
     Arrow-batched per group; state is a single tiny tuple per live
     conversation, so memory tracks *active* conversations, not history.
+    Event times are treated as UTC — ``get_session`` pins the session
+    timezone to UTC; tz-aware pandas values are converted defensively
+    (GroupState's watermark/timeout clock is true epoch ms).
     """
-    import datetime
-
     import pandas as pd  # noqa: F811 (executor-side import)
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = _duration_ms(gap)
 
-    def assemble(key, pdfs, state: GroupState):
-        (conv_id,) = key
-        if state.hasTimedOut:
-            n_turns, n_chars, first_us, last_us = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "conv_id": [conv_id], "n_turns": [n_turns],
-                "n_chars": [n_chars],
-                "first_ts": [pd.Timestamp(first_us, unit="us")],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-                "closed": [True],
-            })
-            return
-        n_turns, n_chars, first_us, last_us = (
-            state.get if state.exists else (0, 0, None, None))
-        for pdf in pdfs:
-            n_turns += len(pdf)
-            n_chars += int(pdf["text"].fillna("").str.len().sum())
-            ts_us = pdf["ts"].astype("int64") // 1000
-            first_us = min(first_us, int(ts_us.min())) if first_us is not None else int(ts_us.min())
-            last_us = max(last_us, int(ts_us.max())) if last_us is not None else int(ts_us.max())
-        state.update((n_turns, n_chars, first_us, last_us))
-        # a timeout earlier than the watermark is invalid — sessions whose
-        # gap already elapsed close at the next watermark tick
-        state.setTimeoutTimestamp(
-            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame({
+    def _row(conv_id, n_turns, n_chars, first_us, last_us, closed):
+        return pd.DataFrame({
             "conv_id": [conv_id], "n_turns": [n_turns], "n_chars": [n_chars],
             "first_ts": [pd.Timestamp(first_us, unit="us")],
             "last_ts": [pd.Timestamp(last_us, unit="us")],
-            "closed": [False],
+            "closed": [closed],
         })
+
+    def assemble(key, pdfs, state: GroupState):
+        (conv_id,) = key
+
+        # candidates: [n_turns, n_chars, first_us, last_us] per open
+        # sub-session, sorted by first_us
+        if state.exists:
+            ns, chs, firsts, lasts = state.get
+            cands = [list(t) for t in zip(ns, chs, firsts, lasts)]
+        else:
+            cands = []
+
+        if not state.hasTimedOut:
+            # sessionize this batch's events and merge into candidates
+            parts = []
+            for pdf in pdfs:
+                ts = pdf["ts"]
+                if getattr(ts.dtype, "tz", None) is not None:
+                    ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+                parts.append(pd.DataFrame({
+                    "us": ts.astype("int64") // 1000,
+                    "ch": pdf["text"].fillna("").str.len().astype("int64"),
+                }))
+            if parts:
+                batch = pd.concat(parts).sort_values("us")
+                new_sess = batch["us"].diff() > gap_ms * 1000
+                for _, grp in batch.groupby(new_sess.cumsum()):
+                    cands.append([len(grp), int(grp["ch"].sum()),
+                                  int(grp["us"].iloc[0]),
+                                  int(grp["us"].iloc[-1])])
+                # interval-merge within gap: summaries only ever merge
+                # (a session never re-splits once events are within gap),
+                # so candidate compression is lossless for these aggs
+                cands.sort(key=lambda c: c[2])
+                merged = []
+                for c in cands:
+                    if merged and c[2] - merged[-1][3] <= gap_ms * 1000:
+                        m = merged[-1]
+                        m[0] += c[0]
+                        m[1] += c[1]
+                        m[3] = max(m[3], c[3])
+                    else:
+                        merged.append(c)
+                cands = merged
+
+        # close only what the watermark proves final: no event ≥ the
+        # watermark can be within gap of the candidate's last turn.
+        # (Closing on an *observed* gap would be wrong — a late-but-
+        # within-watermark event may still arrive and bridge it.)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        still_open = []
+        for c in cands:
+            if c[3] + gap_ms * 1000 < wm_us:
+                yield _row(conv_id, *c, True)
+            else:
+                still_open.append(c)
+
+        if not still_open:
+            if state.exists:
+                state.remove()
+            return
+        state.update((
+            [c[0] for c in still_open], [c[1] for c in still_open],
+            [c[2] for c in still_open], [c[3] for c in still_open],
+        ))
+        # wake at the earliest possible closure; never before the
+        # current watermark (setting an earlier timeout is invalid)
+        earliest_close = min(c[3] for c in still_open) // 1000 + gap_ms
+        state.setTimeoutTimestamp(
+            max(earliest_close, state.getCurrentWatermarkMs() + 1))
+        for c in still_open:
+            yield _row(conv_id, *c, False)
 
     return (
         stream.withWatermark("ts", watermark)
@@ -158,11 +213,31 @@ def stream_conversation_sessions(
     )
 
 
+_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "sec": 1000, "secs": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000,
+}
+
+
 def _duration_ms(s: str) -> int:
-    n, unit = s.split()
-    mult = {"second": 1000, "seconds": 1000, "minute": 60_000,
-            "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
-    return int(n) * mult
+    """Spark-interval-style duration grammar, incl. multi-part strings
+    ('1 hour 30 minutes') — matches what ``withWatermark`` accepts."""
+    import re as _re
+
+    pairs = _re.findall(r"(\d+)\s*([A-Za-z]+)", s)
+    if not pairs:
+        raise ValueError(f"cannot parse duration {s!r}")
+    total = 0
+    for n, unit in pairs:
+        try:
+            total += int(n) * _UNIT_MS[unit.lower()]
+        except KeyError:
+            raise ValueError(f"unknown duration unit {unit!r} in {s!r}")
+    return total
 
 
 def write_quads_stream(

@@ -120,3 +120,64 @@ def test_stream_conversation_sessions_stateful(spark, tmp_path):
                | (final["n_chars"] != want["n_chars"]))
     assert final.count() == want.count()
     assert diff.count() == 0
+
+
+def test_duration_grammar():
+    from cow_spark.streaming.stream import _duration_ms
+
+    assert _duration_ms("30 seconds") == 30_000
+    assert _duration_ms("1 hour 30 minutes") == 5_400_000
+    assert _duration_ms("1 day") == 86_400_000
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _duration_ms("soon")
+
+
+def test_stream_sessions_split_on_event_time_gap(spark, tmp_path):
+    """Turns more than `gap` apart in event time form separate sessions,
+    including gaps that only become visible across micro-batches."""
+    import datetime as dt
+
+    from cow_spark.streaming.stream import (
+        read_transcripts_stream,
+        stream_conversation_sessions,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def row(turn, minutes):
+        return ("conv-A", turn, "user", "x" * 10, None,
+                t0 + dt.timedelta(minutes=minutes))
+
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    src = str(tmp_path / "landing")
+    # file 1: two turns 10s apart; file 2: one turn 2 hours later —
+    # the 2h silence must split the session even though the state never
+    # times out between the back-to-back micro-batches
+    spark.createDataFrame([row(0, 0), row(1, 0.2)], ddl) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([row(2, 120)], ddl) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    # watermark delay 0: the 14:00 batch advances the watermark past the
+    # 12:00 session's last+gap, so the timeout/no-data batch closes it —
+    # sessions must NEVER close on an observed gap alone (a late event
+    # within the watermark could still bridge it)
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=1)
+    sessions = stream_conversation_sessions(stream, watermark="0 seconds",
+                                            gap="1 minutes")
+    (
+        sessions.writeStream.outputMode("update")
+        .format("memory").queryName("gap_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = spark.table("gap_sessions").collect()
+    closed = [r for r in got if r.closed]
+    # first session (2 turns) closed by the later batch's gap
+    assert any(r.n_turns == 2 and r.n_chars == 20 for r in closed)
+    # second session live with 1 turn
+    assert any((not r.closed) and r.n_turns == 1 for r in got)
