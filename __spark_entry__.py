@@ -373,7 +373,9 @@ def q_skolem(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SKOLEM = """
 select cast(doc_id as bigint) as doc_id,
        'https://example.com/id/skolem/' ||
-       md5(concat_ws(chr(31), cast(doc_id as varchar), source)) as skolem_iri
+       md5(concat_ws(chr(31), cast(doc_id as varchar),
+                     coalesce(source, chr(0) || 'null' || chr(0))))
+         as skolem_iri
 from documents
 """
 

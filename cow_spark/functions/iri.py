@@ -84,14 +84,28 @@ def skolem_iri(base: str, *parts: Column, alg: str = "sha1") -> Column:
     sha1 for collision safety at 10^12 scale; 'md5' variant exists so the
     DuckDB oracle can reproduce it (DuckDB 1.0 lacks sha1).
     """
-    payload = F.concat_ws(SKOLEM_SEP, *parts)
+    # concat_ws silently DROPS null parts, which would collide distinct
+    # key tuples that differ only in null position ((a,NULL,b) == (a,b,
+    # NULL)) — coalesce each part to a sentinel no real string contains
+    safe = [
+        F.coalesce(
+            (p if isinstance(p, Column) else F.col(p)).cast("string"),
+            F.lit(NULL_SENTINEL),
+        )
+        for p in parts
+    ]
+    payload = F.concat_ws(SKOLEM_SEP, *safe)
     h = F.sha1(payload) if alg == "sha1" else F.md5(payload)
     return F.concat(F.lit(base.rstrip("/") + "/"), h)
 
 
-def skolem_iri_py(base: str, *parts: str, alg: str = "sha1") -> str:
+NULL_SENTINEL = "\x00null\x00"
+
+
+def skolem_iri_py(base: str, *parts: str | None, alg: str = "sha1") -> str:
     import hashlib
 
-    payload = SKOLEM_SEP.join(parts).encode("utf-8")
+    safe = [NULL_SENTINEL if p is None else p for p in parts]
+    payload = SKOLEM_SEP.join(safe).encode("utf-8")
     h = getattr(hashlib, alg)(payload).hexdigest()
     return base.rstrip("/") + "/" + h

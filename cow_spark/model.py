@@ -61,6 +61,8 @@ BASE_NAMESPACES: dict[str, str] = {
     "bio": "http://purl.org/vocab/bio/0.1/",
     "bibo": "http://purl.org/ontology/bibo/",
     "wgs84": "http://www.w3.org/2003/01/geo/wgs84_pos#",
+    # trailing slash is NOT the W3C form, but it is byte-for-byte what the
+    # reference ships (util/namespaces.yaml:37-38) — parity wins here
     "xml": "http://www.w3.org/XML/1998/namespace/",
 }
 

@@ -148,6 +148,26 @@ def compile_rules(
     input_cols = set(df.columns)
     cache = _ExprCache(row)
 
+    # fail fast when the default subject can never render: a format-stage
+    # field ({x} / fmtint) missing from the input NULLs the subject for
+    # EVERY row → silently empty output (the '{_row}' skeleton default on
+    # a table without _row is the classic case — see
+    # csv_source.with_row_index)
+    subject_tpl = compile_template(spec.about_url)
+    hard_missing = [
+        name for kind, name, *_ in
+        (subject_tpl.parts if subject_tpl.kind == "static" else ())
+        if kind in ("ref", "fmtint") and name not in row
+    ]
+    if hard_missing:
+        from ..spec.mapping import SpecError
+
+        raise SpecError(
+            f"default subject template {spec.about_url!r} references "
+            f"column(s) {hard_missing} absent from the input; add them "
+            "or (for '_row') apply csv_source.with_row_index first"
+        )
+
     sdv = spec.namespaces["sdv"]
     default_subject = cache.url(spec.about_url)
 
@@ -244,28 +264,36 @@ def _compile_column(
             o = cache.url(_first_brace_fragment(cs.value_url))
 
         cond = cond & o.isNotNull()
+
+        # a failed collection/scheme render aborts the WHOLE column for
+        # that row in COW (expandURL raises → per-column catch at
+        # csvw.py:544-552 skips main triple too) — fold their validity
+        # into the shared condition before emitting anything
+        coll = cache.url(cs.collection_url) if cs.collection_url else None
+        scheme = cache.url(cs.scheme_url) if cs.scheme_url else None
+        if coll is not None:
+            cond = cond & coll.isNotNull()
+        if scheme is not None:
+            cond = cond & scheme.isNotNull()
+
         out.append(Emission(cond, s, p, F.lit("iri"), o, _S(), _S()))
 
         rdf_type = F.lit(RDF + "type")
-        if cs.collection_url:
+        if coll is not None:
             # SKOS collection (csvw.py:627-631)
-            coll = cache.url(cs.collection_url)
-            c2 = cond & coll.isNotNull()
-            out.append(Emission(c2, coll, rdf_type, F.lit("iri"),
+            out.append(Emission(cond, coll, rdf_type, F.lit("iri"),
                                 F.lit(SKOS + "Collection"), _S(), _S()))
-            out.append(Emission(c2, o, rdf_type, F.lit("iri"),
+            out.append(Emission(cond, o, rdf_type, F.lit("iri"),
                                 F.lit(SKOS + "Concept"), _S(), _S()))
-            out.append(Emission(c2, coll, F.lit(SKOS + "member"),
+            out.append(Emission(cond, coll, F.lit(SKOS + "member"),
                                 F.lit("iri"), o, _S(), _S()))
-        if cs.scheme_url:
+        if scheme is not None:
             # SKOS scheme (csvw.py:633-637)
-            scheme = cache.url(cs.scheme_url)
-            c2 = cond & scheme.isNotNull()
-            out.append(Emission(c2, scheme, rdf_type, F.lit("iri"),
+            out.append(Emission(cond, scheme, rdf_type, F.lit("iri"),
                                 F.lit(SKOS + "Scheme"), _S(), _S()))
-            out.append(Emission(c2, o, rdf_type, F.lit("iri"),
+            out.append(Emission(cond, o, rdf_type, F.lit("iri"),
                                 F.lit(SKOS + "Concept"), _S(), _S()))
-            out.append(Emission(c2, o, F.lit(SKOS + "inScheme"),
+            out.append(Emission(cond, o, F.lit(SKOS + "inScheme"),
                                 F.lit("iri"), scheme, _S(), _S()))
     else:
         # literal branch (csvw.py:600-622)
@@ -284,8 +312,12 @@ def _compile_column(
             out.append(Emission(cond & o.isNotNull(), s, p,
                                 F.lit("iri"), o, _S(), _S()))
         elif cs.datatype == XSD_STRING and cs.lang is not None:
+            # a failed lang-template render skips the triple in COW
+            # (render raises inside _process_column → per-column catch);
+            # emitting a plain literal instead would diverge from the oracle
             lang = cache.value(cs.lang)
-            out.append(Emission(cond, s, p, F.lit("lit"), value, _S(), lang))
+            out.append(Emission(cond & lang.isNotNull(), s, p,
+                                F.lit("lit"), value, _S(), lang))
         elif cs.datatype is not None:
             out.append(Emission(cond, s, p, F.lit("lit"), value,
                                 F.lit(cs.datatype), _S()))
@@ -320,8 +352,12 @@ def extract_quads(
     pt = passthrough or []
     emissions, cache = compile_rules(spec, df)
     if not emissions:
-        ddl = ", ".join(f"{c} string" for c in QUAD_COLS)
-        return df.sparkSession.createDataFrame([], schema=ddl)
+        # empty result keeps the full contract schema incl. passthrough
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        fields = [StructField(c, StringType()) for c in QUAD_COLS]
+        fields += [df.schema[c] for c in pt]
+        return df.sparkSession.createDataFrame([], StructType(fields))
 
     arr = F.array(*[e.struct() for e in emissions])
     q = (

@@ -62,9 +62,7 @@ def transcripts_full_spec(base: str = DEFAULT_BASE) -> dict:
                 # csvw:value template (Jinja-then-format), typed
                 {
                     "name": "text",
-                    "propertyUrl": "{_base}/vocab/textLength".replace(
-                        "{_base}", base
-                    ),
+                    "propertyUrl": f"{base}/vocab/textLength",
                     "value": "{{text|length}}",
                     "datatype": "integer",
                 },

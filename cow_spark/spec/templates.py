@@ -127,7 +127,11 @@ class CompiledTemplate:
         if self.kind == "ifelse":
             var, op, val, pre, then, els, post = self.parts
             if var not in row:
-                return F.lit(None).cast("string")
+                # Jinja: Undefined == 'x' is False, Undefined != 'x' is
+                # True — the branch is decided, not skipped
+                picked = els if op == "==" else then
+                return F.concat(pre.column(row), picked.column(row),
+                                post.column(row))
             cond = (row[var] == F.lit(val)) if op == "==" else (
                 row[var] != F.lit(val))
             picked = F.when(cond, then.column(row)).otherwise(els.column(row))
@@ -140,7 +144,18 @@ class CompiledTemplate:
                     continue
                 name = p[1]
                 if name not in row:
-                    # unresolvable field ≅ COW KeyError → triple skipped
+                    # Jinja-stage tokens render Undefined per jinja2
+                    # semantics (verified against jinja2 3.x): {{x}} and
+                    # soft-str filters → '', |length → '0', |int inside
+                    # |format → UndefinedError → render fails → skip.
+                    # Only the str.format stage ({x}) raises KeyError →
+                    # triple skipped (csvw.py:859-866).
+                    if p[0] == "jref" or (p[0] == "fn" and p[2] != "length"):
+                        cols.append(F.lit(""))
+                        continue
+                    if p[0] == "fn" and p[2] == "length":
+                        cols.append(F.lit("0"))
+                        continue
                     return F.lit(None).cast("string")
                 c = row[name]
                 if p[0] == "fn":
@@ -152,9 +167,16 @@ class CompiledTemplate:
                         "length": lambda x: F.length(x).cast("string"),
                     }[fn](c)
                 elif p[0] == "fmtint":
-                    # '%0Nd'|format(x|int): non-numeric → NULL → triple
-                    # skipped (jinja raises on int('x') → same skip)
-                    c = F.format_string("%" + p[2], c.cast("long"))
+                    # '%0Nd'|format(x|int): jinja's |int coerces via
+                    # int() then float() and falls back to 0 ('x' → 0,
+                    # '3.7' → 3, '' → 0 — verified); try_cast keeps the
+                    # ANSI-mode engine from aborting the job on bad cells
+                    as_long = F.coalesce(
+                        c.try_cast("long"),
+                        c.try_cast("double").cast("long"),
+                        F.lit(0),
+                    )
+                    c = F.format_string("%" + p[2], as_long)
                 cols.append(c)
             if not cols:
                 return F.lit("")
@@ -180,7 +202,8 @@ def compile_template(pattern: str) -> CompiledTemplate:
         if lit:
             parts.append(("lit", lit))
         if m.group(1):
-            parts.append(("ref", m.group(1), None))
+            # jinja echo — Undefined renders '' (unlike {x} format fields)
+            parts.append(("jref", m.group(1), None))
         elif m.group(4):
             parts.append(("fn", m.group(4), m.group(5)))
         elif m.group(6):
