@@ -569,6 +569,7 @@ select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp,
        count(*) as n_docs,
        min(cast(doc_id as bigint)) as canonical_id
 from documents
+where text is not null
 group by 1 having count(*) > 1
 """
 

@@ -44,8 +44,15 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 def salt_edges(edges: DataFrame, buckets: int = 64) -> DataFrame:
     """Explicit skew salt: repartition edges by (dst, salt(src)) so a hot
-    destination's edges spread over ``buckets`` tasks before the groupBy
-    (AQE also splits skewed partitions; this bounds the pre-AQE sort)."""
+    destination's edges spread over ``buckets`` tasks.
+
+    Honesty note on where this matters: INSIDE the CC loop this
+    partitioning is discarded by the loop's own join/groupBy shuffles —
+    there, skew is actually bounded by (a) map-side partial ``min`` in
+    the propagate step and (b) AQE skew-join splitting in the pointer-
+    jump self-join. Use salt_edges when *materializing* a skewed edge
+    list (sink write, checkpoint) so no single task sorts/writes a hot
+    destination's full edge set."""
     return edges.repartition(
         F.col("dst"), F.pmod(F.xxhash64(F.col("src")), F.lit(buckets))
     )

@@ -35,6 +35,9 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     One shuffle on the fingerprint; min(id) is the canonical survivor.
     """
     fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    # NULL text has no fingerprint — grouping NULLs would report
+    # unrelated empty documents as byte-identical duplicates
+    fp = fp.where(F.col("fp").isNotNull())
     return (
         fp.groupBy("fp")
         .agg(

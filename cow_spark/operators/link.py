@@ -30,8 +30,14 @@ def candidate_dictionary(entities: DataFrame) -> DataFrame:
     block_key is recomputed per alias (an alias can start differently than
     its canonical form).
     """
+    # coalesce: array_union(x, NULL) is NULL and explode would drop the
+    # entity entirely — a nullable aliases column (parquet/JSON sources)
+    # must still contribute the canonical name
     alias = F.explode(
-        F.array_union(F.array(F.col("canonical_name")), F.col("aliases"))
+        F.array_union(
+            F.array(F.col("canonical_name")),
+            F.coalesce(F.col("aliases"), F.array().cast("array<string>")),
+        )
     ).alias("alias")
     d = entities.select("entity_id", alias)
     return d.select(

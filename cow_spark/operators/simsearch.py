@@ -51,10 +51,31 @@ def cosine_topk(
         .where(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase distributed top-k over (query_id, nbr_id, cosine).
+
+    A single ``Window.partitionBy(query_id)`` would shuffle the whole
+    scored set into one task per query and sort it there (corpus-sized
+    partitions when |queries| is small). Phase 1 takes the top-k within
+    each (query, input-partition) slice — a balanced shuffle on the
+    compound key — so phase 2 sorts at most k×num_partitions rows per
+    query. Identical results (same deterministic tie-break) at any scale.
+    """
+    part = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("cosine"), F.asc("nbr_id"))
+    local = (
+        part.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_r", "_pid")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nbr_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
@@ -85,14 +106,18 @@ def assign_cells(
 
 def take_centroids(corpus: DataFrame, n_cells: int,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic training-free centroids: the n_cells lowest-id vectors."""
+    """Deterministic training-free centroids: the n_cells lowest-id vectors.
+
+    ``orderBy().limit()`` compiles to a distributed TakeOrderedAndProject
+    (per-partition top-n, merge on the driver) — an unpartitioned window
+    here would drag the whole corpus into one task. The row_number window
+    that assigns cell ids then runs over only n_cells rows.
+    """
+    small = corpus.select(F.col(id_col), F.col(vec_col)) \
+        .orderBy(F.asc(id_col)).limit(n_cells)
     w = Window.orderBy(F.asc(id_col))
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= n_cells)
-        .select((F.col("_r") - 1).alias("cell_id"), F.col(vec_col))
-    )
+    return small.select(
+        (F.row_number().over(w) - 1).alias("cell_id"), F.col(vec_col))
 
 
 def ivf_topk(
@@ -128,9 +153,4 @@ def ivf_topk(
         .select("query_id", F.col(id_col).alias("nbr_id"),
                 cosine(F.col("qv"), F.col("v")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)

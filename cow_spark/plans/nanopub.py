@@ -120,29 +120,24 @@ def partition_provenance_quads(
     pa = F.concat(F.lit(ctx.assertion + "/partition/"), F.col("_pid").cast("string"))
     dt_int = F.lit(XSD + "integer")
     g = F.lit(ctx.provenance)
-    rows = [
-        m.select(g.alias("g"), pa.alias("s"),
-                 F.lit(PROV + "wasDerivedFrom").alias("p"),
-                 F.lit("iri").alias("o_kind"),
-                 F.lit(ctx.dataset_version).alias("o_lex"),
-                 F.lit(None).cast("string").alias("o_dt"),
-                 F.lit(None).cast("string").alias("o_lang")),
-        m.select(g.alias("g"), pa.alias("s"),
-                 F.lit(ctx.sdv + "n_triples").alias("p"),
-                 F.lit("lit").alias("o_kind"),
-                 F.col("n_triples").cast("string").alias("o_lex"),
-                 dt_int.alias("o_dt"),
-                 F.lit(None).cast("string").alias("o_lang")),
-        m.select(g.alias("g"), F.lit(ctx.assertion).alias("s"),
-                 F.lit(ctx.sdv + "hasPartition").alias("p"),
-                 F.lit("iri").alias("o_kind"), pa.alias("o_lex"),
-                 F.lit(None).cast("string").alias("o_dt"),
-                 F.lit(None).cast("string").alias("o_lang")),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    ns = F.lit(None).cast("string")
+
+    def q(s, p, kind, o_lex, o_dt):
+        return F.struct(g.alias("g"), s.alias("s"), F.lit(p).alias("p"),
+                        F.lit(kind).alias("o_kind"), o_lex.alias("o_lex"),
+                        o_dt.alias("o_dt"), ns.alias("o_lang"))
+
+    # one explode, not a 3-way union: Spark has no CSE across union
+    # branches, so the union form re-executed the upstream quads pipeline
+    # once per branch (same finding as the LSH band builder in dedup.py)
+    triples = F.array(
+        q(pa, PROV + "wasDerivedFrom", "iri",
+          F.lit(ctx.dataset_version), ns),
+        q(pa, ctx.sdv + "n_triples", "lit",
+          F.col("n_triples").cast("string"), dt_int),
+        q(F.lit(ctx.assertion), ctx.sdv + "hasPartition", "iri", pa, ns),
+    )
+    return m.select(F.explode(triples).alias("q")).select("q.*")
 
 
 def spec_provenance_quads(spark: SparkSession, ctx: NanopubContext,

@@ -13,7 +13,6 @@ resume-equals-fresh.
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,9 +26,16 @@ def bucket_of(col, n_buckets: int):
 
 
 def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame:
-    if _exists(manifest_path):
+    """Read the manifest through Spark so the probe works on ANY
+    filesystem the cluster can reach (s3a://, hdfs://, local) — an
+    os.path probe is driver-local only and would silently disable resume
+    (and duplicate output) on distributed storage."""
+    try:
         return spark.read.parquet(manifest_path).select("bucket").distinct()
-    return spark.createDataFrame([], "bucket int")
+    except Exception as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], "bucket int")
+        raise
 
 
 def run_with_resume(
@@ -63,14 +69,19 @@ def run_with_resume(
         return []
     result = process_fn(todo)
     assert "_bucket" in result.columns, "process_fn must preserve _bucket"
-    result.write.mode("append").partitionBy("_bucket").parquet(output_path)
+    # dynamic partition overwrite REPLACES each touched bucket directory
+    # instead of appending, so a crash between the data write and the
+    # manifest write leaves the rerun idempotent (the bucket is simply
+    # rewritten) rather than duplicating its rows
+    (
+        result.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(output_path)
+    )
     spark.createDataFrame([(int(b),) for b in buckets], "bucket int").write.mode(
         "append"
     ).parquet(manifest_path)
     return buckets
 
 
-def _exists(path: str) -> bool:
-    return os.path.exists(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )

@@ -41,9 +41,11 @@ def read_csv(
     )
     # COW model: every cell is a string; empty cell == "" not NULL. Spark's
     # CSV reader yields NULL for empty unquoted fields no matter the
-    # nullValue/emptyValue options — normalize here.
+    # nullValue/emptyValue options — normalize here. df[c] (not F.col(c))
+    # resolves dotted headers like 'lat.deg' literally instead of as
+    # struct-field access.
     return df.select(
-        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in df.columns]
+        *[F.coalesce(df[c], F.lit("")).alias(c) for c in df.columns]
     )
 
 

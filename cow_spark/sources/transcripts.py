@@ -53,7 +53,14 @@ TEMPLATES: list[tuple[str, tuple[str, ...]]] = [
 
 
 def _mix_col(i: Column, salt: int) -> Column:
-    return F.pmod(i * F.lit(_A) + F.lit(salt * 12345 + 7), F.lit(_M))
+    # reduce i mod M BEFORE multiplying: (i%M)*A tops out near 2^61, but
+    # a raw i*A wraps 64-bit long past i≈8.4e9 and silently diverges from
+    # the arbitrary-precision Python twin; modular arithmetic makes the
+    # two forms identical ((i*A+c) % M == ((i%M)*A+c) % M for i ≥ 0)
+    return F.pmod(
+        F.pmod(i, F.lit(_M)) * F.lit(_A) + F.lit(salt * 12345 + 7),
+        F.lit(_M),
+    )
 
 
 def _mix_py(i: int, salt: int) -> int:
