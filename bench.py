@@ -101,9 +101,10 @@ def main() -> None:
     n_slots = max(int(10_000_000 * sf), 20_000)
     t, quads, linked = transcript_pipeline(spark, n_slots)
     n_turns = t.count()
-    t0 = time.perf_counter()
-    n_triples = quads.count()
-    timings["transcript_kg_extract"] = round(time.perf_counter() - t0, 3)
+    # same sink (noop write) for BOTH timings so the dedup-vs-nodedup
+    # delta isolates the dedup shuffle, not a count()-vs-sink difference
+    timings["transcript_kg_extract"] = round(_run(quads), 3)
+    n_triples = quads.count()  # untimed, for the throughput stats
 
     # same extraction without the global-dedup shuffle (COW itself only
     # dedups per chunk; 'global' is our stricter engine default) — shows

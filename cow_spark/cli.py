@@ -91,16 +91,20 @@ def convert_one(path: str, args) -> str:
               f"`python -m cow_spark build {path}` first.")
         sys.exit(1)
     with open(meta_path) as f:
-        raw = f.read()
-    obj = json.loads(raw)
+        obj = json.load(f)
     spec = (MappingSpec.from_csvw_json(obj) if "@context" in obj
             else MappingSpec.from_json(obj))
 
     # CLI dialect defaults overridden by the spec's csvw:dialect
-    # (csvw.py:257-275)
+    # (csvw.py:257-275). An explicit "quoteChar": null means quoting
+    # DISABLED (CSVW), not "use the default" — map it to Spark's
+    # empty-quote sentinel
     dialect = spec.dialect or {}
     delimiter = dialect.get("delimiter") or args.delimiter or ","
-    quotechar = dialect.get("quoteChar") or args.quotechar
+    if "quoteChar" in dialect:
+        quotechar = dialect["quoteChar"] if dialect["quoteChar"] is not None else ""
+    else:
+        quotechar = args.quotechar
     encoding = dialect.get("encoding") or args.encoding or "utf-8"
 
     spark = _session(args)

@@ -35,6 +35,10 @@ def gazetteer_pattern(names: list[str]) -> str:
     """Word-bounded alternation, longest-first (leftmost-first engines
     like Java regex and RE2 then agree on matches)."""
     ordered = sorted(set(names), key=lambda n: (-len(n), n))
+    if not ordered:
+        # \b(?:)\b matches the empty string at every word boundary —
+        # a silent flood of '' mentions; fail fast instead
+        raise ValueError("gazetteer_pattern requires at least one name")
     return r"\b(?:" + "|".join(re.escape(n) for n in ordered) + r")\b"
 
 
@@ -97,8 +101,12 @@ def detect_mentions_arrow(
             for conv, turn, text in zip(b["conv_id"], b["turn_idx"], b[text_col]):
                 if text is None:
                     continue
+                # Arrow→pandas renders a nullable int column as float64
+                # with NaN; keep the row with a NULL key like the JVM
+                # path does instead of crashing on int(NaN)
+                turn_i = None if pd.isna(turn) else int(turn)
                 for pos, mention in enumerate(match(text)):
-                    rows.append((conv, int(turn), pos, mention))
+                    rows.append((conv, turn_i, pos, mention))
             yield pd.DataFrame(
                 rows, columns=[*key_cols, "mention_pos", "mention"]
             )

@@ -101,11 +101,17 @@ def sample_frames(
     media: DataFrame, every_ms: int = 250
 ) -> DataFrame:
     """Frame-sampling plan for video rows: explode sample timestamps
-    JVM-side (the decode of each sampled frame is the stubbed kernel)."""
+    JVM-side (the decode of each sampled frame is the stubbed kernel).
+
+    Deliberately does NOT carry ``content`` through the explode — that
+    would copy the full video payload into every frame row (a 60 s clip
+    at 250 ms = 241 copies of the binary in Tungsten rows). The decode
+    stage joins content back by doc_id, or better, runs decode in the
+    same mapInPandas stage as the sampling so each payload crosses once.
+    """
     video = media.where(F.col("media_type").startswith("video/"))
     stamps = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
     return video.select(
         "doc_id",
         F.explode(stamps).alias("frame_ms"),
-        "content",
     )

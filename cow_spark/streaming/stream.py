@@ -48,13 +48,16 @@ def stream_extract_quads(
 ) -> DataFrame:
     """Streaming extraction with within-watermark dedup.
 
-    Keeps the event time on each quad so late data is bounded; dedup
-    state is dropped beyond the watermark.
+    ``dropDuplicatesWithinWatermark`` dedups on the quad key ALONE within
+    the lateness horizon (state dropped beyond the watermark) — a plain
+    ``dropDuplicates(key + ts)`` would keep identical quads emitted by
+    turns at different event times, diverging from batch
+    ``dedup='global'`` semantics.
     """
     with_wm = stream.withWatermark(event_time_col, watermark)
     quads = extract_quads(with_wm, spec, graph=graph, dedup="none",
                           passthrough=[event_time_col])
-    return quads.dropDuplicates(QUAD_COLS + [event_time_col])
+    return quads.dropDuplicatesWithinWatermark(QUAD_COLS)
 
 
 def stream_mention_rates(
@@ -224,20 +227,21 @@ _UNIT_MS = {
 
 
 def _duration_ms(s: str) -> int:
-    """Spark-interval-style duration grammar, incl. multi-part strings
-    ('1 hour 30 minutes') — matches what ``withWatermark`` accepts."""
+    """Spark-interval-style duration grammar, incl. multi-part and
+    fractional values ('1 hour 30 minutes', '1.5 hours') — matches what
+    ``withWatermark`` accepts. The whole string must be consumed; a
+    partial match ('1.5' parsed as '5') would silently change the gap."""
     import re as _re
 
-    pairs = _re.findall(r"(\d+)\s*([A-Za-z]+)", s)
-    if not pairs:
+    if not _re.fullmatch(r"\s*(?:\d+(?:\.\d+)?\s*[A-Za-z]+\s*)+", s):
         raise ValueError(f"cannot parse duration {s!r}")
-    total = 0
-    for n, unit in pairs:
+    total = 0.0
+    for n, unit in _re.findall(r"(\d+(?:\.\d+)?)\s*([A-Za-z]+)", s):
         try:
-            total += int(n) * _UNIT_MS[unit.lower()]
+            total += float(n) * _UNIT_MS[unit.lower()]
         except KeyError:
             raise ValueError(f"unknown duration unit {unit!r} in {s!r}")
-    return total
+    return int(total)
 
 
 def write_quads_stream(

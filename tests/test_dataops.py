@@ -174,15 +174,16 @@ def test_streaming_extract(spark, tmp_path):
     from cow_spark.operators.extract import extract_quads
 
     src = str(tmp_path / "landing")
-    transcripts_df(spark, 200).write.parquet(src)
+    transcripts_df(spark, 200).repartition(3).write.parquet(src)
     spec = MappingSpec.from_json(transcripts_default_spec())
-    stream = read_transcripts_stream(spark, src, max_files_per_trigger=2)
-    q = stream_extract_quads(stream, spec)
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=1)
+    # watermark covers the fixture's span → no late drops, and
+    # dropDuplicatesWithinWatermark dedups on the quad key alone, so the
+    # streamed multiset must EQUAL batch dedup='global' exactly
+    q = stream_extract_quads(stream, spec, watermark="2 hours")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     write_quads_stream(q, out, ckpt, available_now=True).awaitTermination(120)
     batch = extract_quads(spark.read.parquet(src), spec)
-    # stream dedups per (quad, event-time) within the watermark; the batch
-    # comparison is set-based on the quad itself
-    got = spark.read.parquet(out).drop("ts").dropDuplicates()
+    got = spark.read.parquet(out).drop("ts")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
