@@ -114,3 +114,24 @@ def test_cli_empty_cells_skipped(spark, tmp_path):
     assert not any(p.endswith("/vocab/Ref_Reg>") for p in preds)  # empty
     assert not any(p.endswith("/vocab/Hiscam>") for p in preds)   # empty
     assert any(p.endswith("/vocab/Marital_Status>") for p in preds)
+
+
+def test_cli_gzip_output_roundtrip(spark, tmp_path):
+    """S9: --gzip writes .nq.gz parts that decompress to the same quads."""
+    import gzip as _gzip
+
+    p = tmp_path / "z.csv"
+    p.write_text("id,name\n1,Ada\n2,Bert\n")
+    cli_main(["build", str(p)])
+    cli_main(["convert", str(p), "--gzip",
+              "--timestamp", "2026-08-17T00:00"])
+    out = str(p) + ".nq.gz"
+    assert os.path.exists(out)
+    lines = set()
+    for part in os.listdir(out):
+        if part.startswith("part-") and part.endswith(".gz"):
+            with _gzip.open(os.path.join(out, part), "rt") as f:
+                lines.update(x for x in f.read().splitlines() if x)
+    body = "\n".join(lines)
+    assert '"Ada"' in body and '"Bert"' in body
+    assert "/z/assertion/" in body
