@@ -1,0 +1,59 @@
+"""Physical-plan quality gates (input_hint mandate: vectorized
+pandas/Arrow UDFs only, no per-row Python; scans pruned and filters
+pushed). These pin the plan shape so regressions surface as test
+failures, not as silent slowdowns at scale."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+# queries whose plans may legitimately contain an Arrow-batched Python
+# stage (mapInPandas feature kernel); everything else must be JVM-only
+_ARROW_OK = {"multimodal_features", "multimodal_meta"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_no_per_row_python_stages(spark, name):
+    plan = _plan(spark, entry_mod.queries()[name](spark, SF))
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan")
+    if name not in _ARROW_OK:
+        for marker in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name}: unexpected Python stage {marker}"
+
+
+def test_scan_pruning_kg_default(spark):
+    """The default-spec extraction reads exactly the mapped columns."""
+    plan = _plan(spark, entry_mod.queries()["kg_default_triples"](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    schema = read[0]
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        assert col in schema
+    assert "embedding" not in schema  # untouched columns pruned
+
+
+def test_filter_pushdown_pricing(spark):
+    plan = _plan(spark, entry_mod.queries()["pricing_summary"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], plan
+
+
+def test_broadcast_dims_order_revenue(spark):
+    plan = _plan(spark, entry_mod.queries()["order_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "dimension joins must broadcast, not shuffle")
