@@ -181,3 +181,95 @@ def test_stream_sessions_split_on_event_time_gap(spark, tmp_path):
     assert any(r.n_turns == 2 and r.n_chars == 20 for r in closed)
     # second session live with 1 turn
     assert any((not r.closed) and r.n_turns == 1 for r in got)
+
+
+def test_stream_sessions_randomized_matches_reference(spark, tmp_path):
+    """Randomized sessionization: events delivered in arbitrary batch
+    order must converge to exactly the sessions a reference Python
+    sessionizer computes over the full event set (covering watermark →
+    no late drops, no closures; final open candidates = true sessions).
+    Every emitted row must also be a sub-aggregate of one true session
+    (candidates only ever merge toward the final answer)."""
+    import datetime as dt
+    import random
+
+    from cow_spark.streaming.stream import (
+        read_transcripts_stream,
+        stream_conversation_sessions,
+    )
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    GAP_S = 600  # 10 minutes
+
+    events = []
+    for conv in ["cA", "cB", "cC"]:
+        for turn in range(14):
+            ts = t0 + dt.timedelta(seconds=rng.randrange(0, 3 * 3600))
+            events.append((conv, turn, "user", "y" * rng.randrange(1, 9),
+                           None, ts))
+
+    # reference sessionizer over the complete event set
+    def sessions_of(rows):
+        out = {}
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r[0], []).append(r)
+        for conv, rs in by_conv.items():
+            rs.sort(key=lambda r: r[5])
+            cur = None
+            sess = []
+            for r in rs:
+                if cur and (r[5] - cur["last"]).total_seconds() > GAP_S:
+                    sess.append(cur)
+                    cur = None
+                if cur is None:
+                    cur = {"n": 0, "ch": 0, "first": r[5], "last": r[5]}
+                cur["n"] += 1
+                cur["ch"] += len(r[3])
+                cur["last"] = max(cur["last"], r[5])
+            sess.append(cur)
+            out[conv] = {(s["n"], s["ch"], s["first"], s["last"])
+                         for s in sess}
+        return out
+
+    want = sessions_of(events)
+
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    src = str(tmp_path / "landing")
+    rng.shuffle(events)
+    for chunk in (events[:14], events[14:28], events[28:]):
+        spark.createDataFrame(chunk, ddl).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=1)
+    sessions = stream_conversation_sessions(stream, watermark="6 hours",
+                                            gap="10 minutes")
+    (
+        sessions.writeStream.outputMode("update")
+        .format("memory").queryName("rnd_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckr"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = spark.table("rnd_sessions").collect()
+    by_conv = {}
+    for r in got:
+        by_conv.setdefault(r.conv_id, []).append(
+            (r.n_turns, r.n_chars, r.first_ts, r.last_ts))
+
+    for conv, true_sessions in want.items():
+        emitted = set(by_conv[conv])
+        # 1) every true session appears verbatim among the emissions
+        missing = true_sessions - emitted
+        assert not missing, f"{conv}: true sessions never emitted: {missing}"
+        # 2) every emission is contained in exactly one true session
+        for n, ch, first, last in emitted:
+            hosts = [t for t in true_sessions
+                     if t[2] <= first and last <= t[3]]
+            assert hosts, f"{conv}: emission ({n},{ch},{first},{last}) " \
+                          f"fits no true session"
+            tn, tch, _, _ = hosts[0]
+            assert n <= tn and ch <= tch
