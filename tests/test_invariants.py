@@ -20,6 +20,10 @@ from cow_spark.spec.templates import (
 )
 
 _IDENT = st.sampled_from(["conv_id", "turn_idx", "role", "text"])
+# 'ghost' is deliberately absent from the row — exercises the Undefined
+# semantics (echo/filters -> '', |length -> '0', format field -> skip,
+# |int inside |format -> render failure)
+_IDENT_G = st.sampled_from(["conv_id", "turn_idx", "role", "text", "ghost"])
 # literal fragments: no braces (brace-bearing literals route to jinja,
 # which is exact by construction), no '%' (format-string interactions)
 _LIT = st.text(
@@ -37,17 +41,25 @@ def templates(draw):
     n = draw(st.integers(1, 5))
     parts = []
     for _ in range(n):
-        kind = draw(st.integers(0, 3))
+        kind = draw(st.integers(0, 5))
         if kind == 0:
             parts.append(draw(_LIT))
         elif kind == 1:
-            parts.append("{%s}" % draw(_IDENT))
+            parts.append("{%s}" % draw(_IDENT_G))
         elif kind == 2:
-            parts.append("{{%s}}" % draw(_IDENT))
-        else:
-            parts.append("{{%s|%s}}" % (draw(_IDENT),
+            parts.append("{{%s}}" % draw(_IDENT_G))
+        elif kind == 3:
+            parts.append("{{%s|%s}}" % (draw(_IDENT_G),
                                         draw(st.sampled_from(
                                             ["lower", "upper", "length"]))))
+        elif kind == 4:
+            # jinja |int coercion path (non-numeric -> 0, ghost -> fail)
+            parts.append("{{'%%0%dd'|format(%s|int)}}" % (
+                draw(st.integers(1, 6)), draw(_IDENT_G)))
+        else:
+            parts.append(
+                "{%% if %s == '%s' %%}%s{%% else %%}%s{%% endif %%}" % (
+                    draw(_IDENT_G), draw(_VALUE), draw(_LIT), draw(_LIT)))
     return "".join(parts)
 
 
