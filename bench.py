@@ -88,9 +88,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM/JIT + parquet footer reads are not what we benchmark
+    # warm-up: JVM/JIT, parquet footer reads, and Python-worker/Arrow
+    # startup are not what we benchmark
     spark.read.parquet(f"{SF_DIR}/nation.parquet").write.format(
         "noop").mode("overwrite").save()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _warm(s):
+        return s
+
+    spark.range(1000).selectExpr("cast(id as string) s") \
+        .select(_warm("s")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     qmap = entry.queries()
@@ -116,6 +125,25 @@ def main() -> None:
 
     raw = _eq(_tdf(spark, n_slots), _MS.from_json(_tfs()), dedup="none")
     timings["transcript_kg_extract_nodedup"] = round(_run(raw), 3)
+
+    # the Arrow-batched Jinja fallback (templates the static compiler
+    # can't lower) — COW's 25-50% hot path; measured honestly since the
+    # full spec lowers everything and would otherwise never exercise it
+    jinja_spec = _MS.from_json({
+        "@base": "https://example.com/id/transcripts",
+        "url": "transcripts",
+        "tableSchema": {
+            "aboutUrl": "{conv_id}/turn/{turn_idx}",
+            "columns": [{
+                "name": "text",
+                "propertyUrl": "vocab/textHead",
+                "value": "{% if text %}{{ text[:12]|upper }}"
+                         "{% else %}EMPTY{% endif %}",
+            }],
+        },
+    })
+    jq = _eq(_tdf(spark, n_slots), jinja_spec, dedup="none")
+    timings["jinja_fallback_extract"] = round(_run(jq), 3)
     linked = linked.persist()
     t0 = time.perf_counter()
     n_linked = linked.count()
