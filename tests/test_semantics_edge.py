@@ -119,3 +119,20 @@ def test_missing_subject_field_fails_fast(spark):
     df = spark.createDataFrame([("x",)], "v string")
     with pytest.raises(SpecError, match="_row"):
         extract_quads(df, spec)
+
+
+def test_numeric_jinja_conditional_skips_like_py3_reference(spark):
+    """docs/index.rst:605 compares a string cell to an int — py3 Jinja
+    raises, the reference's per-column catch skips. Engine and oracle
+    must both skip (PARITY 'Known reference quirks')."""
+    tpl = "{% if gdp > 100000 %}rich{% else %}poor{% endif %}"
+    assert render_template_py(tpl, {"gdp": "104906"}) is None
+    spec = MappingSpec.from_json({
+        "@base": "https://ex.com/id", "url": "t",
+        "tableSchema": {
+            "aboutUrl": "{k}",
+            "columns": [{"name": "gdp", "valueUrl": tpl}],
+        },
+    })
+    df = spark.createDataFrame([("r1", "104906")], "k string, gdp string")
+    assert extract_quads(df, spec).count() == 0
