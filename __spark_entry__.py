@@ -37,6 +37,17 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """The driver may build its own SparkSession (not our get_session);
+    Python workers unpickle cow_spark functions by module reference, so
+    ship the package zip once per session for the mapInPandas queries."""
+    if not getattr(spark, "_cow_spark_shipped", False):
+        from cow_spark.session import _package_zip
+
+        spark.sparkContext.addPyFile(_package_zip())
+        spark._cow_spark_shipped = True
+
+
 def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like _load but repartitioned to the session parallelism — the sf*
     tables are single parquet files (= one input split), which would pin
@@ -402,7 +413,7 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double")) * 10000
             ).cast("long"),
         )
-        .where(F.col("score_m") >= 5000)
+        .where(F.col("score_m") >= 4000)
     )
     best = scored.groupBy("doc_id", "mention").agg(
         F.min_by(F.struct("entity_id", "score_m"),
@@ -434,7 +445,7 @@ scored as (
   join dict d on substr(m.mention, 1, 1) = substr(d.name, 1, 1)
   where (1.0 - levenshtein(m.mention, d.name) /
          cast(greatest(length(m.mention), length(d.name)) as double))
-         * 10000 >= 5000
+         * 10000 >= 4000
 ),
 ranked as (
   select *, row_number() over (partition by doc_id, mention
@@ -555,20 +566,29 @@ from documents
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents plus a deterministic re-sample (every
+    100th doc duplicated) — the raw sf0.01 table happens to have zero
+    byte-identical texts, and a 0-row oracle match proves nothing."""
     from cow_spark.operators.dedup import exact_duplicates
 
     docs = _load(spark, sf_dir, "documents")
-    return exact_duplicates(docs).select(
+    dup = docs.where(F.col("doc_id") % 100 == 0)
+    return exact_duplicates(docs.unionByName(dup)).select(
         "fp", F.col("n_docs").cast("long").alias("n_docs"),
         F.col("canonical_id").cast("long").alias("canonical_id"),
     )
 
 
 _SQL_DEDUP_EXACT = """
+with corpus as (
+  select * from documents
+  union all
+  select * from documents where cast(doc_id as bigint) % 100 = 0
+)
 select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp,
        count(*) as n_docs,
        min(cast(doc_id as bigint)) as canonical_id
-from documents
+from corpus
 where text is not null
 group by 1 having count(*) > 1
 """
@@ -837,6 +857,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary feature extraction (deterministic fake kernel)."""
     from cow_spark.operators.multimodal import extract_features, media_from_documents
 
+    _ensure_workers_can_import(spark)
     docs = _load(spark, sf_dir, "documents")
     return extract_features(media_from_documents(docs), decoder="fake")
 
@@ -918,6 +939,10 @@ def q_transcript_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cow_spark.spec.presets import transcripts_default_spec
     from cow_spark.sources.transcripts import transcripts_df
 
+    # the ts literal rendering goes through date_format, which follows
+    # the session timezone — the oracle's strftime is UTC, so pin it
+    # (no-op under our own get_session, which already sets UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     t = transcripts_df(spark, 5000)
     spec = MappingSpec.from_json(transcripts_default_spec())
     return extract_quads(t, spec)
