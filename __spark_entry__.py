@@ -838,6 +838,45 @@ from embeddings
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full embedding near-dup pipeline (bucket by sign sketch, verify
+    cosine). Threshold -1 keeps every bucket pair so the cosine math is
+    value-checked even though this corpus has no true near-duplicates."""
+    from cow_spark.operators.dedup import embedding_near_duplicates
+
+    embs = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(embs, min_cosine=-1.0)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.floor(F.col("cosine") * 100).cast("long").alias("cos2"),
+    )
+
+
+_SQL_EMB_NEARDUP = """
+with v as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+s as (
+  select vec_id, e,
+    cast(list_sum(list_transform(generate_series(1, 16),
+         j -> case when e[j] > 0 then power(2, j - 1) else 0 end))
+         as bigint) as sk
+  from v
+)
+select a.vec_id as id_a, b.vec_id as id_b,
+       cast(floor(round(
+         list_sum(list_transform(generate_series(1, len(a.e)),
+                                 i -> a.e[i] * b.e[i])) /
+         (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+          sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) * 100)
+       as bigint) as cos2
+from s a join s b on a.sk = b.sk and a.vec_id < b.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL oracle — driver records weaker check)
 # ---------------------------------------------------------------------------
@@ -1079,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
+        "embedding_neardup": q_embedding_neardup,
         "transcript_kg": q_transcript_kg,
         "multimodal_meta": q_multimodal_meta,
         "extraction_metrics": q_extraction_metrics,
@@ -1106,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _sql_jaccard_pairs(),
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
+        "embedding_neardup": _SQL_EMB_NEARDUP,
         "transcript_kg": _sql_transcript_kg(),
         "multimodal_meta": _sql_multimodal_meta(),
         "extraction_metrics": _SQL_EXTRACTION_METRICS,
