@@ -702,6 +702,65 @@ select doc_id, {votes} as sketch from hashed group by doc_id
 """
 
 
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-band MinHash-LSH candidate generation (all bands,
+    bucket-cap guard) — `minhash_bands` checks the bucketing layer;
+    this value-checks the operator's pair output end-to-end."""
+    from cow_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return minhash_lsh_pairs(docs, k=_MINHASH_K, bands=_MINHASH_K // 2)
+
+
+def _sql_lsh_pairs() -> str:
+    bands = _sql_minhash_bands()
+    return f"""
+with bands as ({bands}),
+sized as (
+  select b.* from bands b
+  join (select band, band_key, count(*) as _bn
+        from bands group by band, band_key) s
+    on b.band = s.band and b.band_key = s.band_key
+  where s._bn <= 1000
+)
+select distinct a.doc_id as id_a, b.doc_id as id_b
+from sized a
+join sized b on a.band = b.band and a.band_key = b.band_key
+            and a.doc_id < b.doc_id
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SimHash near-dup pipeline at the operator defaults
+    (byte-band bucketing, hamming <= 3) — the sketch layer alone is
+    checked by `simhash`; this value-checks the pair generation."""
+    from cow_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return simhash_near_duplicates(docs).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash_neardup() -> str:
+    sk = _sql_simhash()
+    return f"""
+with sk as ({sk}),
+b as (
+  select doc_id, sketch, u.band as band,
+         (sketch >> (u.band * 8)) & 255 as band_key
+  from sk, unnest([0, 1, 2, 3]) as u(band)
+)
+select distinct a.doc_id as id_a, b2.doc_id as id_b,
+       cast(bit_count(xor(a.sketch, b2.sketch)) as int) as hamming
+from b a
+join b b2 on a.band = b2.band and a.band_key = b2.band_key
+          and a.doc_id < b2.doc_id
+where bit_count(xor(a.sketch, b2.sketch)) <= 3
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard over exact-band candidate pairs (band 0 only —
     keeps the oracle join small; full pipeline uses all bands)."""
@@ -1115,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
@@ -1143,6 +1204,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),
+        "simhash_neardup": _sql_simhash_neardup(),
+        "lsh_pairs": _sql_lsh_pairs(),
         "jaccard_pairs": _sql_jaccard_pairs(),
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
