@@ -133,9 +133,17 @@ def convert_one(path: str, args) -> str:
         timestamp=args.timestamp or _utc_minute(),
     )
     out = assemble_nanopub(quads, ctx, source_path=path)
-    target = path + ".nq" + (".gz" if args.gzip else "")
-    write_nquads(out, target, gzip=args.gzip,
-                 single_file=not args.distributed)
+    ext = {"nquads": ".nq", "nt": ".nt", "turtle": ".ttl",
+           "trig": ".trig"}[args.format]
+    target = path + ext + (".gz" if args.gzip else "")
+    if args.format == "nquads":
+        write_nquads(out, target, gzip=args.gzip,
+                     single_file=not args.distributed)
+    else:
+        from .sources.sinks import write_rdf
+
+        write_rdf(out, target, fmt=args.format, gzip=args.gzip,
+                  single_file=not args.distributed)
     print(f"wrote {target}")
     return target
 
@@ -196,10 +204,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--version", action="version", version=__version__)
     args = ap.parse_args(argv)
 
-    if args.format != "nquads":
-        print("Only nquads serialization is supported (the reference "
-              "produces other formats by re-parsing the .nq — out of "
-              "scope here, SURVEY.md §7).")
+    if args.format not in ("nquads", "nt", "turtle", "trig"):
+        print("Supported serializations: nquads (default), nt, turtle, "
+              "trig. xml/pretty-xml/trix/n3 need a real serializer "
+              "(the reference re-parses its .nq through rdflib — "
+              "SURVEY.md §7 non-goal).")
         sys.exit(1)
     if args.encoding:
         try:

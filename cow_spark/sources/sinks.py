@@ -77,6 +77,81 @@ def write_quads_iceberg(
         w.create()
 
 
+RDF_TEXT_FORMATS = ("nquads", "nt", "ntriples", "turtle", "ttl", "trig")
+
+
+def write_rdf(
+    quads: DataFrame,
+    path: str,
+    fmt: str = "nquads",
+    graph: str | None = None,
+    gzip: bool = False,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """S8 — serialize quads to an RDF text format.
+
+    The reference transcodes by re-parsing its .nq through rdflib
+    (csvw_tool.py:61-78); we emit each format directly from the term
+    renderer using *correct subsets* of the grammars:
+
+    - ``nquads``             — full named-graph output (the default)
+    - ``nt``/``ntriples``    — graph column dropped (triples only)
+    - ``turtle``/``ttl``     — N-Triples IS valid Turtle; no prefix
+      compaction (prefixes are cosmetic, the document is conformant)
+    - ``trig``               — one ``<graph> { ... }`` block per graph
+      (default-graph triples emitted bare), distributed per-graph
+
+    xml/pretty-xml/trix/n3 stay unsupported (SURVEY §7 non-goal —
+    they'd need a real serializer, not a grammar subset).
+    """
+    from ..model import object_term, to_nquads_lines
+
+    f = fmt.lower()
+    if f not in RDF_TEXT_FORMATS:
+        raise ValueError(
+            f"unsupported RDF format {fmt!r}; supported: {RDF_TEXT_FORMATS}")
+    if f == "nquads":
+        return write_nquads(quads, path, graph=graph, gzip=gzip, mode=mode,
+                            single_file=single_file)
+
+    triple = F.concat(
+        F.lit("<"), quads["s"], F.lit("> <"), quads["p"], F.lit("> "),
+        object_term(quads["o_kind"], quads["o_lex"],
+                    quads["o_dt"], quads["o_lang"]), F.lit(" ."),
+    )
+    if f in ("nt", "ntriples", "turtle", "ttl"):
+        lines = quads.select(triple.alias("value")).dropDuplicates()
+    else:  # trig: group triples into graph blocks
+        g = quads["g"] if "g" in quads.columns else F.lit(None).cast("string")
+        if graph is not None:
+            g = F.coalesce(g, F.lit(graph))
+        # TriG permits repeating a graph label across blocks (triples
+        # union), so group per (graph, task partition) — block size stays
+        # bounded by the partition instead of one giant row holding the
+        # whole assertion graph
+        per_graph = (
+            quads.select(g.alias("_g"), triple.alias("_t"))
+            .dropDuplicates()
+            .groupBy("_g", F.spark_partition_id().alias("_pid"))
+            .agg(F.concat_ws("\n", F.sort_array(F.collect_list("_t")))
+                 .alias("_body"))
+        )
+        lines = per_graph.select(
+            F.when(
+                F.col("_g").isNotNull(),
+                F.concat(F.lit("<"), F.col("_g"), F.lit("> {\n"),
+                         F.col("_body"), F.lit("\n}")),
+            ).otherwise(F.col("_body")).alias("value")
+        )
+    if single_file:
+        lines = lines.coalesce(1)
+    w = lines.write.mode(mode)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.text(path)
+
+
 def write_nquads(
     quads: DataFrame,
     path: str,

@@ -71,9 +71,34 @@ def test_convert_without_metadata_exits(spark, csv_file):
         cli_main(["convert", csv_file])
 
 
-def test_non_nquads_format_rejected(csv_file):
+def test_unsupported_format_rejected(csv_file):
     with pytest.raises(SystemExit):
-        cli_main(["convert", csv_file, "--format", "turtle"])
+        cli_main(["convert", csv_file, "--format", "xml"])
+
+
+def test_cli_alternate_serializations(spark, csv_file):
+    """S8 subset formats: nt/turtle = triples only, trig = graph blocks."""
+    cli_main(["build", csv_file])
+    for fmt, ext in [("nt", ".nt"), ("turtle", ".ttl"), ("trig", ".trig")]:
+        cli_main(["convert", csv_file, "--format", fmt,
+                  "--timestamp", "2026-08-17T00:00"])
+        out = csv_file + ext
+        assert os.path.exists(out)
+        body = "\n".join(_read_nq(out))
+        assert '"Redfield, sr."' in body
+        if fmt in ("nt", "turtle"):
+            # triples only: every line ends 'o .' with exactly 3 terms
+            assert "> {" not in body
+            line = next(l for l in body.splitlines() if "Redfield" in l)
+            assert line.endswith(" .") and line.count("> <") == 1
+        else:
+            # read parts verbatim — _read_nq's set-union loses order
+            raw = ""
+            for part in sorted(os.listdir(out)):
+                if part.startswith("part-"):
+                    raw += open(os.path.join(out, part)).read()
+            assert "> {" in raw
+            assert raw.count("{") == raw.count("}") >= 1
 
 
 # -- reference example dialects (FIXTURES.md F6: first rows, checked in) ----
