@@ -51,23 +51,31 @@ def _utc_minute() -> str:
 
 
 def build_one(path: str, args) -> str:
-    from .sources.csv_source import read_csv
+    from .sources.csv_source import (
+        detect_encoding,
+        read_csv,
+        sniff_delimiter,
+    )
     from .spec.mapping import backup_spec, build_spec
 
     spark = _session(args)
-    delimiter = args.delimiter or ","
+    # build mode autodetects what the user didn't pin — the reference
+    # runs chardet + csv.Sniffer here (csvw.py:64-82)
+    encoding = args.encoding or detect_encoding(path)
+    delimiter = args.delimiter or sniff_delimiter(path, encoding)
     df = read_csv(spark, path, delimiter=delimiter,
                   quotechar=args.quotechar,
-                  encoding=args.encoding or "utf-8")
+                  encoding=encoding)
     name = args.dataset or os.path.splitext(os.path.basename(path))[0]
     base = args.base.rstrip("/") + "/" + name
     spec = build_spec(df.columns, base=base, url=os.path.basename(path))
-    if args.delimiter or args.quotechar != '"' or args.encoding:
-        spec["dialect"] = {
-            "delimiter": delimiter,
-            "quoteChar": args.quotechar,
-            "encoding": args.encoding or "utf-8",
-        }
+    # always record the RESOLVED dialect (sniffed or given) so convert
+    # reads the file the same way build did
+    spec["dialect"] = {
+        "delimiter": delimiter,
+        "quoteChar": args.quotechar,
+        "encoding": encoding,
+    }
     target = _metadata_path(path)
     backed = backup_spec(target)
     if backed:

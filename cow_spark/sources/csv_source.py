@@ -23,6 +23,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
+    """S2 — driver-side encoding detection for ``build`` mode.
+
+    The reference uses chardet (csvw.py:64-74; unavailable offline);
+    this stdlib heuristic covers the practical cases: BOMs win, then a
+    clean UTF-8 decode of a sample, else latin-1 (which never fails and
+    matches chardet's usual fallback for 8-bit western data).
+    """
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    for bom, enc in [(b"\xef\xbb\xbf", "utf-8-sig"),
+                     (b"\xff\xfe", "utf-16"), (b"\xfe\xff", "utf-16")]:
+        if head.startswith(bom):
+            return enc
+    try:
+        head.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def sniff_delimiter(path: str, encoding: str = "utf-8",
+                    candidates: str = ",;\t|") -> str:
+    """S3 — delimiter sniffing on the header line, same stdlib Sniffer
+    the reference uses (csv.Sniffer().sniff, csvw.py:76-82)."""
+    import csv as _csv
+
+    with open(path, encoding=encoding, errors="replace") as f:
+        header = f.readline()
+    try:
+        return _csv.Sniffer().sniff(header, delimiters=candidates).delimiter
+    except _csv.Error:
+        return ","
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -160,3 +160,27 @@ def test_cli_gzip_output_roundtrip(spark, tmp_path):
     body = "\n".join(lines)
     assert '"Ada"' in body and '"Bert"' in body
     assert "/z/assertion/" in body
+
+
+def test_build_autodetects_dialect(spark, tmp_path):
+    """S2/S3: build without flags sniffs the delimiter (stdlib Sniffer,
+    same as the reference) and detects encoding; convert then reads the
+    file identically via the recorded dialect."""
+    from cow_spark.sources.csv_source import detect_encoding, sniff_delimiter
+
+    p = tmp_path / "auto.csv"
+    p.write_text("naam;plaats\nJosé;Den Haag\nÅsa;Umeå\n", encoding="utf-8")
+    assert sniff_delimiter(str(p)) == ";"
+    assert detect_encoding(str(p)) == "utf-8"
+    latin = tmp_path / "latin.csv"
+    latin.write_bytes("id;naam\n1;Jos\xe9\n".encode("latin-1"))
+    assert detect_encoding(str(latin)) == "latin-1"
+
+    cli_main(["build", str(p)])
+    spec = json.load(open(str(p) + "-metadata.json"))
+    assert spec["dialect"]["delimiter"] == ";"
+    assert [c["name"] for c in spec["tableSchema"]["columns"]] == [
+        "naam", "plaats"]
+    cli_main(["convert", str(p), "--timestamp", "2026-08-17T00:00"])
+    body = "\n".join(_read_nq(str(p) + ".nq"))
+    assert '"José"' in body and '"Den Haag"' in body
