@@ -942,13 +942,73 @@ from s a join s b on a.sk = b.sk and a.vec_id < b.vec_id
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (iterative centroid assignment — not SQL-replayable;
-    recall vs brute force is asserted in tests/test_dataops.py)."""
+    """IVF-style ANN. The centroids are training-free (lowest-id
+    vectors) so the whole pipeline is deterministic relational algebra —
+    fully SQL-replayable; recall vs brute force is separately asserted
+    in tests/test_dataops.py."""
     from cow_spark.operators.simsearch import ivf_topk
 
     embs = _load(spark, sf_dir, "embeddings")
-    return ivf_topk(embs, embs.where(F.col("vec_id") < 3), k=5,
-                    n_cells=8, n_probe=4)
+    out = ivf_topk(embs, embs.where(F.col("vec_id") < 3), k=5,
+                   n_cells=8, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("nbr_id").cast("long").alias("nbr_id"),
+        F.floor(F.col("cosine") * 10000).cast("long").alias("cos4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_SQL_IVF = """
+with v as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+cents as (
+  select row_number() over (order by vec_id) - 1 as cell_id, e as cv
+  from (select vec_id, e from v order by vec_id limit 8)
+),
+cosim as (
+  select v.vec_id, v.e, c.cell_id,
+    round(list_sum(list_transform(generate_series(1, len(v.e)),
+                                  i -> v.e[i] * c.cv[i])) /
+          (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) as sim
+  from v, cents c
+),
+assigned as (
+  select vec_id, e, cell_id as cell from (
+    select *, row_number() over (partition by vec_id
+                                 order by sim desc, cell_id) as rk
+    from cosim
+  ) where rk = 1
+),
+probes as (
+  select vec_id as query_id, e as qv, cell_id as cell from (
+    select *, row_number() over (partition by vec_id
+                                 order by sim desc, cell_id) as rk
+    from cosim where vec_id < 3
+  ) where rk <= 4
+),
+scored as (
+  select p.query_id, a.vec_id as nbr_id,
+    round(list_sum(list_transform(generate_series(1, len(p.qv)),
+                                  i -> p.qv[i] * a.e[i])) /
+          (sqrt(list_sum(list_transform(p.qv, x -> x * x))) *
+           sqrt(list_sum(list_transform(a.e, x -> x * x)))), 6) as cosine
+  from probes p join assigned a on p.cell = a.cell
+  where p.query_id <> a.vec_id
+),
+ranked as (
+  select query_id, nbr_id,
+         cast(floor(cosine * 10000) as bigint) as cos4,
+         cast(row_number() over (partition by query_id
+                                 order by cosine desc, nbr_id) as int) as rank
+  from scored
+)
+select query_id, nbr_id, cos4, rank from ranked where rank <= 5
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,8 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_kg": q_transcript_kg,
         "multimodal_meta": q_multimodal_meta,
         "extraction_metrics": q_extraction_metrics,
-        # rows-only (non-SQL-expressible)
         "ivf_topk": q_ivf_topk,
+        # rows-only (non-SQL-expressible)
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1213,4 +1273,5 @@ def oracle_sql() -> dict[str, str]:
         "transcript_kg": _sql_transcript_kg(),
         "multimodal_meta": _sql_multimodal_meta(),
         "extraction_metrics": _SQL_EXTRACTION_METRICS,
+        "ivf_topk": _SQL_IVF,
     }

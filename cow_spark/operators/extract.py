@@ -371,4 +371,31 @@ def extract_quads(
     )
     if dedup == "global":
         q = q.dropDuplicates(QUAD_COLS + pt)
+    elif dedup == "partition":
+        # COW-parity mode: set semantics WITHIN each task partition only
+        # (each reference chunk dedups via its own rdflib Graph,
+        # csvw.py:460-462; duplicates across chunks survive). No shuffle —
+        # an Arrow-batched per-partition hash set whose memory tracks the
+        # partition's distinct quads, exactly like COW's per-chunk graph.
+        q = _dedup_within_partitions(q)
     return q
+
+
+def _dedup_within_partitions(q: DataFrame) -> DataFrame:
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    schema = q.schema
+
+    def drop_seen(batches):
+        seen: set = set()
+        for b in batches:
+            mask = []
+            for tup in b.itertuples(index=False, name=None):
+                if tup in seen:
+                    mask.append(False)
+                else:
+                    seen.add(tup)
+                    mask.append(True)
+            yield b[mask]
+
+    return q.mapInPandas(drop_seen, schema=schema)

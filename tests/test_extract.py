@@ -121,3 +121,26 @@ def test_validator_rejects_bad_spec():
         spec.validate(headers=["a"])
     good = MappingSpec.from_json(transcripts_default_spec())
     good.validate(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def test_partition_dedup_matches_cow_chunk_semantics(spark):
+    """dedup='partition' (COW per-chunk parity): set semantics within a
+    task partition; with one partition it equals global dedup, with many
+    it sits between raw and global."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.spec.mapping import MappingSpec
+    from cow_spark.spec.presets import transcripts_full_spec
+    from cow_spark.sources.transcripts import transcripts_df
+
+    spec = MappingSpec.from_json(transcripts_full_spec())
+    t = transcripts_df(spark, 400)
+    n_raw = extract_quads(t, spec, dedup="none").count()
+    n_global = extract_quads(t, spec, dedup="global").count()
+    n_part = extract_quads(t.repartition(4), spec, dedup="partition").count()
+    n_one = extract_quads(t.coalesce(1), spec, dedup="partition").count()
+    assert n_global <= n_part <= n_raw
+    assert n_one == n_global
+    # partition-deduped set == global set up to multiplicity
+    p = extract_quads(t.repartition(4), spec, dedup="partition").dropDuplicates()
+    g = extract_quads(t, spec, dedup="global")
+    assert p.exceptAll(g).count() == 0 and g.exceptAll(p).count() == 0
