@@ -15,8 +15,10 @@ sidecars load unchanged), runs the compiled mapping and writes
 (csvw.py:363-428, util/__init__.py:148-248).
 
 Differences from the reference, by design (SURVEY.md §7):
-- only ``nquads`` serialization (the reference transcodes other formats
-  by re-parsing the .nq — S8 non-goal);
+- serializations: nquads (default) plus nt/turtle/trig as correct
+  grammar subsets emitted directly from the term renderer; xml /
+  pretty-xml / trix / n3 error (the reference produces them by
+  re-parsing its .nq through rdflib);
 - ``--processes`` selects Spark local parallelism (0 = all cores);
   ``--chunksize`` is accepted for flag parity but Spark's split planning
   supersedes fixed row chunks;

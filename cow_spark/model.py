@@ -176,12 +176,19 @@ def to_nquads_lines(quads: DataFrame, graph: str | None = None) -> DataFrame:
     gpart = F.when(g.isNotNull(), F.concat(F.lit(" <"), g, F.lit(">"))).otherwise(
         F.lit("")
     )
-    line = F.concat(
-        F.lit("<"), quads["s"], F.lit("> <"), quads["p"], F.lit("> "),
-        object_term(quads["o_kind"], quads["o_lex"], quads["o_dt"], quads["o_lang"]),
-        gpart, F.lit(" ."),
-    )
+    line = F.concat(triple_line(quads), gpart, F.lit(" ."))
     return quads.select(line.alias("value"))
+
+
+def triple_line(quads: DataFrame):
+    """``<s> <p> obj`` rendering shared by every text serialization —
+    the single source of term/escaping behavior (N-Quads, N-Triples,
+    Turtle, TriG all build on it)."""
+    return F.concat(
+        F.lit("<"), quads["s"], F.lit("> <"), quads["p"], F.lit("> "),
+        object_term(quads["o_kind"], quads["o_lex"],
+                    quads["o_dt"], quads["o_lang"]),
+    )
 
 
 def object_term_py(

@@ -345,7 +345,9 @@ def extract_quads(
     """Run the compiled mapping over ``df`` → quads DataFrame.
 
     ``graph``: constant assertion-graph IRI (all chunks of a COW run share
-    one assertion graph, csvw.py:460-462). ``dedup``: 'global' | 'none'.
+    one assertion graph, csvw.py:460-462). ``dedup``: 'global' (engine
+    default, superset of reference semantics) | 'partition' (exact COW
+    per-chunk parity, no shuffle) | 'none'.
     ``passthrough``: input columns carried onto every emitted quad
     (lineage/bucket keys for checkpoint-resume, E6).
     """
@@ -371,6 +373,8 @@ def extract_quads(
     )
     if dedup == "global":
         q = q.dropDuplicates(QUAD_COLS + pt)
+    elif dedup == "none":
+        pass
     elif dedup == "partition":
         # COW-parity mode: set semantics WITHIN each task partition only
         # (each reference chunk dedups via its own rdflib Graph,
@@ -378,6 +382,10 @@ def extract_quads(
         # an Arrow-batched per-partition hash set whose memory tracks the
         # partition's distinct quads, exactly like COW's per-chunk graph.
         q = _dedup_within_partitions(q)
+    else:
+        raise ValueError(
+            f"unknown dedup mode {dedup!r}: use 'global' (engine "
+            "default), 'partition' (COW per-chunk parity), or 'none'")
     return q
 
 
@@ -386,15 +394,27 @@ def _dedup_within_partitions(q: DataFrame) -> DataFrame:
 
     schema = q.schema
 
+    def _key(v):
+        # hashable + NaN-stable keys for arbitrary passthrough columns
+        # (numpy arrays are unhashable; NaN != NaN would never dedup)
+        if hasattr(v, "tolist"):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return tuple(_key(x) for x in v)
+        if isinstance(v, float) and v != v:
+            return "\x00nan"
+        return v
+
     def drop_seen(batches):
         seen: set = set()
         for b in batches:
             mask = []
             for tup in b.itertuples(index=False, name=None):
-                if tup in seen:
+                k = tuple(_key(x) for x in tup)
+                if k in seen:
                     mask.append(False)
                 else:
-                    seen.add(tup)
+                    seen.add(k)
                     mask.append(True)
             yield b[mask]
 

@@ -28,20 +28,38 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
 
     The reference uses chardet (csvw.py:64-74; unavailable offline);
     this stdlib heuristic covers the practical cases: BOMs win, then a
-    clean UTF-8 decode of a sample, else latin-1 (which never fails and
-    matches chardet's usual fallback for 8-bit western data).
+    clean UTF-8 decode of a sample, else iso-8859-1 (never fails —
+    chardet's usual fallback for 8-bit western data). All returned
+    names are accepted by BOTH Spark's JVM CSV reader and Python's
+    codecs (Spark rejects names like 'utf-8-sig'/'latin-1'; it strips a
+    UTF-8 BOM itself, verified empirically).
     """
     with open(path, "rb") as f:
         head = f.read(sample_bytes)
-    for bom, enc in [(b"\xef\xbb\xbf", "utf-8-sig"),
-                     (b"\xff\xfe", "utf-16"), (b"\xfe\xff", "utf-16")]:
+    # 4-byte UTF-32 BOMs first — the UTF-32LE BOM starts with the
+    # UTF-16LE BOM bytes and would otherwise misdetect
+    for bom, enc in [(b"\xff\xfe\x00\x00", "utf-32"),
+                     (b"\x00\x00\xfe\xff", "utf-32"),
+                     (b"\xef\xbb\xbf", "utf-8"),
+                     (b"\xff\xfe", "utf-16le"),
+                     (b"\xfe\xff", "utf-16be")]:
         if head.startswith(bom):
             return enc
+    # trim a possibly-truncated trailing multibyte sequence (the sample
+    # boundary can split a UTF-8 char) before validating
+    trimmed = head
+    for _ in range(3):
+        if trimmed and trimmed[-1] & 0xC0 == 0x80:
+            trimmed = trimmed[:-1]
+        else:
+            break
+    if trimmed and trimmed[-1] & 0xC0 == 0xC0:
+        trimmed = trimmed[:-1]
     try:
-        head.decode("utf-8")
+        trimmed.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "latin-1"
+        return "iso-8859-1"
 
 
 def sniff_delimiter(path: str, encoding: str = "utf-8",

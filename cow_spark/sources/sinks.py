@@ -105,7 +105,7 @@ def write_rdf(
     xml/pretty-xml/trix/n3 stay unsupported (SURVEY §7 non-goal —
     they'd need a real serializer, not a grammar subset).
     """
-    from ..model import object_term, to_nquads_lines
+    from ..model import triple_line
 
     f = fmt.lower()
     if f not in RDF_TEXT_FORMATS:
@@ -115,11 +115,9 @@ def write_rdf(
         return write_nquads(quads, path, graph=graph, gzip=gzip, mode=mode,
                             single_file=single_file)
 
-    triple = F.concat(
-        F.lit("<"), quads["s"], F.lit("> <"), quads["p"], F.lit("> "),
-        object_term(quads["o_kind"], quads["o_lex"],
-                    quads["o_dt"], quads["o_lang"]), F.lit(" ."),
-    )
+    # one shared term renderer (model.triple_line) keeps every text
+    # serialization's escaping identical by construction
+    triple = F.concat(triple_line(quads), F.lit(" ."))
     if f in ("nt", "ntriples", "turtle", "ttl"):
         lines = quads.select(triple.alias("value")).dropDuplicates()
     else:  # trig: group triples into graph blocks

@@ -174,7 +174,7 @@ def test_build_autodetects_dialect(spark, tmp_path):
     assert detect_encoding(str(p)) == "utf-8"
     latin = tmp_path / "latin.csv"
     latin.write_bytes("id;naam\n1;Jos\xe9\n".encode("latin-1"))
-    assert detect_encoding(str(latin)) == "latin-1"
+    assert detect_encoding(str(latin)) == "iso-8859-1"
 
     cli_main(["build", str(p)])
     spec = json.load(open(str(p) + "-metadata.json"))
@@ -184,3 +184,24 @@ def test_build_autodetects_dialect(spark, tmp_path):
     cli_main(["convert", str(p), "--timestamp", "2026-08-17T00:00"])
     body = "\n".join(_read_nq(str(p) + ".nq"))
     assert '"José"' in body and '"Den Haag"' in body
+
+
+def test_build_on_latin1_and_bom_files(spark, tmp_path):
+    """detect_encoding must return names Spark's JVM reader accepts —
+    build+convert end-to-end on latin-1 and BOM'd UTF-8 inputs."""
+    l1 = tmp_path / "l1.csv"
+    l1.write_bytes("id,naam\n1,José\n".encode("latin-1"))
+    cli_main(["build", str(l1)])
+    spec = json.load(open(str(l1) + "-metadata.json"))
+    assert spec["dialect"]["encoding"] == "iso-8859-1"
+    cli_main(["convert", str(l1), "--timestamp", "2026-08-17T00:00"])
+    assert '"José"' in "\n".join(_read_nq(str(l1) + ".nq"))
+
+    bom = tmp_path / "bom.csv"
+    bom.write_bytes(b"\xef\xbb\xbfid,name\n1,Ada\n")
+    cli_main(["build", str(bom)])
+    spec = json.load(open(str(bom) + "-metadata.json"))
+    assert spec["dialect"]["encoding"] == "utf-8"
+    assert spec["tableSchema"]["columns"][0]["name"] == "id"  # BOM stripped
+    cli_main(["convert", str(bom), "--timestamp", "2026-08-17T00:00"])
+    assert '"Ada"' in "\n".join(_read_nq(str(bom) + ".nq"))
