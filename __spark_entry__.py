@@ -670,14 +670,17 @@ _SIMHASH_BITS = 32
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash sketch per document (bitwise token-hash majority)."""
-    from cow_spark.operators.dedup import simhash
+    """SimHash sketch per document (bitwise token-hash majority) via the
+    staged explode→partial-sum plan (md5 once per token, not per bit)."""
+    from cow_spark.operators.dedup import simhash_sketches
 
-    docs = _load_spread(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        simhash(F.col("text")).alias("sketch"),
-    ).where(F.col("sketch").isNotNull())
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return (
+        simhash_sketches(docs)
+        .select("doc_id", F.col("sh").alias("sketch"))
+        .where(F.col("sketch").isNotNull())
+    )
 
 
 def _sql_simhash() -> str:
@@ -918,12 +921,17 @@ with v as (
          list_transform(embedding, x -> cast(x as double)) as e
   from embeddings
 ),
-s as (
+s0 as (
   select vec_id, e,
     cast(list_sum(list_transform(generate_series(1, 16),
          j -> case when e[j] > 0 then power(2, j - 1) else 0 end))
          as bigint) as sk
   from v
+),
+s as (
+  select s0.* from s0
+  join (select sk from s0 group by sk having count(*) <= 1000) ok
+  using (sk)
 )
 select a.vec_id as id_a, b.vec_id as id_b,
        cast(floor(round(
@@ -1011,13 +1019,33 @@ select query_id, nbr_id, cos4, rank from ranked where rank <= 5
 """
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _raw_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary feature extraction (deterministic fake kernel)."""
     from cow_spark.operators.multimodal import extract_features, media_from_documents
 
     _ensure_workers_can_import(spark)
     docs = _load(spark, sf_dir, "documents")
     return extract_features(media_from_documents(docs), decoder="fake")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature kernel's output in driver-hashable shape: the
+    ``array<float>`` column posexploded to one scalar row per dimension,
+    with the float recovered as the exact embedded byte (round(x*255)).
+    SQL-expressible, so it carries a full DuckDB oracle."""
+    feats = _raw_multimodal_features(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.posexplode("features").alias("idx", "val"),
+    ).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.col("idx").cast("int").alias("idx"),
+        F.round(F.col("val") * 255).cast("int").alias("f255"),
+    )
 
 
 def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,15 +1065,15 @@ def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EXTRACTION_METRICS = """
 select count(*) as n_rows,
+       cast(sum(cast(length(coalesce(text, '')) > 0 as int)
+           + cast(length(coalesce(lang, '')) > 0 as int)
+           + cast(length(coalesce(source, '')) > 0 as int)
+           + cast(n_chars is not null as int)) as bigint) as n_emitted,
+       cast(count(*) * 4 -
        sum(cast(length(coalesce(text, '')) > 0 as int)
            + cast(length(coalesce(lang, '')) > 0 as int)
            + cast(length(coalesce(source, '')) > 0 as int)
-           + cast(n_chars is not null as int)) as n_emitted,
-       count(*) * 4 -
-       sum(cast(length(coalesce(text, '')) > 0 as int)
-           + cast(length(coalesce(lang, '')) > 0 as int)
-           + cast(length(coalesce(source, '')) > 0 as int)
-           + cast(n_chars is not null as int)) as n_suppressed
+           + cast(n_chars is not null as int)) as bigint) as n_suppressed
 from documents
 """
 
@@ -1056,7 +1084,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived features as integer-exact strings (float arrays don't
     hash identically across engines; round(x*255) recovers the exact
     byte the kernel embedded)."""
-    feats = q_multimodal_features(spark, sf_dir)
+    feats = _raw_multimodal_features(spark, sf_dir)
     f255 = F.transform(
         "features", lambda x: F.round(x * 255).cast("int").cast("string"))
     return feats.select(
@@ -1084,6 +1112,27 @@ select cast(doc_id as bigint) as doc_id,
        cast(octet_length(encode(coalesce(text, ''))) as int) as n_bytes,
        concat_ws('|', {feats}) as f255
 from documents
+"""
+
+
+def _sql_multimodal_features() -> str:
+    """DuckDB twin of the posexploded feature kernel: one row per
+    (doc, dimension), the fake-encoder byte recomputed from md5."""
+    from cow_spark.operators.multimodal import FEATURE_DIM
+
+    return f"""
+select cast(d.doc_id as bigint) as doc_id,
+       case cast(d.doc_id as bigint) % 3
+            when 0 then 'image/png'
+            when 1 then 'audio/wav'
+            else 'video/mp4' end as media_type,
+       cast(octet_length(encode(coalesce(d.text, ''))) as int) as n_bytes,
+       cast(t.idx as int) as idx,
+       cast((cast(concat('0x',
+                 substr(md5(coalesce(d.text, '')), 2 * (t.idx % 16) + 1, 2))
+             as int) * 31 + t.idx * 7) % 256 as int) as f255
+from documents d
+cross join (select unnest(generate_series(0, {FEATURE_DIM - 1})) as idx) t
 """
 
 
@@ -1244,7 +1293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "extraction_metrics": q_extraction_metrics,
         "ivf_topk": q_ivf_topk,
-        # rows-only (non-SQL-expressible)
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1274,4 +1322,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _sql_multimodal_meta(),
         "extraction_metrics": _SQL_EXTRACTION_METRICS,
         "ivf_topk": _SQL_IVF,
+        "multimodal_features": _sql_multimodal_features(),
     }

@@ -23,6 +23,25 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash60
 from ..functions.text import fingerprint, normalize_text, tokens
 
+
+def _attach_persisted(out: DataFrame, persisted: DataFrame) -> DataFrame:
+    """Record a sketch/bucket table an operator persisted on behalf of
+    ``out`` so callers can release it (see :func:`release`)."""
+    held = list(getattr(out, "_cow_persisted", ()))
+    held.append(persisted)
+    out._cow_persisted = held
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the bounded sketch/bucket tables an operator cached
+    while building ``df``. Call after the result is materialized (or no
+    longer needed) in long-lived sessions running many dedup passes —
+    otherwise the MEMORY_AND_DISK entries accumulate until session end.
+    """
+    for p in getattr(df, "_cow_persisted", ()):
+        p.unpersist()
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -179,8 +198,8 @@ def minhash_lsh_pairs(
     # three times (AQE breaks ReuseExchange for it). Unlike the corpus,
     # this is a sketch table (~4 short rows per doc, orders of magnitude
     # smaller than the documents) — persisting it is the right trade;
-    # MEMORY_AND_DISK spills rather than OOMs. Callers running many LSH
-    # passes in one session should unpersist the returned plan's source.
+    # MEMORY_AND_DISK spills rather than OOMs. The handle is attached to
+    # the returned DataFrame: ``release(pairs)`` frees it.
     buckets = buckets.persist()
 
     sized = buckets.join(
@@ -195,7 +214,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    return _attach_persisted(pairs, buckets)
 
 
 def jaccard_pairs(
@@ -247,7 +266,13 @@ SIMHASH_BITS = 32
 
 def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
     """Bitwise majority sketch over token hashes — one expression tree,
-    no explode: for each bit j, sum ±1 over tokens; set bit if sum > 0."""
+    no explode: for each bit j, sum ±1 over tokens; set bit if sum > 0.
+
+    NOTE: expression-tree variant for ad-hoc / small use only. The
+    ``hashes`` subtree is captured by ``bits`` separate interpreted
+    ``F.aggregate`` lambdas, so the md5-per-token work is re-evaluated
+    ~``bits``× per row. Bulk pipelines must use
+    :func:`simhash_sketches` (same values, hash-once plan)."""
     t = tokens(normalize_text(c))
     hashes = F.transform(t, lambda x: portable_hash60(x))
     def bit_vote(j: int):
@@ -262,6 +287,47 @@ def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
     return F.when(F.size(t) > 0, out)
 
 
+def simhash_sketches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, sh) — bit-identical to :func:`simhash`, but the plan is
+    explode → md5-once-per-token → ``bits`` conditional partial sums →
+    one small shuffle of (doc_id, bits × long). The expression variant
+    re-evaluates the token-hash subtree once per bit inside interpreted
+    higher-order lambdas (~``bits``× wasted CPU on the corpus scan).
+
+    Documents with no tokens get ``sh = NULL`` (matching the expression
+    variant); ``explode_outer`` keeps their rows alive through the agg.
+    """
+    ex = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("_t"),
+        )
+        .withColumn("_h", portable_hash60(F.col("_t")))
+    )
+    # NULL _h (tokenless doc) must not fall into otherwise(-1): route it
+    # to NULL so sum() ignores it and count() can gate the final NULL
+    votes = [
+        F.sum(
+            F.when(F.col("_h").isNull(), F.lit(None).cast("bigint"))
+            .when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy("doc_id").agg(F.count("_h").alias("_n"), *votes)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + F.when(F.col(f"_b{j}") > 0,
+                           F.lit(2 ** j).cast("bigint")).otherwise(0)
+    return agg.select(
+        "doc_id", F.when(F.col("_n") > 0, out).alias("sh"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -271,8 +337,7 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs: bucket on simhash byte-bands (any of bits/band_bits
     bands equal → candidate), verify hamming ≤ max_hamming."""
-    s = df.select(F.col(id_col).alias("doc_id"),
-                  simhash(F.col(text_col)).alias("sh")).where(F.col("sh").isNotNull())
+    s = simhash_sketches(df, id_col, text_col).where(F.col("sh").isNotNull())
     n_bands = SIMHASH_BITS // band_bits
     # explode instead of per-band union (no CSE across union branches —
     # the sketch would be recomputed per band, per join side); persist so
@@ -292,7 +357,7 @@ def simhash_near_duplicates(
     )
     a, b2 = bu.alias("a"), bu.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
+    pairs = (
         a.join(b2, ["band", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
@@ -300,6 +365,7 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _attach_persisted(pairs, bu)
 
 
 # ---------------------------------------------------------------------------
@@ -323,13 +389,28 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     min_cosine: float = 0.99,
     bits: int = 16,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-identical embeddings: bucket by sign sketch, verify cosine.
     Two near-identical vectors share all sign bits with overwhelming
-    probability, so recall loss is confined to near-zero components."""
+    probability, so recall loss is confined to near-zero components.
+
+    ``bucket_cap`` drops degenerate buckets before the self-join — real
+    embedding distributions are anisotropic (post-ReLU / whitened), so
+    many vectors can share one sign pattern, and the in-bucket join is
+    quadratic. The size table is at most ``2**bits`` rows, so the guard
+    is a broadcast join — no extra shuffle on the corpus. (For very
+    large corpora also raise ``bits`` to 32-64 so honest buckets stay
+    small.)"""
     v = df.select(F.col(id_col).alias("vec_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     v = v.withColumn("sk", embedding_sign_sketch(F.col("v"), bits))
+    ok = (
+        v.groupBy("sk").agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") <= bucket_cap)
+        .select("sk")
+    )
+    v = v.join(F.broadcast(ok), "sk")
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)

@@ -15,7 +15,10 @@ from cow_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    release,
+    simhash,
     simhash_near_duplicates,
+    simhash_sketches,
     word_shingles,
 )
 from cow_spark.operators.multimodal import (
@@ -91,6 +94,51 @@ def test_simhash_near_duplicates(spark):
            simhash_near_duplicates(df, max_hamming=4).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_sketches_match_expression_variant(spark, docs):
+    """The staged explode→partial-sum plan must be bit-identical to the
+    per-row expression fold, including NULL for tokenless documents."""
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, None), (9003, "   "), (9004, "one")],
+        "doc_id long, text string")
+    df = docs.limit(100).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text").union(edge)
+    want = {r.doc_id: r.sh for r in df.select(
+        "doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    got = {r.doc_id: r.sh for r in simhash_sketches(df).collect()}
+    assert got == want
+    assert got[9001] is None and got[9002] is None and got[9003] is None
+    assert got[9004] is not None
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """Degenerate sign buckets (many vectors sharing one sign pattern —
+    the anisotropic-embedding case) must be dropped, not self-joined."""
+    # 50 all-positive vectors → one bucket of 50 under a 4-bit sketch
+    rows = [(i, [1.0 + i * 1e-6, 2.0, 3.0, 4.0]) for i in range(50)]
+    rows += [(100, [-1.0, 2.0, -3.0, 4.0]), (101, [-1.0, 2.0, -3.0, 4.0001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_duplicates(
+        df, min_cosine=0.99, bits=4, bucket_cap=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the degenerate bucket is gone; the honest small bucket survives
+    assert got == {(100, 101)}
+    uncapped = embedding_near_duplicates(
+        df, min_cosine=0.99, bits=4, bucket_cap=1000)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_release_unpersists_sketch_tables(spark):
+    rows = [(i, f"document number {i} about spark and parquet files")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df)
+    pairs.count()
+    held = pairs._cow_persisted
+    assert held and all(p.storageLevel.useMemory for p in held)
+    release(pairs)
+    assert all(not p.storageLevel.useMemory for p in held)
 
 
 def test_shingles_short_docs(spark):
