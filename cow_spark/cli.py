@@ -15,10 +15,11 @@ sidecars load unchanged), runs the compiled mapping and writes
 (csvw.py:363-428, util/__init__.py:148-248).
 
 Differences from the reference, by design (SURVEY.md §7):
-- serializations: nquads (default) plus nt/turtle/trig as correct
-  grammar subsets emitted directly from the term renderer; xml /
-  pretty-xml / trix / n3 error (the reference produces them by
-  re-parsing its .nq through rdflib);
+- serializations: nquads (default) plus nt/turtle/trig/n3 as correct
+  grammar subsets emitted directly from the term renderer, and
+  xml/pretty-xml/trix as driver-side streaming XML (the reference
+  produces every non-nquads format by re-parsing its whole .nq into an
+  in-memory rdflib graph, csvw_tool.py:61-78);
 - ``--processes`` selects Spark local parallelism (0 = all cores);
   ``--chunksize`` is accepted for flag parity but Spark's split planning
   supersedes fixed row chunks;
@@ -143,8 +144,10 @@ def convert_one(path: str, args) -> str:
         timestamp=args.timestamp or _utc_minute(),
     )
     out = assemble_nanopub(quads, ctx, source_path=path)
-    ext = {"nquads": ".nq", "nt": ".nt", "turtle": ".ttl",
-           "trig": ".trig"}[args.format]
+    # same extension table as the reference (csvw.py:39-41)
+    ext = {"nquads": ".nq", "nt": ".nt", "turtle": ".ttl", "trig": ".trig",
+           "n3": ".n3", "xml": ".xml", "pretty-xml": ".xml",
+           "trix": ".trix"}[args.format]
     target = path + ext + (".gz" if args.gzip else "")
     if args.format == "nquads":
         write_nquads(out, target, gzip=args.gzip,
@@ -214,12 +217,6 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--version", action="version", version=__version__)
     args = ap.parse_args(argv)
 
-    if args.format not in ("nquads", "nt", "turtle", "trig"):
-        print("Supported serializations: nquads (default), nt, turtle, "
-              "trig. xml/pretty-xml/trix/n3 need a real serializer "
-              "(the reference re-parses its .nq through rdflib — "
-              "SURVEY.md §7 non-goal).")
-        sys.exit(1)
     if args.encoding:
         try:
             codecs.lookup(args.encoding)

@@ -33,7 +33,14 @@ def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame:
     try:
         return spark.read.parquet(manifest_path).select("bucket").distinct()
     except Exception as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        msg = str(e)
+        # missing path = nothing completed; ALSO treat a directory with
+        # no readable parquet as empty — a crash during the very first
+        # manifest write can leave only _temporary/_SUCCESS behind, and
+        # the schema-inference error would otherwise block resume forever
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg):
             return spark.createDataFrame([], "bucket int")
         raise
 

@@ -28,11 +28,15 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
 
     The reference uses chardet (csvw.py:64-74; unavailable offline);
     this stdlib heuristic covers the practical cases: BOMs win, then a
-    clean UTF-8 decode of a sample, else iso-8859-1 (never fails —
-    chardet's usual fallback for 8-bit western data). All returned
-    names are accepted by BOTH Spark's JVM CSV reader and Python's
-    codecs (Spark rejects names like 'utf-8-sig'/'latin-1'; it strips a
-    UTF-8 BOM itself, verified empirically).
+    clean UTF-8 decode of a sample, then :func:`_detect_8bit`'s
+    byte-frequency heuristic (Japanese multibyte, Cyrillic single-byte,
+    else iso-8859-1 — chardet's usual fallback for 8-bit western data).
+    All returned names are accepted by BOTH Spark's JVM CSV reader and
+    Python's codecs (Spark rejects names like 'utf-8-sig'/'latin-1'; it
+    strips a UTF-8 BOM itself, verified empirically). The 2-byte BOMs
+    return 'utf-16' — NOT 'utf-16le'/'utf-16be': Java's UTF-16LE/BE
+    charsets do not consume a BOM (only UTF-16 does), and Python's
+    'utf-16' likewise uses-and-consumes it.
     """
     with open(path, "rb") as f:
         head = f.read(sample_bytes)
@@ -41,8 +45,8 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
     for bom, enc in [(b"\xff\xfe\x00\x00", "utf-32"),
                      (b"\x00\x00\xfe\xff", "utf-32"),
                      (b"\xef\xbb\xbf", "utf-8"),
-                     (b"\xff\xfe", "utf-16le"),
-                     (b"\xfe\xff", "utf-16be")]:
+                     (b"\xff\xfe", "utf-16"),
+                     (b"\xfe\xff", "utf-16")]:
         if head.startswith(bom):
             return enc
     # trim a possibly-truncated trailing multibyte sequence (the sample
@@ -59,7 +63,46 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
         trimmed.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "iso-8859-1"
+        return _detect_8bit(trimmed)
+
+
+def _detect_8bit(data: bytes) -> str:
+    """Classify non-UTF-8 8-bit data (the chardet-shaped corner of S2).
+
+    1. Japanese multibyte: a strict shift_jis / euc-jp decode that
+       actually yields kana/CJK is near-conclusive (random Western
+       8-bit data fails the strict decode).
+    2. Single-byte Cyrillic vs Western: in Cyrillic text whole words
+       are high bytes (mean run length ≥ ~3), while accented Latin has
+       isolated high bytes inside ASCII words. Within Cyrillic,
+       windows-1251 puts lowercase at 0xE0-0xFF where koi8-r puts it at
+       0xC0-0xDF — lowercase dominance picks the codepage (the classic
+       russian-charset discriminator).
+    3. Everything else: iso-8859-1, the previous behavior.
+    """
+    for enc, name in [("shift_jis", "shift_jis"), ("euc_jp", "euc-jp")]:
+        try:
+            dec = data.decode(enc)
+        except UnicodeDecodeError:
+            continue
+        if any("぀" <= ch <= "ヿ" or "一" <= ch <= "鿿"
+               for ch in dec):
+            return name
+    runs, cur = [], 0
+    for b in data:
+        if b >= 0x80:
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    if runs and sum(runs) / len(runs) >= 2.5:
+        hi = [b for b in data if b >= 0x80]
+        lower_1251 = sum(1 for b in hi if b >= 0xE0)
+        lower_koi8 = sum(1 for b in hi if 0xC0 <= b <= 0xDF)
+        return "windows-1251" if lower_1251 >= lower_koi8 else "koi8-r"
+    return "iso-8859-1"
 
 
 def sniff_delimiter(path: str, encoding: str = "utf-8",
@@ -76,6 +119,36 @@ def sniff_delimiter(path: str, encoding: str = "utf-8",
         return ","
 
 
+# Spark's CSV reader accepts ONLY these charsets (CSVOptions validates);
+# anything else — windows-1251, koi8-r, shift_jis, ... — must be
+# transcoded before the scan.
+_SPARK_CSV_CHARSETS = frozenset(
+    ["us-ascii", "iso-8859-1", "utf-8", "utf-16", "utf-16be", "utf-16le",
+     "utf-32"])
+
+
+def _transcode_to_utf8(path: str, encoding: str) -> str:
+    """Stream-transcode a CSV into a UTF-8 temp file (driver-side).
+
+    The reference decodes every CSV in the Python process with its
+    chardet-detected encoding (csvw.py:64-74), so a driver-side pass is
+    exactly its cost model; this only runs for charsets Spark's scanner
+    refuses, on the CSV build/convert surface (not the 100 TB path —
+    production-scale inputs are parquet)."""
+    import atexit
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        suffix=".csv", prefix=os.path.basename(path) + ".utf8.")
+    atexit.register(lambda: os.path.exists(tmp) and os.unlink(tmp))
+    with open(path, "r", encoding=encoding) as src, \
+            os.fdopen(fd, "w", encoding="utf-8", newline="") as dst:
+        while chunk := src.read(1 << 20):
+            dst.write(chunk)
+    return tmp
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -84,14 +157,26 @@ def read_csv(
     encoding: str = "utf-8",
     header: bool = True,
 ) -> DataFrame:
-    df = (
+    if encoding.lower().replace("_", "-") not in _SPARK_CSV_CHARSETS:
+        path = _transcode_to_utf8(path, encoding)
+        encoding = "utf-8"
+    reader = (
         spark.read.option("sep", delimiter)
         .option("quote", quotechar)
         .option("encoding", encoding)
         .option("header", header)
         .option("inferSchema", False)
-        .csv(path)
     )
+    if encoding.lower().replace("_", "-") in (
+            "utf-16", "utf-16le", "utf-16be", "utf-32", "utf-32le",
+            "utf-32be"):
+        # Hadoop's line splitting is byte-level '\n' — in UTF-16 a
+        # newline is 0A 00, so the default reader corrupts every row.
+        # multiLine routes the file through a stream decoder with the
+        # declared charset (whole file = one split; acceptable for the
+        # CSV build/convert surface, which is not the 100 TB path).
+        reader = reader.option("multiLine", True)
+    df = reader.csv(path)
     # COW model: every cell is a string; empty cell == "" not NULL. Spark's
     # CSV reader yields NULL for empty unquoted fields no matter the
     # nullValue/emptyValue options — normalize here. df[c] (not F.col(c))

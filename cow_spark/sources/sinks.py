@@ -77,7 +77,9 @@ def write_quads_iceberg(
         w.create()
 
 
-RDF_TEXT_FORMATS = ("nquads", "nt", "ntriples", "turtle", "ttl", "trig")
+RDF_TEXT_FORMATS = ("nquads", "nt", "ntriples", "turtle", "ttl", "n3",
+                    "trig")
+RDF_XML_FORMATS = ("xml", "pretty-xml", "trix")
 
 
 def write_rdf(
@@ -99,18 +101,30 @@ def write_rdf(
     - ``nt``/``ntriples``    — graph column dropped (triples only)
     - ``turtle``/``ttl``     — N-Triples IS valid Turtle; no prefix
       compaction (prefixes are cosmetic, the document is conformant)
+    - ``n3``                 — Turtle is a subset of Notation3, so the
+      turtle emission is a conformant N3 document as-is
     - ``trig``               — one ``<graph> { ... }`` block per graph
       (default-graph triples emitted bare), distributed per-graph
-
-    xml/pretty-xml/trix/n3 stay unsupported (SURVEY §7 non-goal —
-    they'd need a real serializer, not a grammar subset).
+    - ``xml``/``pretty-xml``/``trix`` — single XML document streamed
+      through the driver (:mod:`.xmlser`; one root element ⇒ inherently
+      single-writer, like the reference's rdflib transcode — but
+      streaming, not whole-graph-in-RAM). ``path`` is the file itself,
+      not a part directory.
     """
     from ..model import triple_line
 
     f = fmt.lower()
+    if f in RDF_XML_FORMATS:
+        from .xmlser import write_rdf_xml, write_trix
+
+        if f == "trix":
+            return write_trix(quads, path, graph=graph, gzip_out=gzip)
+        return write_rdf_xml(quads, path, gzip_out=gzip,
+                             pretty=(f == "pretty-xml"))
     if f not in RDF_TEXT_FORMATS:
         raise ValueError(
-            f"unsupported RDF format {fmt!r}; supported: {RDF_TEXT_FORMATS}")
+            f"unsupported RDF format {fmt!r}; supported: "
+            f"{RDF_TEXT_FORMATS + RDF_XML_FORMATS}")
     if f == "nquads":
         return write_nquads(quads, path, graph=graph, gzip=gzip, mode=mode,
                             single_file=single_file)
@@ -118,7 +132,7 @@ def write_rdf(
     # one shared term renderer (model.triple_line) keeps every text
     # serialization's escaping identical by construction
     triple = F.concat(triple_line(quads), F.lit(" ."))
-    if f in ("nt", "ntriples", "turtle", "ttl"):
+    if f in ("nt", "ntriples", "turtle", "ttl", "n3"):
         lines = quads.select(triple.alias("value")).dropDuplicates()
     else:  # trig: group triples into graph blocks
         g = quads["g"] if "g" in quads.columns else F.lit(None).cast("string")

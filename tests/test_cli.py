@@ -72,8 +72,96 @@ def test_convert_without_metadata_exits(spark, csv_file):
 
 
 def test_unsupported_format_rejected(csv_file):
-    with pytest.raises(SystemExit):
-        cli_main(["convert", csv_file, "--format", "xml"])
+    with pytest.raises(SystemExit):  # argparse choices gate
+        cli_main(["convert", csv_file, "--format", "json-ld"])
+
+
+def _parse_rdf_xml(path):
+    """Parse our RDF/XML output back into rendered N-Triples lines."""
+    import xml.etree.ElementTree as ET
+
+    from cow_spark.model import RDF as RDF_NS, object_term_py
+
+    root = ET.parse(path).getroot()
+    assert root.tag == f"{{{RDF_NS}}}RDF"
+    out = set()
+    for desc in root:
+        s = desc.attrib[f"{{{RDF_NS}}}about"]
+        for prop in desc:
+            ns, local = prop.tag[1:].split("}", 1)
+            p = ns + local
+            res = prop.attrib.get(f"{{{RDF_NS}}}resource")
+            if res is not None:
+                term = object_term_py("iri", res, None, None)
+            else:
+                dt = prop.attrib.get(f"{{{RDF_NS}}}datatype")
+                lang = prop.attrib.get(
+                    "{http://www.w3.org/XML/1998/namespace}lang")
+                term = object_term_py("lit", prop.text or "", dt, lang)
+            out.add(f"<{s}> <{p}> {term} .")
+    return out
+
+
+def test_cli_xml_and_trix_roundtrip(spark, csv_file):
+    """S8 closure: xml / pretty-xml / trix parse as well-formed XML and
+    reconstruct exactly the triples the nt serialization emits."""
+    import xml.etree.ElementTree as ET
+
+    from cow_spark.model import object_term_py
+    from cow_spark.sources.xmlser import TRIX_NS
+
+    cli_main(["build", csv_file])
+    ts = ["--timestamp", "2026-08-17T00:00"]
+    cli_main(["convert", csv_file, "--format", "nt", *ts])
+    want = _read_nq(csv_file + ".nt")
+
+    cli_main(["convert", csv_file, "--format", "xml", *ts])
+    assert _parse_rdf_xml(csv_file + ".xml") == want
+    os.remove(csv_file + ".xml")
+    cli_main(["convert", csv_file, "--format", "pretty-xml", *ts])
+    assert _parse_rdf_xml(csv_file + ".xml") == want
+
+    cli_main(["convert", csv_file, "--format", "trix", *ts])
+    root = ET.parse(csv_file + ".trix").getroot()
+    assert root.tag == f"{{{TRIX_NS}}}TriX"
+    got, graphs = set(), 0
+    for graph in root:
+        graphs += 1
+        for el in graph:
+            if el.tag == f"{{{TRIX_NS}}}uri":
+                continue
+            s, p, o = list(el)
+            if o.tag == f"{{{TRIX_NS}}}uri":
+                term = object_term_py("iri", o.text or "", None, None)
+            else:
+                dt = o.attrib.get("datatype")
+                lang = o.attrib.get(
+                    "{http://www.w3.org/XML/1998/namespace}lang")
+                term = object_term_py("lit", o.text or "", dt, lang)
+            got.add(f"<{s.text}> <{p.text}> {term} .")
+    assert got == want
+    assert graphs >= 2  # default graph (spine) + named assertion graph
+
+
+def test_cli_n3_is_turtle_superset(spark, csv_file):
+    cli_main(["build", csv_file])
+    ts = ["--timestamp", "2026-08-17T00:00"]
+    cli_main(["convert", csv_file, "--format", "n3", *ts])
+    cli_main(["convert", csv_file, "--format", "turtle", *ts])
+    assert _read_nq(csv_file + ".n3") == _read_nq(csv_file + ".ttl")
+
+
+def test_rdf_xml_unsplittable_predicate_raises(spark):
+    from cow_spark.sources.xmlser import split_iri
+
+    assert split_iri("https://example.com/vocab/name") == (
+        "https://example.com/vocab/", "name")
+    assert split_iri("https://example.com/v#x-1.y") == (
+        "https://example.com/v#", "x-1.y")
+    with pytest.raises(ValueError):
+        split_iri("https://example.com/vocab/")  # ends in '/'
+    with pytest.raises(ValueError):
+        split_iri("name")  # no namespace part
 
 
 def test_cli_alternate_serializations(spark, csv_file):
@@ -99,6 +187,42 @@ def test_cli_alternate_serializations(spark, csv_file):
                     raw += open(os.path.join(out, part)).read()
             assert "> {" in raw
             assert raw.count("{") == raw.count("}") >= 1
+
+
+def test_build_on_utf16_and_nonlatin_files(spark, tmp_path):
+    """S2 beyond utf-8/latin-1: BOM'd UTF-16 must be readable (Java's
+    UTF-16LE/BE don't consume a BOM; 'utf-16' does, and the reader needs
+    multiLine so Hadoop's byte-level \\n split can't corrupt rows), and
+    the byte-frequency heuristic must catch Cyrillic and Japanese."""
+    from cow_spark.sources.csv_source import detect_encoding
+
+    u16 = tmp_path / "u16.csv"
+    u16.write_bytes("id,naam\n1,José\n2,Ångström\n".encode("utf-16"))
+    assert detect_encoding(str(u16)) == "utf-16"
+    cli_main(["build", str(u16)])
+    spec = json.load(open(str(u16) + "-metadata.json"))
+    assert spec["dialect"]["encoding"] == "utf-16"
+    assert spec["tableSchema"]["columns"][0]["name"] == "id"  # no BOM prefix
+    cli_main(["convert", str(u16), "--timestamp", "2026-08-17T00:00"])
+    body = "\n".join(_read_nq(str(u16) + ".nq"))
+    assert '"José"' in body and '"Ångström"' in body
+
+    ru = "id,город\n1,Москва\n2,Санкт-Петербург\n3,Новосибирск\n"
+    cp1251 = tmp_path / "ru1251.csv"
+    cp1251.write_bytes(ru.encode("windows-1251"))
+    assert detect_encoding(str(cp1251)) == "windows-1251"
+    koi = tmp_path / "rukoi8.csv"
+    koi.write_bytes(ru.encode("koi8-r"))
+    assert detect_encoding(str(koi)) == "koi8-r"
+    sjis = tmp_path / "ja.csv"
+    sjis.write_bytes("id,都市\n1,東京\n2,大阪\n".encode("shift_jis"))
+    assert detect_encoding(str(sjis)) == "shift_jis"
+
+    # full round trip on the windows-1251 file
+    cli_main(["build", str(cp1251)])
+    cli_main(["convert", str(cp1251), "--timestamp", "2026-08-17T00:00"])
+    body = "\n".join(_read_nq(str(cp1251) + ".nq"))
+    assert '"Москва"' in body and '"Новосибирск"' in body
 
 
 # -- reference example dialects (FIXTURES.md F6: first rows, checked in) ----

@@ -152,6 +152,30 @@ def test_resume_equals_fresh(spark, tmp_path):
     assert run_with_resume(df, "conv_id", 8, proc, out2, man2) == []
 
 
+def test_resume_survives_empty_manifest_dir(spark, tmp_path):
+    """A crash during the first manifest write can leave a manifest
+    directory holding only _temporary/_SUCCESS — that must read as 'no
+    completed buckets', not permanently block resume on the
+    unable-to-infer-schema error."""
+    import os
+
+    from cow_spark.plans.resume import completed_buckets
+
+    man = tmp_path / "manifest"
+    os.makedirs(man / "_temporary")
+    (man / "_SUCCESS").touch()
+    assert completed_buckets(spark, str(man)).count() == 0
+
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    df = transcripts_df(spark, 100)
+
+    def proc(d):
+        return extract_quads(d, spec, passthrough=["_bucket"])
+
+    out = str(tmp_path / "out")
+    assert run_with_resume(df, "conv_id", 4, proc, out, str(man)) != []
+
+
 def test_nanopub_assembly(spark):
     spec = MappingSpec.from_json(transcripts_default_spec())
     df = transcripts_df(spark, 200)
