@@ -120,6 +120,62 @@ def take_centroids(corpus: DataFrame, n_cells: int,
         (F.row_number().over(w) - 1).alias("cell_id"), F.col(vec_col))
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed k-means training for IVF cells.
+
+    ``take_centroids`` (first-C-by-id) is the training-free oracle
+    default, but on clustered real embeddings consecutive ids often
+    come from one region, giving badly unbalanced cells. This trains
+    proper centroids with only DataFrame ops:
+
+    - seed: the min-id vector of each id-hash bucket (one shuffle;
+      spreads the picks across the corpus deterministically, the
+      sampling role k-means|| plays — no RNG, so re-runs agree),
+    - ``n_iters`` Lloyd rounds: assign (broadcast centroids) → new
+      centroid = element-wise member mean via posexplode + partial agg
+      (the shuffle carries ~n_cells × dim rows per map task, not the
+      corpus). Centroids collect to the driver each round (bounded:
+      n_cells × dim doubles); empty cells keep their previous centroid.
+
+    Exactly reproducible up to floating-point summation order in the
+    means (partial-agg order is scheduler-dependent); cell *quality* is
+    stable, which is what IVF needs — the oracle path stays
+    training-free for bit-exact replays.
+    """
+    spark = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias(vec_col))
+    seed = (
+        v.withColumn("_b", F.pmod(F.xxhash64(F.col("_id").cast("string")),
+                                  F.lit(n_cells)))
+        .groupBy("_b").agg(F.min_by(vec_col, "_id").alias(vec_col))
+        .orderBy("_b")
+    )
+    cents = [(i, list(r[vec_col])) for i, r in enumerate(seed.collect())]
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            cents, f"cell_id int, {vec_col} array<double>")
+        assigned = assign_cells(v, cdf, id_col="_id", vec_col=vec_col)
+        new = (
+            assigned.select("cell", F.posexplode("v").alias("_i", "_x"))
+            .groupBy("cell", "_i").agg(F.avg("_x").alias("_m"))
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                lambda s: s["_m"]).alias("cv"))
+        )
+        got = {r.cell: list(r.cv) for r in new.collect()}
+        cents = [(cid, got.get(cid, cv)) for cid, cv in cents]
+    return spark.createDataFrame(
+        cents, f"cell_id int, {vec_col} array<double>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,9 +184,16 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: probe only the n_probe nearest cells per query."""
-    cents = take_centroids(corpus, n_cells, id_col, vec_col)
+    """Approximate top-k: probe only the n_probe nearest cells per query.
+
+    ``centroids`` (schema ``cell_id int, <vec_col> array<double>``)
+    plugs in trained cells (:func:`kmeans_centroids`); default stays
+    the training-free first-C set so the DuckDB oracle replays exactly.
+    """
+    cents = (centroids if centroids is not None
+             else take_centroids(corpus, n_cells, id_col, vec_col))
     assigned = assign_cells(corpus, cents, id_col, vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"),

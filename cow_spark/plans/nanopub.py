@@ -144,31 +144,66 @@ def spec_provenance_quads(spark: SparkSession, ctx: NanopubContext,
                           spec) -> DataFrame:
     """Q1 — record the mapping spec itself in the provenance graph.
 
-    The reference SPARQL-filters its metadata graph for aboutUrl /
-    propertyUrl / valueUrl terms and ingests the whole schema into the
-    provenance graph (convert_info, csvw.py:321-361). Our spec is plain
-    JSON parsed driver-side, so this is a dict walk emitting one triple
-    per URL template rule plus the spec derivation link.
+    The reference ingests the WHOLE RDF-ized metadata sidecar into the
+    provenance graph (convert_info, csvw.py:321-361 — ``pg`` receives
+    every schema triple, then SPARQL-filters it for the URL-template
+    rules). Our spec is plain JSON parsed driver-side, so this dict
+    walk emits the informationally-equivalent graph: the derivation
+    link, every schema-level key, and every non-default field of every
+    column (URL templates, datatype, lang, null rules, flags) — a user
+    can reconstruct the full mapping from the provenance graph alone.
     """
     dt_string = XSD + "string"
+    dt_bool = XSD + "boolean"
     spec_uri = f"{ctx.base}/{ctx.name}/spec/{ctx.source_hash[:8]}"
     rows = [
         _q(ctx.provenance, ctx.assertion, PROV + "wasDerivedFrom", "iri",
            spec_uri),
+        _q(ctx.provenance, spec_uri, ctx.sdv + "base", "lit",
+           spec.base, dt_string),
+        _q(ctx.provenance, spec_uri, ctx.sdv + "url", "lit",
+           spec.url, dt_string),
         _q(ctx.provenance, spec_uri, ctx.sdv + "aboutUrl", "lit",
            spec.about_url, dt_string),
     ]
+    if spec.primary_key is not None:
+        rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "primaryKey",
+                       "lit", spec.primary_key, dt_string))
+    for n in spec.schema_nulls:
+        rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "null",
+                       "lit", n, dt_string))
+    for k in sorted(spec.dialect):
+        if spec.dialect[k] is not None:
+            rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "dialect_" + k,
+                           "lit", str(spec.dialect[k]), dt_string))
     for i, cs in enumerate(spec.columns):
         col_uri = cs.id or f"{spec_uri}/column/{i}"
         rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "hasColumn",
                        "iri", col_uri))
+        if cs.datatype is not None:
+            rows.append(_q(ctx.provenance, col_uri, ctx.sdv + "datatype",
+                           "iri", cs.datatype))
         for label, tpl in [
+            ("name", cs.name), ("lang", cs.lang),
             ("aboutUrl", cs.about_url), ("propertyUrl", cs.property_url),
             ("valueUrl", cs.value_url), ("value", cs.value),
+            ("collectionUrl", cs.collection_url),
+            ("schemeUrl", cs.scheme_url),
         ]:
             if tpl is not None:
                 rows.append(_q(ctx.provenance, col_uri, ctx.sdv + label,
                                "lit", tpl, dt_string))
+        for n in cs.nulls:
+            rows.append(_q(ctx.provenance, col_uri, ctx.sdv + "null",
+                           "lit", n, dt_string))
+        for other, val in cs.null_on:
+            rows.append(_q(ctx.provenance, col_uri, ctx.sdv + "nullOn",
+                           "lit", f"{other}={val}", dt_string))
+        for label, flag in [("virtual", cs.virtual),
+                            ("parseOnEmpty", cs.parse_on_empty)]:
+            if flag:
+                rows.append(_q(ctx.provenance, col_uri, ctx.sdv + label,
+                               "lit", "true", dt_bool))
     return spark.createDataFrame(
         rows, schema=", ".join(f"{c} string" for c in QUAD_COLS))
 

@@ -120,6 +120,51 @@ def test_spec_provenance(spark):
     assert sum(1 for r in rows if r.p.endswith("hasColumn")) == len(spec.columns)
 
 
+import pytest
+
+
+@pytest.mark.parametrize("preset", ["default", "full"])
+def test_spec_provenance_is_informationally_complete(spark, preset):
+    """Parity with the reference's full-metadata ingest (csvw.py:356 —
+    the whole RDF-ized sidecar lands in ``pg``): every non-default spec
+    field must be reconstructable from the provenance graph alone."""
+    from cow_spark.spec.presets import transcripts_full_spec
+
+    spec = MappingSpec.from_json(
+        transcripts_default_spec() if preset == "default"
+        else transcripts_full_spec())
+    ctx = NanopubContext("https://example.com/id", "transcripts",
+                         dataset_sha1("snap"), "2026-08-16T12:00")
+    rows = spec_provenance_quads(spark, ctx, spec).collect()
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r.s, {}).setdefault(
+            r.p.rsplit("/", 1)[-1], []).append(r.o_lex)
+    spec_uri = next(s for s in by_subj if "/spec/" in s)
+    top = by_subj[spec_uri]
+    assert top["base"] == [spec.base] and top["url"] == [spec.url]
+    assert top["aboutUrl"] == [spec.about_url]
+    if spec.primary_key:
+        assert top["primaryKey"] == [spec.primary_key]
+    assert len(top["hasColumn"]) == len(spec.columns)
+    for i, cs in enumerate(spec.columns):
+        col = by_subj[cs.id or f"{spec_uri}/column/{i}"]
+        for label, val in [("name", cs.name), ("lang", cs.lang),
+                           ("datatype", cs.datatype),
+                           ("aboutUrl", cs.about_url),
+                           ("propertyUrl", cs.property_url),
+                           ("valueUrl", cs.value_url), ("value", cs.value),
+                           ("collectionUrl", cs.collection_url),
+                           ("schemeUrl", cs.scheme_url)]:
+            if val is not None:
+                assert col[label] == [val], (label, cs)
+        assert sorted(col.get("null", [])) == sorted(cs.nulls)
+        assert sorted(col.get("nullOn", [])) == sorted(
+            f"{o}={v}" for o, v in cs.null_on)
+        assert ("virtual" in col) == cs.virtual
+        assert ("parseOnEmpty" in col) == cs.parse_on_empty
+
+
 def test_iceberg_sink_gated_offline(spark):
     """The Iceberg sink declares itself unavailable in this offline
     sandbox (no runtime jar) and points at the Parquet fallback; the

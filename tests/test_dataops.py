@@ -180,6 +180,45 @@ def test_ivf_recall_vs_brute_force(spark, embs):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_kmeans_beats_training_free_on_clustered_data(spark):
+    """On clustered embeddings, first-C-by-id centroids all land in one
+    region (ids correlate with clusters); trained cells must recover
+    recall at the same n_probe."""
+    from cow_spark.operators.simsearch import kmeans_centroids
+
+    import math
+
+    # 4 well-separated clusters × 40 vectors, ids ordered by cluster
+    rows = []
+    for c in range(4):
+        center = [1.0 if i == c else 0.05 for i in range(8)]
+        for j in range(40):
+            noise = [(math.sin(c * 97 + j * 13 + i) * 0.02) for i in range(8)]
+            rows.append((c * 40 + j, [center[i] + noise[i] for i in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") % 40 == 7)  # one per cluster
+
+    exact = {(r.query_id, r.nbr_id)
+             for r in cosine_topk(df, queries, k=5).collect()}
+
+    def recall(cents):
+        approx = {(r.query_id, r.nbr_id) for r in ivf_topk(
+            df, queries, k=5, n_cells=4, n_probe=1,
+            centroids=cents).collect()}
+        return len(exact & approx) / len(exact)
+
+    r_free = recall(None)  # first-4-by-id: all centroids in cluster 0
+    trained = kmeans_centroids(df, n_cells=4, n_iters=3)
+    r_kmeans = recall(trained)
+    assert r_kmeans >= max(r_free, 0.9), (r_free, r_kmeans)
+    # trained cells are balanced: every cluster got its own centroid
+    from cow_spark.operators.simsearch import assign_cells
+    sizes = sorted(r.n for r in assign_cells(df, trained)
+                   .groupBy("cell").count()
+                   .select(F.col("count").alias("n")).collect())
+    assert len(sizes) == 4 and sizes[0] >= 20, sizes
+
+
 def test_embedding_near_duplicates(spark):
     rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.001]),
             (3, [-1.0, 2.0, -3.0, 4.0])]
