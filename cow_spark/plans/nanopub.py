@@ -69,6 +69,18 @@ class NanopubContext:
     def partition_assertion(self, pid: int) -> str:
         return f"{self.assertion}/partition/{pid}"
 
+    def default_graph_urn(self) -> str:
+        """Virtuoso-compatible name for the spine's default graph.
+
+        The reference names its default context ``urn:uuid:<uuid4>``
+        because Virtuoso rejects BNode graph names
+        (util/__init__.py:164-166) — but random per run, so re-runs
+        differ. We derive a uuid5 from the nanopub URI: same shape,
+        deterministic (resume/golden tests keep working)."""
+        import uuid
+
+        return uuid.uuid5(uuid.NAMESPACE_URL, self.np_uri).urn
+
 
 def _q(g, s, p, kind, lex, dt=None, lang=None):
     return (g, s, p, kind, lex, dt, lang)
@@ -213,9 +225,17 @@ def assemble_nanopub(
     ctx: NanopubContext,
     source_path: str,
     with_partition_provenance: bool = True,
+    virtuoso_compat: bool = False,
 ) -> DataFrame:
     """Full run output: assertion quads (graph = ctx.assertion) + spine +
-    per-partition provenance, one quads DataFrame."""
+    per-partition provenance, one quads DataFrame.
+
+    ``virtuoso_compat`` names the spine's default graph with the
+    deterministic ``urn:uuid`` (:meth:`NanopubContext.default_graph_urn`)
+    instead of leaving ``g`` NULL — the reference's trick for stores
+    that reject unnamed/BNode graphs. Default stays NULL (plain N-Quads
+    default-graph lines; graph names are excluded from the parity
+    metric either way)."""
     spark = quads.sparkSession
     assertion = quads.withColumn(
         "g", F.coalesce(F.col("g"), F.lit(ctx.assertion))
@@ -224,4 +244,7 @@ def assemble_nanopub(
     if with_partition_provenance:
         with_pid = quads.withColumn("_pid", F.spark_partition_id())
         out = out.unionByName(partition_provenance_quads(with_pid, ctx))
+    if virtuoso_compat:
+        out = out.withColumn(
+            "g", F.coalesce(F.col("g"), F.lit(ctx.default_graph_urn())))
     return assertion.unionByName(out)

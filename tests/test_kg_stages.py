@@ -176,6 +176,25 @@ def test_resume_survives_empty_manifest_dir(spark, tmp_path):
     assert run_with_resume(df, "conv_id", 4, proc, out, str(man)) != []
 
 
+def test_nanopub_virtuoso_compat_names_every_graph(spark):
+    """virtuoso_compat replaces the spine's NULL graph with the
+    deterministic urn:uuid (ref util/__init__.py:164-166 uses a random
+    uuid4 — ours must be stable across runs)."""
+    spec = MappingSpec.from_json(transcripts_default_spec())
+    quads = extract_quads(transcripts_df(spark, 100), spec)
+    ctx = NanopubContext("https://example.com/id", "transcripts",
+                         "a" * 40, "2026-08-17T00:00")
+    out = assemble_nanopub(quads, ctx, "transcripts", virtuoso_compat=True)
+    gs = [r.g for r in out.select("g").distinct().collect()]
+    assert None not in gs
+    urn = ctx.default_graph_urn()
+    assert urn.startswith("urn:uuid:") and urn in gs
+    assert urn == ctx.default_graph_urn()  # deterministic
+    # default mode unchanged: spine lives in the (NULL) default graph
+    plain = assemble_nanopub(quads, ctx, "transcripts")
+    assert None in {r.g for r in plain.select("g").distinct().collect()}
+
+
 def test_nanopub_assembly(spark):
     spec = MappingSpec.from_json(transcripts_default_spec())
     df = transcripts_df(spark, 200)
