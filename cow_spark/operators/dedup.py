@@ -202,10 +202,17 @@ def minhash_lsh_pairs(
     # the returned DataFrame: ``release(pairs)`` frees it.
     buckets = buckets.persist()
 
-    sized = buckets.join(
-        buckets.groupBy("band", "band_key").agg(F.count("*").alias("_bn")),
-        ["band", "band_key"],
-    ).where(F.col("_bn") <= bucket_cap).drop("_bn")
+    # only the OVERSIZED buckets matter for the guard, and there can be
+    # at most n_rows×bands / bucket_cap of them — a bounded-small set,
+    # so the guard is a broadcast anti-join instead of shuffling the
+    # corpus-scale bucket table against its full size histogram
+    oversized = (
+        buckets.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") > bucket_cap)
+        .select("band", "band_key")
+    )
+    sized = buckets.join(F.broadcast(oversized), ["band", "band_key"],
+                         "left_anti")
 
     a, b = sized.alias("a"), sized.alias("b")
     pairs = (
@@ -334,11 +341,23 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 8,
+    bits: int = SIMHASH_BITS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: bucket on simhash byte-bands (any of bits/band_bits
-    bands equal → candidate), verify hamming ≤ max_hamming."""
-    s = simhash_sketches(df, id_col, text_col).where(F.col("sh").isNotNull())
-    n_bands = SIMHASH_BITS // band_bits
+    bands equal → candidate), verify hamming ≤ max_hamming.
+
+    At the 32-bit/8-bit-band default there are only 4×256 possible
+    buckets — fine up to ~10⁵-10⁶ docs, but every bucket goes quadratic
+    on a web-scale corpus. For those, widen the sketch (``bits`` up to
+    60 — portable_hash60's width) and the bands (``band_bits=16`` →
+    65k buckets per band), and set ``bucket_cap`` to drop the
+    degenerate buckets that remain (same bounded-small broadcast
+    anti-join as :func:`minhash_lsh_pairs`; None keeps every bucket —
+    the oracle default)."""
+    s = simhash_sketches(df, id_col, text_col, bits).where(
+        F.col("sh").isNotNull())
+    n_bands = bits // band_bits
     # explode instead of per-band union (no CSE across union branches —
     # the sketch would be recomputed per band, per join side); persist so
     # the self-join's two sides share one sketch computation
@@ -350,11 +369,20 @@ def simhash_near_duplicates(
         )
         for b in range(n_bands)
     ])
-    bu = (
+    cached = (
         s.select("doc_id", "sh", F.explode(band_structs).alias("_x"))
         .select("doc_id", "sh", "_x.band", "_x.band_key")
         .persist()
     )
+    bu = cached
+    if bucket_cap is not None:
+        oversized = (
+            bu.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") > bucket_cap)
+            .select("band", "band_key")
+        )
+        bu = bu.join(F.broadcast(oversized), ["band", "band_key"],
+                     "left_anti")
     a, b2 = bu.alias("a"), bu.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     pairs = (
@@ -365,7 +393,7 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return _attach_persisted(pairs, bu)
+    return _attach_persisted(pairs, cached)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,35 @@ def test_simhash_near_duplicates(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_wide_sketch_and_bucket_cap(spark):
+    """Web-scale knobs: a 60-bit sketch with 15-bit bands still finds
+    the near-dup pair, and bucket_cap drops degenerate bands."""
+    base = ("spark executes declarative plans with catalyst and tungsten "
+            "codegen stages ") * 4
+    rows = [(1, base), (2, base + " quickly"), (3, "totally unrelated short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = {(r.id_a, r.id_b) for r in simhash_near_duplicates(
+        df, max_hamming=8, bits=60, band_bits=10).collect()}
+    assert (1, 2) in wide and not any(3 in p for p in wide)
+    # 30 identical docs: every band bucket holds all 30 → cap drops all
+    dup = spark.createDataFrame([(i, base) for i in range(30)],
+                                "doc_id long, text string")
+    assert simhash_near_duplicates(dup, bucket_cap=10).count() == 0
+    assert simhash_near_duplicates(dup, bucket_cap=50).count() == 30 * 29 // 2
+
+
+def test_lsh_bucket_guard_is_broadcast_anti_join(spark):
+    """The oversized-bucket guard must not shuffle-join the corpus-scale
+    bucket table: plan shows a broadcast left-anti join."""
+    rows = [(i, f"document number {i} about spark and parquet files")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    release(pairs)
+
+
 def test_simhash_sketches_match_expression_variant(spark, docs):
     """The staged explode→partial-sum plan must be bit-identical to the
     per-row expression fold, including NULL for tokenless documents."""
