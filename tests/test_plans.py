@@ -57,3 +57,18 @@ def test_broadcast_dims_order_revenue(spark):
     plan = _plan(spark, entry_mod.queries()["order_revenue"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3, (
         "dimension joins must broadcast, not shuffle")
+
+
+def test_simhash_hashes_once_per_token(spark):
+    """The staged sketch plan computes md5 exactly once; the expression
+    variant re-evaluates it per bit (32×) inside interpreted lambdas —
+    a regression here is a ~13× slowdown on the corpus scan."""
+    plan = _plan(spark, entry_mod.queries()["simhash"](spark, SF))
+    assert plan.count("md5") == 1, plan
+
+
+def test_embedding_neardup_cap_is_broadcast(spark):
+    """The degenerate-bucket guard must reach the corpus as a broadcast
+    join (≤2^bits size rows), never a shuffle of the embedding table."""
+    plan = _plan(spark, entry_mod.queries()["embedding_neardup"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
