@@ -33,14 +33,30 @@ def _attach_persisted(out: DataFrame, persisted: DataFrame) -> DataFrame:
     return out
 
 
-def release(df: DataFrame) -> None:
+def release(df: DataFrame) -> int:
     """Unpersist the bounded sketch/bucket tables an operator cached
     while building ``df``. Call after the result is materialized (or no
     longer needed) in long-lived sessions running many dedup passes —
     otherwise the MEMORY_AND_DISK entries accumulate until session end.
+
+    Must be called on the DataFrame an operator *returned* — the handle
+    rides on that exact object, so a derived frame
+    (``pairs.where(...)``) has nothing to release; that case warns and
+    returns 0 instead of silently leaking. Returns the number of tables
+    released.
     """
-    for p in getattr(df, "_cow_persisted", ()):
+    held = getattr(df, "_cow_persisted", ())
+    if not held:
+        import warnings
+
+        warnings.warn(
+            "release() found no cached tables on this DataFrame — pass "
+            "the operator's return value itself, not a derived frame",
+            stacklevel=2)
+        return 0
+    for p in held:
         p.unpersist()
+    return len(held)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -433,10 +449,15 @@ def embedding_near_duplicates(
     v = df.select(F.col(id_col).alias("vec_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     v = v.withColumn("sk", embedding_sign_sketch(F.col("v"), bits))
+    # persist the allowed-bucket list (≤ 2**bits rows), NOT the corpus:
+    # without it, each self-join side's broadcast re-runs the size scan
+    # over the embedding table (AQE breaks exchange reuse) — the guard
+    # would double corpus I/O instead of costing one bounded scan
     ok = (
         v.groupBy("sk").agg(F.count("*").alias("_bn"))
         .where(F.col("_bn") <= bucket_cap)
         .select("sk")
+        .persist()
     )
     v = v.join(F.broadcast(ok), "sk")
     a, b = v.alias("a"), v.alias("b")
@@ -445,10 +466,11 @@ def embedding_near_duplicates(
     na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
     cos = F.round(dot / (na * nb), 6)
-    return (
+    pairs = (
         a.join(b, "sk")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
                 cos.alias("cosine"))
         .where(F.col("cosine") >= min_cosine)
     )
+    return _attach_persisted(pairs, ok)

@@ -154,10 +154,20 @@ def kmeans_centroids(
     seed = (
         v.withColumn("_b", F.pmod(F.xxhash64(F.col("_id").cast("string")),
                                   F.lit(n_cells)))
-        .groupBy("_b").agg(F.min_by(vec_col, "_id").alias(vec_col))
+        .groupBy("_b").agg(F.min_by(vec_col, "_id").alias(vec_col),
+                           F.min("_id").alias("_id"))
         .orderBy("_b")
     )
-    cents = [(i, list(r[vec_col])) for i, r in enumerate(seed.collect())]
+    picked = seed.collect()
+    if len(picked) < n_cells:
+        # empty id-hash buckets (small or adversarial corpora): top up
+        # from the lowest-id vectors not already chosen so the caller's
+        # cell count is honored whenever the corpus has enough rows
+        have = {r._id for r in picked}
+        extra = [r for r in v.orderBy("_id").limit(n_cells + len(have))
+                 .collect() if r._id not in have]
+        picked = picked + extra[:n_cells - len(picked)]
+    cents = [(i, list(r[vec_col])) for i, r in enumerate(picked)]
     for _ in range(n_iters):
         cdf = spark.createDataFrame(
             cents, f"cell_id int, {vec_col} array<double>")

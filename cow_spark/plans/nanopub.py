@@ -179,8 +179,13 @@ def spec_provenance_quads(spark: SparkSession, ctx: NanopubContext,
            spec.about_url, dt_string),
     ]
     if spec.primary_key is not None:
-        rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "primaryKey",
-                       "lit", spec.primary_key, dt_string))
+        # CSVW allows composite keys ("primaryKey": ["a", "b"]) — one
+        # triple per component, same predicate
+        pks = (spec.primary_key if isinstance(spec.primary_key, (list, tuple))
+               else [spec.primary_key])
+        for pk in pks:
+            rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "primaryKey",
+                           "lit", str(pk), dt_string))
     for n in spec.schema_nulls:
         rows.append(_q(ctx.provenance, spec_uri, ctx.sdv + "null",
                        "lit", n, dt_string))

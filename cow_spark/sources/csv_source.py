@@ -81,9 +81,17 @@ def _detect_8bit(data: bytes) -> str:
     3. Everything else: iso-8859-1, the previous behavior.
     """
     for enc, name in [("shift_jis", "shift_jis"), ("euc_jp", "euc-jp")]:
-        try:
-            dec = data.decode(enc)
-        except UnicodeDecodeError:
+        # the sample boundary can cut a double-byte char — retry with up
+        # to 2 trailing bytes dropped before declaring a strict-decode
+        # failure (the UTF-8 trim upstream doesn't align these codecs)
+        dec = None
+        for drop in range(3):
+            try:
+                dec = data[:len(data) - drop].decode(enc)
+                break
+            except UnicodeDecodeError:
+                continue
+        if dec is None:
             continue
         if any("぀" <= ch <= "ヿ" or "一" <= ch <= "鿿"
                for ch in dec):
@@ -142,7 +150,10 @@ def _transcode_to_utf8(path: str, encoding: str) -> str:
     fd, tmp = tempfile.mkstemp(
         suffix=".csv", prefix=os.path.basename(path) + ".utf8.")
     atexit.register(lambda: os.path.exists(tmp) and os.unlink(tmp))
-    with open(path, "r", encoding=encoding) as src, \
+    # newline='' on BOTH ends: universal-newline mode would rewrite a
+    # bare \r (or \r\n) inside quoted cells to \n — mutating field data
+    # and handing Spark's byte-level line split a fake row boundary
+    with open(path, "r", encoding=encoding, newline="") as src, \
             os.fdopen(fd, "w", encoding="utf-8", newline="") as dst:
         while chunk := src.read(1 << 20):
             dst.write(chunk)
@@ -156,7 +167,16 @@ def read_csv(
     quotechar: str = '"',
     encoding: str = "utf-8",
     header: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
+    """Dialect-aware all-string CSV scan.
+
+    ``multiline=True`` is required for cells containing quoted line
+    breaks (\\r or \\n inside quotes): Hadoop's default record split is
+    byte-level and quote-blind. It costs input splittability (whole
+    file = one task), which is why it is not the default — the
+    reference's Python csv reader handles embedded breaks natively but
+    reads serially anyway."""
     if encoding.lower().replace("_", "-") not in _SPARK_CSV_CHARSETS:
         path = _transcode_to_utf8(path, encoding)
         encoding = "utf-8"
@@ -166,6 +186,7 @@ def read_csv(
         .option("encoding", encoding)
         .option("header", header)
         .option("inferSchema", False)
+        .option("multiLine", multiline)
     )
     if encoding.lower().replace("_", "-") in (
             "utf-16", "utf-16le", "utf-16be", "utf-32", "utf-32le",

@@ -38,6 +38,28 @@ from xml.sax.saxutils import escape, quoteattr
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
 
+# C0 controls that XML 1.0 cannot represent at all (not even as charrefs)
+_XML_ILLEGAL = {chr(c) for c in range(0x20)} - {"\t", "\n", "\r"}
+
+
+def _text(value: str) -> str:
+    """Escape literal lexical text for element content.
+
+    ``saxutils.escape`` alone is not enough: a raw carriage return in
+    element text is silently normalized to \\n by every conforming XML
+    parser (XML 1.0 §2.11) — the literal would round-trip different
+    from the .nq output — so \\r must be a character reference. C0
+    controls other than tab/newline/CR are ill-formed in XML 1.0 in any
+    form; refuse them loudly rather than emit an unparseable document
+    (rdflib's serializers emit them raw, producing broken files)."""
+    bad = _XML_ILLEGAL.intersection(value)
+    if bad:
+        raise ValueError(
+            f"literal contains control character(s) {sorted(map(ord, bad))} "
+            "that XML 1.0 cannot represent; use an N-Quads-family format "
+            "for this data")
+    return escape(value).replace("\r", "&#13;")
+
 
 def _name_start(ch: str) -> bool:
     return ch.isalpha() or ch == "_"
@@ -115,7 +137,7 @@ def write_rdf_xml(
                     attr = f" xml:lang={quoteattr(r.o_lang)}"
                 f.write(
                     f"    <{local} xmlns={quoteattr(ns)}{attr}>"
-                    f"{escape(r.o_lex)}</{local}>\n")
+                    f"{_text(r.o_lex)}</{local}>\n")
         if cur is not None:
             f.write("  </rdf:Description>\n")
         f.write("</rdf:RDF>\n")
@@ -156,12 +178,12 @@ def write_trix(
                 obj = f"<uri>{escape(r.o_lex)}</uri>"
             elif r.o_dt is not None:
                 obj = (f"<typedLiteral datatype={quoteattr(r.o_dt)}>"
-                       f"{escape(r.o_lex)}</typedLiteral>")
+                       f"{_text(r.o_lex)}</typedLiteral>")
             elif r.o_lang is not None:
                 obj = (f"<plainLiteral xml:lang={quoteattr(r.o_lang)}>"
-                       f"{escape(r.o_lex)}</plainLiteral>")
+                       f"{_text(r.o_lex)}</plainLiteral>")
             else:
-                obj = f"<plainLiteral>{escape(r.o_lex)}</plainLiteral>"
+                obj = f"<plainLiteral>{_text(r.o_lex)}</plainLiteral>"
             f.write(
                 f"    <triple><uri>{escape(r.s)}</uri>"
                 f"<uri>{escape(r.p)}</uri>{obj}</triple>\n")

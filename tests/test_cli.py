@@ -225,6 +225,64 @@ def test_build_on_utf16_and_nonlatin_files(spark, tmp_path):
     assert '"Москва"' in body and '"Новосибирск"' in body
 
 
+def test_transcode_preserves_quoted_cr(spark, tmp_path):
+    """The driver-side UTF-8 transcode must not let universal-newline
+    mode rewrite a bare \\r inside a quoted cell (data mutation + fake
+    row boundary)."""
+    from cow_spark.sources.csv_source import _transcode_to_utf8, read_csv
+
+    p = tmp_path / "cr.csv"
+    p.write_bytes('id,наам\n1,"ab\rcd"\n'.encode("windows-1251"))
+    tmp = _transcode_to_utf8(str(p), "windows-1251")
+    assert open(tmp, "rb").read() == 'id,наам\n1,"ab\rcd"\n'.encode("utf-8")
+    # quoted line breaks additionally need multiline (Hadoop's record
+    # split is byte-level and quote-blind — independent of transcoding)
+    rows = read_csv(spark, str(p), encoding="windows-1251",
+                    multiline=True).collect()
+    assert len(rows) == 1 and rows[0][1] == "ab\rcd"
+
+
+def test_detect_encoding_survives_truncated_multibyte_sample(tmp_path):
+    """A sample boundary cutting a shift-jis double-byte char must not
+    fail the strict decode and misroute to the Cyrillic heuristic."""
+    from cow_spark.sources.csv_source import detect_encoding
+
+    data = ("id,都市\n" + "1,東京大阪названия\n" * 40).encode("shift_jis")
+    p = tmp_path / "ja.csv"
+    p.write_bytes(data)
+    # find a sample size that ends mid double-byte char
+    for n in range(20, 60):
+        try:
+            data[:n].decode("shift_jis")
+        except UnicodeDecodeError:
+            break
+    assert detect_encoding(str(p), sample_bytes=n) == "shift_jis"
+
+
+def test_xml_literal_cr_roundtrips_and_controls_refused(spark, tmp_path):
+    """\\r in a literal must survive the XML round trip as a charref
+    (parsers normalize raw \\r to \\n); ill-formed C0 controls raise."""
+    import xml.etree.ElementTree as ET
+
+    from cow_spark.sources.xmlser import write_rdf_xml
+
+    rows = [(None, "https://example.com/s", "https://example.com/v/p",
+             "lit", "a\rb\tc", None, None)]
+    schema = "g string, s string, p string, o_kind string, o_lex string, o_dt string, o_lang string"
+    q = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "cr.xml")
+    write_rdf_xml(q, out)
+    root = ET.parse(out).getroot()
+    assert root[0][0].text == "a\rb\tc"
+
+    bad = spark.createDataFrame(
+        [(None, "https://example.com/s", "https://example.com/v/p",
+          "lit", "x\x0by", None, None)], schema)
+    with pytest.raises(Exception) as ei:
+        write_rdf_xml(bad, str(tmp_path / "bad.xml"))
+    assert "cannot represent" in str(ei.value)
+
+
 # -- reference example dialects (FIXTURES.md F6: first rows, checked in) ----
 
 BUURT = (

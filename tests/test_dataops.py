@@ -166,8 +166,30 @@ def test_release_unpersists_sketch_tables(spark):
     pairs.count()
     held = pairs._cow_persisted
     assert held and all(p.storageLevel.useMemory for p in held)
-    release(pairs)
+    assert release(pairs) == len(held)
     assert all(not p.storageLevel.useMemory for p in held)
+    # derived frames carry no handle — warn, don't silently leak
+    import warnings
+
+    p2 = minhash_lsh_pairs(df)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert release(p2.where("id_a >= 0")) == 0
+    assert any("derived" in str(x.message) for x in w)
+    release(p2)
+
+
+def test_kmeans_honors_n_cells_on_small_corpus(spark):
+    from cow_spark.operators.simsearch import kmeans_centroids
+
+    rows = [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(df, n_cells=8, n_iters=1)
+    got = cents.collect()
+    # id-hash buckets WILL be partially empty at 12 rows / 8 buckets —
+    # the top-up must still deliver 8 distinct cells
+    assert len(got) == 8
+    assert sorted(r.cell_id for r in got) == list(range(8))
 
 
 def test_shingles_short_docs(spark):
