@@ -734,6 +734,67 @@ join sized b on a.band = b.band and a.band_key = b.band_key
 """
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-dedup composition: LSH candidates → Jaccard-verified
+    pairs → connected components → one (doc_id, group_id, is_canonical)
+    row per document. The C4-style recipe as a single operator."""
+    from cow_spark.operators.dedup import near_duplicate_groups
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    g = near_duplicate_groups(docs, threshold=0.5)
+    return g.select("doc_id", "group_id",
+                    F.col("is_canonical").cast("boolean").alias("is_canonical"))
+
+
+def _sql_dedup_groups() -> str:
+    lsh = _sql_lsh_pairs()
+    return f"""
+with recursive cand as ({lsh}),
+tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+sh as (
+  select doc_id, list_distinct(
+    case when len(t) >= {_SHINGLE_N} then
+      list_transform(generate_series(1, greatest(len(t) - {_SHINGLE_N - 1}, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    when len(t) > 0 then [array_to_string(t, ' ')]
+    else [] end) as sh
+  from tok
+),
+verified as (
+  select c.id_a, c.id_b
+  from cand c
+  join sh sa on sa.doc_id = c.id_a
+  join sh sb on sb.doc_id = c.id_b
+  where len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+    and round(len(list_intersect(sa.sh, sb.sh)) /
+        cast(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+             as double), 6) >= 0.5
+),
+e as (select id_a as src, id_b as dst from verified
+      union select id_b, id_a from verified),
+r(node, label) as (
+  select src as node, src as label from e
+  union
+  select e.dst as node, r.label
+  from e join r on e.src = r.node
+  where r.label < e.dst
+),
+comp as (select node, min(label) as component from r group by node)
+select d.doc_id,
+       coalesce(c.component, d.doc_id) as group_id,
+       d.doc_id = coalesce(c.component, d.doc_id) as is_canonical
+from (select cast(doc_id as bigint) as doc_id from documents) d
+left join comp c on c.node = d.doc_id
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SimHash near-dup pipeline at the operator defaults
     (byte-band bucketing, hamming <= 3) — the sketch layer alone is
@@ -1286,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_groups": q_dedup_groups,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1315,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _sql_simhash_neardup(),
         "lsh_pairs": _sql_lsh_pairs(),
         "jaccard_pairs": _sql_jaccard_pairs(),
+        "dedup_groups": _sql_dedup_groups(),
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
         "embedding_neardup": _SQL_EMB_NEARDUP,

@@ -24,11 +24,11 @@ from ..functions.hashing import portable_hash60
 from ..functions.text import fingerprint, normalize_text, tokens
 
 
-def _attach_persisted(out: DataFrame, persisted: DataFrame) -> DataFrame:
-    """Record a sketch/bucket table an operator persisted on behalf of
-    ``out`` so callers can release it (see :func:`release`)."""
+def _attach_persisted(out: DataFrame, *persisted: DataFrame) -> DataFrame:
+    """Record sketch/bucket tables an operator persisted on behalf of
+    ``out`` so callers can release them (see :func:`release`)."""
     held = list(getattr(out, "_cow_persisted", ()))
-    held.append(persisted)
+    held.extend(persisted)
     out._cow_persisted = held
     return out
 
@@ -278,6 +278,51 @@ def jaccard_pairs(
         j.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def near_duplicate_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+    bucket_cap: int = 1000,
+    n: int = 3,
+) -> DataFrame:
+    """The full training-corpus dedup composition (the C4/pile recipe):
+    MinHash-LSH candidates → word-n-gram Jaccard verification at
+    ``threshold`` → connected components over the verified pair graph →
+    one row per input document: ``(doc_id, group_id, is_canonical)``
+    with ``group_id`` = the group's min doc id and exactly one
+    canonical survivor per group (singletons are their own group).
+    Filtering ``is_canonical`` yields the deduplicated corpus.
+
+    Every stage is the bounded/blocked operator it composes: LSH never
+    self-joins an uncapped bucket, Jaccard shingles only pair
+    participants, and CC runs over the verified-pair graph — which is
+    pair-sized, not corpus-sized (near-dup groups, not all documents).
+    """
+    from .canon import connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands,
+                              bucket_cap=bucket_cap)
+    verified = jaccard_pairs(df, pairs, id_col, text_col, n=n,
+                             threshold=threshold)
+    edges = verified.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+    comps = connected_components(edges).withColumnRenamed("node", "doc_id")
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comps, "doc_id", "left")
+    )
+    group = F.coalesce(F.col("component"), F.col("doc_id"))
+    res = out.select(
+        "doc_id",
+        group.alias("group_id"),
+        (F.col("doc_id") == group).alias("is_canonical"),
+    )
+    return _attach_persisted(res, *getattr(pairs, "_cow_persisted", ()))
 
 
 # ---------------------------------------------------------------------------

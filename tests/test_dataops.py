@@ -15,6 +15,7 @@ from cow_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    near_duplicate_groups,
     release,
     simhash,
     simhash_near_duplicates,
@@ -94,6 +95,28 @@ def test_simhash_near_duplicates(spark):
            simhash_near_duplicates(df, max_hamming=4).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_near_duplicate_groups_c4_recipe(spark):
+    """LSH → Jaccard → CC composition: transitive near-dup chains merge
+    into one group with the min-id canonical; unrelated docs stay
+    singletons; filtering is_canonical dedups the corpus."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base.replace("today", "tomorrow")),
+            (4, base),  # exact dup of 1 → transitively groups with 2
+            (7, "completely different content about spark partitions and shuffles here"),
+            (9, base.replace("quick", "slow").replace("today", "tomorrow"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = near_duplicate_groups(df, threshold=0.5)
+    got = {r.doc_id: (r.group_id, r.is_canonical) for r in g.collect()}
+    release(g)
+    assert len(got) == 5  # one row per input doc
+    assert got[1] == (1, True) and got[2] == (1, False) and got[4] == (1, False)
+    assert got[7] == (7, True)  # singleton is its own canonical
+    # exactly one canonical per group
+    assert sum(1 for gid, c in got.values() if c and gid == 1) == 1
+    survivors = {d for d, (gid, c) in got.items() if c}
+    assert 1 in survivors and 7 in survivors and {2, 4} & survivors == set()
 
 
 def test_simhash_wide_sketch_and_bucket_cap(spark):
