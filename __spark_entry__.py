@@ -734,6 +734,50 @@ join sized b on a.band = b.band and a.band_key = b.band_key
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line fraction + top-2-gram
+    share), floor-scaled to ints for cross-engine hashing."""
+    from cow_spark.operators.quality import repetition_stats
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    r = repetition_stats(docs, n=2)
+    return r.select(
+        "doc_id",
+        F.floor(F.col("dup_line_frac") * 1000000).cast("long").alias("dup6"),
+        F.floor(F.col("top_ngram_frac") * 1000000).cast("long").alias("top6"),
+    )
+
+
+_SQL_REPETITION = r"""
+with tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) as ls
+  from documents
+),
+g as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) as gram
+  from tok where len(t) >= 2
+),
+cnt as (select doc_id, gram, count(*) as c from g group by doc_id, gram),
+agg as (select doc_id, max(c) as top, sum(c) as total
+        from cnt group by doc_id)
+select tok.doc_id,
+       cast(floor(case when len(tok.ls) > 0
+            then 1 - len(list_distinct(tok.ls)) / cast(len(tok.ls) as double)
+            else 0.0 end * 1000000) as bigint) as dup6,
+       cast(floor(coalesce(agg.top / cast(agg.total as double), 0.0)
+            * 1000000) as bigint) as top6
+from tok left join agg on agg.doc_id = tok.doc_id
+"""
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full corpus-dedup composition: LSH candidates → Jaccard-verified
     pairs → connected components → one (doc_id, group_id, is_canonical)
@@ -1348,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_groups": q_dedup_groups,
+        "repetition_stats": q_repetition_stats,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1378,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": _sql_lsh_pairs(),
         "jaccard_pairs": _sql_jaccard_pairs(),
         "dedup_groups": _sql_dedup_groups(),
+        "repetition_stats": _SQL_REPETITION,
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
         "embedding_neardup": _SQL_EMB_NEARDUP,

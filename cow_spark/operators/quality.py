@@ -1,0 +1,88 @@
+"""Repetition-based quality signals (the Gopher/MassiveText rule family).
+
+Pre-training corpora drop documents dominated by repeated lines or
+n-grams; these are the standard signals, computed Spark-first:
+
+- :func:`duplicate_line_fraction` — pure Column (array ops, codegen).
+- :func:`repetition_stats` — DataFrame-level for the n-gram mode: the
+  per-gram counting goes explode → groupBy with partial aggregation
+  (one shuffle of (doc, gram) partials), NOT a per-row nested
+  higher-order loop — interpreted HOF lambdas over d×g element pairs
+  would be quadratic per document (see CLAUDE.md).
+
+Everything is DuckDB-replayable; ratios are floor-scaled to ints at the
+oracle boundary (round-half modes differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens
+
+
+def duplicate_line_fraction(c: Column) -> Column:
+    """Fraction of non-blank lines that repeat an earlier line."""
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def _ngrams_with_repeats(t: Column, n: int) -> Column:
+    """All n-grams of a token array, duplicates KEPT (mode counting
+    needs multiplicity; :func:`..functions.text.tokens`-style distinct
+    shingles would hide exactly the repetition being measured)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document repetition signals:
+
+    - ``dup_line_frac``  — share of non-blank lines that are repeats,
+    - ``top_ngram_frac`` — share of all word ``n``-grams taken by the
+      single most frequent one (1.0 = the document is one phrase
+      looping; high values fail the Gopher repetition gates).
+
+    Documents with fewer than ``n`` tokens get ``top_ngram_frac`` 0.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
+        tokens(normalize_text(F.col(text_col))).alias("_tok"),
+    )
+    ex = base.select(
+        "doc_id",
+        F.explode_outer(_ngrams_with_repeats(F.col("_tok"), n)).alias("_g"),
+    )
+    per_gram = (
+        ex.where(F.col("_g").isNotNull())
+        .groupBy("doc_id", "_g").agg(F.count("*").alias("_c"))
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+    return (
+        base.select("doc_id", "dup_line_frac")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            F.coalesce(F.col("_top") / F.col("_total").cast("double"),
+                       F.lit(0.0)).alias("top_ngram_frac"),
+        )
+    )

@@ -120,6 +120,77 @@ def take_centroids(corpus: DataFrame, n_cells: int,
         (F.row_number().over(w) - 1).alias("cell_id"), F.col(vec_col))
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF layout: vectors partitioned on disk by their
+    cell (``cell=<n>/`` directories) plus the centroid table.
+
+    This is the 100 TB shape the in-memory :func:`ivf_topk` only
+    simulates — at search time a probe reads n_probe/n_cells of the
+    data because partition pruning drops the other cell directories at
+    the file-listing level (``PartitionFilters`` in the scan plan, no
+    bytes read)."""
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    (assigned.select(id_col, F.col("v").alias(vec_col), "cell")
+     .write.mode(mode).partitionBy("cell").parquet(f"{path}/vectors"))
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a :func:`write_ivf_index` layout, reading only the
+    probed cells.
+
+    The probed cell ids are collected to the driver (bounded by
+    |queries| × n_probe — queries are the broadcast-small side by
+    contract) so the cell filter is a *literal* IN-list the scan can
+    prune partitions with; a join-based filter would have to list every
+    cell directory first."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = cents.select("cell_id",
+                     F.col(vec_col).cast("array<double>").alias("cv"))
+    qcells = (
+        F.broadcast(q).crossJoin(c)
+        .select("query_id", "qv", "cell_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("cell_id"))
+    probes = (
+        qcells.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "qv", F.col("cell_id").alias("cell"))
+    )
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    vectors = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("cell").isin(cells))
+    )
+    scored = (
+        vectors.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("nbr_id"),
+                cosine(F.col("qv"),
+                       F.col(vec_col).cast("array<double>")).alias("cosine"))
+    )
+    return _topk_per_query(scored, k)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int,

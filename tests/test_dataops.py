@@ -97,6 +97,26 @@ def test_simhash_near_duplicates(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_repetition_stats_gopher_signals(spark):
+    from cow_spark.operators.quality import repetition_stats
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nbuy now"),        # loops one line
+        (2, "spam spam spam spam spam"),                  # one 2-gram
+        (3, "a normal sentence with distinct words here"),
+        (4, ""),                                          # empty
+        (5, "one"),                                       # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (round(r.dup_line_frac, 6), round(r.top_ngram_frac, 6))
+           for r in repetition_stats(df, n=2).collect()}
+    # 4 lines, 1 distinct → 0.75; grams = 'buy now'×4 + 'now buy'×3 → 4/7
+    assert got[1] == (0.75, round(4 / 7, 6))
+    assert got[2] == (0.0, 1.0)        # 'spam spam' is every 2-gram
+    assert got[3][1] < 0.5 and got[3][0] == 0.0
+    assert got[4] == (0.0, 0.0) and got[5] == (0.0, 0.0)
+
+
 def test_near_duplicate_groups_c4_recipe(spark):
     """LSH → Jaccard → CC composition: transitive near-dup chains merge
     into one group with the min-id canonical; unrelated docs stay
@@ -291,6 +311,33 @@ def test_ivf_kmeans_beats_training_free_on_clustered_data(spark):
                    .groupBy("cell").count()
                    .select(F.col("count").alias("n")).collect())
     assert len(sizes) == 4 and sizes[0] >= 20, sizes
+
+
+def test_ivf_index_on_disk_prunes_and_matches_in_memory(spark, embs, tmp_path):
+    """write_ivf_index + ivf_search must return exactly what the
+    in-memory ivf_topk returns with the same centroids, and the vector
+    scan must prune unprobed cell directories (PartitionFilters), not
+    read-then-filter."""
+    from cow_spark.operators.simsearch import (
+        ivf_search,
+        take_centroids,
+        write_ivf_index,
+    )
+
+    cents = take_centroids(embs, n_cells=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(embs, cents, path)
+    queries = embs.where(F.col("vec_id") < 5)
+    got = ivf_search(spark, path, queries, k=5, n_probe=3)
+    want = ivf_topk(embs, queries, k=5, n_cells=8, n_probe=3, centroids=cents)
+    g = {(r.query_id, r.nbr_id, r.cosine, r.rank) for r in got.collect()}
+    w = {(r.query_id, r.nbr_id, r.cosine, r.rank) for r in want.collect()}
+    assert g == w and g
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0] and "IN" in pf[0].upper(), plan
 
 
 def test_embedding_near_duplicates(spark):
