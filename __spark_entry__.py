@@ -1241,6 +1241,43 @@ cross join (select unnest(generate_series(0, {FEATURE_DIM - 1})) as idx) t
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize plumbing (fake kernel): image payloads
+    become exactly width×height deterministic bytes, other media pass
+    through — value-checked via the hex rendering of the binary."""
+    from cow_spark.operators.multimodal import media_from_documents, resize_media
+
+    _ensure_workers_can_import(spark)
+    docs = _load(spark, sf_dir, "documents")
+    out = resize_media(media_from_documents(docs), width=32, height=16)
+    return out.select(
+        "doc_id", "media_type",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.lower(F.hex("content")).alias("content_hex"),
+    )
+
+
+# fake resize payload = (md5_digest * k)[:n]; in hex that is the 32-char
+# md5 hex string repeated and truncated to 2n chars (n = 32*16 = 512)
+_SQL_MULTIMODAL_RESIZE = """
+select cast(doc_id as bigint) as doc_id,
+       case cast(doc_id as bigint) % 3
+            when 0 then 'image/png'
+            when 1 then 'audio/wav'
+            else 'video/mp4' end as media_type,
+       cast(case when cast(doc_id as bigint) % 3 = 0 then 32 else 64 end
+            as int) as width,
+       cast(case when cast(doc_id as bigint) % 3 = 0 then 16 else 64 end
+            as int) as height,
+       case when cast(doc_id as bigint) % 3 = 0
+            then substr(repeat(md5(coalesce(text, '')), 33), 1, 1024)
+            when text is null then null
+            else lower(hex(encode(text))) end as content_hex
+from documents
+"""
+
+
 def q_transcript_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript flagship: default-spec KG extraction over the
     deterministic synthetic transcripts (sf-independent generator size).
@@ -1393,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_groups": q_dedup_groups,
         "repetition_stats": q_repetition_stats,
+        "multimodal_resize": q_multimodal_resize,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1424,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _sql_jaccard_pairs(),
         "dedup_groups": _sql_dedup_groups(),
         "repetition_stats": _SQL_REPETITION,
+        "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
         "embedding_neardup": _SQL_EMB_NEARDUP,

@@ -97,6 +97,67 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_type string, content binary, width int, height int"
+)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize image payloads to (width, height) via Arrow-batched
+    ``mapInPandas`` — the training-ingest normalization step.
+
+    Same stub contract as :func:`extract_features`: ``decoder='real'``
+    is the PIL integration point (unavailable offline) and raises with
+    the batch contract; ``decoder='fake'`` emits a deterministic
+    payload of exactly width×height bytes derived from the source bytes
+    (md5-keyed tiling), so batch sizing, schema, and metadata rewrite
+    are real and testable. Non-image rows pass through untouched.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(decoder)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image decode/resize (PIL) is not installed in this "
+                "environment; plug it in here — batch contract: "
+                "pd.DataFrame[doc_id, media_type, content, width, height] → "
+                "same columns with content resized and width/height updated"
+            )
+        for b in batches:
+            out_content, out_w, out_h = [], [], []
+            for mt, c, w, h in zip(b["media_type"], b["content"],
+                                   b["width"], b["height"]):
+                if isinstance(mt, str) and mt.startswith("image/"):
+                    seed = hashlib.md5(c or b"").digest()
+                    n = width * height
+                    out_content.append((seed * (n // 16 + 1))[:n])
+                    out_w.append(width)
+                    out_h.append(height)
+                else:
+                    out_content.append(c)
+                    out_w.append(w)
+                    out_h.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_type": b["media_type"],
+                    "content": out_content,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return media.select(
+        "doc_id", "media_type", "content", "width", "height"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 250
 ) -> DataFrame:

@@ -370,6 +370,29 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() == vid * 3  # 0, 500, 1000
 
 
+def test_resize_media_plumbing(spark, docs):
+    from cow_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(docs.limit(30))
+    out = resize_media(media, width=32, height=16)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 30
+    for r in rows.values():
+        if r.media_type.startswith("image/"):
+            assert len(r.content) == 32 * 16
+            assert (r.width, r.height) == (32, 16)
+        else:  # non-image rows untouched
+            assert (r.width, r.height) == (64, 64)
+    # deterministic
+    again = {r.doc_id: bytes(r.content) for r in resize_media(
+        media, width=32, height=16).collect()}
+    assert all(bytes(r.content) == again[d] for d, r in rows.items())
+    with pytest.raises(Exception) as ei:
+        resize_media(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
 def test_streaming_extract(spark, tmp_path):
     from cow_spark.spec.mapping import MappingSpec
     from cow_spark.spec.presets import transcripts_default_spec
