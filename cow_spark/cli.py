@@ -143,7 +143,8 @@ def convert_one(path: str, args) -> str:
         source_hash=git_blob_sha1(path),
         timestamp=args.timestamp or _utc_minute(),
     )
-    out = assemble_nanopub(quads, ctx, source_path=path)
+    out = assemble_nanopub(quads, ctx, source_path=path,
+                           virtuoso_compat=args.virtuoso_compat)
     # same extension table as the reference (csvw.py:39-41)
     ext = {"nquads": ".nq", "nt": ".nt", "turtle": ".ttl", "trig": ".trig",
            "n3": ".n3", "xml": ".xml", "pretty-xml": ".xml",
@@ -214,6 +215,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--distributed", dest="distributed", action="store_true",
                     help="keep one output part per task")
     ap.set_defaults(distributed=False)
+    ap.add_argument("--virtuoso-compat", action="store_true",
+                    help="name the nanopub spine's default graph with a "
+                         "deterministic urn:uuid (for stores that reject "
+                         "unnamed graphs; the reference always does this, "
+                         "with a random uuid)")
     ap.add_argument("--version", action="version", version=__version__)
     args = ap.parse_args(argv)
 

@@ -60,6 +60,37 @@ def stream_extract_quads(
     return quads.dropDuplicatesWithinWatermark(QUAD_COLS)
 
 
+def stream_dedup_documents(
+    stream: DataFrame,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: one surviving row per normalized-text
+    fingerprint within the lateness horizon (the streaming face of
+    :func:`..operators.dedup.exact_duplicates`).
+
+    State is one key per *distinct* document inside the watermark
+    window, dropped as the watermark passes — bounded by the dedup
+    horizon, not the stream's history. Exact global dedup across the
+    unbounded stream belongs downstream at compaction (Iceberg MERGE),
+    same policy as :func:`stream_extract_quads`.
+    """
+    from ..functions.text import fingerprint
+
+    wm = stream.withWatermark(event_time_col, watermark)
+    fp = wm.withColumn("_fp", fingerprint(F.col(text_col)))
+    # NULL text has no fingerprint; those rows pass through un-deduped
+    # (matching the batch operator, which never groups NULLs)
+    dup = (
+        fp.where(F.col("_fp").isNotNull())
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+    return dup.unionByName(
+        fp.where(F.col("_fp").isNull()).drop("_fp"))
+
+
 def stream_mention_rates(
     stream: DataFrame,
     pattern: str,

@@ -143,6 +143,16 @@ def test_cli_xml_and_trix_roundtrip(spark, csv_file):
     assert graphs >= 2  # default graph (spine) + named assertion graph
 
 
+def test_cli_virtuoso_compat_flag(spark, csv_file):
+    cli_main(["build", csv_file])
+    cli_main(["convert", csv_file, "--virtuoso-compat",
+              "--timestamp", "2026-08-17T00:00"])
+    lines = _read_nq(csv_file + ".nq")
+    assert lines and all(l.rstrip(" .").rstrip().endswith(">")
+                         for l in lines)  # every quad carries a graph
+    assert any("urn:uuid:" in l for l in lines)
+
+
 def test_cli_n3_is_turtle_superset(spark, csv_file):
     cli_main(["build", csv_file])
     ts = ["--timestamp", "2026-08-17T00:00"]

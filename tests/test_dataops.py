@@ -393,6 +393,33 @@ def test_resize_media_plumbing(spark, docs):
         ei.value, NotImplementedError)
 
 
+def test_stream_dedup_documents_matches_batch(spark, tmp_path):
+    """Streamed fingerprint-dedup must keep exactly one row per distinct
+    normalized text (same key set as the batch operator)."""
+    from cow_spark.functions.text import fingerprint as fp_col
+    from cow_spark.sources.transcripts import transcripts_df
+    from cow_spark.streaming.stream import (
+        read_transcripts_stream,
+        stream_dedup_documents,
+    )
+
+    src = str(tmp_path / "landing")
+    t = transcripts_df(spark, 300)
+    t.repartition(3).write.parquet(src)
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=1)
+    out = stream_dedup_documents(stream, watermark="2 hours")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_docs").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_docs")
+    batch_keys = {r.k for r in t.select(
+        fp_col(F.col("text")).alias("k")).where("k is not null").distinct().collect()}
+    got_keys = [r.k for r in got.select(
+        fp_col(F.col("text")).alias("k")).where("k is not null").collect()]
+    assert sorted(got_keys) == sorted(set(got_keys))  # one row per key
+    assert set(got_keys) == batch_keys                # nothing lost
+
+
 def test_streaming_extract(spark, tmp_path):
     from cow_spark.spec.mapping import MappingSpec
     from cow_spark.spec.presets import transcripts_default_spec
