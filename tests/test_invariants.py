@@ -118,3 +118,38 @@ def test_extraction_idempotent(spark):
     b = extract_quads(df, spec)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+# -- round-2 primitives: fuzzed against pure-Python twins ------------------
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits + "/#.:-_~%é",
+               min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_split_iri_invariants(iri):
+    """When split_iri succeeds: ns+local == iri, local is a valid
+    NCName, and ns is non-empty; otherwise it raises ValueError."""
+    from cow_spark.sources.xmlser import split_iri
+
+    try:
+        ns, local = split_iri(iri)
+    except ValueError:
+        return
+    assert ns + local == iri and ns and local
+    assert local[0].isalpha() or local[0] == "_"
+    assert all(ch.isalnum() or ch in "_-." for ch in local)
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " ", max_size=8),
+                max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_duplicate_line_fraction_matches_python(spark, lines):
+    from cow_spark.operators.quality import duplicate_line_fraction
+    import pyspark.sql.functions as F
+
+    text = "\n".join(lines)
+    got = spark.createDataFrame([(text,)], "t string").select(
+        duplicate_line_fraction(F.col("t")).alias("f")).collect()[0].f
+    nonblank = [l for l in lines if l.strip()]
+    want = (1 - len(set(nonblank)) / len(nonblank)) if nonblank else 0.0
+    assert abs(got - want) < 1e-9
