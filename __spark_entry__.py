@@ -755,8 +755,8 @@ with tok as (
          list_filter(regexp_split_to_array(
            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
            x -> length(x) > 0) as t,
-         list_filter(string_split(text, chr(10)),
-                     x -> length(trim(x)) > 0) as ls
+         list_filter(regexp_split_to_array(text, '\r\n|\r|\n'),
+                     x -> regexp_matches(x, '\S')) as ls
   from documents
 ),
 g as (

@@ -50,8 +50,10 @@ def release(df: DataFrame) -> int:
         import warnings
 
         warnings.warn(
-            "release() found no cached tables on this DataFrame — pass "
-            "the operator's return value itself, not a derived frame",
+            "release() found no cached tables on this DataFrame — either "
+            "this operator persists nothing (then release is a no-op), or "
+            "a derived frame was passed (handles ride on the operator's "
+            "return value itself, e.g. release(pairs) before .where(...))",
             stacklevel=2)
         return 0
     for p in held:
@@ -99,8 +101,14 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(normalize_text(c)), n)
 
 
-def shingles_from_tokens(t: Column, n: int = 3) -> Column:
-    """Distinct word n-grams from an already-materialized token array."""
+def shingles_from_tokens(t: Column, n: int = 3,
+                         distinct: bool = True) -> Column:
+    """Word n-grams from an already-materialized token array.
+
+    ``distinct=True`` (the dedup/LSH contract) returns the shingle SET;
+    ``distinct=False`` keeps multiplicity — what repetition measurement
+    needs (:mod:`.quality` counts the mode of exactly these grams).
+    """
     # s-n+1 shingles → indices 0..s-n inclusive (greatest() keeps the
     # sequence ascending for short docs; that branch is guarded below)
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
@@ -113,7 +121,7 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
         F.when(F.size(t) > 0, F.array(F.concat_ws(" ", t))).otherwise(
             F.array().cast("array<string>"))
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 # one md5 per shingle + k affine mixes over a prime field — k× less

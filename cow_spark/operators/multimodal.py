@@ -98,7 +98,8 @@ def extract_features(
 
 
 RESIZED_SCHEMA = (
-    "doc_id bigint, media_type string, content binary, width int, height int"
+    "doc_id bigint, media_type string, content binary, "
+    "width int, height int, duration_ms int"
 )
 
 
@@ -150,11 +151,14 @@ def resize_media(
                     "content": out_content,
                     "width": out_w,
                     "height": out_h,
+                    # carried through untouched so resize composes with
+                    # sample_frames over mixed image+video corpora
+                    "duration_ms": b["duration_ms"],
                 }
             )
 
     return media.select(
-        "doc_id", "media_type", "content", "width", "height"
+        "doc_id", "media_type", "content", "width", "height", "duration_ms"
     ).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 

@@ -20,11 +20,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, tokens
+from .dedup import shingles_from_tokens
 
 
 def duplicate_line_fraction(c: Column) -> Column:
-    """Fraction of non-blank lines that repeat an earlier line."""
-    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    """Fraction of non-blank lines that repeat an earlier line.
+
+    Splits on any line-ending convention (\\n, \\r\\n, \\r) and counts a
+    line as blank when it has no non-whitespace character — a plain
+    ``trim`` strips only spaces, so CRLF or tab-only "blank" lines
+    would register as repeated content and inflate the kill signal."""
+    lines = F.filter(F.split(c, r"\r\n|\r|\n"),
+                     lambda x: x.rlike(r"\S"))
     n = F.size(lines)
     return F.when(
         n > 0,
@@ -34,14 +41,11 @@ def duplicate_line_fraction(c: Column) -> Column:
 
 def _ngrams_with_repeats(t: Column, n: int) -> Column:
     """All n-grams of a token array, duplicates KEPT (mode counting
-    needs multiplicity; :func:`..functions.text.tokens`-style distinct
-    shingles would hide exactly the repetition being measured)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    needs multiplicity — the distinct shingle set would hide exactly
+    the repetition being measured). Documents shorter than ``n`` tokens
+    yield NO grams (the shared builder's short-doc full-text fallback
+    is a dedup-recall feature, not a repetition signal)."""
+    grams = shingles_from_tokens(t, n, distinct=False)
     return F.when(F.size(t) >= n, grams).otherwise(
         F.array().cast("array<string>"))
 

@@ -176,13 +176,19 @@ def ivf_search(
         .where(F.col("_r") <= n_probe)
         .select("query_id", "qv", F.col("cell_id").alias("cell"))
     )
-    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    # one evaluation of the probe pipeline: the collected rows feed BOTH
+    # the literal cell filter and (re-localized) the broadcast join —
+    # referencing `probes` again in the join would re-run the centroid
+    # scan + window a second time
+    probe_rows = probes.collect()
+    cells = sorted({r.cell for r in probe_rows})
+    probes_local = spark.createDataFrame(probe_rows, probes.schema)
     vectors = (
         spark.read.parquet(f"{path}/vectors")
         .where(F.col("cell").isin(cells))
     )
     scored = (
-        vectors.join(F.broadcast(probes), "cell")
+        vectors.join(F.broadcast(probes_local), "cell")
         .where(F.col("query_id") != F.col(id_col))
         .select("query_id", F.col(id_col).alias("nbr_id"),
                 cosine(F.col("qv"),

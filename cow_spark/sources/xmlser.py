@@ -93,6 +93,27 @@ def _open(path: str, gzip_out: bool) -> IO[str]:
     return open(path, "w", encoding="utf-8", newline="\n")
 
 
+class _cleanup_on_error:
+    """Delete the partial output file if the write body raises — a
+    mid-stream failure (e.g. an unrepresentable control character N rows
+    in) must not leave a truncated-but-parseable-looking XML artifact
+    for downstream globs to pick up."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            import os
+
+            if os.path.exists(self.path):
+                os.unlink(self.path)
+        return False
+
+
 def write_rdf_xml(
     quads: DataFrame,
     path: str,
@@ -112,7 +133,7 @@ def write_rdf_xml(
         .dropDuplicates()
         .sort("s", "p", "o_lex")
     )
-    with _open(path, gzip_out) as f:
+    with _cleanup_on_error(path), _open(path, gzip_out) as f:
         f.write('<?xml version="1.0" encoding="utf-8"?>\n')
         f.write(f"<rdf:RDF xmlns:rdf={quoteattr(RDF_NS)}>\n")
         cur = None
@@ -162,7 +183,7 @@ def write_trix(
         .dropDuplicates()
         .sort(F.col("g").asc_nulls_first(), "s", "p", "o_lex")
     )
-    with _open(path, gzip_out) as f:
+    with _cleanup_on_error(path), _open(path, gzip_out) as f:
         f.write('<?xml version="1.0" encoding="utf-8"?>\n')
         f.write(f"<TriX xmlns={quoteattr(TRIX_NS)}>\n")
         cur = _NO_GRAPH

@@ -79,16 +79,18 @@ def stream_dedup_documents(
     from ..functions.text import fingerprint
 
     wm = stream.withWatermark(event_time_col, watermark)
-    fp = wm.withColumn("_fp", fingerprint(F.col(text_col)))
-    # NULL text has no fingerprint; those rows pass through un-deduped
-    # (matching the batch operator, which never groups NULLs)
-    dup = (
-        fp.where(F.col("_fp").isNotNull())
+    # NULL text has no fingerprint; those rows must pass through
+    # un-deduped (the batch operator never groups NULLs). A two-branch
+    # union would re-scan the unbounded source once per branch per
+    # trigger (no CSE across union branches — CLAUDE.md), so instead
+    # NULL rows get a unique key: they can never collide, and their
+    # state entries age out with the watermark like any other key.
+    key = F.coalesce(fingerprint(F.col(text_col)), F.expr("uuid()"))
+    return (
+        wm.withColumn("_fp", key)
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
-    return dup.unionByName(
-        fp.where(F.col("_fp").isNull()).drop("_fp"))
 
 
 def stream_mention_rates(

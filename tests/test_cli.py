@@ -291,6 +291,8 @@ def test_xml_literal_cr_roundtrips_and_controls_refused(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         write_rdf_xml(bad, str(tmp_path / "bad.xml"))
     assert "cannot represent" in str(ei.value)
+    # the partial file must not be left behind for globs to pick up
+    assert not (tmp_path / "bad.xml").exists()
 
 
 # -- reference example dialects (FIXTURES.md F6: first rows, checked in) ----

@@ -107,9 +107,12 @@ def test_repetition_stats_gopher_signals(spark):
         (4, ""),                                          # empty
         (5, "one"),                                       # < n tokens
     ]
+    rows.append((6, "a\r\nb\r\n\r\n\r\nc\r\n"))   # CRLF + blank CRLF lines
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (round(r.dup_line_frac, 6), round(r.top_ngram_frac, 6))
            for r in repetition_stats(df, n=2).collect()}
+    # CRLF blank lines are blank, not repeated '\r' content lines
+    assert got[6][0] == 0.0
     # 4 lines, 1 distinct → 0.75; grams = 'buy now'×4 + 'now buy'×3 → 4/7
     assert got[1] == (0.75, round(4 / 7, 6))
     assert got[2] == (0.0, 1.0)        # 'spam spam' is every 2-gram
@@ -378,11 +381,16 @@ def test_resize_media_plumbing(spark, docs):
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 30
     for r in rows.values():
+        assert r.duration_ms == 1000  # metadata carried through
         if r.media_type.startswith("image/"):
             assert len(r.content) == 32 * 16
             assert (r.width, r.height) == (32, 16)
         else:  # non-image rows untouched
             assert (r.width, r.height) == (64, 64)
+    # resize composes with frame sampling on mixed corpora
+    frames = sample_frames(out, every_ms=500)
+    assert frames.count() == out.where(
+        "media_type like 'video/%'").count() * 3
     # deterministic
     again = {r.doc_id: bytes(r.content) for r in resize_media(
         media, width=32, height=16).collect()}
