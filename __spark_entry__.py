@@ -1153,6 +1153,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basic-graph-pattern query over the extracted KG: three patterns
+    joined on a shared subject variable (the query face of the engine —
+    the reference needs a triple store for this)."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import match_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    return match_bgp(quads, [
+        ("?doc", f"{BASE}/vocab/text", "?t"),
+        ("?doc", f"{BASE}/vocab/lang", "?l"),
+        ("?doc", f"{BASE}/vocab/n_chars", "?n"),
+    ])
+
+
+def _sql_bgp_query() -> str:
+    # the three patterns de-sugar to the default-spec emission rules:
+    # text/lang emit only when non-empty (P2), n_chars when non-null
+    return f"""
+select '{BASE}/' || cast(doc_id as varchar) as doc,
+       text as t, lang as l, cast(n_chars as varchar) as n
+from documents
+where length(coalesce(text, '')) > 0
+  and length(coalesce(lang, '')) > 0
+  and n_chars is not null
+"""
+
+
 def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/P17: metrics/quarantine accounting, aggregated to totals
     (per-partition ids aren't stable across engines; the totals are)."""
@@ -1431,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "repetition_stats": q_repetition_stats,
         "multimodal_resize": q_multimodal_resize,
+        "bgp_query": q_bgp_query,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1463,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _sql_dedup_groups(),
         "repetition_stats": _SQL_REPETITION,
         "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
+        "bgp_query": _sql_bgp_query(),
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
         "embedding_neardup": _SQL_EMB_NEARDUP,

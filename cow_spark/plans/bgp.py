@@ -1,0 +1,117 @@
+"""Basic-graph-pattern matching over quad DataFrames.
+
+The query face of the engine: the reference has no query surface at all
+(its .nq output is meant for a downstream triple store), so simple
+"find all bindings of this triple pattern conjunction" workflows force
+a store round-trip. Here a BGP compiles to a filter per pattern plus
+natural joins on shared variables — a declarative plan Catalyst can
+reorder, broadcast, and push down like any other (the quads table's
+flat columns give parquet min/max pruning on ``p``, the most selective
+position in practice).
+
+Not SPARQL: no OPTIONAL/UNION/FILTER expressions, no property paths —
+those are the triple-store's job. This covers the select-join core
+that accounts for most KG lookups, at table scan speed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://|^urn:")
+
+
+def _is_var(t: str) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+def _resolve(term: str, namespaces: dict[str, str] | None) -> str:
+    if namespaces and ":" in term and not _ABS_IRI.match(term):
+        pfx, rest = term.split(":", 1)
+        if pfx in namespaces and not rest.startswith("//"):
+            return namespaces[pfx] + rest
+    return term
+
+
+def match_bgp(
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    namespaces: dict[str, str] | None = None,
+) -> DataFrame:
+    """Bindings of a conjunction of triple patterns.
+
+    Each pattern is ``(s, p, o)``; ``'?name'`` marks a variable (bound
+    column ``name`` in the result), anything else is a constant —
+    prefixed names resolve through ``namespaces``, absolute IRIs and
+    ``urn:`` match IRI terms, everything else matches literal lexical
+    forms. Variables in object position bind the lexical form
+    (``o_lex``) whatever the term kind.
+
+    Patterns are ordered most-constants-first (static selectivity) and
+    each pattern's projection is deduplicated before joining, so
+    duplicate quads across graphs can't multiply bindings. Patterns
+    sharing no variable with the accumulated bindings cross-join —
+    correct BGP semantics, worth knowing when writing the query.
+    """
+    if not patterns:
+        raise ValueError("empty pattern list")
+    order = sorted(patterns,
+                   key=lambda t: -sum(not _is_var(x) for x in t))
+    out: DataFrame | None = None
+    for s, p, o in order:
+        df = quads
+        cols = []
+        seen: set[str] = set()
+
+        def bind(col, term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"unnamed variable in pattern {(s, p, o)}")
+            if name in seen:  # repeated var inside ONE pattern: equality
+                df_filter.append(F.col(col) == F.col(_first[name]))
+            else:
+                seen.add(name)
+                _first[name] = col
+                cols.append(F.col(col).alias(name))
+
+        _first: dict[str, str] = {}
+        df_filter: list = []
+        if _is_var(s):
+            bind("s", s)
+        else:
+            df = df.where(F.col("s") == _resolve(s, namespaces))
+        if _is_var(p):
+            bind("p", p)
+        else:
+            df = df.where(F.col("p") == _resolve(p, namespaces))
+        if _is_var(o):
+            bind("o_lex", o)
+        else:
+            ro = _resolve(o, namespaces)
+            if _ABS_IRI.match(ro):
+                df = df.where((F.col("o_kind") == "iri")
+                              & (F.col("o_lex") == ro))
+            else:
+                df = df.where((F.col("o_kind") == "lit")
+                              & (F.col("o_lex") == o))
+        for cond in df_filter:
+            df = df.where(cond)
+
+        if not cols:
+            # all-constant pattern: an existence gate on the result
+            if df.limit(1).count() == 0:
+                return (out if out is not None else quads.select()).limit(0)
+            continue
+        part = df.select(*cols).dropDuplicates()
+        if out is None:
+            out = part
+        else:
+            shared = sorted(set(out.columns) & set(part.columns))
+            out = out.join(part, shared) if shared else out.crossJoin(part)
+    if out is None:  # every pattern was an (existing) constant
+        return quads.sparkSession.range(1).select(
+            F.lit(True).alias("matched"))
+    return out

@@ -181,3 +181,62 @@ def test_iceberg_sink_gated_offline(spark):
         "o_dt string, o_lang string")
     with pytest.raises(NotImplementedError):
         write_quads_iceberg(df)
+
+
+def test_match_bgp_semantics(spark):
+    """BGP matcher: joins on shared vars, literal-vs-IRI constants,
+    prefixed-name resolution, repeated in-pattern variables, and the
+    all-constant existence gate."""
+    from cow_spark.plans.bgp import match_bgp
+
+    EX = "https://example.com/v/"
+    rows = [
+        (None, "https://example.com/a", EX + "name", "lit", "Ada", None, None),
+        (None, "https://example.com/a", EX + "knows", "iri",
+         "https://example.com/b", None, None),
+        (None, "https://example.com/b", EX + "name", "lit", "Bert", None, None),
+        (None, "https://example.com/c", EX + "name", "lit", "Ada", None, None),
+        # duplicate quad in a second graph must not multiply bindings
+        ("https://example.com/g", "https://example.com/a", EX + "name",
+         "lit", "Ada", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    ns = {"ex": EX}
+
+    # join on shared subject + object var chain: who does Ada know, and
+    # what is that person's name?
+    got = match_bgp(q, [
+        ("?x", "ex:name", "Ada"),
+        ("?x", "ex:knows", "?y"),
+        ("?y", "ex:name", "?n"),
+    ], namespaces=ns).collect()
+    assert [(r.x, r.y, r.n) for r in got] == [
+        ("https://example.com/a", "https://example.com/b", "Bert")]
+
+    # IRI constant in object position matches o_kind='iri'
+    assert match_bgp(q, [("?x", "ex:knows", "https://example.com/b")],
+                     namespaces=ns).count() == 1
+    # literal 'https-less' constant matches literals only
+    assert match_bgp(q, [("?x", "ex:name", "Bert")],
+                     namespaces=ns).count() == 1
+
+    # duplicate-graph quad: one binding for Ada's subjects, not two
+    xs = {r.x for r in match_bgp(q, [("?x", "ex:name", "Ada")],
+                                 namespaces=ns).collect()}
+    assert xs == {"https://example.com/a", "https://example.com/c"}
+    n_rows = match_bgp(q, [("?x", "ex:name", "Ada")], namespaces=ns).count()
+    assert n_rows == 2
+
+    # all-constant pattern acts as existence gate
+    ok = match_bgp(q, [
+        ("https://example.com/a", "ex:name", "Ada"),
+        ("?x", "ex:name", "?n"),
+    ], namespaces=ns)
+    assert ok.count() == 3  # gate passes; bindings from the var pattern
+    missing = match_bgp(q, [
+        ("https://example.com/a", "ex:name", "Nobody"),
+        ("?x", "ex:name", "?n"),
+    ], namespaces=ns)
+    assert missing.count() == 0
