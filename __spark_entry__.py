@@ -1153,6 +1153,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path-lite: path-doubling transitive closure over a
+    deterministic binary-tree 'parent' relation on doc ids (depth ~log n
+    — 4 doubling rounds close it); oracle = recursive CTE."""
+    from cow_spark.operators.canon import transitive_pairs
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    edges = docs.where("doc_id > 0").select(
+        F.col("doc_id").alias("src"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("dst"))
+    return transitive_pairs(edges)
+
+
+_SQL_TRANSITIVE = """
+with recursive e as (
+  select cast(doc_id as bigint) as src,
+         cast(floor(cast(doc_id as bigint) / 2) as bigint) as dst
+  from documents where doc_id > 0
+),
+r(src, dst) as (
+  select src, dst from e
+  union
+  select r.src, e.dst from r join e on r.dst = e.src
+  where r.src <> e.dst
+)
+select src, dst from r where src <> dst
+"""
+
+
 def q_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Basic-graph-pattern query over the extracted KG: three patterns
     joined on a shared subject variable (the query face of the engine —
@@ -1462,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "multimodal_resize": q_multimodal_resize,
         "bgp_query": q_bgp_query,
+        "transitive_closure": q_transitive_closure,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1495,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION,
         "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
         "bgp_query": _sql_bgp_query(),
+        "transitive_closure": _SQL_TRANSITIVE,
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
         "embedding_neardup": _SQL_EMB_NEARDUP,

@@ -204,3 +204,51 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
         linked.join(ecomp, "entity_id")
         .withColumnRenamed("component", "canonical_id")
     )
+
+
+def transitive_pairs(
+    edges: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Directed transitive closure of an edge list: every (src, dst)
+    connected by a path — property-path-lite (``p+``) for quad tables,
+    e.g. skos:broader ancestor chains.
+
+    Path doubling: each round joins the reachability set with itself
+    (R ← R ∪ R∘R), so depth-d paths close in ⌈log₂ d⌉ rounds;
+    ``localCheckpoint`` per round truncates the iterative lineage.
+    Converges when a round adds no pair.
+
+    Scale honesty: the OUTPUT is inherently |pairs|-sized — a complete
+    closure of a deep/dense graph is quadratic in nodes, which no plan
+    fixes. Use on hierarchy-shaped relations (taxonomies, org charts),
+    where closures are near-linear, not on social-graph-dense edges.
+    """
+    r = (edges.select("src", "dst")
+         .where(F.col("src") != F.col("dst"))
+         .dropDuplicates()
+         .localCheckpoint())
+    for _ in range(max_iter):
+        hop = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        new_r = r.unionByName(hop).dropDuplicates().localCheckpoint()
+        # convergence probe: row count is monotone under closure
+        if new_r.count() == r.count():
+            return new_r
+        r = new_r
+    return r
+
+
+def quad_transitive_pairs(quads: DataFrame, predicate: str,
+                          max_iter: int = 20) -> DataFrame:
+    """Transitive closure of one predicate's (s, o-IRI) edges in a quad
+    table — ``match_bgp``'s missing property-path operator."""
+    edges = (
+        quads.where((F.col("p") == predicate) & (F.col("o_kind") == "iri"))
+        .select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+    )
+    return transitive_pairs(edges, max_iter)

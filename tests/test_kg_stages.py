@@ -232,3 +232,27 @@ def test_cc_local_path_matches_distributed(spark):
     local = {(r.node, r.component)
              for r in connected_components(df, local_threshold=10**6).collect()}
     assert dist == local
+
+
+def test_transitive_pairs_paths_and_quad_variant(spark):
+    """Path doubling closes a depth-8 chain in ≤4 rounds (max_iter=4)
+    and the quad variant extracts one predicate's IRI edges."""
+    from cow_spark.operators.canon import quad_transitive_pairs, transitive_pairs
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    e = spark.createDataFrame(chain, "src string, dst string")
+    got = {(r.src, r.dst) for r in transitive_pairs(e, max_iter=4).collect()}
+    want = {(f"n{i}", f"n{j}") for i in range(9) for j in range(i + 1, 9)}
+    assert got == want
+
+    B = "http://www.w3.org/2004/02/skos/core#broader"
+    quads = spark.createDataFrame(
+        [(None, "a", B, "iri", "b", None, None),
+         (None, "b", B, "iri", "c", None, None),
+         (None, "a", "other", "iri", "z", None, None),
+         (None, "a", B, "lit", "not-an-iri", None, None)],
+        "g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+    got = {(r.src, r.dst)
+           for r in quad_transitive_pairs(quads, B).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
