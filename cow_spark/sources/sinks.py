@@ -41,6 +41,34 @@ def read_quads_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(*QUAD_COLS)
 
 
+def compact_quads_table(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = 64,
+) -> int:
+    """Globally dedup and rewrite a quads table — the batch compaction
+    the streaming sinks defer exact dedup to (streaming can only dedup
+    within the watermark horizon; duplicates farther apart than the
+    lateness bound survive until this runs). On Iceberg this is a MERGE
+    / rewrite-data-files action; the Parquet fallback stages the
+    deduped rewrite next to the table and swaps directories on the
+    driver. Returns the number of duplicate quads removed.
+    """
+    import shutil
+
+    quads = read_quads_table(spark, path)
+    before = quads.count()
+    staged = path.rstrip("/") + ".compact"
+    deduped = quads.dropDuplicates(QUAD_COLS)
+    write_quads_table(deduped, staged, n_buckets=n_buckets)
+    after = spark.read.parquet(staged).count()
+    old = path.rstrip("/") + ".old"
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(old)
+    return before - after
+
+
 def write_quads_iceberg(
     quads: DataFrame,
     table: str = "cow.kg.quads",

@@ -240,3 +240,49 @@ def test_match_bgp_semantics(spark):
         ("?x", "ex:name", "?n"),
     ], namespaces=ns)
     assert missing.count() == 0
+
+
+def test_jsonl_source_quarantines_bad_lines(spark, tmp_path):
+    p = tmp_path / "t.jsonl"
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi",'
+        '"tool":null,"ts":"2026-08-17T00:00:00"}\n'
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"hello",'
+        '"tool":null,"ts":"2026-08-17T00:00:05"}\n'
+        'this is not json\n'
+        '{"conv_id":"c2","turn_idx":"NOT_AN_INT","role":"user","text":"x",'
+        '"tool":null,"ts":"2026-08-17T00:01:00"}\n')
+    from cow_spark.sources.jsonl_source import read_jsonl_transcripts
+
+    good, quarantine = read_jsonl_transcripts(spark, str(p))
+    g = good.collect()
+    assert {(r.conv_id, r.turn_idx) for r in g} == {("c1", 0), ("c1", 1)}
+    assert all(r.ts is not None for r in g)
+    bad = [r.raw_line for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_AN_INT" in b for b in bad)
+
+
+def test_compact_quads_table_removes_cross_horizon_duplicates(spark, tmp_path):
+    from cow_spark.sources.sinks import (
+        compact_quads_table,
+        read_quads_table,
+        write_quads_table,
+    )
+
+    rows = [(None, f"https://e.com/{i % 10}", "https://e.com/p", "lit",
+             f"v{i % 10}", None, None) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    path = str(tmp_path / "quads")
+    write_quads_table(df, path, n_buckets=4)
+    removed = compact_quads_table(spark, path, n_buckets=4)
+    assert removed == 40
+    left = read_quads_table(spark, path)
+    assert left.count() == 10 and left.dropDuplicates().count() == 10
+    # bucket layout preserved
+    import os
+
+    assert any(d.startswith("s_bucket=") for d in os.listdir(path))
