@@ -297,6 +297,7 @@ def near_duplicate_groups(
     bands: int = 4,
     bucket_cap: int = 1000,
     n: int = 3,
+    cc_local_threshold: int = 100_000,
 ) -> DataFrame:
     """The full training-corpus dedup composition (the C4/pile recipe):
     MinHash-LSH candidates → word-n-gram Jaccard verification at
@@ -310,16 +311,25 @@ def near_duplicate_groups(
     self-joins an uncapped bucket, Jaccard shingles only pair
     participants, and CC runs over the verified-pair graph — which is
     pair-sized, not corpus-sized (near-dup groups, not all documents).
+    ``cc_local_threshold``: verified pair graphs at or below this edge
+    count solve with the driver union-find (one job) instead of ~25
+    iterative distributed rounds of pure scheduler overhead; larger
+    graphs take the distributed path automatically.
     """
     from .canon import connected_components
 
     pairs = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands,
                               bucket_cap=bucket_cap)
+    # pair-sized (near-dup groups, not corpus) — persisting it means the
+    # CC stage's checkpoint/count actions read the verified pairs once
+    # instead of replaying the whole shingle→minhash→jaccard pipeline
     verified = jaccard_pairs(df, pairs, id_col, text_col, n=n,
-                             threshold=threshold)
+                             threshold=threshold).persist()
     edges = verified.select(F.col("id_a").alias("src"),
                             F.col("id_b").alias("dst"))
-    comps = connected_components(edges).withColumnRenamed("node", "doc_id")
+    comps = connected_components(
+        edges, local_threshold=cc_local_threshold
+    ).withColumnRenamed("node", "doc_id")
     out = (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comps, "doc_id", "left")
@@ -330,7 +340,8 @@ def near_duplicate_groups(
         group.alias("group_id"),
         (F.col("doc_id") == group).alias("is_canonical"),
     )
-    return _attach_persisted(res, *getattr(pairs, "_cow_persisted", ()))
+    return _attach_persisted(res, verified,
+                             *getattr(pairs, "_cow_persisted", ()))
 
 
 # ---------------------------------------------------------------------------
