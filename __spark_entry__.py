@@ -1153,6 +1153,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate graph profile over the default-spec extraction."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.stats import kg_statistics
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    return kg_statistics(quads)
+
+
+def _sql_kg_statistics() -> str:
+    parts = []
+    for col in ["text", "lang", "source"]:
+        parts.append(f"""
+select '{BASE}/vocab/{col}' as p,
+       count(*) as n_triples, count(*) as n_subjects,
+       count(distinct {col}) as n_objects, count(*) as n_literals
+from documents where length(coalesce({col}, '')) > 0""")
+    parts.append(f"""
+select '{BASE}/vocab/n_chars' as p,
+       count(*) as n_triples, count(*) as n_subjects,
+       count(distinct cast(n_chars as varchar)) as n_objects,
+       count(*) as n_literals
+from documents where n_chars is not null""")
+    union = " union all ".join(parts)
+    return f"""
+select p, cast(n_triples as bigint) as n_triples,
+       cast(n_subjects as bigint) as n_subjects,
+       cast(n_objects as bigint) as n_objects,
+       cast(n_literals as bigint) as n_literals
+from ({union})
+"""
+
+
 def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path-lite: path-doubling transitive closure over a
     deterministic binary-tree 'parent' relation on doc ids (depth ~log n
@@ -1493,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "bgp_query": q_bgp_query,
         "transitive_closure": q_transitive_closure,
+        "kg_statistics": q_kg_statistics,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1527,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
         "bgp_query": _sql_bgp_query(),
         "transitive_closure": _SQL_TRANSITIVE,
+        "kg_statistics": _sql_kg_statistics(),
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
         "embedding_neardup": _SQL_EMB_NEARDUP,
