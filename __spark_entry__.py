@@ -821,8 +821,20 @@ verified as (
         cast(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
              as double), 6) >= 0.5
 ),
-e as (select id_a as src, id_b as dst from verified
-      union select id_b, id_a from verified),
+fpt as (
+  select cast(doc_id as bigint) as doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as f
+  from documents where text is not null
+),
+star as (select f, min(doc_id) as src from fpt group by f),
+exact_e as (
+  select star.src as id_a, fpt.doc_id as id_b
+  from fpt join star using (f) where fpt.doc_id <> star.src
+),
+allp as (select id_a, id_b from verified
+         union select id_a, id_b from exact_e),
+e as (select id_a as src, id_b as dst from allp
+      union select id_b, id_a from allp),
 r(node, label) as (
   select src as node, src as label from e
   union

@@ -315,6 +315,14 @@ def near_duplicate_groups(
     count solve with the driver union-find (one job) instead of ~25
     iterative distributed rounds of pure scheduler overhead; larger
     graphs take the distributed path automatically.
+
+    Exact duplicates travel on a SEPARATE edge layer: ``bucket_cap``
+    protects the LSH self-join from degenerate buckets, but a cluster
+    of >cap byte-identical documents (boilerplate pages, mass-crawled
+    mirrors — exactly what dedup exists for) would then escape grouping
+    entirely. Fingerprint star-edges (min-id ↔ member) come from a
+    groupBy — no self-join, so no cap needed, and the giant cluster
+    costs O(cluster) edges, not O(cluster²).
     """
     from .canon import connected_components
 
@@ -325,8 +333,17 @@ def near_duplicate_groups(
     # instead of replaying the whole shingle→minhash→jaccard pipeline
     verified = jaccard_pairs(df, pairs, id_col, text_col, n=n,
                              threshold=threshold).persist()
+    fp = df.select(F.col(id_col).alias("doc_id"),
+                   fingerprint(F.col(text_col)).alias("_f"))
+    fp = fp.where(F.col("_f").isNotNull())
+    star = fp.groupBy("_f").agg(F.min("doc_id").alias("src"))
+    exact_edges = (
+        fp.join(star, "_f")
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
     edges = verified.select(F.col("id_a").alias("src"),
-                            F.col("id_b").alias("dst"))
+                            F.col("id_b").alias("dst")).unionByName(exact_edges)
     comps = connected_components(
         edges, local_threshold=cc_local_threshold
     ).withColumnRenamed("node", "doc_id")

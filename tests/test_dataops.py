@@ -142,6 +142,21 @@ def test_near_duplicate_groups_c4_recipe(spark):
     assert 1 in survivors and 7 in survivors and {2, 4} & survivors == set()
 
 
+def test_near_duplicate_groups_mass_duplicates_survive_bucket_cap(spark):
+    """>bucket_cap byte-identical docs (mirrored boilerplate) must still
+    collapse into one group: the exact-fingerprint star edges come from
+    a groupBy, so the LSH degenerate-bucket cap cannot orphan them."""
+    dup = [(i, "exactly the same boilerplate page content here")
+           for i in range(40)]
+    dup.append((100, "a genuinely different document about spark plans"))
+    df = spark.createDataFrame(dup, "doc_id long, text string")
+    g = near_duplicate_groups(df, threshold=0.5, bucket_cap=10)
+    got = {r.doc_id: (r.group_id, r.is_canonical) for r in g.collect()}
+    release(g)
+    assert all(got[i] == (0, i == 0) for i in range(40))
+    assert got[100] == (100, True)
+
+
 def test_simhash_wide_sketch_and_bucket_cap(spark):
     """Web-scale knobs: a 60-bit sketch with 15-bit bands still finds
     the near-dup pair, and bucket_cap drops degenerate bands."""
