@@ -21,4 +21,12 @@ Package layout mirrors SURVEY.md §7:
   streaming/  Structured Streaming ingestion
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# curated top-level surface (the three names every consumer starts with;
+# everything else stays addressed by submodule, mirroring the layout)
+from .session import get_session  # noqa: E402
+from .spec.mapping import MappingSpec  # noqa: E402
+from .operators.extract import extract_quads  # noqa: E402
+
+__all__ = ["get_session", "MappingSpec", "extract_quads", "__version__"]
