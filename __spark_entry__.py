@@ -1385,6 +1385,43 @@ from documents
 """
 
 
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation batch profile over the synthetic transcripts;
+    timestamps rendered via the canonical format for cross-engine
+    hashing (min/max commute with the monotone rendering)."""
+    from cow_spark.plans.stats import conversation_stats
+    from cow_spark.sources.transcripts import transcripts_df
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = conversation_stats(transcripts_df(spark, 5000))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_roles").cast("long").alias("n_roles"),
+        F.col("n_tool_turns").cast("long").alias("n_tool_turns"),
+        F.date_format("first_ts", fmt).alias("first_ts"),
+        F.date_format("last_ts", fmt).alias("last_ts"),
+    )
+
+
+def _sql_conversation_stats() -> str:
+    return f"""
+with {_sql_transcripts_gen()}
+select conv_id,
+       count(*) as n_turns,
+       cast(sum(length(coalesce(text, ''))) as bigint) as n_chars,
+       cast(count(distinct role) as bigint) as n_roles,
+       cast(sum(case when role = 'tool' then 1 else 0 end) as bigint)
+         as n_tool_turns,
+       min(ts_s) as first_ts,
+       max(ts_s) as last_ts
+from transcripts_gen
+group by conv_id
+"""
+
+
 def q_transcript_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript flagship: default-spec KG extraction over the
     deterministic synthetic transcripts (sf-independent generator size).
@@ -1541,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_query": q_bgp_query,
         "transitive_closure": q_transitive_closure,
         "kg_statistics": q_kg_statistics,
+        "conversation_stats": q_conversation_stats,
         "knn_cosine": q_knn_cosine,
         "embedding_sketch": q_embedding_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1576,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_query": _sql_bgp_query(),
         "transitive_closure": _SQL_TRANSITIVE,
         "kg_statistics": _sql_kg_statistics(),
+        "conversation_stats": _sql_conversation_stats(),
         "knn_cosine": _SQL_KNN,
         "embedding_sketch": _SQL_EMB_SKETCH,
         "embedding_neardup": _SQL_EMB_NEARDUP,

@@ -22,3 +22,21 @@ def kg_statistics(quads: DataFrame) -> DataFrame:
         F.countDistinct("o_lex").alias("n_objects"),
         F.sum((F.col("o_kind") == "lit").cast("long")).alias("n_literals"),
     )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation profile of a transcript table — the batch twin
+    of the streaming sessionizer's summary (turn/char counts, role mix,
+    tool usage, event-time span). One partial-aggregated groupBy; at
+    10^12 turns the shuffle carries per-partition partials keyed by
+    conv_id (the table's natural bucketing key, so co-located layouts
+    shuffle nothing)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))
+              ).alias("n_chars"),
+        F.countDistinct("role").alias("n_roles"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
