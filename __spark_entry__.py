@@ -787,8 +787,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
     g = near_duplicate_groups(docs, threshold=0.5)
-    return g.select("doc_id", "group_id",
-                    F.col("is_canonical").cast("boolean").alias("is_canonical"))
+    out = g.select("doc_id", "group_id",
+                   F.col("is_canonical").cast("boolean").alias("is_canonical"))
+    # re-attach the cached sketch/pair handles so harness loops (bench)
+    # can release them — .select() drops python-side attributes
+    out._cow_persisted = getattr(g, "_cow_persisted", [])
+    return out
 
 
 def _sql_dedup_groups() -> str:
@@ -1183,13 +1187,15 @@ def _sql_kg_statistics() -> str:
 select '{BASE}/vocab/{col}' as p,
        count(*) as n_triples, count(*) as n_subjects,
        count(distinct {col}) as n_objects, count(*) as n_literals
-from documents where length(coalesce({col}, '')) > 0""")
+from documents where length(coalesce({col}, '')) > 0
+having count(*) > 0""")
     parts.append(f"""
 select '{BASE}/vocab/n_chars' as p,
        count(*) as n_triples, count(*) as n_subjects,
        count(distinct cast(n_chars as varchar)) as n_objects,
        count(*) as n_literals
-from documents where n_chars is not null""")
+from documents where n_chars is not null
+having count(*) > 0""")
     union = " union all ".join(parts)
     return f"""
 select p, cast(n_triples as bigint) as n_triples,
@@ -1392,9 +1398,10 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cow_spark.plans.stats import conversation_stats
     from cow_spark.sources.transcripts import transcripts_df
 
+    from cow_spark.spec.templates import TS_FMT as fmt
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     s = conversation_stats(transcripts_df(spark, 5000))
-    fmt = "yyyy-MM-dd HH:mm:ss"
     return s.select(
         "conv_id",
         F.col("n_turns").cast("long").alias("n_turns"),

@@ -112,6 +112,10 @@ def main() -> None:
         df = qmap[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # free any sketch/pair tables the query persisted (dedup family)
+        # so they don't sit in MEMORY_AND_DISK under later queries
+        for cached in getattr(df, "_cow_persisted", ()):
+            cached.unpersist()
 
     # the documents table is small at every sf (5k rows at sf0.1), so the
     # per-doc dedup sketches above are overhead-bound; this replicated

@@ -240,6 +240,13 @@ def transitive_pairs(
         if new_r.count() == r.count():
             return new_r
         r = new_r
+    import warnings
+
+    warnings.warn(
+        f"transitive_pairs did not converge within max_iter={max_iter} "
+        "doubling rounds — the returned reachability set is INCOMPLETE "
+        "for paths deeper than 2^max_iter; raise max_iter",
+        stacklevel=2)
     return r
 
 

@@ -61,6 +61,12 @@ def match_bgp(
     order = sorted(patterns,
                    key=lambda t: -sum(not _is_var(x) for x in t))
     out: DataFrame | None = None
+    # a failed all-constant existence gate must still return the SCHEMA
+    # the variable patterns promise — process var patterns first, then
+    # apply gates as limit(0) on the accumulated bindings
+    gates_failed = False
+    order = ([t for t in order if any(_is_var(x) for x in t)]
+             + [t for t in order if not any(_is_var(x) for x in t)])
     for s, p, o in order:
         df = quads
         cols = []
@@ -91,7 +97,10 @@ def match_bgp(
             bind("o_lex", o)
         else:
             ro = _resolve(o, namespaces)
-            if _ABS_IRI.match(ro):
+            # a prefixed name denotes an IRI by construction (RDF);
+            # comparing the RAW 'pfx:local' against literals would make
+            # the same term mean different things per position
+            if ro != o or _ABS_IRI.match(ro):
                 df = df.where((F.col("o_kind") == "iri")
                               & (F.col("o_lex") == ro))
             else:
@@ -101,9 +110,10 @@ def match_bgp(
             df = df.where(cond)
 
         if not cols:
-            # all-constant pattern: an existence gate on the result
+            # all-constant pattern: an existence gate — applied after
+            # the bindings schema is fully built (loop order above)
             if df.limit(1).count() == 0:
-                return (out if out is not None else quads.select()).limit(0)
+                gates_failed = True
             continue
         part = df.select(*cols).dropDuplicates()
         if out is None:
@@ -111,7 +121,7 @@ def match_bgp(
         else:
             shared = sorted(set(out.columns) & set(part.columns))
             out = out.join(part, shared) if shared else out.crossJoin(part)
-    if out is None:  # every pattern was an (existing) constant
-        return quads.sparkSession.range(1).select(
+    if out is None:  # every pattern was a constant: boolean result
+        return quads.sparkSession.range(0 if gates_failed else 1).select(
             F.lit(True).alias("matched"))
-    return out
+    return out.limit(0) if gates_failed else out

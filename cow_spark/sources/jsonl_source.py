@@ -24,20 +24,30 @@ def read_jsonl_transcripts(
 ) -> tuple[DataFrame, DataFrame]:
     """(good, quarantine): schema-enforced scan of JSONL transcripts.
 
-    PERMISSIVE mode routes unparseable lines and type-mismatched fields
-    into ``_corrupt_record``; the scan is cached before splitting
-    because Spark refuses a query that references ONLY the corrupt
-    column of a raw JSON scan (the row must be materialized first).
-    Quarantine rows carry the raw line for replay/debugging — the
-    per-row error-isolation contract (P17) at the source boundary.
+    Two independent scans instead of one cached split: caching would
+    pin the corpus-scale raw scan in memory for the session (the repo
+    persists only bounded tables), and Spark refuses a query that
+    references ONLY the corrupt column of a raw JSON scan. So ``good``
+    is a DROPMALFORMED scan, and ``quarantine`` re-reads the file as
+    text and keeps the lines ``from_json`` flags as corrupt — the raw
+    line travels with the quarantine row for replay/debugging (the
+    per-row error-isolation contract, P17, at the source boundary).
     """
-    df = (
-        spark.read.schema(schema + ", _corrupt_record string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    good = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
         .json(path)
-    ).cache()
-    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    quarantine = df.where(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line"))
+    )
+    parsed = spark.read.text(path).select(
+        "value",
+        F.from_json(
+            "value", schema + ", _corrupt_record string",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_j"),
+    )
+    quarantine = (
+        parsed.where(F.col("_j._corrupt_record").isNotNull())
+        .select(F.col("value").alias("raw_line"))
+    )
     return good, quarantine

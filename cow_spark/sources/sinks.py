@@ -54,17 +54,30 @@ def compact_quads_table(
     deduped rewrite next to the table and swaps directories on the
     driver. Returns the number of duplicate quads removed.
     """
+    import os
     import shutil
 
+    staged = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
+    # leftovers from a previous crashed compaction must not swallow the
+    # new table (shutil.move nests into an existing directory)
+    for leftover in (staged, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     quads = read_quads_table(spark, path)
     before = quads.count()
-    staged = path.rstrip("/") + ".compact"
     deduped = quads.dropDuplicates(QUAD_COLS)
     write_quads_table(deduped, staged, n_buckets=n_buckets)
     after = spark.read.parquet(staged).count()
-    old = path.rstrip("/") + ".old"
+    # narrow non-atomic window (two renames); roll back if the second
+    # move fails so the table never stays missing — on Iceberg this
+    # whole swap is a transactional commit instead
     shutil.move(path, old)
-    shutil.move(staged, path)
+    try:
+        shutil.move(staged, path)
+    except BaseException:
+        shutil.move(old, path)
+        raise
     shutil.rmtree(old)
     return before - after
 

@@ -240,6 +240,30 @@ def test_match_bgp_semantics(spark):
         ("?x", "ex:name", "?n"),
     ], namespaces=ns)
     assert missing.count() == 0
+    # schema is data-independent: a failed gate keeps the bound columns
+    assert missing.columns == ["x", "n"]
+
+    # prefixed names in OBJECT position denote IRIs (never literals)
+    q2 = q.unionByName(spark.createDataFrame(
+        [(None, "https://example.com/a", EX + "knows", "lit",
+          "ex:b", None, None)], schema))
+    hits = match_bgp(q2, [("?x", "ex:knows", "ex:b")], namespaces=ns)
+    # resolves to https://example.com/v/b — matches neither the IRI
+    # .../b (different namespace? no: ex:b -> EX+'b') — check exact
+    assert {r.x for r in hits.collect()} == set()  # EX+'b' not present
+    q3 = q2.unionByName(spark.createDataFrame(
+        [(None, "https://example.com/a", EX + "knows", "iri",
+          EX + "b", None, None)], schema))
+    assert match_bgp(q3, [("?x", "ex:knows", "ex:b")],
+                     namespaces=ns).count() == 1
+
+    # all-constant BGP: stable boolean schema either way
+    yes = match_bgp(q, [("https://example.com/a", "ex:name", "Ada")],
+                    namespaces=ns)
+    no = match_bgp(q, [("https://example.com/a", "ex:name", "Nobody")],
+                   namespaces=ns)
+    assert yes.columns == no.columns == ["matched"]
+    assert yes.count() == 1 and no.count() == 0
 
 
 def test_jsonl_source_quarantines_bad_lines(spark, tmp_path):
