@@ -40,6 +40,8 @@ def match_bgp(
     quads: DataFrame,
     patterns: list[tuple[str, str, str]],
     namespaces: dict[str, str] | None = None,
+    optional: list[tuple[str, str, str]] | None = None,
+    not_exists: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Bindings of a conjunction of triple patterns.
 
@@ -55,6 +57,14 @@ def match_bgp(
     duplicate quads across graphs can't multiply bindings. Patterns
     sharing no variable with the accumulated bindings cross-join —
     correct BGP semantics, worth knowing when writing the query.
+
+    ``optional``: patterns whose variables bind when they match and
+    stay NULL otherwise (left join per pattern on the shared vars —
+    SPARQL OPTIONAL for the single-pattern case). ``not_exists``:
+    patterns whose match REMOVES a binding row (left-anti join —
+    FILTER NOT EXISTS). Both join on the variables shared with the
+    required bindings; unshared vars in not_exists patterns act as
+    existential wildcards.
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -124,4 +134,35 @@ def match_bgp(
     if out is None:  # every pattern was a constant: boolean result
         return quads.sparkSession.range(0 if gates_failed else 1).select(
             F.lit(True).alias("matched"))
-    return out.limit(0) if gates_failed else out
+    if gates_failed:
+        out = out.limit(0)
+    for pat in (optional or []):
+        part = _single_pattern(quads, pat, namespaces)
+        shared = sorted(set(out.columns) & set(part.columns))
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat} shares no variable with the "
+                "required bindings — the left join would be a cross")
+        out = out.join(part, shared, "left")
+    for pat in (not_exists or []):
+        part = _single_pattern(quads, pat, namespaces)
+        shared = sorted(set(out.columns) & set(part.columns))
+        if not shared:
+            raise ValueError(
+                f"not_exists pattern {pat} shares no variable with the "
+                "required bindings — it can only be an existence gate, "
+                "write it as a required all-constant pattern instead")
+        out = out.join(part.select(*shared).dropDuplicates(), shared,
+                       "left_anti")
+    return out
+
+
+def _single_pattern(quads, pattern, namespaces):
+    """One pattern's deduplicated variable bindings (no gate handling —
+    callers guarantee at least one variable)."""
+    got = match_bgp(quads, [pattern], namespaces)
+    if got.columns == ["matched"]:
+        raise ValueError(
+            f"pattern {pattern} binds no variable; optional/not_exists "
+            "patterns need at least one")
+    return got

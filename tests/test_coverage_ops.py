@@ -310,3 +310,38 @@ def test_compact_quads_table_removes_cross_horizon_duplicates(spark, tmp_path):
     import os
 
     assert any(d.startswith("s_bucket=") for d in os.listdir(path))
+
+
+def test_match_bgp_optional_and_not_exists(spark):
+    from cow_spark.plans.bgp import match_bgp
+
+    EX = "https://example.com/v/"
+    rows = [
+        (None, "https://example.com/a", EX + "name", "lit", "Ada", None, None),
+        (None, "https://example.com/b", EX + "name", "lit", "Bert", None, None),
+        (None, "https://example.com/a", EX + "email", "lit", "a@e.com", None, None),
+        (None, "https://example.com/b", EX + "blocked", "iri",
+         "https://example.com/x", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    ns = {"ex": EX}
+
+    # OPTIONAL: email binds when present, NULL otherwise
+    got = {(r.n, r.e) for r in match_bgp(
+        q, [("?x", "ex:name", "?n")], namespaces=ns,
+        optional=[("?x", "ex:email", "?e")]).collect()}
+    assert got == {("Ada", "a@e.com"), ("Bert", None)}
+
+    # NOT EXISTS: drop subjects with any ex:blocked triple
+    got = {r.n for r in match_bgp(
+        q, [("?x", "ex:name", "?n")], namespaces=ns,
+        not_exists=[("?x", "ex:blocked", "?z")]).collect()}
+    assert got == {"Ada"}
+
+    # guard rails: unshared optional/not_exists refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        match_bgp(q, [("?x", "ex:name", "?n")], namespaces=ns,
+                  optional=[("?other", "ex:email", "?e")])

@@ -153,3 +153,138 @@ def test_duplicate_line_fraction_matches_python(spark, lines):
     nonblank = [l for l in lines if l.strip()]
     want = (1 - len(set(nonblank)) / len(nonblank)) if nonblank else 0.0
     assert abs(got - want) < 1e-9
+
+
+# -- BGP matcher fuzzed against a brute-force python evaluator -------------
+
+_BGP_NS = {"ex": "https://ex.org/v/"}
+_SUBJ = ["https://ex.org/a", "https://ex.org/b", "https://ex.org/c"]
+_PRED = ["https://ex.org/v/p", "https://ex.org/v/q"]
+_LITS = ["ada", "bert", "x"]
+_IRIS = ["https://ex.org/a", "https://ex.org/z"]
+
+
+def _py_resolve(t):
+    if ":" in t and not t.startswith(("https://", "urn:")):
+        pfx, rest = t.split(":", 1)
+        if pfx in _BGP_NS and not rest.startswith("//"):
+            return _BGP_NS[pfx] + rest
+    return t
+
+
+def _py_match_one(rows, pat):
+    s, p, o = pat
+    out = []
+    for (qs, qp, qk, ql) in rows:
+        b = {}
+        if s.startswith("?"):
+            b[s[1:]] = qs
+        elif _py_resolve(s) != qs:
+            continue
+        if p.startswith("?"):
+            b[p[1:]] = qp
+        elif _py_resolve(p) != qp:
+            continue
+        if o.startswith("?"):
+            b[o[1:]] = ql
+        else:
+            ro = _py_resolve(o)
+            if ro != o or ro.startswith(("https://", "urn:")):
+                if not (qk == "iri" and ql == ro):
+                    continue
+            elif not (qk == "lit" and ql == o):
+                continue
+        out.append(b)
+    # per-pattern set semantics (mirrors the engine's dropDuplicates)
+    seen, dedup = set(), []
+    for b in out:
+        key = tuple(sorted(b.items()))
+        if key not in seen:
+            seen.add(key)
+            dedup.append(b)
+    return dedup
+
+
+def _py_bgp(rows, patterns, optional=(), not_exists=()):
+    sols = [dict()]
+    for pat in patterns:
+        part = _py_match_one(rows, pat)
+        new = []
+        for b in sols:
+            for m in part:
+                if all(b.get(k, m[k]) == m[k] for k in m):
+                    new.append({**b, **m})
+        # set semantics after each join
+        seen, sols = set(), []
+        for b in new:
+            key = tuple(sorted(b.items()))
+            if key not in seen:
+                seen.add(key)
+                sols.append(b)
+    for pat in optional:
+        part = _py_match_one(rows, pat)
+        pvars = {k for m in part for k in m}
+        new = []
+        for b in sols:
+            hits = [m for m in part
+                    if all(b.get(k, m[k]) == m[k] for k in m)]
+            if hits:
+                new.extend({**b, **m} for m in hits)
+            else:
+                new.append({**b, **{k: None for k in pvars if k not in b}})
+        seen, sols = set(), []
+        for b in new:
+            key = tuple(sorted(b.items()))
+            if key not in seen:
+                seen.add(key)
+                sols.append(b)
+    for pat in not_exists:
+        part = _py_match_one(rows, pat)
+        sols = [b for b in sols
+                if not any(all(b.get(k, m[k]) == m[k]
+                               for k in m if k in b) for m in part)]
+    return sols
+
+
+_TERM_S = st.sampled_from(["?x", "?y"] + _SUBJ + ["ex:a"])
+_TERM_P = st.sampled_from(["?p"] + _PRED + ["ex:p", "ex:q"])
+_TERM_O = st.sampled_from(["?o", "?x"] + _LITS + _IRIS + ["ex:z"])
+_QUAD = st.tuples(st.sampled_from(_SUBJ), st.sampled_from(_PRED),
+                  st.sampled_from(["iri", "lit"]),
+                  st.sampled_from(_LITS + _IRIS))
+_PAT = st.tuples(_TERM_S, _TERM_P, _TERM_O)
+
+
+@given(st.lists(_QUAD, min_size=1, max_size=8, unique=True),
+       st.lists(_PAT, min_size=1, max_size=2),
+       st.lists(_PAT, max_size=1), st.lists(_PAT, max_size=1))
+@settings(max_examples=60, deadline=None)
+def test_bgp_matches_bruteforce(spark, rows, pats, opt, neg):
+    from hypothesis import assume
+    from cow_spark.plans.bgp import match_bgp
+
+    # engine constraint: every pattern must bind ≥1 var; optional /
+    # not_exists must share a var with the required bindings
+    def pat_vars(p):
+        return {t[1:] for t in p if t.startswith("?")}
+
+    assume(all(pat_vars(p) for p in pats + opt + neg))
+    req_vars = set().union(*[pat_vars(p) for p in pats])
+    assume(all(pat_vars(p) & req_vars for p in opt + neg))
+    # keep each pattern's vars distinct (repeated-var-in-one-pattern
+    # equality is pinned separately)
+    assume(all(len(pat_vars(p)) == len([t for t in p if t.startswith("?")])
+               for p in pats + opt + neg))
+
+    q = spark.createDataFrame(
+        [(None, s, p, k, l, None, None) for s, p, k, l in rows],
+        "g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+    got_df = match_bgp(q, pats, namespaces=_BGP_NS,
+                       optional=opt or None, not_exists=neg or None)
+    cols = sorted(got_df.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in got_df.collect())
+    quad_rows = [(s, p, k, l) for s, p, k, l in rows]
+    want_sols = _py_bgp(quad_rows, pats, opt, neg)
+    want = sorted(tuple(b.get(c) for c in cols) for b in want_sols)
+    assert got == want, (pats, opt, neg, rows)
