@@ -288,3 +288,43 @@ def test_bgp_matches_bruteforce(spark, rows, pats, opt, neg):
     want_sols = _py_bgp(quad_rows, pats, opt, neg)
     want = sorted(tuple(b.get(c) for c in cols) for b in want_sols)
     assert got == want, (pats, opt, neg, rows)
+
+
+# -- dedup composition invariants on random corpora ------------------------
+
+_WORDS = ["spark", "plan", "data", "shuffle", "join", "scan", "quad"]
+_DOC = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join)
+
+
+@given(st.lists(_DOC, min_size=1, max_size=12))
+@settings(max_examples=15, deadline=None)
+def test_near_duplicate_groups_invariants(spark, texts):
+    """Structural invariants that hold for EVERY corpus regardless of
+    what LSH finds: one row per doc, exactly one canonical per group,
+    group_id = min member id, and byte-identical docs always share a
+    group (the exact-fingerprint edges guarantee it even when LSH
+    buckets are capped)."""
+    from collections import defaultdict
+
+    from cow_spark.operators.dedup import near_duplicate_groups, release
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    g = near_duplicate_groups(df, threshold=0.5, bucket_cap=3)
+    rows = g.collect()
+    release(g)
+    assert sorted(r.doc_id for r in rows) == list(range(len(texts)))
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.group_id].append(r)
+    for gid, members in groups.items():
+        assert gid == min(m.doc_id for m in members)
+        assert sum(1 for m in members if m.is_canonical) == 1
+        assert next(m for m in members if m.is_canonical).doc_id == gid
+    # normalized-identical docs must share a group
+    by_text = defaultdict(list)
+    for i, t in enumerate(texts):
+        by_text[" ".join(t.split())].append(i)
+    gid_of = {r.doc_id: r.group_id for r in rows}
+    for same in by_text.values():
+        assert len({gid_of[i] for i in same}) == 1, (texts, rows)
