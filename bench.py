@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash_bands",
     "simhash",
     "knn_cosine",
+    "ivf_topk",
     "dedup_groups",
     "bgp_query",
 ]

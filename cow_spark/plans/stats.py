@@ -14,12 +14,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def kg_statistics(quads: DataFrame) -> DataFrame:
-    """(p, n_triples, n_subjects, n_objects, n_literals) per predicate."""
+def kg_statistics(quads: DataFrame, approx: bool = False) -> DataFrame:
+    """(p, n_triples, n_subjects, n_objects, n_literals) per predicate.
+
+    ``approx=True`` swaps the two exact distincts for HyperLogLog
+    sketches (``approx_count_distinct``): two exact distincts in one
+    aggregate compile to an Expand that doubles the shuffled rows —
+    at the 100 TB scale a ±2% cardinality profile is the right trade,
+    so that is the mode a production profile job should run. Exact
+    stays the default because the DuckDB oracle replays it bit-for-bit.
+    """
+    cd = F.approx_count_distinct if approx else F.countDistinct
     return quads.groupBy("p").agg(
         F.count("*").alias("n_triples"),
-        F.countDistinct("s").alias("n_subjects"),
-        F.countDistinct("o_lex").alias("n_objects"),
+        cd("s").alias("n_subjects"),
+        cd("o_lex").alias("n_objects"),
         F.sum((F.col("o_kind") == "lit").cast("long")).alias("n_literals"),
     )
 

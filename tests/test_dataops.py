@@ -468,3 +468,30 @@ def test_streaming_extract(spark, tmp_path):
     got = spark.read.parquet(out).drop("ts")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_kg_statistics_approx_mode(spark, docs):
+    """The HLL profile mode must agree with exact counts within the
+    sketch tolerance and keep the Expand operator out of the plan."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.stats import kg_statistics
+    from cow_spark.spec.mapping import MappingSpec
+
+    spec = MappingSpec.from_json({
+        "@base": "https://example.com/id/documents",
+        "url": "documents",
+        "tableSchema": {"aboutUrl": "{doc_id}",
+                        "columns": [{"name": "text"}, {"name": "lang"}]},
+    })
+    quads = extract_quads(docs.limit(200), spec)
+    exact = {r.p: r for r in kg_statistics(quads).collect()}
+    approx = {r.p: r for r in kg_statistics(quads, approx=True).collect()}
+    assert exact.keys() == approx.keys()
+    for p, e in exact.items():
+        a = approx[p]
+        assert abs(a.n_subjects - e.n_subjects) <= max(3, e.n_subjects * 0.1)
+        assert abs(a.n_objects - e.n_objects) <= max(3, e.n_objects * 0.1)
+        assert (a.n_triples, a.n_literals) == (e.n_triples, e.n_literals)
+    plan = kg_statistics(quads, approx=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" not in plan
