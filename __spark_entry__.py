@@ -778,6 +778,62 @@ from tok left join agg on agg.doc_id = tok.doc_id
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-style corpus gate: keep flag + audit reasons
+    (rendered as a comma string — the driver canon can't hash arrays)."""
+    from cow_spark.operators.quality import quality_filter
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    qf = quality_filter(docs, min_tokens=5, max_dup_line_frac=0.3,
+                        max_top_ngram_frac=0.2)
+    return qf.select(
+        "doc_id",
+        F.col("keep").cast("boolean").alias("keep"),
+        F.concat_ws(",", "reasons").alias("reasons"),
+    )
+
+
+_SQL_QUALITY_FILTER = r"""
+with tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t,
+         list_filter(regexp_split_to_array(text, '\r\n|\r|\n'),
+                     x -> regexp_matches(x, '\S')) as ls
+  from documents
+),
+g as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) as gram
+  from tok where len(t) >= 2
+),
+cnt as (select doc_id, gram, count(*) as c from g group by doc_id, gram),
+agg as (select doc_id, max(c) as top, sum(c) as total
+        from cnt group by doc_id),
+sig as (
+  select tok.doc_id, len(tok.t) as nt,
+         case when len(tok.ls) > 0
+              then 1 - len(list_distinct(tok.ls)) /
+                   cast(len(tok.ls) as double)
+              else 0.0 end as dupf,
+         coalesce(agg.top / cast(agg.total as double), 0.0) as topf
+  from tok left join agg on agg.doc_id = tok.doc_id
+)
+select doc_id,
+       (nt >= 5 and nt <= 100000 and dupf <= 0.3 and topf <= 0.2) as keep,
+       coalesce(array_to_string(list_filter([
+         case when nt < 5 then 'too_few_tokens' end,
+         case when nt > 100000 then 'too_many_tokens' end,
+         case when dupf > 0.3 then 'dup_lines' end,
+         case when topf > 0.2 then 'repeated_ngram' end
+       ], x -> x is not null), ','), '') as reasons
+from sig
+"""
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full corpus-dedup composition: LSH candidates → Jaccard-verified
     pairs → connected components → one (doc_id, group_id, is_canonical)
@@ -1581,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_groups": q_dedup_groups,
         "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "multimodal_resize": q_multimodal_resize,
         "bgp_query": q_bgp_query,
         "transitive_closure": q_transitive_closure,
@@ -1617,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _sql_jaccard_pairs(),
         "dedup_groups": _sql_dedup_groups(),
         "repetition_stats": _SQL_REPETITION,
+        "quality_filter": _SQL_QUALITY_FILTER,
         "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
         "bgp_query": _sql_bgp_query(),
         "transitive_closure": _SQL_TRANSITIVE,

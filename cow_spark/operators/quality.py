@@ -50,6 +50,51 @@ def _ngrams_with_repeats(t: Column, n: int) -> Column:
         F.array().cast("array<string>"))
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_dup_line_frac: float = 0.3,
+    max_top_ngram_frac: float = 0.2,
+    ngram: int = 2,
+) -> DataFrame:
+    """The composed corpus gate: every document gets ``keep`` plus the
+    list of rules it failed (``reasons``) — filters should be
+    *auditable*, a bare boolean hides why a corpus shrank.
+
+    Rules (the MassiveText/Gopher shape): token-count window,
+    duplicate-line fraction, top-``ngram`` share. One pass over the
+    corpus: the token/line signals are pure Column expressions; the
+    n-gram mode joins in from :func:`repetition_stats`'s partial-agg
+    plan. Returns (doc_id, keep, reasons) — join back on doc_id for
+    the surviving text.
+    """
+    from ..functions.text import token_count
+
+    rep = repetition_stats(df, id_col, text_col, ngram)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("_nt"),
+    ).join(rep, "doc_id")
+    checks = [
+        ("too_few_tokens", F.col("_nt") < min_tokens),
+        ("too_many_tokens", F.col("_nt") > max_tokens),
+        ("dup_lines", F.col("dup_line_frac") > max_dup_line_frac),
+        ("repeated_ngram", F.col("top_ngram_frac") > max_top_ngram_frac),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return base.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -495,3 +495,21 @@ def test_kg_statistics_approx_mode(spark, docs):
     plan = kg_statistics(quads, approx=True)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_quality_filter_reasons_are_auditable(spark):
+    from cow_spark.operators.quality import quality_filter
+
+    rows = [
+        (1, "a perfectly ordinary sentence with enough distinct words"),
+        (2, "short"),                                    # too few tokens
+        (3, "buy now\n" * 10),                           # dup lines + ngram
+        (4, "spam spam spam spam spam spam spam"),       # repeated ngram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.keep, set(r.reasons))
+           for r in quality_filter(df, min_tokens=5).collect()}
+    assert got[1] == (True, set())
+    assert got[2] == (False, {"too_few_tokens"})
+    assert got[3][0] is False and {"dup_lines", "repeated_ngram"} <= got[3][1]
+    assert got[4] == (False, {"repeated_ngram"})
