@@ -1613,6 +1613,247 @@ from provs
 
 
 # ---------------------------------------------------------------------------
+# round-2 continuation: PII, decontamination, packing, sampling, ranking,
+# BGP aggregation (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sf documents carry no PII (synthetic word salad), so the demo
+    entry injects typed PII deterministically from doc_id — both engines
+    derive the identical augmented text, making detection falsifiable."""
+    docs = _load_spread(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    suffix = (
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" contact: user"), did.cast("string"),
+                        F.lit("@example.com")))
+        .when(did % 5 == 1, F.lit(" call 555-123-4567"))
+        .when(did % 5 == 2,
+              F.concat(F.lit(" host 10.0."), (did % 256).cast("string"),
+                       F.lit(".7")))
+        .when(did % 5 == 3, F.lit(" ssn 123-45-6789"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(did.alias("doc_id"),
+                       F.concat(F.col("text"), suffix).alias("text"))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction: per-type counts over the (augmented)
+    corpus plus the md5 of the redacted text — proving the replacement
+    chain, not just the detectors."""
+    from cow_spark.operators.pii import pii_scan
+
+    out = pii_scan(_pii_augmented(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_pii",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+def _sql_pii_scan() -> str:
+    from cow_spark.operators.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) as n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"len(regexp_extract_all(t, '{pat}'))"
+                       for _, pat, _ in PII_PATTERNS)
+    red = "t"
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+with aug as (
+  select cast(doc_id as bigint) as doc_id,
+         text || case cast(doc_id % 5 as int)
+           when 0 then ' contact: user' || cast(doc_id as varchar)
+                       || '@example.com'
+           when 1 then ' call 555-123-4567'
+           when 2 then ' host 10.0.' || cast(doc_id % 256 as varchar) || '.7'
+           when 3 then ' ssn 123-45-6789'
+           else '' end as t
+  from documents
+)
+select doc_id, {counts}, {total} as n_pii, md5({red}) as redacted_md5
+from aug
+"""
+
+
+_DECONTAM_N = 5
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-gram with
+    the held-out set (doc_id % 97 == 0 plays the eval split — derived,
+    deterministic, no external data)."""
+    from cow_spark.operators.decontam import contamination
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    hits = contamination(corpus, bench, n=_DECONTAM_N)
+    return hits.select("doc_id",
+                       F.col("n_hit_grams").cast("long").alias("n_hit_grams"))
+
+
+def _sql_decontamination() -> str:
+    n = _DECONTAM_N
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+with tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+g as (
+  select doc_id,
+         case when len(t) >= {n}
+              then list_distinct(list_transform(
+                     generate_series(1, len(t) - {n - 1}), i -> {gram}))
+              when len(t) > 0 then [array_to_string(t, ' ')]
+              else [] end as grams
+  from tok
+),
+bg as (select distinct unnest(grams) as gram from g where doc_id % 97 = 0),
+cg as (select doc_id, unnest(grams) as gram from g where doc_id % 97 <> 0)
+select cg.doc_id, count(*) as n_hit_grams
+from cg join bg using (gram)
+group by cg.doc_id
+"""
+
+
+_PACK_CTX = 256
+_PACK_SHARDS = 4
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing plan: every document's token interval
+    and context-window span within its shard stream."""
+    from cow_spark.operators.corpus import pack_sequences
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return pack_sequences(docs, context=_PACK_CTX, n_shards=_PACK_SHARDS)
+
+
+_SQL_SEQUENCE_PACKING = f"""
+with tok as (
+  select cast(doc_id as bigint) as doc_id,
+         cast(doc_id % {_PACK_SHARDS} as int) as shard,
+         cast(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> length(x) > 0)) as bigint) as n_tokens
+  from documents
+),
+c as (
+  select *, sum(n_tokens) over (partition by shard order by doc_id
+             rows between unbounded preceding and current row) as cum
+  from tok
+)
+select doc_id, shard, n_tokens,
+       cast(cum - n_tokens as bigint) as start_off,
+       cast((cum - n_tokens) // {_PACK_CTX} as bigint) as bin_first,
+       cast(greatest((cum - 1) // {_PACK_CTX},
+                     (cum - n_tokens) // {_PACK_CTX}) as bigint) as bin_last,
+       cast(greatest((cum - 1) // {_PACK_CTX},
+                     (cum - n_tokens) // {_PACK_CTX})
+            - (cum - n_tokens) // {_PACK_CTX} + 1 as bigint) as n_bins
+from c
+"""
+
+
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_PRECISION = 1_000_000
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling for corpus
+    rebalancing — hash-based, so retries/engines reproduce the exact
+    sample (rand() cannot)."""
+    from cow_spark.operators.corpus import stratified_sample
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    out = stratified_sample(docs, _SAMPLE_RATES, strata_col="source",
+                            default_rate=_SAMPLE_DEFAULT)
+    return out.select("doc_id", "source")
+
+
+def _sql_stratified_sample() -> str:
+    u = ("cast(concat('0x', substr(md5(concat_ws(chr(31), "
+         "cast(doc_id as varchar), 'v1')), 1, 15)) as bigint) "
+         f"% {_SAMPLE_PRECISION}")
+    cases = " ".join(
+        f"when '{s}' then {int(r * _SAMPLE_PRECISION)}"
+        for s, r in sorted(_SAMPLE_RATES.items()))
+    return f"""
+select cast(doc_id as bigint) as doc_id, source
+from documents
+where {u} < case source {cases}
+            else {int(_SAMPLE_DEFAULT * _SAMPLE_PRECISION)} end
+"""
+
+
+_PAGERANK_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the order-part graph (same edge set as
+    the CC entry) — integer arithmetic end to end, so the distributed
+    sum and the oracle's serial sum agree bit-for-bit."""
+    from cow_spark.operators.graphrank import pagerank
+
+    return pagerank(_cc_edges(spark, sf_dir), iterations=_PAGERANK_ITERS)
+
+
+def _sql_pagerank() -> str:
+    from cow_spark.operators.graphrank import pagerank_oracle_sql
+
+    edges = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as src, "
+        "'p' || cast(l_partkey as varchar) as dst "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
+
+
+def q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style GROUP BY over BGP bindings: per-language doc count
+    and summed n_chars, computed on the extracted KG itself."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import aggregate_bindings, match_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    bindings = match_bgp(quads, [
+        ("?doc", f"{BASE}/vocab/lang", "?l"),
+        ("?doc", f"{BASE}/vocab/n_chars", "?n"),
+    ])
+    return aggregate_bindings(
+        bindings, ["l"],
+        {"n_docs": ("count", "doc"), "sum_n": ("sum", "n")},
+    )
+
+
+def _sql_bgp_aggregate() -> str:
+    # lang emits only when non-empty (P2), n_chars when non-null — the
+    # join on ?doc keeps docs emitting BOTH
+    return """
+select lang as l, count(*) as n_docs,
+       sum(try_cast(cast(n_chars as varchar) as bigint)) as sum_n
+from documents
+where length(coalesce(lang, '')) > 0 and n_chars is not null
+group by lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1651,6 +1892,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_metrics": q_extraction_metrics,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "pii_scan": q_pii_scan,
+        "decontamination": q_decontamination,
+        "sequence_packing": q_sequence_packing,
+        "stratified_sample": q_stratified_sample,
+        "pagerank": q_pagerank,
+        "bgp_aggregate": q_bgp_aggregate,
     }
 
 
@@ -1688,4 +1935,10 @@ def oracle_sql() -> dict[str, str]:
         "extraction_metrics": _SQL_EXTRACTION_METRICS,
         "ivf_topk": _SQL_IVF,
         "multimodal_features": _sql_multimodal_features(),
+        "pii_scan": _sql_pii_scan(),
+        "decontamination": _sql_decontamination(),
+        "sequence_packing": _SQL_SEQUENCE_PACKING,
+        "stratified_sample": _sql_stratified_sample(),
+        "pagerank": _sql_pagerank(),
+        "bgp_aggregate": _sql_bgp_aggregate(),
     }

@@ -1,0 +1,103 @@
+"""Corpus-shaping operators: sequence packing and stratified sampling.
+
+Training-data pipeline stages with no reference counterpart (extension
+family, SURVEY.md §2.9). Both are pure DataFrame plans — no Python
+boundary — and both are deterministic functions of the input, so the
+DuckDB oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import portable_hash60
+from ..functions.text import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    context: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-split packing plan: documents are laid end to
+    end in a deterministic order and cut every ``context`` tokens; a
+    document may span a window boundary (that's the concat-and-split
+    contract — no padding, no bin re-fitting).
+
+    Returns one row per document:
+      (doc_id, shard, n_tokens, start_off, bin_first, bin_last, n_bins)
+    where ``start_off`` is the document's first token offset within its
+    shard's stream and ``bin_*`` are the context-window indices it
+    touches. A writer materializes window ``b`` of shard ``s`` by taking
+    every doc with ``bin_first <= b <= bin_last`` — an equi-range lookup.
+
+    Scale shape: one window function per shard, partitioned BY shard —
+    the stream order inside a shard is inherently sequential (each
+    offset depends on every predecessor), so parallelism comes from
+    sharding, exactly like a 1000-executor packing job would split a
+    100 TB corpus into thousands of independent streams. ``n_shards``
+    is the parallelism knob; default shard key is ``pmod(id, n_shards)``
+    (portable to the oracle), override ``shard_col`` for hash sharding
+    on non-numeric ids.
+    """
+    shard = (shard_col if shard_col is not None
+             else F.pmod(F.col(id_col), F.lit(n_shards))).cast("int")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    end = F.sum("n_tokens").over(w)
+    start = (end - F.col("n_tokens")).alias("start_off")
+    return base.select(
+        "doc_id", "shard", "n_tokens",
+        start,
+        F.floor((end - F.col("n_tokens")) / context).cast("long")
+         .alias("bin_first"),
+        # empty docs occupy no tokens: clamp so bin_last >= bin_first
+        F.greatest(
+            F.floor((end - 1) / context),
+            F.floor((end - F.col("n_tokens")) / context),
+        ).cast("long").alias("bin_last"),
+    ).withColumn(
+        "n_bins", (F.col("bin_last") - F.col("bin_first") + 1).cast("long")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "v1",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling for corpus
+    rebalancing (e.g. downweight a crawl source, keep all of a curated
+    one): a document survives iff
+    ``hash(id, salt) mod precision < rate[stratum] * precision``.
+
+    Hash-based (md5, cross-engine) rather than ``rand()``: the sample is
+    reproducible across runs, engines, and retries — a retried task
+    re-derives the identical sample, which `rand()` cannot promise.
+    One linear scan, no shuffle; the rates map travels as a literal
+    CASE expression (vocabulary-sized), never a join.
+    """
+    u = F.pmod(
+        portable_hash60(F.concat_ws("\x1f",
+                                    F.col(id_col).cast("string"),
+                                    F.lit(salt))),
+        F.lit(precision),
+    )
+    thresh = F.lit(int(default_rate * precision))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == stratum,
+                        F.lit(int(rate * precision))).otherwise(thresh)
+    return df.where(u < thresh)

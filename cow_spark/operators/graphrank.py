@@ -1,0 +1,112 @@
+"""Entity importance ranking over the KG: fixed-point PageRank.
+
+After canonicalization (canon.py) the mention graph becomes an entity
+graph; ranking its nodes is the standard next analytics step (hub
+entities drive linking priors and skew planning — the hot entities
+E5 salts are exactly the high-rank ones). The reference has no graph
+analytics at all; extension family, SURVEY.md §2.9.
+
+Arithmetic is **integer fixed-point** (rank mass scaled by ``SCALE``,
+floor division everywhere) rather than floating-point on purpose:
+float summation is order-dependent, so a distributed sum and the
+oracle's serial sum could drift; integer sums are associative and the
+DuckDB replay is bit-exact. The cost is a deliberate, documented mass
+leak (floor remainders and dangling nodes), which is fine for ranking —
+relative order is what the consumer uses.
+
+Scale shape per iteration: one broadcast-or-shuffle join of the rank
+vector (|V| rows) to the edge list, one partial-aggregated groupBy on
+dst. ``localCheckpoint`` cuts the lineage each round, exactly like the
+CC iteration in canon.py — K rounds means K bounded stages, not one
+exponentially-nested plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # rank mass fixed-point scale
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank_fp) after ``iterations`` rounds of
+
+        r' = (SCALE - d*SCALE)//N  +  d * Σ_in (r[u] // outdeg[u]) // DEN
+
+    over the directed edge list. ``rank_fp`` is the fixed-point rank
+    (divide by SCALE for the [0,1] value). Deterministic and exactly
+    replayable cross-engine.
+    """
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .persist())
+    n = nodes.count()  # one job; |V| is entity-vocabulary sized
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # teleport mass: (1-d)/N in fixed point, exact integer form
+    teleport = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n)
+
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst",
+                    F.expr("rank_fp div outdeg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0)) div {DAMP_DEN}")
+                 ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks
+    nodes.unpersist()
+    return out
+
+
+def pagerank_oracle_sql(edges_cte: str, iterations: int = 5) -> str:
+    """DuckDB twin: the same fixed-point recurrence unrolled into one
+    CTE chain per iteration (DuckDB's recursive CTEs can't carry an
+    aggregate per step, but K is small and known)."""
+    sql = [f"with e as (select distinct src, dst from ({edges_cte})),"]
+    sql.append(
+        "nodes as (select src as node from e union "
+        "select dst as node from e),")
+    sql.append("nn as (select count(*) as n from nodes),")
+    sql.append("outdeg as (select src, count(*) as outdeg from e "
+               "group by src),")
+    sql.append(
+        f"r0 as (select node, {SCALE} // (select n from nn) as rank_fp "
+        "from nodes),")
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        sql.append(
+            f"inflow{i} as (select e.dst, "
+            f"sum({prev}.rank_fp // outdeg.outdeg) as inflow "
+            f"from e join {prev} on {prev}.node = e.src "
+            "join outdeg on outdeg.src = e.src group by e.dst),")
+        sql.append(
+            f"{cur} as (select nodes.node, "
+            f"({(DAMP_DEN - DAMP_NUM) * SCALE} // "
+            f"({DAMP_DEN} * (select n from nn)))"
+            f" + ({DAMP_NUM} * coalesce(inflow{i}.inflow, 0)) // {DAMP_DEN}"
+            " as rank_fp "
+            f"from nodes left join inflow{i} on inflow{i}.dst = nodes.node),")
+    body = "\n".join(sql).rstrip(",")
+    return f"{body}\nselect node, cast(rank_fp as bigint) as rank_fp " \
+           f"from r{iterations}"

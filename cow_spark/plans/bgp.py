@@ -157,6 +157,41 @@ def match_bgp(
     return out
 
 
+_AGG_FNS = {
+    "count": lambda c: F.count(c),
+    "count_distinct": lambda c: F.countDistinct(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    # object lexical forms are strings; numeric aggregates parse them
+    # with try_cast (ANSI-safe — a non-numeric literal becomes NULL and
+    # is skipped, exactly SPARQL's error-as-unbound aggregate behavior)
+    "sum": lambda c: F.sum(c.try_cast("long")),
+}
+
+
+def aggregate_bindings(
+    bindings: DataFrame,
+    group_vars: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """SPARQL-style ``GROUP BY`` over a BGP's bindings: ``group_vars``
+    name binding columns, ``aggs`` maps output-column → (fn, var) with
+    fn in count / count_distinct / min / max / sum.
+
+    Same shuffle shape as any groupBy — partial aggregation map-side,
+    result sized by the group-key cardinality. ``sum`` parses lexical
+    forms leniently (non-numeric → NULL → skipped), mirroring SPARQL's
+    treatment of type errors inside aggregates.
+    """
+    exprs = []
+    for out_name, (fn, var) in sorted(aggs.items()):
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unknown aggregate {fn!r}; "
+                             f"supported: {sorted(_AGG_FNS)}")
+        exprs.append(_AGG_FNS[fn](F.col(var)).alias(out_name))
+    return bindings.groupBy(*group_vars).agg(*exprs)
+
+
 def _single_pattern(quads, pattern, namespaces):
     """One pattern's deduplicated variable bindings (no gate handling —
     callers guarantee at least one variable)."""

@@ -1,0 +1,227 @@
+"""Unit tests for the round-2 continuation operators: PII scan,
+decontamination, sequence packing, stratified sampling, PageRank, and
+BGP aggregation — each checked against an independent Python twin or a
+structural invariant, not just the DuckDB oracle replay."""
+
+import hashlib
+import os
+import re
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cow_spark.operators.corpus import pack_sequences, stratified_sample
+from cow_spark.operators.decontam import contamination, decontaminate
+from cow_spark.operators.graphrank import SCALE, pagerank
+from cow_spark.operators.pii import PII_PATTERNS, pii_scan
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+_PII_DOCS = [
+    (0, "mail me at jane.doe+x@sub.example.org thanks"),
+    (1, "ssn is 123-45-6789 and phone 555-123-4567"),
+    (2, "server 192.168.0.1 and 10.0.255.7 are up"),
+    (3, "no pii here at all"),
+    (4, "two mails: a@b.io c.d@e-f.co and ip 1.2.3.4"),
+]
+
+
+def test_pii_counts_match_python_re(spark):
+    df = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scan(df).collect()}
+    for doc_id, text in _PII_DOCS:
+        for name, pat, _ in PII_PATTERNS:
+            want = len(re.findall(pat, text))
+            assert got[doc_id][f"n_{name}"] == want, (doc_id, name)
+        assert got[doc_id]["n_pii"] == sum(
+            len(re.findall(p, text)) for _, p, _ in PII_PATTERNS)
+
+
+def test_redaction_is_fixed_point(spark):
+    """Scanning redacted text finds zero PII — the tags don't re-match
+    and the replacement order leaves no partial spans behind."""
+    df = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    once = pii_scan(df).select("doc_id", F.col("redacted").alias("text"))
+    again = pii_scan(once)
+    assert again.where(F.col("n_pii") > 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+_BENCH = [(100, "the quick brown fox jumps over the lazy dog today")]
+_CORPUS = [
+    (1, "prefix text the quick brown fox jumps over the fence"),  # 5-gram hit
+    (2, "completely unrelated words about spark physical plans"),
+    (3, "the quick brown fox jumps over the lazy dog today"),  # verbatim
+    (4, "short doc"),  # < n tokens, full-text fallback, no match
+]
+
+
+def test_contamination_flags_overlaps_only(spark):
+    corpus = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id long, text string")
+    hits = {r["doc_id"]: r["n_hit_grams"]
+            for r in contamination(corpus, bench, n=5).collect()}
+    assert set(hits) == {1, 3}
+    # doc 3 shares every one of the benchmark doc's 6 distinct 5-grams
+    assert hits[3] == 6
+    # doc 1 shares exactly the grams of the copied prefix
+    assert hits[1] == 3
+
+
+def test_decontaminate_removes_flagged_docs(spark):
+    corpus = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            decontaminate(corpus, bench, n=5).collect()}
+    assert kept == {2, 4}
+
+
+def test_short_doc_fallback_catches_verbatim_short_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "tiny eval prompt"), (2, "other stuff")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "tiny eval prompt")], "doc_id long, text string")
+    hits = {r["doc_id"] for r in contamination(corpus, bench, n=5).collect()}
+    assert hits == {1}
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_packing_streams_are_contiguous(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * ((i * 37) % 90 + 1)) for i in range(64)],
+        "doc_id long, text string")
+    rows = pack_sequences(docs, context=64, n_shards=4).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            # contiguous concat stream: no gaps, no overlaps
+            assert r["start_off"] == off
+            assert r["bin_first"] == off // 64
+            end = off + r["n_tokens"]
+            assert r["bin_last"] == max((end - 1) // 64, off // 64)
+            assert r["n_bins"] == r["bin_last"] - r["bin_first"] + 1
+            off = end
+
+
+def test_packing_bins_are_exactly_covered(spark):
+    """Every context window in a shard is touched by >=1 document and
+    windows are filled in order (the writer contract)."""
+    docs = spark.createDataFrame(
+        [(i, "x " * 10) for i in range(40)], "doc_id long, text string")
+    rows = pack_sequences(docs, context=32, n_shards=2).collect()
+    for shard in (0, 1):
+        touched = set()
+        for r in rows:
+            if r["shard"] == shard:
+                touched.update(range(r["bin_first"], r["bin_last"] + 1))
+        assert touched == set(range(max(touched) + 1))
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _py_survives(doc_id: int, rate: float, precision: int = 1_000_000,
+                 salt: str = "v1") -> bool:
+    h = hashlib.md5(f"{doc_id}\x1f{salt}".encode()).hexdigest()
+    return int(h[:15], 16) % precision < int(rate * precision)
+
+
+def test_stratified_sample_matches_python_twin(spark):
+    rates = {"a": 0.8, "b": 0.2}
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "doc_id long, source string")
+    kept = {r["doc_id"] for r in
+            stratified_sample(docs, rates, default_rate=0.0).collect()}
+    want = {i for i in range(400)
+            if _py_survives(i, rates["a" if i % 2 == 0 else "b"])}
+    assert kept == want
+    # and it is an actual downsample at roughly the requested rates
+    n_a = sum(1 for i in kept if i % 2 == 0)
+    n_b = len(kept) - n_a
+    assert 0.6 * 200 < n_a <= 200 and 0 < n_b < 0.4 * 200
+
+
+def test_stratified_sample_unknown_stratum_uses_default(spark):
+    docs = spark.createDataFrame(
+        [(i, "zzz") for i in range(50)], "doc_id long, source string")
+    out = stratified_sample(docs, {"a": 1.0}, default_rate=0.0)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges, iterations=5):
+    """Serial twin of the exact fixed-point recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: SCALE // n for v in nodes}
+    teleport = 15 * SCALE // (100 * n)
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for u, v in e:
+            inflow[v] += r[u] // outdeg[u]
+        r = {v: teleport + 85 * inflow[v] // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_serial_twin_exactly(spark):
+    # deterministic pseudo-random digraph
+    edges = [(f"n{(i * 7) % 23}", f"n{(i * 13 + 5) % 23}")
+             for i in range(60) if (i * 7) % 23 != (i * 13 + 5) % 23]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_fp"] for r in pagerank(df, 5).collect()}
+    assert got == _py_pagerank(edges, 5)
+
+
+def test_pagerank_star_center_dominates(spark):
+    edges = [(f"leaf{i}", "hub") for i in range(20)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r["node"]: r["rank_fp"] for r in pagerank(df, 3).collect()}
+    assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub") * 10
+    # fixed-point mass only leaks (floor remainders + dangling hub)
+    assert sum(ranks.values()) <= SCALE
+
+
+# ---------------------------------------------------------------------------
+# BGP aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_bgp_sum_skips_non_numeric_lexicals(spark):
+    from cow_spark.plans.bgp import aggregate_bindings
+
+    b = spark.createDataFrame(
+        [("g1", "3"), ("g1", "x"), ("g1", "4"), ("g2", "abc")],
+        "g string, n string")
+    got = {r["g"]: (r["n_vals"], r["total"]) for r in aggregate_bindings(
+        b, ["g"], {"n_vals": ("count", "n"), "total": ("sum", "n")}
+    ).collect()}
+    assert got == {"g1": (3, 7), "g2": (1, None)}

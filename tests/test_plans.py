@@ -72,3 +72,25 @@ def test_embedding_neardup_cap_is_broadcast(spark):
     join (≤2^bits size rows), never a shuffle of the embedding table."""
     plan = _plan(spark, entry_mod.queries()["embedding_neardup"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontamination_probe_is_broadcast(spark):
+    """The benchmark gram set must broadcast — the corpus gram stream
+    never shuffles on gram (at 100 TB that shuffle would dwarf the job;
+    the eval set is thousands of docs by definition)."""
+    plan = _plan(spark, entry_mod.queries()["decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_scan_is_one_codegen_scan(spark):
+    """PII audit is a pure regex expression forest: no join, no
+    shuffle, no Python — a single whole-stage-codegen span per scan.
+    (Gated on the operator itself: the entry wrapper adds the
+    single-file-input repartition, which is a test-data artifact.)"""
+    from cow_spark.operators.pii import pii_scan
+
+    df = pii_scan(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = _plan(spark, df)
+    for marker in ("Exchange", "Join", "BatchEvalPython"):
+        assert marker not in plan, f"unexpected {marker}:\n{plan}"
