@@ -1822,6 +1822,112 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+_VOCAB_MIN_DF = 2
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document/total frequencies (tokenizer
+    training + OOV-audit input); hapax terms pruned."""
+    from cow_spark.operators.terms import vocabulary
+
+    docs = _load_spread(spark, sf_dir, "documents")
+    return vocabulary(docs, min_df=_VOCAB_MIN_DF)
+
+
+_SQL_VOCABULARY = f"""
+with tr as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as term
+  from documents
+),
+per as (select doc_id, term, count(*) as tf from tr group by doc_id, term)
+select term, cast(count(*) as bigint) as doc_freq,
+       cast(sum(tf) as bigint) as total_tf
+from per group by term having count(*) >= {_VOCAB_MIN_DF}
+"""
+
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k keywords per document by fixed-point TF-IDF (integer
+    arithmetic — no libm log whose last ulp could flip a top-k boundary
+    between engines)."""
+    from cow_spark.operators.terms import tfidf_topk
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    out = tfidf_topk(docs, k=_TFIDF_K)
+    return out.select("doc_id", "term",
+                      F.col("tf").cast("long").alias("tf"),
+                      F.col("doc_freq").cast("long").alias("doc_freq"),
+                      F.col("score_fp").cast("long").alias("score_fp"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def _sql_tfidf_topk() -> str:
+    from cow_spark.operators.terms import SCALE
+
+    return f"""
+with tr as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as term
+  from documents
+),
+tf as (select doc_id, term, count(*) as tf from tr group by doc_id, term),
+dfq as (select term, count(*) as doc_freq from tf group by term),
+nd as (select count(distinct doc_id) as n from documents),
+scored as (
+  select tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+         (tf.tf * {SCALE} * (select n from nd)) // dfq.doc_freq as score_fp
+  from tf join dfq using (term)
+),
+ranked as (
+  select *, row_number() over (partition by doc_id
+            order by score_fp desc, term) as rank
+  from scored
+)
+select doc_id, term, cast(tf as bigint) as tf,
+       cast(doc_freq as bigint) as doc_freq,
+       cast(score_fp as bigint) as score_fp, cast(rank as int) as rank
+from ranked where rank <= {_TFIDF_K}
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index LSH candidates: the corpus-to-date's band table is
+    the persistent dedup index; an incoming batch (doc_id % 4 == 0
+    plays the new arrivals) probes it at O(batch) cost."""
+    from cow_spark.operators.dedup import (incremental_lsh_candidates,
+                                           minhash_band_table, release)
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    index = minhash_band_table(docs.where(F.col("doc_id") % 4 != 0))
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    return incremental_lsh_candidates(batch, index)
+
+
+def _sql_incremental_dedup() -> str:
+    return f"""
+with ab as ({_sql_minhash_bands()}),
+nb as (select * from ab where doc_id % 4 = 0),
+ob as (select * from ab where doc_id % 4 <> 0),
+vs as (select nb.doc_id as id_new, ob.doc_id as id_other
+       from nb join ob using (band, band_key)),
+wi as (select a.doc_id as id_new, b.doc_id as id_other
+       from nb a join nb b using (band, band_key)
+       where a.doc_id < b.doc_id)
+select distinct id_new, id_other
+from (select * from vs union all select * from wi)
+"""
+
+
 def q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style GROUP BY over BGP bindings: per-language doc count
     and summed n_chars, computed on the extracted KG itself."""
@@ -1898,6 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pagerank": q_pagerank,
         "bgp_aggregate": q_bgp_aggregate,
+        "vocabulary": q_vocabulary,
+        "tfidf_topk": q_tfidf_topk,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1941,4 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_stratified_sample(),
         "pagerank": _sql_pagerank(),
         "bgp_aggregate": _sql_bgp_aggregate(),
+        "vocabulary": _SQL_VOCABULARY,
+        "tfidf_topk": _sql_tfidf_topk(),
+        "incremental_dedup": _sql_incremental_dedup(),
     }

@@ -181,6 +181,110 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH bucket membership table.
+
+    This IS the persistent dedup index: write it partitioned by band
+    (:func:`write_lsh_index`) and every future batch probes it without
+    recomputing the corpus (:func:`incremental_lsh_candidates`).
+
+    Plan note: one band-struct explode instead of a per-band union —
+    Spark has no CSE across union branches, so a union re-executes the
+    whole shingle→minhash pipeline once per band.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k).where(F.size("sig") > 0)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                F.element_at("sig", b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ]).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return (
+        sig.select("doc_id", F.explode(band_structs).alias("_x"))
+        .select("doc_id", "_x.band", "_x.band_key")
+    )
+
+
+def write_lsh_index(
+    band_table: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Materialize the band table partitioned by band — batch probes
+    filter on band first, so partition pruning skips 3/4 of the index
+    at bands=4 before any row is read. ``mode='append'`` is the
+    index-maintenance path: after a batch is admitted, append its band
+    rows and the index stays current."""
+    band_table.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def incremental_lsh_candidates(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs for an INCOMING batch against an
+    existing corpus index (plus within the batch itself) — the
+    production dedup pattern: the corpus is deduplicated once, its band
+    table persists, and each new batch costs O(batch), never O(corpus).
+
+    Returns (id_new, id_other) with id_new from the batch; id_other is
+    an index doc or an earlier batch doc. Scale shape: the batch band
+    table is batch-sized, so it BROADCASTS against the index scan — the
+    corpus-scale index is never shuffled; with a band-partitioned
+    on-disk index the probe also prunes whole band partitions.
+    ``bucket_cap`` drops degenerate buckets by their COMBINED
+    (index + batch) size, matching :func:`minhash_lsh_pairs` semantics
+    on the union corpus.
+    """
+    nb = minhash_band_table(batch, id_col, text_col, k, bands).persist()
+    idx = index.select(
+        F.col(id_col).alias("doc_id"), "band", "band_key")
+    # restrict the index to buckets the batch touches (broadcast semi
+    # join = the pruning scan), THEN size the combined buckets
+    touched = idx.join(
+        F.broadcast(nb.select("band", "band_key").distinct()),
+        ["band", "band_key"])
+    combined = touched.unionByName(nb)
+    oversized = (
+        combined.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") > bucket_cap)
+        .select("band", "band_key")
+    )
+    sized_new = nb.join(F.broadcast(oversized), ["band", "band_key"],
+                        "left_anti")
+    sized_old = touched.join(F.broadcast(oversized), ["band", "band_key"],
+                             "left_anti")
+    vs_index = (
+        sized_new.alias("n").join(F.broadcast(sized_old.alias("o")),
+                                  ["band", "band_key"])
+        .select(F.col("n.doc_id").alias("id_new"),
+                F.col("o.doc_id").alias("id_other"))
+    )
+    a, b = sized_new.alias("a"), sized_new.alias("b")
+    within = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_new"),
+                F.col("b.doc_id").alias("id_other"))
+    )
+    pairs = vs_index.unionByName(within).distinct()
+    return _attach_persisted(pairs, nb)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -197,26 +301,7 @@ def minhash_lsh_pairs(
     the 100 TB-safe behavior; a single pathological bucket otherwise
     produces a quadratic task).
     """
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k).where(F.size("sig") > 0)
-
-    # explode one band-struct array instead of a per-band union: Spark
-    # has no CSE across union branches, so a union re-executes the whole
-    # shingle→minhash pipeline once per band
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[
-                F.element_at("sig", b * rows_per_band + j + 1)
-                for j in range(rows_per_band)
-            ]).alias("band_key"),
-        )
-        for b in range(bands)
-    ])
-    buckets = (
-        sig.select("doc_id", F.explode(band_structs).alias("_x"))
-        .select("doc_id", "_x.band", "_x.band_key")
-    )
+    buckets = minhash_band_table(df, id_col, text_col, k, bands)
     # the bucket table feeds three consumers (size stats + both self-join
     # sides); without persisting, the whole shingle→minhash pipeline runs
     # three times (AQE breaks ReuseExchange for it). Unlike the corpus,

@@ -1,0 +1,86 @@
+"""Corpus term statistics: vocabulary building and TF-IDF keyword
+extraction.
+
+Training-data pipelines build vocabularies (tokenizer training, OOV
+audits) and per-document keyword profiles (clustering, topic balance)
+before any model sees the data. No reference counterpart (extension
+family, SURVEY.md §2.9).
+
+Scale shape: both operators are explode → partial-aggregated groupBy —
+the shuffle carries (key, partial-count) rows, never raw text. TF-IDF
+scores are **integer fixed-point** (same policy as graphrank.py):
+``score_fp = tf * SCALE * n_docs // df`` is monotone in tf·(N/df) and
+bit-exact in the DuckDB replay, where a float log-idf could drift by a
+ulp across libm implementations and flip a top-k boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import normalize_text, tokens
+
+SCALE = 1_000  # tf * SCALE * n_docs must stay < 2^63; at 10^12 docs
+# use the double-precision ranking path instead (no oracle replay)
+
+
+def _term_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term) with multiplicity — lowercased whitespace tokens,
+    the same normalization the dedup family uses."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(term, doc_freq, total_tf): one pass, one shuffle on term.
+
+    ``min_df`` prunes hapax noise (the long tail is most of the
+    vocabulary; dropping df<2 typically shrinks the output 5-10×
+    before it ever hits the driver or a sink).
+    """
+    per_doc = _term_rows(df, id_col, text_col).groupBy(
+        "doc_id", "term").agg(F.count("*").alias("tf"))
+    out = per_doc.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+    return out.where(F.col("doc_freq") >= min_df) if min_df > 1 else out
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by fixed-point TF-IDF:
+    (doc_id, term, tf, doc_freq, score_fp, rank).
+
+    Plan: one explode feeding two aggregations (per-(doc,term) tf;
+    per-term df), a join of tf against the term-keyed df table, and a
+    per-document top-k window. The window partitions by doc_id —
+    millions of small groups, the healthy case (the CLAUDE.md window
+    warning is about FEW groups). Ties break on term order so results
+    are deterministic.
+    """
+    term_rows = _term_rows(df, id_col, text_col)
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", "tf", "doc_freq",
+        F.expr(f"(tf * {SCALE} * {n_docs}) div doc_freq").alias("score_fp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

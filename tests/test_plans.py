@@ -94,3 +94,11 @@ def test_pii_scan_is_one_codegen_scan(spark):
     plan = _plan(spark, df)
     for marker in ("Exchange", "Join", "BatchEvalPython"):
         assert marker not in plan, f"unexpected {marker}:\n{plan}"
+
+
+def test_incremental_dedup_probes_by_broadcast(spark):
+    """The batch's bucket keys and the sized index slice must travel as
+    broadcasts — the corpus-scale index is never shuffled; only the
+    batch-bounded tables move."""
+    plan = _plan(spark, entry_mod.queries()["incremental_dedup"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan

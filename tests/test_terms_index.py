@@ -1,0 +1,134 @@
+"""Term statistics and the persistent LSH dedup index."""
+
+import os
+import sys
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cow_spark.operators.dedup import (incremental_lsh_candidates,
+                                       minhash_band_table, minhash_lsh_pairs,
+                                       release, write_lsh_index)
+from cow_spark.operators.terms import SCALE, tfidf_topk, vocabulary
+
+_DOCS = [
+    (1, "spark shuffles data between stages"),
+    (2, "spark broadcasts small tables between stages"),
+    (3, "duckdb replays spark queries for parity"),
+    (4, "parity between engines needs portable hashing"),
+    (5, ""),
+]
+
+
+def _py_vocab(docs, min_df=1):
+    df_count: Counter = Counter()
+    tf_total: Counter = Counter()
+    for _, text in docs:
+        toks = text.lower().split()
+        tf_total.update(toks)
+        df_count.update(set(toks))
+    return {t: (df_count[t], tf_total[t])
+            for t in df_count if df_count[t] >= min_df}
+
+
+def test_vocabulary_matches_python_twin(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    got = {r["term"]: (r["doc_freq"], r["total_tf"])
+           for r in vocabulary(df, min_df=2).collect()}
+    assert got == _py_vocab(_DOCS, min_df=2)
+    assert "duckdb" not in got  # df=1 pruned
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    rows = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every present doc yields exactly k rows (doc 5 is empty → absent)
+    assert set(by_doc) == {1, 2, 3, 4}
+    assert all(len(v) == 2 for v in by_doc.values())
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["rank"])
+        assert v[0]["score_fp"] >= v[1]["score_fp"]
+        # exact fixed-point recurrence: score = tf*SCALE*n_docs // df
+        for r in v:
+            assert r["score_fp"] == r["tf"] * SCALE * 5 // r["doc_freq"]
+    # rare terms outrank common ones; df=1 ties break alphabetically
+    top1 = {d: v[0]["term"] for d, v in by_doc.items()}
+    assert top1[1] == "data" and top1[3] == "duckdb"
+    assert all(by_doc[d][0]["doc_freq"] == 1 for d in by_doc)
+
+
+def _dup_corpus():
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} variant {i % 3}") for i in range(30)]
+    rows += [(100 + i, f"totally different content number {i} "
+              f"with unique words {i * 7}") for i in range(10)]
+    return rows
+
+
+def test_incremental_equals_batch_restricted_full_lsh(spark):
+    """Candidates from (index + batch probe) == the full-corpus LSH
+    pairs that involve at least one batch doc — the incremental path
+    loses nothing and invents nothing."""
+    rows = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_ids = {r[0] for r in rows if r[0] % 4 == 0}
+    index_df = minhash_band_table(df.where(~F.col("doc_id").isin(batch_ids)))
+    batch = df.where(F.col("doc_id").isin(batch_ids))
+
+    inc = incremental_lsh_candidates(batch, index_df)
+    got = {tuple(sorted((r["id_new"], r["id_other"])))
+           for r in inc.collect()}
+    release(inc)
+
+    full = minhash_lsh_pairs(df)
+    want = {
+        tuple(sorted((r["id_a"], r["id_b"]))) for r in full.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    release(full)
+    assert got == want and got  # non-trivial: duplicates exist
+
+
+def test_on_disk_index_roundtrip_and_pruning(spark, tmp_path):
+    rows = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "lsh_index")
+    bt = minhash_band_table(df.where(F.col("doc_id") % 4 != 0))
+    write_lsh_index(bt, path)
+    on_disk = spark.read.parquet(path)
+    assert sorted(on_disk.columns) == ["band", "band_key", "doc_id"]
+
+    batch = df.where(F.col("doc_id") % 4 == 0)
+    inc_disk = incremental_lsh_candidates(batch, on_disk)
+    inc_mem = incremental_lsh_candidates(batch, bt)
+    got_disk = {(r["id_new"], r["id_other"]) for r in inc_disk.collect()}
+    got_mem = {(r["id_new"], r["id_other"]) for r in inc_mem.collect()}
+    release(inc_disk), release(inc_mem)
+    assert got_disk == got_mem and got_disk
+
+    # band partitioning actually lands on disk (pruning substrate)
+    parts = {p for p in os.listdir(path) if p.startswith("band=")}
+    assert len(parts) == 4
+
+
+def test_index_append_maintenance(spark, tmp_path):
+    """mode='append' admits a batch into the index; the next batch sees
+    it (the steady-state maintenance loop)."""
+    rows = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_lsh_index(minhash_band_table(df.where(F.col("doc_id") < 20)), path)
+    write_lsh_index(
+        minhash_band_table(df.where((F.col("doc_id") >= 20)
+                                    & (F.col("doc_id") < 30))),
+        path, mode="append")
+    cols = ["doc_id", "band", "band_key"]
+    merged = spark.read.parquet(path).select(*cols)
+    want = minhash_band_table(df.where(F.col("doc_id") < 30)).select(*cols)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, want.collect())))
