@@ -44,6 +44,10 @@ HEADLINE = [
     "ivf_topk",
     "dedup_groups",
     "bgp_query",
+    "pagerank",
+    "tfidf_topk",
+    "incremental_dedup",
+    "decontamination",
 ]
 
 
@@ -132,6 +136,19 @@ def main() -> None:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     timings["simhash_bulk20x"] = round(_run(_ss(docs20)), 3)
+
+    # scan-bound ops on the same 100k-doc corpus: the PII regex forest
+    # (pure codegen span) and the decontamination broadcast probe
+    from cow_spark.operators.decontam import contamination as _cont
+    from cow_spark.operators.pii import pii_scan as _pii
+
+    docs20 = docs20.persist()
+    docs20.count()
+    timings["pii_bulk20x"] = round(_run(_pii(docs20)), 3)
+    bench_docs = docs20.where(F.col("doc_id") % 97 == 0)
+    timings["decontam_bulk20x"] = round(
+        _run(_cont(docs20.where(F.col("doc_id") % 97 != 0), bench_docs)), 3)
+    docs20.unpersist()
 
     # flagship transcript KG pipeline, sized by sf (~4.6M turns at sf=1)
     n_slots = max(int(10_000_000 * sf), 20_000)

@@ -294,3 +294,88 @@ def write_quads_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_dedup_against_index(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = False,
+):
+    """Continuous-ingest near-dup gate: each micro-batch probes the
+    persistent on-disk LSH index (``minhash_band_table`` layout,
+    band-partitioned), admits only non-candidate documents, and appends
+    the admitted documents' band rows back to the index — so the next
+    batch (or a restarted job) sees everything admitted so far. The
+    index IS the dedup state: unbounded-corpus memory lives on disk,
+    not in executor state stores, and survives restarts for free.
+
+    Admission is greedy on LSH candidates: a batch doc is dropped if it
+    shares a bucket with any indexed doc, or with a smaller-id doc of
+    the same batch (the smaller id wins, mirroring the batch
+    composition's canonical-survivor rule). Candidates are *probable*
+    near-dups — a Jaccard-verified pass belongs downstream at
+    compaction where the full text store is available, same policy as
+    :func:`stream_dedup_documents` / `stream_extract_quads`.
+
+    foreachBatch rather than a stateful operator because the state is
+    a corpus-scale TABLE (band rows per admitted doc) — state-store
+    APIs bound state per key, not per corpus; a disk-backed index with
+    broadcast probes is the shape that survives 100 TB.
+    """
+    from ..operators.dedup import (incremental_lsh_candidates,
+                                   minhash_band_table, release)
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            try:
+                idx = spark.read.parquet(index_path)
+            except Exception as e:
+                if not ("PATH_NOT_FOUND" in str(e)
+                        or "Path does not exist" in str(e)
+                        or "UNABLE_TO_INFER_SCHEMA" in str(e)
+                        or "Unable to infer schema" in str(e)):
+                    raise
+                idx = None
+            if idx is None:  # first batch: only within-batch dedup
+                idx = _empty_band_table(spark)
+            pairs = incremental_lsh_candidates(batch, idx, id_col, text_col)
+            batch_ids = batch.select(F.col(id_col).alias("_bid"))
+            # id_other ∈ batch ⇒ within-batch pair (drop the larger,
+            # which is id_other by construction); else vs-index ⇒ drop
+            # the batch side (id_new)
+            within = pairs.join(
+                batch_ids, pairs["id_other"] == batch_ids["_bid"], "semi")
+            vs_index = pairs.join(
+                batch_ids, pairs["id_other"] == batch_ids["_bid"],
+                "left_anti")
+            drop = (within.select(F.col("id_other").alias("_did"))
+                    .unionByName(vs_index.select(
+                        F.col("id_new").alias("_did")))
+                    .distinct())
+            admitted = batch.join(
+                drop, batch[id_col] == drop["_did"], "left_anti").persist()
+            admitted.write.mode("append").parquet(output_path)
+            minhash_band_table(admitted, id_col, text_col).write \
+                .mode("append").partitionBy("band").parquet(index_path)
+            release(pairs)
+            admitted.unpersist()
+        finally:
+            batch.unpersist()
+
+    w = (stream.writeStream.outputMode("update")
+         .foreachBatch(_process)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _empty_band_table(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "doc_id long, band int, band_key string")

@@ -65,8 +65,10 @@ def test_tfidf_topk_ranks_rare_terms_first(spark):
 def _dup_corpus():
     base = "the quick brown fox jumps over the lazy dog again and again"
     rows = [(i, f"{base} variant {i % 3}") for i in range(30)]
-    rows += [(100 + i, f"totally different content number {i} "
-              f"with unique words {i * 7}") for i in range(10)]
+    # fully token-disjoint docs: no shared shingle, so LSH can never
+    # bucket them with anything (candidate = genuinely shared content)
+    rows += [(100 + i, " ".join(f"tok{i}x{j}" for j in range(12)))
+             for i in range(10)]
     return rows
 
 
@@ -132,3 +134,43 @@ def test_index_append_maintenance(spark, tmp_path):
     want = minhash_band_table(df.where(F.col("doc_id") < 30)).select(*cols)
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, want.collect())))
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """Two micro-batch generations through the on-disk index: the
+    second run (a fresh query on new files, same index) must see every
+    document the first run admitted — the index is the dedup state and
+    survives 'restarts' by construction."""
+    from cow_spark.streaming.stream import stream_dedup_against_index
+
+    rows = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    land1, land2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    df.where(F.col("doc_id") < 15).write.parquet(land1)
+    df.where(F.col("doc_id") >= 15).write.parquet(land2)
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "admitted")
+
+    def run(src, ck):
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(src)
+        q = stream_dedup_against_index(
+            stream, idx, out, str(tmp_path / ck), available_now=True)
+        q.awaitTermination(120)
+
+    run(land1, "ck1")
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    run(land2, "ck2")
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # batch 1: the 15 near-identical docs (3 variants) collapse to the
+    # min-id representative per LSH component
+    assert first < admitted
+    assert 0 in first and len(first) < 15
+    # batch 2's copies of the variants are all rejected against the
+    # index; the 10 genuinely distinct docs (100+) are admitted
+    assert {100 + i for i in range(10)} <= admitted
+    assert not ({r for r in admitted if 15 <= r < 30})
+    # index holds band rows ONLY for admitted docs
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert idx_ids == admitted
