@@ -34,11 +34,21 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc_id, gram) — distinct word n-grams per document. Documents
     shorter than ``n`` words contribute their full normalized text as a
     single gram (shared semantics with the dedup shingle builder, so a
-    verbatim short eval doc still contaminates its copies)."""
-    t = tokens(normalize_text(F.col(text_col)))
-    return df.select(
+    verbatim short eval doc still contaminates its copies).
+
+    The token array is STAGED as a real column before the shingle
+    builder's higher-order transform — HOF lambdas are interpreted and
+    re-evaluate captured subtrees per element, so an inline tokens()
+    expression would re-tokenize the document once per shingle
+    position (CLAUDE.md gotcha; same staging as minhash_signatures)."""
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles_from_tokens(t, n, distinct=True)).alias("gram"),
+        tokens(normalize_text(F.col(text_col))).alias("_tok"),
+    )
+    return staged.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_tok"), n,
+                                       distinct=True)).alias("gram"),
     )
 
 
