@@ -1904,7 +1904,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persistent dedup index; an incoming batch (doc_id % 4 == 0
     plays the new arrivals) probes it at O(batch) cost."""
     from cow_spark.operators.dedup import (incremental_lsh_candidates,
-                                           minhash_band_table, release)
+                                           minhash_band_table)
 
     docs = _load_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
@@ -1914,14 +1914,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_incremental_dedup() -> str:
+    # full twin of the Spark semantics: the index is restricted to the
+    # buckets the batch touches, combined (index+batch) bucket sizes
+    # above the cap are dropped, and a batch doc never pairs with an
+    # identically-id'd index row
     return f"""
 with ab as ({_sql_minhash_bands()}),
 nb as (select * from ab where doc_id % 4 = 0),
-ob as (select * from ab where doc_id % 4 <> 0),
-vs as (select nb.doc_id as id_new, ob.doc_id as id_other
-       from nb join ob using (band, band_key)),
+ob0 as (select * from ab where doc_id % 4 <> 0),
+tb as (select distinct band, band_key from nb),
+ob as (select ob0.* from ob0 join tb using (band, band_key)),
+comb as (
+  select band, band_key, count(*) as c
+  from (select band, band_key from ob
+        union all select band, band_key from nb)
+  group by band, band_key
+),
+ok as (select band, band_key from comb where c <= 1000),
+nbs as (select nb.* from nb join ok using (band, band_key)),
+obs as (select ob.* from ob join ok using (band, band_key)),
+vs as (select nbs.doc_id as id_new, obs.doc_id as id_other
+       from nbs join obs using (band, band_key)
+       where nbs.doc_id <> obs.doc_id),
 wi as (select a.doc_id as id_new, b.doc_id as id_other
-       from nb a join nb b using (band, band_key)
+       from nbs a join nbs b using (band, band_key)
        where a.doc_id < b.doc_id)
 select distinct id_new, id_other
 from (select * from vs union all select * from wi)

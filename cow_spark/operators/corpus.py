@@ -53,17 +53,23 @@ def pack_sequences(
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
-    end = F.sum("n_tokens").over(w)
-    start = (end - F.col("n_tokens")).alias("start_off")
-    return base.select(
+    # integer `div`, not double /: past ~2^52/context cumulative tokens
+    # a double quotient's ulp exceeds 1/context and floor() can land on
+    # the wrong window (the repo's bit-exact arithmetic convention —
+    # same as terms.py/graphrank.py). `div` truncates toward zero where
+    # DuckDB's // floors, but the only negative operand here is end-1
+    # == -1 (an empty doc opening a shard), and greatest() clamps that
+    # case to bin_first == 0 in both engines.
+    staged = base.withColumn("_end", F.sum("n_tokens").over(w))
+    return staged.select(
         "doc_id", "shard", "n_tokens",
-        start,
-        F.floor((end - F.col("n_tokens")) / context).cast("long")
+        (F.col("_end") - F.col("n_tokens")).alias("start_off"),
+        F.expr(f"(_end - n_tokens) div {context}").cast("long")
          .alias("bin_first"),
         # empty docs occupy no tokens: clamp so bin_last >= bin_first
         F.greatest(
-            F.floor((end - 1) / context),
-            F.floor((end - F.col("n_tokens")) / context),
+            F.expr(f"(_end - 1) div {context}"),
+            F.expr(f"(_end - n_tokens) div {context}"),
         ).cast("long").alias("bin_last"),
     ).withColumn(
         "n_bins", (F.col("bin_last") - F.col("bin_first") + 1).cast("long")

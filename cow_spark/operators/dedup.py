@@ -249,10 +249,15 @@ def incremental_lsh_candidates(
     ``bucket_cap`` drops degenerate buckets by their COMBINED
     (index + batch) size, matching :func:`minhash_lsh_pairs` semantics
     on the union corpus.
+
+    ``index`` carries the :func:`minhash_band_table` schema —
+    (doc_id, band, band_key) with that exact id name regardless of
+    ``id_col`` (which names the id in ``batch``). A batch doc whose id
+    already exists in the index (at-least-once redelivery) never pairs
+    with itself.
     """
     nb = minhash_band_table(batch, id_col, text_col, k, bands).persist()
-    idx = index.select(
-        F.col(id_col).alias("doc_id"), "band", "band_key")
+    idx = index.select("doc_id", "band", "band_key")
     # restrict the index to buckets the batch touches (broadcast semi
     # join = the pruning scan), THEN size the combined buckets
     touched = idx.join(
@@ -271,6 +276,7 @@ def incremental_lsh_candidates(
     vs_index = (
         sized_new.alias("n").join(F.broadcast(sized_old.alias("o")),
                                   ["band", "band_key"])
+        .where(F.col("n.doc_id") != F.col("o.doc_id"))
         .select(F.col("n.doc_id").alias("id_new"),
                 F.col("o.doc_id").alias("id_other"))
     )

@@ -44,14 +44,21 @@ def pagerank(
     (divide by SCALE for the [0,1] value). Deterministic and exactly
     replayable cross-engine.
     """
+    # every round re-reads edges, out-degrees, and the node set — all
+    # three persist for the loop's lifetime (AQE breaks ReuseExchange,
+    # so without the persist each round would recompute the whole
+    # distinct/union pipeline from the source; the CLAUDE.md self-join
+    # rule). Rank vectors localCheckpoint EAGERLY per round, the
+    # canon.py iteration pattern — a lazy checkpoint defers the whole
+    # K-round lineage to the caller's first action and caches nothing.
     e = edges.select(F.col(src).alias("src"),
-                     F.col(dst).alias("dst")).distinct()
+                     F.col(dst).alias("dst")).distinct().persist()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct()
              .persist())
     n = nodes.count()  # one job; |V| is entity-vocabulary sized
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     # teleport mass: (1-d)/N in fixed point, exact integer form
     teleport = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n)
 
@@ -72,11 +79,11 @@ def pagerank(
                  + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0)) div {DAMP_DEN}")
                  ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()  # eager: materialize the round now
         )
-    out = ranks
-    nodes.unpersist()
-    return out
+    for handle in (e, nodes, outdeg):
+        handle.unpersist()
+    return ranks
 
 
 def pagerank_oracle_sql(edges_cte: str, iterations: int = 5) -> str:

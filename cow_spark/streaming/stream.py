@@ -325,45 +325,100 @@ def stream_dedup_against_index(
     a corpus-scale TABLE (band rows per admitted doc) — state-store
     APIs bound state per key, not per corpus; a disk-backed index with
     broadcast probes is the shape that survives 100 TB.
+
+    Restart semantics: a commit marker per batch id
+    (``<index>/_commits/<id>``, written last) makes a fully-committed
+    batch a no-op on replay; a crash mid-batch replays it, where the
+    self-pair guard in :func:`..operators.dedup.incremental_lsh_candidates`
+    plus a replay-safe band append (already-indexed ids skipped) keep
+    the index exact. The one remaining at-least-once window — a crash
+    between the output append and the marker — can duplicate OUTPUT
+    rows only (never index rows); plain parquet appends cannot close
+    it, an ACID table format (Iceberg MERGE) at the sink can, same
+    policy as the compaction note above.
     """
     from ..operators.dedup import (incremental_lsh_candidates,
                                    minhash_band_table, release)
 
-    def _process(batch: DataFrame, _batch_id: int) -> None:
+    import hashlib
+
+    # batch ids are per-QUERY (they restart at 0 for a new checkpoint
+    # location), but the index is shared across queries — the marker
+    # key must carry the query identity or a later query's batch 0
+    # would be mistaken for an already-committed one
+    query_key = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/_commits/{query_key}-{batch_id}")
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):  # batch fully committed before a restart
+            return
         batch = batch.persist()
         try:
-            try:
-                idx = spark.read.parquet(index_path)
-            except Exception as e:
-                if not ("PATH_NOT_FOUND" in str(e)
-                        or "Path does not exist" in str(e)
-                        or "UNABLE_TO_INFER_SCHEMA" in str(e)
-                        or "Unable to infer schema" in str(e)):
-                    raise
-                idx = None
-            if idx is None:  # first batch: only within-batch dedup
-                idx = _empty_band_table(spark)
+            # probe through the same FS handle (works on any cluster
+            # filesystem) instead of catching read errors — also avoids
+            # Spark's noisy missing-path WARN on the very first batch
+            idx_dir = jvm.org.apache.hadoop.fs.Path(index_path)
+            idx = None
+            if fs.exists(idx_dir):
+                try:
+                    idx = spark.read.parquet(index_path)
+                except Exception as e:
+                    # a batch that admitted only unsignable (empty-text)
+                    # docs appends zero rows: directory exists, no
+                    # parquet footer → same treatment as resume.py
+                    if not ("UNABLE_TO_INFER_SCHEMA" in str(e)
+                            or "Unable to infer schema" in str(e)):
+                        raise
+            if idx is None:
+                # first batch: only within-batch dedup; id type follows
+                # the stream's schema
+                id_type = batch.schema[id_col].dataType.simpleString()
+                idx = spark.createDataFrame(
+                    [], f"doc_id {id_type}, band int, band_key string")
             pairs = incremental_lsh_candidates(batch, idx, id_col, text_col)
             batch_ids = batch.select(F.col(id_col).alias("_bid"))
-            # id_other ∈ batch ⇒ within-batch pair (drop the larger,
-            # which is id_other by construction); else vs-index ⇒ drop
-            # the batch side (id_new)
-            within = pairs.join(
-                batch_ids, pairs["id_other"] == batch_ids["_bid"], "semi")
-            vs_index = pairs.join(
-                batch_ids, pairs["id_other"] == batch_ids["_bid"],
-                "left_anti")
-            drop = (within.select(F.col("id_other").alias("_did"))
-                    .unionByName(vs_index.select(
-                        F.col("id_new").alias("_did")))
-                    .distinct())
+            # within-batch pairs have id_new < id_other AND id_other in
+            # the batch (drop the larger); everything else is a
+            # vs-index pair (drop the batch side, id_new). The order
+            # test matters on replay: an already-indexed batch doc's
+            # index rows produce vs-index pairs whose id_other IS a
+            # batch member — membership alone would mis-drop the
+            # smaller (previously admitted) doc.
+            flagged = pairs.join(
+                batch_ids, pairs["id_other"] == batch_ids["_bid"], "left")
+            drop = (flagged.select(
+                F.when(F.col("_bid").isNotNull()
+                       & (F.col("id_new") < F.col("id_other")),
+                       F.col("id_other"))
+                .otherwise(F.col("id_new")).alias("_did"))
+                .distinct())
             admitted = batch.join(
                 drop, batch[id_col] == drop["_did"], "left_anti").persist()
+            # index first, output second: if the band append lands and
+            # the process dies, the replay re-admits the same docs (the
+            # self-pair guard ignores their own indexed bands) and the
+            # anti-join below skips re-appending them — index stays
+            # exact and the output is written exactly once for THAT
+            # window
+            adm_bands = minhash_band_table(
+                admitted, id_col, text_col).persist()
+            already = (
+                idx.join(F.broadcast(adm_bands.select("band", "band_key")
+                                     .distinct()),
+                         ["band", "band_key"])
+                .select("doc_id").distinct()
+            )  # batch-bounded: only buckets the admitted docs touch
+            adm_bands.join(F.broadcast(already), "doc_id", "left_anti") \
+                .write.mode("append").partitionBy("band").parquet(index_path)
             admitted.write.mode("append").parquet(output_path)
-            minhash_band_table(admitted, id_col, text_col).write \
-                .mode("append").partitionBy("band").parquet(index_path)
+            fs.create(marker, True).close()
             release(pairs)
+            adm_bands.unpersist()
             admitted.unpersist()
         finally:
             batch.unpersist()
@@ -374,8 +429,3 @@ def stream_dedup_against_index(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
-
-
-def _empty_band_table(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [], "doc_id long, band int, band_key string")

@@ -174,3 +174,41 @@ def test_stream_dedup_against_index(spark, tmp_path):
     # index holds band rows ONLY for admitted docs
     idx_ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
     assert idx_ids == admitted
+
+
+def test_stream_dedup_replay_after_partial_commit(spark, tmp_path):
+    """Crash window: the band append landed but the output append (and
+    commit marker) did not. The replayed batch must re-admit exactly
+    the same docs — their own indexed bands must not drop them (the
+    self-pair guard + order-aware classification) — and must not
+    duplicate their band rows in the index."""
+    from cow_spark.operators.dedup import minhash_band_table
+    from cow_spark.streaming.stream import stream_dedup_against_index
+
+    rows = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    land = str(tmp_path / "land")
+    batch = df.where((F.col("doc_id") < 15) | (F.col("doc_id") >= 100))
+    batch.write.parquet(land)
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+
+    # what a clean run admits: the 15 base variants cross-bucket into
+    # one component (min id 0 survives); the 10 token-disjoint docs all
+    # survive. Simulate the crash: exactly those docs' bands are
+    # already in the index, no output written, no marker
+    survivors = {0} | {100 + i for i in range(10)}
+    pre = minhash_band_table(batch.where(F.col("doc_id").isin(survivors)))
+    pre.write.partitionBy("band").parquet(idx)
+
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(land)
+    q = stream_dedup_against_index(
+        stream, idx, out, str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination(120)
+
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert admitted == sorted(survivors)
+    # band rows not duplicated by the replay
+    bands = spark.read.parquet(idx).groupBy("doc_id", "band").count()
+    assert bands.where(F.col("count") > 1).count() == 0
