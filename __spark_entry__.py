@@ -1822,6 +1822,70 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn pair mining over the deterministic transcripts.
+
+    The LCG role assignment is linear in the slot index, so adjacent
+    roles advance by a constant: user→assistant is never adjacent in
+    this corpus, but tool→assistant is ~10% of transitions — the entry
+    mines those (tool-result → grounded-response pairs) so the oracle
+    row set is non-trivial; the operator itself is role-generic."""
+    from cow_spark.operators.dialogue import sft_pairs
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return sft_pairs(transcripts_df(spark, 5000),
+                     prompt_role="tool", response_role="assistant")
+
+
+def _sql_sft_pairs() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+p as (
+  select conv_id, turn_idx, role, text,
+         lead(role) over w as nr, lead(text) over w as nt,
+         lead(turn_idx) over w as ni
+  from transcripts_gen
+  window w as (partition by conv_id order by turn_idx)
+)
+select conv_id, turn_idx, text as prompt, nt as response
+from p
+where role = 'tool' and nr = 'assistant' and ni = turn_idx + 1
+  and length(trim(text)) > 0 and length(trim(nt)) > 0
+"""
+
+
+_CTX_TURNS = 3
+
+
+def q_conversation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-context example builder: previous 3 turns as 'role: text'
+    lines, one example per non-empty assistant turn."""
+    from cow_spark.operators.dialogue import conversation_windows
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return conversation_windows(transcripts_df(spark, 5000),
+                                n_context=_CTX_TURNS)
+
+
+def _sql_conversation_windows() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+c as (
+  select conv_id, turn_idx, role, text,
+         array_to_string(
+           list(concat_ws(': ', role, coalesce(text, ''))) over
+             (partition by conv_id order by turn_idx
+              rows between {_CTX_TURNS} preceding and 1 preceding),
+           chr(10)) as context
+  from transcripts_gen
+)
+select conv_id, turn_idx, context, text as target
+from c
+where role = 'assistant' and length(trim(text)) > 0
+  and length(context) > 0
+"""
+
+
 _VOCAB_MIN_DF = 2
 
 
@@ -2023,6 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "incremental_dedup": q_incremental_dedup,
+        "sft_pairs": q_sft_pairs,
+        "conversation_windows": q_conversation_windows,
     }
 
 
@@ -2069,4 +2135,6 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "incremental_dedup": _sql_incremental_dedup(),
+        "sft_pairs": _sql_sft_pairs(),
+        "conversation_windows": _sql_conversation_windows(),
     }

@@ -1,0 +1,91 @@
+"""Dialogue-structure operators over transcript tables: SFT pair
+extraction and context-window assembly.
+
+The north-star input is a table of multi-turn conversation / agent
+transcripts (conv_id, turn_idx, role, text, tool, ts); the training
+pipeline's last mile turns those into supervised examples. Both
+operators are single-window plans over (conv_id, turn_idx) — the
+table's natural clustering key, so a conv_id-bucketed layout shuffles
+nothing, and window groups are conversation-sized (millions of small
+groups, the healthy window case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+def _turn_window():
+    # built lazily: WindowSpec construction touches the active session
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """(conv_id, turn_idx, prompt, response) for every adjacent
+    ``prompt_role`` → ``response_role`` turn pair with non-empty text on
+    both sides — the standard instruction-tuning pair mine.
+
+    Adjacency is by turn_idx (the next stored turn must be the very
+    next index): a tool turn between user and assistant breaks the
+    pair, which is the conservative default — tool-mediated exchanges
+    belong to :func:`conversation_windows`, where the intermediate
+    turns are part of the context.
+    """
+    w = _turn_window()
+    nxt_role = F.lead("role").over(w)
+    nxt_text = F.lead("text").over(w)
+    nxt_idx = F.lead("turn_idx").over(w)
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", "role", "text",
+            nxt_role.alias("_nr"), nxt_text.alias("_nt"),
+            nxt_idx.alias("_ni"),
+        )
+        .where(
+            (F.col("role") == prompt_role)
+            & (F.col("_nr") == response_role)
+            & (F.col("_ni") == F.col("turn_idx") + 1)
+            & (F.length(F.trim(F.col("text"))) > 0)
+            & (F.length(F.trim(F.col("_nt"))) > 0)
+        )
+        .select("conv_id", "turn_idx",
+                F.col("text").alias("prompt"),
+                F.col("_nt").alias("response"))
+    )
+
+
+def conversation_windows(
+    transcripts: DataFrame,
+    n_context: int = 3,
+    target_role: str = "assistant",
+    sep: str = "\n",
+) -> DataFrame:
+    """(conv_id, turn_idx, context, target): for every non-empty
+    ``target_role`` turn, the previous ``n_context`` turns rendered as
+    ``role: text`` lines — the sliding-context example builder for
+    dialogue model training.
+
+    One window with a bounded rows-frame: ``collect_list`` over
+    ``rowsBetween(-n_context, -1)`` preserves frame order, so the
+    context reads oldest-to-newest. Turns with empty text still appear
+    in contexts (``role:`` line) — silently skipping them would
+    misrepresent the conversation's shape to the model.
+    """
+    frame = _turn_window().rowsBetween(-n_context, -1)
+    line = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"),
+                                                       F.lit("")))
+    ctx = F.array_join(F.collect_list(line).over(frame), sep)
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", "role", "text", ctx.alias("context"))
+        .where((F.col("role") == target_role)
+               & (F.length(F.trim(F.col("text"))) > 0)
+               & (F.length(F.col("context")) > 0))
+        .select("conv_id", "turn_idx", "context",
+                F.col("text").alias("target"))
+    )
