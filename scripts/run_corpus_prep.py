@@ -1,0 +1,138 @@
+"""spark-submit entry point for pre-training corpus preparation.
+
+The training-data side of the engine, composed end-to-end::
+
+    quality gate → PII redaction → benchmark decontamination
+    → near-dup dedup (canonical survivors) → stratified sampling
+    → sequence packing → packed-corpus manifest + audit stats
+
+Cluster deployment mirrors run_pipeline.py (spark-submit --py-files);
+local smoke::
+
+    python scripts/run_corpus_prep.py --demo
+
+Every stage is a DataFrame plan from cow_spark.operators — no stage
+collects, and the stage order matters: dedup runs AFTER redaction (two
+documents identical up to their PII should dedup together) and the
+pack runs LAST (offsets are only stable once membership is final).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def prepare_corpus(
+    spark,
+    docs,
+    benchmark=None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    context: int = 2048,
+    n_shards: int = 64,
+    min_tokens: int = 5,
+    audit_counts: bool = True,
+):
+    """documents(doc_id, text, source?) → (packed plan, audit dict).
+
+    Returns the packed-corpus DataFrame (doc_id, shard, n_tokens,
+    start_off, bin_first, bin_last, n_bins, text) and a per-stage audit
+    of how many documents each gate removed — corpus shrinkage must be
+    explainable, not just observed. Each audit count is an action that
+    re-executes the lineage up to its stage; at full scale either run
+    with ``audit_counts=False`` (one job, no counts) or persist the
+    intermediate tables — the audit is a debugging/reporting mode, not
+    the production hot path.
+    """
+    from pyspark.sql import functions as F
+
+    from cow_spark.operators.corpus import pack_sequences, stratified_sample
+    from cow_spark.operators.decontam import decontaminate
+    from cow_spark.operators.dedup import near_duplicate_groups, release
+    from cow_spark.operators.pii import pii_scan
+    from cow_spark.operators.quality import quality_filter
+
+    def _n(d):
+        return d.count() if audit_counts else -1
+
+    audit: dict[str, int] = {"input": _n(docs)}
+
+    kept = quality_filter(docs, min_tokens=min_tokens).where(F.col("keep"))
+    docs = docs.join(kept.select("doc_id"), "doc_id")
+    audit["after_quality"] = _n(docs)
+
+    red = pii_scan(docs)
+    audit["pii_spans_redacted"] = (int(
+        red.agg(F.sum("n_pii")).first()[0] or 0) if audit_counts else -1)
+    docs = red.select("doc_id", F.col("redacted").alias("text")).join(
+        docs.drop("text"), "doc_id")
+
+    if benchmark is not None:
+        docs = decontaminate(docs, benchmark)
+        audit["after_decontamination"] = _n(docs)
+
+    groups = near_duplicate_groups(docs)
+    survivors = groups.where(F.col("is_canonical")).select("doc_id")
+    docs = docs.join(survivors, "doc_id")
+    audit["after_dedup"] = _n(docs)
+    release(groups)
+
+    if rates:
+        docs = stratified_sample(docs, rates, default_rate=default_rate)
+        audit["after_sampling"] = _n(docs)
+
+    packed = pack_sequences(docs, context=context, n_shards=n_shards).join(
+        docs.select("doc_id", "text"), "doc_id")
+    audit["packed_docs"] = audit.get("after_sampling", audit["after_dedup"])
+    return packed, audit
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="documents table path (doc_id, text, source)")
+    ap.add_argument("--benchmark", help="held-out eval documents path")
+    ap.add_argument("--output", default="out/corpus", help="output root")
+    ap.add_argument("--context", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--rates", help='JSON source→rate map, e.g. \'{"web":0.5}\'')
+    ap.add_argument("--demo", action="store_true",
+                    help="run on the sf0.01 synthetic documents")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from cow_spark.session import get_session
+
+    spark = get_session(app_name="cow_spark-corpus-prep")
+    if args.demo:
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet").withColumn(
+            "doc_id", F.col("doc_id").cast("long"))
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        docs = docs.where(F.col("doc_id") % 97 != 0)
+        rates = {"src0": 1.0}
+        default_rate = 0.5
+    else:
+        docs = spark.read.parquet(args.input)
+        bench = (spark.read.parquet(args.benchmark)
+                 if args.benchmark else None)
+        rates = json.loads(args.rates) if args.rates else None
+        default_rate = 1.0
+
+    packed, audit = prepare_corpus(
+        spark, docs, benchmark=bench, rates=rates,
+        default_rate=default_rate, context=args.context,
+        n_shards=args.shards)
+    packed.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(args.output, "packed"))
+    print(json.dumps(audit))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
