@@ -1822,6 +1822,64 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def _url_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic docs carry no URLs; inject them deterministically from
+    doc_id so domain analysis is falsifiable (same device as PII)."""
+    docs = _load_spread(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    u1 = F.when(did % 3 == 0, F.concat(
+        F.lit(" see https://site"), (did % 7).cast("string"),
+        F.lit(".example.com/page/"), did.cast("string"))).otherwise(F.lit(""))
+    u2 = F.when(did % 5 == 0,
+                F.lit(" and http://CDN.example.org:8080/asset")
+                ).otherwise(F.lit(""))
+    return docs.select(did.alias("doc_id"),
+                       F.concat(F.col("text"), u1, u2).alias("text"))
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl audit: URL and document counts per lower-cased
+    host — the table that drives source weighting and blocklists."""
+    from cow_spark.functions.text import url_domains
+
+    docs = _url_augmented(spark, sf_dir)
+    d = docs.select("doc_id",
+                    F.explode(url_domains(F.col("text"))).alias("domain"))
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def _sql_domain_stats() -> str:
+    from cow_spark.functions.text import URL_PATTERN, _DOMAIN_FROM_URL
+
+    return f"""
+with aug as (
+  select cast(doc_id as bigint) as doc_id,
+         text
+         || case when doc_id % 3 = 0
+                 then ' see https://site' || cast(doc_id % 7 as varchar)
+                      || '.example.com/page/' || cast(doc_id as varchar)
+                 else '' end
+         || case when doc_id % 5 = 0
+                 then ' and http://CDN.example.org:8080/asset'
+                 else '' end as t
+  from documents
+),
+u as (
+  select doc_id,
+         lower(regexp_extract(unnest(
+           regexp_extract_all(t, '{URL_PATTERN}')),
+           '{_DOMAIN_FROM_URL}', 1)) as domain
+  from aug
+)
+select domain, count(*) as n_urls,
+       count(distinct doc_id) as n_docs
+from u group by domain
+"""
+
+
 def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-turn pair mining over the deterministic transcripts.
 
@@ -2089,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
         "conversation_windows": q_conversation_windows,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -2137,4 +2196,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _sql_incremental_dedup(),
         "sft_pairs": _sql_sft_pairs(),
         "conversation_windows": _sql_conversation_windows(),
+        "domain_stats": _sql_domain_stats(),
     }

@@ -90,3 +90,25 @@ def fingerprint(c: Column) -> Column:
     portable to the oracle; use xxhash64 internally when replay isn't
     needed)."""
     return F.md5(normalize_text(c))
+
+
+# URL/domain analysis — crawl-corpus auditing (per-domain counts drive
+# source weighting and blocklists). The pattern lives in the Java∩RE2
+# regex subset so the DuckDB oracle replays it exactly.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?"
+_DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(c: Column) -> Column:
+    """All http(s) URLs in the text, in order of appearance."""
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def url_domains(c: Column) -> Column:
+    """Lower-cased registrable-host part of every URL in the text
+    (port and path stripped; no PSL suffix logic — that's a lookup
+    table join, not a parser concern)."""
+    return F.transform(
+        extract_urls(c),
+        lambda u: F.lower(F.regexp_extract(u, _DOMAIN_FROM_URL, 1)),
+    )

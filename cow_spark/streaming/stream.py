@@ -313,10 +313,14 @@ def stream_dedup_against_index(
     index IS the dedup state: unbounded-corpus memory lives on disk,
     not in executor state stores, and survives restarts for free.
 
-    Admission is greedy on LSH candidates: a batch doc is dropped if it
-    shares a bucket with any indexed doc, or with a smaller-id doc of
-    the same batch (the smaller id wins, mirroring the batch
-    composition's canonical-survivor rule). Candidates are *probable*
+    Admission is a single-pass, order-free rule on LSH candidates: a
+    batch doc is dropped iff it shares a bucket with any indexed doc,
+    or with ANY smaller-id doc of the same batch. On candidate CHAINS
+    (a<b<c with pairs a-b, b-c only) this drops c where a serial greedy
+    scan would re-admit it — deliberately: over-dropping borderline
+    members of a near-dup chain is the conservative direction for
+    dedup, and the rule needs no within-batch ordering, so the batch
+    can be arbitrarily parallel. Candidates are *probable*
     near-dups — a Jaccard-verified pass belongs downstream at
     compaction where the full text store is available, same policy as
     :func:`stream_dedup_documents` / `stream_extract_quads`.

@@ -225,3 +225,26 @@ def test_bgp_sum_skips_non_numeric_lexicals(spark):
         b, ["g"], {"n_vals": ("count", "n"), "total": ("sum", "n")}
     ).collect()}
     assert got == {"g1": (3, 7), "g2": (1, None)}
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analysis
+# ---------------------------------------------------------------------------
+
+
+def test_url_domains_extraction(spark):
+    from cow_spark.functions.text import extract_urls, url_domains
+
+    df = spark.createDataFrame(
+        [(1, "see https://A.Example.com/x?q=1 and http://b.org:8080/y z"),
+         (2, "no links here"),
+         (3, "bare http://host")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["urls"], r["domains"]) for r in df.select(
+        "doc_id",
+        extract_urls(F.col("text")).alias("urls"),
+        url_domains(F.col("text")).alias("domains")).collect()}
+    assert got[1] == (["https://A.Example.com/x?q=1", "http://b.org:8080/y"],
+                      ["a.example.com", "b.org"])
+    assert got[2] == ([], [])
+    assert got[3] == (["http://host"], ["host"])

@@ -212,3 +212,76 @@ def test_stream_dedup_replay_after_partial_commit(spark, tmp_path):
     # band rows not duplicated by the replay
     bands = spark.read.parquet(idx).groupBy("doc_id", "band").count()
     assert bands.where(F.col("count") > 1).count() == 0
+
+
+def _random_corpus(seed: int, n: int = 60):
+    """Deterministic pseudo-random corpus with heavy duplication: a few
+    base documents, many mutated copies."""
+    import random
+    rng = random.Random(seed)
+    words = [f"w{j}" for j in range(40)]
+    bases = [" ".join(rng.choices(words, k=15)) for _ in range(6)]
+    rows = []
+    for i in range(n):
+        base = bases[rng.randrange(len(bases))]
+        toks = base.split()
+        if rng.random() < 0.5:  # mutate one token
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+        rows.append((i, " ".join(toks)))
+    return rows
+
+
+def test_generational_admission_matches_python_greedy(spark):
+    """Streaming the corpus through the index in generations must equal
+    a serial replay of the declared admission rule over the full-corpus
+    candidate graph — for ANY generation split (candidates(batch,
+    index) == full pairs restricted to batch×(index∪batch) when no
+    bucket caps fire). The rule is single-pass and order-free: a doc is
+    dropped iff it has ANY smaller-id candidate neighbor in its own
+    generation or any already-admitted neighbor — on candidate chains
+    this over-drops relative to serial greedy (conservative direction
+    for dedup)."""
+    for seed in (7, 23):
+        rows = _random_corpus(seed)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = minhash_lsh_pairs(df)
+        pairs = {tuple(sorted((r["id_a"], r["id_b"])))
+                 for r in full.collect()}
+        release(full)
+
+        # python twin of the single-pass rule, over 3 generations
+        gens = [[i for i, _ in rows if i % 3 == g] for g in range(3)]
+        admitted_py: set = set()
+        for gen in gens:
+            kept = {
+                i for i in gen
+                if not any(tuple(sorted((i, j))) in pairs
+                           for j in admitted_py)
+                and not any(j < i and tuple(sorted((i, j))) in pairs
+                            for j in gen)
+            }
+            admitted_py |= kept
+
+        # engine: iterate incremental_lsh_candidates over the same gens
+        admitted_engine: set = set()
+        index = None
+        for g in range(3):
+            batch = df.where(F.col("doc_id") % 3 == g)
+            if index is None:
+                index = spark.createDataFrame(
+                    [], "doc_id long, band int, band_key string")
+            cand = incremental_lsh_candidates(batch, index)
+            got = cand.collect()
+            release(cand)
+            batch_ids = {r[0] for r in rows if r[0] % 3 == g}
+            drop = set()
+            for r in got:
+                if r["id_other"] in batch_ids and r["id_new"] < r["id_other"]:
+                    drop.add(r["id_other"])
+                else:
+                    drop.add(r["id_new"])
+            admitted_now = batch_ids - drop
+            admitted_engine |= admitted_now
+            index = index.unionByName(minhash_band_table(
+                df.where(F.col("doc_id").isin(admitted_now))))
+        assert admitted_engine == admitted_py, seed
