@@ -2048,8 +2048,9 @@ tb as (select distinct band, band_key from nb),
 ob as (select ob0.* from ob0 join tb using (band, band_key)),
 comb as (
   select band, band_key, count(*) as c
-  from (select band, band_key from ob
-        union all select band, band_key from nb)
+  from (select distinct doc_id, band, band_key
+        from (select doc_id, band, band_key from ob
+              union all select doc_id, band, band_key from nb))
   group by band, band_key
 ),
 ok as (select band, band_key from comb where c <= 1000),

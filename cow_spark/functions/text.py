@@ -95,7 +95,10 @@ def fingerprint(c: Column) -> Column:
 # URL/domain analysis — crawl-corpus auditing (per-domain counts drive
 # source weighting and blocklists). The pattern lives in the Java∩RE2
 # regex subset so the DuckDB oracle replays it exactly.
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?"
+# NB: an explicit whitespace class, not [^\s] — Java's \s includes
+# \x0B (vertical tab) while RE2's does not, so \s-based patterns can
+# diverge between Spark and the DuckDB oracle on adversarial text
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ \t\n\r\f\x0B]*)?"
 _DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
 
 

@@ -263,7 +263,12 @@ def incremental_lsh_candidates(
     touched = idx.join(
         F.broadcast(nb.select("band", "band_key").distinct()),
         ["band", "band_key"])
-    combined = touched.unionByName(nb)
+    # distinct before sizing: on crash-replay a batch doc's bands exist
+    # on BOTH sides, and double-counting them could push a bucket over
+    # the cap that was under it pre-crash — changing the admission set
+    # between the original run and its replay
+    combined = touched.unionByName(nb).dropDuplicates(
+        ["doc_id", "band", "band_key"])
     oversized = (
         combined.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
         .where(F.col("_bn") > bucket_cap)

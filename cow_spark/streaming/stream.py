@@ -352,6 +352,25 @@ def stream_dedup_against_index(
     # would be mistaken for an already-committed one
     query_key = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
+    # a FRESH checkpoint (no offsets yet) restarts batch ids at 0; if
+    # markers for this checkpoint path already exist, batch 0 would be
+    # mistaken for committed and silently skipped — new data lost. Fail
+    # loudly instead: the operator must clear the stale markers or pick
+    # a new checkpoint location.
+    spark0 = stream.sparkSession
+    _jvm = spark0._jvm
+    _hconf = spark0._jsc.hadoopConfiguration()
+    _off = _jvm.org.apache.hadoop.fs.Path(f"{checkpoint}/offsets")
+    _cfs = _off.getFileSystem(_hconf)
+    _mark0 = _jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/_commits/{query_key}-0")
+    if not _cfs.exists(_off) and _mark0.getFileSystem(_hconf).exists(_mark0):
+        raise ValueError(
+            f"checkpoint {checkpoint!r} is fresh but commit markers for it "
+            f"exist under {index_path}/_commits — a recreated checkpoint "
+            "would silently skip batch 0. Remove the stale "
+            f"'{query_key}-*' markers or use a new checkpoint location.")
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         jvm = spark._jvm
@@ -362,6 +381,7 @@ def stream_dedup_against_index(
         if fs.exists(marker):  # batch fully committed before a restart
             return
         batch = batch.persist()
+        pairs = adm_bands = admitted = None
         try:
             # probe through the same FS handle (works on any cluster
             # filesystem) instead of catching read errors — also avoids
@@ -415,16 +435,25 @@ def stream_dedup_against_index(
                 idx.join(F.broadcast(adm_bands.select("band", "band_key")
                                      .distinct()),
                          ["band", "band_key"])
-                .select("doc_id").distinct()
+                .select("doc_id", "band", "band_key")
             )  # batch-bounded: only buckets the admitted docs touch
-            adm_bands.join(F.broadcast(already), "doc_id", "left_anti") \
+            # anti-join at ROW granularity, not doc granularity: a crash
+            # mid-append can leave some of a doc's band rows visible
+            # (task commits are not atomic as a set); a doc-level skip
+            # would then lose the doc's remaining bands forever
+            adm_bands.join(F.broadcast(already),
+                           ["doc_id", "band", "band_key"], "left_anti") \
                 .write.mode("append").partitionBy("band").parquet(index_path)
             admitted.write.mode("append").parquet(output_path)
             fs.create(marker, True).close()
-            release(pairs)
-            adm_bands.unpersist()
-            admitted.unpersist()
         finally:
+            # cleanup runs on error paths too — foreachBatch retries
+            # would otherwise accumulate orphaned cached tables
+            if pairs is not None:
+                release(pairs)
+            for h in (adm_bands, admitted):
+                if h is not None:
+                    h.unpersist()
             batch.unpersist()
 
     w = (stream.writeStream.outputMode("update")

@@ -285,3 +285,31 @@ def test_generational_admission_matches_python_greedy(spark):
             index = index.unionByName(minhash_band_table(
                 df.where(F.col("doc_id").isin(admitted_now))))
         assert admitted_engine == admitted_py, seed
+
+
+def test_fresh_checkpoint_with_stale_markers_fails_loudly(spark, tmp_path):
+    """A recreated checkpoint at the same path would restart batch ids
+    at 0 and silently skip new data against the old commit markers —
+    the operator must refuse to start instead."""
+    import pytest
+
+    from cow_spark.streaming.stream import stream_dedup_against_index
+
+    rows = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    land = str(tmp_path / "land")
+    df.where(F.col("doc_id") < 10).write.parquet(land)
+    idx, out, ck = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(land)
+        return stream_dedup_against_index(stream, idx, out, ck,
+                                          available_now=True)
+
+    run().awaitTermination(120)
+    # wipe the checkpoint (ops mishap), keep index + markers
+    import shutil
+    shutil.rmtree(ck)
+    with pytest.raises(ValueError, match="fresh but commit markers"):
+        run()
