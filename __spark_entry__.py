@@ -1822,6 +1822,71 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_bgp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER over BGP bindings: numeric comparison on a lexical
+    form (try_cast discipline — non-numeric bindings drop, the job
+    never aborts under ANSI mode) plus a regex filter."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import filter_bindings, match_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    bindings = match_bgp(quads, [
+        ("?doc", f"{BASE}/vocab/lang", "?l"),
+        ("?doc", f"{BASE}/vocab/n_chars", "?n"),
+    ])
+    return filter_bindings(bindings, [
+        ("n", ">", 150),
+        ("l", "regex", "^(en|de)$"),
+    ])
+
+
+def _sql_bgp_filter() -> str:
+    return f"""
+select '{BASE}/' || cast(doc_id as varchar) as doc,
+       lang as l, cast(n_chars as varchar) as n
+from documents
+where length(coalesce(lang, '')) > 0 and n_chars is not null
+  and try_cast(cast(n_chars as varchar) as double) > 150
+  and regexp_matches(lang, '^(en|de)$')
+"""
+
+
+_COOC_CAP = 1000
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges over the linking dictionary's surface
+    forms: (term_a, term_b, n_groups) per document pair — the raw
+    entity-graph input."""
+    from cow_spark.operators.mentions import cooccurrence_edges
+
+    docs = _load(spark, sf_dir, "documents")
+    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    m = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(pat), 0)).alias("mention"),
+    )
+    return cooccurrence_edges(m, group_col="doc_id",
+                              max_per_group=_COOC_CAP)
+
+
+def _sql_cooccurrence() -> str:
+    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    return f"""
+with m as (
+  select distinct cast(doc_id as bigint) as g, u.t as t
+  from documents,
+       unnest(regexp_extract_all(lower(text), '{pat}')) as u(t)
+)
+select a.t as term_a, b.t as term_b, count(*) as n_groups
+from m a join m b on a.g = b.g and a.t < b.t
+group by a.t, b.t
+"""
+
+
 def _url_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic docs carry no URLs; inject them deterministically from
     doc_id so domain analysis is falsifiable (same device as PII)."""
@@ -2149,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         "conversation_windows": q_conversation_windows,
         "domain_stats": q_domain_stats,
+        "bgp_filter": q_bgp_filter,
+        "cooccurrence": q_cooccurrence,
     }
 
 
@@ -2198,4 +2265,6 @@ def oracle_sql() -> dict[str, str]:
         "sft_pairs": _sql_sft_pairs(),
         "conversation_windows": _sql_conversation_windows(),
         "domain_stats": _sql_domain_stats(),
+        "bgp_filter": _sql_bgp_filter(),
+        "cooccurrence": _sql_cooccurrence(),
     }

@@ -129,3 +129,35 @@ def detect_mentions_arrow(
             F.col("mention"),
         ).alias("mention_iri"),
     )
+
+
+def cooccurrence_edges(
+    mentions: DataFrame,
+    group_col: str = "conv_id",
+    term_col: str = "mention",
+    max_per_group: int = 1_000,
+) -> DataFrame:
+    """Entity co-occurrence edges: (term_a, term_b, n_groups) counting
+    the groups (conversations/documents) where both terms appear — the
+    raw material for entity-graph construction and linking priors.
+
+    Scale shape mirrors the LSH bucket guard: the within-group pair
+    explosion is quadratic in the group's DISTINCT term count, so
+    groups above ``max_per_group`` distinct terms are dropped
+    (log-and-drop; a single pathological conversation otherwise emits a
+    runaway task). Two shuffles total: the per-group distinct and the
+    pair count — both partial-aggregated.
+    """
+    terms = mentions.select(
+        F.col(group_col).alias("g"), F.col(term_col).alias("t")).distinct()
+    oversized = (terms.groupBy("g").agg(F.count("*").alias("_n"))
+                 .where(F.col("_n") > max_per_group).select("g"))
+    sized = terms.join(F.broadcast(oversized), "g", "left_anti")
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(b, "g")
+        .where(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("term_a"), F.col("b.t").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_groups"))
+    )

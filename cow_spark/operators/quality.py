@@ -39,6 +39,37 @@ def duplicate_line_fraction(c: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def symbol_to_word_ratio(c: Column) -> Column:
+    """Gopher's symbol gate: (# + …) occurrences per word — high values
+    flag markup soup and scraped navigation."""
+    syms = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
+    nw = F.size(F.filter(F.split(F.trim(c), r"\s+"),
+                         lambda x: F.length(x) > 0))
+    return F.when(nw > 0, syms / nw.cast("double")).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(c: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character —
+    low values flag tables of numbers, hash dumps, separators."""
+    words = F.filter(F.split(F.trim(c), r"\s+"),
+                     lambda x: F.length(x) > 0)
+    alpha = F.filter(words, lambda x: x.rlike("[A-Za-zÀ-ÿ]"))
+    return F.when(F.size(words) > 0,
+                  F.size(alpha) / F.size(words).cast("double")
+                  ).otherwise(F.lit(1.0))
+
+
+def bullet_line_fraction(c: Column) -> Column:
+    """Fraction of non-blank lines starting with a bullet marker —
+    Gopher drops documents that are mostly lists."""
+    lines = F.filter(F.split(c, r"\r\n|\r|\n"), lambda x: x.rlike(r"\S"))
+    bullets = F.filter(lines,
+                       lambda x: F.trim(x).rlike(r"^([-*•]|[0-9]+[.)])"))
+    return F.when(F.size(lines) > 0,
+                  F.size(bullets) / F.size(lines).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
 def _ngrams_with_repeats(t: Column, n: int) -> Column:
     """All n-grams of a token array, duplicates KEPT (mode counting
     needs multiplicity — the distinct shingle set would hide exactly
@@ -59,17 +90,22 @@ def quality_filter(
     max_dup_line_frac: float = 0.3,
     max_top_ngram_frac: float = 0.2,
     ngram: int = 2,
+    max_symbol_ratio: float | None = None,
+    min_alpha_frac: float | None = None,
+    max_bullet_frac: float | None = None,
 ) -> DataFrame:
     """The composed corpus gate: every document gets ``keep`` plus the
     list of rules it failed (``reasons``) — filters should be
     *auditable*, a bare boolean hides why a corpus shrank.
 
     Rules (the MassiveText/Gopher shape): token-count window,
-    duplicate-line fraction, top-``ngram`` share. One pass over the
-    corpus: the token/line signals are pure Column expressions; the
-    n-gram mode joins in from :func:`repetition_stats`'s partial-agg
-    plan. Returns (doc_id, keep, reasons) — join back on doc_id for
-    the surviving text.
+    duplicate-line fraction, top-``ngram`` share; the symbol-ratio,
+    alpha-fraction, and bullet-line gates are opt-in (pass a
+    threshold). One pass over the corpus: the token/line signals are
+    pure Column expressions; the n-gram mode joins in from
+    :func:`repetition_stats`'s partial-agg plan. Returns
+    (doc_id, keep, reasons) — join back on doc_id for the surviving
+    text.
     """
     from ..functions.text import token_count
 
@@ -77,6 +113,9 @@ def quality_filter(
     base = df.select(
         F.col(id_col).alias("doc_id"),
         token_count(F.col(text_col)).alias("_nt"),
+        symbol_to_word_ratio(F.col(text_col)).alias("_sym"),
+        alpha_word_fraction(F.col(text_col)).alias("_alpha"),
+        bullet_line_fraction(F.col(text_col)).alias("_bullet"),
     ).join(rep, "doc_id")
     checks = [
         ("too_few_tokens", F.col("_nt") < min_tokens),
@@ -84,6 +123,12 @@ def quality_filter(
         ("dup_lines", F.col("dup_line_frac") > max_dup_line_frac),
         ("repeated_ngram", F.col("top_ngram_frac") > max_top_ngram_frac),
     ]
+    if max_symbol_ratio is not None:
+        checks.append(("symbol_soup", F.col("_sym") > max_symbol_ratio))
+    if min_alpha_frac is not None:
+        checks.append(("low_alpha", F.col("_alpha") < min_alpha_frac))
+    if max_bullet_frac is not None:
+        checks.append(("bullet_list", F.col("_bullet") > max_bullet_frac))
     reasons = F.filter(
         F.array(*[F.when(cond, F.lit(name)) for name, cond in checks]),
         lambda x: x.isNotNull(),

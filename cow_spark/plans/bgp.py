@@ -16,6 +16,7 @@ that accounts for most KG lookups, at table scan speed.
 
 from __future__ import annotations
 
+import operator
 import re
 
 from pyspark.sql import DataFrame
@@ -167,6 +168,43 @@ _AGG_FNS = {
     # is skipped, exactly SPARQL's error-as-unbound aggregate behavior)
     "sum": lambda c: F.sum(c.try_cast("long")),
 }
+
+
+_CMP = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+        "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+
+
+def filter_bindings(
+    bindings: DataFrame,
+    filters: list[tuple[str, str, object]],
+) -> DataFrame:
+    """SPARQL-style FILTER over bound variables: each filter is
+    ``(var, op, value)`` with op in = != < <= > >= regex.
+
+    Typing follows SPARQL's effective-boolean-value discipline: a
+    NUMERIC ``value`` compares via ``try_cast`` of the lexical form
+    (a non-numeric binding is a type error → row filtered, never a
+    task failure — ANSI mode would abort the job on a plain cast); a
+    string value compares lexically; ``regex`` is an rlike. All pure
+    Column predicates, pushed down by Catalyst like any other filter.
+    """
+    out = bindings
+    for var, op, value in filters:
+        c = F.col(var)
+        if op == "regex":
+            cond = c.rlike(str(value))
+        elif op in _CMP:
+            if isinstance(value, bool):
+                raise ValueError("boolean FILTER values are not supported")
+            if isinstance(value, (int, float)):
+                cond = _CMP[op](c.try_cast("double"), F.lit(float(value)))
+            else:
+                cond = _CMP[op](c, F.lit(value))
+        else:
+            raise ValueError(f"unknown FILTER op {op!r}; "
+                             f"supported: {sorted(_CMP) + ['regex']}")
+        out = out.where(cond)
+    return out
 
 
 def aggregate_bindings(

@@ -248,3 +248,70 @@ def test_url_domains_extraction(spark):
                       ["a.example.com", "b.org"])
     assert got[2] == ([], [])
     assert got[3] == (["http://host"], ["host"])
+
+
+# ---------------------------------------------------------------------------
+# extended Gopher signals, BGP FILTER, co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def test_extended_quality_signals(spark):
+    from cow_spark.operators.quality import (alpha_word_fraction,
+                                             bullet_line_fraction,
+                                             quality_filter,
+                                             symbol_to_word_ratio)
+
+    rows = [
+        (1, "normal readable prose with enough words to pass easily ok"),
+        (2, "### ### ### ... … lots of symbols here ### and more ###"),
+        (3, "12 34 56 78 90 11 22 33 44 55"),
+        (4, "- one\n- two\n- three\nprose line here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        symbol_to_word_ratio(F.col("text")).alias("sym"),
+        alpha_word_fraction(F.col("text")).alias("alpha"),
+        bullet_line_fraction(F.col("text")).alias("bullet")).collect()}
+    assert sig[1]["sym"] == 0.0 and sig[1]["alpha"] == 1.0
+    assert sig[2]["sym"] > 0.3
+    assert sig[3]["alpha"] == 0.0
+    assert abs(sig[4]["bullet"] - 0.75) < 1e-9
+
+    out = {r["doc_id"]: (r["keep"], list(r["reasons"])) for r in
+           quality_filter(df, min_tokens=3, max_symbol_ratio=0.1,
+                          min_alpha_frac=0.5,
+                          max_bullet_frac=0.5).collect()}
+    assert out[1] == (True, [])
+    assert "symbol_soup" in out[2][1]
+    assert "low_alpha" in out[3][1]
+    assert "bullet_list" in out[4][1]
+
+
+def test_bgp_filter_bindings_type_discipline(spark):
+    from cow_spark.plans.bgp import filter_bindings
+
+    b = spark.createDataFrame(
+        [("d1", "100"), ("d2", "abc"), ("d3", "250"), ("d4", "99.5")],
+        "doc string, n string")
+    got = {r["doc"] for r in
+           filter_bindings(b, [("n", ">", 99)]).collect()}
+    # 'abc' is a type error -> filtered, never an ANSI abort
+    assert got == {"d1", "d3", "d4"}
+    got2 = {r["doc"] for r in
+            filter_bindings(b, [("doc", "regex", "[13]$")]).collect()}
+    assert got2 == {"d1", "d3"}
+
+
+def test_cooccurrence_edges_and_cap(spark):
+    from cow_spark.operators.mentions import cooccurrence_edges
+
+    rows = [("g1", "a"), ("g1", "b"), ("g1", "b"), ("g2", "a"),
+            ("g2", "b"), ("g2", "c"), ("g3", "a")]
+    m = spark.createDataFrame(rows, "conv_id string, mention string")
+    got = {(r["term_a"], r["term_b"]): r["n_groups"]
+           for r in cooccurrence_edges(m).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    # the degenerate-group guard drops oversize groups entirely
+    capped = cooccurrence_edges(m, max_per_group=2).collect()
+    assert {(r["term_a"], r["term_b"]) for r in capped} == {("a", "b")}
