@@ -35,6 +35,7 @@ def pagerank(
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` rounds of
 
@@ -43,6 +44,14 @@ def pagerank(
     over the directed edge list. ``rank_fp`` is the fixed-point rank
     (divide by SCALE for the [0,1] value). Deterministic and exactly
     replayable cross-engine.
+
+    ``local_threshold``: edge lists at or below this size solve
+    driver-side in one collect (the canon.py `cc_local_threshold`
+    pattern) — K distributed rounds on a vocabulary-sized graph are
+    pure scheduler overhead, and the integer recurrence guarantees the
+    two paths return bit-identical ranks (pinned by a pytest). Larger
+    graphs take the distributed path automatically; pass 0 to force
+    it.
     """
     # every round re-reads edges, out-degrees, and the node set — all
     # three persist for the loop's lifetime (AQE breaks ReuseExchange,
@@ -53,6 +62,10 @@ def pagerank(
     # K-round lineage to the caller's first action and caches nothing.
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct().persist()
+    if local_threshold and e.count() <= local_threshold:
+        out = _pagerank_local(e, iterations)
+        e.unpersist()
+        return out
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct()
@@ -84,6 +97,28 @@ def pagerank(
     for handle in (e, nodes, outdeg):
         handle.unpersist()
     return ranks
+
+
+def _pagerank_local(e: DataFrame, iterations: int) -> DataFrame:
+    """Driver-side twin of the exact recurrence for sub-threshold
+    graphs; one collect, zero iterative jobs."""
+    rows = [(r["src"], r["dst"]) for r in e.collect()]
+    nodes = sorted({u for u, _ in rows} | {v for _, v in rows})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in rows:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: SCALE // n for v in nodes}
+    teleport = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n)
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for u, v in rows:
+            inflow[v] += r[u] // outdeg[u]
+        r = {v: teleport + (DAMP_NUM * inflow[v]) // DAMP_DEN
+             for v in nodes}
+    id_type = e.schema["src"].dataType.simpleString()
+    return e.sparkSession.createDataFrame(
+        [(v, r[v]) for v in nodes], f"node {id_type}, rank_fp long")
 
 
 def pagerank_oracle_sql(edges_cte: str, iterations: int = 5) -> str:

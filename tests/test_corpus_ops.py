@@ -315,3 +315,17 @@ def test_cooccurrence_edges_and_cap(spark):
     # the degenerate-group guard drops oversize groups entirely
     capped = cooccurrence_edges(m, max_per_group=2).collect()
     assert {(r["term_a"], r["term_b"]) for r in capped} == {("a", "b")}
+
+
+def test_pagerank_local_and_distributed_paths_identical(spark):
+    """The driver-side path for sub-threshold graphs must return
+    bit-identical ranks to the distributed rounds (the integer
+    recurrence makes that checkable with equality, not tolerance)."""
+    edges = [(f"n{(i * 5) % 17}", f"n{(i * 11 + 3) % 17}")
+             for i in range(40) if (i * 5) % 17 != (i * 11 + 3) % 17]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {r["node"]: r["rank_fp"]
+             for r in pagerank(df, 4).collect()}  # default: local path
+    dist = {r["node"]: r["rank_fp"]
+            for r in pagerank(df, 4, local_threshold=0).collect()}
+    assert local == dist == _py_pagerank(edges, 4)
