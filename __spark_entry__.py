@@ -1848,7 +1848,7 @@ select '{BASE}/' || cast(doc_id as varchar) as doc,
        lang as l, cast(n_chars as varchar) as n
 from documents
 where length(coalesce(lang, '')) > 0 and n_chars is not null
-  and try_cast(cast(n_chars as varchar) as double) > 150
+  and try_cast(cast(n_chars as varchar) as decimal(38,9)) > 150
   and regexp_matches(lang, '^(en|de)$')
 """
 

@@ -60,8 +60,13 @@ def pagerank(
     # rule). Rank vectors localCheckpoint EAGERLY per round, the
     # canon.py iteration pattern — a lazy checkpoint defers the whole
     # K-round lineage to the caller's first action and caches nothing.
-    e = edges.select(F.col(src).alias("src"),
-                     F.col(dst).alias("dst")).distinct().persist()
+    # NULL endpoints are meaningless for ranking (and NULL never
+    # equi-joins, so a NULL "node" could only ever collect teleport
+    # mass while silently eating real mass from its in-edges) — drop
+    # them explicitly so both execution paths see the same graph
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct().persist())
     if local_threshold and e.count() <= local_threshold:
         out = _pagerank_local(e, iterations)
         e.unpersist()

@@ -145,19 +145,27 @@ def cooccurrence_edges(
     explosion is quadratic in the group's DISTINCT term count, so
     groups above ``max_per_group`` distinct terms are dropped
     (log-and-drop; a single pathological conversation otherwise emits a
-    runaway task). Two shuffles total: the per-group distinct and the
-    pair count — both partial-aggregated.
+    runaway task). The distinct (group, term) table feeds three
+    consumers (the size histogram and both self-join sides), so it
+    persists — sketch-scale, far smaller than the mention stream; AQE
+    breaks ReuseExchange and the upstream extraction would otherwise
+    re-run per consumer (CLAUDE.md). The handle rides on the result:
+    ``dedup.release(edges)`` frees it.
     """
+    from .dedup import _attach_persisted
+
     terms = mentions.select(
-        F.col(group_col).alias("g"), F.col(term_col).alias("t")).distinct()
+        F.col(group_col).alias("g"),
+        F.col(term_col).alias("t")).distinct().persist()
     oversized = (terms.groupBy("g").agg(F.count("*").alias("_n"))
                  .where(F.col("_n") > max_per_group).select("g"))
     sized = terms.join(F.broadcast(oversized), "g", "left_anti")
     a, b = sized.alias("a"), sized.alias("b")
-    return (
+    out = (
         a.join(b, "g")
         .where(F.col("a.t") < F.col("b.t"))
         .select(F.col("a.t").alias("term_a"), F.col("b.t").alias("term_b"))
         .groupBy("term_a", "term_b")
         .agg(F.count("*").alias("n_groups"))
     )
+    return _attach_persisted(out, terms)

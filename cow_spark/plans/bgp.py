@@ -196,8 +196,14 @@ def filter_bindings(
         elif op in _CMP:
             if isinstance(value, bool):
                 raise ValueError("boolean FILTER values are not supported")
-            if isinstance(value, (int, float)):
-                cond = _CMP[op](c.try_cast("double"), F.lit(float(value)))
+            if isinstance(value, int):
+                # decimal, not double: exact past 2^53 (a double
+                # comparison equates 2^53+1 with 2^53), yet still
+                # numeric-promoting for fractional lexicals
+                # ("99.5" > 99 is true, per SPARQL)
+                cond = _CMP[op](c.try_cast("decimal(38,9)"), F.lit(value))
+            elif isinstance(value, float):
+                cond = _CMP[op](c.try_cast("double"), F.lit(value))
             else:
                 cond = _CMP[op](c, F.lit(value))
         else:

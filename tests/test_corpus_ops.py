@@ -329,3 +329,24 @@ def test_pagerank_local_and_distributed_paths_identical(spark):
     dist = {r["node"]: r["rank_fp"]
             for r in pagerank(df, 4, local_threshold=0).collect()}
     assert local == dist == _py_pagerank(edges, 4)
+
+
+def test_pagerank_null_endpoints_dropped_both_paths(spark):
+    edges = [("a", "b"), (None, "b"), ("a", None), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {r["node"]: r["rank_fp"] for r in pagerank(df, 2).collect()}
+    dist = {r["node"]: r["rank_fp"]
+            for r in pagerank(df, 2, local_threshold=0).collect()}
+    assert local == dist and set(local) == {"a", "b"}
+
+
+def test_bgp_filter_large_integer_exactness(spark):
+    from cow_spark.plans.bgp import filter_bindings
+
+    big = 2**53
+    b = spark.createDataFrame(
+        [("lo", str(big)), ("hi", str(big + 1))], "doc string, n string")
+    got = {r["doc"] for r in
+           filter_bindings(b, [("n", ">", big)]).collect()}
+    # a double comparison would equate 2^53+1 with 2^53 and return {}
+    assert got == {"hi"}
