@@ -1822,6 +1822,39 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-audit distribution profile of document lengths: exact
+    SQL-standard percentile_disc — integer order statistics both
+    engines replay bit-for-bit (approx_percentile is the documented
+    scale mode)."""
+    from cow_spark.plans.stats import column_profile
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.col("n_chars").cast("long"))
+    out = column_profile(docs, "n_chars")
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        "mean_floor",
+        *[F.col(f"p{k}").cast("long").alias(f"p{k}")
+          for k in (25, 50, 90, 99)],
+    )
+
+
+_SQL_CORPUS_PROFILE = """
+select cast(count(n_chars) as bigint) as n,
+       cast(min(n_chars) as bigint) as min_v,
+       cast(max(n_chars) as bigint) as max_v,
+       cast(floor(avg(n_chars)) as bigint) as mean_floor,
+       cast(quantile_disc(n_chars, 0.25) as bigint) as p25,
+       cast(quantile_disc(n_chars, 0.50) as bigint) as p50,
+       cast(quantile_disc(n_chars, 0.90) as bigint) as p90,
+       cast(quantile_disc(n_chars, 0.99) as bigint) as p99
+from documents
+"""
+
+
 def q_bgp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL FILTER over BGP bindings: numeric comparison on a lexical
     form (try_cast discipline — non-numeric bindings drop, the job
@@ -2216,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "bgp_filter": q_bgp_filter,
         "cooccurrence": q_cooccurrence,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -2267,4 +2301,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "bgp_filter": _sql_bgp_filter(),
         "cooccurrence": _sql_cooccurrence(),
+        "corpus_profile": _SQL_CORPUS_PROFILE,
     }

@@ -49,3 +49,40 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def column_profile(
+    df: DataFrame,
+    col: str,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """One-row distribution profile of a numeric column: count, min,
+    max, floor(mean), and discrete percentiles — the corpus-audit view
+    (doc length / token count distributions drive packing and filter
+    thresholds).
+
+    ``approx=False`` uses SQL-standard ``percentile_disc`` (an exact
+    order statistic — integer in, integer out, no interpolation, so the
+    DuckDB oracle replays it bit-for-bit). Exact percentiles buffer the
+    group's values, so this is the AUDIT mode; at full corpus scale run
+    ``approx=True`` (t-digest ``approx_percentile``, bounded memory,
+    ±accuracy) — the same exact/approx split as
+    :func:`kg_statistics`'s HLL mode.
+    """
+    c = F.col(col)
+    aggs = [
+        F.count(c).alias("n"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.floor(F.avg(c)).cast("long").alias("mean_floor"),
+    ]
+    for p in percentiles:
+        name = f"p{int(p * 100)}"
+        if approx:
+            aggs.append(F.percentile_approx(c, p).alias(name))
+        else:
+            aggs.append(F.expr(
+                f"percentile_disc({p}) within group (order by {col})"
+            ).alias(name))
+    return df.agg(*aggs)

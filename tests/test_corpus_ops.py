@@ -350,3 +350,24 @@ def test_bgp_filter_large_integer_exactness(spark):
            filter_bindings(b, [("n", ">", big)]).collect()}
     # a double comparison would equate 2^53+1 with 2^53 and return {}
     assert got == {"hi"}
+
+
+def test_column_profile_exact_order_statistics(spark):
+    from cow_spark.plans.stats import column_profile
+
+    vals = [7, 1, 9, 3, 5, 11, 2, 8, 6, 4]  # n=10
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    row = column_profile(df, "x").collect()[0]
+    s = sorted(vals)
+
+    def disc(p):  # SQL-standard: smallest value with cume_dist >= p
+        import math
+        return s[max(0, math.ceil(p * len(s)) - 1)]
+
+    assert (row["n"], row["min_v"], row["max_v"]) == (10, 1, 11)
+    assert row["mean_floor"] == sum(vals) // len(vals)
+    assert (row["p25"], row["p50"], row["p90"], row["p99"]) == (
+        disc(0.25), disc(0.5), disc(0.9), disc(0.99))
+    # approx mode runs and brackets the exact answer on small data
+    arow = column_profile(df, "x", approx=True).collect()[0]
+    assert 1 <= arow["p50"] <= 11
