@@ -320,7 +320,11 @@ def stream_dedup_against_index(
     scan would re-admit it — deliberately: over-dropping borderline
     members of a near-dup chain is the conservative direction for
     dedup, and the rule needs no within-batch ordering, so the batch
-    can be arbitrarily parallel. Candidates are *probable*
+    can be arbitrarily parallel. ACROSS batches, arrival order decides
+    which near-dup representative survives (earlier batches win) — a
+    file source orders batches by modification time, so re-landing the
+    same files with different mtimes can admit a different, equally
+    valid representative per group. Candidates are *probable*
     near-dups — a Jaccard-verified pass belongs downstream at
     compaction where the full text store is available, same policy as
     :func:`stream_dedup_documents` / `stream_extract_quads`.
