@@ -78,11 +78,15 @@ def column_profile(
         F.floor(F.avg(c)).cast("long").alias("mean_floor"),
     ]
     for p in percentiles:
-        name = f"p{int(p * 100)}"
+        # round, not int(): 0.29*100 is 28.999… in binary floats and
+        # would truncate to the wrong label
+        name = f"p{round(p * 100)}"
         if approx:
             aggs.append(F.percentile_approx(c, p).alias(name))
         else:
+            # backtick the identifier — F.col handles odd names for the
+            # other aggregates, the SQL string must do the same
             aggs.append(F.expr(
-                f"percentile_disc({p}) within group (order by {col})"
+                f"percentile_disc({p}) within group (order by `{col}`)"
             ).alias(name))
     return df.agg(*aggs)

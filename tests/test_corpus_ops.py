@@ -371,3 +371,14 @@ def test_column_profile_exact_order_statistics(spark):
     # approx mode runs and brackets the exact answer on small data
     arow = column_profile(df, "x", approx=True).collect()[0]
     assert 1 <= arow["p50"] <= 11
+
+
+def test_column_profile_odd_names_and_labels(spark):
+    from cow_spark.plans.stats import column_profile
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)],
+                               "`token count` long")
+    row = column_profile(df, "token count",
+                         percentiles=(0.29, 0.5)).collect()[0]
+    assert "p29" in row.asDict() and row["p29"] == 29
+    assert row["p50"] == 50
