@@ -1822,6 +1822,71 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+_BOILER1 = "subscribe to our newsletter for updates"
+_BOILER2 = "all rights reserved worldwide 2026"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet corpus-level boilerplate removal: lines repeated across
+    >=3 distinct documents are dropped. Boilerplate is injected
+    deterministically (docs carry none natively) so the removal is
+    falsifiable: every doc_id%4 doc gains a newsletter line, every
+    doc_id%10 a rights line — both must vanish, the prose must not."""
+    from cow_spark.operators.quality import remove_repeated_lines
+
+    docs = _load_spread(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    aug = docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0, F.lit("\n" + _BOILER1)).otherwise(F.lit("")),
+            F.when(did % 10 == 0, F.lit("\n" + _BOILER2)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_repeated_lines(aug, min_repeats=3)
+    return out.select("doc_id", F.md5(F.col("text")).alias("clean_md5"),
+                      "n_removed")
+
+
+def _sql_line_dedup() -> str:
+    return f"""
+with aug as (
+  select cast(doc_id as bigint) as doc_id,
+         text
+         || case when doc_id % 4 = 0 then chr(10) || '{_BOILER1}'
+                 else '' end
+         || case when doc_id % 10 = 0 then chr(10) || '{_BOILER2}'
+                 else '' end as t
+  from documents
+),
+d as (select doc_id, regexp_split_to_array(t, '\\r\\n|\\r|\\n') as ls
+      from aug),
+l as (select doc_id, pos, ls[pos] as line
+      from d, unnest(generate_series(1, len(ls))) as u(pos)),
+freq as (
+  select md5(trim(line)) as h
+  from l where length(trim(line)) >= 10
+  group by md5(trim(line))
+  having count(distinct doc_id) >= 3
+),
+k as (
+  select l.doc_id, l.pos, l.line
+  from l left join freq
+    on length(trim(l.line)) >= 10 and md5(trim(l.line)) = freq.h
+  where freq.h is null
+),
+tot as (select doc_id, count(*) as total from l group by doc_id),
+reb as (select doc_id,
+               array_to_string(list(line order by pos), chr(10)) as text,
+               count(*) as kept
+        from k group by doc_id)
+select tot.doc_id, md5(coalesce(reb.text, '')) as clean_md5,
+       cast(tot.total - coalesce(reb.kept, 0) as bigint) as n_removed
+from tot left join reb on reb.doc_id = tot.doc_id
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-audit distribution profile of document lengths: exact
     SQL-standard percentile_disc — integer order statistics both
@@ -2250,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_filter": q_bgp_filter,
         "cooccurrence": q_cooccurrence,
         "corpus_profile": q_corpus_profile,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2302,4 +2368,5 @@ def oracle_sql() -> dict[str, str]:
         "bgp_filter": _sql_bgp_filter(),
         "cooccurrence": _sql_cooccurrence(),
         "corpus_profile": _SQL_CORPUS_PROFILE,
+        "line_dedup": _sql_line_dedup(),
     }

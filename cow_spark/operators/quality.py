@@ -180,3 +180,64 @@ def repetition_stats(
                        F.lit(0.0)).alias("top_ngram_frac"),
         )
     )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeats: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/CCNet line rule): drop
+    every line that appears, trimmed, in at least ``min_repeats``
+    DISTINCT documents — navigation chrome, cookie banners, signatures.
+    Distinct-document counting (not raw occurrences) keeps a line that
+    merely repeats inside one document; that is intra-doc repetition,
+    :func:`repetition_stats`' job.
+
+    Returns (doc_id, text, n_removed): the document rebuilt from its
+    surviving lines in original order (every document survives, possibly
+    empty). Lines shorter than ``min_line_chars`` after trimming are
+    structural (blank separators, bullets) and are always kept.
+
+    Scale shape: one explode of lines, one partial-aggregated count
+    keyed by line hash, one join of the line stream against the
+    frequent-line set, one per-doc regroup. The frequent set is the
+    join's build side — boilerplate vocabulary, orders of magnitude
+    smaller than the line stream; AQE picks broadcast when it fits.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\r\n|\r|\n"))
+         .alias("pos", "line"),
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    freq = (
+        lines.where(eligible)
+        .select(F.md5(F.trim(F.col("line"))).alias("_h"), "doc_id")
+        .groupBy("_h").agg(F.countDistinct("doc_id").alias("_n"))
+        .where(F.col("_n") >= min_repeats)
+        .select("_h")
+    )
+    keyed = lines.withColumn(
+        "_h", F.when(eligible, F.md5(F.trim(F.col("line")))))
+    kept = keyed.join(freq, "_h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("text"),
+        F.count("*").alias("_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("_total"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )

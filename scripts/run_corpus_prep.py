@@ -2,9 +2,10 @@
 
 The training-data side of the engine, composed end-to-end::
 
-    quality gate → PII redaction → benchmark decontamination
-    → near-dup dedup (canonical survivors) → stratified sampling
-    → sequence packing → packed-corpus manifest + audit stats
+    boilerplate line removal → quality gate → PII redaction
+    → benchmark decontamination → near-dup dedup (canonical survivors)
+    → stratified sampling → sequence packing
+    → packed-corpus manifest + audit stats
 
 Cluster deployment mirrors run_pipeline.py (spark-submit --py-files);
 local smoke::
@@ -37,6 +38,7 @@ def prepare_corpus(
     n_shards: int = 64,
     min_tokens: int = 5,
     audit_counts: bool = True,
+    line_dedup_min_repeats: int | None = 3,
 ):
     """documents(doc_id, text, source?) → (packed plan, audit dict).
 
@@ -55,12 +57,25 @@ def prepare_corpus(
     from cow_spark.operators.decontam import decontaminate
     from cow_spark.operators.dedup import near_duplicate_groups, release
     from cow_spark.operators.pii import pii_scan
-    from cow_spark.operators.quality import quality_filter
+    from cow_spark.operators.quality import (quality_filter,
+                                             remove_repeated_lines)
 
     def _n(d):
         return d.count() if audit_counts else -1
 
     audit: dict[str, int] = {"input": _n(docs)}
+
+    if line_dedup_min_repeats:
+        # C4 order: strip corpus-level boilerplate LINES before any
+        # doc-level judgment — a doc that is prose plus chrome should
+        # be judged (and deduped) on its prose
+        cleaned = remove_repeated_lines(
+            docs, min_repeats=line_dedup_min_repeats)
+        audit["boilerplate_lines_removed"] = (
+            int(cleaned.agg(F.sum("n_removed")).first()[0] or 0)
+            if audit_counts else -1)
+        docs = cleaned.select("doc_id", "text").join(
+            docs.drop("text"), "doc_id")
 
     kept = quality_filter(docs, min_tokens=min_tokens).where(F.col("keep"))
     docs = docs.join(kept.select("doc_id"), "doc_id")

@@ -382,3 +382,32 @@ def test_column_profile_odd_names_and_labels(spark):
                          percentiles=(0.29, 0.5)).collect()[0]
     assert "p29" in row.asDict() and row["p29"] == 29
     assert row["p50"] == 50
+
+
+def test_remove_repeated_lines_semantics(spark):
+    from cow_spark.operators.quality import remove_repeated_lines
+
+    boiler = "subscribe to the newsletter now"
+    rows = [
+        (1, f"unique prose one\n{boiler}\nmore prose"),
+        (2, f"{boiler}\ndifferent content here"),
+        (3, f"tail text\n{boiler}"),
+        # intra-doc repetition only: distinct-doc count is 1 -> kept
+        (4, "repeated inside doc\nrepeated inside doc"),
+        # short structural line shared everywhere: exempt
+        (5, "---\nactual body text here"),
+        (6, "---\nother body text here"),
+        (7, "---\nthird body text here"),
+        # doc that is ONLY boilerplate -> survives as empty
+        (8, boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_repeated_lines(df, min_repeats=3).collect()}
+    assert got[1] == ("unique prose one\nmore prose", 1)
+    assert got[2] == ("different content here", 1)
+    assert got[3] == ("tail text", 1)
+    assert got[4] == ("repeated inside doc\nrepeated inside doc", 0)
+    assert got[5] == ("---\nactual body text here", 0)
+    assert got[8] == ("", 1)
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}
