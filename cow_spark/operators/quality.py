@@ -201,15 +201,20 @@ def remove_repeated_lines(
     empty). Lines shorter than ``min_line_chars`` after trimming are
     structural (blank separators, bullets) and are always kept.
 
-    Scale shape: one explode of lines, one partial-aggregated count
-    keyed by line hash, one join of the line stream against the
-    frequent-line set, one per-doc regroup. The frequent set is the
-    join's build side — boilerplate vocabulary, orders of magnitude
-    smaller than the line stream; AQE picks broadcast when it fits.
+    Scale shape: the line stream is consumed exactly twice (the
+    frequent-set build and the probe — a two-pass algorithm's floor;
+    the corpus-scale side is never persisted, per CLAUDE.md), with
+    rebuild, totals, and removal counts folded into ONE per-doc
+    aggregation on the probe pass. The frequent set is the join's
+    build side — boilerplate vocabulary, orders of magnitude smaller
+    than the line stream; AQE picks broadcast when it fits.
+
+    ``posexplode_outer``, not ``posexplode``: NULL-text documents must
+    survive (as empty) rather than silently vanish from the corpus.
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), r"\r\n|\r|\n"))
+        F.posexplode_outer(F.split(F.col(text_col), r"\r\n|\r|\n"))
          .alias("pos", "line"),
     )
     eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
@@ -218,26 +223,19 @@ def remove_repeated_lines(
         .select(F.md5(F.trim(F.col("line"))).alias("_h"), "doc_id")
         .groupBy("_h").agg(F.countDistinct("doc_id").alias("_n"))
         .where(F.col("_n") >= min_repeats)
-        .select("_h")
+        .select("_h", F.lit(True).alias("_drop"))
     )
     keyed = lines.withColumn(
         "_h", F.when(eligible, F.md5(F.trim(F.col("line")))))
-    kept = keyed.join(freq, "_h", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
+    marked = keyed.join(freq, "_h", "left")
+    keep = F.col("_drop").isNull() & F.col("line").isNotNull()
+    return marked.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(F.collect_list(  # collect_list skips NULLs
+                    F.when(keep, F.struct("pos", "line")))),
                 lambda x: x["line"]),
             "\n").alias("text"),
-        F.count("*").alias("_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("_total"))
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
-            .cast("long").alias("n_removed"),
-        )
+        (F.count("line")
+         - F.sum(keep.cast("long"))).cast("long").alias("n_removed"),
     )

@@ -411,3 +411,15 @@ def test_remove_repeated_lines_semantics(spark):
     assert got[5] == ("---\nactual body text here", 0)
     assert got[8] == ("", 1)
     assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_remove_repeated_lines_null_text_survives(spark):
+    from cow_spark.operators.quality import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "real body content"), (2, None), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_repeated_lines(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == ("", 0) and got[3] == ("", 0)
