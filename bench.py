@@ -48,6 +48,7 @@ HEADLINE = [
     "tfidf_topk",
     "incremental_dedup",
     "decontamination",
+    "line_dedup",
 ]
 
 
@@ -148,6 +149,11 @@ def main() -> None:
     bench_docs = docs20.where(F.col("doc_id") % 97 == 0)
     timings["decontam_bulk20x"] = round(
         _run(_cont(docs20.where(F.col("doc_id") % 97 != 0), bench_docs)), 3)
+    from cow_spark.operators.quality import remove_repeated_lines as _rrl
+
+    # every doc is replicated 20x, so every eligible line is corpus-level
+    # boilerplate — the adversarial everything-removed case
+    timings["line_dedup_bulk20x"] = round(_run(_rrl(docs20)), 3)
     docs20.unpersist()
 
     # flagship transcript KG pipeline, sized by sf (~4.6M turns at sf=1)
