@@ -1876,7 +1876,10 @@ k as (
     on length(trim(l.line)) >= 10 and md5(trim(l.line)) = freq.h
   where freq.h is null
 ),
-tot as (select doc_id, count(*) as total from l group by doc_id),
+-- totals from the per-doc line ARRAY, not the exploded stream: a
+-- NULL-text doc explodes to nothing but must still emit (md5(''), 0),
+-- matching the engine's posexplode_outer survival semantics
+tot as (select doc_id, coalesce(len(ls), 0) as total from d),
 reb as (select doc_id,
                array_to_string(list(line order by pos), chr(10)) as text,
                count(*) as kept
