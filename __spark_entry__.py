@@ -346,6 +346,88 @@ window w as (partition by user_id order by ts, event_id)
 """
 
 
+# 24 h lookback — at sf0.01 that matches ~36% of purchases, so both the
+# matched and the expired/absent branches carry real row mass in the gate
+_ASOF_TOL_US = 24 * 3_600_000_000
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last-touch attribution): each purchase gets the
+    latest view by the same user at-or-before it, within a 24 h
+    lookback. Single-shuffle union+window — no range join (see
+    operators/asof.py)."""
+    from cow_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("view_id"),
+    )
+    out = asof_join(
+        purchases, views, on="user_id",
+        right_cols=["view_id"], right_order="view_id",
+        tolerance_us=_ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id", "user_id", "value_c",
+        F.col("asof_view_id").alias("view_id"),
+        (F.unix_micros(F.col("ts"))
+         - F.unix_micros(F.col("asof_ts"))).cast("long").alias("gap_us"),
+    )
+
+
+# The twin replays the SAME union+window formulation (not DuckDB's
+# native ASOF JOIN, which has neither the tolerance nor the
+# deterministic same-timestamp tiebreak): right rows sort before left
+# at an equal ts (inclusive at-or-before), greatest view_id wins a
+# (user, ts) tie. r_view_id / r_ts are NULL together, so the two
+# independent last_value windows always read the same right row.
+_SQL_ASOF_JOIN = f"""
+with l as (
+  select cast(event_id as bigint) as event_id,
+         cast(user_id as bigint) as user_id, ts,
+         cast(floor(value * 100) as bigint) as value_c
+  from events where event_type = 'purchase'
+),
+r as (
+  select cast(user_id as bigint) as user_id, ts,
+         cast(event_id as bigint) as view_id
+  from events where event_type = 'view'
+),
+u as (
+  select user_id, ts, 1 as side, cast(0 as bigint) as ord,
+         event_id, value_c,
+         cast(null as bigint) as r_view_id,
+         cast(null as timestamp) as r_ts
+  from l
+  union all
+  select user_id, ts, 0, view_id, null, null, view_id, ts from r
+),
+m as (
+  select *,
+         last_value(r_view_id ignore nulls) over w as m_view_id,
+         last_value(r_ts ignore nulls) over w as m_ts
+  from u
+  window w as (partition by user_id order by ts, side, ord
+               rows between unbounded preceding and current row)
+)
+select event_id, user_id, value_c,
+       case when epoch_us(ts) - epoch_us(m_ts) <= {_ASOF_TOL_US}
+            then m_view_id end as view_id,
+       case when epoch_us(ts) - epoch_us(m_ts) <= {_ASOF_TOL_US}
+            then cast(epoch_us(ts) - epoch_us(m_ts) as bigint)
+            end as gap_us
+from m where side = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # E1-E3: mentions, skolem minting, linking
 # ---------------------------------------------------------------------------
@@ -2276,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "events_windowed": q_events_windowed,
+        "asof_join": q_asof_join,
         "mentions": q_mentions,
         "skolem_iris": q_skolem,
         "entity_link": q_entity_link,
@@ -2329,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING,
         "order_revenue": _SQL_ORDER_REVENUE,
         "events_windowed": _SQL_EVENTS_WINDOWED,
+        "asof_join": _SQL_ASOF_JOIN,
         "mentions": _SQL_MENTIONS,
         "skolem_iris": _SQL_SKOLEM,
         "entity_link": _sql_entity_link(),

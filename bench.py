@@ -49,6 +49,7 @@ HEADLINE = [
     "incremental_dedup",
     "decontamination",
     "line_dedup",
+    "asof_join",
 ]
 
 
