@@ -383,6 +383,66 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30 min gap): per-session
+    event count, value mass, and duration — the batch twin of the
+    streaming sessionizer (operators/sessionize.py)."""
+    from cow_spark.operators.sessionize import sessionize
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        # integer value mass BEFORE summing: float sums are
+        # order-dependent across engines, integer sums are not
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return (
+        sessionize(ev, key="user_id", ts_col="ts",
+                   gap_us=_SESSION_GAP_US, order_col="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_c").alias("value_c_sum"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+             ).cast("long").alias("dur_us"),
+        )
+    )
+
+
+_SQL_SESSIONIZE = f"""
+with e as (
+  select cast(user_id as bigint) as user_id,
+         cast(event_id as bigint) as event_id, ts,
+         cast(floor(value * 100) as bigint) as value_c
+  from events
+),
+g as (
+  select *,
+         case when lag(ts) over w is null
+                or epoch_us(ts) - epoch_us(lag(ts) over w)
+                   > {_SESSION_GAP_US}
+              then 1 else 0 end as opens
+  from e
+  window w as (partition by user_id order by ts, event_id)
+),
+s as (
+  select *, sum(opens) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding
+                             and current row) as session_id
+  from g
+)
+select user_id, session_id,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(value_c) as bigint) as value_c_sum,
+       cast(epoch_us(max(ts)) - epoch_us(min(ts)) as bigint) as dur_us
+from s group by user_id, session_id
+"""
+
+
 # The twin replays the SAME union+window formulation (not DuckDB's
 # native ASOF JOIN, which has neither the tolerance nor the
 # deterministic same-timestamp tiebreak): right rows sort before left
@@ -2359,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_revenue": q_order_revenue,
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "mentions": q_mentions,
         "skolem_iris": q_skolem,
         "entity_link": q_entity_link,
@@ -2413,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": _SQL_ORDER_REVENUE,
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "asof_join": _SQL_ASOF_JOIN,
+        "sessionize": _SQL_SESSIONIZE,
         "mentions": _SQL_MENTIONS,
         "skolem_iris": _SQL_SKOLEM,
         "entity_link": _sql_entity_link(),

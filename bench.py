@@ -50,6 +50,7 @@ HEADLINE = [
     "decontamination",
     "line_dedup",
     "asof_join",
+    "sessionize",
 ]
 
 

@@ -1,0 +1,58 @@
+"""Batch sessionization: gap splits, per-key numbering, equal-ts
+cohesion, and the one-keyed-shuffle plan bound."""
+
+import datetime as dt
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cow_spark.operators.sessionize import session_summary, sessionize  # noqa: E402
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", 1, _ts(0)),
+            ("u1", 2, _ts(10)),    # 10 min gap -> same session
+            ("u1", 3, _ts(50)),    # 40 min gap -> new session
+            ("u1", 4, _ts(50)),    # same instant -> same session
+            ("u2", 5, _ts(0)),     # numbering is per key
+        ],
+        "user_id string, event_id long, ts timestamp",
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    out = sessionize(_events(spark), gap_us=30 * 60 * 1_000_000,
+                     order_col="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_session_summary(spark):
+    out = session_summary(_events(spark), gap_us=30 * 60 * 1_000_000,
+                          order_col="event_id")
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["dur_us"])
+           for r in out.collect()}
+    assert got == {
+        ("u1", 1): (2, 600_000_000),
+        ("u1", 2): (2, 0),
+        ("u2", 1): (1, 0),
+    }
+
+
+def test_sessionize_plan_one_shuffle(spark):
+    out = session_summary(_events(spark), order_col="event_id")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    # two Exchanges total: the (key) window sort and the per-session
+    # partial-aggregated groupBy; both windows share ONE sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
