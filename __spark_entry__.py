@@ -443,6 +443,91 @@ from s group by user_id, session_id
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each event becomes the user's state valid on
+    [valid_from, valid_to) — one lead() window
+    (operators/intervals.py:intervalize)."""
+    from cow_spark.operators.intervals import intervalize
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("state"),
+    )
+    out = intervalize(ev, key="user_id", ts_col="ts", order_col="event_id")
+    return out.select(
+        "user_id", "event_id", "state",
+        F.unix_micros("valid_from").cast("long").alias("from_us"),
+        F.unix_micros("valid_to").cast("long").alias("to_us"),
+    )
+
+
+_SQL_SCD2_INTERVALS = """
+select cast(user_id as bigint) as user_id,
+       cast(event_id as bigint) as event_id,
+       event_type as state,
+       cast(epoch_us(ts) as bigint) as from_us,
+       cast(epoch_us(lead(ts, 1) over (partition by user_id
+                                       order by ts, event_id))
+            as bigint) as to_us
+from events
+"""
+
+
+_ERRWIN_US = 10 * 60 * 1_000_000
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via binning (operators/intervals.py):
+    purchases inside the 10-minute window each error event of the same
+    user opens — many-to-many, equi-join on (user, time-bin) + exact
+    range residual, never a theta join."""
+    from cow_spark.operators.intervals import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("err_id"),
+        F.timestamp_micros(us).alias("lo"),
+        F.timestamp_micros(us + F.lit(_ERRWIN_US)).alias("hi"),
+    )
+    out = interval_join(purchases, errors, "lo", "hi", on="user_id",
+                        ts_col="ts", bin_us=_ERRWIN_US,
+                        interval_cols=["err_id"])
+    return out.select(
+        "user_id", "event_id",
+        F.col("iv_err_id").alias("err_id"),
+        (F.unix_micros("ts") - F.unix_micros("iv_lo"))
+        .cast("long").alias("delta_us"),
+    )
+
+
+_SQL_INTERVAL_JOIN = f"""
+with p as (
+  select cast(user_id as bigint) as user_id,
+         cast(event_id as bigint) as event_id, ts
+  from events where event_type = 'purchase'
+),
+e as (
+  select cast(user_id as bigint) as user_id,
+         cast(event_id as bigint) as err_id,
+         ts as lo, ts + to_microseconds({_ERRWIN_US}) as hi
+  from events where event_type = 'error'
+)
+select p.user_id, p.event_id, e.err_id,
+       cast(epoch_us(p.ts) - epoch_us(e.lo) as bigint) as delta_us
+from p join e on p.user_id = e.user_id
+              and e.lo <= p.ts and p.ts < e.hi
+"""
+
+
 # The twin replays the SAME union+window formulation (not DuckDB's
 # native ASOF JOIN, which has neither the tolerance nor the
 # deterministic same-timestamp tiebreak): right rows sort before left
@@ -2420,6 +2505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "scd2_intervals": q_scd2_intervals,
+        "interval_join": q_interval_join,
         "mentions": q_mentions,
         "skolem_iris": q_skolem,
         "entity_link": q_entity_link,
@@ -2475,6 +2562,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "asof_join": _SQL_ASOF_JOIN,
         "sessionize": _SQL_SESSIONIZE,
+        "scd2_intervals": _SQL_SCD2_INTERVALS,
+        "interval_join": _SQL_INTERVAL_JOIN,
         "mentions": _SQL_MENTIONS,
         "skolem_iris": _SQL_SKOLEM,
         "entity_link": _sql_entity_link(),

@@ -1,0 +1,144 @@
+"""Interval operators over event logs — the two temporal primitives
+that complement :mod:`cow_spark.operators.asof`:
+
+- :func:`intervalize` — SCD2 history build: an update log (key, ts,
+  state...) becomes validity intervals ``[valid_from, valid_to)`` via
+  one lead() window (one keyed shuffle, the same sort as sessionize).
+- :func:`interval_join` — point-in-interval join WITHOUT the
+  quadratic theta join. ``p JOIN i ON p.k = i.k AND i.lo <= p.ts AND
+  p.ts < i.hi`` plans as BroadcastNestedLoop / exploding sort-merge:
+  every point meets every interval of its key before the range filter
+  prunes. At 10^12 events that is the job. The scalable shape is
+  BINNING (the classic range-join optimization, same idea as
+  Databricks' rangeJoin binSize hint and Flink's interval join):
+  quantize time into fixed bins, explode each interval into the bins
+  it overlaps, map each point to its single bin, equi-join on
+  (key, bin), then apply the exact range residual. Each qualifying
+  (point, interval) pair meets in EXACTLY one bin — the point's own —
+  so the join needs no post-dedup; cost is one hash/sort-merge
+  equi-join sized by interval_len/bin_us, chosen by the caller to
+  match the data's interval scale.
+
+The reference has no temporal model at all (row-at-a-time CSV); these
+are north-star extension operators (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def intervalize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """SCD2: each update row becomes the state valid on
+    ``[valid_from, valid_to)`` — ``valid_from`` its own timestamp,
+    ``valid_to`` the NEXT update's timestamp for the key (NULL on the
+    current/open row). One lead() window = one keyed shuffle; zero-
+    length intervals (two updates at the same instant) are kept — the
+    earlier one is closed immediately, ``order_col`` decides which of
+    the equal-timestamp updates is "later" (required when ties can
+    occur).
+    """
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col, 1).over(w))
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    on: str | None = None,
+    ts_col: str = "ts",
+    bin_us: int = 3_600_000_000,
+    interval_cols: Sequence[str] | None = None,
+    prefix: str = "iv_",
+    max_bins_per_interval: int = 10_000,
+    audit_drops: bool = False,
+) -> DataFrame:
+    """Inner-join each point to every interval with
+    ``lo <= point.ts < hi`` (and equal ``on`` key when given),
+    many-to-many. Interval columns are carried as ``{prefix}{col}``.
+
+    ``bin_us`` sizes the time quantum: an interval explodes into
+    ``ceil(len/bin_us)+1`` join rows, so pick it near the TYPICAL
+    interval length (1h default). Intervals longer than
+    ``max_bins_per_interval * bin_us`` are dropped — the same
+    log-and-drop guard as the LSH ``bucket_cap`` (dedup.py): one
+    open-ended year-long interval must not fan out into 10^5 rows
+    silently (``audit_drops=True`` counts and warns, at the cost of
+    one extra pass over the intervals table). NULL ``hi`` (open
+    intervals from
+    :func:`intervalize`) is treated as +infinity and REJECTED by the
+    guard unless ``max_bins_per_interval`` is None; close open
+    intervals first (e.g. ``coalesce(valid_to, now)``).
+
+    Exactly-once pairing: the point contributes its single bin; the
+    interval contributes every bin it overlaps; they can only meet in
+    the point's bin, so the equi-join emits each qualifying pair once.
+    """
+    if interval_cols is None:
+        interval_cols = [
+            c for c in intervals.columns
+            if c not in (on, lo_col, hi_col)
+        ]
+
+    lo_us = F.unix_micros(F.col(lo_col).cast("timestamp"))
+    hi_us = F.unix_micros(F.col(hi_col).cast("timestamp"))
+    lo_bin = F.floor(lo_us / bin_us)
+    # [lo, hi): the last covered instant is hi-1; empty/negative
+    # intervals produce an empty sequence via the filter below
+    hi_bin = F.floor((hi_us - 1) / bin_us)
+    n_bins = hi_bin - lo_bin + 1
+
+    iv = intervals.where(hi_us > lo_us)
+    if max_bins_per_interval is not None:
+        if audit_drops:
+            # opt-in: one extra pass over the (usually dimension-sized)
+            # intervals table; the default path adds zero jobs
+            n_dropped = iv.where(
+                F.col(hi_col).isNull()
+                | (n_bins > max_bins_per_interval)).count()
+            if n_dropped:
+                log.warning(
+                    "interval_join: dropping %d intervals longer than "
+                    "%d bins (bin_us=%d) — raise bin_us or close open "
+                    "intervals", n_dropped, max_bins_per_interval, bin_us)
+        iv = iv.where(
+            F.col(hi_col).isNotNull() & (n_bins <= max_bins_per_interval))
+
+    iv_b = iv.select(
+        *([F.col(on)] if on else []),
+        F.col(lo_col).alias("_lo"),
+        F.col(hi_col).alias("_hi"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in interval_cols],
+        F.explode(F.sequence(lo_bin, hi_bin)).alias("_bin"),
+    )
+    p_b = points.withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                        / bin_us))
+
+    keys = ([on] if on else []) + ["_bin"]
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        p_b.join(iv_b, on=keys)
+        .where((F.unix_micros(F.col("_lo").cast("timestamp")) <= ts_us)
+               & (ts_us < F.unix_micros(F.col("_hi").cast("timestamp"))))
+        .withColumn(f"{prefix}lo", F.col("_lo"))
+        .withColumn(f"{prefix}hi", F.col("_hi"))
+        .drop("_bin", "_lo", "_hi")
+    )
