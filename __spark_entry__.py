@@ -2414,6 +2414,49 @@ from ranked where rank <= {_TFIDF_K}
 """
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: per-document mean unigram
+    surprisal in whole bits per token, integer-exact via
+    length(bin(T div c)) - 1 == floor(log2(T/c)) — no libm log on
+    either engine (operators/terms.py:unigram_surprisal)."""
+    from cow_spark.operators.terms import unigram_surprisal
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return unigram_surprisal(docs)
+
+
+_SQL_LM_SURPRISAL = """
+with tr as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as term
+  from documents
+),
+tf as (select doc_id, term, cast(count(*) as bigint) as tf
+       from tr group by doc_id, term),
+c as (select term, cast(sum(tf) as bigint) as c from tf group by term),
+t as (select cast(sum(c) as bigint) as T from c),
+j as (
+  select tf.doc_id, tf.tf,
+         length(bin(t.T // c.c)) - 1 as bits
+  from tf join c using (term) cross join t
+),
+per as (
+  select doc_id, cast(sum(tf) as bigint) as n_tokens,
+         cast(sum(tf * bits) as bigint) as bits_sum
+  from j group by doc_id
+)
+select d.doc_id,
+       cast(coalesce(per.n_tokens, 0) as bigint) as n_tokens,
+       cast(coalesce(per.bits_sum, 0) as bigint) as bits_sum,
+       cast(per.bits_sum * 1000 // per.n_tokens as bigint) as score_fp
+from (select distinct cast(doc_id as bigint) as doc_id from documents) d
+left join per using (doc_id)
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-index LSH candidates: the corpus-to-date's band table is
     the persistent dedup index; an incoming batch (doc_id % 4 == 0
@@ -2542,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_aggregate": q_bgp_aggregate,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
+        "lm_surprisal": q_lm_surprisal,
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
         "conversation_windows": q_conversation_windows,
@@ -2599,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_aggregate": _sql_bgp_aggregate(),
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
+        "lm_surprisal": _SQL_LM_SURPRISAL,
         "incremental_dedup": _sql_incremental_dedup(),
         "sft_pairs": _sql_sft_pairs(),
         "conversation_windows": _sql_conversation_windows(),

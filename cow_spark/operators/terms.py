@@ -84,3 +84,73 @@ def tfidf_topk(
         F.col("score_fp").desc(), F.col("term"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality score, integer-exact:
+    per-document mean unigram surprisal in whole BITS per token —
+    (doc_id, n_tokens, bits_sum, score_fp) with
+    ``score_fp = bits_sum * SCALE // n_tokens``.
+
+    CCNet filters pre-training corpora by LM perplexity (well-modeled
+    text scores low, gibberish and boilerplate-noise score high).
+    log-probabilities are libm territory — ln() differs in the last ulp
+    across glibc/JVM/DuckDB and a floor() at a boundary flips — so the
+    per-token surprisal here is the EXACT integer
+    ``floor(log2(T / c(t)))`` computed with no floating point at all:
+    ``length(bin(T div c)) - 1`` (bit length of the integer quotient;
+    floor(log2(x)) == floor(log2(floor(x))) for x >= 1 because 2^k is
+    an integer). 1-bit-per-token resolution on a signal whose useful
+    range spans ~5-25 bits/token — coarse per token, tight per document
+    after averaging over hundreds of tokens, and reproducible anywhere.
+
+    ``model=None`` scores against the corpus itself (self-surprisal:
+    the within-corpus outlier detector). Pass a (term, count) DataFrame
+    to score against a reference corpus — then unseen tokens take the
+    add-one floor ``floor(log2((T + V) / (c + 1)))`` with V = model
+    vocabulary size (seen tokens use the same smoothed form, keeping
+    the distribution proper).
+
+    Plan: one explode → per-(doc,term) tf → term-keyed join against the
+    (vocabulary-sized) count table → per-doc partial aggregation. The
+    shuffle carries (doc, term, tf) partials, never raw text; empty/
+    NULL-text documents are kept with n_tokens=0 and NULL score.
+    """
+    tf = (
+        _term_rows(df, id_col, text_col)
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    if model is None:
+        counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+        totals = counts.agg(F.sum("c").alias("T"))
+        joined = tf.join(counts, "term").crossJoin(F.broadcast(totals))
+        bits = F.length(F.bin(F.expr("T div c"))) - F.lit(1)
+    else:
+        counts = model.select(F.col(model.columns[0]).alias("term"),
+                              F.col(model.columns[1]).cast("long").alias("c"))
+        totals = counts.agg((F.sum("c") + F.count("*")).alias("TV"))
+        joined = (tf.join(F.broadcast(counts), "term", "left")
+                  .crossJoin(F.broadcast(totals)))
+        bits = F.length(
+            F.bin(F.expr("TV div (coalesce(c, 0) + 1)"))) - F.lit(1)
+
+    per_doc = (
+        joined.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_tokens"),
+             F.sum(F.col("tf") * bits).cast("long").alias("bits_sum"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("bits_sum", F.lit(0)).cast("long").alias("bits_sum"),
+            F.expr(f"bits_sum * {SCALE} div n_tokens").alias("score_fp"),
+        )
+    )

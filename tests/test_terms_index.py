@@ -313,3 +313,54 @@ def test_fresh_checkpoint_with_stale_markers_fails_loudly(spark, tmp_path):
     shutil.rmtree(ck)
     with pytest.raises(ValueError, match="fresh but commit markers"):
         run()
+
+
+def _bitlen_floor_log2(x: int) -> int:
+    return x.bit_length() - 1
+
+
+def test_unigram_surprisal_self_matches_python(spark):
+    from cow_spark.operators.terms import SCALE, unigram_surprisal
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the the the"),
+         (3, "xylophone quartz"),
+         (4, ""),            # empty -> 0 tokens, NULL score
+         (5, None)],         # NULL  -> same
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_sum"], r["score_fp"])
+           for r in unigram_surprisal(docs).collect()}
+
+    from collections import Counter
+    toks = {1: "the cat sat on the mat".split(),
+            2: "the the the".split(), 3: "xylophone quartz".split()}
+    c = Counter(t for ts in toks.values() for t in ts)
+    T = sum(c.values())
+    for d, ts in toks.items():
+        bits = sum(_bitlen_floor_log2(T // c[t]) for t in ts)
+        assert got[d] == (len(ts), bits, bits * SCALE // len(ts)), d
+    assert got[4] == (0, 0, None)
+    assert got[5] == (0, 0, None)
+    # the common-word doc is less surprising than the rare-word doc
+    assert got[2][2] < got[3][2]
+
+
+def test_unigram_surprisal_reference_model(spark):
+    from cow_spark.operators.terms import SCALE, unigram_surprisal
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "zorp zorp")],
+        "doc_id long, text string",
+    )
+    model = spark.createDataFrame(
+        [("the", 90), ("cat", 9), ("dog", 1)], "term string, count long")
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_sum"], r["score_fp"])
+           for r in unigram_surprisal(docs, model=model).collect()}
+    TV = 100 + 3  # total + vocab (add-one smoothing)
+    b = {"the": _bitlen_floor_log2(TV // 91),
+         "cat": _bitlen_floor_log2(TV // 10),
+         "zorp": _bitlen_floor_log2(TV // 1)}
+    assert got[1] == (2, b["the"] + b["cat"],
+                      (b["the"] + b["cat"]) * SCALE // 2)
+    assert got[2] == (2, 2 * b["zorp"], b["zorp"] * SCALE)
+    assert got[2][2] > got[1][2]  # OOV gibberish scores higher
