@@ -2457,6 +2457,58 @@ left join per using (doc_id)
 """
 
 
+def q_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style cross-document duplicated-n-gram fraction:
+    share of each document's 5-gram occurrences whose gram appears in
+    ≥2 distinct documents (operators/quality.py:cross_doc_ngram_stats).
+    Fixed-point fraction; NULL for documents shorter than 5 tokens."""
+    from cow_spark.operators.quality import cross_doc_ngram_stats
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return cross_doc_ngram_stats(docs, n=5, min_docs=2)
+
+
+_SQL_CROSS_DOC_NGRAMS = """
+with tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+grams as (
+  select doc_id,
+         unnest(case when len(t) >= 5 then
+           list_transform(generate_series(1, len(t) - 4),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       || ' ' || t[i+3] || ' ' || t[i+4])
+           else [] end) as g
+  from tok
+),
+tf as (
+  select doc_id,
+         cast(concat('0x', substr(md5(g), 1, 15)) as bigint) as h,
+         cast(count(*) as bigint) as tf
+  from grams group by 1, 2
+),
+shared as (select h from tf group by h having count(*) >= 2),
+per as (
+  select tf.doc_id,
+         cast(sum(tf.tf) as bigint) as n_grams,
+         cast(sum(case when s.h is not null then tf.tf else 0 end)
+              as bigint) as dup_grams
+  from tf left join shared s using (h) group by tf.doc_id
+)
+select d.doc_id,
+       cast(coalesce(per.n_grams, 0) as bigint) as n_grams,
+       cast(coalesce(per.dup_grams, 0) as bigint) as dup_grams,
+       cast(per.dup_grams * 1000 // per.n_grams as bigint) as dup_frac_fp
+from (select distinct cast(doc_id as bigint) as doc_id from documents) d
+left join per using (doc_id)
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-index LSH candidates: the corpus-to-date's band table is
     the persistent dedup index; an incoming batch (doc_id % 4 == 0
@@ -2586,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
+        "cross_doc_ngrams": q_cross_doc_ngrams,
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
         "conversation_windows": q_conversation_windows,
@@ -2644,6 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,
+        "cross_doc_ngrams": _SQL_CROSS_DOC_NGRAMS,
         "incremental_dedup": _sql_incremental_dedup(),
         "sft_pairs": _sql_sft_pairs(),
         "conversation_windows": _sql_conversation_windows(),

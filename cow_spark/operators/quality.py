@@ -182,6 +182,74 @@ def repetition_stats(
     )
 
 
+def cross_doc_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (the RefinedWeb /
+    "Deduplicating Training Data" passage-level signal): for each
+    document, the share of its word ``n``-gram OCCURRENCES whose gram
+    also appears in at least ``min_docs`` distinct documents. High
+    values flag template pages, mirrored passages, and boilerplate the
+    line- and whole-doc dedup passes miss — it is the *between*-document
+    complement of :func:`repetition_stats` (within-document) and
+    :func:`remove_repeated_lines` (exact line matches only).
+
+    Returns (doc_id, n_grams, dup_grams, dup_frac_fp) for EVERY input
+    document; ``dup_frac_fp = dup_grams * 1000 // n_grams`` (fixed-point
+    — float division is not oracle-replayable), NULL when the document
+    has fewer than ``n`` tokens (0 grams).
+
+    Scale shape: grams are md5-reduced to 60-bit ints *before* any
+    shuffle (the gram text never leaves the map side); per-(doc, gram)
+    tf is one partial aggregation, so a phrase looping inside one
+    document contributes one row, not one per repeat. Distinct-document
+    frequency is then ``count(*)`` over those rows — no countDistinct
+    expansion. The ≥``min_docs`` survivors (the shared-gram vocabulary,
+    far smaller than the gram stream) are the join's build side; AQE
+    broadcasts when it fits. Token arrays are staged as real columns
+    before the gram transform (interpreted HOF lambdas re-evaluate
+    captured subtrees per element, see CLAUDE.md).
+    """
+    from ..functions.hashing import portable_hash60
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tok"),
+    )
+    ex = base.select(
+        "doc_id",
+        F.explode(_ngrams_with_repeats(F.col("_tok"), n)).alias("_g"),
+    )
+    tf = (
+        ex.select("doc_id", portable_hash60(F.col("_g")).alias("_h"))
+        .groupBy("doc_id", "_h").agg(F.count("*").alias("_tf"))
+    )
+    shared = (
+        tf.groupBy("_h").agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h", F.lit(True).alias("_shared"))
+    )
+    per_doc = tf.join(shared, "_h", "left").groupBy("doc_id").agg(
+        F.sum("_tf").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("_shared"), F.col("_tf")).otherwise(0))
+         .cast("long").alias("dup_grams"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.expr("dup_grams * 1000 div n_grams").alias("dup_frac_fp"),
+        )
+    )
+
+
 def remove_repeated_lines(
     df: DataFrame,
     id_col: str = "doc_id",

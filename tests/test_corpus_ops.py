@@ -423,3 +423,47 @@ def test_remove_repeated_lines_null_text_survives(spark):
            for r in remove_repeated_lines(df).collect()}
     assert set(got) == {1, 2, 3}
     assert got[2] == ("", 0) and got[3] == ("", 0)
+
+
+def test_cross_doc_ngram_stats_semantics(spark):
+    from cow_spark.operators.quality import cross_doc_ngram_stats
+
+    rows = [
+        # docs 1 and 2 share the passage "a b c d e f" (two 5-grams:
+        # "a b c d e" and "b c d e f"); their tails are unique
+        (1, "a b c d e f x1 y1 z1"),
+        (2, "a b c d e f x2 y2 z2"),
+        # self-repetition only: the looped gram occurs in ONE doc, so
+        # it is NOT cross-document duplicated (tf-partial semantics)
+        (3, "p q r s t p q r s t"),
+        (4, "entirely unique words here now"),
+        (5, "short"),   # < n tokens -> 0 grams, NULL fraction
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_frac_fp"])
+           for r in cross_doc_ngram_stats(df, n=5).collect()}
+    # doc 1: 9 tokens -> 5 grams, 2 shared with doc 2
+    assert got[1] == (5, 2, 2 * 1000 // 5)
+    assert got[2] == (5, 2, 2 * 1000 // 5)
+    # doc 3: 10 tokens -> 6 grams, none shared across documents
+    assert got[3] == (6, 0, 0)
+    assert got[4] == (1, 0, 0)   # 5 tokens -> exactly 1 gram
+    assert got[5] == (0, 0, None)
+    assert got[6] == (0, 0, None)
+
+
+def test_cross_doc_ngram_stats_min_docs_threshold(spark):
+    from cow_spark.operators.quality import cross_doc_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"),
+         (3, "w1 w2 w3 w4 w5")],
+        "doc_id long, text string")
+    # gram appears in 3 docs: below a min_docs=4 bar nothing is flagged
+    got = {r["doc_id"]: r["dup_grams"]
+           for r in cross_doc_ngram_stats(df, n=5, min_docs=4).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
+    got3 = {r["doc_id"]: r["dup_grams"]
+            for r in cross_doc_ngram_stats(df, n=5, min_docs=3).collect()}
+    assert got3 == {1: 1, 2: 1, 3: 1}
