@@ -2457,6 +2457,41 @@ left join per using (doc_id)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep token-window chunking: 32-token chunks, 8-token overlap,
+    never crossing a document boundary (corpus.py:chunk_documents).
+    Zero-shuffle per-row explode."""
+    from cow_spark.operators.corpus import chunk_documents
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+# stride = 32 - 8 = 24; chunk count = max(1, (n - overlap - 1) // stride + 1)
+_SQL_CHUNK_DOCUMENTS = """
+with tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+base as (select doc_id, t, len(t) as n from tok where len(t) > 0),
+ks as (
+  select doc_id, t, n,
+         unnest(generate_series(0, greatest(1, (n - 9) // 24 + 1) - 1)) as k
+  from base
+)
+select doc_id,
+       cast(k as int) as chunk_idx,
+       cast(k * 24 as int) as start_tok,
+       cast(least(32, n - k * 24) as int) as n_tok,
+       array_to_string(t[k*24+1 : k*24+32], ' ') as chunk_text
+from ks
+"""
+
+
 def q_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style cross-document duplicated-n-gram fraction:
     share of each document's 5-gram occurrences whose gram appears in
@@ -2639,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
         "cross_doc_ngrams": q_cross_doc_ngrams,
+        "chunk_documents": q_chunk_documents,
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
         "conversation_windows": q_conversation_windows,
@@ -2698,6 +2734,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,
         "cross_doc_ngrams": _SQL_CROSS_DOC_NGRAMS,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "incremental_dedup": _sql_incremental_dedup(),
         "sft_pairs": _sql_sft_pairs(),
         "conversation_windows": _sql_conversation_windows(),

@@ -51,6 +51,9 @@ HEADLINE = [
     "line_dedup",
     "asof_join",
     "sessionize",
+    "lm_surprisal",
+    "cross_doc_ngrams",
+    "chunk_documents",
 ]
 
 

@@ -107,3 +107,77 @@ def stratified_sample(
         thresh = F.when(F.col(strata_col) == stratum,
                         F.lit(int(rate * precision))).otherwise(thresh)
     return df.where(u < thresh)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window document chunking (the RAG / embedding-index prep
+    stage): each document is split into windows of ``chunk_tokens``
+    whitespace tokens advancing by ``chunk_tokens - overlap``, so
+    consecutive chunks share ``overlap`` tokens of context. Unlike
+    :func:`pack_sequences` (which concatenates documents and cuts at
+    context boundaries for pre-training), chunking never crosses a
+    document boundary — each chunk embeds/retrieves standalone.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tok, chunk_text):
+    0-based ``chunk_idx``/``start_tok``; the final chunk may be short
+    but is only emitted when it adds tokens beyond the previous chunk's
+    coverage (every token appears in ≥1 chunk; a document with ≤
+    ``chunk_tokens`` tokens yields exactly one chunk). ``chunk_text``
+    is rebuilt from the whitespace-normalized tokens — byte-exact
+    original spans don't survive tokenization and retrieval corpora
+    don't need them. Empty/NULL documents yield no chunks (nothing to
+    embed); keep the corpus table for the full id set.
+
+    Scale shape: per-row explode, ZERO shuffles — chunking pipelines
+    with the scan and any downstream per-chunk map. The token array is
+    staged as a real column before the window transform (interpreted
+    HOF lambdas re-evaluate captured subtrees per element, CLAUDE.md);
+    fan-out is bounded by n_tokens/stride, so skew follows document
+    length — cap upstream with the quality gate's max_tokens rule.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from ..functions.text import normalize_text, tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tok"),
+    ).withColumn("_n", F.size("_tok"))
+    # chunk starts: 0, stride, 2*stride, ... while start < n AND the
+    # chunk extends coverage (start + overlap < n, i.e. start <= n-1-overlap)
+    n_chunks = F.when(
+        F.col("_n") > 0,
+        # greatest(1, ...): a doc with 0 < n <= overlap tokens still
+        # yields its one (short) chunk — the floor() term goes negative
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("_n") - F.lit(overlap + 1)) / F.lit(stride))
+            .cast("int") + F.lit(1)),
+    ).otherwise(F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("int").alias("start_tok"),
+            F.least(F.lit(chunk_tokens),
+                    F.col("_n") - i * stride).cast("int").alias("n_tok"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_tok"), (i * stride + 1).cast("int"),
+                        chunk_tokens),
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        base.where(F.col("_n") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_tok",
+                "c.chunk_text")
+    )

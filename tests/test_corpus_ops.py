@@ -8,6 +8,8 @@ import os
 import re
 import sys
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -467,3 +469,61 @@ def test_cross_doc_ngram_stats_min_docs_threshold(spark):
     got3 = {r["doc_id"]: r["dup_grams"]
             for r in cross_doc_ngram_stats(df, n=5, min_docs=3).collect()}
     assert got3 == {1: 1, 2: 1, 3: 1}
+
+
+def test_chunk_documents_semantics(spark):
+    from cow_spark.operators.corpus import chunk_documents
+
+    toks = [f"w{i}" for i in range(23)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)),      # 23 tokens: chunks at 0, 6, 12, 18
+         (2, "a b c"),             # fits in one chunk
+         (3, "x y"),               # n <= overlap: still one chunk
+         (4, ""), (5, None)],      # no chunks
+        "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tok"],
+         r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=8, overlap=2).collect())
+    # stride 6; last start k*6 <= 23-1-2=20 -> starts 0,6,12,18
+    exp1 = [(1, k, 6 * k, min(8, 23 - 6 * k),
+             " ".join(toks[6 * k: 6 * k + 8])) for k in range(4)]
+    assert [g for g in got if g[0] == 1] == exp1
+    assert [g for g in got if g[0] == 2] == [(2, 0, 0, 3, "a b c")]
+    assert [g for g in got if g[0] == 3] == [(3, 0, 0, 2, "x y")]
+    assert not [g for g in got if g[0] in (4, 5)]
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    chunk=st.integers(min_value=2, max_value=64),
+    frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunk_documents_covers_every_token(spark, n, chunk, frac):
+    from cow_spark.operators.corpus import chunk_documents
+
+    overlap = int(chunk * frac)
+    toks = [f"t{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"])
+    if n == 0:
+        assert rows == []
+        return
+    covered = set()
+    for i, r in enumerate(rows):
+        assert r["chunk_idx"] == i
+        assert r["n_tok"] == min(chunk, n - r["start_tok"])
+        assert (r["chunk_text"].split() ==
+                toks[r["start_tok"]: r["start_tok"] + chunk])
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+        if i > 0:  # fixed stride
+            assert r["start_tok"] == rows[i - 1]["start_tok"] + chunk - overlap
+    assert covered == set(range(n))
+    # every chunk (incl. the last) extends coverage past its predecessor
+    if len(rows) > 1:
+        assert (rows[-1]["start_tok"] + rows[-1]["n_tok"]
+                > rows[-2]["start_tok"] + rows[-2]["n_tok"])
