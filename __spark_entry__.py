@@ -2457,6 +2457,35 @@ left join per using (doc_id)
 """
 
 
+def q_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition at the exact 1/3 and 2/3 order
+    statistics of the surprisal score (terms.py:surprisal_buckets);
+    cutoffs travel by broadcast cross join, never a global window."""
+    from cow_spark.operators.terms import surprisal_buckets
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return surprisal_buckets(docs)
+
+
+def _sql_surprisal_buckets() -> str:
+    lo, hi = 1 / 3, 2 / 3
+    return f"""
+with base as ({_SQL_LM_SURPRISAL}),
+cut as (
+  select percentile_disc({lo!r}) within group (order by score_fp) as lo,
+         percentile_disc({hi!r}) within group (order by score_fp) as hi
+  from base where score_fp is not null
+)
+select doc_id, score_fp,
+       case when score_fp is null then 'unscored'
+            when score_fp <= lo then 'head'
+            when score_fp <= hi then 'middle'
+            else 'tail' end as bucket
+from base cross join cut
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-prep token-window chunking: 32-token chunks, 8-token overlap,
     never crossing a document boundary (corpus.py:chunk_documents).
@@ -2675,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "cross_doc_ngrams": q_cross_doc_ngrams,
         "chunk_documents": q_chunk_documents,
+        "surprisal_buckets": q_surprisal_buckets,
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
         "conversation_windows": q_conversation_windows,
@@ -2735,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_surprisal": _SQL_LM_SURPRISAL,
         "cross_doc_ngrams": _SQL_CROSS_DOC_NGRAMS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "surprisal_buckets": _sql_surprisal_buckets(),
         "incremental_dedup": _sql_incremental_dedup(),
         "sft_pairs": _sql_sft_pairs(),
         "conversation_windows": _sql_conversation_windows(),

@@ -154,3 +154,44 @@ def unigram_surprisal(
             F.expr(f"bits_sum * {SCALE} div n_tokens").alias("score_fp"),
         )
     )
+
+
+def surprisal_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition: score every document
+    with :func:`unigram_surprisal`, then split at the ``cuts`` exact
+    order statistics of the score distribution — ``head`` = lowest
+    surprisal (best-modeled text, what CCNet keeps for pre-training),
+    ``tail`` = highest, ``unscored`` = documents with no tokens.
+
+    Returns (doc_id, score_fp, bucket). ``percentile_disc`` is an exact
+    order statistic (integer in, integer out, no interpolation — the
+    DuckDB oracle replays it bit-for-bit, same split as
+    plans/stats.py:column_profile's audit mode). Exact-percentile
+    memory is ∝ DISTINCT scores, and score_fp is fixed-point with a
+    few-thousand-value range — bounded at any corpus size, so unlike a
+    general exact percentile this audit aggregation is safe at scale.
+    The two cutoffs travel to every row via a broadcast single-row
+    cross join, not a window over the whole corpus (a global
+    partitionBy() window would funnel the corpus through one task).
+    """
+    scored = unigram_surprisal(df, id_col, text_col, model)
+    lo, hi = cuts
+    cut = scored.where(F.col("score_fp").isNotNull()).agg(
+        F.expr(f"percentile_disc({lo!r}) within group (order by score_fp)"
+               ).alias("_lo"),
+        F.expr(f"percentile_disc({hi!r}) within group (order by score_fp)"
+               ).alias("_hi"),
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id", "score_fp",
+        F.when(F.col("score_fp").isNull(), F.lit("unscored"))
+         .when(F.col("score_fp") <= F.col("_lo"), F.lit("head"))
+         .when(F.col("score_fp") <= F.col("_hi"), F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"),
+    )

@@ -364,3 +364,23 @@ def test_unigram_surprisal_reference_model(spark):
                       (b["the"] + b["cat"]) * SCALE // 2)
     assert got[2] == (2, 2 * b["zorp"], b["zorp"] * SCALE)
     assert got[2][2] > got[1][2]  # OOV gibberish scores higher
+
+
+def test_surprisal_buckets_partition(spark):
+    from cow_spark.operators.terms import surprisal_buckets
+    # 9 scored docs with distinct score profiles + 1 unscored
+    rows = [(i, " ".join(["common"] * 5 + [f"rare{i}"] * i))
+            for i in range(1, 10)] + [(10, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["score_fp"], r["bucket"])
+           for r in surprisal_buckets(df).collect()}
+    assert got[10] == (None, "unscored")
+    scored = sorted((v[0], k) for k, v in got.items() if k != 10)
+    buckets = [got[k][1] for _, k in scored]
+    # ordered by score the buckets must be monotone head->middle->tail
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert all(order[a] <= order[b] for a, b in zip(buckets, buckets[1:]))
+    assert buckets[0] == "head" and buckets[-1] == "tail"
+    # exact thirds: percentile_disc(1/3) of 9 values is the 3rd
+    n_head = sum(b == "head" for b in buckets)
+    assert n_head == sum(1 for s, _ in scored if s <= scored[2][0])
