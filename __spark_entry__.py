@@ -2026,6 +2026,46 @@ where {u} < case source {cases}
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial temperature sampling over languages (mT5/XLM-R
+    rebalancing, corpus.py:temperature_sample): stratum mass ∝ n**0.5,
+    realized as deterministic hash-Bernoulli rates — sqrt is IEEE-exact
+    in both engines, so the fixed-point rates replay bit-for-bit."""
+    from cow_spark.operators.corpus import temperature_sample
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    out = temperature_sample(docs, alpha=0.5, strata_col="lang")
+    return out.select("doc_id", "lang", "rate_fp")
+
+
+def _sql_temperature_sample() -> str:
+    u = ("cast(concat('0x', substr(md5(concat_ws(chr(31), "
+         "cast(d.doc_id as varchar), 'v1')), 1, 15)) as bigint) "
+         "% 1000000")
+    return f"""
+with c as (
+  select coalesce(lang, chr(0)) as stratum, count(*) as n_docs
+  from documents group by 1),
+w as (
+  select stratum, n_docs,
+         cast(floor(sqrt(cast(n_docs as double)) * 1000) as bigint) as w_fp
+  from c),
+t as (select sum(w_fp) as sumw, sum(n_docs) as total from w),
+r as (
+  select stratum,
+         cast(floor(least(
+           (cast(total as double) * cast(w_fp as double))
+             / (cast(sumw as double) * cast(n_docs as double)),
+           1.0) * 1000000) as bigint) as rate_fp
+  from w cross join t)
+select cast(d.doc_id as bigint) as doc_id, d.lang, r.rate_fp
+from documents d
+join r on coalesce(d.lang, chr(0)) = r.stratum
+where {u} < r.rate_fp
+"""
+
+
 _PAGERANK_ITERS = 5
 
 
@@ -2697,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
+        "temperature_sample": q_temperature_sample,
         "pagerank": q_pagerank,
         "bgp_aggregate": q_bgp_aggregate,
         "vocabulary": q_vocabulary,
@@ -2758,6 +2799,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": _sql_decontamination(),
         "sequence_packing": _SQL_SEQUENCE_PACKING,
         "stratified_sample": _sql_stratified_sample(),
+        "temperature_sample": _sql_temperature_sample(),
         "pagerank": _sql_pagerank(),
         "bgp_aggregate": _sql_bgp_aggregate(),
         "vocabulary": _SQL_VOCABULARY,

@@ -181,3 +181,114 @@ def chunk_documents(
         .select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_tok",
                 "c.chunk_text")
     )
+
+
+_NULL_STRATUM = "\x00"  # NULL strata form their own group (join keys drop NULL)
+
+
+def _pow_alpha(n: Column, alpha: float) -> Column:
+    """``n ** alpha`` with IEEE-exact evaluation for the alphas that
+    matter: sqrt is correctly rounded by both the JVM and libm (IEEE 754
+    mandate), so any alpha expressible as a sqrt chain replays bit-for-
+    bit in the DuckDB oracle. Other alphas fall back to ``pow`` (libm,
+    not correctly rounded — engines may differ in the last ulp)."""
+    if alpha == 0.0:
+        return F.lit(1.0)
+    if alpha == 1.0:
+        return n
+    chain = {0.5: 1, 0.25: 2, 0.125: 3}.get(alpha)
+    if chain is not None:
+        for _ in range(chain):
+            n = F.sqrt(n)
+        return n
+    return F.pow(n, F.lit(alpha))
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target: int | None = None,
+    strata_col: str = "source",
+    w_scale: int = 1000,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum sampling rates for multinomial temperature sampling
+    (mT5 / XLM-R corpus rebalancing): stratum mass ``p_s ∝ n_s**alpha``,
+    so ``alpha=1`` preserves the natural distribution, ``alpha=0`` gives
+    every stratum equal mass, and the usual ``alpha≈0.5`` upweights
+    low-resource strata (languages) relative to their size. The
+    per-document Bernoulli rate that realizes an expected ``target``
+    total is ``min(1, target * p_s / n_s)``.
+
+    Returns ``(stratum, n_docs, w_fp, rate_fp)`` — one row per stratum
+    (vocabulary-sized). Determinism discipline: ``w_fp = floor(n**alpha
+    * w_scale)`` is integer (sqrt-chain alphas are IEEE-exact), its sum
+    is exact bigint, and the final rate is a single fixed op-order
+    double expression floor-scaled to ``rate_fp`` — the DuckDB oracle
+    replays every step bit-for-bit. ``target=None`` rebalances at the
+    corpus' own size (target = Σ n_s).
+
+    Scale shape: one partial-agg count per stratum (the only shuffle,
+    output vocabulary-sized), totals via a broadcast single-row cross
+    join — the corpus table itself is never widened or re-sorted.
+    """
+    strat = F.coalesce(F.col(strata_col).cast("string"),
+                       F.lit(_NULL_STRATUM))
+    counts = df.groupBy(strat.alias("stratum")).agg(
+        F.count("*").alias("n_docs"))
+    w = counts.withColumn(
+        "w_fp",
+        F.floor(_pow_alpha(F.col("n_docs").cast("double"), alpha)
+                * w_scale).cast("bigint"))
+    tot = w.agg(F.sum("w_fp").alias("_sumw"),
+                F.sum("n_docs").alias("_total"))
+    tgt = (F.col("_total") if target is None
+           else F.lit(int(target))).cast("double")
+    rate = F.least(
+        (tgt * F.col("w_fp").cast("double"))
+        / (F.col("_sumw").cast("double") * F.col("n_docs").cast("double")),
+        F.lit(1.0))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n_docs", "w_fp",
+        F.floor(rate * precision).cast("bigint").alias("rate_fp"))
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target: int | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    w_scale: int = 1000,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial temperature sampling: rebalance a corpus across its
+    strata (typically languages or crawl sources) so stratum mass
+    follows ``n**alpha``, realized as deterministic hash-based Bernoulli
+    sampling per document (same reproducible-across-retries contract as
+    :func:`stratified_sample`, which takes caller-chosen rates — here
+    the rates come from the corpus' own distribution).
+
+    Returns the surviving rows of ``df`` plus the ``rate_fp`` applied.
+    Two passes over the corpus: a column-pruned count pass (one
+    vocabulary-sized shuffle) and the filter pass with the rates table
+    broadcast — no corpus-side shuffle, no window.
+    """
+    rates = temperature_rates(df, alpha, target, strata_col,
+                              w_scale, precision)
+    u = F.pmod(
+        portable_hash60(F.concat_ws("\x1f",
+                                    F.col(id_col).cast("string"),
+                                    F.lit(salt))),
+        F.lit(precision),
+    )
+    strat = F.coalesce(F.col(strata_col).cast("string"),
+                       F.lit(_NULL_STRATUM))
+    return (
+        df.withColumn("_strat", strat)
+        .join(F.broadcast(rates),
+              F.col("_strat") == rates["stratum"], "inner")
+        .where(u < F.col("rate_fp"))
+        .drop("_strat", "stratum", "n_docs", "w_fp")
+    )

@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cow_spark.operators.corpus import pack_sequences, stratified_sample
+from cow_spark.operators.corpus import (pack_sequences, stratified_sample,
+                                        temperature_rates,
+                                        temperature_sample)
 from cow_spark.operators.decontam import contamination, decontaminate
 from cow_spark.operators.graphrank import SCALE, pagerank
 from cow_spark.operators.pii import PII_PATTERNS, pii_scan
@@ -169,6 +171,99 @@ def test_stratified_sample_unknown_stratum_uses_default(spark):
         [(i, "zzz") for i in range(50)], "doc_id long, source string")
     out = stratified_sample(docs, {"a": 1.0}, default_rate=0.0)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def _temp_twin(docs, alpha=0.5, target=None, w_scale=1000,
+               precision=1_000_000, salt="v1"):
+    """Python twin of temperature_rates + the survive predicate."""
+    import math
+    from collections import Counter
+
+    cnt = Counter(s if s is not None else "\x00" for _, s in docs)
+    def powa(n):
+        if alpha == 0.0:
+            return 1.0
+        x = float(n)
+        chain = {0.5: 1, 0.25: 2, 0.125: 3}.get(alpha)
+        if chain is not None:
+            for _ in range(chain):
+                x = math.sqrt(x)
+            return x
+        return x ** alpha
+    w = {s: math.floor(powa(n) * w_scale) for s, n in cnt.items()}
+    sumw, total = sum(w.values()), sum(cnt.values())
+    tgt = float(total if target is None else target)
+    rates = {s: math.floor(
+        min((tgt * float(w[s])) / (float(sumw) * float(cnt[s])), 1.0)
+        * precision) for s in cnt}
+    kept = {i for i, s in docs
+            if _py_survives_fp(i, rates[s if s is not None else "\x00"],
+                               precision, salt)}
+    return rates, kept
+
+
+def _py_survives_fp(doc_id, rate_fp, precision, salt):
+    h = hashlib.md5(f"{doc_id}\x1f{salt}".encode()).hexdigest()
+    return int(h[:15], 16) % precision < rate_fp
+
+
+def test_temperature_sample_matches_python_twin(spark):
+    docs = ([(i, "big") for i in range(300)]
+            + [(300 + i, "mid") for i in range(30)]
+            + [(330 + i, "rare") for i in range(3)])
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    rates, want = _temp_twin(docs, alpha=0.5, target=100)
+    got_rates = {r["stratum"]: r["rate_fp"]
+                 for r in temperature_rates(df, alpha=0.5,
+                                            target=100).collect()}
+    assert got_rates == rates
+    # alpha<1 upweights low-resource strata: rate monotone ↓ in size
+    # (rare saturates at the 1.0 cap here — still strictly above mid)
+    assert got_rates["rare"] > got_rates["mid"] > got_rates["big"]
+    kept = {r["doc_id"]
+            for r in temperature_sample(df, alpha=0.5, target=100).collect()}
+    assert kept == want
+
+
+def test_temperature_alpha_one_keeps_natural_distribution(spark):
+    docs = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    # alpha=1, target=corpus size: every rate saturates at 1.0 — the
+    # natural distribution IS the target distribution
+    out = temperature_rates(df, alpha=1.0)
+    assert {r["rate_fp"] for r in out.collect()} == {1_000_000}
+    assert temperature_sample(df, alpha=1.0).count() == 90
+
+
+def test_temperature_alpha_zero_equalizes_mass(spark):
+    # alpha=0: every stratum gets equal expected mass target/S
+    docs = ([(i, "big") for i in range(400)]
+            + [(400 + i, "small") for i in range(10)])
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    rates = {r["stratum"]: r["rate_fp"]
+             for r in temperature_rates(df, alpha=0.0, target=20).collect()}
+    # expected picks per stratum = 10 ⇒ rate = 10/n (exact fixed-point)
+    assert rates["big"] == 25_000        # 10/400
+    assert rates["small"] == 1_000_000   # 10/10 capped at 1
+    twin_rates, _ = _temp_twin(docs, alpha=0.0, target=20)
+    assert rates == twin_rates
+
+
+def test_temperature_null_stratum_is_its_own_group(spark):
+    docs = [(0, "a"), (1, "a"), (2, None), (3, None), (4, None)]
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    rates = {r["stratum"]: r["n_docs"]
+             for r in temperature_rates(df).collect()}
+    assert rates == {"a": 2, "\x00": 3}
+    # NULL-source docs are sampled, not silently dropped by the join
+    twin_rates, want = _temp_twin(docs)
+    kept = {r["doc_id"] for r in temperature_sample(df).collect()}
+    assert kept == want and any(i in kept for i in (2, 3, 4))
 
 
 # ---------------------------------------------------------------------------
