@@ -2026,6 +2026,57 @@ where {u} < case source {cases}
 """
 
 
+_CLF_MODEL = {
+    "fast": 400_000, "spark": 300_000, "vector": 200_000, "merge": 100_000,
+    "slow": -400_000, "dup": -300_000, "scan": -100_000,
+    "batch batch": -250_000, "order sort": 150_000,
+}
+_CLF_BIAS = 10_000
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier inference
+    (quality.py:linear_classifier_score, the FineWeb-Edu/DCLM gate):
+    mean feature weight over word unigrams + bigrams, integer
+    fixed-point logits — broadcast model, one row per doc shuffled."""
+    from cow_spark.operators.quality import linear_classifier_score
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    wdf = spark.createDataFrame(
+        sorted(_CLF_MODEL.items()), "feature string, weight_fp long")
+    return linear_classifier_score(docs, wdf, bias_fp=_CLF_BIAS,
+                                   word_ngrams=2)
+
+
+def _sql_classifier_score() -> str:
+    vals = ", ".join(f"('{f}', {w})" for f, w in sorted(_CLF_MODEL.items()))
+    return f"""
+with m(feature, weight_fp) as (values {vals}),
+base as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) as t
+  from documents),
+feats as (
+  select doc_id, f
+  from (select doc_id, t, len(t) as n from base where len(t) > 0) b,
+       unnest(list_concat(
+         t,
+         list_transform(generate_series(1, n - 1),
+                        i -> t[i] || ' ' || t[i + 1]))) as u(f)),
+j as (
+  select doc_id, coalesce(m.weight_fp, 0) as w
+  from feats left join m on feats.f = m.feature)
+select doc_id,
+       cast(count(*) as bigint) as n_features,
+       cast(sum(w) as bigint) as sum_w_fp,
+       cast({_CLF_BIAS} + sum(w) // count(*) as bigint) as logit_fp
+from j group by doc_id
+"""
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial temperature sampling over languages (mT5/XLM-R
     rebalancing, corpus.py:temperature_sample): stratum mass ∝ n**0.5,
@@ -2738,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "temperature_sample": q_temperature_sample,
+        "classifier_score": q_classifier_score,
         "pagerank": q_pagerank,
         "bgp_aggregate": q_bgp_aggregate,
         "vocabulary": q_vocabulary,
@@ -2800,6 +2852,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": _SQL_SEQUENCE_PACKING,
         "stratified_sample": _sql_stratified_sample(),
         "temperature_sample": _sql_temperature_sample(),
+        "classifier_score": _sql_classifier_score(),
         "pagerank": _sql_pagerank(),
         "bgp_aggregate": _sql_bgp_aggregate(),
         "vocabulary": _SQL_VOCABULARY,

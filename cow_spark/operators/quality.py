@@ -307,3 +307,85 @@ def remove_repeated_lines(
         (F.count("line")
          - F.sum(keep.cast("long"))).cast("long").alias("n_removed"),
     )
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias_fp: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_ngrams: int = 1,
+    hashed_dim: int | None = None,
+    feature_col: str = "feature",
+    weight_col: str = "weight_fp",
+) -> DataFrame:
+    """fastText-style linear classifier inference — the model-based
+    quality gate of modern pipelines (FineWeb-Edu, DCLM): a document's
+    logit is the bias plus the MEAN weight of its features, where
+    features are lowercased word unigrams plus adjacent word n-grams up
+    to ``word_ngrams`` (DCLM trains fastText with wordNgrams=2).
+    Training happens offline; this operator is the corpus-scale scoring
+    pass.
+
+    ``weights`` is the trained model: ``(feature string, weight_fp
+    long)`` — fixed-point integers (weight × caller's scale), so the
+    distributed sum and the DuckDB oracle replay agree bit-for-bit and
+    thresholding on ``logit_fp`` is exact. With ``hashed_dim=D`` the
+    model uses the hashing trick instead: ``weights`` is keyed by
+    ``bucket`` = hash(feature) mod D (bounded memory for unbounded
+    vocabularies — fastText's own bucket trick for n-gram features).
+    Unseen features weigh 0 (left join), exactly fastText's OOV rule.
+    The sigmoid is monotone, so pipelines threshold the logit directly;
+    apply it downstream if calibrated probabilities are needed.
+
+    Returns (doc_id, n_features, sum_w_fp, logit_fp) with
+    ``logit_fp = bias_fp + sum_w_fp div n_features`` — documents with
+    no tokens are not scored (no features ⇒ no logit; keep the corpus
+    table for the full id set, same contract as chunk_documents).
+
+    Scale shape: the token array is staged as a real column (interpreted
+    HOF lambdas re-evaluate captured subtrees, CLAUDE.md), unigrams and
+    n-grams are ONE concat + ONE explode (a union of per-order explodes
+    would re-execute the scan per order — no CSE across branches), the
+    model travels by broadcast (vocabulary-sized by construction;
+    ``hashed_dim`` bounds it for n-gram models), and the per-doc mean is
+    a partial-aggregated groupBy where every feature of a document is
+    already partition-local — the shuffle carries one row per document.
+    """
+    from ..functions.hashing import portable_hash60
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tok"),
+    ).withColumn("_n", F.size("_tok"))
+    grams = F.col("_tok")
+    for order in range(2, word_ngrams + 1):
+        grams = F.concat(grams,
+                         _ngrams_with_repeats(F.col("_tok"), order))
+    feats = (
+        base.where(F.col("_n") > 0)
+        .select("doc_id", F.explode(grams).alias("_f"))
+    )
+    if hashed_dim is not None:
+        feats = feats.select(
+            "doc_id",
+            F.pmod(portable_hash60(F.col("_f")),
+                   F.lit(hashed_dim)).alias("_k"))
+        key_col = "bucket"
+    else:
+        feats = feats.withColumnRenamed("_f", "_k")
+        key_col = feature_col
+    joined = feats.join(
+        F.broadcast(weights.select(F.col(key_col).alias("_k"),
+                                   F.col(weight_col).alias("_w"))),
+        "_k", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_features"),
+        F.sum(F.coalesce(F.col("_w"), F.lit(0))).cast("long")
+        .alias("sum_w_fp"),
+    ).select(
+        "doc_id", "n_features", "sum_w_fp",
+        F.expr(f"{int(bias_fp)} + sum_w_fp div n_features").cast("long")
+        .alias("logit_fp"),
+    )

@@ -513,3 +513,83 @@ def test_quality_filter_reasons_are_auditable(spark):
     assert got[2] == (False, {"too_few_tokens"})
     assert got[3][0] is False and {"dup_lines", "repeated_ngram"} <= got[3][1]
     assert got[4] == (False, {"repeated_ngram"})
+
+
+# ---------------------------------------------------------------------------
+# linear classifier inference (fastText-style quality gate)
+# ---------------------------------------------------------------------------
+
+
+def _clf_twin(docs, model, bias=0, word_ngrams=1, hashed_dim=None):
+    """Python twin: mean-weight logit over unigram+ngram features."""
+    import hashlib as _h
+    import re as _re
+    out = {}
+    for doc_id, text in docs:
+        toks = [t for t in _re.sub(r"\s+", " ", (text or "").lower())
+                .strip().split(" ") if t]
+        if not toks:
+            continue
+        feats = list(toks)
+        for order in range(2, word_ngrams + 1):
+            # docs shorter than the order yield NO n-grams (fastText:
+            # a 1-token doc has just its unigram)
+            feats += [" ".join(toks[i:i + order])
+                      for i in range(len(toks) - order + 1)]
+        def w(f):
+            if hashed_dim is not None:
+                b = int(_h.md5(f.encode()).hexdigest()[:15], 16) % hashed_dim
+                return model.get(b, 0)
+            return model.get(f, 0)
+        s = sum(w(f) for f in feats)
+        out[doc_id] = (len(feats), s, bias + _floordiv_spark(s, len(feats)))
+    return out
+
+
+def _floordiv_spark(a, b):
+    # Spark/DuckDB `div` truncates toward zero; Python // floors
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def test_linear_classifier_matches_python_twin(spark):
+    from cow_spark.operators.quality import linear_classifier_score
+    docs = [
+        (0, "the study presents rigorous analysis of the data"),
+        (1, "CLICK here to WIN win win FREE money"),
+        (2, "analysis of analysis of analysis"),
+        (3, ""),           # no tokens -> not scored
+        (4, None),         # NULL text -> not scored
+        (5, "zzz qqq"),    # pure OOV -> logit == bias
+        (6, "analysis"),   # 1 token: unigram only, no bigram fallback
+    ]
+    model = {"study": 500_000, "analysis": 300_000, "rigorous": 400_000,
+             "win": -600_000, "free": -500_000, "click": -400_000,
+             "of the": 100_000, "analysis of": -50_000}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wdf = spark.createDataFrame(
+        sorted(model.items()), "feature string, weight_fp long")
+    got = {r["doc_id"]: (r["n_features"], r["sum_w_fp"], r["logit_fp"])
+           for r in linear_classifier_score(
+               df, wdf, bias_fp=7, word_ngrams=2).collect()}
+    want = _clf_twin(docs, model, bias=7, word_ngrams=2)
+    assert got == want
+    assert 3 not in got and 4 not in got
+    assert got[5][2] == 7                       # pure-OOV: bias only
+    assert got[6] == (1, 300_000, 300_007)      # no bigram for 1-token doc
+    assert got[0][2] > 0 > got[1][2] - 7        # quality ranks above spam
+
+
+def test_linear_classifier_hashing_trick(spark):
+    from cow_spark.operators.quality import linear_classifier_score
+    docs = [(0, "alpha beta gamma"), (1, "beta beta delta")]
+    D = 64
+    # bucket-keyed model: weight = (bucket+1) * 1000 for every bucket
+    model = {b: (b + 1) * 1000 for b in range(D)}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wdf = spark.createDataFrame(
+        sorted(model.items()), "bucket long, weight_fp long")
+    got = {r["doc_id"]: (r["n_features"], r["sum_w_fp"], r["logit_fp"])
+           for r in linear_classifier_score(
+               df, wdf, hashed_dim=D).collect()}
+    assert got == _clf_twin(docs, model, hashed_dim=D)
