@@ -1423,6 +1423,65 @@ select query_id, nbr_id, cos4, rank from ranked where rank <= 5
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup audit frame (dedup.py:semdedup): training-free cells so
+    the oracle replays the assignment; eps=0.2 sits near this corpus's
+    within-cell p90 cosine, so the keep/drop split is non-trivial."""
+    from cow_spark.operators.dedup import semdedup
+
+    embs = _load(spark, sf_dir, "embeddings")
+    out = semdedup(embs, eps=0.2, n_cells=16)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.floor(F.col("csim") * 10000).cast("long").alias("csim4"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+_SQL_SEMDEDUP = """
+with v as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+cents as (
+  select row_number() over (order by vec_id) - 1 as cell_id, e as cv
+  from (select vec_id, e from v order by vec_id limit 16)
+),
+cosim as (
+  select v.vec_id, v.e, c.cell_id,
+    round(list_sum(list_transform(generate_series(1, len(v.e)),
+                                  i -> v.e[i] * c.cv[i])) /
+          (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) as sim
+  from v, cents c
+),
+assigned as (
+  select vec_id, e, cell_id as cell, sim as csim from (
+    select *, row_number() over (partition by vec_id
+                                 order by sim desc, cell_id) as rk
+    from cosim
+  ) where rk = 1
+),
+ok as (select cell from assigned group by cell having count(*) <= 100000),
+small as (select a.* from assigned a join ok using (cell)),
+dropped as (
+  select distinct b.vec_id
+  from small a join small b on a.cell = b.cell
+  where (a.csim < b.csim or (a.csim = b.csim and a.vec_id < b.vec_id))
+    and round(list_sum(list_transform(generate_series(1, len(a.e)),
+                                      i -> a.e[i] * b.e[i])) /
+              (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.2
+)
+select a.vec_id, cast(a.cell as int) as cell,
+       cast(floor(a.csim * 10000) as bigint) as csim4,
+       cast(case when d.vec_id is null then 1 else 0 end as int) as kept
+from assigned a left join dropped d using (vec_id)
+"""
+
+
 def _raw_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary feature extraction (deterministic fake kernel)."""
     from cow_spark.operators.multimodal import extract_features, media_from_documents
@@ -2783,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "extraction_metrics": q_extraction_metrics,
         "ivf_topk": q_ivf_topk,
+        "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
@@ -2846,6 +2906,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _sql_multimodal_meta(),
         "extraction_metrics": _SQL_EXTRACTION_METRICS,
         "ivf_topk": _SQL_IVF,
+        "semdedup": _SQL_SEMDEDUP,
         "multimodal_features": _sql_multimodal_features(),
         "pii_scan": _sql_pii_scan(),
         "decontamination": _sql_decontamination(),

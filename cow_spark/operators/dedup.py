@@ -651,3 +651,85 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= min_cosine)
     )
     return _attach_persisted(pairs, ok)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup within k-means cells)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    into coarse cells, then drop all but one member of every within-cell
+    group of semantically near-identical vectors (cosine >= ``eps``).
+
+    Keep rule (deterministic, order-independent): rows are prioritized by
+    (centroid similarity ASC, id ASC) — the paper keeps the example
+    *least* similar to its cluster centroid; a row is dropped iff some
+    higher-priority row in the same cell is within ``eps`` of it. This is
+    pair-dominance rather than the paper's sequential greedy sweep (a
+    sequential scan cannot be expressed as a distributed join); it can
+    only over-drop relative to greedy, never under-dedup.
+
+    Scale shape: the pairwise verify is quadratic *within a cell* — that
+    is inherent to SemDeDup and is why the paper uses ~11k clusters for
+    600M docs. ``cell_cap`` keeps the in-cell join bounded against
+    degenerate clusterings: the *dominating* join side is restricted to
+    under-cap cells, so every member of an oversized cell is matchless
+    and retained wholesale — the conservative failure mode for a *dedup*
+    operator. The allowed-cell table is at most |centroids| rows — a
+    broadcast, no shuffle on the corpus. Pass trained
+    :func:`~cow_spark.operators.simsearch.kmeans_centroids` for real
+    corpora; the default training-free first-C cells keep the DuckDB
+    oracle bit-exact.
+
+    Returns every input row annotated: ``(id_col, cell, csim, kept)``
+    with ``kept`` = 1 for survivors. Filter ``kept = 1`` for the
+    deduplicated corpus; the full frame is the audit trail.
+    """
+    from .simsearch import assign_cells, cosine, take_centroids
+
+    cents = (centroids if centroids is not None
+             else take_centroids(df, n_cells, id_col, vec_col))
+    # map-only assignment: reusing it below costs a second scan of the
+    # input, never a repeated exchange (and nothing needs persisting)
+    assigned = assign_cells(df, cents, id_col, vec_col)
+
+    # bounded cell guard (≤ |centroids| rows, broadcast): restricting the
+    # *dominating* side to under-cap cells makes every member of an
+    # oversized cell matchless — retained wholesale, with no split/union
+    # of the corpus
+    ok = (
+        assigned.groupBy("cell").agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= cell_cap)
+        .select("cell")
+    )
+    a = assigned.join(F.broadcast(ok), "cell").select(
+        F.col(id_col).alias("_aid"), F.col("cell").alias("_acell"),
+        F.col("csim").alias("_acsim"), F.col("v").alias("_av"))
+    higher_priority = (
+        (F.col("_acsim") < F.col("csim"))
+        | ((F.col("_acsim") == F.col("csim"))
+           & (F.col("_aid") < F.col(id_col)))
+    )
+    cond = (
+        (F.col("cell") == F.col("_acell"))
+        & higher_priority
+        & (cosine(F.col("_av"), F.col("v")) >= eps)
+    )
+    return (
+        assigned.join(a, cond, "left")
+        .groupBy(id_col, "cell", "csim")
+        .agg(F.count("_aid").alias("_ndom"))
+        .select(id_col, "cell", "csim",
+                F.when(F.col("_ndom") == 0, F.lit(1)).otherwise(F.lit(0))
+                .alias("kept"))
+    )

@@ -87,21 +87,37 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroids).
+    """Assign each vector to its nearest centroid — map-only.
 
     Centroids are any deterministic coarse set (e.g. first-C reservoir or
     k-means output); at write time ``cell`` becomes a partition column.
+    They are bounded by contract (n_cells × dim doubles), so they are
+    collected to the driver and inlined as literal arrays: assignment is
+    then embarrassingly parallel — no join, no argmax shuffle, and reuse
+    of the result costs only an extra scan, never a repeated exchange.
+    The argmax is ``array_max`` over (sim, -cell_id) structs, identical
+    tie-break to the previous ``max_by`` shape. Output carries ``csim``
+    — the (6dp-rounded) cosine to the winning centroid — which IVF
+    ignores but SemDeDup uses as its keep priority.
     """
-    c = centroids.select(F.col("cell_id"),
-                         F.col(vec_col).cast("array<double>").alias("cv"))
+    rows = centroids.select(
+        F.col("cell_id").cast("int").alias("cell_id"),
+        F.col(vec_col).cast("array<double>").alias("cv")).collect()
+    if not rows:
+        raise ValueError("assign_cells: empty centroid set")
     v = corpus.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    scored = v.join(F.broadcast(c)).select(
-        id_col, "v", "cell_id", cosine(F.col("v"), F.col("cv")).alias("sim"))
-    best = scored.groupBy(id_col).agg(
-        F.max_by(F.struct("cell_id", "v"), F.struct(F.col("sim"), -F.col("cell_id"))).alias("_b"))
-    return best.select(id_col, F.col("_b.cell_id").alias("cell"),
-                       F.col("_b.v").alias("v"))
+    cands = [
+        F.struct(
+            cosine(F.col("v"),
+                   F.array(*[F.lit(float(x)) for x in r.cv])).alias("sim"),
+            F.lit(-int(r.cell_id)).alias("negcell"))
+        for r in rows
+    ]
+    staged = v.withColumn("_best", F.array_max(F.array(*cands)))
+    return staged.select(
+        id_col, (-F.col("_best.negcell")).cast("int").alias("cell"), "v",
+        F.col("_best.sim").alias("csim"))
 
 
 def take_centroids(corpus: DataFrame, n_cells: int,

@@ -367,6 +367,43 @@ def test_embedding_near_duplicates(spark):
     assert got == {(1, 2)}
 
 
+def test_semdedup_keeps_lowest_centroid_sim(spark):
+    """SemDeDup keep rule: within a dup group the survivor is the member
+    *least* similar to its cell centroid (the paper's choice), and
+    non-duplicate cellmates are untouched."""
+    from cow_spark.operators.dedup import semdedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id int, embedding array<double>")
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.30]),   # dup group {10, 11}: csim .958
+        (11, [1.0, 0.0, 0.0, 0.31]),   # csim .955 (lower) -> survivor
+        (12, [1.0, 0.05, 0.0, 0.90]),  # same cell, cos(10,12)=.90 < eps
+        (20, [0.0, 1.0, 0.0, 0.0]),    # alone in cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, eps=0.99, centroids=cents)
+    kept = {r.vec_id: r.kept for r in out.collect()}
+    assert kept == {10: 0, 11: 1, 12: 1, 20: 1}
+
+
+def test_semdedup_cell_cap_retains_oversized_cells(spark):
+    """An over-cap cell bypasses the pairwise verify entirely — the
+    conservative failure mode keeps every member rather than running an
+    unbounded quadratic join."""
+    from cow_spark.operators.dedup import semdedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell_id int, embedding array<double>")
+    rows = [(i, [1.0, 0.001 * i]) for i in range(5)]  # all near-identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = semdedup(df, eps=0.9, centroids=cents, cell_cap=3)
+    assert all(r.kept == 1 for r in capped.collect())
+    uncapped = semdedup(df, eps=0.9, centroids=cents)
+    assert sum(r.kept for r in uncapped.collect()) == 1
+
+
 def test_multimodal_plumbing(spark, docs):
     media = media_from_documents(docs.limit(50))
     feats = extract_features(media, decoder="fake")
