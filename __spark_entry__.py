@@ -2800,6 +2800,60 @@ group by lang
 """
 
 
+def q_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-CONSTRUCT analog (bgp.py:construct_quads): derive new
+    quads from BGP bindings — rdf:type assertions, a re-keyed literal,
+    and an inverse membership edge whose object is an IRI-valued
+    variable (exercises the per-row kind re-derivation)."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import construct_quads, match_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    bindings = match_bgp(quads, [("?doc", f"{BASE}/vocab/lang", "?l")])
+    out = construct_quads(
+        bindings,
+        [
+            ("?doc", "rdf:type", "ex:Document"),
+            ("?doc", "ex:langTag", "?l"),
+            ("ex:corpus", "ex:member", "?doc"),
+        ],
+        namespaces={
+            "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+            "ex": f"{BASE}/vocab/",
+        },
+        graph=f"{BASE}/g/construct",
+    )
+    return out.select("g", "s", "p", "o_kind", "o_lex")
+
+
+def _sql_construct() -> str:
+    # bindings: lang emits only when non-empty (P2); three templates
+    # explode per binding row; object-variable kinds re-derived per row
+    return f"""
+with b as (
+  select '{BASE}/' || cast(doc_id as varchar) as doc, lang as l
+  from documents
+  where length(coalesce(lang, '')) > 0
+),
+t as (
+  select doc as s,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' as p,
+         'iri' as o_kind, '{BASE}/vocab/Document' as o_lex from b
+  union all
+  select doc, '{BASE}/vocab/langTag',
+         case when regexp_matches(l, '^[A-Za-z][A-Za-z0-9+.-]*://|^urn:')
+              then 'iri' else 'lit' end, l from b
+  union all
+  select '{BASE}/vocab/corpus', '{BASE}/vocab/member',
+         case when regexp_matches(doc, '^[A-Za-z][A-Za-z0-9+.-]*://|^urn:')
+              then 'iri' else 'lit' end, doc from b
+)
+select distinct '{BASE}/g/construct' as g, s, p, o_kind, o_lex from t
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2852,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "pagerank": q_pagerank,
         "bgp_aggregate": q_bgp_aggregate,
+        "construct": q_construct,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -2916,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _sql_classifier_score(),
         "pagerank": _sql_pagerank(),
         "bgp_aggregate": _sql_bgp_aggregate(),
+        "construct": _sql_construct(),
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

@@ -9,9 +9,13 @@ reorder, broadcast, and push down like any other (the quads table's
 flat columns give parquet min/max pruning on ``p``, the most selective
 position in practice).
 
-Not SPARQL: no OPTIONAL/UNION/FILTER expressions, no property paths —
-those are the triple-store's job. This covers the select-join core
-that accounts for most KG lookups, at table scan speed.
+Not full SPARQL, but the working core is here: OPTIONAL and FILTER NOT
+EXISTS (:func:`match_bgp`), FILTER (:func:`filter_bindings`), GROUP BY
+(:func:`aggregate_bindings`), CONSTRUCT (:func:`construct_quads`), and
+property-path-lite transitive closure (``canon.transitive_pairs``).
+No UNION/subqueries/full property paths — those are the triple-store's
+job. This covers the select-join-derive core that accounts for most KG
+lookups, at table scan speed.
 """
 
 from __future__ import annotations
@@ -245,3 +249,74 @@ def _single_pattern(quads, pattern, namespaces):
             f"pattern {pattern} binds no variable; optional/not_exists "
             "patterns need at least one")
     return got
+
+
+def construct_quads(
+    bindings: DataFrame,
+    templates: list[tuple[str, str, str]],
+    namespaces: dict[str, str] | None = None,
+    graph: str | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL-CONSTRUCT analog: materialize new quads from BGP bindings.
+
+    Each template is ``(s, p, o)`` with ``'?name'`` referencing a binding
+    column and anything else a constant (prefixed names resolve through
+    ``namespaces`` as in :func:`match_bgp`). Per SPARQL semantics a
+    binding row whose referenced variable is NULL (e.g. an unmatched
+    OPTIONAL) constructs nothing for that template, and the result is a
+    graph — set semantics — so duplicates are dropped unless
+    ``distinct=False``.
+
+    Term kinds: subject/predicate positions are IRIs by construction
+    (the caller binds IRI-valued variables there, as in SPARQL).
+    Object constants follow :func:`match_bgp`'s rule (prefixed/absolute
+    → IRI, else plain literal); object *variables* carry only a lexical
+    form (``match_bgp`` binds ``o_lex``), so the kind is re-derived per
+    row: absolute-IRI / urn: shapes are IRIs, everything else a plain
+    literal. Typed/lang literals are the extraction pipeline's job —
+    CONSTRUCT covers rewrite/entailment-style derivation.
+
+    Plan shape: ONE ``explode(array(struct...))`` over the templates —
+    a per-template union would re-execute the upstream BGP T times (no
+    CSE across union branches). Zero shuffles beyond the bindings
+    themselves unless ``distinct`` adds its dedup exchange.
+    """
+    if not templates:
+        raise ValueError("empty template list")
+
+    def iri_term(t: str, pos: str) -> Column:
+        if _is_var(t):
+            return F.col(t[1:])
+        r = _resolve(t, namespaces)
+        if r == t and not _ABS_IRI.match(r):
+            raise ValueError(f"{pos} constant {t!r} is not an IRI")
+        return F.lit(r)
+
+    structs = []
+    for s, p, o in templates:
+        sc, pc = iri_term(s, "subject"), iri_term(p, "predicate")
+        if _is_var(o):
+            oc = F.col(o[1:])
+            kind = F.when(
+                oc.rlike("^[A-Za-z][A-Za-z0-9+.-]*://|^urn:"),
+                F.lit("iri")).otherwise(F.lit("lit"))
+        else:
+            ro = _resolve(o, namespaces)
+            is_iri = ro != o or bool(_ABS_IRI.match(ro))
+            oc = F.lit(ro if is_iri else o)
+            kind = F.lit("iri" if is_iri else "lit")
+        structs.append(F.struct(
+            sc.cast("string").alias("s"), pc.cast("string").alias("p"),
+            kind.alias("o_kind"), oc.cast("string").alias("o_lex")))
+    out = (
+        bindings.select(F.explode(F.array(*structs)).alias("_q"))
+        .select("_q.*")
+        .where(F.col("s").isNotNull() & F.col("p").isNotNull()
+               & F.col("o_lex").isNotNull())
+        .select(F.lit(graph).cast("string").alias("g"), "s", "p",
+                "o_kind", "o_lex",
+                F.lit(None).cast("string").alias("o_dt"),
+                F.lit(None).cast("string").alias("o_lang"))
+    )
+    return out.dropDuplicates() if distinct else out

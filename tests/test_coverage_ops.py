@@ -243,6 +243,56 @@ def test_match_bgp_semantics(spark):
     # schema is data-independent: a failed gate keeps the bound columns
     assert missing.columns == ["x", "n"]
 
+
+def test_construct_quads_semantics(spark):
+    """CONSTRUCT analog: template explode over bindings, NULL-variable
+    rows construct nothing for that template (SPARQL OPTIONAL rule),
+    object-variable kinds re-derived per row, set semantics."""
+    from cow_spark.plans.bgp import construct_quads, match_bgp
+
+    EX = "https://example.com/v/"
+    rows = [
+        (None, "https://example.com/a", EX + "name", "lit", "Ada", None, None),
+        (None, "https://example.com/a", EX + "knows", "iri",
+         "https://example.com/b", None, None),
+        (None, "https://example.com/b", EX + "name", "lit", "Bert", None, None),
+        # duplicate quad in a second graph: set semantics must collapse it
+        ("https://example.com/g", "https://example.com/a", EX + "name",
+         "lit", "Ada", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    ns = {"ex": EX}
+
+    b = match_bgp(q, [("?x", "ex:name", "?n")],
+                  optional=[("?x", "ex:knows", "?y")], namespaces=ns)
+    out = construct_quads(b, [
+        ("?x", "ex:label", "?n"),       # object var -> literal values
+        ("?x", "ex:contact", "?y"),     # object var, IRI values, NULL for b
+        ("?x", "rdf:type", "ex:Person"),  # constant IRI object
+    ], namespaces={"ex": EX,
+                   "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"},
+       graph="https://example.com/g/out")
+    got = {(r.s, r.p, r.o_kind, r.o_lex) for r in out.collect()}
+    A, B = "https://example.com/a", "https://example.com/b"
+    assert got == {
+        (A, EX + "label", "lit", "Ada"),
+        (B, EX + "label", "lit", "Bert"),
+        (A, EX + "contact", "iri", B),  # NULL ?y for b: no quad
+        (A, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri",
+         EX + "Person"),
+        (B, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri",
+         EX + "Person"),
+    }
+    assert {r.g for r in out.collect()} == {"https://example.com/g/out"}
+    assert {(r.o_dt, r.o_lang) for r in out.collect()} == {(None, None)}
+
+    # non-IRI constant in a subject/predicate slot is a spec error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="predicate constant"):
+        construct_quads(b, [("?x", "justaword", "?n")])
+
     # prefixed names in OBJECT position denote IRIs (never literals)
     q2 = q.unionByName(spark.createDataFrame(
         [(None, "https://example.com/a", EX + "knows", "lit",
