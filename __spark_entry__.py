@@ -732,6 +732,79 @@ select node, min(label) as component from r group by node
 # ---------------------------------------------------------------------------
 
 
+def q_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style markup stripping (text.py:strip_markup): documents are
+    wrapped in deterministic HTML (tags, a script block, a comment,
+    entities) inside the query so the whole extract chain — block drop,
+    tag-to-newline, entity decode, whitespace collapse — is exercised
+    and the oracle replays it from the same raw bytes."""
+    from cow_spark.functions.text import markup_stats, strip_markup
+
+    docs = _load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p>'), F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><script type="text/x">var x = 1 &amp;&amp; 2; '
+              "<p>not text</p></script><!-- nav -->"
+              "<div>menu &gt; home &nbsp;&amp; away</div></body></html>"))
+    m = markup_stats(html)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(strip_markup(html)).alias("text_md5"),
+        m["n_tags"].cast("long").alias("n_tags"),
+        m["text_ratio_bp"].alias("ratio_bp"),
+    )
+
+
+def _sql_markup_extract() -> str:
+    # the exact Java∩RE2 chain from text.py:strip_markup, inline flags,
+    # chr(10) for newline (DuckDB quotes don't process escapes)
+    return r"""
+with h as (
+  select cast(doc_id as bigint) as doc_id,
+    '<html><body><h1>Doc ' || cast(doc_id as varchar) || '</h1><p>' ||
+    coalesce(text, '') ||
+    '</p><script type="text/x">var x = 1 &amp;&amp; 2; <p>not text</p></script><!-- nav --><div>menu &gt; home &nbsp;&amp; away</div></body></html>'
+    as html
+  from documents
+),
+s as (
+  select doc_id, html,
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html,
+                          '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                    '(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote)\b[^>]*>',
+                    chr(10), 'g'),
+                  '<[^>]*>', ' ', 'g'),
+                '<[^>]*$', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+            '[ \t\x0B\f\r]+', ' ', 'g'),
+          ' ?\n ?', chr(10), 'g'),
+        '\n+', chr(10), 'g'),
+      ' ' || chr(10)) as stripped
+  from h
+)
+select doc_id, md5(stripped) as text_md5,
+       cast(len(regexp_extract_all(html, '<[^>]*>')) as bigint) as n_tags,
+       cast(floor(length(stripped) * 10000 /
+                  greatest(length(html), 1)) as bigint) as ratio_bp
+from s
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -2875,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "connected_components": q_connected_components,
         "text_stats": q_text_stats,
+        "markup_extract": q_markup_extract,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -2940,6 +3014,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_link": _sql_entity_link(),
         "connected_components": _SQL_CC,
         "text_stats": _sql_text_stats(),
+        "markup_extract": _sql_markup_extract(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

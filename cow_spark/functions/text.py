@@ -115,3 +115,60 @@ def url_domains(c: Column) -> Column:
         extract_urls(c),
         lambda u: F.lower(F.regexp_extract(u, _DOMAIN_FROM_URL, 1)),
     )
+
+
+# ---------------------------------------------------------------------------
+# markup stripping (WET-style crawl text extraction)
+# ---------------------------------------------------------------------------
+
+# Java ∩ RE2 subset only (the DuckDB oracle replays these): no
+# backreferences (script/style get separate patterns), no \s (explicit
+# classes), (?i)/(?s) flags are fine in both engines.
+_SCRIPT_BLOCK = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_BLOCK = r"(?is)<style\b[^>]*>.*?</style>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_BLOCK_TAG = r"(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote)\b[^>]*>"
+_ANY_TAG = r"<[^>]*>"
+_TAG_COUNT = _ANY_TAG
+# entity decode order matters: &amp; must go LAST or '&amp;lt;' would
+# double-decode
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+_HSPACE = r"[ \t\x0B\f\r]+"
+
+
+def strip_markup(c: Column) -> Column:
+    """Markup-to-text for crawl-style corpora: drop script/style/comment
+    blocks wholesale, turn block-level tags into newlines (so paragraph
+    boundaries survive), strip remaining tags, decode the six common
+    entities, and collapse whitespace. A regexp_replace chain — one
+    codegen stage, no Python — covering the WET-extraction core; it is
+    deliberately not a layout engine (no link-density boilerplate
+    scoring; compose :func:`~cow_spark.operators.quality` gates for
+    that)."""
+    t = F.regexp_replace(c, _SCRIPT_BLOCK, " ")
+    t = F.regexp_replace(t, _STYLE_BLOCK, " ")
+    t = F.regexp_replace(t, _HTML_COMMENT, " ")
+    t = F.regexp_replace(t, _BLOCK_TAG, "\n")
+    t = F.regexp_replace(t, _ANY_TAG, " ")
+    # a truncated trailing tag (crawl cut-off mid-markup) never closes:
+    # drop it to end-of-input rather than leaking raw markup
+    t = F.regexp_replace(t, r"<[^>]*$", " ")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, _HSPACE, " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    return F.btrim(t, F.lit(" \n"))
+
+
+def markup_stats(c: Column) -> Column:
+    """(n_tags, text_ratio_bp) audit struct for a markup column:
+    tag count and extracted-text length in basis points of the raw
+    length — the crawl-extraction yield signal."""
+    stripped = strip_markup(c)
+    return F.struct(
+        F.regexp_count(c, F.lit(_TAG_COUNT)).alias("n_tags"),
+        F.floor(F.length(stripped) * 10000 /
+                F.greatest(F.length(c), F.lit(1))).cast("long")
+        .alias("text_ratio_bp"))

@@ -61,6 +61,42 @@ def test_text_functions(spark, docs):
         assert got == want
 
 
+def test_strip_markup_semantics(spark):
+    """Markup extraction: block drops, tag-to-newline, entity order,
+    unclosed/hostile tags, and empty/plain inputs."""
+    from cow_spark.functions.text import markup_stats, strip_markup
+
+    cases = [
+        # script content (incl. nested tags) dropped wholesale
+        ('<p>a</p><script>if (x<2) { emit("<p>junk</p>") }</script><p>b</p>',
+         "a\nb"),
+        # style + comment dropped; inline tags become spaces
+        ("<style>p { color: red }</style>x<b>y</b>z<!-- hidden -->",
+         "x y z"),
+        # &amp;lt; must NOT double-decode to '<'
+        ("&amp;lt;tag&amp;gt;", "&lt;tag&gt;"),
+        # unclosed tag at EOF: stripped to the end, no error
+        ("text <a href='x", "text"),
+        # plain text without markup passes through (whitespace collapsed)
+        ("no  markup   here", "no markup here"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string")
+    got = {r.i: r.s for r in
+           df.select("i", strip_markup(F.col("html")).alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    stats = df.where("i = 0").select(
+        markup_stats(F.col("html")).alias("m")).first().m
+    # p,/p,script,'<2){emit("<p>',/p,/script,p,/p — the raw counter
+    # counts any angle-bracket span, including the code-ish '<2...>'
+    assert stats.n_tags == 8
+    assert 0 < stats.text_ratio_bp < 10000
+
+
 def test_exact_duplicates(spark):
     rows = [(1, "Hello  World"), (2, "hello world"), (3, "unique doc"),
             (4, "HELLO\tWORLD"), (5, "another one")]
