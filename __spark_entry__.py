@@ -805,6 +805,74 @@ from s
 """
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (terms.py:dsir_weights): the English
+    subset is the target corpus, the whole table the raw pool — en
+    documents should rank high, which the oracle's integer-exact replay
+    (and a sign-sanity pytest) pins."""
+    from cow_spark.operators.terms import dsir_weights
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    target = docs.where(F.col("lang") == "en")
+    return dsir_weights(docs, target, n_buckets=4096)
+
+
+_SQL_DSIR = r"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id, lang,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+g as (
+  select doc_id, lang, unnest(t) as gram from tk
+  union all
+  select doc_id, lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) as gram
+  from tk where len(t) >= 2
+),
+bk as (
+  select doc_id, lang,
+         cast(concat('0x', substr(md5(gram), 1, 15)) as bigint) % 4096
+           as bucket
+  from g
+),
+docbuck as (
+  select doc_id, bucket, cast(count(*) as bigint) as n
+  from bk group by doc_id, bucket
+),
+raw as (select bucket, cast(sum(n) as bigint) as c_raw
+        from docbuck group by bucket),
+tgt as (select bucket, cast(count(*) as bigint) as c_tgt
+        from bk where lang = 'en' group by bucket),
+tot as (
+  select (select cast(sum(c_raw) as bigint) from raw) as t_raw,
+         (select cast(sum(c_tgt) as bigint) from tgt) as t_tgt
+),
+per as (
+  select d.doc_id,
+         cast(sum(d.n) as bigint) as n_feats,
+         cast(sum(d.n * (
+           (length(bin((t.t_raw + 4096) // (r.c_raw + 1))) - 1) -
+           (length(bin((t.t_tgt + 4096) // (coalesce(g2.c_tgt, 0) + 1))) - 1)
+         )) as bigint) as logw_bits
+  from docbuck d
+  join raw r using (bucket)
+  left join tgt g2 using (bucket)
+  cross join tot t
+  group by d.doc_id
+)
+select ids.doc_id,
+       cast(coalesce(per.n_feats, 0) as bigint) as n_feats,
+       per.logw_bits
+from (select distinct cast(doc_id as bigint) as doc_id from documents) ids
+left join per using (doc_id)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -2949,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "text_stats": q_text_stats,
         "markup_extract": q_markup_extract,
+        "dsir": q_dsir,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3015,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _SQL_CC,
         "text_stats": _sql_text_stats(),
         "markup_extract": _sql_markup_extract(),
+        "dsir": _SQL_DSIR,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

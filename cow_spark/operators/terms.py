@@ -195,3 +195,96 @@ def surprisal_buckets(
          .when(F.col("score_fp") <= F.col("_hi"), F.lit("middle"))
          .otherwise(F.lit("tail")).alias("bucket"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, arXiv:2302.03169): score each raw document by how much better
+    a *target*-corpus bag-of-hashed-n-grams model predicts its features
+    than the raw-corpus model does. Select-by-weight (top-k or
+    threshold) is the caller's one-line follow-up.
+
+    Features are unigrams ⊕ bigrams of the normalized tokens, hashed
+    into ``n_buckets`` buckets (the paper's hashing trick; collisions
+    are part of the method). Per-bucket surprisal under each model is
+    the integer-exact whole-bit form used across this module —
+    ``bitlength((T_m + B) div (c_m + 1)) - 1``, add-one smoothing (the
+    paper's mixture smoothing is a float; whole bits replay bit-exactly
+    in any engine) — and
+
+        ``logw_bits = Σ_b n_db · (bits_raw(b) − bits_target(b))``
+
+    positive when the target model predicts the document better, i.e.
+    log₂ of the (smoothed) importance ratio at 1-bit bucket resolution;
+    per-document sums over hundreds of features make the ranking tight.
+
+    Plan: explode → per-(doc, bucket) counts (corpus shuffles carry
+    hashed partials, never text). The raw model aggregates the same
+    gram relation down to ≤ B rows — Spark re-runs that scan for the
+    model branch (no CSE across branches without a persist, and the
+    per-doc bucket table is corpus-scale: caching it is the link.py
+    anti-trade), so the corpus is read twice, each pass map-side
+    partial-aggregated. The target model scans only the (small,
+    curated) target corpus. Models and totals travel by broadcast —
+    the corpus is never joined to anything its own size. Documents
+    with no tokens keep n_feats=0 and a NULL weight.
+    """
+    B = int(n_buckets)
+
+    def grams(frame: DataFrame, idc: str, txt: str) -> DataFrame:
+        # stage the token array as a real column: HOF lambdas re-evaluate
+        # captured subtrees per element
+        staged = frame.select(
+            F.col(idc).alias("doc_id"),
+            tokens(normalize_text(F.col(txt))).alias("_t"))
+        bi = F.when(
+            F.size(F.col("_t")) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_t"), (i + 1).cast("int")),
+                    F.element_at(F.col("_t"), (i + 2).cast("int")))),
+        ).otherwise(F.array().cast("array<string>"))
+        return staged.select(
+            "doc_id", F.explode(F.concat(F.col("_t"), bi)).alias("gram"))
+
+    from ..functions.hashing import portable_hash60
+
+    bucket = (portable_hash60(F.col("gram")) % B).alias("bucket")
+    docbuck = (
+        grams(df, id_col, text_col).select("doc_id", bucket)
+        .groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    )
+    raw = docbuck.groupBy("bucket").agg(F.sum("n").alias("c_raw"))
+    tgt = (
+        grams(target, id_col, text_col).select(bucket)
+        .groupBy("bucket").agg(F.count("*").alias("c_tgt"))
+    )
+    tot = (raw.agg(F.sum("c_raw").cast("long").alias("t_raw"))
+           .crossJoin(tgt.agg(F.sum("c_tgt").cast("long").alias("t_tgt"))))
+    bits_raw = F.length(F.bin(F.expr(f"(t_raw + {B}) div (c_raw + 1)"))) - 1
+    bits_tgt = F.length(F.bin(
+        F.expr(f"(t_tgt + {B}) div (coalesce(c_tgt, 0) + 1)"))) - 1
+    per = (
+        docbuck.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("n_feats"),
+             F.sum(F.col("n") * (bits_raw - bits_tgt)).cast("long")
+             .alias("logw_bits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(per, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                F.col("logw_bits"))
+    )

@@ -97,6 +97,33 @@ def test_strip_markup_semantics(spark):
     assert 0 < stats.text_ratio_bp < 10000
 
 
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR: documents resembling the target corpus must out-rank
+    off-distribution documents; empty docs keep n_feats=0/NULL weight."""
+    from cow_spark.operators.terms import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, f"the spark engine shuffles data across executors "
+                   f"and the engine partitions data run {i}")
+         for i in range(6)],
+        "doc_id long, text string")
+    pool = spark.createDataFrame(
+        [(1, "the spark engine partitions data across executors"),
+         (2, "spark shuffles data and the engine partitions work"),
+         (3, "zq xv qj wk zzkx vvqp jjqz kkxw plmf"),
+         (4, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+         (5, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dsir_weights(pool, target, n_buckets=512).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[5].n_feats == 0 and out[5].logw_bits is None
+    # per-feature mean weight: on-distribution docs beat off-distribution
+    on = min(out[i].logw_bits / out[i].n_feats for i in (1, 2))
+    off = max(out[i].logw_bits / out[i].n_feats for i in (3, 4))
+    assert on > off, (on, off)
+
+
 def test_exact_duplicates(spark):
     rows = [(1, "Hello  World"), (2, "hello world"), (3, "unique doc"),
             (4, "HELLO\tWORLD"), (5, "another one")]
