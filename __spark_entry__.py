@@ -873,6 +873,77 @@ left join per using (doc_id)
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (dedup.py:remove_duplicated_spans): every
+    5-token window occurring more than once corpus-wide is cut from
+    every document; md5 of the rewritten text pins the rebuild."""
+    from cow_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    out = remove_duplicated_spans(docs, k=5)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+        F.col("kept_tok"),
+        F.md5(F.col("cleaned_text")).alias("clean_md5"),
+    )
+
+
+_SQL_SUBSTRING_DEDUP = r"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+kg as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+           i -> struct_pack(pos := i - 1,
+                            gram := array_to_string(t[i:i+4], ' ')))) as u
+  from tk where len(t) >= 5
+),
+kh as (
+  select doc_id, u.pos as pos,
+         cast(concat('0x', substr(md5(u.gram), 1, 15)) as bigint) as gh
+  from kg
+),
+dup as (select gh from kh group by gh having count(*) >= 2),
+m as (select kh.doc_id, kh.pos, kh.pos + 5 as hit_end
+      from kh semi join dup using (gh)),
+px as (
+  select doc_id, len(t) as n_tok,
+         unnest(list_transform(generate_series(1, len(t)),
+           i -> struct_pack(pos := i - 1, tok := t[i]))) as u
+  from tk where len(t) > 0
+),
+cov as (
+  select px.doc_id, px.n_tok, px.u.pos as pos, px.u.tok as tok,
+         max(m.hit_end) over (
+           partition by px.doc_id order by px.u.pos
+           rows between unbounded preceding and current row) as cov_end
+  from px left join m on px.doc_id = m.doc_id and px.u.pos = m.pos
+),
+per as (
+  select doc_id,
+         max(n_tok) as n_tok,
+         count(*) filter (cov_end is null or pos >= cov_end) as kept_tok,
+         coalesce(string_agg(tok, ' ' order by pos)
+                  filter (cov_end is null or pos >= cov_end), '')
+           as cleaned
+  from cov group by doc_id
+)
+select ids.doc_id,
+       cast(coalesce(per.n_tok, 0) as bigint) as n_tok,
+       cast(coalesce(per.kept_tok, 0) as bigint) as kept_tok,
+       md5(coalesce(per.cleaned, '')) as clean_md5
+from (select distinct cast(doc_id as bigint) as doc_id from documents) ids
+left join per using (doc_id)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -3018,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "markup_extract": q_markup_extract,
         "dsir": q_dsir,
+        "substring_dedup": q_substring_dedup,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3085,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "markup_extract": _sql_markup_extract(),
         "dsir": _SQL_DSIR,
+        "substring_dedup": _SQL_SUBSTRING_DEDUP,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

@@ -50,6 +50,7 @@ HEADLINE = [
     "incremental_dedup",
     "decontamination",
     "line_dedup",
+    "substring_dedup",
     "asof_join",
     "sessionize",
     "lm_surprisal",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import portable_hash60
 from ..functions.text import fingerprint, normalize_text, tokens
@@ -732,4 +733,137 @@ def semdedup(
         .select(id_col, "cell", "csim",
                 F.when(F.col("_ndom") == 0, F.lit(1)).otherwise(F.lit(0))
                 .alias("kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (duplicated k-token spans, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def _positioned_kgrams(df: DataFrame, id_col: str, text_col: str,
+                       k: int) -> DataFrame:
+    """(doc_id, pos, n_tok, gh): every k-token window start position
+    with its gram hash, over normalized whitespace tokens."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    staged = staged.select(
+        "doc_id", "_t", F.size("_t").alias("n_tok"))
+    grams = F.when(
+        F.col("n_tok") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tok") - k),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_t"), (i + 1).cast("int"), k))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select("doc_id", "n_tok",
+                      F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "n_tok", "pos",
+                portable_hash60(F.col("gram")).alias("gh"))
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Duplicated exact substrings, the span-level analogue of document
+    dedup (Lee et al. 2022, arXiv:2107.06499 — "deduplicating training
+    data makes language models better"): a k-token window whose exact
+    (normalized) text occurs more than once ANYWHERE in the corpus —
+    across documents or repeated within one — marks a duplicated span;
+    overlapping marks merge. Returns ``(doc_id, start_tok, end_tok,
+    span_tokens)`` with token-index spans ``[start_tok, end_tok)``.
+
+    Suffix arrays (the paper's tool) are sequential; the distributed
+    shape is sliding k-gram fingerprints: explode every window (linear
+    in corpus tokens — this IS the cost of substring-level dedup),
+    count occurrences per gram hash (partial-agg shuffle; hot phrases
+    collapse map-side), semi-join duplicated hashes back onto the
+    positioned windows (no fan-out: each window matches one hash), and
+    merge per-document via a gaps-and-islands window (running max of
+    span ends; per-doc partitions are bounded by document length).
+    A hash collision (md5-60bit) could mark a non-duplicated span —
+    vanishingly rare and only ever *over*-removes.
+    """
+    hits = _positioned_kgrams(df, id_col, text_col, k)
+    dup = (hits.groupBy("gh").agg(F.count("*").alias("_n"))
+           .where(F.col("_n") >= 2).select("gh"))
+    marked = hits.join(dup, "gh", "left_semi")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    islanded = (
+        marked
+        .withColumn("_prev_end", F.max(F.col("pos") + k).over(w))
+        .withColumn("_new", F.when(
+            F.col("_prev_end").isNull()
+            | (F.col("pos") > F.col("_prev_end")), 1).otherwise(0))
+        .withColumn("_isl", F.sum("_new").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        islanded.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("start_tok"),
+             (F.max("pos") + k).alias("end_tok"))
+        .select("doc_id", "start_tok", "end_tok",
+                (F.col("end_tok") - F.col("start_tok")).alias("span_tokens"))
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Rewrite each document with its duplicated k-token spans removed
+    (every occurrence is cut — the conservative policy when spans are
+    boilerplate; document-level dedup keeps one *copy of a document*,
+    this removes repeated *passages*). Output ``(doc_id, n_tok,
+    kept_tok, cleaned_text)`` where ``cleaned_text`` is the surviving
+    normalized tokens rejoined with single spaces (normalization is
+    inherent: spans were matched on normalized tokens). Documents
+    shorter than ``k`` tokens pass through (normalized) unchanged.
+
+    Same plan as :func:`exact_substring_spans` plus one per-doc window
+    computing token coverage (running max of hit ends) and one ordered
+    rebuild via array_sort(collect_list) — bounded by document length,
+    the explode's inverse.
+    """
+    hits = _positioned_kgrams(df, id_col, text_col, k)
+    dup = (hits.groupBy("gh").agg(F.count("*").alias("_n"))
+           .where(F.col("_n") >= 2).select("gh"))
+    marked = hits.join(dup, "gh", "left_semi") \
+        .select("doc_id", "pos", (F.col("pos") + k).alias("hit_end"))
+
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  tokens(normalize_text(F.col(text_col))).alias("_t"))
+        .select("doc_id", F.size("_t").alias("n_tok"),
+                F.posexplode_outer("_t").alias("pos", "tok"))
+    )
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    covered = (
+        toks.join(marked, ["doc_id", "pos"], "left")
+        .withColumn("_cov_end", F.max("hit_end").over(w))
+        .withColumn("_covered",
+                    F.col("_cov_end").isNotNull()
+                    & (F.col("pos") < F.col("_cov_end")))
+    )
+    return (
+        covered.groupBy("doc_id")
+        .agg(F.max("n_tok").alias("n_tok"),
+             F.sum(F.when(~F.col("_covered") & F.col("tok").isNotNull(), 1)
+                   .otherwise(0)).cast("long").alias("kept_tok"),
+             F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(
+                     F.when(~F.col("_covered"),
+                            F.struct("pos", "tok")))),
+                 lambda s: s["tok"])).alias("cleaned_text"))
     )

@@ -430,6 +430,43 @@ def test_embedding_near_duplicates(spark):
     assert got == {(1, 2)}
 
 
+def test_exact_substring_dedup(spark):
+    """Duplicated k-token spans are found corpus-wide (cross-doc AND
+    within-doc), overlapping hits merge into one island, and the
+    rewrite removes every occurrence while leaving unique/short/NULL
+    docs alone."""
+    from cow_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_duplicated_spans,
+    )
+
+    BOILER = "subscribe to our newsletter for daily updates and offers"  # 9 tok
+    rows = [
+        (1, f"alpha beta gamma {BOILER} delta epsilon zeta eta theta"),
+        (2, f"one two three four five six {BOILER} seven eight nine"),
+        (3, "completely unique text with no repeated passages at all"),
+        (4, f"{BOILER} {BOILER} tail words here"),  # adjacent copies merge
+        (5, "short doc"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = {(r.doc_id, r.start_tok, r.end_tok)
+             for r in exact_substring_spans(df, k=5).collect()}
+    assert spans == {(1, 3, 12), (2, 6, 15), (4, 0, 18)}
+
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, k=5).collect()}
+    assert out[1].cleaned_text == \
+        "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[2].cleaned_text == \
+        "one two three four five six seven eight nine"
+    assert out[3].kept_tok == out[3].n_tok  # untouched
+    assert out[4].cleaned_text == "tail words here"
+    assert (out[4].n_tok, out[4].kept_tok) == (21, 3)
+    assert out[5].cleaned_text == "short doc"  # < k tokens: passes through
+    assert out[6].kept_tok == 0 and out[6].cleaned_text == ""
+
+
 def test_semdedup_keeps_lowest_centroid_sim(spark):
     """SemDeDup keep rule: within a dup group the survivor is the member
     *least* similar to its cell centroid (the paper's choice), and
