@@ -944,6 +944,54 @@ left join per using (doc_id)
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order CCNet quality score (terms.py:bigram_surprisal):
+    per-doc mean conditional surprisal in whole bits, integer-exact."""
+    from cow_spark.operators.terms import bigram_surprisal
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return bigram_surprisal(docs)
+
+
+_SQL_BIGRAM_LM = r"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+bg as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) as u
+  from tk where len(t) >= 2
+),
+tf as (
+  select doc_id, u.w1 as w1, u.w2 as w2, cast(count(*) as bigint) as tf
+  from bg group by doc_id, u.w1, u.w2
+),
+c2 as (select w1, w2, cast(sum(tf) as bigint) as c2 from tf group by w1, w2),
+c1 as (select w1, cast(sum(tf) as bigint) as c1 from tf group by w1),
+j as (
+  select tf.doc_id, tf.tf, length(bin(c1.c1 // c2.c2)) - 1 as bits
+  from tf join c2 using (w1, w2) join c1 using (w1)
+),
+per as (
+  select doc_id, cast(sum(tf) as bigint) as n_bigrams,
+         cast(sum(tf * bits) as bigint) as bits_sum
+  from j group by doc_id
+)
+select ids.doc_id,
+       cast(coalesce(per.n_bigrams, 0) as bigint) as n_bigrams,
+       cast(coalesce(per.bits_sum, 0) as bigint) as bits_sum,
+       cast(per.bits_sum * 1000 // per.n_bigrams as bigint) as score_fp
+from (select distinct cast(doc_id as bigint) as doc_id from documents) ids
+left join per using (doc_id)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -3090,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_extract": q_markup_extract,
         "dsir": q_dsir,
         "substring_dedup": q_substring_dedup,
+        "bigram_lm": q_bigram_lm,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3158,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
         "markup_extract": _sql_markup_extract(),
         "dsir": _SQL_DSIR,
         "substring_dedup": _SQL_SUBSTRING_DEDUP,
+        "bigram_lm": _SQL_BIGRAM_LM,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

@@ -288,3 +288,73 @@ def dsir_weights(
                 F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
                 F.col("logw_bits"))
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conditional (bigram) LM quality score, integer-exact — the
+    second-order member of the CCNet family next to
+    :func:`unigram_surprisal`: per-document mean surprisal of each
+    token given its predecessor, in whole bits,
+
+        ``bits(w1 w2) = bitlength(c(w1·) div c(w1 w2)) − 1``
+        ``≈ floor(log₂ 1/P(w2|w1))``
+
+    where ``c(w1·)`` counts w1 as a bigram head and ``c(w1 w2)`` the
+    bigram itself, both over this corpus (self-scoring: every document
+    bigram exists in the model, so no backoff branch — this is the
+    within-corpus phrase-predictability outlier detector; formulaic
+    boilerplate scores near 0 bits/transition, incoherent token salad
+    scores high). Same whole-bit integer discipline as the rest of the
+    module: no floating point anywhere, replays bit-exactly in DuckDB.
+
+    Returns ``(doc_id, n_bigrams, bits_sum, score_fp)`` with
+    ``score_fp = bits_sum * SCALE div n_bigrams``; documents with
+    fewer than two tokens keep n_bigrams=0 and NULL score.
+
+    Plan: one explode into (doc, w1, w2) partials → per-doc-bigram tf
+    (the only corpus-sized shuffle) → the two model tables are
+    re-aggregations of tf (bigram- and head-vocabulary sized) joined
+    back on their term keys — vocabulary joins, never corpus×corpus;
+    hot head words ("the") skew the w1 join but each tf row matches
+    exactly one model row (no fan-out) and AQE splits oversized
+    partitions.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    bigrams = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_t"), (i + 1).cast("int")).alias("w1"),
+                F.element_at(F.col("_t"), (i + 2).cast("int")).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    tf = (
+        staged.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    )
+    c2 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = tf.groupBy("w1").agg(F.sum("tf").alias("c1"))
+    bits = F.length(F.bin(F.expr("c1 div c2"))) - F.lit(1)
+    per = (
+        tf.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+             F.sum(F.col("tf") * bits).cast("long").alias("bits_sum"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("bits_sum", F.lit(0)).alias("bits_sum"),
+            F.expr(f"bits_sum * {SCALE} div n_bigrams").alias("score_fp"),
+        )
+    )

@@ -366,6 +366,35 @@ def test_unigram_surprisal_reference_model(spark):
     assert got[2][2] > got[1][2]  # OOV gibberish scores higher
 
 
+def test_bigram_surprisal_self_matches_python(spark):
+    from cow_spark.operators.terms import SCALE, bigram_surprisal
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat again today"),
+         (3, "one two one two one two"),   # formulaic: repeated bigrams
+         (4, "solo"),                      # 1 token -> no bigrams
+         (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["bits_sum"], r["score_fp"])
+           for r in bigram_surprisal(docs).collect()}
+
+    from collections import Counter
+    texts = {1: "the cat sat on the mat", 2: "the cat sat again today",
+             3: "one two one two one two"}
+    bgs = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    c2 = Counter(b for bs in bgs.values() for b in bs)
+    c1 = Counter(b[0] for bs in bgs.values() for b in bs)
+    for d, bs in bgs.items():
+        bits = sum(_bitlen_floor_log2(c1[w1] // c2[(w1, w2)])
+                   for w1, w2 in bs)
+        assert got[d] == (len(bs), bits, bits * SCALE // len(bs)), d
+    assert got[4] == (0, 0, None)
+    assert got[5] == (0, 0, None)
+    # the formulaic doc is the most predictable transition-wise
+    assert got[3][2] <= min(got[1][2], got[2][2])
+
+
 def test_surprisal_buckets_partition(spark):
     from cow_spark.operators.terms import surprisal_buckets
     # 9 scored docs with distinct score profiles + 1 unscored
