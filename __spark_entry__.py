@@ -2683,6 +2683,44 @@ from u group by domain
 """
 
 
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-workflow mining (dialogue.py:tool_transitions):
+    Markov transition counts + fixed-point row-conditional probability
+    over per-conversation tool sequences, ^START/$END sentinels."""
+    from cow_spark.operators.dialogue import tool_transitions
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return tool_transitions(transcripts_df(spark, 5000))
+
+
+def _sql_tool_transitions() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+seq as (
+  select conv_id, turn_idx, tool,
+         lead(tool, 1, '$END') over w as nxt,
+         row_number() over w as rn
+  from transcripts_gen
+  where tool is not null
+  window w as (partition by conv_id order by turn_idx)
+),
+edges as (
+  select '^START' as prev, tool as next from seq where rn = 1
+  union all
+  select tool, nxt from seq
+),
+counts as (
+  select prev, next, cast(count(*) as bigint) as n
+  from edges group by prev, next
+)
+select c.prev, c.next, c.n,
+       cast(c.n * 1000 // t.tot as bigint) as p_fp
+from counts c
+join (select prev, sum(n) as tot from counts group by prev) t
+  using (prev)
+"""
+
+
 def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-turn pair mining over the deterministic transcripts.
 
@@ -3179,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal_buckets": q_surprisal_buckets,
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
+        "tool_transitions": q_tool_transitions,
         "conversation_windows": q_conversation_windows,
         "domain_stats": q_domain_stats,
         "bgp_filter": q_bgp_filter,
@@ -3248,6 +3287,7 @@ def oracle_sql() -> dict[str, str]:
         "surprisal_buckets": _sql_surprisal_buckets(),
         "incremental_dedup": _sql_incremental_dedup(),
         "sft_pairs": _sql_sft_pairs(),
+        "tool_transitions": _sql_tool_transitions(),
         "conversation_windows": _sql_conversation_windows(),
         "domain_stats": _sql_domain_stats(),
         "bgp_filter": _sql_bgp_filter(),

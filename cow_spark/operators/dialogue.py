@@ -89,3 +89,53 @@ def conversation_windows(
         .select("conv_id", "turn_idx", "context",
                 F.col("text").alias("target"))
     )
+
+
+def tool_transitions(
+    transcripts: DataFrame,
+    scale: int = 1000,
+) -> DataFrame:
+    """Markov transition statistics over per-conversation tool-call
+    sequences: how often does an agent follow ``search`` with ``calc``,
+    start a conversation with ``browse``, or stop after a tool? The
+    workflow-mining audit for agent transcripts — skewed transition mass
+    flags scripted loops; unexpected edges flag tool-use drift.
+
+    Each conversation's tool-bearing turns (rows with non-NULL ``tool``,
+    ordered by ``turn_idx``) form a sequence t₁…tₘ; transitions are
+    ``('^START', t₁)``, ``(tᵢ, tᵢ₊₁)``, ``(tₘ, '$END')``. Returns
+    ``(prev, next, n, p_fp)`` with ``p_fp = n * scale div Σ n(prev·)``
+    — the integer fixed-point row-conditional probability.
+
+    Plan: tool-turn filter reaches the scan; ONE window pass per
+    conversation (lead + row_number share the sort; conversation-sized
+    groups, the healthy window case); each row emits its transitions
+    through one explode — no union branch re-running the scan. The
+    transition matrix is |tools|²-sized, so the final aggregations and
+    the prev-total join are vocabulary-scale.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("_next", F.lead("tool", 1, "$END").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    start_edge = F.when(
+        F.col("_rn") == 1,
+        F.array(F.struct(F.lit("^START").alias("prev"),
+                         F.col("tool").alias("next")))
+    ).otherwise(F.array().cast("array<struct<prev:string,next:string>>"))
+    step_edge = F.array(F.struct(F.col("tool").alias("prev"),
+                                 F.col("_next").alias("next")))
+    edges = (
+        seq.select(F.explode(F.concat(start_edge, step_edge)).alias("e"))
+        .select("e.prev", "e.next")
+    )
+    counts = edges.groupBy("prev", "next").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "prev")
+        .select("prev", "next", F.col("n").cast("long").alias("n"),
+                F.expr(f"n * {scale} div _tot").alias("p_fp"))
+    )

@@ -51,3 +51,40 @@ def test_conversation_windows_bounded_context(spark):
     for r in out:
         # never more than n_context lines
         assert len(r["context"].split("\n")) <= 2
+
+
+def test_tool_transitions_markov_stats(spark):
+    """Transition mining: START/END sentinels, per-conversation order,
+    fixed-point conditional probabilities summing to ~scale per prev."""
+    from cow_spark.operators.dialogue import tool_transitions
+
+    rows = [
+        # conv A tools in order: search, calc, search
+        ("a", 1, "tool", "search"), ("a", 3, "tool", "calc"),
+        ("a", 5, "tool", "search"),
+        # conv B: single browse call
+        ("b", 0, "tool", "browse"),
+        # conv C: no tools at all -> contributes nothing
+        ("c", 0, "user", None),
+        # out-of-order turn_idx input must not matter: calc before search
+        ("d", 9, "tool", "calc"), ("d", 2, "tool", "search"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+    got = {(r.prev, r.next): (r.n, r.p_fp)
+           for r in tool_transitions(df).collect()}
+    assert got == {
+        ("^START", "search"): (2, 666),  # convs a, d (of 3 starts)
+        ("^START", "browse"): (1, 333),
+        ("search", "calc"): (2, 666),    # a:1->3, d:2->9 (of 3 search)
+        ("search", "$END"): (1, 333),    # a ends after search
+        ("calc", "search"): (1, 500),    # a:3->5
+        ("calc", "$END"): (1, 500),      # d ends after calc
+        ("browse", "$END"): (1, 1000),
+    }
+    # per-prev probabilities sum to scale (up to div truncation)
+    from collections import defaultdict
+    sums = defaultdict(int)
+    for (p, _), (_, pf) in got.items():
+        sums[p] += pf
+    assert all(1000 - 3 <= s <= 1000 for s in sums.values()), dict(sums)
