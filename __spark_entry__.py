@@ -992,6 +992,48 @@ left join per using (doc_id)
 """
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (dedup.py:winnowing_fingerprints,
+    MOSS): per-window minimum k-gram hash, rightmost on ties."""
+    from cow_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return winnowing_fingerprints(docs, k=5, w=4)
+
+
+_SQL_WINNOW = r"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+kg as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+           i -> struct_pack(pos := i - 1,
+                            gram := array_to_string(t[i:i+4], ' ')))) as u
+  from tk where len(t) >= 5
+),
+kh as (
+  select doc_id, u.pos as pos,
+         cast(concat('0x', substr(md5(u.gram), 1, 15)) as bigint) as gh
+  from kg
+),
+win as (
+  select doc_id, pos as at_pos,
+         min(struct_pack(gh := gh, np := -pos)) over (
+           partition by doc_id order by pos
+           rows between 3 preceding and current row) as m
+  from kh
+)
+select distinct doc_id, -(m.np) as pos, m.gh as gh
+from win where at_pos >= 3
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -3177,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "substring_dedup": q_substring_dedup,
         "bigram_lm": q_bigram_lm,
+        "winnow": q_winnow,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3247,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir": _SQL_DSIR,
         "substring_dedup": _SQL_SUBSTRING_DEDUP,
         "bigram_lm": _SQL_BIGRAM_LM,
+        "winnow": _SQL_WINNOW,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

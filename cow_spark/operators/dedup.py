@@ -867,3 +867,45 @@ def remove_duplicated_spans(
                             F.struct("pos", "tok")))),
                  lambda s: s["tok"])).alias("cleaned_text"))
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): from every sliding window of ``w`` consecutive k-gram
+    hashes, keep the minimum (rightmost on ties). Guarantee: any two
+    documents sharing a span of ≥ w+k−1 tokens share at least one
+    fingerprint, while the expected index density is only 2/(w+1) of
+    the k-gram positions — the sampled, index-sized alternative to
+    :func:`exact_substring_spans`' every-position table (pair candidate
+    generation is then a fingerprint-hash join, as in LSH).
+
+    Returns ``(doc_id, pos, gh)`` — the selected fingerprint positions.
+    Plan: the positioned k-gram explode (linear in corpus tokens) plus
+    ONE per-document sliding window (`rowsBetween(-(w-1), 0)` over
+    pos — conversation/document-sized groups) selecting
+    ``min(struct(gh, -pos))`` per frame, then a distinct on the picks.
+    Documents with fewer than k tokens contribute nothing (they are
+    whole-document fingerprint territory — :func:`exact_duplicates`).
+    """
+    if w < 1:
+        raise ValueError("window w must be >= 1")
+    grams = _positioned_kgrams(df, id_col, text_col, k)
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(-(w - 1), 0))
+    picked = grams.select(
+        "doc_id",
+        F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("_np")))
+        .over(frame).alias("_m"),
+        F.col("pos").alias("_at"),
+    ).where(F.col("_at") >= w - 1)  # only full windows pick
+    return (
+        picked.select("doc_id", (-F.col("_m._np")).alias("pos"),
+                      F.col("_m.gh").alias("gh"))
+        .dropDuplicates()
+    )

@@ -467,6 +467,39 @@ def test_exact_substring_dedup(spark):
     assert out[6].kept_tok == 0 and out[6].cleaned_text == ""
 
 
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: documents sharing a span of >= w+k-1
+    tokens share at least one fingerprint (same gh, by construction the
+    same gram). Density stays well below the full k-gram count."""
+    from cow_spark.operators.dedup import winnowing_fingerprints
+
+    K, W = 5, 4  # guarantee threshold: spans >= 8 tokens
+    shared = "quick brown foxes jump over eight lazy sleeping dogs"  # 9 tok
+    docs = []
+    for d in range(6):
+        pre = " ".join(f"p{d}w{j}" for j in range(d * 3 + 2))
+        post = " ".join(f"q{d}w{j}" for j in range(17 - d))
+        docs.append((d, f"{pre} {shared} {post}"))
+    docs.append((99, " ".join(f"solo{j}" for j in range(40))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    fps = winnowing_fingerprints(df, k=K, w=W).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.gh)
+    # every pair among docs 0-5 shares a fingerprint; 99 shares none
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert by_doc[a] & by_doc[b], (a, b)
+        assert not (by_doc[a] & by_doc[99])
+    # sampled, not exhaustive: far fewer picks than k-gram positions,
+    # and never fewer than n_grams/w (each window picks one)
+    for d, text in docs:
+        n_grams = len(text.split()) - K + 1
+        assert len(by_doc[d]) <= n_grams * 0.8
+        assert len(by_doc[d]) >= n_grams / (W + 1)
+
+
 def test_semdedup_keeps_lowest_centroid_sim(spark):
     """SemDeDup keep rule: within a dup group the survivor is the member
     *least* similar to its cell centroid (the paper's choice), and
