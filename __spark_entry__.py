@@ -1034,6 +1034,42 @@ from win where at_pos >= 3
 """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (corpus.py:hash_split): the
+    split key is the exact-dup fingerprint, so byte-identical documents
+    can never straddle train and test."""
+    from cow_spark.functions.text import fingerprint
+    from cow_spark.operators.corpus import hash_split
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    keyed = docs.withColumn("fp", fingerprint(F.col("text")))
+    out = hash_split(keyed, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     group_col="fp")
+    return out.select("doc_id", "split")
+
+
+_SQL_SPLIT_ASSIGN = r"""
+with keyed as (
+  select cast(doc_id as bigint) as doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
+  from documents
+),
+u as (
+  select doc_id,
+         cast(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(fp, cast(doc_id as varchar)), 'split-v1')), 1, 15))
+           as bigint) % 1000000 as h
+  from keyed
+)
+select doc_id,
+       case when h < 800000 then 'train'
+            when h < 900000 then 'val'
+            else 'test' end as split
+from u
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -3220,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "bigram_lm": q_bigram_lm,
         "winnow": q_winnow,
+        "split_assign": q_split_assign,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3291,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _SQL_SUBSTRING_DEDUP,
         "bigram_lm": _SQL_BIGRAM_LM,
         "winnow": _SQL_WINNOW,
+        "split_assign": _SQL_SPLIT_ASSIGN,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

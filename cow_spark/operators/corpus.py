@@ -292,3 +292,54 @@ def temperature_sample(
         .where(u < F.col("rate_fp"))
         .drop("_strat", "stratum", "n_docs", "w_fp")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "split-v1",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment with a leakage guard:
+    each row gets ``split`` from ``hash(key, salt) mod precision``
+    against the cumulative fraction thresholds. The key is
+    ``group_col`` when given — pass a duplicate-group id (exact
+    fingerprint, or a canonical id from ``near_duplicate_groups``) and
+    every member of a duplicate cluster lands in the SAME split, the
+    standard guard against test-set contamination by near-copies of
+    training documents. NULL group keys (e.g. NULL-text docs with no
+    fingerprint) fall back to the row id.
+
+    Hash-based, not ``rand()``: reproducible across runs, engines, and
+    task retries, and stable under corpus growth (adding documents
+    never reassigns existing keys — the property folds/date-based
+    splits lack). Fractions are applied at ``precision`` resolution
+    via literal thresholds; one linear scan, zero shuffles, no join.
+
+    Returns the input plus a ``split`` column.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = (F.coalesce(F.col(group_col).cast("string"),
+                      F.col(id_col).cast("string"))
+           if group_col else F.col(id_col).cast("string"))
+    u = F.pmod(portable_hash60(F.concat_ws("\x1f", key, F.lit(salt))),
+               F.lit(precision))
+    # cumulative integer thresholds in the dict's insertion order —
+    # deterministic split boundaries independent of float summation fuzz
+    expr = None
+    cum = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += int(round(fractions[name] * precision))
+        branch = F.when(u < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(u < cum, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

@@ -622,3 +622,46 @@ def test_chunk_documents_covers_every_token(spark, n, chunk, frac):
     if len(rows) > 1:
         assert (rows[-1]["start_tok"] + rows[-1]["n_tok"]
                 > rows[-2]["start_tok"] + rows[-2]["n_tok"])
+
+
+def test_hash_split_leakage_guard_and_proportions(spark):
+    """hash_split: duplicate-group members share a split, fractions are
+    approximately honored, assignment is stable under corpus growth,
+    and bad fractions are rejected."""
+    import pytest
+
+    from cow_spark.functions.text import fingerprint
+    from cow_spark.operators.corpus import hash_split
+
+    n = 2000
+    rows = [(i, f"unique document number {i} with its own words") for i in range(n)]
+    # 50 duplicate clusters of 4 members each (differing only in id)
+    for c in range(50):
+        for m in range(4):
+            rows.append((10_000 + c * 10 + m, f"shared boilerplate cluster {c}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("fp", fingerprint(F.col("text")))
+
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     group_col="fp")
+    got = {r.doc_id: r.split for r in out.collect()}
+    # leakage guard: all 4 members of each cluster in one split
+    for c in range(50):
+        splits = {got[10_000 + c * 10 + m] for m in range(4)}
+        assert len(splits) == 1, (c, splits)
+    # proportions within loose tolerance on the unique docs
+    from collections import Counter
+    dist = Counter(got[i] for i in range(n))
+    assert 0.75 <= dist["train"] / n <= 0.85
+    assert 0.06 <= dist["val"] / n <= 0.14
+    assert 0.06 <= dist["test"] / n <= 0.14
+    # growth stability: adding documents never reassigns existing keys
+    half = spark.createDataFrame(rows[: n // 2], "doc_id long, text string") \
+        .withColumn("fp", fingerprint(F.col("text")))
+    got_half = {r.doc_id: r.split for r in hash_split(
+        half, {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="fp").collect()}
+    assert all(got[i] == got_half[i] for i in got_half)
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"train": 0.5, "val": 0.1})
