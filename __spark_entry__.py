@@ -1070,6 +1070,51 @@ from u
 """
 
 
+def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashing embeddings (simsearch.py:
+    hashed_embeddings), posexploded to scalar rows — array columns
+    break the harness's row canonicalization (multimodal lesson)."""
+    from cow_spark.operators.simsearch import hashed_embeddings
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    emb = hashed_embeddings(docs, dim=16)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("idx", "val"))
+        .select("doc_id", F.col("idx").cast("int").alias("idx"),
+                F.col("val").cast("long").alias("val"))
+    )
+
+
+_SQL_HASHED_EMB = r"""
+with tr as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0)) as term
+  from documents
+),
+h as (
+  select doc_id,
+         cast(concat('0x', substr(md5(term), 1, 15)) as bigint) as h
+  from tr
+),
+vals as (
+  select doc_id, cast(h % 16 as int) as bucket,
+         sum(1 - 2 * ((h // 16) % 2)) as v
+  from h group by doc_id, bucket
+),
+grid as (
+  select doc_id, unnest(range(0, 16)) as idx
+  from (select distinct cast(doc_id as bigint) as doc_id from documents)
+)
+select g.doc_id, cast(g.idx as int) as idx,
+       cast(coalesce(v.v, 0) as bigint) as val
+from grid g
+left join vals v on g.doc_id = v.doc_id and g.idx = v.bucket
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -3257,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "winnow": q_winnow,
         "split_assign": q_split_assign,
+        "hashed_embeddings": q_hashed_embeddings,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3329,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _SQL_BIGRAM_LM,
         "winnow": _SQL_WINNOW,
         "split_assign": _SQL_SPLIT_ASSIGN,
+        "hashed_embeddings": _SQL_HASHED_EMB,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

@@ -320,3 +320,59 @@ def ivf_topk(
                 cosine(F.col("qv"), F.col("v")).alias("cosine"))
     )
     return _topk_per_query(scored, k)
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Signed feature-hashing embeddings (Weinberger et al. 2009): each
+    document becomes a ``dim``-dimensional vector where token t adds
+    ±1 (sign from an independent hash bit) to bucket ``h(t) mod dim``.
+    Training-free, deterministic, integer-exact — and a real member of
+    the embedding family: feed the output straight into
+    :func:`cosine_topk` / :func:`ivf_topk` /
+    :func:`~cow_spark.operators.dedup.semdedup` to run the whole
+    text → embedding → ANN / semantic-dedup loop inside the engine
+    (or as the fallback embedder when no model service exists).
+
+    Plan: explode → per-(doc, bucket) signed sums (the corpus shuffle
+    carries ≤ dim rows per doc) → one per-doc map_from_entries rebuild
+    into a dense array (zeros for untouched buckets). Documents with no
+    tokens get the zero vector — callers that cosine against it should
+    mind the 0-norm, exactly as with any degenerate embedding.
+    """
+    from ..functions.hashing import portable_hash60
+    from ..functions.text import normalize_text, tokens
+
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    ).select("doc_id", portable_hash60(F.col("term")).alias("_h"))
+    vals = (
+        hashed.select(
+            "doc_id", (F.col("_h") % dim).cast("int").alias("bucket"),
+            (1 - 2 * F.pmod(F.expr(f"_h div {dim}"), F.lit(2)))
+            .alias("sign"))
+        .groupBy("doc_id", "bucket").agg(F.sum("sign").alias("v"))
+    )
+    dense = (
+        vals.groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))).alias("_m"))
+        .select("doc_id", F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("int")),
+                F.lit(0)).cast("double")).alias("embedding"))
+    )
+    zeros = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.lit(0.0))
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(dense, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("embedding", zeros).alias("embedding"))
+    )

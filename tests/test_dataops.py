@@ -467,6 +467,40 @@ def test_exact_substring_dedup(spark):
     assert out[6].kept_tok == 0 and out[6].cleaned_text == ""
 
 
+def test_hashed_embeddings_twin_and_ann_loop(spark):
+    """Feature hashing matches a python twin, and composes with the ANN
+    family: near-identical documents are nearest neighbors in the hashed
+    space (text -> embedding -> cosine top-k, all in-engine)."""
+    from cow_spark.operators.simsearch import cosine_topk, hashed_embeddings
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "entirely different subject matter concerning tax law"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embeddings(df, dim=32)
+    got = {r.doc_id: list(r.embedding) for r in emb.collect()}
+
+    import hashlib
+    def twin(text):
+        v = [0.0] * 32
+        for t in (text or "").lower().split():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            v[h % 32] += 1 - 2 * ((h // 32) % 2)
+        return v
+    for d, text in rows:
+        assert got[d] == twin(text), d
+    assert got[4] == [0.0] * 32  # empty doc -> zero vector
+
+    near = emb.where(F.col("doc_id").isin(1, 2, 3))
+    top = {(r.query_id, r.rank): r.nbr_id
+           for r in cosine_topk(near, near.where("doc_id = 1"),
+                                k=2, id_col="doc_id").collect()}
+    assert top[(1, 1)] == 2  # the near-duplicate, not the tax doc
+
+
 def test_winnowing_guarantee_and_density(spark):
     """The winnowing guarantee: documents sharing a span of >= w+k-1
     tokens share at least one fingerprint (same gh, by construction the
