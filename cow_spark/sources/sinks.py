@@ -14,31 +14,45 @@ from pyspark.sql import functions as F
 from ..model import QUAD_COLS, to_nquads_lines
 
 
+_TABLE_FORMATS = ("parquet", "orc")  # built-in columnar scans with
+# predicate pushdown + partition pruning; avro/iceberg need jars the
+# offline sandbox lacks (see write_quads_iceberg's gate)
+
+
 def write_quads_table(
     quads: DataFrame,
     path: str,
     n_buckets: int = 64,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
-    """Quads → Parquet partitioned by a stable subject-hash bucket.
+    """Quads → columnar table (parquet or orc) partitioned by a stable
+    subject-hash bucket.
 
     Bucketing by hash(s) keeps each entity's triples co-located (point
     lookups prune to one directory) and spreads hot subjects' *files*
     evenly — at 100 TB the partition count stays fixed at n_buckets
     regardless of data volume, with many files per bucket.
     """
+    if fmt not in _TABLE_FORMATS:
+        raise ValueError(
+            f"unsupported table format {fmt!r}; use one of {_TABLE_FORMATS}")
     (
         quads.withColumn(
             "s_bucket", F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int")
         )
         .write.mode(mode)
         .partitionBy("s_bucket")
-        .parquet(path)
+        .format(fmt).save(path)
     )
 
 
-def read_quads_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).select(*QUAD_COLS)
+def read_quads_table(spark: SparkSession, path: str,
+                     fmt: str = "parquet") -> DataFrame:
+    if fmt not in _TABLE_FORMATS:
+        raise ValueError(
+            f"unsupported table format {fmt!r}; use one of {_TABLE_FORMATS}")
+    return spark.read.format(fmt).load(path).select(*QUAD_COLS)
 
 
 def compact_quads_table(

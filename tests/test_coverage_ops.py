@@ -362,6 +362,31 @@ def test_compact_quads_table_removes_cross_horizon_duplicates(spark, tmp_path):
     assert any(d.startswith("s_bucket=") for d in os.listdir(path))
 
 
+def test_quads_table_orc_round_trip(spark, tmp_path):
+    """ORC is the second supported columnar table format: identical
+    round trip, same bucket layout, same partition-pruned point
+    lookups; unknown formats are rejected loudly."""
+    import pytest
+
+    from cow_spark.sources.sinks import read_quads_table, write_quads_table
+
+    rows = [(None, f"https://e.com/{i}", "https://e.com/p", "lit",
+             f"v{i}", None, None) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    path = str(tmp_path / "quads_orc")
+    write_quads_table(df, path, n_buckets=4, fmt="orc")
+    back = read_quads_table(spark, path, fmt="orc")
+    assert sorted(r.s for r in back.collect()) == sorted(r[1] for r in rows)
+
+    import os
+    assert any(d.startswith("s_bucket=") for d in os.listdir(path))
+
+    with pytest.raises(ValueError, match="unsupported table format"):
+        write_quads_table(df, str(tmp_path / "x"), fmt="avro")
+
+
 def test_match_bgp_optional_and_not_exists(spark):
     from cow_spark.plans.bgp import match_bgp
 
