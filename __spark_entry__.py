@@ -1115,6 +1115,80 @@ left join vals v on g.doc_id = v.doc_id and g.idx = v.bucket
 """
 
 
+def q_literal_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-literal QA (plans/validate.py): quads with deterministic
+    dirty cells injected — integer lexicals with a trailing '.5',
+    month-13 dates, and an unregistered datatype — must surface exactly
+    those as violations."""
+    from cow_spark.plans.validate import XSD, validate_typed_literals
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    s = F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+    int_lex = F.when(F.col("doc_id") % 7 == 0,
+                     F.concat(F.col("n_chars").cast("string"), F.lit(".5"))
+                     ).otherwise(F.col("n_chars").cast("string"))
+    date_lex = F.when(F.col("doc_id") % 3 == 0, F.lit("2026-13-01")) \
+        .otherwise(F.lit("2026-08-17"))
+    always = F.array(
+        F.struct(F.lit(f"{BASE}/vocab/n_chars").alias("p"),
+                 int_lex.alias("o_lex"),
+                 F.lit(XSD + "integer").alias("o_dt")),
+        F.struct(F.lit(f"{BASE}/vocab/seen").alias("p"),
+                 date_lex.alias("o_lex"),
+                 F.lit(XSD + "date").alias("o_dt")))
+    custom = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.array(F.struct(F.lit(f"{BASE}/vocab/score").alias("p"),
+                         F.col("n_chars").cast("string").alias("o_lex"),
+                         F.lit(f"{BASE}/types/score").alias("o_dt")))
+    ).otherwise(F.array().cast(
+        "array<struct<p:string,o_lex:string,o_dt:string>>"))
+    quads = docs.select(
+        s.alias("s"), F.explode(F.concat(always, custom)).alias("q")
+    ).select("s", F.col("q.p").alias("p"), F.lit("lit").alias("o_kind"),
+             F.col("q.o_lex").alias("o_lex"), F.col("q.o_dt").alias("o_dt"),
+             F.lit(None).cast("string").alias("o_lang"),
+             F.lit(None).cast("string").alias("g"))
+    return validate_typed_literals(quads)
+
+
+def _sql_literal_validation() -> str:
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    return f"""
+with d as (select cast(doc_id as bigint) as doc_id, n_chars from documents),
+q as (
+  select '{BASE}/' || cast(doc_id as varchar) as s,
+         '{BASE}/vocab/n_chars' as p,
+         case when doc_id % 7 = 0
+              then cast(n_chars as varchar) || '.5'
+              else cast(n_chars as varchar) end as o_lex,
+         '{xsd}integer' as o_dt
+  from d
+  union all
+  select '{BASE}/' || cast(doc_id as varchar), '{BASE}/vocab/seen',
+         case when doc_id % 3 = 0 then '2026-13-01'
+              else '2026-08-17' end,
+         '{xsd}date'
+  from d
+  union all
+  select '{BASE}/' || cast(doc_id as varchar), '{BASE}/vocab/score',
+         cast(n_chars as varchar), '{BASE}/types/score'
+  from d where doc_id % 11 = 0
+)
+select s, p, o_lex, o_dt,
+       case when o_dt = '{BASE}/types/score' then 'unknown-datatype'
+            else 'invalid-lexical' end as reason
+from q
+where o_dt = '{BASE}/types/score'
+   or (o_dt = '{xsd}integer'
+       and not regexp_matches(o_lex, '^[+-]?[0-9]+$'))
+   or (o_dt = '{xsd}date'
+       and not regexp_matches(o_lex,
+         '^-?[0-9]{{4,}}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$'))
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -1847,16 +1921,20 @@ assigned as (
     from cosim
   ) where rk = 1
 ),
+normed as (
+  select vec_id, cell, csim,
+         list_transform(e, x -> x / sqrt(list_sum(
+           list_transform(e, t -> t * t)))) as u
+  from assigned
+),
 ok as (select cell from assigned group by cell having count(*) <= 100000),
-small as (select a.* from assigned a join ok using (cell)),
+small as (select n.* from normed n join ok using (cell)),
 dropped as (
   select distinct b.vec_id
   from small a join small b on a.cell = b.cell
   where (a.csim < b.csim or (a.csim = b.csim and a.vec_id < b.vec_id))
-    and round(list_sum(list_transform(generate_series(1, len(a.e)),
-                                      i -> a.e[i] * b.e[i])) /
-              (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
-               sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.2
+    and round(list_sum(list_transform(generate_series(1, len(a.u)),
+                                      i -> a.u[i] * b.u[i])), 6) >= 0.2
 )
 select a.vec_id, cast(a.cell as int) as cell,
        cast(floor(a.csim * 10000) as bigint) as csim4,
@@ -3303,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "split_assign": q_split_assign,
         "hashed_embeddings": q_hashed_embeddings,
+        "literal_validation": q_literal_validation,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3376,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow": _SQL_WINNOW,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "hashed_embeddings": _SQL_HASHED_EMB,
+        "literal_validation": _sql_literal_validation(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

@@ -696,13 +696,23 @@ def semdedup(
     with ``kept`` = 1 for survivors. Filter ``kept = 1`` for the
     deduplicated corpus; the full frame is the audit trail.
     """
-    from .simsearch import assign_cells, cosine, take_centroids
+    from .simsearch import assign_cells, take_centroids
 
     cents = (centroids if centroids is not None
              else take_centroids(df, n_cells, id_col, vec_col))
     # map-only assignment: reusing it below costs a second scan of the
     # input, never a repeated exchange (and nothing needs persisting)
     assigned = assign_cells(df, cents, id_col, vec_col)
+    # pre-normalize ONCE per row so the per-PAIR predicate is a single
+    # dot product — higher-order array expressions are interpreted, and
+    # computing two norms inside the quadratic verify was 3× the math
+    # where it hurts most (norm staged as a real column first: a lambda
+    # capturing the norm SUBTREE would re-evaluate it per element)
+    assigned = assigned.withColumn(
+        "_nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
+                                   lambda acc, x: acc + x * x))
+    ).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("_nrm")))
 
     # bounded cell guard (≤ |centroids| rows, broadcast): restricting the
     # *dominating* side to under-cap cells makes every member of an
@@ -715,16 +725,20 @@ def semdedup(
     )
     a = assigned.join(F.broadcast(ok), "cell").select(
         F.col(id_col).alias("_aid"), F.col("cell").alias("_acell"),
-        F.col("csim").alias("_acsim"), F.col("v").alias("_av"))
+        F.col("csim").alias("_acsim"), F.col("u").alias("_au"))
     higher_priority = (
         (F.col("_acsim") < F.col("csim"))
         | ((F.col("_acsim") == F.col("csim"))
            & (F.col("_aid") < F.col(id_col)))
     )
+    pair_cos = F.round(
+        F.aggregate(F.zip_with(F.col("_au"), F.col("u"),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
     cond = (
         (F.col("cell") == F.col("_acell"))
         & higher_priority
-        & (cosine(F.col("_av"), F.col("v")) >= eps)
+        & (pair_cos >= eps)
     )
     return (
         assigned.join(a, cond, "left")

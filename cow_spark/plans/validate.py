@@ -1,0 +1,80 @@
+"""Typed-literal validation for quad tables — the KG QA pass.
+
+The reference emits typed literals from CSV cells without checking that
+the lexical form actually inhabits the declared datatype (a dirty cell
+becomes `"3.7abc"^^xsd:integer` and every downstream consumer chokes at
+its own time). This audit finds them up front.
+
+Validation is by REGEX over the lexical form, not try_cast: cast
+leniency differs between engines ('+5', '3.7', whitespace), while a
+character-class regex in the Java∩RE2 subset evaluates identically in
+Spark and the DuckDB oracle. The check is lexical-space membership (for
+dates, including month/day digit ranges); calendar pathologies like
+Feb 31 are out of scope and documented as such.
+
+Known true positive on this engine's own output: the canonical
+timestamp rendering (`spec/templates.py:TS_FMT`, space-separated like
+COW emits from SQL-style cells) is NOT in xsd:dateTime's lexical space,
+which requires the 'T' separator — the validator flags those quads by
+design, exactly as it would flag the reference's. Declare such columns
+untyped or template the 'T' form if strict XSD consumers are downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# lexical-space patterns (Java ∩ RE2: no backrefs, no \d shorthand
+# ambiguity — explicit classes)
+DATATYPE_PATTERNS: dict[str, str] = {
+    XSD + "integer": r"^[+-]?[0-9]+$",
+    XSD + "int": r"^[+-]?[0-9]+$",
+    XSD + "long": r"^[+-]?[0-9]+$",
+    XSD + "nonNegativeInteger": r"^[+]?[0-9]+$",
+    XSD + "decimal": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$",
+    XSD + "double": (r"^([+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
+                     r"([eE][+-]?[0-9]+)?|[+-]?INF|NaN)$"),
+    XSD + "float": (r"^([+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
+                    r"([eE][+-]?[0-9]+)?|[+-]?INF|NaN)$"),
+    XSD + "boolean": r"^(true|false|0|1)$",
+    XSD + "date": r"^-?[0-9]{4,}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
+    XSD + "dateTime": (r"^-?[0-9]{4,}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+                       r"T([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
+                       r"(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$"),
+    XSD + "gYear": r"^-?[0-9]{4,}$",
+    XSD + "anyURI": r"^[A-Za-z][A-Za-z0-9+.-]*:",
+}
+
+
+def validate_typed_literals(quads: DataFrame) -> DataFrame:
+    """Audit every typed literal in a quads table against its declared
+    datatype's lexical space. Returns the VIOLATIONS —
+    ``(s, p, o_lex, o_dt, reason)`` with reason ``invalid-lexical`` —
+    plus ``unknown-datatype`` rows for datatypes this validator has no
+    pattern for (surfaced, not silently passed: an unknown datatype is
+    itself a spec smell worth seeing).
+
+    One scan, zero shuffles: the datatype dispatch compiles to a single
+    chained CASE over :data:`DATATYPE_PATTERNS` (vocabulary-sized,
+    literal — never a join), entirely inside whole-stage codegen.
+    """
+    lit_rows = quads.where(
+        (F.col("o_kind") == "lit") & F.col("o_dt").isNotNull())
+    ok = None
+    for dt, pat in DATATYPE_PATTERNS.items():
+        branch_ok = F.col("o_lex").rlike(pat)
+        cond = F.col("o_dt") == dt
+        ok = (F.when(cond, branch_ok) if ok is None
+              else ok.when(cond, branch_ok))
+    verdict = ok.otherwise(F.lit(None))  # NULL = unknown datatype
+    return (
+        lit_rows.withColumn("_ok", verdict)
+        .where(F.col("_ok").isNull() | ~F.col("_ok"))
+        .select(
+            "s", "p", "o_lex", "o_dt",
+            F.when(F.col("_ok").isNull(), F.lit("unknown-datatype"))
+            .otherwise(F.lit("invalid-lexical")).alias("reason"))
+    )

@@ -387,6 +387,41 @@ def test_quads_table_orc_round_trip(spark, tmp_path):
         write_quads_table(df, str(tmp_path / "x"), fmt="avro")
 
 
+def test_validate_typed_literals(spark):
+    """Literal QA: lexical-space regexes per XSD datatype, unknown
+    datatypes surfaced (not silently passed), plain/lang literals and
+    IRIs out of scope."""
+    from cow_spark.plans.validate import XSD, validate_typed_literals
+
+    rows = [
+        # (tag, o_kind, o_lex, o_dt) -> expect (None = no violation)
+        ("i-ok", "lit", "-42", XSD + "integer", None),
+        ("i-bad", "lit", "3.7", XSD + "integer", "invalid-lexical"),
+        ("i-junk", "lit", "12abc", XSD + "integer", "invalid-lexical"),
+        ("d-ok", "lit", "2026-02-28", XSD + "date", None),
+        ("d-bad", "lit", "2026-13-01", XSD + "date", "invalid-lexical"),
+        ("dt-ok", "lit", "2026-02-28T23:59:07Z", XSD + "dateTime", None),
+        ("b-ok", "lit", "true", XSD + "boolean", None),
+        ("b-bad", "lit", "yes", XSD + "boolean", "invalid-lexical"),
+        ("f-ok", "lit", "-1.5e3", XSD + "double", None),
+        ("f-inf", "lit", "INF", XSD + "double", None),
+        ("u-ok", "lit", "urn:x:y", XSD + "anyURI", None),
+        ("u-bad", "lit", "not a uri", XSD + "anyURI", "invalid-lexical"),
+        ("custom", "lit", "5", "https://e.com/dt", "unknown-datatype"),
+        ("plain", "lit", "whatever", None, None),   # untyped: out of scope
+        ("iri", "iri", "https://e.com/x", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(t, k, lx, dt) for t, k, lx, dt, _ in rows],
+        "s string, o_kind string, o_lex string, o_dt string",
+    ).withColumn("p", F.lit("https://e.com/p")) \
+     .withColumn("o_lang", F.lit(None).cast("string")) \
+     .withColumn("g", F.lit(None).cast("string"))
+    got = {r.s: r.reason for r in validate_typed_literals(df).collect()}
+    want = {t: exp for t, _, _, _, exp in rows if exp}
+    assert got == want
+
+
 def test_match_bgp_optional_and_not_exists(spark):
     from cow_spark.plans.bgp import match_bgp
 
