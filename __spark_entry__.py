@@ -1189,6 +1189,208 @@ where o_dt = '{BASE}/types/score'
 """
 
 
+def _sql_log2fp(e: str) -> str:
+    """DuckDB twin of functions/intmath.py:with_log2_fp (frac_bits=10):
+    bit-length integer part + 10 Q30 mantissa-squaring steps via
+    list_reduce. NB the struct_pack field ORDER: DuckDB evaluates the
+    lambda's fields sequentially and a later field sees the earlier
+    field's reassignment of `acc.m` — `f` must come before `m`."""
+    pow2 = "[" + ", ".join(str(2 ** i) for i in range(63)) + "]"
+    b = f"(length(bin(cast({e} as bigint))) - 1)"
+    m0 = (f"(case when {b} <= 30 "
+          f"then cast({e} as bigint) * ({pow2})[31 - {b}] "
+          f"else cast({e} as bigint) // ({pow2})[{b} - 29] end)")
+    red = (
+        "list_reduce(list_transform(range(11), "
+        f"i -> struct_pack(m := {m0}, f := cast(0 as bigint))), "
+        "(acc, x) -> struct_pack("
+        "f := acc.f * 2 + case when ((acc.m * acc.m) // 1073741824) "
+        ">= 2147483648 then 1 else 0 end, "
+        "m := case when ((acc.m * acc.m) // 1073741824) >= 2147483648 "
+        "then ((acc.m * acc.m) // 1073741824) // 2 "
+        "else ((acc.m * acc.m) // 1073741824) end))"
+    )
+    return f"({b} * 1024 + ({red}).f)"
+
+
+_BM25_QUERY = ["dup", "join", "window"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword scores (terms.py:bm25_scores) over a
+    mixed-frequency query — integer-exact idf via the mantissa-squaring
+    log2 kernel, so the oracle replays every score bit-for-bit."""
+    from cow_spark.operators.terms import bm25_scores
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return bm25_scores(docs, _BM25_QUERY)
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    idf_num = _sql_log2fp("2 * nn.N - 2 * df_t + 1")
+    idf_den = _sql_log2fp("2 * df_t + 1")
+    return rf"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+fq as (
+  select doc_id, len(t) as dl, unnest(t) as term from tk
+),
+tf as (
+  select doc_id, term, cast(count(*) as bigint) as tf,
+         max(dl) as dl
+  from fq where term in ({terms})
+  group by doc_id, term
+),
+stats as (select term, cast(count(*) as bigint) as df_t from tf
+          group by term),
+nn as (select cast(count(distinct doc_id) as bigint) as N from documents),
+tt as (select cast(sum(len(t)) as bigint) as T from tk),
+idf as (
+  select term, greatest({idf_num} - {idf_den}, 0) as idf_fp
+  from stats cross join nn
+),
+scored as (
+  select tf.doc_id, idf.idf_fp, tf.tf,
+         100 - 75 + (75 * tf.dl * nn.N) // tt.T as denom_h
+  from tf join idf using (term) cross join nn cross join tt
+),
+s2 as (
+  select doc_id,
+         (idf_fp * ((tf * (120 + 100) * 1000) //
+                    (tf * 100 + (120 * denom_h) // 100))) // 1000 as s
+  from scored
+)
+select doc_id, cast(count(*) as bigint) as n_hits,
+       cast(sum(s) as bigint) as score_fp
+from s2 group by doc_id
+"""
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking fused with a
+    hashed-embedding ANN ranking by reciprocal-rank fusion
+    (simsearch.py:rrf_fuse) — three operators composing end to end,
+    every stage integer-exact or exact-integer-valued doubles, so the
+    whole hybrid pipeline has a bit-exact DuckDB twin."""
+    from pyspark.sql.window import Window as W
+
+    from cow_spark.operators.simsearch import (
+        cosine_topk,
+        hashed_embeddings,
+        rrf_fuse,
+    )
+    from cow_spark.operators.terms import bm25_scores
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    kw = bm25_scores(docs, _BM25_QUERY)
+    kw_rank = (
+        kw.withColumn("rank", F.row_number().over(
+            W.orderBy(F.desc("score_fp"), F.asc("doc_id"))))
+        .where(F.col("rank") <= 20).select("doc_id", "rank")
+    )
+    emb = (hashed_embeddings(docs, dim=32)
+           .withColumnRenamed("doc_id", "vec_id")
+           # zero vectors (empty docs) have no cosine — NaN ordering
+           # differs across engines, so exclude them from retrieval
+           .where(F.exists("embedding", lambda x: x != 0)))
+    ann = cosine_topk(emb, emb.where(F.col("vec_id") == 7), k=20,
+                      id_col="vec_id")
+    ann_rank = ann.select(F.col("nbr_id").alias("doc_id"), "rank")
+    return rrf_fuse([kw_rank, ann_rank]).select(
+        "doc_id", "n_lists", "rrf_fp")
+
+
+def _sql_hybrid_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    idf_num = _sql_log2fp("2 * nn.N - 2 * df_t + 1")
+    idf_den = _sql_log2fp("2 * df_t + 1")
+    return rf"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+fq as (select doc_id, len(t) as dl, unnest(t) as term from tk),
+tf as (
+  select doc_id, term, cast(count(*) as bigint) as tf, max(dl) as dl
+  from fq where term in ({terms}) group by doc_id, term
+),
+stats as (select term, cast(count(*) as bigint) as df_t from tf
+          group by term),
+nn as (select cast(count(distinct doc_id) as bigint) as N from documents),
+tt as (select cast(sum(len(t)) as bigint) as T from tk),
+idf as (select term, greatest({idf_num} - {idf_den}, 0) as idf_fp
+        from stats cross join nn),
+scored as (
+  select tf.doc_id, idf.idf_fp, tf.tf,
+         100 - 75 + (75 * tf.dl * nn.N) // tt.T as denom_h
+  from tf join idf using (term) cross join nn cross join tt
+),
+bm as (
+  select doc_id,
+         cast(sum((idf_fp * ((tf * 220 * 1000) //
+              (tf * 100 + (120 * denom_h) // 100))) // 1000) as bigint)
+           as score_fp
+  from scored group by doc_id
+),
+kwrank as (
+  select doc_id, rank from (
+    select doc_id, cast(row_number() over
+      (order by score_fp desc, doc_id) as int) as rank from bm
+  ) where rank <= 20
+),
+hh as (
+  select doc_id,
+         cast(concat('0x', substr(md5(term), 1, 15)) as bigint) as h
+  from fq
+),
+vals as (
+  select doc_id, cast(h % 32 as int) as bucket,
+         cast(sum(1 - 2 * ((h // 32) % 2)) as double) as v
+  from hh group by doc_id, bucket
+),
+nrm as (select doc_id, sqrt(sum(v * v)) as nd from vals group by doc_id),
+qv as (select bucket, v from vals where doc_id = 7),
+qn as (select nd as nq from nrm where doc_id = 7),
+dots as (
+  select vals.doc_id, sum(vals.v * qv.v) as dp
+  from vals join qv using (bucket)
+  where vals.doc_id <> 7
+  group by vals.doc_id
+),
+cosr as (
+  select n.doc_id,
+         round(coalesce(d.dp, 0) / (n.nd * q.nq), 6) as cosine
+  from nrm n left join dots d using (doc_id) cross join qn q
+  where n.nd > 0 and n.doc_id <> 7
+),
+annrank as (
+  select doc_id, rank from (
+    select doc_id, cast(row_number() over
+      (order by cosine desc, doc_id) as int) as rank from cosr
+  ) where rank <= 20
+),
+edges as (
+  select doc_id, 1000000 // (60 + rank) as c from kwrank
+  union all
+  select doc_id, 1000000 // (60 + rank) from annrank
+)
+select doc_id, cast(count(*) as bigint) as n_lists,
+       cast(sum(c) as bigint) as rrf_fp
+from edges group by doc_id
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -3382,6 +3584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "hashed_embeddings": q_hashed_embeddings,
         "literal_validation": q_literal_validation,
+        "bm25": q_bm25,
+        "hybrid_search": q_hybrid_search,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "simhash": q_simhash,
@@ -3456,6 +3660,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _SQL_SPLIT_ASSIGN,
         "hashed_embeddings": _SQL_HASHED_EMB,
         "literal_validation": _sql_literal_validation(),
+        "bm25": _sql_bm25(),
+        "hybrid_search": _sql_hybrid_search(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_bands": _sql_minhash_bands(),
         "simhash": _sql_simhash(),

@@ -1,0 +1,75 @@
+"""Exact fixed-point integer math kernels.
+
+``log2_fp`` computes ``~floor(2^frac_bits * log2(v))`` for integer v >= 1
+with PURE integer arithmetic (bit-length + Q30 mantissa squaring) — no
+libm anywhere, so Spark and DuckDB produce bit-identical values where a
+float ``log()`` differs in the last ulp across platforms and flips
+floor() boundaries. Deviation from the mathematical floor is at most 1
+unit (mantissa truncation), and — the property that matters — it is the
+SAME deviation in every engine.
+
+The mantissa-squaring recurrence reuses its state each step, so it
+cannot be one nested Column expression (the tree would double per step);
+:func:`with_log2_fp` stages each step as a real column. Intended for
+vocabulary-sized frames (term statistics, model tables), where 10 staged
+integer columns are free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q = 30          # mantissa fixed-point: m in [2^30, 2^31)
+_POW2 = [2 ** i for i in range(63)]
+
+
+def with_log2_fp(df: DataFrame, src: str, out: str,
+                 frac_bits: int = 10) -> DataFrame:
+    """Add ``out`` = fixed-point log2 of integer column ``src`` (>= 1),
+    in units of ``1 / 2**frac_bits`` bits. Rows where ``src`` is NULL
+    or < 1 get NULL."""
+    pow2 = F.array(*[F.lit(p) for p in _POW2])
+    v = F.col(src).cast("bigint")
+    b = (F.length(F.bin(v)) - 1).alias("_l2b")
+    df = df.withColumn("_l2b", b)
+    m0 = F.when(
+        F.col("_l2b") <= Q,
+        v * F.element_at(pow2, (Q + 1 - F.col("_l2b")).cast("int"))
+    ).otherwise(
+        F.expr(f"{src} div element_at("
+               f"array({', '.join(str(p) + 'L' for p in _POW2)}), "
+               f"cast(_l2b - {Q - 1} as int))"))
+    df = df.withColumn("_l2m", m0).withColumn("_l2f", F.lit(0).cast("bigint"))
+    for _ in range(frac_bits):
+        m2 = F.expr(f"(_l2m * _l2m) div {2 ** Q}")
+        hi = m2 >= 2 ** (Q + 1)
+        df = (df.withColumn("_l2f",
+                            F.col("_l2f") * 2 + F.when(hi, 1).otherwise(0))
+              .withColumn("_l2m",
+                          F.when(hi, F.expr(f"((_l2m * _l2m) div {2 ** Q}) div 2"))
+                          .otherwise(m2).cast("bigint")))
+    return (
+        df.withColumn(
+            out,
+            F.when(v >= 1,
+                   F.col("_l2b") * (2 ** frac_bits) + F.col("_l2f"))
+            .otherwise(F.lit(None).cast("bigint")))
+        .drop("_l2b", "_l2m", "_l2f")
+    )
+
+
+def log2_fp_py(v: int, frac_bits: int = 10) -> int:
+    """Python twin of :func:`with_log2_fp` (tests, driver-side checks)."""
+    if v < 1:
+        raise ValueError("log2_fp_py requires v >= 1")
+    b = v.bit_length() - 1
+    m = v * (1 << (Q - b)) if b <= Q else v // (1 << (b - Q))
+    frac = 0
+    for _ in range(frac_bits):
+        m = (m * m) >> Q
+        frac <<= 1
+        if m >= (1 << (Q + 1)):
+            frac |= 1
+            m >>= 1
+    return (b << frac_bits) + frac

@@ -376,3 +376,38 @@ def hashed_embeddings(
         .select("doc_id",
                 F.coalesce("embedding", zeros).alias("embedding"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine any number
+    of rankings — BM25 keyword, embedding ANN, recency, … — into
+    ``rrf_fp = Σ_r scale div (k + rank_r)``, the standard hybrid-search
+    merge (rank-based, so wildly different score scales never need
+    calibration). Integer div keeps it engine-exact.
+
+    Each input frame is ``(id_col, rank)`` with rank >= 1. Returns
+    ``(id_col, n_lists, rrf_fp)`` — n_lists = how many rankings contain
+    the id (ties in rrf_fp break naturally on it downstream). Inputs
+    are separate retrieval pipelines by contract; the union is over
+    ranking-sized frames (top-k each), not corpora.
+    """
+    if not rankings:
+        raise ValueError("no rankings to fuse")
+    parts = [
+        r.select(F.col(id_col),
+                 F.expr(f"{scale} div ({k} + rank)").alias("_c"))
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return (
+        allr.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_lists"),
+             F.sum("_c").cast("long").alias("rrf_fp"))
+    )

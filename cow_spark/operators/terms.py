@@ -358,3 +358,80 @@ def bigram_surprisal(
             F.expr(f"bits_sum * {SCALE} div n_bigrams").alias("score_fp"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_fp: int = 120,
+    b_fp: int = 75,
+) -> DataFrame:
+    """Okapi BM25 keyword retrieval scores, integer-exact end to end:
+    ``(doc_id, n_hits, score_fp)`` for every document matching at least
+    one query term. The keyword half of hybrid search (fuse with an
+    embedding ranking via :func:`rrf_fuse`).
+
+    Arithmetic (all bigint, no libm):
+    - idf in 1/1024-bit units via the exact mantissa-squaring log2
+      kernel (:mod:`..functions.intmath`):
+      ``max(0, log2fp(2N−2df+1) − log2fp(2df+1))`` — Robertson idf with
+      the ±0.5 folded into integers; terms in every document score 0.
+    - tf saturation with k1/b as hundredths (k1=1.2 → 120):
+      ``denom_h = 100 − b_fp + (b_fp·dl·N) div T`` (dl/avgdl = dl·N/T),
+      ``tfsat = tf·(k1_fp+100)·1000 div (tf·100 + k1_fp·denom_h div 100)``.
+    - score_fp = Σ idf_fp · tfsat div 1000 (1/1024-bit units).
+
+    Plan: one explode filtered to the literal query-term set (the
+    filter sits on the exploded stream, so non-query terms never enter
+    a shuffle), per-(doc, term) tf carrying doc length; the per-term
+    stats table is |query|-sized — the log2 kernel's staged columns run
+    there, then broadcast back. Corpus totals (N driver-side count,
+    T one partial agg) ride a broadcast cross join.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    q = sorted({t.lower() for t in query_terms})
+    if not q:
+        raise ValueError("empty query")
+    n_docs = df.select(F.col(id_col)).distinct().count()
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    rows = (
+        toks.select("doc_id", F.size("_t").alias("dl"),
+                    F.explode("_t").alias("term"))
+        .where(F.col("term").isin(q))
+    )
+    tf = rows.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl"))
+
+    stats = (
+        tf.groupBy("term").agg(F.count("*").alias("df_t"))
+        .withColumn("_num", 2 * n_docs - 2 * F.col("df_t") + 1)
+        .withColumn("_den", 2 * F.col("df_t") + 1)
+    )
+    stats = with_log2_fp(stats, "_num", "_lnum")
+    stats = with_log2_fp(stats, "_den", "_lden")
+    stats = stats.select(
+        "term", F.greatest(F.col("_lnum") - F.col("_lden"),
+                           F.lit(0)).alias("idf_fp"))
+
+    totals = toks.agg(F.sum(F.size("_t")).cast("long").alias("T"))
+    scored = (
+        tf.join(F.broadcast(stats), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_denom_h",
+                    F.expr(f"100 - {b_fp} + ({b_fp} * dl * {n_docs}) div T"))
+        .withColumn("_tfsat",
+                    F.expr(f"(tf * ({k1_fp} + 100) * 1000) div "
+                           f"(tf * 100 + ({k1_fp} * _denom_h) div 100)"))
+        .withColumn("_s", F.expr("(idf_fp * _tfsat) div 1000"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"),
+             F.sum("_s").cast("long").alias("score_fp"))
+    )

@@ -413,3 +413,82 @@ def test_surprisal_buckets_partition(spark):
     # exact thirds: percentile_disc(1/3) of 9 values is the 3rd
     n_head = sum(b == "head" for b in buckets)
     assert n_head == sum(1 for s, _ in scored if s <= scored[2][0])
+
+
+def test_log2_fp_kernel_matches_python_twin(spark):
+    """The mantissa-squaring log2 kernel: Spark == python twin exactly,
+    and both within 1/1024 bit of the mathematical floor."""
+    import math
+
+    from cow_spark.functions.intmath import log2_fp_py, with_log2_fp
+
+    vals = [1, 2, 3, 5, 7, 10, 63, 64, 65, 999, 12345, 2**31 - 1,
+            2**40 + 7, 2**62 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.l for r in with_log2_fp(df, "v", "l").collect()}
+    for v in vals:
+        assert got[v] == log2_fp_py(v), v
+        assert abs(got[v] - math.floor(1024 * math.log2(v))) <= 1, v
+
+
+def test_bm25_scores_match_python_twin(spark):
+    from cow_spark.functions.intmath import log2_fp_py
+    from cow_spark.operators.terms import bm25_scores
+
+    texts = {
+        1: "spark join engine join join performance",
+        2: "window functions and the join planner",
+        3: "totally unrelated prose about cooking pasta",
+        4: "join",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.score_fp)
+           for r in bm25_scores(df, ["join", "window"]).collect()}
+
+    N = len(texts)
+    toks = {d: t.split() for d, t in texts.items()}
+    T = sum(len(t) for t in toks.values())
+    for q in ("join", "window"):
+        pass
+    want = {}
+    for d, t in toks.items():
+        score, hits = 0, 0
+        for q in ("join", "window"):
+            tf = t.count(q)
+            if not tf:
+                continue
+            hits += 1
+            df_t = sum(1 for tt in toks.values() if q in tt)
+            idf = max(log2_fp_py(2 * N - 2 * df_t + 1)
+                      - log2_fp_py(2 * df_t + 1), 0)
+            denom_h = 100 - 75 + (75 * len(t) * N) // T
+            tfsat = (tf * 220 * 1000) // (tf * 100 + (120 * denom_h) // 100)
+            score += (idf * tfsat) // 1000
+        if hits:
+            want[d] = (hits, score)
+    assert got == want
+    assert 3 not in got                 # no query terms -> no row
+    # 'join' is in 3 of 4 docs: Robertson idf goes negative and floors
+    # to 0, so the common term scores nothing — the doc holding the
+    # rare term 'window' outranks the join-heavy doc
+    assert got[1][1] == 0 and got[2][1] > 0
+
+
+def test_rrf_fuse_semantics(spark):
+    import pytest
+
+    from cow_spark.operators.simsearch import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+    got = {r.doc_id: (r.n_lists, r.rrf_fp)
+           for r in rrf_fuse([a, b]).collect()}
+    S = 1_000_000
+    assert got == {
+        10: (1, S // 61), 11: (2, S // 62 + S // 61),
+        12: (1, S // 63), 13: (1, S // 62),
+    }
+    assert max(got, key=lambda d: got[d][1]) == 11  # in both lists -> wins
+    with pytest.raises(ValueError):
+        rrf_fuse([])
