@@ -51,6 +51,7 @@ HEADLINE = [
     "decontamination",
     "line_dedup",
     "substring_dedup",
+    "bm25",
     "asof_join",
     "sessionize",
     "lm_surprisal",

@@ -328,3 +328,67 @@ def test_near_duplicate_groups_invariants(spark, texts):
     gid_of = {r.doc_id: r.group_id for r in rows}
     for same in by_text.values():
         assert len({gid_of[i] for i in same}) == 1, (texts, rows)
+
+
+# --- exact-substring dedup vs python twin ---------------------------------
+
+_WORD = st.sampled_from(["a", "b", "c", "dd", "ee", "ff"])
+_DOC_TOKS = st.lists(_WORD, min_size=0, max_size=14)
+
+
+@given(st.lists(_DOC_TOKS, min_size=1, max_size=6), st.integers(2, 4))
+@settings(max_examples=40, deadline=None)
+def test_remove_duplicated_spans_matches_python(spark, docs_toks, k):
+    """remove_duplicated_spans == brute-force python twin on random
+    corpora from a tiny alphabet (duplicated k-grams are common, so the
+    island-merge and coverage logic is exercised hard)."""
+    from collections import Counter
+
+    from cow_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.kept_tok, r.cleaned_text)
+           for r in remove_duplicated_spans(df, k=k).collect()}
+
+    grams = Counter()
+    for t in docs_toks:
+        for i in range(len(t) - k + 1):
+            grams[tuple(t[i:i + k])] += 1
+    for d, t in enumerate(docs_toks):
+        covered = [False] * len(t)
+        for i in range(len(t) - k + 1):
+            if grams[tuple(t[i:i + k])] >= 2:
+                for j in range(i, i + k):
+                    covered[j] = True
+        keep = [w for w, c in zip(t, covered) if not c]
+        assert got[d] == (len(keep), " ".join(keep)), (d, t, k)
+
+
+@given(st.lists(_DOC_TOKS, min_size=1, max_size=5),
+       st.integers(2, 3), st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_winnowing_subset_and_guarantee(spark, docs_toks, k, w):
+    """Winnowing picks are a subset of the doc's k-gram positions, at
+    least one per full window, and every k-gram shared between two docs
+    whose window happens to select it in both is discoverable — the
+    hard guarantee (span >= w+k-1) is pinned in the unit test; here we
+    fuzz structural invariants on random corpora."""
+    from cow_spark.operators.dedup import winnowing_fingerprints
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    picks = {}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        picks.setdefault(r.doc_id, set()).add(r.pos)
+    for d, t in enumerate(docs_toks):
+        n_grams = len(t) - k + 1
+        got = picks.get(d, set())
+        if n_grams < w:
+            assert got == set(), (d, t)
+            continue
+        # subset of valid positions
+        assert all(0 <= p <= n_grams - 1 for p in got), (d, got)
+        # every full window [j-w+1, j] contains a pick
+        for j in range(w - 1, n_grams):
+            assert any(j - w + 1 <= p <= j for p in got), (d, j, got)
