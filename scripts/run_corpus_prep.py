@@ -2,10 +2,14 @@
 
 The training-data side of the engine, composed end-to-end::
 
-    boilerplate line removal → quality gate → PII redaction
-    → benchmark decontamination → near-dup dedup (canonical survivors)
-    → stratified sampling → sequence packing
+    [markup strip] → boilerplate line removal → [duplicated-span cut]
+    → quality gate → PII redaction → benchmark decontamination
+    → near-dup dedup (canonical survivors) → stratified sampling
+    → [leakage-safe train/val/test split] → sequence packing
     → packed-corpus manifest + audit stats
+
+(bracketed stages opt-in; the split is keyed on the post-clean
+fingerprint so residual exact duplicates can never straddle splits)
 
 Cluster deployment mirrors run_pipeline.py (spark-submit --py-files);
 local smoke::
@@ -39,6 +43,9 @@ def prepare_corpus(
     min_tokens: int = 5,
     audit_counts: bool = True,
     line_dedup_min_repeats: int | None = 3,
+    strip_markup_input: bool = False,
+    substring_dedup_k: int | None = None,
+    split_fractions: dict[str, float] | None = None,
 ):
     """documents(doc_id, text, source?) → (packed plan, audit dict).
 
@@ -63,7 +70,14 @@ def prepare_corpus(
     def _n(d):
         return d.count() if audit_counts else -1
 
-    audit: dict[str, int] = {"input": _n(docs)}
+    audit: dict = {"input": _n(docs)}
+
+    if strip_markup_input:
+        # crawl-shaped input: extract text from markup before any
+        # text-based judgment (quality ratios on raw HTML are garbage)
+        from cow_spark.functions.text import strip_markup
+
+        docs = docs.withColumn("text", strip_markup(F.col("text")))
 
     if line_dedup_min_repeats:
         # C4 order: strip corpus-level boilerplate LINES before any
@@ -75,6 +89,19 @@ def prepare_corpus(
             int(cleaned.agg(F.sum("n_removed")).first()[0] or 0)
             if audit_counts else -1)
         docs = cleaned.select("doc_id", "text").join(
+            docs.drop("text"), "doc_id")
+
+    if substring_dedup_k:
+        # span-level complement of the line rule: cut every k-token
+        # passage duplicated anywhere in the corpus (Lee et al. 2022)
+        from cow_spark.operators.dedup import remove_duplicated_spans
+
+        spans = remove_duplicated_spans(docs, k=substring_dedup_k)
+        audit["substring_tokens_removed"] = (int(
+            spans.agg(F.sum(F.col("n_tok") - F.col("kept_tok")))
+            .first()[0] or 0) if audit_counts else -1)
+        docs = spans.select(
+            "doc_id", F.col("cleaned_text").alias("text")).join(
             docs.drop("text"), "doc_id")
 
     kept = quality_filter(docs, min_tokens=min_tokens).where(F.col("keep"))
@@ -101,8 +128,21 @@ def prepare_corpus(
         docs = stratified_sample(docs, rates, default_rate=default_rate)
         audit["after_sampling"] = _n(docs)
 
+    if split_fractions:
+        from cow_spark.functions.text import fingerprint
+        from cow_spark.operators.corpus import hash_split
+
+        docs = hash_split(
+            docs.withColumn("_fp", fingerprint(F.col("text"))),
+            split_fractions, group_col="_fp").drop("_fp")
+        if audit_counts:
+            audit["split_sizes"] = {
+                r["split"]: r["count"]
+                for r in docs.groupBy("split").count().collect()}
+
     packed = pack_sequences(docs, context=context, n_shards=n_shards).join(
-        docs.select("doc_id", "text"), "doc_id")
+        docs.select("doc_id", "text",
+                    *(["split"] if split_fractions else [])), "doc_id")
     audit["packed_docs"] = audit.get("after_sampling", audit["after_dedup"])
     return packed, audit
 
@@ -142,7 +182,10 @@ def main() -> None:
     packed, audit = prepare_corpus(
         spark, docs, benchmark=bench, rates=rates,
         default_rate=default_rate, context=args.context,
-        n_shards=args.shards)
+        n_shards=args.shards,
+        substring_dedup_k=(8 if args.demo else None),
+        split_fractions=({"train": 0.9, "val": 0.05, "test": 0.05}
+                         if args.demo else None))
     packed.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(args.output, "packed"))
     print(json.dumps(audit))

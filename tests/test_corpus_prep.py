@@ -41,3 +41,31 @@ def test_prepare_corpus_demo_shape(spark):
         for r in rs:
             assert r["start_off"] == off
             off += r["n_tokens"]
+
+
+def test_prepare_corpus_with_span_dedup_and_split(spark):
+    """Opt-in stages: markup strip feeds clean text into the gates,
+    duplicated spans are cut before quality judgment, and the split
+    column rides through packing (straddle-safety itself is pinned in
+    test_hash_split_leakage_guard_and_proportions — here the dup is
+    removed by the dedup stage before the split even runs)."""
+    rows = []
+    boiler = "subscribe to our newsletter for daily updates today friends"
+    for i in range(40):
+        body = " ".join(f"w{i}x{j}" for j in range(30))
+        rows.append((i, f"<html><p>{body} {boiler}</p></html>", "web"))
+    rows.append((100, rows[0][1], "web"))  # exact dup: dedup keeps one
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    packed, audit = prepare_corpus(
+        spark, docs, context=128, n_shards=2, audit_counts=True,
+        line_dedup_min_repeats=None, strip_markup_input=True,
+        substring_dedup_k=8,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+
+    assert audit["substring_tokens_removed"] > 0        # boiler cut
+    assert sum(audit["split_sizes"].values()) == audit["after_dedup"]
+    got = {r["doc_id"]: r for r in packed.collect()}
+    assert all("<" not in r["text"] for r in got.values())  # markup gone
+    assert all(boiler not in r["text"] for r in got.values())
+    assert all(r["split"] in ("train", "val", "test") for r in got.values())
