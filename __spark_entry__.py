@@ -3555,6 +3555,45 @@ select distinct '{BASE}/g/construct' as g, s, p, o_kind, o_lex from t
 """
 
 
+def q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path BGP (bgp.py:match_bgp with a `+` predicate): the
+    ancestor closure of a binary-tree hierarchy built over the
+    documents ids — ?a ex:under+ ?b binds every (node, ancestor)."""
+    from cow_spark.plans.bgp import match_bgp
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    quads = docs.where(F.col("doc_id") >= 1).select(
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("s"),
+        F.lit(f"{BASE}/vocab/under").alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit(f"{BASE}/"),
+                 (F.col("doc_id") / 2).cast("long").cast("string"))
+        .alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g"))
+    return match_bgp(quads, [("?a", f"{BASE}/vocab/under+", "?b")])
+
+
+_SQL_PATH_QUERY = f"""
+with recursive edges as (
+  select cast(doc_id as bigint) as src,
+         cast(doc_id as bigint) // 2 as dst
+  from documents where cast(doc_id as bigint) >= 1
+),
+reach(src, dst) as (
+  select src, dst from edges
+  union
+  select r.src, e.dst from reach r join edges e on r.dst = e.src
+)
+select distinct '{BASE}/' || cast(src as varchar) as a,
+                '{BASE}/' || cast(dst as varchar) as b
+from reach where src <> dst
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3618,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bgp_aggregate": q_bgp_aggregate,
         "construct": q_construct,
+        "path_query": q_path_query,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -3694,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "bgp_aggregate": _sql_bgp_aggregate(),
         "construct": _sql_construct(),
+        "path_query": _SQL_PATH_QUERY,
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

@@ -41,6 +41,41 @@ def _resolve(term: str, namespaces: dict[str, str] | None) -> str:
     return term
 
 
+def _path_bindings(quads, s, p, o, namespaces):
+    """Bindings of a one-or-more property-path pattern ``(s, base+, o)``
+    — or the existence boolean for the all-constant case. The closure
+    (``canon.transitive_pairs``, path doubling) materializes eagerly;
+    edges are the base predicate's IRI-object triples."""
+    from ..operators.canon import transitive_pairs
+
+    base = _resolve(p[:-1], namespaces)
+    edges = (quads.where((F.col("p") == base) & (F.col("o_kind") == "iri"))
+             .select(F.col("s").alias("src"), F.col("o_lex").alias("dst")))
+    closure = transitive_pairs(edges)
+    cols = []
+    if _is_var(s):
+        if not s[1:]:
+            raise ValueError(f"unnamed variable in pattern {(s, p, o)}")
+        cols.append(F.col("src").alias(s[1:]))
+    else:
+        closure = closure.where(F.col("src") == _resolve(s, namespaces))
+    if _is_var(o):
+        name = o[1:]
+        if not name:
+            raise ValueError(f"unnamed variable in pattern {(s, p, o)}")
+        if _is_var(s) and name == s[1:]:
+            # ?x base+ ?x: cyclic self-reachability — the closure drops
+            # self-pairs (documented deviation), so this is empty
+            closure = closure.where(F.col("src") == F.col("dst"))
+        else:
+            cols.append(F.col("dst").alias(name))
+    else:
+        closure = closure.where(F.col("dst") == _resolve(o, namespaces))
+    if not cols:
+        return closure.limit(1).count() > 0
+    return closure.select(*cols).dropDuplicates()
+
+
 def match_bgp(
     quads: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -67,9 +102,16 @@ def match_bgp(
     stay NULL otherwise (left join per pattern on the shared vars —
     SPARQL OPTIONAL for the single-pattern case). ``not_exists``:
     patterns whose match REMOVES a binding row (left-anti join —
-    FILTER NOT EXISTS). Both join on the variables shared with the
-    required bindings; unshared vars in not_exists patterns act as
-    existential wildcards.
+    FILTER NOT EXISTS). Both join on the shared variables; unshared
+    vars in not_exists patterns act as existential wildcards.
+
+    Property paths: a constant predicate ending in ``+`` (``ex:under+``)
+    matches one-or-more hops of the base predicate over IRI objects —
+    the bindings come from ``canon.transitive_pairs`` (path doubling;
+    runs EAGERLY at plan-build time, log-depth rounds). Deviation from
+    SPARQL: a node cyclically reachable from itself is NOT returned as
+    ``(x, x)`` (the closure drops self-pairs), and only ``+`` is
+    supported (``*``/``?``/alternation are not).
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -83,6 +125,19 @@ def match_bgp(
     order = ([t for t in order if any(_is_var(x) for x in t)]
              + [t for t in order if not any(_is_var(x) for x in t)])
     for s, p, o in order:
+        if (isinstance(p, str) and not _is_var(p) and len(p) > 1
+                and p.endswith("+")):
+            part = _path_bindings(quads, s, p, o, namespaces)
+            if isinstance(part, bool):  # all-constant: existence gate
+                gates_failed = gates_failed or not part
+                continue
+            if out is None:
+                out = part
+            else:
+                shared = sorted(set(out.columns) & set(part.columns))
+                out = (out.join(part, shared) if shared
+                       else out.crossJoin(part))
+            continue
         df = quads
         cols = []
         seen: set[str] = set()

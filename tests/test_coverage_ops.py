@@ -387,6 +387,56 @@ def test_quads_table_orc_round_trip(spark, tmp_path):
         write_quads_table(df, str(tmp_path / "x"), fmt="avro")
 
 
+def test_match_bgp_property_path(spark):
+    """`pred+` patterns: one-or-more hops over IRI objects, constants
+    on either end, conjunction with plain patterns, and the existence
+    gate; cycles do not yield self-pairs (documented deviation)."""
+    from cow_spark.plans.bgp import match_bgp
+
+    EX = "https://example.com/v/"
+    A, B, C, D = (f"https://example.com/{x}" for x in "abcd")
+    rows = [
+        (None, A, EX + "under", "iri", B, None, None),
+        (None, B, EX + "under", "iri", C, None, None),
+        (None, D, EX + "under", "iri", C, None, None),
+        # a cycle: c -> a
+        (None, C, EX + "under", "iri", A, None, None),
+        (None, A, EX + "name", "lit", "Ada", None, None),
+        # a literal object with the same predicate must NOT be an edge
+        (None, D, EX + "under", "lit", "not-an-iri", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    ns = {"ex": EX}
+
+    got = {(r.x, r.y) for r in
+           match_bgp(q, [("?x", "ex:under+", "?y")], namespaces=ns).collect()}
+    # closure of a->b->c->a plus d->c, WITHOUT self-pairs
+    want = {(s, t) for s in (A, B, C) for t in (A, B, C) if s != t}
+    want |= {(D, C), (D, A), (D, B)}
+    assert got == want
+
+    # constant endpoint + conjunction with a plain pattern
+    got2 = {(r.x, r.n) for r in match_bgp(q, [
+        ("?x", "ex:under+", C),
+        ("?x", "ex:name", "?n"),
+    ], namespaces=ns).collect()}
+    assert got2 == {(A, "Ada")}
+
+    # all-constant path pattern = existence gate
+    ok = match_bgp(q, [(A, "ex:under+", C), ("?x", "ex:name", "?n")],
+                   namespaces=ns)
+    assert ok.count() == 1
+    missing = match_bgp(q, [(C, "ex:under+", D), ("?x", "ex:name", "?n")],
+                        namespaces=ns)
+    assert missing.count() == 0
+
+    # ?x under+ ?x — cyclic self-reachability deliberately empty
+    assert match_bgp(q, [("?x", "ex:under+", "?x")],
+                     namespaces=ns).count() == 0
+
+
 def test_validate_typed_literals(spark):
     """Literal QA: lexical-space regexes per XSD datatype, unknown
     datatypes surfaced (not silently passed), plain/lang literals and
