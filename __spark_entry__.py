@@ -1892,6 +1892,86 @@ where len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
 # ---------------------------------------------------------------------------
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verify (dedup.py:containment_pairs) over
+    winnowing-fingerprint candidates — the documented seeding path for
+    small-inside-large matches that resemblance-based LSH misses."""
+    from cow_spark.operators.dedup import (
+        containment_pairs,
+        winnowing_fingerprints,
+    )
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    fp = winnowing_fingerprints(docs, k=5, w=4)
+    cand = (
+        fp.alias("a").join(fp.alias("b"), "gh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    out = containment_pairs(docs, cand, n=3)
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("cont_a_in_b") * 10000).cast("long").alias("ca4"),
+        F.floor(F.col("cont_b_in_a") * 10000).cast("long").alias("cb4"))
+
+
+_SQL_CONTAINMENT = r"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+kg as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+           i -> struct_pack(pos := i - 1,
+                            gram := array_to_string(t[i:i+4], ' ')))) as u
+  from tk where len(t) >= 5
+),
+kh as (
+  select doc_id, u.pos as pos,
+         cast(concat('0x', substr(md5(u.gram), 1, 15)) as bigint) as gh
+  from kg
+),
+win as (
+  select doc_id, pos as at_pos,
+         min(struct_pack(gh := gh, np := -pos)) over (
+           partition by doc_id order by pos
+           rows between 3 preceding and current row) as m
+  from kh
+),
+wf as (select distinct doc_id, m.gh as gh from win where at_pos >= 3),
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from wf a join wf b on a.gh = b.gh and a.doc_id < b.doc_id
+),
+sh as (
+  select doc_id, list_distinct(
+    case when len(t) >= 3 then
+      list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    when len(t) > 0 then [array_to_string(t, ' ')]
+    else [] end) as sh
+  from tk
+)
+select p.id_a, p.id_b,
+       cast(floor(round(case when len(sa.sh) > 0 then
+         len(list_intersect(sa.sh, sb.sh)) / cast(len(sa.sh) as double)
+         else 0 end, 6) * 10000) as bigint) as ca4,
+       cast(floor(round(case when len(sb.sh) > 0 then
+         len(list_intersect(sa.sh, sb.sh)) / cast(len(sb.sh) as double)
+         else 0 end, 6) * 10000) as bigint) as cb4
+from pairs p
+join sh sa on sa.doc_id = p.id_a
+join sh sb on sb.doc_id = p.id_b
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 3 vectors."""
     from cow_spark.operators.simsearch import dot, norm
@@ -3620,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "bigram_lm": q_bigram_lm,
         "winnow": q_winnow,
+        "containment": q_containment,
         "split_assign": q_split_assign,
         "hashed_embeddings": q_hashed_embeddings,
         "literal_validation": q_literal_validation,
@@ -3697,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _SQL_SUBSTRING_DEDUP,
         "bigram_lm": _SQL_BIGRAM_LM,
         "winnow": _SQL_WINNOW,
+        "containment": _SQL_CONTAINMENT,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "hashed_embeddings": _SQL_HASHED_EMB,
         "literal_validation": _sql_literal_validation(),

@@ -385,6 +385,60 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with word-n-gram Jaccard CONTAINMENT —
+    the asymmetric complement of :func:`jaccard_pairs`. Resemblance
+    misses the quote/subset case entirely (a paragraph embedded in a
+    long document has tiny Jaccard but containment ≈ 1), so this is the
+    verifier for quote detection, near-containment dedup of expanded
+    revisions, and wrapper-page collapse.
+
+    Returns ``(id_a, id_b, cont_a_in_b, cont_b_in_a)`` — both
+    directions from one intersection (|A∩B|/|A| and |A∩B|/|B|), kept
+    when EITHER direction clears ``threshold``. Same scale shape as
+    Jaccard verify: shingles only for pair participants (semi-join),
+    the pair set being orders of magnitude smaller than the corpus.
+    Candidate generation caveat: MinHash-LSH recalls by *resemblance*;
+    for small-⊂-large pairs seed candidates from shared rare shingles
+    or :func:`winnowing_fingerprints` matches instead.
+    """
+    ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .distinct()
+    )
+    needed = df.join(ids, df[id_col] == ids["doc_id"], "left_semi")
+    toks = needed.select(F.col(id_col).alias("doc_id"),
+                         tokens(normalize_text(F.col(text_col))).alias("_tok"))
+    sh = toks.select("doc_id",
+                     shingles_from_tokens(F.col("_tok"), n).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a")
+                     .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ca = F.when(F.size("sh_a") > 0,
+                F.round(inter / F.size("sh_a").cast("double"), 6)) \
+        .otherwise(0.0)
+    cb = F.when(F.size("sh_b") > 0,
+                F.round(inter / F.size("sh_b").cast("double"), 6)) \
+        .otherwise(0.0)
+    return (
+        j.select("id_a", "id_b", ca.alias("cont_a_in_b"),
+                 cb.alias("cont_b_in_a"))
+        .where((F.col("cont_a_in_b") >= threshold)
+               | (F.col("cont_b_in_a") >= threshold))
+    )
+
+
 def near_duplicate_groups(
     df: DataFrame,
     id_col: str = "doc_id",

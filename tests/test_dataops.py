@@ -501,6 +501,30 @@ def test_hashed_embeddings_twin_and_ann_loop(spark):
     assert top[(1, 1)] == 2  # the near-duplicate, not the tax doc
 
 
+def test_containment_detects_quotes(spark):
+    """Containment catches the small-inside-large case resemblance
+    misses: a quoted paragraph has cont(quote in host) ~ 1 while the
+    Jaccard against the long host stays low."""
+    from cow_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "to be or not to be that is the question"
+    host = ("a very long essay " +
+            " ".join(f"filler{i} words{i} here{i}" for i in range(30)) +
+            f" and then the bard wrote {quote} which settled it")
+    rows = [(1, quote), (2, host), (3, "unrelated content entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+
+    cont = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+            for r in containment_pairs(df, pairs, n=3).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_pairs(df, pairs, n=3).collect()}
+    assert cont[(1, 2)][0] == 1.0          # quote fully contained
+    assert cont[(1, 2)][1] < 0.15          # host barely contained in quote
+    assert jac[(1, 2)] < 0.15              # resemblance misses the quote
+    assert cont[(1, 3)][0] == 0.0 and cont[(1, 3)][1] == 0.0
+
+
 def test_winnowing_guarantee_and_density(spark):
     """The winnowing guarantee: documents sharing a span of >= w+k-1
     tokens share at least one fingerprint (same gh, by construction the
