@@ -3674,6 +3674,64 @@ from reach where src <> dst
 """
 
 
+def q_canonical_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution rewrite (canon.py:rewrite_canonical): odd doc
+    IRIs canonicalize to their even predecessor across subject AND
+    IRI-object positions, with owl:sameAs links preserved."""
+    from cow_spark.operators.canon import rewrite_canonical
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    quads = docs.where(F.col("doc_id") >= 1).select(
+        F.lit(None).cast("string").alias("g"),
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("s"),
+        F.lit(f"{BASE}/vocab/under").alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit(f"{BASE}/"),
+                 (F.col("doc_id") / 2).cast("long").cast("string"))
+        .alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"))
+    mapping = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("member_iri"),
+        F.concat(F.lit(f"{BASE}/"), (F.col("doc_id") - 1).cast("string"))
+        .alias("canonical_iri"))
+    out = rewrite_canonical(quads, mapping, emit_sameas=True)
+    return out.select("s", "p", "o_kind", "o_lex")
+
+
+_SQL_CANONICAL_REWRITE = f"""
+with d as (select cast(doc_id as bigint) as i from documents),
+q as (
+  select '{BASE}/' || cast(i as varchar) as s,
+         '{BASE}/vocab/under' as p, 'iri' as o_kind,
+         '{BASE}/' || cast(i // 2 as varchar) as o_lex
+  from d where i >= 1
+),
+mp as (
+  select '{BASE}/' || cast(i as varchar) as m,
+         '{BASE}/' || cast(i - 1 as varchar) as c
+  from d where i % 2 = 1
+),
+rw as (
+  select coalesce(ms.c, q.s) as s, q.p, q.o_kind,
+         coalesce(mo.c, q.o_lex) as o_lex
+  from q
+  left join mp ms on q.s = ms.m
+  left join mp mo on q.o_kind = 'iri' and q.o_lex = mo.m
+),
+together as (
+  select s, p, o_kind, o_lex from rw
+  union all
+  select m, 'http://www.w3.org/2002/07/owl#sameAs', 'iri', c from mp
+  where m <> c
+)
+select distinct s, p, o_kind, o_lex from together
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3739,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_aggregate": q_bgp_aggregate,
         "construct": q_construct,
         "path_query": q_path_query,
+        "canonical_rewrite": q_canonical_rewrite,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -3817,6 +3876,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_aggregate": _sql_bgp_aggregate(),
         "construct": _sql_construct(),
         "path_query": _SQL_PATH_QUERY,
+        "canonical_rewrite": _SQL_CANONICAL_REWRITE,
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

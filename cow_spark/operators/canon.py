@@ -259,3 +259,60 @@ def quad_transitive_pairs(quads: DataFrame, predicate: str,
         .select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
     )
     return transitive_pairs(edges, max_iter)
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def rewrite_canonical(
+    quads: DataFrame,
+    mapping: DataFrame,
+    member_col: str = "member_iri",
+    canonical_col: str = "canonical_iri",
+    emit_sameas: bool = False,
+    distinct: bool = True,
+) -> DataFrame:
+    """Apply an entity-resolution mapping to a quad table — the last
+    step of the extract → link → canonicalize loop: every subject and
+    every IRI object that appears in ``mapping`` is replaced by its
+    canonical IRI (literals and unmapped IRIs pass through untouched).
+
+    ``emit_sameas=True`` appends one ``member owl:sameAs canonical``
+    quad per non-identity mapping row (in the default graph), so the
+    original identifiers stay queryable after the rewrite.
+
+    Rewriting collapses formerly-distinct quads onto one canonical
+    form; ``distinct=True`` (set semantics, the RDF default) pays one
+    dedup shuffle for it — pass False when the caller's sink dedups
+    anyway. Scale shape: the mapping is entity-vocabulary-sized by
+    construction (one row per resolved member), so both rewrites are
+    broadcast left joins — the corpus-scale quads are never shuffled
+    except by the optional dedup.
+    """
+    mp = mapping.select(F.col(member_col).alias("_m"),
+                        F.col(canonical_col).alias("_c"))
+    out = (
+        quads.join(F.broadcast(mp), F.col("s") == F.col("_m"), "left")
+        .withColumn("s", F.coalesce(F.col("_c"), F.col("s")))
+        .drop("_m", "_c")
+        .join(F.broadcast(mp),
+              (F.col("o_kind") == "iri") & (F.col("o_lex") == F.col("_m")),
+              "left")
+        .withColumn("o_lex", F.coalesce(F.col("_c"), F.col("o_lex")))
+        .drop("_m", "_c")
+        .select(*quads.columns)
+    )
+    if emit_sameas:
+        sameas = (
+            mp.where(F.col("_m") != F.col("_c"))
+            .select(F.lit(None).cast("string").alias("g"),
+                    F.col("_m").alias("s"),
+                    F.lit(OWL_SAMEAS).alias("p"),
+                    F.lit("iri").alias("o_kind"),
+                    F.col("_c").alias("o_lex"),
+                    F.lit(None).cast("string").alias("o_dt"),
+                    F.lit(None).cast("string").alias("o_lang"))
+            .select(*quads.columns)
+        )
+        out = out.unionByName(sameas)
+    return out.dropDuplicates() if distinct else out

@@ -124,6 +124,38 @@ def test_canonicalization_merges_aliases(spark):
     assert comps["m4"] != comps["m1"]
 
 
+def test_rewrite_canonical_closes_the_loop(spark):
+    """rewrite_canonical: subjects and IRI objects collapse onto the
+    canonical IRI (literals untouched), duplicates merge under set
+    semantics, and owl:sameAs links preserve the original ids."""
+    from cow_spark.operators.canon import OWL_SAMEAS, rewrite_canonical
+
+    E = "https://example.com/"
+    quads = spark.createDataFrame(
+        [
+            (None, E + "ada1", E + "knows", "iri", E + "bert", None, None),
+            (None, E + "ada2", E + "knows", "iri", E + "bert", None, None),
+            (None, E + "bert", E + "boss", "iri", E + "ada2", None, None),
+            (None, E + "ada1", E + "name", "lit", "ada2", None, None),
+        ],
+        "g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+    mapping = spark.createDataFrame(
+        [(E + "ada2", E + "ada1")], "member_iri string, canonical_iri string")
+
+    got = {(r.s, r.p, r.o_kind, r.o_lex) for r in
+           rewrite_canonical(quads, mapping, emit_sameas=True).collect()}
+    assert got == {
+        # the two knows-quads collapsed into one canonical form
+        (E + "ada1", E + "knows", "iri", E + "bert"),
+        # object position rewritten too
+        (E + "bert", E + "boss", "iri", E + "ada1"),
+        # literal position: never rewritten regardless of value
+        (E + "ada1", E + "name", "lit", "ada2"),
+        (E + "ada2", OWL_SAMEAS, "iri", E + "ada1"),
+    }
+
+
 def test_resume_equals_fresh(spark, tmp_path):
     spec = MappingSpec.from_json(transcripts_default_spec())
     df = transcripts_df(spark, 300)
