@@ -98,12 +98,14 @@ def match_bgp(
     sharing no variable with the accumulated bindings cross-join —
     correct BGP semantics, worth knowing when writing the query.
 
-    ``optional``: patterns whose variables bind when they match and
-    stay NULL otherwise (left join per pattern on the shared vars —
-    SPARQL OPTIONAL for the single-pattern case). ``not_exists``:
-    patterns whose match REMOVES a binding row (left-anti join —
-    FILTER NOT EXISTS). Both join on the shared variables; unshared
-    vars in not_exists patterns act as existential wildcards.
+    ``optional``: entries whose variables bind when they match and stay
+    NULL otherwise (left join on the shared vars — SPARQL OPTIONAL);
+    ``not_exists``: entries whose match REMOVES a binding row
+    (left-anti join — FILTER NOT EXISTS). Each entry is one pattern
+    tuple or a LIST of patterns matching as a group (the SPARQL block
+    form ``OPTIONAL { p1 . p2 }``); both join on the variables shared
+    with the required bindings, and unshared vars in not_exists entries
+    act as existential wildcards.
 
     Property paths: a constant predicate ending in ``+`` (``ex:under+``)
     matches one-or-more hops of the base predicate over IRI objects —
@@ -197,7 +199,7 @@ def match_bgp(
     if gates_failed:
         out = out.limit(0)
     for pat in (optional or []):
-        part = _single_pattern(quads, pat, namespaces)
+        part = _group_bindings(quads, pat, namespaces)
         shared = sorted(set(out.columns) & set(part.columns))
         if not shared:
             raise ValueError(
@@ -205,7 +207,7 @@ def match_bgp(
                 "required bindings — the left join would be a cross")
         out = out.join(part, shared, "left")
     for pat in (not_exists or []):
-        part = _single_pattern(quads, pat, namespaces)
+        part = _group_bindings(quads, pat, namespaces)
         shared = sorted(set(out.columns) & set(part.columns))
         if not shared:
             raise ValueError(
@@ -215,6 +217,22 @@ def match_bgp(
         out = out.join(part.select(*shared).dropDuplicates(), shared,
                        "left_anti")
     return out
+
+
+def _group_bindings(quads, pat, namespaces):
+    """An optional/not_exists entry is either ONE pattern tuple or a
+    LIST of patterns forming a group: the group matches as a unit (its
+    patterns join on their shared variables via a recursive
+    :func:`match_bgp`) before the left / left-anti join against the
+    required bindings — SPARQL's ``OPTIONAL { p1 . p2 }`` /
+    ``FILTER NOT EXISTS { p1 . p2 }`` block semantics."""
+    group = pat if isinstance(pat, list) else [pat]
+    got = match_bgp(quads, group, namespaces)
+    if got.columns == ["matched"]:
+        raise ValueError(
+            f"pattern group {pat} binds no variable; optional/not_exists "
+            "entries need at least one")
+    return got
 
 
 _AGG_FNS = {
@@ -293,17 +311,6 @@ def aggregate_bindings(
                              f"supported: {sorted(_AGG_FNS)}")
         exprs.append(_AGG_FNS[fn](F.col(var)).alias(out_name))
     return bindings.groupBy(*group_vars).agg(*exprs)
-
-
-def _single_pattern(quads, pattern, namespaces):
-    """One pattern's deduplicated variable bindings (no gate handling —
-    callers guarantee at least one variable)."""
-    got = match_bgp(quads, [pattern], namespaces)
-    if got.columns == ["matched"]:
-        raise ValueError(
-            f"pattern {pattern} binds no variable; optional/not_exists "
-            "patterns need at least one")
-    return got
 
 
 def construct_quads(

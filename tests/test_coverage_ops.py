@@ -387,6 +387,51 @@ def test_quads_table_orc_round_trip(spark, tmp_path):
         write_quads_table(df, str(tmp_path / "x"), fmt="avro")
 
 
+def test_match_bgp_optional_and_not_exists_groups(spark):
+    """Multi-pattern OPTIONAL / NOT EXISTS blocks: the group matches as
+    a unit — a partial group match binds nothing (OPTIONAL) / removes
+    nothing (NOT EXISTS), exactly SPARQL's block semantics."""
+    from cow_spark.plans.bgp import match_bgp
+
+    EX = "https://example.com/v/"
+    A, B, C = (f"https://example.com/{x}" for x in "abc")
+    rows = [
+        (None, A, EX + "name", "lit", "Ada", None, None),
+        (None, B, EX + "name", "lit", "Bert", None, None),
+        (None, C, EX + "name", "lit", "Cleo", None, None),
+        # a has both email AND phone; b has only email; c has neither
+        (None, A, EX + "email", "lit", "a@e.com", None, None),
+        (None, A, EX + "phone", "lit", "111", None, None),
+        (None, B, EX + "email", "lit", "b@e.com", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    ns = {"ex": EX}
+
+    # OPTIONAL { email . phone }: only a binds the pair — b's lone
+    # email must NOT leak through a partially-matched group
+    got = {(r.n, r.e, r.ph) for r in match_bgp(
+        q, [("?x", "ex:name", "?n")],
+        optional=[[("?x", "ex:email", "?e"), ("?x", "ex:phone", "?ph")]],
+        namespaces=ns).collect()}
+    assert got == {("Ada", "a@e.com", "111"),
+                   ("Bert", None, None), ("Cleo", None, None)}
+
+    # NOT EXISTS { email . phone }: removes only the full-group matcher
+    got2 = {r.n for r in match_bgp(
+        q, [("?x", "ex:name", "?n")],
+        not_exists=[[("?x", "ex:email", "?e"), ("?x", "ex:phone", "?ph")]],
+        namespaces=ns).collect()}
+    assert got2 == {"Bert", "Cleo"}
+
+    # single-pattern form still works unchanged
+    got3 = {r.n for r in match_bgp(
+        q, [("?x", "ex:name", "?n")],
+        not_exists=[("?x", "ex:email", "?e")], namespaces=ns).collect()}
+    assert got3 == {"Cleo"}
+
+
 def test_match_bgp_property_path(spark):
     """`pred+` patterns: one-or-more hops over IRI objects, constants
     on either end, conjunction with plain patterns, and the existence
