@@ -3674,6 +3674,37 @@ from reach where src <> dst
 """
 
 
+def q_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION (bgp.py:union_bgp): two branches binding different
+    variable sets over the documents KG — absent variables come back
+    NULL, SPARQL's unbound."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import union_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    return union_bgp(quads, [
+        [("?doc", f"{BASE}/vocab/lang", "?l")],
+        [("?doc", f"{BASE}/vocab/source", "?src")],
+    ], distinct=True)
+
+
+def _sql_union_query() -> str:
+    # default-spec emission: lang/source emit only when non-empty (P2)
+    return f"""
+select distinct * from (
+  select '{BASE}/' || cast(doc_id as varchar) as doc,
+         lang as l, cast(null as varchar) as src
+  from documents where length(coalesce(lang, '')) > 0
+  union all
+  select '{BASE}/' || cast(doc_id as varchar),
+         cast(null as varchar), source
+  from documents where length(coalesce(source, '')) > 0
+)
+"""
+
+
 def q_canonical_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution rewrite (canon.py:rewrite_canonical): odd doc
     IRIs canonicalize to their even predecessor across subject AND
@@ -3798,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construct": q_construct,
         "path_query": q_path_query,
         "canonical_rewrite": q_canonical_rewrite,
+        "union_query": q_union_query,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -3877,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         "construct": _sql_construct(),
         "path_query": _SQL_PATH_QUERY,
         "canonical_rewrite": _SQL_CANONICAL_REWRITE,
+        "union_query": _sql_union_query(),
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

@@ -313,6 +313,44 @@ def aggregate_bindings(
     return bindings.groupBy(*group_vars).agg(*exprs)
 
 
+def union_bgp(
+    quads: DataFrame,
+    groups: list[list[tuple[str, str, str]]],
+    namespaces: dict[str, str] | None = None,
+    distinct: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: the bindings of each pattern group, stacked.
+    Groups may bind different variable sets — variables absent from a
+    branch come back NULL (SPARQL's unbound), columns aligned by name.
+    ``distinct=True`` adds the SELECT DISTINCT dedup.
+
+    Each branch filters the quads differently, so separate scans per
+    branch are inherent to UNION — but remember there is no CSE across
+    union branches: if ``quads`` is itself an expensive derivation,
+    persist it before calling, or every branch re-runs that pipeline.
+    """
+    if not groups or any(not g for g in groups):
+        raise ValueError("union_bgp needs non-empty pattern groups")
+    parts = [match_bgp(quads, list(g), namespaces) for g in groups]
+    for g, p in zip(groups, parts):
+        if p.columns == ["matched"]:
+            raise ValueError(
+                f"union branch {g} binds no variable — an all-constant "
+                "branch cannot contribute bindings")
+    all_vars = sorted(set().union(*[set(p.columns) for p in parts]))
+    aligned = [
+        p.select(*[
+            F.col(v) if v in p.columns
+            else F.lit(None).cast("string").alias(v)
+            for v in all_vars])
+        for p in parts
+    ]
+    out = aligned[0]
+    for p in aligned[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates() if distinct else out
+
+
 def construct_quads(
     bindings: DataFrame,
     templates: list[tuple[str, str, str]],

@@ -432,6 +432,47 @@ def test_match_bgp_optional_and_not_exists_groups(spark):
     assert got3 == {"Cleo"}
 
 
+def test_union_bgp_semantics(spark):
+    """UNION: branches with different variable sets stack with NULL for
+    absent vars; distinct dedups; degenerate branches rejected."""
+    import pytest
+
+    from cow_spark.plans.bgp import union_bgp
+
+    EX = "https://example.com/v/"
+    A, B = "https://example.com/a", "https://example.com/b"
+    rows = [
+        (None, A, EX + "name", "lit", "Ada", None, None),
+        (None, B, EX + "name", "lit", "Bert", None, None),
+        (None, A, EX + "email", "lit", "a@e.com", None, None),
+        # duplicate quad in a second graph: distinct must collapse
+        ("g1", A, EX + "email", "lit", "a@e.com", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    ns = {"ex": EX}
+
+    got = {(r.x, r.n, r.e) for r in union_bgp(q, [
+        [("?x", "ex:name", "?n")],
+        [("?x", "ex:email", "?e")],
+    ], namespaces=ns, distinct=True).collect()}
+    assert got == {(A, "Ada", None), (B, "Bert", None),
+                   (A, None, "a@e.com")}
+
+    # a multi-pattern branch joins internally before stacking
+    got2 = {(r.x, r.n, r.e) for r in union_bgp(q, [
+        [("?x", "ex:name", "?n"), ("?x", "ex:email", "?e")],
+        [("?x", "ex:email", "?e")],
+    ], namespaces=ns, distinct=True).collect()}
+    assert got2 == {(A, "Ada", "a@e.com"), (A, None, "a@e.com")}
+
+    with pytest.raises(ValueError, match="binds no variable"):
+        union_bgp(q, [[(A, "ex:name", "Ada")]], namespaces=ns)
+    with pytest.raises(ValueError, match="non-empty"):
+        union_bgp(q, [])
+
+
 def test_match_bgp_property_path(spark):
     """`pred+` patterns: one-or-more hops over IRI objects, constants
     on either end, conjunction with plain patterns, and the existence
