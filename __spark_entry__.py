@@ -1391,6 +1391,62 @@ from edges group by doc_id
 """
 
 
+def q_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-granular language purity (quality.py:language_mix):
+    code-switching detection where whole-doc lang_id only reports the
+    winner."""
+    from cow_spark.operators.quality import language_mix
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return language_mix(docs, window=20)
+
+
+def _sql_language_mix() -> str:
+    probes = dict(_LANG_PROBES)
+    score = {k: f"len(regexp_extract_all(lower(w), '{v}'))"
+             for k, v in probes.items()}
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    lang_case = ("case "
+                 + "".join(f"when {score[k]} > 0 and {score[k]} = {best} "
+                           f"then '{k}' " for k in probes)
+                 + "else 'und' end")
+    W = 20
+    return rf"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+wnd as (
+  select doc_id,
+         unnest(list_transform(
+           generate_series(0, cast(ceil(len(t) / {W}.0) as int) - 1),
+           i -> array_to_string(t[i*{W}+1 : i*{W}+{W}], ' '))) as w
+  from tk where len(t) > 0
+),
+counts as (
+  select doc_id, {lang_case} as lang, cast(count(*) as bigint) as n
+  from wnd group by doc_id, lang
+),
+best as (
+  select doc_id, n, lang,
+         sum(n) over (partition by doc_id) as tot,
+         row_number() over (partition by doc_id
+                            order by n desc, lang) as rk
+  from counts
+)
+select ids.doc_id,
+       cast(coalesce(b.tot, 0) as bigint) as n_windows,
+       b.lang as majority_lang,
+       cast(b.n * 10000 // b.tot as bigint) as purity_fp
+from (select distinct cast(doc_id as bigint) as doc_id from documents) ids
+left join (select * from best where rk = 1) b using (doc_id)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -3830,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": q_path_query,
         "canonical_rewrite": q_canonical_rewrite,
         "union_query": q_union_query,
+        "language_mix": q_language_mix,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -3910,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
         "path_query": _SQL_PATH_QUERY,
         "canonical_rewrite": _SQL_CANONICAL_REWRITE,
         "union_query": _sql_union_query(),
+        "language_mix": _sql_language_mix(),
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

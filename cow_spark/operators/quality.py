@@ -389,3 +389,63 @@ def linear_classifier_score(
         F.expr(f"{int(bias_fp)} + sum_w_fp div n_features").cast("long")
         .alias("logit_fp"),
     )
+
+
+def language_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Code-switching / language-purity signal: language-ID each fixed
+    ``window``-token slice of a document and report how uniform the
+    votes are — ``(doc_id, n_windows, majority_lang, purity_fp)`` with
+    ``purity_fp = majority votes * 10000 div n_windows``. Mixed-language
+    pages (navigation chrome in one language wrapping content in
+    another, concatenation artifacts) show low purity where whole-doc
+    :func:`~cow_spark.functions.text.lang_id` just reports the winner.
+
+    Window granularity rather than lines/sentences: it needs no
+    punctuation or layout to exist (crawl text often has neither) and
+    bounds per-vote cost. Plan: one explode (≤ n_tokens/window rows per
+    doc) → per-(doc, lang) partial-agg votes → per-doc argmax via a
+    doc-partitioned window over ≤ |languages| rows per doc. Documents
+    with no tokens keep n_windows=0 and NULL majority/purity.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import lang_id
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    n_win = F.ceil(F.size("_t") / F.lit(window)).cast("int")
+    slices = F.when(
+        F.size("_t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_t"), (i * window + 1).cast("int"),
+                             window))),
+    ).otherwise(F.array().cast("array<string>"))
+    votes = (
+        staged.select("doc_id", F.explode(slices).alias("_w"))
+        .select("doc_id", lang_id(F.col("_w")).alias("lang"))
+        .groupBy("doc_id", "lang").agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
+    best = (
+        votes.withColumn("_tot", F.sum("n").over(W.partitionBy("doc_id")))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("doc_id", F.col("_tot").cast("long").alias("n_windows"),
+                F.col("lang").alias("majority_lang"),
+                F.expr("n * 10000 div _tot").alias("purity_fp"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(best, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                "majority_lang", "purity_fp")
+    )

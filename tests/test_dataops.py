@@ -501,6 +501,26 @@ def test_hashed_embeddings_twin_and_ann_loop(spark):
     assert top[(1, 1)] == 2  # the near-duplicate, not the tax doc
 
 
+def test_language_mix_detects_code_switching(spark):
+    """A half-English half-German doc shows low purity while pure docs
+    show 10000; empty docs keep NULL majority."""
+    from cow_spark.operators.quality import language_mix
+
+    en = "the cat and the dog is in the house and it is"        # 12 tok
+    de = "der hund und die katze ist nicht in das haus und der" # 12 tok
+    rows = [
+        (1, " ".join([en] * 4)),            # pure en
+        (2, " ".join([en] * 2 + [de] * 2)), # mixed half/half
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in language_mix(df, window=12).collect()}
+    assert got[1].majority_lang == "en" and got[1].purity_fp == 10000
+    assert got[2].purity_fp == 5000
+    assert got[2].majority_lang == "de"  # tie at 2:2 -> lexicographic
+    assert got[3].n_windows == 0 and got[3].majority_lang is None
+
+
 def test_containment_detects_quotes(spark):
     """Containment catches the small-inside-large case resemblance
     misses: a quoted paragraph has cont(quote in host) ~ 1 while the
