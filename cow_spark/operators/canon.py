@@ -288,6 +288,11 @@ def rewrite_canonical(
     construction (one row per resolved member), so both rewrites are
     broadcast left joins — the corpus-scale quads are never shuffled
     except by the optional dedup.
+
+    The mapping must be FUNCTIONAL — exactly one canonical per member
+    (what canonicalization produces by construction). A member with two
+    canonical rows would fan every matching quad out into both
+    rewrites; validate upstream if the mapping comes from elsewhere.
     """
     mp = mapping.select(F.col(member_col).alias("_m"),
                         F.col(canonical_col).alias("_c"))

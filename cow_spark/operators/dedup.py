@@ -749,6 +749,13 @@ def semdedup(
     Returns every input row annotated: ``(id_col, cell, csim, kept)``
     with ``kept`` = 1 for survivors. Filter ``kept = 1`` for the
     deduplicated corpus; the full frame is the audit trail.
+
+    Zero vectors (e.g. empty documents through ``hashed_embeddings``)
+    have NaN cosines, and both Spark and DuckDB order NaN above every
+    number — so all-zero vectors in one cell treat each other as
+    duplicates and collapse to one survivor. For *identical* empty
+    documents that is the right answer; filter zero vectors first if
+    you want them all retained.
     """
     from .simsearch import assign_cells, take_centroids
 

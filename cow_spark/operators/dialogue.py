@@ -114,7 +114,10 @@ def tool_transitions(
     transition matrix is |tools|²-sized, so the final aggregations and
     the prev-total join are vocabulary-scale.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # secondary sort on tool: duplicate turn_idx values (shouldn't
+    # happen, but dirty data does) would otherwise make the sequence —
+    # and thus the transition counts — nondeterministic across runs
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "tool")
     seq = (
         transcripts.where(F.col("tool").isNotNull())
         .select("conv_id", "turn_idx", "tool")

@@ -233,7 +233,9 @@ def dsir_weights(
     partial-aggregated. The target model scans only the (small,
     curated) target corpus. Models and totals travel by broadcast —
     the corpus is never joined to anything its own size. Documents
-    with no tokens keep n_feats=0 and a NULL weight.
+    with no tokens keep n_feats=0 and a NULL weight; an EMPTY target
+    corpus yields NULL weights for every document (no model to score
+    against) rather than an error.
     """
     B = int(n_buckets)
 
