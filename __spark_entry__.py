@@ -1011,26 +1011,26 @@ with tk as (
   from documents
 ),
 kg as (
-  select doc_id,
+  select doc_id, len(t) - 5 as maxpos,
          unnest(list_transform(generate_series(1, len(t) - 4),
            i -> struct_pack(pos := i - 1,
                             gram := array_to_string(t[i:i+4], ' ')))) as u
   from tk where len(t) >= 5
 ),
 kh as (
-  select doc_id, u.pos as pos,
+  select doc_id, maxpos, u.pos as pos,
          cast(concat('0x', substr(md5(u.gram), 1, 15)) as bigint) as gh
   from kg
 ),
 win as (
-  select doc_id, pos as at_pos,
+  select doc_id, maxpos, pos as at_pos,
          min(struct_pack(gh := gh, np := -pos)) over (
            partition by doc_id order by pos
            rows between 3 preceding and current row) as m
   from kh
 )
 select distinct doc_id, -(m.np) as pos, m.gh as gh
-from win where at_pos >= 3
+from win where at_pos >= least(3, maxpos)
 """
 
 
@@ -1177,10 +1177,12 @@ q as (
   from d where doc_id % 11 = 0
 )
 select s, p, o_lex, o_dt,
-       case when o_dt = '{BASE}/types/score' then 'unknown-datatype'
+       case when o_lex is null then 'null-lexical'
+            when o_dt = '{BASE}/types/score' then 'unknown-datatype'
             else 'invalid-lexical' end as reason
 from q
-where o_dt = '{BASE}/types/score'
+where o_lex is null
+   or o_dt = '{BASE}/types/score'
    or (o_dt = '{xsd}integer'
        and not regexp_matches(o_lex, '^[+-]?[0-9]+$'))
    or (o_dt = '{xsd}date'
@@ -1983,48 +1985,53 @@ with tk as (
   from documents
 ),
 kg as (
-  select doc_id,
+  select doc_id, len(t) - 5 as maxpos,
          unnest(list_transform(generate_series(1, len(t) - 4),
            i -> struct_pack(pos := i - 1,
                             gram := array_to_string(t[i:i+4], ' ')))) as u
   from tk where len(t) >= 5
 ),
 kh as (
-  select doc_id, u.pos as pos,
+  select doc_id, maxpos, u.pos as pos,
          cast(concat('0x', substr(md5(u.gram), 1, 15)) as bigint) as gh
   from kg
 ),
 win as (
-  select doc_id, pos as at_pos,
+  select doc_id, maxpos, pos as at_pos,
          min(struct_pack(gh := gh, np := -pos)) over (
            partition by doc_id order by pos
            rows between 3 preceding and current row) as m
   from kh
 ),
-wf as (select distinct doc_id, m.gh as gh from win where at_pos >= 3),
+wf as (select distinct doc_id, m.gh as gh from win
+       where at_pos >= least(3, maxpos)),
 pairs as (
   select distinct a.doc_id as id_a, b.doc_id as id_b
   from wf a join wf b on a.gh = b.gh and a.doc_id < b.doc_id
 ),
 sh as (
-  select doc_id, list_distinct(
+  select doc_id, len(t) as nt, list_distinct(
     case when len(t) >= 3 then
       list_transform(generate_series(1, greatest(len(t) - 2, 0)),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
     when len(t) > 0 then [array_to_string(t, ' ')]
     else [] end) as sh
   from tk
+),
+sc as (
+  select p.id_a, p.id_b,
+         case when sa.nt >= 3 then floor(round(
+           len(list_intersect(sa.sh, sb.sh)) / cast(len(sa.sh) as double),
+           6) * 10000) end as ca4,
+         case when sb.nt >= 3 then floor(round(
+           len(list_intersect(sa.sh, sb.sh)) / cast(len(sb.sh) as double),
+           6) * 10000) end as cb4
+  from pairs p
+  join sh sa on sa.doc_id = p.id_a
+  join sh sb on sb.doc_id = p.id_b
 )
-select p.id_a, p.id_b,
-       cast(floor(round(case when len(sa.sh) > 0 then
-         len(list_intersect(sa.sh, sb.sh)) / cast(len(sa.sh) as double)
-         else 0 end, 6) * 10000) as bigint) as ca4,
-       cast(floor(round(case when len(sb.sh) > 0 then
-         len(list_intersect(sa.sh, sb.sh)) / cast(len(sb.sh) as double)
-         else 0 end, 6) * 10000) as bigint) as cb4
-from pairs p
-join sh sa on sa.doc_id = p.id_a
-join sh sb on sb.doc_id = p.id_b
+select id_a, id_b, cast(ca4 as bigint) as ca4, cast(cb4 as bigint) as cb4
+from sc where ca4 >= 0 or cb4 >= 0
 """
 
 
@@ -3241,7 +3248,7 @@ seq as (
          row_number() over w as rn
   from transcripts_gen
   where tool is not null
-  window w as (partition by conv_id order by turn_idx)
+  window w as (partition by conv_id order by turn_idx, tool)
 ),
 edges as (
   select '^START' as prev, tool as next from seq where rn = 1

@@ -321,7 +321,7 @@ def hash_split(
     Returns the input plus a ``split`` column.
     """
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
-    if not fractions or any(v < 0 for v in fractions.values()):
+    if any(v < 0 for v in fractions.values()):
         raise ValueError("fractions must be non-negative")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:

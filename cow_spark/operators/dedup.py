@@ -416,21 +416,25 @@ def containment_pairs(
     needed = df.join(ids, df[id_col] == ids["doc_id"], "left_semi")
     toks = needed.select(F.col(id_col).alias("doc_id"),
                          tokens(normalize_text(F.col(text_col))).alias("_tok"))
-    sh = toks.select("doc_id",
+    sh = toks.select("doc_id", F.size("_tok").alias("nt"),
                      shingles_from_tokens(F.col("_tok"), n).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a")
-                     .withColumnRenamed("sh", "sh_a"), "id_a")
+                     .withColumnRenamed("sh", "sh_a")
+                     .withColumnRenamed("nt", "nt_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b")
-                 .withColumnRenamed("sh", "sh_b"), "id_b")
+                 .withColumnRenamed("sh", "sh_b")
+                 .withColumnRenamed("nt", "nt_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    ca = F.when(F.size("sh_a") > 0,
-                F.round(inter / F.size("sh_a").cast("double"), 6)) \
-        .otherwise(0.0)
-    cb = F.when(F.size("sh_b") > 0,
-                F.round(inter / F.size("sh_b").cast("double"), 6)) \
-        .otherwise(0.0)
+    # a side shorter than n tokens has NO true n-grams — its fallback
+    # whole-text shingle can never match the other side's n-grams, so a
+    # 0 here would be a lie about the exact case this operator exists
+    # for; report NULL = "not measurable at this n, lower n"
+    ca = F.when(F.col("nt_a") >= n,
+                F.round(inter / F.size("sh_a").cast("double"), 6))
+    cb = F.when(F.col("nt_b") >= n,
+                F.round(inter / F.size("sh_b").cast("double"), 6))
     return (
         j.select("id_a", "id_b", ca.alias("cont_a_in_b"),
                  cb.alias("cont_b_in_a"))
@@ -965,8 +969,13 @@ def winnowing_fingerprints(
     ONE per-document sliding window (`rowsBetween(-(w-1), 0)` over
     pos — conversation/document-sized groups) selecting
     ``min(struct(gh, -pos))`` per frame, then a distinct on the picks.
-    Documents with fewer than k tokens contribute nothing (they are
-    whole-document fingerprint territory — :func:`exact_duplicates`).
+    Documents with at least one k-gram always contribute at least one
+    fingerprint: when a document has fewer than ``w`` k-grams its
+    single (partial) trailing window picks the minimum over all of
+    them — without this, short documents would be invisible to the
+    index and could never surface as containment candidates. Documents
+    with fewer than k tokens contribute nothing (whole-document
+    fingerprint territory — :func:`exact_duplicates`).
     """
     if w < 1:
         raise ValueError("window w must be >= 1")
@@ -978,7 +987,8 @@ def winnowing_fingerprints(
         F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("_np")))
         .over(frame).alias("_m"),
         F.col("pos").alias("_at"),
-    ).where(F.col("_at") >= w - 1)  # only full windows pick
+        (F.col("n_tok") - k).alias("_maxpos"),
+    ).where(F.col("_at") >= F.least(F.lit(w - 1), F.col("_maxpos")))
     return (
         picked.select("doc_id", (-F.col("_m._np")).alias("pos"),
                       F.col("_m.gh").alias("gh"))

@@ -86,35 +86,64 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    inline_threshold: int = 65_536,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid — map-only.
+    """Assign each vector to its nearest centroid.
 
-    Centroids are any deterministic coarse set (e.g. first-C reservoir or
-    k-means output); at write time ``cell`` becomes a partition column.
-    They are bounded by contract (n_cells × dim doubles), so they are
-    collected to the driver and inlined as literal arrays: assignment is
-    then embarrassingly parallel — no join, no argmax shuffle, and reuse
-    of the result costs only an extra scan, never a repeated exchange.
-    The argmax is ``array_max`` over (sim, -cell_id) structs, identical
-    tie-break to the previous ``max_by`` shape. Output carries ``csim``
-    — the (6dp-rounded) cosine to the winning centroid — which IVF
-    ignores but SemDeDup uses as its keep priority.
+    Centroids are any deterministic coarse set (e.g. first-C reservoir
+    or k-means output); at write time ``cell`` becomes a partition
+    column. Two physical shapes, same values and (sim desc, cell asc)
+    tie-break:
+
+    - **small sets** (n_cells × dim ≤ ``inline_threshold``): centroids
+      inline as literal arrays — map-only, no join, no argmax shuffle,
+      and reuse costs only an extra scan. ``norm(v)`` is staged once as
+      a real column (HOFs are interpreted; recomputing it per candidate
+      was n_cells× the math), centroid norms are pre-computed driver-
+      side (same left-fold order, bit-identical doubles).
+    - **large sets** (SemDeDup-at-scale uses ~11k cells): the literal
+      plan would hold n_cells × dim expression nodes — past codegen and
+      analysis limits — so assignment falls back to a broadcast join +
+      ``max_by`` argmax (one partial-agg shuffle on the vector id).
+
+    Output carries ``csim`` — the (6dp-rounded) cosine to the winning
+    centroid — which IVF ignores but SemDeDup uses as its keep
+    priority.
     """
-    rows = centroids.select(
-        F.col("cell_id").cast("int").alias("cell_id"),
-        F.col(vec_col).cast("array<double>").alias("cv")).collect()
-    if not rows:
+    import math
+
+    c = centroids.select(F.col("cell_id").cast("int").alias("cell_id"),
+                         F.col(vec_col).cast("array<double>").alias("cv"))
+    head = c.limit(1).collect()
+    if not head:
         raise ValueError("assign_cells: empty centroid set")
+    dim = len(head[0].cv)
+    n_cells = c.count()
     v = corpus.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    cands = [
-        F.struct(
-            cosine(F.col("v"),
-                   F.array(*[F.lit(float(x)) for x in r.cv])).alias("sim"),
-            F.lit(-int(r.cell_id)).alias("negcell"))
-        for r in rows
-    ]
-    staged = v.withColumn("_best", F.array_max(F.array(*cands)))
+
+    if n_cells * dim > inline_threshold:
+        scored = v.join(F.broadcast(c)).select(
+            id_col, "v", "cell_id",
+            cosine(F.col("v"), F.col("cv")).alias("sim"))
+        best = scored.groupBy(id_col).agg(
+            F.max_by(F.struct("cell_id", "v", "sim"),
+                     F.struct(F.col("sim"), -F.col("cell_id"))).alias("_b"))
+        return best.select(id_col, F.col("_b.cell_id").alias("cell"),
+                           F.col("_b.v").alias("v"),
+                           F.col("_b.sim").alias("csim"))
+
+    rows = c.collect()
+    staged = v.withColumn("_nv", norm(F.col("v")))
+    cands = []
+    for r in rows:
+        cnorm = math.sqrt(sum(x * x for x in r.cv))  # same left fold
+        sim = F.round(
+            dot(F.col("v"), F.array(*[F.lit(float(x)) for x in r.cv]))
+            / (F.col("_nv") * F.lit(cnorm)), 6)
+        cands.append(F.struct(sim.alias("sim"),
+                              F.lit(-int(r.cell_id)).alias("negcell")))
+    staged = staged.withColumn("_best", F.array_max(F.array(*cands)))
     return staged.select(
         id_col, (-F.col("_best.negcell")).cast("int").alias("cell"), "v",
         F.col("_best.sim").alias("csim"))

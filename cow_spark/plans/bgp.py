@@ -113,7 +113,8 @@ def match_bgp(
     runs EAGERLY at plan-build time, log-depth rounds). Deviation from
     SPARQL: a node cyclically reachable from itself is NOT returned as
     ``(x, x)`` (the closure drops self-pairs), and only ``+`` is
-    supported (``*``/``?``/alternation are not).
+    supported (``*``/``?``/alternation are not). An IRI that genuinely
+    ends in ``+`` is matched exactly by escaping it as ``...\\+``.
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -127,7 +128,11 @@ def match_bgp(
     order = ([t for t in order if any(_is_var(x) for x in t)]
              + [t for t in order if not any(_is_var(x) for x in t)])
     for s, p, o in order:
-        if (isinstance(p, str) and not _is_var(p) and len(p) > 1
+        if isinstance(p, str) and p.endswith("\\+"):
+            # escaped literal '+': the (rare but legal) IRI that really
+            # ends in '+' — match it exactly, no path interpretation
+            p = p[:-2] + "+"
+        elif (isinstance(p, str) and not _is_var(p) and len(p) > 1
                 and p.endswith("+")):
             part = _path_bindings(quads, s, p, o, namespaces)
             if isinstance(part, bool):  # all-constant: existence gate

@@ -70,11 +70,16 @@ def validate_typed_literals(quads: DataFrame) -> DataFrame:
         ok = (F.when(cond, branch_ok) if ok is None
               else ok.when(cond, branch_ok))
     verdict = ok.otherwise(F.lit(None))  # NULL = unknown datatype
+    known = F.col("o_dt").isin(list(DATATYPE_PATTERNS))
     return (
         lit_rows.withColumn("_ok", verdict)
-        .where(F.col("_ok").isNull() | ~F.col("_ok"))
+        .where(F.col("o_lex").isNull() | F.col("_ok").isNull()
+               | ~F.col("_ok"))
         .select(
             "s", "p", "o_lex", "o_dt",
-            F.when(F.col("_ok").isNull(), F.lit("unknown-datatype"))
+            # a NULL lexical form makes rlike NULL even for a known
+            # datatype — report it as its own reason, not as unknown
+            F.when(F.col("o_lex").isNull(), F.lit("null-lexical"))
+            .when(~known, F.lit("unknown-datatype"))
             .otherwise(F.lit("invalid-lexical")).alias("reason"))
     )

@@ -93,16 +93,22 @@ def prepare_corpus(
 
     if substring_dedup_k:
         # span-level complement of the line rule: cut every k-token
-        # passage duplicated anywhere in the corpus (Lee et al. 2022)
+        # passage duplicated anywhere in the corpus (Lee et al. 2022).
+        # Only documents that actually LOST a span get the rewritten
+        # text (which is a normalized-token rejoin — casing/layout of
+        # cut documents is necessarily normalized); untouched documents
+        # keep their original bytes.
         from cow_spark.operators.dedup import remove_duplicated_spans
 
         spans = remove_duplicated_spans(docs, k=substring_dedup_k)
         audit["substring_tokens_removed"] = (int(
             spans.agg(F.sum(F.col("n_tok") - F.col("kept_tok")))
             .first()[0] or 0) if audit_counts else -1)
-        docs = spans.select(
-            "doc_id", F.col("cleaned_text").alias("text")).join(
-            docs.drop("text"), "doc_id")
+        changed = spans.where(F.col("kept_tok") < F.col("n_tok")) \
+            .select("doc_id", F.col("cleaned_text").alias("_new"))
+        docs = (docs.join(changed, "doc_id", "left")
+                .withColumn("text", F.coalesce(F.col("_new"), F.col("text")))
+                .drop("_new"))
 
     kept = quality_filter(docs, min_tokens=min_tokens).where(F.col("keep"))
     docs = docs.join(kept.select("doc_id"), "doc_id")

@@ -578,6 +578,20 @@ def test_winnowing_guarantee_and_density(spark):
         assert len(by_doc[d]) >= n_grams / (W + 1)
 
 
+def test_assign_cells_paths_agree(spark, embs):
+    """The literal-inline and broadcast-join assignment shapes produce
+    identical (cell, csim) for every vector — the large-centroid-set
+    fallback is a physical choice, not a semantic one."""
+    from cow_spark.operators.simsearch import assign_cells, take_centroids
+
+    cents = take_centroids(embs, n_cells=8)
+    lit_path = assign_cells(embs, cents)  # 8×64 « threshold
+    join_path = assign_cells(embs, cents, inline_threshold=1)
+    a = {(r.vec_id, r.cell, r.csim) for r in lit_path.collect()}
+    b = {(r.vec_id, r.cell, r.csim) for r in join_path.collect()}
+    assert a == b and len(a) == embs.count()
+
+
 def test_semdedup_keeps_lowest_centroid_sim(spark):
     """SemDeDup keep rule: within a dup group the survivor is the member
     *least* similar to its cell centroid (the paper's choice), and
