@@ -67,6 +67,24 @@ def test_simhash_hashes_once_per_token(spark):
     assert plan.count("md5") == 1, plan
 
 
+def test_zero_shuffle_entries_stay_zero_shuffle(spark):
+    """split_assign and markup_extract are pure map pipelines — any
+    Exchange appearing is a regression (their whole value at 100 TB is
+    that they ride along scans for free)."""
+    for name in ("split_assign", "markup_extract"):
+        plan = _plan(spark, entry_mod.queries()[name](spark, SF))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_bm25_stats_travel_by_broadcast(spark):
+    """The |query|-sized idf table and the totals must broadcast — a
+    sort-merge join here would shuffle the corpus-side tf partials
+    against a handful of rows."""
+    plan = _plan(spark, entry_mod.queries()["bm25"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_embedding_neardup_cap_is_broadcast(spark):
     """The degenerate-bucket guard must reach the corpus as a broadcast
     join (≤2^bits size rows), never a shuffle of the embedding table."""
