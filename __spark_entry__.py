@@ -386,6 +386,53 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events (sessionize.py:funnel): deepest
+    view→click→purchase stage per user, aggregated to the classic
+    per-stage user counts. The oracle uses the k-join min-chain
+    relational encoding — exactly equivalent to the fold here because
+    per-user timestamps are unique in this corpus (with ties the fold's
+    (t, event)-lexicographic order decides; documented in the op)."""
+    from cow_spark.operators.sessionize import funnel
+
+    ev = _load(spark, sf_dir, "events")
+    per_user = funnel(ev, ["view", "click", "purchase"])
+    return (
+        per_user.groupBy("stage_reached")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.col("stage_reached").cast("int").alias("stage_reached"),
+                "n_users")
+    )
+
+
+_SQL_FUNNEL = """
+with ev as (
+  select user_id as u, event_type as e, epoch_us(ts) as t from events
+),
+s1 as (select u, min(t) as t1 from ev where e = 'view' group by u),
+s2 as (select ev.u, min(ev.t) as t2
+       from ev join s1 on ev.u = s1.u
+       where ev.e = 'click' and ev.t > s1.t1 group by ev.u),
+s3 as (select ev.u, min(ev.t) as t3
+       from ev join s2 on ev.u = s2.u
+       where ev.e = 'purchase' and ev.t > s2.t2 group by ev.u),
+staged as (
+  select users.u,
+         case when s3.u is not null then 3
+              when s2.u is not null then 2
+              when s1.u is not null then 1
+              else 0 end as stage_reached
+  from (select distinct u from ev) users
+  left join s1 on users.u = s1.u
+  left join s2 on users.u = s2.u
+  left join s3 on users.u = s3.u
+)
+select cast(stage_reached as int) as stage_reached,
+       cast(count(*) as bigint) as n_users
+from staged group by stage_reached
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands, 30 min gap): per-session
     event count, value mass, and duration — the batch twin of the
@@ -3840,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "scd2_intervals": q_scd2_intervals,
         "interval_join": q_interval_join,
         "mentions": q_mentions,
@@ -3921,6 +3969,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "asof_join": _SQL_ASOF_JOIN,
         "sessionize": _SQL_SESSIONIZE,
+        "funnel": _SQL_FUNNEL,
         "scd2_intervals": _SQL_SCD2_INTERVALS,
         "interval_join": _SQL_INTERVAL_JOIN,
         "mentions": _SQL_MENTIONS,

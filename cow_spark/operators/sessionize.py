@@ -69,3 +69,68 @@ def session_summary(
              ).cast("long").alias("dur_us"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_s: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: how far does each user get through
+    ``steps`` (view → click → purchase …), where a step only counts
+    after the previous one and — with ``horizon_s`` — within that many
+    seconds of completing step one. Returns per-user
+    ``(user, stage_reached, t_first_us, t_last_us)`` with epoch-micros
+    timestamps of the first-step and deepest-step events; feed a
+    ``groupBy("stage_reached")`` for the classic funnel counts.
+
+    Plan: ONE groupBy per user collecting the (bounded, per-user)
+    event list, sorted in-array by (time, event) — deterministic under
+    timestamp ties — then a single fold (``F.aggregate``) walking the
+    sequence with a (stage, t0, t_last) accumulator. No window over a
+    global sort, no per-step self-join: k funnel steps cost the same
+    one pass (the k-join relational encoding grows a shuffle per step).
+    Out-of-bounds step lookup uses 0-based ``F.get`` (NULL-safe under
+    ANSI, where ``element_at`` throws).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    horizon_us = None if horizon_s is None else int(horizon_s) * 1_000_000
+
+    per_user = (
+        events.select(F.col(user_col).alias("user"),
+                      # NTZ timestamps need the cast; the session is
+                      # pinned UTC so the instant matches DuckDB's
+                      # epoch_us over the same naive value
+                      F.unix_micros(F.col(ts_col).cast("timestamp"))
+                      .alias("t"),
+                      F.col(event_col).alias("e"))
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "e"))).alias("_ev"))
+    )
+    init = F.struct(F.lit(0).alias("s"),
+                    F.lit(None).cast("bigint").alias("t0"),
+                    F.lit(None).cast("bigint").alias("tl"))
+
+    def step(acc, x):
+        can = (acc["s"] < n) & (x["e"] == F.get(steps_arr, acc["s"]))
+        if horizon_us is not None:
+            can = can & ((acc["s"] == 0)
+                         | (x["t"] - acc["t0"] <= horizon_us))
+        return F.struct(
+            F.when(can, acc["s"] + 1).otherwise(acc["s"]).alias("s"),
+            F.when(can & (acc["s"] == 0), x["t"]).otherwise(acc["t0"])
+            .alias("t0"),
+            F.when(can, x["t"]).otherwise(acc["tl"]).alias("tl"))
+
+    folded = per_user.select(
+        "user", F.aggregate("_ev", init, step).alias("_f"))
+    return folded.select(
+        "user", F.col("_f.s").alias("stage_reached"),
+        F.col("_f.t0").alias("t_first_us"),
+        F.col("_f.tl").alias("t_last_us"))

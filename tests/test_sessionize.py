@@ -56,3 +56,41 @@ def test_sessionize_plan_one_shuffle(spark):
     # partial-aggregated groupBy; both windows share ONE sort
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
+def test_funnel_semantics(spark):
+    """Funnel: step order enforced, repeated steps don't double-count,
+    the horizon caps later steps relative to step one, and users off
+    the funnel report stage 0."""
+    from cow_spark.operators.sessionize import funnel
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        ("u1", "view", _ts(0)), ("u1", "click", _ts(1)),
+        ("u1", "purchase", _ts(2)),
+        # u2: click BEFORE view never counts; no click after the view
+        ("u2", "click", _ts(0)), ("u2", "view", _ts(1)),
+        ("u2", "purchase", _ts(2)),   # purchase without click: stage 1
+        # u3: view only
+        ("u3", "view", _ts(5)),
+        # u4: purchase then error events only -> stage 0
+        ("u4", "purchase", _ts(0)), ("u4", "error", _ts(1)),
+        # u5: slow click outside a 10-minute horizon
+        ("u5", "view", _ts(0)), ("u5", "click", _ts(20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+
+    got = {r.user: (r.stage_reached, r.t_first_us, r.t_last_us)
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    us = lambda m: int(_ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got["u1"] == (3, us(0), us(2))
+    assert got["u2"] == (1, us(1), us(1))
+    assert got["u3"] == (1, us(5), us(5))
+    assert got["u4"] == (0, None, None)
+    assert got["u5"][0] == 2  # no horizon: slow click still counts
+
+    capped = {r.user: r.stage_reached
+              for r in funnel(df, ["view", "click", "purchase"],
+                              horizon_s=600).collect()}
+    assert capped["u5"] == 1  # 20-minute click outside the horizon
+    assert capped["u1"] == 3  # fast path unaffected
