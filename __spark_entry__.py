@@ -433,6 +433,38 @@ from staged group by stage_reached
 """
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (sessionize.py:retention) over
+    the events table; cohort dates rendered as ISO strings so both
+    engines hash identical values."""
+    from cow_spark.operators.sessionize import retention
+
+    ev = _load(spark, sf_dir, "events")
+    out = retention(ev, period="week", max_periods=8)
+    return out.select(F.col("cohort").cast("string").alias("cohort"),
+                      "period_offset", "n_users")
+
+
+_SQL_RETENTION = """
+with ev as (
+  select user_id as u, date_trunc('week', ts) as p from events
+),
+firstp as (select u, min(p) as cohort from ev group by u),
+act as (select distinct u, p from ev),
+per as (
+  select a.u, f.cohort,
+         date_diff('day', cast(f.cohort as date), cast(a.p as date)) // 7
+           as off
+  from act a join firstp f using (u)
+)
+select cast(cast(cohort as date) as varchar) as cohort,
+       cast(off as int) as period_offset,
+       cast(count(*) as bigint) as n_users
+from per where off <= 8
+group by cohort, off
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands, 30 min gap): per-session
     event count, value mass, and duration — the batch twin of the
@@ -3888,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "retention": q_retention,
         "scd2_intervals": q_scd2_intervals,
         "interval_join": q_interval_join,
         "mentions": q_mentions,
@@ -3970,6 +4003,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _SQL_ASOF_JOIN,
         "sessionize": _SQL_SESSIONIZE,
         "funnel": _SQL_FUNNEL,
+        "retention": _SQL_RETENTION,
         "scd2_intervals": _SQL_SCD2_INTERVALS,
         "interval_join": _SQL_INTERVAL_JOIN,
         "mentions": _SQL_MENTIONS,

@@ -134,3 +134,61 @@ def funnel(
         "user", F.col("_f.s").alias("stage_reached"),
         F.col("_f.t0").alias("t_first_us"),
         F.col("_f.tl").alias("t_last_us"))
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention: group users by their FIRST-activity period
+    (the cohort), then count how many are active again k periods later
+    — the classic retention triangle. Returns
+    ``(cohort, period_offset, n_users)`` with ``cohort`` the truncated
+    first-activity date and ``period_offset`` in [0, max_periods].
+
+    Plan: per-user first-activity via one partial-agg groupBy (min over
+    the raw timestamps, no window), then (user, period) distinct
+    activity joined back to the per-user cohort — a user-keyed join
+    against a per-user table, the only corpus-scale shuffle — and one
+    final vocabulary-sized aggregation (cohorts × offsets rows).
+    ``period`` is any ``date_trunc`` unit; offsets beyond
+    ``max_periods`` are dropped (they would make the output unbounded
+    in corpus time-span, not in corpus size).
+    """
+    ev = events.select(F.col(user_col).alias("user"),
+                       F.date_trunc(period, F.col(ts_col)).alias("p"))
+    first = ev.groupBy("user").agg(F.min("p").alias("cohort"))
+    active = ev.distinct()
+    per = (
+        active.join(first, "user")
+        .select("user", "cohort",
+                _period_offset(period).alias("off"))
+        .where(F.col("off") <= max_periods)
+    )
+    return (
+        per.groupBy("cohort", "off")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.col("cohort").cast("date").alias("cohort"),
+                F.col("off").cast("int").alias("period_offset"),
+                "n_users")
+    )
+
+
+def _period_offset(period: str):
+    """Whole periods between cohort and activity timestamps — exact
+    integer arithmetic on epoch days/seconds, identical in DuckDB
+    (datediff month semantics differ between engines, so month-family
+    units count month-index deltas explicitly)."""
+    if period in ("week", "day"):
+        days = F.datediff(F.col("p").cast("date"),
+                          F.col("cohort").cast("date"))
+        return days / (7 if period == "week" else 1)
+    if period in ("month", "quarter", "year"):
+        months = ((F.year("p") - F.year("cohort")) * 12
+                  + (F.month("p") - F.month("cohort")))
+        step = {"month": 1, "quarter": 3, "year": 12}[period]
+        return months / step
+    raise ValueError(f"unsupported retention period {period!r}")

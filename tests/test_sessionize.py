@@ -94,3 +94,36 @@ def test_funnel_semantics(spark):
                               horizon_s=600).collect()}
     assert capped["u5"] == 1  # 20-minute click outside the horizon
     assert capped["u1"] == 3  # fast path unaffected
+
+
+def test_retention_cohort_triangle(spark):
+    """Retention: cohorts anchor on first activity, offsets count whole
+    periods, re-activity within one period counts once, offsets beyond
+    max_periods drop."""
+    from cow_spark.operators.sessionize import retention
+
+    rows = [
+        # u1: first week W0, active W0 twice (counts once) and W2
+        ("u1", _ts(0)), ("u1", _ts(30)),
+        ("u1", dt.datetime(2024, 1, 15, 0, 0)),   # W2 (Jan 1 is a Monday)
+        # u2: first W0 only
+        ("u2", _ts(1)),
+        # u3: first W1
+        ("u3", dt.datetime(2024, 1, 10, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {(r.cohort.isoformat(), r.period_offset): r.n_users
+           for r in retention(df, period="week", max_periods=4).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1, u2
+        ("2024-01-01", 2): 1,   # u1 back in week 2
+        ("2024-01-08", 0): 1,   # u3's own cohort
+    }
+
+    # beyond max_periods: dropped
+    far = spark.createDataFrame(
+        rows + [("u2", dt.datetime(2024, 6, 1, 0, 0))],
+        "user_id string, ts timestamp")
+    got2 = {(r.cohort, r.period_offset)
+            for r in retention(far, period="week", max_periods=4).collect()}
+    assert all(off <= 4 for _, off in got2)
