@@ -3250,6 +3250,58 @@ group by a.t, b.t
 """
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the entity co-occurrence graph
+    (graphrank.py:triangle_count, degree-ordered orientation):
+    triangles + edges + wedges, i.e. the global clustering coefficient's
+    numerator and denominator."""
+    from cow_spark.operators.graphrank import triangle_count
+    from cow_spark.operators.mentions import cooccurrence_edges
+
+    docs = _load(spark, sf_dir, "documents")
+    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    m = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(pat), 0)).alias("mention"),
+    )
+    edges = cooccurrence_edges(m, group_col="doc_id",
+                               max_per_group=_COOC_CAP).select(
+        F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    return triangle_count(edges)
+
+
+def _sql_triangles() -> str:
+    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    return f"""
+with m as (
+  select distinct cast(doc_id as bigint) as g, u.t as t
+  from documents,
+       unnest(regexp_extract_all(lower(text), '{pat}')) as u(t)
+),
+e as (
+  select distinct a.t as a, b.t as b
+  from m a join m b on a.g = b.g and a.t < b.t
+),
+deg as (
+  select v, count(*) as d
+  from (select a as v from e union all select b from e)
+  group by v
+),
+tri as (
+  select count(*) as n
+  from e e1
+  join e e2 on e1.a = e2.a and e1.b < e2.b
+  join e e3 on e3.a = e1.b and e3.b = e2.b
+)
+select cast(tri.n as bigint) as n_triangles,
+       (select cast(count(*) as bigint) from e) as n_edges,
+       (select cast(coalesce(sum(d * (d - 1) // 2), 0) as bigint)
+        from deg) as n_wedges
+from tri
+"""
+
+
 def _url_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic docs carry no URLs; inject them deterministically from
     doc_id so domain analysis is falsifiable (same device as PII)."""
@@ -3988,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "bgp_filter": q_bgp_filter,
         "cooccurrence": q_cooccurrence,
+        "triangles": q_triangles,
         "corpus_profile": q_corpus_profile,
         "line_dedup": q_line_dedup,
     }
@@ -4071,6 +4124,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "bgp_filter": _sql_bgp_filter(),
         "cooccurrence": _sql_cooccurrence(),
+        "triangles": _sql_triangles(),
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "line_dedup": _sql_line_dedup(),
     }

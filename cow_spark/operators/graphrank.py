@@ -157,3 +157,60 @@ def pagerank_oracle_sql(edges_cte: str, iterations: int = 5) -> str:
     body = "\n".join(sql).rstrip(",")
     return f"{body}\nselect node, cast(rank_fp as bigint) as rank_fp " \
            f"from r{iterations}"
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle counting with the degree-ordering bound — the
+    standard local-clustering / community-density signal for entity
+    graphs. Input: undirected edges ``(src, dst)`` (duplicates, self
+    loops, and both orientations tolerated). Returns one row
+    ``(n_triangles, n_edges, n_wedges)``; the wedge count is the
+    denominator of the global clustering coefficient
+    ``3·triangles / wedges``.
+
+    The naive 3-way self-join shuffles Σ d(v)² wedge candidates — a hub
+    with a million neighbors contributes 10¹² wedges. Orienting every
+    edge from its lower-(degree, id) endpoint to the higher one caps
+    out-degree at O(√m), so oriented wedges are at most m^1.5 total
+    (Schank/Wagner): one join on the wedge pivot, then a semi-join of
+    the closing edge against the oriented edge set. Three shuffles —
+    degree agg, wedge join, closing join — all on edge-shaped rows.
+    """
+    e = (edges.select(F.col("src").cast("string").alias("a"),
+                      F.col("dst").cast("string").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
+           .groupBy("v").agg(F.count("*").alias("d")))
+    ranked = (
+        e.join(deg.withColumnRenamed("v", "a")
+               .withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b")
+              .withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .where(F.col("o1.w") < F.col("o2.w"))
+        .select(F.col("o1.w").alias("x"), F.col("o2.w").alias("y"))
+    )
+    closing = oriented.select(
+        F.least("u", "w").alias("x"), F.greatest("u", "w").alias("y"))
+    tri = wedges.join(closing.dropDuplicates(), ["x", "y"], "left_semi")
+
+    n_edges = e.count()
+    # wedges for the clustering coefficient use RAW degrees: Σ C(d,2)
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long")).first()[0] or 0
+    n_tri = tri.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(n_tri), int(n_edges), int(n_wedges))],
+        "n_triangles long, n_edges long, n_wedges long")

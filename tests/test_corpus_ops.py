@@ -665,3 +665,28 @@ def test_hash_split_leakage_guard_and_proportions(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, {"train": 0.5, "val": 0.1})
+
+
+def test_triangle_count_known_graphs(spark):
+    """Triangle census on graphs with known answers: K4, a triangle
+    with a pendant, a star (wedges but no triangles), and robustness to
+    duplicate/reversed/self-loop input edges."""
+    from cow_spark.operators.graphrank import triangle_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        r = triangle_count(df).first()
+        return (r.n_triangles, r.n_edges, r.n_wedges)
+
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i+1:]]
+    assert run(k4) == (4, 6, 12)  # C(4,3)=4 triangles; 4 * C(3,2) wedges
+
+    pendant = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    assert run(pendant) == (1, 4, 5)  # wedges: a:1 b:1 c:3 d:0
+
+    star = [("hub", f"s{i}") for i in range(5)]
+    assert run(star) == (0, 5, 10)
+
+    dirty = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a"),
+             ("a", "b")]
+    assert run(dirty) == (1, 3, 3)
