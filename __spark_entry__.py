@@ -1528,6 +1528,63 @@ left join (select * from best where rk = 1) b using (doc_id)
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations (terms.py:collocations), integer-exact via
+    the log2 kernel on both engines."""
+    from cow_spark.operators.terms import collocations
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return collocations(docs, min_count=5, k=15)
+
+
+def _sql_collocations() -> str:
+    l_ab = _sql_log2fp("n_ab")
+    l_a = _sql_log2fp("n_a")
+    l_b = _sql_log2fp("n_b")
+    # totals must be plain columns (cross join), not scalar subqueries:
+    # DuckDB rejects subqueries inside lambda expressions and the log2
+    # kernel is a list_reduce lambda
+    l_t1 = _sql_log2fp("t1")
+    l_t2 = _sql_log2fp("t2")
+    return rf"""
+with tk as (
+  select list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+bg as (
+  select unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) as u
+  from tk where len(t) >= 2
+),
+cab as (select u.w1 as w1, u.w2 as w2, cast(count(*) as bigint) as n_ab
+        from bg group by u.w1, u.w2),
+uni as (select t2.w as w, cast(count(*) as bigint) as n
+        from (select unnest(t) as w from tk) t2 group by t2.w),
+tot as (
+  select (select sum(n) from uni) as t1,
+         (select sum(n_ab) from cab) as t2
+),
+j as (
+  select cab.w1, cab.w2, cab.n_ab, ua.n as n_a, ub.n as n_b,
+         tot.t1, tot.t2
+  from cab
+  join uni ua on cab.w1 = ua.w
+  join uni ub on cab.w2 = ub.w
+  cross join tot
+  where cab.n_ab >= 5
+)
+select w1, w2, n_ab,
+       cast({l_ab} - {l_a} - {l_b} + 2 * {l_t1} - {l_t2} as bigint)
+         as pmi_fp
+from j
+order by pmi_fp desc, w1, w2
+limit 15
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -4027,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_rewrite": q_canonical_rewrite,
         "union_query": q_union_query,
         "language_mix": q_language_mix,
+        "collocations": q_collocations,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -4111,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_rewrite": _SQL_CANONICAL_REWRITE,
         "union_query": _sql_union_query(),
         "language_mix": _sql_language_mix(),
+        "collocations": _sql_collocations(),
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

@@ -437,3 +437,69 @@ def bm25_scores(
         .agg(F.count("*").cast("long").alias("n_hits"),
              F.sum("_s").cast("long").alias("score_fp"))
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    corpus-analysis classic for multi-word expressions ("new york",
+    "machine learning") and tokenizer-merge candidates. Integer-exact:
+
+        ``pmi_fp = L(c_ab) − L(T₂) − L(c_a) − L(c_b) + 2·L(T₁)``
+
+    with ``L`` the fixed-point log2 kernel (1/1024-bit units,
+    :mod:`..functions.intmath`), c_ab the bigram count, c_x unigram
+    counts, T₂/T₁ total bigrams/tokens — the sum-of-floors form of
+    log₂ P(ab)/(P(a)P(b)), identical in every engine (a libm log here
+    would flip top-k boundaries). ``min_count`` suppresses the hapax
+    pairs PMI notoriously over-ranks. Returns the top-``k``
+    ``(w1, w2, n_ab, pmi_fp)`` by (pmi desc, pair asc).
+
+    Plan: one explode into bigram partials, vocabulary-sized count
+    tables joined on their term keys, the staged log2 kernel over the
+    surviving (≥ min_count) pairs, and a TakeOrdered top-k — corpus
+    touches one scan + one partial-agg shuffle.
+    """
+    from ..functions.intmath import log2_fp_py, with_log2_fp
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    bigrams = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_t"), (i + 1).cast("int")).alias("w1"),
+                F.element_at(F.col("_t"), (i + 2).cast("int")).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = staged.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    c_ab = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    uni = (staged.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n")))
+    t1 = uni.agg(F.sum("n")).first()[0] or 0
+    t2 = c_ab.agg(F.sum("n_ab")).first()[0] or 0
+    if t1 < 1 or t2 < 1:
+        raise ValueError("collocations needs a non-empty corpus")
+
+    j = (
+        c_ab.where(F.col("n_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1")
+              .withColumnRenamed("n", "n_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("n", "n_b"), "w2")
+    )
+    j = with_log2_fp(j, "n_ab", "_lab")
+    j = with_log2_fp(j, "n_a", "_la")
+    j = with_log2_fp(j, "n_b", "_lb")
+    const = 2 * log2_fp_py(t1) - log2_fp_py(t2)
+    scored = j.select(
+        "w1", "w2", F.col("n_ab").cast("long").alias("n_ab"),
+        (F.col("_lab") - F.col("_la") - F.col("_lb") + F.lit(const))
+        .cast("long").alias("pmi_fp"))
+    return (scored.orderBy(F.desc("pmi_fp"), "w1", "w2").limit(k))

@@ -492,3 +492,49 @@ def test_rrf_fuse_semantics(spark):
     assert max(got, key=lambda d: got[d][1]) == 11  # in both lists -> wins
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_collocations_pmi(spark):
+    """PMI collocations: the glued pair outranks frequent-but-independent
+    pairs, hapax pairs are suppressed, and the python-twin formula holds
+    exactly."""
+    import pytest
+
+    from cow_spark.functions.intmath import log2_fp_py
+    from cow_spark.operators.terms import collocations
+
+    rows = []
+    # 'hong kong' ONLY ever together (20x); every other word also
+    # occurs independently, so its pairs lose PMI; 'rare gem' only
+    # twice (below min_count)
+    for i in range(20):
+        rows.append((i, "hong kong is the place with the data today"))
+    for i in range(10):
+        rows.append((200 + i, "data systems now"))
+        rows.append((300 + i, "later today is fine with the place"))
+    rows.append((100, "rare gem")), rows.append((101, "rare gem"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = collocations(df, min_count=3, k=10).collect()
+    pairs = [(r.w1, r.w2) for r in got]
+    # exclusive pairs outrank pairs whose words also occur apart —
+    # and the rarer exclusive pair ranks highest (PMI's signature)
+    assert pairs.index(("systems", "now")) < pairs.index(("hong", "kong"))
+    assert pairs.index(("hong", "kong")) < pairs.index(("data", "today"))
+    assert ("rare", "gem") not in pairs  # min_count suppressed
+
+    # exact twin for the top pair
+    toks = [t for _, txt in rows for t in txt.split()]
+    bgs = [b for _, txt in rows
+           for b in zip(txt.split(), txt.split()[1:])]
+    from collections import Counter
+    cu, cb = Counter(toks), Counter(bgs)
+    t1, t2 = len(toks), len(bgs)
+    want = (log2_fp_py(cb[("hong", "kong")]) - log2_fp_py(cu["hong"])
+            - log2_fp_py(cu["kong"]) + 2 * log2_fp_py(t1)
+            - log2_fp_py(t2))
+    hk = next(r for r in got if (r.w1, r.w2) == ("hong", "kong"))
+    assert hk.pmi_fp == want
+
+    with pytest.raises(ValueError, match="non-empty"):
+        collocations(spark.createDataFrame([], "doc_id long, text string"))
