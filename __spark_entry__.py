@@ -1901,16 +1901,54 @@ sig as (
               else 0.0 end as dupf,
          coalesce(agg.top / cast(agg.total as double), 0.0) as topf
   from tok left join agg on agg.doc_id = tok.doc_id
+),
+rl as (
+  select doc_id, list_filter([
+           case when nt < 5 then 'too_few_tokens' end,
+           case when nt > 100000 then 'too_many_tokens' end,
+           case when dupf > 0.3 then 'dup_lines' end,
+           case when topf > 0.2 then 'repeated_ngram' end
+         ], x -> x is not null) as reasons
+  from sig
 )
-select doc_id,
-       (nt >= 5 and nt <= 100000 and dupf <= 0.3 and topf <= 0.2) as keep,
-       coalesce(array_to_string(list_filter([
-         case when nt < 5 then 'too_few_tokens' end,
-         case when nt > 100000 then 'too_many_tokens' end,
-         case when dupf > 0.3 then 'dup_lines' end,
-         case when topf > 0.2 then 'repeated_ngram' end
-       ], x -> x is not null), ','), '') as reasons
-from sig
+-- keep is reasons-emptiness, NOT a NULL-propagating conjunction: a
+-- NULL token count (NULL text) trips no gate on the Spark side, so it
+-- must read keep=true here too
+select doc_id, len(reasons) = 0 as keep,
+       coalesce(array_to_string(reasons, ','), '') as reasons
+from rl
+"""
+
+
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet (plans/stats.py:source_report):
+    docs/tokens/empties, quality pass counts, exact-dup mass."""
+    from cow_spark.plans.stats import source_report
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return source_report(docs)
+
+
+def _sql_source_report() -> str:
+    return rf"""
+with qf as ({_SQL_QUALITY_FILTER}),
+base as (
+  select cast(doc_id as bigint) as doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> length(x) > 0)) as nt,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
+  from documents
+)
+select b.source,
+       cast(count(*) as bigint) as n_docs,
+       cast(coalesce(sum(b.nt), 0) as bigint) as n_tokens,
+       cast(count(*) filter (b.nt is null or b.nt = 0) as bigint)
+         as n_empty,
+       cast(count(*) filter (qf.keep) as bigint) as n_quality_pass,
+       cast(count(distinct b.fp) as bigint) as n_distinct_fp
+from base b join qf using (doc_id)
+group by b.source
 """
 
 
@@ -4085,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_query": q_union_query,
         "language_mix": q_language_mix,
         "collocations": q_collocations,
+        "source_report": q_source_report,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -4170,6 +4209,7 @@ def oracle_sql() -> dict[str, str]:
         "union_query": _sql_union_query(),
         "language_mix": _sql_language_mix(),
         "collocations": _sql_collocations(),
+        "source_report": _sql_source_report(),
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

@@ -90,3 +90,45 @@ def column_profile(
                 f"percentile_disc({p}) within group (order by `{col}`)"
             ).alias(name))
     return df.agg(*aggs)
+
+
+def source_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus datasheet — the one-call audit a dataset card
+    starts from: ``(source, n_docs, n_tokens, n_empty, n_quality_pass,
+    n_distinct_fp)`` where n_distinct_fp vs n_docs exposes each
+    source's exact-duplicate mass and n_quality_pass applies the
+    default :func:`~cow_spark.operators.quality.quality_filter` gates.
+
+    One scan computes tokens/fingerprints, the quality gates join on
+    the id (both sides partial-aggregate before the source-keyed final
+    agg, whose output is |sources|-sized). Empty = no tokens (NULL text
+    counts — its token count is NULL, not 0, and both engines treat it
+    the same).
+    """
+    from ..functions.text import fingerprint, token_count
+    from ..operators.quality import quality_filter
+
+    q = quality_filter(df, id_col=id_col, text_col=text_col) \
+        .select(F.col(id_col).alias("_qid"), "keep")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).alias("_nt"),
+        fingerprint(F.col(text_col)).alias("_fp"))
+    joined = base.join(q, base["_id"] == q["_qid"])
+    return (
+        joined.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.coalesce(F.sum("_nt"), F.lit(0)).cast("long")
+             .alias("n_tokens"),
+             F.sum(F.when(F.col("_nt").isNull() | (F.col("_nt") == 0), 1)
+                   .otherwise(0)).cast("long").alias("n_empty"),
+             F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+             .alias("n_quality_pass"),
+             F.countDistinct("_fp").cast("long").alias("n_distinct_fp"))
+    )

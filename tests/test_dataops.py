@@ -855,3 +855,26 @@ def test_linear_classifier_hashing_trick(spark):
            for r in linear_classifier_score(
                df, wdf, hashed_dim=D).collect()}
     assert got == _clf_twin(docs, model, hashed_dim=D)
+
+
+def test_source_report_datasheet(spark):
+    """Per-source datasheet: counts, empties, dup mass, quality passes
+    — on a corpus with known composition."""
+    from cow_spark.plans.stats import source_report
+
+    rows = [
+        (1, "web", "a good long document with plenty of words inside it"),
+        (2, "web", "a good long document with plenty of words inside it"),
+        (3, "web", "short"),              # quality fail (min_tokens)
+        (4, "web", None),                 # empty
+        (5, "books", "another perfectly fine document with many words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in source_report(df).collect()}
+    w = got["web"]
+    # NULL text trips no quality gate (NULL comparisons yield no
+    # reason, quality_filter's standing contract) — it shows up in
+    # n_empty, which is why the datasheet reports both columns
+    assert (w.n_docs, w.n_empty, w.n_quality_pass) == (4, 1, 3)
+    assert w.n_distinct_fp == 2   # docs 1,2 identical; 3 distinct; 4 NULL
+    assert got["books"].n_docs == 1 and got["books"].n_quality_pass == 1
