@@ -395,7 +395,9 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t, event)-lexicographic order decides; documented in the op)."""
     from cow_spark.operators.sessionize import funnel
 
-    ev = _load(spark, sf_dir, "events")
+    # NULL users: Spark's groupBy would keep a NULL group while the
+    # oracle's equality joins drop it — exclude on both sides
+    ev = _load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     per_user = funnel(ev, ["view", "click", "purchase"])
     return (
         per_user.groupBy("stage_reached")
@@ -408,6 +410,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_FUNNEL = """
 with ev as (
   select user_id as u, event_type as e, epoch_us(ts) as t from events
+  where user_id is not null
 ),
 s1 as (select u, min(t) as t1 from ev where e = 'view' group by u),
 s2 as (select ev.u, min(ev.t) as t2
@@ -3314,14 +3317,21 @@ where length(coalesce(lang, '')) > 0 and n_chars is not null
 _COOC_CAP = 1000
 
 
+_COOC_WORDS = ["join", "scan", "hash", "sort", "merge", "filter",
+               "window", "stream", "batch", "spark"]
+
+
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity co-occurrence edges over the linking dictionary's surface
-    forms: (term_a, term_b, n_groups) per document pair — the raw
-    entity-graph input."""
+    """Entity co-occurrence edges over a corpus-term gazetteer:
+    (term_a, term_b, n_groups) per document pair — the raw entity-graph
+    input. (The linking dictionary's surfaces never occur in the
+    synthetic documents, which made the original gate vacuous — the
+    gazetteer words are real corpus vocabulary, so the edge set is
+    dense and falsifiable.)"""
     from cow_spark.operators.mentions import cooccurrence_edges
 
     docs = _load(spark, sf_dir, "documents")
-    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
     m = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.regexp_extract_all(F.lower(F.col("text")),
@@ -3332,7 +3342,7 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cooccurrence() -> str:
-    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
     return f"""
 with m as (
   select distinct cast(doc_id as bigint) as g, u.t as t
@@ -3354,20 +3364,28 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cow_spark.operators.mentions import cooccurrence_edges
 
     docs = _load(spark, sf_dir, "documents")
-    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
     m = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.regexp_extract_all(F.lower(F.col("text")),
                                        F.lit(pat), 0)).alias("mention"),
     )
-    edges = cooccurrence_edges(m, group_col="doc_id",
-                               max_per_group=_COOC_CAP).select(
-        F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
-    return triangle_count(edges)
+    edges0 = cooccurrence_edges(m, group_col="doc_id",
+                                max_per_group=_COOC_CAP)
+    out = triangle_count(edges0.select(
+        F.col("term_a").alias("src"), F.col("term_b").alias("dst")))
+    # triangle_count is eager (its result is a materialized 1-row
+    # frame), so the co-occurrence persist can be freed right here —
+    # a derived .select() frame could never release it (dedup.release
+    # contract)
+    from cow_spark.operators.dedup import release
+
+    release(edges0)
+    return out
 
 
 def _sql_triangles() -> str:
-    pat = "|".join(r"\b" + s + r"\b" for _, s in _DICT)
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
     return f"""
 with m as (
   select distinct cast(doc_id as bigint) as g, u.t as t

@@ -175,13 +175,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     (Schank/Wagner): one join on the wedge pivot, then a semi-join of
     the closing edge against the oriented edge set. Three shuffles —
     degree agg, wedge join, closing join — all on edge-shaped rows.
+
+    The canonical edge set and the oriented edges are PERSISTED for
+    the duration of the call (edge-shaped, the bounded input): the
+    function runs three actions and the oriented table alone has three
+    consumers — with AQE breaking exchange reuse, an expensive caller
+    pipeline would otherwise re-execute per consumer. Both caches are
+    freed before returning (the result is a materialized 1-row frame).
     """
     e = (edges.select(F.col("src").cast("string").alias("a"),
                       F.col("dst").cast("string").alias("b"))
          .where(F.col("a") != F.col("b"))
          .select(F.least("a", "b").alias("a"),
                  F.greatest("a", "b").alias("b"))
-         .dropDuplicates())
+         .dropDuplicates()
+         .persist())
     deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
            .groupBy("v").agg(F.count("*").alias("d")))
     ranked = (
@@ -194,22 +202,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     oriented = ranked.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"))
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = (
-        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
-        .where(F.col("o1.w") < F.col("o2.w"))
-        .select(F.col("o1.w").alias("x"), F.col("o2.w").alias("y"))
-    )
-    closing = oriented.select(
-        F.least("u", "w").alias("x"), F.greatest("u", "w").alias("y"))
-    tri = wedges.join(closing.dropDuplicates(), ["x", "y"], "left_semi")
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w")
+    ).persist()
+    try:
+        o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+        wedges = (
+            o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+            .where(F.col("o1.w") < F.col("o2.w"))
+            .select(F.col("o1.w").alias("x"), F.col("o2.w").alias("y"))
+        )
+        closing = oriented.select(
+            F.least("u", "w").alias("x"), F.greatest("u", "w").alias("y"))
+        tri = wedges.join(closing.dropDuplicates(), ["x", "y"], "left_semi")
 
-    n_edges = e.count()
-    # wedges for the clustering coefficient use RAW degrees: Σ C(d,2)
-    n_wedges = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).cast("long")).first()[0] or 0
-    n_tri = tri.count()
+        n_edges = e.count()
+        # wedges for the clustering coefficient use RAW degrees: Σ C(d,2)
+        n_wedges = deg.agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long")).first()[0] or 0
+        n_tri = tri.count()
+    finally:
+        oriented.unpersist(), e.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(int(n_tri), int(n_edges), int(n_wedges))],

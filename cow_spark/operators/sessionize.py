@@ -94,7 +94,9 @@ def funnel(
     global sort, no per-step self-join: k funnel steps cost the same
     one pass (the k-join relational encoding grows a shuffle per step).
     Out-of-bounds step lookup uses 0-based ``F.get`` (NULL-safe under
-    ANSI, where ``element_at`` throws).
+    ANSI, where ``element_at`` throws). Rows with a NULL user fold into
+    one NULL group (groupBy semantics) — filter them upstream if that
+    is not the intent.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")

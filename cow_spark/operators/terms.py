@@ -462,10 +462,15 @@ def collocations(
 
     Plan: one explode into bigram partials, vocabulary-sized count
     tables joined on their term keys, the staged log2 kernel over the
-    surviving (≥ min_count) pairs, and a TakeOrdered top-k — corpus
-    touches one scan + one partial-agg shuffle.
+    surviving (≥ min_count) pairs, and a TakeOrdered top-k. The two
+    count tables are PERSISTED (vocabulary-sized — the bounded-cache
+    convention): each feeds multiple consumers (totals actions + the
+    joins) and AQE breaks exchange reuse, so without the persist every
+    consumer would re-run the corpus explode. The handles ride on the
+    result (``dedup.release``).
     """
     from ..functions.intmath import log2_fp_py, with_log2_fp
+    from ..operators.dedup import _attach_persisted
 
     staged = df.select(
         F.col(id_col).alias("doc_id"),
@@ -479,12 +484,13 @@ def collocations(
                 F.element_at(F.col("_t"), (i + 2).cast("int")).alias("w2"))),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bg = staged.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
-    c_ab = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    c_ab = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab")).persist()
     uni = (staged.select(F.explode("_t").alias("w"))
-           .groupBy("w").agg(F.count("*").alias("n")))
+           .groupBy("w").agg(F.count("*").alias("n"))).persist()
     t1 = uni.agg(F.sum("n")).first()[0] or 0
     t2 = c_ab.agg(F.sum("n_ab")).first()[0] or 0
     if t1 < 1 or t2 < 1:
+        uni.unpersist(), c_ab.unpersist()
         raise ValueError("collocations needs a non-empty corpus")
 
     j = (
@@ -502,4 +508,5 @@ def collocations(
         "w1", "w2", F.col("n_ab").cast("long").alias("n_ab"),
         (F.col("_lab") - F.col("_la") - F.col("_lb") + F.lit(const))
         .cast("long").alias("pmi_fp"))
-    return (scored.orderBy(F.desc("pmi_fp"), "w1", "w2").limit(k))
+    out = scored.orderBy(F.desc("pmi_fp"), "w1", "w2").limit(k)
+    return _attach_persisted(out, c_ab, uni)
