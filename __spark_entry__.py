@@ -1788,6 +1788,71 @@ select doc_id, {votes} as sketch from hashed group by doc_id
 """
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table fuzzy record linkage (dedup.py:fuzzy_join): the corpus
+    split into even/odd-id halves — near-dup pairs crossing the split
+    are the links a catalog-reconciliation job would find."""
+    from cow_spark.operators.dedup import fuzzy_join
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    left = docs.where(F.col("doc_id") % 2 == 0)
+    right = docs.where(F.col("doc_id") % 2 == 1)
+    out = fuzzy_join(left, right, threshold=0.5)
+    return out.select(
+        "id_left", "id_right",
+        F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard4"))
+
+
+def _sql_fuzzy_join() -> str:
+    bands = _sql_minhash_bands()
+    return rf"""
+with bands as ({bands}),
+lb as (select * from bands where doc_id % 2 = 0),
+rb as (select * from bands where doc_id % 2 = 1),
+lok as (select band, band_key from lb
+        group by band, band_key having count(*) <= 1000),
+rok as (select band, band_key from rb
+        group by band, band_key having count(*) <= 1000),
+lc as (select lb.* from lb semi join lok using (band, band_key)),
+rc as (select rb.* from rb semi join rok using (band, band_key)),
+cand as (
+  select distinct lc.doc_id as id_left, rc.doc_id as id_right
+  from lc join rc using (band, band_key)
+),
+tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+sh as (
+  select doc_id, list_distinct(
+    case when len(t) >= 3 then
+      list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    when len(t) > 0 then [array_to_string(t, ' ')]
+    else [] end) as sh
+  from tok
+),
+scored as (
+  select c.id_left, c.id_right,
+         round(len(list_intersect(sa.sh, sb.sh)) /
+               cast(len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh)) as double), 6)
+           as j6
+  from cand c
+  join sh sa on sa.doc_id = c.id_left
+  join sh sb on sb.doc_id = c.id_right
+  where len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+)
+select id_left, id_right,
+       cast(floor(j6 * 10000) as bigint) as jaccard4
+from scored where j6 >= 0.5
+"""
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multi-band MinHash-LSH candidate generation (all bands,
     bucket-cap guard) — `minhash_bands` checks the bucketing layer;
@@ -4142,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_mix": q_language_mix,
         "collocations": q_collocations,
         "source_report": q_source_report,
+        "fuzzy_join": q_fuzzy_join,
         "vocabulary": q_vocabulary,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -4228,6 +4294,7 @@ def oracle_sql() -> dict[str, str]:
         "language_mix": _sql_language_mix(),
         "collocations": _sql_collocations(),
         "source_report": _sql_source_report(),
+        "fuzzy_join": _sql_fuzzy_join(),
         "vocabulary": _SQL_VOCABULARY,
         "tfidf_topk": _sql_tfidf_topk(),
         "lm_surprisal": _SQL_LM_SURPRISAL,

@@ -994,3 +994,60 @@ def winnowing_fingerprints(
                       F.col("_m.gh").alias("gh"))
         .dropDuplicates()
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Two-table fuzzy record linkage — the A×B sibling of the self-join
+    dedup family: link every left row to the right rows whose normalized
+    text is near-duplicate (word-``n``-gram Jaccard ≥ ``threshold``),
+    without ever comparing all |A|×|B| pairs. The classic entity/record
+    matching shape (catalog reconciliation, incoming-batch vs master).
+
+    Candidates come from the SAME banded MinHash scheme both tables are
+    sketched with (identical hash family, so a shared band key means a
+    probable match); each (band, key) bucket joins left×right members
+    with a per-bucket cap on each side (degenerate buckets — empty or
+    boilerplate text — are dropped and bounded exactly like
+    ``minhash_lsh_pairs``); candidates dedupe on the pair, then
+    :func:`jaccard_pairs` verifies on the union of both tables. Returns
+    ``(id_left, id_right, jaccard)``.
+
+    Ids must be unique across BOTH tables for the verify join (by
+    contract — prefix them if the keyspaces overlap). Persisted band
+    tables ride on the result for :func:`release`.
+    """
+    lb = minhash_band_table(left, id_col, text_col, k, bands).persist()
+    rb = minhash_band_table(right, id_col, text_col, k, bands).persist()
+
+    def capped(bt):
+        sizes = (bt.groupBy("band", "band_key")
+                 .agg(F.count("*").alias("_n"))
+                 .where(F.col("_n") <= bucket_cap)
+                 .select("band", "band_key"))
+        return bt.join(sizes, ["band", "band_key"], "left_semi")
+
+    cand = (
+        capped(lb).withColumnRenamed("doc_id", "id_left")
+        .join(capped(rb).withColumnRenamed("doc_id", "id_right"),
+              ["band", "band_key"])
+        .select("id_left", "id_right")
+        .dropDuplicates()
+    )
+    both = left.select(F.col(id_col), F.col(text_col)).unionByName(
+        right.select(F.col(id_col), F.col(text_col)))
+    pairs = cand.select(F.col("id_left").alias("id_a"),
+                        F.col("id_right").alias("id_b"))
+    verified = jaccard_pairs(both, pairs, id_col, text_col, n, threshold)
+    out = verified.select(F.col("id_a").alias("id_left"),
+                          F.col("id_b").alias("id_right"), "jaccard")
+    return _attach_persisted(out, lb, rb)

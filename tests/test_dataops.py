@@ -521,6 +521,31 @@ def test_language_mix_detects_code_switching(spark):
     assert got[3].n_windows == 0 and got[3].majority_lang is None
 
 
+def test_fuzzy_join_links_across_tables(spark):
+    """A×B record linkage: near-dup rows across two tables link with
+    their Jaccard, unrelated rows never pair, and the ids keep their
+    table-of-origin sides."""
+    from cow_spark.operators.dedup import fuzzy_join, release
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    left = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines"),
+         (3, "a third record that matches nothing else at all")],
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(101, base.replace("today", "tomorrow")),  # near-dup of 1
+         (102, base),                                # exact dup of 1
+         (103, "unrelated right-side text entirely")],
+        "doc_id long, text string")
+
+    out = fuzzy_join(left, right, threshold=0.5)
+    got = {(r.id_left, r.id_right): r.jaccard for r in out.collect()}
+    assert release(out) == 2
+    assert set(got) == {(1, 101), (1, 102)}
+    assert got[(1, 102)] == 1.0
+    assert 0.5 <= got[(1, 101)] < 1.0
+
+
 def test_containment_detects_quotes(spark):
     """Containment catches the small-inside-large case resemblance
     misses: a quoted paragraph has cont(quote in host) ~ 1 while the
