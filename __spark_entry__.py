@@ -3576,6 +3576,46 @@ join (select prev, sum(n) as tot from counts group by prev) t
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transition-mining operator is schema-generic: the same
+    dialogue.py:tool_transitions over the events table (user journeys
+    instead of agent tool chains) — rename columns, nothing else."""
+    from cow_spark.operators.dialogue import tool_transitions
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("turn_idx"),
+        F.col("event_type").alias("tool"))
+    return tool_transitions(ev)
+
+
+_SQL_EVENT_TRANSITIONS = """
+with seq as (
+  select cast(user_id as varchar) as u, event_type as e,
+         lead(event_type, 1, '$END') over w as nxt,
+         row_number() over w as rn
+  from events
+  where user_id is not null and event_type is not null
+  window w as (partition by user_id order by epoch_us(ts), event_type)
+),
+edges as (
+  select '^START' as prev, e as next from seq where rn = 1
+  union all
+  select e, nxt from seq
+),
+counts as (
+  select prev, next, cast(count(*) as bigint) as n
+  from edges group by prev, next
+)
+select c.prev, c.next, c.n,
+       cast(c.n * 1000 // t.tot as bigint) as p_fp
+from counts c
+join (select prev, sum(n) as tot from counts group by prev) t
+  using (prev)
+"""
+
+
 def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-turn pair mining over the deterministic transcripts.
 
@@ -4217,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
         "tool_transitions": q_tool_transitions,
+        "event_transitions": q_event_transitions,
         "conversation_windows": q_conversation_windows,
         "domain_stats": q_domain_stats,
         "bgp_filter": q_bgp_filter,
@@ -4304,6 +4345,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _sql_incremental_dedup(),
         "sft_pairs": _sql_sft_pairs(),
         "tool_transitions": _sql_tool_transitions(),
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
         "conversation_windows": _sql_conversation_windows(),
         "domain_stats": _sql_domain_stats(),
         "bgp_filter": _sql_bgp_filter(),
