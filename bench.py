@@ -162,6 +162,12 @@ def main() -> None:
     # every doc is replicated 20x, so every eligible line is corpus-level
     # boilerplate — the adversarial everything-removed case
     timings["line_dedup_bulk20x"] = round(_run(_rrl(docs20)), 3)
+    # exact-substring dedup on the same 100k-doc corpus: with 20 copies
+    # of every doc, every k-gram is duplicated — the adversarial
+    # everything-covered case for the island merge + rewrite
+    from cow_spark.operators.dedup import remove_duplicated_spans as _rds
+
+    timings["substring_dedup_bulk20x"] = round(_run(_rds(docs20, k=5)), 3)
     docs20.unpersist()
 
     # flagship transcript KG pipeline, sized by sf (~4.6M turns at sf=1)
