@@ -4086,6 +4086,43 @@ from reach where src <> dst
 """
 
 
+def q_encoded_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoded quad table (sinks.py:encode_quads): IRIs
+    become content-hashed bigints — the shuffle-payload optimization
+    for iterative graph work — over the doc-tree hierarchy."""
+    from cow_spark.sources.sinks import encode_quads
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    quads = docs.where(F.col("doc_id") >= 1).select(
+        F.lit(None).cast("string").alias("g"),
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("s"),
+        F.lit(f"{BASE}/vocab/under").alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit(f"{BASE}/"),
+                 (F.col("doc_id") / 2).cast("long").cast("string"))
+        .alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"))
+    enc, _terms = encode_quads(quads)
+    return enc.select("s_id", "p_id", "o_kind", "o_id")
+
+
+_SQL_ENCODED_QUADS = f"""
+with d as (select cast(doc_id as bigint) as i from documents where
+           cast(doc_id as bigint) >= 1)
+select cast(concat('0x', substr(md5('{BASE}/' || cast(i as varchar)),
+       1, 15)) as bigint) as s_id,
+       cast(concat('0x', substr(md5('{BASE}/vocab/under'),
+       1, 15)) as bigint) as p_id,
+       'iri' as o_kind,
+       cast(concat('0x', substr(md5('{BASE}/' || cast(i // 2 as varchar)),
+       1, 15)) as bigint) as o_id
+from d
+"""
+
+
 def q_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION (bgp.py:union_bgp): two branches binding different
     variable sets over the documents KG — absent variables come back
@@ -4244,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": q_path_query,
         "canonical_rewrite": q_canonical_rewrite,
         "union_query": q_union_query,
+        "encoded_quads": q_encoded_quads,
         "language_mix": q_language_mix,
         "collocations": q_collocations,
         "source_report": q_source_report,
@@ -4332,6 +4370,7 @@ def oracle_sql() -> dict[str, str]:
         "path_query": _SQL_PATH_QUERY,
         "canonical_rewrite": _SQL_CANONICAL_REWRITE,
         "union_query": _sql_union_query(),
+        "encoded_quads": _SQL_ENCODED_QUADS,
         "language_mix": _sql_language_mix(),
         "collocations": _sql_collocations(),
         "source_report": _sql_source_report(),

@@ -240,3 +240,70 @@ def write_nquads(
     if gzip:
         w = w.option("compression", "gzip")
     w.text(path)
+
+
+def encode_quads(quads: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode a quad table for storage/shuffle efficiency:
+    every IRI (subjects, predicates, IRI objects) becomes a 60-bit
+    portable hash id, and the string itself lives once in a ``terms``
+    dictionary. Returns ``(encoded, terms)`` where ``encoded`` has
+    ``(g, s_id, p_id, o_kind, o_id, o_lex, o_dt, o_lang)`` — o_id for
+    IRI objects, o_lex for literals — and ``terms`` is
+    ``(term_id, term)``.
+
+    Iterative graph algorithms (CC, PageRank, path closure) and BGP
+    joins shuffle fixed-width bigints instead of 50-100-byte IRIs —
+    the payload shrinks ~10-50× and comparisons become integer. The
+    id is content-hashed (md5-60bit, engine-portable), so encoding is
+    deterministic, needs no coordination, and two tables encoded
+    separately share ids — joins across independently-encoded tables
+    just work. Collision odds at 60 bits are ~n²/2⁶¹ (≈1e-7 at a
+    billion distinct terms); :func:`decode_quads` joins by id, so a
+    collision would surface as one wrong IRI string, not silent data
+    loss — checksum the dictionary (count == distinct count) where
+    that matters.
+    """
+    from ..functions.hashing import portable_hash60
+
+    iri_terms = (
+        quads.select(F.col("s").alias("term"))
+        .unionByName(quads.select(F.col("p").alias("term")))
+        .unionByName(quads.where(F.col("o_kind") == "iri")
+                     .select(F.col("o_lex").alias("term")))
+        .dropDuplicates()
+    )
+    terms = iri_terms.select(
+        portable_hash60(F.col("term")).alias("term_id"), "term")
+    enc = quads.select(
+        "g",
+        portable_hash60(F.col("s")).alias("s_id"),
+        portable_hash60(F.col("p")).alias("p_id"),
+        "o_kind",
+        F.when(F.col("o_kind") == "iri",
+               portable_hash60(F.col("o_lex"))).alias("o_id"),
+        F.when(F.col("o_kind") != "iri", F.col("o_lex")).alias("o_lex"),
+        "o_dt", "o_lang")
+    return enc, terms
+
+
+def decode_quads(encoded: DataFrame, terms: DataFrame) -> DataFrame:
+    """Inverse of :func:`encode_quads`: joins the dictionary back onto
+    the id columns and restores the engine's quad schema. The
+    dictionary is vocabulary-sized — broadcast it when it fits (the
+    common case: distinct IRIs ≪ quads)."""
+    t = terms.select(F.col("term_id"), F.col("term"))
+    out = (
+        encoded
+        .join(t.withColumnRenamed("term_id", "s_id")
+              .withColumnRenamed("term", "_s"), "s_id")
+        .join(t.withColumnRenamed("term_id", "p_id")
+              .withColumnRenamed("term", "_p"), "p_id")
+        .join(t.withColumnRenamed("term_id", "o_id")
+              .withColumnRenamed("term", "_o"), "o_id", "left")
+        .select(
+            "g", F.col("_s").alias("s"), F.col("_p").alias("p"),
+            "o_kind",
+            F.coalesce(F.col("_o"), F.col("o_lex")).alias("o_lex"),
+            "o_dt", "o_lang")
+    )
+    return out.select(*QUAD_COLS)

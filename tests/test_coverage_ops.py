@@ -362,6 +362,42 @@ def test_compact_quads_table_removes_cross_horizon_duplicates(spark, tmp_path):
     assert any(d.startswith("s_bucket=") for d in os.listdir(path))
 
 
+def test_encode_decode_quads_round_trip(spark):
+    """Dictionary encoding: lossless round trip for mixed IRI/literal
+    quads, content-hashed ids stable across independent encodings, and
+    a vocabulary-sized dictionary."""
+    from cow_spark.sources.sinks import decode_quads, encode_quads
+
+    E = "https://example.com/"
+    rows = [
+        (None, E + "a", E + "knows", "iri", E + "b", None, None),
+        ("g1", E + "b", E + "name", "lit", "Bert", None, None),
+        (None, E + "a", E + "age", "lit", "42",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        (None, E + "a", E + "label", "lit", "Ada", None, "en"),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    enc, terms = encode_quads(q)
+
+    back = decode_quads(enc, terms)
+    orig = {tuple(r) for r in q.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == orig
+
+    # dictionary holds each distinct IRI exactly once (5: a, b, knows,
+    # name, age, label), never literals
+    t = {r.term for r in terms.collect()}
+    assert t == {E + "a", E + "b", E + "knows", E + "name", E + "age",
+                 E + "label"}
+
+    # content-hashed ids: an independently encoded table shares ids
+    q2 = spark.createDataFrame([rows[0]], schema)
+    enc2, _ = encode_quads(q2)
+    assert enc2.first().s_id == enc.where("o_kind = 'iri'").first().s_id
+
+
 def test_quads_table_orc_round_trip(spark, tmp_path):
     """ORC is the second supported columnar table format: identical
     round trip, same bucket layout, same partition-pruned point
