@@ -1588,6 +1588,60 @@ limit 15
 """
 
 
+def q_surprisal_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level surprisal localization (terms.py:surprisal_windows):
+    the worst 20-token window per document, integer-exact."""
+    from cow_spark.operators.terms import surprisal_windows
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return surprisal_windows(docs, window=20)
+
+
+_SQL_SURPRISAL_WINDOWS = r"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+rows_w as (
+  select doc_id, cast((u.p - 1) // 20 as int) as w, u.term as term
+  from (
+    select doc_id,
+           unnest(list_transform(generate_series(1, len(t)),
+             i -> struct_pack(p := i, term := t[i]))) as u
+    from tk where len(t) > 0
+  )
+),
+c as (select term, cast(count(*) as bigint) as c from rows_w
+      group by term),
+tt as (select cast(sum(c) as bigint) as T from c),
+per_win as (
+  select r.doc_id, r.w,
+         cast(count(*) as bigint) as n_tok,
+         cast(sum(length(bin(tt.T // c.c)) - 1) as bigint) as bits_sum
+  from rows_w r join c using (term) cross join tt
+  group by r.doc_id, r.w
+),
+scored as (
+  select doc_id, w, bits_sum * 1000 // n_tok as score_fp from per_win
+)
+select doc_id,
+       cast(n_windows as bigint) as n_windows,
+       cast(w as int) as worst_idx,
+       cast(score_fp as bigint) as worst_fp
+from (
+  select doc_id, w, score_fp,
+         count(*) over (partition by doc_id) as n_windows,
+         row_number() over (partition by doc_id
+                            order by score_fp desc, w) as rk
+  from scored
+) where rk = 1
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality ratios, language ID, fingerprint."""
     from cow_spark.functions.text import (
@@ -4284,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_quads": q_encoded_quads,
         "language_mix": q_language_mix,
         "collocations": q_collocations,
+        "surprisal_windows": q_surprisal_windows,
         "source_report": q_source_report,
         "fuzzy_join": q_fuzzy_join,
         "vocabulary": q_vocabulary,
@@ -4373,6 +4428,7 @@ def oracle_sql() -> dict[str, str]:
         "encoded_quads": _SQL_ENCODED_QUADS,
         "language_mix": _sql_language_mix(),
         "collocations": _sql_collocations(),
+        "surprisal_windows": _SQL_SURPRISAL_WINDOWS,
         "source_report": _sql_source_report(),
         "fuzzy_join": _sql_fuzzy_join(),
         "vocabulary": _SQL_VOCABULARY,

@@ -510,3 +510,58 @@ def collocations(
         .cast("long").alias("pmi_fp"))
     out = scored.orderBy(F.desc("pmi_fp"), "w1", "w2").limit(k)
     return _attach_persisted(out, c_ab, uni)
+
+
+def surprisal_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Span-level surprisal localization: score every fixed
+    ``window``-token slice of a document with the corpus unigram model
+    and report the WORST one — ``(doc_id, n_windows, worst_idx,
+    worst_fp)`` with ``worst_fp`` the max per-window mean surprisal in
+    the module's fixed-point units. Where :func:`unigram_surprisal`
+    says "this document averages badly", this says "THIS span is the
+    problem" — the signal for cutting an injected boilerplate/garbage
+    region instead of dropping a whole mostly-good document.
+
+    Same integer-exact whole-bit machinery; per-window means make short
+    noise spans visible that a document-level mean dilutes away.
+    Ties break on the lowest window index. Plan: one explode into
+    (doc, window, term) rows, the vocabulary-sized count join, one
+    partial agg per (doc, window) and an argmax per doc — all shuffles
+    carry hashed/counted partials, never text.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    from ..operators.dedup import _attach_persisted
+
+    rows = staged.select(
+        "doc_id",
+        F.posexplode("_t").alias("_pos", "term"),
+    ).select("doc_id", (F.col("_pos") / window).cast("int").alias("w"),
+             "term")
+    # vocabulary-sized, three consumers (totals + the join) — persist
+    # per the AQE-breaks-reuse convention; handle rides on the result
+    counts = rows.groupBy("term").agg(F.count("*").alias("c")).persist()
+    totals = counts.agg(F.sum("c").alias("T"))
+    bits = F.length(F.bin(F.expr("T div c"))) - F.lit(1)
+    per_win = (
+        rows.join(counts, "term").crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("n_tok"),
+             F.sum(bits).cast("long").alias("bits_sum"))
+        .withColumn("score_fp", F.expr(f"bits_sum * {SCALE} div n_tok"))
+    )
+    out = (
+        per_win.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_windows"),
+             F.max_by(F.col("w"),
+                      F.struct(F.col("score_fp"), -F.col("w")))
+             .cast("int").alias("worst_idx"),
+             F.max("score_fp").cast("long").alias("worst_fp"))
+    )
+    return _attach_persisted(out, counts)

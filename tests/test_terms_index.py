@@ -538,3 +538,28 @@ def test_collocations_pmi(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         collocations(spark.createDataFrame([], "doc_id long, text string"))
+
+
+def test_surprisal_windows_localizes_garbage(spark):
+    """A good document with an injected garbage span: the worst window
+    is the one holding the garbage, even though the doc-level mean
+    would dilute it."""
+    from cow_spark.operators.dedup import release
+    from cow_spark.operators.terms import surprisal_windows
+
+    good = "the data engine joins tables and the planner sorts rows"  # common
+    garbage = "zxq vvk jjw qqp mmx ccz bbn llr kkt hhy"               # hapax
+    rows = [(i, " ".join([good] * 4)) for i in range(10)]
+    # doc 99: three good windows then the garbage in window 3
+    rows.append((99, " ".join([good] * 3) + " " + garbage))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = surprisal_windows(df, window=10)
+    got = {r.doc_id: r for r in out.collect()}
+    assert release(out) == 1
+    # clean docs: all windows identical, tie breaks to window 0
+    assert got[0].worst_idx == 0
+    # the garbage span is localized (40 tokens -> windows 0..3; the
+    # hapax tokens live in window 3)
+    assert got[99].worst_idx == 3
+    assert got[99].worst_fp > got[0].worst_fp
