@@ -4140,6 +4140,49 @@ from reach where src <> dst
 """
 
 
+def q_quads_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG changeset (sinks.py:diff_quads): the doc-tree KG re-extracted
+    with every 5th edge re-pointed — the diff must contain exactly the
+    re-pointed edges' old (removed) and new (added) quads."""
+    from cow_spark.sources.sinks import diff_quads
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+
+    def tree(parent_expr):
+        return docs.where(F.col("doc_id") >= 1).select(
+            F.lit(None).cast("string").alias("g"),
+            F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+            .alias("s"),
+            F.lit(f"{BASE}/vocab/under").alias("p"),
+            F.lit("iri").alias("o_kind"),
+            F.concat(F.lit(f"{BASE}/"), parent_expr.cast("string"))
+            .alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"))
+
+    half = (F.col("doc_id") / 2).cast("long")
+    third = (F.col("doc_id") / 3).cast("long")
+    old = tree(half)
+    new = tree(F.when(F.col("doc_id") % 5 == 0, third).otherwise(half))
+    return diff_quads(old, new).select("s", "o_lex", "change")
+
+
+_SQL_QUADS_DIFF = f"""
+with d as (select cast(doc_id as bigint) as i from documents
+           where cast(doc_id as bigint) >= 1),
+ch as (select i from d where i % 5 = 0 and i // 2 <> i // 3)
+select '{BASE}/' || cast(i as varchar) as s,
+       '{BASE}/' || cast(i // 3 as varchar) as o_lex,
+       'added' as change
+from ch
+union all
+select '{BASE}/' || cast(i as varchar),
+       '{BASE}/' || cast(i // 2 as varchar), 'removed'
+from ch
+"""
+
+
 def q_encoded_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-encoded quad table (sinks.py:encode_quads): IRIs
     become content-hashed bigints — the shuffle-payload optimization
@@ -4336,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_rewrite": q_canonical_rewrite,
         "union_query": q_union_query,
         "encoded_quads": q_encoded_quads,
+        "quads_diff": q_quads_diff,
         "language_mix": q_language_mix,
         "collocations": q_collocations,
         "surprisal_windows": q_surprisal_windows,
@@ -4426,6 +4470,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_rewrite": _SQL_CANONICAL_REWRITE,
         "union_query": _sql_union_query(),
         "encoded_quads": _SQL_ENCODED_QUADS,
+        "quads_diff": _SQL_QUADS_DIFF,
         "language_mix": _sql_language_mix(),
         "collocations": _sql_collocations(),
         "surprisal_windows": _SQL_SURPRISAL_WINDOWS,

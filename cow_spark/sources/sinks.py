@@ -307,3 +307,24 @@ def decode_quads(encoded: DataFrame, terms: DataFrame) -> DataFrame:
             "o_dt", "o_lang")
     )
     return out.select(*QUAD_COLS)
+
+
+def diff_quads(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Changeset between two quad-table versions: every quad tagged
+    ``added`` (in new, not old) or ``removed`` (in old, not new) —
+    multiset semantics via ``exceptAll``, so a duplicate count change
+    surfaces too. The KG-versioning primitive: publish deltas instead
+    of full dumps, audit what a re-extraction changed, feed incremental
+    downstream indexes.
+
+    One explode-free plan: two anti-semi-difference shuffles on the
+    full quad key and a union of the two (already-disjoint) branches —
+    the branches derive from different inputs, so the no-CSE-across-
+    union rule costs nothing here.
+    """
+    cols = [c for c in QUAD_COLS if c in old.columns]
+    o = old.select(*cols)
+    n = new.select(*cols)
+    added = n.exceptAll(o).withColumn("change", F.lit("added"))
+    removed = o.exceptAll(n).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)

@@ -627,3 +627,27 @@ def test_match_bgp_optional_and_not_exists(spark):
     with _pytest.raises(ValueError):
         match_bgp(q, [("?x", "ex:name", "?n")], namespaces=ns,
                   optional=[("?other", "ex:email", "?e")])
+
+
+def test_diff_quads_changeset(spark):
+    """KG diff: added/removed tagging, multiset semantics (a duplicate
+    count change surfaces), identical tables diff empty."""
+    from cow_spark.sources.sinks import diff_quads
+
+    E = "https://example.com/"
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    base = [
+        (None, E + "a", E + "p", "iri", E + "x", None, None),
+        (None, E + "b", E + "p", "lit", "v", None, None),
+    ]
+    old = spark.createDataFrame(base + [base[0]], schema)  # dup of quad 0
+    new = spark.createDataFrame(
+        base + [(None, E + "c", E + "p", "lit", "w", None, None)], schema)
+
+    got = {(r.s, r.o_lex, r.change) for r in diff_quads(old, new).collect()}
+    assert got == {
+        (E + "c", "w", "added"),          # genuinely new quad
+        (E + "a", E + "x", "removed"),    # the duplicate copy went away
+    }
+    assert diff_quads(new, new).count() == 0
