@@ -34,6 +34,12 @@ XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone once for every entry: the sf* parquet
+    # timestamps are naive, and unix_micros(cast(ts)) is session-TZ
+    # dependent — a non-UTC driver session (DST boundary inside a
+    # session window) would diverge from DuckDB's naive epoch_us while
+    # staying row/schema-identical (r2 driver red on `sessionize`).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -4315,14 +4321,55 @@ select distinct s, p, o_kind, o_lex from together
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver samples the FIRST 50 entries. Round 2
+    # sampled (and greened) the 50 that used to lead; round 3 leads with
+    # the 36 entries the driver has never checked, then `sessionize`
+    # (r2's one hash-red — fixed by the UTC pin in _load, needs a driver
+    # re-check), then 13 previously-green entries to fill the window.
     return {
+        "pii_scan": q_pii_scan,
+        "decontamination": q_decontamination,
+        "sequence_packing": q_sequence_packing,
+        "stratified_sample": q_stratified_sample,
+        "temperature_sample": q_temperature_sample,
+        "classifier_score": q_classifier_score,
+        "pagerank": q_pagerank,
+        "bgp_aggregate": q_bgp_aggregate,
+        "construct": q_construct,
+        "path_query": q_path_query,
+        "canonical_rewrite": q_canonical_rewrite,
+        "union_query": q_union_query,
+        "encoded_quads": q_encoded_quads,
+        "quads_diff": q_quads_diff,
+        "language_mix": q_language_mix,
+        "collocations": q_collocations,
+        "surprisal_windows": q_surprisal_windows,
+        "source_report": q_source_report,
+        "fuzzy_join": q_fuzzy_join,
+        "vocabulary": q_vocabulary,
+        "tfidf_topk": q_tfidf_topk,
+        "lm_surprisal": q_lm_surprisal,
+        "cross_doc_ngrams": q_cross_doc_ngrams,
+        "chunk_documents": q_chunk_documents,
+        "surprisal_buckets": q_surprisal_buckets,
+        "incremental_dedup": q_incremental_dedup,
+        "sft_pairs": q_sft_pairs,
+        "tool_transitions": q_tool_transitions,
+        "event_transitions": q_event_transitions,
+        "conversation_windows": q_conversation_windows,
+        "domain_stats": q_domain_stats,
+        "bgp_filter": q_bgp_filter,
+        "cooccurrence": q_cooccurrence,
+        "triangles": q_triangles,
+        "corpus_profile": q_corpus_profile,
+        "line_dedup": q_line_dedup,
+        "sessionize": q_sessionize,
         "kg_default_triples": q_kg_default,
         "kg_full_triples": q_kg_full,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
         "funnel": q_funnel,
         "retention": q_retention,
         "scd2_intervals": q_scd2_intervals,
@@ -4366,42 +4413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
-        "pii_scan": q_pii_scan,
-        "decontamination": q_decontamination,
-        "sequence_packing": q_sequence_packing,
-        "stratified_sample": q_stratified_sample,
-        "temperature_sample": q_temperature_sample,
-        "classifier_score": q_classifier_score,
-        "pagerank": q_pagerank,
-        "bgp_aggregate": q_bgp_aggregate,
-        "construct": q_construct,
-        "path_query": q_path_query,
-        "canonical_rewrite": q_canonical_rewrite,
-        "union_query": q_union_query,
-        "encoded_quads": q_encoded_quads,
-        "quads_diff": q_quads_diff,
-        "language_mix": q_language_mix,
-        "collocations": q_collocations,
-        "surprisal_windows": q_surprisal_windows,
-        "source_report": q_source_report,
-        "fuzzy_join": q_fuzzy_join,
-        "vocabulary": q_vocabulary,
-        "tfidf_topk": q_tfidf_topk,
-        "lm_surprisal": q_lm_surprisal,
-        "cross_doc_ngrams": q_cross_doc_ngrams,
-        "chunk_documents": q_chunk_documents,
-        "surprisal_buckets": q_surprisal_buckets,
-        "incremental_dedup": q_incremental_dedup,
-        "sft_pairs": q_sft_pairs,
-        "tool_transitions": q_tool_transitions,
-        "event_transitions": q_event_transitions,
-        "conversation_windows": q_conversation_windows,
-        "domain_stats": q_domain_stats,
-        "bgp_filter": q_bgp_filter,
-        "cooccurrence": q_cooccurrence,
-        "triangles": q_triangles,
-        "corpus_profile": q_corpus_profile,
-        "line_dedup": q_line_dedup,
     }
 
 

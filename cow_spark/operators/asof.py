@@ -72,11 +72,18 @@ def asof_join(
     )
     rtype = right.select(rpayload.alias("_r")).schema["_r"].dataType
 
+    # _ord stays in right_order's NATIVE type: casting to long would
+    # abort under Spark 4 ANSI mode the moment the tiebreak column is a
+    # non-numeric string (the default right_order is the first carried
+    # column, commonly a string payload). "Greatest wins" means greatest
+    # in the column's natural ordering; left rows carry NULL (they never
+    # compete — _side already separates them).
+    ordtype = right.schema[right_order].dataType
     lcols = left.columns
     l2 = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        F.lit(0).cast("long").alias("_ord"),
+        F.lit(None).cast(ordtype).alias("_ord"),
         F.lit(None).cast(rtype).alias("_rrow"),
     )
     r2 = right.select(
@@ -86,7 +93,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        F.col(right_order).cast("long").alias("_ord"),
+        F.col(right_order).alias("_ord"),
         rpayload.alias("_rrow"),
     )
 
@@ -96,7 +103,8 @@ def asof_join(
     # deterministic (greatest right_order wins, it sorts last).
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_col, "_side", "_ord")
+        .orderBy(F.col(ts_col), F.col("_side"),
+                 F.col("_ord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_rrow", ignorenulls=True).over(w)

@@ -67,6 +67,13 @@ def pagerank(
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
          .distinct().persist())
+    if e.isEmpty():
+        # no edges (or all NULL-endpoint) → no nodes: n=0 would reach
+        # the teleport division on either path. Empty in, empty out.
+        e.unpersist()
+        id_type = edges.schema[src].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            [], f"node {id_type}, rank_fp long")
     if local_threshold and e.count() <= local_threshold:
         out = _pagerank_local(e, iterations)
         e.unpersist()

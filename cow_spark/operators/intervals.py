@@ -82,10 +82,11 @@ def interval_join(
     open-ended year-long interval must not fan out into 10^5 rows
     silently (``audit_drops=True`` counts and warns, at the cost of
     one extra pass over the intervals table). NULL ``hi`` (open
-    intervals from
-    :func:`intervalize`) is treated as +infinity and REJECTED by the
-    guard unless ``max_bins_per_interval`` is None; close open
-    intervals first (e.g. ``coalesce(valid_to, now)``).
+    intervals from :func:`intervalize`) cannot be binned: the guard
+    log-and-drops them like over-long intervals; with
+    ``max_bins_per_interval=None`` they raise ``ValueError`` instead
+    (nothing would bound the fan-out). Close open intervals first
+    (e.g. ``coalesce(valid_to, now)``).
 
     Exactly-once pairing: the point contributes its single bin; the
     interval contributes every bin it overlaps; they can only meet in
@@ -105,21 +106,37 @@ def interval_join(
     hi_bin = F.floor((hi_us - 1) / bin_us)
     n_bins = hi_bin - lo_bin + 1
 
-    iv = intervals.where(hi_us > lo_us)
+    # NULL hi (open intervals) is handled on the RAW table — the
+    # `hi_us > lo_us` emptiness filter below evaluates to NULL on them
+    # and would silently swallow them before any guard or audit ran.
+    null_hi = F.col(hi_col).isNull()
+    if max_bins_per_interval is None:
+        # +infinity cannot be binned, and with the guard disabled
+        # nothing bounds the fan-out — fail loudly instead of losing
+        # the rows. One early-exit existence probe over the (usually
+        # dimension-sized) intervals table.
+        if not intervals.where(null_hi).isEmpty():
+            raise ValueError(
+                f"interval_join: NULL {hi_col} (open intervals) cannot "
+                "be binned; close them first (e.g. coalesce(valid_to, "
+                "now)) or set max_bins_per_interval to log-and-drop "
+                "them")
+    elif audit_drops:
+        # opt-in: one extra pass over the raw intervals table (BEFORE
+        # the emptiness filter, so NULL-hi rows are counted too); the
+        # default path adds zero jobs
+        n_dropped = intervals.where(
+            null_hi
+            | ((hi_us > lo_us) & (n_bins > max_bins_per_interval))
+        ).count()
+        if n_dropped:
+            log.warning(
+                "interval_join: dropping %d open or >%d-bin intervals "
+                "(bin_us=%d) — raise bin_us or close open intervals",
+                n_dropped, max_bins_per_interval, bin_us)
+    iv = intervals.where(~null_hi & (hi_us > lo_us))
     if max_bins_per_interval is not None:
-        if audit_drops:
-            # opt-in: one extra pass over the (usually dimension-sized)
-            # intervals table; the default path adds zero jobs
-            n_dropped = iv.where(
-                F.col(hi_col).isNull()
-                | (n_bins > max_bins_per_interval)).count()
-            if n_dropped:
-                log.warning(
-                    "interval_join: dropping %d intervals longer than "
-                    "%d bins (bin_us=%d) — raise bin_us or close open "
-                    "intervals", n_dropped, max_bins_per_interval, bin_us)
-        iv = iv.where(
-            F.col(hi_col).isNotNull() & (n_bins <= max_bins_per_interval))
+        iv = iv.where(n_bins <= max_bins_per_interval)
 
     iv_b = iv.select(
         *([F.col(on)] if on else []),

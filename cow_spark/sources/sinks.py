@@ -322,7 +322,17 @@ def diff_quads(old: DataFrame, new: DataFrame) -> DataFrame:
     the branches derive from different inputs, so the no-CSE-across-
     union rule costs nothing here.
     """
-    cols = [c for c in QUAD_COLS if c in old.columns]
+    # intersect with BOTH sides: a quad column present in only one
+    # frame must not be silently excluded from the comparison (nor make
+    # the other side's select raise) — that's a schema mismatch the
+    # caller needs to hear about
+    cols = [c for c in QUAD_COLS if c in old.columns and c in new.columns]
+    only_old = [c for c in QUAD_COLS if c in old.columns and c not in new.columns]
+    only_new = [c for c in QUAD_COLS if c in new.columns and c not in old.columns]
+    if only_old or only_new:
+        raise ValueError(
+            f"diff_quads: quad-column mismatch — only in old: {only_old}, "
+            f"only in new: {only_new}; align the schemas before diffing")
     o = old.select(*cols)
     n = new.select(*cols)
     added = n.exceptAll(o).withColumn("change", F.lit("added"))

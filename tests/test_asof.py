@@ -58,6 +58,28 @@ def test_asof_tolerance_expires_old_matches(spark):
     assert row4[4] is None
 
 
+def test_asof_string_order_column(spark):
+    """ADVICE r2: a non-numeric string right_order (the default is the
+    first carried column, commonly a string payload) must not hit an
+    ANSI cast-to-long abort; ties resolve by the column's natural
+    ordering (greatest wins)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10))], "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", _ts(5), "bronze"),
+         ("u1", _ts(8), "gold"),     # same ts as next; "silver" > "gold"
+         ("u1", _ts(8), "silver")],
+        "user_id string, ts timestamp, state string",
+    )
+    # explicit string order column AND the implicit default (first
+    # carried column) both exercise the string path
+    for kwargs in ({"right_order": "state"}, {}):
+        out = asof_join(left, right, on="user_id", right_cols=["state"],
+                        **kwargs)
+        got = {r["event_id"]: r["asof_state"] for r in out.collect()}
+        assert got == {1: "silver"}
+
+
 def test_asof_plan_is_one_keyed_shuffle(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, on="user_id", right_cols=["view_id"],

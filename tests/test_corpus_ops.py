@@ -437,6 +437,19 @@ def test_pagerank_null_endpoints_dropped_both_paths(spark):
     assert local == dist and set(local) == {"a", "b"}
 
 
+def test_pagerank_empty_edges_returns_empty(spark):
+    """ADVICE r2: an empty (or all-NULL-endpoint) edge list must return
+    an empty frame, not reach the n=0 teleport division."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    all_null = spark.createDataFrame(
+        [(None, "b"), ("a", None)], "src string, dst string")
+    for df in (empty, all_null):
+        for kwargs in ({}, {"local_threshold": 0}):
+            out = pagerank(df, 3, **kwargs)
+            assert out.count() == 0
+            assert out.columns == ["node", "rank_fp"]
+
+
 def test_bgp_filter_large_integer_exactness(spark):
     from cow_spark.plans.bgp import filter_bindings
 

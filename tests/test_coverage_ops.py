@@ -651,3 +651,11 @@ def test_diff_quads_changeset(spark):
         (E + "a", E + "x", "removed"),    # the duplicate copy went away
     }
     assert diff_quads(new, new).count() == 0
+
+    # ADVICE r2: a quad column present in only one frame is a schema
+    # mismatch, not a silently-narrowed comparison
+    import pytest
+    with pytest.raises(ValueError, match="quad-column mismatch"):
+        diff_quads(old.drop("o_lang"), new)
+    with pytest.raises(ValueError, match="quad-column mismatch"):
+        diff_quads(old, new.drop("g"))

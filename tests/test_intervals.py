@@ -88,12 +88,20 @@ def test_interval_join_guard_drops_long_and_open(spark):
                         audit_drops=True)
     assert sorted((r["point_id"], r["iv_iv_id"]) for r in out.collect()) \
         == [(11, 3)]
-    # cap=None keeps the long interval (open still cannot match: hi NULL
-    # fails the hi>lo predicate)
-    out2 = interval_join(_points(spark), iv, "lo", "hi", on="user_id",
+    # cap=None with an open interval present: +infinity cannot be
+    # binned and nothing bounds the fan-out — must raise, not silently
+    # drop the open rows (ADVICE r2: the old emptiness filter swallowed
+    # them before the guard ran)
+    import pytest
+    with pytest.raises(ValueError, match="open intervals"):
+        interval_join(_points(spark), iv, "lo", "hi", on="user_id",
+                      bin_us=60_000_000, max_bins_per_interval=None)
+    # close the open interval -> cap=None keeps the long interval
+    closed = iv.withColumn("hi", F.coalesce(F.col("hi"), F.lit(_ts(59))))
+    out2 = interval_join(_points(spark), closed, "lo", "hi", on="user_id",
                          bin_us=60_000_000, max_bins_per_interval=None)
     assert sorted((r["point_id"], r["iv_iv_id"]) for r in out2.collect()) \
-        == [(10, 1), (11, 1), (11, 3), (12, 1)]
+        == [(10, 1), (10, 2), (11, 1), (11, 2), (11, 3), (12, 1), (12, 2)]
 
 
 def test_interval_join_plan_is_equijoin(spark):
