@@ -120,16 +120,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     qmap = entry.queries()
     for name in HEADLINE:
-        # time construction + execution: iterative queries (dedup_groups'
-        # CC loop) do real work eagerly while building the plan
-        t0 = time.perf_counter()
-        df = qmap[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # free any sketch/pair tables the query persisted (dedup family)
-        # so they don't sit in MEMORY_AND_DISK under later queries
-        for cached in getattr(df, "_cow_persisted", ()):
-            cached.unpersist()
+        # best-of-2: one-time costs (codegen compile, JIT warm-up for
+        # this plan's generated classes, scheduler position in the
+        # sweep) dominated the r2 per-query drift (±0.2-1.1 s on
+        # sub-second queries); the min of two runs is the steady-state
+        # number that is comparable across rounds. Each run re-times
+        # construction + execution: iterative queries (dedup_groups'
+        # CC loop) do real work eagerly while building the plan.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qmap[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            # free any sketch/pair tables the query persisted (dedup
+            # family) so they don't sit in MEMORY_AND_DISK under later
+            # queries / the second run
+            for cached in getattr(df, "_cow_persisted", ()):
+                cached.unpersist()
+            best = min(best, dt)
+        timings[name] = round(best, 3)
 
     # the documents table is small at every sf (5k rows at sf0.1), so the
     # per-doc dedup sketches above are overhead-bound; this replicated

@@ -4,12 +4,19 @@ Image/audio/video travel as ``binary`` columns with a small typed
 metadata struct; decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages sized by bytes, not rows.
 
-The decode kernels themselves are **stubbed** in this environment (no
-image/audio libraries in the container): ``decoder='real'`` raises
-``NotImplementedError`` with the integration point documented, while
-``decoder='fake'`` produces deterministic md5-derived features so the
-Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is real and fully tested.
+Three decoder tiers:
+
+- ``decoder='fake'`` (default here): deterministic md5-derived features
+  — exercises the Spark-side plumbing (schema, batching, partitioning,
+  UDF signatures) with zero format assumptions.
+- ``decoder='stdlib'``: REAL decode of the two formats the Python
+  standard library + numpy can parse without any external dependency —
+  binary PPM (P6) images and PCM WAV audio. This proves the
+  ``decoder='real'`` integration seam end-to-end (bytes → pixels/samples
+  → features / resized bytes) inside the offline container.
+- ``decoder='real'``: the PIL/librosa/pyav integration point — those
+  libraries are not in this container, so it raises
+  ``NotImplementedError`` with the batch contract documented.
 """
 
 from __future__ import annotations
@@ -60,6 +67,151 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# stdlib decoders: binary PPM (P6) + PCM WAV — no external dependencies
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (P6, maxval 255) payload → (w, h, HxWx3 uint8).
+
+    P6 grammar: ``P6 <ws> width <ws> height <ws> maxval <single-ws> raw
+    RGB bytes``; ``#`` comments may appear in the header whitespace."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":
+            while i < len(data) and data[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    i += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    if len(data) - i < need:
+        raise ValueError("truncated P6 payload")
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=i)
+    return w, h, px.reshape(h, w, 3)
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a PCM WAV payload → (n_channels, framerate, int samples).
+
+    8/16-bit PCM via the stdlib ``wave`` module; samples centered
+    (8-bit is unsigned on disk)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        fr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return nch, fr, x
+
+
+def _stdlib_features(media_type: str, payload: bytes,
+                     dim: int = FEATURE_DIM) -> list[float]:
+    """Real features from really-decoded bytes (integer-exact stats, so
+    re-runs and the pure-Python test twin agree bit-for-bit):
+
+    - PPM image: [1, w, h, mean/std per RGB channel (0-1), min, max]
+    - PCM WAV:   [2, n_channels, framerate/48k, n_samples, rms/2^15,
+                  zero-crossing rate, peak/2^15]
+
+    Types without a stdlib decoder (e.g. video/mp4) raise — the caller
+    decides the policy (the fake kernel remains the placeholder tier).
+    """
+    out: list[float]
+    if media_type == "image/x-portable-pixmap":
+        w, h, px = decode_ppm(payload)
+        n = w * h
+        sums = px.sum(axis=(0, 1), dtype=np.int64)          # exact
+        sqs = (px.astype(np.int64) ** 2).sum(axis=(0, 1))   # exact
+        mean = sums / n
+        var = sqs / n - mean ** 2
+        out = [1.0, float(w), float(h),
+               *(float(m) / 255.0 for m in mean),
+               *(float(v) ** 0.5 / 255.0 for v in var),
+               float(px.min()) / 255.0, float(px.max()) / 255.0]
+    elif media_type == "audio/wav":
+        nch, fr, x = decode_wav(payload)
+        n = max(len(x), 1)
+        rms = float((x ** 2).sum() / n) ** 0.5              # exact sum
+        zc = int(((x[:-1] >= 0) != (x[1:] >= 0)).sum()) if len(x) > 1 else 0
+        peak = int(np.abs(x).max()) if len(x) else 0
+        out = [2.0, float(nch), fr / 48000.0, float(len(x)),
+               rms / 32768.0, zc / n, peak / 32768.0]
+    else:
+        raise ValueError(
+            f"no stdlib decoder for {media_type!r} (PPM and WAV only); "
+            "route other types through decoder='fake' or plug a real "
+            "decoder into decoder='real'")
+    return (out + [0.0] * dim)[:dim]
+
+
+def synthetic_ppm_bytes(seed: int, width: int = 8, height: int = 6) -> bytes:
+    """Deterministic P6 gradient fixture (integer-exact pixels)."""
+    y, x = np.mgrid[0:height, 0:width]
+    px = np.stack([(x * 7 + seed) % 256,
+                   (y * 11 + 2 * seed) % 256,
+                   (x + y + 3 * seed) % 256], axis=-1).astype(np.uint8)
+    return encode_ppm(px)
+
+
+def synthetic_wav_bytes(seed: int, n_frames: int = 400,
+                        framerate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM fixture (integer sawtooth)."""
+    import io
+    import wave
+
+    i = np.arange(n_frames)
+    x = ((i * (seed * 2 + 3)) % 20000 - 10000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synthetic_media_df(spark, n: int) -> DataFrame:
+    """Really-decodable media fixture: alternating P6 PPM / PCM WAV
+    payloads with honest metadata (the stdlib-decoder test corpus)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, "image/x-portable-pixmap",
+                         bytearray(synthetic_ppm_bytes(i)), 8, 6, None))
+        else:
+            rows.append((i, "audio/wav",
+                         bytearray(synthetic_wav_bytes(i)), None, None,
+                         400 * 1000 // 8000))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     decoder: str = "fake",
@@ -67,10 +219,12 @@ def extract_features(
 ) -> DataFrame:
     """binary payloads → feature vectors via Arrow-batched mapInPandas.
 
-    ``decoder='real'`` is the integration point for PIL/librosa/ffmpeg —
+    ``decoder='stdlib'`` really decodes PPM/WAV payloads (pure stdlib +
+    numpy — the in-container proof of the integration seam);
+    ``decoder='real'`` is the PIL/librosa/ffmpeg integration point —
     not available in this container, so it raises with instructions.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("fake", "stdlib", "real"):
         raise ValueError(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,8 +235,14 @@ def extract_features(
                 "pd.DataFrame[doc_id, media_type, content] → "
                 "pd.DataFrame[doc_id, media_type, n_bytes, features]"
             )
+        kernel = (_fake_features if decoder == "fake"
+                  else lambda c, mt: _stdlib_features(mt, c))
         for b in batches:
-            feats = [_fake_features(c) for c in b["content"]]
+            if decoder == "fake":
+                feats = [_fake_features(c) for c in b["content"]]
+            else:
+                feats = [kernel(c, mt)
+                         for c, mt in zip(b["content"], b["media_type"])]
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
@@ -112,14 +272,18 @@ def resize_media(
     """Resize image payloads to (width, height) via Arrow-batched
     ``mapInPandas`` — the training-ingest normalization step.
 
-    Same stub contract as :func:`extract_features`: ``decoder='real'``
+    Same tier contract as :func:`extract_features`: ``decoder='real'``
     is the PIL integration point (unavailable offline) and raises with
-    the batch contract; ``decoder='fake'`` emits a deterministic
-    payload of exactly width×height bytes derived from the source bytes
-    (md5-keyed tiling), so batch sizing, schema, and metadata rewrite
-    are real and testable. Non-image rows pass through untouched.
+    the batch contract; ``decoder='stdlib'`` really decodes P6 PPM
+    payloads, nearest-neighbor-resamples the pixel grid, and re-encodes
+    P6 (image types it cannot decode raise — a resize stage must never
+    silently pass an image through); ``decoder='fake'`` emits a
+    deterministic payload of exactly width×height bytes derived from
+    the source bytes (md5-keyed tiling), so batch sizing, schema, and
+    metadata rewrite are real and testable. Non-image rows pass through
+    untouched on every tier.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("fake", "stdlib", "real"):
         raise ValueError(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,9 +299,22 @@ def resize_media(
             for mt, c, w, h in zip(b["media_type"], b["content"],
                                    b["width"], b["height"]):
                 if isinstance(mt, str) and mt.startswith("image/"):
-                    seed = hashlib.md5(c or b"").digest()
-                    n = width * height
-                    out_content.append((seed * (n // 16 + 1))[:n])
+                    if decoder == "stdlib":
+                        if mt != "image/x-portable-pixmap":
+                            raise ValueError(
+                                f"stdlib resize cannot decode {mt!r} "
+                                "(P6 PPM only) — use decoder='real' "
+                                "with PIL for other image formats")
+                        sw, sh, px = decode_ppm(c)
+                        # nearest-neighbor: floor source-index mapping,
+                        # integer-exact and order-independent
+                        ys = (np.arange(height) * sh) // height
+                        xs = (np.arange(width) * sw) // width
+                        out_content.append(encode_ppm(px[ys][:, xs]))
+                    else:
+                        seed = hashlib.md5(c or b"").digest()
+                        n = width * height
+                        out_content.append((seed * (n // 16 + 1))[:n])
                     out_w.append(width)
                     out_h.append(height)
                 else:

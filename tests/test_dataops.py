@@ -726,6 +726,88 @@ def test_resize_media_plumbing(spark, docs):
         ei.value, NotImplementedError)
 
 
+def test_stdlib_decoder_really_decodes(spark):
+    """VERDICT r2 #5: the decoder='real' seam proven in-container — the
+    stdlib tier parses actual P6/WAV bytes and the features match an
+    independent numpy re-derivation of the fixture formulas."""
+    import numpy as np
+
+    from cow_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        extract_features,
+        synthetic_media_df,
+        synthetic_ppm_bytes,
+        synthetic_wav_bytes,
+    )
+
+    # byte-level round trips first (no Spark)
+    w, h, px = decode_ppm(synthetic_ppm_bytes(4))
+    assert (w, h, px.shape) == (8, 6, (6, 8, 3))
+    assert bytes(encode_ppm(px)) == synthetic_ppm_bytes(4)
+    # header comments + arbitrary whitespace are legal P6
+    commented = b"P6 # gradient\n# another\n8 6\n255\n" + px.tobytes()
+    assert (decode_ppm(commented)[2] == px).all()
+    nch, fr, x = decode_wav(synthetic_wav_bytes(3, n_frames=100))
+    assert (nch, fr, len(x)) == (1, 8000, 100)
+    i = np.arange(100)
+    assert (x == (i * 9) % 20000 - 10000).all()
+
+    media = synthetic_media_df(spark, 6)
+    feats = {r.doc_id: list(r.features) for r in
+             extract_features(media, decoder="stdlib").collect()}
+    assert len(feats) == 6
+    for d in (0, 2, 4):  # PPM rows: independent stat re-derivation
+        y, xg = np.mgrid[0:6, 0:8]
+        exp = np.stack([(xg * 7 + d) % 256, (y * 11 + 2 * d) % 256,
+                        (xg + y + 3 * d) % 256], -1).astype(np.int64)
+        n = 48
+        mean = exp.sum((0, 1)) / n
+        std = (exp.astype(np.int64) ** 2).sum((0, 1)) / n - mean ** 2
+        want = [1.0, 8.0, 6.0, *(mean / 255.0), *(std ** 0.5 / 255.0),
+                exp.min() / 255.0, exp.max() / 255.0] + [0.0] * 5
+        got = feats[d]
+        assert got == pytest.approx(want[:16], abs=1e-6), d
+    for d in (1, 3, 5):  # WAV rows: modality flag + exact sample count
+        assert feats[d][0] == 2.0 and feats[d][3] == 400.0
+
+
+def test_stdlib_resize_is_real_resample(spark):
+    import numpy as np
+
+    from cow_spark.operators.multimodal import (
+        decode_ppm,
+        resize_media,
+        synthetic_media_df,
+        synthetic_wav_bytes,
+    )
+
+    media = synthetic_media_df(spark, 4)
+    out = {r.doc_id: r for r in
+           resize_media(media, width=4, height=3,
+                        decoder="stdlib").collect()}
+    for d in (0, 2):
+        w, h, px = decode_ppm(bytes(out[d].content))
+        assert (w, h) == (4, 3)
+        # expected nearest-neighbor sample of the original gradient
+        y, xg = np.mgrid[0:6, 0:8]
+        src = np.stack([(xg * 7 + d) % 256, (y * 11 + 2 * d) % 256,
+                        (xg + y + 3 * d) % 256], -1).astype(np.uint8)
+        ys = (np.arange(3) * 6) // 3
+        xs = (np.arange(4) * 8) // 4
+        assert (px == src[ys][:, xs]).all(), d
+    # audio rows pass through byte-identical
+    assert bytes(out[1].content) == synthetic_wav_bytes(1)
+    # an image type the stdlib tier cannot decode must fail loudly
+    bad = media.withColumn(
+        "media_type", F.when(F.col("media_type").startswith("image/"),
+                             F.lit("image/png"))
+        .otherwise(F.col("media_type")))
+    with pytest.raises(Exception, match="stdlib resize cannot decode"):
+        resize_media(bad, width=4, height=3, decoder="stdlib").collect()
+
+
 def test_stream_dedup_documents_matches_batch(spark, tmp_path):
     """Streamed fingerprint-dedup must keep exactly one row per distinct
     normalized text (same key set as the batch operator)."""
