@@ -399,3 +399,54 @@ def test_build_on_latin1_and_bom_files(spark, tmp_path):
     assert spec["tableSchema"]["columns"][0]["name"] == "id"  # BOM stripped
     cli_main(["convert", str(bom), "--timestamp", "2026-08-17T00:00"])
     assert '"Ada"' in "\n".join(_read_nq(str(bom) + ".nq"))
+
+
+# ---------------------------------------------------------------------------
+# reference example CSVs as golden smoke (VERDICT r2 #7): the reference
+# repo ships three real-world files with dialect/decimal-comma quirks the
+# synthetic fixtures don't cover — build → convert end-to-end, pin the
+# emitted counts and a sample of quads.
+# ---------------------------------------------------------------------------
+
+REF_EXAMPLES = "/root/reference/examples"
+
+_REF_GOLDEN = {
+    # file -> (delimiter, n_nq_lines, vocab_lines, must_contain)
+    "buurt.csv": (";", 26, 14, ['"1,5"', "/vocab/Dienstboden>", '"buurt-a"']),
+    "cow_person_example.csv": (
+        ",", 36, 24,
+        ['"012"^^', '"chimney sweep"', "/vocab/occupation>"]),
+    "tafelvbis.csv": (
+        ";", 242, 230,
+        ['"64,41"', '"Anthonius Leonardus"', "/vocab/Hiscam>",
+         '"38199,00"']),
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_EXAMPLES),
+                    reason="reference examples not mounted")
+@pytest.mark.parametrize("fname", sorted(_REF_GOLDEN))
+def test_reference_example_goldens(spark, tmp_path, fname):
+    import shutil
+
+    src = os.path.join(REF_EXAMPLES, fname)
+    path = str(tmp_path / fname)
+    shutil.copy(src, path)
+
+    cli_main(["build", path, "--processes", "4"])
+    delim, n_lines, n_vocab, samples = _REF_GOLDEN[fname]
+    spec = json.load(open(path + "-metadata.json"))
+    assert spec["dialect"]["delimiter"] == delim
+
+    cli_main(["convert", path, "--processes", "4",
+              "--timestamp", "2026-08-17T00:00"])
+    lines = _read_nq(path + ".nq")
+    assert len(lines) == n_lines
+    body = "\n".join(lines)
+    assert sum("/vocab/" in l for l in lines) == n_vocab
+    for s in samples:
+        assert s in body, s
+    # real-world empty cells are skipped, never emitted as "" literals
+    assert '""^^' not in body
+    # nanopub spine present like every conversion
+    assert "nanopublication" in body and "hasAssertion" in body
