@@ -69,36 +69,61 @@ def main() -> None:
     n = edges.count()  # materialize once; both variants read the same input
     out: dict[str, float | int] = {"edges": n, "cpus": args.cpus}
 
-    # --- connected components: salted vs unsalted, equal output ---
-    sums = {}
-    for label, salt in (("cc_unsalted_s", None), ("cc_salted_s", 64)):
+    # Interleaved best-of-2 per variant: whichever variant runs first
+    # pays the loop's codegen/JIT warm-up for both (a fixed order showed
+    # a spurious 1.5x "win" for whichever ran second) — alternate the
+    # order and take each variant's min.
+    sums: dict[str, set] = {}
+
+    def timed(key, fn, check_cols):
         t0 = time.perf_counter()
-        cc = connected_components(edges, salt_buckets=salt)
-        sums[label] = checksum(cc, ["node", "component"])
-        out[label] = round(time.perf_counter() - t0, 2)
+        res = fn()
+        s = checksum(res, check_cols)
+        dt = time.perf_counter() - t0
+        out[key] = round(min(out.get(key, float("inf")), dt), 2)
+        sums.setdefault(key, set()).add(s)
+
+    # --- connected components: salted vs unsalted, equal output ---
+    for salt_first in (False, True):
+        order = (64, None) if salt_first else (None, 64)
+        for salt in order:
+            key = "cc_salted_s" if salt else "cc_unsalted_s"
+            timed(key, lambda s=salt: connected_components(
+                edges, salt_buckets=s), ["node", "component"])
     assert sums["cc_unsalted_s"] == sums["cc_salted_s"], sums
     out["cc_equal"] = True
 
     # --- pagerank: pre-salted edge layout vs raw, equal ranks ---
-    for label, e in (("pr_unsalted_s", edges),
-                     ("pr_salted_s", salt_edges(edges, 64))):
-        t0 = time.perf_counter()
-        pr = pagerank(e, iterations=3)
-        sums[label] = checksum(pr, ["node", "rank_fp"])
-        out[label] = round(time.perf_counter() - t0, 2)
+    salted = salt_edges(edges, 64)
+    for salt_first in (False, True):
+        pair = [("pr_unsalted_s", edges), ("pr_salted_s", salted)]
+        if salt_first:
+            pair.reverse()
+        for key, e in pair:
+            timed(key, lambda ee=e: pagerank(ee, iterations=3),
+                  ["node", "rank_fp"])
     assert sums["pr_unsalted_s"] == sums["pr_salted_s"], sums
     out["pr_equal"] = True
 
     # --- materialization: where the salt is the whole story ---
-    # partition-by-key write of the hot edge list: unsalted, the hub's
-    # 50% of all edges serialize in ONE task; salted they spread.
-    t0 = time.perf_counter()
-    edges.repartition(F.col("dst")).write.format("noop") \
-        .mode("overwrite").save()
-    out["write_by_dst_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    salt_edges(edges, 64).write.format("noop").mode("overwrite").save()
-    out["write_salted_s"] = round(time.perf_counter() - t0, 2)
+    # REAL sorted parquet write of a bigger hub-heavy edge list (a noop
+    # sink neither sorts nor serializes, so it can't show the
+    # straggler): keyed-but-unsalted, the hub's edges sort+encode in
+    # ONE task; salted they spread over the buckets.
+    import shutil
+    import tempfile
+
+    big = hot_graph(spark, args.edges * 8).persist()
+    big.count()
+    tmp = tempfile.mkdtemp(prefix="skew_probe_")
+    for key, part in (("write_by_dst_s", big.repartition(F.col("dst"))),
+                      ("write_salted_s", salt_edges(big, 64))):
+        t0 = time.perf_counter()
+        part.sortWithinPartitions("dst", "src").write.mode("overwrite") \
+            .parquet(f"{tmp}/{key}")
+        out[key] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(tmp, ignore_errors=True)
+    big.unpersist()
 
     edges.unpersist()
     print(json.dumps(out))
