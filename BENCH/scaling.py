@@ -73,7 +73,30 @@ def main() -> None:
     ap.add_argument("--slots", type=int, default=4_000_000)
     ap.add_argument("--execs", type=int, default=0,
                     help="local-cluster mode: N executor JVMs x 4 cores")
+    ap.add_argument("--pair-execs", type=int, default=0, metavar="N",
+                    help="run the north_rule pair in one invocation: "
+                         "N executor JVMs vs 4N executor JVMs "
+                         "(local-cluster, separate JVM per executor, "
+                         "real serialized shuffles) + the weak-scaling "
+                         "leg (slots/4 at N execs)")
     args = ap.parse_args()
+
+    if args.pair_execs:
+        n = args.pair_execs
+        low = run_once(0, args.slots, execs=n)
+        high = run_once(0, args.slots, execs=4 * n)
+        weak_low = run_once(0, args.slots // 4, execs=n)
+        print(json.dumps({
+            "metric": "scaling_efficiency_executors",
+            "executors_low": n, "executors_high": 4 * n,
+            "low": low, "high": high, "weak_low": weak_low,
+            "strong_scaling_efficiency": round(
+                (low["seconds"] / high["seconds"]) / 4, 3),
+            "weak_scaling_efficiency": round(
+                weak_low["seconds"] / high["seconds"], 3),
+            "unit": "ratio",
+        }))
+        return
 
     if args.cores or args.execs:
         print(json.dumps(run_once(args.cores or 0, args.slots,
