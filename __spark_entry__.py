@@ -2619,6 +2619,107 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_stdlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, driver-checked: stdlib tier parses actual P6
+    PPM / PCM WAV bytes (operators/multimodal.py:decode_ppm/decode_wav)
+    and emits integer-exact stats features. The fixture payloads are
+    generated from closed-form formulas (synthetic_media_df), so the
+    DuckDB oracle re-derives every feature from generate_series FIRST
+    PRINCIPLES — it never sees the bytes, making this an independent
+    check of the whole decode path. Floats compare via the float32 the
+    kernel emits: the oracle casts its float64 to REAL before
+    floor-scaling, and every op on both sides is a single correctly-
+    rounded IEEE primitive in the same order."""
+    from cow_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media_df,
+    )
+
+    _ensure_workers_can_import(spark)
+    media = synthetic_media_df(spark, 40)  # generated fixture: sf-free
+    feats = extract_features(media, decoder="stdlib")
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_type",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.posexplode("features").alias("idx", "val"),
+    ).select(
+        "doc_id", "media_type", "n_bytes",
+        F.col("idx").cast("int").alias("idx"),
+        F.floor(F.col("val").cast("double") * 10000)
+        .cast("long").alias("val4"),
+    )
+
+
+_SQL_MULTIMODAL_STDLIB = """
+with docs as (select unnest(range(40)) as doc_id),
+imgpx as (
+  select d.doc_id,
+         (x.x * 7 + d.doc_id) % 256 as r,
+         (y.y * 11 + 2 * d.doc_id) % 256 as g,
+         (x.x + y.y + 3 * d.doc_id) % 256 as b
+  from docs d, generate_series(0, 7) x(x), generate_series(0, 5) y(y)
+  where d.doc_id % 2 = 0
+),
+imgstat as (
+  select doc_id,
+         sum(r) as sr, sum(g) as sg, sum(b) as sb,
+         sum(r * r) as qr, sum(g * g) as qg, sum(b * b) as qb,
+         least(min(r), min(g), min(b)) as mn,
+         greatest(max(r), max(g), max(b)) as mx
+  from imgpx group by doc_id
+),
+imgfeat as (
+  select doc_id, 'image/x-portable-pixmap' as media_type,
+         155 as n_bytes,
+         [1.0, 8.0, 6.0,
+          (sr / 48.0) / 255.0, (sg / 48.0) / 255.0, (sb / 48.0) / 255.0,
+          sqrt(qr / 48.0 - (sr / 48.0) * (sr / 48.0)) / 255.0,
+          sqrt(qg / 48.0 - (sg / 48.0) * (sg / 48.0)) / 255.0,
+          sqrt(qb / 48.0 - (sb / 48.0) * (sb / 48.0)) / 255.0,
+          mn / 255.0, mx / 255.0,
+          0.0, 0.0, 0.0, 0.0, 0.0] as f
+  from imgstat
+),
+wavsm as (
+  select d.doc_id, i.i,
+         (i.i * (2 * d.doc_id + 3)) % 20000 - 10000 as s
+  from docs d, generate_series(0, 399) i(i)
+  where d.doc_id % 2 = 1
+),
+wavzc as (
+  select doc_id,
+         sum(case when (s >= 0) <> (s_next >= 0) then 1 else 0 end) as zc
+  from (select doc_id, s,
+               lead(s) over (partition by doc_id order by i) as s_next
+        from wavsm)
+  where s_next is not null
+  group by doc_id
+),
+wavstat as (
+  select w.doc_id, sum(w.s * w.s) as q, max(abs(w.s)) as peak, z.zc
+  from wavsm w join wavzc z using (doc_id)
+  group by w.doc_id, z.zc
+),
+wavfeat as (
+  select doc_id, 'audio/wav' as media_type, 844 as n_bytes,
+         [2.0, 1.0, 8000 / 48000.0, 400.0,
+          sqrt(q / 400.0) / 32768.0, zc / 400.0, peak / 32768.0,
+          0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] as f
+  from wavstat
+),
+allfeat as (
+  select * from imgfeat union all select * from wavfeat
+)
+select cast(doc_id as bigint) as doc_id, media_type,
+       cast(n_bytes as int) as n_bytes,
+       cast(unnest(range(16)) as int) as idx,
+       cast(floor(cast(cast(unnest(f) as real) as double) * 10000)
+            as bigint) as val4
+from allfeat
+"""
+
+
 def q_kg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate graph profile over the default-spec extraction."""
     from cow_spark.operators.extract import extract_quads
@@ -4363,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "corpus_profile": q_corpus_profile,
         "line_dedup": q_line_dedup,
+        "multimodal_stdlib": q_multimodal_stdlib,
         "sessionize": q_sessionize,
         "kg_default_triples": q_kg_default,
         "kg_full_triples": q_kg_full,
@@ -4468,6 +4570,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF,
         "semdedup": _SQL_SEMDEDUP,
         "multimodal_features": _sql_multimodal_features(),
+        "multimodal_stdlib": _SQL_MULTIMODAL_STDLIB,
         "pii_scan": _sql_pii_scan(),
         "decontamination": _sql_decontamination(),
         "sequence_packing": _SQL_SEQUENCE_PACKING,

@@ -143,22 +143,32 @@ def _stdlib_features(media_type: str, payload: bytes,
     Types without a stdlib decoder (e.g. video/mp4) raise — the caller
     decides the policy (the fake kernel remains the placeholder tier).
     """
+    # float discipline: integer sums stay exact; every float op below is
+    # a single IEEE-correctly-rounded primitive (division, multiply,
+    # math.sqrt) in a fixed order, so a SQL oracle computing the same
+    # expressions reproduces the doubles bit-for-bit. No `** 0.5` / no
+    # numpy reductions on floats (pow/pairwise-sum give no such
+    # guarantee).
+    import math
+
     out: list[float]
     if media_type == "image/x-portable-pixmap":
         w, h, px = decode_ppm(payload)
         n = w * h
-        sums = px.sum(axis=(0, 1), dtype=np.int64)          # exact
-        sqs = (px.astype(np.int64) ** 2).sum(axis=(0, 1))   # exact
-        mean = sums / n
-        var = sqs / n - mean ** 2
+        sums = [int(s) for s in px.sum(axis=(0, 1), dtype=np.int64)]
+        sqs = [int(q) for q in
+               (px.astype(np.int64) ** 2).sum(axis=(0, 1))]
+        means = [s / n for s in sums]
         out = [1.0, float(w), float(h),
-               *(float(m) / 255.0 for m in mean),
-               *(float(v) ** 0.5 / 255.0 for v in var),
-               float(px.min()) / 255.0, float(px.max()) / 255.0]
+               *(m / 255.0 for m in means),
+               *(math.sqrt(q / n - m * m) / 255.0
+                 for q, m in zip(sqs, means)),
+               float(int(px.min())) / 255.0,
+               float(int(px.max())) / 255.0]
     elif media_type == "audio/wav":
         nch, fr, x = decode_wav(payload)
         n = max(len(x), 1)
-        rms = float((x ** 2).sum() / n) ** 0.5              # exact sum
+        rms = math.sqrt(int((x ** 2).sum()) / n)            # exact sum
         zc = int(((x[:-1] >= 0) != (x[1:] >= 0)).sum()) if len(x) > 1 else 0
         peak = int(np.abs(x).max()) if len(x) else 0
         out = [2.0, float(nch), fr / 48000.0, float(len(x)),

@@ -23,7 +23,8 @@ def _plan(spark, df) -> str:
 
 # queries whose plans may legitimately contain an Arrow-batched Python
 # stage (mapInPandas feature kernel); everything else must be JVM-only
-_ARROW_OK = {"multimodal_features", "multimodal_meta", "multimodal_resize"}
+_ARROW_OK = {"multimodal_features", "multimodal_meta", "multimodal_resize",
+             "multimodal_stdlib"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
