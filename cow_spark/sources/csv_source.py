@@ -72,13 +72,27 @@ def _detect_8bit(data: bytes) -> str:
     1. Japanese multibyte: a strict shift_jis / euc-jp decode that
        actually yields kana/CJK is near-conclusive (random Western
        8-bit data fails the strict decode).
-    2. Single-byte Cyrillic vs Western: in Cyrillic text whole words
-       are high bytes (mean run length ≥ ~3), while accented Latin has
-       isolated high bytes inside ASCII words. Within Cyrillic,
-       windows-1251 puts lowercase at 0xE0-0xFF where koi8-r puts it at
-       0xC0-0xDF — lowercase dominance picks the codepage (the classic
-       russian-charset discriminator).
-    3. Everything else: iso-8859-1, the previous behavior.
+    2. Single-byte non-Latin scripts (whole words are high bytes, mean
+       run length ≥ ~3) split by where their letters live in the
+       codepage — the same byte-distribution signals chardet models:
+
+       - **Thai (tis-620)**: the consonants ก-ธ sit at 0xA1-0xBF, a
+         range Cyrillic/Greek/Hebrew text barely touches — ≥25% of high
+         bytes there is Thai.
+       - **Greek (iso-8859-7)**: nearly every Greek word carries one
+         tonos-accented vowel (ά έ ή ί at 0xDC-0xDF, ό ύ ώ at
+         0xFC-0xFE), so those bytes run ~8-20% of high bytes while
+         windows-1251 Russian puts rare letters there (~3%); require
+         lowercase mass at 0xE1-0xF9 too so koi8-r (lowercase at
+         0xC0-0xDF) can't match.
+       - **Hebrew (windows-1255)**: the alphabet is exactly 0xE0-0xFA
+         and Hebrew uses nothing else (no case!), while Russian text
+         always spills into 0xFB-0xFF (ы ь э ю я) and capitals.
+       - **Cyrillic**: windows-1251 puts lowercase at 0xE0-0xFF where
+         koi8-r puts it at 0xC0-0xDF — lowercase dominance picks the
+         codepage (the classic russian-charset discriminator).
+    3. Everything else: iso-8859-1, the previous behavior (chardet's
+       usual fallback for 8-bit western data).
     """
     for enc, name in [("shift_jis", "shift_jis"), ("euc_jp", "euc-jp")]:
         # the sample boundary can cut a double-byte char — retry with up
@@ -93,8 +107,15 @@ def _detect_8bit(data: bytes) -> str:
                 continue
         if dec is None:
             continue
-        if any("぀" <= ch <= "ヿ" or "一" <= ch <= "鿿"
-               for ch in dec):
+        # MAJORITY of non-ASCII chars must be kana/CJK, not merely any:
+        # Thai tis-620 bytes strictly decode under shift_jis too (0xA1-
+        # 0xDF are single-byte halfwidth katakana, and 0xE0+ lead pairs
+        # yield scattered CJK), but real Japanese text is ≥90% kana/CJK
+        # while misread Thai stays well under half
+        non_ascii = [ch for ch in dec if ord(ch) > 0x7F]
+        jp = sum(1 for ch in non_ascii
+                 if "぀" <= ch <= "ヿ" or "一" <= ch <= "鿿")
+        if non_ascii and jp / len(non_ascii) >= 0.5:
             return name
     runs, cur = [], 0
     for b in data:
@@ -107,6 +128,17 @@ def _detect_8bit(data: bytes) -> str:
         runs.append(cur)
     if runs and sum(runs) / len(runs) >= 2.5:
         hi = [b for b in data if b >= 0x80]
+        n = len(hi)
+        thai = sum(1 for b in hi if 0xA1 <= b <= 0xBF)
+        if thai / n >= 0.25:
+            return "tis-620"
+        tonos = sum(1 for b in hi if 0xDC <= b <= 0xDF or 0xFC <= b <= 0xFE)
+        greek_lower = sum(1 for b in hi if 0xE1 <= b <= 0xF9)
+        if tonos / n >= 0.05 and greek_lower / n >= 0.5:
+            return "iso-8859-7"
+        hebrew = sum(1 for b in hi if 0xE0 <= b <= 0xFA)
+        if hebrew / n >= 0.95:
+            return "windows-1255"
         lower_1251 = sum(1 for b in hi if b >= 0xE0)
         lower_koi8 = sum(1 for b in hi if 0xC0 <= b <= 0xDF)
         return "windows-1251" if lower_1251 >= lower_koi8 else "koi8-r"

@@ -235,6 +235,44 @@ def test_build_on_utf16_and_nonlatin_files(spark, tmp_path):
     assert '"Москва"' in body and '"Новосибирск"' in body
 
 
+def test_build_detects_greek_hebrew_thai_codepages(spark, tmp_path):
+    """S2, r3 (VERDICT 'what's missing' #3): the chardet-shaped corner
+    beyond Cyrillic/Japanese — Greek iso-8859-7 (tonos bytes), Hebrew
+    windows-1255 (alphabet exactly 0xE0-0xFA, no case), Thai tis-620
+    (consonant mass at 0xA1-0xBF). Each detected, transcoded, and
+    round-tripped through the full CLI."""
+    from cow_spark.sources.csv_source import detect_encoding
+
+    cases = [
+        ("el.csv", "iso-8859-7",
+         "id,πόλη\n1,Αθήνα\n2,Θεσσαλονίκη\n3,Καλημέρα κόσμε\n",
+         ['"Αθήνα"', '"Καλημέρα κόσμε"']),
+        ("he.csv", "windows-1255",
+         "id,עיר\n1,ירושלים\n2,תל אביב\n3,שלום עולם\n",
+         ['"ירושלים"', '"שלום עולם"']),
+        ("th.csv", "tis-620",
+         "id,เมือง\n1,กรุงเทพมหานคร\n2,เชียงใหม่\n3,สวัสดีชาวโลก\n",
+         ['"กรุงเทพมหานคร"', '"สวัสดีชาวโลก"']),
+        # regression: this short sample STRICTLY decodes under shift_jis
+        # (tis-620 0xA1-0xDF = halfwidth katakana there) — the Japanese
+        # check must demand a kana/CJK majority, not any kana/CJK
+        ("th2.csv", "tis-620",
+         "id,เมือง\n1,กรุงเทพมหานคร\n2,เชียงใหม่\n",
+         ['"เชียงใหม่"']),
+    ]
+    for fname, enc, text, literals in cases:
+        p = tmp_path / fname
+        p.write_bytes(text.encode(enc))
+        assert detect_encoding(str(p)) == enc, fname
+        cli_main(["build", str(p)])
+        spec = json.load(open(str(p) + "-metadata.json"))
+        assert spec["dialect"]["encoding"] == enc
+        cli_main(["convert", str(p), "--timestamp", "2026-08-17T00:00"])
+        body = "\n".join(_read_nq(str(p) + ".nq"))
+        for lit in literals:
+            assert lit in body, (fname, lit)
+
+
 def test_transcode_preserves_quoted_cr(spark, tmp_path):
     """The driver-side UTF-8 transcode must not let universal-newline
     mode rewrite a bare \\r inside a quoted cell (data mutation + fake
