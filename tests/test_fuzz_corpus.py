@@ -58,3 +58,116 @@ def test_pack_sequences_invariants_on_random_lengths(spark, lens, ctx):
         assert r["n_bins"] == r["bin_last"] - r["bin_first"] + 1
         offs[r["shard"]] = end
     assert len(rows) == len(lens)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3),           # key
+                       st.integers(0, 50)),         # left ts (seconds)
+            min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 3),           # key
+                       st.integers(0, 50),          # right ts
+                       st.integers(0, 9)),          # payload/tiebreak
+            min_size=0, max_size=20),
+    st.one_of(st.none(), st.integers(1, 20)),       # tolerance seconds
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, tol_s):
+    """asof_join's docstring names pandas merge_asof(direction=backward,
+    allow_exact_matches=True) as its semantics twin — hold it to that on
+    arbitrary keyed timelines, including duplicate timestamps on the
+    left and a tolerance window. Right-side (key, ts) duplicates are
+    collapsed to the max payload first: merge_asof breaks such ties by
+    input position while asof_join guarantees greatest-right_order, so
+    the comparison pins the documented deterministic tie rule."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cow_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, f"k{k}", base + dt.timedelta(seconds=ts))
+         for i, (k, ts) in enumerate(lefts)],
+        "event_id long, user_id string, ts timestamp")
+    best = {}
+    for k, ts, v in rights:
+        best[(k, ts)] = max(best.get((k, ts), -1), v)
+    rrows = [(f"k{k}", base + dt.timedelta(seconds=ts), v)
+             for (k, ts), v in sorted(best.items())]
+    rdf = spark.createDataFrame(
+        rrows if rrows else [("k-none", base, 0)],
+        "user_id string, ts timestamp, payload long")
+
+    tol_us = tol_s * 1_000_000 if tol_s else None
+    got = {r["event_id"]: r["asof_payload"]
+           for r in asof_join(ldf, rdf, on="user_id",
+                              right_cols=["payload"],
+                              right_order="payload",
+                              tolerance_us=tol_us).collect()}
+
+    lp = pd.DataFrame(
+        [(i, f"k{k}", base + dt.timedelta(seconds=ts))
+         for i, (k, ts) in enumerate(lefts)],
+        columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(
+        rrows if rrows else [("k-none", base, 0)],
+        columns=["user_id", "ts", "payload"]).sort_values("ts")
+    kwargs = {"tolerance": pd.Timedelta(seconds=tol_s)} if tol_s else {}
+    m = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                      direction="backward", allow_exact_matches=True,
+                      **kwargs)
+    want = {int(r.event_id): (None if pd.isna(r.payload) else int(r.payload))
+            for r in m.itertuples()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                min_size=0, max_size=40))
+def test_connected_components_matches_union_find_on_random_graphs(
+        spark, edges):
+    """Distributed CC (min-label + pointer jumping) vs a pure-Python
+    union-find on arbitrary graphs — self-loops, duplicates, multiple
+    components, long chains. Also pins the local path == distributed
+    path on the same input."""
+    from cow_spark.operators.canon import connected_components
+
+    df = spark.createDataFrame(
+        [(f"n{a:02d}", f"n{b:02d}") for a, b in edges] or
+        [("n00", "n00")],  # degenerate: self-loop only
+        "src string, dst string")
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    local = {r["node"]: r["component"]
+             for r in connected_components(
+                 df, local_threshold=10_000).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges or [(0, 0)]:
+        u, v = f"n{a:02d}", f"n{b:02d}"
+        if u == v:
+            continue  # operator drops self-loops (and lone nodes)
+        for n in (u, v):
+            parent.setdefault(n, n)
+            nodes.add(n)
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    # component = min member, matching the operator's contract
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in nodes}
+    assert dist == want
+    assert local == want
