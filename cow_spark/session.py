@@ -61,15 +61,27 @@ def get_session(
     executor cores and let AQE split skewed partitions).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" in os.environ:
+        # launched BY spark-submit: the JVM gateway already carries the
+        # submitted --master (local-cluster/yarn/k8s). Calling
+        # .master() here would stomp it back to local[N] and silently
+        # run the whole "cluster" job single-JVM — leave it unset.
+        pass
+    elif master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local[N] → N-ish tasks per shuffle; AQE coalesces small ones.
-        n = cpus if not master.startswith("local[") else _local_n(master, cpus)
+        # Under spark-submit (master unknown here) this stays the env
+        # default — size it explicitly per deployment.
+        n = (cpus if master is None or not master.startswith("local[")
+             else _local_n(master, cpus))
         shuffle_partitions = max(2 * n, 8)
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     b = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
