@@ -245,13 +245,11 @@ def extract_features(
                 "pd.DataFrame[doc_id, media_type, content] → "
                 "pd.DataFrame[doc_id, media_type, n_bytes, features]"
             )
-        kernel = (_fake_features if decoder == "fake"
-                  else lambda c, mt: _stdlib_features(mt, c))
         for b in batches:
             if decoder == "fake":
                 feats = [_fake_features(c) for c in b["content"]]
             else:
-                feats = [kernel(c, mt)
+                feats = [_stdlib_features(mt, c)
                          for c, mt in zip(b["content"], b["media_type"])]
             yield pd.DataFrame(
                 {
