@@ -14,8 +14,10 @@ that). Each round:
      (groupBy(node).min — partial min aggregates map-side, so hot nodes
      in a skewed component never concentrate on one task)
   2. jump:      l(v) ← min(l(v), l(l(v)))             — self-join on label
-  3. localCheckpoint every round — truncates the iterative lineage so
-     plans don't grow exponentially (the classic iterative-Spark trap)
+  3. checkpoint every round — truncates the iterative lineage so plans
+     don't grow exponentially (the classic iterative-Spark trap);
+     ``localCheckpoint`` by default, or a RELIABLE checkpoint when the
+     caller passes ``checkpoint_dir`` (see :func:`round_checkpoint`)
 
 Component id = min node id in the component (deterministic across runs
 and partitionings). Convergence = no label changed (count action/round).
@@ -42,6 +44,27 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def round_checkpoint(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage cut for iterative loops.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — eager,
+    fast, blocks live on executors. Right for local runs and for
+    clusters where re-running the loop on executor loss is acceptable.
+
+    ``checkpoint_dir`` set: a RELIABLE ``checkpoint`` into that
+    directory (HDFS/S3 on a real cluster) — at 10^12-edge scale an
+    executor loss mid-iteration must replay only the last round from
+    durable storage, not restart the whole O(log n)-round loop from the
+    source lineage. Sets the context's checkpoint dir on first use
+    (idempotent for the same dir)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def salt_edges(edges: DataFrame, buckets: int = 64) -> DataFrame:
     """Explicit skew salt: repartition edges by (dst, salt(src)) so a hot
     destination's edges spread over ``buckets`` tasks.
@@ -63,6 +86,7 @@ def connected_components(
     max_iter: int = 25,
     salt_buckets: int | None = None,
     local_threshold: int = 0,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Edge list (src, dst) → (node, component) with component = min node.
 
@@ -81,16 +105,16 @@ def connected_components(
     e = symmetrize(edges)
     if salt_buckets:
         e = salt_edges(e, salt_buckets)
-    e = e.localCheckpoint()
+    e = round_checkpoint(e, checkpoint_dir)
 
     if local_threshold and e.count() <= local_threshold:
         return _cc_local(e)
 
-    labels = (
+    labels = round_checkpoint(
         e.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
 
     for _ in range(max_iter):
@@ -112,13 +136,13 @@ def connected_components(
         lab2 = new_labels.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
         )
-        new_labels = (
+        new_labels = round_checkpoint(
             new_labels.join(lab2, new_labels["label"] == lab2["l_node"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.col("l_label")).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")
@@ -209,6 +233,7 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
 def transitive_pairs(
     edges: DataFrame,
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Directed transitive closure of an edge list: every (src, dst)
     connected by a path — property-path-lite (``p+``) for quad tables,
@@ -224,10 +249,10 @@ def transitive_pairs(
     fixes. Use on hierarchy-shaped relations (taxonomies, org charts),
     where closures are near-linear, not on social-graph-dense edges.
     """
-    r = (edges.select("src", "dst")
-         .where(F.col("src") != F.col("dst"))
-         .dropDuplicates()
-         .localCheckpoint())
+    r = round_checkpoint(
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(), checkpoint_dir)
     for _ in range(max_iter):
         hop = (
             r.alias("a")
@@ -235,7 +260,8 @@ def transitive_pairs(
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .where(F.col("src") != F.col("dst"))
         )
-        new_r = r.unionByName(hop).dropDuplicates().localCheckpoint()
+        new_r = round_checkpoint(
+            r.unionByName(hop).dropDuplicates(), checkpoint_dir)
         # convergence probe: row count is monotone under closure
         if new_r.count() == r.count():
             return new_r

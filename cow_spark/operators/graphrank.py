@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .canon import round_checkpoint
+
 SCALE = 1_000_000_000  # rank mass fixed-point scale
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
@@ -36,6 +38,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     local_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` rounds of
 
@@ -52,6 +55,10 @@ def pagerank(
     two paths return bit-identical ranks (pinned by a pytest). Larger
     graphs take the distributed path automatically; pass 0 to force
     it.
+
+    ``checkpoint_dir``: per-round RELIABLE checkpoints instead of
+    localCheckpoint (see :func:`..canon.round_checkpoint`) — executor
+    loss replays one round from durable storage, not the whole loop.
     """
     # every round re-reads edges, out-degrees, and the node set — all
     # three persist for the loop's lifetime (AQE breaks ReuseExchange,
@@ -104,8 +111,10 @@ def pagerank(
                  + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0)) div {DAMP_DEN}")
                  ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint()  # eager: materialize the round now
         )
+        # eager lineage cut: materialize the round now (reliable when
+        # checkpoint_dir is set — see canon.round_checkpoint)
+        ranks = round_checkpoint(ranks, checkpoint_dir)
     for handle in (e, nodes, outdeg):
         handle.unpersist()
     return ranks

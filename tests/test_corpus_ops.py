@@ -703,3 +703,44 @@ def test_triangle_count_known_graphs(spark):
     dirty = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a"),
              ("a", "b")]
     assert run(dirty) == (1, 3, 3)
+
+
+def test_reliable_checkpoint_paths_match_local(spark, tmp_path):
+    """checkpoint_dir switches the iterative loops to RELIABLE
+    checkpoints (durable storage — executor loss replays one round, not
+    the loop): outputs must equal the localCheckpoint path bit-for-bit
+    and the directory must actually receive checkpoint state."""
+    import os
+
+    from cow_spark.operators.canon import connected_components, transitive_pairs
+
+    edges = [(f"n{i}", f"n{i + 1}") for i in range(20)] + [("z1", "z2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ckpt = str(tmp_path / "ckpt")
+
+    cc_default = {(r.node, r.component)
+                  for r in connected_components(df).collect()}
+    cc_reliable = {(r.node, r.component)
+                   for r in connected_components(
+                       df, checkpoint_dir=ckpt).collect()}
+    assert cc_default == cc_reliable
+
+    pr_edges = [(f"n{(i * 5) % 17}", f"n{(i * 11 + 3) % 17}")
+                for i in range(40) if (i * 5) % 17 != (i * 11 + 3) % 17]
+    pdf = spark.createDataFrame(pr_edges, "src string, dst string")
+    pr_default = {r.node: r.rank_fp
+                  for r in pagerank(pdf, 3, local_threshold=0).collect()}
+    pr_reliable = {r.node: r.rank_fp
+                   for r in pagerank(pdf, 3, local_threshold=0,
+                                     checkpoint_dir=ckpt).collect()}
+    assert pr_default == pr_reliable
+
+    tp = {(r.src, r.dst) for r in transitive_pairs(
+        spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
+                              "src string, dst string"),
+        checkpoint_dir=ckpt).collect()}
+    assert ("a", "d") in tp and len(tp) == 6
+
+    # durable state actually landed in the directory
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "reliable checkpoint wrote nothing"
