@@ -2720,6 +2720,88 @@ from allfeat
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (simsearch.py:pq_topk): unit-normalized
+    vectors → per-subspace nearest sub-centroid codes (training-free
+    first-16 codebook so the oracle replays it) → ADC top-5 per query.
+    dist6 floor-scales the double ADC distance."""
+    from cow_spark.operators.simsearch import pq_topk
+
+    embs = _load(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") < 3)
+    out = pq_topk(embs, q, k=5, m=8, n_codes=16)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("nbr_id").cast("long").alias("nbr_id"),
+        F.floor(F.col("adc_dist") * 1_000_000).cast("long").alias("dist6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_SQL_PQ_TOPK = """
+with v as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+u as (
+  select vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(
+           list_transform(e, t -> t * t)))) as e
+  from v
+  where sqrt(list_sum(list_transform(e, t -> t * t))) > 0
+),
+cb as (
+  select row_number() over (order by vec_id) - 1 as code, e
+  from (select vec_id, e from u order by vec_id limit 16)
+),
+dists as (
+  select u.vec_id, s.s, c.code,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> (u.e[s.s * 8 + i] - c.e[s.s * 8 + i])
+              * (u.e[s.s * 8 + i] - c.e[s.s * 8 + i]))) as d
+  from u, generate_series(0, 7) s(s), cb c
+),
+codes as (
+  select vec_id, s, code from (
+    select *, row_number() over (partition by vec_id, s
+                                 order by d, code) as rk
+    from dists) where rk = 1
+),
+q as (select vec_id as query_id, e as qe from u where vec_id < 3),
+lut as (
+  select q.query_id, s.s, c.code,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> (q.qe[s.s * 8 + i] - c.e[s.s * 8 + i])
+              * (q.qe[s.s * 8 + i] - c.e[s.s * 8 + i]))) as d
+  from q, generate_series(0, 7) s(s), cb c
+),
+adc as (
+  -- ordered left-fold sum over the 8 subspace lookups, matching the
+  -- Spark-side aggregate(sequence(0,7), ...) fold
+  select query_id, nbr_id, list_sum(list(d order by s)) as dist
+  from (
+    select l.query_id, cd.vec_id as nbr_id, cd.s, l.d
+    from codes cd
+    join lut l on l.s = cd.s and l.code = cd.code
+    where l.query_id <> cd.vec_id
+  )
+  group by query_id, nbr_id
+),
+ranked as (
+  select query_id, nbr_id, dist,
+         row_number() over (partition by query_id
+                            order by dist, nbr_id) as rank
+  from adc
+)
+select cast(query_id as bigint) as query_id,
+       cast(nbr_id as bigint) as nbr_id,
+       cast(floor(dist * 1000000) as bigint) as dist6,
+       cast(rank as int) as rank
+from ranked where rank <= 5
+"""
+
+
 def q_kg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate graph profile over the default-spec extraction."""
     from cow_spark.operators.extract import extract_quads
@@ -4465,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "line_dedup": q_line_dedup,
         "multimodal_stdlib": q_multimodal_stdlib,
+        "pq_topk": q_pq_topk,
         "sessionize": q_sessionize,
         "kg_default_triples": q_kg_default,
         "kg_full_triples": q_kg_full,
@@ -4571,6 +4654,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _SQL_SEMDEDUP,
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_stdlib": _SQL_MULTIMODAL_STDLIB,
+        "pq_topk": _SQL_PQ_TOPK,
         "pii_scan": _sql_pii_scan(),
         "decontamination": _sql_decontamination(),
         "sequence_packing": _SQL_SEQUENCE_PACKING,

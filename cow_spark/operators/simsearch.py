@@ -428,6 +428,158 @@ def hashed_embeddings(
     )
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ): the memory/shuffle scale path for ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_subcentroids(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Training-free PQ codebook: the ``k`` lowest-id vectors, sliced
+    into ``m`` equal subspaces — `[subspace][code][dim]` driver-side
+    lists (m*k*(D/m) = k*D doubles, trivially broadcastable). The
+    first-C trick from :func:`take_centroids`, so the DuckDB oracle
+    replays the codebook exactly; swap in k-means sub-centroids per
+    subspace for real corpora."""
+    rows = (corpus.select(F.col(id_col), F.col(vec_col)
+                          .cast("array<double>").alias("v"))
+            .orderBy(F.asc(id_col)).limit(k).collect())
+    if not rows:
+        raise ValueError("pq_subcentroids: empty corpus")
+    d = len(rows[0]["v"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    return [[list(r["v"][s * sub:(s + 1) * sub]) for r in rows]
+            for s in range(m)]
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 via the HOF fold (same interpreted-but-fast shape as
+    ``dot`` — see the module docstring's unrolling dead end)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to one code per
+    subspace (nearest sub-centroid by squared L2, ties to the lowest
+    code). Map-only: the codebook inlines as literals, so encoding a
+    10^12-row corpus is a single scan with zero shuffles, and the code
+    table it produces is ~D*8/m bytes-per-row smaller than the vectors
+    (64x at D=64 float64, m=8) — THAT table is what candidate scoring
+    shuffles or broadcasts at 100 TB."""
+    m, k = len(codebook), len(codebook[0])
+    sub = len(codebook[0][0])
+    # stage each subspace slice as a real column FIRST: a slice captured
+    # inside the k candidate folds would re-evaluate per candidate
+    # (interpreted-HOF subtree rule)
+    v = corpus.select(
+        F.col(id_col),
+        *[F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub)
+          .alias(f"_p{s}") for s in range(m)])
+    codes = []
+    for s in range(m):
+        cands = [
+            F.struct(
+                _sq_l2(F.col(f"_p{s}"),
+                       F.array(*[F.lit(float(x))
+                                 for x in codebook[s][c]])).alias("d"),
+                F.lit(c).alias("code"))
+            for c in range(k)
+        ]
+        # array_min on (d, code) structs = argmin with lowest-code ties
+        codes.append(F.array_min(F.array(*cands))["code"])
+    return v.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC,
+    Jégou et al. 2011): corpus vectors live only as PQ codes; each
+    query precomputes a (m x n_codes) lookup table of exact
+    query-to-sub-centroid distances, and a candidate's distance is the
+    sum of m table lookups — no corpus-side float math at all.
+
+    Scale shape: encode is map-only over the corpus; the LUT is
+    computed on the broadcast-small query side; scoring joins the tiny
+    query table to the CODE table (m ints per row instead of D
+    doubles), then the two-phase top-k. Returns
+    ``(query_id, nbr_id, adc_dist, rank)`` — distance ascending.
+    """
+    # unit-normalize both sides first: squared L2 on unit vectors is
+    # 2 - 2*cos, so ADC ranking approximates COSINE ranking (matching
+    # cosine_topk/ivf_topk); without it PQ would rank by raw L2.
+    def unit(df, out_id):
+        vv = df.select(F.col(id_col).alias(out_id),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+        vv = vv.withColumn("_n", norm(F.col("v"))).where(F.col("_n") > 0)
+        return vv.select(
+            out_id,
+            F.transform(F.col("v"),
+                        lambda x: x / F.col("_n")).alias(vec_col))
+
+    ncorpus = unit(corpus, id_col)
+    cb = codebook if codebook is not None else pq_subcentroids(
+        ncorpus, m, n_codes, id_col, vec_col)
+    m = len(cb)
+    sub = len(cb[0][0])
+    codes = pq_encode(ncorpus, cb, id_col, vec_col) \
+        .withColumnRenamed(id_col, "nbr_id")
+
+    q = unit(queries, "query_id") \
+        .withColumnRenamed(vec_col, "qv")
+    # per-query LUT: lut[s][c] = ||q_s - centroid[s][c]||^2, computed
+    # once on the query side (|Q| x m x n_codes doubles)
+    lut = F.array(*[
+        F.array(*[
+            _sq_l2(F.slice(F.col("qv"), s * sub + 1, sub),
+                   F.array(*[F.lit(float(x)) for x in cb[s][c]]))
+            for c in range(len(cb[s]))
+        ]) for s in range(m)
+    ])
+    q = q.select("query_id", lut.alias("lut"))
+
+    # ADC: sum of m lookups; F.get twice (0-based, NULL-safe under ANSI)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.get(F.get(F.col("lut"), s),
+                                   F.get(F.col("codes"), s)))
+    scored = (
+        F.broadcast(q).crossJoin(codes)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", adc.alias("adc_dist"))
+    )
+    part = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(
+        F.asc("adc_dist"), F.asc("nbr_id"))
+    local = (part.withColumn("_r", F.row_number().over(w1))
+             .where(F.col("_r") <= k).drop("_r", "_pid"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("nbr_id"))
+    return (local.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "adc_dist", "rank"))
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

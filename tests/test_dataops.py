@@ -1008,3 +1008,61 @@ def test_source_report_datasheet(spark):
     assert (w.n_docs, w.n_empty, w.n_quality_pass) == (4, 1, 3)
     assert w.n_distinct_fp == 2   # docs 1,2 identical; 3 distinct; 4 NULL
     assert got["books"].n_docs == 1 and got["books"].n_quality_pass == 1
+
+
+def test_pq_encode_matches_python_twin(spark):
+    """PQ codes = per-subspace argmin of squared L2 against the inlined
+    codebook, lowest code on ties — exact vs a pure-Python twin."""
+    from cow_spark.operators.simsearch import pq_encode
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = [  # 2 subspaces x 3 codes x 4 dims
+        [[0.0, 0.0, 0.0, 0.0], [2.0, 2.0, 2.0, 2.0], [4.0, 4.0, 4.0, 4.0]],
+        [[1.0, 1.0, 1.0, 1.0], [3.0, 3.0, 3.0, 3.0], [0.0, 4.0, 0.0, 4.0]],
+    ]
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, cb).collect()}
+    for i, v in rows:
+        want = []
+        for s in range(2):
+            piece = v[s * 4:(s + 1) * 4]
+            dists = [sum((a - b) ** 2 for a, b in zip(piece, c))
+                     for c in cb[s]]
+            want.append(dists.index(min(dists)))
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_pq_topk_recovers_clustered_neighbors(spark):
+    """On clustered embeddings (4 tight clusters), ADC over PQ codes
+    must rank same-cluster vectors first — the candidate-generation
+    contract. (On uniform-random vectors NO 8-byte quantizer preserves
+    top-k cosine order; that is a property of the data, documented in
+    pq_topk.)"""
+    import math
+
+    from cow_spark.operators.simsearch import pq_topk
+
+    rows = []
+    for c in range(4):
+        center = [1.0 if i == c else 0.05 for i in range(8)]
+        for j in range(40):
+            noise = [(math.sin(c * 97 + j * 13 + i) * 0.02)
+                     for i in range(8)]
+            rows.append((c * 40 + j,
+                         [center[i] + noise[i] for i in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") % 40 == 7)  # one per cluster
+
+    got = pq_topk(df, queries, k=5, m=4, n_codes=16).collect()
+    assert len(got) == 4 * 5
+    for r in got:
+        assert r.query_id // 40 == r.nbr_id // 40, \
+            f"query {r.query_id} matched cross-cluster {r.nbr_id}"
+    # and the code table really is the compressed representation
+    from cow_spark.operators.simsearch import pq_encode, pq_subcentroids
+
+    cb = pq_subcentroids(df, m=4, k=16)
+    codes = pq_encode(df, cb)
+    assert codes.schema["codes"].dataType.simpleString() == "array<int>"
+    assert codes.count() == 160
