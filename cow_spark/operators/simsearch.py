@@ -524,6 +524,15 @@ def pq_topk(
     query table to the CODE table (m ints per row instead of D
     doubles), then the two-phase top-k. Returns
     ``(query_id, nbr_id, adc_dist, rank)`` — distance ascending.
+
+    Fidelity honesty (measured r3): on clustered embeddings PQ retrieves
+    same-cluster neighbors reliably (the candidate-generation contract);
+    on near-UNIFORM random vectors no m*log2(k)-bit quantizer preserves
+    fine top-k cosine order — pairwise cosines concentrate below the
+    quantization noise floor (recall@10 ~0.3 on the synthetic fixture,
+    with training-free AND k-means codebooks alike). Use PQ to generate
+    candidates and rerank the shortlist with exact cosine when the
+    corpus lacks cluster structure.
     """
     # unit-normalize both sides first: squared L2 on unit vectors is
     # 2 - 2*cos, so ADC ranking approximates COSINE ranking (matching
@@ -578,6 +587,43 @@ def pq_topk(
     return (local.withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= k)
             .select("query_id", "nbr_id", "adc_dist", "rank"))
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    overfetch: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The production PQ pattern: ADC shortlist (``k * overfetch``
+    candidates from the compressed code table) → exact cosine rerank of
+    only the shortlist. The exact math touches k*overfetch*|Q| vectors
+    instead of |corpus|*|Q| — the two-stage retrieval every large ANN
+    system runs.
+
+    Measured (r3, sf0.01 fixture): recall@10 vs exact brute force is
+    0.47 / 0.87 / 1.0 at overfetch 4 / 10 / 25 on near-uniform random
+    vectors (the worst case for PQ — see :func:`pq_topk`); clustered
+    corpora reach full recall at small overfetch."""
+    short = pq_topk(corpus, queries, k=k * overfetch, m=m,
+                    n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+                    codebook=codebook).select("query_id", "nbr_id")
+    c = corpus.select(F.col(id_col).alias("nbr_id"),
+                      F.col(vec_col).cast("array<double>").alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        short.join(c, "nbr_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "nbr_id",
+                cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    return _topk_per_query(scored, k)
 
 
 def rrf_fuse(

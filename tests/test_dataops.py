@@ -1066,3 +1066,26 @@ def test_pq_topk_recovers_clustered_neighbors(spark):
     codes = pq_encode(df, cb)
     assert codes.schema["codes"].dataType.simpleString() == "array<int>"
     assert codes.count() == 160
+
+
+def test_pq_rerank_recovers_exact_topk(spark, embs):
+    """PQ shortlist + exact-cosine rerank must equal brute force when
+    the shortlist is wide enough — and stay a shortlist-sized exact
+    computation, not a corpus scan."""
+    from cow_spark.operators.simsearch import cosine_topk, pq_rerank_topk
+
+    q = embs.where(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.nbr_id, r.rank)
+             for r in cosine_topk(embs, q, k=5).collect()}
+    n = embs.count()
+    got = {(r.query_id, r.nbr_id, r.rank)
+           for r in pq_rerank_topk(embs, q, k=5,
+                                   overfetch=max(n // 5, 1)).collect()}
+    # full-width shortlist == the whole corpus -> bit-equal to exact
+    assert got == exact
+    # narrow shortlist still returns k ranked rows per query
+    narrow = pq_rerank_topk(embs, q, k=5, overfetch=2)
+    per_q = {}
+    for r in narrow.collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
