@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash",
     "knn_cosine",
     "ivf_topk",
+    "pq_topk",
     "semdedup",
     "dedup_groups",
     "bgp_query",

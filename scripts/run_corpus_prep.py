@@ -153,14 +153,44 @@ def prepare_corpus(
     return packed, audit
 
 
+# the declarative recipe surface: JSON keys accepted by --config, each
+# mapping 1:1 onto a prepare_corpus parameter (input/benchmark/output
+# are path plumbing). The same sidecar-spec ethos as the KG mapping
+# spec: the WHOLE pipeline is data, reviewable and diffable, and an
+# unknown key is an error — a typo'd gate must never silently not run.
+RECIPE_KEYS = {
+    "input", "benchmark", "output",
+    "rates", "default_rate", "context", "n_shards", "min_tokens",
+    "audit_counts", "line_dedup_min_repeats", "strip_markup_input",
+    "substring_dedup_k", "split_fractions",
+}
+
+
+def load_recipe(path: str) -> dict:
+    """Parse + validate a corpus-prep recipe JSON (fail-loud on unknown
+    keys, like MappingSpec.validate on the KG side)."""
+    with open(path) as f:
+        recipe = json.load(f)
+    if not isinstance(recipe, dict):
+        raise ValueError(f"recipe must be a JSON object, got {type(recipe)}")
+    unknown = sorted(set(recipe) - RECIPE_KEYS)
+    if unknown:
+        raise ValueError(
+            f"unknown recipe key(s) {unknown}; accepted: "
+            f"{sorted(RECIPE_KEYS)}")
+    return recipe
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="documents table path (doc_id, text, source)")
     ap.add_argument("--benchmark", help="held-out eval documents path")
     ap.add_argument("--output", default="out/corpus", help="output root")
-    ap.add_argument("--context", type=int, default=2048)
-    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--context", type=int, default=None)
+    ap.add_argument("--shards", type=int, default=None)
     ap.add_argument("--rates", help='JSON source→rate map, e.g. \'{"web":0.5}\'')
+    ap.add_argument("--config", help="declarative recipe JSON (see "
+                                     "RECIPE_KEYS); explicit flags override")
     ap.add_argument("--demo", action="store_true",
                     help="run on the sf0.01 synthetic documents")
     args = ap.parse_args()
@@ -168,6 +198,14 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from cow_spark.session import get_session
+
+    recipe = load_recipe(args.config) if args.config else {}
+    # explicit CLI flags override the recipe; the recipe overrides
+    # the built-in defaults
+    input_path = args.input or recipe.get("input")
+    bench_path = args.benchmark or recipe.get("benchmark")
+    out_root = (args.output if args.output != "out/corpus"
+                else recipe.get("output", args.output))
 
     spark = get_session(app_name="cow_spark-corpus-prep")
     if args.demo:
@@ -179,21 +217,30 @@ def main() -> None:
         rates = {"src0": 1.0}
         default_rate = 0.5
     else:
-        docs = spark.read.parquet(args.input)
-        bench = (spark.read.parquet(args.benchmark)
-                 if args.benchmark else None)
-        rates = json.loads(args.rates) if args.rates else None
-        default_rate = 1.0
+        docs = spark.read.parquet(input_path)
+        bench = (spark.read.parquet(bench_path) if bench_path else None)
+        rates = (json.loads(args.rates) if args.rates
+                 else recipe.get("rates"))
+        default_rate = recipe.get("default_rate", 1.0)
 
+    kwargs = {
+        k: recipe[k] for k in (
+            "min_tokens", "audit_counts", "line_dedup_min_repeats",
+            "strip_markup_input", "substring_dedup_k", "split_fractions")
+        if k in recipe
+    }
+    if args.demo:
+        kwargs.setdefault("substring_dedup_k", 8)
+        kwargs.setdefault("split_fractions",
+                          {"train": 0.9, "val": 0.05, "test": 0.05})
     packed, audit = prepare_corpus(
         spark, docs, benchmark=bench, rates=rates,
-        default_rate=default_rate, context=args.context,
-        n_shards=args.shards,
-        substring_dedup_k=(8 if args.demo else None),
-        split_fractions=({"train": 0.9, "val": 0.05, "test": 0.05}
-                         if args.demo else None))
+        default_rate=default_rate,
+        context=args.context or recipe.get("context", 2048),
+        n_shards=args.shards or recipe.get("n_shards", 64),
+        **kwargs)
     packed.write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(args.output, "packed"))
+        os.path.join(out_root, "packed"))
     print(json.dumps(audit))
     spark.stop()
 

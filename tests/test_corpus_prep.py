@@ -69,3 +69,45 @@ def test_prepare_corpus_with_span_dedup_and_split(spark):
     assert all("<" not in r["text"] for r in got.values())  # markup gone
     assert all(boiler not in r["text"] for r in got.values())
     assert all(r["split"] in ("train", "val", "test") for r in got.values())
+
+
+def test_recipe_validation_and_application(spark, tmp_path):
+    """Declarative recipe JSON (r3): unknown keys fail loudly (the
+    MappingSpec.validate rule applied to the corpus side); valid keys
+    flow into prepare_corpus."""
+    import json
+
+    import pytest
+
+    from scripts.run_corpus_prep import RECIPE_KEYS, load_recipe, prepare_corpus
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"context": 128, "mint_tokens": 3}))
+    with pytest.raises(ValueError, match="mint_tokens"):
+        load_recipe(str(bad))
+    notdict = tmp_path / "nd.json"
+    notdict.write_text("[1,2]")
+    with pytest.raises(ValueError, match="JSON object"):
+        load_recipe(str(notdict))
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({
+        "context": 32, "n_shards": 2, "min_tokens": 2,
+        "split_fractions": {"train": 0.5, "val": 0.25, "test": 0.25},
+    }))
+    recipe = load_recipe(str(good))
+    assert set(recipe) <= RECIPE_KEYS
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several distinct words "
+             f"variant {i * 13}", "src0") for i in range(30)],
+        "doc_id long, text string, source string")
+    packed, audit = prepare_corpus(
+        spark, docs,
+        context=recipe["context"], n_shards=recipe["n_shards"],
+        min_tokens=recipe["min_tokens"],
+        split_fractions=recipe["split_fractions"])
+    rows = packed.collect()
+    assert rows and {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert {r["shard"] for r in rows} <= {0, 1}
+    assert sum(audit["split_sizes"].values()) == audit["after_dedup"]
