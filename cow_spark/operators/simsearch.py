@@ -479,27 +479,35 @@ def pq_encode(
     table it produces is ~D*8/m bytes-per-row smaller than the vectors
     (64x at D=64 float64, m=8) — THAT table is what candidate scoring
     shuffles or broadcasts at 100 TB."""
-    m, k = len(codebook), len(codebook[0])
+    m = len(codebook)
     sub = len(codebook[0][0])
     # stage each subspace slice as a real column FIRST: a slice captured
-    # inside the k candidate folds would re-evaluate per candidate
+    # inside the candidate fold would re-evaluate per candidate
     # (interpreted-HOF subtree rule)
     v = corpus.select(
         F.col(id_col),
         *[F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub)
           .alias(f"_p{s}") for s in range(m)])
+    # ONE transform over the (constant-folded) literal candidate array
+    # per subspace, not k separate folds: Catalyst resolves each lambda
+    # individually, and the k-fold version's 2*m*k lambdas cost ~10 s of
+    # PLAN time at m=8,k=16 (execution was never the problem). The
+    # two-arg transform supplies the code index; per-candidate math and
+    # fold order are unchanged — bit-identical distances.
     codes = []
     for s in range(m):
-        cands = [
-            F.struct(
-                _sq_l2(F.col(f"_p{s}"),
-                       F.array(*[F.lit(float(x))
-                                 for x in codebook[s][c]])).alias("d"),
-                F.lit(c).alias("code"))
-            for c in range(k)
-        ]
+        # one nested-array Literal node per subspace (F.lit on the
+        # nested list), not m*k*sub individual literals — the analyzer
+        # fixed-point walks the whole tree per action, and the
+        # exploded-literal version dominated PLAN time
+        cands = F.lit([[float(x) for x in c] for c in codebook[s]])
+        scored = F.transform(
+            cands,
+            lambda c, i: F.struct(
+                _sq_l2(F.col(f"_p{s}"), c).alias("d"),
+                i.alias("code")))
         # array_min on (d, code) structs = argmin with lowest-code ties
-        codes.append(F.array_min(F.array(*cands))["code"])
+        codes.append(F.array_min(scored)["code"].cast("int"))
     return v.select(id_col, F.array(*codes).alias("codes"))
 
 
@@ -557,14 +565,20 @@ def pq_topk(
     q = unit(queries, "query_id") \
         .withColumnRenamed(vec_col, "qv")
     # per-query LUT: lut[s][c] = ||q_s - centroid[s][c]||^2, computed
-    # once on the query side (|Q| x m x n_codes doubles)
-    lut = F.array(*[
-        F.array(*[
-            _sq_l2(F.slice(F.col("qv"), s * sub + 1, sub),
-                   F.array(*[F.lit(float(x)) for x in cb[s][c]]))
-            for c in range(len(cb[s]))
-        ]) for s in range(m)
-    ])
+    # once on the query side (|Q| x m x n_codes doubles). Slices staged
+    # as real columns + one transform per subspace — the same plan-time
+    # lambda-count discipline as pq_encode.
+    q = q.select("query_id",
+                 *[F.slice(F.col("qv"), s * sub + 1, sub).alias(f"_q{s}")
+                   for s in range(m)])
+    def _lut_for(s: int) -> Column:
+        # factory binds s (a `s=s` lambda default would make pyspark
+        # count 3 HOF parameters and fail analysis); nested-list F.lit
+        # = ONE Literal node per subspace (plan-time discipline)
+        cands = F.lit([[float(x) for x in c] for c in cb[s]])
+        return F.transform(cands, lambda c: _sq_l2(F.col(f"_q{s}"), c))
+
+    lut = F.array(*[_lut_for(s) for s in range(m)])
     q = q.select("query_id", lut.alias("lut"))
 
     # ADC: sum of m lookups; F.get twice (0-based, NULL-safe under ANSI)
