@@ -4498,6 +4498,94 @@ select distinct s, p, o_kind, o_lex from together
 """
 
 
+def q_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog cardinality profile (functions/sketch.py):
+    distinct users and distinct events per event type, as auditable
+    register tables -> estimates whose every column an independent
+    engine reproduces bit-for-bit (exact-integer harmonic sum, one
+    IEEE-deterministic division, integer log2 linear-counting branch).
+    Exact counts ride along so the sketch error is visible in the
+    result itself."""
+    from cow_spark.functions.sketch import hll_estimate, hll_registers
+
+    ev = _load(spark, sf_dir, "events")
+    parts = []
+    for metric, key in (("users", "user_id"), ("events", "event_id")):
+        src = ev.select("event_type", F.col(key).alias("k"))
+        est = hll_estimate(
+            hll_registers(src, "k", ("event_type",), b=6),
+            ("event_type",), b=6)
+        exact = src.groupBy("event_type").agg(
+            F.countDistinct("k").alias("n_exact"))
+        parts.append(
+            est.join(exact, "event_type")
+            .select(F.lit(metric).alias("metric"), est["*"], "n_exact"))
+    return parts[0].unionByName(parts[1])
+
+
+def _sql_hll_profile() -> str:
+    from cow_spark.functions.sketch import LN2_FP, S_BITS, _alpha
+
+    m, b = 64, 6
+    w1 = 60 - b + 1  # rho for w == 0
+    c_raw = repr(_alpha(m) * (m * m) * float(2 ** S_BITS))
+    pow2 = "[" + ", ".join(str(2 ** i) for i in range(S_BITS + 1)) + "]"
+    lin_num = f"({m} * ({b << 10} - {_sql_log2fp('v_empty')}) * {LN2_FP})"
+    return f"""
+with src as (
+  select 'users' as metric, event_type, cast(user_id as varchar) as k
+  from events where user_id is not null
+  union all
+  select 'events', event_type, cast(event_id as varchar)
+  from events where event_id is not null
+),
+h as (
+  select metric, event_type,
+         cast(concat('0x', substr(md5(concat_ws(chr(31), k, 'hll-v1')),
+              1, 15)) as bigint) as h
+  from src
+),
+regs as (
+  select metric, event_type, h % {m} as bucket,
+         max(case when h // {m} = 0 then {w1}
+             else {w1} - length(bin(h // {m})) end) as r
+  from h group by 1, 2, 3
+),
+agg as (
+  select metric, event_type, cast(count(*) as int) as n_regs,
+         cast(sum(case when r <= {S_BITS}
+              then ({pow2})[{S_BITS + 1} - r] else 0 end) as bigint)
+           as s_used
+  from regs group by 1, 2
+),
+est0 as (
+  select metric, event_type, {m} as m, n_regs,
+         {m} - n_regs as v_empty,
+         s_used + cast({m} - n_regs as bigint) * {2 ** S_BITS} as s_fp
+  from agg
+),
+est1 as (
+  select *,
+         case when s_fp > 0
+              then cast(floor({c_raw} / s_fp) as bigint) end as est_raw,
+         case when v_empty >= 1
+              then cast({lin_num} // {1024 * 1_000_000} as bigint)
+         end as est_linear
+  from est0
+),
+ex as (
+  select metric, event_type, count(distinct k) as n_exact
+  from src group by 1, 2
+)
+select e.metric, e.event_type, m, n_regs, v_empty, s_fp, est_raw,
+       est_linear,
+       cast(case when v_empty > 0 and est_raw < {(5 * m) // 2}
+            then est_linear else est_raw end as bigint) as est,
+       n_exact
+from est1 e join ex using (metric, event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4510,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r2's one hash-red — fixed by the UTC pin in _load, needs a driver
     # re-check), then 13 previously-green entries to fill the window.
     return {
+        "hll_profile": q_hll_profile,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -4691,4 +4780,5 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _sql_triangles(),
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "line_dedup": _sql_line_dedup(),
+        "hll_profile": _sql_hll_profile(),
     }

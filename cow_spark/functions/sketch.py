@@ -1,0 +1,226 @@
+"""Mergeable cardinality sketches (HyperLogLog) with engine-portable
+determinism.
+
+The reference has no analytics layer at all (users point a SPARQL store
+at its N-Quads); at 100 TB the first question about any freshly built
+KG or crawl corpus is a cardinality profile — distinct subjects per
+predicate, distinct users per event type, distinct domains per source —
+and exact ``count(distinct)`` is a full shuffle of every key. Spark's
+built-in ``approx_count_distinct`` answers it with HyperLogLog but its
+register values are JVM-private, so nothing downstream can *audit* the
+sketch, merge it with registers produced elsewhere, or replay it in
+another engine.
+
+This module rebuilds the sketch from first principles (Flajolet et al.
+2007) on the repo's portable md5 hash, so the register table is a plain
+DataFrame any engine reproduces bit-for-bit:
+
+- ``hll_registers``: one partial-aggregated ``groupBy`` — at any corpus
+  size the shuffle carries at most ``groups x m`` (register, max-rho)
+  partials, never raw keys. That is the whole scale story: the exact
+  distinct's shuffle is O(distinct keys); the sketch's is O(1) per
+  group.
+- ``hll_merge``: register-wise ``max`` — sketches from different
+  sources/partitions/engines union losslessly (the property that makes
+  per-shard profiling embarrassingly parallel).
+- ``hll_estimate``: the standard raw/linear-counting estimator, in
+  arithmetic chosen clause-by-clause to be bit-identical across Spark
+  and DuckDB: the harmonic sum is an exact integer (``2^(50-rho)``
+  units), the raw estimate is one IEEE double division of Python-folded
+  constants (deterministic by IEEE-754), and the linear-counting branch
+  runs on the repo's integer log2 kernel (no libm anywhere).
+
+Determinism contract: registers with rho > 50 contribute 0 to the
+harmonic sum — the same truncation in both engines; it only matters
+beyond ~2^50 distincts per bucket, far past the sketch's useful range.
+NULL keys are skipped, matching ``count(distinct)`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import portable_hash60
+from .intmath import log2_fp_py, with_log2_fp
+
+HLL_SALT = "hll-v1"
+#: fixed-point scale of the harmonic sum: empty register = 2^50 units
+S_BITS = 50
+#: ln(2) * 10^6, floored — fixed-point factor for the linear branch
+LN2_FP = 693_147
+_POW2 = [2 ** i for i in range(S_BITS + 1)]
+
+
+def _alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007, fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    b: int = 6,
+    salt: str = HLL_SALT,
+) -> DataFrame:
+    """``(group_cols..., bucket, r)`` — the HLL register table of the
+    distinct ``key_col`` values per group: ``bucket`` = low ``b`` bits
+    of the 60-bit md5 hash, ``r`` = max over keys of (leading-zero run
+    of the remaining ``60 - b`` bits, plus 1).
+
+    One groupBy with map-side combine; the shuffle payload per group is
+    bounded by ``m = 2^b`` rows regardless of corpus size. NULL keys
+    are dropped (``count(distinct)`` semantics).
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    w_bits = 60 - b
+    hashed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            portable_hash60(
+                F.concat_ws("\x1f", F.col(key_col).cast("string"),
+                            F.lit(salt))).alias("_h"),
+        )
+        .select(
+            *group_cols,
+            (F.col("_h") % m).alias("bucket"),
+            F.expr(f"_h div {m}").alias("_w"),
+        )
+    )
+    rho = (
+        F.when(F.col("_w") == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(F.col("_w"))))
+        .cast("int")
+    )
+    return (
+        hashed.select(*group_cols, "bucket", rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union two (or more, pre-unioned) register tables losslessly:
+    register-wise ``max`` per group. ``merge(regs(A) ∪ regs(B)) ==
+    regs(A ∪ B)`` exactly — the property that lets per-shard sketches
+    roll up without touching raw keys again."""
+    return regs.groupBy(*group_cols, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    b: int = 6,
+) -> DataFrame:
+    """Per-group estimate from a register table:
+
+    ``(group_cols..., m, n_regs, v_empty, s_fp, est_raw, est_linear,
+    est)`` where ``s_fp`` is the harmonic sum in exact ``2^-50`` units,
+    ``est_raw = floor(alpha_m * m^2 * 2^50 / s_fp)``, ``est_linear`` is
+    linear counting ``floor(m * ln(m / v_empty))`` on the integer log2
+    kernel, and ``est`` applies the standard small-range switch (use
+    linear counting when empty registers exist and the raw estimate is
+    below ``2.5 m``). Every column is an exact integer except the two
+    IEEE-deterministic floor()s, so a DuckDB replay is bit-identical.
+    """
+    m = 1 << b
+    pow2 = F.array(*[F.lit(p) for p in _POW2])
+    # alpha * m^2 * 2^50 folded in PYTHON to one double literal: both
+    # engines then perform a single IEEE division + floor — the only
+    # float math in the sketch, deterministic by IEEE-754
+    c_raw = _alpha(m) * (m * m) * float(2 ** S_BITS)
+    unit = F.when(
+        F.col("r") <= S_BITS,
+        F.element_at(pow2, (F.lit(S_BITS + 1) - F.col("r")).cast("int")),
+    ).otherwise(F.lit(0)).cast("bigint")
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("n_regs"),
+        F.sum(unit).alias("_s_used"),
+    )
+    agg = agg.select(
+        *group_cols,
+        F.lit(m).alias("m"),
+        "n_regs",
+        (F.lit(m) - F.col("n_regs")).alias("v_empty"),
+        (F.col("_s_used")
+         + (F.lit(m) - F.col("n_regs")).cast("bigint") * (2 ** S_BITS)
+         ).alias("s_fp"),
+    )
+    est_raw = F.when(
+        F.col("s_fp") > 0,
+        F.floor(F.lit(c_raw) / F.col("s_fp")),
+    ).cast("bigint")
+    agg = agg.withColumn("est_raw", est_raw)
+    # linear counting on the exact log2 kernel: ln(m/V) = (log2(m) -
+    # log2(V)) * ln2;  log2_fp(m) = b << 10 exactly (power of two)
+    agg = with_log2_fp(agg, "v_empty", "_l2v")
+    assert log2_fp_py(m) == b << 10
+    # integral `div`, not float-divide-then-floor: a double quotient a
+    # hair under an integer can round UP across the floor boundary
+    agg = agg.withColumn(
+        "_lin_num",
+        F.lit(m) * (F.lit(b << 10) - F.col("_l2v")) * F.lit(LN2_FP))
+    agg = agg.withColumn(
+        "est_linear",
+        F.when(F.col("v_empty") >= 1,
+               F.expr(f"_lin_num div {1024 * 1_000_000}")).cast("bigint"))
+    chosen = (
+        F.when(
+            (F.col("v_empty") > 0) & (F.col("est_raw") < (5 * m) // 2),
+            F.col("est_linear"),
+        ).otherwise(F.col("est_raw"))
+    )
+    return agg.select(
+        *group_cols, "m", "n_regs", "v_empty", "s_fp",
+        "est_raw", "est_linear", chosen.alias("est"),
+    )
+
+
+def hll_py(values, b: int = 6, salt: str = HLL_SALT) -> dict[int, int]:
+    """Pure-Python register twin (tests): ``{bucket: r}``."""
+    import hashlib
+
+    m = 1 << b
+    w_bits = 60 - b
+    regs: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h = int(hashlib.md5(
+            f"{v}\x1f{salt}".encode()).hexdigest()[:15], 16)
+        bucket, w = h % m, h // m
+        rho = w_bits + 1 if w == 0 else w_bits + 1 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def hll_estimate_py(regs: dict[int, int], b: int = 6) -> dict:
+    """Pure-Python estimate twin of :func:`hll_estimate`."""
+    import math
+
+    m = 1 << b
+    v_empty = m - len(regs)
+    s_fp = v_empty * (2 ** S_BITS) + sum(
+        2 ** (S_BITS - r) for r in regs.values() if r <= S_BITS)
+    c_raw = _alpha(m) * (m * m) * float(2 ** S_BITS)
+    est_raw = math.floor(c_raw / s_fp) if s_fp > 0 else None
+    est_linear = (
+        m * ((b << 10) - log2_fp_py(v_empty)) * LN2_FP
+        // (1024 * 1_000_000)
+        if v_empty >= 1 else None
+    )
+    est = (est_linear
+           if v_empty > 0 and est_raw is not None and est_raw < (5 * m) // 2
+           else est_raw)
+    return {"m": m, "n_regs": len(regs), "v_empty": v_empty, "s_fp": s_fp,
+            "est_raw": est_raw, "est_linear": est_linear, "est": est}
