@@ -3490,6 +3490,32 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (graphrank.py:kcore) of the full order-part
+    bipartite graph at k=5: iterative peel to the maximal subgraph of
+    min-degree 5 — the density screen run before community detection on
+    an entity graph. Pure set arithmetic, so the unrolled-SQL twin is
+    exact; a pytest pins the fixture's peel depth within the oracle's
+    8-round unroll at every sf."""
+    from cow_spark.operators.graphrank import kcore
+
+    li = _load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+    return kcore(edges, k=5)
+
+
+def _sql_kcore() -> str:
+    from cow_spark.operators.graphrank import kcore_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b from lineitem"
+    )
+    return kcore_oracle_sql(edges, k=5, rounds=8)
+
+
 _BOILER1 = "subscribe to our newsletter for updates"
 _BOILER2 = "all rights reserved worldwide 2026"
 
@@ -4599,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-check), then 13 previously-green entries to fill the window.
     return {
         "hll_profile": q_hll_profile,
+        "kcore": q_kcore,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -4781,4 +4808,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "line_dedup": _sql_line_dedup(),
         "hll_profile": _sql_hll_profile(),
+        "kcore": _sql_kcore(),
     }

@@ -242,3 +242,149 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_tri), int(n_edges), int(n_wedges))],
         "n_triangles long, n_edges long, n_wedges long")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    local_threshold: int = 100_000,
+    max_rounds: int = 200,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: the maximal subgraph
+    of the undirected simple graph in which every node keeps degree
+    >= ``k``. Returns ``(node, kept)`` for every node of the simple
+    graph — kept = 1 inside the core. The standard density screen for
+    entity graphs: the k-core isolates the tightly-linked entity
+    communities that survive after dedup/canonicalization, and it's
+    the classic pre-filter before quadratic-ish community algorithms.
+
+    Peeling is a fixpoint, not a fixed round count: drop sub-k nodes,
+    re-derive degrees on the shrunken edge set, repeat until no node
+    falls. Per round: one explode+groupBy degree aggregate and one
+    two-sided semi-join of the edge list — all edge-shaped shuffles,
+    with :func:`round_checkpoint` cutting lineage per round exactly
+    like the CC/PageRank loops (reliable checkpoints when
+    ``checkpoint_dir`` is set). The round count is bounded by the peel
+    depth (degeneracy ordering), in practice tens of rounds; a graph
+    that hasn't converged after ``max_rounds`` raises rather than
+    returning a superset silently.
+
+    Sub-``local_threshold`` edge lists peel driver-side in one collect
+    (the canon.py local-twin pattern); the set-arithmetic recurrence is
+    identical, so both paths return the same rows (pinned by pytest).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e0 = (edges.select(F.col(src).cast("string").alias("a"),
+                       F.col(dst).cast("string").alias("b"))
+          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+          .select(F.least("a", "b").alias("a"),
+                  F.greatest("a", "b").alias("b"))
+          .dropDuplicates()
+          .persist())
+    spark = edges.sparkSession
+    n_edges = e0.count()
+    if n_edges == 0:
+        e0.unpersist()
+        return spark.createDataFrame([], "node string, kept int")
+    nodes = (e0.select(F.explode(F.array("a", "b")).alias("node"))
+             .dropDuplicates().persist())
+    if n_edges <= local_threshold:
+        out = _kcore_local(e0, nodes, k)
+        e0.unpersist(), nodes.unpersist()
+        return out
+    cur = e0
+    cur_edges = n_edges
+    for _ in range(max_rounds):
+        deg = (cur.select(F.explode(F.array("a", "b")).alias("v"))
+               .groupBy("v").agg(F.count("*").alias("d")))
+        keep = deg.where(F.col("d") >= k).select("v")
+        nxt = (cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+               .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+               .select("a", "b"))
+        nxt = round_checkpoint(nxt, checkpoint_dir)
+        n = nxt.count()
+        if n == cur_edges:
+            core = keep.withColumnRenamed("v", "node")
+            out = (nodes.join(core.withColumn("kept", F.lit(1)),
+                              "node", "left")
+                   .select("node",
+                           F.coalesce("kept", F.lit(0)).alias("kept")))
+            out = out.localCheckpoint()
+            e0.unpersist(), nodes.unpersist()
+            return out
+        cur, cur_edges = nxt, n
+        if n == 0:
+            # every node peeled: short-circuit, all kept = 0
+            out = nodes.select("node", F.lit(0).alias("kept"))
+            out = out.localCheckpoint()
+            e0.unpersist(), nodes.unpersist()
+            return out
+    raise RuntimeError(
+        f"kcore did not converge in {max_rounds} rounds — raise "
+        "max_rounds (peel depth exceeds the bound)")
+
+
+def _kcore_local(e0: DataFrame, nodes: DataFrame, k: int) -> DataFrame:
+    """Driver-side peel for sub-threshold graphs: identical set
+    recurrence, one collect, zero iterative jobs."""
+    edges = {(r["a"], r["b"]) for r in e0.collect()}
+    all_nodes = sorted(r["node"] for r in nodes.collect())
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    core = {v for pair in edges for v in pair}
+    # fixpoint edge set's qualifying nodes == its endpoints (every
+    # endpoint has degree >= k at fixpoint), except the empty case
+    return e0.sparkSession.createDataFrame(
+        [(v, 1 if v in core else 0) for v in all_nodes],
+        "node string, kept int")
+
+
+def kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB twin: the peel unrolled to ``rounds`` chained CTE stages
+    (one degree-filter + edge-restriction pair per round). ``rounds``
+    must be >= the fixture graph's true peel depth — pin that with a
+    pytest on the Python twin, the oracle can't detect shortfall."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references its predecessor three times — an inlined chain
+    # expands 3^rounds scans of the base table (observed: fd exhaustion
+    # on the parquet view at rounds=8)
+    sql = [
+        f"with base as ({edges_cte}),",
+        "e0 as materialized (select distinct least(a, b) as a, "
+        "greatest(a, b) as b "
+        "from base where a is not null and b is not null and a <> b),",
+        "alln as (select distinct v as node from "
+        "(select a as v from e0 union all select b from e0)),",
+    ]
+    for i in range(rounds):
+        p, c = f"e{i}", f"e{i + 1}"
+        sql.append(
+            f"k{i} as materialized (select v from (select a as v from {p} "
+            f"union all select b from {p}) group by v "
+            f"having count(*) >= {k}),")
+        sql.append(
+            f"{c} as materialized (select a, b from {p} "
+            f"where a in (select v from k{i}) "
+            f"and b in (select v from k{i})),")
+    sql.append(
+        f"core as (select distinct v as node from "
+        f"(select a as v from e{rounds} union all "
+        f"select b from e{rounds}))")
+    body = "\n".join(sql)
+    return (f"{body}\n"
+            "select alln.node, case when core.node is not null "
+            "then 1 else 0 end as kept\n"
+            "from alln left join core on alln.node = core.node")

@@ -744,3 +744,89 @@ def test_reliable_checkpoint_paths_match_local(spark, tmp_path):
     # durable state actually landed in the directory
     files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
     assert files, "reliable checkpoint wrote nothing"
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def _kcore_py(edges, k):
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    all_nodes = {v for p in e for v in p}
+    rounds = 0
+    while True:
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in e if a in keep and b in keep}
+        if nxt == e:
+            break
+        e, rounds = nxt, rounds + 1
+    core = {v for p in e for v in p}
+    return {v: (1 if v in core else 0) for v in all_nodes}, rounds
+
+
+def test_kcore_triangle_with_tail(spark):
+    """Triangle + 3-node tail, k=2: the tail peels one endpoint per
+    round (genuinely multi-round fixpoint), the triangle survives."""
+    from cow_spark.operators.graphrank import kcore
+
+    tri = [("c0", "c1"), ("c1", "c2"), ("c0", "c2")]
+    tail = [("c2", "t1"), ("t1", "t2"), ("t2", "t3")]
+    df = spark.createDataFrame(tri + tail, "src string, dst string")
+    want, rounds = _kcore_py(tri + tail, 2)
+    assert rounds == 3  # the fixture really is multi-round
+    got = {r["node"]: r["kept"] for r in kcore(df, k=2).collect()}
+    assert got == want
+    assert got["c0"] == 1 and got["t1"] == 0
+
+
+def test_kcore_local_and_distributed_paths_identical(spark):
+    from cow_spark.operators.graphrank import kcore
+
+    edges = [(f"n{(i * 5) % 29}", f"n{(i * 11 + 3) % 29}")
+             for i in range(70)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {r["node"]: r["kept"] for r in kcore(df, k=3).collect()}
+    dist = {r["node"]: r["kept"]
+            for r in kcore(df, k=3, local_threshold=0).collect()}
+    want, _ = _kcore_py(edges, 3)
+    assert local == dist == want
+
+
+def test_kcore_path_graph_peels_to_empty(spark):
+    """Path of 12 nodes at k=2 peels two endpoints per round until
+    nothing is left — the deep-peel case both paths must agree on."""
+    from cow_spark.operators.graphrank import kcore
+
+    edges = [(f"p{i}", f"p{i + 1}") for i in range(11)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for thresh in (100_000, 0):
+        got = {r["node"]: r["kept"]
+               for r in kcore(df, k=2, local_threshold=thresh).collect()}
+        assert set(got.values()) == {0} and len(got) == 12
+
+
+def test_kcore_empty_and_degenerate_edges(spark):
+    from cow_spark.operators.graphrank import kcore
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert kcore(empty, k=2).count() == 0
+    degen = spark.createDataFrame(
+        [("a", "a"), (None, "b"), ("a", None)], "src string, dst string")
+    assert kcore(degen, k=1).count() == 0
+
+
+def test_kcore_entry_fixture_peel_depth_within_oracle_unroll(spark, sf_dir):
+    """The driver oracle unrolls 8 peel rounds; the entry's lineitem
+    order-part graph must converge within that at every sf (the SQL
+    twin cannot detect shortfall itself)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = [(f"o{r['l_orderkey']}", f"p{r['l_partkey']}")
+             for r in li.select("l_orderkey", "l_partkey").collect()]
+    _, rounds = _kcore_py(edges, 5)
+    assert rounds <= 8
