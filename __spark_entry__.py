@@ -3490,6 +3490,81 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+_BLOCKLIST = ["site3.example.com", "example.org"]
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style URL blocklist screening (quality.py:blocklist_filter):
+    suffix-chain explode + broadcast equi-join, never an endswith
+    theta-join. The injected URLs exercise both rules: site3.example.com
+    hits exactly, cdn.example.org is caught as a SUBDOMAIN of the
+    example.org entry, and the other siteN.example.com hosts prove the
+    label boundary (example.com itself is not listed)."""
+    from cow_spark.operators.quality import blocklist_filter
+
+    docs = _url_augmented(spark, sf_dir)
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST],
+                               "domain string")
+    return blocklist_filter(docs, bl)
+
+
+def _sql_url_blocklist() -> str:
+    from cow_spark.functions.text import URL_PATTERN, _DOMAIN_FROM_URL
+
+    bl = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+    return f"""
+with aug as (
+  select cast(doc_id as bigint) as doc_id,
+         text
+         || case when doc_id % 3 = 0
+                 then ' see https://site' || cast(doc_id % 7 as varchar)
+                      || '.example.com/page/' || cast(doc_id as varchar)
+                 else '' end
+         || case when doc_id % 5 = 0
+                 then ' and http://CDN.example.org:8080/asset'
+                 else '' end as t
+  from documents
+),
+u as (
+  select doc_id,
+         generate_subscripts(regexp_extract_all(t, '{URL_PATTERN}'), 1)
+           as upos,
+         lower(regexp_extract(unnest(
+           regexp_extract_all(t, '{URL_PATTERN}')),
+           '{_DOMAIN_FROM_URL}', 1)) as dom
+  from aug
+),
+sfx as (
+  select doc_id, upos,
+         unnest(list_transform(
+           range(1, len(string_split(dom, '.')) + 1),
+           i -> array_to_string(string_split(dom, '.')[i:], '.'))) as s
+  from u
+),
+hit as (
+  select doc_id, upos,
+         min(case when s in ({bl}) then s end) as match
+  from sfx group by 1, 2
+),
+perdoc as (
+  select doc_id,
+         count(*) as n_urls,
+         cast(sum(case when match is not null then 1 else 0 end)
+              as bigint) as n_blocked,
+         max(case when match is not null then 1 else 0 end) as blocked,
+         min(match) as matched
+  from hit group by 1
+)
+select d.doc_id,
+       coalesce(n_urls, 0) as n_urls,
+       coalesce(n_blocked, 0) as n_blocked,
+       coalesce(blocked, 0) as blocked,
+       matched
+from (select cast(doc_id as bigint) as doc_id from documents) d
+left join perdoc using (doc_id)
+"""
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (graphrank.py:kcore) of the full order-part
     bipartite graph at k=5: iterative peel to the maximal subgraph of
@@ -4626,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_profile": q_hll_profile,
         "kcore": q_kcore,
+        "url_blocklist": q_url_blocklist,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -4809,4 +4885,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _sql_line_dedup(),
         "hll_profile": _sql_hll_profile(),
         "kcore": _sql_kcore(),
+        "url_blocklist": _sql_url_blocklist(),
     }

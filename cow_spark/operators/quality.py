@@ -449,3 +449,61 @@ def language_mix(
                 F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
                 "majority_lang", "purity_fp")
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UT1-style URL blocklist screening (the CCNet/RefinedWeb adult/
+    malware domain filter): a document is flagged when any URL in its
+    text resolves to a blocked domain or to a SUBDOMAIN of one
+    (``cdn.bad.example`` is caught by a ``bad.example`` entry).
+
+    ``blocklist`` is a one-column DataFrame ``(domain)``. Scale shape:
+    each URL's host explodes into its parent-suffix chain (bounded by
+    its label count, ~3-5 rows), then one broadcast hash equi-join
+    against the blocklist — never a substring/endswith theta-join,
+    which would nested-loop the corpus against the list. The corpus is
+    touched map-side only; the single shuffle is the per-document
+    re-aggregation.
+
+    Returns one row per input document: ``(id_col, n_urls, n_blocked,
+    blocked, matched)`` — ``matched`` is the lexicographically first
+    blocklist entry that fired (deterministic audit pointer), NULL for
+    clean docs. Documents without URLs come back with ``n_urls = 0``,
+    ``blocked = 0``: URL screening has no opinion on prose, compose it
+    with the text gates in :func:`quality_filter`.
+    """
+    from ..functions.text import url_domains
+
+    bl = (blocklist.select(F.lower(F.col("domain")).alias("_bld"))
+          .where(F.col("_bld").isNotNull()).distinct())
+    urls = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(url_domains(F.col(text_col)))
+        .alias("_upos", "_dom"))
+    parts = F.split(F.col("_dom"), r"\.")
+    sfx_arr = F.when(
+        F.col("_dom").isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(
+                F.slice(parts, i, F.size(parts) - i + 1), ".")))
+    sfx = urls.select(
+        id_col, "_upos", "_dom",
+        F.explode_outer(sfx_arr).alias("_sfx"))
+    hits = sfx.join(F.broadcast(bl), F.col("_sfx") == F.col("_bld"),
+                    "left")
+    per_url = hits.groupBy(id_col, "_upos").agg(
+        F.max((F.col("_dom").isNotNull()).cast("int")).alias("_is_url"),
+        F.min("_bld").alias("_match"))
+    return per_url.groupBy(id_col).agg(
+        F.sum("_is_url").cast("bigint").alias("n_urls"),
+        F.sum((F.col("_match").isNotNull()).cast("bigint")
+              ).alias("n_blocked"),
+        F.max((F.col("_match").isNotNull()).cast("int")).alias("blocked"),
+        F.min("_match").alias("matched"),
+    )

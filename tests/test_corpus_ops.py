@@ -830,3 +830,65 @@ def test_kcore_entry_fixture_peel_depth_within_oracle_unroll(spark, sf_dir):
              for r in li.select("l_orderkey", "l_partkey").collect()]
     _, rounds = _kcore_py(edges, 5)
     assert rounds <= 8
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist screening
+# ---------------------------------------------------------------------------
+
+
+def _bl_df(spark, *domains):
+    return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+
+def test_blocklist_exact_subdomain_and_clean(spark):
+    from cow_spark.operators.quality import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://bad.example/x and http://ok.example/y"),
+            (2, "deep https://cdn.static.bad.example:8080/asset"),
+            (3, "clean https://ok.example/z plain prose"),
+            (4, "no urls at all"),
+            (5, None),
+            # 'notbad.example' must NOT match 'bad.example' (label
+            # boundary, not substring)
+            (6, "https://notbad.example/q"),
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in blocklist_filter(
+        docs, _bl_df(spark, "bad.example")).collect()}
+    assert len(out) == 6
+    assert out[1]["blocked"] == 1 and out[1]["n_blocked"] == 1 \
+        and out[1]["n_urls"] == 2 and out[1]["matched"] == "bad.example"
+    assert out[2]["blocked"] == 1  # subdomain, 2 levels deep
+    assert out[3] == {"doc_id": 3, "n_urls": 1, "n_blocked": 0,
+                      "blocked": 0, "matched": None}
+    assert out[4]["n_urls"] == 0 and out[4]["blocked"] == 0
+    assert out[5]["n_urls"] == 0 and out[5]["blocked"] == 0
+    assert out[6]["blocked"] == 0
+
+
+def test_blocklist_deterministic_first_match_and_case(spark):
+    from cow_spark.operators.quality import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "https://B.example/x https://a.example/y")],
+        "doc_id long, text string")
+    out = blocklist_filter(
+        docs, _bl_df(spark, "b.example", "A.EXAMPLE")).collect()[0]
+    # both hit; matched is the lexicographically first blocklist entry
+    assert out["n_blocked"] == 2 and out["matched"] == "a.example"
+
+
+def test_blocklist_plan_is_broadcast_no_python(spark):
+    from cow_spark.operators.quality import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"https://d{i % 5}.example/p") for i in range(100)],
+        "doc_id long, text string")
+    out = blocklist_filter(docs, _bl_df(spark, "d1.example"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
