@@ -3490,6 +3490,73 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (functions/sketch.py:bloom_build/probe):
+    build over the even doc-id keys, probe every doc id — the explicit
+    semi-join-pruning sketch (broadcast the word table, pre-drop rows
+    before the real join). truly_present rides along so any false
+    positive is visible in the result itself; false negatives are
+    impossible by construction and the oracle replays every probe
+    bit-for-bit."""
+    from cow_spark.functions.sketch import bloom_build, bloom_probe
+
+    n_bits = 1 << 17
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    present = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("k"))
+    filt = bloom_build(present, "k", n_bits=n_bits)
+    probes = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("k"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("truly_present"))
+    return bloom_probe(probes, filt, "k", n_bits=n_bits)
+
+
+def _sql_bloom_filter() -> str:
+    from cow_spark.functions.sketch import WORD_BITS
+
+    n_bits, k_hashes = 1 << 17, 5
+    wpow2 = "[" + ", ".join(str(2 ** i) for i in range(WORD_BITS)) + "]"
+
+    def h(suffix: str) -> str:
+        return ("cast(concat('0x', substr(md5(k || chr(31) || 'bloom-v1' "
+                f"|| chr(31) || '{suffix}'), 1, 15)) as bigint)")
+
+    pos = (f"(({h('a')}) % {n_bits} + i * (({h('b')}) % {n_bits}))"
+           f" % {n_bits}")
+    return f"""
+with d as (select cast(doc_id as bigint) as id from documents),
+ii as (select unnest(range({k_hashes})) as i),
+pres as (
+  select 'doc-' || cast(id as varchar) as k from d where id % 2 = 0
+),
+bpos as (select {pos} as pos from pres cross join ii),
+words as (
+  select pos // {WORD_BITS} as word_idx,
+         bit_or(({wpow2})[pos % {WORD_BITS} + 1]) as bits
+  from bpos group by 1
+),
+probes as (
+  select 'doc-' || cast(id as varchar) as k,
+         case when id % 2 = 0 then 1 else 0 end as truly_present
+  from d
+),
+ppos as (
+  select k, truly_present, {pos} as pos from probes cross join ii
+),
+pw as (
+  select k, truly_present, pos // {WORD_BITS} as word_idx,
+         ({wpow2})[pos % {WORD_BITS} + 1] as bit
+  from ppos
+)
+select k, truly_present,
+       min(case when (coalesce(w.bits, 0) & p.bit) = p.bit
+           then 1 else 0 end) as maybe_present
+from pw p left join words w using (word_idx)
+group by 1, 2
+"""
+
+
 _BLOCKLIST = ["site3.example.com", "example.org"]
 
 
@@ -4702,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_profile": q_hll_profile,
         "kcore": q_kcore,
         "url_blocklist": q_url_blocklist,
+        "bloom_filter": q_bloom_filter,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -4886,4 +4954,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_profile": _sql_hll_profile(),
         "kcore": _sql_kcore(),
         "url_blocklist": _sql_url_blocklist(),
+        "bloom_filter": _sql_bloom_filter(),
     }

@@ -224,3 +224,130 @@ def hll_estimate_py(regs: dict[int, int], b: int = 6) -> dict:
            else est_raw)
     return {"m": m, "n_regs": len(regs), "v_empty": v_empty, "s_fp": s_fp,
             "est_raw": est_raw, "est_linear": est_linear, "est": est}
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable, auditable membership sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_SALT = "bloom-v1"
+#: bits per filter word — 63, not 64: bit 63 of a signed bigint is the
+#: sign, and 1<<63 overflows/wraps differently across engines
+WORD_BITS = 63
+_WPOW2 = [2 ** i for i in range(WORD_BITS)]
+
+
+def _bloom_positions(key, n_bits: int, k_hashes: int, salt: str):
+    """k probe positions via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod n_bits from two md5 draws — portable and
+    2 hashes per key instead of k. Returns a Column array<bigint>."""
+    h1 = portable_hash60(F.concat_ws("\x1f", key, F.lit(salt), F.lit("a")))
+    h2 = portable_hash60(F.concat_ws("\x1f", key, F.lit(salt), F.lit("b")))
+    # reduce BEFORE the multiply: (h1 + i*h2) with h2 ~ 2^60 and i < 16
+    # stays under 2^63, but only if h1/h2 are first taken mod n_bits
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: (h1 % n_bits + i * (h2 % n_bits)) % n_bits,
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 17,
+    k_hashes: int = 5,
+    salt: str = BLOOM_SALT,
+) -> DataFrame:
+    """Build a Bloom filter over the distinct ``key_col`` values as a
+    plain ``(word_idx, bits)`` table — ``ceil(n_bits/63)`` rows total,
+    independent of corpus size.
+
+    Why as a DataFrame: at 100 TB the filter IS the semi-join
+    optimization — build it over the right side's keys (one map-side
+    pass + a bit_or aggregate whose shuffle is filter-sized, not
+    key-sized), broadcast it, and pre-drop left rows before the real
+    join. Spark's runtime bloom pushdown does this invisibly when the
+    planner feels like it; this one is explicit, persistable next to
+    the dataset it summarizes, mergeable across shards (bit_or of the
+    word tables), and bit-reproducible in any engine with md5 (the
+    DuckDB oracle replays it exactly).
+
+    ``n_bits`` is a FIXED design parameter, not derived from the data
+    (a count-dependent size would make the sketch irreproducible);
+    size it for the expected key count (~10 bits/key for ~1% FPR at
+    k=5-7). NULL keys are skipped.
+    """
+    if n_bits < WORD_BITS:
+        raise ValueError(f"n_bits must be >= {WORD_BITS}, got {n_bits}")
+    wpow2 = F.array(*[F.lit(p) for p in _WPOW2])
+    pos = df.where(F.col(key_col).isNotNull()).select(
+        F.explode(_bloom_positions(
+            F.col(key_col).cast("string"), n_bits, k_hashes, salt)
+        ).alias("_pos"))
+    return (
+        pos.select(
+            F.expr(f"_pos div {WORD_BITS}").alias("word_idx"),
+            F.element_at(
+                wpow2, (F.col("_pos") % WORD_BITS + 1).cast("int"))
+            .alias("_bit"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    queries: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 17,
+    k_hashes: int = 5,
+    salt: str = BLOOM_SALT,
+) -> DataFrame:
+    """Annotate ``queries`` with ``maybe_present`` (1 = all k probe
+    bits set — present or false positive; 0 = definitely absent).
+
+    The filter table is broadcast (word-count rows); each query row
+    explodes to its k probe positions, one hash equi-join on
+    ``word_idx``, then an all-bits-set re-aggregation per query. The
+    corpus/query side is never shuffled on key. Build and probe MUST
+    share ``n_bits``/``k_hashes``/``salt`` — a mismatch silently
+    probes the wrong positions, so pin them in one place.
+    """
+    wpow2 = F.array(*[F.lit(p) for p in _WPOW2])
+    probes = queries.select(
+        "*",
+        F.posexplode(_bloom_positions(
+            F.col(key_col).cast("string"), n_bits, k_hashes, salt))
+        .alias("_i", "_pos"))
+    probes = probes.select(
+        *queries.columns, "_i",
+        F.expr(f"_pos div {WORD_BITS}").alias("word_idx"),
+        F.element_at(wpow2, (F.col("_pos") % WORD_BITS + 1).cast("int"))
+        .alias("_bit"))
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("_bit")) == F.col("_bit")).cast("int")
+    return (
+        joined.groupBy(*queries.columns)
+        .agg(F.min(hit).alias("maybe_present"))
+    )
+
+
+def bloom_py(values, n_bits: int = 1 << 17, k_hashes: int = 5,
+             salt: str = BLOOM_SALT) -> dict[int, int]:
+    """Pure-Python twin of :func:`bloom_build`: ``{word_idx: bits}``."""
+    import hashlib
+
+    words: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h1 = int(hashlib.md5(
+            f"{v}\x1f{salt}\x1fa".encode()).hexdigest()[:15], 16)
+        h2 = int(hashlib.md5(
+            f"{v}\x1f{salt}\x1fb".encode()).hexdigest()[:15], 16)
+        for i in range(k_hashes):
+            pos = (h1 % n_bits + i * (h2 % n_bits)) % n_bits
+            w, b = pos // WORD_BITS, pos % WORD_BITS
+            words[w] = words.get(w, 0) | (1 << b)
+    return words

@@ -89,3 +89,67 @@ def test_register_table_is_bounded_and_jvm_only(spark):
     # partial aggregation (map-side combine) is present: two HashAggregate
     # levels around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_build_matches_python_twin(spark):
+    from cow_spark.functions.sketch import bloom_build, bloom_py
+
+    vals = [f"key-{i}" for i in range(1000)] + [None, "key-5"]
+    df = spark.createDataFrame([Row(k=v) for v in vals])
+    got = {r["word_idx"]: r["bits"]
+           for r in bloom_build(df, "k", n_bits=1 << 12).collect()}
+    assert got == bloom_py(vals, n_bits=1 << 12)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from cow_spark.functions.sketch import bloom_build, bloom_probe
+
+    present = spark.range(2000).select(
+        F.concat(F.lit("in"), F.col("id")).alias("k"))
+    absent = spark.range(2000).select(
+        F.concat(F.lit("out"), F.col("id")).alias("k"))
+    filt = bloom_build(present, "k", n_bits=1 << 15)
+    hits_in = bloom_probe(present, filt, "k", n_bits=1 << 15)
+    assert hits_in.where(F.col("maybe_present") == 0).count() == 0
+    fp = bloom_probe(absent, filt, "k", n_bits=1 << 15) \
+        .where(F.col("maybe_present") == 1).count()
+    # n=2000, m=2^15, k=5 -> theoretical fpr ~0.2%; allow 2%
+    assert fp < 40
+
+
+def test_bloom_shard_merge_is_build_of_union(spark):
+    from cow_spark.functions.sketch import bloom_build
+
+    a = spark.range(0, 800).select(F.col("id").cast("string").alias("k"))
+    b_ = spark.range(500, 1500).select(F.col("id").cast("string").alias("k"))
+    whole = {r["word_idx"]: r["bits"]
+             for r in bloom_build(a.union(b_), "k", n_bits=1 << 12).collect()}
+    merged = {r["word_idx"]: r["bits"] for r in (
+        bloom_build(a, "k", n_bits=1 << 12)
+        .union(bloom_build(b_, "k", n_bits=1 << 12))
+        .groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    ).collect()}
+    assert merged == whole
+
+
+def test_bloom_probe_plan_broadcasts_filter_no_python(spark):
+    from cow_spark.functions.sketch import bloom_build, bloom_probe
+
+    keys = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    out = bloom_probe(keys, bloom_build(keys, "k"), "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_param_validation(spark):
+    from cow_spark.functions.sketch import bloom_build
+
+    df = spark.createDataFrame([Row(k="x")])
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", n_bits=10)
