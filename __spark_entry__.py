@@ -3490,6 +3490,29 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (graphrank.py:random_walks) over
+    the CC entry's order-part graph: 2 walks x 6 steps per node, every
+    step a hash equi-join against the persisted dst-sorted neighbor
+    list — hash-random, so the unrolled DuckDB twin replays every path
+    bit-for-bit (no PRNG scheme survives engines or task retries)."""
+    from cow_spark.operators.graphrank import random_walks
+
+    return random_walks(_cc_edges(spark, sf_dir), walk_len=6,
+                        walks_per_node=2)
+
+
+def _sql_random_walks() -> str:
+    from cow_spark.operators.graphrank import random_walks_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return random_walks_oracle_sql(edges, walk_len=6, walks_per_node=2)
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom filter (functions/sketch.py:bloom_build/probe):
     build over the even doc-id keys, probe every doc id — the explicit
@@ -4770,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "url_blocklist": q_url_blocklist,
         "bloom_filter": q_bloom_filter,
+        "random_walks": q_random_walks,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -4955,4 +4979,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _sql_kcore(),
         "url_blocklist": _sql_url_blocklist(),
         "bloom_filter": _sql_bloom_filter(),
+        "random_walks": _sql_random_walks(),
     }

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash60
 from .canon import round_checkpoint
 
 SCALE = 1_000_000_000  # rank mass fixed-point scale
@@ -388,3 +389,132 @@ def kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
             "select alln.node, case when core.node is not null "
             "then 1 else 0 end as kept\n"
             "from alln left join core on alln.node = core.node")
+
+
+WALK_SALT = "walk-v1"
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = WALK_SALT,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic uniform random walks over the undirected simple
+    graph — the DeepWalk/node2vec(p=q=1) corpus generator: feed the
+    ``(walk_id, step, node)`` paths to any sequence-embedding trainer
+    to get structural entity embeddings.
+
+    "Random" is hash-random: step t of walk w moves to neighbor index
+    ``md5(walk_id, t, salt) mod degree(cur)`` over the current node's
+    dst-sorted neighbor list. That keeps the walks (a) reproducible
+    across runs, task retries, and engines — the DuckDB twin replays
+    every path bit-for-bit, which no PRNG-seeded-per-task scheme
+    survives — and (b) i.i.d.-uniform per step for embedding purposes.
+
+    Scale shape: the neighbor list (one row_number window per src
+    partition) and degree table build once and PERSIST for the loop;
+    each of the ``walk_len`` steps is one hash equi-join of the
+    walk-frontier (|V| x walks_per_node rows) against them, lineage
+    cut per step via :func:`round_checkpoint`. No collect anywhere;
+    the frontier never exceeds its starting size (walks can only end
+    early at... nothing — undirected simple graphs have no sinks).
+
+    Returns the long form ``(walk_id, step, node)`` with step 0 = the
+    start node; isolated nodes (no edges) start no walks.
+    """
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    both = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(e.select(F.col("b").alias("u"), F.col("a").alias("v"))))
+    from pyspark.sql import Window
+
+    nbr = both.select(
+        "u", "v",
+        (F.row_number().over(
+            Window.partitionBy("u").orderBy("v")) - 1).alias("idx"),
+    ).persist()
+    deg = nbr.groupBy("u").agg(F.count("*").alias("deg")).persist()
+    frontier = (
+        deg.select("u").crossJoin(
+            edges.sparkSession.range(walks_per_node)
+            .select(F.col("id").alias("w")))
+        .select(F.concat(F.col("u"), F.lit("#"),
+                         F.col("w").cast("string")).alias("walk_id"),
+                F.col("u").alias("cur")))
+    out = frontier.select("walk_id", F.lit(0).alias("step"),
+                          F.col("cur").alias("node"))
+    paths = [out]
+    cur = frontier
+    for t in range(1, walk_len + 1):
+        pick = (
+            cur.join(deg.withColumnRenamed("u", "cur"), "cur")
+            .select(
+                "walk_id",
+                (portable_hash60(F.concat_ws(
+                    "\x1f", F.col("walk_id"), F.lit(str(t)),
+                    F.lit(salt))) % F.col("deg")).alias("idx"),
+                F.col("cur"))
+        )
+        cur = (pick.join(nbr.withColumnRenamed("u", "cur"),
+                         ["cur", "idx"])
+               .select("walk_id", F.col("v").alias("cur")))
+        cur = round_checkpoint(cur, checkpoint_dir)
+        paths.append(cur.select("walk_id", F.lit(t).alias("step"),
+                                F.col("cur").alias("node")))
+    result = paths[0]
+    for p in paths[1:]:
+        result = result.unionByName(p)
+    result = result.localCheckpoint()
+    nbr.unpersist(), deg.unpersist()
+    return result
+
+
+def random_walks_oracle_sql(edges_cte: str, walk_len: int,
+                            walks_per_node: int = 1,
+                            salt: str = WALK_SALT) -> str:
+    """DuckDB twin: the walk unrolled one CTE per step with identical
+    md5 index arithmetic (MATERIALIZED — each step is referenced by
+    the next and by the final union)."""
+    h = (f"cast(concat('0x', substr(md5(walk_id || chr(31) || '{{t}}' "
+         f"|| chr(31) || '{salt}'), 1, 15)) as bigint)")
+    sql = [
+        f"with base as ({edges_cte}),",
+        "e as materialized (select distinct least(a, b) as a, "
+        "greatest(a, b) as b from base "
+        "where a is not null and b is not null and a <> b),",
+        # "both" is a reserved word in DuckDB (TRIM syntax)
+        "bidir as (select a as u, b as v from e "
+        "union all select b as u, a as v from e),",
+        "nbr as materialized (select u, v, "
+        "row_number() over (partition by u order by v) - 1 as idx "
+        "from bidir),",
+        "deg as materialized (select u, count(*) as deg from nbr "
+        "group by u),",
+        "w0 as materialized (select u || '#' || cast(i as varchar) "
+        "as walk_id, u as cur from deg cross join "
+        f"(select unnest(range({walks_per_node})) as i)),",
+    ]
+    for t in range(1, walk_len + 1):
+        p, c = f"w{t - 1}", f"w{t}"
+        idx = h.format(t=t)
+        sql.append(
+            f"{c} as materialized (select {p}.walk_id, nbr.v as cur "
+            f"from {p} join deg on deg.u = {p}.cur "
+            f"join nbr on nbr.u = {p}.cur "
+            f"and nbr.idx = ({idx}) % deg.deg),")
+    steps = ["select walk_id, 0 as step, cur as node from w0"]
+    steps += [f"select walk_id, {t} as step, cur as node from w{t}"
+              for t in range(1, walk_len + 1)]
+    body = "\n".join(sql).rstrip(",")
+    return body + "\n" + "\nunion all\n".join(steps)

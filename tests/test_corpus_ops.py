@@ -892,3 +892,69 @@ def test_blocklist_plan_is_broadcast_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks
+# ---------------------------------------------------------------------------
+
+
+def _walks_py(edges, walk_len, walks_per_node=1, salt="walk-v1"):
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    rows = []
+    for u in adj:
+        for w in range(walks_per_node):
+            wid, cur = f"{u}#{w}", u
+            rows.append((wid, 0, cur))
+            for t in range(1, walk_len + 1):
+                h = int(hashlib.md5(
+                    f"{wid}\x1f{t}\x1f{salt}".encode()).hexdigest()[:15], 16)
+                cur = adj[cur][h % len(adj[cur])]
+                rows.append((wid, t, cur))
+    return sorted(rows)
+
+
+def test_random_walks_match_python_twin(spark):
+    from cow_spark.operators.graphrank import random_walks
+
+    edges = [(f"n{(i * 5) % 13}", f"n{(i * 7 + 2) % 13}")
+             for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted((r["walk_id"], r["step"], r["node"])
+                 for r in random_walks(df, walk_len=6,
+                                       walks_per_node=2).collect())
+    assert got == _walks_py(edges, 6, 2)
+
+
+def test_random_walks_are_real_paths(spark):
+    """Every consecutive (step, step+1) pair must be an edge of the
+    simple graph — walks cannot teleport."""
+    from cow_spark.operators.graphrank import random_walks
+
+    edges = [(f"m{i}", f"m{(i + 1) % 9}") for i in range(9)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = random_walks(df, walk_len=4).collect()
+    eset = {frozenset((a, b)) for a, b in edges}
+    by_walk: dict = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(by_walk) == 9
+    for steps in by_walk.values():
+        assert sorted(steps) == list(range(5))
+        for t in range(4):
+            assert frozenset((steps[t], steps[t + 1])) in eset
+
+
+def test_random_walks_validation(spark):
+    from cow_spark.operators.graphrank import random_walks
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        random_walks(df, walk_len=0)
