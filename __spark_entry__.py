@@ -3490,6 +3490,24 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (subword.py:bpe_train): 8 merges over
+    the documents corpus. The corpus is read once into the word-
+    frequency table; each round is a vocabulary-sized pair aggregate +
+    ONE collected arg-max row + a map-only separator-framed replace —
+    the unrolled DuckDB twin replays the whole merge table
+    bit-for-bit, early stop included."""
+    from cow_spark.operators.subword import bpe_train
+
+    return bpe_train(_load(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _sql_bpe_train() -> str:
+    from cow_spark.operators.subword import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(8)
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus (graphrank.py:random_walks) over
     the CC entry's order-part graph: 2 walks x 6 steps per node, every
@@ -4794,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "bloom_filter": q_bloom_filter,
         "random_walks": q_random_walks,
+        "bpe_train": q_bpe_train,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -4980,4 +4999,5 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": _sql_url_blocklist(),
         "bloom_filter": _sql_bloom_filter(),
         "random_walks": _sql_random_walks(),
+        "bpe_train": _sql_bpe_train(),
     }
