@@ -58,6 +58,12 @@ HEADLINE = [
     "lm_surprisal",
     "cross_doc_ngrams",
     "chunk_documents",
+    "hll_profile",
+    "kcore",
+    "url_blocklist",
+    "bloom_filter",
+    "random_walks",
+    "bpe_train",
 ]
 
 
