@@ -3490,6 +3490,54 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (sketch.py:cms_build/cms_query): term-frequency
+    estimates over the documents vocabulary from a 4x2048-cell sketch,
+    exact counts alongside — one-sided error (est >= exact always,
+    collisions visible in the result), cell table bounded regardless
+    of vocabulary size."""
+    from cow_spark.functions.sketch import cms_build, cms_query
+    from cow_spark.functions.text import normalize_text, tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        tokens(normalize_text(F.col("text")))).alias("term"))
+    sk = cms_build(toks, "term")
+    exact = toks.groupBy("term").agg(F.count("*").alias("n_exact"))
+    return cms_query(exact, sk, "term")
+
+
+def _sql_cms_counts() -> str:
+    depth, width = 4, 2048
+    h = ("cast(concat('0x', substr(md5(term || chr(31) || 'cms-v1' "
+         "|| chr(31) || cast(i as varchar)), 1, 15)) as bigint)")
+    return f"""
+with tr as (
+  select unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as term
+  from documents
+),
+ii as (select unnest(range({depth})) as i),
+cells as (
+  select i as row_idx, ({h}) % {width} as col_idx,
+         cast(count(*) as bigint) as c
+  from tr cross join ii
+  group by 1, 2
+),
+ex as (select term, count(*) as n_exact from tr group by term),
+probes as (
+  select term, n_exact, i as row_idx, ({h}) % {width} as col_idx
+  from ex cross join ii
+)
+select p.term, p.n_exact,
+       min(coalesce(cells.c, 0)) as est_count
+from probes p
+left join cells using (row_idx, col_idx)
+group by 1, 2
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (subword.py:bpe_train): 8 merges over
     the documents corpus. The corpus is read once into the word-
@@ -4813,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "random_walks": q_random_walks,
         "bpe_train": q_bpe_train,
+        "cms_counts": q_cms_counts,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5000,4 +5049,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filter": _sql_bloom_filter(),
         "random_walks": _sql_random_walks(),
         "bpe_train": _sql_bpe_train(),
+        "cms_counts": _sql_cms_counts(),
     }

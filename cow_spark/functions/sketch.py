@@ -351,3 +351,93 @@ def bloom_py(values, n_bits: int = 1 << 17, k_hashes: int = 5,
             w, b = pos // WORD_BITS, pos % WORD_BITS
             words[w] = words.get(w, 0) | (1 << b)
     return words
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (portable frequency sketch)
+# ---------------------------------------------------------------------------
+
+CMS_SALT = "cms-v1"
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = CMS_SALT,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over ``key_col``
+    as a plain ``(row_idx, col_idx, c)`` table — ``depth x width``
+    cells max, independent of corpus size or key cardinality.
+
+    The frequency complement of the HLL/Bloom family: point-frequency
+    estimates with one-sided error (never under-counts) over a key
+    domain too large to count exactly — per-domain hit counts, hot
+    entities for skew planning, n-gram frequencies. The shuffle
+    carries at most depth·width partials (map-side combined); exact
+    counting shuffles every distinct key. Sketches merge by cell-wise
+    SUM (linear — unlike Bloom/HLL's idempotent or/max, adding a shard
+    twice double-counts). ``weight_col`` aggregates arbitrary
+    non-negative integer weights instead of row counts. NULL keys are
+    skipped.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"depth >= 1 and width >= 2 required, "
+                         f"got {depth}x{width}")
+    w = (F.col(weight_col).cast("bigint") if weight_col
+         else F.lit(1).cast("bigint"))
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        w.alias("_w"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda i: portable_hash60(F.concat_ws(
+                "\x1f", F.col(key_col).cast("string"), F.lit(salt),
+                i.cast("string"))) % width)).alias("row_idx", "col_idx"),
+    )
+    return (rows.groupBy("row_idx", "col_idx")
+            .agg(F.sum("_w").alias("c")))
+
+
+def cms_query(
+    queries: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = CMS_SALT,
+) -> DataFrame:
+    """Annotate ``queries`` with ``est_count`` = min over the sketch's
+    depth rows (0 when a cell was never touched). Broadcast join on
+    the (row, col) cell key; the query side never shuffles. Build and
+    query must share depth/width/salt."""
+    probes = queries.select(
+        "*",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda i: portable_hash60(F.concat_ws(
+                "\x1f", F.col(key_col).cast("string"), F.lit(salt),
+                i.cast("string"))) % width)).alias("row_idx", "col_idx"),
+    )
+    joined = probes.join(F.broadcast(cms), ["row_idx", "col_idx"], "left")
+    return (joined.groupBy(*queries.columns)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("est_count")))
+
+
+def cms_py(pairs, depth: int = 4, width: int = 2048,
+           salt: str = CMS_SALT) -> dict[tuple[int, int], int]:
+    """Pure-Python twin of :func:`cms_build` over (key, weight)."""
+    import hashlib
+
+    cells: dict[tuple[int, int], int] = {}
+    for k, w in pairs:
+        if k is None:
+            continue
+        for i in range(depth):
+            h = int(hashlib.md5(
+                f"{k}\x1f{salt}\x1f{i}".encode()).hexdigest()[:15], 16)
+            cell = (i, h % width)
+            cells[cell] = cells.get(cell, 0) + w
+    return cells

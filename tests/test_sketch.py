@@ -153,3 +153,58 @@ def test_bloom_param_validation(spark):
     df = spark.createDataFrame([Row(k="x")])
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_bits=10)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_build_matches_python_twin(spark):
+    from cow_spark.functions.sketch import cms_build, cms_py
+
+    rows = [Row(k=f"k{i % 50}", w=i % 3 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    got = {(r["row_idx"], r["col_idx"]): r["c"]
+           for r in cms_build(df, "k", "w", width=256).collect()}
+    assert got == cms_py([(r.k, r.w) for r in rows], width=256)
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from cow_spark.functions.sketch import cms_build, cms_query
+
+    df = spark.createDataFrame(
+        [Row(k=f"key{i % 20}") for i in range(400)])
+    sk = cms_build(df, "k")  # 20 keys in 4x2048 cells: no collisions
+    q = spark.createDataFrame(
+        [Row(k=f"key{i}") for i in range(20)] + [Row(k="absent")])
+    est = {r["k"]: r["est_count"] for r in cms_query(q, sk, "k").collect()}
+    for i in range(20):
+        assert est[f"key{i}"] == 20  # exact when sparse
+    assert est["absent"] == 0
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    from cow_spark.functions.sketch import cms_build
+
+    a = spark.range(0, 600).select((F.col("id") % 37).cast("string").alias("k"))
+    b_ = spark.range(0, 400).select((F.col("id") % 23).cast("string").alias("k"))
+    whole = {(r["row_idx"], r["col_idx"]): r["c"]
+             for r in cms_build(a.union(b_), "k", width=128).collect()}
+    merged = {(r["row_idx"], r["col_idx"]): r["c"] for r in (
+        cms_build(a, "k", width=128).union(cms_build(b_, "k", width=128))
+        .groupBy("row_idx", "col_idx").agg(F.sum("c").alias("c"))
+    ).collect()}
+    assert merged == whole
+
+
+def test_cms_validation_and_plan(spark):
+    from cow_spark.functions.sketch import cms_build
+
+    df = spark.createDataFrame([Row(k="x")])
+    with pytest.raises(ValueError):
+        cms_build(df, "k", depth=0)
+    sk = cms_build(spark.range(1000).select(
+        F.col("id").cast("string").alias("k")), "k")
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
