@@ -3490,6 +3490,47 @@ def _sql_pagerank() -> str:
     return pagerank_oracle_sql(edges, iterations=_PAGERANK_ITERS)
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen (sessionize.py:rolling_anomaly)
+    over per-user event values: integer fixed-point squared test — no
+    sqrt, no division — one keyed shuffle shared by the three running
+    sums; deterministic (ts, event_id) frame order."""
+    from cow_spark.operators.sessionize import rolling_anomaly
+
+    ev = _load(spark, sf_dir, "events")
+    out = rolling_anomaly(ev)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "v_fp", "n_prev", "s1", "s2", "is_anomaly")
+
+
+_SQL_ROLLING_ANOMALY = """
+with base as (
+  select event_id, user_id, ts,
+         cast(floor(value * 1000) as bigint) as v_fp
+  from events
+),
+roll as (
+  select event_id, user_id, epoch_us(ts) as ts_us, v_fp,
+         count(v_fp) over w as n_prev,
+         coalesce(sum(v_fp) over w, 0) as s1,
+         coalesce(sum(v_fp * v_fp) over w, 0) as s2
+  from base
+  window w as (partition by user_id order by ts, event_id
+               rows between 20 preceding and 1 preceding)
+)
+select event_id, user_id, ts_us, v_fp,
+       cast(n_prev as bigint) as n_prev,
+       cast(s1 as bigint) as s1, cast(s2 as bigint) as s2,
+       case when n_prev >= 5
+             and (v_fp * n_prev - s1) * (v_fp * n_prev - s1)
+                 > 9 * (n_prev * s2 - s1 * s1)
+            then 1 else 0 end as is_anomaly
+from roll
+"""
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (sketch.py:cms_build/cms_query): term-frequency
     estimates over the documents vocabulary from a 4x2048-cell sketch,
@@ -4862,6 +4903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "bpe_train": q_bpe_train,
         "cms_counts": q_cms_counts,
+        "rolling_anomaly": q_rolling_anomaly,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5050,4 +5092,5 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _sql_random_walks(),
         "bpe_train": _sql_bpe_train(),
         "cms_counts": _sql_cms_counts(),
+        "rolling_anomaly": _SQL_ROLLING_ANOMALY,
     }

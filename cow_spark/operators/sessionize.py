@@ -194,3 +194,61 @@ def _period_offset(period: str):
         step = {"month": 1, "quarter": 3, "year": 12}[period]
         return months / step
     raise ValueError(f"unsupported retention period {period!r}")
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    window: int = 20,
+    min_prev: int = 5,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags over an ordered event
+    stream — the standard metric-spike screen (a value more than ``k``
+    standard deviations from the mean of the previous ``window``
+    events of the same key).
+
+    All arithmetic is integer fixed-point so a replay is bit-exact:
+    values floor-scale by ``scale``; the test |v - s1/n| > k*sqrt(var)
+    is squared into (v*n - s1)^2 > k^2 * (n*s2 - s1^2) — no division,
+    no sqrt, no float in sight. Rolling n/s1/s2 come from ONE window
+    pass (rowsBetween(-window, -1), ordered by (ts, tie_col) for a
+    deterministic frame under equal timestamps).
+
+    Scale shape: one keyed shuffle shared by all three running sums —
+    the same single-sort discipline as :func:`sessionize`. Events with
+    fewer than ``min_prev`` predecessors are never flagged (cold
+    start). Headroom: |value|*scale must stay under ~2.1e9 for the
+    squared terms to fit a signed 64-bit integer at window<=100, k<=5
+    — generous for metric streams; raise consciously, not blindly.
+
+    Returns ``(tie_col, key_col, ts, v_fp, n_prev, s1, s2,
+    is_anomaly)``.
+    """
+    if window < 1 or min_prev < 1 or k < 1:
+        raise ValueError("window, min_prev, k must all be >= 1")
+    v_fp = F.floor(F.col(value_col) * scale).cast("bigint")
+    base = events.select(
+        F.col(tie_col), F.col(key_col), F.col(ts_col).alias("ts"),
+        v_fp.alias("v_fp"))
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col("ts"), F.col(tie_col))
+         .rowsBetween(-window, -1))
+    roll = base.select(
+        tie_col, key_col, "ts", "v_fp",
+        F.count("v_fp").over(w).alias("n_prev"),
+        F.coalesce(F.sum("v_fp").over(w), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("v_fp") * F.col("v_fp")).over(w),
+                   F.lit(0)).alias("s2"))
+    dev = F.col("v_fp") * F.col("n_prev") - F.col("s1")
+    var_n2 = (F.col("n_prev") * F.col("s2")
+              - F.col("s1") * F.col("s1"))
+    return roll.select(
+        tie_col, key_col, "ts", "v_fp", "n_prev", "s1", "s2",
+        F.when((F.col("n_prev") >= min_prev)
+               & (dev * dev > k * k * var_n2), 1)
+        .otherwise(0).alias("is_anomaly"))

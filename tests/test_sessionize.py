@@ -127,3 +127,76 @@ def test_retention_cohort_triangle(spark):
     got2 = {(r.cohort, r.period_offset)
             for r in retention(far, period="week", max_periods=4).collect()}
     assert all(off <= 4 for _, off in got2)
+
+
+# ---------------------------------------------------------------------------
+# rolling anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def _anomaly_py(rows, window=20, min_prev=5, k=3, scale=1000):
+    import math
+    out = {}
+    by_key: dict = {}
+    for eid, key, ts, val in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        hist = by_key.setdefault(key, [])
+        prev = hist[-window:]
+        n, s1 = len(prev), sum(prev)
+        s2 = sum(x * x for x in prev)
+        v = math.floor(val * scale)
+        dev = v * n - s1
+        flag = 1 if (n >= min_prev and dev * dev > k * k * (n * s2 - s1 * s1)) else 0
+        out[eid] = flag
+        hist.append(v)
+    return out
+
+
+def test_rolling_anomaly_matches_python_twin(spark):
+    from datetime import datetime, timedelta
+
+    from cow_spark.operators.sessionize import rolling_anomaly
+
+    t0 = datetime(2026, 1, 1)
+    rows = [(i, f"u{i % 3}", t0 + timedelta(minutes=i),
+             float((i * 37) % 50) / 7.0) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double")
+    got = {r["event_id"]: r["is_anomaly"]
+           for r in rolling_anomaly(df).collect()}
+    assert got == _anomaly_py(rows)
+
+
+def test_rolling_anomaly_flags_planted_spike_only(spark):
+    from datetime import datetime, timedelta
+
+    from cow_spark.operators.sessionize import rolling_anomaly
+
+    t0 = datetime(2026, 1, 1)
+    # steady noise around 10 with one 100x spike at i=30
+    rows = [(i, "u", t0 + timedelta(seconds=i),
+             1000.0 if i == 30 else 10.0 + (i % 3) * 0.1)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double")
+    flagged = {r["event_id"] for r in rolling_anomaly(df).collect()
+               if r["is_anomaly"] == 1}
+    assert 30 in flagged
+    # no false alarms in the steady region (events after the spike may
+    # legitimately deviate while the spike sits in their window)
+    assert not (flagged - set(range(30, 51)))
+    # cold start: first min_prev events can never be flagged
+    assert not (flagged & set(range(5)))
+
+
+def test_rolling_anomaly_single_shuffle(spark):
+    from datetime import datetime
+
+    from cow_spark.operators.sessionize import rolling_anomaly
+
+    df = spark.createDataFrame(
+        [(1, "u", datetime(2026, 1, 1), 1.0)],
+        "event_id long, user_id string, ts timestamp, value double")
+    out = rolling_anomaly(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
