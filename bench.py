@@ -64,6 +64,8 @@ HEADLINE = [
     "bloom_filter",
     "random_walks",
     "bpe_train",
+    "cms_counts",
+    "rolling_anomaly",
 ]
 
 
