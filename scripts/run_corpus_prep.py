@@ -2,11 +2,11 @@
 
 The training-data side of the engine, composed end-to-end::
 
-    [markup strip] → boilerplate line removal → [duplicated-span cut]
-    → quality gate → PII redaction → benchmark decontamination
-    → near-dup dedup (canonical survivors) → stratified sampling
-    → [leakage-safe train/val/test split] → sequence packing
-    → packed-corpus manifest + audit stats
+    [markup strip] → [URL blocklist screen] → boilerplate line removal
+    → [duplicated-span cut] → quality gate → PII redaction
+    → benchmark decontamination → near-dup dedup (canonical survivors)
+    → stratified sampling → [leakage-safe train/val/test split]
+    → sequence packing → packed-corpus manifest + audit stats
 
 (bracketed stages opt-in; the split is keyed on the post-clean
 fingerprint so residual exact duplicates can never straddle splits)
@@ -46,6 +46,7 @@ def prepare_corpus(
     strip_markup_input: bool = False,
     substring_dedup_k: int | None = None,
     split_fractions: dict[str, float] | None = None,
+    blocklist_domains: list[str] | None = None,
 ):
     """documents(doc_id, text, source?) → (packed plan, audit dict).
 
@@ -78,6 +79,19 @@ def prepare_corpus(
         from cow_spark.functions.text import strip_markup
 
         docs = docs.withColumn("text", strip_markup(F.col("text")))
+
+    if blocklist_domains:
+        # UT1-style URL screening FIRST (the CCNet/RefinedWeb order):
+        # a doc linking to a blocked domain is dropped before any text
+        # judgment — cheapest gate, and its verdict is text-independent
+        from cow_spark.operators.quality import blocklist_filter
+
+        bl = spark.createDataFrame(
+            [(d,) for d in blocklist_domains], "domain string")
+        flags = blocklist_filter(docs, bl)
+        docs = docs.join(
+            flags.where(F.col("blocked") == 0).select("doc_id"), "doc_id")
+        audit["after_blocklist"] = _n(docs)
 
     if line_dedup_min_repeats:
         # C4 order: strip corpus-level boilerplate LINES before any
@@ -162,7 +176,7 @@ RECIPE_KEYS = {
     "input", "benchmark", "output",
     "rates", "default_rate", "context", "n_shards", "min_tokens",
     "audit_counts", "line_dedup_min_repeats", "strip_markup_input",
-    "substring_dedup_k", "split_fractions",
+    "substring_dedup_k", "split_fractions", "blocklist_domains",
 }
 
 
@@ -226,7 +240,8 @@ def main() -> None:
     kwargs = {
         k: recipe[k] for k in (
             "min_tokens", "audit_counts", "line_dedup_min_repeats",
-            "strip_markup_input", "substring_dedup_k", "split_fractions")
+            "strip_markup_input", "substring_dedup_k", "split_fractions",
+            "blocklist_domains")
         if k in recipe
     }
     if args.demo:

@@ -111,3 +111,21 @@ def test_recipe_validation_and_application(spark, tmp_path):
     assert rows and {r["split"] for r in rows} <= {"train", "val", "test"}
     assert {r["shard"] for r in rows} <= {0, 1}
     assert sum(audit["split_sizes"].values()) == audit["after_dedup"]
+
+
+def test_prepare_corpus_blocklist_stage(spark):
+    """URL-screened docs are dropped before any text judgment, and the
+    audit explains the loss."""
+    docs = spark.createDataFrame(
+        [(i, ("visit https://bad.example/x now " if i % 4 == 0 else "")
+          + "plain prose with enough tokens to pass the quality gate "
+          + f"document {i}", "src0")
+         for i in range(40)],
+        "doc_id long, text string, source string")
+    packed, audit = prepare_corpus(
+        spark, docs, context=128, n_shards=2,
+        line_dedup_min_repeats=None,
+        blocklist_domains=["bad.example"])
+    assert audit["after_blocklist"] == 30
+    kept = {r["doc_id"] for r in packed.collect()}
+    assert kept and all(i % 4 != 0 for i in kept)
