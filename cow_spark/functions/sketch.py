@@ -34,6 +34,12 @@ Determinism contract: registers with rho > 50 contribute 0 to the
 harmonic sum — the same truncation in both engines; it only matters
 beyond ~2^50 distincts per bucket, far past the sketch's useful range.
 NULL keys are skipped, matching ``count(distinct)`` semantics.
+
+Streaming: ``hll_registers`` is a plain groupBy/max, so it runs
+unchanged as a Structured Streaming stateful aggregation — state is
+the m-register table, not the key set, which is the whole point of
+maintaining a live cardinality profile over an unbounded stream
+(pinned by ``tests/test_sketch.py`` stream-equals-batch).
 """
 
 from __future__ import annotations

@@ -208,3 +208,36 @@ def test_cms_validation_and_plan(spark):
         F.col("id").cast("string").alias("k")), "k")
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming sketch maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_as_streaming_aggregation(spark, tmp_path):
+    """hll_registers is a plain groupBy/max, so it runs unchanged as a
+    Structured Streaming stateful aggregation — complete-mode register
+    table over a file stream equals the batch sketch over the same
+    rows (sketch state is m registers, not the key set)."""
+    from cow_spark.functions.sketch import hll_registers
+
+    src = str(tmp_path / "landing")
+    batch = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    batch.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("g string, k string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (hll_registers(stream, "k", ("g",))
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("hll_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["g"], r["bucket"]): r["r"]
+           for r in spark.table("hll_stream").collect()}
+    want = {(r["g"], r["bucket"]): r["r"]
+            for r in hll_registers(batch, "k", ("g",)).collect()}
+    assert got == want
