@@ -2899,6 +2899,47 @@ where length(coalesce(text, '')) > 0
 """
 
 
+def q_bgp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers (bgp.py:solution_modifiers) on top of
+    a BGP: project (?doc ?l ?n), ORDER BY n_chars desc with the
+    subject as total-order tie-break, OFFSET 10 LIMIT 25 — the
+    ORDER+LIMIT path compiles to per-partition top-k, pinned by
+    pytest."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import match_bgp, solution_modifiers
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    bindings = match_bgp(quads, [
+        ("?doc", f"{BASE}/vocab/lang", "?l"),
+        ("?doc", f"{BASE}/vocab/n_chars", "?n"),
+    ])
+    # ?n binds the LEXICAL form; order on its numeric value with ?doc
+    # as the unique tie-break (a total order, the modifier contract)
+    ranked = bindings.withColumn("n_val", F.col("n").cast("long"))
+    return solution_modifiers(
+        ranked, order_by=[("n_val", "desc"), ("doc", "asc")],
+        limit=25, offset=10, select=["doc", "l", "n_val"])
+
+
+def _sql_bgp_select() -> str:
+    return f"""
+with b as (
+  select '{BASE}/' || cast(doc_id as varchar) as doc,
+         lang as l, cast(n_chars as bigint) as n_val
+  from documents
+  where length(coalesce(lang, '')) > 0 and n_chars is not null
+),
+r as (
+  select doc, l, n_val,
+         row_number() over (order by n_val desc, doc asc) as rn
+  from b
+)
+select doc, l, n_val from r where rn > 10 and rn <= 35
+"""
+
+
 def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/P17: metrics/quarantine accounting, aggregated to totals
     (per-partition ids aren't stable across engines; the totals are)."""
@@ -4904,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "cms_counts": q_cms_counts,
         "rolling_anomaly": q_rolling_anomaly,
+        "bgp_select": q_bgp_select,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5093,4 +5135,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _sql_bpe_train(),
         "cms_counts": _sql_cms_counts(),
         "rolling_anomaly": _SQL_ROLLING_ANOMALY,
+        "bgp_select": _sql_bgp_select(),
     }

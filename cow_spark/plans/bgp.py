@@ -23,7 +23,7 @@ from __future__ import annotations
 import operator
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://|^urn:")
@@ -425,3 +425,67 @@ def construct_quads(
                 F.lit(None).cast("string").alias("o_lang"))
     )
     return out.dropDuplicates() if distinct else out
+
+
+def solution_modifiers(
+    bindings: DataFrame,
+    order_by: list[tuple[str, str]],
+    limit: int | None = None,
+    offset: int = 0,
+    select: list[str] | None = None,
+    distinct: bool = False,
+) -> DataFrame:
+    """SPARQL solution modifiers over a BGP's bindings: projection,
+    DISTINCT, ORDER BY (asc/desc, NULLs last like SPARQL's
+    unbound-sorts-lowest rule inverted per direction is a vendor
+    choice — we pin NULLS LAST both directions), OFFSET, LIMIT.
+
+    ``order_by`` must impose a TOTAL order on the surviving rows or
+    LIMIT/OFFSET would return an engine-dependent slice — that is a
+    correctness bug, not a style preference, so callers list enough
+    tie-break variables (typically ending in the subject var).
+
+    Scale shape: ORDER+LIMIT without OFFSET compiles to Spark's
+    TakeOrderedAndProject (per-partition top-k, no global sort of the
+    full binding set). An OFFSET forces ranking past the skip window —
+    still a top-(offset+limit) — and an unbounded ORDER BY (no limit)
+    is a real global sort, priced accordingly. DISTINCT applies before
+    ordering, SPARQL's evaluation order (projection → distinct →
+    order → slice).
+    """
+    if not order_by and (limit is not None or offset):
+        raise ValueError("LIMIT/OFFSET without ORDER BY returns an "
+                         "engine-dependent slice; pass order_by")
+    if offset < 0 or (limit is not None and limit < 0):
+        raise ValueError("offset and limit must be non-negative")
+    out = bindings.select(*select) if select else bindings
+    if distinct:
+        out = out.distinct()
+    cols = []
+    for var, direction in order_by:
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction must be asc/desc, "
+                             f"got {direction!r}")
+        c = F.col(var)
+        cols.append(c.asc_nulls_last() if direction == "asc"
+                    else c.desc_nulls_last())
+    if cols:
+        out = out.orderBy(*cols)
+    if offset and limit is not None:
+        # top-(offset+limit) FIRST (TakeOrdered, per-partition top-k),
+        # then rank only that bounded slice — the unpartitioned
+        # row_number window is fine over offset+limit rows, where over
+        # the full binding set it would single-task the world
+        out = out.limit(offset + limit)
+        w = Window.orderBy(*cols)
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") > offset).drop("_rn"))
+    elif limit is not None:
+        out = out.limit(limit)
+    elif offset:
+        # OFFSET with no LIMIT is inherently a global rank — priced
+        # accordingly (prefer keyset pagination at scale)
+        w = Window.orderBy(*cols)
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") > offset).drop("_rn"))
+    return out

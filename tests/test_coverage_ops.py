@@ -659,3 +659,56 @@ def test_diff_quads_changeset(spark):
         diff_quads(old.drop("o_lang"), new)
     with pytest.raises(ValueError, match="quad-column mismatch"):
         diff_quads(old, new.drop("g"))
+
+
+# ---------------------------------------------------------------------------
+# SPARQL solution modifiers
+# ---------------------------------------------------------------------------
+
+
+def test_solution_modifiers_order_slice_project(spark):
+    from cow_spark.plans.bgp import solution_modifiers
+
+    b = spark.createDataFrame(
+        [(f"s{i}", i % 3, None if i == 7 else i) for i in range(10)],
+        "subj string, grp int, val int")
+    out = solution_modifiers(
+        b, order_by=[("grp", "asc"), ("subj", "desc")],
+        limit=3, offset=2, select=["subj", "grp"])
+    rows = [(r["subj"], r["grp"]) for r in out.collect()]
+    # full order: grp asc, subj desc within grp
+    want = sorted([(f"s{i}", i % 3) for i in range(10)],
+                  key=lambda t: (t[1], [-ord(c) for c in t[0]]))
+    assert rows == want[2:5]
+
+
+def test_solution_modifiers_nulls_last_and_distinct(spark):
+    from cow_spark.plans.bgp import solution_modifiers
+
+    b = spark.createDataFrame(
+        [(None, 1), ("a", 1), ("a", 1), ("b", 2)], "v string, n int")
+    out = solution_modifiers(
+        b, order_by=[("v", "asc"), ("n", "asc")], distinct=True)
+    rows = [(r["v"], r["n"]) for r in out.collect()]
+    assert rows == [("a", 1), ("b", 2), (None, 1)]
+    out_d = solution_modifiers(b, order_by=[("v", "desc"), ("n", "asc")])
+    assert [r["v"] for r in out_d.collect()][-1] is None  # NULLS LAST
+
+
+def test_solution_modifiers_validation_and_topk_plan(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.bgp import solution_modifiers
+
+    b = spark.createDataFrame([("a", 1)], "v string, n int")
+    with _pt.raises(ValueError):
+        solution_modifiers(b, order_by=[], limit=5)
+    with _pt.raises(ValueError):
+        solution_modifiers(b, order_by=[("v", "up")])
+    # ORDER+LIMIT (no offset) must compile to per-partition top-k,
+    # not a global sort
+    big = spark.range(10_000).select(
+        F.col("id").alias("n"), F.col("id").cast("string").alias("v"))
+    out = solution_modifiers(big, order_by=[("n", "desc")], limit=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
