@@ -2899,6 +2899,44 @@ where length(coalesce(text, '')) > 0
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (corpus.py:weighted_sample): Efraimidis-Spirakis A-Res with hash
+    randomness and the integer log2 kernel — 200 documents drawn with
+    odds ∝ n_chars+1, top-k plan, bit-identical sample membership in
+    the oracle."""
+    from cow_spark.operators.corpus import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.coalesce(F.col("n_chars").cast("bigint"), F.lit(0)) + 1)
+        .alias("w"))
+    return weighted_sample(docs, 200, "w")
+
+
+def _sql_weighted_sample() -> str:
+    l2h = _sql_log2fp("hh")
+    return f"""
+with d as (
+  select cast(doc_id as bigint) as doc_id,
+         coalesce(cast(n_chars as bigint), 0) + 1 as w
+  from documents
+),
+h as (
+  select doc_id, w,
+         greatest(cast(concat('0x', substr(md5(
+           cast(doc_id as varchar) || chr(31) || 'wsample-v1'),
+           1, 15)) as bigint), 1) as hh
+  from d
+)
+select doc_id, w,
+       cast(((61440 - {l2h}) * 1000000) // w as bigint) as rank_fp
+from h
+order by rank_fp, doc_id
+limit 200
+"""
+
+
 def q_bgp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL solution modifiers (bgp.py:solution_modifiers) on top of
     a BGP: project (?doc ?l ?n), ORDER BY n_chars desc with the
@@ -4946,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "rolling_anomaly": q_rolling_anomaly,
         "bgp_select": q_bgp_select,
+        "weighted_sample": q_weighted_sample,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5136,4 +5175,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _sql_cms_counts(),
         "rolling_anomaly": _SQL_ROLLING_ANOMALY,
         "bgp_select": _sql_bgp_select(),
+        "weighted_sample": _sql_weighted_sample(),
     }

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import portable_hash60
+from ..functions.intmath import with_log2_fp
 from ..functions.text import token_count
 
 
@@ -343,3 +344,76 @@ def hash_split(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+WSAMPLE_SALT = "wsample-v1"
+_LOG2_60BITS = 60 << 10  # log2_fp of the hash range 2^60
+_WS_PREC = 1_000_000
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = WSAMPLE_SALT,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: exactly
+    ``k`` rows where a row's inclusion odds scale with its integer
+    weight (quality score, token count, source priority) — the
+    Efraimidis-Spirakis A-Res scheme with hash randomness.
+
+    A-Res keeps the k largest ``u^(1/w)`` keys for uniform u. Ordering
+    by that is ordering by ``-ln(u)/w`` ascending, and with
+    ``u = h / 2^60`` from the portable md5 hash, ``-log2(u) =
+    60<<10 - log2_fp(h)`` on the repo's integer log2 kernel — so the
+    rank is pure integer arithmetic, reproducible across runs, task
+    retries, and engines (sample-membership diffs between engines are
+    the classic irreproducibility bug this kills). ln vs log2 is a
+    constant factor shared by every row: the ORDER is identical, so
+    the sample is exactly A-Res's.
+
+    Scale shape: one map-side rank expression + TakeOrdered top-k — no
+    global sort, no shuffle beyond the k-row collect tree. Weights
+    must be positive integers (floor-scale floats first — float
+    weights would put libm in the rank); NULL/non-positive weights are
+    rejected loudly rather than silently excluded.
+
+    Returns the sampled rows with their ``rank_fp`` (audit column).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("bigint")
+    guard = df.where(w.isNull() | (w <= 0)).limit(1).collect()
+    if guard:
+        raise ValueError(
+            f"weighted_sample requires positive integer weights; found "
+            f"{weight_col}={guard[0][weight_col]!r} "
+            f"(row {id_col}={guard[0][id_col]!r})")
+    h = F.greatest(
+        portable_hash60(F.concat_ws(
+            "\x1f", F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(1))  # h=0 (p=2^-60) would send log2_fp to NULL
+    staged = with_log2_fp(df.withColumn("_h", h), "_h", "_l2h")
+    rank = F.expr(f"(({_LOG2_60BITS} - _l2h) * {_WS_PREC}) div "
+                  f"cast({weight_col} as bigint)")
+    return (staged.withColumn("rank_fp", rank)
+            .drop("_h", "_l2h")
+            .orderBy(F.col("rank_fp").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def weighted_sample_py(rows, k, salt: str = WSAMPLE_SALT):
+    """Pure-Python twin over (id, weight) pairs: returns the sampled
+    ids in rank order."""
+    import hashlib
+
+    from ..functions.intmath import log2_fp_py
+
+    ranked = []
+    for rid, w in rows:
+        h = max(int(hashlib.md5(
+            f"{rid}\x1f{salt}".encode()).hexdigest()[:15], 16), 1)
+        rank = (_LOG2_60BITS - log2_fp_py(h)) * _WS_PREC // int(w)
+        ranked.append((rank, rid))
+    return [rid for _, rid in sorted(ranked)[:k]]

@@ -958,3 +958,49 @@ def test_random_walks_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         random_walks(df, walk_len=0)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    from cow_spark.operators.corpus import (weighted_sample,
+                                            weighted_sample_py)
+
+    rows = [(i, (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"] for r in
+           weighted_sample(df, 40, "w").orderBy("rank_fp", "doc_id").collect()]
+    assert got == weighted_sample_py(rows, 40)
+    assert len(set(got)) == 40  # without replacement
+
+
+def test_weighted_sample_weight_bias(spark):
+    """A 1000x weight must dominate inclusion: sample half the corpus,
+    the heavy rows all make it."""
+    from cow_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 1000 if i < 20 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = {r["doc_id"] for r in weighted_sample(df, 200, "w").collect()}
+    assert set(range(20)) <= kept
+
+
+def test_weighted_sample_rejects_bad_weights_and_plans_topk(spark):
+    import pytest as _pt
+
+    from cow_spark.operators.corpus import weighted_sample
+
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with _pt.raises(ValueError):
+        weighted_sample(bad, 1, "w")
+    null_w = spark.createDataFrame([(1, None)], "doc_id long, w long")
+    with _pt.raises(ValueError):
+        weighted_sample(null_w, 1, "w")
+    ok = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("w"))
+    out = weighted_sample(ok, 10, "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
