@@ -2899,6 +2899,75 @@ where length(coalesce(text, '')) > 0
 """
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training
+    (kgtrain.py:negative_samples): 2 corruptions per positive over the
+    doc-hierarchy KG, hash-decided corruption side, true triples
+    anti-joined out — the TransE/DistMult training-pair generator as a
+    deterministic, oracle-replayable artifact."""
+    from cow_spark.operators.kgtrain import negative_samples
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    pos = docs.where(F.col("doc_id") >= 1).select(
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("s"),
+        F.lit(f"{BASE}/vocab/under").alias("p"),
+        F.concat(F.lit(f"{BASE}/"),
+                 (F.col("doc_id") / 2).cast("long").cast("string"))
+        .alias("o"))
+    return negative_samples(pos, n_neg=2, n_trials=8, corrupt="both")
+
+
+def _sql_negative_samples() -> str:
+    h = ("cast(concat('0x', substr(md5(s || chr(31) || p || chr(31) "
+         "|| o || chr(31) || cast(j as varchar) || chr(31) || "
+         "'kgneg-v1'), 1, 15)) as bigint)")
+    hs = ("cast(concat('0x', substr(md5(s || chr(31) || p || chr(31) "
+          "|| o || chr(31) || cast(j as varchar) || chr(31) || "
+          "'kgneg-v1-side'), 1, 15)) as bigint)")
+    return f"""
+with d as (select cast(doc_id as bigint) as i from documents),
+pos as (
+  select distinct '{BASE}/' || cast(i as varchar) as s,
+         '{BASE}/vocab/under' as p,
+         '{BASE}/' || cast(i // 2 as varchar) as o
+  from d where i >= 1
+),
+ents as (
+  select ent, row_number() over (order by ent) - 1 as idx
+  from (select s as ent from pos union select o from pos)
+),
+vc as (select count(*) as v from ents),
+cand as (
+  select s, p, o, j as trial,
+         ({h}) % (select v from vc) as idx,
+         ({hs}) % 2 = 0 as subj_side
+  from pos cross join (select unnest(range(8)) as j)
+),
+corr as (
+  select c.s, c.p, c.o, c.trial,
+         case when c.subj_side then e.ent else c.s end as neg_s,
+         case when c.subj_side then c.o else e.ent end as neg_o
+  from cand c join ents e using (idx)
+),
+ok as (
+  select corr.* from corr
+  where (neg_s <> s or neg_o <> o)
+    and not exists (select 1 from pos t
+                    where t.s = corr.neg_s and t.p = corr.p
+                      and t.o = corr.neg_o)
+),
+rk as (
+  select *, row_number() over (partition by s, p, o
+                               order by trial) as rn
+  from ok
+)
+select s, p, o, neg_s, neg_o, cast(trial as int) as trial
+from rk where rn <= 2
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (corpus.py:weighted_sample): Efraimidis-Spirakis A-Res with hash
@@ -4985,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "bgp_select": q_bgp_select,
         "weighted_sample": q_weighted_sample,
+        "negative_samples": q_negative_samples,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5176,4 +5246,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_anomaly": _SQL_ROLLING_ANOMALY,
         "bgp_select": _sql_bgp_select(),
         "weighted_sample": _sql_weighted_sample(),
+        "negative_samples": _sql_negative_samples(),
     }

@@ -1,0 +1,147 @@
+"""KG-embedding training data: filtered negative sampling.
+
+Every translational / bilinear KG-embedding model (TransE, DistMult,
+ComplEx, RotatE) trains on (positive triple, corrupted triple) pairs:
+corrupt one side of a true (s, p, o) with a random entity, reject
+corruptions that happen to be true ("filtered" sampling — scoring a
+true triple as negative poisons the loss). At KG scale this is a
+data-engineering job, not a model job, and it belongs next to the data.
+
+Randomness is hash-randomness, the same discipline as random_walks and
+weighted_sample: the corrupting entity for (triple, trial j) is
+``entities[md5(s, p, o, j, salt) mod V]`` over the dense-indexed
+entity vocabulary — reproducible across runs/retries/engines, so the
+training set is an artifact you can diff, not a one-off.
+
+Scale shape: the entity vocabulary gets a dense index from ONE
+vocabulary-sized global sort (entity vocabularies are millions, not
+trillions — and the index must be dense for the mod-V draw to be
+uniform). Candidates explode n_trials per positive, equi-join the
+vocabulary on the drawn index, anti-join the true-triple set (the one
+corpus-scale shuffle — inherent to filtered sampling), then a
+per-positive window keeps the first ``n_neg`` surviving trials. Draws
+that collide with the positive's own entity or with any true triple
+are skipped by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60
+
+NEG_SALT = "kgneg-v1"
+
+
+def entity_vocab(triples: DataFrame) -> DataFrame:
+    """``(ent, idx)`` — dense 0-based index over the distinct subjects
+    and objects, ordered lexicographically (deterministic)."""
+    ents = (triples.select(F.col("s").alias("ent"))
+            .union(triples.select(F.col("o").alias("ent")))
+            .where(F.col("ent").isNotNull())
+            .distinct())
+    w = Window.orderBy("ent")
+    return ents.select(
+        "ent", (F.row_number().over(w) - 1).cast("bigint").alias("idx"))
+
+
+def negative_samples(
+    triples: DataFrame,
+    n_neg: int = 2,
+    n_trials: int = 8,
+    corrupt: str = "object",
+    salt: str = NEG_SALT,
+) -> DataFrame:
+    """``(s, p, o, neg_s, neg_o, trial)`` — up to ``n_neg`` filtered
+    corruptions per positive triple, corrupting the ``corrupt`` side
+    ('object', 'subject', or 'both' = hash-decided per trial).
+
+    ``n_trials`` bounds the redraw budget: a trial is discarded when
+    its drawn entity equals the side it replaces or the corrupted
+    triple exists in the positive set; survivors rank by trial index
+    and the first ``n_neg`` win. With a vocabulary much larger than
+    any entity's degree the expected survivor count is ~n_trials, so
+    n_trials = 4x n_neg leaves the under-filled tail negligible — and
+    deterministic, so a pytest can pin it.
+    """
+    if corrupt not in ("object", "subject", "both"):
+        raise ValueError(f"corrupt must be object/subject/both, "
+                         f"got {corrupt!r}")
+    if n_neg < 1 or n_trials < n_neg:
+        raise ValueError("need n_trials >= n_neg >= 1")
+    pos = (triples.select("s", "p", "o")
+           .where(F.col("s").isNotNull() & F.col("o").isNotNull())
+           .distinct())
+    vocab = entity_vocab(pos)
+    v_count = vocab.count()
+    if v_count == 0:
+        return pos.sparkSession.createDataFrame(
+            [], "s string, p string, o string, neg_s string, "
+                "neg_o string, trial int")
+    cand = pos.select(
+        "s", "p", "o",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_trials - 1)),
+            lambda j: portable_hash60(F.concat_ws(
+                "\x1f", F.col("s"), F.col("p"), F.col("o"),
+                j.cast("string"), F.lit(salt))) % v_count)
+        ).alias("trial", "idx"))
+    if corrupt == "both":
+        side = (portable_hash60(F.concat_ws(
+            "\x1f", F.col("s"), F.col("p"), F.col("o"),
+            F.col("trial").cast("string"), F.lit(salt + "-side")))
+            % 2 == 0)
+    else:
+        side = F.lit(corrupt == "subject")
+    cand = (cand.join(vocab, "idx")
+            .select("s", "p", "o", "trial",
+                    F.when(side, F.col("ent")).otherwise(F.col("s"))
+                    .alias("neg_s"),
+                    F.when(side, F.col("o")).otherwise(F.col("ent"))
+                    .alias("neg_o")))
+    # self-collisions: the draw reproduced the entity it replaces
+    cand = cand.where(
+        (F.col("neg_s") != F.col("s")) | (F.col("neg_o") != F.col("o")))
+    # filtered sampling: corrupted triple must not be a true triple
+    truth = pos.select(F.col("s").alias("neg_s"), "p",
+                       F.col("o").alias("neg_o"))
+    cand = cand.join(truth, ["neg_s", "p", "neg_o"], "left_anti")
+    w = Window.partitionBy("s", "p", "o").orderBy("trial")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_neg).drop("_rn"))
+
+
+def negative_samples_py(
+    triples, n_neg=2, n_trials=8, corrupt="object", salt=NEG_SALT,
+):
+    """Pure-Python twin over (s, p, o) tuples."""
+    import hashlib
+
+    pos = sorted(set(triples))
+    ents = sorted({s for s, _, _ in pos} | {o for _, _, o in pos})
+    v = len(ents)
+    truth = set(pos)
+    out = []
+    for s, p, o in pos:
+        kept = 0
+        for j in range(n_trials):
+            if kept >= n_neg:
+                break
+            h = int(hashlib.md5(
+                f"{s}\x1f{p}\x1f{o}\x1f{j}\x1f{salt}".encode()
+            ).hexdigest()[:15], 16)
+            ent = ents[h % v]
+            if corrupt == "both":
+                hs = int(hashlib.md5(
+                    f"{s}\x1f{p}\x1f{o}\x1f{j}\x1f{salt}-side".encode()
+                ).hexdigest()[:15], 16)
+                subj_side = hs % 2 == 0
+            else:
+                subj_side = corrupt == "subject"
+            ns, no = (ent, o) if subj_side else (s, ent)
+            if (ns, no) == (s, o) or (ns, p, no) in truth:
+                continue
+            out.append((s, p, o, ns, no, j))
+            kept += 1
+    return sorted(out)

@@ -1,0 +1,68 @@
+"""Filtered negative sampling for KG-embedding training."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cow_spark.operators.kgtrain import (
+    entity_vocab,
+    negative_samples,
+    negative_samples_py,
+)
+
+_TRIPLES = [(f"e{i}", "p0" if i % 2 == 0 else "p1", f"e{(i * 3 + 1) % 15}")
+            for i in range(15)]
+
+
+def _df(spark, triples=_TRIPLES):
+    return spark.createDataFrame(triples, "s string, p string, o string")
+
+
+def test_negative_samples_match_python_twin(spark):
+    for corrupt in ("object", "subject", "both"):
+        got = sorted(
+            (r["s"], r["p"], r["o"], r["neg_s"], r["neg_o"], r["trial"])
+            for r in negative_samples(
+                _df(spark), corrupt=corrupt).collect())
+        assert got == negative_samples_py(_TRIPLES, corrupt=corrupt), corrupt
+
+
+def test_negatives_are_never_true_triples(spark):
+    truth = set(_TRIPLES)
+    rows = negative_samples(_df(spark), n_neg=3, n_trials=12).collect()
+    assert rows
+    for r in rows:
+        assert (r["neg_s"], r["p"], r["neg_o"]) not in truth
+        assert (r["neg_s"], r["neg_o"]) != (r["s"], r["o"])
+        # object corruption keeps the subject
+        assert r["neg_s"] == r["s"]
+    per_pos: dict = {}
+    for r in rows:
+        per_pos.setdefault((r["s"], r["p"], r["o"]), []).append(r["trial"])
+    assert all(len(t) <= 3 for t in per_pos.values())
+
+
+def test_entity_vocab_dense_and_sorted(spark):
+    v = entity_vocab(_df(spark)).orderBy("idx").collect()
+    ents = [r["ent"] for r in v]
+    assert ents == sorted(ents)
+    assert [r["idx"] for r in v] == list(range(len(v)))
+
+
+def test_negative_samples_validation_and_empty(spark):
+    with pytest.raises(ValueError):
+        negative_samples(_df(spark), corrupt="none")
+    with pytest.raises(ValueError):
+        negative_samples(_df(spark), n_neg=4, n_trials=2)
+    empty = spark.createDataFrame([], "s string, p string, o string")
+    assert negative_samples(empty).count() == 0
+
+
+def test_negative_samples_plan_stays_jvm(spark):
+    out = negative_samples(_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
