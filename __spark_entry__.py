@@ -2899,6 +2899,65 @@ where length(coalesce(text, '')) > 0
 """
 
 
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural KG QA (validate.py:integrity_report): the doc
+    hierarchy with `under` declared functional — every doc_id%10==0
+    doc gains a deliberate second parent (must be flagged), and node 0
+    is referenced but never a subject (a real dangling edge of this
+    KG's construction)."""
+    from cow_spark.plans.validate import integrity_report
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    did = F.col("doc_id")
+
+    def edges(obj):
+        return docs.select(
+            F.lit(None).cast("string").alias("g"),
+            F.concat(F.lit(f"{BASE}/"), did.cast("string")).alias("s"),
+            F.lit(f"{BASE}/vocab/under").alias("p"),
+            F.lit("iri").alias("o_kind"),
+            F.concat(F.lit(f"{BASE}/"), obj.cast("long").cast("string"))
+            .alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"))
+
+    base = edges(did / 2).where(did >= 1)
+    extra = edges(did / 2 + 1).where((did >= 1) & (did % 10 == 0))
+    return integrity_report(base.unionByName(extra),
+                            [f"{BASE}/vocab/under"])
+
+
+def _sql_integrity_report() -> str:
+    return f"""
+with d as (select cast(doc_id as bigint) as i from documents),
+q as (
+  select '{BASE}/' || cast(i as varchar) as s,
+         '{BASE}/vocab/under' as p,
+         '{BASE}/' || cast(i // 2 as varchar) as o
+  from d where i >= 1
+  union all
+  select '{BASE}/' || cast(i as varchar),
+         '{BASE}/vocab/under',
+         '{BASE}/' || cast(i // 2 + 1 as varchar)
+  from d where i >= 1 and i % 10 = 0
+),
+viol as (
+  select 'functional-violation' as "check", p, s as node,
+         count(distinct o) as n
+  from q group by p, s having count(distinct o) > 1
+),
+dang as (
+  select 'dangling-reference' as "check", p, o as node,
+         count(*) as n
+  from q
+  where o not in (select distinct s from q)
+  group by p, o
+)
+select * from viol union all select * from dang
+"""
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered negative sampling for KG-embedding training
     (kgtrain.py:negative_samples): 2 corruptions per positive over the
@@ -5055,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_select": q_bgp_select,
         "weighted_sample": q_weighted_sample,
         "negative_samples": q_negative_samples,
+        "integrity_report": q_integrity_report,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5247,4 +5307,5 @@ def oracle_sql() -> dict[str, str]:
         "bgp_select": _sql_bgp_select(),
         "weighted_sample": _sql_weighted_sample(),
         "negative_samples": _sql_negative_samples(),
+        "integrity_report": _sql_integrity_report(),
     }

@@ -712,3 +712,62 @@ def test_solution_modifiers_validation_and_topk_plan(spark):
     out = solution_modifiers(big, order_by=[("n", "desc")], limit=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# structural KG integrity
+# ---------------------------------------------------------------------------
+
+
+def _quad(s, p, o_kind, o_lex, o_dt=None, o_lang=None, g=None):
+    return (g, s, p, o_kind, o_lex, o_dt, o_lang)
+
+
+_QUAD_SCHEMA = ("g string, s string, p string, o_kind string, "
+                "o_lex string, o_dt string, o_lang string")
+
+
+def test_integrity_report_functional_and_dangling(spark):
+    from cow_spark.plans.validate import integrity_report
+
+    quads = spark.createDataFrame([
+        _quad("e1", "parent", "iri", "e2"),
+        _quad("e1", "parent", "iri", "e3"),        # functional violation
+        _quad("e2", "parent", "iri", "e4"),        # e4 dangling (x2)
+        _quad("e3", "parent", "iri", "e4"),
+        _quad("e4", "label", "lit", "four"),       # e4 IS a subject here
+        _quad("e1", "label", "lit", "one"),
+        _quad("e1", "label", "lit", "uno"),        # label NOT functional
+        _quad("e2", "knows", "iri", "ghost"),      # dangling
+    ], _QUAD_SCHEMA)
+    rows = {(r["check"], r["p"], r["node"]): r["n"]
+            for r in integrity_report(quads, ["parent"]).collect()}
+    assert rows[("functional-violation", "parent", "e1")] == 2
+    assert ("functional-violation", "label", "e1") not in rows
+    assert rows[("dangling-reference", "knows", "ghost")] == 1
+    # e4 appears as a subject (label quad) -> NOT dangling
+    assert ("dangling-reference", "parent", "e4") not in rows
+    assert len(rows) == 2
+
+
+def test_integrity_report_clean_graph_is_empty(spark):
+    from cow_spark.plans.validate import integrity_report
+
+    quads = spark.createDataFrame([
+        _quad("a", "p", "iri", "b"),
+        _quad("b", "p", "iri", "a"),
+    ], _QUAD_SCHEMA)
+    assert integrity_report(quads, ["p"]).count() == 0
+
+
+def test_integrity_distinct_objects_respect_full_term(spark):
+    """Same lexical form with different datatype/lang IS two distinct
+    objects (a real functional violation)."""
+    from cow_spark.plans.validate import integrity_report
+
+    quads = spark.createDataFrame([
+        _quad("s1", "fp", "lit", "x", o_dt="http://t/a"),
+        _quad("s1", "fp", "lit", "x", o_dt="http://t/b"),
+    ], _QUAD_SCHEMA)
+    rows = integrity_report(quads, ["fp"]).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2
