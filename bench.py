@@ -66,6 +66,10 @@ HEADLINE = [
     "bpe_train",
     "cms_counts",
     "rolling_anomaly",
+    "bgp_select",
+    "weighted_sample",
+    "negative_samples",
+    "integrity_report",
 ]
 
 
