@@ -88,6 +88,7 @@ def validate_typed_literals(quads: DataFrame) -> DataFrame:
 def integrity_report(
     quads: DataFrame,
     functional_preds: list[str],
+    dangling_prefix: str | None = None,
 ) -> DataFrame:
     """Structural KG QA, the complement of the lexical audit above:
 
@@ -99,13 +100,19 @@ def integrity_report(
     - ``dangling-reference``: an IRI object that never occurs as a
       subject — at KG scale these are broken joins waiting to happen
       (BGP patterns silently match nothing). Reported per (p, node=o)
-      with n = how many quads point at it.
+      with n = how many quads point at it. Pass ``dangling_prefix``
+      (typically the KG's own base IRI) to scope the check to
+      INTERNAL references: external vocabulary/entity IRIs are
+      *expected* to be undefined in-graph, and leaf IRIs a mapping
+      deliberately never describes (e.g. per-turn conversation links)
+      are findings to triage, not necessarily bugs.
 
     Returns ``(check, p, node, n)``. Scale shape: one groupBy per
     check plus one left-anti join of distinct objects vs distinct
     subjects — aggregate-sized shuffles, corpus touched twice. A
-    healthy KG returns zero rows; run it as a publish gate next to
-    :func:`validate_typed_literals`.
+    healthy KG returns zero FUNCTIONAL rows; the dangling section is
+    the triage list for the declared namespace. Run it as a publish
+    gate next to :func:`validate_typed_literals`.
     """
     func = quads.sparkSession.createDataFrame(
         [(p,) for p in functional_preds] or [("\x00none",)], "p string")
@@ -122,6 +129,9 @@ def integrity_report(
         .select(F.lit("functional-violation").alias("check"),
                 "p", "node", "n"))
     iri_objs = quads.where(F.col("o_kind") == "iri")
+    if dangling_prefix is not None:
+        iri_objs = iri_objs.where(
+            F.col("o_lex").startswith(dangling_prefix))
     subjects = quads.select(F.col("s").alias("node")).distinct()
     dangling = (
         iri_objs.groupBy("p", F.col("o_lex").alias("node"))

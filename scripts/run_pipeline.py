@@ -42,6 +42,12 @@ def main() -> None:
                     help="skip buckets recorded in the completion manifest")
     ap.add_argument("--nquads", action="store_true",
                     help="also write N-Quads text next to the quad table")
+    ap.add_argument("--qa-gate", action="store_true",
+                    help="run the publish gate (lexical + structural "
+                         "QA) and FAIL the job on violations")
+    ap.add_argument("--functional-preds", default="",
+                    help="comma-separated predicate IRIs declared "
+                         "functional for the structural gate")
     ap.add_argument("--demo", action="store_true",
                     help="run on synthetic transcripts with the full spec")
     args = ap.parse_args()
@@ -105,6 +111,31 @@ def main() -> None:
     if args.nquads or args.demo:
         write_nquads(quads, os.path.join(args.output, "nquads"),
                      graph=ctx.assertion)
+
+    if args.qa_gate or args.demo:
+        # publish gate: a KG with datatype-invalid literals, functional
+        # double-values, or dangling references must not ship silently
+        from cow_spark.plans.validate import (integrity_report,
+                                              validate_typed_literals)
+
+        lex = validate_typed_literals(quads).count()
+        preds = [p for p in args.functional_preds.split(",") if p]
+        report = integrity_report(quads, preds,
+                                  dangling_prefix=spec.base)
+        func_n = report.where(
+            F.col("check") == "functional-violation").count()
+        dang_n = report.where(
+            F.col("check") == "dangling-reference").count()
+        # dangling internal references are a TRIAGE list (a mapping may
+        # deliberately never describe some linked node); the gate fails
+        # on the two hard classes only
+        print(f"qa gate: invalid literals={lex}, functional "
+              f"violations={func_n}, dangling internal refs={dang_n}")
+        if args.qa_gate and (lex or func_n):
+            raise SystemExit(
+                f"QA gate failed: {lex} invalid literals, "
+                f"{func_n} functional violations — inspect with "
+                "validate_typed_literals / integrity_report")
 
     n = quads.count()
     print(f"quads written: {n} → {quad_path}")

@@ -771,3 +771,16 @@ def test_integrity_distinct_objects_respect_full_term(spark):
     ], _QUAD_SCHEMA)
     rows = integrity_report(quads, ["fp"]).collect()
     assert len(rows) == 1 and rows[0]["n"] == 2
+
+
+def test_integrity_dangling_prefix_scopes_to_internal(spark):
+    from cow_spark.plans.validate import integrity_report
+
+    quads = spark.createDataFrame([
+        _quad("http://kg/a", "p", "iri", "http://kg/missing"),
+        _quad("http://kg/a", "p", "iri", "http://other.example/x"),
+    ], _QUAD_SCHEMA)
+    scoped = integrity_report(quads, [], dangling_prefix="http://kg/")
+    assert [r["node"] for r in scoped.collect()] == ["http://kg/missing"]
+    # unscoped flags both
+    assert integrity_report(quads, []).count() == 2
