@@ -2899,6 +2899,28 @@ where length(coalesce(text, '')) > 0
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graphrank.py:label_propagation) over the CC entry's order-part
+    graph, 4 rounds: most-frequent neighbor label, ties to the
+    smallest — a pure function of (graph, rounds) where classic LPA is
+    run-order random, so the unrolled twin replays every label."""
+    from cow_spark.operators.graphrank import label_propagation
+
+    return label_propagation(_cc_edges(spark, sf_dir), rounds=4)
+
+
+def _sql_label_propagation() -> str:
+    from cow_spark.operators.graphrank import label_propagation_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return label_propagation_oracle_sql(edges, rounds=4)
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -5115,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "negative_samples": q_negative_samples,
         "integrity_report": q_integrity_report,
+        "label_propagation": q_label_propagation,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5308,4 +5331,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _sql_weighted_sample(),
         "negative_samples": _sql_negative_samples(),
         "integrity_report": _sql_integrity_report(),
+        "label_propagation": _sql_label_propagation(),
     }

@@ -518,3 +518,105 @@ def random_walks_oracle_sql(edges_cte: str, walk_len: int,
               for t in range(1, walk_len + 1)]
     body = "\n".join(sql).rstrip(",")
     return body + "\n" + "\nunion all\n".join(steps)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation with a
+    deterministic tie-break: every round, each node adopts the most
+    frequent label among its neighbors, ties going to the smallest
+    label; all nodes update simultaneously from the previous round's
+    labels. Classic LPA is run-order random — useless for a replayable
+    pipeline — while the synchronous min-tie variant is a pure
+    function of (graph, rounds): the same discipline as the hash-random
+    walks. Fixed ``rounds`` rather than convergence: synchronous LPA
+    can 2-cycle on bipartite-ish regions (documented behavior;
+    communities stabilize long before labels formally converge).
+
+    Per round: one join of the label vector to the bidirectional edge
+    list + two aggregates (neighbor-label counts, then per-node argmax
+    via ``min_by`` over (count desc, label asc)), lineage cut per
+    round. Returns ``(node, label)`` with labels drawn from node ids
+    (a community is named by one of its members).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    bidir = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+             .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+             ).persist()
+    labels = bidir.select(F.col("u").alias("node")).distinct() \
+        .select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        counts = (
+            bidir.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "label").agg(F.count("*").alias("c")))
+        labels = (
+            counts.groupBy("u")
+            .agg(F.min(F.struct(
+                (-F.col("c")).alias("_nc"), F.col("label")))
+                .alias("_best"))
+            .select(F.col("u").alias("node"),
+                    F.col("_best.label").alias("label")))
+        labels = round_checkpoint(labels, checkpoint_dir)
+    bidir.unpersist()
+    return labels
+
+
+def label_propagation_py(edges, rounds):
+    """Pure-Python twin of :func:`label_propagation`."""
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for n in nbrs:
+                counts[labels[n]] = counts.get(labels[n], 0) + 1
+            nxt[v] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    return labels
+
+
+def label_propagation_oracle_sql(edges_cte: str, rounds: int) -> str:
+    """DuckDB twin of :func:`label_propagation`: one MATERIALIZED CTE
+    per synchronous round, argmax via row_number over (count desc,
+    label asc) — the identical tie-break."""
+    sql = [
+        f"with base as ({edges_cte}),",
+        "e as materialized (select distinct least(a, b) as a, "
+        "greatest(a, b) as b from base "
+        "where a is not null and b is not null and a <> b),",
+        "bidir as materialized (select a as u, b as v from e "
+        "union all select b as u, a as v from e),",
+        "l0 as materialized (select distinct u as node, u as label "
+        "from bidir),",
+    ]
+    for i in range(rounds):
+        sql.append(
+            f"l{i + 1} as materialized (select u as node, label from ("
+            "select b.u, l.label, "
+            "row_number() over (partition by b.u "
+            "order by count(*) desc, l.label) as rn "
+            f"from bidir b join l{i} l on l.node = b.v "
+            "group by b.u, l.label) where rn = 1),")
+    body = "\n".join(sql).rstrip()
+    assert body.endswith("),")
+    body = body[:-2] + ")"
+    return body + f"\nselect node, label from l{rounds}"

@@ -1004,3 +1004,44 @@ def test_weighted_sample_rejects_bad_weights_and_plans_topk(spark):
     out = weighted_sample(ok, 10, "w")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+# ---------------------------------------------------------------------------
+# deterministic label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_matches_python_twin(spark):
+    from cow_spark.operators.graphrank import (label_propagation,
+                                               label_propagation_py)
+
+    edges = [(f"n{(i * 5) % 19}", f"n{(i * 7 + 3) % 19}")
+             for i in range(45)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, rounds=4).collect()}
+    assert got == label_propagation_py(edges, 4)
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    from cow_spark.operators.graphrank import label_propagation
+
+    c1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    c2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    bridge = [("a0", "b0")]
+    df = spark.createDataFrame(c1 + c2 + bridge, "src string, dst string")
+    labels = {r["node"]: r["label"]
+              for r in label_propagation(df, rounds=5).collect()}
+    la = {labels[f"a{i}"] for i in range(4)}
+    lb = {labels[f"b{i}"] for i in range(4)}
+    assert len(la) == 1 and len(lb) == 1 and la != lb
+
+
+def test_label_propagation_validation(spark):
+    import pytest as _pt
+
+    from cow_spark.operators.graphrank import label_propagation
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError):
+        label_propagation(df, rounds=0)
