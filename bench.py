@@ -70,6 +70,7 @@ HEADLINE = [
     "weighted_sample",
     "negative_samples",
     "integrity_report",
+    "label_propagation",
 ]
 
 
