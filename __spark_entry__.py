@@ -5138,6 +5138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "integrity_report": q_integrity_report,
         "label_propagation": q_label_propagation,
+        # r2's one hash-red (fixed by the UTC pin in _load) and the two
+        # r3 entries the driver has never sampled — all three must sit
+        # inside the first-50 window
+        "sessionize": q_sessionize,
+        "multimodal_stdlib": q_multimodal_stdlib,
+        "pq_topk": q_pq_topk,
         "pii_scan": q_pii_scan,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
@@ -5162,11 +5168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "cross_doc_ngrams": q_cross_doc_ngrams,
         "chunk_documents": q_chunk_documents,
-        "surprisal_buckets": q_surprisal_buckets,
         "incremental_dedup": q_incremental_dedup,
         "sft_pairs": q_sft_pairs,
         "tool_transitions": q_tool_transitions,
-        "event_transitions": q_event_transitions,
         "conversation_windows": q_conversation_windows,
         "domain_stats": q_domain_stats,
         "bgp_filter": q_bgp_filter,
@@ -5174,11 +5178,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "corpus_profile": q_corpus_profile,
         "line_dedup": q_line_dedup,
-        "multimodal_stdlib": q_multimodal_stdlib,
-        "pq_topk": q_pq_topk,
-        "sessionize": q_sessionize,
         "kg_default_triples": q_kg_default,
         "kg_full_triples": q_kg_full,
+        # driver-window overflow: their in-window siblings
+        # (tool_transitions, lm_surprisal/surprisal_windows)
+        # carry the family evidence; these two keep local-
+        # replay evidence only
+        "event_transitions": q_event_transitions,
+        "surprisal_buckets": q_surprisal_buckets,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "events_windowed": q_events_windowed,
