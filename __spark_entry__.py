@@ -3826,6 +3826,35 @@ def _sql_bpe_train() -> str:
     return bpe_train_oracle_sql(8)
 
 
+# A fixed merge table (independent of the data) keeps the segmentation
+# entry deterministic; the pairs target the corpus's common bigrams so
+# the compression is visible (n_subwords < sum of word lengths).
+_SEG_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "r"),
+    ("er", "</w>"), ("o", "r"), ("s", "t"), ("a", "t"),
+    ("r", "o"), ("w", "i"), ("i", "n"), ("in", "</w>"),
+]
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table application (subword.py:bpe_segment): per-doc
+    (n_tokens, n_subwords) under a fixed 12-merge table — the
+    compression diagnostic that validates a tokenizer artifact. Each
+    merge is one separator-framed replace stacked JVM-side; the
+    DuckDB twin nests the identical replace chain. The uncapped
+    production path (`bpe_segment_arrow`, 30k-merge tables) is pinned
+    equal to this Column path by tests/test_subword.py."""
+    from cow_spark.operators.subword import bpe_segment
+
+    return bpe_segment(_load(spark, sf_dir, "documents"), _SEG_MERGES)
+
+
+def _sql_bpe_segment() -> str:
+    from cow_spark.operators.subword import bpe_segment_oracle_sql
+
+    return bpe_segment_oracle_sql(_SEG_MERGES)
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus (graphrank.py:random_walks) over
     the CC entry's order-part graph: 2 walks x 6 steps per node, every
@@ -5233,6 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
+        "bpe_segment": q_bpe_segment,
     }
 
 
@@ -5339,4 +5369,5 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": _sql_negative_samples(),
         "integrity_report": _sql_integrity_report(),
         "label_propagation": _sql_label_propagation(),
+        "bpe_segment": _sql_bpe_segment(),
     }

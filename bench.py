@@ -71,6 +71,7 @@ HEADLINE = [
     "negative_samples",
     "integrity_report",
     "label_propagation",
+    "bpe_segment",
 ]
 
 

@@ -159,6 +159,123 @@ def bpe_segment(
                 F.coalesce("n_subwords", F.lit(0)).alias("n_subwords")))
 
 
+def bpe_segment_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production-scale twin of :func:`bpe_segment`: same
+    ``(id_col, n_tokens, n_subwords)`` contract and the IDENTICAL
+    sequential-replace semantics (each merge applied to completion,
+    left-to-right non-overlapping, in table order), but the merge loop
+    runs inside an Arrow ``mapInPandas`` kernel instead of a stacked
+    Column expression — no 256-merge cap, so a real 30k-merge
+    tokenizer table fits. Map-only: zero shuffle, the merge table
+    rides the closure (a 30k-pair list is ~1 MB — broadcast-by-
+    pickle is fine at any executor count).
+
+    Per batch the distinct-word vocabulary is segmented once and
+    reused (corpus tokens >> vocabulary); a symbol-set guard skips
+    merges whose parts cannot occur in the word, so the common case
+    is ~|merges| set probes per distinct word, not |merges| scans.
+    ``tests/test_subword.py`` pins equality with the Column path.
+    """
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, True),
+        StructField("n_tokens", LongType(), False),
+        StructField("n_subwords", LongType(), False),
+    ])
+    # Explicit class, not \s: Python's \s is unicode-aware where
+    # Java's default is not — keep the split identical to Spark's.
+    ws = re.compile(r"[ \t\n\r\f\x0B]+")
+    merge_list = list(merges)
+
+    def _segment_len(word: str, cache: dict[str, int]) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word.replace(SEP, "")) + [END_WORD]
+        present = set(syms)
+        for a, b in merge_list:
+            if a not in present or b not in present:
+                continue
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if len(out) < n:
+                syms = out
+                present = set(syms)
+        cache[word] = len(syms)
+        return len(syms)
+
+    def _run(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, ntok, nsub = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws.split((text or "").lower().strip())
+                         if w]
+                ids.append(rid)
+                ntok.append(len(words))
+                nsub.append(sum(_segment_len(w, cache) for w in words))
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": ntok, "n_subwords": nsub})
+
+    return docs.select(id_col, text_col).mapInPandas(_run, out_schema)
+
+
+def bpe_segment_oracle_sql(
+    merges: list[tuple[str, str]],
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bpe_segment`: the same separator-framed
+    replace chain as one nested expression per word, aggregated back
+    per document (left join keeps zero-token documents at 0/0)."""
+    s = ("chr(31) || array_to_string(regexp_extract_all("
+         "replace(w, chr(31), ''), '.'), chr(31))"
+         " || chr(31) || '</w>' || chr(31)")
+    for a, b in merges:
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        s = (f"replace({s}, chr(31) || '{qa}' || chr(31) || '{qb}'"
+             f" || chr(31), chr(31) || '{qa}{qb}' || chr(31))")
+    return f"""
+with per_word as (
+  select doc_id, unnest(list_filter(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+    x -> length(x) > 0)) as w
+  from {docs_table}
+),
+seg as (
+  select doc_id,
+    len(list_filter(string_split({s}, chr(31)), x -> x <> '')) as ns
+  from per_word
+),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_tokens,
+         cast(sum(ns) as bigint) as n_subwords
+  from seg group by doc_id
+)
+select d.doc_id,
+       coalesce(a.n_tokens, cast(0 as bigint)) as n_tokens,
+       coalesce(a.n_subwords, cast(0 as bigint)) as n_subwords
+from {docs_table} d left join agg a using (doc_id)
+"""
+
+
 def bpe_train_py(word_counts: dict[str, int], n_merges: int):
     """Pure-Python twin of :func:`bpe_train` over a word->count dict."""
     words = {SEP + SEP.join(list(w) + [END_WORD]) + SEP: c

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from cow_spark.operators.subword import (
     bpe_segment,
+    bpe_segment_arrow,
     bpe_train,
     bpe_train_py,
     word_symbol_table,
@@ -88,6 +89,27 @@ def test_bpe_segment_empty_doc_and_cap(spark):
     assert out[2]["n_subwords"] == 3
     with pytest.raises(ValueError):
         bpe_segment(docs, [("a", "b")] * 257)
+
+
+def test_bpe_segment_arrow_matches_column_path(spark):
+    docs = _docs(spark, _CORPUS + ["", "a\x1fb low"])
+    merges = [(r["a"], r["b"]) for r in
+              bpe_train(docs, 8).orderBy("merge_idx").collect()]
+    col = sorted(map(tuple, bpe_segment(docs, merges).collect()))
+    arrow = sorted(map(tuple, bpe_segment_arrow(docs, merges).collect()))
+    assert arrow == col
+
+
+def test_bpe_segment_arrow_uncapped(spark):
+    # >256 merges is the Arrow path's reason to exist; a repeated merge
+    # is idempotent after its first application, so 300 copies of
+    # ('l','o') must equal the Column path's single application.
+    docs = _docs(spark, _CORPUS)
+    arrow = sorted(map(tuple,
+                       bpe_segment_arrow(docs, [("l", "o")] * 300)
+                       .collect()))
+    col = sorted(map(tuple, bpe_segment(docs, [("l", "o")]).collect()))
+    assert arrow == col
 
 
 def test_bpe_plan_stays_jvm_side(spark):
