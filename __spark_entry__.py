@@ -5142,6 +5142,91 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+_HIST_PERCENTS = (50, 90, 99)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (sketch.py:hist_build/hist_quantiles):
+    per-event-type p50/p90/p99 of `value` from the mergeable
+    (group, bucket, c) sketch — HDR-style integer bucketing (top k+1
+    significant bits, <= 2^-k relative error), shuffle bounded by
+    groups x buckets regardless of row count, merge = cell-wise SUM.
+    Spark's approx_percentile answers the same question but its KLL
+    state is JVM-private; this sketch is a plain DataFrame any engine
+    replays bit-for-bit. Estimates stay in the floor-scaled integer
+    domain (x100) so engines can't diverge on float division."""
+    from cow_spark.functions.sketch import hist_build, hist_quantiles
+
+    ev = _load(spark, sf_dir, "events")
+    sk = hist_build(ev, "value", group_cols=("event_type",))
+    return hist_quantiles(sk, percents=_HIST_PERCENTS,
+                          group_cols=("event_type",))
+
+
+# k=5 (lim=32), scale=100 — mirrors sketch.py's defaults; bin() has no
+# leading zeros in either engine, so length(bin(au))-1 is the bit length
+# in both. greatest(...,0) guards the shift on the small-bucket path
+# (DuckDB vectorizes both CASE branches).
+_SQL_QUANTILE_SKETCH = """
+with base as (
+  select event_type, cast(floor(value * 100) as bigint) as vi
+  from events where value is not null
+),
+be as (
+  select event_type, vi, abs(vi) as au,
+         cast(length(bin(abs(vi))) - 1 as bigint) as e
+  from base
+),
+bk as (
+  select event_type,
+         case when vi >= 0 then pb else -pb - 1 end as bucket
+  from (
+    select event_type, vi,
+           case when au < 32 then au
+                else (e - 4) * 32
+                     + (au >> cast(greatest(e - 5, 0) as int)) - 32
+           end as pb
+    from be) t
+),
+hist as (
+  select event_type, bucket, cast(count(*) as bigint) as c
+  from bk group by 1, 2
+),
+bounds as (
+  select event_type, bucket, c,
+         case when bucket >= 0 then ph else -pl end as hi_fp
+  from (
+    select event_type, bucket, c, pb,
+           case when pb < 32 then pb
+                else ((32 + (pb % 32) + 1) << sh) - 1 end as ph,
+           case when pb < 32 then pb
+                else ((32 + (pb % 32)) << sh) end as pl
+    from (
+      select event_type, bucket, c,
+             case when bucket >= 0 then bucket
+                  else -bucket - 1 end as pb,
+             cast(greatest((case when bucket >= 0 then bucket
+                   else -bucket - 1 end) // 32 - 1, 0) as int) as sh
+      from hist) a) b
+),
+q as (
+  select event_type, hi_fp, c,
+         sum(c) over (partition by event_type order by bucket) as cum,
+         sum(c) over (partition by event_type) as n
+  from bounds
+)
+select event_type,
+       cast(min(case when cum * 100 >= n * 50 then hi_fp end)
+            as bigint) as p50_fp,
+       cast(min(case when cum * 100 >= n * 90 then hi_fp end)
+            as bigint) as p90_fp,
+       cast(min(case when cum * 100 >= n * 99 then hi_fp end)
+            as bigint) as p99_fp
+from q
+group by event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5263,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
         "bpe_segment": q_bpe_segment,
+        "quantile_sketch": q_quantile_sketch,
     }
 
 
@@ -5370,4 +5456,5 @@ def oracle_sql() -> dict[str, str]:
         "integrity_report": _sql_integrity_report(),
         "label_propagation": _sql_label_propagation(),
         "bpe_segment": _sql_bpe_segment(),
+        "quantile_sketch": _SQL_QUANTILE_SKETCH,
     }

@@ -72,6 +72,7 @@ HEADLINE = [
     "integrity_report",
     "label_propagation",
     "bpe_segment",
+    "quantile_sketch",
 ]
 
 

@@ -447,3 +447,167 @@ def cms_py(pairs, depth: int = 4, width: int = 2048,
             cell = (i, h % width)
             cells[cell] = cells.get(cell, 0) + w
     return cells
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the order-statistics member of the sketch
+# family (HLL = cardinality, Bloom = membership, CMS = frequency, this =
+# quantiles). Spark's approx_percentile answers the same question but its
+# KLL state is JVM-private; this sketch is a plain (group, bucket, c)
+# DataFrame any engine reproduces bit-for-bit, merges by cell-wise SUM
+# (linear, like CMS), and replays in DuckDB.
+#
+# Bucketing is HDR-histogram style, pure integer: values are floor-scaled
+# to ints, |v| < 2^k maps to itself (exact), larger values keep the top
+# k+1 significant bits — relative error <= 2^-k on every estimate, with
+# the bucket id a monotone function of the value so quantiles are order-
+# exact over buckets. Negatives mirror to bucket(-|v|) = -bucket(|v|)-1.
+# Bit length comes from length(bin(x)) — identical (no leading zeros) in
+# Spark and DuckDB. Domain bound: |value|*scale must fit a signed 64-bit
+# int (the floor-scale convention used repo-wide).
+
+HIST_K = 5
+
+
+def _hist_stage(vi, k: int):
+    """Column stages (au, e, bucket) for a scaled long value ``vi``."""
+    lim = 1 << k
+    au = F.abs(vi)
+    e = F.length(F.bin(au)) - F.lit(1)
+    return au, e, lim
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    scale: int = 100,
+    k: int = HIST_K,
+) -> DataFrame:
+    """``(group..., bucket, c)`` — the mergeable quantile sketch. One
+    partial-aggregated groupBy: the shuffle carries at most
+    ``groups x buckets`` partials (buckets <= 2^(k+1) per power of two
+    of range — a few hundred total), never raw values. NULL values are
+    skipped, matching ``percentile``'s semantics."""
+    lim = 1 << k
+    vi = F.floor(F.col(value_col) * scale).cast("long")
+    staged = (df.where(F.col(value_col).isNotNull())
+              .select(*group_cols, vi.alias("vi"))
+              .select("*", F.abs(F.col("vi")).alias("au"))
+              .select("*", (F.length(F.bin("au")) - 1).alias("e")))
+    pb = F.when(F.col("au") < lim, F.col("au")).otherwise(
+        (F.col("e") - k + 1) * lim
+        + F.expr(f"shiftright(au, cast(e - {k} as int))") - lim)
+    bucket = F.when(F.col("vi") >= 0, pb).otherwise(-pb - 1)
+    return (staged.select(*group_cols, bucket.alias("bucket"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count("*").alias("c")))
+
+
+def hist_merge(hist: DataFrame,
+               group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union shard sketches by cell-wise SUM (linear — double-adding a
+    shard double-counts, exactly like :func:`cms_build` shards)."""
+    return (hist.groupBy(*group_cols, "bucket")
+            .agg(F.sum("c").alias("c")))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    percents: tuple[int, ...] = (50, 90, 99),
+    group_cols: tuple[str, ...] = (),
+    k: int = HIST_K,
+) -> DataFrame:
+    """``(group..., p<P>_fp ...)`` — per-group quantile estimates in the
+    SCALED integer domain (divide by the build scale outside if a float
+    is wanted; kept integer here so engines can't diverge). Estimate =
+    the bucket's scaled-domain upper bound at the first bucket whose
+    cumulative count reaches ceil(p/100 * n) — the classic inverted-CDF
+    definition over buckets, conservative by <= 2^-k relative error.
+    One sort of the bucket-sized table; no touch of the raw data."""
+    from pyspark.sql.window import Window
+
+    lim = 1 << k
+    # stage pb (positive-domain bucket) and its (shift, m) decomposition
+    # as real columns so the shiftleft exprs read them by name
+    pre = (hist.select(
+        *group_cols, "bucket", "c",
+        F.when(F.col("bucket") >= 0, F.col("bucket"))
+         .otherwise(-F.col("bucket") - 1).alias("pb"))
+        .select("*",
+                (F.floor(F.col("pb") / lim).cast("long") - 1).alias("sh"),
+                (F.col("pb") % lim).alias("m")))
+    # large-path bounds: hi = ((lim + m + 1) << (e-k)) - 1,
+    #                    lo = (lim + m) << (e-k); sh = e - k
+    pos_hi = F.when(F.col("pb") < lim, F.col("pb")).otherwise(
+        F.expr(f"shiftleft(cast({lim} + m + 1 as bigint), "
+               f"cast(sh as int))") - 1)
+    pos_lo = F.when(F.col("pb") < lim, F.col("pb")).otherwise(
+        F.expr(f"shiftleft(cast({lim} + m as bigint), cast(sh as int))"))
+    hi_fp = F.when(F.col("bucket") >= 0, pos_hi).otherwise(-pos_lo)
+
+    w_ord = (Window.partitionBy(*[F.col(c) for c in group_cols])
+             .orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*[F.col(c) for c in group_cols])
+    staged = (pre.select(*group_cols, "bucket", "c",
+                         hi_fp.alias("hi_fp"))
+              .select("*", F.sum("c").over(w_ord).alias("cum"),
+                      F.sum("c").over(w_all).alias("n")))
+    aggs = [F.min(F.when(F.col("cum") * 100 >= F.col("n") * p,
+                         F.col("hi_fp"))).alias(f"p{p}_fp")
+            for p in percents]
+    return staged.groupBy(*group_cols).agg(*aggs)
+
+
+def hist_py(values, scale: int = 100, k: int = HIST_K) -> dict[int, int]:
+    """Pure-Python twin of :func:`hist_build` (single group)."""
+    import math
+
+    lim = 1 << k
+    out: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        vi = math.floor(v * scale)
+        au = abs(vi)
+        if au < lim:
+            pb = au
+        else:
+            e = au.bit_length() - 1
+            pb = (e - k + 1) * lim + (au >> (e - k)) - lim
+        b = pb if vi >= 0 else -pb - 1
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def hist_quantiles_py(bucket_counts: dict[int, int],
+                      percents=(50, 90, 99), k: int = HIST_K):
+    """Pure-Python twin of :func:`hist_quantiles` (single group)."""
+    lim = 1 << k
+
+    def hi(b: int) -> int:
+        pb = b if b >= 0 else -b - 1
+        if pb < lim:
+            ph, pl = pb, pb
+        else:
+            t = pb // lim
+            e = t + k - 1
+            m = pb % lim
+            ph = ((lim + m + 1) << (e - k)) - 1
+            pl = (lim + m) << (e - k)
+        return ph if b >= 0 else -pl
+
+    items = sorted(bucket_counts.items())
+    n = sum(c for _, c in items)
+    res = {}
+    for p in percents:
+        cum = 0
+        val = None
+        for b, c in items:
+            cum += c
+            if cum * 100 >= n * p:
+                val = hi(b)
+                break
+        res[f"p{p}_fp"] = val
+    return res

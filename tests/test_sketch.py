@@ -241,3 +241,76 @@ def test_hll_registers_as_streaming_aggregation(spark, tmp_path):
     want = {(r["g"], r["bucket"]): r["r"]
             for r in hll_registers(batch, "k", ("g",)).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hist_build_matches_python_twin(spark):
+    from cow_spark.functions.sketch import hist_build, hist_py
+
+    vals = ([0.0, 0.01, -0.01, 0.31, -0.32, 1.0, -1.0, 123.45, -123.45,
+             9999.99, -9999.99, None]
+            + [i * 0.37 for i in range(400)]
+            + [-i * 1.13 for i in range(200)])
+    df = spark.createDataFrame([Row(v=v) for v in vals],
+                               schema="v double")
+    got = {r["bucket"]: r["c"] for r in hist_build(df, "v").collect()}
+    assert got == hist_py(vals)
+
+
+def test_hist_quantiles_match_twin_and_error_bound(spark):
+    import math
+
+    from cow_spark.functions.sketch import (
+        hist_build, hist_py, hist_quantiles, hist_quantiles_py)
+
+    vals = [((i * 2654435761) % 100000) / 7.0 - 3000.0 for i in range(5000)]
+    df = spark.createDataFrame([Row(v=v) for v in vals], schema="v double")
+    sk = hist_build(df, "v")
+    got = hist_quantiles(sk).collect()[0].asDict()
+    want = hist_quantiles_py(hist_py(vals))
+    assert got == want
+    # estimate within 2^-k relative error of the true scaled quantile
+    scaled = sorted(math.floor(v * 100) for v in vals)
+    for p in (50, 90, 99):
+        true = scaled[math.ceil(p / 100 * len(scaled)) - 1]
+        est = got[f"p{p}_fp"]
+        assert est >= true  # upper-bound convention
+        assert abs(est - true) <= max(abs(true) * 2 ** -5, 1)
+
+
+def test_hist_merge_is_buildwise_sum(spark):
+    from cow_spark.functions.sketch import hist_build, hist_merge
+
+    a = spark.range(0, 3000).select(
+        ((F.col("id") % 211) * 0.93 - 40).alias("v"),
+        (F.col("id") % 2).alias("g"))
+    b_ = spark.range(3000, 5000).select(
+        ((F.col("id") % 97) * 1.7 - 11).alias("v"),
+        (F.col("id") % 2).alias("g"))
+    whole = {(r["g"], r["bucket"]): r["c"] for r in
+             hist_build(a.union(b_), "v", ("g",)).collect()}
+    merged = {(r["g"], r["bucket"]): r["c"] for r in hist_merge(
+        hist_build(a, "v", ("g",)).union(hist_build(b_, "v", ("g",))),
+        ("g",)).collect()}
+    assert merged == whole
+
+
+def test_hist_sketch_bounded_and_jvm_only(spark):
+    from cow_spark.functions.sketch import hist_build, hist_quantiles
+
+    df = spark.range(200000).select(
+        (F.col("id") * 0.011).alias("v"))
+    sk = hist_build(df, "v")
+    n_buckets = sk.count()
+    # 200k values over [0, 2200): buckets are log-bounded, not row-bound
+    # (exact below 2^5, then 32 per power of two up to 2^18 -> <= 480)
+    assert n_buckets <= 480
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    qplan = (hist_quantiles(sk)._jdf.queryExecution()
+             .executedPlan().toString())
+    assert "BatchEvalPython" not in qplan and "ArrowEvalPython" not in qplan
