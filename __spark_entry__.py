@@ -1280,27 +1280,11 @@ where o_lex is null
 
 
 def _sql_log2fp(e: str) -> str:
-    """DuckDB twin of functions/intmath.py:with_log2_fp (frac_bits=10):
-    bit-length integer part + 10 Q30 mantissa-squaring steps via
-    list_reduce. NB the struct_pack field ORDER: DuckDB evaluates the
-    lambda's fields sequentially and a later field sees the earlier
-    field's reassignment of `acc.m` — `f` must come before `m`."""
-    pow2 = "[" + ", ".join(str(2 ** i) for i in range(63)) + "]"
-    b = f"(length(bin(cast({e} as bigint))) - 1)"
-    m0 = (f"(case when {b} <= 30 "
-          f"then cast({e} as bigint) * ({pow2})[31 - {b}] "
-          f"else cast({e} as bigint) // ({pow2})[{b} - 29] end)")
-    red = (
-        "list_reduce(list_transform(range(11), "
-        f"i -> struct_pack(m := {m0}, f := cast(0 as bigint))), "
-        "(acc, x) -> struct_pack("
-        "f := acc.f * 2 + case when ((acc.m * acc.m) // 1073741824) "
-        ">= 2147483648 then 1 else 0 end, "
-        "m := case when ((acc.m * acc.m) // 1073741824) >= 2147483648 "
-        "then ((acc.m * acc.m) // 1073741824) // 2 "
-        "else ((acc.m * acc.m) // 1073741824) end))"
-    )
-    return f"({b} * 1024 + ({red}).f)"
+    """DuckDB twin of functions/intmath.py:with_log2_fp (frac_bits=10) —
+    rendering shared with the library's oracle helpers."""
+    from cow_spark.functions.intmath import log2_fp_sql
+
+    return log2_fp_sql(e)
 
 
 _BM25_QUERY = ["dup", "join", "window"]
@@ -5142,6 +5126,29 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction candidate mining (graphrank.py:link_prediction):
+    common-neighbor + integer Adamic-Adar scores for every non-adjacent
+    pair of the order-part graph — the positives-to-rank generator that
+    pairs with negative_samples for KG-completion training. One wedge
+    self-join bounded by the pivot-degree cap, AA weights from the
+    engine-exact log2 kernel, anti-join against the edge set."""
+    from cow_spark.operators.graphrank import link_prediction
+
+    return link_prediction(_cc_edges(spark, sf_dir))
+
+
+def _sql_link_prediction() -> str:
+    from cow_spark.operators.graphrank import link_prediction_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return link_prediction_oracle_sql(edges)
+
+
 _HIST_PERCENTS = (50, 90, 99)
 
 
@@ -5349,6 +5356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "bpe_segment": q_bpe_segment,
         "quantile_sketch": q_quantile_sketch,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -5457,4 +5465,5 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _sql_label_propagation(),
         "bpe_segment": _sql_bpe_segment(),
         "quantile_sketch": _SQL_QUANTILE_SKETCH,
+        "link_prediction": _sql_link_prediction(),
     }

@@ -73,6 +73,7 @@ HEADLINE = [
     "label_propagation",
     "bpe_segment",
     "quantile_sketch",
+    "link_prediction",
 ]
 
 

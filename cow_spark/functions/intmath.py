@@ -73,3 +73,27 @@ def log2_fp_py(v: int, frac_bits: int = 10) -> int:
             frac |= 1
             m >>= 1
     return (b << frac_bits) + frac
+
+
+def log2_fp_sql(e: str) -> str:
+    """DuckDB rendering of :func:`with_log2_fp` (frac_bits=10): bit-length
+    integer part + 10 Q30 mantissa-squaring steps via list_reduce. NB the
+    struct_pack field ORDER: DuckDB evaluates the lambda's fields
+    sequentially and a later field sees the earlier field's reassignment
+    of ``acc.m`` — ``f`` must come before ``m``."""
+    pow2 = "[" + ", ".join(str(2 ** i) for i in range(63)) + "]"
+    b = f"(length(bin(cast({e} as bigint))) - 1)"
+    m0 = (f"(case when {b} <= 30 "
+          f"then cast({e} as bigint) * ({pow2})[31 - {b}] "
+          f"else cast({e} as bigint) // ({pow2})[{b} - 29] end)")
+    red = (
+        "list_reduce(list_transform(range(11), "
+        f"i -> struct_pack(m := {m0}, f := cast(0 as bigint))), "
+        "(acc, x) -> struct_pack("
+        "f := acc.f * 2 + case when ((acc.m * acc.m) // 1073741824) "
+        ">= 2147483648 then 1 else 0 end, "
+        "m := case when ((acc.m * acc.m) // 1073741824) >= 2147483648 "
+        "then ((acc.m * acc.m) // 1073741824) // 2 "
+        "else ((acc.m * acc.m) // 1073741824) end))"
+    )
+    return f"({b} * 1024 + ({red}).f)"

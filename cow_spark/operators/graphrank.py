@@ -620,3 +620,150 @@ def label_propagation_oracle_sql(edges_cte: str, rounds: int) -> str:
     assert body.endswith("),")
     body = body[:-2] + ")"
     return body + f"\nselect node, label from l{rounds}"
+
+
+# AA contributions in units of 1e-9: aa_w = floor(1e9 / log2_fp(d)).
+# log2 vs the textbook ln is a constant factor (ln 2) shared by every
+# candidate, so rankings are unchanged — and the integer pipeline stays
+# engine-exact where libm log() flips floor boundaries.
+AA_SCALE = 1_000_000_000
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_cn: int = 1,
+    max_pivot_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link-prediction candidate mining: for every NON-adjacent node
+    pair sharing at least ``min_cn`` neighbors, the two classic
+    topological scores — common-neighbor count and Adamic-Adar
+    (``sum over shared neighbors w of 1/log degree(w)``) — the
+    candidate generator for KG-completion / KG-embedding training that
+    pairs with :func:`~cow_spark.operators.kgtrain.negative_samples`
+    (positives-to-rank vs corrupted negatives). Returns canonical rows
+    ``(x, y, cn, aa_fp)`` with ``x < y`` and ``aa_fp`` in integer 1e-9
+    units (engine-exact: the fixed-point log2 kernel, no libm).
+
+    Scale shape: wedge generation is one self-join of the adjacency
+    list on the pivot — Σ d(w)² pair candidates, the same blow-up the
+    triangle census bounds by degree-ordering. Ranking scores need both
+    endpoints' full neighborhoods, so the orientation trick doesn't
+    apply; instead pivots with degree > ``max_pivot_degree`` are
+    DROPPED (a 10k-degree hub contributes 10⁸ wedges and an AA weight
+    of < 1/13 bit — the signal Adamic-Adar is designed to discount, so
+    the cap loses candidates only where every shared neighbor is a
+    mega-hub). The cap is part of the operator's definition —
+    reproducible, and replayed by the oracle. Pivot degree < 2 never
+    forms a wedge and is filtered before the log kernel (log2(1) = 0
+    would divide by zero). The canonical edge table is persisted (two
+    consumers: adjacency + the non-adjacency anti-join; AQE breaks
+    exchange reuse) — the handle rides the result for
+    :func:`~cow_spark.operators.dedup.release`.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    if min_cn < 1:
+        raise ValueError(f"min_cn must be >= 1, got {min_cn}")
+    if max_pivot_degree < 2:
+        raise ValueError(
+            f"max_pivot_degree must be >= 2, got {max_pivot_degree}")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates()
+         .persist())
+    # adjacency in ONE pass (explode, not union — union re-executes the
+    # upstream per branch)
+    adj = e.select(F.explode(F.array(
+        F.struct(F.col("a").alias("w"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("w"), F.col("a").alias("v")),
+    )).alias("p")).select("p.w", "p.v")
+    deg = adj.groupBy("w").agg(F.count("*").alias("d"))
+    wdeg = with_log2_fp(
+        deg.where((F.col("d") >= 2) & (F.col("d") <= max_pivot_degree)),
+        "d", "_l2"
+    ).select("w", F.expr(f"{AA_SCALE} div _l2").alias("aa_w"))
+    # wedge pairs: distinct-neighbor pairs of each retained pivot,
+    # pivot weight attached before the self-join so it rides the rows
+    adjw = adj.join(wdeg, "w")
+    lhs = adjw.select("w", F.col("v").alias("x"), "aa_w")
+    rhs = adjw.select(F.col("w").alias("w2"), F.col("v").alias("y"))
+    scored = (
+        lhs.join(rhs, F.col("w") == F.col("w2"))
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cn"), F.sum("aa_w").alias("aa_fp")))
+    out = (scored.join(e, (scored["x"] == e["a"]) & (scored["y"] == e["b"]),
+                       "left_anti")
+           .where(F.col("cn") >= min_cn))
+    out._cow_persisted = (e,)  # type: ignore[attr-defined]
+    return out
+
+
+def link_prediction_py(edges, min_cn: int = 1,
+                       max_pivot_degree: int = 10_000):
+    """Pure-Python twin of :func:`link_prediction`."""
+    from ..functions.intmath import log2_fp_py
+
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores: dict = {}
+    for w, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2 or d > max_pivot_degree:
+            continue
+        aa_w = AA_SCALE // log2_fp_py(d)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                cn, aa = scores.get(key, (0, 0))
+                scores[key] = (cn + 1, aa + aa_w)
+    return {k: v for k, v in scores.items()
+            if k not in e and v[0] >= min_cn}
+
+
+def link_prediction_oracle_sql(edges_cte: str, min_cn: int = 1,
+                               max_pivot_degree: int = 10_000) -> str:
+    """DuckDB twin of :func:`link_prediction` (same cap, same integer
+    Adamic-Adar units via the list_reduce log2 kernel)."""
+    from ..functions.intmath import log2_fp_sql
+
+    l2 = log2_fp_sql("d")
+    return f"""
+with e0 as ({edges_cte}),
+e as (
+  select distinct least(a, b) as a, greatest(a, b) as b
+  from e0 where a is not null and b is not null and a <> b
+),
+adj as (
+  select a as w, b as v from e union all select b as w, a as v from e
+),
+deg as (select w, count(*) as d from adj group by w),
+wdeg as (
+  select w, {AA_SCALE} // ({l2}) as aa_w
+  from deg where d >= 2 and d <= {max_pivot_degree}
+),
+scored as (
+  select l.v as x, r.v as y,
+         cast(count(*) as bigint) as cn,
+         cast(sum(wd.aa_w) as bigint) as aa_fp
+  from adj l
+  join adj r on l.w = r.w and l.v < r.v
+  join wdeg wd on wd.w = l.w
+  group by 1, 2
+)
+select x, y, cn, aa_fp
+from scored s
+where cn >= {min_cn}
+  and not exists (select 1 from e where e.a = s.x and e.b = s.y)
+"""

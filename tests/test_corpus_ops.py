@@ -1045,3 +1045,70 @@ def test_label_propagation_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pt.raises(ValueError):
         label_propagation(df, rounds=0)
+
+
+def test_link_prediction_matches_python_twin(spark):
+    from cow_spark.operators import dedup
+    from cow_spark.operators.graphrank import (
+        link_prediction, link_prediction_py)
+
+    edges = ([(f"n{(i * 5) % 17}", f"n{(i * 7 + 3) % 17}")
+              for i in range(40)] + [(None, "x"), ("y", "y"), ("n1", "n0")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = link_prediction(df)
+    got = {(r["x"], r["y"]): (r["cn"], r["aa_fp"]) for r in out.collect()}
+    assert got == link_prediction_py(edges)
+    assert dedup.release(out) == 1  # edge table handle rides the result
+
+
+def test_link_prediction_excludes_adjacent_and_orders_hubs_down(spark):
+    """AA must rank the low-degree shared neighbor above the hub: x-y
+    share both a degree-2 bridge and a high-degree hub; a pair sharing
+    ONLY the hub scores lower than a pair sharing only a bridge."""
+    from cow_spark.operators.graphrank import link_prediction_py
+
+    hub = [("hub", v) for v in ("x", "y", "p", "q")] + \
+        [("hub", f"f{i}") for i in range(20)]
+    bridge = [("bri", "x"), ("bri", "y")]
+    scores = link_prediction_py(hub + bridge)
+    via_both = scores[("x", "y")]
+    via_hub_only = scores[("p", "q")]
+    assert via_both[0] == 2 and via_hub_only[0] == 1
+    bridge_part = via_both[1] - via_hub_only[1]
+    assert bridge_part > via_hub_only[1]  # 1/log2(2) >> 1/log2(24)
+    for a, b in [("hub", v) for v in ("x", "y")] + [("bri", "x")]:
+        assert (min(a, b), max(a, b)) not in scores
+
+
+def test_link_prediction_pivot_cap_drops_hub_wedges(spark):
+    from cow_spark.operators.graphrank import (
+        link_prediction, link_prediction_py)
+
+    edges = [("hub", f"n{i}") for i in range(8)] + \
+        [("bri", "n0"), ("bri", "n1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    capped = {(r["x"], r["y"]): (r["cn"], r["aa_fp"])
+              for r in link_prediction(df, max_pivot_degree=5).collect()}
+    assert capped == link_prediction_py(edges, max_pivot_degree=5)
+    # hub-pivot wedges gone: no nI-nJ pair beyond the bridge's (n0, n1);
+    # (bri, hub) survives via the degree-2 pivots n0/n1
+    assert set(capped) == {("n0", "n1"), ("bri", "hub")}
+    uncapped = link_prediction_py(edges)
+    assert ("n2", "n3") in uncapped and ("n2", "n3") not in capped
+
+
+def test_link_prediction_validation_and_plan(spark):
+    import pytest as _pt
+
+    from cow_spark.operators import dedup
+    from cow_spark.operators.graphrank import link_prediction
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError):
+        link_prediction(df, min_cn=0)
+    with _pt.raises(ValueError):
+        link_prediction(df, max_pivot_degree=1)
+    out = link_prediction(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    dedup.release(out)
