@@ -5126,6 +5126,86 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_ENT_G = f"{BASE}/g/docs"
+_ENT_V = f"{BASE}/vocab"
+# (s, p, o) schema triples for the entailment entry: a 2-deep property
+# chain, domain+range on the chain root, and a 3-class / 2-class
+# hierarchy — every ρdf rule fires at least once
+_ENT_SCHEMA = [
+    (f"{_ENT_V}/hasSource", _RDFS + "subPropertyOf", f"{_ENT_V}/relatedTo"),
+    (f"{_ENT_V}/relatedTo", _RDFS + "subPropertyOf", f"{_ENT_V}/linked"),
+    (f"{_ENT_V}/hasSource", _RDFS + "domain", f"{_ENT_V}/Document"),
+    (f"{_ENT_V}/hasSource", _RDFS + "range", f"{_ENT_V}/Source"),
+    (f"{_ENT_V}/Document", _RDFS + "subClassOf", f"{_ENT_V}/Resource"),
+    (f"{_ENT_V}/Resource", _RDFS + "subClassOf", f"{_ENT_V}/Thing"),
+    (f"{_ENT_V}/Source", _RDFS + "subClassOf", f"{_ENT_V}/Provenance"),
+]
+
+
+def q_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ρdf entailment materialization (plans/entail.py:rdfs_closure)
+    over a document-provenance KG: subPropertyOf chain + domain/range
+    typing + subClassOf hierarchy, closed in ONE corpus pass (broadcast
+    per-predicate rule arrays + explode + dedup — the schema side is
+    vocabulary-sized path doubling). Even doc ids also ASSERT the type
+    the domain rule derives, so the dedup of asserted-vs-entailed is
+    part of the checked result."""
+    from cow_spark.model import QUAD_SCHEMA
+    from cow_spark.plans.entail import rdfs_closure
+
+    docs = _load(spark, sf_dir, "documents")
+    d_iri = F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+    s_iri = F.concat(F.lit(f"{BASE}/source/"), F.col("source"))
+    null_s = F.lit(None).cast("string")
+    inst = docs.select(
+        F.lit(_ENT_G).alias("g"), d_iri.alias("s"),
+        F.lit(f"{_ENT_V}/hasSource").alias("p"),
+        F.lit("iri").alias("o_kind"), s_iri.alias("o_lex"),
+        null_s.alias("o_dt"), null_s.alias("o_lang"))
+    typed = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.lit(_ENT_G).alias("g"), d_iri.alias("s"),
+        F.lit(_RDF_TYPE).alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(f"{_ENT_V}/Document").alias("o_lex"),
+        null_s.alias("o_dt"), null_s.alias("o_lang"))
+    schema = spark.createDataFrame(
+        [(_ENT_G, s, p, "iri", o, None, None) for s, p, o in _ENT_SCHEMA],
+        QUAD_SCHEMA)
+    return rdfs_closure(inst.unionByName(typed).unionByName(schema))
+
+
+def _sql_rdfs_closure() -> str:
+    # the schema is FIXED, so the oracle unrolls the closure by hand:
+    # property chain copies, domain/range typing, class-hierarchy types
+    schema_rows = " union all ".join(
+        f"select '{s}' as s, '{p}' as p, '{o}' as o"
+        for s, p, o in _ENT_SCHEMA)
+    return f"""
+with d as (
+  select '{BASE}/' || cast(doc_id as varchar) as di,
+         '{BASE}/source/' || source as si,
+         doc_id
+  from documents
+),
+tri as (
+  select di as s, '{_ENT_V}/hasSource' as p, si as o from d
+  union all select di, '{_ENT_V}/relatedTo', si from d
+  union all select di, '{_ENT_V}/linked', si from d
+  union all select di, '{_RDF_TYPE}', '{_ENT_V}/Document' from d
+  union all select di, '{_RDF_TYPE}', '{_ENT_V}/Resource' from d
+  union all select di, '{_RDF_TYPE}', '{_ENT_V}/Thing' from d
+  union all select si, '{_RDF_TYPE}', '{_ENT_V}/Source' from d
+  union all select si, '{_RDF_TYPE}', '{_ENT_V}/Provenance' from d
+  union all {schema_rows}
+)
+select distinct '{_ENT_G}' as g, s, p, 'iri' as o_kind, o as o_lex,
+       cast(null as varchar) as o_dt, cast(null as varchar) as o_lang
+from tri
+"""
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction candidate mining (graphrank.py:link_prediction):
     common-neighbor + integer Adamic-Adar scores for every non-adjacent
@@ -5357,6 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "quantile_sketch": q_quantile_sketch,
         "link_prediction": q_link_prediction,
+        "rdfs_closure": q_rdfs_closure,
     }
 
 
@@ -5466,4 +5547,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": _sql_bpe_segment(),
         "quantile_sketch": _SQL_QUANTILE_SKETCH,
         "link_prediction": _sql_link_prediction(),
+        "rdfs_closure": _sql_rdfs_closure(),
     }

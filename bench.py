@@ -74,6 +74,7 @@ HEADLINE = [
     "bpe_segment",
     "quantile_sketch",
     "link_prediction",
+    "rdfs_closure",
 ]
 
 

@@ -1,0 +1,99 @@
+"""ρdf entailment materialization: one-pass Spark closure vs the
+fixed-point Python twin, idempotence, graph provenance, and the
+scale-shape gate (rule tables broadcast, corpus JVM-only)."""
+
+from cow_spark.model import QUAD_SCHEMA
+from cow_spark.plans.entail import (
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+    rdfs_closure,
+    rdfs_closure_py,
+)
+
+G = "g:default"
+
+_FULL = [
+    # schema: 3-deep class chain, 2-deep property chain, dom+rng,
+    # a second hierarchy for the range class, and the pathological
+    # "subPropertyOf rdf:type" property
+    (G, "c:Doc", RDFS_SUBCLASS, "iri", "c:Res", None, None),
+    (G, "c:Res", RDFS_SUBCLASS, "iri", "c:Thing", None, None),
+    (G, "c:Src", RDFS_SUBCLASS, "iri", "c:Prov", None, None),
+    (G, "p:hasSrc", RDFS_SUBPROP, "iri", "p:rel", None, None),
+    (G, "p:rel", RDFS_SUBPROP, "iri", "p:linked", None, None),
+    (G, "p:hasSrc", RDFS_DOMAIN, "iri", "c:Doc", None, None),
+    (G, "p:hasSrc", RDFS_RANGE, "iri", "c:Src", None, None),
+    (G, "p:title", RDFS_DOMAIN, "iri", "c:Doc", None, None),
+    (G, "p:isa", RDFS_SUBPROP, "iri", RDF_TYPE, None, None),
+    # instance: IRI object, literal object, asserted type (dedups with
+    # the domain-derived one), type-via-subPropertyOf, a second graph,
+    # and a rule-less row that must pass through untouched
+    (G, "d:1", "p:hasSrc", "iri", "s:web", None, None),
+    (G, "d:1", "p:title", "lit", "hello", None, None),
+    (G, "d:2", RDF_TYPE, "iri", "c:Doc", None, None),
+    (G, "d:3", "p:isa", "iri", "c:Src", None, None),
+    ("g:other", "d:1", "p:hasSrc", "iri", "s:ftp", None, None),
+    (G, "d:4", "p:other", "lit", "x", None, None),
+]
+
+
+def _spark_closure(spark, quads):
+    df = spark.createDataFrame(quads, QUAD_SCHEMA)
+    return {tuple(r) for r in rdfs_closure(df).collect()}
+
+
+def test_closure_matches_fixed_point_twin(spark):
+    got = _spark_closure(spark, _FULL)
+    want = rdfs_closure_py(_FULL)
+    assert got == want
+    # spot-check each rule family fired
+    assert (G, "d:1", "p:linked", "iri", "s:web", None, None) in got
+    assert (G, "d:1", RDF_TYPE, "iri", "c:Thing", None, None) in got
+    assert (G, "s:web", RDF_TYPE, "iri", "c:Prov", None, None) in got
+    assert (G, "d:3", RDF_TYPE, "iri", "c:Prov", None, None) in got
+    # entailed quads inherit the triggering instance triple's graph
+    assert ("g:other", "s:ftp", RDF_TYPE, "iri", "c:Src", None, None) in got
+    assert (G, "s:ftp", RDF_TYPE, "iri", "c:Src", None, None) not in got
+
+
+def test_closure_deep_hierarchy_and_idempotence(spark):
+    chain = [(G, f"c:{i}", RDFS_SUBCLASS, "iri", f"c:{i + 1}", None, None)
+             for i in range(9)]
+    inst = [(G, "x", RDF_TYPE, "iri", "c:0", None, None)]
+    got = _spark_closure(spark, chain + inst)
+    assert got == rdfs_closure_py(chain + inst)
+    assert (G, "x", RDF_TYPE, "iri", "c:9", None, None) in got
+    # closure of the closure adds nothing
+    again = _spark_closure(spark, sorted(got, key=str))
+    assert again == got
+
+
+def test_closure_without_schema_is_passthrough(spark):
+    quads = [(G, "d:1", "p:x", "lit", "v", None, None),
+             (G, "d:2", RDF_TYPE, "iri", "c:C", None, None)]
+    assert _spark_closure(spark, quads) == set(quads)
+
+
+def test_closure_literal_objects_never_range_typed(spark):
+    quads = [(G, "p:x", RDFS_RANGE, "iri", "c:C", None, None),
+             (G, "d:1", "p:x", "lit", "not-an-iri", None, None)]
+    got = _spark_closure(spark, quads)
+    assert got == rdfs_closure_py(quads)
+    assert not any(r[2] == RDF_TYPE and r[1] == "not-an-iri" for r in got)
+
+
+def test_closure_plan_broadcasts_rules_no_python(spark):
+    df = spark.createDataFrame(_FULL, QUAD_SCHEMA)
+    plan = rdfs_closure(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the two corpus-side joins (rule arrays on p, class closure on
+    # o_lex) must both broadcast; the vocabulary-sized schema-table
+    # outer joins may legitimately sort-merge (both sides tiny)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # downstream of the explode (printed ABOVE it) only the dedup
+    # shuffle remains — no join of any kind touches the exploded corpus
+    head = plan[:plan.index("Generate explode")]
+    assert "Join" not in head
