@@ -5126,6 +5126,38 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood extraction (graphrank.py:khop_sample): 2-hop
+    fanout-3 GraphSAGE-style sampled subgraph around the multiple-of-451
+    order nodes — hash-random neighbor choice (portable md5, node
+    tie-break) so runs, retries, and the unrolled DuckDB twin keep the
+    identical subgraph; per round one frontier equi-join + one
+    per-node top-fanout window, output bounded by Σ|frontier|·fanout."""
+    from cow_spark.operators.graphrank import khop_sample
+
+    li = _load(spark, sf_dir, "lineitem")
+    seeds = li.where(F.col("l_orderkey") % 451 == 0).select(
+        F.concat(F.lit("o"),
+                 F.col("l_orderkey").cast("string")).alias("node")
+    ).distinct()
+    return khop_sample(_cc_edges(spark, sf_dir), seeds, k=2, fanout=3)
+
+
+def _sql_khop_sample() -> str:
+    from cow_spark.operators.graphrank import khop_sample_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    seeds = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as node "
+        "from lineitem where l_orderkey % 451 = 0"
+    )
+    return khop_sample_oracle_sql(edges, seeds, k=2, fanout=3)
+
+
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 _ENT_G = f"{BASE}/g/docs"
@@ -5438,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "link_prediction": q_link_prediction,
         "rdfs_closure": q_rdfs_closure,
+        "khop_sample": q_khop_sample,
     }
 
 
@@ -5548,4 +5581,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": _SQL_QUANTILE_SKETCH,
         "link_prediction": _sql_link_prediction(),
         "rdfs_closure": _sql_rdfs_closure(),
+        "khop_sample": _sql_khop_sample(),
     }

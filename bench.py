@@ -75,6 +75,7 @@ HEADLINE = [
     "quantile_sketch",
     "link_prediction",
     "rdfs_closure",
+    "khop_sample",
 ]
 
 

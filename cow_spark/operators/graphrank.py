@@ -767,3 +767,165 @@ from scored s
 where cn >= {min_cn}
   and not exists (select 1 from e where e.a = s.x and e.b = s.y)
 """
+
+
+def khop_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    fanout: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-hop neighborhood extraction with optional deterministic fanout
+    sampling — the GraphSAGE / GraphRAG subgraph builder: expand BFS
+    from ``seeds`` (a DataFrame with a ``node`` column) for ``k``
+    rounds over the undirected graph, keeping per frontier node at most
+    ``fanout`` expansion edges per round (``None`` = keep all). Returns
+    the kept edges ``(hop, u, v)`` with ``hop`` in 1..k — the sampled
+    subgraph GNN training or RAG context assembly consumes.
+
+    Sampling is HASH-random (portable md5 of ``(u, v, hop)``, smallest
+    ``fanout`` ranks kept, node id as the collision tie-break) — the
+    same discipline as :func:`random_walks`: reproducible across runs,
+    task retries, and engines, where any PRNG scheme is not. Edges
+    into already-visited nodes are kept in the output (GraphSAGE keeps
+    cross edges) but never re-expanded (BFS discipline: each node's
+    neighborhood is sampled exactly once, at its first reach), so the
+    output is bounded by Σ_r |frontier_r|·fanout regardless of graph
+    size. Per round: one equi-join of the frontier against the
+    persisted adjacency + one per-node top-``fanout`` window on
+    frontier-sized data + an anti-join for the new frontier; lineage
+    cut per round. Seeds absent from the graph simply expand nothing.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fanout is not None and fanout < 1:
+        raise ValueError(f"fanout must be >= 1 or None, got {fanout}")
+    from pyspark.sql.window import Window
+
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    adj = (e.select(F.explode(F.array(
+        F.struct(F.col("a").alias("w"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("w"), F.col("a").alias("v")),
+    )).alias("p")).select("p.w", "p.v")
+        .persist())
+
+    visited = round_checkpoint(
+        seeds.select(F.col("node").cast("string").alias("node"))
+        .dropDuplicates(), checkpoint_dir)
+    frontier = visited
+    kept_rounds = []
+    try:
+        for r in range(1, k + 1):
+            cand = adj.join(
+                frontier.select(F.col("node").alias("w")), "w")
+            if fanout is not None:
+                hk = portable_hash60(F.concat_ws(
+                    "\x1f", F.lit("khop-v1"), F.col("w"), F.col("v"),
+                    F.lit(str(r))))
+                rn = F.row_number().over(
+                    Window.partitionBy("w").orderBy(hk, F.col("v")))
+                cand = (cand.withColumn("_rn", rn)
+                        .where(F.col("_rn") <= fanout).drop("_rn"))
+            kept = round_checkpoint(
+                cand.select(F.lit(r).alias("hop"),
+                            F.col("w").alias("u"), F.col("v")),
+                checkpoint_dir)
+            kept_rounds.append(kept)
+            frontier = round_checkpoint(
+                kept.select(F.col("v").alias("node")).dropDuplicates()
+                .join(visited, "node", "left_anti"), checkpoint_dir)
+            visited = round_checkpoint(
+                visited.unionByName(frontier), checkpoint_dir)
+    finally:
+        adj.unpersist()
+    out = kept_rounds[0]
+    for kr in kept_rounds[1:]:
+        out = out.unionByName(kr)
+    return out
+
+
+def khop_sample_py(edges, seed_nodes, k: int = 2, fanout: int | None = None):
+    """Pure-Python twin of :func:`khop_sample`."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    visited = set(seed_nodes)
+    frontier = set(seed_nodes)
+    out = []
+    for r in range(1, k + 1):
+        nxt = set()
+        for u in sorted(frontier):
+            nbrs = sorted(adj.get(u, ()))
+            if fanout is not None:
+                nbrs.sort(key=lambda v: (
+                    h60("\x1f".join(("khop-v1", u, v, str(r)))), v))
+                nbrs = nbrs[:fanout]
+            for v in nbrs:
+                out.append((r, u, v))
+                if v not in visited:
+                    nxt.add(v)
+        visited |= nxt
+        frontier = nxt
+    return out
+
+
+def khop_sample_oracle_sql(edges_cte: str, seeds_cte: str, k: int = 2,
+                           fanout: int | None = None) -> str:
+    """DuckDB twin of :func:`khop_sample` — one unrolled CTE chain per
+    round (multi-referenced tables MATERIALIZED, the DuckDB inlining
+    trap). ``edges_cte`` yields (a, b); ``seeds_cte`` yields (node)."""
+    from ..functions.hashing import portable_hash60_sql
+
+    hk = portable_hash60_sql(
+        "concat_ws(chr(31), 'khop-v1', w, v, cast({r} as varchar))")
+    parts = [f"""
+with e0 as ({edges_cte}),
+e as (
+  select distinct least(a, b) as a, greatest(a, b) as b
+  from e0 where a is not null and b is not null and a <> b
+),
+adj as materialized (
+  select a as w, b as v from e union all select b as w, a as v from e
+),
+v0 as materialized (
+  select distinct cast(node as varchar) as node from ({seeds_cte})
+),
+f0 as materialized (select node from v0)"""]
+    for r in range(1, k + 1):
+        cand = (f"select a.w, a.v from adj a "
+                f"join f{r - 1} f on a.w = f.node")
+        if fanout is not None:
+            kexpr = (f"select w, v from (select w, v, row_number() over "
+                     f"(partition by w order by {hk.format(r=r)}, v) as rn "
+                     f"from ({cand})) t where rn <= {fanout}")
+        else:
+            kexpr = cand
+        parts.append(f"k{r} as materialized ({kexpr})")
+        parts.append(
+            f"f{r} as materialized (select distinct v as node from k{r} "
+            f"where not exists (select 1 from v{r - 1} x "
+            f"where x.node = k{r}.v))")
+        parts.append(
+            f"v{r} as materialized "
+            f"(select node from v{r - 1} union select node from f{r})")
+    sel = " union all ".join(
+        f"select cast({r} as int) as hop, w as u, v from k{r}"
+        for r in range(1, k + 1))
+    return ",\n".join(parts) + "\n" + sel

@@ -1112,3 +1112,57 @@ def test_link_prediction_validation_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     dedup.release(out)
+
+
+def test_khop_sample_matches_python_twin(spark):
+    from cow_spark.operators.graphrank import khop_sample, khop_sample_py
+
+    edges = ([(f"n{(i * 5) % 23}", f"n{(i * 7 + 3) % 23}")
+              for i in range(40)] + [("hub", f"n{i}") for i in range(10)]
+             + [(None, "x"), ("z", "z")])
+    seeds = ["n0", "hub", "ghost"]  # ghost: seed absent from the graph
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    for k, fanout in ((2, 3), (3, None)):
+        got = sorted((r["hop"], r["u"], r["v"]) for r in
+                     khop_sample(df, sdf, k=k, fanout=fanout).collect())
+        assert got == sorted(khop_sample_py(edges, seeds, k=k,
+                                            fanout=fanout))
+
+
+def test_khop_sample_bfs_discipline_and_fanout_bound(spark):
+    """Each node expands exactly once (at first reach) and never emits
+    more than `fanout` edges; cross edges to visited nodes are kept."""
+    from cow_spark.operators.graphrank import khop_sample_py
+
+    star = [("s", f"a{i}") for i in range(6)] + \
+        [(f"a{i}", "back") for i in range(6)] + [("back", "s")]
+    out = khop_sample_py(star, ["s"], k=3, fanout=2)
+    per_node_round: dict = {}
+    for hop, u, v in out:
+        per_node_round.setdefault((hop, u), []).append(v)
+    for (hop, u), vs in per_node_round.items():
+        assert len(vs) <= 2
+    expanded = {u for (_, u) in per_node_round}
+    # a node appears as expander in at most one round
+    rounds_per_u: dict = {}
+    for (hop, u) in per_node_round:
+        rounds_per_u.setdefault(u, set()).add(hop)
+    assert all(len(r) == 1 for r in rounds_per_u.values())
+    assert "s" in expanded
+
+
+def test_khop_sample_validation_and_plan(spark):
+    import pytest as _pt
+
+    from cow_spark.operators.graphrank import khop_sample
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    sdf = spark.createDataFrame([("a",)], "node string")
+    with _pt.raises(ValueError):
+        khop_sample(df, sdf, k=0)
+    with _pt.raises(ValueError):
+        khop_sample(df, sdf, fanout=0)
+    out = khop_sample(df, sdf, k=1, fanout=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
