@@ -4912,6 +4912,59 @@ from ch
 """
 
 
+def q_quads_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset application (sinks.py:apply_changeset), the inverse of
+    quads_diff: every 5th doc's tree edge removed and a version literal
+    added — the CDC roll-forward primitive (holder of version k + the
+    delta stream reconstructs k+1 without a full dump; the loud
+    removal-match check is pinned by pytest)."""
+    from cow_spark.sources.sinks import apply_changeset
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    null_s = F.lit(None).cast("string")
+
+    def edge(base_df):
+        return base_df.select(
+            null_s.alias("g"),
+            F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+            .alias("s"),
+            F.lit(f"{BASE}/vocab/under").alias("p"),
+            F.lit("iri").alias("o_kind"),
+            F.concat(F.lit(f"{BASE}/"),
+                     (F.col("doc_id") / 2).cast("long").cast("string"))
+            .alias("o_lex"),
+            null_s.alias("o_dt"), null_s.alias("o_lang"))
+
+    old = edge(docs.where(F.col("doc_id") >= 1))
+    fifth = docs.where((F.col("doc_id") >= 1) & (F.col("doc_id") % 5 == 0))
+    rem = edge(fifth).withColumn("change", F.lit("removed"))
+    add = fifth.select(
+        null_s.alias("g"),
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("s"),
+        F.lit(f"{BASE}/vocab/version").alias("p"),
+        F.lit("lit").alias("o_kind"), F.lit("2").alias("o_lex"),
+        null_s.alias("o_dt"), null_s.alias("o_lang"),
+    ).withColumn("change", F.lit("added"))
+    return apply_changeset(old, rem.unionByName(add)).select(
+        "s", "p", "o_lex")
+
+
+_SQL_QUADS_MERGE = f"""
+with d as (select cast(doc_id as bigint) as i from documents
+           where cast(doc_id as bigint) >= 1)
+select '{BASE}/' || cast(i as varchar) as s,
+       '{BASE}/vocab/under' as p,
+       '{BASE}/' || cast(i // 2 as varchar) as o_lex
+from d where i % 5 <> 0
+union all
+select '{BASE}/' || cast(i as varchar),
+       '{BASE}/vocab/version', '2'
+from d where i % 5 = 0
+"""
+
+
 def q_encoded_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-encoded quad table (sinks.py:encode_quads): IRIs
     become content-hashed bigints — the shuffle-payload optimization
@@ -5471,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "rdfs_closure": q_rdfs_closure,
         "khop_sample": q_khop_sample,
+        "quads_merge": q_quads_merge,
     }
 
 
@@ -5582,4 +5636,5 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": _sql_link_prediction(),
         "rdfs_closure": _sql_rdfs_closure(),
         "khop_sample": _sql_khop_sample(),
+        "quads_merge": _SQL_QUADS_MERGE,
     }

@@ -338,3 +338,44 @@ def diff_quads(old: DataFrame, new: DataFrame) -> DataFrame:
     added = n.exceptAll(o).withColumn("change", F.lit("added"))
     removed = o.exceptAll(n).withColumn("change", F.lit("removed"))
     return added.unionByName(removed)
+
+
+def apply_changeset(old: DataFrame, changes: DataFrame) -> DataFrame:
+    """Inverse of :func:`diff_quads`: roll a quad-table version forward
+    by a changeset — ``apply_changeset(old, diff_quads(old, new))``
+    reproduces ``new`` as a multiset (pinned by a pytest). Completes
+    the CDC loop: publish deltas, and any holder of version k plus the
+    delta stream reconstructs version k+1 without a full dump.
+
+    Multiset semantics throughout (matching ``diff_quads``'s
+    ``exceptAll``): removals subtract ONE occurrence per removed row,
+    additions append. A removal that matches nothing in ``old`` is a
+    consistency error in the delta stream and fails loudly rather than
+    silently no-opping — changesets are positional facts, not hints.
+
+    Plan: one ``exceptAll`` shuffle (removals) + a union with the
+    additions; the validation count rides the same removals frame.
+    """
+    cols = [c for c in QUAD_COLS if c in old.columns]
+    missing = [c for c in cols + ["change"] if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"apply_changeset: changeset lacks columns {missing}")
+    bad = changes.where(~F.col("change").isin("added", "removed"))
+    n_bad = bad.limit(1).count()
+    if n_bad:
+        raise ValueError(
+            "apply_changeset: change values must be 'added'/'removed', "
+            f"got {bad.first()['change']!r}")
+    o = old.select(*cols)
+    rem = changes.where(F.col("change") == "removed").select(*cols)
+    add = changes.where(F.col("change") == "added").select(*cols)
+    survivors = o.exceptAll(rem)
+    # loud consistency check: every removal must have matched — compare
+    # multiset sizes (cheap: two counts on already-needed frames)
+    n_old, n_rem, n_surv = o.count(), rem.count(), survivors.count()
+    if n_surv != n_old - n_rem:
+        raise ValueError(
+            f"apply_changeset: {n_old - n_surv} of {n_rem} removals "
+            "matched old — the changeset does not apply to this version")
+    return survivors.unionByName(add)

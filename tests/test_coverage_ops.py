@@ -784,3 +784,43 @@ def test_integrity_dangling_prefix_scopes_to_internal(spark):
     assert [r["node"] for r in scoped.collect()] == ["http://kg/missing"]
     # unscoped flags both
     assert integrity_report(quads, []).count() == 2
+
+
+def test_apply_changeset_inverts_diff_and_validates(spark):
+    """apply_changeset(old, diff_quads(old, new)) == new as a multiset;
+    removals that match nothing fail loudly; bad change tags rejected."""
+    import pytest
+
+    from cow_spark.sources.sinks import apply_changeset, diff_quads
+
+    E = "https://example.com/"
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    base = [
+        (None, E + "a", E + "p", "iri", E + "x", None, None),
+        (None, E + "b", E + "p", "lit", "v", None, None),
+    ]
+    old = spark.createDataFrame(base + [base[0]], schema)  # dup of quad 0
+    new = spark.createDataFrame(
+        base + [(None, E + "c", E + "p", "lit", "w", None, None)], schema)
+
+    rolled = apply_changeset(old, diff_quads(old, new))
+    assert sorted(map(tuple, rolled.collect())) == \
+        sorted(map(tuple, new.collect()))
+    # identity changeset
+    same = apply_changeset(old, diff_quads(old, old))
+    assert sorted(map(tuple, same.collect())) == \
+        sorted(map(tuple, old.collect()))
+
+    phantom = spark.createDataFrame(
+        [(None, E + "ghost", E + "p", "lit", "q", None, None, "removed")],
+        schema + ", change string")
+    with pytest.raises(ValueError, match="does not apply"):
+        apply_changeset(old, phantom)
+    bad_tag = spark.createDataFrame(
+        [(None, E + "a", E + "p", "iri", E + "x", None, None, "upsert")],
+        schema + ", change string")
+    with pytest.raises(ValueError, match="added"):
+        apply_changeset(old, bad_tag)
+    with pytest.raises(ValueError, match="lacks columns"):
+        apply_changeset(old, old)  # no change column
