@@ -5234,7 +5234,7 @@ def q_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a document-provenance KG: subPropertyOf chain + domain/range
     typing + subClassOf hierarchy, closed in ONE corpus pass (broadcast
     per-predicate rule arrays + explode + dedup — the schema side is
-    vocabulary-sized path doubling). Even doc ids also ASSERT the type
+    one filtered scan folded driver-side). Even doc ids also ASSERT the type
     the domain rule derives, so the dedup of asserted-vs-entailed is
     part of the checked result."""
     from cow_spark.model import QUAD_SCHEMA

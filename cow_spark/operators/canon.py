@@ -234,6 +234,7 @@ def transitive_pairs(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 2_000,
 ) -> DataFrame:
     """Directed transitive closure of an edge list: every (src, dst)
     connected by a path — property-path-lite (``p+``) for quad tables,
@@ -244,6 +245,16 @@ def transitive_pairs(
     ``localCheckpoint`` per round truncates the iterative lineage.
     Converges when a round adds no pair.
 
+    ``local_threshold``: edge lists at or below this size close
+    driver-side in one collect (the pagerank/CC local-twin pattern) —
+    schema hierarchies and taxonomy relations are vocabulary-sized, and
+    K doubling rounds each costing a join + dedup + count job are pure
+    scheduler overhead there (measured: the rdfs_closure entry's two
+    schema closures dominated its wall time). Identical output by
+    construction (a closure is a set); ``0`` forces the distributed
+    path. The local path computes the COMPLETE closure (no
+    ``max_iter`` depth bound applies to it).
+
     Scale honesty: the OUTPUT is inherently |pairs|-sized — a complete
     closure of a deep/dense graph is quadratic in nodes, which no plan
     fixes. Use on hierarchy-shaped relations (taxonomies, org charts),
@@ -253,6 +264,27 @@ def transitive_pairs(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(), checkpoint_dir)
+    if local_threshold and r.count() <= local_threshold:
+        rows = [(x["src"], x["dst"]) for x in r.collect()]
+        adj: dict = {}
+        for a, b in rows:
+            adj.setdefault(a, set()).add(b)
+        closed = set()
+        for a in adj:
+            seen: set = set()
+            stack = list(adj[a])
+            while stack:
+                v = stack.pop()
+                if v in seen:
+                    continue
+                seen.add(v)
+                stack.extend(adj.get(v, ()))
+            seen.discard(a)  # (a, a) never emitted, same as distributed
+            closed.update((a, v) for v in seen)
+        t_src = edges.schema["src"].dataType.simpleString()
+        t_dst = edges.schema["dst"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            sorted(closed), f"src {t_src}, dst {t_dst}")
     for _ in range(max_iter):
         hop = (
             r.alias("a")

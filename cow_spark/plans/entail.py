@@ -21,8 +21,9 @@ computed on the vocabulary-sized schema:
 so the CORPUS is touched exactly once: one broadcast join on ``p``
 (rule arrays), one broadcast join on ``o_lex`` for type triples
 (class closure), one explode, one global dedup shuffle. The schema
-side (every triple whose predicate is a ρdf keyword) is closed with
-``canon.transitive_pairs`` path doubling — vocabulary-sized by nature.
+side (every triple whose predicate is a ρdf keyword) is gathered in
+one filtered scan and folded driver-side — vocabulary-sized by nature,
+with a loud ``schema_limit`` guard for data mislabeled as schema.
 
 Scope notes, deliberate:
 
@@ -46,8 +47,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..model import QUAD_COLS
-from ..operators.canon import transitive_pairs
-
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 RDFS_SUBCLASS = RDFS_NS + "subClassOf"
@@ -56,72 +55,96 @@ RDFS_DOMAIN = RDFS_NS + "domain"
 RDFS_RANGE = RDFS_NS + "range"
 
 
-def _schema_edges(quads: DataFrame, pred: str) -> DataFrame:
-    return (quads.where((F.col("p") == pred) & (F.col("o_kind") == "iri"))
-            .select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
-            .dropDuplicates())
+def _closure_pairs(pairs: set) -> set:
+    """Transitive closure of a pair set (driver-side; schema-sized)."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    out = set()
+    for a in adj:
+        seen: set = set()
+        stack = list(adj[a])
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj.get(v, ()))
+        out.update((a, v) for v in seen if v != a)
+    return out
 
 
 def rdfs_closure(
     quads: DataFrame,
-    max_depth: int = 20,
-    checkpoint_dir: str | None = None,
+    schema_limit: int = 1_000_000,
 ) -> DataFrame:
     """Return ``quads`` ∪ every ρdf-entailed instance quad (deduped on
-    the full quad). ``max_depth`` bounds the schema hierarchies' path
-    doubling (2^20 deep is beyond any real taxonomy; non-convergence
-    fails loudly inside :func:`transitive_pairs`'s contract)."""
+    the full quad).
+
+    The schema (every triple whose predicate is a ρdf keyword) is
+    gathered in ONE filtered pass over the corpus and folded into the
+    rule tables driver-side — an RDFS schema is vocabulary-sized by
+    nature (the largest published ontologies are ~10⁶ axioms, the
+    default ``schema_limit``), and folding 4 closures + 3 rule maps in
+    Python replaces ~10 scheduled jobs of tiny shuffles with one
+    collect. A corpus whose "schema" exceeds the limit fails loudly
+    (that is data mislabeled as schema, and broadcasting it would be
+    wrong anyway)."""
     base = quads.select(*QUAD_COLS)
 
-    # --- vocabulary-sized schema closure ------------------------------
-    sco = transitive_pairs(_schema_edges(quads, RDFS_SUBCLASS),
-                           max_iter=max_depth,
-                           checkpoint_dir=checkpoint_dir)
-    spo = transitive_pairs(_schema_edges(quads, RDFS_SUBPROP),
-                           max_iter=max_depth,
-                           checkpoint_dir=checkpoint_dir)
-    dom = _schema_edges(quads, RDFS_DOMAIN)
-    rng = _schema_edges(quads, RDFS_RANGE)
+    # --- ONE schema scan, folded driver-side --------------------------
+    kw = [RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+    sch_rows = (quads.where(F.col("p").isin(kw)
+                            & (F.col("o_kind") == "iri"))
+                .select("p", "s", "o_lex").dropDuplicates()
+                .limit(schema_limit + 1).collect())
+    if len(sch_rows) > schema_limit:
+        raise ValueError(
+            f"rdfs_closure: more than {schema_limit} schema triples — "
+            "not a vocabulary; raise schema_limit only if this is a "
+            "genuine (enormous) ontology")
+    by_pred: dict = {k: set() for k in kw}
+    for r in sch_rows:
+        by_pred[r["p"]].add((r["s"], r["o_lex"]))
+    sco = _closure_pairs(by_pred[RDFS_SUBCLASS])
+    spo = _closure_pairs(by_pred[RDFS_SUBPROP])
+    dom, rng = by_pred[RDFS_DOMAIN], by_pred[RDFS_RANGE]
 
-    # CLS(c) as a lookup table (closure WITHOUT the reflexive row — the
-    # asserted triple itself always passes through via the explode)
-    cls_up = sco.groupBy("src").agg(
-        F.collect_set("dst").alias("sup_classes"))
+    sup_p: dict = {}
+    for a, b in spo:
+        sup_p.setdefault(a, set()).add(b)
+    cls_sup: dict = {}
+    for a, b in sco:
+        cls_sup.setdefault(a, set()).add(b)
 
-    # P(p) \ {p} per predicate, plus the reflexive hop for rule folding
-    spo_refl = spo.unionByName(
-        spo.select("src", "dst")
-        .select(F.explode(F.array("src", "dst")).alias("src"))
-        .select("src", F.col("src").alias("dst"))
-    ).unionByName(
-        dom.select("src").union(rng.select("src"))
-        .select("src", F.col("src").alias("dst"))
-    ).dropDuplicates()
+    def _type_sets(sch: set) -> dict:
+        """predicate -> sco*-closed classes via any superproperty."""
+        direct: dict = {}
+        for q, c in sch:
+            direct.setdefault(q, set()).add(c)
+        out: dict = {}
+        for p in set(sup_p) | set(direct):
+            cs = set()
+            for q in {p} | sup_p.get(p, set()):
+                cs |= direct.get(q, set())
+            cs |= {u for c in cs for u in cls_sup.get(c, ())}
+            if cs:
+                out[p] = cs
+        return out
 
-    # DOMC / RNGC: superproperty-folded, then sco*-closed
-    def _typed(sch: DataFrame) -> DataFrame:
-        eff = (spo_refl.join(
-            sch.select(F.col("src").alias("dst"),
-                       F.col("dst").alias("cls")), "dst")
-            .select("src", "cls"))
-        up = (eff.join(sco.withColumnRenamed("src", "cls")
-                       .withColumnRenamed("dst", "sup"), "cls")
-              .select("src", F.col("sup").alias("cls")))
-        return eff.unionByName(up).dropDuplicates()
-
-    dom_c = _typed(dom).groupBy("src").agg(
-        F.collect_set("cls").alias("dom_classes"))
-    rng_c = _typed(rng).groupBy("src").agg(
-        F.collect_set("cls").alias("rng_classes"))
-    super_p = (spo.groupBy("src").agg(
-        F.collect_set("dst").alias("super_props"))
-        .withColumn("entails_type",
-                    F.array_contains("super_props", RDF_TYPE)))
-
-    rules = (super_p
-             .join(dom_c, "src", "outer")
-             .join(rng_c, "src", "outer")
-             .withColumnRenamed("src", "_rp"))
+    dom_c, rng_c = _type_sets(dom), _type_sets(rng)
+    preds = sorted(set(sup_p) | set(dom_c) | set(rng_c))
+    spark = quads.sparkSession
+    rules = spark.createDataFrame(
+        [(p, sorted(sup_p.get(p, ())), sorted(dom_c.get(p, ())),
+          sorted(rng_c.get(p, ())), RDF_TYPE in sup_p.get(p, ()))
+         for p in preds],
+        "_rp string, super_props array<string>, "
+        "dom_classes array<string>, rng_classes array<string>, "
+        "entails_type boolean")
+    cls_up = spark.createDataFrame(
+        [(c, sorted(ups)) for c, ups in sorted(cls_sup.items())],
+        "src string, sup_classes array<string>")
 
     # --- the single corpus pass ---------------------------------------
     empty = F.array().cast("array<string>")

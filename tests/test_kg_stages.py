@@ -288,3 +288,24 @@ def test_transitive_pairs_paths_and_quad_variant(spark):
     got = {(r.src, r.dst)
            for r in quad_transitive_pairs(quads, B).collect()}
     assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_transitive_pairs_local_and_distributed_identical(spark):
+    """The driver-local fast path (edge count <= local_threshold) and
+    the path-doubling distributed path return the identical pair set —
+    including cycles, where neither emits reflexive (a, a) pairs."""
+    from cow_spark.operators.canon import transitive_pairs
+
+    edges = ([(f"n{i}", f"n{i+1}") for i in range(6)]     # chain
+             + [("c0", "c1"), ("c1", "c2"), ("c2", "c0")]  # 3-cycle
+             + [("n2", "c0"), ("x", "x")])                 # bridge + self
+    e = spark.createDataFrame(edges, "src string, dst string")
+    local = {(r.src, r.dst) for r in transitive_pairs(e).collect()}
+    dist = {(r.src, r.dst)
+            for r in transitive_pairs(e, local_threshold=0).collect()}
+    assert local == dist
+    assert ("c0", "c0") not in local          # no reflexive pairs
+    assert ("n0", "c2") in local              # chain → bridge → cycle
+    # empty input closes empty on the local path too
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert transitive_pairs(empty).count() == 0
