@@ -5179,6 +5179,40 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-restart PageRank (graphrank.py:personalized_pagerank) over
+    the order-part graph, seeded at the multiple-of-451 order nodes —
+    the GraphRAG ranking half that orders what khop_sample extracts.
+    Integer fixed-point end to end; the unrolled DuckDB twin replays
+    every rank bit-for-bit."""
+    from cow_spark.operators.graphrank import personalized_pagerank
+
+    li = _load(spark, sf_dir, "lineitem")
+    seeds = li.where(F.col("l_orderkey") % 451 == 0).select(
+        F.concat(F.lit("o"),
+                 F.col("l_orderkey").cast("string")).alias("node")
+    ).distinct()
+    return personalized_pagerank(_cc_edges(spark, sf_dir), seeds,
+                                 iterations=_PAGERANK_ITERS)
+
+
+def _sql_personalized_pagerank() -> str:
+    from cow_spark.operators.graphrank import (
+        personalized_pagerank_oracle_sql)
+
+    edges = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as src, "
+        "'p' || cast(l_partkey as varchar) as dst "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    seeds = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as node "
+        "from lineitem where l_orderkey % 451 = 0"
+    )
+    return personalized_pagerank_oracle_sql(
+        edges, seeds, iterations=_PAGERANK_ITERS)
+
+
 def q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-hop neighborhood extraction (graphrank.py:khop_sample): 2-hop
     fanout-3 GraphSAGE-style sampled subgraph around the multiple-of-451
@@ -5525,6 +5559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_closure": q_rdfs_closure,
         "khop_sample": q_khop_sample,
         "quads_merge": q_quads_merge,
+        "personalized_pagerank": q_personalized_pagerank,
     }
 
 
@@ -5637,4 +5672,5 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_closure": _sql_rdfs_closure(),
         "khop_sample": _sql_khop_sample(),
         "quads_merge": _SQL_QUADS_MERGE,
+        "personalized_pagerank": _sql_personalized_pagerank(),
     }

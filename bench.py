@@ -76,6 +76,7 @@ HEADLINE = [
     "link_prediction",
     "rdfs_closure",
     "khop_sample",
+    "personalized_pagerank",
 ]
 
 

@@ -929,3 +929,142 @@ f0 as materialized (select node from v0)"""]
         f"select cast({r} as int) as hop, w as u, v from k{r}"
         for r in range(1, k + 1))
     return ",\n".join(parts) + "\n" + sel
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    local_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Seed-restart (personalized) PageRank — relevance of every node
+    TO a seed set, the ranking half of GraphRAG context assembly
+    (:func:`khop_sample` extracts the neighborhood, this orders it):
+
+        r'(v) = teleport(v) + d · Σ_in (r[u] // outdeg[u]) // DEN
+        teleport(v) = ((1-d)·SCALE) // (DEN·|S|) if v ∈ S else 0
+
+    with the same integer fixed-point discipline as :func:`pagerank`
+    (associative sums, floor division, bit-exact cross-engine; the
+    documented floor-remainder mass leak). Initial mass sits entirely
+    on the seeds (``SCALE // |S|`` each). Seeds not present in the
+    graph are ignored; an empty effective seed set fails loudly (the
+    query is meaningless, and n=0 would divide by zero). Returns
+    ``(node, rank_fp)`` — non-seed components score 0 by construction.
+
+    Same per-round shape and ``local_threshold`` / ``checkpoint_dir``
+    semantics as :func:`pagerank` (the sub-threshold local twin is
+    bit-identical, pinned by pytest).
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct().persist())
+    sd = seeds.select(F.col("node")).where(
+        F.col("node").isNotNull()).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    seed_nodes = nodes.join(sd, "node", "left_semi").persist()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        for h in (e, nodes, seed_nodes):
+            h.unpersist()
+        raise ValueError(
+            "personalized_pagerank: no seed appears in the graph")
+    if local_threshold and e.count() <= local_threshold:
+        seed_set = {r["node"] for r in seed_nodes.collect()}
+        out = _ppr_local(e, seed_set, iterations)
+        for h in (e, nodes, seed_nodes):
+            h.unpersist()
+        return out
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    teleport = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n_seeds)
+    flagged = nodes.join(
+        seed_nodes.withColumn("_t", F.lit(True)), "node", "left")
+    tele_col = F.when(F.col("_t"), F.lit(teleport)).otherwise(0)
+    init_col = F.when(F.col("_t"), F.lit(SCALE // n_seeds)).otherwise(0)
+    flagged = flagged.select(
+        "node", tele_col.cast("long").alias("tele")).persist()
+    ranks = (nodes.join(
+        seed_nodes.withColumn("_t", F.lit(True)), "node", "left")
+        .select("node", init_col.cast("long").alias("rank_fp")))
+    ranks = round_checkpoint(ranks, checkpoint_dir)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank_fp div outdeg").alias("c")))
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            flagged.join(inflow.withColumnRenamed("dst", "node"),
+                         "node", "left")
+            .select(
+                "node",
+                (F.col("tele")
+                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0)) "
+                          f"div {DAMP_DEN}")).cast("long").alias("rank_fp")))
+        ranks = round_checkpoint(ranks, checkpoint_dir)
+    for h in (e, nodes, seed_nodes, outdeg, flagged):
+        h.unpersist()
+    return ranks
+
+
+def _ppr_local(e: DataFrame, seed_set: set, iterations: int) -> DataFrame:
+    """Driver-side twin of the exact PPR recurrence."""
+    rows = [(r["src"], r["dst"]) for r in e.collect()]
+    nodes = sorted({u for u, _ in rows} | {v for _, v in rows})
+    ns = len(seed_set)
+    outdeg: dict = {}
+    for u, _ in rows:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    teleport = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * ns)
+    r = {v: (SCALE // ns if v in seed_set else 0) for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for u, v in rows:
+            inflow[v] += r[u] // outdeg[u]
+        r = {v: (teleport if v in seed_set else 0)
+             + (DAMP_NUM * inflow[v]) // DAMP_DEN for v in nodes}
+    id_type = e.schema["src"].dataType.simpleString()
+    return e.sparkSession.createDataFrame(
+        [(v, r[v]) for v in nodes], f"node {id_type}, rank_fp long")
+
+
+def personalized_pagerank_oracle_sql(edges_cte: str, seeds_cte: str,
+                                     iterations: int = 5) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` (unrolled rounds,
+    identical integer recurrence). ``seeds_cte`` yields (node)."""
+    sql = [f"with e as (select distinct src, dst from ({edges_cte})),"]
+    sql.append("nodes as (select src as node from e union "
+               "select dst as node from e),")
+    sql.append(f"sd as (select distinct node from ({seeds_cte}) "
+               "where node in (select node from nodes)),")
+    sql.append("ns as (select count(*) as n from sd),")
+    sql.append("outdeg as (select src, count(*) as outdeg from e "
+               "group by src),")
+    tele = (f"({(DAMP_DEN - DAMP_NUM) * SCALE} // "
+            f"({DAMP_DEN} * (select n from ns)))")
+    is_seed = "nodes.node in (select node from sd)"
+    sql.append(
+        f"r0 as (select node, case when {is_seed} then "
+        f"{SCALE} // (select n from ns) else 0 end as rank_fp "
+        "from nodes),")
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        sql.append(
+            f"inflow{i} as (select e.dst, "
+            f"sum({prev}.rank_fp // outdeg.outdeg) as inflow "
+            f"from e join {prev} on {prev}.node = e.src "
+            "join outdeg on outdeg.src = e.src group by e.dst),")
+        sql.append(
+            f"{cur} as (select nodes.node, "
+            f"(case when {is_seed} then {tele} else 0 end)"
+            f" + ({DAMP_NUM} * coalesce(inflow{i}.inflow, 0)) // {DAMP_DEN}"
+            " as rank_fp "
+            f"from nodes left join inflow{i} on inflow{i}.dst = nodes.node),")
+    body = "\n".join(sql).rstrip(",")
+    return f"{body}\nselect node, cast(rank_fp as bigint) as rank_fp " \
+           f"from r{iterations}"

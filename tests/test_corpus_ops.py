@@ -1166,3 +1166,48 @@ def test_khop_sample_validation_and_plan(spark):
     out = khop_sample(df, sdf, k=1, fanout=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_personalized_pagerank_local_and_distributed_identical(spark):
+    from cow_spark.operators.graphrank import personalized_pagerank
+
+    edges = [(f"n{(i * 5) % 19}", f"n{(i * 7 + 3) % 19}")
+             for i in range(45)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame(
+        [("n0",), ("n1",), ("ghost",)], "node string")
+    loc = {(r["node"], r["rank_fp"]) for r in
+           personalized_pagerank(df, sdf, iterations=4).collect()}
+    dist = {(r["node"], r["rank_fp"]) for r in
+            personalized_pagerank(df, sdf, iterations=4,
+                                  local_threshold=0).collect()}
+    assert loc == dist
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    """Two disjoint components, seeds only in one: the unseeded
+    component scores exactly 0 (teleport never reaches it)."""
+    from cow_spark.operators.graphrank import personalized_pagerank
+
+    comp_a = [(f"a{i}", f"a{(i + 1) % 4}") for i in range(4)]
+    comp_b = [(f"b{i}", f"b{(i + 1) % 4}") for i in range(4)]
+    df = spark.createDataFrame(comp_a + comp_b, "src string, dst string")
+    sdf = spark.createDataFrame([("a0",)], "node string")
+    ranks = {r["node"]: r["rank_fp"] for r in
+             personalized_pagerank(df, sdf, iterations=5).collect()}
+    assert all(ranks[f"b{i}"] == 0 for i in range(4))
+    assert ranks["a0"] > 0
+    # relevance decays with distance from the seed along the cycle
+    # (a1 is one hop downstream of the restart mass, a3 is three)
+    assert ranks["a1"] > ranks["a2"] > ranks["a3"] > 0
+
+
+def test_personalized_pagerank_rejects_absent_seeds(spark):
+    import pytest as _pt
+
+    from cow_spark.operators.graphrank import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError, match="no seed"):
+        personalized_pagerank(
+            df, df.sparkSession.createDataFrame([("zzz",)], "node string"))
