@@ -5179,6 +5179,58 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_streaming_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming extraction run to completion
+    (streaming/stream.py:stream_extract_quads): the events table as a
+    file-source stream → CSVW extraction under a watermark →
+    within-watermark dedup → memory sink; the finished table must equal
+    batch extraction with global dedup, which is exactly what the
+    DuckDB twin replays. Puts the streaming path itself — watermark
+    plumbing, dropDuplicatesWithinWatermark state, sink semantics —
+    inside the oracle-checked surface instead of pytest-only."""
+    import uuid
+
+    from cow_spark.spec.mapping import MappingSpec
+    from cow_spark.streaming.stream import stream_extract_quads
+
+    spec = MappingSpec.from_json({
+        "@base": BASE, "url": "events",
+        "tableSchema": {
+            "aboutUrl": "{event_id}",
+            "columns": [{"name": "event_type"},
+                        {"name": "user_id", "datatype": "integer"}]}})
+    stream = (spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir))
+    # watermark far beyond the fixture's event-time span: nothing is
+    # ever late (the repo gotcha — unordered files would drop rows)
+    quads = stream_extract_quads(stream, spec, watermark="3650 days")
+    name = "kgstream_" + uuid.uuid4().hex[:8]
+    q = (quads.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("s", "p", "o_kind", "o_lex", "o_dt")
+
+
+_SQL_STREAMING_KG = f"""
+select '{BASE}/' || cast(event_id as varchar) as s,
+       '{BASE}/vocab/event_type' as p, 'lit' as o_kind,
+       event_type as o_lex, cast(null as varchar) as o_dt
+from events where length(coalesce(event_type, '')) > 0
+union all
+select '{BASE}/' || cast(event_id as varchar),
+       '{BASE}/vocab/user_id', 'lit', cast(user_id as varchar),
+       '{XSD_INT}'
+from events where user_id is not null
+"""
+
+
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-restart PageRank (graphrank.py:personalized_pagerank) over
     the order-part graph, seeded at the multiple-of-451 order nodes —
@@ -5560,6 +5612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_sample": q_khop_sample,
         "quads_merge": q_quads_merge,
         "personalized_pagerank": q_personalized_pagerank,
+        "streaming_kg": q_streaming_kg,
     }
 
 
@@ -5673,4 +5726,5 @@ def oracle_sql() -> dict[str, str]:
         "khop_sample": _sql_khop_sample(),
         "quads_merge": _SQL_QUADS_MERGE,
         "personalized_pagerank": _sql_personalized_pagerank(),
+        "streaming_kg": _SQL_STREAMING_KG,
     }
