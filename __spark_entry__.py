@@ -5179,6 +5179,48 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH scoping (plans/bgp.py:match_bgp graph=): docs KG
+    split into even/odd named graphs by doc_id parity, queried with a
+    graph VARIABLE — each binding carries its source graph and the
+    two patterns must match in the SAME graph (the nanopub workflow's
+    per-run provenance query)."""
+    from cow_spark.plans.bgp import match_bgp
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    null_s = F.lit(None).cast("string")
+    g_col = F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(f"{BASE}/g/even")).otherwise(
+        F.lit(f"{BASE}/g/odd"))
+
+    def tri(pred, o_col):
+        return docs.select(
+            g_col.alias("g"),
+            F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+            .alias("s"),
+            F.lit(f"{BASE}/vocab/{pred}").alias("p"),
+            F.lit("lit").alias("o_kind"), o_col.alias("o_lex"),
+            null_s.alias("o_dt"), null_s.alias("o_lang"))
+
+    quads = tri("source", F.col("source")).unionByName(
+        tri("lang", F.col("lang")))
+    return match_bgp(
+        quads,
+        [("?d", f"{BASE}/vocab/source", "?src"),
+         ("?d", f"{BASE}/vocab/lang", "?lng")],
+        graph="?gr")
+
+
+_SQL_GRAPH_QUERY = f"""
+select '{BASE}/' || cast(doc_id as varchar) as d,
+       source as src, lang as lng,
+       case when cast(doc_id as bigint) % 2 = 0
+            then '{BASE}/g/even' else '{BASE}/g/odd' end as gr
+from documents
+"""
+
+
 def q_streaming_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming extraction run to completion
     (streaming/stream.py:stream_extract_quads): the events table as a
@@ -5613,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quads_merge": q_quads_merge,
         "personalized_pagerank": q_personalized_pagerank,
         "streaming_kg": q_streaming_kg,
+        "graph_query": q_graph_query,
     }
 
 
@@ -5727,4 +5770,5 @@ def oracle_sql() -> dict[str, str]:
         "quads_merge": _SQL_QUADS_MERGE,
         "personalized_pagerank": _sql_personalized_pagerank(),
         "streaming_kg": _SQL_STREAMING_KG,
+        "graph_query": _SQL_GRAPH_QUERY,
     }

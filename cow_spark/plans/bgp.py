@@ -82,6 +82,7 @@ def match_bgp(
     namespaces: dict[str, str] | None = None,
     optional: list[tuple[str, str, str]] | None = None,
     not_exists: list[tuple[str, str, str]] | None = None,
+    graph: str | None = None,
 ) -> DataFrame:
     """Bindings of a conjunction of triple patterns.
 
@@ -115,9 +116,28 @@ def match_bgp(
     ``(x, x)`` (the closure drops self-pairs), and only ``+`` is
     supported (``*``/``?``/alternation are not). An IRI that genuinely
     ends in ``+`` is matched exactly by escaping it as ``...\\+``.
+
+    ``graph``: SPARQL ``GRAPH`` scoping for the whole query (the
+    ``GRAPH g { ... }`` block form, optional/not_exists included). A
+    constant restricts matching to that named graph — the nanopub
+    workflow's "query one run's assertion graph". A variable
+    (``'?g'``) binds each match's source graph as a result column and
+    unifies across patterns (all patterns must match in the SAME
+    graph, per SPARQL). Property-path patterns reject a graph
+    VARIABLE — the transitive closure spans graphs and carries no
+    single provenance (scope them with a constant instead).
     """
     if not patterns:
         raise ValueError("empty pattern list")
+    gvar: str | None = None
+    if graph is not None:
+        if _is_var(graph):
+            gvar = graph[1:]
+            if not gvar:
+                raise ValueError("unnamed graph variable")
+        else:
+            quads = quads.where(F.col("g") == _resolve(graph, namespaces))
+            graph = None
     order = sorted(patterns,
                    key=lambda t: -sum(not _is_var(x) for x in t))
     out: DataFrame | None = None
@@ -134,6 +154,11 @@ def match_bgp(
             p = p[:-2] + "+"
         elif (isinstance(p, str) and not _is_var(p) and len(p) > 1
                 and p.endswith("+")):
+            if gvar is not None:
+                raise ValueError(
+                    f"property-path pattern {(s, p, o)} cannot bind a "
+                    "graph VARIABLE — the closure spans graphs; scope "
+                    "with a constant graph instead")
             part = _path_bindings(quads, s, p, o, namespaces)
             if isinstance(part, bool):  # all-constant: existence gate
                 gates_failed = gates_failed or not part
@@ -183,6 +208,8 @@ def match_bgp(
             else:
                 df = df.where((F.col("o_kind") == "lit")
                               & (F.col("o_lex") == o))
+        if gvar is not None:
+            bind("g", graph)
         for cond in df_filter:
             df = df.where(cond)
 
@@ -204,7 +231,7 @@ def match_bgp(
     if gates_failed:
         out = out.limit(0)
     for pat in (optional or []):
-        part = _group_bindings(quads, pat, namespaces)
+        part = _group_bindings(quads, pat, namespaces, graph)
         shared = sorted(set(out.columns) & set(part.columns))
         if not shared:
             raise ValueError(
@@ -212,7 +239,7 @@ def match_bgp(
                 "required bindings — the left join would be a cross")
         out = out.join(part, shared, "left")
     for pat in (not_exists or []):
-        part = _group_bindings(quads, pat, namespaces)
+        part = _group_bindings(quads, pat, namespaces, graph)
         shared = sorted(set(out.columns) & set(part.columns))
         if not shared:
             raise ValueError(
@@ -224,7 +251,7 @@ def match_bgp(
     return out
 
 
-def _group_bindings(quads, pat, namespaces):
+def _group_bindings(quads, pat, namespaces, graph=None):
     """An optional/not_exists entry is either ONE pattern tuple or a
     LIST of patterns forming a group: the group matches as a unit (its
     patterns join on their shared variables via a recursive
@@ -232,7 +259,7 @@ def _group_bindings(quads, pat, namespaces):
     required bindings — SPARQL's ``OPTIONAL { p1 . p2 }`` /
     ``FILTER NOT EXISTS { p1 . p2 }`` block semantics."""
     group = pat if isinstance(pat, list) else [pat]
-    got = match_bgp(quads, group, namespaces)
+    got = match_bgp(quads, group, namespaces, graph=graph)
     if got.columns == ["matched"]:
         raise ValueError(
             f"pattern group {pat} binds no variable; optional/not_exists "

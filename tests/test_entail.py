@@ -97,3 +97,62 @@ def test_closure_plan_broadcasts_rules_no_python(spark):
     # shuffle remains — no join of any kind touches the exploded corpus
     head = plan[:plan.index("Generate explode")]
     assert "Join" not in head
+
+
+# ---------------------------------------------------------------------------
+# SPARQL GRAPH scoping (bgp.py graph=) — lives here with the other
+# KG-semantics additions of round 3
+# ---------------------------------------------------------------------------
+
+
+def test_match_bgp_graph_scoping(spark):
+    from cow_spark.plans.bgp import match_bgp
+
+    E = "https://example.com/"
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    quads = spark.createDataFrame([
+        (E + "g1", E + "a", E + "p", "lit", "x", None, None),
+        (E + "g1", E + "a", E + "q", "lit", "y", None, None),
+        (E + "g2", E + "a", E + "p", "lit", "x2", None, None),
+        (E + "g2", E + "b", E + "p", "lit", "xb", None, None),
+        (E + "g2", E + "b", E + "q", "lit", "yb", None, None),
+    ], schema)
+    # constant scope
+    r1 = {(r["s"], r["v"]) for r in match_bgp(
+        quads, [("?s", E + "p", "?v")], graph=E + "g1").collect()}
+    assert r1 == {(E + "a", "x")}
+    # variable scope: binds g and unifies it across patterns
+    r2 = {(r["s"], r["v"], r["w"], r["gg"]) for r in match_bgp(
+        quads, [("?s", E + "p", "?v"), ("?s", E + "q", "?w")],
+        graph="?gg").collect()}
+    assert r2 == {(E + "a", "x", "y", E + "g1"),
+                  (E + "b", "xb", "yb", E + "g2")}
+    # WITHOUT scoping the cross-graph conjunction also matches
+    r3 = {(r["s"], r["v"], r["w"]) for r in match_bgp(
+        quads, [("?s", E + "p", "?v"), ("?s", E + "q", "?w")]).collect()}
+    assert (E + "a", "x2", "y") in r3
+    # optional inherits the constant scope
+    r4 = {(r["s"], r["v"], r["w"]) for r in match_bgp(
+        quads, [("?s", E + "p", "?v")],
+        optional=[("?s", E + "q", "?w")], graph=E + "g2").collect()}
+    assert r4 == {(E + "a", "x2", None), (E + "b", "xb", "yb")}
+
+
+def test_match_bgp_graph_validation(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.bgp import match_bgp
+
+    E = "https://example.com/"
+    quads = spark.createDataFrame(
+        [(E + "g1", E + "a", E + "p", "iri", E + "b", None, None)],
+        "g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+    with _pt.raises(ValueError, match="graph VARIABLE"):
+        match_bgp(quads, [("?s", E + "p+", "?v")], graph="?g")
+    with _pt.raises(ValueError, match="unnamed graph"):
+        match_bgp(quads, [("?s", E + "p", "?v")], graph="?")
+    # graph var repeated as a pattern var: per-pattern equality filter
+    same = match_bgp(quads, [("?x", E + "p", "?v")], graph="?x")
+    assert same.count() == 0  # g != s in the fixture
