@@ -5179,6 +5179,29 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient
+    (graphrank.py:clustering_coefficient) over the order-part graph —
+    the localized triangle census (same degree-ordered m^1.5 wedge
+    bound), LCC in integer fixed point so the enumeration oracle is
+    bit-exact."""
+    from cow_spark.operators.graphrank import clustering_coefficient
+
+    return clustering_coefficient(_cc_edges(spark, sf_dir))
+
+
+def _sql_clustering_coefficient() -> str:
+    from cow_spark.operators.graphrank import (
+        clustering_coefficient_oracle_sql)
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return clustering_coefficient_oracle_sql(edges)
+
+
 def q_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GRAPH scoping (plans/bgp.py:match_bgp graph=): docs KG
     split into even/odd named graphs by doc_id parity, queried with a
@@ -5656,6 +5679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "streaming_kg": q_streaming_kg,
         "graph_query": q_graph_query,
+        "clustering_coefficient": q_clustering_coefficient,
     }
 
 
@@ -5771,4 +5795,5 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _sql_personalized_pagerank(),
         "streaming_kg": _SQL_STREAMING_KG,
         "graph_query": _SQL_GRAPH_QUERY,
+        "clustering_coefficient": _sql_clustering_coefficient(),
     }

@@ -77,6 +77,7 @@ HEADLINE = [
     "rdfs_closure",
     "khop_sample",
     "personalized_pagerank",
+    "clustering_coefficient",
 ]
 
 

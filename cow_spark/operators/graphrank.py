@@ -1068,3 +1068,119 @@ def personalized_pagerank_oracle_sql(edges_cte: str, seeds_cte: str,
     body = "\n".join(sql).rstrip(",")
     return f"{body}\nselect node, cast(rank_fp as bigint) as rank_fp " \
            f"from r{iterations}"
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient — the localized form of
+    :func:`triangle_count` (how clique-like each entity's neighborhood
+    is; low-LCC high-degree nodes are the hub/bridge entities that
+    salting and linking priors care about). Returns
+    ``(node, degree, n_tri, lcc_fp)`` for every node, with
+    ``lcc_fp = (2·n_tri·SCALE) // (d·(d−1))`` in fixed point (0 when
+    d < 2 — an isolated-ish node has no defined neighborhood density;
+    the integer division keeps the oracle bit-exact).
+
+    Same degree-ordered wedge bound as the census (oriented out-degree
+    O(√m), wedges ≤ m^1.5): each triangle is found exactly once at its
+    lowest-(degree, id) pivot, then attributed to all THREE members by
+    one explode — a join against the closing edge instead of the
+    census's semi-join, everything else identical. Four shuffles on
+    edge-shaped data.
+    """
+    e = (edges.select(F.col("src").cast("string").alias("a"),
+                      F.col("dst").cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates()
+         .persist())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
+           .groupBy("v").agg(F.count("*").alias("d")))
+    ranked = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")),
+               "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")),
+              "b"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    tri = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .where(F.col("o1.w") < F.col("o2.w"))
+        .select(F.col("o1.u").alias("u"), F.col("o1.w").alias("x"),
+                F.col("o2.w").alias("y"))
+        .join(e, (F.col("x") == e["a"]) & (F.col("y") == e["b"]),
+              "left_semi"))
+    per_node = (tri.select(F.explode(F.array("u", "x", "y")).alias("v"))
+                .groupBy("v").agg(F.count("*").alias("n_tri")))
+    out = (deg.join(per_node, "v", "left")
+           .select(F.col("v").alias("node"),
+                   F.col("d").alias("degree"),
+                   F.coalesce("n_tri", F.lit(0)).cast("long")
+                   .alias("n_tri"))
+           .withColumn(
+               "lcc_fp",
+               F.when(F.col("degree") >= 2,
+                      F.expr(f"(2 * n_tri * {SCALE}) div "
+                             "(degree * (degree - 1))"))
+               .otherwise(0).cast("long")))
+    out._cow_persisted = (e,)  # type: ignore[attr-defined]
+    return out
+
+
+def clustering_coefficient_py(edges):
+    """Pure-Python twin of :func:`clustering_coefficient`."""
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        ns = sorted(nbrs)
+        t = sum(1 for i in range(len(ns)) for j in range(i + 1, len(ns))
+                if (min(ns[i], ns[j]), max(ns[i], ns[j])) in e)
+        lcc = (2 * t * SCALE) // (d * (d - 1)) if d >= 2 else 0
+        out[v] = (d, t, lcc)
+    return out
+
+
+def clustering_coefficient_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficient` (enumeration by
+    canonical a<b<c joins — each triangle once, then 3 member rows)."""
+    return f"""
+with e0 as ({edges_cte}),
+e as (
+  select distinct least(a, b) as a, greatest(a, b) as b
+  from e0 where a is not null and b is not null and a <> b
+),
+deg as (
+  select v, count(*) as d from (
+    select a as v from e union all select b as v from e) t group by v
+),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e e1
+  join e e2 on e2.a = e1.a and e2.b > e1.b
+  join e e3 on e3.a = e1.b and e3.b = e2.b
+),
+per_node as (
+  select v, cast(count(*) as bigint) as n_tri from (
+    select x as v from tri union all select y from tri
+    union all select z from tri) t
+  group by v
+)
+select deg.v as node, cast(deg.d as bigint) as degree,
+       coalesce(per_node.n_tri, 0) as n_tri,
+       cast(case when deg.d >= 2
+            then (2 * coalesce(per_node.n_tri, 0) * {SCALE})
+                 // (deg.d * (deg.d - 1))
+            else 0 end as bigint) as lcc_fp
+from deg left join per_node on per_node.v = deg.v
+"""

@@ -1211,3 +1211,34 @@ def test_personalized_pagerank_rejects_absent_seeds(spark):
     with _pt.raises(ValueError, match="no seed"):
         personalized_pagerank(
             df, df.sparkSession.createDataFrame([("zzz",)], "node string"))
+
+
+def test_clustering_coefficient_matches_python_twin(spark):
+    from cow_spark.operators import dedup
+    from cow_spark.operators.graphrank import (
+        clustering_coefficient, clustering_coefficient_py)
+
+    edges = ([(f"n{(i * 5) % 17}", f"n{(i * 7 + 3) % 17}")
+              for i in range(40)]
+             + [("a", "b"), ("b", "c"), ("c", "a"),     # triangle
+                ("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"),  # square
+                ("b", "a"), (None, "x"), ("y", "y")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = clustering_coefficient(df)
+    got = {r["node"]: (r["degree"], r["n_tri"], r["lcc_fp"])
+           for r in out.collect()}
+    assert got == clustering_coefficient_py(edges)
+    # known values: triangle corners are fully clustered, square is 0
+    assert got["c"][2] == SCALE and got["p"] == (2, 0, 0)
+    assert dedup.release(out) == 1
+
+
+def test_clustering_coefficient_plan_no_python(spark):
+    from cow_spark.operators import dedup
+    from cow_spark.operators.graphrank import clustering_coefficient
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = clustering_coefficient(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    dedup.release(out)
