@@ -5179,6 +5179,47 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding-window aggregation (F.window, 1-day windows
+    sliding 6 hours): every event lands in exactly size/slide = 4
+    epoch-aligned windows — the batch face of the streaming windowed
+    aggregation (same operator under a watermark in stream.py). Value
+    mass floor-scaled to ints; the oracle derives the same 4 window
+    starts per event arithmetically."""
+    ev = _load(spark, sf_dir, "events")
+    win = F.window("ts", "1 day", "6 hours")
+    return (ev.groupBy(win.alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
+                 .alias("v_fp"))
+            .select(F.unix_micros(F.col("w.start").cast("timestamp"))
+                    .alias("w_start_us"),
+                    F.unix_micros(F.col("w.end").cast("timestamp"))
+                    .alias("w_end_us"),
+                    "event_type", "n", "v_fp"))
+
+
+_SLIDE_US = 6 * 3600 * 1_000_000
+_SQL_TIME_WINDOWS = f"""
+with ks as (select unnest(range(4)) as k),
+ev as (
+  select event_type, epoch_us(ts) as t_us,
+         cast(floor(value * 100) as bigint) as v
+  from events
+),
+w as (
+  select event_type, v,
+         (t_us // {_SLIDE_US}) * {_SLIDE_US} - k * {_SLIDE_US}
+           as w_start_us
+  from ev cross join ks
+)
+select w_start_us, w_start_us + {4 * _SLIDE_US} as w_end_us, event_type,
+       cast(count(*) as bigint) as n, cast(sum(v) as bigint) as v_fp
+from w
+group by 1, 2, 3
+"""
+
+
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient
     (graphrank.py:clustering_coefficient) over the order-part graph —
@@ -5561,6 +5602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 36 entries the driver has never checked, then `sessionize`
     # (r2's one hash-red — fixed by the UTC pin in _load, needs a driver
     # re-check), then 13 previously-green entries to fill the window.
+    # ROUND 4: rotate the r3-continuation tail (bpe_segment,
+    # quantile_sketch, link_prediction, rdfs_closure, khop_sample,
+    # quads_merge, personalized_pagerank, streaming_kg, graph_query,
+    # clustering_coefficient) into the window — they have local
+    # value-exact evidence at sf0.001/0.01/0.1 but no driver row yet.
     return {
         "hll_profile": q_hll_profile,
         "kcore": q_kcore,
@@ -5680,6 +5726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kg": q_streaming_kg,
         "graph_query": q_graph_query,
         "clustering_coefficient": q_clustering_coefficient,
+        "time_windows": q_time_windows,
     }
 
 
@@ -5796,4 +5843,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_kg": _SQL_STREAMING_KG,
         "graph_query": _SQL_GRAPH_QUERY,
         "clustering_coefficient": _sql_clustering_coefficient(),
+        "time_windows": _SQL_TIME_WINDOWS,
     }
