@@ -171,3 +171,52 @@ def test_connected_components_matches_union_find_on_random_graphs(
     want = {n: comp_min[find(n)] for n in nodes}
     assert dist == want
     assert local == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=50))
+def test_link_prediction_matches_twin_on_random_graphs(spark, pairs):
+    from cow_spark.operators import dedup
+    from cow_spark.operators.graphrank import (
+        link_prediction, link_prediction_py)
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = link_prediction(df)
+    got = {(r["x"], r["y"]): (r["cn"], r["aa_fp"]) for r in out.collect()}
+    dedup.release(out)
+    assert got == link_prediction_py(edges)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=50),
+       st.integers(1, 3), st.sampled_from([None, 1, 2]))
+def test_khop_sample_matches_twin_on_random_graphs(spark, pairs, k, fanout):
+    from cow_spark.operators.graphrank import khop_sample, khop_sample_py
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+    seeds = ["n0", "n7"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = sorted((r["hop"], r["u"], r["v"]) for r in
+                 khop_sample(df, sdf, k=k, fanout=fanout).collect())
+    assert got == sorted(khop_sample_py(edges, seeds, k=k, fanout=fanout))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40))
+def test_clustering_coefficient_matches_twin_on_random_graphs(spark, pairs):
+    from cow_spark.operators import dedup
+    from cow_spark.operators.graphrank import (
+        clustering_coefficient, clustering_coefficient_py)
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = clustering_coefficient(df)
+    got = {r["node"]: (r["degree"], r["n_tri"], r["lcc_fp"])
+           for r in out.collect()}
+    dedup.release(out)
+    assert got == clustering_coefficient_py(edges)
