@@ -3862,6 +3862,29 @@ def _sql_random_walks() -> str:
     return random_walks_oracle_sql(edges, walk_len=6, walks_per_node=2)
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walks (graphrank.py:node2vec_walks): 5-step
+    second-order walks over the order-part graph with integer
+    return/in-out weights (p=4, q=2 defaults) — the Grover-Leskovec
+    corpus generator; the dst-ordered cumulative integer draw makes
+    the unrolled DuckDB twin replay every path bit-for-bit."""
+    from cow_spark.operators.graphrank import node2vec_walks
+
+    return node2vec_walks(_cc_edges(spark, sf_dir), walk_len=5,
+                          walks_per_node=1)
+
+
+def _sql_node2vec_walks() -> str:
+    from cow_spark.operators.graphrank import node2vec_walks_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return node2vec_walks_oracle_sql(edges, walk_len=5, walks_per_node=1)
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom filter (functions/sketch.py:bloom_build/probe):
     build over the even doc-id keys, probe every doc id — the explicit
@@ -5727,6 +5750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_query": q_graph_query,
         "clustering_coefficient": q_clustering_coefficient,
         "time_windows": q_time_windows,
+        "node2vec_walks": q_node2vec_walks,
     }
 
 
@@ -5844,4 +5868,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_query": _SQL_GRAPH_QUERY,
         "clustering_coefficient": _sql_clustering_coefficient(),
         "time_windows": _SQL_TIME_WINDOWS,
+        "node2vec_walks": _sql_node2vec_walks(),
     }

@@ -78,6 +78,7 @@ HEADLINE = [
     "khop_sample",
     "personalized_pagerank",
     "clustering_coefficient",
+    "node2vec_walks",
 ]
 
 

@@ -1184,3 +1184,220 @@ select deg.v as node, cast(deg.d as bigint) as degree,
             else 0 end as bigint) as lcc_fp
 from deg left join per_node on per_node.v = deg.v
 """
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+    w_return: int = 250,
+    w_common: int = 1000,
+    w_far: int = 500,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = WALK_SALT,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """node2vec second-order biased walks — :func:`random_walks` with
+    the Grover–Leskovec return/in-out bias: from ``cur`` with previous
+    node ``prev``, neighbor ``w`` draws integer weight
+
+      ``w_return`` if w == prev        (distance 0 — 1/p in the paper)
+      ``w_common`` if w ~ prev         (distance 1 — the BFS-ish pull)
+      ``w_far``    otherwise           (distance 2 — 1/q, DFS-ish)
+
+    Weights are INTEGERS by contract (``w_return = W/p`` for rational
+    p; the defaults encode p=4, q=2) so the cumulative-sum draw —
+    ``md5(walk_id, t, salt) mod Σweights`` against dst-ordered running
+    totals — is engine-exact; floats would put the draw boundary on an
+    ulp. Step 1 has no ``prev`` and is uniform (exactly DeepWalk).
+
+    Per step: one equi-join of the frontier against the persisted
+    adjacency (frontier×avg-degree candidate rows), one hash join
+    against the bidirectional edge set for the distance-1 flag, one
+    per-walk window cumsum — all bounded by Σ deg(cur) per step.
+    Lineage cut per step. Returns ``(walk_id, step, node)``.
+    """
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    for name, w in (("w_return", w_return), ("w_common", w_common),
+                    ("w_far", w_far)):
+        if not isinstance(w, int) or w < 1:
+            raise ValueError(f"{name} must be an integer >= 1, got {w!r}")
+    from pyspark.sql import Window
+
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    bidir = (e.select(F.explode(F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+    )).alias("p")).select("p.u", "p.v").persist())
+    nbr = bidir.select(
+        "u", "v",
+        (F.row_number().over(
+            Window.partitionBy("u").orderBy("v")) - 1).alias("idx"),
+    ).persist()
+    deg = nbr.groupBy("u").agg(F.count("*").alias("deg")).persist()
+
+    frontier = (
+        deg.select("u").crossJoin(
+            edges.sparkSession.range(walks_per_node)
+            .select(F.col("id").alias("w")))
+        .select(F.concat(F.col("u"), F.lit("#"),
+                         F.col("w").cast("string")).alias("walk_id"),
+                F.col("u").alias("cur")))
+    paths = [frontier.select("walk_id", F.lit(0).alias("step"),
+                             F.col("cur").alias("node"))]
+    # step 1: uniform (no prev), identical to random_walks
+    pick1 = (frontier.join(deg.withColumnRenamed("u", "cur"), "cur")
+             .select("walk_id", "cur",
+                     (portable_hash60(F.concat_ws(
+                         "\x1f", F.col("walk_id"), F.lit("1"),
+                         F.lit(salt))) % F.col("deg")).alias("idx")))
+    state = (pick1.join(nbr.withColumnRenamed("u", "cur"),
+                        ["cur", "idx"])
+             .select("walk_id", F.col("v").alias("cur"),
+                     F.col("cur").alias("prev")))
+    state = round_checkpoint(state, checkpoint_dir)
+    paths.append(state.select("walk_id", F.lit(1).alias("step"),
+                              F.col("cur").alias("node")))
+    flag = bidir.select(F.col("u").alias("prev"), F.col("v"),
+                        F.lit(True).alias("_adj"))
+    w_walk = Window.partitionBy("walk_id")
+    w_cum = w_walk.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    for t in range(2, walk_len + 1):
+        cand = (state.join(nbr.withColumnRenamed("u", "cur"), "cur")
+                .join(flag, ["prev", "v"], "left")
+                .withColumn(
+                    "wt",
+                    F.when(F.col("v") == F.col("prev"), w_return)
+                    .when(F.coalesce("_adj", F.lit(False)), w_common)
+                    .otherwise(w_far).cast("long")))
+        drawn = (cand
+                 .withColumn("cum", F.sum("wt").over(w_cum))
+                 .withColumn("tot", F.sum("wt").over(w_walk))
+                 .withColumn("r", portable_hash60(F.concat_ws(
+                     "\x1f", F.col("walk_id"), F.lit(str(t)),
+                     F.lit(salt))) % F.col("tot"))
+                 .where((F.col("r") < F.col("cum"))
+                        & (F.col("r") >= F.col("cum") - F.col("wt"))))
+        state = round_checkpoint(
+            drawn.select("walk_id", F.col("v").alias("cur"),
+                         F.col("cur").alias("prev")), checkpoint_dir)
+        paths.append(state.select("walk_id", F.lit(t).alias("step"),
+                                  F.col("cur").alias("node")))
+    result = paths[0]
+    for p in paths[1:]:
+        result = result.unionByName(p)
+    result = result.localCheckpoint()
+    for h in (bidir, nbr, deg):
+        h.unpersist()
+    return result
+
+
+def node2vec_walks_py(edges, walk_len=5, walks_per_node=1,
+                      w_return=250, w_common=1000, w_far=500,
+                      salt=WALK_SALT):
+    """Pure-Python twin of :func:`node2vec_walks`."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = []
+    for u in sorted(adj):
+        for i in range(walks_per_node):
+            wid = f"{u}#{i}"
+            cur, prev = u, None
+            out.append((wid, 0, cur))
+            for t in range(1, walk_len + 1):
+                ns = sorted(adj[cur])
+                if t == 1:
+                    nxt = ns[h60("\x1f".join((wid, "1", salt)))
+                             % len(ns)]
+                else:
+                    wts = [w_return if v == prev
+                           else w_common if v in adj.get(prev, ())
+                           else w_far for v in ns]
+                    r = h60("\x1f".join((wid, str(t), salt))) % sum(wts)
+                    cum = 0
+                    for v, w in zip(ns, wts):
+                        cum += w
+                        if r < cum:
+                            nxt = v
+                            break
+                out.append((wid, t, nxt))
+                cur, prev = nxt, cur
+    return out
+
+
+def node2vec_walks_oracle_sql(edges_cte: str, walk_len: int,
+                              walks_per_node: int = 1,
+                              w_return: int = 250, w_common: int = 1000,
+                              w_far: int = 500,
+                              salt: str = WALK_SALT) -> str:
+    """DuckDB twin of :func:`node2vec_walks` (one unrolled CTE chain
+    per step: candidates → distance classification → dst-ordered
+    cumulative draw; multi-referenced tables MATERIALIZED)."""
+    h = (f"cast(concat('0x', substr(md5(walk_id || chr(31) || '{{t}}' "
+         f"|| chr(31) || '{salt}'), 1, 15)) as bigint)")
+    sql = [
+        f"with base as ({edges_cte}),",
+        "e as materialized (select distinct least(a, b) as a, "
+        "greatest(a, b) as b from base "
+        "where a is not null and b is not null and a <> b),",
+        "bidir as materialized (select a as u, b as v from e "
+        "union all select b as u, a as v from e),",
+        "nbr as materialized (select u, v, "
+        "row_number() over (partition by u order by v) - 1 as idx "
+        "from bidir),",
+        "deg as materialized (select u, count(*) as deg from nbr "
+        "group by u),",
+        "s0 as materialized (select u || '#' || cast(i as varchar) "
+        "as walk_id, u as cur from deg cross join "
+        f"(select unnest(range({walks_per_node})) as i)),",
+        # step 1: uniform
+        "s1 as materialized (select s0.walk_id, nbr.v as cur, "
+        "s0.cur as prev from s0 join deg on deg.u = s0.cur "
+        "join nbr on nbr.u = s0.cur and nbr.idx = "
+        f"({h.format(t=1)}) % deg.deg),",
+    ]
+    for t in range(2, walk_len + 1):
+        p, c = f"s{t - 1}", f"s{t}"
+        draw = h.format(t=t)
+        sql.append(f"""
+c{t} as materialized (
+  select {p}.walk_id, {p}.cur, {p}.prev, nbr.v,
+         case when nbr.v = {p}.prev then {w_return}
+              when exists (select 1 from bidir b
+                           where b.u = {p}.prev and b.v = nbr.v)
+              then {w_common} else {w_far} end as wt
+  from {p} join nbr on nbr.u = {p}.cur
+),
+{c} as materialized (
+  select walk_id, v as cur, cur as prev from (
+    select walk_id, cur, v, wt,
+           sum(wt) over (partition by walk_id order by v
+                         rows between unbounded preceding
+                         and current row) as cum,
+           sum(wt) over (partition by walk_id) as tot
+    from c{t}) d
+  where ({draw}) % tot < cum and ({draw}) % tot >= cum - wt
+),""")
+    steps = ["select walk_id, 0 as step, cur as node from s0"]
+    steps += [f"select walk_id, {t} as step, cur as node from s{t}"
+              for t in range(1, walk_len + 1)]
+    body = "\n".join(sql).rstrip(",")
+    return body + "\n" + "\nunion all\n".join(steps)

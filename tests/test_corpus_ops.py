@@ -1242,3 +1242,58 @@ def test_clustering_coefficient_plan_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     dedup.release(out)
+
+
+def test_node2vec_matches_python_twin(spark):
+    from cow_spark.operators.graphrank import (
+        node2vec_walks, node2vec_walks_py)
+
+    edges = ([(f"n{(i * 5) % 13}", f"n{(i * 7 + 3) % 13}")
+              for i in range(30)]
+             + [("a", "b"), ("b", "c"), ("c", "a"),
+                (None, "x"), ("z", "z")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted((r["walk_id"], r["step"], r["node"]) for r in
+                 node2vec_walks(df, walk_len=4, walks_per_node=2)
+                 .collect())
+    assert got == sorted(node2vec_walks_py(edges, walk_len=4,
+                                           walks_per_node=2))
+
+
+def test_node2vec_walks_are_paths_and_bias_works(spark):
+    """Every consecutive (step, step+1) pair is a real edge; an
+    overwhelming return weight makes every walk ping-pong."""
+    from cow_spark.operators.graphrank import (
+        node2vec_walks, node2vec_walks_py)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = node2vec_walks(df, walk_len=3).collect()
+    by_walk: dict = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    eset = {frozenset(e) for e in edges}
+    for steps in by_walk.values():
+        assert set(steps) == {0, 1, 2, 3}
+        for t in range(3):
+            assert frozenset((steps[t], steps[t + 1])) in eset
+    pp = node2vec_walks_py(edges, walk_len=2,
+                           w_return=10 ** 9, w_common=1, w_far=1)
+    by: dict = {}
+    for wid, t, v in pp:
+        by.setdefault(wid, {})[t] = v
+    assert all(d[2] == d[0] for d in by.values())
+
+
+def test_node2vec_validation(spark):
+    import pytest as _pt
+
+    from cow_spark.operators.graphrank import node2vec_walks
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError):
+        node2vec_walks(df, walk_len=0)
+    with _pt.raises(ValueError, match="integer"):
+        node2vec_walks(df, w_return=0)
+    with _pt.raises(ValueError, match="integer"):
+        node2vec_walks(df, w_far=0.5)
