@@ -5202,6 +5202,64 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation (plans/validate.py:shape_report) over a
+    doc KG engineered to violate every constraint kind: docs %7 lack
+    the required source (min_count), docs %5 carry two (max_count),
+    odd docs' n_chars literal is untyped (datatype) — one broadcast
+    shape table, one corpus aggregate, violations only."""
+    from cow_spark.model import QUAD_SCHEMA  # noqa: F401 (schema doc)
+    from cow_spark.plans.validate import shape_report
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    null_s = F.lit(None).cast("string")
+    d_iri = F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+
+    def q(cond, p, o_kind, o_lex, o_dt):
+        return docs.where(cond).select(
+            null_s.alias("g"), d_iri.alias("s"), F.lit(p).alias("p"),
+            F.lit(o_kind).alias("o_kind"), o_lex.alias("o_lex"),
+            o_dt.alias("o_dt"), null_s.alias("o_lang"))
+
+    t = F.lit(True)
+    quads = (
+        q(t, _RDF_TYPE, "iri", F.lit(f"{_ENT_V}/Document"), null_s)
+        .unionByName(q(F.col("doc_id") % 7 != 0, f"{_ENT_V}/hasSource",
+                       "iri", F.concat(F.lit(f"{BASE}/source/"),
+                                       F.col("source")), null_s))
+        .unionByName(q((F.col("doc_id") % 5 == 0)
+                       & (F.col("doc_id") % 7 != 0),
+                       f"{_ENT_V}/hasSource", "iri",
+                       F.lit(f"{BASE}/source/extra"), null_s))
+        .unionByName(q(t, f"{_ENT_V}/n_chars", "lit",
+                       F.col("n_chars").cast("string"),
+                       F.when(F.col("doc_id") % 2 == 0,
+                              F.lit(XSD_INT)).otherwise(null_s))))
+    return shape_report(quads, [
+        {"target_class": f"{_ENT_V}/Document",
+         "property": f"{_ENT_V}/hasSource",
+         "min_count": 1, "max_count": 1, "node_kind": "iri"},
+        {"target_class": f"{_ENT_V}/Document",
+         "property": f"{_ENT_V}/n_chars",
+         "min_count": 1, "datatype": XSD_INT},
+    ])
+
+
+_SQL_SHAPE_REPORT = f"""
+with d as (select cast(doc_id as bigint) as i from documents)
+select 0 as shape_idx, '{BASE}/' || cast(i as varchar) as focus,
+       'min_count' as constraint, '0' as actual
+from d where i % 7 = 0
+union all
+select 0, '{BASE}/' || cast(i as varchar), 'max_count', '2'
+from d where i % 5 = 0 and i % 7 <> 0
+union all
+select 1, '{BASE}/' || cast(i as varchar), 'datatype', '1'
+from d where i % 2 = 1
+"""
+
+
 def q_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sliding-window aggregation (F.window, 1-day windows
     sliding 6 hours): every event lands in exactly size/slide = 4
@@ -5751,6 +5809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "time_windows": q_time_windows,
         "node2vec_walks": q_node2vec_walks,
+        "shape_report": q_shape_report,
     }
 
 
@@ -5869,4 +5928,5 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": _sql_clustering_coefficient(),
         "time_windows": _SQL_TIME_WINDOWS,
         "node2vec_walks": _sql_node2vec_walks(),
+        "shape_report": _SQL_SHAPE_REPORT,
     }

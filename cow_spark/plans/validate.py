@@ -140,3 +140,111 @@ def integrity_report(
         .select(F.lit("dangling-reference").alias("check"),
                 "p", "node", "n"))
     return violations.unionByName(dangling)
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_SHAPE_KEYS = {"target_class", "property", "min_count", "max_count",
+               "datatype", "node_kind"}
+
+
+def shape_report(quads: DataFrame, shapes: list[dict]) -> DataFrame:
+    """SHACL-lite shape validation — the declarative publish gate the
+    W3C shapes stack provides, re-expressed as joins/aggregates. Each
+    shape is a dict: ``target_class`` (focus = every subject typed
+    with it), ``property``, and any of ``min_count`` (default 0),
+    ``max_count`` (None = unbounded), ``datatype`` (required ``o_dt``
+    on literal objects), ``node_kind`` (``'iri'``/``'lit'``).
+
+    Returns one row PER VIOLATED CONSTRAINT:
+    ``(shape_idx, focus, constraint, actual)`` with ``constraint`` in
+    ``min_count | max_count | datatype | node_kind`` and ``actual``
+    the offending value rendered as a string (the count, or the number
+    of offending triples). Conforming focus nodes emit nothing; an
+    empty result is a pass.
+
+    Plan shape: the shape list is a broadcast literal table; focus
+    selection is one join of the type triples against it, the
+    constraint stats are ONE aggregate over (shape, focus) of the
+    property triples (corpus filtered by the broadcast join on ``p``
+    first, then semi-joined to focus), and min_count=0-vs-missing is a
+    left join from the focus side. No shape-count-many passes over the
+    corpus.
+    """
+    if not shapes:
+        raise ValueError("shape_report: empty shape list")
+    for i, sh in enumerate(shapes):
+        unknown = set(sh) - _SHAPE_KEYS
+        if unknown or "target_class" not in sh or "property" not in sh:
+            raise ValueError(
+                f"shape {i}: needs target_class+property, unknown keys "
+                f"{sorted(unknown)}")
+        if sh.get("node_kind") not in (None, "iri", "lit"):
+            raise ValueError(f"shape {i}: node_kind must be iri|lit")
+    spark = quads.sparkSession
+    shape_df = spark.createDataFrame(
+        [(i, sh["target_class"], sh["property"],
+          int(sh.get("min_count", 0) or 0), sh.get("max_count"),
+          sh.get("datatype"), sh.get("node_kind"))
+         for i, sh in enumerate(shapes)],
+        "shape_idx int, target_class string, property string, "
+        "min_count int, max_count int, datatype string, "
+        "node_kind string")
+
+    focus = (quads.where((F.col("p") == _RDF_TYPE)
+                         & (F.col("o_kind") == "iri"))
+             .select(F.col("s").alias("focus"),
+                     F.col("o_lex").alias("target_class"))
+             .dropDuplicates()
+             .join(F.broadcast(shape_df), "target_class")
+             .select("shape_idx", "focus", "min_count", "max_count"))
+
+    vals = (quads.join(
+        F.broadcast(shape_df.select("shape_idx",
+                                    F.col("property").alias("p"),
+                                    "datatype", "node_kind")), "p")
+        .select("shape_idx", F.col("s").alias("focus"),
+                "o_kind", "o_dt", "datatype", "node_kind"))
+    stats = (vals.groupBy("shape_idx", "focus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(
+            F.col("datatype").isNotNull()
+            & ((F.col("o_kind") != "lit")
+               | ~F.col("o_dt").eqNullSafe(F.col("datatype"))),
+            1).otherwise(0)).alias("n_bad_dt"),
+        F.sum(F.when(
+            F.col("node_kind").isNotNull()
+            & (F.col("o_kind") != F.col("node_kind")),
+            1).otherwise(0)).alias("n_bad_kind")))
+
+    j = (focus.join(stats, ["shape_idx", "focus"], "left")
+         .select("shape_idx", "focus", "min_count", "max_count",
+                 F.coalesce("n", F.lit(0)).alias("n"),
+                 F.coalesce("n_bad_dt", F.lit(0)).alias("n_bad_dt"),
+                 F.coalesce("n_bad_kind", F.lit(0)).alias("n_bad_kind")))
+    null_v = F.lit(None).cast("string")
+    # sentinel NULL-field structs keep the array type uniform; the
+    # post-explode filter drops them
+    viol = F.array(
+        F.when(F.col("n") < F.col("min_count"), F.struct(
+            F.lit("min_count").alias("constraint"),
+            F.col("n").cast("string").alias("actual"))).otherwise(
+            F.struct(null_v.alias("constraint"), null_v.alias("actual"))),
+        F.when(F.col("max_count").isNotNull()
+               & (F.col("n") > F.col("max_count")), F.struct(
+            F.lit("max_count").alias("constraint"),
+            F.col("n").cast("string").alias("actual"))).otherwise(
+            F.struct(null_v.alias("constraint"), null_v.alias("actual"))),
+        F.when(F.col("n_bad_dt") > 0, F.struct(
+            F.lit("datatype").alias("constraint"),
+            F.col("n_bad_dt").cast("string").alias("actual"))).otherwise(
+            F.struct(null_v.alias("constraint"), null_v.alias("actual"))),
+        F.when(F.col("n_bad_kind") > 0, F.struct(
+            F.lit("node_kind").alias("constraint"),
+            F.col("n_bad_kind").cast("string").alias("actual"))).otherwise(
+            F.struct(null_v.alias("constraint"), null_v.alias("actual"))),
+    )
+    return (j.select("shape_idx", "focus", F.explode(viol).alias("v"))
+            .where(F.col("v.constraint").isNotNull())
+            .select("shape_idx", "focus",
+                    F.col("v.constraint").alias("constraint"),
+                    F.col("v.actual").alias("actual")))

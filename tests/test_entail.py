@@ -156,3 +156,77 @@ def test_match_bgp_graph_validation(spark):
     # graph var repeated as a pattern var: per-pattern equality filter
     same = match_bgp(quads, [("?x", E + "p", "?v")], graph="?x")
     assert same.count() == 0  # g != s in the fixture
+
+
+# ---------------------------------------------------------------------------
+# SHACL-lite shape validation (plans/validate.py:shape_report)
+# ---------------------------------------------------------------------------
+
+
+def test_shape_report_all_constraint_kinds(spark):
+    from cow_spark.plans.validate import _RDF_TYPE as T
+    from cow_spark.plans.validate import shape_report
+
+    X = "http://www.w3.org/2001/XMLSchema#integer"
+    schema = ("g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+    quads = spark.createDataFrame([
+        (None, "d1", T, "iri", "c:Doc", None, None),
+        (None, "d1", "p:src", "iri", "s:a", None, None),
+        (None, "d1", "p:n", "lit", "5", X, None),
+        (None, "d2", T, "iri", "c:Doc", None, None),
+        (None, "d2", "p:src", "iri", "s:a", None, None),
+        (None, "d2", "p:src", "iri", "s:b", None, None),
+        (None, "d2", "p:n", "lit", "7", None, None),
+        (None, "d3", T, "iri", "c:Doc", None, None),
+        (None, "d3", "p:n", "lit", "x", "other", None),
+        (None, "d4", T, "iri", "c:Other", None, None),  # not a focus
+        (None, "d4", "p:n", "lit", "bad", None, None),
+        (None, "d5", T, "iri", "c:Doc", None, None),
+        (None, "d5", "p:src", "lit", "not-iri", None, None),
+        (None, "d5", "p:n", "lit", "9", X, None),
+    ], schema)
+    shapes = [
+        {"target_class": "c:Doc", "property": "p:src",
+         "min_count": 1, "max_count": 1, "node_kind": "iri"},
+        {"target_class": "c:Doc", "property": "p:n",
+         "min_count": 1, "datatype": X},
+    ]
+    got = sorted(tuple(r) for r in shape_report(quads, shapes).collect())
+    assert got == sorted([
+        (0, "d2", "max_count", "2"),
+        (0, "d3", "min_count", "0"),
+        (0, "d5", "node_kind", "1"),
+        (1, "d2", "datatype", "1"),
+        (1, "d3", "datatype", "1"),
+    ])
+    # a conforming KG is an empty report
+    ok = [q for q in quads.collect()
+          if q["s"] == "d1"]
+    clean = spark.createDataFrame(ok, schema)
+    assert shape_report(clean, shapes).count() == 0
+
+
+def test_shape_report_validation_and_plan(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.validate import _RDF_TYPE as T
+    from cow_spark.plans.validate import shape_report
+
+    quads = spark.createDataFrame(
+        [(None, "d", T, "iri", "c:C", None, None)],
+        "g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+    with _pt.raises(ValueError, match="empty shape"):
+        shape_report(quads, [])
+    with _pt.raises(ValueError, match="unknown keys"):
+        shape_report(quads, [{"target_class": "c", "property": "p",
+                              "min": 1}])
+    with _pt.raises(ValueError, match="node_kind"):
+        shape_report(quads, [{"target_class": "c", "property": "p",
+                              "node_kind": "blank"}])
+    out = shape_report(quads, [{"target_class": "c:C", "property": "p:x",
+                                "min_count": 1}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -314,3 +314,31 @@ def test_hist_sketch_bounded_and_jvm_only(spark):
     qplan = (hist_quantiles(sk)._jdf.queryExecution()
              .executedPlan().toString())
     assert "BatchEvalPython" not in qplan and "ArrowEvalPython" not in qplan
+
+
+def test_hist_build_as_streaming_aggregation(spark, tmp_path):
+    """hist_build is one groupBy/count, so it runs unchanged as a
+    Structured Streaming stateful aggregation — complete-mode bucket
+    table over a file stream equals the batch sketch (state is the
+    log-bounded bucket set, not the value set)."""
+    from cow_spark.functions.sketch import hist_build
+
+    src = str(tmp_path / "landing")
+    batch = spark.range(6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") % 211) * 0.93 - 40).alias("v"))
+    batch.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("g string, v double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (hist_build(stream, "v", ("g",))
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("hist_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["g"], r["bucket"]): r["c"]
+           for r in spark.table("hist_stream").collect()}
+    want = {(r["g"], r["bucket"]): r["c"]
+            for r in hist_build(batch, "v", ("g",)).collect()}
+    assert got == want
