@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--functional-preds", default="",
                     help="comma-separated predicate IRIs declared "
                          "functional for the structural gate")
+    ap.add_argument("--shapes", default="",
+                    help="path to a JSON list of SHACL-lite shape dicts "
+                         "(plans/validate.py:shape_report); violations "
+                         "fail the --qa-gate")
     ap.add_argument("--demo", action="store_true",
                     help="run on synthetic transcripts with the full spec")
     args = ap.parse_args()
@@ -126,16 +130,27 @@ def main() -> None:
             F.col("check") == "functional-violation").count()
         dang_n = report.where(
             F.col("check") == "dangling-reference").count()
+        shape_n = 0
+        if args.shapes:
+            import json
+
+            from cow_spark.plans.validate import shape_report
+
+            with open(args.shapes) as fh:
+                shapes = json.load(fh)
+            shape_n = shape_report(quads, shapes).count()
         # dangling internal references are a TRIAGE list (a mapping may
         # deliberately never describe some linked node); the gate fails
-        # on the two hard classes only
+        # on the hard classes only
         print(f"qa gate: invalid literals={lex}, functional "
-              f"violations={func_n}, dangling internal refs={dang_n}")
-        if args.qa_gate and (lex or func_n):
+              f"violations={func_n}, dangling internal refs={dang_n}, "
+              f"shape violations={shape_n}")
+        if args.qa_gate and (lex or func_n or shape_n):
             raise SystemExit(
                 f"QA gate failed: {lex} invalid literals, "
-                f"{func_n} functional violations — inspect with "
-                "validate_typed_literals / integrity_report")
+                f"{func_n} functional violations, {shape_n} shape "
+                "violations — inspect with validate_typed_literals / "
+                "integrity_report / shape_report")
 
     n = quads.count()
     print(f"quads written: {n} → {quad_path}")
