@@ -220,3 +220,38 @@ def test_clustering_coefficient_matches_twin_on_random_graphs(spark, pairs):
            for r in out.collect()}
     dedup.release(out)
     assert got == clustering_coefficient_py(edges)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["sco", "spo", "dom", "rng"]),
+                       st.integers(0, 5), st.integers(0, 5)),
+             min_size=0, max_size=10),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 4),
+                       st.booleans()),
+             min_size=1, max_size=12),
+)
+def test_rdfs_closure_matches_fixed_point_on_random_kgs(
+        spark, schema_edges, inst):
+    """Random ρdf schemas (incl. cycles, diamonds, properties that are
+    also classes) + random instance triples: the one-pass Spark closure
+    must equal the naive fixed-point twin."""
+    from cow_spark.model import QUAD_SCHEMA
+    from cow_spark.plans.entail import (
+        RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+        rdfs_closure, rdfs_closure_py)
+
+    preds = {"sco": RDFS_SUBCLASS, "spo": RDFS_SUBPROP,
+             "dom": RDFS_DOMAIN, "rng": RDFS_RANGE}
+    quads = [("g", ("c" if k == "sco" else "p") + str(a), preds[k],
+              "iri", ("p" if k == "spo" else "c") + str(b), None, None)
+             for k, a, b in schema_edges]
+    quads += [
+        ("g", f"x{i}", RDF_TYPE, "iri", f"c{i % 6}", None, None)
+        if p == 4 else
+        ("g", f"x{i}", f"p{p}", "iri" if is_iri else "lit",
+         f"y{i}" if is_iri else f"v{i}", None, None)
+        for i, p, is_iri in inst]
+    df = spark.createDataFrame(quads, QUAD_SCHEMA)
+    got = {tuple(r) for r in rdfs_closure(df).collect()}
+    assert got == rdfs_closure_py(quads)
