@@ -5202,6 +5202,68 @@ from est1 e join ex using (metric, event_type)
 """
 
 
+def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE data card (plans/stats.py:cube_profile): every
+    (source, lang) grouping-set subtotal in ONE pass — Expand +
+    partial-agg shuffle, not 2^dims scans; grouping_id separates
+    subtotal rows from genuinely-NULL dimension values."""
+    from cow_spark.plans.stats import cube_profile
+
+    return cube_profile(_load(spark, sf_dir, "documents"))
+
+
+_SQL_CUBE_PROFILE = """
+select source, lang,
+       cast(grouping(source) * 2 + grouping(lang) as bigint) as gid,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(cast(n_chars as bigint)) as bigint) as v_sum
+from documents
+group by cube (source, lang)
+"""
+
+
+def q_entity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF property table (plans/stats.py:property_table): the docs KG
+    pivoted to one wide row per subject — fixed predicate list, absent
+    predicate = NULL (odd docs carry no lang triple), multi-valued
+    collapses by lexical MIN (docs %5 carry a second source value) —
+    the KG → ML-feature-table bridge, one subject shuffle."""
+    from cow_spark.plans.stats import property_table
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    null_s = F.lit(None).cast("string")
+    d_iri = F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+
+    def tri(cond, pred, o_col):
+        return docs.where(cond).select(
+            null_s.alias("g"), d_iri.alias("s"),
+            F.lit(f"{_ENT_V}/{pred}").alias("p"),
+            F.lit("lit").alias("o_kind"), o_col.alias("o_lex"),
+            null_s.alias("o_dt"), null_s.alias("o_lang"))
+
+    t = F.lit(True)
+    quads = (tri(t, "source", F.col("source"))
+             .unionByName(tri(F.col("doc_id") % 5 == 0, "source",
+                              F.lit("aaa-extra")))
+             .unionByName(tri(F.col("doc_id") % 2 == 0, "lang",
+                              F.col("lang")))
+             .unionByName(tri(t, "n_chars",
+                              F.col("n_chars").cast("string"))))
+    return property_table(quads, [f"{_ENT_V}/source", f"{_ENT_V}/lang",
+                                  f"{_ENT_V}/n_chars"])
+
+
+_SQL_ENTITY_PIVOT = f"""
+select '{BASE}/' || cast(doc_id as varchar) as s,
+       case when cast(doc_id as bigint) % 5 = 0
+            then least('aaa-extra', source) else source end as p0,
+       case when cast(doc_id as bigint) % 2 = 0 then lang end as p1,
+       cast(n_chars as varchar) as p2
+from documents
+"""
+
+
 def q_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-lite validation (plans/validate.py:shape_report) over a
     doc KG engineered to violate every constraint kind: docs %7 lack
@@ -5810,6 +5872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_windows": q_time_windows,
         "node2vec_walks": q_node2vec_walks,
         "shape_report": q_shape_report,
+        "cube_profile": q_cube_profile,
+        "entity_pivot": q_entity_pivot,
     }
 
 
@@ -5929,4 +5993,6 @@ def oracle_sql() -> dict[str, str]:
         "time_windows": _SQL_TIME_WINDOWS,
         "node2vec_walks": _sql_node2vec_walks(),
         "shape_report": _SQL_SHAPE_REPORT,
+        "cube_profile": _SQL_CUBE_PROFILE,
+        "entity_pivot": _SQL_ENTITY_PIVOT,
     }

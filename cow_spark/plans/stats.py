@@ -132,3 +132,48 @@ def source_report(
              .alias("n_quality_pass"),
              F.countDistinct("_fp").cast("long").alias("n_distinct_fp"))
     )
+
+
+def cube_profile(
+    docs: DataFrame,
+    dims: tuple[str, ...] = ("source", "lang"),
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """OLAP CUBE over the corpus dimensions — every grouping-set
+    subtotal (per source×lang, per source, per lang, grand total) in
+    ONE pass: Spark's ``cube`` compiles to an Expand (2^|dims| copies
+    map-side) + one partial-agg shuffle, not 2^|dims| scans. The
+    data-card rollup a corpus datasheet wants. NULL dimension values
+    are distinguished from subtotal rows by ``grouping_id`` (bit i set
+    = dims[i] rolled up), so a genuinely-NULL ``lang`` never collides
+    with the per-source subtotal."""
+    gid = F.grouping_id(*[F.col(d) for d in dims]).cast("long")
+    return (docs.cube(*dims)
+            .agg(gid.alias("gid"),
+                 F.count("*").alias("n_docs"),
+                 F.sum(F.col(value_col).cast("long")).alias("v_sum")))
+
+
+def property_table(
+    quads: DataFrame,
+    predicates: list[str],
+    agg: str = "min",
+) -> DataFrame:
+    """RDF property-table layout: pivot a quad table into one wide row
+    per subject with a column per predicate — the KG → feature-table
+    bridge ML consumers want (and the classic triple-store physical
+    layout). ``predicates`` is the FIXED column list (an unpinned
+    pivot would scan once just to discover columns); multi-valued
+    predicates collapse deterministically by ``agg`` (``min``/``max``
+    of the lexical form — order-free, engine-exact), absent ones are
+    NULL. One partial-agg shuffle on subject; the predicate filter
+    prunes the scan."""
+    if not predicates:
+        raise ValueError("property_table: empty predicate list")
+    if agg not in ("min", "max"):
+        raise ValueError(f"agg must be min|max, got {agg!r}")
+    fn = F.min if agg == "min" else F.max
+    aggs = [fn(F.when(F.col("p") == p, F.col("o_lex")))
+            .alias(f"p{i}") for i, p in enumerate(predicates)]
+    return quads.where(F.col("p").isin(list(predicates))) \
+        .groupBy(F.col("s")).agg(*aggs)

@@ -230,3 +230,57 @@ def test_shape_report_validation_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# OLAP cube profile + RDF property table (plans/stats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cube_profile_grouping_sets(spark):
+    from pyspark.sql import functions as F
+
+    from cow_spark.plans.stats import cube_profile
+
+    docs = spark.createDataFrame(
+        [("a", "en", 10), ("a", "de", 20), ("b", "en", 5),
+         ("b", None, 7)],  # genuine NULL lang, not a subtotal
+        "source string, lang string, n_chars int")
+    got = {(r["source"], r["lang"], r["gid"]): (r["n_docs"], r["v_sum"])
+           for r in cube_profile(docs).collect()}
+    # detail rows (gid 0), per-source (gid 1), per-lang (gid 2), grand (3)
+    assert got[("a", "en", 0)] == (1, 10)
+    assert got[("b", None, 0)] == (1, 7)      # genuine NULL, gid 0
+    assert got[("b", None, 1)] == (2, 12)     # source subtotal, gid 1
+    assert got[(None, "en", 2)] == (2, 15)
+    assert got[(None, None, 3)] == (4, 42)
+    assert len(got) == 4 + 2 + 3 + 1
+
+
+def test_property_table_pivot_semantics(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.stats import property_table
+
+    schema = ("g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+    quads = spark.createDataFrame([
+        (None, "d1", "p:a", "lit", "x", None, None),
+        (None, "d1", "p:b", "lit", "y", None, None),
+        (None, "d2", "p:a", "lit", "m", None, None),
+        (None, "d2", "p:a", "lit", "k", None, None),  # multi-valued
+        (None, "d2", "p:ignored", "lit", "z", None, None),
+    ], schema)
+    got = {r["s"]: (r["p0"], r["p1"]) for r in
+           property_table(quads, ["p:a", "p:b"]).collect()}
+    assert got == {"d1": ("x", "y"), "d2": ("k", None)}
+    got_max = {r["s"]: r["p0"] for r in
+               property_table(quads, ["p:a"], agg="max").collect()}
+    assert got_max["d2"] == "m"
+    with _pt.raises(ValueError):
+        property_table(quads, [])
+    with _pt.raises(ValueError):
+        property_table(quads, ["p:a"], agg="first")
+    plan = property_table(quads, ["p:a"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
