@@ -5734,6 +5734,134 @@ group by event_type
 """
 
 
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (graphrank.py:shortest_paths):
+    every node within 4 undirected hops of the multiple-of-451 order
+    nodes, labeled with its exact minimum distance — BFS layering makes
+    min-dist free (first reach wins via the anti-join), per round one
+    frontier-sized join + anti-join, early exit on an empty frontier."""
+    from cow_spark.operators.graphrank import shortest_paths
+
+    li = _load(spark, sf_dir, "lineitem")
+    seeds = li.where(F.col("l_orderkey") % 451 == 0).select(
+        F.concat(F.lit("o"),
+                 F.col("l_orderkey").cast("string")).alias("node")
+    ).distinct()
+    return shortest_paths(_cc_edges(spark, sf_dir), seeds, max_hops=4)
+
+
+def _sql_shortest_paths() -> str:
+    from cow_spark.operators.graphrank import shortest_paths_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    seeds = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as node "
+        "from lineitem where l_orderkey % 451 = 0"
+    )
+    return shortest_paths_oracle_sql(edges, seeds, max_hops=4)
+
+
+def q_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance (canon.py:incremental_components):
+    existing labels over the %41 order-part graph, then a %43 edge
+    batch merged in O(batch) — CC re-runs only on the delta-bounded
+    LABEL graph, the corpus-scale labels table is scanned once and
+    shuffled never. Oracle is from-scratch CC over the union graph:
+    equality IS the correctness claim."""
+    from cow_spark.operators.canon import (connected_components,
+                                           incremental_components)
+
+    li = _load(spark, sf_dir, "lineitem")
+
+    def edges(mod: int) -> DataFrame:
+        return (li.where(F.col("l_orderkey") % mod == 0).select(
+            F.concat(F.lit("o"),
+                     F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"),
+                     F.col("l_partkey").cast("string")).alias("dst"))
+            .distinct())
+
+    labels = connected_components(edges(41))
+    return incremental_components(labels, edges(43),
+                                  local_threshold=100_000)
+
+
+_SQL_INCREMENTAL_CANON = """
+with recursive base as (
+  select distinct 'o' || cast(l_orderkey as varchar) as src,
+                  'p' || cast(l_partkey as varchar) as dst
+  from lineitem where l_orderkey % 41 = 0 or l_orderkey % 43 = 0
+),
+e as (select src, dst from base union select dst, src from base),
+r(node, label) as (
+  select src as node, src as label from e
+  union
+  select e.dst as node, r.label
+  from e join r on e.src = r.node
+  where r.label < e.dst
+)
+select node, min(label) as component from r group by node
+"""
+
+
+def q_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (bgp.py:minus_bgp): docs-with-a-lang bindings minus
+    the group { ?doc :source "src7" } — removal by compatible solution
+    on the shared ?doc, one hash anti-join (the semantics that differs
+    from NOT EXISTS exactly where SPARQL 1.1 §8.3 says it does;
+    the disjoint-domain remove-nothing case is pinned by pytest)."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import match_bgp, minus_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    bindings = match_bgp(quads, [("?doc", f"{BASE}/vocab/lang", "?l")])
+    return minus_bgp(bindings, quads,
+                     [("?doc", f"{BASE}/vocab/source", "src7")])
+
+
+def _sql_bgp_minus() -> str:
+    # default-spec emission (P2): lang/source triples exist only for
+    # non-empty cells, so MINUS removes exactly the source='src7' docs
+    return f"""
+select '{BASE}/' || cast(doc_id as varchar) as doc, lang as l
+from documents
+where length(coalesce(lang, '')) > 0
+  and coalesce(source, '') <> 'src7'
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (functions/zorder.py:zvalue): Morton
+    interleave of (o_custkey, floor(o_totalprice)) 10-bit lanes — the
+    multi-dimensional file-skipping sort key (every participating
+    dimension gets tight per-file min/max, unlike a single-key sort).
+    Pure integer bit arithmetic, zero shuffle; the layout writer
+    (write_zordered) range-partitions on this key at sink time."""
+    from cow_spark.functions.zorder import zvalue
+
+    o = _load(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).cast("long")
+    y = F.floor(F.col("o_totalprice")).cast("long") % 1024
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        zvalue([x, y], bits=10).alias("zkey"))
+
+
+def _sql_zorder_layout() -> str:
+    from cow_spark.functions.zorder import zvalue_sql
+
+    z = zvalue_sql(["o_custkey % 1024",
+                    "cast(floor(o_totalprice) as bigint) % 1024"],
+                   bits=10)
+    return f"select o_orderkey, {z} as zkey from orders"
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5748,8 +5876,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND 4: rotate the r3-continuation tail (bpe_segment,
     # quantile_sketch, link_prediction, rdfs_closure, khop_sample,
     # quads_merge, personalized_pagerank, streaming_kg, graph_query,
-    # clustering_coefficient) into the window — they have local
-    # value-exact evidence at sf0.001/0.01/0.1 but no driver row yet.
+    # clustering_coefficient, time_windows, node2vec_walks,
+    # shape_report, cube_profile, entity_pivot, shortest_paths,
+    # incremental_canon, bgp_minus, zorder_layout) into the window —
+    # they have local value-exact evidence at sf0.001/0.01/0.1 but no
+    # driver row yet.
     return {
         "hll_profile": q_hll_profile,
         "kcore": q_kcore,
@@ -5874,6 +6005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_report": q_shape_report,
         "cube_profile": q_cube_profile,
         "entity_pivot": q_entity_pivot,
+        "shortest_paths": q_shortest_paths,
+        "incremental_canon": q_incremental_canon,
+        "bgp_minus": q_bgp_minus,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -5995,4 +6130,8 @@ def oracle_sql() -> dict[str, str]:
         "shape_report": _SQL_SHAPE_REPORT,
         "cube_profile": _SQL_CUBE_PROFILE,
         "entity_pivot": _SQL_ENTITY_PIVOT,
+        "shortest_paths": _sql_shortest_paths(),
+        "incremental_canon": _SQL_INCREMENTAL_CANON,
+        "bgp_minus": _sql_bgp_minus(),
+        "zorder_layout": _sql_zorder_layout(),
     }

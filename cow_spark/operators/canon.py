@@ -379,3 +379,68 @@ def rewrite_canonical(
         )
         out = out.unionByName(sameas)
     return out.dropDuplicates() if distinct else out
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    local_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Maintain a connected-components labeling under an edge batch
+    WITHOUT re-running CC over the full graph: the KG-maintenance path
+    for streaming/batched canonicalization (north_star's resumable
+    pipeline keeps a 10^12-edge mention graph labeled; each ingest batch
+    must merge in O(batch), not O(graph)).
+
+    ``labels``: the existing ``(node, component)`` assignment (component
+    = min node id, the :func:`connected_components` contract).
+    ``new_edges``: the delta ``(src, dst)``. Returns the updated
+    ``(node, component)`` for the union graph — provably equal to
+    ``connected_components(old_edges ∪ new_edges)`` because components
+    can only merge via a new edge, and a merged component's min node id
+    is the min of the merged parts' ids.
+
+    Shape: ONE hash join of the (bounded) endpoint set against
+    ``labels`` resolves each delta endpoint to its current label (unseen
+    nodes label themselves); CC then runs on the LABEL graph — at most
+    2·|delta| nodes, delta-sized by construction — and the resulting
+    merge map (old label → merged min) is delta-bounded, so the final
+    rewrite is a broadcast left join against the labels table. The full
+    corpus-scale labels table is scanned once and shuffled never.
+    """
+    e = symmetrize(new_edges)
+    ends = e.select(F.col("src").alias("node")).distinct()
+    # resolve delta endpoints to current labels (one join, delta-sized
+    # probe side against the big labels table)
+    lab = (ends.join(labels, "node", "left")
+           .select("node",
+                   F.coalesce(F.col("component"), F.col("node"))
+                   .alias("label"))
+           .persist())
+    # label-graph edges: delta edges re-keyed to labels
+    lsrc = lab.select(F.col("node").alias("src"),
+                      F.col("label").alias("ls"))
+    ldst = lab.select(F.col("node").alias("dst"),
+                      F.col("label").alias("ld"))
+    label_edges = (e.join(lsrc, "src").join(ldst, "dst")
+                   .select(F.col("ls").alias("src"),
+                           F.col("ld").alias("dst"))
+                   .where(F.col("src") != F.col("dst"))
+                   .distinct())
+    merged = connected_components(
+        label_edges, local_threshold=local_threshold,
+        checkpoint_dir=checkpoint_dir)
+    merge_map = merged.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_old"), F.col("component").alias("_new"))
+    # brand-new nodes (not in labels) enter as their own component first
+    fresh = (ends.join(labels.select("node"), "node", "left_anti")
+             .withColumn("component", F.col("node")))
+    out = (labels.unionByName(fresh)
+           .join(F.broadcast(merge_map),
+                 F.col("component") == F.col("_old"), "left")
+           .select("node",
+                   F.coalesce(F.col("_new"), F.col("component"))
+                   .alias("component")))
+    lab.unpersist()
+    return out

@@ -1401,3 +1401,133 @@ c{t} as materialized (
               for t in range(1, walk_len + 1)]
     body = "\n".join(sql).rstrip(",")
     return body + "\n" + "\nunion all\n".join(steps)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distance: ``(node, dist)`` for every node
+    reachable from ``seeds`` (a DataFrame with a ``node`` column) within
+    ``max_hops`` undirected hops; seeds themselves at dist 0. The KG
+    neighborhood-radius primitive (entity proximity for RAG context
+    ranking, blast-radius analysis for canonicalization merges) the
+    hop-labeled :func:`khop_sample` subgraph does not give you — khop
+    keeps sampled *edges* per round, this assigns every reached node its
+    *minimum* distance exactly.
+
+    BFS layering makes min-dist free: a node joins the frontier in
+    round r iff its distance IS r (the anti-join against the dist table
+    guarantees first-reach wins), so no per-node min aggregation is ever
+    re-run over the full reach set. Per round: one frontier×adjacency
+    equi-join + dedup + one anti-join — all frontier-sized; the full
+    edge list is scanned only through the persisted adjacency. Lineage
+    cut per round (:func:`~cow_spark.operators.canon.round_checkpoint`);
+    the per-round emptiness check is one count on frontier-sized data
+    and stops the loop as soon as the reachable set is exhausted, so
+    ``max_hops`` is a cap, not a fixed cost. Directed variant: pass a
+    pre-oriented edge list and set ``symmetric=False`` upstream by
+    giving ``edges`` already-symmetrized pairs — this function always
+    treats pairs as undirected (the mention-graph convention shared
+    with canon.py).
+
+    No reference counterpart (COW has no graph ops); extension family
+    SURVEY.md §2.9.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    adj = (e.select(F.explode(F.array(
+        F.struct(F.col("a").alias("w"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("w"), F.col("a").alias("v")),
+    )).alias("p")).select("p.w", "p.v")
+        .persist())
+
+    dist = round_checkpoint(
+        seeds.select(F.col("node").cast("string").alias("node"))
+        .dropDuplicates()
+        .withColumn("dist", F.lit(0)), checkpoint_dir)
+    frontier = dist.select("node")
+    try:
+        for r in range(1, max_hops + 1):
+            reached = (adj.join(
+                frontier.select(F.col("node").alias("w")), "w")
+                .select(F.col("v").alias("node")).dropDuplicates())
+            new = round_checkpoint(
+                reached.join(dist.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(r)), checkpoint_dir)
+            if new.isEmpty():
+                break
+            dist = round_checkpoint(
+                dist.unionByName(new), checkpoint_dir)
+            frontier = new.select("node")
+    finally:
+        adj.unpersist()
+    return dist
+
+
+def shortest_paths_py(edges, seed_nodes, max_hops: int = 6):
+    """Pure-Python twin of :func:`shortest_paths`."""
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in seed_nodes}
+    frontier = set(seed_nodes)
+    for r in range(1, max_hops + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ())
+               if v not in dist}
+        if not nxt:
+            break
+        for v in nxt:
+            dist[v] = r
+        frontier = nxt
+    return sorted(dist.items())
+
+
+def shortest_paths_oracle_sql(edges_cte: str, seeds_cte: str,
+                              max_hops: int = 6) -> str:
+    """DuckDB twin of :func:`shortest_paths` — unrolled frontier CTEs,
+    one per hop (multi-referenced tables MATERIALIZED, the DuckDB
+    inlining trap). ``edges_cte`` yields (a, b); ``seeds_cte`` yields
+    (node). The unroll runs all ``max_hops`` rounds (late frontiers are
+    just empty), so it matches the engine's early-exit output exactly."""
+    parts = [f"""
+with e0 as ({edges_cte}),
+e as (
+  select distinct least(a, b) as a, greatest(a, b) as b
+  from e0 where a is not null and b is not null and a <> b
+),
+adj as materialized (
+  select a as w, b as v from e union all select b as w, a as v from e
+),
+d0 as materialized (
+  select distinct cast(node as varchar) as node, 0 as dist
+  from ({seeds_cte})
+),
+f0 as materialized (select node from d0)"""]
+    for r in range(1, max_hops + 1):
+        parts.append(f"""f{r} as materialized (
+  select distinct a.v as node from adj a
+  join f{r - 1} f on a.w = f.node
+  where not exists (select 1 from d{r - 1} d where d.node = a.v)
+)""")
+        parts.append(f"""d{r} as materialized (
+  select node, dist from d{r - 1}
+  union all
+  select node, {r} as dist from f{r}
+)""")
+    return (",\n".join(parts)
+            + f"\nselect node, cast(dist as int) as dist from d{max_hops}")

@@ -516,3 +516,63 @@ def solution_modifiers(
         out = (out.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") > offset).drop("_rn"))
     return out
+
+
+def minus_bgp(
+    bindings: DataFrame,
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    namespaces: dict[str, str] | None = None,
+    graph: str | None = None,
+) -> DataFrame:
+    """SPARQL MINUS: remove every binding row for which the ``patterns``
+    group has a compatible solution sharing at least one bound variable.
+
+    This is the semantics that differs from FILTER NOT EXISTS
+    (``match_bgp(not_exists=...)``) exactly where SPARQL says it does:
+    a MINUS group sharing NO variable with the left bindings removes
+    NOTHING (domain intersection empty → incompatible by definition),
+    while NOT EXISTS would wipe the result wherever the group matches at
+    all. Spec: SPARQL 1.1 §8.3.
+
+    ``patterns`` is a plain conjunctive group (no OPTIONAL inside —
+    SPARQL allows it, this engine's MINUS does not), so every shared
+    variable is BOUND on the right side. Left rows may carry NULLs from
+    their own OPTIONALs; per the spec an unbound var is compatible with
+    anything and contributes nothing to the domain intersection.
+
+    Scale shape: rows with all shared vars bound — the corpus-scale
+    case — are removed with one hash LEFT ANTI join on the shared
+    columns against the deduplicated right projection. Rows with a NULL
+    in a shared var (only possible downstream of OPTIONAL) take a
+    conditional anti-join (nested-loop against the deduped right side);
+    that residue is OPTIONAL-miss-sized, never corpus-sized, and rows
+    with ALL shared vars NULL survive outright without joining.
+    """
+    right = match_bgp(quads, patterns, namespaces, graph=graph)
+    shared = [c for c in bindings.columns if c in right.columns]
+    if not shared:
+        return bindings
+    r = right.select(*shared).dropDuplicates()
+    all_bound = None
+    for v in shared:
+        c = F.col(v).isNotNull()
+        all_bound = c if all_bound is None else (all_bound & c)
+    solid = bindings.where(all_bound)
+    holey = bindings.where(~all_bound)
+    out = solid.join(r, shared, "left_anti")
+    # residue path: compatible = every shared var equal-or-left-NULL;
+    # removable only when at least one shared var is bound on the left.
+    # (The two branches each scan `bindings` — no CSE across a union;
+    # persist an expensive bindings pipeline before calling, as with
+    # union_bgp. The residue side is empty unless OPTIONAL ran upstream.)
+    rr = r.select(*[F.col(v).alias(f"_m_{v}") for v in shared])
+    compat = None
+    some_bound = None
+    for v in shared:
+        eq = (F.col(v) == F.col(f"_m_{v}")) | F.col(v).isNull()
+        compat = eq if compat is None else (compat & eq)
+        nb = F.col(v).isNotNull()
+        some_bound = nb if some_bound is None else (some_bound | nb)
+    survivors = holey.join(rr, compat & some_bound, "left_anti")
+    return out.unionByName(survivors)
