@@ -5862,6 +5862,30 @@ def _sql_zorder_layout() -> str:
     return f"select o_orderkey, {z} as zkey from orders"
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (graphrank.py:hyperball):
+    |ball(node, r)| estimates for r=0..3 over the order-part graph via
+    register-propagated HLL sketches — ONE register table refined for
+    all nodes simultaneously (per round an adjacency join + register
+    max groupBy bounded by |V|*m), where exact per-node balls are |V|
+    BFS runs; regs_t(v) IS the sketch of ball(v,t) by lossless merge,
+    and every estimate column replays bit-exactly in DuckDB."""
+    from cow_spark.operators.graphrank import hyperball
+
+    return hyperball(_cc_edges(spark, sf_dir), rounds=3, b=4)
+
+
+def _sql_hyperball() -> str:
+    from cow_spark.operators.graphrank import hyperball_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return hyperball_oracle_sql(edges, rounds=3, b=4)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6009,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_canon": q_incremental_canon,
         "bgp_minus": q_bgp_minus,
         "zorder_layout": q_zorder_layout,
+        "hyperball": q_hyperball,
     }
 
 
@@ -6134,4 +6159,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_canon": _SQL_INCREMENTAL_CANON,
         "bgp_minus": _sql_bgp_minus(),
         "zorder_layout": _sql_zorder_layout(),
+        "hyperball": _sql_hyperball(),
     }

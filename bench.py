@@ -79,6 +79,11 @@ HEADLINE = [
     "personalized_pagerank",
     "clustering_coefficient",
     "node2vec_walks",
+    "shortest_paths",
+    "incremental_canon",
+    "bgp_minus",
+    "zorder_layout",
+    "hyperball",
 ]
 
 

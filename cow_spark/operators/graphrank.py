@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash60
-from .canon import round_checkpoint
+from .canon import round_checkpoint, symmetrize
 
 SCALE = 1_000_000_000  # rank mass fixed-point scale
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
@@ -1531,3 +1531,202 @@ f0 as materialized (select node from d0)"""]
 )""")
     return (",\n".join(parts)
             + f"\nselect node, cast(dist as int) as dist from d{max_hops}")
+
+
+def hyperball(
+    edges: DataFrame,
+    rounds: int = 3,
+    b: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the per-node neighborhood
+    function — ``(node, radius, s_fp, est)`` estimating ``|ball(node,
+    radius)|`` for every radius 0..``rounds`` over the undirected graph
+    — via register-propagated HyperLogLog sketches.
+
+    Why this instead of per-node BFS: exact per-node ball sizes need
+    |V| BFS traversals (the all-pairs problem — dead at any scale),
+    while HyperBall keeps ONE register row set of at most |V|·m rows
+    and refines every node's sketch simultaneously: round t replaces
+    each node's registers with the register-wise max of its own and its
+    neighbors' (``hll_merge``), which makes regs_t(v) EXACTLY the HLL
+    sketch of ball(v, t) — merge(sketch(A), sketch(B)) == sketch(A∪B)
+    is lossless, so the estimates are bit-identical to sketching each
+    ball directly (pinned by the python twin). Neighborhood functions /
+    effective-diameter / closeness centrality at 100 TB all read off
+    this table.
+
+    Scale shape per round: one adjacency equi-join of the register
+    table (≤ |V|·m rows, m = 2^b) + one partial-aggregated max groupBy
+    — shuffle bounded by |V|·m whatever the edge count; per-round
+    lineage cut. Everything rides the portable md5 HLL
+    (:mod:`cow_spark.functions.sketch`), so a DuckDB replay reproduces
+    every register and estimate column bit-for-bit.
+
+    No reference counterpart (COW has no graph ops); extension family
+    SURVEY.md §2.9.
+    """
+    from ..functions.sketch import (HLL_SALT, hll_estimate, hll_merge,
+                                    hll_registers)
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if salt is None:
+        salt = HLL_SALT
+    e = symmetrize(
+        edges.select(F.col(src).cast("string").alias("src"),
+                     F.col(dst).cast("string").alias("dst")))
+    adj = e.select(F.col("src").alias("w"), F.col("dst").alias("v")).persist()
+    nodes = adj.select(F.col("w").alias("node")).dropDuplicates()
+    regs = round_checkpoint(
+        hll_registers(nodes, "node", ("node",), b=b, salt=salt),
+        checkpoint_dir)
+
+    def _est(r: int, t: DataFrame) -> DataFrame:
+        return hll_estimate(t, ("node",), b=b).select(
+            "node", F.lit(r).cast("int").alias("radius"), "s_fp", "est")
+
+    out = _est(0, regs)
+    try:
+        for t in range(1, rounds + 1):
+            nbr = (adj.join(regs.withColumnRenamed("node", "w"), "w")
+                   .select(F.col("v").alias("node"), "bucket", "r"))
+            regs = round_checkpoint(
+                hll_merge(regs.unionByName(nbr), ("node",)),
+                checkpoint_dir)
+            out = out.unionByName(_est(t, regs))
+        # force the per-round estimates while adj is alive (checkpointed
+        # regs keep them valid afterwards)
+        out = round_checkpoint(out, checkpoint_dir)
+    finally:
+        adj.unpersist()
+    return out
+
+
+def hyperball_closeness(nf: DataFrame) -> DataFrame:
+    """Collapse a :func:`hyperball` table to per-node centrality
+    ingredients: ``(node, n_reached, sum_dist)`` with ``n_reached`` the
+    ball estimate at the largest radius and ``sum_dist = Σ_t t ·
+    (est_t − est_{t−1})`` (closeness = (n_reached−1)/sum_dist in the
+    caller's preferred float convention; kept integer here so the twin
+    is exact). One window sort over ≤ rounds+1 rows per node."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("radius")
+    delta = F.col("est") - F.lag("est", 1, 0).over(w)
+    step = (F.when(F.col("radius") > 0, F.col("radius") * delta)
+            .otherwise(F.lit(0)))
+    return (nf.select("node", "radius", "est", step.alias("_s"))
+            .groupBy("node")
+            .agg(F.max_by("est", "radius").alias("n_reached"),
+                 F.sum("_s").alias("sum_dist")))
+
+
+def hyperball_py(edges, rounds: int = 3, b: int = 4,
+                 salt: str | None = None):
+    """Pure-Python twin of :func:`hyperball` — sketches each exact BFS
+    ball directly (the lossless-merge property under test)."""
+    from ..functions.sketch import HLL_SALT, hll_estimate_py, hll_py
+
+    if salt is None:
+        salt = HLL_SALT
+    adj: dict = {}
+    for a, c in edges:
+        if a is None or c is None or a == c:
+            continue
+        a, c = str(a), str(c)
+        adj.setdefault(a, set()).add(c)
+        adj.setdefault(c, set()).add(a)
+    rows = []
+    for node in adj:
+        ball = {node}
+        frontier = {node}
+        for r in range(rounds + 1):
+            if r:
+                frontier = {v for u in frontier for v in adj[u]} - ball
+                ball |= frontier
+            est = hll_estimate_py(hll_py(sorted(ball), b=b, salt=salt),
+                                  b=b)
+            rows.append((node, r, est["s_fp"], est["est"]))
+    return sorted(rows)
+
+
+def hyperball_oracle_sql(edges_cte: str, rounds: int = 3, b: int = 4,
+                         salt: str | None = None) -> str:
+    """DuckDB twin of :func:`hyperball`: unrolled register-propagation
+    rounds (MATERIALIZED — the inlining trap), one estimate block per
+    radius, identical md5 hash and estimator arithmetic as
+    ``_sql_hll_profile``. ``edges_cte`` yields (a, b)."""
+    from ..functions.intmath import log2_fp_sql
+    from ..functions.sketch import HLL_SALT, LN2_FP, S_BITS, _alpha
+
+    if salt is None:
+        salt = HLL_SALT
+    m = 1 << b
+    w1 = 60 - b + 1
+    c_raw = repr(_alpha(m) * (m * m) * float(2 ** S_BITS))
+    pow2 = "[" + ", ".join(str(2 ** i) for i in range(S_BITS + 1)) + "]"
+    lin_num = (f"({m} * ({b << 10} - "
+               f"{log2_fp_sql(f'{m} - n_regs')}) * {LN2_FP})")
+    parts = [f"""
+with e0 as ({edges_cte}),
+es as (
+  select a as src, b as dst from e0 union all select b, a from e0
+),
+e as materialized (
+  select distinct cast(src as varchar) as w, cast(dst as varchar) as v
+  from es where src is not null and dst is not null and src <> dst
+),
+n as (select distinct w as node from e),
+r0 as materialized (
+  select node,
+         h % {m} as bucket,
+         case when h // {m} = 0 then {w1}
+              else {w1} - length(bin(h // {m})) end as r
+  from (
+    select node,
+           cast(concat('0x', substr(md5(concat_ws(chr(31), node,
+                '{salt}')), 1, 15)) as bigint) as h
+    from n
+  )
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""r{t} as materialized (
+  select node, bucket, max(r) as r from (
+    select node, bucket, r from r{t - 1}
+    union all
+    select e.v as node, p.bucket, p.r
+    from e join r{t - 1} p on p.node = e.w
+  ) group by node, bucket
+)""")
+    for t in range(rounds + 1):
+        parts.append(f"""a{t} as (
+  select node, cast(count(*) as int) as n_regs,
+         cast(sum(case when r <= {S_BITS}
+              then ({pow2})[{S_BITS + 1} - r] else 0 end) as bigint)
+           as s_used
+  from r{t} group by node
+),
+x{t} as (
+  select node, {t} as radius, n_regs,
+         s_used + cast({m} - n_regs as bigint) * {2 ** S_BITS} as s_fp,
+         case when s_used + cast({m} - n_regs as bigint) * {2 ** S_BITS}
+                   > 0
+              then cast(floor({c_raw} / (s_used +
+                   cast({m} - n_regs as bigint) * {2 ** S_BITS}))
+                   as bigint) end as est_raw,
+         case when {m} - n_regs >= 1
+              then cast({lin_num} // {1024 * 1_000_000} as bigint)
+         end as est_linear
+  from a{t}
+)""")
+    sel = "\nunion all\n".join(
+        f"""select node, cast(radius as int) as radius, s_fp,
+       cast(case when {1 << b} - n_regs > 0
+                  and est_raw < {(5 * (1 << b)) // 2}
+            then est_linear else est_raw end as bigint) as est
+from x{t}""" for t in range(rounds + 1))
+    return ",\n".join(parts) + "\n" + sel

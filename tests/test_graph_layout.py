@@ -116,6 +116,57 @@ def test_incremental_chain_of_merges(spark):
 
 
 # ---------------------------------------------------------------------------
+# hyperball
+# ---------------------------------------------------------------------------
+
+def test_hyperball_matches_exact_ball_sketches(spark):
+    # register propagation == sketching each exact BFS ball directly
+    # (the lossless-merge invariant regs_t(v) == sketch(ball(v, t)))
+    from cow_spark.operators.graphrank import hyperball, hyperball_py
+
+    nf = hyperball(_edges(spark, _GRAPH), rounds=3, b=4)
+    got = sorted(tuple(r) for r in nf.collect())
+    assert got == [tuple(x) for x in hyperball_py(_GRAPH, rounds=3, b=4)]
+    # radius 0: every node's own ball is {node}, est exactly 1
+    assert all(r[3] == 1 for r in got if r[1] == 0)
+
+
+def test_hyperball_estimates_are_monotone_and_converge(spark):
+    from cow_spark.operators.graphrank import hyperball
+
+    # chain a-b-c-d-e plus island: ball sizes grow then saturate
+    nf = hyperball(_edges(spark, _GRAPH), rounds=6, b=6).collect()
+    by_node = {}
+    for r in nf:
+        by_node.setdefault(r["node"], {})[r["radius"]] = r["est"]
+    for node, ests in by_node.items():
+        seq = [ests[r] for r in sorted(ests)]
+        assert seq == sorted(seq), (node, seq)  # registers only grow
+    # island {x, y} saturates at its component
+    assert by_node["x"][6] == by_node["x"][1]
+
+
+def test_hyperball_closeness_orders_center_before_periphery(spark):
+    from cow_spark.operators.graphrank import (hyperball,
+                                               hyperball_closeness)
+
+    # path graph: m is the center, a/e the ends
+    path = [("a", "b"), ("b", "m"), ("m", "d"), ("d", "e")]
+    cl = {r["node"]: (r["n_reached"], r["sum_dist"])
+          for r in hyperball_closeness(
+              hyperball(_edges(spark, path), rounds=4, b=6)).collect()}
+    assert cl["m"][1] < cl["a"][1] and cl["m"][1] < cl["e"][1]
+    assert len({v[0] for v in cl.values()}) == 1  # all reach everyone
+
+
+def test_hyperball_rejects_zero_rounds(spark):
+    from cow_spark.operators.graphrank import hyperball
+
+    with pytest.raises(ValueError):
+        hyperball(_edges(spark, _GRAPH), rounds=0)
+
+
+# ---------------------------------------------------------------------------
 # minus_bgp
 # ---------------------------------------------------------------------------
 
