@@ -5862,6 +5862,46 @@ def _sql_zorder_layout() -> str:
     return f"select o_orderkey, {z} as zkey from orders"
 
 
+def q_path_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL path expressions (bgp.py:_expand_paths): one pattern
+    composing sequence (' / '), alternation ('|'), and inverse ('^')
+    over a mixed-edge doc tree (even ids attach by :under, odd by
+    :near) — ?a (under|near)/^under ?s binds every (node, under-child
+    of its parent) pair; the chain variable never reaches the schema.
+    Each step is a plain join Catalyst reorders like any conjunction."""
+    from cow_spark.plans.bgp import match_bgp
+
+    V = f"{BASE}/vocab/"
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    quads = docs.where(F.col("doc_id") >= 1).select(
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("s"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(V + "under"))
+        .otherwise(F.lit(V + "near")).alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit(f"{BASE}/"),
+                 (F.col("doc_id") / 2).cast("long").cast("string"))
+        .alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g"))
+    return match_bgp(
+        quads, [("?a", f"{V}under|{V}near / ^{V}under", "?sib")])
+
+
+_SQL_PATH_EXPR = f"""
+with e as (
+  select cast(doc_id as bigint) as n, cast(doc_id as bigint) // 2 as par,
+         cast(doc_id as bigint) % 2 = 0 as is_under
+  from documents where cast(doc_id as bigint) >= 1
+)
+select distinct '{BASE}/' || cast(a.n as varchar) as a,
+                '{BASE}/' || cast(s.n as varchar) as sib
+from e a join e s on a.par = s.par and s.is_under
+"""
+
+
 def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall neighborhood function (graphrank.py:hyperball):
     |ball(node, r)| estimates for r=0..3 over the order-part graph via
@@ -6034,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_minus": q_bgp_minus,
         "zorder_layout": q_zorder_layout,
         "hyperball": q_hyperball,
+        "path_expr": q_path_expr,
     }
 
 
@@ -6160,4 +6201,5 @@ def oracle_sql() -> dict[str, str]:
         "bgp_minus": _sql_bgp_minus(),
         "zorder_layout": _sql_zorder_layout(),
         "hyperball": _sql_hyperball(),
+        "path_expr": _SQL_PATH_EXPR,
     }

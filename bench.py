@@ -84,6 +84,7 @@ HEADLINE = [
     "bgp_minus",
     "zorder_layout",
     "hyperball",
+    "path_expr",
 ]
 
 

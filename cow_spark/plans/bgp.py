@@ -11,11 +11,16 @@ position in practice).
 
 Not full SPARQL, but the working core is here: OPTIONAL and FILTER NOT
 EXISTS (:func:`match_bgp`), FILTER (:func:`filter_bindings`), GROUP BY
-(:func:`aggregate_bindings`), CONSTRUCT (:func:`construct_quads`), and
-property-path-lite transitive closure (``canon.transitive_pairs``).
-No UNION/subqueries/full property paths — those are the triple-store's
-job. This covers the select-join-derive core that accounts for most KG
-lookups, at table scan speed.
+(:func:`aggregate_bindings`), CONSTRUCT (:func:`construct_quads`),
+UNION (:func:`union_bgp`), MINUS (:func:`minus_bgp`), and property
+paths: one-or-more closure ``p+`` (``canon.transitive_pairs``),
+sequence ``p1 / p2`` (space-slash-space — bare ``/`` is IRI body),
+alternation ``p1|p2``, and inverse ``^p``, composable per step
+(``^p+`` = closure of the inverse). Not supported: ``*``/``?``
+(zero-length path semantics), ``+`` over an alternation, negated
+property sets — documented deviations. This covers the
+select-join-derive core that accounts for most KG lookups, at table
+scan speed.
 """
 
 from __future__ import annotations
@@ -39,6 +44,75 @@ def _resolve(term: str, namespaces: dict[str, str] | None) -> str:
         if pfx in namespaces and not rest.startswith("//"):
             return namespaces[pfx] + rest
     return term
+
+
+#: sequence-step separator in predicate path expressions. IRIs contain
+#: bare '/' everywhere, so the separator is space-slash-space (the
+#: SPARQL textual form allows the whitespace); IRIs can never contain
+#: spaces, so the split is unambiguous.
+_SEQ_SEP = " / "
+_ALT_SPLIT = re.compile(r"(?<!\\)\|")
+
+
+def _expand_paths(patterns):
+    """Rewrite sequence (``p1 / p2``) and inverse (``^p``) path steps
+    into plain triple patterns chained through fresh internal variables
+    (``?__ppN`` — a reserved prefix, dropped from the result schema).
+
+    Sequence: ``(s, 'p1 / p2', o)`` → ``(s, p1, ?__pp0), (?__pp0, p2,
+    o)`` — the natural-join machinery evaluates the chain like any
+    other conjunction (Catalyst reorders/broadcasts it). Inverse flips
+    one step's endpoints: ``(s, '^p', o)`` → ``(o, p, s)``. Steps
+    compose: each sequence step may carry ``^`` and/or the existing
+    ``+`` closure (``^p+`` = closure of the inverse, by endpoint swap)
+    or an alternation (handled downstream as a predicate ``isin``).
+    """
+    out, n = [], 0
+    for s, p, o in patterns:
+        for t in (s, o):
+            if _is_var(t) and t.startswith("?__pp"):
+                raise ValueError(
+                    f"variable {t} uses the reserved internal-path "
+                    "prefix '?__pp'")
+        if not isinstance(p, str) or _is_var(p) or not (
+                _SEQ_SEP in p or p.startswith("^")):
+            out.append((s, p, o))
+            continue
+        steps = ([x.strip() for x in p.split(_SEQ_SEP)]
+                 if _SEQ_SEP in p else [p])
+        if any(not st or st == "^" for st in steps):
+            raise ValueError(f"empty step in property path {p!r}")
+        cur = s
+        for i, st in enumerate(steps):
+            if i < len(steps) - 1:
+                nxt = f"?__pp{n}"
+                n += 1
+            else:
+                nxt = o
+            if st.startswith("^"):
+                out.append((nxt, st[1:], cur))
+            else:
+                out.append((cur, st, nxt))
+            cur = nxt
+    return out
+
+
+def _alternates(p: str) -> list[str] | None:
+    """``p1|p2|p3`` predicate alternation → the unescaped alternate
+    list, or None when ``p`` is a single predicate. Raw ``|`` can never
+    appear in an IRI (it must be %-encoded), so the split is safe;
+    ``\\|`` escapes a genuinely weird one. ``+`` closure over an
+    alternation is rejected (close each alternate separately)."""
+    if not _ALT_SPLIT.search(p):
+        return None
+    alts = _ALT_SPLIT.split(p)
+    if any(not a for a in alts):
+        raise ValueError(f"empty alternate in predicate path {p!r}")
+    if any(a.endswith("+") and not a.endswith("\\+") for a in alts):
+        raise ValueError(
+            f"'+' closure over an alternation is not supported: {p!r} "
+            "(write each closed alternate as its own pattern)")
+    return [a.replace("\\|", "|").replace("\\+", "+") for a in alts]
 
 
 def _path_bindings(quads, s, p, o, namespaces):
@@ -129,6 +203,7 @@ def match_bgp(
     """
     if not patterns:
         raise ValueError("empty pattern list")
+    patterns = _expand_paths(patterns)
     gvar: str | None = None
     if graph is not None:
         if _is_var(graph):
@@ -148,7 +223,11 @@ def match_bgp(
     order = ([t for t in order if any(_is_var(x) for x in t)]
              + [t for t in order if not any(_is_var(x) for x in t)])
     for s, p, o in order:
-        if isinstance(p, str) and p.endswith("\\+"):
+        alts = (None if not isinstance(p, str) or _is_var(p)
+                else _alternates(p))
+        if alts is not None:
+            pass  # alternation: handled in the predicate branch below
+        elif isinstance(p, str) and p.endswith("\\+"):
             # escaped literal '+': the (rare but legal) IRI that really
             # ends in '+' — match it exactly, no path interpretation
             p = p[:-2] + "+"
@@ -193,6 +272,9 @@ def match_bgp(
             df = df.where(F.col("s") == _resolve(s, namespaces))
         if _is_var(p):
             bind("p", p)
+        elif alts is not None:
+            df = df.where(F.col("p").isin(
+                [_resolve(a, namespaces) for a in alts]))
         else:
             df = df.where(F.col("p") == _resolve(p, namespaces))
         if _is_var(o):
@@ -248,6 +330,19 @@ def match_bgp(
                 "write it as a required all-constant pattern instead")
         out = out.join(part.select(*shared).dropDuplicates(), shared,
                        "left_anti")
+    internal = [c for c in out.columns if c.startswith("__pp")]
+    if internal:
+        keep = [c for c in out.columns if c not in internal]
+        if not keep:
+            # every surviving column was an internal chain variable:
+            # an all-constant sequence — boolean existence result
+            return quads.sparkSession.range(
+                0 if out.limit(1).count() == 0 else 1
+            ).select(F.lit(True).alias("matched"))
+        # set semantics on the user-visible projection (each pattern's
+        # own projection was already deduplicated; removing the chain
+        # variables can re-collapse rows)
+        out = out.drop(*internal).dropDuplicates()
     return out
 
 

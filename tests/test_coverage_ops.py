@@ -559,6 +559,72 @@ def test_match_bgp_property_path(spark):
                      namespaces=ns).count() == 0
 
 
+def test_match_bgp_path_expressions(spark):
+    """Sequence (' / '), alternation ('|'), inverse ('^') path steps,
+    their compositions (^p+ = closure of the inverse), the internal
+    chain variable never leaking into the result schema, and fail-loud
+    validation of the unsupported shapes."""
+    import pytest
+
+    from cow_spark.plans.bgp import match_bgp
+
+    EX = "https://example.com/v/"
+    D = "https://example.com/d/"
+    ns = {"ex": EX, "d": D}
+    rows = [
+        (None, D + "4", EX + "under", "iri", D + "2", None, None),
+        (None, D + "5", EX + "under", "iri", D + "2", None, None),
+        (None, D + "2", EX + "under", "iri", D + "1", None, None),
+        (None, D + "3", EX + "near", "iri", D + "1", None, None),
+        (None, D + "4", EX + "lang", "lit", "en", None, None),
+        (None, D + "3", EX + "lang", "lit", "fr", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+
+    def got(pats, **kw):
+        df = match_bgp(q, pats, namespaces=ns, **kw)
+        assert not any(c.startswith("__pp") for c in df.columns)
+        return {tuple(r) for r in df.collect()}
+
+    # sequence: grandparents (both hops through the chain variable)
+    assert got([("?a", "ex:under / ex:under", "?g")]) == {
+        (D + "4", D + "1"), (D + "5", D + "1")}
+    # alternation: parent edges of either type
+    assert got([("?a", "ex:under|ex:near", "?p")]) == {
+        (D + "4", D + "2"), (D + "5", D + "2"),
+        (D + "2", D + "1"), (D + "3", D + "1")}
+    # inverse: children of a constant node
+    assert got([("d:2", "^ex:under", "?c")]) == {(D + "4",), (D + "5",)}
+    # composed sequence + inverse: same-parent pairs (self included,
+    # per SPARQL — ?a and ?b may bind the same node)
+    sib = got([("?a", "ex:under / ^ex:under", "?b")])
+    assert (D + "4", D + "5") in sib and (D + "4", D + "4") in sib
+    assert not any(a == D + "3" for a, _ in sib)  # near-edge excluded
+    # inverse + closure: descendants = closure of the inverse
+    assert got([("d:1", "^ex:under+", "?x")]) == {
+        (D + "2",), (D + "4",), (D + "5",)}
+    # sequence step with alternation, then a literal-binding hop
+    assert got([("?p", "^ex:under / ex:lang", "?l")]) == {(D + "2", "en")}
+    # all-constant sequence: boolean existence result
+    assert got([("d:4", "ex:under / ex:under", "d:1")]) == {(True,)}
+    assert got([("d:4", "ex:under / ex:under", "d:9")]) == set()
+    # paths inside OPTIONAL groups work (recursive expansion)
+    opt = got([("?a", "ex:under|ex:near", "?p")],
+              optional=[("?a", "ex:lang", "?l")])
+    assert (D + "3", D + "1", "fr") in opt and (D + "5", D + "2", None) in opt
+    # fail-loud shapes
+    with pytest.raises(ValueError, match="closure over an alternation"):
+        match_bgp(q, [("?a", "ex:u+|ex:n", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="reserved internal-path"):
+        match_bgp(q, [("?__pp0", "ex:under", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="empty step"):
+        match_bgp(q, [("?a", "ex:under / ", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="empty alternate"):
+        match_bgp(q, [("?a", "ex:under||ex:near", "?b")], namespaces=ns)
+
+
 def test_validate_typed_literals(spark):
     """Literal QA: lexical-space regexes per XSD datatype, unknown
     datatypes surfaced (not silently passed), plain/lang literals and
