@@ -5926,6 +5926,62 @@ def _sql_hyperball() -> str:
     return hyperball_oracle_sql(edges, rounds=3, b=4)
 
 
+def q_values_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES (bgp.py:values_clause): an inline solution
+    sequence joined into doc-lang bindings — rows pin (l='en',
+    tier='hi'), (l='fr', tier='lo'), plus an UNDEF-l wildcard row
+    (tier='any') that is compatible with every binding. The VALUES
+    table is literal data, always broadcast: one broadcast hash join,
+    the corpus side never shuffles."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import match_bgp, values_clause
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    b = match_bgp(quads, [("?doc", f"{BASE}/vocab/lang", "?l")])
+    return values_clause(b, [{"l": "en", "tier": "hi"},
+                             {"l": "fr", "tier": "lo"},
+                             {"tier": "any"}])
+
+
+def _sql_values_query() -> str:
+    # default-spec emission (P2): lang triples only for non-empty cells;
+    # the UNDEF row (vl is null) matches every binding per SPARQL §10.2
+    return f"""
+with b as (
+  select '{BASE}/' || cast(doc_id as varchar) as doc, lang as l
+  from documents where length(coalesce(lang, '')) > 0
+),
+v(vl, tier) as (values ('en', 'hi'), ('fr', 'lo'), (NULL, 'any'))
+select b.doc as doc, b.l as l, v.tier as tier
+from b join v on v.vl is null or b.l = v.vl
+"""
+
+
+def q_ask_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (bgp.py:ask_bgp): does any document bind both
+    lang='en' and source='src3'? One (matched=true) row iff a solution
+    exists, else empty — limit(1) lets Spark stop the BGP scan at the
+    first surviving solution instead of materializing all of them."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import ask_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    return ask_bgp(quads, [("?d", f"{BASE}/vocab/lang", "en"),
+                           ("?d", f"{BASE}/vocab/source", "src3")])
+
+
+_SQL_ASK_QUERY = """
+select true as matched
+where exists (select 1 from documents
+              where length(coalesce(lang, '')) > 0 and lang = 'en'
+                and length(coalesce(source, '')) > 0 and source = 'src3')
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5942,7 +5998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quads_merge, personalized_pagerank, streaming_kg, graph_query,
     # clustering_coefficient, time_windows, node2vec_walks,
     # shape_report, cube_profile, entity_pivot, shortest_paths,
-    # incremental_canon, bgp_minus, zorder_layout) into the window —
+    # incremental_canon, bgp_minus, zorder_layout, hyperball,
+    # path_expr, values_query, ask_query) into the window —
     # they have local value-exact evidence at sf0.001/0.01/0.1 but no
     # driver row yet.
     return {
@@ -6075,6 +6132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "hyperball": q_hyperball,
         "path_expr": q_path_expr,
+        "values_query": q_values_query,
+        "ask_query": q_ask_query,
     }
 
 
@@ -6202,4 +6261,6 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _sql_zorder_layout(),
         "hyperball": _sql_hyperball(),
         "path_expr": _SQL_PATH_EXPR,
+        "values_query": _sql_values_query(),
+        "ask_query": _SQL_ASK_QUERY,
     }

@@ -85,6 +85,8 @@ HEADLINE = [
     "zorder_layout",
     "hyperball",
     "path_expr",
+    "values_query",
+    "ask_query",
 ]
 
 

@@ -671,3 +671,70 @@ def minus_bgp(
         some_bound = nb if some_bound is None else (some_bound | nb)
     survivors = holey.join(rr, compat & some_bound, "left_anti")
     return out.unionByName(survivors)
+
+
+def values_clause(
+    bindings: DataFrame,
+    rows: list[dict],
+) -> DataFrame:
+    """SPARQL ``VALUES``: join an inline solution sequence into the
+    bindings. Each dict maps variable name (no ``?``) → lexical value;
+    a missing key or ``None`` is ``UNDEF`` (compatible with anything,
+    contributes no constraint). Variables not yet in ``bindings``
+    extend the schema; rows sharing no bound variable cross-join (the
+    spec's compatibility with everything).
+
+    Scale shape: the inline table is literal data — always broadcast.
+    Bindings rows with every shared variable bound (the corpus-scale
+    case) take one broadcast hash join per UNDEF-pattern group;
+    NULL-carrying rows (possible only downstream of OPTIONAL) take the
+    conditional broadcast join. Per SPARQL §10.2 a binding-side unbound
+    variable is compatible with any VALUES entry and the merged row
+    takes the VALUES side's value.
+    """
+    if not rows:
+        raise ValueError("VALUES needs at least one row")
+    vnames: list[str] = sorted({k for r in rows for k in r})
+    if not vnames:
+        raise ValueError("VALUES rows bind no variables")
+    for v in vnames:
+        if v.startswith("?"):
+            raise ValueError(
+                f"VALUES variable {v!r}: pass names without the '?'")
+    spark = bindings.sparkSession
+    vdf = spark.createDataFrame(
+        [tuple(r.get(v) for v in vnames) for r in rows],
+        ", ".join(f"`{v}` string" for v in vnames))
+    shared = [v for v in vnames if v in bindings.columns]
+    fresh = [v for v in vnames if v not in bindings.columns]
+    if not shared:
+        return bindings.crossJoin(F.broadcast(vdf.dropDuplicates()))
+    vren = vdf.select(
+        *[F.col(v).alias(f"_v_{v}") for v in shared],
+        *[F.col(v) for v in fresh]).dropDuplicates()
+    compat = None
+    for v in shared:
+        eq = (F.col(f"_v_{v}").isNull() | F.col(v).isNull()
+              | (F.col(v) == F.col(f"_v_{v}")))
+        compat = eq if compat is None else (compat & eq)
+    joined = bindings.join(F.broadcast(vren), compat)
+    keep = [c for c in bindings.columns if c not in shared]
+    merged = [F.coalesce(F.col(v), F.col(f"_v_{v}")).alias(v)
+              for v in shared]
+    return joined.select(*keep, *merged, *fresh)
+
+
+def ask_bgp(
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    namespaces: dict[str, str] | None = None,
+    graph: str | None = None,
+) -> DataFrame:
+    """SPARQL ``ASK``: one ``(matched=true)`` row iff the pattern group
+    has any solution, else empty — the engine's established boolean
+    convention (all-constant gates already return it). ``limit(1)``
+    makes the underlying scan stop at first match; no driver action."""
+    out = match_bgp(quads, patterns, namespaces, graph=graph)
+    if out.columns == ["matched"]:
+        return out
+    return out.limit(1).select(F.lit(True).alias("matched"))

@@ -13,7 +13,7 @@ from cow_spark.model import QUAD_SCHEMA
 from cow_spark.operators.canon import (connected_components,
                                        incremental_components)
 from cow_spark.operators.graphrank import shortest_paths, shortest_paths_py
-from cow_spark.plans.bgp import match_bgp, minus_bgp
+from cow_spark.plans.bgp import ask_bgp, match_bgp, minus_bgp, values_clause
 
 EDGE_SCHEMA = T.StructType([T.StructField("src", T.StringType()),
                             T.StructField("dst", T.StringType())])
@@ -299,3 +299,80 @@ def test_write_zordered_gives_every_dim_locality(spark, tmp_path):
     # and at least one file prunes on each dimension alone
     assert any(r["x1"] - r["x0"] < 31 for r in stats)
     assert any(r["y1"] - r["y0"] < 31 for r in stats)
+
+
+# ---------------------------------------------------------------------------
+# values_clause / ask_bgp
+# ---------------------------------------------------------------------------
+
+
+def test_values_filters_and_extends(spark):
+    quads = spark.createDataFrame(_Q, QUAD_SCHEMA)
+    b = match_bgp(quads, [("?doc", "v:lang", "?l")])
+    got = values_clause(b, [{"l": "en", "tier": "hi"},
+                            {"l": "de", "tier": "lo"}])
+    rows = sorted((r["doc"], r["l"], r["tier"]) for r in got.collect())
+    assert rows == [("d:1", "en", "hi"), ("d:3", "en", "hi")]
+
+
+def test_values_undef_is_wildcard(spark):
+    quads = spark.createDataFrame(_Q, QUAD_SCHEMA)
+    b = match_bgp(quads, [("?doc", "v:lang", "?l")])
+    # missing key and explicit None are both UNDEF: match every row
+    got = values_clause(b, [{"l": "fr", "tier": "x"},
+                            {"tier": "any"}])
+    rows = sorted((r["doc"], r["l"], r["tier"]) for r in got.collect())
+    assert rows == [("d:1", "en", "any"), ("d:2", "fr", "any"),
+                    ("d:2", "fr", "x"), ("d:3", "en", "any")]
+
+
+def test_values_no_shared_vars_cross_joins(spark):
+    quads = spark.createDataFrame(_Q, QUAD_SCHEMA)
+    b = match_bgp(quads, [("?doc", "v:lang", "?l")])
+    got = values_clause(b, [{"k": "a"}, {"k": "b"}, {"k": "a"}])
+    assert got.count() == 6  # 3 bindings x 2 distinct VALUES rows
+    assert set(got.columns) == {"doc", "l", "k"}
+
+
+def test_values_fills_unbound_left_var(spark):
+    # SPARQL join semantics: an unbound binding-side var is compatible
+    # and the merged solution takes the VALUES side's value
+    b = spark.createDataFrame(
+        [("d:1", None), ("d:2", "fr")],
+        T.StructType([T.StructField("doc", T.StringType()),
+                      T.StructField("l", T.StringType())]))
+    got = values_clause(b, [{"l": "en"}, {"l": "fr"}])
+    rows = sorted((r["doc"], r["l"]) for r in got.collect())
+    assert rows == [("d:1", "en"), ("d:1", "fr"), ("d:2", "fr")]
+
+
+def test_values_rejects_bad_input(spark):
+    quads = spark.createDataFrame(_Q, QUAD_SCHEMA)
+    b = match_bgp(quads, [("?doc", "v:lang", "?l")])
+    with pytest.raises(ValueError, match="at least one row"):
+        values_clause(b, [])
+    with pytest.raises(ValueError, match="bind no variables"):
+        values_clause(b, [{}])
+    with pytest.raises(ValueError, match="without the '\\?'"):
+        values_clause(b, [{"?l": "en"}])
+
+
+def test_ask_true_false_and_constant(spark):
+    quads = spark.createDataFrame(_Q, QUAD_SCHEMA)
+    hit = ask_bgp(quads, [("?doc", "v:lang", "en")])
+    assert [r["matched"] for r in hit.collect()] == [True]
+    miss = ask_bgp(quads, [("?doc", "v:lang", "zz")])
+    assert miss.columns == ["matched"] and miss.count() == 0
+    # all-constant pattern group reuses the engine's gate convention
+    const = ask_bgp(quads, [("d:1", "v:lang", "en")])
+    assert [r["matched"] for r in const.collect()] == [True]
+
+
+def test_ask_conjunction(spark):
+    quads = spark.createDataFrame(_Q, QUAD_SCHEMA)
+    got = ask_bgp(quads, [("?d", "v:lang", "en"),
+                          ("?d", "v:source", "src7")])
+    assert [r["matched"] for r in got.collect()] == [True]
+    none = ask_bgp(quads, [("?d", "v:lang", "fr"),
+                           ("?d", "v:source", "src7")])
+    assert none.count() == 0
