@@ -5862,19 +5862,14 @@ def _sql_zorder_layout() -> str:
     return f"select o_orderkey, {z} as zkey from orders"
 
 
-def q_path_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL path expressions (bgp.py:_expand_paths): one pattern
-    composing sequence (' / '), alternation ('|'), and inverse ('^')
-    over a mixed-edge doc tree (even ids attach by :under, odd by
-    :near) — ?a (under|near)/^under ?s binds every (node, under-child
-    of its parent) pair; the chain variable never reaches the schema.
-    Each step is a plain join Catalyst reorders like any conjunction."""
-    from cow_spark.plans.bgp import match_bgp
-
+def _tree_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-edge doc-tree quads: node i (>=1) attaches to parent i//2
+    by :under when i is even, :near when odd — a deterministic fixture
+    graph for the path-expression entries."""
     V = f"{BASE}/vocab/"
     docs = _load(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
-    quads = docs.where(F.col("doc_id") >= 1).select(
+    return docs.where(F.col("doc_id") >= 1).select(
         F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
         .alias("s"),
         F.when(F.col("doc_id") % 2 == 0, F.lit(V + "under"))
@@ -5886,6 +5881,19 @@ def q_path_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("o_dt"),
         F.lit(None).cast("string").alias("o_lang"),
         F.lit(None).cast("string").alias("g"))
+
+
+def q_path_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL path expressions (bgp.py:_expand_paths): one pattern
+    composing sequence (' / '), alternation ('|'), and inverse ('^')
+    over a mixed-edge doc tree (even ids attach by :under, odd by
+    :near) — ?a (under|near)/^under ?s binds every (node, under-child
+    of its parent) pair; the chain variable never reaches the schema.
+    Each step is a plain join Catalyst reorders like any conjunction."""
+    from cow_spark.plans.bgp import match_bgp
+
+    V = f"{BASE}/vocab/"
+    quads = _tree_quads(spark, sf_dir)
     return match_bgp(
         quads, [("?a", f"{V}under|{V}near / ^{V}under", "?sib")])
 
@@ -5899,6 +5907,45 @@ with e as (
 select distinct '{BASE}/' || cast(a.n as varchar) as a,
                 '{BASE}/' || cast(s.n as varchar) as sib
 from e a join e s on a.par = s.par and s.is_under
+"""
+
+
+def q_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL zero-or-more + negated property set (bgp.py:
+    _path_bindings mode '*', _negated): ?a !(:near) ?m binds the
+    under-edges (any predicate NOT in the set), then ?m :under* ?b is
+    the ancestor-or-self closure — zero-length solutions are identity
+    over the graph's node set per SPARQL §18.4, so every (a, m, m)
+    triple appears alongside the strict-ancestor rows. Closure by path
+    doubling; identity is one distinct over two projected columns."""
+    from cow_spark.plans.bgp import match_bgp
+
+    V = f"{BASE}/vocab/"
+    quads = _tree_quads(spark, sf_dir)
+    return match_bgp(quads, [("?a", f"!({V}near)", "?m"),
+                             ("?m", f"{V}under*", "?b")])
+
+
+_SQL_PATH_STAR = f"""
+with e as (
+  select cast(doc_id as bigint) as n, cast(doc_id as bigint) // 2 as par,
+         cast(doc_id as bigint) % 2 = 0 as is_under
+  from documents where cast(doc_id as bigint) >= 1
+),
+nodes as (select n from e union select par from e),
+closure as (
+  with recursive r(a, b) as (
+    select n, par from e where is_under
+    union
+    select r.a, e.par from r join e on e.n = r.b and e.is_under
+  ) select a, b from r
+),
+star as (select a, b from closure union select n, n from nodes)
+select distinct '{BASE}/' || cast(u.n as varchar) as a,
+       '{BASE}/' || cast(u.par as varchar) as m,
+       '{BASE}/' || cast(z.b as varchar) as b
+from e u join star z on z.a = u.par
+where u.is_under
 """
 
 
@@ -6134,6 +6181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_expr": q_path_expr,
         "values_query": q_values_query,
         "ask_query": q_ask_query,
+        "path_star": q_path_star,
     }
 
 
@@ -6263,4 +6311,5 @@ def oracle_sql() -> dict[str, str]:
         "path_expr": _SQL_PATH_EXPR,
         "values_query": _sql_values_query(),
         "ask_query": _SQL_ASK_QUERY,
+        "path_star": _SQL_PATH_STAR,
     }

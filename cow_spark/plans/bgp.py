@@ -16,9 +16,12 @@ UNION (:func:`union_bgp`), MINUS (:func:`minus_bgp`), and property
 paths: one-or-more closure ``p+`` (``canon.transitive_pairs``),
 sequence ``p1 / p2`` (space-slash-space — bare ``/`` is IRI body),
 alternation ``p1|p2``, and inverse ``^p``, composable per step
-(``^p+`` = closure of the inverse). Not supported: ``*``/``?``
-(zero-length path semantics), ``+`` over an alternation, negated
-property sets — documented deviations. This covers the
+(``^p+`` = closure of the inverse), plus zero-or-more ``p*`` /
+zero-or-one ``p?`` (zero-length solutions = identity over the graph's
+node set, per SPARQL §18.4 ZeroOrMorePath) and negated property sets
+``!p`` / ``!(p1|p2)`` (any predicate NOT in the set). Not supported:
+``+``/``*``/``?`` over an alternation, inverse members inside a
+negated set — documented deviations that fail loud. This covers the
 select-join-derive core that accounts for most KG lookups, at table
 scan speed.
 """
@@ -108,24 +111,89 @@ def _alternates(p: str) -> list[str] | None:
     alts = _ALT_SPLIT.split(p)
     if any(not a for a in alts):
         raise ValueError(f"empty alternate in predicate path {p!r}")
-    if any(a.endswith("+") and not a.endswith("\\+") for a in alts):
+    for mod in "+*?":
+        if any(a.endswith(mod) and not a.endswith("\\" + mod)
+               for a in alts):
+            raise ValueError(
+                f"{mod!r} closure over an alternation is not supported: "
+                f"{p!r} (write each closed alternate as its own pattern)")
+    return [_unescape(a) for a in alts]
+
+
+def _unescape(p: str) -> str:
+    for ch in "|+*?":
+        p = p.replace("\\" + ch, ch)
+    return p
+
+
+def _negated(p: str) -> list[str] | None:
+    """``!p`` / ``!(p1|p2)`` negated property set → the member list, or
+    None when ``p`` is not negated. An IRI can never start with ``!``
+    (schemes start with a letter), so the marker is unambiguous.
+    Inverse members (``!(p|^q)``) and path modifiers inside the set
+    fail loud — documented deviations."""
+    if not p.startswith("!"):
+        return None
+    body = p[1:]
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1]
+    if not body:
+        raise ValueError(f"empty negated property set {p!r}")
+    alts = _ALT_SPLIT.split(body)
+    if any(not a for a in alts):
+        raise ValueError(f"empty member in negated property set {p!r}")
+    if any(a.startswith("^") for a in alts):
         raise ValueError(
-            f"'+' closure over an alternation is not supported: {p!r} "
-            "(write each closed alternate as its own pattern)")
-    return [a.replace("\\|", "|").replace("\\+", "+") for a in alts]
+            f"inverse members in a negated property set are not "
+            f"supported: {p!r}")
+    for mod in "+*?":
+        if any(a.endswith(mod) and not a.endswith("\\" + mod)
+               for a in alts):
+            raise ValueError(
+                f"path modifiers inside a negated property set are not "
+                f"supported: {p!r}")
+    return [_unescape(a) for a in alts]
 
 
-def _path_bindings(quads, s, p, o, namespaces):
-    """Bindings of a one-or-more property-path pattern ``(s, base+, o)``
-    — or the existence boolean for the all-constant case. The closure
-    (``canon.transitive_pairs``, path doubling) materializes eagerly;
-    edges are the base predicate's IRI-object triples."""
+def _path_bindings(quads, s, p, o, namespaces, mode="+"):
+    """Bindings of a closure property-path pattern ``(s, base<mode>, o)``
+    with mode ``+`` (one-or-more), ``*`` (zero-or-more) or ``?``
+    (zero-or-one) — or the existence boolean for the all-constant case.
+    The ``+``/``*`` closure (``canon.transitive_pairs``, path doubling)
+    materializes eagerly; edges are the base predicate's IRI-object
+    triples (documented deviation: literal objects don't participate,
+    consistent with the traversal needing IRI nodes anyway).
+
+    Zero-length solutions (``*``/``?``, SPARQL §18.4): with a constant
+    endpoint the identity pair ``(c, c)`` always holds (per spec, even
+    for a term absent from the graph); with both endpoints variable the
+    identity domain is the graph's node set — every subject plus every
+    object lexical form of the (graph-scoped) quads, one distinct over
+    two projected columns. ``?x base* ?x`` therefore binds every node.
+    """
     from ..operators.canon import transitive_pairs
 
     base = _resolve(p[:-1], namespaces)
     edges = (quads.where((F.col("p") == base) & (F.col("o_kind") == "iri"))
-             .select(F.col("s").alias("src"), F.col("o_lex").alias("dst")))
-    closure = transitive_pairs(edges)
+             .select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+             .dropDuplicates())
+    closure = transitive_pairs(edges) if mode in "+*" else edges
+    if mode in "*?":
+        if not _is_var(s):
+            c = _resolve(s, namespaces)
+            ident = quads.sparkSession.createDataFrame(
+                [(c, c)], "src string, dst string")
+        elif not _is_var(o):
+            c = _resolve(o, namespaces)
+            ident = quads.sparkSession.createDataFrame(
+                [(c, c)], "src string, dst string")
+        else:
+            nodes = (quads.select(F.col("s").alias("n"))
+                     .unionByName(quads.select(F.col("o_lex").alias("n")))
+                     .dropDuplicates())
+            ident = nodes.select(F.col("n").alias("src"),
+                                 F.col("n").alias("dst"))
+        closure = closure.unionByName(ident).dropDuplicates()
     cols = []
     if _is_var(s):
         if not s[1:]:
@@ -185,11 +253,16 @@ def match_bgp(
     Property paths: a constant predicate ending in ``+`` (``ex:under+``)
     matches one-or-more hops of the base predicate over IRI objects —
     the bindings come from ``canon.transitive_pairs`` (path doubling;
-    runs EAGERLY at plan-build time, log-depth rounds). Deviation from
-    SPARQL: a node cyclically reachable from itself is NOT returned as
-    ``(x, x)`` (the closure drops self-pairs), and only ``+`` is
-    supported (``*``/``?``/alternation are not). An IRI that genuinely
-    ends in ``+`` is matched exactly by escaping it as ``...\\+``.
+    runs EAGERLY at plan-build time, log-depth rounds). ``*`` and ``?``
+    add the zero-length solutions per SPARQL §18.4: identity over the
+    graph's node set when both endpoints are variables, the ``(c, c)``
+    pair when an endpoint is constant. ``!p`` / ``!(p1|p2)`` negated
+    property sets match any predicate NOT in the set. Deviation from
+    SPARQL: under ``+`` a node cyclically reachable from itself is NOT
+    returned as ``(x, x)`` (the closure drops self-pairs; ``*`` restores
+    identity for every node), and closure over an alternation / inverse
+    members inside a negated set fail loud. An IRI that genuinely ends
+    in ``+``/``*``/``?`` is matched exactly by escaping (``...\\+``).
 
     ``graph``: SPARQL ``GRAPH`` scoping for the whole query (the
     ``GRAPH g { ... }`` block form, optional/not_exists included). A
@@ -223,22 +296,25 @@ def match_bgp(
     order = ([t for t in order if any(_is_var(x) for x in t)]
              + [t for t in order if not any(_is_var(x) for x in t)])
     for s, p, o in order:
-        alts = (None if not isinstance(p, str) or _is_var(p)
-                else _alternates(p))
-        if alts is not None:
-            pass  # alternation: handled in the predicate branch below
-        elif isinstance(p, str) and p.endswith("\\+"):
-            # escaped literal '+': the (rare but legal) IRI that really
-            # ends in '+' — match it exactly, no path interpretation
-            p = p[:-2] + "+"
+        neg = (None if not isinstance(p, str) or _is_var(p)
+               else _negated(p))
+        alts = (None if neg is not None or not isinstance(p, str)
+                or _is_var(p) else _alternates(p))
+        if alts is not None or neg is not None:
+            pass  # alternation / negated set: predicate branch below
+        elif isinstance(p, str) and len(p) >= 2 and p[-2] == "\\" \
+                and p[-1] in "+*?":
+            # escaped literal modifier: the (rare but legal) IRI that
+            # really ends in '+'/'*'/'?' — exact match, no path meaning
+            p = p[:-2] + p[-1]
         elif (isinstance(p, str) and not _is_var(p) and len(p) > 1
-                and p.endswith("+")):
+                and p[-1] in "+*?"):
             if gvar is not None:
                 raise ValueError(
                     f"property-path pattern {(s, p, o)} cannot bind a "
                     "graph VARIABLE — the closure spans graphs; scope "
                     "with a constant graph instead")
-            part = _path_bindings(quads, s, p, o, namespaces)
+            part = _path_bindings(quads, s, p, o, namespaces, mode=p[-1])
             if isinstance(part, bool):  # all-constant: existence gate
                 gates_failed = gates_failed or not part
                 continue
@@ -272,6 +348,9 @@ def match_bgp(
             df = df.where(F.col("s") == _resolve(s, namespaces))
         if _is_var(p):
             bind("p", p)
+        elif neg is not None:
+            df = df.where(~F.col("p").isin(
+                [_resolve(a, namespaces) for a in neg]))
         elif alts is not None:
             df = df.where(F.col("p").isin(
                 [_resolve(a, namespaces) for a in alts]))

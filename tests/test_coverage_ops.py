@@ -625,6 +625,86 @@ def test_match_bgp_path_expressions(spark):
         match_bgp(q, [("?a", "ex:under||ex:near", "?b")], namespaces=ns)
 
 
+def test_match_bgp_star_opt_negated(spark):
+    """Zero-or-more '*', zero-or-one '?', negated property sets, their
+    composition with sequence/inverse steps, constant-endpoint identity
+    (holds even off-graph, per SPARQL §18.4), and fail-loud shapes."""
+    import pytest
+
+    from cow_spark.plans.bgp import match_bgp
+
+    EX = "https://example.com/v/"
+    D = "https://example.com/d/"
+    ns = {"ex": EX, "d": D}
+    rows = [
+        (None, D + "4", EX + "under", "iri", D + "2", None, None),
+        (None, D + "2", EX + "under", "iri", D + "1", None, None),
+        (None, D + "3", EX + "near", "iri", D + "1", None, None),
+        (None, D + "4", EX + "lang", "lit", "en", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    # node set = subjects + object lexical forms (literals included,
+    # documented: bindings are lexical everywhere)
+    nodes = {D + "4", D + "2", D + "1", D + "3", "en"}
+
+    def got(pats, **kw):
+        df = match_bgp(q, pats, namespaces=ns, **kw)
+        assert not any(c.startswith("__pp") for c in df.columns)
+        return {tuple(r) for r in df.collect()}
+
+    # p*: closure + identity over every node
+    closure = {(D + "4", D + "2"), (D + "4", D + "1"), (D + "2", D + "1")}
+    assert got([("?x", "ex:under*", "?y")]) == closure | {
+        (n, n) for n in nodes}
+    # p?: direct edges + identity
+    assert got([("?x", "ex:under?", "?y")]) == {
+        (D + "4", D + "2"), (D + "2", D + "1")} | {(n, n) for n in nodes}
+    # ?x p* ?x: every node (zero-length identity)
+    assert got([("?x", "ex:under*", "?x")]) == {(n,) for n in nodes}
+    # constant endpoint: identity holds even for an off-graph term
+    assert got([("d:9", "ex:under*", "?y")]) == {(D + "9",)}
+    assert got([("?x", "ex:under*", "d:1")]) == {
+        (D + "4",), (D + "2",), (D + "1",)}
+    # all-constant gates: x==x true off-graph, non-path false
+    assert got([("d:9", "ex:under*", "d:9"),
+                ("?x", "ex:lang", "?l")]) == {(D + "4", "en")}
+    assert got([("d:1", "ex:under*", "d:4"),
+                ("?x", "ex:lang", "?l")]) == set()
+    # inverse + star composes (descendants-or-self of d:1)
+    assert got([("d:1", "^ex:under*", "?x")]) == {
+        (D + "1",), (D + "2",), (D + "4",)}
+    # sequence step carrying '*'
+    assert got([("?a", "ex:near / ex:under*", "?b")]) == {
+        (D + "3", D + "1")}
+    # negated property set: any predicate not in the set
+    assert got([("?x", "!(ex:under|ex:lang)", "?y")]) == {
+        (D + "3", D + "1")}
+    assert got([("?x", "!ex:near", "?y")]) == closure - {
+        (D + "4", D + "1")} | {(D + "4", "en")}
+    # escaped modifier: exact-match an IRI genuinely ending in '*'
+    q2 = spark.createDataFrame(
+        [(None, D + "1", EX + "odd*", "lit", "x", None, None)], schema)
+    assert {tuple(r) for r in match_bgp(
+        q2, [("?s", "ex:odd\\*", "?o")], namespaces=ns).collect()} == {
+        (D + "1", "x")}
+    # fail-loud shapes
+    with pytest.raises(ValueError, match="closure over an alternation"):
+        match_bgp(q, [("?a", "ex:u*|ex:n", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="inverse members"):
+        match_bgp(q, [("?a", "!(ex:u|^ex:n)", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="empty negated"):
+        match_bgp(q, [("?a", "!()", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="modifiers inside a negated"):
+        match_bgp(q, [("?a", "!(ex:u+)", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="empty member"):
+        match_bgp(q, [("?a", "!(ex:u||ex:n)", "?b")], namespaces=ns)
+    with pytest.raises(ValueError, match="cannot bind a graph VARIABLE"):
+        match_bgp(q, [("?a", "ex:under*", "?b")], namespaces=ns,
+                  graph="?g")
+
+
 def test_validate_typed_literals(spark):
     """Literal QA: lexical-space regexes per XSD datatype, unknown
     datatypes surfaced (not silently passed), plain/lang literals and
