@@ -6029,6 +6029,164 @@ where exists (select 1 from documents
 """
 
 
+def q_bind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND (bgp.py:bind_expr): extend each solution with a
+    computed variable — ?band = ?l + '-' + (long|short by ?n >= 300) —
+    then FILTER on the bound value (keep the '-long' rows). BIND is a
+    pure projection: no shuffle, and because the expression is
+    deterministic Catalyst folds the regex FILTER straight through it
+    into the extraction stage's filters."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import bind_expr, filter_bindings, match_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    b = match_bgp(quads, [("?d", f"{BASE}/vocab/lang", "?l"),
+                          ("?d", f"{BASE}/vocab/n_chars", "?n")])
+    b = bind_expr(b, "band", F.concat(
+        F.col("l"), F.lit("-"),
+        F.when(F.col("n").try_cast("long") >= 300, F.lit("long"))
+        .otherwise(F.lit("short"))))
+    return filter_bindings(b, [("band", "regex", "-long$")]).select(
+        "d", "l", "n", "band")
+
+
+_SQL_BIND_QUERY_T = """
+select '{base}/' || cast(doc_id as varchar) as d, lang as l,
+       cast(n_chars as varchar) as n, lang || '-long' as band
+from documents
+where length(coalesce(lang, '')) > 0 and n_chars is not null
+  and n_chars >= 300
+"""
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT / SAMPLE / HAVING (bgp.py:_AGG_FNS,
+    having_bindings): per source, the sorted comma-joined set of
+    languages it publishes in, keeping sources with >= 2 languages.
+    SPARQL leaves GROUP_CONCAT order implementation-defined; the
+    engine pins lexicographic order so the result is deterministic.
+    The distinct (src, l) projection bounds the concat input by the
+    |sources| x |langs| domain, not the corpus — at 100 TB the
+    aggregate state stays tiny."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import (aggregate_bindings, having_bindings,
+                                     match_bgp, solution_modifiers)
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    b = match_bgp(quads, [("?d", f"{BASE}/vocab/source", "?src"),
+                          ("?d", f"{BASE}/vocab/lang", "?l")])
+    pairs = solution_modifiers(b, order_by=[], select=["src", "l"],
+                               distinct=True)
+    g = aggregate_bindings(pairs, ["src"], {
+        "langs": ("group_concat", "l"),
+        "n_langs": ("count_distinct", "l"),
+        "first_l": ("sample", "l"),
+    })
+    return having_bindings(g, [("n_langs", ">=", 2)])
+
+
+_SQL_GROUP_CONCAT = """
+with pairs as (
+  select distinct source as src, lang as l from documents
+  where length(coalesce(source, '')) > 0
+    and length(coalesce(lang, '')) > 0
+)
+select src, min(l) as first_l,
+       string_agg(l, ',' order by l) as langs,
+       count(distinct l) as n_langs
+from pairs group by src having count(distinct l) >= 2
+"""
+
+
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (bgp.py:describe_cbd): the concise bounded
+    description — every quad whose subject solves ?d in
+    { ?d :lang 'en' ; :source 'src3' }. Skolemized IRIs mean no
+    blank-node chase: subject-match IS the CBD. The solution set is a
+    broadcast left-semi probe; the quad corpus never re-shuffles."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import describe_cbd
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    return describe_cbd(quads, [("?d", f"{BASE}/vocab/lang", "en"),
+                                ("?d", f"{BASE}/vocab/source", "src3")],
+                        "d")
+
+
+def _sql_describe() -> str:
+    # default-spec emission (see _sql_kg_default) restricted to the
+    # described subjects: docs binding BOTH lang='en' and source='src3'
+    lits = []
+    for col in ["text", "lang", "source"]:
+        lits.append(
+            f"select s, '{BASE}/vocab/{col}' as p, 'lit' as o_kind, "
+            f"{col} as o_lex, cast(NULL as varchar) as o_dt from base "
+            f"where length(coalesce({col}, '')) > 0"
+        )
+    plain = " union all ".join(lits)
+    return f"""
+with base as (
+  select '{BASE}/' || cast(doc_id as varchar) as s, text, lang, source,
+         n_chars
+  from documents
+  where length(coalesce(lang, '')) > 0 and lang = 'en'
+    and length(coalesce(source, '')) > 0 and source = 'src3'
+)
+select distinct cast(NULL as varchar) as g, s, p, o_kind, o_lex, o_dt,
+       cast(NULL as varchar) as o_lang
+from (
+  {plain}
+  union all
+  select s, '{BASE}/vocab/n_chars' as p, 'lit' as o_kind,
+         cast(n_chars as varchar) as o_lex,
+         '{XSD_INT}' as o_dt
+  from base where n_chars is not null
+)
+"""
+
+
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery: docs longer than their language's average —
+    the inner SELECT aggregates per ?l, the outer joins it back and
+    filters ?n > ?avg. Two passes over one binding set: the aggregate
+    side collapses to |langs| rows and broadcasts into the outer
+    join, so the corpus crosses the wire once (the groupBy's partial
+    aggregation) and never again."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import aggregate_bindings, match_bgp
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    b = match_bgp(quads, [("?d", f"{BASE}/vocab/lang", "?l"),
+                          ("?d", f"{BASE}/vocab/n_chars", "?n")])
+    inner = aggregate_bindings(b, ["l"], {"avg_n": ("avg", "n")})
+    return (b.join(F.broadcast(inner), "l")
+            .where(F.col("n").try_cast("long") > F.col("avg_n"))
+            .select("d", "l", "n",
+                    F.floor(F.col("avg_n") * 1000).cast("long")
+                    .alias("avg_n_m")))
+
+
+_SQL_SUBQUERY = """
+with b as (
+  select doc_id, lang as l, n_chars as n from documents
+  where length(coalesce(lang, '')) > 0 and n_chars is not null
+),
+a as (select l, avg(n) as avg_n from b group by l)
+select '{base}/' || cast(b.doc_id as varchar) as d, b.l as l,
+       cast(b.n as varchar) as n,
+       cast(floor(a.avg_n * 1000) as bigint) as avg_n_m
+from b join a on a.l = b.l where b.n > a.avg_n
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6182,6 +6340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "values_query": q_values_query,
         "ask_query": q_ask_query,
         "path_star": q_path_star,
+        "bind_query": q_bind_query,
+        "group_concat": q_group_concat,
+        "describe": q_describe,
+        "subquery": q_subquery,
     }
 
 
@@ -6312,4 +6474,8 @@ def oracle_sql() -> dict[str, str]:
         "values_query": _sql_values_query(),
         "ask_query": _SQL_ASK_QUERY,
         "path_star": _SQL_PATH_STAR,
+        "bind_query": _SQL_BIND_QUERY_T.format(base=BASE),
+        "group_concat": _SQL_GROUP_CONCAT,
+        "describe": _sql_describe(),
+        "subquery": _SQL_SUBQUERY.format(base=BASE),
     }

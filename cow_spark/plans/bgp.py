@@ -450,6 +450,18 @@ _AGG_FNS = {
     # with try_cast (ANSI-safe — a non-numeric literal becomes NULL and
     # is skipped, exactly SPARQL's error-as-unbound aggregate behavior)
     "sum": lambda c: F.sum(c.try_cast("long")),
+    # avg: exact-long sum / exact count, one IEEE divide — bit-identical
+    # across engines as long as the sum stays under 2^53 (lexical forms
+    # are corpus counters, not astronomic); SPARQL's numeric-promotion
+    # semantics via the same try_cast discipline as sum
+    "avg": lambda c: F.avg(c.try_cast("long")),
+    # GROUP_CONCAT: SPARQL leaves element order implementation-defined;
+    # we pin lexicographic order so results are deterministic (and
+    # replayable in any engine with an ordered string_agg)
+    "group_concat": lambda c: F.array_join(
+        F.array_sort(F.collect_list(c)), ","),
+    # SAMPLE: any one binding — pinned to min() for determinism
+    "sample": lambda c: F.min(c),
 }
 
 
@@ -817,3 +829,65 @@ def ask_bgp(
     if out.columns == ["matched"]:
         return out
     return out.limit(1).select(F.lit(True).alias("matched"))
+
+
+def bind_expr(
+    bindings: DataFrame,
+    var: str,
+    expr: "Column | str",
+) -> DataFrame:
+    """SPARQL ``BIND(expr AS ?var)``: extend each solution with a
+    computed binding. ``expr`` is a pyspark Column (or a SQL expression
+    string) over the already-bound variables; per SPARQL §10.1 the
+    target variable must not be in scope yet.
+
+    Pure projection — no shuffle, folds into whatever stage produced
+    the bindings, and Catalyst sees through it for pushdown (a FILTER
+    on the bound variable lands next to the source scan when the
+    expression is deterministic).
+    """
+    if var in bindings.columns:
+        raise ValueError(
+            f"BIND target ?{var} is already bound (SPARQL §10.1: the "
+            "variable introduced by BIND must not be in scope)")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    return bindings.withColumn(var, col)
+
+
+def describe_cbd(
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    var: str,
+    namespaces: dict[str, str] | None = None,
+) -> DataFrame:
+    """SPARQL ``DESCRIBE ?var WHERE { ... }``: every quad whose subject
+    is a solution value of ``?var`` — the concise-bounded-description
+    under this engine's skolemized-IRI model (no blank nodes to chase,
+    csvw skolemization per SURVEY §2.3, so subject-match IS the CBD).
+
+    Plan shape: the pattern's distinct subjects are a small derived
+    table joined back into the quad set with a LEFT SEMI join — Spark
+    broadcasts it when it fits (solution sets are query-sized, the
+    quad corpus never re-shuffles), and only ``s`` is read from the
+    probe side.
+    """
+    subjects = (match_bgp(quads, patterns, namespaces)
+                .select(F.col(var).alias("s")).distinct())
+    return quads.join(F.broadcast(subjects), "s", "left_semi")
+
+
+def having_bindings(
+    grouped: DataFrame,
+    filters: list[tuple[str, str, object]],
+) -> DataFrame:
+    """SPARQL ``HAVING``: FILTER applied to aggregate_bindings output.
+    Aggregate columns are already typed (count/sum are longs), so the
+    comparison is direct — no lexical re-parse; same pure-Column
+    predicate discipline as filter_bindings."""
+    out = grouped
+    for var, op, value in filters:
+        if op not in _CMP:
+            raise ValueError(f"unknown HAVING op {op!r}; "
+                             f"supported: {sorted(_CMP)}")
+        out = out.where(_CMP[op](F.col(var), F.lit(value)))
+    return out

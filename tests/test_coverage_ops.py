@@ -970,3 +970,78 @@ def test_apply_changeset_inverts_diff_and_validates(spark):
         apply_changeset(old, bad_tag)
     with pytest.raises(ValueError, match="lacks columns"):
         apply_changeset(old, old)  # no change column
+
+
+# ---------------------------------------------------------------------------
+# SPARQL BIND / DESCRIBE / GROUP_CONCAT / HAVING
+# ---------------------------------------------------------------------------
+
+
+def test_bind_expr_extends_and_rejects_rebind(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.bgp import bind_expr
+
+    b = spark.createDataFrame([("en", "3"), ("fr", "9")],
+                              "l string, n string")
+    out = bind_expr(b, "tag", F.concat(F.col("l"), F.lit(":"), F.col("n")))
+    assert {r.tag for r in out.collect()} == {"en:3", "fr:9"}
+    # SQL-string expressions work too
+    out2 = bind_expr(b, "tag", "upper(l)")
+    assert {r.tag for r in out2.collect()} == {"EN", "FR"}
+    with _pt.raises(ValueError, match="already bound"):
+        bind_expr(b, "l", F.lit("x"))
+
+
+def test_group_concat_avg_sample_deterministic(spark):
+    from cow_spark.plans.bgp import aggregate_bindings
+
+    b = spark.createDataFrame(
+        [("s1", "fr", "10"), ("s1", "de", "20"), ("s1", "en", "30"),
+         ("s2", "en", "junk")],
+        "src string, l string, n string")
+    g = {r.src: r for r in aggregate_bindings(
+        b, ["src"], {"langs": ("group_concat", "l"),
+                     "first_l": ("sample", "l"),
+                     "avg_n": ("avg", "n")}).collect()}
+    # lexicographic order regardless of input order
+    assert g["s1"].langs == "de,en,fr"
+    assert g["s1"].first_l == "de"
+    assert g["s1"].avg_n == 20.0
+    # non-numeric lexical form -> NULL -> skipped (SPARQL type error)
+    assert g["s2"].avg_n is None
+
+
+def test_having_filters_aggregates(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.bgp import aggregate_bindings, having_bindings
+
+    b = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "k string, v string")
+    g = aggregate_bindings(b, ["k"], {"n": ("count", "v")})
+    out = having_bindings(g, [("n", ">=", 2)])
+    assert [(r.k, r.n) for r in out.collect()] == [("a", 2)]
+    with _pt.raises(ValueError, match="unknown HAVING op"):
+        having_bindings(g, [("n", "regex", "2")])
+
+
+def test_describe_cbd_returns_subject_quads(spark):
+    from cow_spark.plans.bgp import describe_cbd
+
+    E = "https://example.com/"
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    quads = spark.createDataFrame([
+        (None, E + "a", E + "type", "iri", E + "Doc", None, None),
+        (None, E + "a", E + "lang", "lit", "en", None, None),
+        (None, E + "b", E + "type", "iri", E + "Doc", None, None),
+        (None, E + "b", E + "lang", "lit", "fr", None, None),
+        (None, E + "c", E + "other", "lit", "zz", None, None),
+    ], schema)
+    out = describe_cbd(quads, [("?d", E + "lang", "en")], "d")
+    rows = out.collect()
+    # both quads of subject a, nothing of b/c
+    assert {r.s for r in rows} == {E + "a"} and len(rows) == 2
+    assert sorted(out.columns) == sorted(schema.replace(" string", "")
+                                         .split(", "))
