@@ -6187,6 +6187,200 @@ from b join a on a.l = b.l where b.n > a.avg_n
 """
 
 
+def _ifp_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-bearing fixture quads over customer: every subject
+    u{custkey} carries an email (groups of 4 consecutive keys share
+    one), keys with custkey%40 >= 2 also carry a phone whose groups
+    straddle adjacent email groups — so blocks of 40 custkeys chain
+    into one entity while blocks never bridge. A non-IFP label quad
+    per subject proves predicate filtering."""
+    c = _load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    s = F.concat(F.lit("u"), ck.cast("string"))
+    V = f"{BASE}/vocab/"
+
+    def lit_quad(rows, pred, lex):
+        return rows.select(
+            F.lit(None).cast("string").alias("g"), s.alias("s"),
+            F.lit(V + pred).alias("p"), F.lit("lit").alias("o_kind"),
+            lex.alias("o_lex"), F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"))
+
+    email = lit_quad(c, "email",
+                     F.concat(F.lit("e"), (ck / 4).cast("long")
+                              .cast("string")))
+    phone = lit_quad(c.where(ck % 40 >= 2), "phone",
+                     F.concat(F.lit("p"), ((ck - 2) / 4).cast("long")
+                              .cast("string")))
+    label = lit_quad(c, "label", F.col("c_name"))
+    return email.unionByName(phone).unionByName(label)
+
+
+def q_ifp_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-functional-property entity resolution
+    (canon.py:ifp_sameas): subjects sharing an email OR a phone merge
+    transitively into one canonical entity — star edges per (property,
+    value) group (never pairwise, the LSH-bucket discipline applied to
+    identity), components via the min-label CC. The fixture chains
+    blocks of 40 customers through interleaved email/phone groups."""
+    from cow_spark.operators.canon import ifp_sameas
+
+    quads = _ifp_quads(spark, sf_dir)
+    V = f"{BASE}/vocab/"
+    return ifp_sameas(quads, [V + "email", V + "phone"])
+
+
+_SQL_IFP_SAMEAS = """
+with recursive vals as (
+  select 'u' || cast(c_custkey as varchar) as s, 'email' as p,
+         'e' || cast(c_custkey // 4 as varchar) as v
+  from customer
+  union all
+  select 'u' || cast(c_custkey as varchar), 'phone',
+         'p' || cast((c_custkey - 2) // 4 as varchar)
+  from customer where c_custkey % 40 >= 2
+),
+reps as (select p, v, min(s) as rep from vals group by p, v),
+star as (select distinct s as src, rep as dst
+         from vals join reps using (p, v) where s <> rep),
+e as (select src, dst from star union select dst, src from star),
+r(node, label) as (
+  select src as node, src as label from e
+  union
+  select e.dst, r.label from e join r on e.src = r.node
+  where r.label < e.dst
+),
+comp as (select node, min(label) as component from r group by node),
+subs as (select distinct s from vals)
+select subs.s as node, coalesce(comp.component, subs.s) as canonical
+from subs left join comp on comp.node = subs.s
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (sessionize.py:gap_fill): per-user
+    hourly buckets over each user's observed span — gap hours
+    materialize with n_events=0, cum_events keeps the running total,
+    last_val forward-fills the latest observed bucket max of `value`
+    (floor-scaled: float renderings differ across engines). The grid
+    explodes from the key-sized span table, never the event corpus."""
+    from cow_spark.operators.sessionize import gap_fill
+
+    ev = _load(spark, sf_dir, "events")
+    out = gap_fill(ev.withColumn("v_fp",
+                                 F.floor(F.col("value") * 1000)
+                                 .cast("long")),
+                   key="user_id", ts_col="ts", value_col="v_fp")
+    return out.select("user_id", "bucket", "n_events", "cum_events",
+                      "last_val")
+
+
+_SQL_GAP_FILL = """
+with ev as (
+  select user_id, epoch_us(ts) // 3600000000 as bucket,
+         cast(floor(value * 1000) as bigint) as v_fp
+  from events where ts is not null and user_id is not null
+),
+per as (select user_id, bucket, count(*) as n, max(v_fp) as bv
+        from ev group by user_id, bucket),
+spans as (select user_id, min(bucket) as lo, max(bucket) as hi
+          from per group by user_id),
+grid as (select user_id, unnest(generate_series(lo, hi)) as bucket
+         from spans)
+select g.user_id, g.bucket,
+       coalesce(p.n, 0) as n_events,
+       sum(coalesce(p.n, 0)) over w as cum_events,
+       last_value(p.bv ignore nulls) over w as last_val
+from grid g left join per p using (user_id, bucket)
+window w as (partition by g.user_id order by g.bucket
+             rows between unbounded preceding and current row)
+"""
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed fixture graph over doc ids: blocks of 25 form one
+    directed cycle (step +7 mod 25, gcd(7,25)=1), and a one-way cross
+    edge i -> i+25 links blocks forward except every 4th block — so
+    SCCs are exactly the 25-cycles while reachability spans block
+    chains (the closure has real work to do)."""
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    cyc = docs.select(
+        did.alias("src"),
+        ((did / 25).cast("long") * 25 + (did % 25 + 7) % 25).alias("dst"))
+    nodes = docs.select(did.alias("dst"))
+    cross = (docs.where((did / 25).cast("long") % 4 != 3)
+             .select(did.alias("src"), (did + 25).alias("dst"))
+             .join(nodes, "dst", "left_semi"))
+    return cyc.unionByName(cross)
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (graphrank.py:scc): directed
+    mutual-reachability classes via the path-doubling closure —
+    scc(v) = min over v's mutual-reach set. The fixture's SCCs are
+    25-node cycles inside longer one-way block chains, so the closure
+    is asymmetric (reach crosses blocks, mutuality never does)."""
+    from cow_spark.operators.graphrank import scc
+
+    return scc(_scc_edges(spark, sf_dir))
+
+
+def _sql_scc() -> str:
+    from cow_spark.operators.graphrank import scc_oracle_sql
+
+    edges = (
+        "select cast(doc_id as bigint) as src, "
+        "(doc_id // 25) * 25 + (doc_id % 25 + 7) % 25 as dst "
+        "from documents "
+        "union all "
+        "select cast(doc_id as bigint), doc_id + 25 from documents "
+        "where (doc_id // 25) % 4 <> 3 "
+        "and doc_id + 25 in (select doc_id from documents)"
+    )
+    return scc_oracle_sql(edges)
+
+
+def _ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-order part pairs: parts appearing in the same order link —
+    each order is a small clique, so the graph is triangle-rich with
+    bridge edges between cliques (exactly what a truss separates)."""
+    li = (_load(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") % 7 == 0)
+          .select("l_orderkey", "l_partkey").dropDuplicates())
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, "l_orderkey")
+            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(F.col("a.l_partkey").cast("string").alias("src"),
+                    F.col("b.l_partkey").cast("string").alias("dst")))
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (graphrank.py:ktruss) of the co-order
+    part graph at k=3: support peeling keeps only edges inside >= 1
+    triangle after the peel fixpoint — the edge-grained cohesion
+    screen (kcore's sibling) run before community mining. A pytest
+    pins the fixture's peel depth inside the oracle's unroll."""
+    from cow_spark.operators.graphrank import ktruss
+
+    return ktruss(_ktruss_edges(spark, sf_dir), k=3)
+
+
+def _sql_ktruss() -> str:
+    from cow_spark.operators.graphrank import ktruss_oracle_sql
+
+    edges = (
+        "select cast(x.l_partkey as varchar) as a, "
+        "cast(y.l_partkey as varchar) as b "
+        "from (select distinct l_orderkey, l_partkey from lineitem "
+        "      where l_orderkey % 7 = 0) x "
+        "join (select distinct l_orderkey, l_partkey from lineitem "
+        "      where l_orderkey % 7 = 0) y "
+        "on x.l_orderkey = y.l_orderkey and x.l_partkey < y.l_partkey"
+    )
+    return ktruss_oracle_sql(edges, k=3, rounds=6)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6344,6 +6538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_concat": q_group_concat,
         "describe": q_describe,
         "subquery": q_subquery,
+        "ifp_sameas": q_ifp_sameas,
+        "gap_fill": q_gap_fill,
+        "scc": q_scc,
+        "ktruss": q_ktruss,
     }
 
 
@@ -6478,4 +6676,8 @@ def oracle_sql() -> dict[str, str]:
         "group_concat": _SQL_GROUP_CONCAT,
         "describe": _sql_describe(),
         "subquery": _SQL_SUBQUERY.format(base=BASE),
+        "ifp_sameas": _SQL_IFP_SAMEAS,
+        "gap_fill": _SQL_GAP_FILL,
+        "scc": _sql_scc(),
+        "ktruss": _sql_ktruss(),
     }

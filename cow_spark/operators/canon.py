@@ -444,3 +444,54 @@ def incremental_components(
                    .alias("component")))
     lab.unpersist()
     return out
+
+
+def ifp_sameas(
+    quads: DataFrame,
+    ifp_predicates: list[str],
+    salt_buckets: int | None = None,
+    local_threshold: int = 0,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """owl:InverseFunctionalProperty entity resolution: two subjects
+    carrying the same literal value for an IFP (email, ISBN, ORCID …)
+    denote the same entity, so shared values induce owl:sameAs merges.
+    Returns ``(node, canonical)`` for every subject that carries at
+    least one IFP value, canonical = the component minimum (entities
+    chained through DIFFERENT properties merge transitively — A shares
+    an email with B, B a phone with C ⇒ {A,B,C}).
+
+    Scale shape — the LSH-bucket discipline applied to identity: each
+    (property, value) group emits STAR edges to its min subject (one
+    groupBy + one join back), never pairwise, so a hot value (the
+    empty-string pathology, a shared support inbox) costs O(group)
+    edges, not O(group²). The star tables are edge-shaped and bounded
+    by the subject-value pair count; the corpus-scale value projection
+    is deliberately NOT persisted (re-deriving a filter+project of the
+    quad scan is cheaper than caching a corpus-sized table — link.py
+    rule). Merging runs on :func:`connected_components` (min-label +
+    pointer jumping, ``salt_buckets`` for hot-component skew).
+
+    Reference parity: COW has no linking stage (csvw.py emits, never
+    merges); this is north-star surface — the canonicalization COW
+    leaves to a downstream triple store, done Spark-side.
+    """
+    if not ifp_predicates:
+        raise ValueError("ifp_predicates must name at least one property")
+    vals = (quads
+            .where(F.col("p").isin(list(ifp_predicates))
+                   & (F.col("o_kind") == "lit"))
+            .select("s", "p", "o_lex").dropDuplicates())
+    reps = vals.groupBy("p", "o_lex").agg(F.min("s").alias("rep"))
+    star = (vals.join(reps, ["p", "o_lex"])
+            .where(F.col("s") != F.col("rep"))
+            .select(F.col("s").alias("src"), F.col("rep").alias("dst"))
+            .dropDuplicates())
+    comp = connected_components(
+        star, salt_buckets=salt_buckets,
+        local_threshold=local_threshold, checkpoint_dir=checkpoint_dir)
+    subs = vals.select("s").distinct()
+    return (subs.join(comp, subs["s"] == comp["node"], "left")
+            .select(F.col("s").alias("node"),
+                    F.coalesce(F.col("component"), F.col("s"))
+                    .alias("canonical")))

@@ -1730,3 +1730,264 @@ x{t} as (
             then est_linear else est_raw end as bigint) as est
 from x{t}""" for t in range(rounds + 1))
     return ",\n".join(parts) + "\n" + sel
+
+
+def scc(
+    edges: DataFrame,
+    max_iter: int = 20,
+    local_threshold: int = 2_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list:
+    ``(node, scc)`` with scc = min(v, min{u : v→*u and u→*v}) — the
+    component id every member agrees on, because mutual reachability
+    is an equivalence and min is order-consistent.
+
+    Built on :func:`canon.transitive_pairs` (path doubling, log-depth
+    rounds; sub-threshold graphs close driver-side): one closure, one
+    self-join of the pair table against its swap (mutual pairs), one
+    min-aggregate. Self-pairs never appear in the closure, so
+    singleton SCCs fall out of the coalesce, not a special case.
+
+    Scale honesty, same contract as transitive_pairs: the closure's
+    pair table is the bound. Right for workflow/tool-transition
+    graphs, schema hierarchies, and agent state machines (cycles small,
+    reach bounded); wrong for social-graph density — there you want
+    the FW-BW/trim algorithm, which trades pair tables for O(diameter)
+    label rounds per pivot batch.
+    """
+    from .canon import transitive_pairs
+
+    e = (edges.select("src", "dst")
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst")))
+         .dropDuplicates())
+    pairs = transitive_pairs(e, max_iter=max_iter,
+                             checkpoint_dir=checkpoint_dir,
+                             local_threshold=local_threshold)
+    swapped = pairs.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
+    mutual = pairs.join(swapped, ["src", "dst"], "left_semi")
+    mins = mutual.groupBy("src").agg(F.min("dst").alias("mate_min"))
+    nodes = (e.select(F.explode(F.array("src", "dst")).alias("node"))
+             .dropDuplicates())
+    return (nodes.join(mins, nodes["node"] == mins["src"], "left")
+            .select("node",
+                    F.least(F.col("node"),
+                            F.coalesce(F.col("mate_min"), F.col("node")))
+                    .alias("scc")))
+
+
+def scc_py(edges) -> list:
+    """Exact serial twin: closure by DFS per node, same min rule."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        adj.setdefault(a, set()).add(b)
+    reach = {}
+    for v in nodes:
+        seen: set = set()
+        stack = list(adj.get(v, ()))
+        while stack:
+            u = stack.pop()
+            if u in seen:
+                continue
+            seen.add(u)
+            stack.extend(adj.get(u, ()))
+        reach[v] = seen
+    out = []
+    for v in sorted(nodes):
+        mates = [u for u in reach[v] if u != v and v in reach.get(u, ())]
+        out.append((v, min([v] + mates)))
+    return out
+
+
+def scc_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin: recursive-CTE closure + mutual-pair min."""
+    return f"""
+with recursive base as ({edges_cte}),
+e as (select distinct src, dst from base
+      where src is not null and dst is not null and src <> dst),
+r(src, dst) as (
+  select src, dst from e
+  union
+  select r.src, e.dst from r join e on e.src = r.dst
+  where e.dst <> r.src
+),
+nodes as (select distinct v as node from
+          (select src as v from e union all select dst as v from e)),
+mutual as (
+  select a.src as v, min(a.dst) as m
+  from r a join r b on b.src = a.dst and b.dst = a.src
+  group by a.src
+)
+select n.node as node, least(n.node, coalesce(m.m, n.node)) as scc
+from nodes n left join mutual m on m.v = n.node
+"""
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-truss decomposition by support peeling: the maximal subgraph
+    of the undirected simple graph in which every EDGE sits in at
+    least ``k - 2`` triangles. Returns ``(a, b, kept)`` for every
+    canonical (a < b) edge — kept = 1 inside the truss. The
+    edge-grained sibling of :func:`kcore`: cores screen node density,
+    trusses screen cohesion (an edge with no triangle support is a
+    bridge, not community fabric) — the standard cleanup before
+    clique-ish community mining on entity graphs.
+
+    Per round: triangle ENUMERATION (not just counting) with the same
+    degree-ordered orientation as :func:`triangle_count` — oriented
+    out-degree is O(√m), so wedge candidates are bounded by m^1.5 —
+    then each triangle charges its three canonical edges, one groupBy
+    sums support, and edges below k-2 drop. Repeat until no edge
+    falls; ``round_checkpoint`` cuts lineage per round. A graph that
+    hasn't converged after ``max_rounds`` raises rather than silently
+    returning a superset.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    e0 = (edges.select(F.col(src).cast("string").alias("a"),
+                       F.col(dst).cast("string").alias("b"))
+          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+          .select(F.least("a", "b").alias("a"),
+                  F.greatest("a", "b").alias("b"))
+          .dropDuplicates()
+          .persist())
+    spark = edges.sparkSession
+    cur = e0
+    cur_cnt = e0.count()
+    if cur_cnt == 0:
+        e0.unpersist()
+        return spark.createDataFrame([], "a string, b string, kept int")
+    for _ in range(max_rounds):
+        tri = _enumerate_triangles(cur)
+        charges = (tri.select(
+            F.explode(F.array(
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+            )).alias("e")).select("e.*")
+            .groupBy("a", "b").agg(F.count("*").alias("support")))
+        # zero-triangle edges never get charged — left-join them back
+        # (k=2 keeps them; k>=3 peels them, explicitly not implicitly)
+        keep = (cur.join(charges, ["a", "b"], "left")
+                .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+                .select("a", "b"))
+        keep = round_checkpoint(keep, checkpoint_dir)
+        n = keep.count()
+        if n == cur_cnt:
+            out = (e0.join(keep.withColumn("kept", F.lit(1)),
+                           ["a", "b"], "left")
+                   .select("a", "b",
+                           F.coalesce("kept", F.lit(0)).alias("kept")))
+            out = out.localCheckpoint()
+            e0.unpersist()
+            return out
+        cur, cur_cnt = keep, n
+        if n == 0:
+            out = e0.select("a", "b", F.lit(0).alias("kept"))
+            out = out.localCheckpoint()
+            e0.unpersist()
+            return out
+    raise RuntimeError(
+        f"ktruss did not converge in {max_rounds} rounds — raise "
+        "max_rounds (peel depth exceeds the bound)")
+
+
+def _enumerate_triangles(e: DataFrame) -> DataFrame:
+    """Canonical triangles (x < y < z) of a canonical edge list via the
+    degree-ordered wedge join (triangle_count's bound, but keeping the
+    witness columns instead of counting)."""
+    deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
+           .groupBy("v").agg(F.count("*").alias("d")))
+    ranked = (
+        e.join(deg.withColumnRenamed("v", "a")
+               .withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b")
+              .withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .where(F.col("o1.w") < F.col("o2.w"))
+        .select(F.col("o1.u").alias("pivot"),
+                F.col("o1.w").alias("wa"), F.col("o2.w").alias("wb")))
+    closed = wedges.join(e, (F.col("wa") == F.col("a"))
+                         & (F.col("wb") == F.col("b")), "left_semi")
+    return closed.select(
+        F.least("pivot", "wa").alias("x"),
+        F.when(F.col("pivot") < F.col("wa"), F.col("wa"))
+        .otherwise(F.when(F.col("pivot") > F.col("wb"), F.col("wb"))
+                   .otherwise(F.col("pivot"))).alias("y"),
+        F.greatest("pivot", "wb").alias("z"))
+
+
+def ktruss_py(edges, k: int = 3) -> list:
+    """Exact serial twin of :func:`ktruss`."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    all_edges = sorted(es)
+    while True:
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {eab: len(adj[eab[0]] & adj[eab[1]]) for eab in es}
+        nxt = {eab for eab in es if sup[eab] >= k - 2}
+        if nxt == es:
+            break
+        es = nxt
+    return [(a, b, 1 if (a, b) in es else 0) for a, b in all_edges]
+
+
+def ktruss_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB twin: the support peel unrolled to ``rounds`` chained
+    stages (one triangle-enumeration + support-filter pair per round).
+    ``rounds`` must cover the fixture's true peel depth — pin that
+    with a pytest on :func:`ktruss_py` (kcore_oracle_sql contract).
+    MATERIALIZED per stage for the same 3^rounds-inlining reason."""
+    sql = [
+        f"with base as ({edges_cte}),",
+        "e0 as materialized (select distinct least(a, b) as a, "
+        "greatest(a, b) as b "
+        "from base where a is not null and b is not null and a <> b),",
+    ]
+    for i in range(rounds):
+        p, c = f"e{i}", f"e{i + 1}"
+        sql.append(
+            f"t{i} as materialized ("
+            f"select e1.a as x, e1.b as y, e2.b as z "
+            f"from {p} e1 join {p} e2 on e2.a = e1.a and e2.b > e1.b "
+            f"join {p} e3 on e3.a = e1.b and e3.b = e2.b),")
+        sql.append(
+            f"{c} as materialized ("
+            f"select e.a, e.b from {p} e left join "
+            f"(select a, b, count(*) as sup from ("
+            f"select x as a, y as b from t{i} "
+            f"union all select x as a, z as b from t{i} "
+            f"union all select y as a, z as b from t{i}) group by a, b) s "
+            f"on s.a = e.a and s.b = e.b "
+            f"where coalesce(s.sup, 0) >= {k - 2}),")
+    sql[-1] = sql[-1].rstrip(",")
+    body = "\n".join(sql)
+    return (f"{body}\n"
+            f"select e0.a, e0.b, case when e{rounds}.a is not null "
+            "then 1 else 0 end as kept\n"
+            f"from e0 left join e{rounds} "
+            f"on e0.a = e{rounds}.a and e0.b = e{rounds}.b")

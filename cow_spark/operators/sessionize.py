@@ -252,3 +252,71 @@ def rolling_anomaly(
         F.when((F.col("n_prev") >= min_prev)
                & (dev * dev > k * k * var_n2), 1)
         .otherwise(0).alias("is_anomaly"))
+
+
+def gap_fill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    bucket_us: int = 3_600 * 1_000_000,
+    max_buckets_per_key: int = 100_000,
+) -> DataFrame:
+    """Densified per-key time series: one row per (key, bucket) over
+    the key's observed [first, last] bucket span — gap buckets appear
+    with ``n_events = 0``, ``cum_events`` keeps the running total, and
+    (when ``value_col`` is given) ``last_val`` forward-fills the most
+    recent observed bucket maximum across the gap. The resample step
+    every downstream rate/retention/feature computation assumes —
+    window functions alone can't produce rows that aren't there.
+
+    Per-bucket ``last_val`` is the bucket's MAX of ``value_col`` (a
+    deterministic tie-break that replays identically in any engine;
+    "last by timestamp" needs a total order the fixture may not have).
+
+    Shape: one partial-agg groupBy(key, bucket); a per-key min/max agg
+    (key-sized); sequence+explode builds the grid WITHOUT a shuffle on
+    the corpus (the grid derives from the key-sized span table, then
+    one key+bucket join pulls the observations in); the cumsum/ffill
+    windows share one (key, bucket) sort. The explode is bounded by
+    span/bucket — a key whose span exceeds ``max_buckets_per_key``
+    fails loudly (a 30-year-span user at hourly buckets is a data bug,
+    not a reason to OOM an executor).
+    """
+    # cast: parquet naive timestamps load as TIMESTAMP_NTZ, which
+    # unix_micros rejects; under the pinned-UTC session the cast is
+    # the identity epoch mapping (same rule as sessionize)
+    b = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         / F.lit(bucket_us)).cast("long").alias("bucket")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.max(F.col(value_col)).alias("bucket_val"))
+    per = (events.where(F.col(ts_col).isNotNull()
+                        & F.col(key).isNotNull())
+           .groupBy(F.col(key), b).agg(*aggs))
+    spans = per.groupBy(key).agg(F.min("bucket").alias("lo"),
+                                 F.max("bucket").alias("hi"))
+    overflow = spans.where(
+        F.col("hi") - F.col("lo") >= max_buckets_per_key)
+    bad = overflow.select(key).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"gap_fill: key {bad[0][0]!r} spans more than "
+            f"{max_buckets_per_key} buckets — widen bucket_us or split "
+            "the series; refusing to explode an unbounded grid")
+    grid = spans.select(
+        F.col(key),
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket"))
+    j = grid.join(per, [key, "bucket"], "left")
+    w = (Window.partitionBy(key).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cols = [
+        F.col(key), F.col("bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.sum(F.coalesce("n_events", F.lit(0))).over(w)
+        .alias("cum_events"),
+    ]
+    if value_col is not None:
+        cols.append(F.last("bucket_val", ignorenulls=True).over(w)
+                    .alias("last_val"))
+    return j.select(*cols)

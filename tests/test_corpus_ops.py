@@ -1297,3 +1297,99 @@ def test_node2vec_validation(spark):
         node2vec_walks(df, w_return=0)
     with _pt.raises(ValueError, match="integer"):
         node2vec_walks(df, w_far=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SCC and k-truss
+# ---------------------------------------------------------------------------
+
+
+def test_scc_cycles_chains_and_singletons(spark):
+    """Two directed 3-cycles joined by a one-way bridge stay separate
+    SCCs; a dangling path node is its own singleton. Distributed and
+    local-twin paths agree with the serial DFS twin."""
+    from cow_spark.operators.graphrank import scc, scc_py
+
+    edges = [(1, 2), (2, 3), (3, 1),          # cycle A
+             (3, 10), (10, 11), (11, 12), (12, 10),  # bridge -> cycle B
+             (12, 99)]                         # dangling singleton
+    want = dict(scc_py(edges))
+    assert want == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for thresh in (2_000, 0):
+        got = {r["node"]: r["scc"]
+               for r in scc(df, local_threshold=thresh).collect()}
+        assert got == want
+
+
+def test_scc_self_loops_and_duplicates_ignored(spark):
+    from cow_spark.operators.graphrank import scc
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["scc"] for r in scc(df).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def _ktruss_rounds(edges, k):
+    """Serial peel with a round counter (oracle-unroll depth pin)."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    rounds = 0
+    while True:
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nxt = {e for e in es if len(adj[e[0]] & adj[e[1]]) >= k - 2}
+        if nxt == es:
+            return rounds
+        es = nxt
+        rounds += 1
+
+
+def test_ktruss_peels_bridges_keeps_cliques(spark):
+    """Two 4-cliques joined by a bridge edge: at k=3 every clique edge
+    survives (support 2), the bridge (support 0) peels. Matches the
+    serial twin edge-for-edge."""
+    from cow_spark.operators.graphrank import ktruss, ktruss_py
+
+    cl1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    cl2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    edges = cl1 + cl2 + [("d", "w")]
+    want = {(a, b): kept for a, b, kept in ktruss_py(edges, k=3)}
+    assert want[("d", "w")] == 0 and want[("a", "b")] == 1 \
+        and sum(want.values()) == 12
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): r["kept"] for r in ktruss(df, k=3).collect()}
+    assert got == want
+
+
+def test_ktruss_cascade_and_k2_keeps_all(spark):
+    """A triangle fan where peeling one edge collapses the next round
+    (cascade), and k=2 keeps triangle-free edges (support >= 0)."""
+    from cow_spark.operators.graphrank import ktruss, ktruss_py
+
+    # path of triangles sharing single edges: peel cascades inward
+    cascade = [("a", "b"), ("b", "c"), ("a", "c"),
+               ("c", "d"), ("b", "d")]
+    df = spark.createDataFrame(cascade, "src string, dst string")
+    want = {(a, b): kept for a, b, kept in ktruss_py(cascade, k=4)}
+    got = {(r["a"], r["b"]): r["kept"] for r in ktruss(df, k=4).collect()}
+    assert got == want and sum(got.values()) == 0
+    # k=2: zero-support (bridge) edges are explicitly kept
+    lone = spark.createDataFrame([("p", "q")], "src string, dst string")
+    assert ktruss(lone, k=2).collect()[0]["kept"] == 1
+
+
+def test_ktruss_entry_fixture_peel_depth_within_oracle_unroll(spark, sf_dir):
+    """The driver oracle unrolls 6 peel rounds; the co-order part
+    graph must converge within that at every sf."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .where("l_orderkey % 7 = 0") \
+        .select("l_orderkey", "l_partkey").dropDuplicates().collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], []).append(str(r["l_partkey"]))
+    edges = [(a, b) for parts in by_order.values()
+             for a in parts for b in parts if a < b]
+    assert _ktruss_rounds(edges, 3) <= 6

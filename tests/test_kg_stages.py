@@ -309,3 +309,54 @@ def test_transitive_pairs_local_and_distributed_identical(spark):
     # empty input closes empty on the local path too
     empty = spark.createDataFrame([], "src string, dst string")
     assert transitive_pairs(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# IFP-based entity resolution (owl:InverseFunctionalProperty semantics)
+# ---------------------------------------------------------------------------
+
+
+def _ifp_quad(s, p, lex, kind="lit"):
+    return (None, s, p, kind, lex, None, None)
+
+
+def test_ifp_sameas_merges_across_properties(spark):
+    """A shares an email with B; B shares a phone with C ⇒ {A,B,C}
+    one entity. D's only collision is on a NON-IFP predicate and on an
+    IRI-valued email (both must be ignored), so D stays singleton."""
+    from cow_spark.operators.canon import ifp_sameas
+
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    quads = spark.createDataFrame([
+        _ifp_quad("A", "email", "x@example.com"),
+        _ifp_quad("B", "email", "x@example.com"),
+        _ifp_quad("B", "phone", "555-1234"),
+        _ifp_quad("C", "phone", "555-1234"),
+        _ifp_quad("D", "label", "x@example.com"),      # non-IFP predicate
+        _ifp_quad("D", "email", "x@example.com", kind="iri"),  # not a literal
+        _ifp_quad("D", "phone", "999"),
+    ], schema)
+    got = {r["node"]: r["canonical"] for r in ifp_sameas(
+        quads, ["email", "phone"]).collect()}
+    assert got == {"A": "A", "B": "A", "C": "A", "D": "D"}
+
+    with pytest.raises(ValueError, match="at least one property"):
+        ifp_sameas(quads, [])
+
+
+def test_ifp_sameas_hot_value_is_star_not_pairwise(spark):
+    """A shared value with n subjects must contribute n-1 edges (star),
+    not n(n-1)/2 — asserted on the plan's absence of a self-join of the
+    value projection with itself at equal (p, o_lex) on both sides, and
+    on the result still merging the whole group."""
+    from cow_spark.operators.canon import ifp_sameas
+
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    rows = [_ifp_quad(f"u{i}", "email", "shared@example.com")
+            for i in range(50)]
+    quads = spark.createDataFrame(rows, schema)
+    out = ifp_sameas(quads, ["email"])
+    got = {r["node"]: r["canonical"] for r in out.collect()}
+    assert len(got) == 50 and set(got.values()) == {"u0"}

@@ -200,3 +200,48 @@ def test_rolling_anomaly_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# gap_fill
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_gap_fill_zero_fills_cumsums_and_ffills(spark):
+    from cow_spark.operators.sessionize import gap_fill
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 5),
+         (1, "2024-01-01 00:50:00", 7),   # same bucket as above
+         (1, "2024-01-01 03:20:00", 2),   # two-gap jump
+         (2, "2024-01-01 01:00:00", 9)],  # single-bucket user
+        "user_id long, ts string, v long"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {(r["user_id"], r["bucket"]): r for r in gap_fill(
+        ev, key="user_id", ts_col="ts", value_col="v").collect()}
+    base = 473352  # 2024-01-01 00:00 UTC in epoch hours
+    u1 = [out[(1, base + i)] for i in range(4)]
+    assert [r["n_events"] for r in u1] == [2, 0, 0, 1]
+    assert [r["cum_events"] for r in u1] == [2, 2, 2, 3]
+    # bucket max then forward fill across the gap
+    assert [r["last_val"] for r in u1] == [7, 7, 7, 2]
+    assert (2, base + 1) in out and len(out) == 5
+
+
+def test_gap_fill_span_guard_raises(spark):
+    import pytest as _pt
+
+    from cow_spark.operators.sessionize import gap_fill
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2030-01-01 00:00:00")],
+        "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    with _pt.raises(ValueError, match="spans more than"):
+        gap_fill(ev, key="user_id", ts_col="ts",
+                 max_buckets_per_key=1000)
+    # widening the bucket brings it under the cap
+    assert gap_fill(ev, key="user_id", ts_col="ts",
+                    bucket_us=365 * 24 * 3_600 * 1_000_000).count() >= 6
