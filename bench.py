@@ -87,6 +87,12 @@ HEADLINE = [
     "path_expr",
     "values_query",
     "ask_query",
+    "group_concat",
+    "subquery",
+    "ifp_sameas",
+    "gap_fill",
+    "scc",
+    "ktruss",
 ]
 
 
