@@ -6341,6 +6341,156 @@ def _sql_scc() -> str:
     return scc_oracle_sql(edges)
 
 
+def _owl_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree quads under graph g1 plus an OWL property schema: :under
+    declared transitive, :near symmetric, :above owl:inverseOf :under."""
+    from cow_spark.plans.entail import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                        OWL_TRANSITIVE, RDF_TYPE)
+
+    V = f"{BASE}/vocab/"
+    body = _tree_quads(spark, sf_dir).withColumn("g", F.lit("g1"))
+    schema = spark.createDataFrame([
+        ("g1", V + "under", RDF_TYPE, "iri", OWL_TRANSITIVE, None, None),
+        ("g1", V + "near", RDF_TYPE, "iri", OWL_SYMMETRIC, None, None),
+        ("g1", V + "under", OWL_INVERSE_OF, "iri", V + "above", None, None),
+    ], "g string, s string, p string, o_kind string, o_lex string, "
+       "o_dt string, o_lang string")
+    return body.unionByName(schema)
+
+
+def q_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL property entailment (entail.py:owl_property_closure):
+    symmetric swaps for :near, :above as the inverse of :under, and
+    the :under ancestor closure — swaps inherit the triggering quad's
+    graph (g1), multi-edge closure rows carry g NULL (no single source
+    graph), and closure rows restating an asserted pair are anti-
+    joined away rather than duplicated per graph."""
+    from cow_spark.plans.entail import owl_property_closure
+
+    return owl_property_closure(_owl_quads(spark, sf_dir))
+
+
+def _sql_owl_closure() -> str:
+    from cow_spark.plans.entail import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                        OWL_TRANSITIVE, RDF_TYPE)
+
+    V = f"{BASE}/vocab/"
+    return f"""
+with recursive t as (
+  select cast(doc_id as bigint) as n, cast(doc_id as bigint) // 2 as par,
+         cast(doc_id as bigint) % 2 = 0 as is_under
+  from documents where cast(doc_id as bigint) >= 1
+),
+closure(a, b) as (
+  select n, par from t where is_under
+  union
+  select c.a, t.par from closure c join t on t.n = c.b and t.is_under
+),
+newp as (
+  -- closure minus the asserted edges; EXCEPT is rejected inside a
+  -- recursive WITH block by DuckDB, so anti-join
+  select c.a, c.b from closure c
+  left join (select n as a, par as b from t where is_under) d
+    on d.a = c.a and d.b = c.b
+  where d.a is null
+),
+base as (
+  select 'g1' as g, '{BASE}/' || cast(n as varchar) as s,
+         case when is_under then '{V}under' else '{V}near' end as p,
+         '{BASE}/' || cast(par as varchar) as o_lex
+  from t
+),
+schema_rows as (
+  select 'g1' as g, '{V}under' as s, '{RDF_TYPE}' as p,
+         '{OWL_TRANSITIVE}' as o_lex
+  union all
+  select 'g1', '{V}near', '{RDF_TYPE}', '{OWL_SYMMETRIC}'
+  union all
+  select 'g1', '{V}under', '{OWL_INVERSE_OF}', '{V}above'
+),
+sym as (
+  select g, o_lex as s, p, s as o_lex from base where p = '{V}near'
+),
+inv as (
+  select g, o_lex as s, '{V}above' as p, s as o_lex
+  from base where p = '{V}under'
+),
+clo as (
+  select cast(NULL as varchar) as g,
+         '{BASE}/' || cast(a as varchar) as s, '{V}under' as p,
+         '{BASE}/' || cast(b as varchar) as o_lex
+  from newp
+),
+clo_inv as (
+  select g, o_lex as s, '{V}above' as p, s as o_lex from clo
+)
+select distinct g, s, p, 'iri' as o_kind, o_lex,
+       cast(NULL as varchar) as o_dt, cast(NULL as varchar) as o_lang
+from (
+  select * from base union all select * from schema_rows
+  union all select * from sym union all select * from inv
+  union all select * from clo union all select * from clo_inv
+)
+"""
+
+
+def q_er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level ER evaluation (parity.py:er_eval): the email-only
+    IFP clustering (groups of 4) scored against the block-of-40 gold —
+    TP/pred/gold pair counts via the Σ C(n,2) identity over cluster
+    intersections (three aggregates, never a pair table), precision 1
+    and recall 60/780 per block by construction."""
+    from cow_spark.operators.canon import ifp_sameas
+    from cow_spark.plans.parity import er_eval
+
+    quads = _ifp_quads(spark, sf_dir)
+    pred = ifp_sameas(quads, [f"{BASE}/vocab/email"])
+    ck = F.col("c_custkey").cast("long")
+    gold = _load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("u"), ck.cast("string")).alias("node"),
+        (ck / 40).cast("long").cast("string").alias("canonical"))
+    return er_eval(pred, gold)
+
+
+_SQL_ER_EVAL = """
+with p as (
+  select 'u' || cast(c_custkey as varchar) as node,
+         min('u' || cast(c_custkey as varchar))
+           over (partition by c_custkey // 4) as pc
+  from customer
+),
+g as (
+  select 'u' || cast(c_custkey as varchar) as node,
+         cast(c_custkey // 40 as varchar) as gc
+  from customer
+),
+j as (select p.node, p.pc, g.gc from p join g using (node)),
+cells as (select pc, gc, count(*) as n from j group by pc, gc),
+tp as (select coalesce(sum(n * (n - 1) // 2), 0) as tp_pairs from cells),
+pp as (select coalesce(sum(n * (n - 1) // 2), 0) as pred_pairs
+       from (select count(*) as n from j group by pc)),
+gp as (select coalesce(sum(n * (n - 1) // 2), 0) as gold_pairs
+       from (select count(*) as n from j group by gc)),
+nn as (select count(*) as n_nodes from j),
+m as (select n_nodes, tp_pairs, pred_pairs, gold_pairs,
+             case when pred_pairs = 0 then 1.0
+                  else tp_pairs / cast(pred_pairs as double) end as prec,
+             case when gold_pairs = 0 then 1.0
+                  else tp_pairs / cast(gold_pairs as double) end as rec
+      from nn, tp, pp, gp)
+select cast(n_nodes as bigint) as n_nodes,
+       cast(tp_pairs as bigint) as tp_pairs,
+       cast(pred_pairs as bigint) as pred_pairs,
+       cast(gold_pairs as bigint) as gold_pairs,
+       cast(floor(prec * 1000000) as bigint) as precision_m,
+       cast(floor(rec * 1000000) as bigint) as recall_m,
+       cast(floor(case when prec + rec = 0 then 0.0
+                       else 2 * prec * rec / (prec + rec) end
+                  * 1000000) as bigint) as f1_m
+from m
+"""
+
+
 def _ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-order part pairs: parts appearing in the same order link —
     each order is a small clique, so the graph is triangle-rich with
@@ -6542,6 +6692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "scc": q_scc,
         "ktruss": q_ktruss,
+        "owl_closure": q_owl_closure,
+        "er_eval": q_er_eval,
     }
 
 
@@ -6680,4 +6832,6 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill": _SQL_GAP_FILL,
         "scc": _sql_scc(),
         "ktruss": _sql_ktruss(),
+        "owl_closure": _sql_owl_closure(),
+        "er_eval": _SQL_ER_EVAL,
     }

@@ -237,3 +237,146 @@ def rdfs_closure_py(quads):
         if not new:
             return qs
         qs |= new
+
+
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+OWL_SYMMETRIC = OWL_NS + "SymmetricProperty"
+OWL_TRANSITIVE = OWL_NS + "TransitiveProperty"
+OWL_INVERSE_OF = OWL_NS + "inverseOf"
+
+
+def owl_property_closure(
+    quads: DataFrame,
+    schema_limit: int = 100_000,
+    max_iter: int = 20,
+    local_threshold: int = 2_000,
+) -> DataFrame:
+    """Return ``quads`` ∪ the OWL property-semantics entailments:
+
+    - ``P rdf:type owl:SymmetricProperty`` → (s P o) ⊢ (o P s)
+    - ``P owl:inverseOf Q``               → (s P o) ⊢ (o Q s), both ways
+    - ``P rdf:type owl:TransitiveProperty`` → the p-edge closure
+
+    Complete fixpoint without iterating the corpus: the swap rules
+    (symmetric/inverse) apply in ONE explode pass, and transitive
+    closure runs per declared-transitive property on the ALREADY
+    swapped edge set — closure of a symmetric relation is symmetric,
+    and the inverse of a closed relation is the swap of the closure,
+    so re-applying the swap rules to the closure rows (one more map)
+    finishes the fixpoint. Deeper interactions through
+    ``rdfs:subPropertyOf`` are rdfs_closure's job — compose by running
+    :func:`rdfs_closure` first (documented scope cut, same fragment
+    discipline as ρdf).
+
+    Provenance (quad-level, rdfs_closure's contract extended):
+    single-trigger entailments (swaps) inherit the triggering quad's
+    ``g``; multi-edge entailments (closure pairs not asserted under
+    the same predicate) get ``g = NULL`` — they have no single source
+    graph. Closure rows that merely restate an existing (s,p,o) pair
+    are anti-joined away rather than duplicated per graph.
+
+    Scale shape: one vocabulary-sized schema scan folded driver-side
+    (loud ``schema_limit``); one broadcast join + explode over the
+    corpus; per transitive property one :func:`canon.transitive_pairs`
+    run over that property's edges only (hierarchy-shaped by
+    assumption — the closure contract of transitive_pairs applies).
+    Literal objects never swap or close (a literal cannot be a
+    subject), matching OWL semantics on the fragment.
+
+    Documented deviation: reflexive self-pairs entailed by a property
+    that is both symmetric and transitive (``a P a`` via a-b-a) are
+    NOT emitted — transitive_pairs never produces them, matching the
+    engine's ``p+`` property-path semantics.
+    """
+    from ..operators.canon import transitive_pairs
+
+    base = quads.select(*QUAD_COLS)
+
+    sch_rows = (quads.where(
+        ((F.col("p") == RDF_TYPE)
+         & F.col("o_lex").isin([OWL_SYMMETRIC, OWL_TRANSITIVE]))
+        | (F.col("p") == OWL_INVERSE_OF))
+        .where(F.col("o_kind") == "iri")
+        .select("p", "s", "o_lex").dropDuplicates()
+        .limit(schema_limit + 1).collect())
+    if len(sch_rows) > schema_limit:
+        raise ValueError(
+            f"owl_property_closure: more than {schema_limit} schema "
+            "triples — not a vocabulary; raise schema_limit only for a "
+            "genuine (enormous) ontology")
+    symmetric, transitive = set(), set()
+    inverses: dict = {}
+    for r in sch_rows:
+        if r["p"] == OWL_INVERSE_OF:
+            inverses.setdefault(r["s"], set()).add(r["o_lex"])
+            inverses.setdefault(r["o_lex"], set()).add(r["s"])
+        elif r["o_lex"] == OWL_SYMMETRIC:
+            symmetric.add(r["s"])
+        else:
+            transitive.add(r["s"])
+
+    preds = sorted(symmetric | set(inverses))
+    spark = quads.sparkSession
+    if preds:
+        rules = spark.createDataFrame(
+            [(p, p in symmetric, sorted(inverses.get(p, ())))
+             for p in preds],
+            "_rp string, is_sym boolean, inv_props array<string>")
+    else:
+        rules = spark.createDataFrame(
+            [], "_rp string, is_sym boolean, inv_props array<string>")
+
+    def expand(df: DataFrame) -> DataFrame:
+        """One pass: rows ∪ symmetric swaps ∪ inverse swaps."""
+        empty = F.array().cast("array<string>")
+        j = (df.join(F.broadcast(rules), df["p"] == rules["_rp"], "left")
+             .withColumn("_swappable",
+                         F.coalesce("is_sym", F.lit(False))
+                         & (F.col("o_kind") == "iri"))
+             .withColumn("_inv", F.when(F.col("o_kind") == "iri",
+                                        F.coalesce("inv_props", empty))
+                         .otherwise(empty))
+             .drop("_rp", "is_sym", "inv_props"))
+        t = F.struct(*[F.col(c) for c in QUAD_COLS])
+        sym_swap = F.when(F.col("_swappable"), F.array(F.struct(
+            F.col("g"), F.col("o_lex").alias("s"), F.col("p"),
+            F.lit("iri").alias("o_kind"), F.col("s").alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang")))) \
+            .otherwise(F.array().cast(
+                "array<struct<g:string,s:string,p:string,o_kind:string,"
+                "o_lex:string,o_dt:string,o_lang:string>>"))
+        inv_swap = F.transform("_inv", lambda q: F.struct(
+            F.col("g"), F.col("o_lex").alias("s"), q.alias("p"),
+            F.lit("iri").alias("o_kind"), F.col("s").alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang")))
+        return (j.select(F.explode(F.concat(F.array(t), sym_swap,
+                                            inv_swap)).alias("q"))
+                .select(*[F.col(f"q.{c}").alias(c) for c in QUAD_COLS])
+                .dropDuplicates())
+
+    e1 = expand(base)
+    if not transitive:
+        return e1
+
+    extras = []
+    for p in sorted(transitive):
+        pe = (e1.where((F.col("p") == p) & (F.col("o_kind") == "iri"))
+              .select(F.col("s").alias("src"), F.col("o_lex").alias("dst")))
+        closed = transitive_pairs(pe, max_iter=max_iter,
+                                  local_threshold=local_threshold)
+        new_pairs = closed.join(pe.dropDuplicates(), ["src", "dst"],
+                                "left_anti")
+        extras.append(new_pairs.select(
+            F.lit(None).cast("string").alias("g"),
+            F.col("src").alias("s"), F.lit(p).alias("p"),
+            F.lit("iri").alias("o_kind"), F.col("dst").alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang")))
+    new_rows = extras[0]
+    for x in extras[1:]:
+        new_rows = new_rows.unionByName(x)
+    # swap rules re-applied to the NEW closure rows only (one more
+    # bounded pass) — finishes the symmetric/inverse interaction
+    return e1.unionByName(expand(new_rows)).dropDuplicates()

@@ -51,3 +51,55 @@ def precision_recall(candidate: DataFrame, reference: DataFrame) -> dict:
         "precision": n_inter / n_cand if n_cand else 1.0,
         "recall": n_inter / n_ref if n_ref else 1.0,
     }
+
+
+def er_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Pair-level evaluation of an entity-resolution clustering against
+    a gold clustering — the standard ER metric (pairwise P/R/F1), and
+    the local analogue of this repo's triple P/R north metric applied
+    to the linking stage. Inputs are two ``(node, canonical)`` frames
+    (ifp_sameas / canonical_entities output shape); nodes missing from
+    ``gold`` are scored as gold singletons.
+
+    NO pair table is ever materialized: with n_ij = |pred cluster i ∩
+    gold cluster j|, true-positive pairs = Σ C(n_ij, 2), predicted
+    pairs = Σ C(|i|, 2), gold pairs = Σ C(|j|, 2) — three aggregates
+    over the node-level join, each output sized by the cluster count.
+    A quadratic pairs-join would be exactly the all-pairs blowup the
+    dedup family exists to avoid; the counting identity sidesteps it.
+
+    Returns one row: n_nodes, tp_pairs, pred_pairs, gold_pairs, and
+    floor-scaled precision/recall/F1 (``*_m`` = floor(x * 10^6),
+    engine-portable like every float surface here). Empty-denominator
+    conventions: no predicted pairs → precision 1 (nothing asserted,
+    nothing wrong); no gold pairs → recall 1; F1 from the scaled
+    integer parts is 0 when both are 0.
+    """
+    p = pred.select(F.col("node"), F.col("canonical").alias("pc"))
+    g = gold.select(F.col("node"), F.col("canonical").alias("gc"))
+    j = p.join(g, "node", "left").select(
+        "node", "pc", F.coalesce("gc", F.concat(F.lit("\x00lone:"),
+                                                F.col("node"))).alias("gc"))
+
+    def pairs(df, *keys):
+        return (df.groupBy(*keys).agg(F.count("*").alias("n"))
+                .agg(F.coalesce(
+                    F.sum(F.expr("n * (n - 1) div 2")), F.lit(0))
+                    .cast("long").alias("p")))
+
+    tp = pairs(j, "pc", "gc").withColumnRenamed("p", "tp_pairs")
+    pp = pairs(j, "pc").withColumnRenamed("p", "pred_pairs")
+    gp = pairs(j, "gc").withColumnRenamed("p", "gold_pairs")
+    n = j.agg(F.count("*").cast("long").alias("n_nodes"))
+    one = (n.crossJoin(tp).crossJoin(pp).crossJoin(gp))
+    prec = F.when(F.col("pred_pairs") == 0, F.lit(1.0)) \
+        .otherwise(F.col("tp_pairs") / F.col("pred_pairs"))
+    rec = F.when(F.col("gold_pairs") == 0, F.lit(1.0)) \
+        .otherwise(F.col("tp_pairs") / F.col("gold_pairs"))
+    f1 = F.when(prec + rec == 0, F.lit(0.0)) \
+        .otherwise(2 * prec * rec / (prec + rec))
+    return one.select(
+        "n_nodes", "tp_pairs", "pred_pairs", "gold_pairs",
+        F.floor(prec * 1_000_000).cast("long").alias("precision_m"),
+        F.floor(rec * 1_000_000).cast("long").alias("recall_m"),
+        F.floor(f1 * 1_000_000).cast("long").alias("f1_m"))

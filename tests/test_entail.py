@@ -284,3 +284,89 @@ def test_property_table_pivot_semantics(spark):
     plan = property_table(quads, ["p:a"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# OWL property closure (symmetric / inverseOf / transitive)
+# ---------------------------------------------------------------------------
+
+QS = ("g string, s string, p string, o_kind string, o_lex string, "
+      "o_dt string, o_lang string")
+
+
+def _owl_rows(*rows):
+    return [(g, s, p, k, o, None, None) for (g, s, p, k, o) in rows]
+
+
+def test_owl_symmetric_and_inverse_swaps_inherit_graph(spark):
+    from cow_spark.plans.entail import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                        RDF_TYPE, owl_property_closure)
+
+    quads = spark.createDataFrame(_owl_rows(
+        ("gx", "knows", RDF_TYPE, "iri", OWL_SYMMETRIC),
+        ("gx", "parentOf", OWL_INVERSE_OF, "iri", "childOf"),
+        ("gx", "a", "knows", "iri", "b"),
+        ("gx", "a", "knows", "lit", "not-a-node"),   # literal: no swap
+        ("gx", "p1", "parentOf", "iri", "c1"),
+        ("gy", "c2", "childOf", "iri", "p2"),        # inverse works both ways
+    ), QS)
+    out = {(r["g"], r["s"], r["p"], r["o_lex"])
+           for r in owl_property_closure(quads).collect()}
+    assert ("gx", "b", "knows", "a") in out
+    assert ("not-a-node", "knows", "a") not in {t[1:] for t in out}
+    assert ("gx", "c1", "childOf", "p1") in out
+    assert ("gy", "p2", "parentOf", "c2") in out
+    # literal row passes through unchanged
+    assert ("gx", "a", "knows", "not-a-node") in out
+
+
+def test_owl_transitive_closure_null_graph_and_no_restatement(spark):
+    from cow_spark.plans.entail import (OWL_TRANSITIVE, RDF_TYPE,
+                                        owl_property_closure)
+
+    quads = spark.createDataFrame(_owl_rows(
+        ("gx", "anc", RDF_TYPE, "iri", OWL_TRANSITIVE),
+        ("gx", "a", "anc", "iri", "b"),
+        ("gy", "b", "anc", "iri", "c"),
+        ("gz", "a", "anc", "iri", "c"),   # already asserted: no NULL-g dup
+        ("gx", "c", "anc", "iri", "d"),
+    ), QS)
+    rows = owl_property_closure(quads).collect()
+    derived = {(r["g"], r["s"], r["o_lex"])
+               for r in rows if r["p"] == "anc"}
+    assert (None, "a", "d") in derived and (None, "b", "d") in derived
+    # (a, c) exists only under its asserted graph — not re-derived
+    assert (None, "a", "c") not in derived and ("gz", "a", "c") in derived
+
+
+def test_owl_symmetric_transitive_interaction_and_guard(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.entail import (OWL_SYMMETRIC, OWL_TRANSITIVE,
+                                        OWL_INVERSE_OF, RDF_TYPE,
+                                        owl_property_closure)
+
+    quads = spark.createDataFrame(_owl_rows(
+        ("g", "near", RDF_TYPE, "iri", OWL_SYMMETRIC),
+        ("g", "near", RDF_TYPE, "iri", OWL_TRANSITIVE),
+        ("g", "near", OWL_INVERSE_OF, "iri", "far"),
+        ("g", "a", "near", "iri", "b"),
+        ("g", "b", "near", "iri", "c"),
+    ), QS)
+    out = {(r["s"], r["p"], r["o_lex"])
+           for r in owl_property_closure(quads).collect()}
+    # closure over the symmetrized edges reaches every ordered pair of
+    # DISTINCT nodes; self-pairs (a near a via a-b-a) are deliberately
+    # NOT emitted — transitive_pairs' no-self-pair contract, matching
+    # the p+ property-path semantics (documented deviation)
+    for x in "abc":
+        for y in "abc":
+            if x == y:
+                assert (x, "near", y) not in out, (x, y)
+            else:
+                assert (x, "near", y) in out, (x, y)
+    # and the inverse property mirrors the entailed rows too
+    assert ("c", "far", "a") in out and ("a", "far", "c") in out
+
+    with _pt.raises(ValueError, match="schema"):
+        owl_property_closure(quads, schema_limit=1)

@@ -360,3 +360,42 @@ def test_ifp_sameas_hot_value_is_star_not_pairwise(spark):
     out = ifp_sameas(quads, ["email"])
     got = {r["node"]: r["canonical"] for r in out.collect()}
     assert len(got) == 50 and set(got.values()) == {"u0"}
+
+
+# ---------------------------------------------------------------------------
+# ER pair-level evaluation
+# ---------------------------------------------------------------------------
+
+
+def _clusters(spark, mapping):
+    return spark.createDataFrame(
+        [(n, c) for n, c in mapping.items()], "node string, canonical string")
+
+
+def test_er_eval_exact_and_known_case(spark):
+    from cow_spark.plans.parity import er_eval
+
+    gold = _clusters(spark, {"a": "a", "b": "a", "c": "a"})
+    # exact match: everything 1.0
+    r = er_eval(gold, gold).collect()[0]
+    assert (r["precision_m"], r["recall_m"], r["f1_m"]) == (
+        1_000_000, 1_000_000, 1_000_000)
+    # pred {a,b},{c} vs gold {a,b,c}: tp=1, pred=1, gold=3
+    pred = _clusters(spark, {"a": "a", "b": "a", "c": "c"})
+    r = er_eval(pred, gold).collect()[0]
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (1, 1, 3)
+    assert r["precision_m"] == 1_000_000
+    assert r["recall_m"] == 333_333      # floor(1/3 * 1e6)
+    assert r["f1_m"] == 500_000
+
+
+def test_er_eval_missing_gold_nodes_are_singletons(spark):
+    from cow_spark.plans.parity import er_eval
+
+    pred = _clusters(spark, {"a": "a", "b": "a"})
+    gold = _clusters(spark, {"a": "a"})   # b absent from gold
+    r = er_eval(pred, gold).collect()[0]
+    # the predicted (a,b) pair is wrong (b is a gold singleton)
+    assert (r["n_nodes"], r["tp_pairs"], r["pred_pairs"],
+            r["gold_pairs"]) == (2, 0, 1, 0)
+    assert r["precision_m"] == 0 and r["recall_m"] == 1_000_000
