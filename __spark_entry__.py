@@ -6491,6 +6491,174 @@ from m
 """
 
 
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL Update (bgp.py:update_where): DELETE WHERE + INSERT over
+    the docs KG — German docs that cite a source lose their lang and
+    source triples and gain an rdf:type :Archived assertion. WHERE
+    evaluates once against the ORIGINAL store (the insert fires even
+    though its matches are being deleted); deletes are per-pattern
+    broadcast anti-joins, the corpus never re-shuffles."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.bgp import update_where
+    from cow_spark.plans.entail import RDF_TYPE
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    V = f"{BASE}/vocab/"
+    where = [("?d", V + "lang", "de"), ("?d", V + "source", "?src")]
+    return update_where(
+        quads, where, delete_templates=where,
+        insert_templates=[("?d", RDF_TYPE, V + "Archived")])
+
+
+def _sql_sparql_update() -> str:
+    from cow_spark.plans.entail import RDF_TYPE
+
+    lits = []
+    for col in ["text", "lang", "source"]:
+        lits.append(
+            f"select s, '{BASE}/vocab/{col}' as p, 'lit' as o_kind, "
+            f"{col} as o_lex, cast(NULL as varchar) as o_dt from base "
+            f"where length(coalesce({col}, '')) > 0"
+        )
+    plain = " union all ".join(lits)
+    return f"""
+with base as (
+  select '{BASE}/' || cast(doc_id as varchar) as s, text, lang, source,
+         n_chars
+  from documents
+),
+tgt as (
+  select '{BASE}/' || cast(doc_id as varchar) as s from documents
+  where length(coalesce(lang, '')) > 0 and lang = 'de'
+    and length(coalesce(source, '')) > 0
+),
+emitted as (
+  select distinct * from (
+    {plain}
+    union all
+    select s, '{BASE}/vocab/n_chars' as p, 'lit' as o_kind,
+           cast(n_chars as varchar) as o_lex, '{XSD_INT}' as o_dt
+    from base where n_chars is not null
+  )
+),
+kept as (
+  select * from emitted e
+  where not (e.s in (select s from tgt)
+             and e.p in ('{BASE}/vocab/lang', '{BASE}/vocab/source'))
+),
+inserted as (
+  select s, '{RDF_TYPE}' as p, 'iri' as o_kind,
+         '{BASE}/vocab/Archived' as o_lex,
+         cast(NULL as varchar) as o_dt
+  from tgt
+)
+select cast(NULL as varchar) as g, s, p, o_kind, o_lex, o_dt,
+       cast(NULL as varchar) as o_lang
+from (select * from kept union all select * from inserted)
+"""
+
+
+_DAY_US = 86_400 * 1_000_000
+_SNAPSHOT_T_US = 852_076_800 * 1_000_000  # 1997-01-01T00:00Z
+
+
+def _order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC fixture: every order's status quad is added at its order
+    date; every 3rd order is removed 10 days later; every 9th is
+    re-added at +20 days — two intervals for the re-added subset."""
+    o = _load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("long")
+    ts0 = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+
+    def ev(rows, change, ts):
+        return rows.select(
+            F.lit(None).cast("string").alias("g"),
+            F.concat(F.lit("o"), key.cast("string")).alias("s"),
+            F.lit(f"{BASE}/vocab/status").alias("p"),
+            F.lit("lit").alias("o_kind"),
+            F.col("o_orderstatus").alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(change).alias("change"), ts.alias("ts_us"))
+
+    added = ev(o, "added", ts0)
+    removed = ev(o.where(key % 3 == 0), "removed", ts0 + 10 * _DAY_US)
+    readded = ev(o.where(key % 9 == 0), "added", ts0 + 20 * _DAY_US)
+    return added.unionByName(removed).unionByName(readded)
+
+
+def q_kg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal KG read (sinks.py:history_intervals + snapshot_at):
+    a quad-level CDC log (add / remove / re-add events) becomes
+    SCD2-style validity intervals — one keyed window sort, alternation
+    validated loudly — and the snapshot is a pure pushed-down filter:
+    the KG exactly as it stood on 1997-01-01."""
+    from cow_spark.sources.sinks import history_intervals, snapshot_at
+
+    iv = history_intervals(_order_changes(spark, sf_dir))
+    return snapshot_at(iv, _SNAPSHOT_T_US)
+
+
+_SQL_KG_SNAPSHOT = f"""
+with o as (
+  select o_orderkey as k, o_orderstatus as st,
+         epoch_us(o_orderdate) as ts0
+  from orders
+)
+select cast(NULL as varchar) as g,
+       'o' || cast(k as varchar) as s,
+       '{BASE}/vocab/status' as p, 'lit' as o_kind, st as o_lex,
+       cast(NULL as varchar) as o_dt, cast(NULL as varchar) as o_lang
+from o
+where ts0 <= {_SNAPSHOT_T_US}
+  and not (k % 3 = 0 and ts0 + 10 * {_DAY_US} <= {_SNAPSHOT_T_US}
+           and not (k % 9 = 0
+                    and ts0 + 20 * {_DAY_US} <= {_SNAPSHOT_T_US}))
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (quality.py:url_dedup over
+    text.py:canonical_url): synthetic per-doc URLs vary only in
+    tracking params, fragments, host case, and the default :443 port
+    within each (site, path, id) class — canonicalization collapses
+    them, min-doc_id wins, every row keeps its audit flag."""
+    from cow_spark.operators.quality import url_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    with_url = docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit("https://WWW.Site"), (did % 7).cast("string"),
+            F.lit(".example:443/p"), (did % 20).cast("string"),
+            F.lit("?utm_source=x&id="), (did % 5).cast("string"),
+            F.lit("#s"), did.cast("string"),
+        ).alias("url"))
+    return url_dedup(with_url)
+
+
+_SQL_URL_DEDUP = """
+with w as (
+  select cast(doc_id as bigint) as doc_id,
+         'https://WWW.Site' || cast(doc_id % 7 as varchar)
+           || '.example:443/p' || cast(doc_id % 20 as varchar)
+           || '?utm_source=x&id=' || cast(doc_id % 5 as varchar)
+           || '#s' || cast(doc_id as varchar) as url,
+         'https://www.site' || cast(doc_id % 7 as varchar)
+           || '.example/p' || cast(doc_id % 20 as varchar)
+           || '?id=' || cast(doc_id % 5 as varchar) as canon_url
+  from documents
+)
+select doc_id, url, canon_url,
+       case when doc_id = min(doc_id) over (partition by canon_url)
+            then 1 else 0 end as kept
+from w
+"""
+
+
 def _ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-order part pairs: parts appearing in the same order link —
     each order is a small clique, so the graph is triangle-rich with
@@ -6694,6 +6862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "owl_closure": q_owl_closure,
         "er_eval": q_er_eval,
+        "sparql_update": q_sparql_update,
+        "kg_snapshot": q_kg_snapshot,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -6834,4 +7005,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _sql_ktruss(),
         "owl_closure": _sql_owl_closure(),
         "er_eval": _SQL_ER_EVAL,
+        "sparql_update": _sql_sparql_update(),
+        "kg_snapshot": _SQL_KG_SNAPSHOT,
+        "url_dedup": _SQL_URL_DEDUP,
     }

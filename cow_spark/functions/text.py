@@ -172,3 +172,52 @@ def markup_stats(c: Column) -> Column:
         F.floor(F.length(stripped) * 10000 /
                 F.greatest(F.length(c), F.lit(1))).cast("long")
         .alias("text_ratio_bp"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup key; CCNet dedups by URL before text)
+# ---------------------------------------------------------------------------
+
+# Java ∩ RE2 subset; the DuckDB twin replays these with \1-style
+# backreferences where Spark uses $1 (oracle SQL owns that spelling)
+_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)="
+_URL_HEAD = r"^(https?://[A-Za-z0-9.-]+(:[0-9]+)?)"
+
+
+def canonical_url(c: Column) -> Column:
+    """Canonical form of an http(s) URL — the dedup key, NOT a pretty
+    printer. Rules, in order:
+
+    1. fragment stripped (``#...`` never reaches the server);
+    2. scheme+host lowercased (path/query case is significant);
+    3. default ports dropped (``:80`` http, ``:443`` https);
+    4. tracking query params removed (``utm_*``, ``fbclid``,
+       ``gclid``, ``msclkid``, ``ref``, ``ref_src``), remaining
+       params kept IN ORDER (reordering would conflate genuinely
+       order-sensitive endpoints);
+    5. an emptied query drops its ``?``.
+
+    Pure Column expressions; the per-param filter is a higher-order
+    lambda over the split query — bounded by the param count, and the
+    split array is the expression's own column (no captured-subtree
+    re-evaluation). Non-URL input passes through steps that no-op.
+    """
+    u = F.regexp_replace(c, r"#.*$", "")
+    head = F.lower(F.regexp_extract(u, _URL_HEAD, 1))
+    head = F.regexp_replace(head, r"^(http://[a-z0-9.-]+):80$", "$1")
+    head = F.regexp_replace(head, r"^(https://[a-z0-9.-]+):443$", "$1")
+    # rest-of-URL after the matched head (path portion, pre-query)
+    raw_head_len = F.length(F.regexp_extract(u, _URL_HEAD, 1))
+    path_and_q = F.substring(u, raw_head_len + 1, 1_000_000)
+    path = F.substring_index(path_and_q, "?", 1)
+    query = F.when(path_and_q.contains("?"),
+                   F.regexp_extract(path_and_q, r"\?(.*)$", 1)) \
+        .otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM))
+    q2 = F.array_join(kept, "&")
+    return F.when(F.regexp_extract(u, _URL_HEAD, 1) == "", c).otherwise(
+        F.concat(head, path,
+                 F.when(q2 != "", F.concat(F.lit("?"), q2))
+                 .otherwise(F.lit(""))))

@@ -507,3 +507,30 @@ def blocklist_filter(
         F.max((F.col("_match").isNotNull()).cast("int")).alias("blocked"),
         F.min("_match").alias("matched"),
     )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level crawl dedup (the CCNet first pass — dedup by URL
+    before any text is even read): one kept representative per
+    CANONICAL url (functions/text.py:canonical_url strips fragments,
+    tracking params, default ports; lowercases scheme+host). Keeps the
+    minimum ``id_col`` — retry-stable, no "first seen" race. Returns
+    every input row with its canonical key and ``kept`` flag so the
+    caller can audit the drop set instead of losing it.
+
+    One groupBy on the canonical key + one key-equi join back — the
+    same two-shuffle representative-election shape as exact text
+    dedup, but on a URL-sized key (no content hashing, no text IO)."""
+    from ..functions.text import canonical_url
+
+    w = docs.select(F.col(id_col), F.col(url_col),
+                    canonical_url(F.col(url_col)).alias("canon_url"))
+    reps = w.groupBy("canon_url").agg(F.min(id_col).alias("_keep"))
+    return (w.join(reps, "canon_url")
+            .select(id_col, url_col, "canon_url",
+                    (F.col(id_col) == F.col("_keep")).cast("int")
+                    .alias("kept")))

@@ -891,3 +891,158 @@ def having_bindings(
                              f"supported: {sorted(_CMP)}")
         out = out.where(_CMP[op](F.col(var), F.lit(value)))
     return out
+
+
+def _plain_patterns_only(patterns, op: str) -> None:
+    for s, p, o in patterns:
+        if isinstance(p, str) and not _is_var(p):
+            if (p.startswith(("^", "!")) or _SEQ_SEP in p
+                    or (p.endswith(("+", "*", "?"))
+                        and not p.endswith(("\\+", "\\*", "\\?")))
+                    or _ALT_SPLIT.search(p)):
+                raise ValueError(
+                    f"{op}: property-path forms are not supported in "
+                    f"templates ({p!r}) — paths describe reachability, "
+                    "which has no per-quad footprint")
+
+
+def delete_where(
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    namespaces: dict[str, str] | None = None,
+    graph: str | None = None,
+) -> DataFrame:
+    """SPARQL ``DELETE WHERE { patterns }`` analog: remove every quad
+    that instantiates one of the patterns under some solution of the
+    WHOLE group (shared variables constrain across patterns, exactly
+    like the match). Returns the surviving quads.
+
+    Each pattern anti-joins the quad table against the DISTINCT
+    projection of the group's bindings over that pattern's variables,
+    with constants filtering exactly as :func:`match_bgp` matched them
+    — full quad identity (datatype, language tag, graph) survives on
+    non-matching rows, nothing is re-instantiated. Object variables
+    compare by lexical form (bindings are lexical): an IRI and a
+    literal sharing a lexical form both match — documented deviation,
+    unreachable for IRI-shaped values. ``graph`` (constant) scopes
+    both the match and the deletion footprint.
+
+    Plan: the bindings evaluate once per referenced projection; every
+    anti-join's build side is a solution-set projection (query-sized,
+    broadcast) — the corpus passes through ``len(patterns)`` anti-joins
+    without shuffling. Property paths are rejected loudly (reachability
+    has no quad-level deletion footprint).
+    """
+    _plain_patterns_only(patterns, "delete_where")
+    b = match_bgp(quads, patterns, namespaces, graph=graph)
+    all_const = [pat for pat in patterns
+                 if not any(_is_var(t) for t in pat)]
+    gate_open = True
+    if all_const:
+        gate_open = b.limit(1).count() > 0
+    out = quads
+    for s, p, o in patterns:
+        conds = []
+        proj = []
+        if graph is not None:
+            conds.append(F.col("g") == F.lit(graph))
+        if _is_var(s):
+            proj.append(F.col(s[1:]).alias(f"_del_{s[1:]}"))
+            conds.append(F.col("s") == F.col(f"_del_{s[1:]}"))
+        else:
+            conds.append(F.col("s") == F.lit(_resolve(s, namespaces)))
+        if _is_var(p):
+            proj.append(F.col(p[1:]).alias(f"_del_{p[1:]}"))
+            conds.append(F.col("p") == F.col(f"_del_{p[1:]}"))
+        else:
+            conds.append(F.col("p") == F.lit(_resolve(p, namespaces)))
+        if _is_var(o):
+            proj.append(F.col(o[1:]).alias(f"_del_{o[1:]}"))
+            conds.append(F.col("o_lex") == F.col(f"_del_{o[1:]}"))
+        else:
+            ro = _resolve(o, namespaces)
+            kind = "iri" if (ro != o or _ABS_IRI.match(ro)) else "lit"
+            conds.append((F.col("o_kind") == kind)
+                         & (F.col("o_lex") == F.lit(ro)))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        if proj:
+            bp = b.select(*proj).dropDuplicates()
+            out = out.join(F.broadcast(bp), cond, "left_anti")
+        elif gate_open:
+            out = out.where(~cond)
+    return out
+
+
+def insert_where(
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    templates: list[tuple[str, str, str]],
+    namespaces: dict[str, str] | None = None,
+    graph: str | None = None,
+    insert_graph: str | None = None,
+) -> DataFrame:
+    """SPARQL ``INSERT { templates } WHERE { patterns }`` analog: the
+    quad table extended with every template instantiation
+    (:func:`construct_quads` does the deriving — NULL-variable rows
+    construct nothing, set semantics on the derived rows).
+
+    The inserted side is bindings-sized; it anti-joins the existing
+    quads on full null-safe quad identity so already-present rows are
+    not duplicated — the CORPUS is never re-shuffled for a dedup (the
+    union's set semantics costs only the small side). Assumes the
+    input is already a quad SET (extraction dedups; ``dedup='none'``
+    callers own their duplicates).
+    """
+    from ..model import QUAD_COLS
+
+    _plain_patterns_only(templates, "insert_where")
+    b = match_bgp(quads, patterns, namespaces, graph=graph)
+    ins = construct_quads(b, templates, namespaces, graph=insert_graph)
+    base = quads.select(*QUAD_COLS)
+    cond = None
+    for c in QUAD_COLS:
+        eq = ins[c].eqNullSafe(base[c])
+        cond = eq if cond is None else (cond & eq)
+    fresh = ins.join(base, cond, "left_anti")
+    return base.unionByName(fresh)
+
+
+def update_where(
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    delete_templates: list[tuple[str, str, str]] | None = None,
+    insert_templates: list[tuple[str, str, str]] | None = None,
+    namespaces: dict[str, str] | None = None,
+    graph: str | None = None,
+) -> DataFrame:
+    """``DELETE { d } INSERT { i } WHERE { patterns }``: the composed
+    update — deletion templates restricted to the WHERE patterns
+    themselves (the DELETE WHERE fragment; arbitrary delete templates
+    would need term re-instantiation, see delete_where). Per SPARQL
+    Update §3.1.3 the WHERE bindings evaluate ONCE against the
+    original store; deletes apply first, then the inserts derived
+    from those original bindings — an INSERT whose WHERE matches the
+    rows being deleted still fires."""
+    from ..model import QUAD_COLS
+
+    out = quads.select(*QUAD_COLS)
+    if delete_templates is not None:
+        if delete_templates != patterns:
+            raise ValueError(
+                "update_where supports DELETE WHERE semantics only: "
+                "delete_templates must equal the WHERE patterns")
+        out = delete_where(quads, patterns, namespaces, graph=graph)
+    if insert_templates:
+        _plain_patterns_only(insert_templates, "update_where")
+        # bindings from the ORIGINAL store, not the post-delete one
+        b = match_bgp(quads, patterns, namespaces, graph=graph)
+        ins = construct_quads(b, insert_templates, namespaces)
+        cond = None
+        for c in QUAD_COLS:
+            eq = ins[c].eqNullSafe(out[c])
+            cond = eq if cond is None else (cond & eq)
+        fresh = ins.join(out, cond, "left_anti")
+        out = out.unionByName(fresh)
+    return out

@@ -379,3 +379,54 @@ def apply_changeset(old: DataFrame, changes: DataFrame) -> DataFrame:
             f"apply_changeset: {n_old - n_surv} of {n_rem} removals "
             "matched old — the changeset does not apply to this version")
     return survivors.unionByName(add)
+
+
+def history_intervals(changes: DataFrame) -> DataFrame:
+    """Quad-level CDC event log → validity intervals: ``changes``
+    carries the quad columns plus ``change`` ('added' | 'removed') and
+    ``ts_us`` (event time, long micros); each 'added' opens an
+    interval closed by the NEXT event on the same quad (NULL = still
+    live). The temporal complement of :func:`diff_quads` /
+    :func:`apply_changeset` — a changeset history becomes an
+    SCD2-style bitemporal quad table, ready for point-in-time reads.
+
+    Events per quad must alternate added/removed starting with
+    'added' (a CDC log that double-adds is corrupt); violations fail
+    loudly with a sample offender instead of silently mispairing.
+    One window per quad key ordered by ``ts_us`` does both the
+    validation lag and the closing lead — a single keyed sort.
+    """
+    from pyspark.sql import Window
+
+    key = [F.col(c) for c in QUAD_COLS]
+    w = Window.partitionBy(*key).orderBy("ts_us")
+    marked = changes.withColumn("_prev", F.lag("change").over(w))
+    bad = (marked.where(
+        (F.col("change") == F.col("_prev"))
+        | (F.col("_prev").isNull() & (F.col("change") == "removed")))
+        .limit(1).collect())
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            "history_intervals: non-alternating change sequence for "
+            f"quad (s={r['s']!r}, p={r['p']!r}, o_lex={r['o_lex']!r}) "
+            f"at ts_us={r['ts_us']} (change={r['change']!r} after "
+            f"{r['_prev']!r}) — the CDC log is corrupt")
+    return (marked.withColumn("_next_ts", F.lead("ts_us").over(w))
+            .where(F.col("change") == "added")
+            .select(*QUAD_COLS,
+                    F.col("ts_us").alias("valid_from_us"),
+                    F.col("_next_ts").alias("valid_to_us")))
+
+
+def snapshot_at(intervals: DataFrame, t_us: int) -> DataFrame:
+    """Point-in-time read over :func:`history_intervals` output: the
+    quads whose validity interval covers ``t_us`` (half-open
+    [from, to), NULL to = still live). A pure filter — pushed to the
+    interval table's scan, partition-prunable when the table is laid
+    out by valid_from."""
+    return (intervals.where(
+        (F.col("valid_from_us") <= F.lit(t_us))
+        & (F.col("valid_to_us").isNull()
+           | (F.col("valid_to_us") > F.lit(t_us))))
+        .select(*QUAD_COLS))

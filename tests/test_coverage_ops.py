@@ -1045,3 +1045,178 @@ def test_describe_cbd_returns_subject_quads(spark):
     assert {r.s for r in rows} == {E + "a"} and len(rows) == 2
     assert sorted(out.columns) == sorted(schema.replace(" string", "")
                                          .split(", "))
+
+
+# ---------------------------------------------------------------------------
+# SPARQL Update: DELETE WHERE / INSERT WHERE
+# ---------------------------------------------------------------------------
+
+_UQS = ("g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+
+
+def _uq(s, p, o_lex, kind="lit", g=None, dt=None):
+    return (g, s, p, kind, o_lex, dt, None)
+
+
+def test_delete_where_shared_vars_and_kind_rule(spark):
+    from cow_spark.plans.bgp import delete_where
+
+    E = "https://example.com/"
+    quads = spark.createDataFrame([
+        _uq(E + "a", E + "lang", "de"),
+        _uq(E + "a", E + "src", "s1"),
+        _uq(E + "b", E + "lang", "de"),          # no src: group unmatched
+        _uq(E + "c", E + "lang", "en"),
+        _uq(E + "c", E + "src", "s2"),
+        # IRI object whose lexical form equals the literal constant:
+        # must NOT be deleted by the literal pattern
+        _uq(E + "d", E + "lang", "de", kind="iri"),
+    ], _UQS)
+    out = {(r["s"], r["p"], r["o_kind"], r["o_lex"])
+           for r in delete_where(
+               quads, [("?d", E + "lang", "de"),
+                       ("?d", E + "src", "?v")]).collect()}
+    assert (E + "a", E + "lang", "lit", "de") not in out
+    assert (E + "a", E + "src", "lit", "s1") not in out
+    assert (E + "b", E + "lang", "lit", "de") in out     # group needs ?v
+    assert (E + "c", E + "src", "lit", "s2") in out
+    assert (E + "d", E + "lang", "iri", "de") in out     # kind rule
+
+
+def test_delete_where_constant_gate_and_path_rejection(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.bgp import delete_where
+
+    E = "https://example.com/"
+    quads = spark.createDataFrame([
+        _uq(E + "a", E + "p", "x"),
+        _uq(E + "b", E + "p", "y"),
+    ], _UQS)
+    # all-constant pattern deletes its row iff the GROUP has a solution
+    out = delete_where(quads, [(E + "a", E + "p", "x")]).collect()
+    assert {r["s"] for r in out} == {E + "b"}
+    # gate closed: a second pattern with no match keeps everything
+    out2 = delete_where(quads, [(E + "a", E + "p", "x"),
+                                ("?z", E + "p", "nope")]).collect()
+    assert len(out2) == 2
+    with _pt.raises(ValueError, match="path"):
+        delete_where(quads, [("?a", E + "p+", "?b")])
+
+
+def test_update_where_insert_fires_on_deleted_matches(spark):
+    from cow_spark.plans.bgp import update_where
+
+    E = "https://example.com/"
+    quads = spark.createDataFrame([
+        _uq(E + "a", E + "status", "stale"),
+        _uq(E + "a", E + "kind", "doc"),
+    ], _UQS)
+    where = [("?d", E + "status", "stale")]
+    out = update_where(quads, where, delete_templates=where,
+                       insert_templates=[("?d", E + "status", "archived")])
+    got = {(r["s"], r["p"], r["o_lex"]) for r in out.collect()}
+    assert (E + "a", E + "status", "stale") not in got
+    assert (E + "a", E + "status", "archived") in got
+    assert (E + "a", E + "kind", "doc") in got
+
+
+def test_insert_where_no_duplicate_of_existing(spark):
+    from cow_spark.plans.bgp import insert_where
+
+    E = "https://example.com/"
+    quads = spark.createDataFrame([
+        _uq(E + "a", E + "lang", "de"),
+        _uq(E + "a", E + "tag", "seen"),   # insert target already present
+    ], _UQS)
+    out = insert_where(quads, [("?d", E + "lang", "de")],
+                       [("?d", E + "tag", "seen")])
+    assert out.count() == 2  # no third row
+
+
+# ---------------------------------------------------------------------------
+# CDC history intervals + point-in-time snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_history_intervals_pairing_open_and_snapshot_edges(spark):
+    from cow_spark.sources.sinks import history_intervals, snapshot_at
+
+    rows = [
+        _uq("A", "p", "v") + ("added", 100),
+        _uq("A", "p", "v") + ("removed", 200),
+        _uq("A", "p", "v") + ("added", 300),      # re-added, still live
+        _uq("B", "p", "w") + ("added", 150),
+    ]
+    ch = spark.createDataFrame(rows, _UQS + ", change string, ts_us long")
+    iv = {(r["s"], r["valid_from_us"], r["valid_to_us"])
+          for r in history_intervals(ch).collect()}
+    assert iv == {("A", 100, 200), ("A", 300, None), ("B", 150, None)}
+    # half-open [from, to): from inclusive, to exclusive
+    at = lambda t: {r["s"] for r in snapshot_at(
+        history_intervals(ch), t).collect()}
+    assert at(100) == {"A"}
+    assert at(199) == {"A", "B"}
+    assert at(200) == {"B"}
+    assert at(300) == {"A", "B"}
+
+
+def test_history_intervals_rejects_corrupt_log(spark):
+    import pytest as _pt
+
+    from cow_spark.sources.sinks import history_intervals
+
+    dbl = spark.createDataFrame(
+        [_uq("A", "p", "v") + ("added", 1), _uq("A", "p", "v") + ("added", 2)],
+        _UQS + ", change string, ts_us long")
+    with _pt.raises(ValueError, match="corrupt"):
+        history_intervals(dbl)
+    orphan = spark.createDataFrame(
+        [_uq("A", "p", "v") + ("removed", 1)],
+        _UQS + ", change string, ts_us long")
+    with _pt.raises(ValueError, match="corrupt"):
+        history_intervals(orphan)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL dedup
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_rules(spark):
+    from cow_spark.functions.text import canonical_url
+
+    cases = {
+        "https://WWW.Ex.COM:443/A/B?utm_source=t&q=1&ref=r#frag":
+            "https://www.ex.com/A/B?q=1",
+        "http://ex.com:80/":
+            "http://ex.com/",
+        "http://ex.com:8080/x":          # non-default port kept
+            "http://ex.com:8080/x",
+        "https://ex.com/p?utm_campaign=c":
+            "https://ex.com/p",          # emptied query drops '?'
+        "https://ex.com/p?b=2&a=1":
+            "https://ex.com/p?b=2&a=1",  # order preserved
+        "not a url at all":
+            "not a url at all",          # passthrough
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["c"] for r in df.select(
+        "u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    from cow_spark.operators.quality import url_dedup
+
+    docs = spark.createDataFrame([
+        (3, "https://ex.com/p?utm_source=a"),
+        (1, "https://EX.com/p#x"),
+        (2, "https://ex.com/q"),
+    ], "doc_id long, url string")
+    out = {r["doc_id"]: (r["canon_url"], r["kept"])
+           for r in url_dedup(docs).collect()}
+    assert out[1] == ("https://ex.com/p", 1)
+    assert out[3] == ("https://ex.com/p", 0)
+    assert out[2] == ("https://ex.com/q", 1)
