@@ -6491,6 +6491,78 @@ from m
 """
 
 
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking quality (parity.py:blocking_eval): the IFP fixture's
+    email+phone value groups as blocks, block-of-40 truth as gold —
+    reduction ratio (how much of C(n,2) the blocking prunes) and pair
+    completeness (the recall ceiling downstream matching inherits).
+    Comparisons via the per-block C(n,2) identity; completeness
+    enumerates only same-cluster co-blocked pairs (gold-pair bounded),
+    cross-cluster candidates are never materialized."""
+    from cow_spark.plans.parity import blocking_eval
+
+    quads = _ifp_quads(spark, sf_dir)
+    V = f"{BASE}/vocab/"
+    blocks = (quads.where(F.col("p").isin([V + "email", V + "phone"]))
+              .select(F.col("s").alias("node"),
+                      F.concat(F.col("p"), F.lit("="), F.col("o_lex"))
+                      .alias("block")))
+    ck = F.col("c_custkey").cast("long")
+    gold = _load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("u"), ck.cast("string")).alias("node"),
+        (ck / 40).cast("long").cast("string").alias("canonical"))
+    return blocking_eval(blocks, gold)
+
+
+_SQL_BLOCKING_EVAL = """
+with b as (
+  select 'u' || cast(c_custkey as varchar) as node,
+         'email=e' || cast(c_custkey // 4 as varchar) as block
+  from customer
+  union all
+  select 'u' || cast(c_custkey as varchar),
+         'phone=p' || cast((c_custkey - 2) // 4 as varchar)
+  from customer where c_custkey % 40 >= 2
+),
+g as (
+  select 'u' || cast(c_custkey as varchar) as node,
+         cast(c_custkey // 40 as varchar) as gc
+  from customer
+),
+cmp as (select coalesce(sum(n * (n - 1) // 2), 0) as comparisons,
+               count(*) as n_blocks
+        from (select count(*) as n from b group by block)),
+nn as (select count(distinct node) as n_nodes from b),
+gp as (select coalesce(sum(n * (n - 1) // 2), 0) as gold_pairs
+       from (select count(*) as n from g group by gc)),
+co as (
+  select count(*) as co_blocked_pairs from (
+    select distinct l.node as u, r.node as v
+    from (select b.node, b.block, g.gc from b join g using (node)) l
+    join (select b.node, b.block, g.gc from b join g using (node)) r
+      on l.block = r.block and l.gc = r.gc and l.node < r.node)
+),
+m as (
+  select cast(n_nodes as bigint) as n_nodes,
+         cast(n_blocks as bigint) as n_blocks,
+         cast(comparisons as bigint) as comparisons,
+         cast(n_nodes * (n_nodes - 1) // 2 as bigint) as total_pairs,
+         cast(gold_pairs as bigint) as gold_pairs,
+         cast(co_blocked_pairs as bigint) as co_blocked_pairs
+  from nn, cmp, gp, co
+)
+select *,
+       cast(floor((case when total_pairs = 0 then 1.0
+                        else 1 - comparisons / cast(total_pairs as double)
+                   end) * 1000000) as bigint) as reduction_m,
+       cast(floor((case when gold_pairs = 0 then 1.0
+                        else co_blocked_pairs
+                             / cast(gold_pairs as double)
+                   end) * 1000000) as bigint) as completeness_m
+from m
+"""
+
+
 def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL Update (bgp.py:update_where): DELETE WHERE + INSERT over
     the docs KG — German docs that cite a source lose their lang and
@@ -6865,6 +6937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update": q_sparql_update,
         "kg_snapshot": q_kg_snapshot,
         "url_dedup": q_url_dedup,
+        "blocking_eval": q_blocking_eval,
     }
 
 
@@ -7008,4 +7081,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update": _sql_sparql_update(),
         "kg_snapshot": _SQL_KG_SNAPSHOT,
         "url_dedup": _SQL_URL_DEDUP,
+        "blocking_eval": _SQL_BLOCKING_EVAL,
     }

@@ -93,6 +93,12 @@ HEADLINE = [
     "gap_fill",
     "scc",
     "ktruss",
+    "owl_closure",
+    "er_eval",
+    "blocking_eval",
+    "sparql_update",
+    "kg_snapshot",
+    "url_dedup",
 ]
 
 

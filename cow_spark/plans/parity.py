@@ -103,3 +103,68 @@ def er_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
         F.floor(prec * 1_000_000).cast("long").alias("precision_m"),
         F.floor(rec * 1_000_000).cast("long").alias("recall_m"),
         F.floor(f1 * 1_000_000).cast("long").alias("f1_m"))
+
+
+def blocking_eval(
+    blocks: DataFrame,
+    gold: DataFrame,
+    node_col: str = "node",
+    block_col: str = "block",
+) -> DataFrame:
+    """Blocking quality for ER candidate generation — the two standard
+    metrics: REDUCTION RATIO (1 - comparisons / all-pairs: how much of
+    the quadratic search space the blocking scheme prunes) and PAIR
+    COMPLETENESS (the fraction of gold same-entity pairs that co-occur
+    in at least one block — the recall ceiling any downstream matcher
+    inherits). ``blocks`` is (node, block) with multi-block membership
+    allowed (LSH bands, multiple IFP keys); ``gold`` is
+    (node, canonical).
+
+    Cost discipline: comparisons = Σ_b C(|b|, 2) — block-count-sized
+    aggregate, the standard definition (a pair sharing two blocks is
+    two comparisons; that is what the matcher would actually pay).
+    Completeness enumerates pairs ONLY inside (block ∩ gold-cluster)
+    cells and dedups them — bounded by the gold pair count, never the
+    corpus pair count; cross-cluster candidates (the overwhelming
+    majority) are never materialized.
+
+    One row: counts plus floor-scaled reduction_m / completeness_m.
+    A scheme whose comparisons exceed C(n,2) gets a negative
+    reduction_m — that is the honest answer, not a clamp.
+    """
+    b = blocks.select(F.col(node_col).alias("node"),
+                      F.col(block_col).alias("block")).dropDuplicates()
+    g = gold.select(F.col(node_col).alias("node"),
+                    F.col("canonical").alias("gc"))
+    comparisons = (b.groupBy("block").agg(F.count("*").alias("n"))
+                   .agg(F.coalesce(F.sum(F.expr("n * (n - 1) div 2")),
+                                   F.lit(0)).cast("long")
+                        .alias("comparisons"),
+                        F.count("*").cast("long").alias("n_blocks")))
+    nodes = b.select("node").distinct()
+    nn = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    gold_pairs = (g.groupBy("gc").agg(F.count("*").alias("n"))
+                  .agg(F.coalesce(F.sum(F.expr("n * (n - 1) div 2")),
+                                  F.lit(0)).cast("long")
+                       .alias("gold_pairs")))
+    # same-cluster co-blocked pairs, deduped across blocks
+    bg = b.join(g, "node")
+    l, r = bg.alias("l"), bg.alias("r")
+    co = (l.join(r, (F.col("l.block") == F.col("r.block"))
+                 & (F.col("l.gc") == F.col("r.gc"))
+                 & (F.col("l.node") < F.col("r.node")))
+          .select(F.col("l.node").alias("u"), F.col("r.node").alias("v"))
+          .dropDuplicates()
+          .agg(F.count("*").cast("long").alias("co_blocked_pairs")))
+    one = nn.crossJoin(comparisons).crossJoin(gold_pairs).crossJoin(co)
+    total = F.expr("n_nodes * (n_nodes - 1) div 2")
+    rr = F.when(total == 0, F.lit(1.0)) \
+        .otherwise(1 - F.col("comparisons") / total)
+    pc = F.when(F.col("gold_pairs") == 0, F.lit(1.0)) \
+        .otherwise(F.col("co_blocked_pairs") / F.col("gold_pairs"))
+    return one.select(
+        "n_nodes", "n_blocks", "comparisons",
+        total.cast("long").alias("total_pairs"),
+        "gold_pairs", "co_blocked_pairs",
+        F.floor(rr * 1_000_000).cast("long").alias("reduction_m"),
+        F.floor(pc * 1_000_000).cast("long").alias("completeness_m"))

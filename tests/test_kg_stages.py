@@ -399,3 +399,39 @@ def test_er_eval_missing_gold_nodes_are_singletons(spark):
     assert (r["n_nodes"], r["tp_pairs"], r["pred_pairs"],
             r["gold_pairs"]) == (2, 0, 1, 0)
     assert r["precision_m"] == 0 and r["recall_m"] == 1_000_000
+
+
+def test_blocking_eval_known_counts(spark):
+    from cow_spark.plans.parity import blocking_eval
+
+    # 4 nodes, gold {a,b,c} + {d}; blocks: b1={a,b,c}, b2={a,b} (dup
+    # co-blocked pair a-b must count once for completeness, twice for
+    # comparisons), b3={d}
+    blocks = spark.createDataFrame(
+        [("a", "b1"), ("b", "b1"), ("c", "b1"),
+         ("a", "b2"), ("b", "b2"), ("d", "b3")],
+        "node string, block string")
+    gold = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("c", "g1"), ("d", "d")],
+        "node string, canonical string")
+    r = blocking_eval(blocks, gold).collect()[0]
+    assert (r["n_nodes"], r["n_blocks"]) == (4, 3)
+    assert r["comparisons"] == 4          # C(3,2) + C(2,2->1) + 0
+    assert r["total_pairs"] == 6
+    assert r["gold_pairs"] == 3
+    assert r["co_blocked_pairs"] == 3     # a-b (deduped), a-c, b-c
+    assert r["reduction_m"] == 333_333    # floor((1 - 4/6) * 1e6)
+    assert r["completeness_m"] == 1_000_000
+
+
+def test_blocking_eval_missed_pairs_lower_completeness(spark):
+    from cow_spark.plans.parity import blocking_eval
+
+    blocks = spark.createDataFrame(
+        [("a", "b1"), ("b", "b1"), ("c", "b2")], "node string, block string")
+    gold = spark.createDataFrame(
+        [("a", "g"), ("b", "g"), ("c", "g")], "node string, canonical string")
+    r = blocking_eval(blocks, gold).collect()[0]
+    # only a-b co-blocked of the 3 gold pairs
+    assert r["co_blocked_pairs"] == 1 and r["gold_pairs"] == 3
+    assert r["completeness_m"] == 333_333
