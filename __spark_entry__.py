@@ -6788,8 +6788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clustering_coefficient, time_windows, node2vec_walks,
     # shape_report, cube_profile, entity_pivot, shortest_paths,
     # incremental_canon, bgp_minus, zorder_layout, hyperball,
-    # path_expr, values_query, ask_query) into the window —
-    # they have local value-exact evidence at sf0.001/0.01/0.1 but no
+    # path_expr, values_query, ask_query) AND the late-r3 additions
+    # (bind_query, group_concat, describe, subquery, ifp_sameas,
+    # gap_fill, scc, ktruss, owl_closure, er_eval, sparql_update,
+    # kg_snapshot, url_dedup, blocking_eval) into the window — all
+    # have local value-exact evidence at sf0.001/0.01/0.1 but no
     # driver row yet.
     return {
         "hll_profile": q_hll_profile,
