@@ -1393,3 +1393,119 @@ def test_ktruss_entry_fixture_peel_depth_within_oracle_unroll(spark, sf_dir):
     edges = [(a, b) for parts in by_order.values()
              for a in parts for b in parts if a < b]
     assert _ktruss_rounds(edges, 3) <= 6
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0, max_size=40),
+)
+@settings(max_examples=15, deadline=None)
+def test_scc_fuzz_matches_dfs_twin(spark, edges):
+    """Random small digraphs: distributed scc (both local-twin and
+    distributed closure paths) equals the serial DFS twin."""
+    from cow_spark.operators.graphrank import scc, scc_py
+
+    want = dict(scc_py(edges))
+    if not want:
+        return
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long")
+    for thresh in (2_000, 0):
+        got = {r["node"]: r["scc"]
+               for r in scc(df, local_threshold=thresh).collect()}
+        assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0, max_size=30),
+    k=st.integers(2, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_ktruss_fuzz_matches_serial_twin(spark, edges, k):
+    from cow_spark.operators.graphrank import ktruss, ktruss_py
+
+    want = {(a, b): kept
+            for a, b, kept in ktruss_py([(str(a), str(b))
+                                         for a, b in edges], k=k)}
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string")
+    got = {(r["a"], r["b"]): r["kept"]
+           for r in ktruss(df, k=k).collect()}
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2),            # key
+                  st.integers(0, 40),           # bucket index
+                  st.integers(-5, 5)),          # value
+        min_size=1, max_size=30),
+)
+@settings(max_examples=12, deadline=None)
+def test_gap_fill_fuzz_matches_python_twin(spark, events):
+    """gap_fill over arbitrary sparse per-key series == a dict-based
+    twin computing the same zero-fill / cumsum / bucket-max ffill."""
+    import datetime as _dt
+
+    from cow_spark.operators.sessionize import gap_fill
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [(k, base + _dt.timedelta(hours=b, minutes=int(v) % 3), v)
+            for k, b, v in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, v long")
+    got = {(r["user_id"], r["bucket"]):
+           (r["n_events"], r["cum_events"], r["last_val"])
+           for r in gap_fill(df, key="user_id", ts_col="ts",
+                             value_col="v").collect()}
+
+    per: dict = {}
+    for k, b, v in events:
+        cell = per.setdefault(k, {}).setdefault(b, [0, None])
+        cell[0] += 1
+        cell[1] = v if cell[1] is None else max(cell[1], v)
+    want = {}
+    base_bucket = int(base.replace(tzinfo=_dt.timezone.utc)
+                      .timestamp()) // 3600
+    for k, cells in per.items():
+        lo, hi = min(cells), max(cells)
+        cum, last = 0, None
+        for b in range(lo, hi + 1):
+            n, bv = cells.get(b, (0, None))
+            cum += n
+            if bv is not None:
+                last = bv
+            want[(k, base_bucket + b)] = (n, cum, last)
+    assert got == want
+
+
+@given(
+    assign=st.lists(st.tuples(st.integers(0, 9),     # node id
+                              st.integers(0, 3),     # pred cluster
+                              st.integers(0, 3)),    # gold cluster
+                    min_size=1, max_size=12,
+                    unique_by=lambda t: t[0]),
+)
+@settings(max_examples=15, deadline=None)
+def test_er_eval_fuzz_matches_bruteforce_pairs(spark, assign):
+    from itertools import combinations
+
+    from cow_spark.plans.parity import er_eval
+
+    pred = spark.createDataFrame(
+        [(f"n{i}", f"p{p}") for i, p, _ in assign],
+        "node string, canonical string")
+    gold = spark.createDataFrame(
+        [(f"n{i}", f"g{g}") for i, _, g in assign],
+        "node string, canonical string")
+    r = er_eval(pred, gold).collect()[0]
+    pmap = {i: p for i, p, _ in assign}
+    gmap = {i: g for i, _, g in assign}
+    ids = sorted(pmap)
+    pp = sum(1 for a, b in combinations(ids, 2) if pmap[a] == pmap[b])
+    gp = sum(1 for a, b in combinations(ids, 2) if gmap[a] == gmap[b])
+    tp = sum(1 for a, b in combinations(ids, 2)
+             if pmap[a] == pmap[b] and gmap[a] == gmap[b])
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (tp, pp, gp)
