@@ -6491,6 +6491,45 @@ from m
 """
 
 
+def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest distance (graphrank.py:
+    weighted_paths): Bellman-Ford min-fold rounds over the order-part
+    graph with l_quantity as the edge cost (both orientations emitted
+    for an undirected read), seeds = every 5th kept order node. Unlike
+    BFS layering, relaxation revisits nodes — a longer-hop cheaper
+    path undercuts — so distances are min total cost over <= 4-edge
+    paths, integer-exact in both engines."""
+    from cow_spark.operators.graphrank import weighted_paths
+
+    li = (_load(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") % 41 == 0))
+    o = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    w = F.col("l_quantity").cast("long")
+    fwd = li.select(o.alias("src"), p.alias("dst"), w.alias("w"))
+    bwd = li.select(p.alias("src"), o.alias("dst"), w.alias("w"))
+    seeds = (li.where(F.col("l_orderkey") % 205 == 0)
+             .select(o.alias("node")).distinct())
+    return weighted_paths(fwd.unionByName(bwd), seeds, max_hops=4)
+
+
+def _sql_weighted_paths() -> str:
+    from cow_spark.operators.graphrank import weighted_paths_oracle_sql
+
+    base = ("select 'o' || cast(l_orderkey as varchar) as src, "
+            "'p' || cast(l_partkey as varchar) as dst, "
+            "cast(l_quantity as bigint) as w "
+            "from lineitem where l_orderkey % 41 = 0 "
+            "union all "
+            "select 'p' || cast(l_partkey as varchar), "
+            "'o' || cast(l_orderkey as varchar), "
+            "cast(l_quantity as bigint) "
+            "from lineitem where l_orderkey % 41 = 0")
+    seeds = ("select distinct 'o' || cast(l_orderkey as varchar) as node "
+             "from lineitem where l_orderkey % 205 = 0")
+    return weighted_paths_oracle_sql(base, seeds, max_hops=4)
+
+
 def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking quality (parity.py:blocking_eval): the IFP fixture's
     email+phone value groups as blocks, block-of-40 truth as gold —
@@ -6791,7 +6830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path_expr, values_query, ask_query) AND the late-r3 additions
     # (bind_query, group_concat, describe, subquery, ifp_sameas,
     # gap_fill, scc, ktruss, owl_closure, er_eval, sparql_update,
-    # kg_snapshot, url_dedup, blocking_eval) into the window — all
+    # kg_snapshot, url_dedup, blocking_eval, weighted_paths) into the
+    # window — all
     # have local value-exact evidence at sf0.001/0.01/0.1 but no
     # driver row yet.
     return {
@@ -6941,6 +6981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot": q_kg_snapshot,
         "url_dedup": q_url_dedup,
         "blocking_eval": q_blocking_eval,
+        "weighted_paths": q_weighted_paths,
     }
 
 
@@ -7085,4 +7126,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot": _SQL_KG_SNAPSHOT,
         "url_dedup": _SQL_URL_DEDUP,
         "blocking_eval": _SQL_BLOCKING_EVAL,
+        "weighted_paths": _sql_weighted_paths(),
     }

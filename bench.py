@@ -99,6 +99,7 @@ HEADLINE = [
     "sparql_update",
     "kg_snapshot",
     "url_dedup",
+    "weighted_paths",
 ]
 
 

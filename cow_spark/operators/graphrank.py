@@ -1991,3 +1991,114 @@ def ktruss_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
             "then 1 else 0 end as kept\n"
             f"from e0 left join e{rounds} "
             f"on e0.a = e{rounds}.a and e0.b = e{rounds}.b")
+
+
+def weighted_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-hop weighted shortest distance: ``(node, dist)`` — the
+    minimum total edge weight from any seed over DIRECTED paths of at
+    most ``max_hops`` edges (pass both orientations for an undirected
+    read). Integer non-negative weights only, validated loudly — the
+    distances then replay engine-exactly, and negative-cycle semantics
+    never arise. The cost-aware sibling of :func:`shortest_paths`
+    (hop counts): edge weights model transfer cost / relation
+    confidence / latency on entity graphs.
+
+    Bellman-Ford rounds, set-sized: each round joins the CURRENT dist
+    table with the edge list and folds candidates with one
+    min-groupBy — dist is node-sized, the join is dist×out-edges, and
+    with non-negative weights the loop is monotone (distances only
+    tighten), so an unchanged round is the fixpoint and the loop exits
+    early. Unlike BFS layering, relaxation must revisit nodes (a
+    longer-hop cheaper path can undercut), which is why this is a
+    separate operator instead of a weight on shortest_paths' frontier.
+    Lineage cut per round; ``max_hops`` is the semantic bound (min
+    over ≤ max_hops-edge paths), not a convergence failure.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (edges.select(F.col(src).cast("string").alias("src"),
+                      F.col(dst).cast("string").alias("dst"),
+                      F.col(weight).cast("long").alias("w"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
+                & F.col("w").isNotNull())
+         .dropDuplicates()
+         .persist())
+    neg = e.where(F.col("w") < 0).limit(1).collect()
+    if neg:
+        e.unpersist()
+        raise ValueError(
+            f"weighted_paths: negative weight on edge "
+            f"({neg[0]['src']!r} -> {neg[0]['dst']!r}, w={neg[0]['w']}) — "
+            "integer non-negative weights only")
+    dist = round_checkpoint(
+        seeds.select(F.col("node").cast("string").alias("node"))
+        .dropDuplicates()
+        .withColumn("dist", F.lit(0).cast("long")), checkpoint_dir)
+    for _ in range(max_hops):
+        cand = (dist.join(e, dist["node"] == e["src"])
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        new = round_checkpoint(
+            dist.unionByName(cand).groupBy("node")
+            .agg(F.min("dist").alias("dist")), checkpoint_dir)
+        changed = (new.alias("n")
+                   .join(dist.alias("o"), "node", "left")
+                   .where(F.col("o.dist").isNull()
+                          | (F.col("n.dist") < F.col("o.dist")))
+                   .limit(1).count())
+        dist = new
+        if changed == 0:
+            break
+    e.unpersist()
+    return dist
+
+
+def weighted_paths_py(edges, seed_nodes, max_hops: int = 6):
+    """Serial Bellman-Ford twin (bounded hops)."""
+    dist = {s: 0 for s in seed_nodes}
+    es = {(a, b, w) for a, b, w in edges if a != b and w is not None}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for a, b, w in es:
+            if a in dist and (b not in nxt or dist[a] + w < nxt[b]):
+                nxt[b] = min(nxt.get(b, dist[a] + w), dist[a] + w)
+        if nxt == dist:
+            break
+        dist = nxt
+    return sorted(dist.items())
+
+
+def weighted_paths_oracle_sql(edges_cte: str, seeds_cte: str,
+                              max_hops: int = 6) -> str:
+    """DuckDB twin: Bellman-Ford unrolled to ``max_hops`` min-fold
+    stages (one relax + group-min per round, MATERIALIZED)."""
+    parts = [f"""
+with e as materialized (
+  select distinct src, dst, cast(w as bigint) as w from ({edges_cte})
+  where src is not null and dst is not null and src <> dst
+    and w is not null
+),
+d0 as materialized (
+  select distinct cast(node as varchar) as node, cast(0 as bigint) as dist
+  from ({seeds_cte})
+)"""]
+    for r in range(1, max_hops + 1):
+        parts.append(f"""d{r} as materialized (
+  select node, min(dist) as dist from (
+    select node, dist from d{r - 1}
+    union all
+    select e.dst as node, d.dist + e.w as dist
+    from d{r - 1} d join e on e.src = d.node
+  ) group by node
+)""")
+    return (",\n".join(parts)
+            + f"\nselect node, dist from d{max_hops}")

@@ -1509,3 +1509,53 @@ def test_er_eval_fuzz_matches_bruteforce_pairs(spark, assign):
     tp = sum(1 for a, b in combinations(ids, 2)
              if pmap[a] == pmap[b] and gmap[a] == gmap[b])
     assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (tp, pp, gp)
+
+
+def test_weighted_paths_cheaper_long_path_and_guard(spark):
+    """A 3-edge path of total cost 3 must undercut the direct cost-10
+    edge (relaxation revisits nodes); hop bound trims it back; negative
+    weights fail loudly."""
+    import pytest as _pt
+
+    from cow_spark.operators.graphrank import weighted_paths
+
+    edges = [("s", "t", 10), ("s", "a", 1), ("a", "b", 1), ("b", "t", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in weighted_paths(df, seeds, max_hops=4).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2, "t": 3}
+    # max_hops=1: only direct edges
+    got1 = {r["node"]: r["dist"]
+            for r in weighted_paths(df, seeds, max_hops=1).collect()}
+    assert got1 == {"s": 0, "a": 1, "t": 10}
+    neg = spark.createDataFrame([("s", "t", -1)],
+                                "src string, dst string, w long")
+    with _pt.raises(ValueError, match="negative weight"):
+        weighted_paths(neg, seeds)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(0, 6)),
+        min_size=1, max_size=25),
+    hops=st.integers(1, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_weighted_paths_fuzz_matches_bellman_ford_twin(spark, edges, hops):
+    from cow_spark.operators.graphrank import (weighted_paths,
+                                               weighted_paths_py)
+
+    seeds = sorted({a for a, _, _ in edges})[:2]
+    if not seeds:
+        return
+    want = dict(weighted_paths_py(
+        [(str(a), str(b), w) for a, b, w in edges],
+        [str(s) for s in seeds], max_hops=hops))
+    df = spark.createDataFrame(
+        [(str(a), str(b), w) for a, b, w in edges],
+        "src string, dst string, w long")
+    sdf = spark.createDataFrame([(str(s),) for s in seeds], "node string")
+    got = {r["node"]: r["dist"]
+           for r in weighted_paths(df, sdf, max_hops=hops).collect()}
+    assert got == want
