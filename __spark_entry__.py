@@ -6530,6 +6530,59 @@ def _sql_weighted_paths() -> str:
     return weighted_paths_oracle_sql(base, seeds, max_hops=4)
 
 
+def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN feature prep (graphrank.py:neighbor_agg): element-wise
+    neighbor count/sum/mean of the 64-dim embeddings over a ring+chord
+    graph on vec_ids (i—i+1, i—i+17, existence-gated) — one neighbor
+    join, one posexplode, ONE partial-aggregated groupBy(node, dim)
+    whose map-side combine bounds the shuffle by nodes x dim, not
+    edges x dim."""
+    from cow_spark.operators.graphrank import neighbor_agg
+
+    embs = _load(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id").cast("long")
+    ids = embs.select(vid.alias("dst"))
+    e = None
+    for step in (1, 17):
+        part = (embs.select(vid.alias("src"), (vid + step).alias("dst"))
+                .join(ids, "dst", "left_semi"))
+        e = part if e is None else e.unionByName(part)
+    feats = embs.select(vid.alias("id"), F.col("embedding").alias("vec"))
+    return neighbor_agg(e, feats, id_col="id", vec_col="vec")
+
+
+_SQL_NEIGHBOR_AGG = """
+with f as (
+  select cast(vec_id as bigint) as id,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+ed0 as (
+  select cast(vec_id as bigint) as a, cast(vec_id + 1 as bigint) as b
+  from embeddings
+  where vec_id + 1 in (select vec_id from embeddings)
+  union all
+  select cast(vec_id as bigint), cast(vec_id + 17 as bigint)
+  from embeddings
+  where vec_id + 17 in (select vec_id from embeddings)
+),
+ed as (select distinct a, b from
+       (select a, b from ed0 union all select b as a, a as b from ed0)),
+ex as (
+  select ed.a as node, d.g as dim,
+         cast(floor(f.e[d.g + 1] * 1000) as bigint) as v_fp
+  from ed join f on f.id = ed.b
+  cross join (select unnest(generate_series(0, 63)) as g) d
+)
+select node, cast(dim as int) as dim,
+       cast(count(*) as bigint) as n_nbrs,
+       cast(sum(v_fp) as bigint) as sum_fp,
+       cast(floor(sum(v_fp) / cast(count(*) as double)) as bigint)
+         as mean_fp
+from ex group by node, dim
+"""
+
+
 def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking quality (parity.py:blocking_eval): the IFP fixture's
     email+phone value groups as blocks, block-of-40 truth as gold —
@@ -6830,7 +6883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path_expr, values_query, ask_query) AND the late-r3 additions
     # (bind_query, group_concat, describe, subquery, ifp_sameas,
     # gap_fill, scc, ktruss, owl_closure, er_eval, sparql_update,
-    # kg_snapshot, url_dedup, blocking_eval, weighted_paths) into the
+    # kg_snapshot, url_dedup, blocking_eval, weighted_paths,
+    # neighbor_agg) into the
     # window — all
     # have local value-exact evidence at sf0.001/0.01/0.1 but no
     # driver row yet.
@@ -6982,6 +7036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "blocking_eval": q_blocking_eval,
         "weighted_paths": q_weighted_paths,
+        "neighbor_agg": q_neighbor_agg,
     }
 
 
@@ -7127,4 +7182,5 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _SQL_URL_DEDUP,
         "blocking_eval": _SQL_BLOCKING_EVAL,
         "weighted_paths": _sql_weighted_paths(),
+        "neighbor_agg": _SQL_NEIGHBOR_AGG,
     }

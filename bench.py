@@ -100,6 +100,7 @@ HEADLINE = [
     "kg_snapshot",
     "url_dedup",
     "weighted_paths",
+    "neighbor_agg",
 ]
 
 

@@ -2102,3 +2102,57 @@ d0 as materialized (
 )""")
     return (",\n".join(parts)
             + f"\nselect node, dist from d{max_hops}")
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    scale: int = 1000,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """GraphSAGE-style 1-hop neighborhood feature aggregation: for
+    every node with at least one neighbor carrying a feature vector,
+    the element-wise neighbor count / sum / mean per dimension, in the
+    floor-scaled integer domain (``floor(x * scale)`` per element
+    BEFORE summing — the engine-exact convention; means are
+    ``floor(sum / n)``). The feature-prep step GNN sampling pipelines
+    (:func:`khop_sample` neighborhoods, node2vec walk contexts) need
+    between the graph and the trainer.
+
+    Plan shape, deliberately NOT an array fold: the (symmetrized) edge
+    list joins features ONCE on the neighbor id, the vector
+    posexplodes to scalar ``(node, dim, v_fp)`` rows, and ONE
+    partial-aggregated groupBy(node, dim) folds them — map-side
+    combine shrinks the shuffle to |nodes| x dim partials regardless
+    of edge count (a hub's million neighbors combine locally), every
+    expression is codegen-friendly scalar math, and the
+    interpreted-HOF / janino-64KB traps of per-element array
+    expression trees (see simsearch.py) never arise.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))))
+    if not directed:
+        e = e.select(F.explode(F.array(
+            F.struct(F.col("src"), F.col("dst")),
+            F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )).alias("p")).select("p.src", "p.dst")
+    e = e.dropDuplicates()
+    f = features.select(F.col(id_col).alias("_nbr"),
+                        F.col(vec_col).cast("array<double>").alias("_v"))
+    ex = (e.join(f, e["dst"] == f["_nbr"])
+          .select(F.col("src").alias("node"),
+                  F.posexplode(F.col("_v")).alias("dim", "_val"))
+          .select("node", "dim",
+                  F.floor(F.col("_val") * scale).cast("long")
+                  .alias("v_fp")))
+    return (ex.groupBy("node", "dim")
+            .agg(F.count("*").cast("long").alias("n_nbrs"),
+                 F.sum("v_fp").alias("sum_fp"))
+            .select("node", "dim", "n_nbrs", "sum_fp",
+                    F.floor(F.col("sum_fp") / F.col("n_nbrs"))
+                    .cast("long").alias("mean_fp")))

@@ -1559,3 +1559,41 @@ def test_weighted_paths_fuzz_matches_bellman_ford_twin(spark, edges, hops):
     got = {r["node"]: r["dist"]
            for r in weighted_paths(df, sdf, max_hops=hops).collect()}
     assert got == want
+
+
+def test_neighbor_agg_known_values_and_direction(spark):
+    from cow_spark.operators.graphrank import neighbor_agg
+
+    feats = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [3.0, 4.0]), ("c", [5.0, 6.0])],
+        "id string, vec array<double>")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    # undirected: a sees {b}; b sees {a, c}; c sees {b}
+    got = {(r["node"], r["dim"]): (r["n_nbrs"], r["sum_fp"], r["mean_fp"])
+           for r in neighbor_agg(edges, feats).collect()}
+    assert got[("a", 0)] == (1, 3000, 3000)
+    assert got[("b", 0)] == (2, 6000, 3000)    # (1+5)*1000 / 2
+    assert got[("b", 1)] == (2, 8000, 4000)
+    assert got[("c", 1)] == (1, 4000, 4000)
+    # directed: only src -> dst aggregation, c has no out-edges
+    gd = {(r["node"], r["dim"]): r["n_nbrs"]
+          for r in neighbor_agg(edges, feats, directed=True).collect()}
+    assert ("c", 0) not in gd and gd[("a", 0)] == 1 and gd[("b", 0)] == 1
+
+
+def test_neighbor_agg_missing_features_and_floor_scaling(spark):
+    from cow_spark.operators.graphrank import neighbor_agg
+
+    feats = spark.createDataFrame(
+        [("a", [0.0015]), ("b", [-0.0015])], "id string, vec array<double>")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "ghost")], "src string, dst string")
+    got = {(r["node"], r["dim"]): (r["n_nbrs"], r["sum_fp"], r["mean_fp"])
+           for r in neighbor_agg(edges, feats).collect()}
+    # ghost has no feature row: as a NEIGHBOR it contributes nothing
+    # (a aggregates only b), but as a NODE it still aggregates a's
+    # features through the symmetrized edge
+    assert got[("a", 0)] == (1, -2, -2)   # floor(-1.5) = -2
+    assert got[("b", 0)] == (1, 1, 1)     # floor(1.5) = 1
+    assert got[("ghost", 0)] == (1, 1, 1)
