@@ -36,9 +36,12 @@ XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the session timezone once for every entry: the sf* parquet
     # timestamps are naive, and unix_micros(cast(ts)) is session-TZ
-    # dependent — a non-UTC driver session (DST boundary inside a
-    # session window) would diverge from DuckDB's naive epoch_us while
-    # staying row/schema-identical (r2 driver red on `sessionize`).
+    # dependent, so a non-UTC driver session would diverge from DuckDB's
+    # naive epoch_us. (Note: the r2 driver red on `sessionize` was NOT
+    # this — it was an uncast HUGEINT output column in the twin, which a
+    # pandas-based canonicalizer renders as float64. Every twin now
+    # casts aggregate outputs to BIGINT; test_entry_contract.py guards
+    # that no twin emits HUGEINT.)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -523,7 +526,7 @@ s as (
                              and current row) as session_id
   from g
 )
-select user_id, session_id,
+select user_id, cast(session_id as bigint) as session_id,
        cast(count(*) as bigint) as n_events,
        cast(sum(value_c) as bigint) as value_c_sum,
        cast(epoch_us(max(ts)) - epoch_us(min(ts)) as bigint) as dur_us
@@ -4791,8 +4794,9 @@ def _sql_bgp_aggregate() -> str:
     # lang emits only when non-empty (P2), n_chars when non-null — the
     # join on ?doc keeps docs emitting BOTH
     return """
-select lang as l, count(*) as n_docs,
-       sum(try_cast(cast(n_chars as varchar) as bigint)) as sum_n
+select lang as l, cast(count(*) as bigint) as n_docs,
+       cast(sum(try_cast(cast(n_chars as varchar) as bigint)) as bigint)
+           as sum_n
 from documents
 where length(coalesce(lang, '')) > 0 and n_chars is not null
 group by lang
@@ -6289,7 +6293,7 @@ grid as (select user_id, unnest(generate_series(lo, hi)) as bucket
          from spans)
 select g.user_id, g.bucket,
        coalesce(p.n, 0) as n_events,
-       sum(coalesce(p.n, 0)) over w as cum_events,
+       cast(sum(coalesce(p.n, 0)) over w as bigint) as cum_events,
        last_value(p.bv ignore nulls) over w as last_val
 from grid g left join per p using (user_id, bucket)
 window w as (partition by g.user_id order by g.bucket

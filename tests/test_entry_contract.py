@@ -76,6 +76,19 @@ def test_query_matches_oracle(spark, ddb, name):
         )
 
 
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_no_hugeint_output(ddb, name):
+    """The driver's canonicalizer fetches via pandas, which renders
+    DuckDB HUGEINT as float64 ('11.0' vs Spark's '11') — the proven root
+    cause of the r2/r3 driver reds (sessionize, bgp_aggregate). Guard:
+    no twin may emit HUGEINT (or UHUGEINT) — cast aggregates to BIGINT."""
+    sql = entry_mod.oracle_sql()[name]
+    rel = ddb.sql(sql)
+    bad = [c for c, t in zip(rel.columns, rel.types)
+           if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+    assert not bad, f"{name}: HUGEINT output columns {bad} — cast to BIGINT"
+
+
 def test_rows_only_queries_run(spark):
     for name, q in entry_mod.queries().items():
         if name in entry_mod.oracle_sql():
