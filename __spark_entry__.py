@@ -6873,134 +6873,17 @@ def _sql_ktruss() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver samples the FIRST 50 entries. Round 2
-    # sampled (and greened) the 50 that used to lead; round 3 leads with
-    # the 36 entries the driver has never checked, then `sessionize`
-    # (r2's one hash-red — fixed by the UTC pin in _load, needs a driver
-    # re-check), then 13 previously-green entries to fill the window.
-    # ROUND 4: rotate the r3-continuation tail (bpe_segment,
-    # quantile_sketch, link_prediction, rdfs_closure, khop_sample,
-    # quads_merge, personalized_pagerank, streaming_kg, graph_query,
-    # clustering_coefficient, time_windows, node2vec_walks,
-    # shape_report, cube_profile, entity_pivot, shortest_paths,
-    # incremental_canon, bgp_minus, zorder_layout, hyperball,
-    # path_expr, values_query, ask_query) AND the late-r3 additions
-    # (bind_query, group_concat, describe, subquery, ifp_sameas,
-    # gap_fill, scc, ktruss, owl_closure, er_eval, sparql_update,
-    # kg_snapshot, url_dedup, blocking_eval, weighted_paths,
-    # neighbor_agg) into the
-    # window — all
-    # have local value-exact evidence at sf0.001/0.01/0.1 but no
-    # driver row yet.
+    # Order matters: the driver samples the FIRST 50 entries. Rounds
+    # 1-3 between them greened 97 of the 141 entries; ROUND 4 leads
+    # with the 42 entries the driver has never sampled (the r3 tail:
+    # bpe_segment .. neighbor_agg, plus event_transitions /
+    # surprisal_buckets which overflowed r3's window), then the two
+    # r3 hash-reds (`sessionize`, `bgp_aggregate` — root-caused to
+    # HUGEINT twin outputs, now cast to BIGINT) plus `gap_fill`
+    # (same bug, latent), then new r4 operators and canaries to
+    # fill the window. After this round every entry has a driver
+    # row in at least one of CORRECTNESS_r{1..4}.json.
     return {
-        "hll_profile": q_hll_profile,
-        "kcore": q_kcore,
-        "url_blocklist": q_url_blocklist,
-        "bloom_filter": q_bloom_filter,
-        "random_walks": q_random_walks,
-        "bpe_train": q_bpe_train,
-        "cms_counts": q_cms_counts,
-        "rolling_anomaly": q_rolling_anomaly,
-        "bgp_select": q_bgp_select,
-        "weighted_sample": q_weighted_sample,
-        "negative_samples": q_negative_samples,
-        "integrity_report": q_integrity_report,
-        "label_propagation": q_label_propagation,
-        # r2's one hash-red (fixed by the UTC pin in _load) and the two
-        # r3 entries the driver has never sampled — all three must sit
-        # inside the first-50 window
-        "sessionize": q_sessionize,
-        "multimodal_stdlib": q_multimodal_stdlib,
-        "pq_topk": q_pq_topk,
-        "pii_scan": q_pii_scan,
-        "decontamination": q_decontamination,
-        "sequence_packing": q_sequence_packing,
-        "stratified_sample": q_stratified_sample,
-        "temperature_sample": q_temperature_sample,
-        "classifier_score": q_classifier_score,
-        "pagerank": q_pagerank,
-        "bgp_aggregate": q_bgp_aggregate,
-        "construct": q_construct,
-        "path_query": q_path_query,
-        "canonical_rewrite": q_canonical_rewrite,
-        "union_query": q_union_query,
-        "encoded_quads": q_encoded_quads,
-        "quads_diff": q_quads_diff,
-        "language_mix": q_language_mix,
-        "collocations": q_collocations,
-        "surprisal_windows": q_surprisal_windows,
-        "source_report": q_source_report,
-        "fuzzy_join": q_fuzzy_join,
-        "vocabulary": q_vocabulary,
-        "tfidf_topk": q_tfidf_topk,
-        "lm_surprisal": q_lm_surprisal,
-        "cross_doc_ngrams": q_cross_doc_ngrams,
-        "chunk_documents": q_chunk_documents,
-        "incremental_dedup": q_incremental_dedup,
-        "sft_pairs": q_sft_pairs,
-        "tool_transitions": q_tool_transitions,
-        "conversation_windows": q_conversation_windows,
-        "domain_stats": q_domain_stats,
-        "bgp_filter": q_bgp_filter,
-        "cooccurrence": q_cooccurrence,
-        "triangles": q_triangles,
-        "corpus_profile": q_corpus_profile,
-        "line_dedup": q_line_dedup,
-        "kg_default_triples": q_kg_default,
-        "kg_full_triples": q_kg_full,
-        # driver-window overflow: their in-window siblings
-        # (tool_transitions, lm_surprisal/surprisal_windows)
-        # carry the family evidence; these two keep local-
-        # replay evidence only
-        "event_transitions": q_event_transitions,
-        "surprisal_buckets": q_surprisal_buckets,
-        "pricing_summary": q_pricing_summary,
-        "order_revenue": q_order_revenue,
-        "events_windowed": q_events_windowed,
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "scd2_intervals": q_scd2_intervals,
-        "interval_join": q_interval_join,
-        "mentions": q_mentions,
-        "skolem_iris": q_skolem,
-        "entity_link": q_entity_link,
-        "connected_components": q_connected_components,
-        "text_stats": q_text_stats,
-        "markup_extract": q_markup_extract,
-        "dsir": q_dsir,
-        "substring_dedup": q_substring_dedup,
-        "bigram_lm": q_bigram_lm,
-        "winnow": q_winnow,
-        "containment": q_containment,
-        "split_assign": q_split_assign,
-        "hashed_embeddings": q_hashed_embeddings,
-        "literal_validation": q_literal_validation,
-        "bm25": q_bm25,
-        "hybrid_search": q_hybrid_search,
-        "dedup_exact": q_dedup_exact,
-        "minhash_bands": q_minhash_bands,
-        "simhash": q_simhash,
-        "simhash_neardup": q_simhash_neardup,
-        "lsh_pairs": q_lsh_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_groups": q_dedup_groups,
-        "repetition_stats": q_repetition_stats,
-        "quality_filter": q_quality_filter,
-        "multimodal_resize": q_multimodal_resize,
-        "bgp_query": q_bgp_query,
-        "transitive_closure": q_transitive_closure,
-        "kg_statistics": q_kg_statistics,
-        "conversation_stats": q_conversation_stats,
-        "knn_cosine": q_knn_cosine,
-        "embedding_sketch": q_embedding_sketch,
-        "embedding_neardup": q_embedding_neardup,
-        "transcript_kg": q_transcript_kg,
-        "multimodal_meta": q_multimodal_meta,
-        "extraction_metrics": q_extraction_metrics,
-        "ivf_topk": q_ivf_topk,
-        "semdedup": q_semdedup,
-        "multimodal_features": q_multimodal_features,
         "bpe_segment": q_bpe_segment,
         "quantile_sketch": q_quantile_sketch,
         "link_prediction": q_link_prediction,
@@ -7041,6 +6924,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_eval": q_blocking_eval,
         "weighted_paths": q_weighted_paths,
         "neighbor_agg": q_neighbor_agg,
+        "event_transitions": q_event_transitions,
+        "surprisal_buckets": q_surprisal_buckets,
+        # the two r3 hash-reds, re-checked with the BIGINT-cast twins
+        "sessionize": q_sessionize,
+        "bgp_aggregate": q_bgp_aggregate,
+        # --- new r4 operators get slots here (displacing canaries) ---
+        # canaries: previously driver-green rows, re-pinned this round
+        "kg_full_triples": q_kg_full,
+        "dedup_groups": q_dedup_groups,
+        "pagerank": q_pagerank,
+        "ivf_topk": q_ivf_topk,
+        "multimodal_stdlib": q_multimodal_stdlib,
+        "bm25": q_bm25,
+        # --- end of the driver's first-50 window ---
+        "hll_profile": q_hll_profile,
+        "kcore": q_kcore,
+        "url_blocklist": q_url_blocklist,
+        "bloom_filter": q_bloom_filter,
+        "random_walks": q_random_walks,
+        "bpe_train": q_bpe_train,
+        "cms_counts": q_cms_counts,
+        "rolling_anomaly": q_rolling_anomaly,
+        "bgp_select": q_bgp_select,
+        "weighted_sample": q_weighted_sample,
+        "negative_samples": q_negative_samples,
+        "integrity_report": q_integrity_report,
+        "label_propagation": q_label_propagation,
+        "pq_topk": q_pq_topk,
+        "pii_scan": q_pii_scan,
+        "decontamination": q_decontamination,
+        "sequence_packing": q_sequence_packing,
+        "stratified_sample": q_stratified_sample,
+        "temperature_sample": q_temperature_sample,
+        "classifier_score": q_classifier_score,
+        "construct": q_construct,
+        "path_query": q_path_query,
+        "canonical_rewrite": q_canonical_rewrite,
+        "union_query": q_union_query,
+        "encoded_quads": q_encoded_quads,
+        "quads_diff": q_quads_diff,
+        "language_mix": q_language_mix,
+        "collocations": q_collocations,
+        "surprisal_windows": q_surprisal_windows,
+        "source_report": q_source_report,
+        "fuzzy_join": q_fuzzy_join,
+        "vocabulary": q_vocabulary,
+        "tfidf_topk": q_tfidf_topk,
+        "lm_surprisal": q_lm_surprisal,
+        "cross_doc_ngrams": q_cross_doc_ngrams,
+        "chunk_documents": q_chunk_documents,
+        "incremental_dedup": q_incremental_dedup,
+        "sft_pairs": q_sft_pairs,
+        "tool_transitions": q_tool_transitions,
+        "conversation_windows": q_conversation_windows,
+        "domain_stats": q_domain_stats,
+        "bgp_filter": q_bgp_filter,
+        "cooccurrence": q_cooccurrence,
+        "triangles": q_triangles,
+        "corpus_profile": q_corpus_profile,
+        "line_dedup": q_line_dedup,
+        "kg_default_triples": q_kg_default,
+        "pricing_summary": q_pricing_summary,
+        "order_revenue": q_order_revenue,
+        "events_windowed": q_events_windowed,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "scd2_intervals": q_scd2_intervals,
+        "interval_join": q_interval_join,
+        "mentions": q_mentions,
+        "skolem_iris": q_skolem,
+        "entity_link": q_entity_link,
+        "connected_components": q_connected_components,
+        "text_stats": q_text_stats,
+        "markup_extract": q_markup_extract,
+        "dsir": q_dsir,
+        "substring_dedup": q_substring_dedup,
+        "bigram_lm": q_bigram_lm,
+        "winnow": q_winnow,
+        "containment": q_containment,
+        "split_assign": q_split_assign,
+        "hashed_embeddings": q_hashed_embeddings,
+        "literal_validation": q_literal_validation,
+        "hybrid_search": q_hybrid_search,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
+        "multimodal_resize": q_multimodal_resize,
+        "bgp_query": q_bgp_query,
+        "transitive_closure": q_transitive_closure,
+        "kg_statistics": q_kg_statistics,
+        "conversation_stats": q_conversation_stats,
+        "knn_cosine": q_knn_cosine,
+        "embedding_sketch": q_embedding_sketch,
+        "embedding_neardup": q_embedding_neardup,
+        "transcript_kg": q_transcript_kg,
+        "multimodal_meta": q_multimodal_meta,
+        "extraction_metrics": q_extraction_metrics,
+        "semdedup": q_semdedup,
+        "multimodal_features": q_multimodal_features,
     }
 
 

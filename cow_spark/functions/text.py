@@ -181,7 +181,9 @@ def markup_stats(c: Column) -> Column:
 # Java ∩ RE2 subset; the DuckDB twin replays these with \1-style
 # backreferences where Spark uses $1 (oracle SQL owns that spelling)
 _TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)="
-_URL_HEAD = r"^(https?://[A-Za-z0-9.-]+(:[0-9]+)?)"
+# scheme match is case-insensitive ((?i: — Java and RE2 both support
+# it): HTTP://Ex.com must canonicalize like http://, not pass through
+_URL_HEAD = r"^((?i:https?)://[A-Za-z0-9.-]+(:[0-9]+)?)"
 
 
 def canonical_url(c: Column) -> Column:

@@ -1866,44 +1866,48 @@ def ktruss(
           .dropDuplicates()
           .persist())
     spark = edges.sparkSession
-    cur = e0
-    cur_cnt = e0.count()
-    if cur_cnt == 0:
+    # try/finally: every exit (fixpoint, empty graph, AND the
+    # non-convergence raise) must release the persisted edge table —
+    # the localCheckpoint on each return value materializes it first,
+    # so the finally-unpersist never recomputes
+    try:
+        cur = e0
+        cur_cnt = e0.count()
+        if cur_cnt == 0:
+            return spark.createDataFrame(
+                [], "a string, b string, kept int")
+        for _ in range(max_rounds):
+            tri = _enumerate_triangles(cur)
+            charges = (tri.select(
+                F.explode(F.array(
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                )).alias("e")).select("e.*")
+                .groupBy("a", "b").agg(F.count("*").alias("support")))
+            # zero-triangle edges never get charged — left-join them
+            # back (k=2 keeps them; k>=3 peels them, explicitly not
+            # implicitly)
+            keep = (cur.join(charges, ["a", "b"], "left")
+                    .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+                    .select("a", "b"))
+            keep = round_checkpoint(keep, checkpoint_dir)
+            n = keep.count()
+            if n == cur_cnt:
+                out = (e0.join(keep.withColumn("kept", F.lit(1)),
+                               ["a", "b"], "left")
+                       .select("a", "b",
+                               F.coalesce("kept", F.lit(0)).alias("kept")))
+                return out.localCheckpoint()
+            cur, cur_cnt = keep, n
+            if n == 0:
+                out = e0.select("a", "b", F.lit(0).alias("kept"))
+                return out.localCheckpoint()
+        raise RuntimeError(
+            f"ktruss did not converge in {max_rounds} rounds — raise "
+            "max_rounds (peel depth exceeds the bound)")
+    finally:
         e0.unpersist()
-        return spark.createDataFrame([], "a string, b string, kept int")
-    for _ in range(max_rounds):
-        tri = _enumerate_triangles(cur)
-        charges = (tri.select(
-            F.explode(F.array(
-                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
-                F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
-                F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
-            )).alias("e")).select("e.*")
-            .groupBy("a", "b").agg(F.count("*").alias("support")))
-        # zero-triangle edges never get charged — left-join them back
-        # (k=2 keeps them; k>=3 peels them, explicitly not implicitly)
-        keep = (cur.join(charges, ["a", "b"], "left")
-                .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
-                .select("a", "b"))
-        keep = round_checkpoint(keep, checkpoint_dir)
-        n = keep.count()
-        if n == cur_cnt:
-            out = (e0.join(keep.withColumn("kept", F.lit(1)),
-                           ["a", "b"], "left")
-                   .select("a", "b",
-                           F.coalesce("kept", F.lit(0)).alias("kept")))
-            out = out.localCheckpoint()
-            e0.unpersist()
-            return out
-        cur, cur_cnt = keep, n
-        if n == 0:
-            out = e0.select("a", "b", F.lit(0).alias("kept"))
-            out = out.localCheckpoint()
-            e0.unpersist()
-            return out
-    raise RuntimeError(
-        f"ktruss did not converge in {max_rounds} rounds — raise "
-        "max_rounds (peel depth exceeds the bound)")
 
 
 def _enumerate_triangles(e: DataFrame) -> DataFrame:

@@ -285,9 +285,15 @@ def gap_fill(
     """
     # cast: parquet naive timestamps load as TIMESTAMP_NTZ, which
     # unix_micros rejects; under the pinned-UTC session the cast is
-    # the identity epoch mapping (same rule as sessionize)
-    b = (F.unix_micros(F.col(ts_col).cast("timestamp"))
-         / F.lit(bucket_us)).cast("long").alias("bucket")
+    # the identity epoch mapping (same rule as sessionize).
+    # Bucket = FLOOR division (the DuckDB twin's `//`): a plain
+    # cast-to-long truncates toward zero, mis-bucketing pre-1970
+    # timestamps. pmod yields a non-negative remainder, so the
+    # subtraction makes the dividend an exact multiple and the
+    # division exact — integer-floor semantics for any sign.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = ((us - F.pmod(us, F.lit(bucket_us))) / F.lit(bucket_us)) \
+        .cast("long").alias("bucket")
     aggs = [F.count("*").alias("n_events")]
     if value_col is not None:
         aggs.append(F.max(F.col(value_col)).alias("bucket_val"))

@@ -58,8 +58,13 @@ def er_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
     a gold clustering — the standard ER metric (pairwise P/R/F1), and
     the local analogue of this repo's triple P/R north metric applied
     to the linking stage. Inputs are two ``(node, canonical)`` frames
-    (ifp_sameas / canonical_entities output shape); nodes missing from
-    ``gold`` are scored as gold singletons.
+    (ifp_sameas / canonical_entities output shape); the node universe
+    is pred ∪ gold (full outer join), with a symmetric singleton rule:
+    a node missing from ``gold`` scores as a gold singleton, and a
+    node missing from ``pred`` scores as a pred singleton. A left join
+    here would silently drop gold-only nodes and inflate recall —
+    realistic when pred covers only a subset (e.g. ifp_sameas emits
+    only IFP-bearing subjects).
 
     NO pair table is ever materialized: with n_ij = |pred cluster i ∩
     gold cluster j|, true-positive pairs = Σ C(n_ij, 2), predicted
@@ -77,9 +82,11 @@ def er_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """
     p = pred.select(F.col("node"), F.col("canonical").alias("pc"))
     g = gold.select(F.col("node"), F.col("canonical").alias("gc"))
-    j = p.join(g, "node", "left").select(
-        "node", "pc", F.coalesce("gc", F.concat(F.lit("\x00lone:"),
-                                                F.col("node"))).alias("gc"))
+    lone = F.concat(F.lit("\x00lone:"), F.col("node"))
+    j = p.join(g, "node", "full_outer").select(
+        "node",
+        F.coalesce("pc", lone).alias("pc"),
+        F.coalesce("gc", lone).alias("gc"))
 
     def pairs(df, *keys):
         return (df.groupBy(*keys).agg(F.count("*").alias("n"))

@@ -399,7 +399,12 @@ def history_intervals(changes: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     key = [F.col(c) for c in QUAD_COLS]
-    w = Window.partitionBy(*key).orderBy("ts_us")
+    # tiebreaker: equal-ts events on one quad order 'added' before
+    # 'removed' (lexicographic), so an add+remove at the same instant
+    # deterministically yields a zero-length interval, and duplicate
+    # same-change events deterministically trip the alternation check
+    # instead of passing or failing by partition luck
+    w = Window.partitionBy(*key).orderBy("ts_us", "change")
     marked = changes.withColumn("_prev", F.lag("change").over(w))
     bad = (marked.where(
         (F.col("change") == F.col("_prev"))

@@ -401,6 +401,21 @@ def test_er_eval_missing_gold_nodes_are_singletons(spark):
     assert r["precision_m"] == 0 and r["recall_m"] == 1_000_000
 
 
+def test_er_eval_missing_pred_nodes_are_singletons(spark):
+    """Symmetric rule: the node universe is pred ∪ gold — a gold-only
+    node counts as a pred singleton (a left join would drop it and
+    inflate recall)."""
+    from cow_spark.plans.parity import er_eval
+
+    pred = _clusters(spark, {"a": "a"})   # b, c absent from pred
+    gold = _clusters(spark, {"a": "g", "b": "g", "c": "g"})
+    r = er_eval(pred, gold).collect()[0]
+    # gold has C(3,2)=3 pairs; pred asserts none → tp=0, recall=0
+    assert (r["n_nodes"], r["tp_pairs"], r["pred_pairs"],
+            r["gold_pairs"]) == (3, 0, 0, 3)
+    assert r["precision_m"] == 1_000_000 and r["recall_m"] == 0
+
+
 def test_blocking_eval_known_counts(spark):
     from cow_spark.plans.parity import blocking_eval
 
