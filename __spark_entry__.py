@@ -6345,6 +6345,72 @@ def _sql_scc() -> str:
     return scc_oracle_sql(edges)
 
 
+def _scc_fwbw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-SCC fixture over doc ids, SCC structure derivable
+    arithmetically (so the oracle never runs a closure): full blocks
+    of 64 are strongly connected via cycle chords at strides
+    {1,4,16,32} (diameter <= 8); every 8th block (bid % 8 == 3)
+    instead has a 4-node trim-able lead-in chain feeding a 60-node
+    {1,7,23}-chorded cycle; blocks with bid % 8 == 1 point one-way
+    into the next block (forces a second FW-BW outer round: the
+    downstream block's color class resolves only after its upstream
+    root's SCC peels)."""
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    limit = (n // 64) * 64
+    did = F.col("doc_id").cast("long")
+    base = docs.where(did < limit).select(
+        did.alias("did"), (did / 64).cast("long").alias("bid"),
+        F.pmod(did, F.lit(64)).alias("off"))
+    b64 = F.col("bid") * 64
+    chain_blk = F.pmod(F.col("bid"), F.lit(8)) == 3
+    off4 = F.col("off") - 4
+    cyc60 = [  # 60-node cycle at strides {1,7,23} over offsets 4..63
+        (b64 + 4 + F.pmod(off4 + s, F.lit(60))).alias(f"c{s}")
+        for s in (1, 7, 23)]
+    cyc64 = [  # full-block cycle at strides {1,4,16,32}
+        (b64 + F.pmod(F.col("off") + s, F.lit(64))).alias(f"d{s}")
+        for s in (1, 4, 16, 32)]
+    dsts = F.when(chain_blk & (F.col("off") < 4),
+                  F.array(F.col("did") + 1)) \
+        .when(chain_blk, F.array(*cyc60)) \
+        .otherwise(F.array(*cyc64))
+    cross = F.when((F.pmod(F.col("bid"), F.lit(8)) == 1)
+                   & (F.col("did") + 64 < limit),
+                   F.array(F.col("did") + 64)).otherwise(F.array())
+    return (base.select(F.col("did").alias("src"),
+                        F.explode(F.concat(dsts, cross)).alias("dst"))
+            .where(F.col("src") != F.col("dst")))
+
+
+def q_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-graph SCC (graphrank.py:scc_fwbw): trim + forward
+    min-coloring + backward class-restricted BFS — node/edge-sized
+    tables only, where the closure-based `scc` would materialize
+    64²-pair blocks. The oracle re-derives each node's SCC from the
+    fixture's block arithmetic, never running a reachability query."""
+    from cow_spark.operators.graphrank import scc_fwbw
+
+    return scc_fwbw(_scc_fwbw_edges(spark, sf_dir), max_outer=3)
+
+
+_SQL_SCC_FWBW = """
+with n as (select count(*) as cnt from documents),
+x as (
+  select cast(doc_id as bigint) as did,
+         cast(doc_id // 64 as bigint) as bid,
+         cast(doc_id % 64 as bigint) as off
+  from documents, n
+  where doc_id < (cnt // 64) * 64
+)
+select did as node,
+       case when bid % 8 = 3 and off < 4 then did
+            when bid % 8 = 3 then bid * 64 + 4
+            else bid * 64 end as scc
+from x
+"""
+
+
 def _owl_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tree quads under graph g1 plus an OWL property schema: :under
     declared transitive, :near symmetric, :above owl:inverseOf :under."""
@@ -6930,6 +6996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bgp_aggregate": q_bgp_aggregate,
         # --- new r4 operators get slots here (displacing canaries) ---
+        "scc_fwbw": q_scc_fwbw,
         # canaries: previously driver-green rows, re-pinned this round
         "kg_full_triples": q_kg_full,
         "dedup_groups": q_dedup_groups,
@@ -7166,6 +7233,7 @@ def oracle_sql() -> dict[str, str]:
         "ifp_sameas": _SQL_IFP_SAMEAS,
         "gap_fill": _SQL_GAP_FILL,
         "scc": _sql_scc(),
+        "scc_fwbw": _SQL_SCC_FWBW,
         "ktruss": _sql_ktruss(),
         "owl_closure": _sql_owl_closure(),
         "er_eval": _SQL_ER_EVAL,

@@ -1829,6 +1829,176 @@ from nodes n left join mutual m on m.v = n.node
 """
 
 
+def scc_fwbw(
+    edges: DataFrame,
+    max_outer: int = 8,
+    max_rounds: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Strongly connected components for DENSE directed graphs —
+    trim + forward-coloring + backward sweep (the FW-BW family:
+    Fleischer-Hendrickson-Pinar divide-and-conquer, run here in the
+    Orzan coloring form so every color class peels in the same round).
+    Same output contract as :func:`scc`: ``(node, scc)`` with
+    scc = min member of the component.
+
+    Where :func:`scc` materializes the reachability closure (right for
+    workflow/tool graphs whose reach sets are small, wrong for a
+    social-density graph where the closure is Θ(n²) pairs), this
+    variant never builds a pair table — every intermediate is node- or
+    edge-sized:
+
+    1. **Trim**: nodes with zero in- or out-degree in the active
+       subgraph are singleton SCCs; peel them iteratively (two distinct
+       projections + two semi-joins per round). Kills the acyclic
+       fringe that dominates real crawl/mention graphs.
+    2. **Color** (forward sweep): propagate ``color(v) = min{u : u
+       reaches v, u active}`` to fixpoint — one edge join + one
+       min-aggregate per round, O(active diameter) rounds. The fixpoint
+       check counts improved rows, so a converged class costs nothing
+       extra.
+    3. **Extract** (backward sweep): a root is a node with
+       ``color(v) == v`` — by min-consistency the root is the smallest
+       member of its SCC, and SCC(root) is exactly the set
+       backward-reachable from the root *within its color class*
+       (intermediate nodes of any path from a class member to the root
+       provably share the color). BFS over reversed edges restricted to
+       the class: frontier-sized joins, first-reach-wins anti-join.
+    4. Remove every extracted SCC (at least the class of the global
+       minimum resolves per outer round — termination ≤ #SCCs, in
+       practice 1-3 outer rounds after trim), repeat.
+
+    ``max_outer``/``max_rounds`` are fail-loud convergence bounds, not
+    silent truncations. Per-round lineage cuts via
+    :func:`~cow_spark.operators.canon.round_checkpoint`; the active
+    edge table is persisted per outer round and released in a finally.
+
+    No reference counterpart (COW has no graph ops); extension family
+    SURVEY.md §2.11.
+    """
+    e_all = (edges.select(src, dst)
+             .where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                    & (F.col(src) != F.col(dst)))
+             .dropDuplicates())
+    nodes = (e_all.select(F.explode(F.array(src, dst)).alias("node"))
+             .dropDuplicates())
+
+    done: DataFrame | None = None
+
+    def _accumulate(acc, part):
+        part = part.select("node", "scc")
+        return part if acc is None else acc.unionByName(part)
+
+    active_n = round_checkpoint(nodes, checkpoint_dir)
+    active_e = round_checkpoint(e_all, checkpoint_dir)
+    for _ in range(max_outer):
+        if active_n.isEmpty():
+            break
+        # ---- 1. trim the acyclic fringe (zero in- or out-degree) ----
+        for _ in range(max_rounds):
+            has_out = active_e.select(F.col(src).alias("node")).dropDuplicates()
+            has_in = active_e.select(F.col(dst).alias("node")).dropDuplicates()
+            keep = (active_n.join(has_out, "node", "left_semi")
+                    .join(has_in, "node", "left_semi"))
+            keep = round_checkpoint(keep, checkpoint_dir)
+            trimmed = active_n.join(keep, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            done = _accumulate(
+                done, trimmed.select("node", F.col("node").alias("scc")))
+            active_n = keep
+            active_e = round_checkpoint(
+                active_e
+                .join(keep.select(F.col("node").alias(src)), src, "left_semi")
+                .join(keep.select(F.col("node").alias(dst)), dst, "left_semi"),
+                checkpoint_dir)
+        if active_n.isEmpty():
+            break
+        ep = active_e.persist()
+        try:
+            # ---- 2. forward min-coloring to fixpoint ----
+            col = round_checkpoint(
+                active_n.select("node", F.col("node").alias("color")),
+                checkpoint_dir)
+            converged = False
+            for _ in range(max_rounds):
+                prop = (ep.join(col.select(F.col("node").alias(src),
+                                           "color"), src)
+                        .groupBy(F.col(dst).alias("node"))
+                        .agg(F.min("color").alias("c2")))
+                better = (prop.join(col, "node")
+                          .where(F.col("c2") < F.col("color"))
+                          .select("node", "c2"))
+                better = round_checkpoint(better, checkpoint_dir)
+                if better.isEmpty():
+                    converged = True
+                    break
+                col = round_checkpoint(
+                    col.join(better, "node", "left")
+                    .select("node",
+                            F.coalesce("c2", "color").alias("color")),
+                    checkpoint_dir)
+            if not converged:
+                raise RuntimeError(
+                    f"scc_fwbw coloring did not converge in {max_rounds} "
+                    "rounds — raise max_rounds (active diameter exceeds "
+                    "the bound)")
+            # ---- 3. backward BFS from roots within each color class ----
+            members = round_checkpoint(
+                col.where(F.col("color") == F.col("node"))
+                .select("node", F.col("node").alias("scc")),
+                checkpoint_dir)
+            frontier = members
+            for _ in range(max_rounds):
+                step = (ep.join(frontier.select(F.col("node").alias(dst),
+                                                "scc"), dst)
+                        .select(F.col(src).alias("node"), "scc")
+                        .dropDuplicates()
+                        .join(col, "node")
+                        .where(F.col("color") == F.col("scc"))
+                        .select("node", "scc"))
+                new = round_checkpoint(
+                    step.join(members.select("node"), "node", "left_anti"),
+                    checkpoint_dir)
+                if new.isEmpty():
+                    break
+                members = round_checkpoint(
+                    members.unionByName(new), checkpoint_dir)
+                frontier = new
+            else:
+                raise RuntimeError(
+                    f"scc_fwbw backward sweep did not finish in "
+                    f"{max_rounds} rounds — raise max_rounds")
+            done = _accumulate(done, members)
+            # ---- 4. peel the resolved classes ----
+            active_n = round_checkpoint(
+                active_n.join(members.select("node"), "node", "left_anti"),
+                checkpoint_dir)
+            active_e = round_checkpoint(
+                active_e
+                .join(active_n.select(F.col("node").alias(src)),
+                      src, "left_semi")
+                .join(active_n.select(F.col("node").alias(dst)),
+                      dst, "left_semi"),
+                checkpoint_dir)
+        finally:
+            ep.unpersist()
+    else:
+        if not active_n.isEmpty():
+            raise RuntimeError(
+                f"scc_fwbw did not resolve every component in {max_outer} "
+                "outer rounds — raise max_outer (long SCC condensation "
+                "chains need one round per chain link)")
+    if done is None:
+        spark = edges.sparkSession
+        schema = nodes.select(
+            "node", F.col("node").alias("scc")).schema
+        return spark.createDataFrame([], schema)
+    return done
+
+
 def ktruss(
     edges: DataFrame,
     k: int = 3,

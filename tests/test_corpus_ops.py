@@ -1331,6 +1331,74 @@ def test_scc_self_loops_and_duplicates_ignored(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_scc_fwbw_matches_scc_on_mixed_graph(spark):
+    """FW-BW variant: cycles, one-way bridge, trim-able tail and a
+    forward chain of SCCs (forces a second outer round) all agree
+    with the serial DFS twin and the closure-based scc."""
+    from cow_spark.operators.graphrank import scc, scc_fwbw, scc_py
+
+    edges = [(1, 2), (2, 3), (3, 1),                 # cycle A
+             (3, 10), (10, 11), (11, 12), (12, 10),  # bridge -> cycle B
+             (12, 99), (99, 98),                     # trim-able tail
+             (20, 21), (21, 20), (11, 20)]           # chained SCC pair
+    want = dict(scc_py(edges))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["scc"] for r in scc_fwbw(df).collect()}
+    assert got == want
+    ref = {r["node"]: r["scc"] for r in scc(df).collect()}
+    assert got == ref
+
+
+def test_scc_fwbw_dense_core_no_pair_table(spark):
+    """A 60-node strongly connected blob (cycle + chords, closure =
+    3.6k pairs) resolves in ONE outer round with node-sized tables —
+    the dense shape the closure-based scc documents as out of
+    contract."""
+    from cow_spark.operators.graphrank import scc_fwbw
+
+    n = 60
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i + 7) % n) for i in range(n)]
+    edges += [(i, (i + 23) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["scc"] for r in scc_fwbw(df, max_outer=1).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_scc_fwbw_convergence_guards_raise(spark):
+    from cow_spark.operators.graphrank import scc_fwbw
+    import pytest as _pt
+
+    # 3-link condensation chain of 2-cycles: needs 3 outer rounds
+    chain = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5),
+             (5, 6), (6, 5)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with _pt.raises(RuntimeError, match="outer"):
+        scc_fwbw(df, max_outer=1)
+    got = {r["node"]: r["scc"] for r in scc_fwbw(df, max_outer=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0, max_size=40),
+)
+@settings(max_examples=10, deadline=None)
+def test_scc_fwbw_fuzz_matches_dfs_twin(spark, edges):
+    """Random small digraphs: FW-BW equals the serial DFS twin."""
+    from cow_spark.operators.graphrank import scc_fwbw, scc_py
+
+    want = dict(scc_py(edges))
+    if not want:
+        return
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long")
+    got = {r["node"]: r["scc"]
+           for r in scc_fwbw(df, max_outer=16).collect()}
+    assert got == want
+
+
 def _ktruss_rounds(edges, k):
     """Serial peel with a round counter (oracle-unroll depth pin)."""
     es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
