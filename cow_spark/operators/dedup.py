@@ -717,6 +717,39 @@ def embedding_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _pair_dot_arrow(a: Column, b: Column) -> Column:
+    """Vectorized pair dot product for :func:`semdedup`'s Arrow kernel.
+
+    Reproduces the interpreted HOF fold BIT-EXACTLY: the fold computes
+    ``acc = acc + a[d]*b[d]`` left-to-right, so the kernel runs 64
+    whole-batch fused steps in the same order instead of numpy's
+    pairwise-summed ``(a*b).sum()`` (which rounds differently at the
+    6th decimal exactly where the eps boundary lives). One Arrow
+    crossing for the entire candidate-pair batch; defined lazily so
+    importing dedup.py never requires pandas.
+    """
+    import numpy as np  # local: executor-side too
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _dot(xs, ys):
+        if xs.empty:
+            return pd.Series(np.zeros(0))
+        xa = np.stack(xs.to_numpy())
+        xb = np.stack(ys.to_numpy())
+        acc = np.zeros(len(xs), dtype=np.float64)
+        for d in range(xa.shape[1]):
+            acc = acc + xa[:, d] * xb[:, d]
+        return pd.Series(acc)
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would stringify inline hints, and pyspark resolves
+    # them against module globals where the lazy `pd` doesn't exist
+    _dot.__annotations__ = {
+        "xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot, "double")(a, b)
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -725,6 +758,7 @@ def semdedup(
     n_cells: int = 16,
     centroids: DataFrame | None = None,
     cell_cap: int = 100_000,
+    pair_kernel: str = "hof",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
     into coarse cells, then drop all but one member of every within-cell
@@ -760,6 +794,20 @@ def semdedup(
     duplicates and collapse to one survivor. For *identical* empty
     documents that is the right answer; filter zero vectors first if
     you want them all retained.
+
+    ``pair_kernel`` selects the within-cell verify implementation:
+
+    - ``"hof"`` (default): the pair dot is a higher-order fold inside
+      the join condition — interpreted, but zero Python crossings and
+      no second corpus join.
+    - ``"arrow"``: materialize the (cell-capped) candidate pairs, dot
+      them in ONE vectorized pandas_udf (64 per-dim fused
+      multiply-adds across the whole Arrow batch, preserving the
+      fold's left-to-right IEEE order bit-exactly), then join the
+      dominated set back. Pays Arrow transfer of both unit vectors
+      per pair plus one extra id-keyed join; wins when cells are fat
+      (candidate pairs ≫ rows). Both kernels produce identical rows;
+      a pytest pins the equality.
     """
     from .simsearch import assign_cells, take_centroids
 
@@ -796,6 +844,26 @@ def semdedup(
         | ((F.col("_acsim") == F.col("csim"))
            & (F.col("_aid") < F.col(id_col)))
     )
+    if pair_kernel == "arrow":
+        # candidate pairs first (equi-join on cell + priority filter —
+        # the same pair set the hof join enumerates internally), then
+        # one Arrow crossing for all dots. The >= eps compare happens
+        # Spark-side so NaN keeps its "above every number" semantics.
+        pairs = assigned.select(id_col, "cell", "csim", "u").join(
+            a, (F.col("cell") == F.col("_acell")) & higher_priority)
+        dom = (pairs
+               .where(F.round(_pair_dot_arrow(F.col("_au"), F.col("u")),
+                              6) >= eps)
+               .groupBy(id_col)
+               .agg(F.count("*").alias("_ndom")))
+        return (assigned.select(id_col, "cell", "csim")
+                .join(dom, id_col, "left")
+                .select(id_col, "cell", "csim",
+                        F.when(F.col("_ndom").isNull(), F.lit(1))
+                        .otherwise(F.lit(0)).alias("kept")))
+    if pair_kernel != "hof":
+        raise ValueError(
+            f"pair_kernel must be 'hof' or 'arrow', got {pair_kernel!r}")
     pair_cos = F.round(
         F.aggregate(F.zip_with(F.col("_au"), F.col("u"),
                                lambda x, y: x * y),

@@ -677,6 +677,42 @@ def test_semdedup_cell_cap_retains_oversized_cells(spark):
     assert sum(r.kept for r in uncapped.collect()) == 1
 
 
+def test_semdedup_arrow_kernel_equals_hof(spark, embs):
+    """The Arrow pair-verify kernel reproduces the interpreted-HOF
+    kernel row-for-row (its 64 whole-batch fused steps replay the
+    fold's left-to-right IEEE order), including the keep-rule tests'
+    shapes and a real-embedding slice whose eps sits in the thick of
+    the within-cell cosine distribution."""
+    from cow_spark.operators.dedup import semdedup
+
+    df = embs.limit(300)
+    for eps in (0.2, 0.9):
+        a = {(r.vec_id, r.cell, r.csim, r.kept)
+             for r in semdedup(df, eps=eps, n_cells=4).collect()}
+        b = {(r.vec_id, r.cell, r.csim, r.kept)
+             for r in semdedup(df, eps=eps, n_cells=4,
+                               pair_kernel="arrow").collect()}
+        assert a == b and len(a) == 300
+    # keep rule + cell cap behave identically through the arrow path
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id int, embedding array<double>")
+    rows = [(10, [1.0, 0.0, 0.0, 0.30]), (11, [1.0, 0.0, 0.0, 0.31]),
+            (12, [1.0, 0.05, 0.0, 0.90]), (20, [0.0, 1.0, 0.0, 0.0])]
+    small = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    kept = {r.vec_id: r.kept
+            for r in semdedup(small, eps=0.99, centroids=cents,
+                              pair_kernel="arrow").collect()}
+    assert kept == {10: 0, 11: 1, 12: 1, 20: 1}
+    capped = semdedup(small, eps=0.9, centroids=cents, cell_cap=1,
+                      pair_kernel="arrow")
+    assert all(r.kept == 1 for r in capped.collect())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pair_kernel"):
+        semdedup(small, pair_kernel="simd")
+
+
 def test_multimodal_plumbing(spark, docs):
     media = media_from_documents(docs.limit(50))
     feats = extract_features(media, decoder="fake")
