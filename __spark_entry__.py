@@ -6411,6 +6411,129 @@ from x
 """
 
 
+def q_coref_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency coreference (mentions.py:coref_resolve) over the
+    deterministic transcripts: anaphoric turns (person-free templates,
+    empty/N-A turns) inherit the conversation's most recent prior
+    person mention; the oracle regenerates the transcripts from the
+    LCG arithmetic and replays the window."""
+    from cow_spark.operators.mentions import coref_resolve
+    from cow_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, 5000)
+    out = coref_resolve(t, r"Person[0-9]{2}")
+    return out.select(
+        F.col("conv_id"), F.col("turn_idx").cast("int").alias("turn_idx"),
+        "mention", "antecedent",
+        F.col("antecedent_turn").cast("int").alias("antecedent_turn"),
+        "resolved")
+
+
+def _sql_coref_resolve() -> str:
+    gen = _sql_transcripts_gen()
+    return f"""
+with {gen},
+m as (
+  select conv_id, cast(turn_idx as int) as turn_idx,
+         nullif(regexp_extract(text, 'Person[0-9]{{2}}', 0), '') as mention
+  from transcripts_gen
+)
+select conv_id, turn_idx, mention,
+       last_value(mention ignore nulls) over w as antecedent,
+       cast(last_value(case when mention is not null then turn_idx end
+                       ignore nulls) over w as int) as antecedent_turn,
+       coalesce(mention, last_value(mention ignore nulls) over w)
+         as resolved
+from m
+window w as (partition by conv_id order by turn_idx
+             rows between unbounded preceding and 1 preceding)
+"""
+
+
+def q_kg_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source claim resolution (canon.py:resolve_claims): three
+    synthetic feeds assert each order's status; feed k corrupts keys
+    with (key + k) % 7 == 0 (at most one feed wrong per key), so the
+    distinct-source majority always recovers the true status — the
+    oracle re-derives support/n_values from the corruption arithmetic
+    without running a vote."""
+    from cow_spark.operators.canon import resolve_claims
+
+    o = _load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("long")
+    c = o.select(key.alias("key"),
+                 F.col("o_orderstatus").alias("t"),
+                 F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                 .alias("k"))
+    claims = c.select(
+        F.concat(F.lit("o:"), F.col("key")).alias("s"),
+        F.lit("status").alias("p"),
+        F.when(F.pmod(F.col("key") + F.col("k"), F.lit(7)) == 0,
+               F.concat(F.col("t"), F.lit("_X"), F.col("k")))
+        .otherwise(F.col("t")).alias("o"),
+        F.concat(F.lit("feed"), F.col("k")).alias("source"))
+    return resolve_claims(claims)
+
+
+_SQL_KG_RESOLVE = """
+select 'o:' || cast(o_orderkey as bigint) as s,
+       'status' as p,
+       o_orderstatus as o,
+       cast(case when o_orderkey % 7 in (0, 5, 6) then 2 else 3 end
+            as bigint) as support,
+       cast(3 as bigint) as n_sources,
+       cast(case when o_orderkey % 7 in (0, 5, 6) then 2 else 1 end
+            as bigint) as n_values
+from orders
+"""
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot drift (terms.py:corpus_drift): even- vs
+    odd-doc_id halves of the documents table compared bucket-by-bucket
+    in ppm fixed point over 256 hashed unigram buckets."""
+    from cow_spark.operators.terms import corpus_drift
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    return corpus_drift(d.where(F.pmod(did, F.lit(2)) == 0),
+                        d.where(F.pmod(did, F.lit(2)) == 1),
+                        n_buckets=256)
+
+
+def _sql_corpus_drift() -> str:
+    from cow_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("gram")
+    return f"""
+with tok as (
+  select cast(doc_id as bigint) % 2 as side,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as gram
+  from documents
+),
+bk as (select side, {h} % 256 as bucket from tok),
+a as (select bucket, count(*) as cnt_a from bk where side = 0
+      group by bucket),
+b as (select bucket, count(*) as cnt_b from bk where side = 1
+      group by bucket),
+j as (
+  select bucket, coalesce(cnt_a, 0) as cnt_a, coalesce(cnt_b, 0) as cnt_b
+  from a full outer join b using (bucket)
+),
+t as (select sum(cnt_a) as ta, sum(cnt_b) as tb from j)
+select cast(bucket as bigint) as bucket,
+       cast(cnt_a as bigint) as cnt_a,
+       cast(cnt_b as bigint) as cnt_b,
+       cast(cnt_a * 1000000 // ta as bigint) as ppm_a,
+       cast(cnt_b * 1000000 // tb as bigint) as ppm_b,
+       cast(abs(cnt_a * 1000000 // ta - cnt_b * 1000000 // tb)
+            as bigint) as tvd_ppm_contrib
+from j, t
+"""
+
+
 def _owl_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tree quads under graph g1 plus an OWL property schema: :under
     declared transitive, :near symmetric, :above owl:inverseOf :under."""
@@ -6995,16 +7118,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the two r3 hash-reds, re-checked with the BIGINT-cast twins
         "sessionize": q_sessionize,
         "bgp_aggregate": q_bgp_aggregate,
-        # --- new r4 operators get slots here (displacing canaries) ---
+        # --- new r4 operators (displace canaries to stay within 50) ---
         "scc_fwbw": q_scc_fwbw,
+        "coref_resolve": q_coref_resolve,
+        "kg_resolve": q_kg_resolve,
+        "corpus_drift": q_corpus_drift,
         # canaries: previously driver-green rows, re-pinned this round
         "kg_full_triples": q_kg_full,
         "dedup_groups": q_dedup_groups,
+        # --- end of the driver's first-50 window ---
         "pagerank": q_pagerank,
         "ivf_topk": q_ivf_topk,
         "multimodal_stdlib": q_multimodal_stdlib,
         "bm25": q_bm25,
-        # --- end of the driver's first-50 window ---
         "hll_profile": q_hll_profile,
         "kcore": q_kcore,
         "url_blocklist": q_url_blocklist,
@@ -7234,6 +7360,9 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill": _SQL_GAP_FILL,
         "scc": _sql_scc(),
         "scc_fwbw": _SQL_SCC_FWBW,
+        "coref_resolve": _sql_coref_resolve(),
+        "kg_resolve": _SQL_KG_RESOLVE,
+        "corpus_drift": _sql_corpus_drift(),
         "ktruss": _sql_ktruss(),
         "owl_closure": _sql_owl_closure(),
         "er_eval": _SQL_ER_EVAL,

@@ -495,3 +495,89 @@ def ifp_sameas(
             .select(F.col("s").alias("node"),
                     F.coalesce(F.col("component"), F.col("s"))
                     .alias("canonical")))
+
+
+def resolve_claims(
+    claims: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    source_col: str = "source",
+) -> DataFrame:
+    """Truth discovery over conflicting multi-source assertions: for
+    every (subject, predicate) where sources disagree on the object,
+    elect the value with the most DISTINCT supporting sources, ties to
+    the smallest object (deterministic; majority voting, the base case
+    of TruthFinder/Dawid-Skene-style resolution). The KG-fusion step a
+    multi-feed pipeline runs between per-source extraction and
+    canonicalization — COW converts one CSV at a time and has no fusion
+    notion (per-file convert loop, csvw_tool.py:88-118); a 10^12-turn
+    pipeline ingesting N feeds needs one.
+
+    Returns one row per (s, p): ``(s, p, o, support, n_sources,
+    n_values)`` — elected object, its distinct-source support, total
+    distinct sources asserting anything for this (s, p), and the
+    number of distinct candidate values (1 = no conflict).
+
+    Scale shape: two aggregate-sized shuffles (claims → per-value
+    distinct-source counts → per-key argmax via ``min(struct)``), both
+    with map-side partial aggregation; no self-joins, no windows over
+    the corpus, output bounded by distinct (s, p).
+    """
+    per_val = (claims
+               .groupBy(F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+                        F.col(o_col).alias("o"))
+               .agg(F.countDistinct(F.col(source_col)).alias("support")))
+    return (per_val
+            .groupBy("s", "p")
+            .agg(F.min(F.struct((-F.col("support")).alias("_neg"),
+                                F.col("o").alias("o"))).alias("_win"),
+                 F.sum("support").alias("_tot"),
+                 F.count("*").alias("n_values"))
+            .select("s", "p", F.col("_win.o").alias("o"),
+                    (-F.col("_win._neg")).cast("long").alias("support"),
+                    F.col("_tot").cast("long").alias("n_sources"),
+                    F.col("n_values").cast("long").alias("n_values")))
+
+
+def source_reliability(
+    claims: DataFrame,
+    resolved: DataFrame | None = None,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source agreement with the majority-elected values (one
+    voting iteration of TruthFinder, kept integer-exact): for each
+    source, the fraction of its claims whose object equals the
+    :func:`resolve_claims` winner — floor-scaled to parts-per-million
+    so the DuckDB twin replays it bit-exactly.
+
+    ``resolved`` defaults to ``resolve_claims(claims)``; pass it in
+    when already computed (the claims table is scanned once either
+    way — the join probes the aggregate-sized resolved table, which
+    Spark broadcasts when small).
+
+    Returns ``(source, n_claims, n_agree, reliability_m)``.
+    """
+    if resolved is None:
+        resolved = resolve_claims(claims, s_col, p_col, o_col, source_col)
+    win = resolved.select(
+        F.col("s"), F.col("p"), F.col("o").alias("_win_o"))
+    j = (claims.select(F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+                       F.col(o_col).alias("o"),
+                       F.col(source_col).alias("source"))
+         .join(win, ["s", "p"], "left"))
+    agree = F.when(F.col("o") == F.col("_win_o"), 1).otherwise(0)
+    num = F.col("n_agree") * 1_000_000
+    rel = ((num - F.pmod(num, F.col("n_claims"))) / F.col("n_claims"))
+    return (j.groupBy("source")
+            .agg(F.count("*").alias("n_claims"),
+                 F.sum(agree).alias("n_agree"))
+            .select("source",
+                    F.col("n_claims").cast("long").alias("n_claims"),
+                    F.col("n_agree").cast("long").alias("n_agree"),
+                    # exact integer floor-div (pmod trick) — a double
+                    # division's ulp could flip floor at exact quotients
+                    rel.cast("long").alias("reliability_m")))

@@ -169,3 +169,56 @@ def cooccurrence_edges(
         .agg(F.count("*").alias("n_groups"))
     )
     return _attach_persisted(out, terms)
+
+
+def coref_resolve(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Recency-heuristic coreference over transcript turns: a turn that
+    names no entity inherits the most recent prior named mention in its
+    conversation — the classic antecedent-recency rule (Hobbs-style
+    salience collapsed to recency), and the KG-densification step that
+    lets anaphoric turns ("note: Oslo", "sounds good") contribute
+    triples to the entity under discussion instead of dropping out of
+    the graph. COW has no dialogue notion at all; this generalizes its
+    per-row extraction to cross-row context (reference per-row loop:
+    csvw.py:488-557), the way the north star's transcript KG needs.
+
+    Returns one row per input turn:
+    ``(conv_col, order_col, mention, antecedent, antecedent_turn,
+    resolved)`` — ``mention`` = first ``pattern`` match in this turn's
+    text (NULL if none), ``antecedent`` = the latest strictly-earlier
+    turn's mention, ``antecedent_turn`` = its turn, ``resolved`` =
+    ``coalesce(mention, antecedent)`` (NULL only before the first
+    mention of a conversation).
+
+    Scale shape: ONE window sort per conversation (the same keyed sort
+    sessionize/funnel use) carries both the antecedent surface form and
+    its turn index via a single ``last(struct, ignorenulls)`` over the
+    strictly-preceding frame; no join, no explode, no Python. Skewed
+    (hot) conversations are bounded by SLOT-capped conversation length
+    upstream; at 10^12 turns the shuffle is the one keyed exchange any
+    per-conversation semantics costs.
+    """
+    from pyspark.sql.window import Window as _W
+
+    m = F.nullif(F.regexp_extract(F.col(text_col), pattern, 0), F.lit(""))
+    staged = df.select(
+        F.col(conv_col), F.col(order_col), m.alias("mention"))
+    w = (_W.partitionBy(conv_col).orderBy(order_col)
+         .rowsBetween(_W.unboundedPreceding, -1))
+    prior = F.last(
+        F.when(F.col("mention").isNotNull(),
+               F.struct(F.col(order_col).alias("at"),
+                        F.col("mention").alias("m"))),
+        ignorenulls=True).over(w)
+    return (staged
+            .select(conv_col, order_col, "mention", prior.alias("_p"))
+            .select(conv_col, order_col, "mention",
+                    F.col("_p.m").alias("antecedent"),
+                    F.col("_p.at").alias("antecedent_turn"),
+                    F.coalesce("mention", "_p.m").alias("resolved")))

@@ -565,3 +565,78 @@ def surprisal_windows(
              F.max("score_fp").cast("long").alias("worst_fp"))
     )
     return _attach_persisted(out, counts)
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots (crawl N vs
+    crawl N+1, pre- vs post-filter, train vs eval): unigram tokens
+    hashed into ``n_buckets`` buckets (the DSIR hashing trick — same
+    portable md5 hash, so the twin replays bucket membership exactly),
+    compared bucket-by-bucket in parts-per-million fixed point. The
+    monitoring primitive a recurring 100 TB ingest runs before
+    committing a new snapshot to training.
+
+    Returns one row per OCCUPIED bucket: ``(bucket, cnt_a, cnt_b,
+    ppm_a, ppm_b, tvd_ppm_contrib)`` where ``ppm_x = floor(cnt_x *
+    1e6 / total_x)`` and ``tvd_ppm_contrib = |ppm_a - ppm_b|`` —
+    ``sum(tvd_ppm_contrib) / 2e6`` is the total-variation distance at
+    ppm resolution, and per-bucket contributions rank WHICH parts of
+    the distribution moved (join back to the gram relation to see the
+    tokens). Integer-exact end-to-end: floor division replays
+    identically in any engine; no floats, no χ² smoothing constants to
+    disagree on.
+
+    Scale shape: each corpus contributes one explode → map-side
+    partial-aggregated groupBy down to ≤ n_buckets rows; the compare
+    is a full-outer join of two ≤ n_buckets tables (broadcast-sized by
+    construction). Totals ride the same aggregate via a window-free
+    sum-over-literal-group: the bucket tables are tiny, so the second
+    aggregate is free. One empty side fails loudly (its total is 0 and
+    the ANSI ppm division aborts) — a drift number against nothing is
+    a monitoring bug, not a zero; both-empty yields the empty frame.
+    """
+    from ..functions.hashing import portable_hash60
+
+    B = int(n_buckets)
+    if B < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {B}")
+
+    def buckets(frame: DataFrame, name: str) -> DataFrame:
+        staged = frame.select(
+            tokens(normalize_text(F.col(text_col))).alias("_t"))
+        return (staged.select(F.explode("_t").alias("gram"))
+                .select(F.pmod(portable_hash60(F.col("gram")),
+                               F.lit(B)).alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias(name)))
+    ba = buckets(a, "cnt_a")
+    bb = buckets(b, "cnt_b")
+    j = (ba.join(bb, "bucket", "full_outer")
+         .select("bucket",
+                 F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                 F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    # totals as scalar columns over the bucket-sized table (one tiny
+    # window-free cross join against a 1-row aggregate)
+    tot = j.agg(F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb"))
+    out = j.crossJoin(F.broadcast(tot))
+
+    def _fdiv(num, den):
+        # exact integer floor-div (the gap_fill pmod trick): a plain
+        # floor(x/y) rides a double division whose ulp can flip the
+        # floor exactly at integer quotients — where the twin's `//`
+        # never does
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    ppm_a = _fdiv(F.col("cnt_a") * 1_000_000, F.col("_ta"))
+    ppm_b = _fdiv(F.col("cnt_b") * 1_000_000, F.col("_tb"))
+    return (out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        ppm_a.alias("ppm_a"), ppm_b.alias("ppm_b"),
+        F.abs(ppm_a - ppm_b).alias("tvd_ppm_contrib")))

@@ -450,3 +450,109 @@ def test_blocking_eval_missed_pairs_lower_completeness(spark):
     # only a-b co-blocked of the 3 gold pairs
     assert r["co_blocked_pairs"] == 1 and r["gold_pairs"] == 3
     assert r["completeness_m"] == 333_333
+
+
+# ---------------------------------------------------------------------------
+# r4: recency coreference + multi-source claim resolution
+# ---------------------------------------------------------------------------
+
+
+def test_coref_resolve_recency_rule(spark):
+    """Anaphoric turns inherit the most recent prior mention, own
+    mentions win over antecedents, conversations are isolated, and
+    turns before a conversation's first mention stay NULL."""
+    from cow_spark.operators.mentions import coref_resolve
+
+    rows = [
+        ("c1", 0, "no entity here"),
+        ("c1", 1, "Ask Person01 about Oslo"),
+        ("c1", 2, "sounds good"),
+        ("c1", 3, "note: whatever"),
+        ("c1", 4, "Meeting with Person02"),
+        ("c1", 5, "ok"),
+        ("c2", 0, "still nothing"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {(r.conv_id, r.turn_idx):
+           (r.mention, r.antecedent, r.antecedent_turn, r.resolved)
+           for r in coref_resolve(df, r"Person[0-9]{2}").collect()}
+    assert out[("c1", 0)] == (None, None, None, None)
+    assert out[("c1", 1)] == ("Person01", None, None, "Person01")
+    assert out[("c1", 2)] == (None, "Person01", 1, "Person01")
+    assert out[("c1", 3)] == (None, "Person01", 1, "Person01")
+    # own mention wins; the antecedent column still reports the prior one
+    assert out[("c1", 4)] == ("Person02", "Person01", 1, "Person02")
+    assert out[("c1", 5)] == (None, "Person02", 4, "Person02")
+    # c2 never sees c1's mentions
+    assert out[("c2", 0)] == (None, None, None, None)
+    assert len(out) == len(rows)
+
+
+def test_resolve_claims_majority_and_ties(spark):
+    """Distinct-source majority wins; duplicate claims from one source
+    count once; ties break to the smallest object; n_values counts
+    candidates."""
+    from cow_spark.operators.canon import resolve_claims
+
+    rows = [
+        # s1.p: v1 backed by feeds a+b, v2 by c (majority v1)
+        ("s1", "p", "v1", "a"), ("s1", "p", "v1", "b"),
+        ("s1", "p", "v2", "c"),
+        # s2.p: tie (a says x, b says y) -> min object "x"
+        ("s2", "p", "y", "b"), ("s2", "p", "x", "a"),
+        # s3.p: one source repeating itself three times is support 1
+        ("s3", "p", "z", "a"), ("s3", "p", "z", "a"), ("s3", "p", "z", "a"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, source string")
+    got = {(r.s, r.p): (r.o, r.support, r.n_sources, r.n_values)
+           for r in resolve_claims(df).collect()}
+    assert got[("s1", "p")] == ("v1", 2, 3, 2)
+    assert got[("s2", "p")] == ("x", 1, 2, 2)
+    assert got[("s3", "p")] == ("z", 1, 1, 1)
+
+
+def test_source_reliability_ppm(spark):
+    """Reliability = floor(agree/claims * 1e6): feed c disagrees with
+    both elected values, feeds a/b agree with everything they say."""
+    from cow_spark.operators.canon import resolve_claims, source_reliability
+
+    rows = [
+        ("s1", "p", "v1", "a"), ("s1", "p", "v1", "b"), ("s1", "p", "v2", "c"),
+        ("s2", "p", "w", "a"), ("s2", "p", "w", "c"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, source string")
+    got = {r.source: (r.n_claims, r.n_agree, r.reliability_m)
+           for r in source_reliability(df).collect()}
+    assert got["a"] == (2, 2, 1_000_000)
+    assert got["b"] == (1, 1, 1_000_000)
+    assert got["c"] == (2, 1, 500_000)
+    # precomputed resolved table gives the identical answer
+    pre = resolve_claims(df)
+    again = {r.source: r.reliability_m
+             for r in source_reliability(df, resolved=pre).collect()}
+    assert again == {s: v[2] for s, v in got.items()}
+
+
+def test_corpus_drift_identical_and_shifted(spark):
+    """Identical corpora drift 0 at every bucket; a token swap moves
+    exactly the buckets hosting the swapped tokens; one empty side
+    aborts (ANSI division by zero total)."""
+    import pytest as _pt
+    from cow_spark.operators.terms import corpus_drift
+
+    a = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha beta",)], "text string")
+    same = corpus_drift(a, a, n_buckets=64).collect()
+    assert same and all(r.tvd_ppm_contrib == 0 for r in same)
+    assert all(r.cnt_a == r.cnt_b for r in same)
+    b = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha DELTA",)], "text string")
+    moved = corpus_drift(a, b, n_buckets=64).collect()
+    assert sum(r.tvd_ppm_contrib for r in moved) > 0
+    # totals equal (5 tokens each) so ppm sums are comparable
+    assert sum(r.cnt_a for r in moved) == sum(r.cnt_b for r in moved) == 5
+    empty = spark.createDataFrame([], "text string")
+    with _pt.raises(Exception, match="DIVIDE_BY_ZERO|zero"):
+        corpus_drift(a, empty, n_buckets=64).collect()
+    with _pt.raises(ValueError, match="n_buckets"):
+        corpus_drift(a, b, n_buckets=1)
