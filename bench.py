@@ -101,6 +101,10 @@ HEADLINE = [
     "url_dedup",
     "weighted_paths",
     "neighbor_agg",
+    "scc_fwbw",
+    "coref_resolve",
+    "kg_resolve",
+    "corpus_drift",
 ]
 
 

@@ -81,12 +81,16 @@ def test_oracle_no_hugeint_output(ddb, name):
     """The driver's canonicalizer fetches via pandas, which renders
     DuckDB HUGEINT as float64 ('11.0' vs Spark's '11') — the proven root
     cause of the r2/r3 driver reds (sessionize, bgp_aggregate). Guard:
-    no twin may emit HUGEINT (or UHUGEINT) — cast aggregates to BIGINT."""
+    no twin may emit a DuckDB-only numeric type Spark can't mirror —
+    HUGEINT/UHUGEINT (sum of int promotes) or DECIMAL (duckdb's `/` and
+    literal arithmetic promote; pandas renders object/Decimal) — cast
+    to BIGINT (this repo floor-scales) or DOUBLE. Nullable BIGINT is
+    safe: BOTH engines' pandas paths render it float64 identically."""
     sql = entry_mod.oracle_sql()[name]
     rel = ddb.sql(sql)
     bad = [c for c, t in zip(rel.columns, rel.types)
-           if str(t).upper() in ("HUGEINT", "UHUGEINT")]
-    assert not bad, f"{name}: HUGEINT output columns {bad} — cast to BIGINT"
+           if str(t).upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
+    assert not bad, f"{name}: non-mirrorable output columns {bad}"
 
 
 def test_rows_only_queries_run(spark):
