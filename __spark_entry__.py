@@ -2908,6 +2908,102 @@ def _sql_label_propagation() -> str:
     return label_propagation_oracle_sql(edges, rounds=4)
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (graphrank.py:modularity) of the 4-round LPA
+    communities over the CC order-part graph: per-community (n_nodes,
+    e_in, d_tot, q_ppm) rows whose q_ppm sum is Q at ppm resolution —
+    all integer floor-div arithmetic, so the twin (LPA unroll composed
+    with the same Q formula in DuckDB `//`) replays it bit-exact."""
+    from cow_spark.operators.graphrank import label_propagation, modularity
+
+    edges = _cc_edges(spark, sf_dir)
+    return modularity(label_propagation(edges, rounds=4), edges)
+
+
+def _sql_modularity() -> str:
+    from cow_spark.operators.graphrank import label_propagation_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    lpa = label_propagation_oracle_sql(edges, rounds=4)
+    return f"""
+with me as materialized (
+  select distinct least(a, b) as a, greatest(a, b) as b
+  from ({edges}) where a is not null and b is not null and a <> b
+),
+lp as materialized (from ({lpa})),
+mm as (select count(*) as m from me),
+el as materialized (
+  select la.label as la, lb.label as lb
+  from me join lp la on me.a = la.node join lp lb on me.b = lb.node
+),
+ein as (select la as label, count(*) as e_in from el
+        where la = lb group by la),
+deg as (select label, count(*) as d_tot from (
+          select la as label from el union all select lb from el)
+        group by label),
+nn as (select label, count(*) as n_nodes from lp group by label)
+select deg.label,
+       cast(nn.n_nodes as bigint) as n_nodes,
+       cast(coalesce(ein.e_in, 0) as bigint) as e_in,
+       cast(deg.d_tot as bigint) as d_tot,
+       cast(1000000 * cast(coalesce(ein.e_in, 0) as bigint) // mm.m
+            - (1000000 * cast(deg.d_tot as bigint)
+               * cast(deg.d_tot as bigint)) // (4 * mm.m * mm.m)
+            as bigint) as q_ppm
+from deg left join ein on deg.label = ein.label
+join nn on deg.label = nn.label, mm
+"""
+
+
+def q_characteristic_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (stats.py:characteristic_sets) of the
+    default-spec extraction: subjects grouped by their exact predicate
+    set (the Neumann-Moerkotte structure summary); the twin re-derives
+    each doc's predicate presence from the emission rules (non-empty
+    text/lang/source, non-null n_chars) and groups identically."""
+    from cow_spark.operators.extract import extract_quads
+    from cow_spark.plans.stats import characteristic_sets
+    from cow_spark.spec.mapping import MappingSpec
+
+    docs = _load(spark, sf_dir, "documents")
+    quads = extract_quads(docs, MappingSpec.from_json(_docs_default_spec()))
+    return characteristic_sets(quads)
+
+
+def _sql_characteristic_sets() -> str:
+    V = f"{BASE}/vocab"
+    return f"""
+with f as (
+  select doc_id,
+    case when length(coalesce(lang, '')) > 0 then 1 else 0 end as fl,
+    case when n_chars is not null then 1 else 0 end as fn,
+    case when length(coalesce(source, '')) > 0 then 1 else 0 end as fs,
+    case when length(coalesce(text, '')) > 0 then 1 else 0 end as ft
+  from documents
+),
+per as (
+  select doc_id,
+    array_to_string(list_filter([
+      case when fl = 1 then '{V}/lang' end,
+      case when fn = 1 then '{V}/n_chars' end,
+      case when fs = 1 then '{V}/source' end,
+      case when ft = 1 then '{V}/text' end], x -> x is not null),
+      ' ') as preds,
+    fl + fn + fs + ft as nt
+  from f where fl + fn + fs + ft > 0
+)
+select preds,
+       cast(len(string_split(preds, ' ')) as int) as n_preds,
+       cast(count(*) as bigint) as n_subjects,
+       cast(sum(nt) as bigint) as n_triples
+from per group by preds
+"""
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7222,6 +7318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_metrics": q_extraction_metrics,
         "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
+        "characteristic_sets": q_characteristic_sets,
+        "modularity": q_modularity,
     }
 
 
@@ -7372,4 +7470,6 @@ def oracle_sql() -> dict[str, str]:
         "blocking_eval": _SQL_BLOCKING_EVAL,
         "weighted_paths": _sql_weighted_paths(),
         "neighbor_agg": _SQL_NEIGHBOR_AGG,
+        "characteristic_sets": _sql_characteristic_sets(),
+        "modularity": _sql_modularity(),
     }

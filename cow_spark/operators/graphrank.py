@@ -2330,3 +2330,85 @@ def neighbor_agg(
             .select("node", "dim", "n_nbrs", "sum_fp",
                     F.floor(F.col("sum_fp") / F.col("n_nbrs"))
                     .cast("long").alias("mean_fp")))
+
+
+def modularity(
+    labels: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a node labeling over the undirected simple
+    graph — the quality score that tells you whether a community
+    structure (:func:`label_propagation` output, a canonicalization
+    clustering, a sharding plan) actually beats random edge placement.
+    ``Q = Σ_c (e_c/m − (d_c/2m)²)`` over communities c, with e_c =
+    intra-community edges, d_c = total degree of c's nodes, m = edge
+    count.
+
+    Returns one row per community — ``(label, n_nodes, e_in, d_tot,
+    q_ppm)`` with ``q_ppm = (1e6·e_in) div m − (1e6·d_tot²) div (2m)²``
+    — so ``sum(q_ppm)/1e6`` is Q at ppm resolution and the per-
+    community rows rank WHICH communities carry the structure. All
+    integer arithmetic (``div`` on non-negative longs is the floor),
+    so Spark and DuckDB agree bit-for-bit; ANSI mode aborts loudly if
+    ``1e6·d_tot²`` overflows int64 (d_tot ≥ ~3.0e6 — at that density
+    compute the degree term in DECIMAL, a documented scale seam).
+
+    Scale shape: canonical-edge dedup, ONE labels join per endpoint
+    (edge-shaped shuffles), then two partial-aggregated groupBys down
+    to community-sized tables; m and 2m ride a broadcast 1-row
+    aggregate. Endpoints missing from ``labels`` are a contract
+    violation and fail loudly via one bounded node-sized anti-join
+    check (a silently dropped endpoint would inflate Q).
+    """
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates()
+         .persist())
+    try:
+        lab = labels.select(F.col("node").cast("string").alias("node"),
+                            F.col("label").cast("string").alias("label"))
+        ends = (e.select(F.col("a").alias("node"))
+                .union(e.select(F.col("b").alias("node"))).distinct())
+        missing = ends.join(lab, "node", "left_anti").limit(1).collect()
+        if missing:
+            raise ValueError(
+                f"modularity: edge endpoint {missing[0]['node']!r} has no "
+                "label — the labeling must cover every endpoint")
+        el = (e.join(lab.withColumnRenamed("node", "a")
+                     .withColumnRenamed("label", "la"), "a")
+              .join(lab.withColumnRenamed("node", "b")
+                    .withColumnRenamed("label", "lb"), "b"))
+        # per-community intra edges
+        e_in = (el.where(F.col("la") == F.col("lb"))
+                .groupBy(F.col("la").alias("label"))
+                .agg(F.count("*").alias("e_in")))
+        # per-community total degree + node count: each canonical edge
+        # contributes one degree to each endpoint
+        deg = (el.select(F.explode(F.array("la", "lb")).alias("label"))
+               .groupBy("label").agg(F.count("*").alias("d_tot")))
+        nn = (lab.join(ends, "node", "left_semi")
+              .groupBy("label").agg(F.count("*").alias("n_nodes")))
+        m1 = e.agg(F.count("*").alias("_m"))
+        out = (deg.join(e_in, "label", "left_outer")
+               .join(nn, "label")
+               .crossJoin(F.broadcast(m1))
+               .select(
+                   "label", "n_nodes",
+                   F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+                   F.col("d_tot").cast("bigint").alias("d_tot"),
+                   (F.expr("(1000000 * cast(coalesce(e_in, 0) as bigint))"
+                           " div _m")
+                    - F.expr("(1000000 * cast(d_tot as bigint) "
+                             "* cast(d_tot as bigint)) div "
+                             "(4 * _m * _m)")).cast("bigint")
+                   .alias("q_ppm")))
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        e.unpersist()

@@ -177,3 +177,38 @@ def property_table(
             .alias(f"p{i}") for i, p in enumerate(predicates)]
     return quads.where(F.col("p").isin(list(predicates))) \
         .groupBy(F.col("s")).agg(*aggs)
+
+
+def characteristic_sets(quads: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group
+    subjects by the exact SET of predicates they carry — the classic
+    RDF structure summary a cardinality estimator (and a schema-
+    discovery pass over a schemaless 100 TB graph) is built on. The
+    reference emits fixed per-column predicates, so its output graphs
+    have a handful of characteristic sets; a fused multi-source KG has
+    thousands, and this table IS the answer to "what entity shapes
+    live in this graph".
+
+    Returns one row per distinct predicate set: ``(preds, n_preds,
+    n_subjects, n_triples)`` where ``preds`` is the space-joined
+    sorted distinct predicate list (IRIs cannot contain raw spaces, so
+    the join is unambiguous; binary string sort — both engines'
+    default collation). ``n_triples`` counts all triples of the set's
+    subjects, so ``n_triples / (n_subjects * n_preds)`` reads off the
+    mean multiplicity the estimator needs.
+
+    Scale shape: one partial-aggregated groupBy(subject) — collect_set
+    over the per-subject predicate handful, never the corpus — then a
+    second groupBy over the set string, output bounded by distinct
+    shapes (vocabulary-scale). No joins, no windows, no Python.
+    """
+    per_subj = quads.groupBy("s").agg(
+        F.array_join(F.array_sort(F.collect_set("p")), " ").alias("preds"),
+        F.count("*").alias("_nt"),
+    )
+    return (per_subj.groupBy("preds")
+            .agg(F.count("*").alias("n_subjects"),
+                 F.sum("_nt").alias("n_triples"))
+            .select("preds",
+                    (F.size(F.split("preds", " "))).alias("n_preds"),
+                    "n_subjects", "n_triples"))

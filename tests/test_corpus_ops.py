@@ -8,6 +8,7 @@ import os
 import re
 import sys
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1665,3 +1666,67 @@ def test_neighbor_agg_missing_features_and_floor_scaling(spark):
     assert got[("a", 0)] == (1, -2, -2)   # floor(-1.5) = -2
     assert got[("b", 0)] == (1, 1, 1)     # floor(1.5) = 1
     assert got[("ghost", 0)] == (1, 1, 1)
+
+
+def test_modularity_two_triangles(spark):
+    """Textbook check: two triangles joined by one bridge edge, each
+    its own community → Q = 2*(3/7 - (7/14)^2) = 5/14 ≈ 0.3571."""
+    from cow_spark.operators.graphrank import modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+        "src string, dst string")
+    labels = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"),
+         ("d", "D"), ("e", "D"), ("f", "D")], "node string, label string")
+    rows = {r["label"]: r for r in modularity(labels, edges).collect()}
+    assert set(rows) == {"A", "D"}
+    for r in rows.values():
+        assert (r["n_nodes"], r["e_in"], r["d_tot"]) == (3, 3, 7)
+        # 1e6*3 div 7 - 1e6*49 div 196 = 428571 - 250000
+        assert r["q_ppm"] == 178571
+    assert sum(r["q_ppm"] for r in rows.values()) == 357142
+
+
+def test_modularity_trivial_partitions(spark):
+    """All-one-community → Q contribution 1e6 - 1e6 = 0 exactly;
+    every-node-its-own-community on a clique → strictly negative."""
+    from cow_spark.operators.graphrank import modularity
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(k4, "src string, dst string")
+    one = spark.createDataFrame([(n, "X") for n in "abcd"],
+                                "node string, label string")
+    assert [r["q_ppm"] for r in modularity(one, edges).collect()] == [0]
+    solo = spark.createDataFrame([(n, n) for n in "abcd"],
+                                 "node string, label string")
+    assert all(r["q_ppm"] < 0 for r in modularity(solo, edges).collect())
+
+
+def test_modularity_unlabeled_endpoint_fails_loudly(spark):
+    from cow_spark.operators.graphrank import modularity
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    labels = spark.createDataFrame([("a", "A")], "node string, label string")
+    with pytest.raises(ValueError, match="no label"):
+        modularity(labels, edges)
+
+
+def test_characteristic_sets_shapes_and_multiplicity(spark):
+    """Subjects with identical predicate sets group together; multi-
+    valued predicates inflate n_triples but not the set; preds sorted
+    by binary collation."""
+    from cow_spark.plans.stats import characteristic_sets
+
+    quads = spark.createDataFrame(
+        [("s1", "pB", "x"), ("s1", "pA", "y"),
+         ("s2", "pA", "z"), ("s2", "pB", "w"), ("s2", "pB", "v"),
+         ("s3", "pC", "u")],
+        "s string, p string, o_lex string")
+    rows = {r["preds"]: r for r in characteristic_sets(quads).collect()}
+    assert set(rows) == {"pA pB", "pC"}
+    assert rows["pA pB"]["n_preds"] == 2
+    assert rows["pA pB"]["n_subjects"] == 2
+    assert rows["pA pB"]["n_triples"] == 5
+    assert (rows["pC"]["n_subjects"], rows["pC"]["n_triples"]) == (1, 1)
