@@ -3004,6 +3004,125 @@ from per group by preds
 """
 
 
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking metrics (kgtrain.py:ranking_eval) over a deterministic
+    retrieval fixture: 20 query groups of lineitem part candidates with
+    integer scores; positives = parts divisible by 13. MRR/Hits@k in
+    ppm fixed point with a (score desc, cand asc) tie-break the twin
+    replays row-for-row."""
+    from cow_spark.operators.kgtrain import ranking_eval
+
+    li = _load(spark, sf_dir, "lineitem")
+    scored = (li.groupBy(
+        F.concat(F.lit("q"), F.pmod(F.col("l_orderkey"), F.lit(20))
+                 .cast("string")).alias("query"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("cand"))
+        .agg(F.max(F.col("l_quantity").cast("int") * 1000
+                   + F.pmod(F.col("l_partkey"), F.lit(997)))
+             .cast("long").alias("score"),
+             F.max(F.when(F.col("l_partkey") % 13 == 0, 1).otherwise(0))
+             .alias("is_pos")))
+    return ranking_eval(scored)
+
+
+_SQL_RANKING_EVAL = """
+with scored as (
+  select 'q' || cast(l_orderkey % 20 as varchar) as query,
+         'p' || cast(l_partkey as varchar) as cand,
+         max(cast(l_quantity as int) * 1000 + l_partkey % 997) as score,
+         max(case when l_partkey % 13 = 0 then 1 else 0 end) as is_pos
+  from lineitem group by 1, 2
+),
+ranked as (
+  select query, is_pos,
+         row_number() over (partition by query
+                            order by score desc, cand asc) as rk
+  from scored
+),
+agg as (
+  select query, count(*) as n_cands, sum(is_pos) as n_pos,
+         min(case when is_pos = 1 then rk end) as best_rank
+  from ranked group by query
+)
+select query,
+       cast(n_cands as bigint) as n_cands,
+       cast(n_pos as bigint) as n_pos,
+       cast(best_rank as bigint) as best_rank,
+       cast(1000000 // best_rank as bigint) as rr_ppm,
+       cast(case when best_rank <= 1 then 1 else 0 end as int) as hit_1,
+       cast(case when best_rank <= 3 then 1 else 0 end as int) as hit_3,
+       cast(case when best_rank <= 10 then 1 else 0 end as int) as hit_10
+from agg
+"""
+
+
+_FS_PARAMS = [("name", 900_000, 10_000), ("city", 800_000, 200_000),
+              ("phone", 950_000, 50_000)]
+_FS_LOWER, _FS_UPPER = 0, 9_000
+
+
+def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage weights (parity.py:fs_weights): three
+    attribute comparisons per (order, customer) pair with agreement
+    bits read off o_orderkey's low bits — the log2-fixed-point weight
+    table the twin re-derives from the same (m, u) ppm constants via
+    the Python log2 twin, never running the kernel in SQL."""
+    from cow_spark.plans.parity import fs_weights
+
+    o = _load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    pairs = (o.select(
+        F.concat(F.lit("o"), key.cast("string")).alias("id_a"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("id_b"),
+        F.explode(F.array(
+            F.struct(F.lit("name").alias("attr"),
+                     F.pmod(key, F.lit(2)).cast("int").alias("agree")),
+            F.struct(F.lit("city").alias("attr"),
+                     F.pmod(F.expr("o_orderkey div 2"), F.lit(2))
+                     .cast("int").alias("agree")),
+            F.struct(F.lit("phone").alias("attr"),
+                     F.pmod(F.expr("o_orderkey div 4"), F.lit(2))
+                     .cast("int").alias("agree")))).alias("c"))
+        .select("id_a", "id_b", "c.attr", "c.agree"))
+    params = spark.createDataFrame(_FS_PARAMS,
+                                   "attr string, m_ppm long, u_ppm long")
+    return fs_weights(pairs, params, lower_fp=_FS_LOWER, upper_fp=_FS_UPPER)
+
+
+def _sql_fs_weights() -> str:
+    from cow_spark.functions.intmath import log2_fp_py
+
+    w = {}
+    for attr, m, u in _FS_PARAMS:
+        w[attr] = (log2_fp_py(m) - log2_fp_py(u),
+                   log2_fp_py(1_000_000 - m) - log2_fp_py(1_000_000 - u))
+    terms = " + ".join(
+        f"(case when a_{attr} = 1 then ({wa}) else ({wd}) end)"
+        for attr, (wa, wd) in w.items())
+    return f"""
+with b as (
+  select 'o' || cast(o_orderkey as varchar) as id_a,
+         'c' || cast(o_custkey as varchar) as id_b,
+         o_orderkey % 2 as a_name,
+         (o_orderkey // 2) % 2 as a_city,
+         (o_orderkey // 4) % 2 as a_phone
+  from orders
+),
+wsum as (
+  select id_a, id_b, cast(3 as bigint) as n_attrs,
+         cast({terms} as bigint) as weight_fp
+  from b
+)
+select id_a, id_b, n_attrs, weight_fp,
+       case when weight_fp >= {_FS_UPPER} then 'match'
+            when weight_fp >= {_FS_LOWER} then 'possible'
+            else 'nonmatch' end as decision
+from wsum
+"""
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7320,6 +7439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "characteristic_sets": q_characteristic_sets,
         "modularity": q_modularity,
+        "ranking_eval": q_ranking_eval,
+        "fs_weights": q_fs_weights,
     }
 
 
@@ -7472,4 +7593,6 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_agg": _SQL_NEIGHBOR_AGG,
         "characteristic_sets": _sql_characteristic_sets(),
         "modularity": _sql_modularity(),
+        "ranking_eval": _SQL_RANKING_EVAL,
+        "fs_weights": _sql_fs_weights(),
     }

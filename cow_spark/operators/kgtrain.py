@@ -145,3 +145,56 @@ def negative_samples_py(
             out.append((s, p, o, ns, no, j))
             kept += 1
     return sorted(out)
+
+
+def ranking_eval(
+    scored: DataFrame,
+    query_col: str = "query",
+    cand_col: str = "cand",
+    score_col: str = "score",
+    pos_col: str = "is_pos",
+    ks: tuple[int, ...] = (1, 3, 10),
+) -> DataFrame:
+    """Per-query ranking metrics for a scored candidate table — the
+    evaluation half of the KG-embedding loop :func:`negative_samples`
+    feeds (and of :func:`~cow_spark.operators.simsearch` retrieval,
+    :func:`~cow_spark.operators.graphrank.link_prediction` scoring):
+    given (query, candidate, integer score, is-positive), rank every
+    candidate within its query and read off the first-relevant rank.
+
+    Returns one row per query: ``(query, n_cands, n_pos, best_rank,
+    rr_ppm, hit_<k>...)`` where ``best_rank`` is the rank of the
+    highest-ranked positive, ``rr_ppm = 1e6 div best_rank`` (so
+    ``avg(rr_ppm)/1e6`` is MRR at ppm resolution, exact in any
+    engine), and ``hit_k`` is 1 iff a positive ranks ≤ k. Ranking is
+    ``row_number`` over (score desc, candidate asc) — the
+    deterministic tie-break every replayable eval needs; scores must
+    be integers for exactly that reason (float scores reintroduce
+    cross-engine ulp flips at ties). Queries with no positive get NULL
+    ``best_rank``/``rr_ppm`` and zero hits — the caller decides
+    whether that's a harness bug (filtered eval) or a true zero.
+
+    Scale shape: ONE keyed window sort per query group (queries are
+    many, so the sort parallelizes; no giant-single-partition risk as
+    long as per-query candidate lists are bounded, which filtered
+    ranking evals guarantee by construction) + one partial-aggregated
+    groupBy. No joins, no Python.
+    """
+    q = F.col(query_col)
+    w = Window.partitionBy(q).orderBy(
+        F.col(score_col).cast("long").desc(), F.col(cand_col).asc())
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    pos = F.col(pos_col).cast("int") == 1
+    aggs = [
+        F.count("*").alias("n_cands"),
+        F.sum(F.when(pos, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.min(F.when(pos, F.col("_rk"))).cast("bigint").alias("best_rank"),
+    ]
+    out = ranked.groupBy(q.alias("query")).agg(*aggs)
+    out = out.withColumn(
+        "rr_ppm", F.expr("1000000 div best_rank").cast("bigint"))
+    for k in ks:
+        out = out.withColumn(
+            f"hit_{k}",
+            F.when(F.col("best_rank") <= k, 1).otherwise(0).cast("int"))
+    return out.withColumn("n_cands", F.col("n_cands").cast("bigint"))

@@ -175,3 +175,90 @@ def blocking_eval(
         "gold_pairs", "co_blocked_pairs",
         F.floor(rr * 1_000_000).cast("long").alias("reduction_m"),
         F.floor(pc * 1_000_000).cast("long").alias("completeness_m"))
+
+
+def fs_weights(
+    pairs: DataFrame,
+    params: DataFrame,
+    lower_fp: int,
+    upper_fp: int,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage decision weights: per candidate
+    pair, the total log-likelihood-ratio match weight over attribute
+    comparisons, classified against (lower, upper) thresholds — the
+    probabilistic layer on top of the blocking pipeline
+    (:func:`blocking_eval` measures the candidates; this scores them).
+
+    ``pairs`` is tidy: (id_a, id_b, attr, agree∈{0,1}); ``params``
+    gives per-attribute (attr, m_ppm, u_ppm) — P(agree | match) and
+    P(agree | non-match) in parts-per-million. Agreement contributes
+    ``log2fp(m) − log2fp(u)``, disagreement ``log2fp(1e6−m) −
+    log2fp(1e6−u)`` (the 1e6 numerators cancel in the ratio), both in
+    the mantissa-squaring Q10 fixed point — log2 vs the textbook ln is
+    a constant factor shared by every pair, so thresholds rescale and
+    rankings are unchanged, and the integer pipeline stays engine-
+    exact where libm flips floor boundaries. Returns ``(id_a, id_b,
+    n_attrs, weight_fp, decision)`` with decision ∈ match / possible /
+    nonmatch by ``weight_fp ≥ upper_fp`` / ``≥ lower_fp``.
+
+    Scale shape: the four log2 columns are staged ONCE on the
+    attribute-sized ``params`` table (driver-validated: every
+    probability in [1, 999999] ppm so all four log arguments are ≥ 1,
+    and m > u so agreement weight is positive — inverted parameters
+    are a spec bug, not data), broadcast-joined to the pair table;
+    then one partial-aggregated groupBy(id_a, id_b). Pairs citing an
+    attribute absent from ``params`` would silently vanish through the
+    inner join — an explicit bounded anti-join check (distinct attrs,
+    vocabulary-sized) raises instead.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    if not (lower_fp <= upper_fp):
+        raise ValueError(
+            f"fs_weights: lower_fp {lower_fp} must be <= upper_fp {upper_fp}")
+    prm = params.select(
+        F.col("attr").cast("string").alias("attr"),
+        F.col("m_ppm").cast("bigint").alias("m_ppm"),
+        F.col("u_ppm").cast("bigint").alias("u_ppm"))
+    rows = prm.collect()  # attribute-sized: a handful of rows
+    for r in rows:
+        if not (1 <= r["u_ppm"] < r["m_ppm"] <= 999_999):
+            raise ValueError(
+                "fs_weights: need 1 <= u_ppm < m_ppm <= 999999 ppm, got "
+                f"attr={r['attr']!r} m={r['m_ppm']} u={r['u_ppm']}")
+    if len({r["attr"] for r in rows}) != len(rows):
+        raise ValueError("fs_weights: duplicate attr in params")
+    prm = with_log2_fp(prm, "m_ppm", "_lm")
+    prm = with_log2_fp(prm, "u_ppm", "_lu")
+    prm = prm.withColumn("_dm", F.lit(1_000_000) - F.col("m_ppm"))
+    prm = prm.withColumn("_du", F.lit(1_000_000) - F.col("u_ppm"))
+    prm = with_log2_fp(prm, "_dm", "_ldm")
+    prm = with_log2_fp(prm, "_du", "_ldu")
+    prm = prm.select(
+        "attr",
+        (F.col("_lm") - F.col("_lu")).alias("_w_agree"),
+        (F.col("_ldm") - F.col("_ldu")).alias("_w_disagree"))
+
+    p = pairs.select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+        F.col("attr").cast("string").alias("attr"),
+        F.col("agree").cast("int").alias("agree"))
+    unknown = (p.select("attr").distinct()
+               .join(prm.select("attr"), "attr", "left_anti")
+               .limit(1).collect())
+    if unknown:
+        raise ValueError(
+            f"fs_weights: pair attribute {unknown[0]['attr']!r} has no "
+            "(m, u) parameters")
+    j = p.join(F.broadcast(prm), "attr")
+    w = F.when(F.col("agree") == 1, F.col("_w_agree")) \
+         .otherwise(F.col("_w_disagree"))
+    out = (j.groupBy("id_a", "id_b")
+           .agg(F.count("*").cast("bigint").alias("n_attrs"),
+                F.sum(w).cast("bigint").alias("weight_fp")))
+    return out.withColumn(
+        "decision",
+        F.when(F.col("weight_fp") >= upper_fp, F.lit("match"))
+        .when(F.col("weight_fp") >= lower_fp, F.lit("possible"))
+        .otherwise(F.lit("nonmatch")))

@@ -556,3 +556,37 @@ def test_corpus_drift_identical_and_shifted(spark):
         corpus_drift(a, empty, n_buckets=64).collect()
     with _pt.raises(ValueError, match="n_buckets"):
         corpus_drift(a, b, n_buckets=1)
+
+
+def test_fs_weights_matches_log2_twin_and_validates(spark):
+    """Weights replay the Python log2 twin exactly; inverted or
+    out-of-range (m, u) and unknown pair attributes fail loudly."""
+    import pytest
+
+    from cow_spark.functions.intmath import log2_fp_py
+    from cow_spark.plans.parity import fs_weights
+
+    pairs = spark.createDataFrame(
+        [("a", "b", "name", 1), ("a", "b", "city", 1),
+         ("a", "c", "name", 0), ("a", "c", "city", 1)],
+        "id_a string, id_b string, attr string, agree int")
+    params = spark.createDataFrame(
+        [("name", 900_000, 10_000), ("city", 800_000, 200_000)],
+        "attr string, m_ppm long, u_ppm long")
+    w_na = log2_fp_py(900_000) - log2_fp_py(10_000)
+    w_nd = log2_fp_py(100_000) - log2_fp_py(990_000)
+    w_ca = log2_fp_py(800_000) - log2_fp_py(200_000)
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in fs_weights(pairs, params, 0, 5000).collect()}
+    assert rows[("a", "b")]["weight_fp"] == w_na + w_ca
+    assert rows[("a", "b")]["decision"] == "match"
+    assert rows[("a", "c")]["weight_fp"] == w_nd + w_ca
+    assert rows[("a", "c")]["decision"] == "nonmatch"
+    with pytest.raises(ValueError, match="u_ppm < m_ppm"):
+        fs_weights(pairs, spark.createDataFrame(
+            [("name", 10_000, 900_000), ("city", 800_000, 200_000)],
+            "attr string, m_ppm long, u_ppm long"), 0, 1)
+    with pytest.raises(ValueError, match="no \\(m, u\\)"):
+        fs_weights(pairs, params.where("attr = 'name'"), 0, 1)
+    with pytest.raises(ValueError, match="lower_fp"):
+        fs_weights(pairs, params, 10, 1)

@@ -66,3 +66,23 @@ def test_negative_samples_plan_stays_jvm(spark):
     out = negative_samples(_df(spark))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ranking_eval_metrics_and_ties(spark):
+    """Known ranks: tie broken by candidate asc; no-positive query
+    yields NULL best_rank/rr_ppm and zero hits."""
+    from cow_spark.operators.kgtrain import ranking_eval
+
+    scored = spark.createDataFrame(
+        [("q1", "c1", 100, 0), ("q1", "c2", 90, 1), ("q1", "c3", 80, 0),
+         ("q2", "c1", 50, 1), ("q2", "c2", 50, 0),
+         ("q3", "c9", 10, 0)],
+        "query string, cand string, score long, is_pos int")
+    rows = {r["query"]: r for r in ranking_eval(scored).collect()}
+    assert rows["q1"]["best_rank"] == 2 and rows["q1"]["rr_ppm"] == 500_000
+    assert rows["q1"]["hit_1"] == 0 and rows["q1"]["hit_3"] == 1
+    # q2: tie at score 50 → c1 (asc) ranks first → positive at rank 1
+    assert rows["q2"]["best_rank"] == 1 and rows["q2"]["rr_ppm"] == 1_000_000
+    assert rows["q3"]["best_rank"] is None and rows["q3"]["rr_ppm"] is None
+    assert (rows["q3"]["hit_1"], rows["q3"]["hit_10"]) == (0, 0)
+    assert rows["q1"]["n_cands"] == 3 and rows["q1"]["n_pos"] == 1
