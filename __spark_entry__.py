@@ -3123,6 +3123,87 @@ from wsum
 """
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled exact harmonic centrality
+    (graphrank.py:harmonic_centrality) over the CC order-part graph
+    from the multiple-of-451 order pivots, 3 hops: per-source BFS
+    layering, h_ppm = Σ 1e6 div d — the exact counterpart of the
+    hyperball closeness estimate at |pivots| × ball cost."""
+    from cow_spark.operators.graphrank import harmonic_centrality
+
+    li = _load(spark, sf_dir, "lineitem")
+    pivots = li.where(F.col("l_orderkey") % 451 == 0).select(
+        F.concat(F.lit("o"),
+                 F.col("l_orderkey").cast("string")).alias("node")
+    ).distinct()
+    return harmonic_centrality(_cc_edges(spark, sf_dir), pivots,
+                               max_hops=3)
+
+
+def _sql_harmonic_centrality() -> str:
+    from cow_spark.operators.graphrank import harmonic_centrality_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    pivots = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as node "
+        "from lineitem where l_orderkey % 451 = 0"
+    )
+    return harmonic_centrality_oracle_sql(edges, pivots, max_hops=3)
+
+
+def _list_quads(spark: SparkSession) -> DataFrame:
+    """40 well-formed rdf:Lists, list g of length g%8+1: cons nodes
+    n<g>_<i> chained by rdf:rest to rdf:nil, literal members m<g>_<i>."""
+    from cow_spark.plans.entail import RDF_FIRST, RDF_NIL, RDF_REST
+
+    g = F.col("id")
+    base = spark.range(0, 40).select(
+        g.alias("g"), F.explode(F.sequence(F.lit(0), (g % 8).cast("int")))
+        .alias("i"), ((g % 8) + 1).alias("len"))
+    n = F.format_string("n%d_%d", F.col("g"), F.col("i"))
+    nxt = F.when(F.col("i") < F.col("len") - 1,
+                 F.format_string("n%d_%d", F.col("g"), F.col("i") + 1)
+                 ).otherwise(F.lit(RDF_NIL))
+    member = F.format_string("m%d_%d", F.col("g"), F.col("i"))
+    return (base.select(F.explode(F.array(
+        F.struct(F.lit(None).cast("string").alias("g"),
+                 n.alias("s"), F.lit(RDF_FIRST).alias("p"),
+                 F.lit("literal").alias("o_kind"), member.alias("o_lex"),
+                 F.lit(None).cast("string").alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang")),
+        F.struct(F.lit(None).cast("string").alias("g"),
+                 n.alias("s"), F.lit(RDF_REST).alias("p"),
+                 F.lit("iri").alias("o_kind"), nxt.alias("o_lex"),
+                 F.lit(None).cast("string").alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang")),
+    )).alias("q")).select("q.*"))
+
+
+def q_rdf_list_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdf:List unrolling (entail.py:rdf_list_members) over 40
+    deterministic cons chains: (head, pos, member, kind) via distance-
+    aware path doubling — the twin re-derives every row arithmetically
+    from the fixture construction (list g has members m<g>_<0..g%8>),
+    so equality proves the walk recovered the exact order."""
+    from cow_spark.plans.entail import rdf_list_members
+
+    return rdf_list_members(_list_quads(spark), max_len=16)
+
+
+_SQL_RDF_LIST_UNROLL = """
+select 'n' || cast(g as varchar) || '_0' as head,
+       cast(i as int) as pos,
+       'm' || cast(g as varchar) || '_' || cast(i as varchar) as member,
+       'literal' as member_kind
+from (select g, unnest(range(0, g % 8 + 1)) as i
+      from generate_series(0, 39) t(g))
+"""
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7441,6 +7522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "ranking_eval": q_ranking_eval,
         "fs_weights": q_fs_weights,
+        "harmonic_centrality": q_harmonic_centrality,
+        "rdf_list_unroll": q_rdf_list_unroll,
     }
 
 
@@ -7595,4 +7678,6 @@ def oracle_sql() -> dict[str, str]:
         "modularity": _sql_modularity(),
         "ranking_eval": _SQL_RANKING_EVAL,
         "fs_weights": _sql_fs_weights(),
+        "harmonic_centrality": _sql_harmonic_centrality(),
+        "rdf_list_unroll": _SQL_RDF_LIST_UNROLL,
     }

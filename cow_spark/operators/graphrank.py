@@ -2412,3 +2412,143 @@ def modularity(
         return out
     finally:
         e.unpersist()
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    pivots: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Pivot-sampled harmonic centrality: ``h(v) = Σ_p 1/d(p, v)``
+    over a deterministic pivot set — the EXACT counterpart of the
+    :func:`hyperball` closeness estimate (that one sketches all-pairs;
+    this one pays |pivots| BFS traversals for exact distances, the
+    standard Eppstein-Wang trade at scale). Harmonic not closeness:
+    unreached pairs contribute 0 instead of poisoning the mean with
+    infinities, so a bounded ``max_hops`` is semantically clean.
+
+    Returns ``(node, n_sources, h_ppm)`` for every node within
+    ``max_hops`` undirected hops of ≥ 1 pivot: ``n_sources`` = pivots
+    reaching it (dist ≥ 1), ``h_ppm = Σ_p 1e6 div d(p, v)`` — integer
+    floor-div per term, so cross-engine exact; a pivot's own dist-0
+    row is excluded (1/0), and pivots appear in the output only as
+    reached by OTHER pivots.
+
+    Scale shape: per-source BFS layering — the dist table carries
+    (pivot, node), so first-reach-wins needs no min-agg re-run (the
+    anti-join on (pivot, node) guarantees layer = min dist, same
+    argument as :func:`shortest_paths`); per round one frontier×adjacency
+    join + dedup + anti-join, all bounded by Σ_p |ball(p, r)| — the
+    pivot-count knob is exactly the cost knob. Lineage cut per round;
+    early exit when every pivot's frontier drains.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    adj = (e.select(F.explode(F.array(
+        F.struct(F.col("a").alias("w"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("w"), F.col("a").alias("v")),
+    )).alias("p")).select("p.w", "p.v")
+        .persist())
+    dist = round_checkpoint(
+        pivots.select(F.col("node").cast("string").alias("pivot"))
+        .dropDuplicates()
+        .select("pivot", F.col("pivot").alias("node"))
+        .withColumn("dist", F.lit(0)), checkpoint_dir)
+    frontier = dist.select("pivot", "node")
+    try:
+        for r in range(1, max_hops + 1):
+            reached = (adj.join(
+                frontier.select("pivot", F.col("node").alias("w")), "w")
+                .select("pivot", F.col("v").alias("node"))
+                .dropDuplicates())
+            new = round_checkpoint(
+                reached.join(dist.select("pivot", "node"),
+                             ["pivot", "node"], "left_anti")
+                .withColumn("dist", F.lit(r)), checkpoint_dir)
+            if new.isEmpty():
+                break
+            dist = round_checkpoint(dist.unionByName(new), checkpoint_dir)
+            frontier = new.select("pivot", "node")
+    finally:
+        adj.unpersist()
+    return (dist.where(F.col("dist") >= 1)
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("n_sources"),
+                 F.sum(F.expr("1000000 div dist")).cast("bigint")
+                 .alias("h_ppm")))
+
+
+def harmonic_centrality_py(edges, pivot_nodes, max_hops: int = 4):
+    """Pure-Python twin of :func:`harmonic_centrality`."""
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    acc: dict = {}
+    for p in set(pivot_nodes):
+        dist = {p: 0}
+        frontier = {p}
+        for r in range(1, max_hops + 1):
+            nxt = {v for u in frontier for v in adj.get(u, ())
+                   if v not in dist}
+            if not nxt:
+                break
+            for v in nxt:
+                dist[v] = r
+            frontier = nxt
+        for v, d in dist.items():
+            if d >= 1:
+                n, h = acc.get(v, (0, 0))
+                acc[v] = (n + 1, h + 1_000_000 // d)
+    return sorted((v, n, h) for v, (n, h) in acc.items())
+
+
+def harmonic_centrality_oracle_sql(edges_cte: str, pivots_cte: str,
+                                   max_hops: int = 4) -> str:
+    """DuckDB twin of :func:`harmonic_centrality` — the per-source
+    variant of ``shortest_paths_oracle_sql``'s unrolled frontier CTEs
+    (MATERIALIZED against the inlining trap); the final select folds
+    the dist table to (node, n_sources, h_ppm) with `//` floor-div."""
+    parts = [f"""
+with e0 as ({edges_cte}),
+e as (
+  select distinct least(a, b) as a, greatest(a, b) as b
+  from e0 where a is not null and b is not null and a <> b
+),
+adj as materialized (
+  select a as w, b as v from e union all select b as w, a as v from e
+),
+d0 as materialized (
+  select distinct cast(node as varchar) as pv,
+         cast(node as varchar) as node, 0 as dist
+  from ({pivots_cte})
+),
+f0 as materialized (select pv, node from d0)"""]
+    for r in range(1, max_hops + 1):
+        parts.append(f"""f{r} as materialized (
+  select distinct f.pv, a.v as node from adj a
+  join f{r - 1} f on a.w = f.node
+  where not exists (select 1 from d{r - 1} d
+                    where d.pv = f.pv and d.node = a.v)
+)""")
+        parts.append(f"""d{r} as materialized (
+  select pv, node, dist from d{r - 1}
+  union all
+  select pv, node, {r} as dist from f{r}
+)""")
+    return (",\n".join(parts) + f"""
+select node, cast(count(*) as bigint) as n_sources,
+       cast(sum(1000000 // dist) as bigint) as h_ppm
+from d{max_hops} where dist >= 1 group by node""")

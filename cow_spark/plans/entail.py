@@ -380,3 +380,94 @@ def owl_property_closure(
     # swap rules re-applied to the NEW closure rows only (one more
     # bounded pass) — finishes the symmetric/inverse interaction
     return e1.unionByName(expand(new_rows)).dropDuplicates()
+
+
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+
+def rdf_list_members(quads: DataFrame, max_len: int = 512) -> DataFrame:
+    """Unroll every ``rdf:List`` in the graph to ``(head, pos, member,
+    member_kind)`` rows — ordered collections are THE place RDF hides
+    sequence data (the reference itself stores each table's column
+    order as an rdf:List, csvw.py:308; SPARQL has no list accessor
+    short of brittle ``rdf:rest*/rdf:first`` property paths that lose
+    the position).
+
+    A list head is a cons node (bearing ``rdf:first`` or ``rdf:rest``)
+    that is not the object of any ``rdf:rest`` triple — interior nodes
+    hang off some head; ``pos`` is the cons node's distance from its
+    head along ``rdf:rest``. Member kind/lexical form come from the
+    cons node's ``rdf:first`` object unchanged (IRI or literal).
+
+    Distance-aware path doubling: ``rdf:rest`` is functional (a cons
+    cell has ONE tail), so every (ancestor, descendant) pair has a
+    unique path and the doubled join ``r ⋈ r`` produces each pair
+    exactly once with the exact distance — ⌈log2 max_len⌉ rounds close
+    chains up to ``max_len``; the reach table is Σ L² per list, fine
+    for the schema/metadata lists this exists for and loudly bounded
+    by ``max_len``. Malformed data fails loudly, never truncates: a
+    cons node with two ``rdf:rest`` tails (ambiguous order) and a
+    chain still growing after closure (cycle or > max_len) both raise.
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    rest = (quads.where((F.col("p") == RDF_REST)
+                        & (F.col("o_kind") == "iri"))
+            .select(F.col("s").alias("n"), F.col("o_lex").alias("nxt"))
+            .dropDuplicates())
+    multi = (rest.groupBy("n").agg(F.count("*").alias("c"))
+             .where(F.col("c") > 1).limit(1).collect())
+    if multi:
+        raise ValueError(
+            f"rdf_list_members: cons node {multi[0]['n']!r} has "
+            f"{multi[0]['c']} rdf:rest tails — ambiguous list order")
+    first = (quads.where(F.col("p") == RDF_FIRST)
+             .select(F.col("s").alias("n"),
+                     F.col("o_lex").alias("member"),
+                     F.col("o_kind").alias("member_kind"))
+             .dropDuplicates())
+    multi_f = (first.groupBy("n").agg(F.count("*").alias("c"))
+               .where(F.col("c") > 1).limit(1).collect())
+    if multi_f:
+        raise ValueError(
+            f"rdf_list_members: cons node {multi_f[0]['n']!r} has "
+            f"{multi_f[0]['c']} distinct rdf:first values")
+    cons = (rest.select("n").union(first.select("n")).distinct())
+    heads = cons.join(
+        rest.where(F.col("nxt") != RDF_NIL)
+        .select(F.col("nxt").alias("n")).distinct(),
+        "n", "left_anti").select(F.col("n").alias("head"))
+
+    # reach(a, b, d): b is a's d-step rdf:rest descendant (cons cells
+    # only — nil never enters: it bears no rdf:first and edges INTO it
+    # are dropped from the hop relation)
+    hop = (rest.where(F.col("nxt") != RDF_NIL)
+           .select(F.col("n").alias("a"), F.col("nxt").alias("b"),
+                   F.lit(1).cast("int").alias("d")))
+    reach = hop
+    rounds = max(1, (max_len - 1).bit_length())
+    for _ in range(rounds):
+        doubled = (reach.alias("x")
+                   .join(reach.alias("y"), F.col("x.b") == F.col("y.a"))
+                   .select(F.col("x.a").alias("a"),
+                           F.col("y.b").alias("b"),
+                           (F.col("x.d") + F.col("y.d")).alias("d")))
+        grown = reach.unionByName(doubled).dropDuplicates(["a", "b"])
+        reach = grown.localCheckpoint(eager=True)
+    bad = (reach.where((F.col("d") >= max_len)
+                       | (F.col("a") == F.col("b")))
+           .limit(1).collect())
+    if bad:
+        raise ValueError(
+            "rdf_list_members: rdf:rest cycle or chain length >= "
+            f"max_len ({max_len}) at {bad[0]['a']!r}; raise max_len "
+            "if the data is genuinely that long")
+    pos0 = heads.select(F.col("head"), F.col("head").alias("n"),
+                        F.lit(0).cast("int").alias("pos"))
+    posn = heads.join(reach, heads["head"] == reach["a"]) \
+        .select("head", F.col("b").alias("n"), F.col("d").alias("pos"))
+    return (pos0.unionByName(posn)
+            .join(first, "n")
+            .select("head", "pos", "member", "member_kind"))

@@ -1730,3 +1730,44 @@ def test_characteristic_sets_shapes_and_multiplicity(spark):
     assert rows["pA pB"]["n_subjects"] == 2
     assert rows["pA pB"]["n_triples"] == 5
     assert (rows["pC"]["n_subjects"], rows["pC"]["n_triples"]) == (1, 1)
+
+
+def test_harmonic_centrality_matches_python_twin(spark):
+    """Ring-with-chord: exact per-source BFS sums replay the serial
+    twin, pivots excluded at dist 0, early exit on drained frontiers."""
+    from cow_spark.operators.graphrank import (harmonic_centrality,
+                                               harmonic_centrality_py)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e"),
+             ("b", "e"), ("x", "y")]
+    got = sorted((r["node"], r["n_sources"], r["h_ppm"])
+                 for r in harmonic_centrality(
+                     spark.createDataFrame(edges, "src string, dst string"),
+                     spark.createDataFrame([("a",), ("c",), ("x",)],
+                                           "node string"),
+                     max_hops=3).collect())
+    assert got == harmonic_centrality_py(edges, ["a", "c", "x"], max_hops=3)
+    # disconnected pivot x reaches only y; y gets exactly one source
+    y = [r for r in got if r[0] == "y"]
+    assert y == [("y", 1, 1_000_000)]
+
+
+@given(sp_edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                         min_size=1, max_size=20),
+       pivs=st.sets(st.integers(0, 9), min_size=1, max_size=3))
+@settings(max_examples=15, deadline=None)
+def test_harmonic_centrality_fuzz_vs_twin(spark, sp_edges, pivs):
+    from cow_spark.operators.graphrank import (harmonic_centrality,
+                                               harmonic_centrality_py)
+
+    edges = [(f"n{a}", f"n{b}") for a, b in sp_edges]
+    pivots = [f"n{p}" for p in pivs]
+    got = sorted((r["node"], r["n_sources"], r["h_ppm"])
+                 for r in harmonic_centrality(
+                     spark.createDataFrame(edges, "src string, dst string")
+                     if edges else
+                     spark.createDataFrame([], "src string, dst string"),
+                     spark.createDataFrame([(p,) for p in pivots],
+                                           "node string"),
+                     max_hops=3).collect())
+    assert got == harmonic_centrality_py(edges, pivots, max_hops=3)

@@ -370,3 +370,55 @@ def test_owl_symmetric_transitive_interaction_and_guard(spark):
 
     with _pt.raises(ValueError, match="schema"):
         owl_property_closure(quads, schema_limit=1)
+
+
+def _lq(s, p, o, kind="iri"):
+    return (None, s, p, kind, o, None, None)
+
+
+_LQ_SCHEMA = ("g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+
+
+def test_rdf_list_members_orders_and_kinds(spark):
+    """Chain of 3 + singleton list: positions exact, member kinds pass
+    through, non-list noise ignored, nil never a member."""
+    import pytest
+
+    from cow_spark.plans.entail import (RDF_FIRST, RDF_NIL, RDF_REST,
+                                        rdf_list_members)
+
+    rows = [
+        _lq("L0", RDF_FIRST, "m0", "literal"), _lq("L0", RDF_REST, "L1"),
+        _lq("L1", RDF_FIRST, "m1"), _lq("L1", RDF_REST, "L2"),
+        _lq("L2", RDF_FIRST, "m2"), _lq("L2", RDF_REST, RDF_NIL),
+        _lq("S0", RDF_FIRST, "solo"), _lq("S0", RDF_REST, RDF_NIL),
+        _lq("X", "other", "noise"),
+    ]
+    out = sorted((r["head"], r["pos"], r["member"], r["member_kind"])
+                 for r in rdf_list_members(
+                     spark.createDataFrame(rows, _LQ_SCHEMA)).collect())
+    assert out == [("L0", 0, "m0", "literal"), ("L0", 1, "m1", "iri"),
+                   ("L0", 2, "m2", "iri"), ("S0", 0, "solo", "iri")]
+    with pytest.raises(ValueError, match="max_len"):
+        rdf_list_members(spark.createDataFrame(rows, _LQ_SCHEMA),
+                         max_len=2)
+
+
+def test_rdf_list_members_malformed_fail_loudly(spark):
+    import pytest
+
+    from cow_spark.plans.entail import (RDF_FIRST, RDF_REST,
+                                        rdf_list_members)
+
+    cyc = [_lq("A", RDF_REST, "B"), _lq("B", RDF_REST, "A"),
+           _lq("A", RDF_FIRST, "x"), _lq("B", RDF_FIRST, "y")]
+    with pytest.raises(ValueError, match="cycle"):
+        rdf_list_members(spark.createDataFrame(cyc, _LQ_SCHEMA))
+    two_tails = [_lq("A", RDF_REST, "B"), _lq("A", RDF_REST, "C"),
+                 _lq("A", RDF_FIRST, "x")]
+    with pytest.raises(ValueError, match="rdf:rest tails"):
+        rdf_list_members(spark.createDataFrame(two_tails, _LQ_SCHEMA))
+    two_firsts = [_lq("A", RDF_FIRST, "x"), _lq("A", RDF_FIRST, "y")]
+    with pytest.raises(ValueError, match="rdf:first"):
+        rdf_list_members(spark.createDataFrame(two_firsts, _LQ_SCHEMA))
