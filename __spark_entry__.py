@@ -3204,6 +3204,90 @@ from (select g, unnest(range(0, g % 8 + 1)) as i
 """
 
 
+def q_quote_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-span attribution (mentions.py:quote_attribution) over the
+    LCG transcripts: every double-quoted span attributed to its turn's
+    speaker with leftmost-first span indices — template 2 embeds a
+    quote + newline, so the regex's class-based (no \\s) pattern and
+    the cap are both exercised; the twin regenerates the transcripts
+    and replays regexp_extract_all + parallel unnest in DuckDB."""
+    from cow_spark.operators.mentions import quote_attribution
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return quote_attribution(transcripts_df(spark, 5000))
+
+
+def _sql_quote_attribution() -> str:
+    pat = '"([^"\\n]{1,400})"'
+    return f"""
+with {_sql_transcripts_gen()},
+spans as (
+  select conv_id, turn_idx, role as speaker,
+         regexp_extract_all(text, '{pat}', 1) as l
+  from transcripts_gen
+)
+select conv_id, cast(turn_idx as int) as turn_idx, speaker,
+       cast(unnest(range(len(l))) as int) as quote_idx,
+       unnest(l) as quote,
+       cast(length(unnest(l)) as int) as quote_chars
+from spans
+"""
+
+
+_ALLEN_BIN_US = 16
+
+
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval relations (intervals.py:allen_relations) over
+    deterministic per-key order intervals (lo = key%397, len =
+    key²%13 — the unit grid keeps gaps inside the 12-max length so
+    pairs genuinely touch, and the quadratic length term breaks the
+    len-vs-gap correlation a linear fixture has within a key residue
+    class: every contact relation fires at sf0.1, eight of eleven
+    already at sf0.001): in-contact pairs classified once via the exactly-once
+    binning trick; the twin runs the naive within-key pair join with
+    the same integer case expression."""
+    from cow_spark.operators.intervals import allen_relations
+
+    o = _load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    iv = o.select(
+        F.concat(F.lit("i"), key.cast("string")).alias("id"),
+        F.concat(F.lit("k"), F.pmod(key, F.lit(200)).cast("string"))
+        .alias("key"),
+        F.pmod(key, F.lit(397)).cast("long").alias("lo_us"),
+        (F.pmod(key, F.lit(397)) + F.pmod(key * key, F.lit(13)))
+        .cast("long").alias("hi_us"))
+    return allen_relations(iv, bin_us=_ALLEN_BIN_US)
+
+
+_SQL_ALLEN_RELATIONS = """
+with iv as (
+  select 'i' || cast(o_orderkey as varchar) as id,
+         'k' || cast(o_orderkey % 200 as varchar) as key,
+         cast(o_orderkey % 397 as bigint) as lo,
+         cast(o_orderkey % 397
+              + (o_orderkey * o_orderkey) % 13 as bigint) as hi
+  from orders
+)
+select a.key, a.id as id_a, b.id as id_b,
+       case when a.lo = b.lo and a.hi = b.hi then 'equals'
+            when a.lo = b.lo and a.hi < b.hi then 'starts'
+            when a.lo = b.lo and a.hi > b.hi then 'started_by'
+            when a.hi = b.hi and a.lo > b.lo then 'finishes'
+            when a.hi = b.hi and a.lo < b.lo then 'finished_by'
+            when a.lo > b.lo and a.hi < b.hi then 'during'
+            when a.lo < b.lo and a.hi > b.hi then 'contains'
+            when a.hi = b.lo then 'meets'
+            when b.hi = a.lo then 'met_by'
+            when a.lo < b.lo and b.lo <= a.hi and a.hi < b.hi
+              then 'overlaps'
+            else 'overlapped_by' end as rel
+from iv a join iv b
+  on a.key = b.key and a.id < b.id and a.lo <= b.hi and b.lo <= a.hi
+"""
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7524,6 +7608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_weights": q_fs_weights,
         "harmonic_centrality": q_harmonic_centrality,
         "rdf_list_unroll": q_rdf_list_unroll,
+        "quote_attribution": q_quote_attribution,
+        "allen_relations": q_allen_relations,
     }
 
 
@@ -7680,4 +7766,6 @@ def oracle_sql() -> dict[str, str]:
         "fs_weights": _sql_fs_weights(),
         "harmonic_centrality": _sql_harmonic_centrality(),
         "rdf_list_unroll": _SQL_RDF_LIST_UNROLL,
+        "quote_attribution": _sql_quote_attribution(),
+        "allen_relations": _SQL_ALLEN_RELATIONS,
     }

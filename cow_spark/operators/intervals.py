@@ -159,3 +159,88 @@ def interval_join(
         .withColumn(f"{prefix}hi", F.col("_hi"))
         .drop("_bin", "_lo", "_hi")
     )
+
+
+ALLEN_RELATIONS = (
+    "equals", "starts", "started_by", "finishes", "finished_by",
+    "during", "contains", "meets", "met_by", "overlaps", "overlapped_by",
+)
+
+
+def allen_relations(
+    intervals: DataFrame,
+    id_col: str = "id",
+    key_col: str = "key",
+    lo_col: str = "lo_us",
+    hi_col: str = "hi_us",
+    bin_us: int = 3_600_000_000,
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Classify every *in-contact* pair of closed integer intervals
+    sharing a ``key`` into its Allen relation — the temporal-KG
+    primitive that turns per-entity validity/session intervals into
+    qualitative ``before/during/overlaps`` edges (Allen 1983). Emits
+    ``(key, id_a, id_b, rel)`` once per unordered pair (``id_a <
+    id_b``, relation read a→b); the two *disjoint* relations
+    (precedes/preceded-by) are deliberately NOT emitted — they are the
+    quadratic almost-everything and any consumer can derive them from
+    absence, which is what keeps this join bounded.
+
+    Pair generation is the exactly-once binning trick shared with
+    :func:`interval_join`: each interval explodes into its covering
+    ``bin_us`` bins (loud ``max_bins_per_interval`` guard — a runaway
+    interval must not fan out silently), pairs equi-join on (key, bin),
+    and only the bin containing ``greatest(lo_a, lo_b)`` keeps the
+    pair, so no post-join dedup shuffle. Rows with NULL endpoints or
+    ``lo > hi`` are dropped up front (same discipline as
+    interval_join's guard: corrupt intervals don't classify). All
+    endpoint comparisons are integer — the 13-way case expression is
+    engine-exact by construction. Touching pairs (``hi_a == lo_b``)
+    are in contact under closed semantics: that's ``meets``.
+    """
+    iv = (intervals.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(key_col).cast("string").alias("key"),
+        F.col(lo_col).cast("long").alias("lo"),
+        F.col(hi_col).cast("long").alias("hi"))
+        .where(F.col("id").isNotNull() & F.col("key").isNotNull()
+               & F.col("lo").isNotNull() & F.col("hi").isNotNull()
+               & (F.col("lo") <= F.col("hi"))))
+    lo_bin = F.expr(f"(lo - pmod(lo, {bin_us})) div {bin_us}")
+    hi_bin = F.expr(f"(hi - pmod(hi, {bin_us})) div {bin_us}")
+    n_bins = hi_bin - lo_bin + 1
+    over = iv.where(n_bins > max_bins_per_interval).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"allen_relations: interval {over[0]['id']!r} spans more "
+            f"than max_bins_per_interval ({max_bins_per_interval}) "
+            f"bins of {bin_us} us — widen bin_us or split the interval")
+    binned = iv.select(
+        "id", "key", "lo", "hi",
+        F.explode(F.sequence(lo_bin, hi_bin)).alias("bin"))
+    a, b = binned.alias("a"), binned.alias("b")
+    la, ha = F.col("a.lo"), F.col("a.hi")
+    lb, hb = F.col("b.lo"), F.col("b.hi")
+    pairs = (a.join(b, (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.bin") == F.col("b.bin"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .where((la <= hb) & (lb <= ha))
+             .where(F.col("a.bin")
+                    == F.expr(f"(greatest(a.lo, b.lo) "
+                              f"- pmod(greatest(a.lo, b.lo), {bin_us}))"
+                              f" div {bin_us}")))
+    rel = (F.when((la == lb) & (ha == hb), "equals")
+           .when((la == lb) & (ha < hb), "starts")
+           .when((la == lb) & (ha > hb), "started_by")
+           .when((ha == hb) & (la > lb), "finishes")
+           .when((ha == hb) & (la < lb), "finished_by")
+           .when((la > lb) & (ha < hb), "during")
+           .when((la < lb) & (ha > hb), "contains")
+           .when(ha == lb, "meets")
+           .when(hb == la, "met_by")
+           .when((la < lb) & (lb <= ha) & (ha < hb), "overlaps")
+           .otherwise("overlapped_by"))
+    return pairs.select(F.col("a.key").alias("key"),
+                        F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        rel.alias("rel"))

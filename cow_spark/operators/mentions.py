@@ -222,3 +222,45 @@ def coref_resolve(
                     F.col("_p.m").alias("antecedent"),
                     F.col("_p.at").alias("antecedent_turn"),
                     F.coalesce("mention", "_p.m").alias("resolved")))
+
+
+# Quoted-span pattern in the Java∩RE2 subset (explicit classes, no \s):
+# a double-quoted run of 1..400 non-quote/non-newline chars. Both
+# engines scan leftmost non-overlapping, so an unbalanced trailing
+# quote simply never closes a span — identical on both sides.
+QUOTE_PATTERN = '"([^"\\n]{1,400})"'
+
+
+def quote_attribution(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    speaker_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Attribute every double-quoted span in a transcript turn to its
+    speaker — reported speech is the one place a turn carries a
+    *second* voice, and a KG that records ``(speaker, said, quote)``
+    without this step attributes quoted text to the wrong entity. The
+    direct-speech slice of quotation corpora (PARC-style attribution
+    collapsed to the syntactic case regex can carry at 100 TB; cue-verb
+    and indirect speech stay upstream NLP).
+
+    Returns one row per quoted span: ``(conv_id, turn_idx, speaker,
+    quote_idx, quote, quote_chars)`` with ``quote_idx`` the 0-based
+    position of the span within its turn (leftmost-first, the
+    scan order both engines share). Spans are capped at 400 chars by
+    the pattern itself — an unterminated quote swallowing the rest of
+    a 100 KB turn is a data bug this cap refuses to encode.
+
+    Scale shape: one ``regexp_extract_all`` + ``posexplode`` — map-only,
+    no shuffle, no Python; rows without quotes vanish at the explode.
+    """
+    spans = F.regexp_extract_all(F.col(text_col), F.lit(QUOTE_PATTERN), 1)
+    return (transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(order_col).alias("turn_idx"),
+        F.col(speaker_col).alias("speaker"),
+        F.posexplode(spans).alias("quote_idx", "quote"))
+        .withColumn("quote_chars",
+                    F.length("quote").cast("int")))

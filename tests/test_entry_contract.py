@@ -67,6 +67,11 @@ def test_query_matches_oracle(spark, ddb, name):
     cols = sorted(df.columns)
     got = _spark_rows(df, cols)
     want = _duck_rows(ddb, sql, cols)
+    # a 0-row gate passes vacuously and proves nothing — every fixture
+    # must actually exercise its operator (caught live: the first
+    # allen_relations fixture's lo-grid stride exceeded its max length,
+    # so no two intervals ever touched and both sides emitted nothing)
+    assert got, f"{name}: fixture produced 0 rows — degenerate gate"
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     if got != want:
         diff_g = [r for r in got if r not in set(want)][:3]

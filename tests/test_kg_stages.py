@@ -590,3 +590,71 @@ def test_fs_weights_matches_log2_twin_and_validates(spark):
         fs_weights(pairs, params.where("attr = 'name'"), 0, 1)
     with pytest.raises(ValueError, match="lower_fp"):
         fs_weights(pairs, params, 10, 1)
+
+
+def test_quote_attribution_spans_and_caps(spark):
+    """Leftmost-first indices, speaker carry, unbalanced quote never
+    closes, >400-char span refused by the pattern cap, newline blocks
+    a span from crossing lines."""
+    from cow_spark.operators.mentions import quote_attribution
+
+    long = "x" * 401
+    t = spark.createDataFrame(
+        [("c1", 0, "user", 'He said "hello" then "bye"'),
+         ("c1", 1, "assistant", "no quotes"),
+         ("c1", 2, "tool", 'unbalanced " quote'),
+         ("c1", 3, "user", f'"{long}"'),
+         ("c1", 4, "user", '"spans\nlines"'),
+         ("c2", 0, "user", 'Tell X: "see you in Oslo"\non Monday')],
+        "conv_id string, turn_idx int, role string, text string")
+    got = sorted((r["conv_id"], r["turn_idx"], r["speaker"],
+                  r["quote_idx"], r["quote"], r["quote_chars"])
+                 for r in quote_attribution(t).collect())
+    assert got == [
+        ("c1", 0, "user", 0, "hello", 5),
+        ("c1", 0, "user", 1, "bye", 3),
+        ("c2", 0, "user", 0, "see you in Oslo", 15),
+    ]
+
+
+def test_allen_relations_all_eleven_and_binning(spark):
+    """Every in-contact Allen relation reachable; exactly-once across
+    bin boundaries (tiny bin forces multi-bin intervals); cross-key
+    pairs never meet; corrupt rows dropped; runaway span raises."""
+    import pytest
+
+    from cow_spark.operators.intervals import allen_relations
+
+    iv = spark.createDataFrame(
+        [("a", "k", 0, 10), ("b", "k", 0, 10),   # equals
+         ("c", "k", 0, 5), ("d", "k", 5, 10),    # meets / starts family
+         ("e", "k", 2, 8), ("g", "k", 3, 7),     # overlaps / during
+         ("x", "k2", 0, 1),                       # isolated key
+         ("bad", "k", 9, 3),                      # lo > hi: dropped
+         (None, "k", 0, 1)],                      # NULL id: dropped
+        "id string, key string, lo_us long, hi_us long")
+    rows = {(r["id_a"], r["id_b"]): r["rel"]
+            for r in allen_relations(iv, bin_us=4).collect()}
+    assert rows[("a", "b")] == "equals"
+    assert rows[("a", "c")] == "started_by"
+    assert rows[("a", "d")] == "finished_by"
+    assert rows[("a", "e")] == "contains"
+    assert rows[("c", "d")] == "meets"
+    assert rows[("c", "e")] == "overlaps"
+    assert rows[("d", "e")] == "overlapped_by"
+    assert rows[("e", "g")] == "contains"
+    assert not [k for k in rows if "x" in k or "bad" in k or None in k]
+    # each unordered pair exactly once despite multi-bin intervals
+    assert len(rows) == len(set(rows))
+    got_dup = allen_relations(
+        spark.createDataFrame([("p", "k", 1, 3), ("q", "k", 0, 9)],
+                              "id string, key string, lo_us long, hi_us long"),
+        bin_us=2).collect()
+    assert [(r["id_a"], r["id_b"], r["rel"])
+            for r in got_dup] == [("p", "q", "during")]
+    with pytest.raises(ValueError, match="max_bins_per_interval"):
+        allen_relations(
+            spark.createDataFrame([("r", "k", 0, 10_000)],
+                                  "id string, key string, lo_us long, "
+                                  "hi_us long"),
+            bin_us=2, max_bins_per_interval=100)
