@@ -105,6 +105,14 @@ HEADLINE = [
     "coref_resolve",
     "kg_resolve",
     "corpus_drift",
+    "characteristic_sets",
+    "modularity",
+    "ranking_eval",
+    "fs_weights",
+    "harmonic_centrality",
+    "rdf_list_unroll",
+    "quote_attribution",
+    "allen_relations",
 ]
 
 
