@@ -3288,6 +3288,139 @@ from iv a join iv b
 """
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled Brandes betweenness
+    (graphrank.py:betweenness_centrality) over the CC order-part graph
+    from the multiple-of-451 order pivots, 3 hops — forward sigma
+    layering + the ppm backward dependency sweep; the twin is the
+    harmonic BFS unroll extended with sigma sums and one dependency
+    CTE per backward layer, identical floor-per-term `//` terms."""
+    from cow_spark.operators.graphrank import betweenness_centrality
+
+    li = _load(spark, sf_dir, "lineitem")
+    pivots = li.where(F.col("l_orderkey") % 451 == 0).select(
+        F.concat(F.lit("o"),
+                 F.col("l_orderkey").cast("string")).alias("node")
+    ).distinct()
+    return betweenness_centrality(_cc_edges(spark, sf_dir), pivots,
+                                  max_hops=3)
+
+
+def _sql_betweenness() -> str:
+    from cow_spark.operators.graphrank import betweenness_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    pivots = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as node "
+        "from lineitem where l_orderkey % 451 = 0"
+    )
+    return betweenness_oracle_sql(edges, pivots, max_hops=3)
+
+
+_HITS_ROUNDS = 4
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graphrank.py:hits) over the DIRECTED
+    order→part edge list: orders are pure hubs, parts pure authorities
+    (the bipartite extreme), with scores driven by degree structure —
+    integer max-normalized rounds the twin unrolls CTE-for-CTE."""
+    from cow_spark.operators.graphrank import hits
+
+    return hits(_cc_edges(spark, sf_dir), rounds=_HITS_ROUNDS)
+
+
+def _sql_hits() -> str:
+    from cow_spark.operators.graphrank import hits_oracle_sql
+
+    edges = (
+        "select 'o' || cast(l_orderkey as varchar) as a, "
+        "'p' || cast(l_partkey as varchar) as b "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return hits_oracle_sql(edges, rounds=_HITS_ROUNDS)
+
+
+_SNM_WINDOW = 4
+
+
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (parity.py:sorted_neighborhood)
+    over part names — repeated names ("small ring" × many) exercise
+    the id tie-break, 8 two-char prefixes exercise the bucket-offset
+    global rank; the twin is one serial row_number + shifted self-join,
+    so equality proves the distributed rank IS the global rank."""
+    from cow_spark.plans.parity import sorted_neighborhood
+
+    part = _load(spark, sf_dir, "part")
+    recs = part.select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string"))
+        .alias("id"), F.col("p_name").alias("key"))
+    return sorted_neighborhood(recs, window=_SNM_WINDOW)
+
+
+def _sql_snm_blocking() -> str:
+    from cow_spark.plans.parity import sorted_neighborhood_oracle_sql
+
+    recs = ("select 'p' || cast(p_partkey as varchar) as id, "
+            "p_name as key from part")
+    return sorted_neighborhood_oracle_sql(recs, _SNM_WINDOW)
+
+
+def q_metapath_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRA metapath features (kgtrain.py:metapath_counts) over the
+    customer→order→{part,supplier} typed graph: (placed, contains) and
+    (placed, ships) path counts per entity pair, hub-capped mids —
+    the KG-ML feature table negative_samples/ranking_eval train and
+    score against."""
+    from cow_spark.operators.kgtrain import metapath_counts
+
+    o = _load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 41 == 0)
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 41 == 0)
+    ok = F.col("o_orderkey").cast("string")
+    lk = F.col("l_orderkey").cast("string")
+    placed = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("s"), F.lit("placed").alias("p"),
+        F.concat(F.lit("o"), ok).alias("o"))
+    contains = li.select(
+        F.concat(F.lit("o"), lk).alias("s"),
+        F.lit("contains").alias("p"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("o"))
+    ships = li.select(
+        F.concat(F.lit("o"), lk).alias("s"), F.lit("ships").alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("o"))
+    return metapath_counts(placed.unionByName(contains)
+                           .unionByName(ships))
+
+
+def _sql_metapath_counts() -> str:
+    from cow_spark.operators.kgtrain import metapath_counts_oracle_sql
+
+    tri = (
+        "select 'c' || cast(o_custkey as varchar) as s, 'placed' as p, "
+        "'o' || cast(o_orderkey as varchar) as o "
+        "from orders where o_orderkey % 41 = 0 "
+        "union all "
+        "select 'o' || cast(l_orderkey as varchar), 'contains', "
+        "'p' || cast(l_partkey as varchar) "
+        "from lineitem where l_orderkey % 41 = 0 "
+        "union all "
+        "select 'o' || cast(l_orderkey as varchar), 'ships', "
+        "'s' || cast(l_suppkey as varchar) "
+        "from lineitem where l_orderkey % 41 = 0"
+    )
+    return metapath_counts_oracle_sql(tri)
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7610,6 +7743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_list_unroll": q_rdf_list_unroll,
         "quote_attribution": q_quote_attribution,
         "allen_relations": q_allen_relations,
+        "betweenness": q_betweenness,
+        "hits": q_hits,
+        "snm_blocking": q_snm_blocking,
+        "metapath_counts": q_metapath_counts,
     }
 
 
@@ -7768,4 +7905,8 @@ def oracle_sql() -> dict[str, str]:
         "rdf_list_unroll": _SQL_RDF_LIST_UNROLL,
         "quote_attribution": _sql_quote_attribution(),
         "allen_relations": _SQL_ALLEN_RELATIONS,
+        "betweenness": _sql_betweenness(),
+        "hits": _sql_hits(),
+        "snm_blocking": _sql_snm_blocking(),
+        "metapath_counts": _sql_metapath_counts(),
     }

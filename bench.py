@@ -113,6 +113,8 @@ HEADLINE = [
     "rdf_list_unroll",
     "quote_attribution",
     "allen_relations",
+    "betweenness",
+    "hits",
 ]
 
 

@@ -2552,3 +2552,373 @@ f0 as materialized (select pv, node from d0)"""]
 select node, cast(count(*) as bigint) as n_sources,
        cast(sum(1000000 // dist) as bigint) as h_ppm
 from d{max_hops} where dist >= 1 group by node""")
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    pivots: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Pivot-sampled Brandes betweenness over the undirected graph:
+    forward BFS layering carries shortest-path COUNTS (``sigma``), the
+    backward sweep accumulates dependencies layer-by-layer — the exact
+    two-phase structure of Brandes' algorithm (2001), sampled at a
+    deterministic pivot set the way :func:`harmonic_centrality` samples
+    closeness (Eppstein-Wang trade: cost = |pivots| × ball size, the
+    pivot count is the knob).
+
+    Dependencies are **integer ppm fixed point**: each backward term is
+    ``sigma_v * (1e6 + delta_w) div sigma_w`` (floor per term, summed
+    over the dist-(r+1) neighbors ``w``), so the distributed sum and the
+    serial/DuckDB twins are bit-exact — the repo's pagerank/harmonic
+    convention. The floor-per-term remainder is a documented bias, fine
+    for ranking. ANSI long-overflow aborts loudly if ``sigma`` products
+    ever exceed int64 (astronomically many shortest paths).
+
+    Returns ``(node, n_sources, bc_fp)`` for every non-pivot-distance-0
+    appearance: ``n_sources`` = pivots reaching the node, ``bc_fp`` =
+    Σ_pivots delta in ppm (0 for BFS leaves). Bounded ``max_hops`` keeps
+    both sweeps frontier-sized; truncation only drops dependencies
+    flowing through paths longer than the horizon — the standard
+    k-bounded betweenness semantics.
+
+    Scale shape: forward = one frontier×adjacency join + partial-agg
+    sigma sum + anti-join per round; backward = one layer×adjacency×
+    layer join per round, all bounded by Σ_p |ball(p, r)|. Lineage cut
+    per round; the adjacency persists for both sweeps and is released
+    in ``finally``.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates())
+    adj = (e.select(F.explode(F.array(
+        F.struct(F.col("a").alias("w"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("w"), F.col("a").alias("v")),
+    )).alias("p")).select("p.w", "p.v")
+        .persist())
+    dist = round_checkpoint(
+        pivots.select(F.col("node").cast("string").alias("pivot"))
+        .dropDuplicates()
+        .select("pivot", F.col("pivot").alias("node"))
+        .withColumn("dist", F.lit(0))
+        .withColumn("sigma", F.lit(1).cast("long")), checkpoint_dir)
+    frontier = dist
+    deepest = 0
+    try:
+        for r in range(1, max_hops + 1):
+            # sigma(v) = Σ over dist-(r-1) predecessors' sigma: the
+            # anti-join guarantees v is genuinely at dist r, and ONLY
+            # frontier rows contribute, so the sum is exactly over
+            # shortest-path predecessors
+            reached = (adj.join(
+                frontier.select("pivot", F.col("node").alias("w"),
+                                "sigma"), "w")
+                .groupBy("pivot", F.col("v").alias("node"))
+                .agg(F.sum("sigma").cast("long").alias("sigma")))
+            new = round_checkpoint(
+                reached.join(dist.select("pivot", "node"),
+                             ["pivot", "node"], "left_anti")
+                .withColumn("dist", F.lit(r)), checkpoint_dir)
+            if new.isEmpty():
+                break
+            deepest = r
+            dist = round_checkpoint(
+                dist.unionByName(new.select(*dist.columns)),
+                checkpoint_dir)
+            frontier = new
+        # backward sweep: delta at the deepest layer is 0; each round
+        # joins layer r to its dist-(r+1) successors' (sigma, delta)
+        # dist >= 1 guards the no-edges case (deepest == 0 would
+        # otherwise emit the pivots' own dist-0 rows)
+        delta_next = (dist.where((F.col("dist") == deepest)
+                                 & (F.col("dist") >= 1))
+                      .select("pivot", "node", "sigma",
+                              F.lit(0).cast("long").alias("delta")))
+        layers = [delta_next]
+        for r in range(deepest - 1, 0, -1):
+            layer = dist.where(F.col("dist") == r)
+            contrib = (layer.join(adj.withColumnRenamed("w", "node"),
+                                  "node")
+                       .join(delta_next.select(
+                           "pivot", F.col("node").alias("v"),
+                           F.col("sigma").alias("sigma_w"),
+                           F.col("delta").alias("delta_w")),
+                           ["pivot", "v"])
+                       .groupBy("pivot", "node")
+                       .agg(F.sum(F.expr(
+                           "sigma * (1000000 + delta_w) div sigma_w"))
+                           .cast("long").alias("delta")))
+            delta_next = round_checkpoint(
+                layer.join(contrib, ["pivot", "node"], "left")
+                .select("pivot", "node", "sigma",
+                        F.coalesce("delta", F.lit(0)).cast("long")
+                        .alias("delta")), checkpoint_dir)
+            layers.append(delta_next)
+        out = layers[0]
+        for more in layers[1:]:
+            out = out.unionByName(more)
+    finally:
+        adj.unpersist()
+    return (out.groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("n_sources"),
+                 F.sum("delta").cast("bigint").alias("bc_fp")))
+
+
+def betweenness_py(edges, pivot_nodes, max_hops: int = 4):
+    """Pure-Python twin of :func:`betweenness_centrality` — the same
+    floor-per-term ppm dependency recurrence, serially."""
+    e = {(a, b) if a < b else (b, a) for a, b in edges
+         if a is not None and b is not None and a != b}
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    acc: dict = {}
+    for p in set(pivot_nodes):
+        dist = {p: 0}
+        sigma = {p: 1}
+        layers = [[p]]
+        for r in range(1, max_hops + 1):
+            nxt: dict = {}
+            for u in layers[-1]:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+            if not nxt:
+                break
+            for v, s in nxt.items():
+                dist[v] = r
+                sigma[v] = s
+            layers.append(sorted(nxt))
+        delta = {v: 0 for layer in layers[1:] for v in layer}
+        for r in range(len(layers) - 2, 0, -1):
+            for v in layers[r]:
+                delta[v] = sum(
+                    sigma[v] * (1_000_000 + delta[w]) // sigma[w]
+                    for w in adj.get(v, ())
+                    if dist.get(w) == r + 1)
+        for v, d in delta.items():
+            n, b = acc.get(v, (0, 0))
+            acc[v] = (n + 1, b + d)
+    return sorted((v, n, b) for v, (n, b) in acc.items())
+
+
+def betweenness_oracle_sql(edges_cte: str, pivots_cte: str,
+                           max_hops: int = 4) -> str:
+    """DuckDB twin of :func:`betweenness_centrality`: the
+    ``harmonic_centrality_oracle_sql`` forward unroll extended with a
+    sigma sum per layer, then one MATERIALIZED dependency CTE per
+    backward layer using the identical floor-per-term `//` recurrence.
+    The unroll runs all ``max_hops`` layers (empty ones union nothing),
+    so it needs no early-exit bookkeeping."""
+    parts = [f"""
+with e0 as ({edges_cte}),
+e as (
+  select distinct least(a, b) as a, greatest(a, b) as b
+  from e0 where a is not null and b is not null and a <> b
+),
+adj as materialized (
+  select a as w, b as v from e union all select b as w, a as v from e
+),
+d0 as materialized (
+  select distinct cast(node as varchar) as pv,
+         cast(node as varchar) as node, 0 as dist,
+         cast(1 as bigint) as sigma
+  from ({pivots_cte})
+),
+f0 as materialized (select pv, node, sigma from d0)"""]
+    for r in range(1, max_hops + 1):
+        parts.append(f"""f{r} as materialized (
+  select f.pv, a.v as node, cast(sum(f.sigma) as bigint) as sigma
+  from adj a join f{r - 1} f on a.w = f.node
+  where not exists (select 1 from d{r - 1} d
+                    where d.pv = f.pv and d.node = a.v)
+  group by f.pv, a.v
+)""")
+        parts.append(f"""d{r} as materialized (
+  select pv, node, dist, sigma from d{r - 1}
+  union all
+  select pv, node, {r} as dist, sigma from f{r}
+)""")
+    D = max_hops
+    parts.append(f"""dl{D} as materialized (
+  select pv, node, sigma, cast(0 as bigint) as delta
+  from d{D} where dist = {D}
+)""")
+    for r in range(D - 1, 0, -1):
+        parts.append(f"""g{r} as materialized (
+  select v.pv, v.node,
+         cast(sum(v.sigma * (1000000 + w.delta) // w.sigma) as bigint)
+           as delta
+  from (select pv, node, sigma from d{D} where dist = {r}) v
+  join adj a on a.w = v.node
+  join dl{r + 1} w on w.pv = v.pv and w.node = a.v
+  group by v.pv, v.node
+)""")
+        parts.append(f"""dl{r} as materialized (
+  select v.pv, v.node, v.sigma, coalesce(g.delta, 0) as delta
+  from (select pv, node, sigma from d{D} where dist = {r}) v
+  left join g{r} g on g.pv = v.pv and g.node = v.node
+)""")
+    union = "\n  union all\n  ".join(
+        f"select pv, node, delta from dl{r}" for r in range(1, D + 1))
+    return (",\n".join(parts) + f"""
+select node, cast(count(*) as bigint) as n_sources,
+       cast(sum(delta) as bigint) as bc_fp
+from (
+  {union}
+) group by node""")
+
+
+HITS_SCALE = 1_000_000  # hub/authority fixed-point scale
+
+
+def hits(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    edge list in integer fixed point: per round ``a(v) = Σ_{u→v} h(u)``
+    then ``h(u) = Σ_{u→v} a(v)``, each half-round renormalized by its
+    exact integer max (``x * SCALE div max``) instead of the float L2
+    norm — max-normalization keeps the iteration in bounded int64 and
+    is order-independent, so the distributed sums and the DuckDB twin
+    replay bit-exact (the pagerank convention; the textbook L2 norm is
+    a monotone rescaling per round, rankings are unchanged).
+
+    Returns ``(node, hub_fp, auth_fp)`` for every node of the graph
+    (0 for no-out / no-in nodes; a graph whose scores all drain to 0
+    keeps emitting zeros rather than dividing by zero).
+
+    Scale shape per round: two edge⋈vector joins + two partial-agg
+    groupBys (both |V|-bounded), two 1-row max aggregates broadcast
+    back — no full-graph shuffle beyond the keyed sums. Edges persist
+    for the loop; lineage cut per half-round.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.col(src).cast("string").alias("u"),
+                      F.col(dst).cast("string").alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v")))
+         .dropDuplicates()
+         .persist())
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select(F.col("v").alias("node")))
+             .distinct().persist())
+    try:
+        h = nodes.select(
+            "node", F.lit(HITS_SCALE).cast("long").alias("score"))
+        a = None
+        for _ in range(rounds):
+            a = _hits_half(nodes, e, h, "u", "v")
+            a = round_checkpoint(_hits_norm(a), checkpoint_dir)
+            h = _hits_half(nodes, e, a, "v", "u")
+            h = round_checkpoint(_hits_norm(h), checkpoint_dir)
+        return (nodes
+                .join(h.withColumnRenamed("score", "hub_fp"), "node")
+                .join(a.withColumnRenamed("score", "auth_fp"), "node")
+                .select("node", F.col("hub_fp").cast("bigint"),
+                        F.col("auth_fp").cast("bigint")))
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
+def _hits_half(nodes: DataFrame, e: DataFrame, vec: DataFrame,
+               from_col: str, to_col: str) -> DataFrame:
+    """One un-normalized half-round: score'(to) = Σ score(from)."""
+    s = (e.join(vec.withColumnRenamed("node", from_col), from_col)
+         .groupBy(F.col(to_col).alias("node"))
+         .agg(F.sum("score").cast("long").alias("score")))
+    return (nodes.join(s, "node", "left")
+            .select("node", F.coalesce("score", F.lit(0)).cast("long")
+                    .alias("score")))
+
+
+def _hits_norm(vec: DataFrame) -> DataFrame:
+    """Exact integer max-normalization; an all-zero vector passes
+    through (no division), so degenerate graphs stay at zero."""
+    mx = vec.agg(F.max("score").alias("mx"))
+    return (vec.crossJoin(F.broadcast(mx))
+            .select("node",
+                    F.when(F.col("mx") > 0,
+                           F.expr(f"score * {HITS_SCALE}L div mx"))
+                    .otherwise(F.lit(0)).cast("long").alias("score")))
+
+
+def hits_oracle_sql(edges_cte: str, rounds: int) -> str:
+    """DuckDB twin of :func:`hits`: one MATERIALIZED CTE pair per
+    half-round with the identical integer max-normalization."""
+    sql = [
+        f"with e0 as ({edges_cte}),",
+        "e as materialized (select distinct u, v from ("
+        "select cast(a as varchar) as u, cast(b as varchar) as v from e0)"
+        " where u is not null and v is not null and u <> v),",
+        "nodes as materialized (select u as node from e "
+        "union select v as node from e),",
+        f"h0 as materialized (select node, cast({HITS_SCALE} as bigint)"
+        " as score from nodes),",
+    ]
+    for i in range(rounds):
+        sql.append(
+            f"a{i + 1}r as (select n.node, coalesce(s.score, 0) as score"
+            " from nodes n left join (select e.v as node,"
+            f" sum(h.score) as score from e join h{i} h on h.node = e.u"
+            " group by e.v) s on s.node = n.node),")
+        sql.append(
+            f"a{i + 1} as materialized (select node, case when mx > 0"
+            f" then score * {HITS_SCALE} // mx else 0 end as score"
+            f" from a{i + 1}r, (select max(score) as mx from a{i + 1}r)),")
+        sql.append(
+            f"h{i + 1}r as (select n.node, coalesce(s.score, 0) as score"
+            " from nodes n left join (select e.u as node,"
+            f" sum(a.score) as score from e join a{i + 1} a on a.node = e.v"
+            " group by e.u) s on s.node = n.node),")
+        sql.append(
+            f"h{i + 1} as materialized (select node, case when mx > 0"
+            f" then score * {HITS_SCALE} // mx else 0 end as score"
+            f" from h{i + 1}r, (select max(score) as mx from h{i + 1}r)),")
+    body = "\n".join(sql).rstrip()
+    assert body.endswith("),")
+    body = body[:-2] + ")"
+    return body + (
+        f"\nselect n.node, cast(h.score as bigint) as hub_fp,"
+        f" cast(a.score as bigint) as auth_fp from nodes n"
+        f" join h{rounds} h on h.node = n.node"
+        f" join a{rounds} a on a.node = n.node")
+
+
+def hits_py(edges, rounds: int = 4):
+    """Pure-Python twin of :func:`hits`."""
+    e = {(str(u), str(v)) for u, v in edges
+         if u is not None and v is not None and u != v}
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    h = {n: HITS_SCALE for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(rounds):
+        a = {n: 0 for n in nodes}
+        for u, v in e:
+            a[v] += h[u]
+        mx = max(a.values(), default=0)
+        a = {n: (s * HITS_SCALE // mx if mx > 0 else 0)
+             for n, s in a.items()}
+        h = {n: 0 for n in nodes}
+        for u, v in e:
+            h[u] += a[v]
+        mx = max(h.values(), default=0)
+        h = {n: (s * HITS_SCALE // mx if mx > 0 else 0)
+             for n, s in h.items()}
+    return sorted((n, h[n], a[n]) for n in nodes)

@@ -1771,3 +1771,189 @@ def test_harmonic_centrality_fuzz_vs_twin(spark, sp_edges, pivs):
                                            "node string"),
                      max_hops=3).collect())
     assert got == harmonic_centrality_py(edges, pivots, max_hops=3)
+
+
+def test_betweenness_matches_python_twin(spark):
+    """Ring-with-chord + tail: forward sigma counting and the ppm
+    backward sweep replay the serial twin; BFS leaves emit 0 rows."""
+    from cow_spark.operators.graphrank import (betweenness_centrality,
+                                               betweenness_py)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e"),
+             ("b", "e"), ("x", "y"), ("b", "f"), ("f", "g")]
+    got = sorted((r["node"], r["n_sources"], r["bc_fp"])
+                 for r in betweenness_centrality(
+                     spark.createDataFrame(edges, "src string, dst string"),
+                     spark.createDataFrame([("a",), ("c",), ("x",)],
+                                           "node string"),
+                     max_hops=3).collect())
+    assert got == betweenness_py(edges, ["a", "c", "x"], max_hops=3)
+    # bridge node b carries every a->{c,f,g} and c->{a,f,g} path
+    assert [r for r in got if r[0] == "b"][0][2] > 0
+    # leaf g is reached but nothing flows through it
+    assert [r for r in got if r[0] == "g"] == [("g", 2, 0)]
+
+
+def test_betweenness_isolated_pivot_emits_nothing(spark):
+    from cow_spark.operators.graphrank import betweenness_centrality
+
+    got = betweenness_centrality(
+        spark.createDataFrame([("q", "q")], "src string, dst string"),
+        spark.createDataFrame([("z",)], "node string"), max_hops=2)
+    assert got.count() == 0
+
+
+@given(sp_edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                         min_size=1, max_size=20),
+       pivs=st.sets(st.integers(0, 9), min_size=1, max_size=3))
+@settings(max_examples=12, deadline=None)
+def test_betweenness_fuzz_vs_twin(spark, sp_edges, pivs):
+    from cow_spark.operators.graphrank import (betweenness_centrality,
+                                               betweenness_py)
+
+    edges = [(f"n{a}", f"n{b}") for a, b in sp_edges]
+    pivots = [f"n{p}" for p in pivs]
+    got = sorted((r["node"], r["n_sources"], r["bc_fp"])
+                 for r in betweenness_centrality(
+                     spark.createDataFrame(edges, "src string, dst string"),
+                     spark.createDataFrame([(p,) for p in pivots],
+                                           "node string"),
+                     max_hops=3).collect())
+    assert got == betweenness_py(edges, pivots, max_hops=3)
+
+
+def test_hits_matches_python_twin(spark):
+    """Directed hub/authority split: d is a pure hub (no in-edges),
+    c the top authority; integer max-normalization replays serially."""
+    from cow_spark.operators.graphrank import hits, hits_py
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+             ("d", "b"), ("e", "f"), ("b", "a")]
+    got = sorted(tuple(r) for r in hits(
+        spark.createDataFrame(edges, "src string, dst string"),
+        rounds=4).collect())
+    assert got == hits_py(edges, rounds=4)
+    by = {n: (h, a) for n, h, a in got}
+    assert by["d"][1] == 0 and by["c"][1] == 1_000_000
+    assert by["f"][0] == 0
+
+
+@given(sp_edges=st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                         min_size=1, max_size=16),
+       rounds=st.integers(1, 3))
+@settings(max_examples=12, deadline=None)
+def test_hits_fuzz_vs_twin(spark, sp_edges, rounds):
+    from cow_spark.operators.graphrank import hits, hits_py
+
+    edges = [(f"n{a}", f"n{b}") for a, b in sp_edges]
+    got = sorted(tuple(r) for r in hits(
+        spark.createDataFrame(edges, "src string, dst string"),
+        rounds=rounds).collect())
+    assert got == hits_py(edges, rounds=rounds)
+
+
+def test_sorted_neighborhood_matches_serial_rank(spark):
+    """Duplicate keys tie-break by id; short keys bucket consistently
+    (prefix truncation is order-monotone); gap ∈ [1, window)."""
+    import duckdb
+    from cow_spark.plans.parity import (sorted_neighborhood,
+                                        sorted_neighborhood_oracle_sql)
+
+    recs = [("r1", "smith"), ("r2", "smyth"), ("r3", "smith"),
+            ("r4", "jones"), ("r5", "jonas"), ("r6", "adams"),
+            ("r7", "a"), ("r8", "ab")]
+    got = sorted(tuple(r) for r in sorted_neighborhood(
+        spark.createDataFrame(recs, "id string, key string"),
+        window=3).collect())
+    cte = ("select * from (values "
+           + ",".join(f"('{i}','{k}')" for i, k in recs) + ") t(id,key)")
+    want = sorted(tuple(r) for r in duckdb.sql(
+        sorted_neighborhood_oracle_sql(cte, 3)).fetchall())
+    assert got == want
+    assert len(got) == 2 * len(recs) - 3  # n-1 gap-1 pairs + n-2 gap-2
+    assert all(g in (1, 2) for _, _, g in got)
+
+
+def test_sorted_neighborhood_guards(spark):
+    from cow_spark.plans.parity import sorted_neighborhood
+
+    df = spark.createDataFrame([("r1", None)], "id string, key string")
+    with pytest.raises(ValueError, match="NULL key"):
+        sorted_neighborhood(df).collect()
+    ok = spark.createDataFrame([("r1", "aa"), ("r2", "bb")],
+                               "id string, key string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood(ok, window=1)
+    with pytest.raises(ValueError, match="prefix buckets"):
+        sorted_neighborhood(ok, max_buckets=1)
+
+
+@given(keys=st.lists(st.text(alphabet="abc", min_size=0, max_size=4),
+                     min_size=1, max_size=25),
+       window=st.integers(2, 4))
+@settings(max_examples=15, deadline=None)
+def test_sorted_neighborhood_fuzz_vs_duckdb(spark, keys, window):
+    import duckdb
+    from cow_spark.plans.parity import (sorted_neighborhood,
+                                        sorted_neighborhood_oracle_sql)
+
+    recs = [(f"r{i}", k) for i, k in enumerate(keys)]
+    got = sorted(tuple(r) for r in sorted_neighborhood(
+        spark.createDataFrame(recs, "id string, key string"),
+        window=window).collect())
+    cte = ("select * from (values "
+           + ",".join(f"('{i}','{k}')" for i, k in recs)
+           + ") t(id,key)")
+    want = sorted(tuple(r) for r in duckdb.sql(
+        sorted_neighborhood_oracle_sql(cte, window)).fetchall())
+    assert got == want
+
+
+def test_metapath_counts_hub_cap_and_types(spark):
+    """Typed 2-paths counted per (p1, p2); the hub mid (in·out > cap)
+    is excluded entirely; self-returning paths dropped."""
+    import duckdb
+    from cow_spark.operators.kgtrain import (metapath_counts,
+                                             metapath_counts_oracle_sql)
+
+    tri = [("c1", "placed", "o1"), ("c1", "placed", "o2"),
+           ("c2", "placed", "o2"), ("o1", "contains", "p1"),
+           ("o1", "contains", "p2"), ("o2", "contains", "p1"),
+           ("o2", "ships", "s1"), ("a", "r", "hub"), ("b", "r", "hub"),
+           ("hub", "r", "a"), ("hub", "r", "b"), ("hub", "r", "c")]
+    df = spark.createDataFrame(tri, "s string, p string, o string")
+    got = sorted(tuple(r) for r in metapath_counts(
+        df, max_mid_degree=4).collect())
+    cte = ("select * from (values "
+           + ",".join(f"('{a}','{b}','{c}')" for a, b, c in tri)
+           + ") t(s,p,o)")
+    want = sorted(tuple(r) for r in duckdb.sql(
+        metapath_counts_oracle_sql(cte, 4)).fetchall())
+    assert got == want
+    # hub has in*out = 6 > 4: no path routes through it
+    assert not any("hub" not in (x, y) and p1 == "r" and p2 == "r"
+                   for x, y, p1, p2, _ in got)
+    # a -r-> hub -r-> a self-return would need x == y: absent
+    assert not any(x == y for x, y, _, _, _ in got)
+    assert ("c1", "p1", "placed", "contains", 2) in got
+
+
+@given(tri=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 2),
+                              st.integers(0, 5)),
+                    min_size=1, max_size=20))
+@settings(max_examples=15, deadline=None)
+def test_metapath_counts_fuzz_vs_duckdb(spark, tri):
+    import duckdb
+    from cow_spark.operators.kgtrain import (metapath_counts,
+                                             metapath_counts_oracle_sql)
+
+    rows = [(f"n{a}", f"p{b}", f"n{c}") for a, b, c in tri]
+    got = sorted(tuple(r) for r in metapath_counts(
+        spark.createDataFrame(rows, "s string, p string, o string"),
+        max_mid_degree=6).collect())
+    cte = ("select * from (values "
+           + ",".join(f"('{a}','{b}','{c}')" for a, b, c in rows)
+           + ") t(s,p,o)")
+    want = sorted(tuple(r) for r in duckdb.sql(
+        metapath_counts_oracle_sql(cte, 6)).fetchall())
+    assert got == want
