@@ -115,6 +115,8 @@ HEADLINE = [
     "allen_relations",
     "betweenness",
     "hits",
+    "snm_blocking",
+    "metapath_counts",
 ]
 
 

@@ -198,3 +198,77 @@ def ranking_eval(
             f"hit_{k}",
             F.when(F.col("best_rank") <= k, 1).otherwise(0).cast("int"))
     return out.withColumn("n_cands", F.col("n_cands").cast("bigint"))
+
+
+def metapath_counts(
+    triples: DataFrame,
+    max_mid_degree: int = 10_000,
+    s: str = "s",
+    p: str = "p",
+    o: str = "o",
+) -> DataFrame:
+    """PRA-style two-step metapath features (Lao & Cohen 2010): for
+    entity pairs (x, y), the number of typed paths ``x —p1→ z —p2→ y``
+    per predicate pair — the path-ranking feature table KG link
+    predictors train on (:func:`negative_samples` supplies the labels,
+    :func:`ranking_eval` scores the model).
+
+    Scale shape: in-edges ⋈ out-edges on the INTERMEDIATE node, so the
+    candidate volume is Σ_z in(z)·out(z) — intermediates whose
+    in·out product exceeds ``max_mid_degree`` are excluded up front
+    (the degree-cap discipline of link_prediction/triangles: a
+    celebrity middle node contributes quadratically many paths and no
+    discriminative signal; PRA prunes hubs for the same reason). The
+    cap is a documented semantic, not a silent truncation — excluded
+    hubs are exactly ``in·out > cap``, reproducible cross-engine.
+    Self-pairs (x = y, the z-return paths) are dropped. One partial-agg
+    groupBy on (x, y, p1, p2) after the join.
+    """
+    t = (triples.select(F.col(s).cast("string").alias("s"),
+                        F.col(p).cast("string").alias("p"),
+                        F.col(o).cast("string").alias("o"))
+         .where(F.col("s").isNotNull() & F.col("p").isNotNull()
+                & F.col("o").isNotNull())
+         .dropDuplicates())
+    deg = (t.groupBy(F.col("o").alias("z")).agg(F.count("*").alias("ind"))
+           .join(t.groupBy(F.col("s").alias("z"))
+                 .agg(F.count("*").alias("outd")), "z")
+           .where(F.col("ind") * F.col("outd") <= max_mid_degree)
+           .select("z"))
+    first = (t.join(deg, t["o"] == deg["z"])
+             .select(F.col("s").alias("x"), F.col("p").alias("p1"),
+                     F.col("o").alias("mid")))
+    second = t.select(F.col("s").alias("mid"), F.col("p").alias("p2"),
+                      F.col("o").alias("y"))
+    return (first.join(second, "mid")
+            .where(F.col("x") != F.col("y"))
+            .groupBy("x", "y", "p1", "p2")
+            .agg(F.count("*").cast("bigint").alias("n_paths")))
+
+
+def metapath_counts_oracle_sql(triples_cte: str,
+                               max_mid_degree: int = 10_000) -> str:
+    """DuckDB twin of :func:`metapath_counts` — the same hub-capped
+    join, serially planned."""
+    return f"""
+with t as (
+  select distinct cast(s as varchar) as s, cast(p as varchar) as p,
+         cast(o as varchar) as o
+  from ({triples_cte})
+  where s is not null and p is not null and o is not null
+),
+deg as (
+  select i.z from
+    (select o as z, count(*) as ind from t group by o) i
+    join (select s as z, count(*) as outd from t group by s) u
+      on i.z = u.z
+  where i.ind * u.outd <= {max_mid_degree}
+),
+f as (select t.s as x, t.p as p1, t.o as mid from t
+      join deg on t.o = deg.z)
+select f.x, t.o as y, f.p1, t.p as p2,
+       cast(count(*) as bigint) as n_paths
+from f join t on t.s = f.mid
+where f.x <> t.o
+group by f.x, t.o, f.p1, t.p
+"""

@@ -262,3 +262,88 @@ def fs_weights(
         F.when(F.col("weight_fp") >= upper_fp, F.lit("match"))
         .when(F.col("weight_fp") >= lower_fp, F.lit("possible"))
         .otherwise(F.lit("nonmatch")))
+
+
+def sorted_neighborhood(
+    records: DataFrame,
+    window: int = 3,
+    key_col: str = "key",
+    id_col: str = "id",
+    prefix_len: int = 2,
+    max_buckets: int = 10_000,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995): records within ``window − 1`` positions of each other in the
+    global ``(key, id)`` sort order become candidate pairs — the
+    classic ER blocking scheme for keys whose typos blocking-by-
+    equality would split (:func:`blocking_eval` measures it,
+    :func:`fs_weights` scores what it emits). Multi-pass SNM = call
+    once per key and union.
+
+    Scale shape — a global ORDER BY without the single-task window
+    trap: key PREFIXES are order-aligned with the keys themselves, so
+    (1) bucket by ``substr(key, 1, prefix_len)``, (2) row_number
+    WITHIN each bucket (parallel windows), (3) bucket counts → driver
+    (bounded by ``max_buckets``, loud raise beyond — the IVF-centroid
+    collect pattern) → cumulative offsets rejoin as a broadcast, so
+    ``rank = offset + local_rank`` is the exact global rank, and
+    (4) pairs = one equi-join of the rank table to itself shifted by
+    δ ∈ [1, window) (explode of a window-sized array, not a union).
+    Ranks are unique (id tie-break), so the join is exactly-once.
+
+    Returns ``(id_a, id_b, gap)``, ``gap`` = rank distance ∈
+    [1, window). Comparisons are exactly ``(n − w/2)·(w − 1)``-ish by
+    construction — linear in n, the whole point of SNM.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from pyspark.sql import Window
+
+    r = records.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(key_col).cast("string").alias("key"))
+    if r.where(F.col("key").isNull() | F.col("id").isNull()).limit(1).count():
+        raise ValueError("sorted_neighborhood: NULL key or id "
+                         "(sort position undefined); filter first")
+    r = r.withColumn("bucket", F.substring("key", 1, prefix_len))
+    counts = (r.groupBy("bucket").agg(F.count("*").alias("n"))
+              .orderBy("bucket").collect())  # bounded: alphabet^prefix
+    if len(counts) > max_buckets:
+        raise ValueError(
+            f"sorted_neighborhood: {len(counts)} prefix buckets exceed "
+            f"max_buckets={max_buckets}; lower prefix_len")
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.append((row["bucket"], acc))
+        acc += row["n"]
+    spark = records.sparkSession
+    off = spark.createDataFrame(offsets, "bucket string, off long")
+    ranked = (r.withColumn(
+        "lr", F.row_number().over(
+            Window.partitionBy("bucket").orderBy("key", "id")))
+        .join(F.broadcast(off), "bucket")
+        .select("id", (F.col("off") + F.col("lr")).alias("rank")))
+    left = ranked.select(
+        F.col("id").alias("id_a"), "rank",
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("gap"))
+    return (left.withColumn("rank", F.col("rank") + F.col("gap"))
+            .join(ranked.withColumnRenamed("id", "id_b"), "rank")
+            .select("id_a", "id_b", F.col("gap").cast("int")))
+
+
+def sorted_neighborhood_oracle_sql(records_cte: str, window: int) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood`: one global
+    row_number over (key, id) — the serial formulation the distributed
+    bucket-offset rank reproduces exactly."""
+    return f"""
+with r as ({records_cte}),
+ranked as (
+  select cast(id as varchar) as id,
+         row_number() over (order by cast(key as varchar),
+                            cast(id as varchar)) as rank
+  from r
+)
+select a.id as id_a, b.id as id_b, cast(b.rank - a.rank as int) as gap
+from ranked a join ranked b
+  on b.rank > a.rank and b.rank - a.rank < {window}
+"""
