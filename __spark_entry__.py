@@ -3421,6 +3421,81 @@ def _sql_metapath_counts() -> str:
     return metapath_counts_oracle_sql(tri)
 
 
+def q_taxonomy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical drill-up (stats.py:taxonomy_rollup) over a
+    complete 4-ary 85-concept tree (parent(t_k) = t_((k-1) div 4)),
+    documents assigned to concept t_(doc_id mod 85): per concept the
+    direct and rolled-up doc counts; the twin closes the same tree
+    with WITH RECURSIVE and replays the two aggregates."""
+    from cow_spark.plans.stats import taxonomy_rollup
+
+    docs = _load(spark, sf_dir, "documents")
+    k = F.col("id")
+    broader = spark.range(1, 85).select(
+        F.concat(F.lit("t"), k.cast("string")).alias("child"),
+        F.concat(F.lit("t"), ((k - 1) / 4).cast("long").cast("string"))
+        .alias("parent"))
+    facts = docs.select(
+        F.col("doc_id").alias("item"),
+        F.concat(F.lit("t"), F.pmod(F.col("doc_id"), F.lit(85))
+                 .cast("string")).alias("concept"))
+    return taxonomy_rollup(broader, facts)
+
+
+def _sql_taxonomy_rollup() -> str:
+    from cow_spark.plans.stats import taxonomy_rollup_oracle_sql
+
+    broader = ("select 't' || cast(k as varchar) as child, "
+               "'t' || cast((k - 1) // 4 as varchar) as parent "
+               "from generate_series(1, 84) t(k)")
+    facts = ("select doc_id as item, "
+             "'t' || cast(doc_id % 85 as varchar) as concept "
+             "from documents")
+    return taxonomy_rollup_oracle_sql(broader, facts)
+
+
+_INFER_NULLS = ("", "N/A")
+
+
+def q_infer_datatypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-skeleton datatype inference (validate.py:infer_datatypes)
+    over five derived document columns spanning integer / decimal /
+    boolean / anyURI / string — the upgrade to the reference's
+    all-string skeleton (csvw.py:140); the twin re-derives the same
+    columns and replays the shared DATATYPE_PATTERNS in RE2."""
+    from cow_spark.plans.validate import infer_datatypes
+
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("id_str"),
+        F.concat(F.col("n_chars").cast("string"), F.lit(".5"))
+        .alias("score_str"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false")).alias("flag_str"),
+        F.concat(F.lit("https://ex.com/"), F.col("source"))
+        .alias("url_str"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("N/A"))
+        .otherwise(F.col("lang")).alias("lang_str"))
+    return infer_datatypes(d, null_values=_INFER_NULLS)
+
+
+def _sql_infer_datatypes() -> str:
+    from cow_spark.plans.validate import infer_datatypes_oracle_sql
+
+    cte = (
+        "select cast(doc_id as varchar) as id_str, "
+        "cast(n_chars as varchar) || '.5' as score_str, "
+        "case when doc_id % 2 = 0 then 'true' else 'false' end "
+        "as flag_str, "
+        "'https://ex.com/' || source as url_str, "
+        "case when doc_id % 3 = 0 then 'N/A' else lang end as lang_str "
+        "from documents"
+    )
+    return infer_datatypes_oracle_sql(
+        cte, ["id_str", "score_str", "flag_str", "url_str", "lang_str"],
+        _INFER_NULLS)
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7747,6 +7822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "snm_blocking": q_snm_blocking,
         "metapath_counts": q_metapath_counts,
+        "taxonomy_rollup": q_taxonomy_rollup,
+        "infer_datatypes": q_infer_datatypes,
     }
 
 
@@ -7909,4 +7986,6 @@ def oracle_sql() -> dict[str, str]:
         "hits": _sql_hits(),
         "snm_blocking": _sql_snm_blocking(),
         "metapath_counts": _sql_metapath_counts(),
+        "taxonomy_rollup": _sql_taxonomy_rollup(),
+        "infer_datatypes": _sql_infer_datatypes(),
     }

@@ -117,6 +117,8 @@ HEADLINE = [
     "hits",
     "snm_blocking",
     "metapath_counts",
+    "taxonomy_rollup",
+    "infer_datatypes",
 ]
 
 

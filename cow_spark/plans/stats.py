@@ -212,3 +212,112 @@ def characteristic_sets(quads: DataFrame) -> DataFrame:
             .select("preds",
                     (F.size(F.split("preds", " "))).alias("n_preds"),
                     "n_subjects", "n_triples"))
+
+
+def taxonomy_rollup(
+    broader: DataFrame,
+    facts: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    concept: str = "concept",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Hierarchical rollup over a skos:broader-shaped taxonomy: for
+    every concept, the facts assigned to it directly AND the facts
+    anywhere under it — the KG-OLAP drill-up a concept scheme exists
+    for (the reference mints the schemes via `collectionUrl`/
+    `schemeUrl`, csvw.py:583-598; this aggregates along them).
+
+    ``broader`` is (child, parent) concept edges; ``facts`` is
+    (item, concept) assignments. Returns one row per concept in the
+    universe (taxonomy nodes ∪ fact targets): ``(concept, n_direct,
+    n_rollup)``. DAG multi-parent semantics: the ancestor CLOSURE is a
+    set, so a fact under two paths to the same ancestor counts once
+    there (the "items under concept" reading); it does count once at
+    EACH distinct ancestor. A cyclic taxonomy raises — every concept
+    in a cycle would roll up everything in it, which is never the
+    intended scheme.
+
+    Scale shape: the closure comes from :func:`..operators.canon.
+    transitive_pairs` (path doubling, local fast-path for vocabulary-
+    sized taxonomies — which they all are); facts join the closure on
+    the child side (one shuffle, fan-out = ancestor-chain depth) and
+    partial-aggregate to concept-sized counts. The corpus-scale facts
+    table is never closed over, only joined.
+    """
+    from ..operators.canon import transitive_pairs
+
+    b = (broader.select(F.col(child).cast("string").alias("src"),
+                        F.col(parent).cast("string").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .dropDuplicates())
+    anc = transitive_pairs(b, max_iter=max_iter)
+    # transitive_pairs never emits (x, x) rows, so a cycle shows up as
+    # a MUTUAL pair instead: x reaches y and y reaches x. One self-join
+    # on the vocabulary-sized closure detects it.
+    mutual = anc.where(F.col("src") < F.col("dst")).join(
+        anc.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"], "left_semi")
+    if not mutual.isEmpty():
+        raise ValueError("taxonomy_rollup: cyclic taxonomy "
+                         "(a concept is its own ancestor)")
+    f = facts.select(F.col(concept).cast("string").alias("c"))
+    universe = (b.select(F.col("src").alias("c"))
+                .union(b.select(F.col("dst").alias("c")))
+                .union(f.select("c"))
+                .distinct())
+    up = (anc.select(F.col("src").alias("c"), F.col("dst").alias("anc"))
+          .union(universe.select("c", F.col("c").alias("anc"))))
+    direct = f.groupBy("c").agg(F.count("*").alias("n_direct"))
+    rollup = (f.join(up, "c")
+              .groupBy(F.col("anc").alias("c"))
+              .agg(F.count("*").alias("n_rollup")))
+    return (universe
+            .join(direct, "c", "left")
+            .join(rollup, "c", "left")
+            .select(F.col("c").alias("concept"),
+                    F.coalesce("n_direct", F.lit(0)).cast("bigint")
+                    .alias("n_direct"),
+                    F.coalesce("n_rollup", F.lit(0)).cast("bigint")
+                    .alias("n_rollup")))
+
+
+def taxonomy_rollup_oracle_sql(broader_cte: str, facts_cte: str) -> str:
+    """DuckDB twin of :func:`taxonomy_rollup` — WITH RECURSIVE with a
+    dedup UNION (the set-closure semantics; acyclic fixtures only,
+    matching the operator's loud cycle raise)."""
+    return f"""
+with recursive
+b as (
+  select distinct cast(child as varchar) as child,
+         cast(parent as varchar) as parent
+  from ({broader_cte})
+  where child is not null and parent is not null
+),
+f as (select cast(concept as varchar) as c from ({facts_cte})),
+universe as (
+  -- DuckDB trap: inside WITH RECURSIVE, a plain chained UNION in a
+  -- non-recursive CTE loses its dedup semantics (behaves as UNION
+  -- ALL) — dedup explicitly
+  select distinct c from (
+    select child as c from b union all select parent from b
+    union all select c from f
+  )
+),
+anc(c, anc) as (
+  select c, c from universe
+  union
+  select a.c, b.parent from anc a join b on b.child = a.anc
+),
+direct as (select c, count(*) as n_direct from f group by c),
+rollup as (
+  select a.anc as c, count(*) as n_rollup
+  from f join anc a on a.c = f.c group by a.anc
+)
+select u.c as concept,
+       cast(coalesce(d.n_direct, 0) as bigint) as n_direct,
+       cast(coalesce(r.n_rollup, 0) as bigint) as n_rollup
+from universe u
+left join direct d on d.c = u.c
+left join rollup r on r.c = u.c
+"""

@@ -248,3 +248,107 @@ def shape_report(quads: DataFrame, shapes: list[dict]) -> DataFrame:
             .select("shape_idx", "focus",
                     F.col("v.constraint").alias("constraint"),
                     F.col("v.actual").alias("actual")))
+
+
+# precedence for schema-skeleton datatype inference: first type whose
+# pattern every non-null cell matches wins. integer before boolean on
+# purpose (an all-0/1 column reads as counts, not flags; a true/false
+# column fails the numeric patterns and lands on boolean), date before
+# dateTime (a pure date column fails the dateTime pattern and vice
+# versa, so order only breaks the never-matching-both tie), anyURI
+# last of the specifics (its scheme-prefix pattern is the loosest).
+INFER_PRECEDENCE: tuple[str, ...] = (
+    XSD + "integer", XSD + "decimal", XSD + "double", XSD + "boolean",
+    XSD + "date", XSD + "dateTime", XSD + "anyURI",
+)
+
+
+def infer_datatypes(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    null_values: tuple[str, ...] = ("",),
+) -> DataFrame:
+    """Schema-skeleton datatype inference: per column, the most
+    specific XSD datatype every non-null cell matches — the upgrade to
+    the reference's skeleton builder, which hard-codes ``"datatype":
+    "string"`` for every column (csvw.py:140) and leaves the user to
+    hand-edit types in. Patterns are :data:`DATATYPE_PATTERNS` (shared
+    with :func:`validate_typed_literals`, so what inference claims,
+    validation accepts), precedence :data:`INFER_PRECEDENCE`; a column
+    with zero non-null cells (or matching nothing) stays xsd:string.
+
+    ``null_values``: sentinel strings treated as null alongside real
+    NULLs (the reference's parseOnEmpty/null-list semantics).
+
+    Returns one row per column: ``(column, n_rows, n_null,
+    datatype)``. Scale shape: ONE aggregate pass — per column a count
+    + null count + one all-match flag per candidate type (min over a
+    regexp boolean), no explode, no per-column jobs, no Python; the
+    unpivot happens on the 1-row aggregate.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("infer_datatypes: no columns to profile")
+    aggs, total = [], F.count(F.lit(1)).alias("__n")
+    for c in cols:
+        v = F.col(c).cast("string")
+        isnull = v.isNull() | v.isin(*null_values)
+        aggs.append(F.sum(F.when(isnull, 1).otherwise(0))
+                    .cast("bigint").alias(f"__null_{c}"))
+        for i, dt in enumerate(INFER_PRECEDENCE):
+            pat = DATATYPE_PATTERNS[dt]
+            ok = F.when(isnull, True).otherwise(v.rlike(pat))
+            aggs.append(F.min(ok).alias(f"__ok_{i}_{c}"))
+    one = df.agg(total, *aggs)
+    per_col = []
+    for c in cols:
+        dt = F.lit(XSD + "string")
+        for i in range(len(INFER_PRECEDENCE) - 1, -1, -1):
+            nonempty = F.col("__n") > F.col(f"__null_{c}")
+            dt = F.when(F.col(f"__ok_{i}_{c}") & nonempty,
+                        F.lit(INFER_PRECEDENCE[i])).otherwise(dt)
+        per_col.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            dt.alias("datatype")))
+    return (one.select(F.explode(F.array(*per_col)).alias("r"))
+            .select("r.*"))
+
+
+def infer_datatypes_oracle_sql(
+    table_cte: str,
+    columns: list[str],
+    null_values: tuple[str, ...] = ("",),
+) -> str:
+    """DuckDB twin of :func:`infer_datatypes` — same patterns (RE2 vs
+    Java divergence avoided by the explicit-class discipline), same
+    precedence, one aggregate + a VALUES unpivot."""
+    nv = ", ".join("'" + s.replace("'", "''") + "'" for s in null_values)
+    aggs = ["count(*) as __n"]
+    sel = []
+    for c in columns:
+        v = f"cast({c} as varchar)"
+        isnull = f"({v} is null or {v} in ({nv}))"
+        aggs.append(f"sum(case when {isnull} then 1 else 0 end)"
+                    f" as __null_{c}")
+        for i, dt in enumerate(INFER_PRECEDENCE):
+            pat = DATATYPE_PATTERNS[dt].replace("'", "''")
+            aggs.append(
+                f"min(case when {isnull} then true else "
+                f"regexp_matches({v}, '{pat}') end) as __ok_{i}_{c}")
+        branches = " ".join(
+            f"when __ok_{i}_{c} and __n > __null_{c}"
+            f" then '{INFER_PRECEDENCE[i]}'"
+            for i in range(len(INFER_PRECEDENCE)))
+        sel.append(
+            f"select '{c}' as column, cast(__n as bigint) as n_rows,"
+            f" cast(__null_{c} as bigint) as n_null,"
+            f" case {branches} else '{XSD}string' end as datatype"
+            f" from one")
+    unpivot = "\nunion all\n".join(sel)
+    return f"""
+with t as ({table_cte}),
+one as (select {', '.join(aggs)} from t)
+{unpivot}
+"""

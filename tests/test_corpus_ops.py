@@ -1957,3 +1957,74 @@ def test_metapath_counts_fuzz_vs_duckdb(spark, tri):
     want = sorted(tuple(r) for r in duckdb.sql(
         metapath_counts_oracle_sql(cte, 6)).fetchall())
     assert got == want
+
+
+def test_taxonomy_rollup_dag_counts_once_per_ancestor(spark):
+    """Multi-parent concept: the fact under `dag` reaches root once
+    (set closure), orphan concepts outside the taxonomy still report;
+    2- and 3-cycles raise loudly."""
+    import duckdb
+    from cow_spark.plans.stats import (taxonomy_rollup,
+                                       taxonomy_rollup_oracle_sql)
+
+    edges = [("c1", "root"), ("c2", "root"), ("c11", "c1"),
+             ("c12", "c1"), ("c21", "c2"), ("c211", "c21"),
+             ("dag", "c1"), ("dag", "c2")]
+    facts = [("i1", "c11"), ("i2", "c11"), ("i3", "c12"),
+             ("i4", "c211"), ("i5", "dag"), ("i6", "orphan")]
+    got = sorted(tuple(r) for r in taxonomy_rollup(
+        spark.createDataFrame(edges, "child string, parent string"),
+        spark.createDataFrame(facts, "item string, concept string"))
+        .collect())
+    bc = ("select * from (values "
+          + ",".join(f"('{a}','{b}')" for a, b in edges)
+          + ") t(child,parent)")
+    fc = ("select * from (values "
+          + ",".join(f"('{i}','{c}')" for i, c in facts)
+          + ") t(item,concept)")
+    want = sorted(tuple(r) for r in duckdb.sql(
+        taxonomy_rollup_oracle_sql(bc, fc)).fetchall())
+    assert got == want
+    by = {c: (d, r) for c, d, r in got}
+    assert by["root"] == (0, 5)      # i5 via dag counted ONCE
+    assert by["orphan"] == (1, 1)
+    for cyc in ([("a", "b"), ("b", "a")],
+                [("a", "b"), ("b", "c"), ("c", "a")]):
+        with pytest.raises(ValueError, match="cyclic"):
+            taxonomy_rollup(
+                spark.createDataFrame(cyc, "child string, parent string"),
+                spark.createDataFrame(facts,
+                                      "item string, concept string"))
+
+
+def test_infer_datatypes_precedence_and_nulls(spark):
+    """Shared DATATYPE_PATTERNS, documented precedence (0/1 → integer,
+    true/false → boolean), sentinel nulls, all-null → string."""
+    import duckdb
+    from cow_spark.plans.validate import (XSD, infer_datatypes,
+                                          infer_datatypes_oracle_sql)
+
+    rows = [("1", "3.5", "true", "2024-01-02", "http://x/y", "", "0"),
+            ("-2", "1e5", "false", "1999-12-31", "urn:isbn:1", "N/A", "1"),
+            ("30", "-.5", "1", "2000-02-29", "mailto:a@b", "", "1")]
+    names = ["a", "b", "c", "d", "e", "f", "g"]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{n} string" for n in names))
+    got = sorted(tuple(r) for r in infer_datatypes(
+        df, null_values=("", "N/A")).collect())
+    vals = ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")"
+                     for r in rows)
+    want = sorted(tuple(r) for r in duckdb.sql(infer_datatypes_oracle_sql(
+        f"select * from (values {vals}) t({', '.join(names)})",
+        names, ("", "N/A"))).fetchall())
+    assert got == want
+    by = {c: dt for c, _, _, dt in got}
+    assert by["a"] == XSD + "integer"
+    assert by["b"] == XSD + "double"     # 1e5 forces double over decimal
+    assert by["c"] == XSD + "boolean"    # true/false fails numerics
+    assert by["g"] == XSD + "integer"    # pure 0/1 reads as counts
+    assert by["d"] == XSD + "date"
+    assert by["e"] == XSD + "anyURI"
+    assert by["f"] == XSD + "string"     # all-null stays string
+    with pytest.raises(ValueError, match="no columns"):
+        infer_datatypes(df.select(F.lit(1).alias("x")), columns=[])
