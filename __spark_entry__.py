@@ -3496,6 +3496,77 @@ def _sql_infer_datatypes() -> str:
         _INFER_NULLS)
 
 
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (intervals.py:coalesce_intervals) over the
+    Allen fixture's per-key order intervals (overlap-rich by design):
+    minimal disjoint covers per key, one keyed shuffle; the twin runs
+    the same gaps-and-islands windows serially."""
+    from cow_spark.operators.intervals import coalesce_intervals
+
+    o = _load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    iv = o.select(
+        F.concat(F.lit("k"), F.pmod(key, F.lit(200)).cast("string"))
+        .alias("key"),
+        F.pmod(key, F.lit(397)).cast("long").alias("lo_us"),
+        (F.pmod(key, F.lit(397)) + F.pmod(key * key, F.lit(13)))
+        .cast("long").alias("hi_us"))
+    return coalesce_intervals(iv)
+
+
+def _sql_interval_coalesce() -> str:
+    from cow_spark.operators.intervals import coalesce_intervals_oracle_sql
+
+    iv = (
+        "select 'k' || cast(o_orderkey % 200 as varchar) as key, "
+        "cast(o_orderkey % 397 as bigint) as lo, "
+        "cast(o_orderkey % 397 + (o_orderkey * o_orderkey) % 13 "
+        "as bigint) as hi from orders"
+    )
+    return coalesce_intervals_oracle_sql(iv)
+
+
+_EDIT_MAX_DIST = 3
+
+
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocker→verifier ER pipeline slice: sorted-neighborhood
+    candidates over part names (ASCII — the twin's levenshtein counts
+    bytes, see edit_distance_verify_oracle_sql) re-joined to their
+    strings and kept when within 3 edits — SNM finds what equality
+    blocking splits, the banded levenshtein confirms it."""
+    from cow_spark.operators.dedup import edit_distance_verify
+    from cow_spark.plans.parity import sorted_neighborhood
+
+    part = _load(spark, sf_dir, "part")
+    recs = part.select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string"))
+        .alias("id"), F.col("p_name").alias("key"))
+    cands = sorted_neighborhood(recs, window=_SNM_WINDOW)
+    pairs = (cands
+             .join(recs.select(F.col("id").alias("id_a"),
+                               F.col("key").alias("s_a")), "id_a")
+             .join(recs.select(F.col("id").alias("id_b"),
+                               F.col("key").alias("s_b")), "id_b"))
+    return edit_distance_verify(pairs, max_dist=_EDIT_MAX_DIST)
+
+
+def _sql_edit_verify() -> str:
+    from cow_spark.operators.dedup import edit_distance_verify_oracle_sql
+    from cow_spark.plans.parity import sorted_neighborhood_oracle_sql
+
+    recs = ("select 'p' || cast(p_partkey as varchar) as id, "
+            "p_name as key from part")
+    snm = sorted_neighborhood_oracle_sql(recs, _SNM_WINDOW)
+    pairs = f"""
+with r as ({recs}),
+c as ({snm})
+select c.id_a, c.id_b, ra.key as s_a, rb.key as s_b
+from c join r ra on ra.id = c.id_a join r rb on rb.id = c.id_b
+"""
+    return edit_distance_verify_oracle_sql(pairs, _EDIT_MAX_DIST)
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7824,6 +7895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_counts": q_metapath_counts,
         "taxonomy_rollup": q_taxonomy_rollup,
         "infer_datatypes": q_infer_datatypes,
+        "interval_coalesce": q_interval_coalesce,
+        "edit_verify": q_edit_verify,
     }
 
 
@@ -7988,4 +8061,6 @@ def oracle_sql() -> dict[str, str]:
         "metapath_counts": _sql_metapath_counts(),
         "taxonomy_rollup": _sql_taxonomy_rollup(),
         "infer_datatypes": _sql_infer_datatypes(),
+        "interval_coalesce": _sql_interval_coalesce(),
+        "edit_verify": _sql_edit_verify(),
     }

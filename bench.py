@@ -119,6 +119,8 @@ HEADLINE = [
     "metapath_counts",
     "taxonomy_rollup",
     "infer_datatypes",
+    "interval_coalesce",
+    "edit_verify",
 ]
 
 

@@ -1119,3 +1119,67 @@ def fuzzy_join(
     out = verified.select(F.col("id_a").alias("id_left"),
                           F.col("id_b").alias("id_right"), "jaccard")
     return _attach_persisted(out, lb, rb)
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    max_dist: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    s_a: str = "s_a",
+    s_b: str = "s_b",
+) -> DataFrame:
+    """Edit-distance verification of candidate pairs — the exact-match
+    stage between a blocker (:func:`~cow_spark.plans.parity.
+    sorted_neighborhood`, :func:`fuzzy_join`'s bands) and the decision
+    layer (:func:`~cow_spark.plans.parity.fs_weights`): keep pairs
+    whose strings are within ``max_dist`` Levenshtein edits.
+
+    Scale shape: a length pre-filter (``|len_a − len_b| > k`` cannot
+    be within k edits) prunes before any O(n·m) work, then Spark's
+    THRESHOLD-BANDED ``levenshtein(l, r, k)`` computes only the
+    diagonal band (returns −1 when the distance exceeds k — the
+    standard Ukkonen cutoff, JVM-side). Map-only over the candidate
+    table: whatever the blocker's volume discipline bought is
+    preserved. Unit-cost edits on codepoints in both engines.
+
+    Returns ``(id_a, id_b, dist)``, dist ∈ [0, max_dist].
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    p = pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"),
+        F.col(s_a).cast("string").alias("sa"),
+        F.col(s_b).cast("string").alias("sb"))
+    pre = p.where(
+        F.col("sa").isNotNull() & F.col("sb").isNotNull()
+        & (F.abs(F.length("sa") - F.length("sb")) <= max_dist))
+    d = F.levenshtein(F.col("sa"), F.col("sb"), max_dist)
+    return (pre.withColumn("dist", d)
+            .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+            .select("id_a", "id_b", F.col("dist").cast("int")))
+
+
+def edit_distance_verify_oracle_sql(pairs_cte: str,
+                                    max_dist: int = 2) -> str:
+    """DuckDB twin of :func:`edit_distance_verify` (full levenshtein +
+    filter — DuckDB lacks the threshold cutoff; same result set).
+
+    **ASCII-only fixtures**: DuckDB's ``levenshtein`` counts BYTES
+    ('résumé' vs 'resume' = 4) while Spark's counts codepoints (= 2).
+    The operator's codepoint semantics are the correct ones; the twin
+    is exact only where bytes == codepoints, so oracle-facing fixtures
+    stay ASCII (pinned in tests) — the same symmetric-fixture rule as
+    the tokenizer's ``\\s`` gap."""
+    return f"""
+with p as (
+  select id_a, id_b, cast(s_a as varchar) as sa,
+         cast(s_b as varchar) as sb
+  from ({pairs_cte})
+)
+select id_a, id_b, cast(levenshtein(sa, sb) as int) as dist
+from p
+where sa is not null and sb is not null
+  and abs(length(sa) - length(sb)) <= {max_dist}
+  and levenshtein(sa, sb) <= {max_dist}
+"""

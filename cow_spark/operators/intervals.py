@@ -244,3 +244,90 @@ def allen_relations(
                         F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"),
                         rel.alias("rel"))
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    key: str = "key",
+    lo: str = "lo_us",
+    hi: str = "hi_us",
+    merge_touching: bool = True,
+) -> DataFrame:
+    """Interval coalescing (temporal PACK): merge overlapping — and,
+    with ``merge_touching``, abutting — validity intervals per key
+    into their minimal disjoint cover. The temporal-normalization dual
+    of :func:`intervalize` (that builds per-update intervals; this
+    collapses redundant ones after union/dedup of multi-source
+    histories, e.g. before :func:`allen_relations` or a kg_snapshot
+    re-derivation).
+
+    Classic gaps-and-islands on integers: one window per key ordered
+    by (lo, hi) carries the running max of prior ``hi``; a row whose
+    ``lo`` exceeds it (or equals it, when touching intervals stay
+    separate) opens a new island; the island id is the running count
+    of opens, and one groupBy folds each island to its envelope.
+    Returns ``(key, lo, hi, n_merged)``.
+
+    Scale shape: ONE keyed shuffle shared by the window sort and the
+    island groupBy (same partitioning) — the sessionize pattern;
+    all-integer comparisons, no Python. Corrupt rows (``hi < lo``,
+    NULL bounds) raise via an up-front bounded check rather than
+    silently skewing envelopes.
+    """
+    iv = intervals.select(
+        F.col(key).cast("string").alias("key"),
+        F.col(lo).cast("long").alias("lo"),
+        F.col(hi).cast("long").alias("hi"))
+    bad = iv.where(F.col("key").isNull() | F.col("lo").isNull()
+                   | F.col("hi").isNull() | (F.col("hi") < F.col("lo")))
+    if not bad.isEmpty():
+        raise ValueError("coalesce_intervals: NULL bounds or hi < lo; "
+                         "clean the history first")
+    w = (Window.partitionBy("key").orderBy("lo", "hi")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    run = F.max("hi").over(w)
+    opens = F.when(
+        run.isNull()
+        | (F.col("lo") > run if merge_touching else F.col("lo") >= run),
+        1).otherwise(0)
+    return (iv.withColumn("_open", opens)
+            .withColumn("_island", F.sum("_open").over(
+                Window.partitionBy("key").orderBy("lo", "hi")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("key", "_island")
+            .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"),
+                 F.count("*").cast("int").alias("n_merged"))
+            .select("key", "lo", "hi", "n_merged"))
+
+
+def coalesce_intervals_oracle_sql(intervals_cte: str,
+                                  merge_touching: bool = True) -> str:
+    """DuckDB twin of :func:`coalesce_intervals` — the same
+    gaps-and-islands windows, serially planned."""
+    cmp = ">" if merge_touching else ">="
+    return f"""
+with iv as (
+  select cast(key as varchar) as key, cast(lo as bigint) as lo,
+         cast(hi as bigint) as hi
+  from ({intervals_cte})
+),
+marked as (
+  select key, lo, hi,
+         case when max(hi) over (partition by key order by lo, hi
+                rows between unbounded preceding and 1 preceding)
+              is null
+           or lo {cmp} max(hi) over (partition by key order by lo, hi
+                rows between unbounded preceding and 1 preceding)
+         then 1 else 0 end as _open
+  from iv
+),
+islands as (
+  select key, lo, hi,
+         sum(_open) over (partition by key order by lo, hi
+           rows between unbounded preceding and current row) as _island
+  from marked
+)
+select key, cast(min(lo) as bigint) as lo, cast(max(hi) as bigint) as hi,
+       cast(count(*) as int) as n_merged
+from islands group by key, _island
+"""

@@ -2028,3 +2028,94 @@ def test_infer_datatypes_precedence_and_nulls(spark):
     assert by["f"] == XSD + "string"     # all-null stays string
     with pytest.raises(ValueError, match="no columns"):
         infer_datatypes(df.select(F.lit(1).alias("x")), columns=[])
+
+
+def test_coalesce_intervals_islands_and_touching(spark):
+    """Chained overlaps fold to one envelope; merge_touching toggles
+    abutting intervals; corrupt bounds raise."""
+    import duckdb
+    from cow_spark.operators.intervals import (
+        coalesce_intervals, coalesce_intervals_oracle_sql)
+
+    iv = [("k1", 0, 10), ("k1", 5, 12), ("k1", 12, 20), ("k1", 25, 30),
+          ("k2", 0, 1), ("k2", 1, 2), ("k2", 4, 5)]
+    df = spark.createDataFrame(iv, "key string, lo_us long, hi_us long")
+    cte = ("select * from (values "
+           + ",".join(f"('{k}',{a},{b})" for k, a, b in iv)
+           + ") t(key,lo,hi)")
+    for mt in (True, False):
+        got = sorted(tuple(r) for r in coalesce_intervals(
+            df, merge_touching=mt).collect())
+        want = sorted(tuple(r) for r in duckdb.sql(
+            coalesce_intervals_oracle_sql(cte, mt)).fetchall())
+        assert got == want
+    got = sorted(tuple(r) for r in coalesce_intervals(df).collect())
+    assert ("k1", 0, 20, 3) in got and ("k2", 0, 2, 2) in got
+    with pytest.raises(ValueError, match="hi < lo"):
+        coalesce_intervals(spark.createDataFrame(
+            [("k", 5, 3)], "key string, lo_us long, hi_us long"))
+
+
+@given(iv=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20),
+                             st.integers(0, 10)),
+                   min_size=1, max_size=20),
+       mt=st.booleans())
+@settings(max_examples=15, deadline=None)
+def test_coalesce_intervals_fuzz_vs_duckdb(spark, iv, mt):
+    import duckdb
+    from cow_spark.operators.intervals import (
+        coalesce_intervals, coalesce_intervals_oracle_sql)
+
+    rows = [(f"k{k}", lo, lo + ln) for k, lo, ln in iv]
+    got = sorted(tuple(r) for r in coalesce_intervals(
+        spark.createDataFrame(rows, "key string, lo_us long, hi_us long"),
+        merge_touching=mt).collect())
+    cte = ("select * from (values "
+           + ",".join(f"('{k}',{a},{b})" for k, a, b in rows)
+           + ") t(key,lo,hi)")
+    want = sorted(tuple(r) for r in duckdb.sql(
+        coalesce_intervals_oracle_sql(cte, mt)).fetchall())
+    assert got == want
+    # disjoint-cover invariant: islands of one key never overlap
+    by_key: dict = {}
+    for k, lo, hi, _ in got:
+        by_key.setdefault(k, []).append((lo, hi))
+    for spans in by_key.values():
+        spans.sort()
+        assert all(a[1] < b[0] or (not mt and a[1] <= b[0])
+                   for a, b in zip(spans, spans[1:]))
+
+
+def test_edit_distance_verify_banded_and_byte_divergence(spark):
+    """Length pre-filter + threshold-banded levenshtein; the DuckDB
+    twin diverges on non-ASCII BY DESIGN (bytes vs codepoints) — this
+    pins both the ASCII agreement and the documented divergence."""
+    import duckdb
+    from cow_spark.operators.dedup import (
+        edit_distance_verify, edit_distance_verify_oracle_sql)
+
+    ascii_pairs = [("a", "b", "smith", "smyth"),
+                   ("a", "c", "smith", "jones"),
+                   ("a", "d", "smith", "smith"),
+                   ("a", "f", "abc", "abcdefg")]
+    df = spark.createDataFrame(
+        ascii_pairs, "id_a string, id_b string, s_a string, s_b string")
+    got = sorted(tuple(r) for r in edit_distance_verify(
+        df, max_dist=2).collect())
+    cte = ("select * from (values "
+           + ",".join(f"('{a}','{b}','{x}','{y}')"
+                      for a, b, x, y in ascii_pairs)
+           + ") t(id_a,id_b,s_a,s_b)")
+    want = sorted(tuple(r) for r in duckdb.sql(
+        edit_distance_verify_oracle_sql(cte, 2)).fetchall())
+    assert got == want == [("a", "b", 1), ("a", "d", 0)]
+    # documented divergence: codepoint distance 2 passes in Spark...
+    acc = spark.createDataFrame(
+        [("a", "e", "résumé", "resume")],
+        "id_a string, id_b string, s_a string, s_b string")
+    assert edit_distance_verify(acc, max_dist=2).count() == 1
+    # ...but the byte-counting twin scores it 4 — fixtures stay ASCII
+    assert duckdb.sql(
+        "select levenshtein('résumé', 'resume')").fetchall() == [(4,)]
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_verify(df, max_dist=-1)
