@@ -3567,6 +3567,99 @@ from c join r ra on ra.id = c.id_a join r rb on rb.id = c.id_b
     return edit_distance_verify_oracle_sql(pairs, _EDIT_MAX_DIST)
 
 
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka MSF (graphrank.py:minimum_spanning_forest) over
+    ring-blocks of 100 doc nodes (ring weight 100 + (i·37)%100 —
+    37 ⊥ 100 makes weights distinct per block; heavy %10 chords at
+    10000 + i): by the cycle property the forest is each ring minus
+    its block-max edge (local index 27, since 37·27 ≡ 99 mod 100) and
+    no chord — the twin derives every row ARITHMETICALLY, so equality
+    proves Borůvka's merge rounds, while the Kruskal-twin fuzz pins
+    the algorithm on adversarial shapes. A ring is also Borůvka's
+    worst case: components halve per round, forcing the full log₂
+    round ladder."""
+    from cow_spark.operators.graphrank import minimum_spanning_forest
+
+    docs = _load(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    li, bid = F.pmod(i, F.lit(100)), F.expr("doc_id div 100")
+    nn = (docs.count() // 100) * 100
+    base = docs.where(i < nn)
+    fmt = lambda c: F.format_string("g%08d", c)  # noqa: E731
+    ring = base.select(
+        fmt(i).alias("src"),
+        fmt(bid * 100 + F.pmod(li + 1, F.lit(100))).alias("dst"),
+        (F.lit(100) + F.pmod(i * 37, F.lit(100))).alias("weight"))
+    chords = base.where(F.pmod(li, F.lit(10)) == 0).select(
+        fmt(i).alias("src"),
+        fmt(bid * 100 + F.pmod(li + 10, F.lit(100))).alias("dst"),
+        (F.lit(10_000) + i).alias("weight"))
+    return minimum_spanning_forest(ring.unionByName(chords))
+
+
+_SQL_MSF = """
+with n as (
+  select (count(*) // 100) * 100 as nn from documents
+),
+ids as (select unnest(range(nn)) as i from n),
+ring as (
+  select printf('g%08d', i) as x,
+         printf('g%08d', (i // 100) * 100 + ((i % 100) + 1) % 100) as y,
+         cast(100 + (i * 37) % 100 as bigint) as weight
+  from ids where i % 100 <> 27
+)
+select least(x, y) as a, greatest(x, y) as b, weight from ring
+"""
+
+
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement (graphrank.py:wl_refine) over a
+    two-predicate KG slice: order→part 'contains' edges plus
+    order→customer 'by' edges — parts, customers and orders occupy
+    distinct structural roles, and 3 rounds separate nodes by
+    k-neighborhood shape (the bnode-canonicalization primitive; the
+    reference's BNodes are only stable within a run, csvw.py:305,351).
+    The twin unrolls the commutative sum-hash CTE-for-CTE, so equality
+    proves the distributed multiset hash IS the serial one."""
+    from cow_spark.operators.graphrank import wl_refine
+
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    contains = (
+        li.where(F.col("l_orderkey") % 41 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("dst"),
+            F.lit("contains").alias("pred"))
+        .distinct())
+    by = (
+        orders.where(F.col("o_orderkey") % 41 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("dst"),
+            F.lit("by").alias("pred")))
+    return wl_refine(contains.unionByName(by), rounds=3, pred="pred")
+
+
+def _sql_wl_colors() -> str:
+    from cow_spark.operators.graphrank import wl_refine_oracle_sql
+
+    edges = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as s, "
+        "'p' || cast(l_partkey as varchar) as d, 'contains' as p "
+        "from lineitem where l_orderkey % 41 = 0 "
+        "union all "
+        "select 'o' || cast(o_orderkey as varchar), "
+        "'c' || cast(o_custkey as varchar), 'by' "
+        "from orders where o_orderkey % 41 = 0"
+    )
+    return wl_refine_oracle_sql(edges, rounds=3)
+
+
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural KG QA (validate.py:integrity_report): the doc
     hierarchy with `under` declared functional — every doc_id%10==0
@@ -7897,6 +7990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_datatypes": q_infer_datatypes,
         "interval_coalesce": q_interval_coalesce,
         "edit_verify": q_edit_verify,
+        "msf": q_msf,
+        "wl_colors": q_wl_colors,
     }
 
 
@@ -8063,4 +8158,6 @@ def oracle_sql() -> dict[str, str]:
         "infer_datatypes": _sql_infer_datatypes(),
         "interval_coalesce": _sql_interval_coalesce(),
         "edit_verify": _sql_edit_verify(),
+        "msf": _SQL_MSF,
+        "wl_colors": _sql_wl_colors(),
     }

@@ -121,6 +121,8 @@ HEADLINE = [
     "infer_datatypes",
     "interval_coalesce",
     "edit_verify",
+    "msf",
+    "wl_colors",
 ]
 
 

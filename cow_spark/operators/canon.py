@@ -56,13 +56,43 @@ def round_checkpoint(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     executor loss mid-iteration must replay only the last round from
     durable storage, not restart the whole O(log n)-round loop from the
     source lineage. Sets the context's checkpoint dir on first use
-    (idempotent for the same dir)."""
+    (idempotent for the same dir).
+
+    Both paths end with :func:`_strip_carried_stats` — Spark 4's
+    ``Dataset.checkpoint`` copies the origin plan's ESTIMATED stats
+    into the new ``LogicalRDD`` (``originStats``), so while the plan
+    TREE is truncated, the sizeInBytes VALUE compounds across rounds:
+    every join multiplies its children's estimates, a self-join
+    squares them, and after r rounds the driver is multiplying
+    BigIntegers of 63·k^r bits inside ``SizeInBytesOnlyStatsPlanVisitor``
+    on every plan analysis. Measured on Borůvka-over-CC (two nested
+    iterative loops): round 3's planning took 188 s and round 4 was
+    headed for hours — all driver-side Toom-Cook arithmetic, zero
+    executor work. Stripping resets the leaf to defaultSizeInBytes;
+    broadcast decisions for checkpointed tables then come from AQE's
+    runtime sizes, which is where they belonged anyway."""
     if checkpoint_dir is None:
-        return df.localCheckpoint()
+        return _strip_carried_stats(df.localCheckpoint())
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+    return _strip_carried_stats(df.checkpoint(eager=True))
+
+
+def _strip_carried_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a checkpointed DataFrame's RDD in a fresh ``LogicalRDD``
+    WITHOUT the origin plan's carried stats (see
+    :func:`round_checkpoint`). ``internalCreateDataFrame`` is
+    private[sql] in Scala, which compiles to a public method — if a
+    future Spark removes it, fall back to the unstripped frame (the
+    loops stay correct, only planning cost regresses)."""
+    try:
+        jdf = df._jdf
+        jnew = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(jnew, df.sparkSession)
+    except Exception:  # pragma: no cover - Spark-internal API drift
+        return df
 
 
 def salt_edges(edges: DataFrame, buckets: int = 64) -> DataFrame:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash60
+from ..functions.hashing import portable_hash32, portable_hash60
 from .canon import round_checkpoint, symmetrize
 
 SCALE = 1_000_000_000  # rank mass fixed-point scale
@@ -2922,3 +2922,276 @@ def hits_py(edges, rounds: int = 4):
         h = {n: (s * HITS_SCALE // mx if mx > 0 else 0)
              for n, s in h.items()}
     return sorted((n, h[n], a[n]) for n in nodes)
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Borůvka minimum spanning forest over the undirected weighted
+    edge list — THE distributed MST algorithm (each round every
+    component grabs its cheapest outgoing edge, components merge,
+    rounds ≤ ⌈log₂ V⌉): the backbone extractor for KG visualization,
+    hierarchical clustering (single-linkage = MSF + cut), and network
+    cost planning.
+
+    Determinism without a distinct-weights requirement: edges compare
+    by the TUPLE ``(weight, a, b)`` (canonical endpoints), which is a
+    strict total order, so the MSF is unique and Kruskal on the same
+    order (the serial twin) returns the identical edge set — the
+    standard tie-break trick.
+
+    Per round: one comp-label join per endpoint, one min-struct
+    partial agg per component (cheapest outgoing edge), then the
+    selected forest — a component-count-sized edge set that shrinks
+    geometrically — merges via :func:`..canon.connected_components`
+    and the label map joins back. Non-cross edges are dropped from
+    the working set each round, so the big table only ever shrinks.
+    Raises when ``max_rounds`` rounds leave cross edges (never for
+    max_rounds ≥ ⌈log₂ V⌉ — each round at least halves components).
+
+    Returns the forest edges ``(a, b, weight)``, |V| − #components
+    rows, canonical a < b.
+    """
+    from .canon import connected_components
+
+    e0 = (edges.select(F.col(src).cast("string").alias("x"),
+                       F.col(dst).cast("string").alias("y"),
+                       F.col(weight).cast("long").alias("w"))
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull()
+                 & F.col("w").isNotNull() & (F.col("x") != F.col("y")))
+          .select(F.least("x", "y").alias("a"),
+                  F.greatest("x", "y").alias("b"), "w")
+          .groupBy("a", "b").agg(F.min("w").alias("w")))
+    work = round_checkpoint(e0, checkpoint_dir)
+    comp = round_checkpoint(
+        work.select(F.col("a").alias("node"))
+        .union(work.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp")), checkpoint_dir)
+    chosen = None
+    for _ in range(max_rounds):
+        lab = (work
+               .join(comp.select(F.col("node").alias("a"),
+                                 F.col("comp").alias("ca")), "a")
+               .join(comp.select(F.col("node").alias("b"),
+                                 F.col("comp").alias("cb")), "b")
+               .where(F.col("ca") != F.col("cb")))
+        work = round_checkpoint(lab.select("a", "b", "w"),
+                                checkpoint_dir)
+        if work.isEmpty():
+            break
+        # cheapest outgoing edge per component, (w, a, b) total order
+        pick = F.struct("w", "a", "b").alias("e")
+        sel = (lab.select(F.col("ca").alias("c"), pick)
+               .union(lab.select(F.col("cb").alias("c"), pick))
+               .groupBy("c").agg(F.min("e").alias("e"))
+               .select("e.a", "e.b", "e.w")
+               .dropDuplicates(["a", "b"]))
+        sel = round_checkpoint(sel, checkpoint_dir)
+        chosen = (sel if chosen is None
+                  else round_checkpoint(chosen.unionByName(sel),
+                                        checkpoint_dir))
+        # merge the component forest (component-count-sized, shrinks
+        # geometrically); labels rebase through the merge map
+        merged = connected_components(
+            sel.join(comp.select(F.col("node").alias("a"),
+                                 F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("node").alias("b"),
+                              F.col("comp").alias("cb")), "b")
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst")),
+            checkpoint_dir=checkpoint_dir)
+        comp = round_checkpoint(
+            comp.join(merged.withColumnRenamed("node", "comp")
+                      .withColumnRenamed("component", "newc"),
+                      "comp", "left")
+            .select("node", F.coalesce("newc", F.col("comp"))
+                    .alias("comp")), checkpoint_dir)
+    else:
+        # The last allowed round may have completed the forest — its
+        # emptiness check only happens at the TOP of the next round.
+        # Re-label the leftover working set against the FINAL labels
+        # and raise only if cross edges actually remain.
+        rem = (work
+               .join(comp.select(F.col("node").alias("a"),
+                                 F.col("comp").alias("ca")), "a")
+               .join(comp.select(F.col("node").alias("b"),
+                                 F.col("comp").alias("cb")), "b")
+               .where(F.col("ca") != F.col("cb")))
+        if not rem.isEmpty():
+            raise RuntimeError(
+                f"minimum_spanning_forest: cross edges remain after "
+                f"{max_rounds} rounds (components halve per round — "
+                f"raise max_rounds past log2(V))")
+    if chosen is None:
+        return e0.select("a", "b", F.col("w").alias("weight")).limit(0)
+    return chosen.select("a", "b", F.col("w").alias("weight"))
+
+
+def minimum_spanning_forest_py(edges):
+    """Serial Kruskal twin on the identical (weight, a, b) total
+    order — unique MSF, so Borůvka must return exactly this set."""
+    canon = {}
+    for x, y, w in edges:
+        if x is None or y is None or w is None or x == y:
+            continue
+        a, b = (x, y) if x < y else (y, x)
+        if (a, b) not in canon or w < canon[(a, b)]:
+            canon[(a, b)] = w
+    parent: dict = {}
+
+    def find(u):
+        while parent.setdefault(u, u) != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    out = []
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def wl_refine(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    pred: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Weisfeiler-Leman color refinement over the directed (optionally
+    predicate-labeled) edge list — the canonical-labeling primitive
+    under RDF blank-node canonicalization (URDNA2015's hash-and-refine
+    loop is 1-WL with a cryptographic hash; the reference mints BNodes
+    whose identity is only stable WITHIN a run, csvw.py:305,351,524),
+    graph-isomorphism fingerprinting, and structural-role clustering
+    (the per-node sibling of characteristic sets).
+
+    color_0 = H60('wl0'); per round each node absorbs the MULTISET of
+    (direction, predicate, neighbor color) triples. The multiset is
+    hashed commutatively — Σ of per-edge 32-bit terms — NOT by sorting
+    a collected list: the aggregation stays a map-side-combinable
+    ``sum``, so a 10^8-degree hub costs a partial agg, never a
+    collect_list sort. Terms are 32-bit (H32) so 2^31 of them fit in
+    int64 under ANSI mode; the round hash is
+
+        color' = H60('wlC|' || color || '|' || coalesce(Σ terms, -1))
+
+    with H60/H32 the portable md5 hashes the DuckDB twin replays
+    bit-exactly. After k rounds two nodes share a color iff 1-WL
+    cannot distinguish their k-neighborhoods (every output node is an
+    edge endpoint, so the -1 sentinel is pure belt-and-braces — it
+    would only fire on a termless node). Per round: ONE join (terms ⋈
+    colors on
+    the neighbor) + ONE partial-agg sum + a node-sized left join;
+    lineage cut per round via :func:`..canon.round_checkpoint`.
+
+    Returns (node, color) for every edge endpoint, color int64.
+    """
+    if rounds < 0:
+        raise ValueError(f"wl_refine: rounds must be >= 0, got {rounds}")
+    p = (F.col(pred).cast("string") if pred is not None
+         else F.lit("")).alias("p")
+    e = (edges.select(F.col(src).cast("string").alias("s"),
+                      F.col(dst).cast("string").alias("d"), p)
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull()))
+    terms = round_checkpoint(
+        e.select(F.col("s").alias("node"), F.lit("o").alias("dir"),
+                 "p", F.col("d").alias("nbr"))
+        .unionByName(
+            e.select(F.col("d").alias("node"), F.lit("i").alias("dir"),
+                     "p", F.col("s").alias("nbr"))),
+        checkpoint_dir)
+    colors = round_checkpoint(
+        terms.select("node").distinct()
+        .select("node", portable_hash60(F.lit("wl0")).alias("color")),
+        checkpoint_dir)
+    for _ in range(rounds):
+        t = (terms
+             .join(colors.select(F.col("node").alias("nbr"),
+                                 F.col("color").alias("nc")), "nbr")
+             .select("node", portable_hash32(
+                 F.concat_ws("|", F.lit("wlE"), F.col("dir"), F.col("p"),
+                             F.col("nc").cast("string"))).alias("term"))
+             .groupBy("node").agg(F.sum("term").alias("s")))
+        colors = round_checkpoint(
+            colors.join(t, "node", "left")
+            .select("node", portable_hash60(
+                F.concat_ws("|", F.lit("wlC"),
+                            F.col("color").cast("string"),
+                            F.coalesce(F.col("s"), F.lit(-1))
+                            .cast("string"))).alias("color")),
+            checkpoint_dir)
+    return colors
+
+
+def wl_refine_py(edges, rounds: int = 3):
+    """Serial twin of :func:`wl_refine` — same md5 arithmetic, so the
+    distributed rounds must return bit-identical colors."""
+    import hashlib
+
+    def h60(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    def h32(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+
+    rows = [(str(s), str(d), "" if p is None else str(p))
+            for s, d, p in edges if s is not None and d is not None]
+    terms: dict = {}
+    for s, d, p in rows:
+        terms.setdefault(s, []).append(("o", p, d))
+        terms.setdefault(d, []).append(("i", p, s))
+    colors = {n: h60("wl0") for n in terms}
+    for _ in range(rounds):
+        nxt = {}
+        for n, tl in terms.items():
+            tot = sum(h32("|".join(("wlE", dr, p, str(colors[nb]))))
+                      for dr, p, nb in tl)
+            nxt[n] = h60("|".join(("wlC", str(colors[n]), str(tot))))
+        colors = nxt
+    return sorted(colors.items())
+
+
+def wl_refine_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`wl_refine`. ``edges_sql`` must yield
+    (s, d, p). Every CTE that a later CTE references twice is
+    ``as materialized`` (the DuckDB inlining trap — CLAUDE.md); the
+    per-round sum is cast to BIGINT inside the CTE so no HUGEINT ever
+    reaches the output (the r3 driver-red class)."""
+    from ..functions.hashing import portable_hash32_sql, portable_hash60_sql
+
+    parts = [
+        f"e0 as materialized ({edges_sql})",
+        "t as materialized ("
+        " select s as node, 'o' as dir, p, d as nbr from e0"
+        " union all"
+        " select d as node, 'i' as dir, p, s as nbr from e0)",
+        "c0 as materialized (select distinct node, "
+        + portable_hash60_sql("'wl0'") + " as color from t)",
+    ]
+    term = portable_hash32_sql(
+        "concat_ws('|', 'wlE', t.dir, t.p, cast(c.color as varchar))")
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"a{k} as materialized ("
+            f" select t.node, cast(sum({term}) as bigint) as s"
+            f" from t join c{k - 1} c on t.nbr = c.node"
+            f" group by t.node)")
+        nxt = portable_hash60_sql(
+            "concat_ws('|', 'wlC', cast(c.color as varchar),"
+            " cast(coalesce(a.s, -1) as varchar))")
+        parts.append(
+            f"c{k} as materialized ("
+            f" select c.node, {nxt} as color"
+            f" from c{k - 1} c left join a{k} a on a.node = c.node)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect node, color from c{rounds}")

@@ -2119,3 +2119,124 @@ def test_edit_distance_verify_banded_and_byte_divergence(spark):
         "select levenshtein('résumé', 'resume')").fetchall() == [(4,)]
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_verify(df, max_dist=-1)
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Boruvka)
+# ---------------------------------------------------------------------------
+
+
+def test_msf_forest_ties_and_parallel_edges(spark):
+    """Two components, parallel edges keep the min weight, self loops
+    dropped, all-tied weights broken by the (w, a, b) total order —
+    Boruvka returns exactly the Kruskal twin's unique forest."""
+    from cow_spark.operators.graphrank import (
+        minimum_spanning_forest, minimum_spanning_forest_py)
+
+    edges = [("a", "b", 5), ("b", "c", 5), ("c", "a", 5),  # tied 3-cycle
+             ("c", "d", 1), ("d", "e", 9), ("e", "c", 9),  # tied fork
+             ("b", "a", 7), ("a", "a", 0),                 # parallel + loop
+             ("x", "y", 2), ("y", "z", 2), ("z", "x", 2)]  # 2nd component
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = sorted(tuple(r) for r in minimum_spanning_forest(df).collect())
+    want = minimum_spanning_forest_py(edges)
+    assert got == want
+    assert len(got) == 6  # |V| - #components = 8 - 2
+
+
+def test_msf_empty_loops_and_exact_round_budget(spark):
+    """Empty and self-loop-only inputs return the empty (a, b, weight)
+    frame; a path that completes in EXACTLY max_rounds rounds succeeds
+    (the post-loop re-label check — not a false 'cross edges remain');
+    max_rounds=0 on a nonempty graph raises loudly."""
+    from cow_spark.operators.graphrank import minimum_spanning_forest
+
+    empty = spark.createDataFrame([], "src string, dst string, weight long")
+    out = minimum_spanning_forest(empty)
+    assert out.columns == ["a", "b", "weight"] and out.count() == 0
+    loops = spark.createDataFrame(
+        [("a", "a", 1)], "src string, dst string, weight long")
+    assert minimum_spanning_forest(loops).count() == 0
+    path = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}", i + 1) for i in range(4)],
+        "src string, dst string, weight long")
+    assert minimum_spanning_forest(path, max_rounds=1).count() == 4
+    with pytest.raises(RuntimeError, match="cross edges remain"):
+        minimum_spanning_forest(path, max_rounds=0)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 9)),
+        min_size=1, max_size=20),
+)
+@settings(max_examples=8, deadline=None)
+def test_msf_fuzz_matches_kruskal_twin(spark, edges):
+    """Random small weighted graphs (dense tie space, parallel edges,
+    self loops): Boruvka under the (w, a, b) total order equals the
+    serial Kruskal twin exactly."""
+    from cow_spark.operators.graphrank import (
+        minimum_spanning_forest, minimum_spanning_forest_py)
+
+    rows = [(str(a), str(b), w) for a, b, w in edges]
+    want = minimum_spanning_forest_py(rows)
+    df = spark.createDataFrame(rows, "src string, dst string, weight long")
+    got = sorted(tuple(r) for r in minimum_spanning_forest(df).collect())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Leman color refinement
+# ---------------------------------------------------------------------------
+
+
+def test_wl_refine_separates_roles_and_matches_twin(spark):
+    """Directed labeled path + a fork: nodes in isomorphic positions
+    share colors, structurally distinct ones split; bit-identical to
+    the serial md5 twin."""
+    from cow_spark.operators.graphrank import wl_refine, wl_refine_py
+
+    edges = [("r", "a", "x"), ("r", "b", "x"),      # twin children a,b
+             ("a", "l1", "y"), ("b", "l2", "y"),    # isomorphic leaves
+             ("r", "c", "z")]                       # distinct role c
+    df = spark.createDataFrame(edges, "src string, dst string, pred string")
+    got = {r["node"]: r["color"]
+           for r in wl_refine(df, rounds=3, pred="pred").collect()}
+    want = dict(wl_refine_py(edges, rounds=3))
+    assert got == want
+    assert got["a"] == got["b"] and got["l1"] == got["l2"]
+    assert len({got["r"], got["a"], got["l1"], got["c"]}) == 4
+
+
+def test_wl_refine_rounds_zero_and_unlabeled(spark):
+    """rounds=0 gives every endpoint the same init color; the pred
+    column is optional (empty-string label), negative rounds raise."""
+    from cow_spark.operators.graphrank import wl_refine, wl_refine_py
+
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got0 = {r["color"] for r in wl_refine(df, rounds=0).collect()}
+    assert len(got0) == 1
+    got = {r["node"]: r["color"] for r in wl_refine(df, rounds=2).collect()}
+    want = dict(wl_refine_py([(s, d, None) for s, d in edges], rounds=2))
+    assert got == want
+    with pytest.raises(ValueError, match="rounds"):
+        wl_refine(df, rounds=-1)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7),
+                  st.sampled_from(["p", "q"])),
+        min_size=1, max_size=16),
+    rounds=st.integers(1, 3),
+)
+@settings(max_examples=10, deadline=None)
+def test_wl_refine_fuzz_matches_serial_twin(spark, edges, rounds):
+    from cow_spark.operators.graphrank import wl_refine, wl_refine_py
+
+    rows = [(str(a), str(b), p) for a, b, p in edges]
+    df = spark.createDataFrame(rows, "src string, dst string, pred string")
+    got = sorted((r["node"], r["color"])
+                 for r in wl_refine(df, rounds=rounds, pred="pred").collect())
+    assert got == wl_refine_py(rows, rounds=rounds)
