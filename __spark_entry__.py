@@ -3567,19 +3567,11 @@ from c join r ra on ra.id = c.id_a join r rb on rb.id = c.id_b
     return edit_distance_verify_oracle_sql(pairs, _EDIT_MAX_DIST)
 
 
-def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Borůvka MSF (graphrank.py:minimum_spanning_forest) over
-    ring-blocks of 100 doc nodes (ring weight 100 + (i·37)%100 —
-    37 ⊥ 100 makes weights distinct per block; heavy %10 chords at
-    10000 + i): by the cycle property the forest is each ring minus
-    its block-max edge (local index 27, since 37·27 ≡ 99 mod 100) and
-    no chord — the twin derives every row ARITHMETICALLY, so equality
-    proves Borůvka's merge rounds, while the Kruskal-twin fuzz pins
-    the algorithm on adversarial shapes. A ring is also Borůvka's
-    worst case: components halve per round, forcing the full log₂
-    round ladder."""
-    from cow_spark.operators.graphrank import minimum_spanning_forest
-
+def _ring_block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared weighted-graph fixture for q_msf / q_single_linkage:
+    doc nodes in ring blocks of 100 (ring weight 100 + (i·37)%100 —
+    37 ⊥ 100 makes weights distinct per block, max 199 at local index
+    27 since 37·27 ≡ 99 mod 100; heavy %10 chords at 10000 + i)."""
     docs = _load(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("long")
     li, bid = F.pmod(i, F.lit(100)), F.expr("doc_id div 100")
@@ -3594,7 +3586,21 @@ def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt(i).alias("src"),
         fmt(bid * 100 + F.pmod(li + 10, F.lit(100))).alias("dst"),
         (F.lit(10_000) + i).alias("weight"))
-    return minimum_spanning_forest(ring.unionByName(chords))
+    return ring.unionByName(chords)
+
+
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka MSF (graphrank.py:minimum_spanning_forest) over the
+    ring-block fixture (_ring_block_edges): by the cycle property the
+    forest is each ring minus its block-max edge (local index 27) and
+    no chord — the twin derives every row ARITHMETICALLY, so equality
+    proves Borůvka's merge rounds, while the Kruskal-twin fuzz pins
+    the algorithm on adversarial shapes. A ring is also Borůvka's
+    worst case: components halve per round, forcing the full log₂
+    round ladder."""
+    from cow_spark.operators.graphrank import minimum_spanning_forest
+
+    return minimum_spanning_forest(_ring_block_edges(spark, sf_dir))
 
 
 _SQL_MSF = """
@@ -3609,6 +3615,47 @@ ring as (
   from ids where i % 100 <> 27
 )
 select least(x, y) as a, greatest(x, y) as b, weight from ring
+"""
+
+
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage flat clustering (graphrank.py:single_linkage)
+    cut at threshold 150 over the ring-block fixture: all chords and
+    every ring edge with (li·37)%100 > 50 are cut (the cut is
+    inclusive, w ≤ 150 survives), so each block's
+    clusters are the maximal surviving runs around the circle. The
+    twin derives labels ARITHMETICALLY by gaps-and-islands over the
+    linearized ring (edge at local index 27 has weight 199, always
+    cut, so position p = (li+72)%100 is a valid linear order; islands
+    = running break count; label = min id per island) — equality
+    proves the filter+CC+singleton composition end to end."""
+    from cow_spark.operators.graphrank import single_linkage
+
+    return single_linkage(_ring_block_edges(spark, sf_dir), threshold=150)
+
+
+_SQL_SINGLE_LINKAGE = """
+with n as (
+  select (count(*) // 100) * 100 as nn from documents
+),
+ids as (select unnest(range(nn)) as i from n),
+pos as (
+  select i, i // 100 as b, ((i % 100) + 72) % 100 as p from ids
+),
+brk as (
+  select i, b, p,
+         case when p = 0 then 0
+              when ((((28 + p - 1) % 100) * 37) % 100) > 50 then 1
+              else 0 end as brk
+  from pos
+),
+isl as (
+  select i, b, sum(brk) over (partition by b order by p) as island
+  from brk
+)
+select printf('g%08d', i) as node,
+       printf('g%08d', min(i) over (partition by b, island)) as cluster
+from isl
 """
 
 
@@ -7991,6 +8038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coalesce": q_interval_coalesce,
         "edit_verify": q_edit_verify,
         "msf": q_msf,
+        "single_linkage": q_single_linkage,
         "wl_colors": q_wl_colors,
     }
 
@@ -8159,5 +8207,6 @@ def oracle_sql() -> dict[str, str]:
         "interval_coalesce": _sql_interval_coalesce(),
         "edit_verify": _sql_edit_verify(),
         "msf": _SQL_MSF,
+        "single_linkage": _SQL_SINGLE_LINKAGE,
         "wl_colors": _sql_wl_colors(),
     }

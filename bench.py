@@ -122,6 +122,7 @@ HEADLINE = [
     "interval_coalesce",
     "edit_verify",
     "msf",
+    "single_linkage",
     "wl_colors",
 ]
 

@@ -3195,3 +3195,80 @@ def wl_refine_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
             f" from c{k - 1} c left join a{k} a on a.node = c.node)")
     return ("with " + ",\n".join(parts)
             + f"\nselect node, color from c{rounds}")
+
+
+def single_linkage(
+    edges: DataFrame,
+    threshold: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Single-linkage flat clustering at distance ``threshold``: two
+    nodes share a cluster iff a path of edges with weight ≤ threshold
+    connects them — exactly the cut of the single-linkage dendrogram
+    at that height (HAC's cheapest member, and the only one whose
+    merge tree IS the minimum spanning forest). The ER/dedup stack's
+    grouping stage for distance-valued pairwise scores (edit-distance
+    verify, fuzzy-join costs) where the similarity stacks use CC
+    directly.
+
+    Scale shape: one filter (map-only, pushed to the edge scan) then
+    :func:`..canon.connected_components` over the surviving edges —
+    for MANY cuts of the same graph, run
+    :func:`minimum_spanning_forest` ONCE and feed the forest here:
+    CC({e : w ≤ t}) = CC({f ∈ MSF : w ≤ t}), so every extra threshold
+    costs a CC over ≤ V−1 edges instead of E (pinned by the
+    forest-cut-equivalence test). Every endpoint of the INPUT edge set
+    is returned; nodes whose every edge exceeds the threshold come
+    back as singletons (cluster = own id), matching scipy's fcluster
+    'distance' criterion on the same matrix.
+
+    Returns (node, cluster), cluster = min node id in the cluster.
+    """
+    from .canon import connected_components
+
+    e = (edges.select(F.col(src).cast("string").alias("x"),
+                      F.col(dst).cast("string").alias("y"),
+                      F.col(weight).cast("long").alias("w"))
+         .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    nodes = (e.select(F.col("x").alias("node"))
+             .union(e.select(F.col("y").alias("node")))
+             .distinct())
+    keep = (e.where((F.col("w") <= F.lit(int(threshold)))
+                    & (F.col("x") != F.col("y")))
+            .select(F.col("x").alias("src"), F.col("y").alias("dst")))
+    cc = connected_components(keep, checkpoint_dir=checkpoint_dir)
+    return (nodes.join(cc, "node", "left")
+            .select("node", F.coalesce("component", F.col("node"))
+                    .alias("cluster")))
+
+
+def single_linkage_py(edges, threshold):
+    """Serial union-find twin of :func:`single_linkage` (same node
+    universe, same min-id labels); sorted (node, cluster) tuples."""
+    parent: dict = {}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for s, d, _ in edges:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+    for s, d, w in edges:
+        if w <= threshold and s != d:
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+    roots: dict = {}
+    for v in parent:
+        roots.setdefault(find(v), []).append(v)
+    out = []
+    for members in roots.values():
+        lab = min(members)
+        out.extend((v, lab) for v in members)
+    return sorted(out)

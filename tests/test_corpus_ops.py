@@ -2240,3 +2240,69 @@ def test_wl_refine_fuzz_matches_serial_twin(spark, edges, rounds):
     got = sorted((r["node"], r["color"])
                  for r in wl_refine(df, rounds=rounds, pred="pred").collect())
     assert got == wl_refine_py(rows, rounds=rounds)
+
+
+# ---------------------------------------------------------------------------
+# Single-linkage clustering (MSF cut)
+# ---------------------------------------------------------------------------
+
+
+def test_single_linkage_cut_singletons_and_twin(spark):
+    """Chain a-b-c with one heavy link, an isolated-by-threshold node
+    (every edge above the cut -> singleton), self loop ignored: matches
+    the serial union-find twin and scipy-style 'distance' semantics."""
+    from cow_spark.operators.graphrank import (
+        single_linkage, single_linkage_py)
+
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "d", 9),  # d cut off
+             ("e", "f", 9), ("e", "e", 0),                 # e,f singletons
+             ("x", "y", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = sorted(tuple(r) for r in single_linkage(df, threshold=3).collect())
+    assert got == single_linkage_py(edges, 3)
+    labels = dict(got)
+    assert labels["a"] == labels["c"] == "a"
+    assert labels["d"] == "d" and labels["e"] == "e" and labels["f"] == "f"
+    assert labels["x"] == labels["y"] == "x"
+
+
+def test_single_linkage_forest_cut_equivalence(spark):
+    """CC({e: w<=t}) == CC({f in MSF: w<=t}) — the many-cuts scale
+    path: compute the forest once, then every threshold cut runs over
+    <= V-1 edges. Verified for every distinct threshold in a graph
+    with cycles, ties and parallel edges."""
+    from cow_spark.operators.graphrank import (
+        minimum_spanning_forest, single_linkage)
+
+    edges = [("a", "b", 1), ("b", "c", 4), ("c", "a", 4),
+             ("c", "d", 2), ("d", "e", 7), ("e", "c", 7),
+             ("b", "a", 9), ("x", "y", 5), ("y", "z", 5), ("z", "x", 5)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    forest = minimum_spanning_forest(df).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight")
+    # the forest spans every node (no isolated vertices here), so the
+    # node universes agree and the cuts must be identical
+    for t in [0, 1, 2, 4, 5, 7, 9]:
+        direct = sorted(tuple(r)
+                        for r in single_linkage(df, threshold=t).collect())
+        via_forest = sorted(
+            tuple(r) for r in single_linkage(forest, threshold=t).collect())
+        assert direct == via_forest, f"threshold {t}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 9)),
+        min_size=1, max_size=20),
+    threshold=st.integers(0, 9),
+)
+@settings(max_examples=8, deadline=None)
+def test_single_linkage_fuzz_matches_union_find(spark, edges, threshold):
+    from cow_spark.operators.graphrank import (
+        single_linkage, single_linkage_py)
+
+    rows = [(str(a), str(b), w) for a, b, w in edges]
+    df = spark.createDataFrame(rows, "src string, dst string, weight long")
+    got = sorted(tuple(r)
+                 for r in single_linkage(df, threshold=threshold).collect())
+    assert got == single_linkage_py(rows, threshold)
