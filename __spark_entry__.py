@@ -2234,6 +2234,65 @@ where len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
 """
 
 
+_SSJ_THRESHOLD = 0.6
+
+
+def q_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold self-join (dedup.py:set_similarity_join)
+    — AllPairs/PPJoin prefix+size+positional filtering; every pair with
+    word-trigram Jaccard >= 0.6, guaranteed (MinHash-LSH recalls ~most;
+    this is the audit-grade complement)."""
+    from cow_spark.operators.dedup import set_similarity_join
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    # lazy result: the shingle-table persist handle rides the returned
+    # frame (dedup.release contract) — releasing here, before the
+    # driver's collect, would force 3 recomputes of the shingle stage
+    return set_similarity_join(docs, n=_SHINGLE_N,
+                               threshold=_SSJ_THRESHOLD)
+
+
+def _sql_set_similarity() -> str:
+    # brute force with two EXACT prefilters (size ratio; >=1 shared
+    # shingle) so the sf0.1 replay stays tractable — J >= t implies both
+    t_ppm = round(_SSJ_THRESHOLD * 1_000_000)
+    n = _SHINGLE_N
+    return f"""
+with tok as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+sh as (
+  select doc_id, list_distinct(
+    case when len(t) >= {n} then
+      list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    when len(t) > 0 then [array_to_string(t, ' ')]
+    else [] end) as sh
+  from tok
+),
+f as (select doc_id, sh, len(sh) as sz from sh where len(sh) > 0),
+ex as (select doc_id, sz, unnest(sh) as g from f),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from ex a join ex b on a.g = b.g and a.doc_id < b.doc_id
+       and least(a.sz, b.sz) >= {_SSJ_THRESHOLD} * greatest(a.sz, b.sz)
+)
+select c.id_a, c.id_b,
+       (len(list_intersect(a.sh, b.sh)) * 1000000)
+         // (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) as jaccard_ppm
+from cand c
+join f a on a.doc_id = c.id_a
+join f b on b.doc_id = c.id_b
+where len(list_intersect(a.sh, b.sh)) * 1000000
+      >= {t_ppm} * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -8040,6 +8099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "single_linkage": q_single_linkage,
         "wl_colors": q_wl_colors,
+        "set_similarity": q_set_similarity,
     }
 
 
@@ -8209,4 +8269,5 @@ def oracle_sql() -> dict[str, str]:
         "msf": _SQL_MSF,
         "single_linkage": _SQL_SINGLE_LINKAGE,
         "wl_colors": _sql_wl_colors(),
+        "set_similarity": _sql_set_similarity(),
     }

@@ -124,6 +124,7 @@ HEADLINE = [
     "msf",
     "single_linkage",
     "wl_colors",
+    "set_similarity",
 ]
 
 

@@ -1183,3 +1183,123 @@ where sa is not null and sb is not null
   and abs(length(sa) - length(sb)) <= {max_dist}
   and levenshtein(sa, sb) <= {max_dist}
 """
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08)
+    re-expressed as DataFrame ops. MinHash-LSH (:func:`minhash_lsh_pairs`)
+    is probabilistic: it misses pairs (false negatives) and its recall
+    depends on band geometry. This operator returns EVERY pair with
+    word-``n``-gram Jaccard >= ``threshold`` — the guarantee a
+    contamination audit or a legal-dedup pass needs — while still never
+    comparing all |D|² pairs.
+
+    Pruning stack (each sound — over-generation only, verified exactly):
+    1. **Global rarity order**: shingles ranked by ascending document
+       frequency; each doc's shingle list is sorted by that rank.
+    2. **Prefix filter**: two sets with J >= t MUST share an element in
+       their first ``|S| - ceil(t·|S|) + 1`` rarity-sorted shingles, so
+       candidates come from a self-join on *prefix* shingles only —
+       and prefixes are dominated by RARE shingles, so bucket sizes stay
+       small where frequency is high (the skew-killer built into the
+       algorithm).
+    3. **Size filter**: J >= t implies min(|A|,|B|) >= t·max(|A|,|B|).
+    4. **Positional filter** (PPJoin): at the first shared prefix
+       element (positions i, j), overlap is bounded by
+       ``1 + min(|A|-i, |B|-j)``; prune when that cannot reach
+       ``ceil(t/(1+t)·(|A|+|B|))``.
+    Float guards subtract 1e-9 before ceil/compare so IEEE noise can
+    only over-generate, never drop a true pair. The verify stage is
+    integer-exact: ``inter·1e6 >= round(t·1e6)·union``.
+
+    Scale shape: one explode (corpus → shingles), one vocabulary-sized
+    global rank (same family as BPE's merge table), one per-doc window
+    sort, a prefix-bucket self-join (bounded by rarity ordering), exact
+    verify on the pair-participant subset only. No driver collects, no
+    unblocked n².
+
+    Returns ``(id_a, id_b, jaccard_ppm)`` with jaccard_ppm an exact
+    integer ``(inter·1e6) // union`` (pmod floor trick — double
+    division ulp must not flip the floor at exact quotients).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    thr_ppm = round(threshold * 1_000_000)
+    eps = 1e-9
+
+    # Everything flows through ONE exploded (doc, shingle) table — the
+    # minhash-proven shape. Materializing the shingle ARRAY first is a
+    # trap: the physical planner inlines the token expression into the
+    # interpreted shingle lambda (no cache/Generate boundary), and the
+    # per-element re-eval of tokenization costs 13 s at sf0.1 for a
+    # stage that is 0.2 s behind the explode boundary used here.
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(normalize_text(F.col(text_col))).alias("_tok"))
+    ex0 = toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_tok"), n)).alias("g"))
+    # |S| per doc via window over the same partitioning the rank window
+    # reuses below — distinct shingles, so sz = row count
+    ex = ex0.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id")))
+    # feeds rarity ranking, prefix generation AND the exact verify
+    # join — persist once, release via dedup.release()
+    ex = ex.persist()
+    # global rarity order: ascending document frequency, shingle string
+    # as the deterministic tiebreak. The (df, g) KEY itself is the rank
+    # — no densified integer, so no single-partition global row_number
+    # over the vocabulary; per-doc positions come from a doc-keyed
+    # window and the prefix self-join keys on the shingle directly.
+    dfreq = ex.groupBy("g").count()
+    ranked = ex.join(dfreq, "g").select("doc_id", "sz", "g", "count")
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("count").asc(), F.col("g").asc()))
+    # prefix length |S| - ceil(t|S|) + 1 (eps: ceil must not round a
+    # float hair ABOVE the true rational up an extra step = lost pairs)
+    plen = (F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(eps)) + 1)
+    pref = (ranked.withColumn("pos", pos)
+            .where(F.col("pos") <= plen)
+            .select("doc_id", "sz", "g", "pos"))
+
+    a, b = pref.alias("a"), pref.alias("b")
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("a.sz") + F.col("b.sz")) - F.lit(eps))
+    ubound = 1 + F.least(F.col("a.sz") - F.col("a.pos"),
+                         F.col("b.sz") - F.col("b.pos"))
+    cand = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.least("a.sz", "b.sz").cast("double")
+               >= F.lit(threshold) * F.greatest("a.sz", "b.sz") - F.lit(eps))
+        .where(ubound >= alpha)
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verify without materializing shingle arrays: intersection
+    # size = matched-row count of a (pair × shingles) equi-join on the
+    # exploded table — whole-stage codegen end to end, and bounded by
+    # |cand| × |S_a| (the candidate set, not the corpus)
+    m = (cand
+         .join(ex.select(F.col("doc_id").alias("id_a"), "g",
+                         F.col("sz").alias("sz_a")), "id_a")
+         .join(ex.select(F.col("doc_id").alias("id_b"), "g",
+                         F.col("sz").alias("sz_b")), ["id_b", "g"]))
+    v = (m.groupBy("id_a", "id_b", "sz_a", "sz_b")
+         .agg(F.count("*").alias("inter")))
+    union = (F.col("sz_a") + F.col("sz_b")).cast("long") - F.col("inter")
+    num = F.col("inter").cast("long") * F.lit(1_000_000)
+    jac_ppm = ((num - F.pmod(num, union)) / union).cast("long")
+    out = (v.where(num >= F.lit(thr_ppm) * union)
+           .select("id_a", "id_b", jac_ppm.alias("jaccard_ppm")))
+    return _attach_persisted(out, ex)

@@ -1125,3 +1125,63 @@ def test_pq_rerank_recovers_exact_topk(spark, embs):
     for r in narrow.collect():
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_set_similarity_join_matches_brute_force(spark):
+    """PPJoin-style exact threshold join = brute-force all-pairs Jaccard
+    at every threshold, including the exact-boundary and short-doc
+    fallback cases (prefix/size/positional filters are sound pruning)."""
+    import random
+
+    from cow_spark.operators.dedup import (
+        jaccard_pairs,
+        release,
+        set_similarity_join,
+    )
+
+    rnd = random.Random(7)
+    words = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(60):
+        base = [rnd.choice(words) for _ in range(rnd.randint(1, 25))]
+        rows.append((i, " ".join(base)))
+        if rnd.random() < 0.5:  # near-duplicate with a few substitutions
+            m = list(base)
+            for _ in range(rnd.randint(0, 3)):
+                if m:
+                    m[rnd.randrange(len(m))] = rnd.choice(words)
+            rows.append((1000 + i, " ".join(m)))
+    # empty doc (no shingles), sub-n docs with an exact twin (fallback
+    # whole-text shingle => J=1.0 must surface even below n tokens)
+    rows += [(9001, ""), (9002, "a b"), (9003, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ids = df.where(F.length("text") > 0).select("doc_id")
+    all_pairs = (
+        ids.alias("a").join(ids.alias("b"),
+                            F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b")))
+    brute = jaccard_pairs(df, all_pairs, n=3, threshold=0.0).collect()
+
+    for t in (0.5, 0.9, 1.0):
+        res = set_similarity_join(df, threshold=t, n=3)
+        got = {(r.id_a, r.id_b): r.jaccard_ppm for r in res.collect()}
+        release(res)
+        thr_ppm = round(t * 1_000_000)
+        exp = {(r.id_a, r.id_b) for r in brute
+               if round(r.jaccard * 1_000_000) >= thr_ppm}
+        assert set(got) == exp, f"threshold {t}"
+        assert all(v >= thr_ppm for v in got.values())
+    assert (9002, 9003) in {
+        p for r in brute for p in [(r.id_a, r.id_b)] if r.jaccard == 1.0}
+
+
+def test_set_similarity_join_rejects_bad_threshold(spark):
+    from cow_spark.operators.dedup import set_similarity_join
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        set_similarity_join(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        set_similarity_join(df, threshold=1.5)
