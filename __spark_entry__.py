@@ -5116,6 +5116,173 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_COHERENCE_THRESHOLD_PPM = 100_000
+
+
+def q_turn_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation lexical coherence over adjacent turns
+    (dialogue.py:turn_coherence) — the transcript-quality gate:
+    mis-stitched sessions surface as near-zero-overlap transitions."""
+    from cow_spark.operators.dialogue import turn_coherence
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return turn_coherence(transcripts_df(spark, 5000),
+                          threshold_ppm=_COHERENCE_THRESHOLD_PPM)
+
+
+def _sql_turn_coherence() -> str:
+    thr = _COHERENCE_THRESHOLD_PPM
+    return f"""
+with {_sql_transcripts_gen()},
+tok as (
+  select conv_id, turn_idx,
+         list_distinct(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as cur
+  from transcripts_gen
+),
+p as (
+  select conv_id, cur,
+         lag(cur) over (partition by conv_id order by turn_idx) as prv
+  from tok
+),
+j as (
+  select conv_id,
+         case when len(cur) + len(prv) - len(list_intersect(cur, prv)) > 0
+              then (len(list_intersect(cur, prv)) * 1000000)
+                   // (len(cur) + len(prv) - len(list_intersect(cur, prv)))
+              else 1000000 end as jac_ppm
+  from p where prv is not null
+)
+select conv_id,
+       cast(count(*) as bigint) as n_transitions,
+       cast(sum(jac_ppm) // count(*) as bigint) as mean_jac_ppm,
+       cast(min(jac_ppm) as bigint) as min_jac_ppm,
+       cast(sum(case when jac_ppm < {thr} then 1 else 0 end) as bigint)
+         as n_incoherent
+from j group by conv_id
+"""
+
+
+def q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity + degree assortativity (graphrank.py:mixing_metrics)
+    of the directed mention-transition graph: consecutive mentions in
+    text order per document (one regex pass, one doc-keyed window) —
+    do relations run both ways, and do hub terms link to hub terms?"""
+    from cow_spark.operators.graphrank import mixing_metrics
+
+    docs = _load(spark, sf_dir, "documents")
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
+    m = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.regexp_extract_all(F.lower(F.col("text")),
+                                          F.lit(pat), 0))
+        .alias("pos", "mention"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ed = (m.select(F.col("mention").alias("s"),
+                   F.lead("mention").over(w).alias("t"))
+          .where(F.col("t").isNotNull()))
+    return mixing_metrics(ed, src="s", dst="t")
+
+
+def _sql_graph_mixing() -> str:
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
+    return f"""
+with doc as (
+  select regexp_extract_all(lower(text), '{pat}') as a from documents
+),
+ed as (
+  select a[u.i] as s, a[u.i + 1] as t
+  from doc, unnest(generate_series(1, len(a) - 1)) as u(i)
+  where len(a) >= 2
+),
+d as (select distinct s, t from ed where s <> t),
+und as (
+  select distinct least(s, t) as va, greatest(s, t) as vb from d
+),
+deg as (
+  select v, count(*) as dg
+  from (select va as v from und union all select vb from und)
+  group by v
+),
+bo as (
+  select va, vb from und union all select vb, va from und
+),
+agg as (
+  select count(*) as m2, sum(dx.dg) as sx,
+         sum(dx.dg * dy.dg) as sxy, sum(dx.dg * dx.dg) as sxx
+  from bo join deg dx on dx.v = bo.va join deg dy on dy.v = bo.vb
+),
+stats as (
+  select
+    (select count(*) from deg) as n_nodes,
+    (select count(*) from d) as n_dir,
+    (select count(*) from und) as n_und,
+    (select count(*) from d a join d b
+       on a.s = b.t and a.t = b.s) as n_recip
+)
+select cast(n_nodes as bigint) as n_nodes,
+       cast(n_dir as bigint) as n_dir_edges,
+       cast(n_und as bigint) as n_undir_edges,
+       cast(n_recip as bigint) as n_reciprocal,
+       case when n_dir > 0
+            then cast((1000000 * n_recip) // n_dir as bigint) end
+         as reciprocity_ppm,
+       case when m2 > 0 and (m2 * sxx - sx * sx) > 0
+            then cast((1000000 * (m2 * sxy - sx * sx))
+                      // (m2 * sxx - sx * sx) as bigint) end
+         as assortativity_ppm
+from stats, agg
+"""
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly census (graphrank.py:butterfly_count) of the
+    document↔mention bipartite graph — two docs sharing two mention
+    terms is the minimal co-citation motif; triangles can't exist in a
+    bipartite graph, so this is its smallest cohesion unit."""
+    from cow_spark.operators.graphrank import butterfly_count
+
+    docs = _load(spark, sf_dir, "documents")
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
+    m = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(pat), 0)).alias("mention"),
+    )
+    return butterfly_count(m, left_col="doc_id", right_col="mention")
+
+
+def _sql_butterflies() -> str:
+    pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
+    return f"""
+with e as (
+  select distinct cast(doc_id as varchar) as l, u.t as r
+  from documents,
+       unnest(regexp_extract_all(lower(text), '{pat}')) as u(t)
+),
+dl as (select l, count(*) as d from e group by l),
+dr as (select r, count(*) as d from e group by r),
+bf as (
+  select cast(coalesce(sum(c * (c - 1) // 2), 0) as bigint) as n
+  from (
+    select a.r as x, b.r as y, count(*) as c
+    from e a join e b on a.l = b.l and a.r < b.r
+    group by a.r, b.r
+  )
+)
+select bf.n as n_butterflies,
+       (select cast(count(*) as bigint) from e) as n_edges,
+       (select cast(count(*) as bigint) from dl) as n_left,
+       (select cast(count(*) as bigint) from dr) as n_right,
+       (select cast(coalesce(sum(d * (d - 1) // 2), 0) as bigint)
+        from dl) as wedges_left,
+       (select cast(coalesce(sum(d * (d - 1) // 2), 0) as bigint)
+        from dr) as wedges_right
+from bf
+"""
+
+
 def _sql_triangles() -> str:
     pat = "|".join(r"\b" + s + r"\b" for s in _COOC_WORDS)
     return f"""
@@ -5751,6 +5918,49 @@ reach(src, dst) as (
 select distinct '{BASE}/' || cast(src as varchar) as a,
                 '{BASE}/' || cast(dst as varchar) as b
 from reach where src <> dst
+"""
+
+
+def q_path_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-length property path (bgp.py:_range_path_bindings):
+    ?a ex:under{2,3} ?b over the doc binary tree — ancestors exactly
+    2..3 hops up, the bounded-radius traversal `+` can't express
+    (and the plan never materializes the full closure)."""
+    from cow_spark.plans.bgp import match_bgp
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    quads = docs.where(F.col("doc_id") >= 1).select(
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("s"),
+        F.lit(f"{BASE}/vocab/under").alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit(f"{BASE}/"),
+                 (F.col("doc_id") / 2).cast("long").cast("string"))
+        .alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g"))
+    return match_bgp(quads,
+                     [("?a", f"{BASE}/vocab/under{{2,3}}", "?b")])
+
+
+_SQL_PATH_RANGE = f"""
+with recursive edges as (
+  select cast(doc_id as bigint) as src,
+         cast(doc_id as bigint) // 2 as dst
+  from documents where cast(doc_id as bigint) >= 1
+),
+hop(src, dst, k) as (
+  select src, dst, 1 from edges
+  union
+  select h.src, e.dst, h.k + 1
+  from hop h join edges e on h.dst = e.src
+  where h.k < 3
+)
+select distinct '{BASE}/' || cast(src as varchar) as a,
+                '{BASE}/' || cast(dst as varchar) as b
+from hop where k between 2 and 3
 """
 
 
@@ -8100,6 +8310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_linkage": q_single_linkage,
         "wl_colors": q_wl_colors,
         "set_similarity": q_set_similarity,
+        "butterflies": q_butterflies,
+        "graph_mixing": q_graph_mixing,
+        "turn_coherence": q_turn_coherence,
+        "path_range": q_path_range,
     }
 
 
@@ -8270,4 +8484,8 @@ def oracle_sql() -> dict[str, str]:
         "single_linkage": _SQL_SINGLE_LINKAGE,
         "wl_colors": _sql_wl_colors(),
         "set_similarity": _sql_set_similarity(),
+        "butterflies": _sql_butterflies(),
+        "graph_mixing": _sql_graph_mixing(),
+        "turn_coherence": _sql_turn_coherence(),
+        "path_range": _SQL_PATH_RANGE,
     }

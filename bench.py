@@ -125,6 +125,10 @@ HEADLINE = [
     "single_linkage",
     "wl_colors",
     "set_similarity",
+    "butterflies",
+    "graph_mixing",
+    "turn_coherence",
+    "path_range",
 ]
 
 

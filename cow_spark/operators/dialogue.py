@@ -142,3 +142,52 @@ def tool_transitions(
         .select("prev", "next", F.col("n").cast("long").alias("n"),
                 F.expr(f"n * {scale} div _tot").alias("p_fp"))
     )
+
+
+def turn_coherence(
+    transcripts: DataFrame,
+    threshold_ppm: int = 100_000,
+) -> DataFrame:
+    """Per-conversation lexical coherence: Jaccard overlap of the
+    distinct-token sets of every adjacent turn pair, aggregated to
+    ``(conv_id, n_transitions, mean_jac_ppm, min_jac_ppm,
+    n_incoherent)``. The corpus-audit signal for transcript QUALITY
+    gating: truncated/garbled conversations and mis-stitched sessions
+    show up as sequences of near-zero-overlap transitions, while
+    healthy task dialogues keep recurring entities/terms across turns
+    (the TextTiling intuition applied at turn granularity).
+
+    Exact integer fixed point end to end: per pair
+    ``jac_ppm = (|A∩B|·10⁶) // |A∪B|`` (pmod floor — double-division
+    ulp must not flip the floor), two EMPTY token sets count as
+    identical (10⁶ — an empty-to-empty transition is vacuously
+    coherent, and NULL would silently shrink n_transitions);
+    ``mean_jac_ppm = Σ jac_ppm // n`` floored, ``n_incoherent`` counts
+    transitions strictly below ``threshold_ppm``.
+
+    One window shuffle on (conv_id, turn_idx) — the transcript table's
+    natural clustering key, so a conv-bucketed layout shuffles
+    nothing — then one conversation-keyed partial aggregate. Token
+    arrays are built once per row in the window's input projection
+    (native set ops downstream, no per-element lambda re-eval)."""
+    from cow_spark.functions.text import normalize_text, tokens
+
+    w = _turn_window()
+    tok = F.array_distinct(tokens(normalize_text(F.col("text"))))
+    t = transcripts.select("conv_id", "turn_idx", tok.alias("cur"))
+    p = (t.select("conv_id", "cur", F.lag("cur").over(w).alias("prv"))
+         .where(F.col("prv").isNotNull()))
+    inter = F.size(F.array_intersect("cur", "prv")).cast("long")
+    union = (F.size("cur") + F.size("prv")).cast("long") - inter
+    num = inter * F.lit(1_000_000)
+    jac = F.when(union > 0, ((num - F.pmod(num, union)) / union)
+                 .cast("long")).otherwise(F.lit(1_000_000))
+    pairs = p.select("conv_id", jac.alias("jac_ppm"))
+    s, n = F.sum("jac_ppm"), F.count("*")
+    return (pairs.groupBy("conv_id").agg(
+        n.cast("long").alias("n_transitions"),
+        ((s - F.pmod(s, n)) / n).cast("long").alias("mean_jac_ppm"),
+        F.min("jac_ppm").alias("min_jac_ppm"),
+        F.sum(F.when(F.col("jac_ppm") < threshold_ppm, 1)
+              .otherwise(0)).cast("long").alias("n_incoherent"),
+    ))

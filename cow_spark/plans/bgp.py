@@ -179,21 +179,34 @@ def _path_bindings(quads, s, p, o, namespaces, mode="+"):
              .dropDuplicates())
     closure = transitive_pairs(edges) if mode in "+*" else edges
     if mode in "*?":
-        if not _is_var(s):
-            c = _resolve(s, namespaces)
-            ident = quads.sparkSession.createDataFrame(
-                [(c, c)], "src string, dst string")
-        elif not _is_var(o):
-            c = _resolve(o, namespaces)
-            ident = quads.sparkSession.createDataFrame(
-                [(c, c)], "src string, dst string")
-        else:
-            nodes = (quads.select(F.col("s").alias("n"))
-                     .unionByName(quads.select(F.col("o_lex").alias("n")))
-                     .dropDuplicates())
-            ident = nodes.select(F.col("n").alias("src"),
-                                 F.col("n").alias("dst"))
+        ident = _identity_pairs(quads, s, o, namespaces)
         closure = closure.unionByName(ident).dropDuplicates()
+    return _endpoint_bindings(closure, s, p, o, namespaces)
+
+
+def _identity_pairs(quads, s, o, namespaces):
+    """Zero-length path solutions (SPARQL §18.4): the ``(c, c)`` pair
+    for a constant endpoint (per spec, even when the term is absent
+    from the graph), else identity over the graph's node set."""
+    if not _is_var(s):
+        c = _resolve(s, namespaces)
+        return quads.sparkSession.createDataFrame(
+            [(c, c)], "src string, dst string")
+    if not _is_var(o):
+        c = _resolve(o, namespaces)
+        return quads.sparkSession.createDataFrame(
+            [(c, c)], "src string, dst string")
+    nodes = (quads.select(F.col("s").alias("n"))
+             .unionByName(quads.select(F.col("o_lex").alias("n")))
+             .dropDuplicates())
+    return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+
+
+def _endpoint_bindings(closure, s, p, o, namespaces):
+    """Shared tail of every path-pattern form: constrain/bind the
+    endpoint columns of a ``(src, dst)`` pair set against the pattern's
+    subject/object terms; the all-constant case returns the existence
+    boolean."""
     cols = []
     if _is_var(s):
         if not s[1:]:
@@ -216,6 +229,76 @@ def _path_bindings(quads, s, p, o, namespaces, mode="+"):
     if not cols:
         return closure.limit(1).count() > 0
     return closure.select(*cols).dropDuplicates()
+
+
+#: bounded-length path modifier ``p{m,n}``. Unescaped braces are
+#: illegal in IRIs (they must be %-encoded), so the suffix is
+#: unambiguous — no escape form needed.
+_RANGE_PATH = re.compile(r"^(.+)\{(\d+),(\d+)\}$")
+
+
+def _range_path_bindings(quads, s, p, o, namespaces, base, lo, hi,
+                         checkpoint_dir=None):
+    """Bindings of a bounded-length path pattern ``(s, base{m,n}, o)``
+    — a path of length l with m ≤ l ≤ n exists (the ``elt{n,m}`` form
+    of the SPARQL 1.1 drafts, kept by Jena/Virtuoso; the unbounded
+    closures cover ``+``/``*``). WALK semantics: length-k pairs are
+    the k-fold composition of the edge relation (union of
+    compositions, per the draft's definition) — not simple paths.
+    ``m = 0`` adds the zero-length identity exactly like ``*``
+    (§18.4: over the node set, or the constant endpoint's self-pair).
+
+    k-hop reachability is the bounded-radius traversal the unbounded
+    closure can't express: "entities within 3 ownership hops",
+    "co-mention neighbours at distance 2..4". Cost shape: n−1
+    composition joins, each edge-shaped and deduplicated, with a
+    lineage cut per round (``round_checkpoint``) — the edge set is
+    built once, persisted, released before return. Unlike ``+`` (path
+    doubling, log rounds to the full closure), the LINEAR rounds here
+    are the point: only radius ≤ n is ever materialized, so a hub's
+    10^12-pair full closure is never built when n = 3.
+    """
+    from ..operators.canon import round_checkpoint
+
+    if hi < lo:
+        raise ValueError(f"path range {{{lo},{hi}}} has max < min")
+    if hi > 64:
+        raise ValueError(
+            f"path range {{{lo},{hi}}}: bound {hi} > 64 — use the "
+            "unbounded closure '+'/'*' (path doubling) instead of a "
+            "linear 64-round traversal")
+    base = _resolve(base, namespaces)
+    edges = (quads.where((F.col("p") == base) & (F.col("o_kind") == "iri"))
+             .select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+             .dropDuplicates()
+             .persist())
+    try:
+        acc = None
+        cur = edges
+        for k in range(1, hi + 1):
+            if k > 1:
+                cur = (cur.join(edges.select(
+                            F.col("src").alias("dst"),
+                            F.col("dst").alias("nxt")), "dst")
+                       .select("src", F.col("nxt").alias("dst"))
+                       .dropDuplicates())
+                cur = round_checkpoint(cur, checkpoint_dir)
+            if k >= max(lo, 1):
+                acc = cur if acc is None else (
+                    acc.unionByName(cur).dropDuplicates())
+        if acc is None:  # lo == hi == 0: pure identity
+            acc = quads.sparkSession.createDataFrame(
+                [], "src string, dst string")
+        if lo == 0:
+            acc = (acc.unionByName(_identity_pairs(quads, s, o, namespaces))
+                   .dropDuplicates())
+        # materialize through the final distinct before releasing the
+        # shared edge cache (the tail's existence probe / downstream
+        # joins re-execute otherwise)
+        acc = round_checkpoint(acc, checkpoint_dir)
+    finally:
+        edges.unpersist()
+    return _endpoint_bindings(acc, s, p, o, namespaces)
 
 
 def match_bgp(
@@ -308,13 +391,20 @@ def match_bgp(
             # really ends in '+'/'*'/'?' — exact match, no path meaning
             p = p[:-2] + p[-1]
         elif (isinstance(p, str) and not _is_var(p) and len(p) > 1
-                and p[-1] in "+*?"):
+                and (p[-1] in "+*?" or _RANGE_PATH.match(p))):
             if gvar is not None:
                 raise ValueError(
                     f"property-path pattern {(s, p, o)} cannot bind a "
                     "graph VARIABLE — the closure spans graphs; scope "
                     "with a constant graph instead")
-            part = _path_bindings(quads, s, p, o, namespaces, mode=p[-1])
+            rng = _RANGE_PATH.match(p)
+            if rng is not None:
+                part = _range_path_bindings(
+                    quads, s, p, o, namespaces, rng.group(1),
+                    int(rng.group(2)), int(rng.group(3)))
+            else:
+                part = _path_bindings(quads, s, p, o, namespaces,
+                                      mode=p[-1])
             if isinstance(part, bool):  # all-constant: existence gate
                 gates_failed = gates_failed or not part
                 continue
@@ -899,6 +989,7 @@ def _plain_patterns_only(patterns, op: str) -> None:
             if (p.startswith(("^", "!")) or _SEQ_SEP in p
                     or (p.endswith(("+", "*", "?"))
                         and not p.endswith(("\\+", "\\*", "\\?")))
+                    or _RANGE_PATH.match(p)
                     or _ALT_SPLIT.search(p)):
                 raise ValueError(
                     f"{op}: property-path forms are not supported in "

@@ -2306,3 +2306,154 @@ def test_single_linkage_fuzz_matches_union_find(spark, edges, threshold):
     got = sorted(tuple(r)
                  for r in single_linkage(df, threshold=threshold).collect())
     assert got == single_linkage_py(rows, threshold)
+
+
+def _brute_butterflies(edges):
+    """All-quadruple reference count: pairs of left × pairs of right
+    with all four edges present."""
+    es = set(edges)
+    lefts = sorted({l for l, _ in es})
+    rights = sorted({r for _, r in es})
+    import itertools
+    n = 0
+    for l1, l2 in itertools.combinations(lefts, 2):
+        for r1, r2 in itertools.combinations(rights, 2):
+            if ((l1, r1) in es and (l1, r2) in es
+                    and (l2, r1) in es and (l2, r2) in es):
+                n += 1
+    return n
+
+
+def test_butterfly_count_known_graphs(spark):
+    """K_{2,2} = 1 butterfly, K_{3,3} = C(3,2)² = 9, a star has none;
+    duplicates/nulls tolerated; all outputs side-independent."""
+    from cow_spark.operators.graphrank import butterfly_count
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "l string, r string")
+        r = butterfly_count(df).first()
+        return r
+
+    k22 = [(f"l{i}", f"r{j}") for i in range(2) for j in range(2)]
+    r = run(k22)
+    assert (r.n_butterflies, r.n_edges, r.n_left, r.n_right) == (1, 4, 2, 2)
+    assert (r.wedges_left, r.wedges_right) == (2, 2)
+
+    k33 = [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)]
+    assert run(k33).n_butterflies == 9
+
+    star = [("hub", f"r{j}") for j in range(5)]
+    r = run(star)
+    assert r.n_butterflies == 0
+    assert (r.wedges_left, r.wedges_right) == (10, 0)
+
+    # duplicate edges collapse; None endpoints drop
+    messy = k22 * 3 + [(None, "r0"), ("l0", None)]
+    r = run(messy)
+    assert (r.n_butterflies, r.n_edges) == (1, 4)
+
+
+def test_butterfly_count_matches_brute_force_both_orientations(spark):
+    """Random bipartite graphs vs the quadruple-enumeration twin —
+    run with the dense side left AND right so both pivot-side branches
+    of the wedge generator are exercised."""
+    import random
+
+    from cow_spark.operators.graphrank import butterfly_count
+
+    rnd = random.Random(11)
+    edges = sorted({(f"u{rnd.randrange(5)}", f"v{rnd.randrange(12)}")
+                    for _ in range(40)})
+    expect = _brute_butterflies(edges)
+    fwd = spark.createDataFrame(edges, "l string, r string")
+    rev = spark.createDataFrame([(r, l) for l, r in edges],
+                                "l string, r string")
+    rf, rr = butterfly_count(fwd).first(), butterfly_count(rev).first()
+    assert rf.n_butterflies == expect == rr.n_butterflies
+    assert rf.wedges_left == rr.wedges_right
+    assert rf.n_left == rr.n_right
+
+
+def test_butterfly_count_empty(spark):
+    from cow_spark.operators.graphrank import butterfly_count
+
+    df = spark.createDataFrame([], "l string, r string")
+    r = butterfly_count(df).first()
+    assert (r.n_butterflies, r.n_edges, r.n_left, r.n_right,
+            r.wedges_left, r.wedges_right) == (0, 0, 0, 0, 0, 0)
+
+
+def _brute_mixing(directed):
+    """Serial twin: reciprocity over distinct directed edges,
+    assortativity over both orientations of the simple graph."""
+    d = {(s, t) for s, t in directed if s != t}
+    recip = sum(1 for s, t in d if (t, s) in d)
+    und = {tuple(sorted(p)) for p in d}
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    samples = [(deg[a], deg[b]) for a, b in und] + [
+        (deg[b], deg[a]) for a, b in und]
+    m2 = len(samples)
+    sx = sum(x for x, _ in samples)
+    sxy = sum(x * y for x, y in samples)
+    sxx = sum(x * x for x, _ in samples)
+    num, den = m2 * sxy - sx * sx, m2 * sxx - sx * sx
+    assort = (1_000_000 * num) // den if den > 0 else None
+    rp = (1_000_000 * recip) // len(d) if d else None
+    return (len(deg), len(d), len(und), recip, rp, assort)
+
+
+def test_mixing_metrics_pins(spark):
+    """A 2-cycle is fully reciprocal; a star is perfectly
+    dis-assortative (r = -1); a cycle is degree-regular (NULL)."""
+    from cow_spark.operators.graphrank import mixing_metrics
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "src string, dst string")
+        return mixing_metrics(df).first()
+
+    r = run([("a", "b"), ("b", "a")])
+    assert (r.n_reciprocal, r.reciprocity_ppm) == (2, 1_000_000)
+    assert r.assortativity_ppm is None  # both degree 1: regular
+
+    star = [("hub", f"x{i}") for i in range(4)]
+    r = run(star)
+    assert r.reciprocity_ppm == 0
+    assert r.assortativity_ppm == -1_000_000
+
+    cycle = [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)]
+    r = run(cycle)
+    assert r.assortativity_ppm is None
+    assert r.reciprocity_ppm == 0
+
+    # self loops and duplicates are dropped before everything
+    r = run([("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")])
+    assert (r.n_dir_edges, r.n_undir_edges, r.n_reciprocal) == (2, 1, 2)
+
+
+def test_mixing_metrics_matches_brute_force(spark):
+    import random
+
+    from cow_spark.operators.graphrank import mixing_metrics
+
+    rnd = random.Random(23)
+    for seed_round in range(3):
+        edges = [(f"v{rnd.randrange(9)}", f"v{rnd.randrange(9)}")
+                 for _ in range(30)]
+        expect = _brute_mixing(edges)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        r = mixing_metrics(df).first()
+        got = (r.n_nodes, r.n_dir_edges, r.n_undir_edges,
+               r.n_reciprocal, r.reciprocity_ppm, r.assortativity_ppm)
+        assert got == expect, f"round {seed_round}"
+
+
+def test_mixing_metrics_empty(spark):
+    from cow_spark.operators.graphrank import mixing_metrics
+
+    df = spark.createDataFrame([], "src string, dst string")
+    r = mixing_metrics(df).first()
+    assert (r.n_nodes, r.n_dir_edges, r.n_reciprocal) == (0, 0, 0)
+    assert r.reciprocity_ppm is None and r.assortativity_ppm is None

@@ -1220,3 +1220,77 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
     assert out[1] == ("https://ex.com/p", 1)
     assert out[3] == ("https://ex.com/p", 0)
     assert out[2] == ("https://ex.com/q", 1)
+
+
+def test_match_bgp_range_path(spark):
+    """Bounded-length paths `p{m,n}`: walk semantics (union of k-fold
+    compositions), m=0 identity per §18.4, constant endpoints, the
+    existence gate, and the fail-loud bounds."""
+    import pytest
+
+    from cow_spark.plans.bgp import match_bgp
+
+    EX = "https://example.com/v/"
+    A, B, C, D, E = (f"https://example.com/{x}" for x in "abcde")
+    rows = [
+        (None, A, EX + "under", "iri", B, None, None),
+        (None, B, EX + "under", "iri", C, None, None),
+        (None, C, EX + "under", "iri", D, None, None),
+        (None, B, EX + "under", "iri", E, None, None),
+        (None, A, EX + "name", "lit", "Ada", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, o_lex string, "
+              "o_dt string, o_lang string")
+    q = spark.createDataFrame(rows, schema)
+    ns = {"ex": EX}
+
+    def pairs(pat):
+        return {(r.x, r.y) for r in
+                match_bgp(q, [("?x", pat, "?y")], namespaces=ns).collect()}
+
+    # exactly 2 hops
+    assert pairs("ex:under{2,2}") == {(A, C), (A, E), (B, D)}
+    # 1..2 hops = edges ∪ 2-hop
+    assert pairs("ex:under{1,2}") == {
+        (A, B), (B, C), (C, D), (B, E), (A, C), (A, E), (B, D)}
+    # 2..3 hops
+    assert pairs("ex:under{2,3}") == {(A, C), (A, E), (B, D), (A, D)}
+    # m=0 with both ends variable: identity over the node set
+    # (every subject + object lexical form, including the literal "Ada")
+    ident = pairs("ex:under{0,1}")
+    for n in (A, B, C, D, E, "Ada"):
+        assert (n, n) in ident
+    assert (A, B) in ident and (A, C) not in ident
+
+    # constant object
+    got = {r.x for r in match_bgp(
+        q, [("?x", "ex:under{2,3}", D)], namespaces=ns).collect()}
+    assert got == {A, B}
+    # m=0 constant-subject self-pair holds even for an absent term
+    ghost = "https://example.com/ghost"
+    got0 = {r.y for r in match_bgp(
+        q, [(ghost, "ex:under{0,2}", "?y")], namespaces=ns).collect()}
+    assert got0 == {ghost}
+
+    # all-constant = existence gate
+    assert match_bgp(q, [(A, "ex:under{3,3}", D), ("?x", "ex:name", "?n")],
+                     namespaces=ns).count() == 1
+    assert match_bgp(q, [(A, "ex:under{1,2}", D), ("?x", "ex:name", "?n")],
+                     namespaces=ns).count() == 0
+
+    with pytest.raises(ValueError, match="max < min"):
+        match_bgp(q, [("?x", "ex:under{3,2}", "?y")], namespaces=ns)
+    with pytest.raises(ValueError, match="64"):
+        match_bgp(q, [("?x", "ex:under{1,65}", "?y")], namespaces=ns)
+
+
+def test_range_path_rejected_in_update_templates(spark):
+    import pytest
+
+    from cow_spark.plans.bgp import delete_where
+
+    q = spark.createDataFrame(
+        [], "g string, s string, p string, o_kind string, o_lex string, "
+            "o_dt string, o_lang string")
+    with pytest.raises(ValueError, match="property-path"):
+        delete_where(q, [("?x", "https://e.com/p{1,2}", "?y")])

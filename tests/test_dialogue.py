@@ -88,3 +88,51 @@ def test_tool_transitions_markov_stats(spark):
     for (p, _), (_, pf) in got.items():
         sums[p] += pf
     assert all(1000 - 3 <= s <= 1000 for s in sums.values()), dict(sums)
+
+
+def test_turn_coherence_exact_values(spark):
+    """Hand-computed Jaccard ppm per transition, floored mean, min,
+    threshold count; empty↔empty transition is vacuously coherent."""
+    from cow_spark.operators.dialogue import turn_coherence
+
+    rows = [
+        # conv A: t0 {a,b,c}, t1 {b,c,d} J=2/4=0.5; t1→t2 {x} J=0/4=0
+        ("A", 0, "u", "a b c"),
+        ("A", 1, "a", "b c d"),
+        ("A", 2, "u", "x"),
+        # conv B: both empty → 1e6; then empty→{q} J=0/1=0
+        ("B", 0, "u", ""),
+        ("B", 1, "a", "  "),
+        ("B", 2, "u", "q"),
+        # conv C: single turn → no transitions, absent from output
+        ("C", 0, "u", "solo"),
+        # conv D: duplicate tokens collapse: {a} vs {a} J=1
+        ("D", 0, "u", "a a a"),
+        ("D", 1, "a", "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r.conv_id: r for r in
+           turn_coherence(df, threshold_ppm=400_000).collect()}
+    assert set(got) == {"A", "B", "D"}
+    a = got["A"]
+    assert (a.n_transitions, a.min_jac_ppm, a.n_incoherent) == (2, 0, 1)
+    assert a.mean_jac_ppm == (500_000 + 0) // 2
+    b = got["B"]
+    assert (b.n_transitions, b.mean_jac_ppm, b.min_jac_ppm,
+            b.n_incoherent) == (2, 500_000, 0, 1)
+    d = got["D"]
+    assert (d.n_transitions, d.mean_jac_ppm, d.min_jac_ppm,
+            d.n_incoherent) == (1, 1_000_000, 1_000_000, 0)
+
+
+def test_turn_coherence_orders_by_turn_idx_not_input_order(spark):
+    from cow_spark.operators.dialogue import turn_coherence
+
+    rows = [("A", 2, "u", "c d"), ("A", 0, "u", "a b"), ("A", 1, "a", "b c")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    r = turn_coherence(df).first()
+    # 0→1: {a,b}∩{b,c}=1/3; 1→2: {b,c}∩{c,d}=1/3
+    assert r.n_transitions == 2
+    assert r.mean_jac_ppm == 333_333
