@@ -3263,6 +3263,64 @@ from (select g, unnest(range(0, g % 8 + 1)) as i
 """
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def q_rdf_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF container unrolling (entail.py:rdf_container_members): one
+    container per source holding its documents at row_number-by-doc_id
+    positions; source suffix %3 picks untyped / rdf:Bag / rdf:Seq, so
+    the NULL-ctype branch is exercised. Map-only membership extract +
+    one small type join."""
+    from cow_spark.plans.entail import rdf_container_members
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    arcs = docs.select(
+        F.lit(None).cast("string").alias("g"),
+        F.concat(F.lit(f"{BASE}/container/"), F.col("source")).alias("s"),
+        F.concat(F.lit(_RDF_NS + "_"),
+                 F.row_number().over(w).cast("string")).alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit(f"{BASE}/"), F.col("doc_id").cast("string"))
+        .alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"))
+    srcn = F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast("long")
+    types = (docs.select("source", srcn.alias("n")).distinct()
+             .where(F.col("n") % 3 != 0)
+             .select(
+                 F.lit(None).cast("string").alias("g"),
+                 F.concat(F.lit(f"{BASE}/container/"), F.col("source"))
+                 .alias("s"),
+                 F.lit(_RDF_NS + "type").alias("p"),
+                 F.lit("iri").alias("o_kind"),
+                 F.when(F.col("n") % 3 == 1, F.lit(_RDF_NS + "Bag"))
+                 .otherwise(F.lit(_RDF_NS + "Seq")).alias("o_lex"),
+                 F.lit(None).cast("string").alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang")))
+    return rdf_container_members(arcs.unionByName(types))
+
+
+_SQL_RDF_CONTAINERS = f"""
+with pos as (
+  select source, cast(doc_id as bigint) as doc_id,
+         row_number() over (partition by source
+                            order by cast(doc_id as bigint)) as pos,
+         cast(regexp_extract(source, '([0-9]+)$', 1) as bigint) as n
+  from documents
+)
+select '{BASE}/container/' || source as container,
+       case when n % 3 = 1 then '{_RDF_NS}Bag'
+            when n % 3 = 2 then '{_RDF_NS}Seq' end as ctype,
+       cast(pos as bigint) as pos,
+       '{BASE}/' || cast(doc_id as varchar) as member,
+       'iri' as member_kind
+from pos
+"""
+
+
 def q_quote_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quoted-span attribution (mentions.py:quote_attribution) over the
     LCG transcripts: every double-quoted span attributed to its turn's
@@ -3764,6 +3822,86 @@ def _sql_wl_colors() -> str:
         "from orders where o_orderkey % 41 = 0"
     )
     return wl_refine_oracle_sql(edges, rounds=3)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI + Coleman-Liau grade levels per document
+    (quality.py:readability_scores) — exact integer fixed point,
+    map-only (zero shuffles): the grade-level corpus quality gate."""
+    from cow_spark.operators.quality import readability_scores
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return readability_scores(docs)
+
+
+_SQL_READABILITY = """
+with c as (
+  select cast(doc_id as bigint) as doc_id,
+         cast(len(regexp_extract_all(text, '[A-Za-z0-9]+')) as bigint)
+           as w,
+         cast(len(regexp_extract_all(text, '[A-Za-z0-9]')) as bigint)
+           as ca,
+         cast(len(regexp_extract_all(text, '[A-Za-z]')) as bigint) as l,
+         greatest(cast(len(regexp_extract_all(text, '[.!?]+')) as bigint),
+                  1) as s
+  from documents
+)
+select doc_id, w as n_words, ca as n_alnum, l as n_letters,
+       case when w > 0 then s end as n_sentences,
+       case when w > 0 then
+         cast((1000000 * (471 * ca * s + 50 * w * w - 2143 * w * s))
+              // (100 * w * s) as bigint) end as ari_ppm,
+       case when w > 0 then
+         cast((1000000 * (588 * l - 2960 * s - 1580 * w))
+              // (100 * w) as bigint) end as cli_ppm
+from c
+"""
+
+
+def q_wl_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-bisimulation summary graph (graphrank.py:wl_quotient) of the
+    same two-predicate KG slice as wl_colors: structural classes after
+    2 WL rounds, one summary edge per (class, predicate, class) with
+    exact edge/node support — the structural index a BGP planner
+    prunes against before touching the corpus-scale triple table."""
+    from cow_spark.operators.graphrank import wl_quotient
+
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    contains = (
+        li.where(F.col("l_orderkey") % 41 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("dst"),
+            F.lit("contains").alias("pred"))
+        .distinct())
+    by = (
+        orders.where(F.col("o_orderkey") % 41 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("dst"),
+            F.lit("by").alias("pred")))
+    return wl_quotient(contains.unionByName(by), rounds=2, pred="pred")
+
+
+def _sql_wl_quotient() -> str:
+    from cow_spark.operators.graphrank import wl_quotient_oracle_sql
+
+    edges = (
+        "select distinct 'o' || cast(l_orderkey as varchar) as s, "
+        "'p' || cast(l_partkey as varchar) as d, 'contains' as p "
+        "from lineitem where l_orderkey % 41 = 0 "
+        "union all "
+        "select distinct 'o' || cast(o_orderkey as varchar), "
+        "'c' || cast(o_custkey as varchar), 'by' "
+        "from orders where o_orderkey % 41 = 0"
+    )
+    return wl_quotient_oracle_sql(edges, rounds=2)
 
 
 def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8314,6 +8452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mixing": q_graph_mixing,
         "turn_coherence": q_turn_coherence,
         "path_range": q_path_range,
+        "wl_quotient": q_wl_quotient,
+        "readability": q_readability,
+        "rdf_containers": q_rdf_containers,
     }
 
 
@@ -8488,4 +8629,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mixing": _sql_graph_mixing(),
         "turn_coherence": _sql_turn_coherence(),
         "path_range": _SQL_PATH_RANGE,
+        "wl_quotient": _sql_wl_quotient(),
+        "readability": _SQL_READABILITY,
+        "rdf_containers": _SQL_RDF_CONTAINERS,
     }

@@ -129,6 +129,9 @@ HEADLINE = [
     "graph_mixing",
     "turn_coherence",
     "path_range",
+    "wl_quotient",
+    "readability",
+    "rdf_containers",
 ]
 
 

@@ -3429,3 +3429,77 @@ def mixing_metrics(
           recip, assort)],
         "n_nodes long, n_dir_edges long, n_undir_edges long, "
         "n_reciprocal long, reciprocity_ppm long, assortativity_ppm long")
+
+
+def wl_quotient(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    pred: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-bisimulation structural summary (quotient graph) of a
+    directed, optionally predicate-labeled KG: nodes are grouped by
+    their :func:`wl_refine` color after ``rounds`` rounds (two nodes
+    share a class iff 1-WL cannot distinguish their k-neighborhoods —
+    the standard bisimulation-summary construction of the RDF
+    structural-index literature), and every edge collapses onto its
+    class pair. The summary answers "what SHAPES does this KG contain"
+    at |classes|² cost instead of |V|², and is the index layer for
+    query planning over heterogeneous KGs (a BGP can be pruned against
+    the summary before touching the corpus-scale triple table).
+
+    Returns ``(src_color, p, dst_color, n_edges, n_src_nodes,
+    n_dst_nodes)`` — one row per summary edge with the exact support
+    counts (``p`` is '' when ``pred`` is None, mirroring wl_refine).
+    Input edges are DEDUPLICATED on (s, p, d) first and the SAME
+    deduped set feeds color refinement — duplicates would shift the
+    commutative multiset sums and the summary counts in lockstep, so
+    pinning one canonical multiplicity keeps the contract stable.
+
+    Scale shape: wl_refine's per-round join+partial-agg (hub-safe by
+    construction), then two node-keyed joins of the deduped edge set
+    against the (node, color) table and one class-pair-keyed partial
+    aggregate — all edge-shaped; the distinct-node counts ride the
+    same aggregate (two count-distincts over already-grouped rows).
+    """
+    p = (F.col(pred).cast("string") if pred is not None
+         else F.lit("")).alias("p")
+    e = (edges.select(F.col(src).cast("string").alias("s"),
+                      F.col(dst).cast("string").alias("d"), p)
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .dropDuplicates())
+    e = round_checkpoint(e, checkpoint_dir)
+    colors = wl_refine(e, rounds=rounds, src="s", dst="d", pred="p",
+                       checkpoint_dir=checkpoint_dir)
+    return (
+        e.join(colors.select(F.col("node").alias("s"),
+                             F.col("color").alias("src_color")), "s")
+        .join(colors.select(F.col("node").alias("d"),
+                            F.col("color").alias("dst_color")), "d")
+        .groupBy("src_color", "p", "dst_color")
+        .agg(F.count("*").cast("long").alias("n_edges"),
+             F.countDistinct("s").cast("long").alias("n_src_nodes"),
+             F.countDistinct("d").cast("long").alias("n_dst_nodes"))
+    )
+
+
+def wl_quotient_oracle_sql(edges_sql: str, rounds: int = 2) -> str:
+    """DuckDB twin of :func:`wl_quotient`: the wl_refine unroll as a
+    subquery (referenced twice → materialized), then the same two
+    joins + class-pair aggregate. ``edges_sql`` must yield DISTINCT
+    (s, d, p) — the same dedup contract the operator enforces."""
+    wl = wl_refine_oracle_sql(edges_sql, rounds=rounds)
+    return f"""
+with e as materialized ({edges_sql}),
+wl as materialized ({wl})
+select ca.color as src_color, e.p, cb.color as dst_color,
+       cast(count(*) as bigint) as n_edges,
+       cast(count(distinct e.s) as bigint) as n_src_nodes,
+       cast(count(distinct e.d) as bigint) as n_dst_nodes
+from e
+join wl ca on ca.node = e.s
+join wl cb on cb.node = e.d
+group by 1, 2, 3
+"""

@@ -534,3 +534,68 @@ def url_dedup(
             .select(id_col, url_col, "canon_url",
                     (F.col(id_col) == F.col("_keep")).cast("int")
                     .alias("kept")))
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Automated Readability Index + Coleman-Liau per document, in
+    EXACT integer fixed point — the grade-level quality gate (corpora
+    skewed to grade < 3 are boilerplate/listings; > 16 is OCR noise
+    and code): both formulas use only character/word/sentence counts,
+    which is what makes them exactly computable at corpus scale where
+    syllable-based scores (Flesch) are not.
+
+    Count definitions, mirrored verbatim by the oracle (all in the
+    Java∩RE2 regex subset — no ``\\s``, no shorthand classes):
+    words = maximal ``[A-Za-z0-9]+`` runs (a deliberate, documented
+    deviation from whitespace tokens: hyphenation and punctuation glue
+    never change the word count); ARI characters = total alnum chars
+    (= Σ run lengths); CLI letters = ``[A-Za-z]`` count; sentences =
+    ``[.!?]+`` terminator runs, floored at 1 when words > 0 (an
+    unterminated fragment is one sentence, not a division by zero).
+
+    ppm fixed point with the pmod floor trick (negative numerators are
+    legal — short texts score below 0; truncation-toward-zero would
+    diverge from DuckDB's ``//`` exactly there):
+    ``ari_ppm  = ⌊10⁶·(471·c·s + 50·w² − 2143·w·s) / (100·w·s)⌋``
+    ``cli_ppm  = ⌊10⁶·(588·l − 2960·s − 1580·w) / (100·w)⌋``
+    (ARI = 4.71·c/w + 0.5·w/s − 21.43; CLI = 5.88·l/w − 29.6·s/w −
+    15.8 — coefficients scaled to integers). NULL scores when a doc
+    has no words.
+
+    Map-only: one projection over the scan, zero shuffles — the plan a
+    100 TB quality pass needs (composes with the Gopher gates in a
+    single stage).
+    """
+    t = F.col(text_col)
+    w = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z0-9]+"), 0)) \
+        .cast("long")
+    c = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z0-9]"), 0)) \
+        .cast("long")
+    letters = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)) \
+        .cast("long")
+    s_raw = F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)) \
+        .cast("long")
+    s = F.greatest(s_raw, F.lit(1).cast("long"))
+
+    def floordiv(num: Column, den: Column) -> Column:
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    ari_num = F.lit(1_000_000) * (
+        F.lit(471) * c * s + F.lit(50) * w * w - F.lit(2143) * w * s)
+    cli_num = F.lit(1_000_000) * (
+        F.lit(588) * letters - F.lit(2960) * s - F.lit(1580) * w)
+    ari = F.when(w > 0, floordiv(ari_num, F.lit(100) * w * s))
+    cli = F.when(w > 0, floordiv(cli_num, F.lit(100) * w))
+    return df.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        c.alias("n_alnum"),
+        letters.alias("n_letters"),
+        F.when(w > 0, s).alias("n_sentences"),
+        ari.alias("ari_ppm"),
+        cli.alias("cli_ppm"),
+    )

@@ -471,3 +471,56 @@ def rdf_list_members(quads: DataFrame, max_len: int = 512) -> DataFrame:
     return (pos0.unionByName(posn)
             .join(first, "n")
             .select("head", "pos", "member", "member_kind"))
+
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_CONTAINER_TYPES = (_RDF_NS + "Seq", _RDF_NS + "Bag", _RDF_NS + "Alt")
+
+
+def rdf_container_members(quads: DataFrame) -> DataFrame:
+    """Unroll every RDF container (``rdf:Seq``/``rdf:Bag``/``rdf:Alt``)
+    to ``(container, ctype, pos, member, member_kind)`` rows — the
+    OTHER way RDF encodes collections (:func:`rdf_list_members` covers
+    the cons-cell encoding): membership is a flat fan of positional
+    predicates ``rdf:_1, rdf:_2, …``, so unlike lists there is no
+    chain to close — this is a MAP-ONLY pass (one predicate-prefix
+    filter + integer extract) plus one small left join for the
+    container's declared type (NULL when untyped; Bag semantics make
+    ``pos`` meaningless there but the arc still carries it).
+
+    The graph is reported as-is: duplicate positions (two ``rdf:_1``
+    arcs — legal if pathological RDF) yield one row per distinct
+    (container, pos, member, kind) fact rather than raising — a
+    container is a fan, not a chain, so there is no ambiguity to
+    protect against, only multiplicity. Positions longer than 18
+    digits are dropped (they exceed int64; no real vocabulary mints
+    them) — filtered BEFORE the cast so ANSI mode cannot abort.
+    """
+    pos_pat = r"^http://www\.w3\.org/1999/02/22-rdf-syntax-ns#_([0-9]+)$"
+    digits = F.regexp_extract(F.col("p"), pos_pat, 1)
+    arcs = (quads
+            .where(F.col("p").startswith(_RDF_NS + "_"))
+            .select(F.col("s").alias("container"),
+                    digits.alias("_d"),
+                    F.col("o_lex").alias("member"),
+                    F.col("o_kind").alias("member_kind"))
+            .where((F.length("_d") > 0) & (F.length("_d") <= 18))
+            # try_cast, not cast: a CONSTANT predicate in a union branch
+            # (e.g. a lit rdf:type arc) constant-folds the extract to ''
+            # at OPTIMIZATION time, before the filter can reject it —
+            # ANSI cast would abort the whole job from the driver
+            .select("container",
+                    F.col("_d").try_cast("long").alias("pos"),
+                    "member", "member_kind")
+            .where(F.col("pos").isNotNull())
+            .dropDuplicates())
+    types = (quads
+             .where((F.col("p") == RDF_TYPE)
+                    & (F.col("o_kind") == "iri")
+                    & F.col("o_lex").isin(list(_CONTAINER_TYPES)))
+             .select(F.col("s").alias("container"),
+                     F.col("o_lex").alias("ctype"))
+             .dropDuplicates())
+    return (arcs.join(types, "container", "left")
+            .select("container", "ctype", "pos", "member", "member_kind"))

@@ -2457,3 +2457,114 @@ def test_mixing_metrics_empty(spark):
     r = mixing_metrics(df).first()
     assert (r.n_nodes, r.n_dir_edges, r.n_reciprocal) == (0, 0, 0)
     assert r.reciprocity_ppm is None and r.assortativity_ppm is None
+
+
+def test_wl_quotient_isomorphic_stars_collapse(spark):
+    """Two isomorphic hub-and-spoke components collapse onto ONE
+    summary edge; Σ n_edges = |E|; rounds=0 groups only by predicate."""
+    from cow_spark.operators.graphrank import wl_quotient
+
+    edges = ([("h1", f"a{i}", "spoke") for i in range(3)]
+             + [("h2", f"b{i}", "spoke") for i in range(3)])
+    df = spark.createDataFrame(edges, "src string, dst string, pred string")
+    rows = wl_quotient(df, rounds=2, pred="pred").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p, r.n_edges, r.n_src_nodes, r.n_dst_nodes) == ("spoke", 6, 2, 6)
+
+    # rounds=0: every node one class — summary = per-predicate totals
+    mixed = df.union(spark.createDataFrame(
+        [("a0", "h2", "back")], "src string, dst string, pred string"))
+    z = {(r.p): (r.n_edges, r.n_src_nodes, r.n_dst_nodes)
+         for r in wl_quotient(mixed, rounds=0, pred="pred").collect()}
+    assert z == {"spoke": (6, 2, 6), "back": (1, 1, 1)}
+
+
+def test_wl_quotient_matches_serial_twin(spark):
+    """Random labeled digraph: quotient from the distributed colors ==
+    quotient recomputed from wl_refine_py's serial colors."""
+    import random
+
+    from cow_spark.operators.graphrank import wl_quotient, wl_refine_py
+
+    rnd = random.Random(5)
+    edges = sorted({(f"n{rnd.randrange(8)}", f"n{rnd.randrange(8)}",
+                     rnd.choice(["p", "q"])) for _ in range(24)})
+    df = spark.createDataFrame(edges, "src string, dst string, pred string")
+    got = {(r.src_color, r.p, r.dst_color):
+           (r.n_edges, r.n_src_nodes, r.n_dst_nodes)
+           for r in wl_quotient(df, rounds=3, pred="pred").collect()}
+
+    colors = dict(wl_refine_py(edges, rounds=3))
+    agg: dict = {}
+    for s, d, p in edges:
+        k = (colors[s], p, colors[d])
+        e, ss, dd = agg.setdefault(k, [0, set(), set()])
+        agg[k][0] += 1
+        ss.add(s), dd.add(d)
+    want = {k: (v[0], len(v[1]), len(v[2])) for k, v in agg.items()}
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(edges)
+
+
+def test_wl_quotient_dedups_input_edges(spark):
+    from cow_spark.operators.graphrank import wl_quotient
+
+    df = spark.createDataFrame(
+        [("a", "b", "p")] * 4 + [("a", None, "p")],
+        "src string, dst string, pred string")
+    r = wl_quotient(df, rounds=1, pred="pred").collect()
+    assert len(r) == 1 and r[0].n_edges == 1
+
+
+def test_readability_scores_exact(spark):
+    """Hand-computed ARI/CLI fixed-point values, the unterminated-
+    fragment sentence floor, negative grades, and the no-words NULL."""
+    from cow_spark.operators.quality import readability_scores
+
+    rows = [
+        (1, "The cat sat on the mat."),       # 6 words, 17 alnum, 1 sent
+        (2, "Hi."),                           # short → negative grades
+        (3, "no terminator here"),            # s floored at 1
+        (4, "!!! ... ???"),                   # no words → NULLs
+        (5, "One. Two! Three? Four."),        # 4 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+
+    def ari(c, w, s):
+        return (1_000_000 * (471 * c * s + 50 * w * w - 2143 * w * s)
+                ) // (100 * w * s)
+
+    def cli(le, w, s):
+        return (1_000_000 * (588 * le - 2960 * s - 1580 * w)) // (100 * w)
+
+    r1 = got[1]
+    assert (r1.n_words, r1.n_alnum, r1.n_sentences) == (6, 17, 1)
+    assert r1.ari_ppm == ari(17, 6, 1)
+    assert r1.cli_ppm == cli(17, 6, 1)
+
+    r2 = got[2]
+    assert (r2.n_words, r2.n_alnum, r2.n_sentences) == (1, 2, 1)
+    assert r2.ari_ppm == ari(2, 1, 1) and r2.ari_ppm < 0  # floor, not trunc
+    assert r2.ari_ppm == -11_510_000  # 4.71*2 + 0.5 - 21.43
+
+    r3 = got[3]
+    assert r3.n_sentences == 1 and r3.ari_ppm == ari(16, 3, 1)
+
+    r4 = got[4]
+    assert r4.n_words == 0
+    assert r4.ari_ppm is None and r4.cli_ppm is None
+    assert r4.n_sentences is None
+
+    assert got[5].n_sentences == 4
+
+
+def test_readability_letters_vs_alnum(spark):
+    """Digits count for ARI characters but not CLI letters."""
+    from cow_spark.operators.quality import readability_scores
+
+    df = spark.createDataFrame([(1, "room 404 found.")],
+                               "doc_id long, text string")
+    r = readability_scores(df).first()
+    assert (r.n_words, r.n_alnum, r.n_letters) == (3, 12, 9)

@@ -422,3 +422,37 @@ def test_rdf_list_members_malformed_fail_loudly(spark):
     two_firsts = [_lq("A", RDF_FIRST, "x"), _lq("A", RDF_FIRST, "y")]
     with pytest.raises(ValueError, match="rdf:first"):
         rdf_list_members(spark.createDataFrame(two_firsts, _LQ_SCHEMA))
+
+
+def test_rdf_container_members(spark):
+    """Typed Seq/Bag containers unroll with exact positions; untyped
+    containers get NULL ctype; duplicate arcs collapse to distinct
+    facts; non-positional rdf-namespace predicates and >18-digit
+    positions are ignored; member kinds pass through."""
+    from cow_spark.plans.entail import RDF_TYPE, rdf_container_members
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        _lq("C1", RDF_TYPE, RDF + "Seq"),
+        _lq("C1", RDF + "_1", "a"),
+        _lq("C1", RDF + "_2", "lit-b", "lit"),
+        _lq("C1", RDF + "_10", "c"),           # numeric, not lexical, order
+        _lq("C1", RDF + "_2", "lit-b", "lit"),  # duplicate arc collapses
+        _lq("C2", RDF + "_1", "x"),             # untyped container
+        # two rdf:_1 arcs: legal multiplicity, both reported
+        _lq("C2", RDF + "_1", "y"),
+        # noise that must not match
+        _lq("C1", RDF + "first", "nope"),
+        _lq("C1", RDF + "_9999999999999999999", "too-big"),
+        _lq("C3", RDF_TYPE, RDF + "Bag"),       # typed but memberless
+    ]
+    got = {(r.container, r.ctype, r.pos, r.member, r.member_kind)
+           for r in rdf_container_members(
+               spark.createDataFrame(rows, _LQ_SCHEMA)).collect()}
+    assert got == {
+        ("C1", RDF + "Seq", 1, "a", "iri"),
+        ("C1", RDF + "Seq", 2, "lit-b", "lit"),
+        ("C1", RDF + "Seq", 10, "c", "iri"),
+        ("C2", None, 1, "x", "iri"),
+        ("C2", None, 1, "y", "iri"),
+    }
