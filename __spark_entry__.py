@@ -5254,6 +5254,71 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-prefix duplicate detection (dialogue.py:prefix_duplicates):
+    the transcripts plus an injected 2-turn '-retry' copy of every 7th
+    conversation — regenerated sessions are full prefixes and must all
+    surface, together with any incidental identical short
+    conversations the template corpus itself contains."""
+    from cow_spark.operators.dialogue import prefix_duplicates
+    from cow_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, 5000)
+    convn = F.substring(F.col("conv_id"), 6, 6).cast("long")
+    retry = (t.where((convn % 7 == 0) & (F.col("turn_idx") < 2))
+             .withColumn("conv_id", F.concat(F.col("conv_id"),
+                                             F.lit("-retry"))))
+    return prefix_duplicates(
+        t.select("conv_id", "turn_idx", "role", "text").unionByName(
+            retry.select("conv_id", "turn_idx", "role", "text")))
+
+
+def _sql_prefix_duplicates() -> str:
+    from cow_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        "concat_ws('|', cast(rk as varchar), role, text)")
+    return f"""
+with {_sql_transcripts_gen()},
+aug as (
+  select conv_id, turn_idx, role, coalesce(text, '') as text
+  from transcripts_gen
+  union all
+  select conv_id || '-retry', turn_idx, role, coalesce(text, '')
+  from transcripts_gen
+  where cast(substr(conv_id, 6) as bigint) % 7 = 0 and turn_idx < 2
+),
+rkd as (
+  select conv_id,
+         row_number() over (partition by conv_id order by turn_idx)
+           as rk,
+         role, text
+  from aug
+),
+h as (select conv_id, rk, ({h}) % {1 << 44} as th from rkd),
+run as (
+  select conv_id, rk,
+         sum(th) over (partition by conv_id order by rk
+                       rows between unbounded preceding and current row)
+           as fp
+  from h
+),
+tails as (
+  select conv_id, cast(count(*) as bigint) as n_turns,
+         cast(sum(th) as bigint) as total
+  from h group by conv_id
+)
+select a.conv_id as conv_a, b.conv_id as conv_b,
+       cast(a.n_turns as bigint) as prefix_len
+from tails a
+join run b on b.rk = a.n_turns and b.fp = a.total
+              and b.conv_id <> a.conv_id
+join tails tb on tb.conv_id = b.conv_id
+where a.n_turns < tb.n_turns
+   or (a.n_turns = tb.n_turns and a.conv_id < b.conv_id)
+"""
+
+
 _COHERENCE_THRESHOLD_PPM = 100_000
 
 
@@ -8455,6 +8520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_quotient": q_wl_quotient,
         "readability": q_readability,
         "rdf_containers": q_rdf_containers,
+        "prefix_duplicates": q_prefix_duplicates,
     }
 
 
@@ -8632,4 +8698,5 @@ def oracle_sql() -> dict[str, str]:
         "wl_quotient": _sql_wl_quotient(),
         "readability": _SQL_READABILITY,
         "rdf_containers": _SQL_RDF_CONTAINERS,
+        "prefix_duplicates": _sql_prefix_duplicates(),
     }

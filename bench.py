@@ -132,6 +132,7 @@ HEADLINE = [
     "wl_quotient",
     "readability",
     "rdf_containers",
+    "prefix_duplicates",
 ]
 
 

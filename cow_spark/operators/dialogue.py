@@ -191,3 +191,70 @@ def turn_coherence(
         F.sum(F.when(F.col("jac_ppm") < threshold_ppm, 1)
               .otherwise(0)).cast("long").alias("n_incoherent"),
     ))
+
+
+def prefix_duplicates(transcripts: DataFrame) -> DataFrame:
+    """Conversations that are FULL TURN-PREFIXES of other conversations
+    — the transcript-native duplicate class (a retried / regenerated /
+    resumed session re-submits the same opening turns verbatim, so
+    document-level near-dup misses it while the prefix relation is
+    exact). Returns ``(conv_a, conv_b, prefix_len)``: conversation
+    ``conv_a``'s ENTIRE turn sequence (roles and texts, in turn order)
+    equals the first ``prefix_len`` turns of ``conv_b``; equal-length
+    pairs (identical conversations) are emitted once with
+    ``conv_a < conv_b``. Downstream keeps max-length representatives
+    and drops the subsumed retries.
+
+    Prefix identity is decided by an ORDER-AWARE COMMUTATIVE
+    fingerprint: per turn ``t = H60(rank || '|' || role || '|' ||
+    text) mod 2^44``, per prefix the running Σt — position sits inside
+    each hash, so equal (length, sum) keys identify equal ordered
+    prefixes (fingerprint-collision caveat: 44 bits per term + the
+    exact length in the key, the repo-wide md5-fingerprint contract
+    class). The 2^44 cap is what keeps the window sum inside int64 for
+    conversations up to 2^19 turns — UNCAPPED 60-bit terms overflow at
+    just 8 turns, and ANSI would abort; past 2^19 turns the sum still
+    raises loudly rather than wrapping. Ranks are DENSE positions
+    (row_number per conversation), so gappy turn_idx values compare by
+    sequence, not by raw index arithmetic.
+
+    Scale shape: one (conv_id)-keyed window pass for ranks + running
+    sums, one conversation-sized tails table (final sum + length), and
+    ONE equi-join on (length, fingerprint) — candidate pairs only
+    where a tail sum matches a prefix sum at the same depth, i.e. the
+    join key IS the dedup evidence. No all-pairs, no per-row Python.
+    """
+    from ..functions.hashing import portable_hash60
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    rk = F.row_number().over(w)
+    t = transcripts.select(
+        "conv_id", rk.alias("rk"),
+        F.pmod(portable_hash60(F.concat_ws(
+            "|", rk.cast("string"), F.col("role"),
+            F.coalesce(F.col("text"), F.lit("")))),
+            F.lit(1 << 44)).alias("th"))
+    run = (t.withColumn(
+        "fp", F.sum("th").over(
+            Window.partitionBy("conv_id").orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("conv_id", "rk", "fp"))
+    tails = (run.groupBy("conv_id")
+             .agg(F.max("rk").alias("n_turns"), F.max_by("fp", "rk")
+                  .alias("total")))
+    a = tails.select(F.col("conv_id").alias("conv_a"),
+                     F.col("n_turns").alias("len_a"),
+                     F.col("total").alias("fp_a"))
+    b = run.select(F.col("conv_id").alias("conv_b"),
+                   F.col("rk").alias("len_a"), F.col("fp").alias("fp_a"))
+    pairs = (a.join(b, ["len_a", "fp_a"])
+             .where(F.col("conv_a") != F.col("conv_b")))
+    # identical conversations match in both directions: keep min-id
+    # as conv_a; proper prefixes only ever match one way
+    blen = tails.select(F.col("conv_id").alias("conv_b"),
+                        F.col("n_turns").alias("len_b"))
+    return (pairs.join(blen, "conv_b")
+            .where((F.col("len_a") < F.col("len_b"))
+                   | (F.col("conv_a") < F.col("conv_b")))
+            .select("conv_a", "conv_b",
+                    F.col("len_a").cast("long").alias("prefix_len")))

@@ -136,3 +136,51 @@ def test_turn_coherence_orders_by_turn_idx_not_input_order(spark):
     # 0→1: {a,b}∩{b,c}=1/3; 1→2: {b,c}∩{c,d}=1/3
     assert r.n_transitions == 2
     assert r.mean_jac_ppm == 333_333
+
+
+def test_prefix_duplicates_exact_relation(spark):
+    """Proper prefixes, identical twins (one direction, min-id first),
+    divergence-after-prefix excluded, role changes break the prefix,
+    gappy turn_idx compares by dense sequence."""
+    from cow_spark.operators.dialogue import prefix_duplicates
+
+    rows = [
+        # P1 = first 2 turns of FULL; P2 diverges at turn 2
+        ("FULL", 0, "u", "hi"), ("FULL", 1, "a", "hello"),
+        ("FULL", 2, "u", "more"),
+        ("P1", 0, "u", "hi"), ("P1", 1, "a", "hello"),
+        ("P2", 0, "u", "hi"), ("P2", 1, "a", "DIFFERENT"),
+        # identical twins
+        ("T1", 0, "u", "x"), ("T2", 0, "u", "x"),
+        # same text, different role: NOT a prefix of T1/T2
+        ("R1", 0, "a", "x"),
+        # gappy indices: dense rank makes G1 ≡ P1's sequence
+        ("G1", 5, "u", "hi"), ("G1", 9, "a", "hello"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r.conv_a, r.conv_b, r.prefix_len)
+           for r in prefix_duplicates(df).collect()}
+    assert got == {
+        ("P1", "FULL", 2), ("G1", "FULL", 2),
+        ("G1", "P1", 2), ("P1", "G1", 2),  # equal-content, equal-length?
+        ("T1", "T2", 1),
+    } - {("P1", "G1", 2), ("G1", "P1", 2)} | {
+        # equal-length identical pair keeps min-id direction only
+        ("G1", "P1", 2),
+    }
+
+
+def test_prefix_duplicates_no_false_positives(spark):
+    import random
+
+    from cow_spark.operators.dialogue import prefix_duplicates
+
+    rnd = random.Random(3)
+    rows = []
+    for c in range(20):
+        for i in range(rnd.randint(1, 5)):
+            rows.append((f"c{c}", i, "u", f"t{c}-{i}"))  # all distinct
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    assert prefix_duplicates(df).count() == 0
