@@ -703,7 +703,7 @@ _SQL_SKOLEM = """
 select cast(doc_id as bigint) as doc_id,
        'https://example.com/id/skolem/' ||
        md5(concat_ws(chr(31), cast(doc_id as varchar),
-                     coalesce(source, chr(0) || 'null' || chr(0))))
+                     coalesce(source, chr(1) || 'null')))
          as skolem_iri
 from documents
 """
@@ -8327,6 +8327,254 @@ def _sql_ktruss() -> str:
     return ktruss_oracle_sql(edges, k=3, rounds=6)
 
 
+def q_rdf_reified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF reification unrolling (entail.py:rdf_reified_statements):
+    one statement node per order describing (customer, status-pred,
+    object) with orderkey residues exercising every branch — %3 picks
+    the object term shape (IRI / typed literal / lang literal), %2 the
+    explicit rdf:type rdf:Statement arc, %11 drops the rdf:object arc
+    (incomplete -> no row), %13 adds a SECOND rdf:subject arc
+    (multiplicity -> two rows). Three stmt-keyed joins over one
+    predicate-filtered slice; the twin rebuilds the rows with an
+    unnest over the subject list."""
+    from cow_spark.plans.entail import rdf_reified_statements
+
+    o = _load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("long")
+    stmt = F.concat(F.lit(f"{BASE}/stmt/"), key.cast("string"))
+    cust = F.concat(F.lit(f"{BASE}/cust/"),
+                    F.col("o_custkey").cast("string"))
+    cust2 = F.concat(F.lit(f"{BASE}/clerk/"),
+                     F.pmod(key, F.lit(50)).cast("string"))
+    pred = F.concat(F.lit(f"{BASE}/p/"),
+                    F.when(key % 5 == 0, F.lit("priority"))
+                    .otherwise(F.lit("status")))
+    obj = F.when(
+        key % 3 == 0,
+        F.struct(F.lit("iri").alias("o_kind"),
+                 F.concat(F.lit(f"{BASE}/order/"), key.cast("string"))
+                 .alias("o_lex"),
+                 F.lit(None).cast("string").alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang"))
+    ).when(
+        key % 3 == 1,
+        F.struct(F.lit("lit").alias("o_kind"),
+                 F.col("o_orderstatus").alias("o_lex"),
+                 F.lit("http://www.w3.org/2001/XMLSchema#string")
+                 .alias("o_dt"),
+                 F.lit(None).cast("string").alias("o_lang"))
+    ).otherwise(
+        F.struct(F.lit("lit").alias("o_kind"),
+                 F.col("o_orderpriority").alias("o_lex"),
+                 F.lit(None).cast("string").alias("o_dt"),
+                 F.lit("en").alias("o_lang")))
+    _iri = "iri"
+
+    def _arc(p, kind, lex, dt=None, lang=None):
+        return F.struct(
+            p.alias("p"), F.lit(kind).alias("o_kind"), lex.alias("o_lex"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("o_dt"),
+            (F.lit(lang) if lang else F.lit(None)).cast("string")
+            .alias("o_lang"))
+
+    arcs = F.array(
+        _arc(F.lit(_RDF_NS + "subject"), _iri, cust),
+        F.when(key % 13 == 0,
+               _arc(F.lit(_RDF_NS + "subject"), _iri, cust2)),
+        _arc(F.lit(_RDF_NS + "predicate"), _iri, pred),
+        F.when(key % 11 != 0,
+               F.struct(F.lit(_RDF_NS + "object").alias("p"),
+                        obj.o_kind.alias("o_kind"),
+                        obj.o_lex.alias("o_lex"),
+                        obj.o_dt.alias("o_dt"),
+                        obj.o_lang.alias("o_lang"))),
+        F.when(key % 2 == 0,
+               _arc(F.lit(_RDF_NS + "type"), _iri,
+                    F.lit(_RDF_NS + "Statement"))),
+    )
+    quads = (o.select(stmt.alias("s"), F.explode(arcs).alias("a"))
+             .where(F.col("a").isNotNull())
+             .select(F.lit(None).cast("string").alias("g"), "s",
+                     F.col("a.p").alias("p"),
+                     F.col("a.o_kind").alias("o_kind"),
+                     F.col("a.o_lex").alias("o_lex"),
+                     F.col("a.o_dt").alias("o_dt"),
+                     F.col("a.o_lang").alias("o_lang")))
+    return rdf_reified_statements(quads)
+
+
+_SQL_RDF_REIFIED = f"""
+with base as (
+  select cast(o_orderkey as bigint) as k,
+         '{BASE}/stmt/' || cast(o_orderkey as varchar) as stmt,
+         '{BASE}/cust/' || cast(o_custkey as varchar) as cust,
+         '{BASE}/clerk/' || cast(o_orderkey % 50 as varchar) as cust2,
+         '{BASE}/p/' || case when o_orderkey % 5 = 0
+                             then 'priority' else 'status' end as p,
+         case when o_orderkey % 3 = 0 then 'iri' else 'lit' end as o_kind,
+         case when o_orderkey % 3 = 0
+                then '{BASE}/order/' || cast(o_orderkey as varchar)
+              when o_orderkey % 3 = 1 then o_orderstatus
+              else o_orderpriority end as o_lex,
+         case when o_orderkey % 3 = 1
+              then 'http://www.w3.org/2001/XMLSchema#string' end as o_dt,
+         case when o_orderkey % 3 = 2 then 'en' end as o_lang,
+         o_orderkey % 2 = 0 as declared
+  from orders
+  where o_orderkey % 11 <> 0
+)
+select stmt, t.s as s, 'iri' as s_kind, p, o_kind, o_lex, o_dt, o_lang,
+       declared
+from base,
+     unnest(case when k % 13 = 0 then [cust, cust2] else [cust] end)
+       as t(s)
+"""
+
+
+def q_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile (stats.py:predicate_profile)
+    over a mixed-cardinality quad table: `clerk` and `status` are
+    observed-functional (one object per order), `ordered_part` fans
+    both ways via lineitem, `ref` is near-inverse-functional with
+    deliberate %97 collisions — so every ppm column takes a value
+    strictly between 0 and 10^6 somewhere. Two partial-agg groupBys
+    reduced to the predicate-sized table."""
+    from cow_spark.plans.stats import predicate_profile
+
+    o = _load(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    li = _load(spark, sf_dir, "lineitem")
+
+    def _q(s, p, kind, lex, dt=None, lang=None):
+        return [s.alias("s"), F.lit(f"{BASE}/p/{p}").alias("p"),
+                F.lit(kind).alias("o_kind"), lex.alias("o_lex"),
+                (F.lit(dt) if dt else F.lit(None)).cast("string")
+                .alias("o_dt"),
+                (F.lit(lang) if lang else F.lit(None)).cast("string")
+                .alias("o_lang")]
+
+    oiri = F.concat(F.lit(f"{BASE}/order/"), okey.cast("string"))
+    quads = (
+        o.select(*_q(oiri, "status", "lit", F.col("o_orderstatus"),
+                     dt="http://www.w3.org/2001/XMLSchema#string"))
+        .unionByName(o.select(*_q(oiri, "clerk", "iri",
+                                  F.concat(F.lit(f"{BASE}/clerk/"),
+                                           F.pmod(okey, F.lit(1000))
+                                           .cast("string")))))
+        .unionByName(o.select(*_q(
+            oiri, "ref", "lit",
+            F.pmod(okey, F.lit(97)).cast("string"))))
+        .unionByName(li.select(*_q(
+            F.concat(F.lit(f"{BASE}/order/"),
+                     F.col("l_orderkey").cast("string")),
+            "ordered_part", "iri",
+            F.concat(F.lit(f"{BASE}/part/"),
+                     F.col("l_partkey").cast("string")))))
+    ).select(F.lit(None).cast("string").alias("g"), "s", "p",
+             "o_kind", "o_lex", "o_dt", "o_lang")
+    return predicate_profile(quads)
+
+
+_SQL_PREDICATE_PROFILE = f"""
+with quads as (
+  select '{BASE}/order/' || cast(o_orderkey as varchar) as s,
+         '{BASE}/p/status' as p, 'lit' as o_kind, o_orderstatus as o_lex,
+         'http://www.w3.org/2001/XMLSchema#string' as o_dt,
+         cast(null as varchar) as o_lang
+  from orders
+  union all
+  select '{BASE}/order/' || cast(o_orderkey as varchar),
+         '{BASE}/p/clerk', 'iri',
+         '{BASE}/clerk/' || cast(o_orderkey % 1000 as varchar), null, null
+  from orders
+  union all
+  select '{BASE}/order/' || cast(o_orderkey as varchar),
+         '{BASE}/p/ref', 'lit', cast(o_orderkey % 97 as varchar),
+         null, null
+  from orders
+  union all
+  select '{BASE}/order/' || cast(l_orderkey as varchar),
+         '{BASE}/p/ordered_part', 'iri',
+         '{BASE}/part/' || cast(l_partkey as varchar), null, null
+  from lineitem
+),
+keyed as (
+  select s, p,
+         o_kind || chr(1) || o_lex || chr(1)
+           || coalesce(o_dt, chr(1) || 'null') || chr(1)
+           || coalesce(o_lang, chr(1) || 'null') as ok
+  from quads
+),
+by_s as (
+  select p, cast(sum(nt) as bigint) as n_triples,
+         cast(count(*) as bigint) as n_subjects,
+         cast(max(fan) as bigint) as max_out,
+         cast(sum(case when fan = 1 then 1 else 0 end) as bigint)
+           as single_out
+  from (select p, s, count(distinct ok) as fan, count(*) as nt
+        from keyed group by p, s)
+  group by p
+),
+by_o as (
+  select p, cast(count(*) as bigint) as n_objects,
+         cast(max(fan) as bigint) as max_in,
+         cast(sum(case when fan = 1 then 1 else 0 end) as bigint)
+           as single_in
+  from (select p, ok, count(distinct s) as fan
+        from keyed group by p, ok)
+  group by p
+)
+select by_s.p as p, n_triples, n_subjects, n_objects, max_out, max_in,
+       cast((single_out * 1000000) // n_subjects as bigint)
+         as functional_ppm,
+       cast((single_in * 1000000) // n_objects as bigint)
+         as inverse_functional_ppm
+from by_s join by_o on by_s.p = by_o.p
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (pii.py:k_anonymity_audit) over
+    customer quasi-identifiers (segment, nation-bucket, a %211 age
+    bucket that manufactures small groups) with a 3-value sensitive
+    class, k=5 / l=2 — both violation flags fire on real groups and
+    both pass on others. One partial-agg groupBy, output bounded by
+    distinct QI combinations."""
+    from cow_spark.operators.pii import k_anonymity_audit
+
+    c = _load(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.pmod(F.col("c_nationkey").cast("long"), F.lit(5))
+        .alias("region_bucket"),
+        F.pmod(F.col("c_custkey").cast("long"), F.lit(211))
+        .alias("age_bucket"),
+        F.pmod(F.floor(F.abs(F.col("c_acctbal")) * 100).cast("long"),
+               F.lit(3)).alias("balance_class"))
+    return k_anonymity_audit(
+        qi, ["segment", "region_bucket", "age_bucket"],
+        "balance_class", k=5, l=2)
+
+
+_SQL_K_ANONYMITY = """
+with qi as (
+  select c_mktsegment as segment,
+         cast(c_nationkey % 5 as bigint) as region_bucket,
+         cast(c_custkey % 211 as bigint) as age_bucket,
+         cast(cast(floor(abs(c_acctbal) * 100) as bigint) % 3 as bigint)
+           as balance_class
+  from customer
+)
+select segment, region_bucket, age_bucket,
+       cast(count(*) as bigint) as group_size,
+       cast(count(distinct balance_class) as bigint) as distinct_sensitive,
+       count(*) < 5 as k_violation,
+       count(distinct balance_class) < 2 as l_violation
+from qi
+group by segment, region_bucket, age_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8521,6 +8769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "rdf_containers": q_rdf_containers,
         "prefix_duplicates": q_prefix_duplicates,
+        "rdf_reified": q_rdf_reified,
+        "predicate_profile": q_predicate_profile,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -8699,4 +8950,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _SQL_READABILITY,
         "rdf_containers": _SQL_RDF_CONTAINERS,
         "prefix_duplicates": _sql_prefix_duplicates(),
+        "rdf_reified": _SQL_RDF_REIFIED,
+        "predicate_profile": _SQL_PREDICATE_PROFILE,
+        "k_anonymity": _SQL_K_ANONYMITY,
     }

@@ -70,3 +70,49 @@ def pii_scan(
     cols.append(total.alias("n_pii"))
     cols.append(redact(F.col(text_col)).alias("redacted"))
     return df.select(*cols)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns —
+    the structured-data privacy gate next to :func:`pii_scan`'s free-
+    text one: before a table with user-describing columns (source,
+    region, age bucket, device) joins a training corpus, every
+    quasi-identifier combination must be shared by ≥ k rows
+    (re-identification resistance, Sweeney 2002) and carry ≥ l
+    distinct sensitive values (attribute-disclosure resistance,
+    Machanavajjhala 2007 — a 10 000-row group is still leaky if all
+    its rows share one diagnosis).
+
+    Returns one row per DISTINCT quasi-identifier combination:
+    ``(<quasi_cols...>, group_size, distinct_sensitive, k_violation,
+    l_violation)`` — the audit table a release decision (suppress,
+    generalize, pass) is made from. NULL quasi-identifier values form
+    their own group (NULL-safe grouping is what groupBy does; a NULL
+    region is itself a fingerprint).
+
+    Scale shape: ONE partial-aggregated groupBy over the
+    quasi-identifier tuple (count + distinct-count map-side combined);
+    output is bounded by distinct QI combinations — if that approaches
+    the row count the data is failing the audit anyway and the flags
+    say so. No joins, no windows, no Python.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity_audit: quasi_cols must be non-empty")
+    if k < 1 or l < 1:
+        raise ValueError(f"k_anonymity_audit: k and l must be >= 1, "
+                         f"got k={k} l={l}")
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count("*").alias("group_size"),
+                 F.countDistinct(sensitive_col).alias("distinct_sensitive"))
+            .select(*quasi_cols,
+                    F.col("group_size").cast("long").alias("group_size"),
+                    F.col("distinct_sensitive").cast("long")
+                    .alias("distinct_sensitive"),
+                    (F.col("group_size") < k).alias("k_violation"),
+                    (F.col("distinct_sensitive") < l).alias("l_violation")))

@@ -524,3 +524,78 @@ def rdf_container_members(quads: DataFrame) -> DataFrame:
              .dropDuplicates())
     return (arcs.join(types, "container", "left")
             .select("container", "ctype", "pos", "member", "member_kind"))
+
+
+_REIF_ROLES = (_RDF_NS + "subject", _RDF_NS + "predicate",
+               _RDF_NS + "object")
+_STATEMENT = _RDF_NS + "Statement"
+
+
+def rdf_reified_statements(quads: DataFrame) -> DataFrame:
+    """Unroll RDF reification — the THIRD collection/annotation encoding
+    next to :func:`rdf_list_members` (cons chains) and
+    :func:`rdf_container_members` (positional fans): a statement node
+    carries ``rdf:subject`` / ``rdf:predicate`` / ``rdf:object`` arcs
+    describing a triple ABOUT which other triples (provenance, belief,
+    temporal scope) are asserted. The reference's nanopub model is the
+    graph-scoped answer to the same need (csvw.py assertion/provenance
+    graphs); legacy vocabularies (PROV-O qualified forms, Wikidata
+    statement nodes, pre-RDF-star annotation) still ship reification,
+    so a KG-construction engine must be able to flatten it.
+
+    Output: one row per complete reification —
+    ``(stmt, s, s_kind, p, o_kind, o_lex, o_dt, o_lang, declared)``
+    where ``declared`` marks an explicit ``rdf:type rdf:Statement``
+    arc (reification is legal without it).  The graph is reported
+    as-is, the container convention: a statement node with two
+    ``rdf:subject`` arcs yields one row per distinct role combination
+    (multiplicity is a fact to surface, not an error to hide), and a
+    literal-valued ``rdf:subject``/``rdf:predicate`` — invalid RDF but
+    representable — passes through with ``s_kind='lit'`` so the caller
+    can quarantine rather than silently lose it. A literal-valued
+    ``rdf:predicate`` names no property at all — the node counts as
+    incomplete. Incomplete nodes (missing any of the three roles) do
+    not emit: they describe no triple.
+
+    Shape at scale: reification arcs are a predicate-filtered slice of
+    the corpus (three constant ``isin`` predicates pushed to the scan,
+    one pass), then two stmt-keyed joins between role tables each
+    bounded by the slice — the corpus never re-shuffles, and the
+    ``declared`` flag is one more left join on the same key. No
+    iteration, no closure: reification is a flat 3-arc star.
+    """
+    roles = (quads
+             .where(F.col("p").isin(*_REIF_ROLES, RDF_TYPE))
+             .select("s", "p", "o_kind", "o_lex", "o_dt", "o_lang")
+             .dropDuplicates())
+    subj = (roles.where(F.col("p") == _REIF_ROLES[0])
+            .select(F.col("s").alias("stmt"),
+                    F.col("o_lex").alias("rs"),
+                    F.col("o_kind").alias("rs_kind")))
+    pred = (roles.where((F.col("p") == _REIF_ROLES[1])
+                        & (F.col("o_kind") == "iri"))
+            .select(F.col("s").alias("stmt"),
+                    F.col("o_lex").alias("rp")))
+    obj = (roles.where(F.col("p") == _REIF_ROLES[2])
+           .select(F.col("s").alias("stmt"),
+                   F.col("o_kind").alias("ro_kind"),
+                   F.col("o_lex").alias("ro_lex"),
+                   F.col("o_dt").alias("ro_dt"),
+                   F.col("o_lang").alias("ro_lang")))
+    decl = (roles.where((F.col("p") == RDF_TYPE)
+                        & (F.col("o_kind") == "iri")
+                        & (F.col("o_lex") == _STATEMENT))
+            .select(F.col("s").alias("stmt"),
+                    F.lit(True).alias("declared")))
+    return (subj.join(pred, "stmt").join(obj, "stmt")
+            .join(decl, "stmt", "left")
+            .select(F.col("stmt"),
+                    F.col("rs").alias("s"),
+                    F.col("rs_kind").alias("s_kind"),
+                    F.col("rp").alias("p"),
+                    F.col("ro_kind").alias("o_kind"),
+                    F.col("ro_lex").alias("o_lex"),
+                    F.col("ro_dt").alias("o_dt"),
+                    F.col("ro_lang").alias("o_lang"),
+                    F.coalesce(F.col("declared"), F.lit(False))
+                    .alias("declared")))

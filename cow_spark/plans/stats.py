@@ -321,3 +321,74 @@ from universe u
 left join direct d on d.c = u.c
 left join rollup r on r.c = u.c
 """
+
+
+def predicate_profile(quads: DataFrame) -> DataFrame:
+    """Per-predicate cardinality profile — the functional /
+    inverse-functional discovery pass that feeds
+    :func:`cow_spark.operators.canon.ifp_sameas`: before merging
+    entities on shared IFP values you need evidence for WHICH
+    predicates actually behave inverse-functionally in this corpus
+    (declared ``owl:InverseFunctionalProperty`` arcs are rare in fused
+    multi-source KGs; observed cardinality is the practical signal).
+
+    One row per predicate: ``(p, n_triples, n_subjects, n_objects,
+    max_out, max_in, functional_ppm, inverse_functional_ppm)`` where
+    ``max_out`` is the largest distinct-object fan of any subject
+    under p (1 ⇔ observed-functional), ``max_in`` the largest
+    distinct-subject fan of any object (1 ⇔ observed-inverse-
+    functional), and the ppm columns are the floor-scaled share of
+    subjects (objects) with exactly one distinct counterpart — the
+    tolerance knob for dirty data where a handful of collisions
+    shouldn't disqualify a predicate (ifp_sameas merges on values, so
+    the caller screens candidates with e.g. ppm ≥ 999000 ∧ max_in ≤
+    small-k).
+
+    Objects are keyed on the full term (kind, lex, datatype, lang) with
+    NULL components coalesced to a sentinel — ``concat_ws`` silently
+    DROPS nulls, which would alias ``"x"@en`` with plain ``"x"``.
+
+    Scale shape: two partial-aggregated groupBys — (p, s) then (p,
+    o-term) — each reduced again to the vocabulary-sized per-predicate
+    table, joined on p. Fan counts are distinct-counts inside the
+    first aggregate (map-side combined); nothing corpus-sized survives
+    the first shuffle. No windows, no Python.
+    """
+    sent = "\x00null\x00"
+    okey = F.concat_ws(
+        "\x01", F.col("o_kind"), F.col("o_lex"),
+        F.coalesce(F.col("o_dt"), F.lit(sent)),
+        F.coalesce(F.col("o_lang"), F.lit(sent)))
+    t = quads.select("p", "s", okey.alias("ok"))
+
+    def _ppm(num, den):
+        x = num * F.lit(1_000_000)
+        return ((x - F.pmod(x, den)) / den).cast("long")
+
+    by_s = (t.groupBy("p", "s")
+            .agg(F.countDistinct("ok").alias("fan"),
+                 F.count("*").alias("nt"))
+            .groupBy("p")
+            .agg(F.sum("nt").alias("n_triples"),
+                 F.count("*").alias("n_subjects"),
+                 F.max("fan").alias("max_out"),
+                 F.sum(F.when(F.col("fan") == 1, 1).otherwise(0))
+                 .alias("_single_out")))
+    by_o = (t.groupBy("p", "ok")
+            .agg(F.countDistinct("s").alias("fan"))
+            .groupBy("p")
+            .agg(F.count("*").alias("n_objects"),
+                 F.max("fan").alias("max_in"),
+                 F.sum(F.when(F.col("fan") == 1, 1).otherwise(0))
+                 .alias("_single_in")))
+    return (by_s.join(by_o, "p")
+            .select("p",
+                    F.col("n_triples").cast("long").alias("n_triples"),
+                    F.col("n_subjects").cast("long").alias("n_subjects"),
+                    F.col("n_objects").cast("long").alias("n_objects"),
+                    F.col("max_out").cast("long").alias("max_out"),
+                    F.col("max_in").cast("long").alias("max_in"),
+                    _ppm(F.col("_single_out"), F.col("n_subjects"))
+                    .alias("functional_ppm"),
+                    _ppm(F.col("_single_in"), F.col("n_objects"))
+                    .alias("inverse_functional_ppm")))

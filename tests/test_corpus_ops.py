@@ -2568,3 +2568,68 @@ def test_readability_letters_vs_alnum(spark):
                                "doc_id long, text string")
     r = readability_scores(df).first()
     assert (r.n_words, r.n_alnum, r.n_letters) == (3, 12, 9)
+
+
+def test_predicate_profile_cardinalities(spark):
+    """max_out/max_in fans, exact ppm shares, and term-keyed object
+    distinctness: a lang-tagged literal must NOT alias its plain twin
+    (the concat_ws null-drop trap), and all counts are per full term."""
+    from cow_spark.plans.stats import predicate_profile
+
+    rows = [
+        # p1: functional (every s one o), NOT inverse-functional
+        (None, "s1", "p1", "iri", "o1", None, None),
+        (None, "s2", "p1", "iri", "o1", None, None),
+        (None, "s3", "p1", "iri", "o2", None, None),
+        # p2: s1 fans to 3 objects, two of which differ ONLY by lang
+        (None, "s1", "p2", "lit", "x", None, None),
+        (None, "s1", "p2", "lit", "x", None, "en"),
+        (None, "s1", "p2", "lit", "y", None, None),
+        (None, "s2", "p2", "lit", "z", None, None),
+        # duplicate triple: counted in n_triples, not in fans
+        (None, "s2", "p2", "lit", "z", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+    prof = {r["p"]: r for r in predicate_profile(
+        spark.createDataFrame(rows, schema)).collect()}
+    p1, p2 = prof["p1"], prof["p2"]
+    assert (p1.n_triples, p1.n_subjects, p1.n_objects) == (3, 3, 2)
+    assert (p1.max_out, p1.max_in) == (1, 2)
+    assert p1.functional_ppm == 1_000_000
+    # o1 has 2 subjects, o2 has 1 -> 1 of 2 objects single -> 500000
+    assert p1.inverse_functional_ppm == 500_000
+    assert (p2.n_triples, p2.n_subjects, p2.n_objects) == (5, 2, 4)
+    assert (p2.max_out, p2.max_in) == (3, 1)
+    # s2 has fan 1 of 2 subjects -> 500000; every object fan 1 -> 10^6
+    assert p2.functional_ppm == 500_000
+    assert p2.inverse_functional_ppm == 1_000_000
+
+
+def test_k_anonymity_audit_flags(spark):
+    """Group sizes and sensitive diversity per QI combination: k/l
+    violation flags fire exactly on the undersized / uniform groups;
+    NULL QI values group together; bad params raise."""
+    import pytest
+
+    from cow_spark.operators.pii import k_anonymity_audit
+
+    rows = [
+        ("A", 1, "x"), ("A", 1, "y"), ("A", 1, "x"),  # size 3, l=2
+        ("B", 2, "x"), ("B", 2, "x"),                 # size 2, l=1
+        (None, 3, "x"), (None, 3, "y"), (None, 3, "z"),  # NULL QI group
+    ]
+    df = spark.createDataFrame(rows, "seg string, reg int, sens string")
+    got = {(r.seg, r.reg): r for r in k_anonymity_audit(
+        df, ["seg", "reg"], "sens", k=3, l=2).collect()}
+    a, b, n = got[("A", 1)], got[("B", 2)], got[(None, 3)]
+    assert (a.group_size, a.distinct_sensitive) == (3, 2)
+    assert (a.k_violation, a.l_violation) == (False, False)
+    assert (b.group_size, b.distinct_sensitive) == (2, 1)
+    assert (b.k_violation, b.l_violation) == (True, True)
+    assert (n.group_size, n.distinct_sensitive) == (3, 3)
+    assert (n.k_violation, n.l_violation) == (False, False)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], "sens")
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["seg"], "sens", k=0)

@@ -456,3 +456,49 @@ def test_rdf_container_members(spark):
         ("C2", None, 1, "x", "iri"),
         ("C2", None, 1, "y", "iri"),
     }
+
+
+def test_rdf_reified_statements_semantics(spark):
+    """Complete reifications flatten with term fields intact; the
+    declared flag tracks the rdf:type arc; incomplete nodes (missing
+    any role, or a literal rdf:predicate) emit nothing; duplicate
+    subject arcs yield one row per combination; a literal rdf:subject
+    passes through flagged s_kind='lit' for quarantine."""
+    from cow_spark.plans.entail import rdf_reified_statements
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        # R1: declared, literal object with dt + lang fields
+        (None, "R1", RDF + "type", "iri", RDF + "Statement", None, None),
+        (None, "R1", RDF + "subject", "iri", "s1", None, None),
+        (None, "R1", RDF + "predicate", "iri", "p1", None, None),
+        (None, "R1", RDF + "object", "lit", "v1", "xsd:string", "en"),
+        # R2: undeclared, IRI object, TWO subject arcs -> two rows
+        (None, "R2", RDF + "subject", "iri", "s2a", None, None),
+        (None, "R2", RDF + "subject", "iri", "s2b", None, None),
+        (None, "R2", RDF + "predicate", "iri", "p2", None, None),
+        (None, "R2", RDF + "object", "iri", "o2", None, None),
+        # R3: incomplete (no object) -> nothing
+        (None, "R3", RDF + "subject", "iri", "s3", None, None),
+        (None, "R3", RDF + "predicate", "iri", "p3", None, None),
+        # R4: literal predicate -> incomplete -> nothing
+        (None, "R4", RDF + "subject", "iri", "s4", None, None),
+        (None, "R4", RDF + "predicate", "lit", "not-a-prop", None, None),
+        (None, "R4", RDF + "object", "iri", "o4", None, None),
+        # R5: literal subject passes through flagged
+        (None, "R5", RDF + "subject", "lit", "weird", None, None),
+        (None, "R5", RDF + "predicate", "iri", "p5", None, None),
+        (None, "R5", RDF + "object", "iri", "o5", None, None),
+        # noise: a non-reification quad sharing the node id
+        (None, "R1", "http://ex/other", "iri", "x", None, None),
+    ]
+    schema = ("g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+    got = {tuple(r) for r in rdf_reified_statements(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert got == {
+        ("R1", "s1", "iri", "p1", "lit", "v1", "xsd:string", "en", True),
+        ("R2", "s2a", "iri", "p2", "iri", "o2", None, None, False),
+        ("R2", "s2b", "iri", "p2", "iri", "o2", None, None, False),
+        ("R5", "weird", "lit", "p5", "iri", "o5", None, None, False),
+    }
