@@ -8575,6 +8575,77 @@ group by segment, region_bucket, age_bucket
 """
 
 
+def q_transe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE scoring (kgtrain.py:transe_score) over customer-placed-
+    order triples at dim=8: hash-derived integer embeddings, exact L1
+    fold — the match also pins the embedding hash arithmetic
+    cross-engine. Map-only, zero shuffles."""
+    from cow_spark.operators.kgtrain import transe_score
+
+    o = _load(spark, sf_dir, "orders")
+    triples = o.select(
+        F.concat(F.lit(f"{BASE}/cust/"),
+                 F.col("o_custkey").cast("string")).alias("s"),
+        F.concat(F.lit(f"{BASE}/p/"),
+                 F.when(F.col("o_orderkey") % 5 == 0, F.lit("rush"))
+                 .otherwise(F.lit("placed"))).alias("p"),
+        F.concat(F.lit(f"{BASE}/order/"),
+                 F.col("o_orderkey").cast("string")).alias("o"))
+    return transe_score(triples, dim=8, half_range=500)
+
+
+def _sql_transe_score() -> str:
+    from cow_spark.operators.kgtrain import transe_score_sql
+
+    triples = f"""
+  select '{BASE}/cust/' || cast(o_custkey as varchar) as s,
+         '{BASE}/p/' || case when o_orderkey % 5 = 0
+                             then 'rush' else 'placed' end as p,
+         '{BASE}/order/' || cast(o_orderkey as varchar) as o
+  from orders
+"""
+    return transe_score_sql(triples, dim=8, half_range=500)
+
+
+def q_alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-prior table (link.py:alias_table) over synthetic linking
+    evidence (40 surface forms resolving to 13 entities by quadratic
+    orderkey residue — ambiguous on purpose), min_count=2 so hapax
+    pruning and the survivors-only denominator are both exercised."""
+    from cow_spark.operators.link import alias_table
+
+    o = _load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("long")
+    linked = o.select(
+        F.concat(F.lit("m"), F.pmod(key, F.lit(40)).cast("string"))
+        .alias("mention_norm"),
+        F.concat(F.lit("e"), F.pmod(key * key, F.lit(13)).cast("string"))
+        .alias("entity_id"))
+    return alias_table(linked, min_count=2)
+
+
+_SQL_ALIAS_PRIORS = """
+with pairs as (
+  select 'm' || cast(o_orderkey % 40 as varchar) as surface,
+         'e' || cast((o_orderkey * o_orderkey) % 13 as varchar) as entity,
+         cast(count(*) as bigint) as n_links
+  from orders
+  group by 1, 2
+  having count(*) >= 2
+)
+select surface, entity, n_links,
+       cast(sum(n_links) over (partition by surface) as bigint)
+         as n_surface,
+       cast((n_links * 1000000)
+            // sum(n_links) over (partition by surface) as bigint)
+         as prior_ppm,
+       cast(row_number() over (partition by surface
+                               order by n_links desc, entity asc) as int)
+         as rank
+from pairs
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8772,6 +8843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_reified": q_rdf_reified,
         "predicate_profile": q_predicate_profile,
         "k_anonymity": q_k_anonymity,
+        "transe_score": q_transe_score,
+        "alias_priors": q_alias_priors,
     }
 
 
@@ -8953,4 +9026,6 @@ def oracle_sql() -> dict[str, str]:
         "rdf_reified": _SQL_RDF_REIFIED,
         "predicate_profile": _SQL_PREDICATE_PROFILE,
         "k_anonymity": _SQL_K_ANONYMITY,
+        "transe_score": _sql_transe_score(),
+        "alias_priors": _SQL_ALIAS_PRIORS,
     }

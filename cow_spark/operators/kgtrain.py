@@ -272,3 +272,82 @@ from f join t on t.s = f.mid
 where f.x <> t.o
 group by f.x, t.o, f.p1, t.p
 """
+
+
+TRANSE_SALT = "transe-v1"
+
+
+def transe_score(
+    triples: DataFrame,
+    dim: int = 16,
+    half_range: int = 500,
+) -> DataFrame:
+    """TransE plausibility scores over (s, p, o) triples — the scoring
+    layer of the KG-embedding stack this module feeds: triples +
+    :func:`negative_samples` score here, then :func:`ranking_eval`
+    turns scores into MRR / Hits@k. score(s, p, o) = −‖e_s + r_p −
+    e_o‖₁ in EXACT integer arithmetic (higher = more plausible).
+
+    Embeddings are hash-derived: component d of an entity/relation is
+    ``pmod(md5_32(kind ⊕ name ⊕ d ⊕ salt), 2·half_range+1) −
+    half_range`` — the deterministic stand-in this repo uses wherever a
+    trained artifact would sit in production (multimodal's fake
+    decoder, DSIR's hashed buckets): reproducible across runs, retries
+    and engines, so the pipeline — corruption, scoring, ranking — is
+    testable end-to-end and a real trained embedding table drops in as
+    a join without touching the plumbing. L1 and integer components
+    keep every sum int64-exact (|score| ≤ dim · 3 · half_range), so
+    distributed and serial evaluation agree bit-for-bit — no ulp
+    nondeterminism in the eval metric.
+
+    Scale shape: MAP-ONLY — one fold over ``sequence(0, dim−1)`` per
+    row, zero shuffles, zero Python; everything inside the lambda
+    depends on the element index, so the HOF-lambda re-evaluation trap
+    (CLAUDE.md) has nothing to re-evaluate but the row's own columns.
+    """
+    if dim < 1:
+        raise ValueError(f"transe_score: dim must be >= 1, got {dim}")
+    if half_range < 1:
+        raise ValueError(
+            f"transe_score: half_range must be >= 1, got {half_range}")
+    mod = 2 * half_range + 1
+
+    def comp(kind: str, name, d):
+        from ..functions.hashing import portable_hash32
+        h = portable_hash32(F.concat_ws(
+            "\x01", F.lit(TRANSE_SALT), F.lit(kind), name,
+            d.cast("string")))
+        return F.pmod(h, F.lit(mod)) - F.lit(half_range)
+
+    term = lambda d: F.abs(  # noqa: E731
+        comp("e", F.col("s"), d) + comp("r", F.col("p"), d)
+        - comp("e", F.col("o"), d))
+    score = -F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + term(d))
+    return triples.select("s", "p", "o", score.alias("score"))
+
+
+def transe_score_sql(triples_cte: str, dim: int = 16,
+                     half_range: int = 500) -> str:
+    """DuckDB twin of :func:`transe_score`: same md5 components via
+    generate_series, same integer L1 fold."""
+    from ..functions.hashing import portable_hash32_sql
+
+    mod = 2 * half_range + 1
+
+    def comp(kind: str, name: str) -> str:
+        h = portable_hash32_sql(
+            f"'{TRANSE_SALT}' || chr(1) || '{kind}' || chr(1) || {name}"
+            f" || chr(1) || cast(d as varchar)")
+        return f"((({h}) % {mod} + {mod}) % {mod} - {half_range})"
+
+    return f"""
+with t as ({triples_cte})
+select s, p, o,
+       -sum(abs({comp('e', 's')} + {comp('r', 'p')} - {comp('e', 'o')}))
+         as score
+from t, generate_series(0, {dim - 1}) g(d)
+group by s, p, o
+"""

@@ -129,3 +129,59 @@ def link_mentions(
     fuzzy = _argmax_entity(scored)
 
     return exact.unionByName(fuzzy)
+
+
+def alias_table(
+    linked: DataFrame,
+    surface_col: str = "mention_norm",
+    entity_col: str = "entity_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Alias-prior table from linking (or annotation) evidence — the
+    P(entity | surface form) dictionary every production entity linker
+    bootstraps from its own output (the Wikipedia anchor-text trick:
+    count how often each surface form resolves to each entity, and the
+    normalized counts become the candidate prior for the NEXT linking
+    run). This closes the loop on :func:`link_mentions`: run it once
+    with the gazetteer, harvest the alias table, and ambiguous surface
+    forms now carry a data-derived prior instead of a string-similarity
+    guess.
+
+    Output, one row per (surface, entity) pair observed ≥ ``min_count``
+    times: ``(surface, entity, n_links, n_surface, prior_ppm, rank)``
+    — ``prior_ppm`` the floor-scaled share of the surface form's links
+    going to this entity, ``rank`` 1 = most-linked (ties broken by min
+    entity for determinism). ``min_count`` prunes hapax noise BEFORE
+    the prior denominator — a pruned alias row should not dilute the
+    survivors' priors, so ``n_surface`` sums the surviving rows only
+    (documented choice; pass min_count=1 for raw shares).
+
+    Scale shape: the corpus-scale linked table collapses in ONE
+    partial-aggregated groupBy(surface, entity); the window for totals
+    and ranks runs on the ALIAS-sized result (bounded by distinct
+    surface×entity pairs, vocabulary scale), partitioned by surface —
+    no corpus-scale window, no Python, no joins.
+    """
+    if min_count < 1:
+        raise ValueError(
+            f"alias_table: min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    pairs = (linked
+             .where(F.col(surface_col).isNotNull()
+                    & F.col(entity_col).isNotNull())
+             .groupBy(F.col(surface_col).alias("surface"),
+                      F.col(entity_col).alias("entity"))
+             .agg(F.count("*").alias("n_links"))
+             .where(F.col("n_links") >= min_count))
+    w = Window.partitionBy("surface")
+    wr = w.orderBy(F.col("n_links").desc(), F.col("entity").asc())
+    tot = F.sum("n_links").over(w)
+    x = F.col("n_links") * F.lit(1_000_000)
+    return (pairs
+            .select("surface", "entity",
+                    F.col("n_links").cast("long").alias("n_links"),
+                    tot.cast("long").alias("n_surface"),
+                    ((x - F.pmod(x, tot)) / tot).cast("long")
+                    .alias("prior_ppm"),
+                    F.row_number().over(wr).cast("int").alias("rank")))

@@ -86,3 +86,68 @@ def test_ranking_eval_metrics_and_ties(spark):
     assert rows["q3"]["best_rank"] is None and rows["q3"]["rr_ppm"] is None
     assert (rows["q3"]["hit_1"], rows["q3"]["hit_10"]) == (0, 0)
     assert rows["q1"]["n_cands"] == 3 and rows["q1"]["n_pos"] == 1
+
+
+def test_transe_score_matches_serial_twin(spark):
+    """Bit-exact vs a hashlib twin of the same embedding arithmetic;
+    identical triples score identically; param validation raises."""
+    import hashlib
+
+    import pytest
+
+    from cow_spark.operators.kgtrain import TRANSE_SALT, transe_score
+
+    def comp(kind, name, d, half_range=7):
+        mod = 2 * half_range + 1
+        raw = f"{TRANSE_SALT}\x01{kind}\x01{name}\x01{d}".encode()
+        h = int(hashlib.md5(raw).hexdigest()[:8], 16)
+        return h % mod - half_range
+
+    def serial(s, p, o, dim=4, half_range=7):
+        return -sum(
+            abs(comp("e", s, d, half_range) + comp("r", p, d, half_range)
+                - comp("e", o, d, half_range))
+            for d in range(dim))
+
+    rows = [("a", "r1", "b"), ("a", "r1", "a"), ("c", "r2", "b")]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = {(r.s, r.p, r.o): r.score
+           for r in transe_score(df, dim=4, half_range=7).collect()}
+    assert got == {(s, p, o): serial(s, p, o) for s, p, o in rows}
+    with pytest.raises(ValueError):
+        transe_score(df, dim=0)
+    with pytest.raises(ValueError):
+        transe_score(df, half_range=0)
+
+
+def test_alias_table_priors_and_pruning(spark):
+    """Counts, survivors-only denominator, deterministic tie-break
+    rank, NULL filtering, min_count validation."""
+    import pytest
+
+    from cow_spark.operators.link import alias_table
+
+    rows = (
+        [("obama", "e_barack")] * 5
+        + [("obama", "e_michelle")] * 3
+        + [("obama", "e_typo")] * 1        # pruned at min_count=2
+        + [("paris", "e_city")] * 2
+        + [("paris", "e_person")] * 2      # tie -> min entity ranks 1
+        + [(None, "e_x"), ("ghost", None)]  # NULLs dropped
+    )
+    df = spark.createDataFrame(rows, "mention_norm string, entity_id string")
+    got = {(r.surface, r.entity): r
+           for r in alias_table(df, min_count=2).collect()}
+    assert set(got) == {("obama", "e_barack"), ("obama", "e_michelle"),
+                        ("paris", "e_city"), ("paris", "e_person")}
+    ob = got[("obama", "e_barack")]
+    # denominator excludes the pruned typo row: 8, not 9
+    assert (ob.n_links, ob.n_surface, ob.prior_ppm, ob.rank) == \
+        (5, 8, 625000, 1)
+    om = got[("obama", "e_michelle")]
+    assert (om.n_links, om.prior_ppm, om.rank) == (3, 375000, 2)
+    pc, pp = got[("paris", "e_city")], got[("paris", "e_person")]
+    assert (pc.rank, pp.rank) == (1, 2)  # tie broken by min entity
+    assert pc.prior_ppm == pp.prior_ppm == 500000
+    with pytest.raises(ValueError):
+        alias_table(df, min_count=0)
