@@ -8646,6 +8646,130 @@ from pairs
 """
 
 
+_GROWTH_CKS = [15, 60, 250, 1000, 4000, 100000]
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (terms.py:vocab_growth) over documents
+    at fixed doc-id checkpoints (the top two exceed every sf's max id,
+    so the saturated tail is exercised): first-occurrence formulation,
+    no global window."""
+    from cow_spark.operators.terms import vocab_growth
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return vocab_growth(docs, _GROWTH_CKS)
+
+
+def _sql_vocab_growth() -> str:
+    cks = "[" + ", ".join(str(c) for c in _GROWTH_CKS) + "]"
+    return f"""
+with tr as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as term
+  from documents
+),
+cks as (select cast(unnest({cks}) as bigint) as threshold),
+first as (select term, min(doc_id) as first_doc from tr group by term),
+perdoc as (select doc_id, count(*) as nt from tr group by doc_id),
+types as (
+  select threshold, cast(count(*) as bigint) as n_types
+  from first, cks where first_doc <= threshold group by threshold
+),
+toks as (
+  select threshold, cast(count(*) as bigint) as n_docs,
+         cast(sum(nt) as bigint) as n_tokens
+  from perdoc, cks where doc_id <= threshold group by threshold
+)
+select t.threshold as threshold, n_docs, n_tokens,
+       cast(coalesce(n_types, 0) as bigint) as n_types,
+       cast((coalesce(n_types, 0) * 1000000) // n_tokens as bigint)
+         as ttr_ppm
+from toks t left join types using (threshold)
+"""
+
+
+_ZIPF_XMIN = 3
+
+
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent MLE (terms.py:zipf_alpha) of the documents
+    term-frequency distribution at xmin=3 — integer log2 kernel end to
+    end, so the single output row is bit-exact cross-engine."""
+    from cow_spark.operators.terms import zipf_alpha
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return zipf_alpha(docs, xmin=_ZIPF_XMIN)
+
+
+def _sql_zipf_alpha() -> str:
+    from cow_spark.functions.intmath import log2_fp_py
+    from cow_spark.operators.terms import LN2_PPM
+
+    base = log2_fp_py(2 * _ZIPF_XMIN - 1)
+    return f"""
+with tr as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as term
+  from documents
+),
+voc as (
+  select term, cast(count(*) as bigint) as f
+  from tr group by term having count(*) >= {_ZIPF_XMIN}
+),
+l as (select {_sql_log2fp('2 * f')} - {base} as d from voc),
+agg as (
+  select cast(count(*) as bigint) as n_terms,
+         cast(sum(d) as bigint) as s_fp
+  from l
+)
+select n_terms, s_fp,
+       cast(1000000 + ((n_terms * 1024 * 1000000) // s_fp) * 1000000
+            // {LN2_PPM} as bigint) as alpha_ppm
+from agg where n_terms > 0
+"""
+
+
+def q_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-distribution entropy per conversation
+    (dialogue.py:role_entropy) over the LCG transcripts — the
+    algebraic H = log2 n − ⌊Σ c·log2 c / n⌋ identity keeps ONE floor
+    per conversation; the twin replays the mantissa-squaring kernel in
+    DuckDB."""
+    from cow_spark.operators.dialogue import role_entropy
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return role_entropy(transcripts_df(spark, 5000))
+
+
+def _sql_role_entropy() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+cr as (
+  select conv_id, role, cast(count(*) as bigint) as c
+  from transcripts_gen group by 1, 2
+),
+cl as (select conv_id, c, {_sql_log2fp('c')} as l2c from cr),
+conv as (
+  select conv_id, cast(sum(c) as bigint) as n_turns,
+         cast(count(*) as bigint) as n_roles,
+         cast(sum(c * l2c) as bigint) as cl,
+         cast(max(c) as bigint) as cmax
+  from cl group by conv_id
+)
+select conv_id, n_turns, n_roles,
+       cast({_sql_log2fp('n_turns')} - cl // n_turns as bigint)
+         as entropy_fp,
+       cast((cmax * 1000000) // n_turns as bigint) as majority_ppm
+from conv
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8845,6 +8969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "transe_score": q_transe_score,
         "alias_priors": q_alias_priors,
+        "vocab_growth": q_vocab_growth,
+        "zipf_alpha": q_zipf_alpha,
+        "role_entropy": q_role_entropy,
     }
 
 
@@ -9028,4 +9155,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _SQL_K_ANONYMITY,
         "transe_score": _sql_transe_score(),
         "alias_priors": _SQL_ALIAS_PRIORS,
+        "vocab_growth": _sql_vocab_growth(),
+        "zipf_alpha": _sql_zipf_alpha(),
+        "role_entropy": _sql_role_entropy(),
     }

@@ -258,3 +258,55 @@ def prefix_duplicates(transcripts: DataFrame) -> DataFrame:
                    | (F.col("conv_a") < F.col("conv_b")))
             .select("conv_a", "conv_b",
                     F.col("len_a").cast("long").alias("prefix_len")))
+
+
+def role_entropy(
+    transcripts: DataFrame,
+    frac_bits: int = 10,
+) -> DataFrame:
+    """Per-conversation role-distribution entropy — the transcript
+    diversity gate next to :func:`turn_coherence`'s lexical one: a
+    healthy dialogue alternates user/assistant (entropy near 1 bit, or
+    higher with tool turns); a degenerate session — one speaker
+    monologuing, a runaway tool loop — collapses toward 0, and
+    entropy + majority share flag both failure shapes in one pass.
+
+    One row per conversation: ``(conv_id, n_turns, n_roles,
+    entropy_fp, majority_ppm)`` — entropy in the exact integer log2
+    fixed point (units 1/2^frac_bits bits): H = log2fp(n) −
+    ⌊Σ cᵢ·log2fp(cᵢ) / n⌋ for role counts cᵢ (the algebraic identity
+    H = log2 n − (Σ cᵢ log2 cᵢ)/n avoids per-row division entirely, so
+    ONE floor happens per conversation and both engines agree
+    bit-for-bit); ``majority_ppm`` the floor-scaled share of the most
+    frequent role. Single-turn conversations get entropy 0, not NULL —
+    a one-turn session is maximally degenerate, which is the point.
+
+    Scale shape: groupBy(conv, role) partial agg (bounded by convs ×
+    role vocabulary), log2 columns staged on that frame, one more
+    partial agg to conversation grain. No windows, no joins on the
+    corpus, no Python. int64 audit: cᵢ·log2fp(cᵢ) ≤ n · 63·2^frac and
+    the sum stays ≤ n²-free (linear in total turns).
+    """
+    from ..functions.intmath import with_log2_fp
+
+    cr = (transcripts.groupBy("conv_id", "role")
+          .agg(F.count("*").alias("c")))
+    cr = with_log2_fp(cr, "c", "l2c", frac_bits)
+    conv = (cr.groupBy("conv_id")
+            .agg(F.sum("c").alias("n_turns"),
+                 F.count("*").alias("n_roles"),
+                 F.sum(F.col("c") * F.col("l2c")).alias("_cl"),
+                 F.max("c").alias("_cmax")))
+    conv = with_log2_fp(conv, "n_turns", "_l2n", frac_bits)
+
+    def _floor(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    return conv.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_roles").cast("long").alias("n_roles"),
+        (F.col("_l2n") - _floor(F.col("_cl"), F.col("n_turns")))
+        .cast("long").alias("entropy_fp"),
+        _floor(F.col("_cmax") * F.lit(1_000_000), F.col("n_turns"))
+        .alias("majority_ppm"))

@@ -640,3 +640,118 @@ def corpus_drift(
         F.col("cnt_b").cast("long").alias("cnt_b"),
         ppm_a.alias("ppm_a"), ppm_b.alias("ppm_b"),
         F.abs(ppm_a - ppm_b).alias("tvd_ppm_contrib")))
+
+
+def vocab_growth(
+    df: DataFrame,
+    thresholds: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law evidence) at doc-id
+    checkpoints — the corpus-curation saturation signal: if distinct
+    types still grow near-linearly in tokens, the corpus is
+    under-sampled for its domain; if the curve has bent onto the
+    Heaps power law, more of the same data buys mostly repeats.
+    Checked BEFORE committing an ingest batch, on the same pass that
+    builds the vocabulary.
+
+    One row per checkpoint (inclusive upper bound on ``id_col``):
+    ``(threshold, n_docs, n_tokens, n_types, ttr_ppm)`` — cumulative
+    docs / token occurrences / distinct types over all docs with id ≤
+    threshold, plus the floor-scaled type-token ratio. Fitting K and β
+    is a 20-row client-side job on this table; producing the curve is
+    the corpus-scale job and lives here.
+
+    Scale shape: NO global window (the running-total formulation is
+    the single-task trap): a type's contribution to every checkpoint
+    is decided by its FIRST occurrence (min doc id per term — one
+    partial-agg groupBy), token totals by per-doc counts (second
+    partial agg); each result explodes only against the bounded
+    checkpoint array and re-aggregates per checkpoint. Corpus text is
+    read once.
+    """
+    if not thresholds:
+        raise ValueError("vocab_growth: thresholds must be non-empty")
+    cks = sorted(set(int(t) for t in thresholds))
+    ck_arr = F.array(*[F.lit(t).cast("bigint") for t in cks])
+
+    tr = _term_rows(df, id_col, text_col)
+    first = tr.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    types = (first
+             .select(F.explode(ck_arr).alias("threshold"), "first_doc")
+             .where(F.col("first_doc") <= F.col("threshold"))
+             .groupBy("threshold")
+             .agg(F.count("*").alias("n_types")))
+    perdoc = tr.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    toks = (perdoc
+            .select(F.explode(ck_arr).alias("threshold"), "doc_id", "nt")
+            .where(F.col("doc_id") <= F.col("threshold"))
+            .groupBy("threshold")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nt").alias("n_tokens")))
+    x = F.col("n_types") * F.lit(1_000_000)
+    return (toks.join(types, "threshold", "left")
+            .select(F.col("threshold").cast("bigint"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("n_types", F.lit(0)).cast("long")
+                    .alias("n_types"),
+                    ((x - F.pmod(x, F.col("n_tokens")))
+                     / F.col("n_tokens")).cast("long").alias("ttr_ppm")))
+
+
+LN2_PPM = 693_147  # floor(10^6 * ln 2)
+
+
+def zipf_alpha(
+    df: DataFrame,
+    xmin: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frac_bits: int = 10,
+) -> DataFrame:
+    """Zipf/power-law exponent of the term-frequency distribution —
+    the one-number language-health gate (natural text sits near α ≈
+    2 over frequencies; machine-generated or boilerplate-heavy
+    corpora drift off it): the discrete MLE of Clauset-Shalizi-Newman
+    2009, α = 1 + n / Σ ln(f_i / (xmin − ½)), over terms with total
+    frequency ≥ xmin.
+
+    All arithmetic is the engine-exact integer log2 kernel:
+    f/(xmin−½) = 2f/(2·xmin−1), so each term contributes
+    ``log2_fp(2f) − log2_fp(2·xmin−1)`` and α converts from bits via
+    two ppm floors (same two floors both engines — the ≤2-ulp bias is
+    identical cross-engine, which is the property that matters).
+    Output is ONE row: ``(n_terms, s_fp, alpha_ppm)`` — s_fp kept so a
+    caller can re-derive α at other scalings; no rows when no term
+    reaches xmin (a vacuous fit should look missing, not α=1).
+
+    Scale shape: vocabulary() pass (one shuffle on term), then the
+    log2 columns stage on the VOCABULARY-sized frame and one global
+    partial-agg fold to a single row. int64 audit: n ≤ 2^33 terms and
+    s_fp ≥ n (every term contributes ≥ 1 fp unit), so n · 2^frac ·
+    10^6 / s_fp ≤ 2^frac · 10^6 — both products stay far inside int64.
+    """
+    from ..functions.intmath import log2_fp_py, with_log2_fp
+
+    if xmin < 1:
+        raise ValueError(f"zipf_alpha: xmin must be >= 1, got {xmin}")
+    base = log2_fp_py(2 * xmin - 1, frac_bits)
+    v = vocabulary(df, id_col, text_col).where(F.col("total_tf") >= xmin)
+    v = v.select((F.col("total_tf") * 2).cast("bigint").alias("f2"))
+    v = with_log2_fp(v, "f2", "l2", frac_bits)
+    agg = v.agg(F.count("*").alias("n_terms"),
+                F.sum(F.col("l2") - F.lit(base)).alias("s_fp"))
+
+    def _floor(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    bits = _floor(F.col("n_terms") * F.lit((2 ** frac_bits) * 1_000_000),
+                  F.col("s_fp"))
+    return (agg.where(F.col("n_terms") > 0)
+            .select(F.col("n_terms").cast("long").alias("n_terms"),
+                    F.col("s_fp").cast("long").alias("s_fp"),
+                    (F.lit(1_000_000)
+                     + _floor(bits * F.lit(1_000_000), F.lit(LN2_PPM)))
+                    .alias("alpha_ppm")))

@@ -184,3 +184,32 @@ def test_prefix_duplicates_no_false_positives(spark):
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string")
     assert prefix_duplicates(df).count() == 0
+
+
+def test_role_entropy_pins(spark):
+    """Hand-checked fixed-point entropies: 50/50 two-role conv = 1.0
+    bit exactly, single-turn conv = 0, monologue = 0 with majority
+    10^6, three-way uniform matches the kernel twin."""
+    from cow_spark.functions.intmath import log2_fp_py
+    from cow_spark.operators.dialogue import role_entropy
+
+    rows = (
+        [("c1", i, "user" if i % 2 == 0 else "assistant", "t")
+         for i in range(4)]
+        + [("c2", 0, "user", "t")]
+        + [("c3", i, "assistant", "t") for i in range(5)]
+        + [("c4", i, ["user", "assistant", "tool"][i], "t")
+           for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r.conv_id: r for r in role_entropy(df).collect()}
+    c1 = got["c1"]
+    assert (c1.n_turns, c1.n_roles, c1.majority_ppm) == (4, 2, 500000)
+    assert c1.entropy_fp == 1024  # exactly 1 bit
+    assert (got["c2"].entropy_fp, got["c2"].majority_ppm) == (0, 1000000)
+    assert (got["c3"].entropy_fp, got["c3"].majority_ppm) == (0, 1000000)
+    c4 = got["c4"]
+    # H = log2fp(3) - floor(3*1*log2fp(1)/3) = log2_fp_py(3)
+    assert c4.entropy_fp == log2_fp_py(3)
+    assert c4.majority_ppm == 333333

@@ -563,3 +563,51 @@ def test_surprisal_windows_localizes_garbage(spark):
     # hapax tokens live in window 3)
     assert got[99].worst_idx == 3
     assert got[99].worst_fp > got[0].worst_fp
+
+
+def test_vocab_growth_checkpoints(spark):
+    """First-occurrence formulation: cumulative docs/tokens/types per
+    inclusive threshold, saturated tail beyond max id, ttr floor;
+    empty thresholds raise."""
+    import pytest
+
+    from cow_spark.operators.terms import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (5, "c d d")],
+        "doc_id long, text string")
+    got = {r.threshold: r for r in
+           vocab_growth(docs, [1, 2, 100]).collect()}
+    t1 = got[1]
+    assert (t1.n_docs, t1.n_tokens, t1.n_types) == (1, 3, 2)
+    assert t1.ttr_ppm == 666666
+    t2 = got[2]
+    assert (t2.n_docs, t2.n_tokens, t2.n_types) == (2, 5, 3)
+    t100 = got[100]
+    assert (t100.n_docs, t100.n_tokens, t100.n_types) == (3, 8, 4)
+    assert t100.ttr_ppm == 500000
+    with pytest.raises(ValueError):
+        vocab_growth(docs, [])
+
+
+def test_zipf_alpha_matches_serial_twin(spark):
+    """Bit-exact vs a Python twin of the same two-floor MLE; xmin
+    filter; no-qualifying-terms yields zero rows; xmin<1 raises."""
+    import pytest
+
+    from cow_spark.functions.intmath import log2_fp_py
+    from cow_spark.operators.terms import LN2_PPM, zipf_alpha
+
+    # term frequencies: a=5 b=3 c=3 d=1 (d below xmin=3)
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a b c c d")],
+        "doc_id long, text string")
+    [row] = zipf_alpha(docs, xmin=3).collect()
+    base = log2_fp_py(5)
+    s_fp = sum(log2_fp_py(2 * f) - base for f in (5, 3, 3))
+    bits = (3 * 1024 * 1_000_000) // s_fp
+    assert (row.n_terms, row.s_fp) == (3, s_fp)
+    assert row.alpha_ppm == 1_000_000 + (bits * 1_000_000) // LN2_PPM
+    assert zipf_alpha(docs, xmin=10).count() == 0
+    with pytest.raises(ValueError):
+        zipf_alpha(docs, xmin=0)
