@@ -133,6 +133,14 @@ HEADLINE = [
     "readability",
     "rdf_containers",
     "prefix_duplicates",
+    "rdf_reified",
+    "predicate_profile",
+    "k_anonymity",
+    "transe_score",
+    "alias_priors",
+    "vocab_growth",
+    "zipf_alpha",
+    "role_entropy",
 ]
 
 
