@@ -310,3 +310,47 @@ def role_entropy(
         .cast("long").alias("entropy_fp"),
         _floor(F.col("_cmax") * F.lit(1_000_000), F.col("n_turns"))
         .alias("majority_ppm"))
+
+
+def tool_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-tool response-latency profile over agent transcripts — the
+    operational health read on the `tool` column (which tools are
+    slow, which go unanswered): a tool turn's latency is the event-time
+    gap to the NEXT turn in its conversation (the turn that consumes
+    the tool result), in exact integer microseconds.
+
+    One row per tool: ``(tool, n_calls, n_timed, mean_us, min_us,
+    max_us)`` — ``n_timed`` < ``n_calls`` exactly when tool turns end
+    their conversation (no successor = unanswered; they count as calls
+    but contribute no latency, a signal in itself). The mean is the
+    pmod-floored integer division. Negative gaps (out-of-order event
+    time) pass through into min_us rather than being silently clamped
+    — a corrupt log should look corrupt.
+
+    Scale shape: ONE window on the table's natural (conv_id, turn_idx)
+    clustering key for the successor timestamp, then one partial-agg
+    groupBy to the tool-vocabulary-sized result. No joins, no Python.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    calls = (transcripts
+             .select("conv_id", "turn_idx", "role", "tool",
+                     F.unix_micros(F.col("ts")).alias("_us"),
+                     nxt.alias("_nxt"))
+             .where((F.col("role") == "tool") & F.col("tool").isNotNull()))
+    lat = F.col("_nxt") - F.col("_us")
+    s = F.sum(F.when(F.col("_nxt").isNotNull(), lat).otherwise(0))
+    n = F.sum(F.when(F.col("_nxt").isNotNull(), 1).otherwise(0))
+    return (calls.groupBy("tool")
+            .agg(F.count("*").cast("long").alias("n_calls"),
+                 n.cast("long").alias("n_timed"),
+                 s.alias("_s"),
+                 F.min(lat).cast("long").alias("min_us"),
+                 F.max(lat).cast("long").alias("max_us"))
+            .select("tool", "n_calls", "n_timed",
+                    F.when(F.col("n_timed") > 0,
+                           ((F.col("_s") - F.pmod(F.col("_s"),
+                                                  F.col("n_timed")))
+                            / F.col("n_timed")).cast("long"))
+                    .alias("mean_us"),
+                    "min_us", "max_us"))

@@ -599,3 +599,62 @@ def readability_scores(
         ari.alias("ari_ppm"),
         cli.alias("cli_ppm"),
     )
+
+
+# name → pattern, all inside the Java∩RE2 regex subset (inline (?i),
+# no lookaround/backrefs) so every detector replays in the oracle.
+INJECTION_PATTERNS: list[tuple[str, str]] = [
+    ("override",
+     r"(?i)(ignore|disregard|forget) (all |any |the )?"
+     r"(previous|prior|above|earlier) "
+     r"(instructions|directions|rules|prompts)"),
+    ("exfil",
+     r"(?i)(reveal|print|show|repeat|output) (your |the |me the )?"
+     r"(system prompt|hidden instructions|initial prompt|secret)"),
+    ("coercion",
+     r"(?i)(you are now|pretend to be|jailbreak|do anything now"
+     r"|\bDAN\b)"),
+    ("payload", r"[A-Za-z0-9+/]{60,}={0,2}"),
+]
+
+
+def injection_scan(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    role_col: str | None = None,
+) -> DataFrame:
+    """Prompt-injection heuristic screen over transcript turns — the
+    agent-pipeline safety gate next to :func:`pii_scan`'s privacy one:
+    before transcripts become training data, turns that carry
+    instruction-override phrasing, system-prompt exfiltration asks,
+    role-coercion framing, or long base64-ish payloads get flagged for
+    quarantine. A regex screen is not a classifier — it is the cheap
+    100 TB FIRST pass that bounds what a model-based second pass must
+    read, exactly the blocklist→classifier cascade url_blocklist and
+    classifier_score already form.
+
+    Output per input row: ``(<id_cols...>[, role], n_override,
+    n_exfil, n_coercion, n_payload, n_injection, flagged)`` —
+    ``role`` passes through when ``role_col`` is given because WHERE
+    the pattern sits is the signal (override phrasing in a TOOL turn
+    is the classic indirect-injection shape; in a user turn it may be
+    a legitimate quote).
+
+    Scale shape: one linear scan, the whole regex forest in a single
+    codegen span — no shuffle, no Python, same discipline as pii_scan.
+    """
+    if not id_cols:
+        raise ValueError("injection_scan: id_cols must be non-empty")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(c) for c in id_cols]
+    if role_col:
+        cols.append(F.col(role_col).alias("role"))
+    total = None
+    for name, pat in INJECTION_PATTERNS:
+        c = F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        cols.append(c.cast("int").alias(f"n_{name}"))
+        total = c if total is None else total + c
+    cols.append(total.cast("int").alias("n_injection"))
+    cols.append((total > 0).alias("flagged"))
+    return df.select(*cols)

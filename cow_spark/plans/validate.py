@@ -352,3 +352,60 @@ with t as ({table_cte}),
 one as (select {', '.join(aggs)} from t)
 {unpivot}
 """
+
+
+def inclusion_deps(
+    tables: dict[str, DataFrame],
+    pairs: list[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Instance-based inclusion-dependency check — the FK-discovery
+    pass of schema profiling (Bellman's "does column A ⊆ column B",
+    De Marchi 2002): the reference's CSVW vocabulary carries
+    ``foreignKeys`` but its converter never reads them (csvw.py has no
+    FK handling); here candidate key relationships are VERIFIED
+    against the data before a mapping spec or a join plan relies on
+    them.
+
+    ``pairs`` is a bounded list of (left_table, left_col, right_table,
+    right_col). One row each: ``(lhs, rhs, n_left, n_contained,
+    containment_ppm, exact)`` over DISTINCT non-NULL values (SQL FK
+    semantics ignore NULLs); ``exact`` ⇔ every left value appears on
+    the right. ``containment_ppm`` is the floor-scaled share — the
+    dirty-data tolerance knob (a 999 993 ppm containment is a real FK
+    with six orphan rows, and the profile says exactly that).
+
+    Scale shape: per pair, two column-pruned distinct aggregations and
+    one left-semi-shaped join on the distinct values (value-domain
+    sized, not row sized); the pair list is schema-bounded, so the
+    union of per-pair plans is as wide as the schema, never the data.
+    """
+    if not pairs:
+        raise ValueError("inclusion_deps: pairs must be non-empty")
+    outs = []
+    for lt, lc, rt, rc in pairs:
+        if lt not in tables or rt not in tables:
+            raise KeyError(f"inclusion_deps: unknown table in "
+                           f"({lt!r}, {rt!r})")
+        lv = (tables[lt].select(F.col(lc).alias("v"))
+              .where(F.col("v").isNotNull()).distinct())
+        rv = (tables[rt].select(F.col(rc).alias("v"))
+              .where(F.col("v").isNotNull()).distinct())
+        hit = lv.join(rv, "v", "left_semi")
+        n_l = lv.agg(F.count("*").alias("n_left"))
+        n_c = hit.agg(F.count("*").alias("n_contained"))
+        x = F.col("n_contained") * F.lit(1_000_000)
+        outs.append(
+            n_l.crossJoin(n_c).select(
+                F.lit(f"{lt}.{lc}").alias("lhs"),
+                F.lit(f"{rt}.{rc}").alias("rhs"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_contained").cast("long").alias("n_contained"),
+                F.when(F.col("n_left") > 0,
+                       ((x - F.pmod(x, F.col("n_left")))
+                        / F.col("n_left")).cast("long"))
+                .alias("containment_ppm"),
+                (F.col("n_contained") == F.col("n_left")).alias("exact")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

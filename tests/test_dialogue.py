@@ -213,3 +213,30 @@ def test_role_entropy_pins(spark):
     # H = log2fp(3) - floor(3*1*log2fp(1)/3) = log2_fp_py(3)
     assert c4.entropy_fp == log2_fp_py(3)
     assert c4.majority_ppm == 333333
+
+
+def test_tool_latency_gaps_and_unanswered(spark):
+    """Exact integer gaps, unanswered trailing tool turn counted but
+    untimed, negative out-of-order gap surfaces in min_us."""
+    from cow_spark.operators.dialogue import tool_latency
+
+    rows = [
+        ("c1", 0, "user", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "tool", "search", "2024-01-01 00:00:05"),
+        ("c1", 2, "assistant", None, "2024-01-01 00:00:08"),  # 3 s
+        ("c1", 3, "tool", "search", "2024-01-01 00:00:10"),   # trailing
+        ("c2", 0, "tool", "calc", "2024-01-01 00:01:00"),
+        ("c2", 1, "user", None, "2024-01-01 00:00:59"),       # -1 s
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string,"
+              " ts_s string").withColumn("ts", F.to_timestamp("ts_s"))
+    got = {r.tool: r for r in tool_latency(df).collect()}
+    s = got["search"]
+    assert (s.n_calls, s.n_timed, s.mean_us) == (2, 1, 3_000_000)
+    assert (s.min_us, s.max_us) == (3_000_000, 3_000_000)
+    c = got["calc"]
+    assert (c.n_calls, c.n_timed) == (1, 1)
+    assert (c.mean_us, c.min_us) == (-1_000_000, -1_000_000)
