@@ -8916,6 +8916,98 @@ select '{lt}.{lc}' as lhs, '{rt}.{rc}' as rhs,
     return " union all ".join(parts)
 
 
+def q_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical topic segmentation (dialogue.py:topic_segments) over
+    the LCG transcripts: turn_coherence's per-transition Jaccard
+    drives segment boundaries, segment_id as a running boundary count
+    in the SAME window shuffle; blank filler turns stay vacuously
+    coherent. Gate rendering: the first turn's honest NULL jac_ppm
+    becomes −1 (a value jac can't take) so the comparator's sorted
+    tuples stay single-typed."""
+    from cow_spark.operators.dialogue import topic_segments
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return topic_segments(transcripts_df(spark, 5000)).withColumn(
+        "jac_ppm", F.coalesce(F.col("jac_ppm"), F.lit(-1).cast("long")))
+
+
+def _sql_topic_segments() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+tok as (
+  select conv_id, turn_idx,
+         list_distinct(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as cur
+  from transcripts_gen
+),
+p as (
+  select conv_id, turn_idx, cur,
+         lag(cur) over (partition by conv_id order by turn_idx) as prv
+  from tok
+),
+j as (
+  select conv_id, turn_idx,
+         case when prv is null then -1
+              when len(cur) + len(prv) - len(list_intersect(cur, prv)) > 0
+              then (len(list_intersect(cur, prv)) * 1000000)
+                   // (len(cur) + len(prv) - len(list_intersect(cur, prv)))
+              else 1000000 end as jac_ppm
+  from p
+)
+select conv_id, turn_idx, cast(jac_ppm as bigint) as jac_ppm,
+       cast(sum(case when jac_ppm >= 0 and jac_ppm < 100000
+                     then 1 else 0 end)
+            over (partition by conv_id order by turn_idx
+                  rows between unbounded preceding and current row)
+            as bigint) as segment_id,
+       (jac_ppm < 100000) as segment_start
+from j
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (corpus.py:split_leakage): a DELIBERATELY
+    leaky assignment (split by raw doc residue, clusters by %97) so
+    the audit table is non-empty and every count is checkable; the
+    production pairing (hash_split keyed on the cluster rep) would
+    return zero rows."""
+    from cow_spark.operators.corpus import split_leakage
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    assignments = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 8, F.lit("train"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("valid"))
+        .otherwise(F.lit("test")).alias("split"))
+    clusters = docs.select(
+        "doc_id",
+        F.concat(F.lit("c"), F.pmod(F.col("doc_id"), F.lit(97))
+                 .cast("string")).alias("cluster_id"))
+    return split_leakage(assignments, clusters)
+
+
+_SQL_SPLIT_LEAKAGE = """
+with a as (
+  select cast(doc_id as bigint) as doc_id,
+         case when doc_id % 10 < 8 then 'train'
+              when doc_id % 10 < 9 then 'valid'
+              else 'test' end as split,
+         'c' || cast(doc_id % 97 as varchar) as cluster_id
+  from documents
+),
+g as (
+  select cluster_id, cast(count(*) as bigint) as n_docs,
+         list_sort(list(distinct split)) as sp
+  from a group by cluster_id
+)
+select cluster_id, n_docs, cast(len(sp) as int) as n_splits,
+       list_aggregate(sp, 'string_agg', ' ') as splits
+from g where len(sp) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9121,6 +9213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "injection_scan": q_injection_scan,
         "tool_latency": q_tool_latency,
         "inclusion_deps": q_inclusion_deps,
+        "topic_segments": q_topic_segments,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -9310,4 +9404,6 @@ def oracle_sql() -> dict[str, str]:
         "injection_scan": _sql_injection_scan(),
         "tool_latency": _sql_tool_latency(),
         "inclusion_deps": _sql_inclusion_deps(),
+        "topic_segments": _sql_topic_segments(),
+        "split_leakage": _SQL_SPLIT_LEAKAGE,
     }

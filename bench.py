@@ -141,6 +141,11 @@ HEADLINE = [
     "vocab_growth",
     "zipf_alpha",
     "role_entropy",
+    "injection_scan",
+    "tool_latency",
+    "inclusion_deps",
+    "topic_segments",
+    "split_leakage",
 ]
 
 

@@ -417,3 +417,49 @@ def weighted_sample_py(rows, k, salt: str = WSAMPLE_SALT):
         rank = (_LOG2_60BITS - log2_fp_py(h)) * _WS_PREC // int(w)
         ranked.append((rank, rid))
     return [rid for _, rid in sorted(ranked)[:k]]
+
+
+def split_leakage(
+    assignments: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Split-leakage audit — the check that closes the dedup → split
+    pipeline: :func:`hash_split` documents that keying the hash on a
+    duplicate-cluster representative keeps near-duplicates in one
+    split; THIS verifies that property on the actual assignment
+    (whatever produced it), because a train/test boundary that a
+    near-duplicate pair straddles is silent eval contamination —
+    exactly what decontamination screens for against EXTERNAL
+    benchmarks, applied to the corpus's own held-out split.
+
+    One row per LEAKY cluster (≥ 2 distinct splits among its members):
+    ``(cluster_id, n_docs, n_splits, splits)`` with ``splits`` the
+    sorted distinct split list space-joined (bounded by the split
+    vocabulary). Clean corpora return 0 rows — emptiness IS the pass
+    signal, and the audit table is the worklist otherwise (re-split or
+    drop those clusters). Docs absent from ``clusters`` are singleton
+    clusters by definition and cannot leak — the inner join drops them
+    deliberately.
+
+    Scale shape: one equi-join of two corpus-scale projections on the
+    id (column-pruned to 2 columns each side), then one
+    partial-aggregated groupBy(cluster) with a collect_set bounded by
+    the split vocabulary (a handful), filtered to violations. No
+    windows, no Python.
+    """
+    a = assignments.select(F.col(id_col).alias("_id"),
+                           F.col(split_col).alias("_split"))
+    c = clusters.select(F.col(id_col).alias("_id"),
+                        F.col(cluster_col).alias("cluster_id"))
+    return (a.join(c, "_id")
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.array_sort(F.collect_set("_split")).alias("_splits"))
+            .where(F.size("_splits") >= 2)
+            .select("cluster_id",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.size("_splits").cast("int").alias("n_splits"),
+                    F.array_join("_splits", " ").alias("splits")))

@@ -354,3 +354,55 @@ def tool_latency(transcripts: DataFrame) -> DataFrame:
                             / F.col("n_timed")).cast("long"))
                     .alias("mean_us"),
                     "min_us", "max_us"))
+
+
+def topic_segments(
+    transcripts: DataFrame,
+    threshold_ppm: int = 100_000,
+) -> DataFrame:
+    """Lexical topic segmentation of conversations — TextTiling
+    collapsed to turn granularity: a new segment opens wherever the
+    adjacent-turn token Jaccard (exactly :func:`turn_coherence`'s
+    per-transition statistic) falls strictly below ``threshold_ppm``.
+    The chunking stage for long multi-topic sessions: RAG indexing and
+    context-window packing both want topically coherent spans, not
+    fixed-size slices through a subject change.
+
+    One row per turn: ``(conv_id, turn_idx, jac_ppm, segment_id,
+    segment_start)`` — ``jac_ppm`` NULL on each conversation's first
+    turn (no predecessor; it always starts segment 0), ``segment_id``
+    0-based and dense within the conversation, ``segment_start`` true
+    on openers. Empty↔empty transitions are vacuously coherent (10⁶,
+    the turn_coherence rule) so blank filler turns don't shatter
+    segments.
+
+    Scale shape: the SAME single (conv_id, turn_idx) window shuffle as
+    turn_coherence carries the lag AND the running boundary sum —
+    segment_id is a prefix count of boundary indicators, one sort,
+    zero joins, zero Python. Per-segment rollups are one groupBy on
+    the output downstream.
+    """
+    from ..functions.text import normalize_text, tokens
+
+    w = _turn_window()
+    tok = F.array_distinct(tokens(normalize_text(F.col("text"))))
+    t = transcripts.select("conv_id", "turn_idx", tok.alias("cur"))
+    p = t.select("conv_id", "turn_idx", "cur",
+                 F.lag("cur").over(w).alias("prv"))
+    inter = F.size(F.array_intersect("cur", "prv")).cast("long")
+    union = (F.size("cur") + F.size("prv")).cast("long") - inter
+    num = inter * F.lit(1_000_000)
+    jac = F.when(F.col("prv").isNull(), F.lit(None).cast("long")) \
+        .when(union > 0,
+              ((num - F.pmod(num, union)) / union).cast("long")) \
+        .otherwise(F.lit(1_000_000))
+    scored = p.select("conv_id", "turn_idx", jac.alias("jac_ppm"))
+    boundary = (F.col("jac_ppm").isNotNull()
+                & (F.col("jac_ppm") < threshold_ppm)).cast("int")
+    run = F.sum(boundary).over(
+        _turn_window().rowsBetween(Window.unboundedPreceding, 0))
+    return scored.select(
+        "conv_id", "turn_idx", "jac_ppm",
+        run.cast("long").alias("segment_id"),
+        (F.col("jac_ppm").isNull()
+         | (F.col("jac_ppm") < threshold_ppm)).alias("segment_start"))

@@ -2692,3 +2692,26 @@ def test_inclusion_deps_containment(spark):
         inclusion_deps(tables, [])
     with pytest.raises(KeyError):
         inclusion_deps(tables, [("nope", "x", "parent", "pk")])
+
+
+def test_split_leakage_audit(spark):
+    """Leaky clusters only, sorted split lists, unclustered docs are
+    non-leaking singletons, clean pairing returns zero rows."""
+    from cow_spark.operators.corpus import split_leakage
+
+    a = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"),
+         (5, "valid"), (9, "test")],
+        "doc_id long, split string")
+    c = spark.createDataFrame(
+        [(1, "cA"), (2, "cA"), (3, "cA"), (4, "cB"), (5, "cB")],
+        "doc_id long, cluster_id string")
+    got = {r.cluster_id: r for r in split_leakage(a, c).collect()}
+    assert set(got) == {"cA", "cB"}
+    assert (got["cA"].n_docs, got["cA"].n_splits) == (3, 2)
+    assert got["cA"].splits == "test train"
+    assert got["cB"].splits == "train valid"
+    clean = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "train")],
+        "doc_id long, split string")
+    assert split_leakage(clean, c).count() == 0

@@ -240,3 +240,33 @@ def test_tool_latency_gaps_and_unanswered(spark):
     c = got["calc"]
     assert (c.n_calls, c.n_timed) == (1, 1)
     assert (c.mean_us, c.min_us) == (-1_000_000, -1_000_000)
+
+
+def test_topic_segments_boundaries(spark):
+    """Segment opens on first turn and on every sub-threshold
+    transition; empty↔empty stays coherent; segment ids dense per
+    conversation and independent across conversations."""
+    from cow_spark.operators.dialogue import topic_segments
+
+    rows = [
+        ("c1", 0, "the quick brown fox"),
+        ("c1", 1, "the quick brown dog"),      # high overlap
+        ("c1", 2, "unrelated topic entirely"),  # boundary
+        ("c1", 3, ""),                           # vs tokens: jac 0 -> boundary
+        ("c1", 4, ""),                           # empty-empty: coherent
+        ("c2", 0, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+    got = {(r.conv_id, r.turn_idx): r
+           for r in topic_segments(df, threshold_ppm=300_000).collect()}
+    assert got[("c1", 0)].jac_ppm is None
+    assert got[("c1", 0)].segment_start
+    assert got[("c1", 0)].segment_id == 0
+    assert got[("c1", 1)].segment_id == 0 and not got[("c1", 1)].segment_start
+    assert got[("c1", 1)].jac_ppm == 600000  # |∩|=3, |∪|=5
+    assert got[("c1", 2)].segment_id == 1 and got[("c1", 2)].segment_start
+    assert got[("c1", 3)].segment_id == 2   # text->empty = 0 overlap
+    assert got[("c1", 4)].segment_id == 2   # empty<->empty coherent
+    assert got[("c1", 4)].jac_ppm == 1_000_000
+    assert got[("c2", 0)].segment_id == 0 and got[("c2", 0)].segment_start
