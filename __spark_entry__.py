@@ -9008,6 +9008,194 @@ from g where len(sp) >= 2
 """
 
 
+_FD_PAIRS = [
+    ("o_orderkey", "o_totalprice"),          # PK determines everything
+    ("o_custkey", "o_orderpriority"),        # violated: customers reorder
+    (("o_custkey", "o_orderstatus"), "o_orderpriority"),  # composite, still violated
+    ("o_orderpriority", "o_orderpriority"),  # reflexive: trivially exact
+]
+
+
+def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check (validate.py:functional_deps) over
+    four candidate FDs on orders: the PK claim (exact), a violated
+    single-column FD, a violated composite determinant, and the
+    reflexive FD (trivially exact) — compliance_ppm grades each."""
+    from cow_spark.plans.validate import functional_deps
+
+    return functional_deps(_load(spark, sf_dir, "orders"), _FD_PAIRS)
+
+
+def _sql_functional_deps() -> str:
+    parts = []
+    for det, dep in _FD_PAIRS:
+        cols = [det] if isinstance(det, str) else list(det)
+        csv = ", ".join(cols)
+        parts.append(f"""
+select '{",".join(cols)}' as lhs, '{dep}' as rhs,
+       cast(count(*) as bigint) as n_groups,
+       cast(coalesce(sum(case when nd >= 2 then 1 else 0 end), 0)
+            as bigint) as n_violating,
+       cast((count(*) - coalesce(sum(case when nd >= 2 then 1 else 0 end), 0))
+            * 1000000 // count(*) as bigint) as compliance_ppm,
+       coalesce(sum(case when nd >= 2 then 1 else 0 end), 0) = 0 as exact
+from (select count(distinct {dep})
+        + max(case when {dep} is null then 1 else 0 end) as nd
+      from orders group by {csv})""")
+    return " union all ".join(parts)
+
+
+_MI_PAIRS = [("lang", "source"), ("lang", "lang")]
+
+
+def q_column_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mutual information (stats.py:column_mi) on documents:
+    lang vs source (the stratification-key question) plus the
+    reflexive pair, whose MI must equal H(lang) up to the documented
+    one-floor difference — both in the exact integer log2 kernel."""
+    from cow_spark.plans.stats import column_mi
+
+    return column_mi(_load(spark, sf_dir, "documents"), _MI_PAIRS)
+
+
+def _sql_column_mi() -> str:
+    l2ab = _sql_log2fp("c_ab")
+    l2a = _sql_log2fp("c_a")
+    l2b = _sql_log2fp("c_b")
+    parts = []
+    for ca, cb in _MI_PAIRS:
+        # NB marginals via window sums, NOT joins: NULL categories
+        # must keep their mass (mirrors the operator's rule)
+        parts.append(f"""
+select '{ca}' as col_a, '{cb}' as col_b,
+       cast(n as bigint) as n,
+       cast({_sql_log2fp("n")} - sa // n as bigint) as h_a_fp,
+       cast({_sql_log2fp("n")} - sb // n as bigint) as h_b_fp,
+       cast((s + n * {_sql_log2fp("n")}) // n as bigint) as mi_fp,
+       case when least({_sql_log2fp("n")} - sa // n,
+                       {_sql_log2fp("n")} - sb // n) > 0
+            then cast(((s + n * {_sql_log2fp("n")}) // n) * 1000000
+                      // least({_sql_log2fp("n")} - sa // n,
+                               {_sql_log2fp("n")} - sb // n) as bigint)
+            end as nmi_ppm
+from (
+  select sum(c_ab) as n,
+         sum(c_ab * ({l2ab} - {l2a} - {l2b})) as s,
+         sum(c_ab * {l2a}) as sa,
+         sum(c_ab * {l2b}) as sb
+  from (
+    select c_ab,
+           sum(c_ab) over (partition by a) as c_a,
+           sum(c_ab) over (partition by b) as c_b
+    from (select {ca} as a, {cb} as b, count(*) as c_ab
+          from documents group by 1, 2)
+  )
+)""")
+    return " union all ".join(parts)
+
+
+_TOOL_NAMES = "['search','calc','browse']"
+
+
+def _tooled_transcripts(spark: SparkSession, mix: str):
+    """LCG transcripts with the tool column re-derived from
+    (conv number, turn_idx) by the given integer mix — at 5000 slots
+    the generator's own %3 mixing lands on one tool name
+    (FIXTURES.md #37), which would make sequence operators vacuous;
+    this keeps the fixture multi-tool in BOTH engines from shared
+    arithmetic."""
+    from cow_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, 5000)
+    idx = F.expr(mix.format(conv="cast(substring(conv_id, 6, 10) as int)",
+                            turn="turn_idx"))
+    tool2 = F.when(
+        F.col("tool").isNotNull(),
+        F.element_at(F.array(F.lit("search"), F.lit("calc"),
+                             F.lit("browse")),
+                     F.pmod(idx, F.lit(3)).cast("int") + 1))
+    return t.withColumn("tool", tool2)
+
+
+def q_tool_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tool-call trigrams (dialogue.py:tool_ngrams) over the
+    re-tooled LCG transcripts (mix varies per tool turn, so every
+    gram family fires); overlapping occurrences and conversation
+    support both graded."""
+    from cow_spark.operators.dialogue import tool_ngrams
+
+    return tool_ngrams(
+        _tooled_transcripts(spark, "{conv} + {turn} * 2"), n=3)
+
+
+def _sql_tool_ngrams() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+seq as (
+  select conv_id, turn_idx,
+         ({_TOOL_NAMES})[cast((cast(substr(conv_id, 6) as int)
+                               + turn_idx * 2) % 3 as int) + 1] as tool
+  from transcripts_gen where tool is not null
+),
+g as (
+  select conv_id,
+         tool || '>' || lead(tool, 1) over w
+              || '>' || lead(tool, 2) over w as gram,
+         lead(tool, 2) over w is not null as ok
+  from seq window w as (partition by conv_id order by turn_idx, tool)
+),
+f as (select conv_id, gram from g where ok),
+d as (select count(distinct conv_id) as tc from f)
+select gram, cast(count(*) as bigint) as n,
+       cast(count(distinct conv_id) as bigint) as n_convs,
+       cast(count(distinct conv_id) * 1000000
+            // (select tc from d) as bigint) as support_ppm
+from f group by gram
+"""
+
+
+def q_action_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runaway-loop screen (dialogue.py:action_loops) over the
+    re-tooled LCG transcripts (block mix turn_idx//4 makes adjacent
+    tool turns share a tool, so real runs exist); min_run=2 keeps the
+    audit table populated — the stricter default is pinned in pytest."""
+    from cow_spark.operators.dialogue import action_loops
+
+    return action_loops(
+        _tooled_transcripts(spark, "{conv} * 5 + {turn} div 4"),
+        min_run=2)
+
+
+def _sql_action_loops() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+seq as (
+  select conv_id, turn_idx,
+         ({_TOOL_NAMES})[cast((cast(substr(conv_id, 6) as int) * 5
+                               + turn_idx // 4) % 3 as int) + 1] as tool
+  from transcripts_gen where tool is not null
+),
+m as (
+  select conv_id, turn_idx, tool,
+         case when lag(tool) over w is null
+                or lag(tool) over w <> tool then 1 else 0 end as new
+  from seq window w as (partition by conv_id order by turn_idx, tool)
+),
+r as (
+  select conv_id, turn_idx, tool,
+         sum(new) over (partition by conv_id order by turn_idx, tool
+                        rows between unbounded preceding and current row)
+           as run
+  from m
+)
+select conv_id, tool, cast(count(*) as bigint) as run_len,
+       cast(min(turn_idx) as int) as start_turn,
+       cast(max(turn_idx) as int) as end_turn
+from r group by conv_id, run, tool
+having count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9215,6 +9403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inclusion_deps": q_inclusion_deps,
         "topic_segments": q_topic_segments,
         "split_leakage": q_split_leakage,
+        "functional_deps": q_functional_deps,
+        "column_mi": q_column_mi,
+        "tool_ngrams": q_tool_ngrams,
+        "action_loops": q_action_loops,
     }
 
 
@@ -9406,4 +9598,8 @@ def oracle_sql() -> dict[str, str]:
         "inclusion_deps": _sql_inclusion_deps(),
         "topic_segments": _sql_topic_segments(),
         "split_leakage": _SQL_SPLIT_LEAKAGE,
+        "functional_deps": _sql_functional_deps(),
+        "column_mi": _sql_column_mi(),
+        "tool_ngrams": _sql_tool_ngrams(),
+        "action_loops": _sql_action_loops(),
     }

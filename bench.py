@@ -146,6 +146,10 @@ HEADLINE = [
     "inclusion_deps",
     "topic_segments",
     "split_leakage",
+    "functional_deps",
+    "column_mi",
+    "tool_ngrams",
+    "action_loops",
 ]
 
 

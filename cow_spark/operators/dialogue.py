@@ -406,3 +406,109 @@ def topic_segments(
         run.cast("long").alias("segment_id"),
         (F.col("jac_ppm").isNull()
          | (F.col("jac_ppm") < threshold_ppm)).alias("segment_start"))
+
+
+def tool_ngrams(
+    transcripts: DataFrame,
+    n: int = 3,
+    min_count: int = 1,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent tool-call n-grams — :func:`tool_transitions` extended
+    from the Markov bigram to whole sub-workflows: the corpus-level
+    answer to "which length-n tool sequences do agents actually run?"
+    (sequential pattern mining collapsed to contiguous n-grams, the
+    scale-honest core of PrefixSpan — gap patterns need a lattice
+    search; contiguous grams need one window). High-support grams are
+    candidate macros/pipelines; a gram whose count dwarfs its
+    conversation support is one session looping.
+
+    Each conversation's tool-bearing turns (non-NULL ``tool``, ordered
+    by ``turn_idx``) form a sequence; every contiguous window of n
+    tools is a gram rendered ``t1>t2>t3``. One row per gram with
+    ``count >= min_count``: ``(gram, n, n_convs, support_ppm)`` —
+    ``n`` total occurrences (overlapping windows count each),
+    ``n_convs`` distinct conversations containing it, ``support_ppm``
+    the floor-scaled share of conversations long enough to contain ANY
+    n-gram (shorter conversations can't testify either way, so they
+    leave the denominator).
+
+    Scale shape: ONE window pass on the natural (conv, turn) key
+    stages the n−1 leads; complete windows survive a null filter; one
+    partial-agg groupBy to the (≤ |tools|ⁿ)-bounded gram table, plus a
+    1-row denominator broadcast. No joins on the corpus, no Python.
+    """
+    if n < 2:
+        raise ValueError(f"tool_ngrams: n must be >= 2, got {n}")
+    # secondary sort on tool: duplicate turn_idx values (dirty data)
+    # would otherwise make gram counts nondeterministic across runs
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "tool")
+    seq = (transcripts.where(F.col("tool").isNotNull())
+           .select("conv_id", "turn_idx", "tool"))
+    leads = [F.col("tool")] + [F.lead("tool", i).over(w)
+                               for i in range(1, n)]
+    grams = (seq.select("conv_id",
+                        F.concat_ws(sep, *leads).alias("gram"),
+                        leads[-1].isNotNull().alias("_full"))
+             .where("_full"))
+    denom = (grams.agg(F.countDistinct("conv_id").alias("_tc")))
+    counts = (grams.groupBy("gram")
+              .agg(F.count("*").alias("n"),
+                   F.countDistinct("conv_id").alias("n_convs"))
+              .where(F.col("n") >= min_count))
+    sup = F.col("n_convs") * F.lit(1_000_000)
+    return (counts.crossJoin(F.broadcast(denom))
+            .select("gram",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("n_convs").cast("long").alias("n_convs"),
+                    ((sup - F.pmod(sup, F.col("_tc"))) / F.col("_tc"))
+                    .cast("long").alias("support_ppm")))
+
+
+def action_loops(
+    transcripts: DataFrame,
+    min_run: int = 3,
+) -> DataFrame:
+    """Runaway-loop screen over agent transcripts — the per-session
+    localization that :func:`tool_ngrams` (corpus counts) and
+    :func:`role_entropy` (whole-conversation collapse) don't give:
+    maximal runs of CONSECUTIVE identical tool calls within a
+    conversation's tool sequence. An agent stuck retrying one tool is
+    the dominant transcript failure mode — it burns tokens, poisons
+    SFT mining, and a run's coordinates are exactly what a repair or
+    filter step needs.
+
+    Intervening non-tool turns (the assistant reading each result) do
+    NOT break a run — the sequence is the tool-bearing turns in
+    ``turn_idx`` order, so "call, read, call again" still counts as
+    the loop it is. One row per run with length ≥ ``min_run``:
+    ``(conv_id, tool, run_len, start_turn, end_turn)``.
+
+    Scale shape: the boundary-prefix-count trick (same shape as
+    :func:`topic_segments`): ONE window on the natural (conv, turn)
+    key carries the lag AND the running boundary sum that numbers the
+    runs, then one partial-agg groupBy (conv, run) bounded by the
+    run count. No joins, no second shuffle key, no Python.
+    """
+    if min_run < 2:
+        raise ValueError(f"action_loops: min_run must be >= 2, "
+                         f"got {min_run}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "tool")
+    seq = (transcripts.where(F.col("tool").isNotNull())
+           .select("conv_id", "turn_idx", "tool"))
+    marked = seq.withColumn(
+        "_new",
+        (F.lag("tool").over(w).isNull()
+         | (F.lag("tool").over(w) != F.col("tool"))).cast("int"))
+    run = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (marked.withColumn("_run", run)
+            .groupBy("conv_id", "_run", "tool")
+            .agg(F.count("*").alias("run_len"),
+                 F.min("turn_idx").alias("start_turn"),
+                 F.max("turn_idx").alias("end_turn"))
+            .where(F.col("run_len") >= min_run)
+            .select("conv_id", "tool",
+                    F.col("run_len").cast("long").alias("run_len"),
+                    F.col("start_turn").cast("int").alias("start_turn"),
+                    F.col("end_turn").cast("int").alias("end_turn")))

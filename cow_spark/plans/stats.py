@@ -392,3 +392,90 @@ def predicate_profile(quads: DataFrame) -> DataFrame:
                     .alias("functional_ppm"),
                     _ppm(F.col("_single_in"), F.col("n_objects"))
                     .alias("inverse_functional_ppm")))
+
+
+def column_mi(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    frac_bits: int = 10,
+) -> DataFrame:
+    """Pairwise mutual information between categorical columns — the
+    GRADED dependency profile between ``functional_deps``' boolean
+    extreme (MI = H(dep) exactly when the FD holds) and independence
+    (MI = 0): which metadata columns actually carry information about
+    each other (does `source` predict `lang`?), the signal that drives
+    stratification keys, partition-column choice, and leakage review
+    of "harmless" metadata.
+
+    One row per pair: ``(col_a, col_b, n, h_a_fp, h_b_fp, mi_fp,
+    nmi_ppm)`` in the exact integer log2 fixed point (units
+    1/2^frac_bits bits): entropies via the one-floor identity
+    H = log2fp(N) − ⌊Σ c·log2fp(c) / N⌋ (role_entropy's rule), MI via
+    ⌊Σ c_ab·(log2fp(c_ab) + log2fp(N) − log2fp(c_a) − log2fp(c_b)) /
+    N⌋ — every division is a single pmod floor, so both engines agree
+    bit-for-bit; ``nmi_ppm`` = floor-scaled MI / min(H_A, H_B), NULL
+    when either column is constant (zero entropy — normalization is
+    undefined, and NULL says so louder than a fake 0). NULL cells form
+    their own category (groupBy semantics — a NULL lang is itself
+    informative). MI can dip one fixed-point unit below 0 on
+    independent columns (each log2fp truncates ≤ 1 ulp); the profile
+    reports the honest signed value rather than clamping.
+
+    Scale shape: per pair ONE column-pruned corpus groupBy to the
+    contingency table (bounded by the domain product); marginals are
+    WINDOW sums over that vocabulary-sized table (partition keys may
+    legitimately be NULL — an equi-join on the category would silently
+    drop the NULL category's mass); log2 columns are staged on
+    vocabulary-sized frames only. int64 audit: each
+    |term| ≤ c_ab · 4·63·2^frac, linear in N.
+    """
+    from pyspark.sql import Window
+    from ..functions.intmath import with_log2_fp
+
+    if not pairs:
+        raise ValueError("column_mi: pairs must be non-empty")
+
+    def _floor(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    outs = []
+    for ca, cb in pairs:
+        for c in (ca, cb):
+            if c not in df.columns:
+                raise KeyError(f"column_mi: unknown column {c!r}")
+        cells = (df.select(F.col(ca).alias("_a"), F.col(cb).alias("_b"))
+                 .groupBy("_a", "_b").agg(F.count("*").alias("c_ab")))
+        j = (cells
+             .withColumn("c_a",
+                         F.sum("c_ab").over(Window.partitionBy("_a")))
+             .withColumn("c_b",
+                         F.sum("c_ab").over(Window.partitionBy("_b"))))
+        j = with_log2_fp(j, "c_a", "l2a", frac_bits)
+        j = with_log2_fp(j, "c_b", "l2b", frac_bits)
+        j = with_log2_fp(j, "c_ab", "l2ab", frac_bits)
+        term = F.col("c_ab") * (F.col("l2ab")
+                                - F.col("l2a") - F.col("l2b"))
+        agg = j.agg(F.sum("c_ab").alias("n"),
+                    F.sum(term).alias("_s"),
+                    F.sum(F.col("c_ab") * F.col("l2a")).alias("_sa"),
+                    F.sum(F.col("c_ab") * F.col("l2b")).alias("_sb"))
+        agg = with_log2_fp(agg, "n", "_l2n", frac_bits)
+        h_a = F.col("_l2n") - _floor(F.col("_sa"), F.col("n"))
+        h_b = F.col("_l2n") - _floor(F.col("_sb"), F.col("n"))
+        # Σ c_ab·(l2ab − l2a − l2b) + N·l2N, one floor at the end
+        mi = _floor(F.col("_s") + F.col("n") * F.col("_l2n"),
+                    F.col("n"))
+        hmin = F.least(h_a, h_b)
+        outs.append(agg.select(
+            F.lit(ca).alias("col_a"), F.lit(cb).alias("col_b"),
+            F.col("n").cast("long").alias("n"),
+            h_a.cast("long").alias("h_a_fp"),
+            h_b.cast("long").alias("h_b_fp"),
+            mi.alias("mi_fp"),
+            F.when(hmin > 0,
+                   _floor(mi * F.lit(1_000_000), hmin))
+            .alias("nmi_ppm")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

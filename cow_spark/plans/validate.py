@@ -409,3 +409,72 @@ def inclusion_deps(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def functional_deps(
+    df: DataFrame,
+    pairs: list[tuple],
+) -> DataFrame:
+    """Instance-based functional-dependency check — the intra-table
+    half of schema discovery next to :func:`inclusion_deps`' cross-
+    table one (TANE / Huhtala 1999 verified on candidate pairs, not
+    searched): does ``det → dep`` hold, i.e. does every determinant
+    value map to exactly one dependent value? The reference's CSVW
+    vocabulary carries ``primaryKey`` but its converter never verifies
+    it (csvw.py trusts the spec); here key and derived-column claims
+    are VERIFIED against the data before a mapping or a dedup key
+    relies on them.
+
+    ``pairs`` is a bounded list of ``(det, dep)`` where ``det`` is a
+    column name or a tuple of column names (composite determinants are
+    the common real case — a PK claim is just an FD from the key
+    tuple). One row each: ``(lhs, rhs, n_groups, n_violating,
+    compliance_ppm, exact)`` — ``n_violating`` counts determinant
+    groups seeing ≥ 2 distinct dependent values, ``compliance_ppm``
+    the floor-scaled share of clean groups (the dirty-data tolerance
+    knob: 999 990 ppm is a real FD with one contradicting group, and
+    the profile says exactly that). NULL determinant values form their
+    own group (groupBy semantics — a NULL key is itself a key claim);
+    a NULL dependent counts as one distinct value alongside non-NULLs,
+    so {NULL, 'x'} violates — countDistinct alone would hide it.
+
+    Scale shape: per pair ONE column-pruned corpus groupBy on the
+    determinant tuple (count-distinct partial-aggregated map-side),
+    reduced straight to a single row; the pair list is schema-bounded,
+    so the plan union is as wide as the schema, never the data.
+    """
+    if not pairs:
+        raise ValueError("functional_deps: pairs must be non-empty")
+    outs = []
+    for det, dep in pairs:
+        det_cols = [det] if isinstance(det, str) else list(det)
+        for c in det_cols + [dep]:
+            if c not in df.columns:
+                raise KeyError(f"functional_deps: unknown column {c!r}")
+        nd = (F.countDistinct(dep)
+              + F.max(F.when(F.col(dep).isNull(), 1).otherwise(0)))
+        g = (df.select(*det_cols, dep)
+             .groupBy(*det_cols)
+             .agg(nd.alias("_nd")))
+        # coalesce: an empty table has 0 groups and the SUM over no
+        # rows is NULL — the profile row should say 0/0 exact, not NULL
+        viol = F.coalesce(F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)),
+                          F.lit(0))
+        agg = g.agg(F.count("*").alias("n_groups"),
+                    viol.alias("n_violating"))
+        clean = (F.col("n_groups") - F.col("n_violating")) \
+            * F.lit(1_000_000)
+        outs.append(agg.select(
+            F.lit(",".join(det_cols)).alias("lhs"),
+            F.lit(dep).alias("rhs"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_violating").cast("long").alias("n_violating"),
+            F.when(F.col("n_groups") > 0,
+                   ((clean - F.pmod(clean, F.col("n_groups")))
+                    / F.col("n_groups")).cast("long"))
+            .alias("compliance_ppm"),
+            (F.col("n_violating") == 0).alias("exact")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2715,3 +2715,75 @@ def test_split_leakage_audit(spark):
         [(1, "train"), (2, "train"), (3, "train")],
         "doc_id long, split string")
     assert split_leakage(clean, c).count() == 0
+
+
+def test_functional_deps_pairs(spark):
+    """Exact FD, violated FD, composite determinant, NULL dependent
+    counted as a distinct value, empty pairs raise."""
+    from cow_spark.plans.validate import functional_deps
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", "x"), (1, 2, "a", "x"), (2, 1, "b", "y"),
+         (2, 2, "b", None), (3, 1, "c", "z"), (3, 1, "c", "z")],
+        "k int, sub int, grp string, val string")
+    got = {(r.lhs, r.rhs): r for r in functional_deps(
+        df, [("k", "grp"), ("grp", "val"), (("k", "sub"), "val")]
+    ).collect()}
+    kg = got[("k", "grp")]
+    assert (kg.n_groups, kg.n_violating, kg.exact) == (3, 0, True)
+    assert kg.compliance_ppm == 1_000_000
+    gv = got[("grp", "val")]          # b -> {y, NULL} violates
+    assert (gv.n_groups, gv.n_violating, gv.exact) == (3, 1, False)
+    assert gv.compliance_ppm == 666_666
+    comp = got[("k,sub", "val")]      # (2,2)->NULL only: 1 value, clean
+    assert (comp.n_groups, comp.n_violating, comp.exact) == (5, 0, True)
+    with pytest.raises(ValueError):
+        functional_deps(df, [])
+    with pytest.raises(KeyError):
+        functional_deps(df, [("nope", "val")])
+
+
+def test_column_mi_fixedpoint(spark):
+    """FD pair matches the integer serial twin; independent uniform
+    columns give exactly 0; constant column gives NULL nmi."""
+    from cow_spark.plans.stats import column_mi
+    from cow_spark.functions.intmath import log2_fp_py
+
+    rows = [("x", "p")] * 3 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = column_mi(df, [("a", "b")]).collect()[0]
+    l2 = log2_fp_py
+    n, l2n = 8, l2(8)
+    s = 3 * (l2(3) + l2n - l2(3) - l2(3)) + 5 * (l2(5) + l2n - l2(5) - l2(5))
+    exp_mi = s // n
+    exp_ha = l2n - (3 * l2(3) + 5 * l2(5)) // n
+    assert (r.n, r.mi_fp, r.h_a_fp, r.h_b_fp) == (8, exp_mi, exp_ha, exp_ha)
+    assert r.nmi_ppm == exp_mi * 1_000_000 // exp_ha
+
+    ind = spark.createDataFrame(
+        [(a, b) for a in "01" for b in "01" for _ in range(2)],
+        "a string, b string")
+    ri = column_mi(ind, [("a", "b")]).collect()[0]
+    assert (ri.mi_fp, ri.h_a_fp, ri.h_b_fp) == (0, 1024, 1024)
+    assert ri.nmi_ppm == 0
+
+    const = spark.createDataFrame([("x", "c"), ("y", "c")],
+                                  "a string, b string")
+    rc = column_mi(const, [("a", "b")]).collect()[0]
+    assert (rc.mi_fp, rc.h_b_fp, rc.nmi_ppm) == (0, 0, None)
+    with pytest.raises(ValueError):
+        column_mi(df, [])
+
+
+def test_column_mi_null_category(spark):
+    """A NULL cell value is its own category: its mass stays in n and
+    the marginals (an equi-join on the category would drop it)."""
+    from cow_spark.plans.stats import column_mi
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", None), ("y", None), ("y", None)],
+        "a string, b string")
+    r = column_mi(df, [("a", "b")]).collect()[0]
+    assert r.n == 4                      # all rows counted
+    assert r.h_b_fp == 2048 - 3 * 1623 // 4  # H({1,3}/4) via log2fp
+    assert r.mi_fp > 0                   # a carries info about NULL-ness

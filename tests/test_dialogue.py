@@ -270,3 +270,57 @@ def test_topic_segments_boundaries(spark):
     assert got[("c1", 4)].segment_id == 2   # empty<->empty coherent
     assert got[("c1", 4)].jac_ppm == 1_000_000
     assert got[("c2", 0)].segment_id == 0 and got[("c2", 0)].segment_start
+
+
+def test_tool_ngrams_support(spark):
+    """Overlapping occurrences, conversation support, short-conv
+    denominator exclusion, min_count filter, n<2 raises."""
+    from cow_spark.operators.dialogue import tool_ngrams
+
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "a"), ("c1", 3, "b"),
+        ("c2", 0, "a"), ("c2", 1, "b"),
+        ("c3", 0, "a"),                      # too short for n=2? no: 1 tool
+    ]
+    df = spark.createDataFrame(
+        [(c, t, tool, tool) for c, t, tool in rows],
+        "conv_id string, turn_idx int, role string, tool string")
+    got = {r.gram: r for r in tool_ngrams(df, n=2).collect()}
+    # c3 has no complete bigram -> denominator is 2 conversations
+    assert got["a>b"].n == 3 and got["a>b"].n_convs == 2
+    assert got["a>b"].support_ppm == 1_000_000
+    assert got["b>a"].n == 1 and got["b>a"].n_convs == 1
+    assert got["b>a"].support_ppm == 500_000
+    tri = {r.gram: r for r in tool_ngrams(df, n=3).collect()}
+    assert set(tri) == {"a>b>a", "b>a>b"}
+    assert tool_ngrams(df, n=2, min_count=2).count() == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tool_ngrams(df, n=1)
+
+
+def test_action_loops_runs(spark):
+    """Interleaved non-tool turns don't break runs; min_run filters;
+    run coordinates exact; per-conversation independence."""
+    from cow_spark.operators.dialogue import action_loops
+
+    rows = [
+        ("c1", 0, "search"), ("c1", 1, None), ("c1", 2, "search"),
+        ("c1", 3, "search"), ("c1", 4, "calc"), ("c1", 5, "search"),
+        ("c2", 0, "calc"), ("c2", 1, "calc"), ("c2", 2, "calc"),
+        ("c2", 3, "calc"),
+    ]
+    df = spark.createDataFrame(
+        [(c, t, "assistant", tool) for c, t, tool in rows],
+        "conv_id string, turn_idx int, role string, tool string")
+    got = {(r.conv_id, r.tool): r
+           for r in action_loops(df, min_run=3).collect()}
+    assert set(got) == {("c1", "search"), ("c2", "calc")}
+    s = got[("c1", "search")]
+    assert (s.run_len, s.start_turn, s.end_turn) == (3, 0, 3)
+    c = got[("c2", "calc")]
+    assert (c.run_len, c.start_turn, c.end_turn) == (4, 0, 3)
+    assert action_loops(df, min_run=5).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        action_loops(df, min_run=1)
