@@ -9016,6 +9016,325 @@ _FD_PAIRS = [
 ]
 
 
+def q_horn_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-lite Horn-rule mining (kgtrain.py:horn_rules) over a
+    typed-entity TPC-H KG: placed ∧ contains ⇒ bought holds only for
+    the quantity-gated bought triples (partial confidence), and the
+    unexplained body pairs surface as the NULL-p3 row — both AMIE
+    counting paths graded. Entity ids are type-prefixed so numeric key
+    domains can't join accidentally."""
+    from cow_spark.operators.kgtrain import horn_rules
+
+    orders = _load(spark, sf_dir, "orders")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    placed = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+        F.lit("placed").alias("p"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("o"))
+    contains = lineitem.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("s"),
+        F.lit("contains").alias("p"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("o"))
+    bought = (orders.join(
+        lineitem.where(F.col("l_quantity") <= 25),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("s"),
+            F.lit("bought").alias("p"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("o")))
+    triples = placed.unionByName(contains).unionByName(bought)
+    return horn_rules(triples, min_support=2)
+
+
+_SQL_HORN_RULES = """
+with t as (
+  select 'c' || cast(o_custkey as varchar) as s, 'placed' as p,
+         'o' || cast(o_orderkey as varchar) as o from orders
+  union all
+  select 'o' || cast(l_orderkey as varchar), 'contains',
+         'p' || cast(l_partkey as varchar) from lineitem
+  union all
+  select 'c' || cast(o.o_custkey as varchar), 'bought',
+         'p' || cast(l.l_partkey as varchar)
+  from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+  where l.l_quantity <= 25
+),
+body as (
+  select distinct t1.p as p1, t2.p as p2, t1.s as x, t2.o as z
+  from t t1 join t t2 on t1.o = t2.s
+),
+probed as (
+  select b.p1, b.p2, h.p as p3, b.x, b.z
+  from body b left join t h on h.s = b.x and h.o = b.z
+),
+agg as (
+  select p1, p2, p3, count(distinct x || '|' || z) as n_matched
+  from probed group by 1, 2, 3
+),
+sup as (select p1, p2, count(*) as support from body group by 1, 2)
+select p1, p2, p3, cast(support as bigint) as support,
+       cast(case when p3 is not null then n_matched else 0 end
+            as bigint) as n_matched,
+       cast(case when p3 is not null
+                 then n_matched * 1000000 // support
+                 else 0 end as bigint) as confidence_ppm
+from agg join sup using (p1, p2)
+where support >= 2
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (stats.py:benford_profile) of
+    o_totalprice — TPC-H prices are range-bounded sums, so the profile
+    HONESTLY reports a non-conformant column: digits 1-4 heavy, 5-9
+    starved, signed deviations in both directions, all value-checked
+    (which is the point — the audit flags synthetic data as synthetic)."""
+    from cow_spark.plans.stats import benford_profile
+
+    return benford_profile(_load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _sql_benford() -> str:
+    from cow_spark.plans.stats import BENFORD_PPM
+
+    exp_case = ("case digit "
+                + " ".join(f"when {d} then {v}"
+                           for d, v in BENFORD_PPM.items())
+                + " end")
+    return f"""
+with d as (
+  select cast(substr(cast(cast(floor(abs(o_totalprice)) as bigint)
+                          as varchar), 1, 1) as int) as digit
+  from orders where abs(o_totalprice) >= 1
+),
+c as (select digit, count(*) as n from d group by digit),
+t as (select count(*) as tot from d)
+select digit, cast(n as bigint) as n,
+       cast(n * 1000000 // tot as bigint) as observed_ppm,
+       cast({exp_case} as bigint) as expected_ppm,
+       cast(n * 1000000 // tot - ({exp_case}) as bigint) as dev_ppm
+from c, t
+"""
+
+
+def q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness co-occurrence (stats.py:null_patterns) — the
+    testdata tables carry no NULLs, so the entry nullifies three
+    document columns by deterministic rules both engines share
+    (lang='en', source ending in an even digit, n_chars divisible by
+    5); all co-occurrence patterns of the three rules appear."""
+    from cow_spark.plans.stats import null_patterns
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") != "en", F.col("lang")).alias("lang"),
+        F.when(F.pmod(F.regexp_extract("source", "([0-9]+)$", 1)
+                      .cast("int"), F.lit(2)) == 1,
+               F.col("source")).alias("source"),
+        F.when(F.pmod(F.col("n_chars").cast("long"), F.lit(5)) != 0,
+               F.col("n_chars")).alias("n_chars"))
+    return null_patterns(docs, ["lang", "source", "n_chars"])
+
+
+_SQL_NULL_PATTERNS = """
+with v as (
+  select case when lang <> 'en' then lang end as lang,
+         case when cast(regexp_extract(source, '([0-9]+)$', 1) as int)
+                   % 2 = 1 then source end as source,
+         case when cast(n_chars as bigint) % 5 <> 0 then n_chars end
+           as n_chars
+  from documents
+),
+p as (
+  select (case when lang is null then '1' else '0' end)
+      || (case when source is null then '1' else '0' end)
+      || (case when n_chars is null then '1' else '0' end) as pattern
+  from v
+),
+c as (select pattern, count(*) as n from p group by pattern),
+t as (select count(*) as tot from p)
+select pattern,
+       cast(length(replace(pattern, '0', '')) as int) as n_null_cols,
+       cast(n as bigint) as n,
+       cast(n * 1000000 // tot as bigint) as share_ppm
+from c, t
+"""
+
+
+def q_speech_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-act distribution (dialogue.py:speech_acts) over the
+    LCG transcripts: the templates carry imperative openers
+    ('Tell...', 'Ask...', 'Schedule...'), statements, and the
+    empty-text slots but no questions — a deterministic '?' appended
+    to every 5th non-empty turn (both engines share the rule) makes
+    all four classes fire with within-role conditional shares."""
+    from cow_spark.operators.dialogue import speech_acts
+    from cow_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, 5000)
+    t = t.withColumn(
+        "text",
+        F.when((F.col("turn_idx") % 5 == 0) & (F.length("text") > 0),
+               F.concat("text", F.lit("?"))).otherwise(F.col("text")))
+    return speech_acts(t)
+
+
+def _sql_speech_acts() -> str:
+    from cow_spark.operators.dialogue import _ACT_COMMAND, _ACT_QUESTION
+
+    # SQL-escape the embedded regexes (the command list contains an
+    # apostrophe: don't)
+    _ACT_QUESTION_SQL = _ACT_QUESTION.replace("'", "''")
+    _ACT_COMMAND_SQL = _ACT_COMMAND.replace("'", "''")
+    return f"""
+with {_sql_transcripts_gen()},
+tq as (
+  select role,
+         case when turn_idx % 5 = 0 and length(text) > 0
+              then text || '?' else text end as text
+  from transcripts_gen
+),
+a as (
+  select role,
+    case when length(trim(lower(coalesce(text, '')))) = 0 then 'empty'
+         when right(trim(lower(coalesce(text, ''))), 1) = '?'
+           or regexp_matches(trim(lower(coalesce(text, ''))),
+                             '{_ACT_QUESTION_SQL}') then 'question'
+         when regexp_matches(trim(lower(coalesce(text, ''))),
+                             '{_ACT_COMMAND_SQL}') then 'command'
+         else 'statement' end as act
+  from tq
+),
+c as (select role, act, count(*) as n from a group by role, act)
+select role, act, cast(n as bigint) as n,
+       cast(n * 1000000 // sum(n) over (partition by role)
+            as bigint) as share_ppm
+from c
+"""
+
+
+_LEXICON = {
+    "perf": ["slow", "fast", "big", "small"],
+    "sql": ["join", "merge", "filter", "scan"],
+    "dup": ["dup", "batch"],
+}
+
+
+def q_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-lexicon screen (quality.py:lexicon_scan) over the
+    documents' fixed word vocabulary — three categories with repeats,
+    zero-hit rows kept; the twin counts per category with scalar list
+    ops (no unnest) to prove row preservation."""
+    from cow_spark.operators.quality import lexicon_scan
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return lexicon_scan(docs, ["doc_id"], _LEXICON)
+
+
+def _sql_lexicon_scan() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(regexp_replace("
+            "lower(coalesce(text, '')), '\\s+', ' ', 'g')), '\\s+'), "
+            "x -> length(x) > 0)")
+    cats = sorted(_LEXICON)
+    cols, tot = [], []
+    for c in cats:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(_LEXICON[c])))
+        cols.append(
+            f"cast(coalesce(len(list_filter(toks, "
+            f"x -> list_contains([{terms}], x))), 0) as int) as n_{c}")
+        tot.append(f"coalesce(len(list_filter(toks, "
+                   f"x -> list_contains([{terms}], x))), 0)")
+    total = " + ".join(tot)
+    return f"""
+with d as (
+  select cast(doc_id as bigint) as doc_id, {toks} as toks
+  from documents
+)
+select doc_id, {", ".join(cols)},
+       cast({total} as int) as n_hits,
+       ({total}) > 0 as flagged
+from d
+"""
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose router (quality.py:code_detect) over documents
+    with a deterministic code snippet appended to every 7th doc —
+    prose rows stay near 0, snippet rows clear the threshold, and all
+    three signal counters are value-checked."""
+    from cow_spark.operators.quality import code_detect
+
+    snippet = "\ndef f(x):\n    return (x == 1);"
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(snippet)))
+        .otherwise(F.col("text")).alias("text"))
+    return code_detect(docs, ["doc_id"])
+
+
+def _sql_code_detect() -> str:
+    from cow_spark.operators.quality import (_CODE_INDENT, _CODE_KW,
+                                             _CODE_SYM)
+
+    t = ("lower(case when doc_id % 7 = 0 then text || chr(10) || "
+         "'def f(x):' || chr(10) || '    return (x == 1);' "
+         "else text end)")
+    return f"""
+with d as (
+  select cast(doc_id as bigint) as doc_id,
+         coalesce({t}, '') as t
+  from documents
+),
+s as (
+  select doc_id, length(t) as n_chars,
+         len(regexp_extract_all(t, '{_CODE_SYM}')) as n_sym,
+         len(regexp_extract_all(t, '{_CODE_KW}')) as n_kw,
+         len(regexp_extract_all(t, '{_CODE_INDENT}')) as n_indent
+  from d
+)
+select doc_id, cast(n_chars as int) as n_chars,
+       cast(n_sym as int) as n_sym, cast(n_kw as int) as n_kw,
+       cast(n_indent as int) as n_indent,
+       cast((n_sym * 10 + n_kw * 40 + n_indent * 80) * 1000000
+            // (n_chars + 1) as bigint) as score_ppm,
+       (n_sym * 10 + n_kw * 40 + n_indent * 80) * 1000000
+            // (n_chars + 1) >= 60000 as is_code
+from s
+"""
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-level ANF + effective diameter
+    (graphrank.py:neighborhood_function) over the hyperball table of
+    the order-part graph — per-radius pair-reach sums, floor shares
+    against the top radius, first ge_90pct row = effective diameter;
+    every estimate is the portable-HLL integer, so the aggregate
+    replays bit-exactly."""
+    from cow_spark.operators.graphrank import (hyperball,
+                                               neighborhood_function)
+
+    return neighborhood_function(
+        hyperball(_cc_edges(spark, sf_dir), rounds=3, b=4))
+
+
+def _sql_neighborhood_function() -> str:
+    return f"""
+with nfq as materialized (
+  select radius, est from ({_sql_hyperball()})
+),
+per_r as (select radius, sum(est) as nf_sum from nfq group by radius),
+mx as (select nf_sum as mx from per_r order by radius desc limit 1)
+select radius, cast(nf_sum as bigint) as nf_sum,
+       cast(nf_sum * 1000000 // (select mx from mx) as bigint)
+         as share_ppm,
+       nf_sum * 1000000 // (select mx from mx) >= 900000 as ge_90pct
+from per_r
+"""
+
+
 def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check (validate.py:functional_deps) over
     four candidate FDs on orders: the PK claim (exact), a violated
@@ -9407,6 +9726,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_mi": q_column_mi,
         "tool_ngrams": q_tool_ngrams,
         "action_loops": q_action_loops,
+        "horn_rules": q_horn_rules,
+        "benford": q_benford,
+        "null_patterns": q_null_patterns,
+        "speech_acts": q_speech_acts,
+        "lexicon_scan": q_lexicon_scan,
+        "code_detect": q_code_detect,
+        "neighborhood_fn": q_neighborhood_function,
     }
 
 
@@ -9602,4 +9928,11 @@ def oracle_sql() -> dict[str, str]:
         "column_mi": _sql_column_mi(),
         "tool_ngrams": _sql_tool_ngrams(),
         "action_loops": _sql_action_loops(),
+        "horn_rules": _SQL_HORN_RULES,
+        "benford": _sql_benford(),
+        "null_patterns": _SQL_NULL_PATTERNS,
+        "speech_acts": _sql_speech_acts(),
+        "lexicon_scan": _sql_lexicon_scan(),
+        "code_detect": _sql_code_detect(),
+        "neighborhood_fn": _sql_neighborhood_function(),
     }

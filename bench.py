@@ -150,6 +150,13 @@ HEADLINE = [
     "column_mi",
     "tool_ngrams",
     "action_loops",
+    "horn_rules",
+    "benford",
+    "null_patterns",
+    "speech_acts",
+    "lexicon_scan",
+    "code_detect",
+    "neighborhood_fn",
 ]
 
 

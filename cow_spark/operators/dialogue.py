@@ -512,3 +512,53 @@ def action_loops(
                     F.col("run_len").cast("long").alias("run_len"),
                     F.col("start_turn").cast("int").alias("start_turn"),
                     F.col("end_turn").cast("int").alias("end_turn")))
+
+
+# dialogue-act heuristics, Java∩RE2 subset, applied to lowercased
+# trimmed text; precedence question > command > statement. NB the
+# terminal-'?' test is an explicit last-char check, NOT `\?$`: Java's
+# non-multiline `$` also matches before a trailing \n, RE2's does not,
+# so a `$`-anchored oracle regex diverges on newline-terminated turns.
+_ACT_QUESTION = (r"^(what|who|whom|whose|when|where|why|how|"
+                 r"which|is|are|was|were|do|does|did|can|could|will|"
+                 r"would|should|shall|may|might)\b")
+_ACT_COMMAND = (r"^(please\b|do\b|don't\b|ask\b|run\b|give\b|list\b|show\b|"
+                r"tell\b|make\b|write\b|find\b|create\b|explain\b|"
+                r"generate\b|stop\b|use\b|add\b|remove\b|update\b|"
+                r"check\b|book\b|send\b|set\b|schedule\b)")
+
+
+def speech_acts(transcripts: DataFrame) -> DataFrame:
+    """Dialogue-act distribution per role — the interaction-shape
+    profile next to :func:`role_entropy`'s speaker one: a healthy
+    assistant corpus is statement-heavy with clarifying questions; a
+    user side is question/command-heavy; drift in those shares flags
+    scripted traffic or a broken collection path. A lexical heuristic
+    (question = terminal '?' or interrogative opener, command =
+    imperative opener, else statement; empty turns their own class),
+    not a classifier — the cascade's cheap first pass, and the
+    three-way split is what a sampling strategy needs.
+
+    One row per (role, act): ``(role, act, n, share_ppm)`` with the
+    share conditional WITHIN the role (shares sum to ~10⁶ per role),
+    so roles of different sizes compare directly.
+
+    Scale shape: one linear scan classifies (two regexes in one
+    codegen span), one partial-agg groupBy bounded by roles × 4 acts,
+    one vocabulary-sized window for the role totals. No joins on the
+    corpus, no Python.
+    """
+    t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    act = (F.when(F.length(t) == 0, F.lit("empty"))
+           .when((F.substring(t, -1, 1) == "?")
+                 | t.rlike(_ACT_QUESTION), F.lit("question"))
+           .when(t.rlike(_ACT_COMMAND), F.lit("command"))
+           .otherwise(F.lit("statement")))
+    counts = (transcripts.select("role", act.alias("act"))
+              .groupBy("role", "act").agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("role"))
+    share = F.col("n") * F.lit(1_000_000)
+    return (counts.withColumn("_tot", tot)
+            .select("role", "act", F.col("n").cast("long").alias("n"),
+                    ((share - F.pmod(share, F.col("_tot")))
+                     / F.col("_tot")).cast("long").alias("share_ppm")))

@@ -3503,3 +3503,35 @@ join wl ca on ca.node = e.s
 join wl cb on cb.node = e.d
 group by 1, 2, 3
 """
+
+
+def neighborhood_function(nf: DataFrame) -> DataFrame:
+    """Graph-level neighborhood function + effective diameter from a
+    :func:`hyperball` table — the whole-graph distance read (how far
+    is "most of" the graph?) that closeness (:func:`hyperball_
+    closeness`) doesn't give: NF(t) = Σ_v |ball(v, t)| is the count
+    of (ordered) pairs within distance t, and the standard effective
+    diameter is the smallest t with NF(t) ≥ 90% of NF(t_max) (Boldi &
+    Vigna's reading of ANF, Palmer 2002).
+
+    One row per radius: ``(radius, nf_sum, share_ppm, ge_90pct)`` —
+    the FIRST true ``ge_90pct`` row is the effective diameter; the
+    share is floor-scaled against the largest computed radius, so if
+    ``rounds`` undershot the true diameter the table says so (top row
+    pinned at 10⁶ by construction, earlier rows far below it).
+
+    Scale shape: one partial-agg groupBy over the |V|·(rounds+1)-row
+    hyperball output + a 1-row broadcast of the top radius's total.
+    Estimates are the portable-HLL integers, so the DuckDB replay is
+    bit-exact.
+    """
+    per_r = nf.groupBy("radius").agg(
+        F.sum("est").cast("long").alias("nf_sum"))
+    top = (per_r.orderBy(F.desc("radius")).limit(1)
+           .select(F.col("nf_sum").alias("_max")))
+    share = F.col("nf_sum") * F.lit(1_000_000)
+    return (per_r.crossJoin(F.broadcast(top))
+            .select("radius", "nf_sum",
+                    ((share - F.pmod(share, F.col("_max")))
+                     / F.col("_max")).cast("long").alias("share_ppm"))
+            .withColumn("ge_90pct", F.col("share_ppm") >= 900_000))

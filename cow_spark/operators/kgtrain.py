@@ -351,3 +351,65 @@ select s, p, o,
 from t, generate_series(0, {dim - 1}) g(d)
 group by s, p, o
 """
+
+
+def horn_rules(
+    triples: DataFrame,
+    min_support: int = 2,
+    min_conf_ppm: int = 0,
+) -> DataFrame:
+    """Closed-path Horn-rule mining — AMIE's core rule shape
+    (Galárraga 2013) as one declarative plan: for every predicate
+    triple (p1, p2, p3), how often does the 2-hop body
+    ``(x, p1, y) ∧ (y, p2, z)`` predict the head ``(x, p3, z)``? The
+    KG-completion profile run BEFORE training an embedding model:
+    high-confidence rules are free supervision (and leakage — a rule
+    the KG already encodes inflates link-prediction eval), low-
+    confidence high-support rules are the interesting candidates.
+
+    AMIE counting semantics on DISTINCT instantiations: ``support`` =
+    distinct (x, z) pairs satisfying the body, ``n_matched`` = those
+    also satisfying the head, ``confidence_ppm`` the floor-scaled
+    standard confidence. One row per (p1, p2, p3) with support ≥
+    ``min_support`` AND a matching head predicate; bodies whose pairs
+    match no head predicate at all appear once with p3 NULL and
+    n_matched 0 — the "no rule explains this path" signal
+    (confidence_ppm 0). p1 = p2 loops and p3 ∈ {p1, p2} are kept:
+    transitivity (p∧p⇒p) is a real and valuable rule.
+
+    Scale shape: body = ONE self-equi-join on the bridge entity
+    (shuffle keyed on entities, AQE-skew-splittable), deduped to
+    distinct (p1, p2, x, z) BEFORE the head probe (the AMIE counting
+    unit, and the fan-in bound); head probe = one more equi-join on
+    (x, z). Output is predicate-vocabulary-cubed-bounded. At 100 TB
+    you degree-cap the bridge first (the standard AMIE-at-scale move);
+    the cap seam is the same filter the hub-probe uses elsewhere.
+    """
+    t = triples.select("s", "p", "o").where(
+        F.col("s").isNotNull() & F.col("o").isNotNull())
+    left = t.select(F.col("s").alias("x"), F.col("p").alias("p1"),
+                    F.col("o").alias("y"))
+    right = t.select(F.col("s").alias("y"), F.col("p").alias("p2"),
+                     F.col("o").alias("z"))
+    body = (left.join(right, "y")
+            .select("p1", "p2", "x", "z").distinct())
+    head = t.select(F.col("s").alias("x"), F.col("p").alias("p3"),
+                    F.col("o").alias("z"))
+    probed = body.join(head, ["x", "z"], "left")
+    agg = (probed.groupBy("p1", "p2", "p3")
+           .agg(F.countDistinct("x", "z").alias("n_matched")))
+    support = (body.groupBy("p1", "p2")
+               .agg(F.count("*").alias("support")))
+    conf = F.col("n_matched") * F.lit(1_000_000)
+    return (agg.join(F.broadcast(support), ["p1", "p2"])
+            .where(F.col("support") >= min_support)
+            .select("p1", "p2", "p3",
+                    F.col("support").cast("long").alias("support"),
+                    F.when(F.col("p3").isNotNull(),
+                           F.col("n_matched"))
+                    .otherwise(F.lit(0)).cast("long").alias("n_matched"),
+                    F.when(F.col("p3").isNotNull(),
+                           ((conf - F.pmod(conf, F.col("support")))
+                            / F.col("support")).cast("long"))
+                    .otherwise(F.lit(0)).alias("confidence_ppm"))
+            .where(F.col("confidence_ppm") >= min_conf_ppm))

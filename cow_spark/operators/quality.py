@@ -658,3 +658,115 @@ def injection_scan(
     cols.append(total.cast("int").alias("n_injection"))
     cols.append((total > 0).alias("flagged"))
     return df.select(*cols)
+
+
+def lexicon_scan(
+    df: DataFrame,
+    id_cols: list[str],
+    categories: dict[str, list[str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Wordlist screen over tokenized text — the OTHER mechanical
+    shape of content screening: :func:`injection_scan`'s regex forest
+    is right for a handful of PATTERNS, but a 50k-term toxicity /
+    brand-safety / domain lexicon cannot be one regex — it is a
+    broadcast JOIN against the token stream (match on normalized
+    token equality; multi-word phrases belong in the regex family).
+    Same cascade position: the cheap 100 TB first pass bounding what
+    a model-based second pass reads.
+
+    ``categories`` maps category name → term list (terms are
+    normalized with the same rule as the text). Output per input row:
+    ``(<id_cols...>, n_<cat>..., n_hits, flagged)`` — rows with no
+    tokens (empty/NULL text) appear with zero counts, a screen that
+    silently drops unscreenable rows isn't a screen. A term listed
+    under two categories counts once in each.
+
+    Scale shape: explode to the token stream (the inherent cost of
+    token-equality matching), ONE broadcast hash join against the
+    lexicon (never shuffled), one partial-aggregated groupBy back to
+    the id grain — the groupBy key is the table's own id, so
+    pre-partitioned layouts shuffle nothing. No Python, no regex
+    scaling with lexicon size.
+    """
+    from ..functions.text import normalize_text, tokens
+
+    if not id_cols:
+        raise ValueError("lexicon_scan: id_cols must be non-empty")
+    if not categories:
+        raise ValueError("lexicon_scan: categories must be non-empty")
+    cats = sorted(categories)
+    rows = [(cat, t) for cat in cats
+            for t in sorted({w.strip().lower()
+                             for w in categories[cat] if w.strip()})]
+    if not rows:
+        raise ValueError("lexicon_scan: categories contain no terms")
+    lex = df.sparkSession.createDataFrame(rows, "cat string, tok string")
+    tok = (df.select(*id_cols,
+                     F.explode_outer(
+                         tokens(normalize_text(F.col(text_col))))
+                     .alias("tok")))
+    hit = tok.join(F.broadcast(lex), "tok", "left")
+    aggs = [F.sum(F.when(F.col("cat") == c, 1).otherwise(0))
+            .cast("int").alias(f"n_{c}") for c in cats]
+    out = hit.groupBy(*id_cols).agg(*aggs)
+    total = None
+    for c in cats:
+        total = F.col(f"n_{c}") if total is None \
+            else total + F.col(f"n_{c}")
+    return out.select(*id_cols, *[f"n_{c}" for c in cats],
+                      total.cast("int").alias("n_hits"),
+                      (total > 0).alias("flagged"))
+
+
+# signal regexes in the Java∩RE2 subset (text lowercased first)
+_CODE_SYM = r"[{}();=<>\[\]]"
+_CODE_KW = (r"\b(def|class|import|return|function|var|const|lambda|"
+            r"void|int|public|static|elif|endif|struct|impl|fn|let)\b")
+_CODE_INDENT = r"(?m)^(    |\t)"
+
+
+def code_detect(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    min_score_ppm: int = 60_000,
+) -> DataFrame:
+    """Code-vs-prose routing heuristic — the corpus triage every
+    mixed crawl needs before language-specific pipelines (code wants
+    exact-substring dedup and no lowercasing; prose wants the Gopher
+    gates): three cheap orthogonal signals — symbol density
+    (braces/semicolons/operators), reserved-word hits, and indented
+    lines — combined into one integer score. A heuristic router, not
+    a classifier: it bounds what a trained router reads, and the
+    per-signal counts are kept so thresholds can be re-derived
+    without a rescan.
+
+    Output per row: ``(<id_cols...>, n_chars, n_sym, n_kw, n_indent,
+    score_ppm, is_code)`` with ``score_ppm = (n_sym·10 + n_kw·40 +
+    n_indent·80) · 10⁶ / (n_chars+1)`` floor-divided (weights favor
+    structure over punctuation; +1 dodges the empty-text divide) and
+    ``is_code = score_ppm ≥ min_score_ppm``. NULL text scores 0.
+
+    Scale shape: one linear scan, all three counters in a single
+    codegen span — no shuffle, no Python (pii_scan discipline).
+    """
+    if not id_cols:
+        raise ValueError("code_detect: id_cols must be non-empty")
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_chars = F.length(t)
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(_CODE_SYM), 0))
+    n_kw = F.size(F.regexp_extract_all(t, F.lit(_CODE_KW), 0))
+    n_ind = F.size(F.regexp_extract_all(t, F.lit(_CODE_INDENT), 0))
+    raw = (n_sym * 10 + n_kw * 40 + n_ind * 80) \
+        * F.lit(1_000_000).cast("long")
+    den = (n_chars + 1).cast("long")
+    score = ((raw - F.pmod(raw, den)) / den).cast("long")
+    return df.select(
+        *id_cols,
+        n_chars.cast("int").alias("n_chars"),
+        n_sym.cast("int").alias("n_sym"),
+        n_kw.cast("int").alias("n_kw"),
+        n_ind.cast("int").alias("n_indent"),
+        score.alias("score_ppm"),
+        (score >= min_score_ppm).alias("is_code"))

@@ -479,3 +479,89 @@ def column_mi(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law in ppm;
+# literal constants, so no cross-engine transcendental math exists
+BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution of a numeric column vs
+    Benford's law — the numeric-data forensics screen (Nigrini's
+    fraud/synthesis test applied to pipeline auditing): organically
+    grown magnitudes (prices, counts, durations) follow
+    P(d) = log10(1 + 1/d); fabricated, truncated, or unit-mangled
+    columns don't, and the per-digit deviation says which digits
+    moved.
+
+    One row per digit that occurs: ``(digit, n, observed_ppm,
+    expected_ppm, dev_ppm)`` — observed floor-scaled over the counted
+    rows, expected the Benford constant, ``dev_ppm`` signed. Counted
+    rows are those with ``|x| ≥ 1`` (the integer-part leading digit is
+    exact in every engine; sub-unit magnitudes would need decimal
+    rescaling whose float division flips digits cross-engine — they
+    are EXCLUDED, not guessed, and NULLs with them). The integer part
+    must fit int64 (ANSI raises loudly otherwise — a >9.2e18 "price"
+    is its own finding).
+
+    Scale shape: one map-side expression (abs → floor → leading char)
+    + one partial-agg groupBy bounded by 9 digits + a 1-row broadcast
+    total. No windows, no joins on data, no Python.
+    """
+    d = (df.select(F.abs(F.col(col)).alias("_v"))
+         .where(F.col("_v") >= 1)
+         .select(F.substring(F.floor("_v").cast("long").cast("string"),
+                             1, 1).cast("int").alias("digit")))
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    total = d.agg(F.count("*").alias("_tot"))
+    exp_map = F.create_map(
+        *[x for k, v in BENFORD_PPM.items() for x in (F.lit(k), F.lit(v))])
+    obs = F.col("n") * F.lit(1_000_000)
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.col("n").cast("long").alias("n"),
+                    ((obs - F.pmod(obs, F.col("_tot"))) / F.col("_tot"))
+                    .cast("long").alias("observed_ppm"),
+                    exp_map[F.col("digit")].cast("long")
+                    .alias("expected_ppm"))
+            .withColumn("dev_ppm",
+                        (F.col("observed_ppm") - F.col("expected_ppm"))
+                        .cast("long")))
+
+
+def null_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Missingness co-occurrence profile — which NULLs travel together
+    (the missingno matrix as a table): a column that is NULL exactly
+    when another is NULL means one upstream join or parser branch,
+    not two independent gaps, and that changes the repair (fix the
+    join) and the imputation (don't treat them as independent).
+
+    Each row's pattern is the '0'/'1' mask over ``cols`` in the given
+    order ('1' = NULL). One row per occurring pattern:
+    ``(pattern, n_null_cols, n, share_ppm)``. The all-zeros pattern is
+    the health row — its share is the table's complete-row rate.
+
+    Scale shape: one map-side mask expression + one partial-agg
+    groupBy bounded by 2^|cols| occurring patterns + a 1-row broadcast
+    total. No windows, no joins on data, no Python.
+    """
+    if not cols:
+        raise ValueError("null_patterns: cols must be non-empty")
+    for c in cols:
+        if c not in df.columns:
+            raise KeyError(f"null_patterns: unknown column {c!r}")
+    bits = [F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in cols]
+    pat = df.select(F.concat(*bits).alias("pattern"))
+    counts = pat.groupBy("pattern").agg(F.count("*").alias("n"))
+    total = pat.agg(F.count("*").alias("_tot"))
+    share = F.col("n") * F.lit(1_000_000)
+    ones = F.length(F.regexp_replace(F.col("pattern"), "0", ""))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("pattern",
+                    ones.cast("int").alias("n_null_cols"),
+                    F.col("n").cast("long").alias("n"),
+                    ((share - F.pmod(share, F.col("_tot")))
+                     / F.col("_tot")).cast("long").alias("share_ppm")))

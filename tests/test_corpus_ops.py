@@ -2787,3 +2787,128 @@ def test_column_mi_null_category(spark):
     assert r.n == 4                      # all rows counted
     assert r.h_b_fp == 2048 - 3 * 1623 // 4  # H({1,3}/4) via log2fp
     assert r.mi_fp > 0                   # a carries info about NULL-ness
+
+
+def test_horn_rules_amie_counts(spark):
+    """Perfect and partial rules with AMIE distinct-pair counting,
+    transitivity self-rule, unexplained-body NULL row."""
+    from cow_spark.operators.kgtrain import horn_rules
+
+    triples = spark.createDataFrame(
+        [("a", "placed", "o1"), ("a", "placed", "o2"),
+         ("b", "placed", "o3"),
+         ("o1", "contains", "p1"), ("o2", "contains", "p2"),
+         ("o3", "contains", "p1"),
+         ("a", "bought", "p1"), ("a", "bought", "p2")],
+        "s string, p string, o string")
+    got = {(r.p1, r.p2, r.p3): r
+           for r in horn_rules(triples, min_support=2).collect()}
+    r = got[("placed", "contains", "bought")]
+    assert (r.support, r.n_matched, r.confidence_ppm) == (3, 2, 666666)
+    # b's (b, p1) pair matches no head predicate -> NULL p3 row
+    nul = got[("placed", "contains", None)]
+    assert (nul.support, nul.n_matched, nul.confidence_ppm) == (3, 0, 0)
+
+    tri = spark.createDataFrame(
+        [("x", "sub", "y"), ("y", "sub", "z"), ("x", "sub", "z")],
+        "s string, p string, o string")
+    t = {(r.p1, r.p2, r.p3): r
+         for r in horn_rules(tri, min_support=1).collect()}
+    assert t[("sub", "sub", "sub")].confidence_ppm == 1_000_000
+    # min_conf filter drops the NULL rows and weak rules
+    strict = horn_rules(triples, min_support=2, min_conf_ppm=700_000)
+    assert strict.count() == 0
+
+
+def test_benford_profile_digits(spark):
+    """Leading-digit counts, sub-unit and NULL exclusion, negative
+    magnitudes counted, signed deviation."""
+    from cow_spark.plans.stats import benford_profile, BENFORD_PPM
+
+    df = spark.createDataFrame(
+        [(1.5,), (19.0,), (100.0,), (25.0,), (0.4,), (None,), (-37.0,)],
+        "v double")
+    got = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n, got[1].observed_ppm) == (3, 600_000)
+    assert (got[2].n, got[2].observed_ppm) == (1, 200_000)
+    assert got[1].expected_ppm == BENFORD_PPM[1]
+    assert got[1].dev_ppm == 600_000 - 301_029
+    assert got[3].dev_ppm == 200_000 - 124_938
+
+
+def test_null_patterns_masks(spark):
+    """Pattern masks in column order, shares, null-col counts,
+    empty/unknown raises."""
+    from cow_spark.plans.stats import null_patterns
+
+    df = spark.createDataFrame(
+        [(1, 1), (None, 1), (None, None)], "a int, b int")
+    got = {r.pattern: r for r in null_patterns(df, ["a", "b"]).collect()}
+    assert set(got) == {"00", "10", "11"}
+    assert got["00"].n_null_cols == 0 and got["11"].n_null_cols == 2
+    assert got["10"].share_ppm == 333_333
+    rev = {r.pattern for r in null_patterns(df, ["b", "a"]).collect()}
+    assert rev == {"00", "01", "11"}
+    with pytest.raises(ValueError):
+        null_patterns(df, [])
+    with pytest.raises(KeyError):
+        null_patterns(df, ["nope"])
+
+
+def test_lexicon_scan_categories(spark):
+    """Per-category token-equality counts, repeats counted, empty rows
+    kept with zeros, shared terms count in each category, raises."""
+    from cow_spark.operators.quality import lexicon_scan
+
+    df = spark.createDataFrame(
+        [(1, "Bad ACME product bad"), (2, "all fine here"), (3, None)],
+        "doc_id long, text string")
+    cats = {"tox": ["bad", "awful"], "brand": ["acme", "bad"]}
+    got = {r.doc_id: r
+           for r in lexicon_scan(df, ["doc_id"], cats).collect()}
+    assert (got[1].n_tox, got[1].n_brand) == (2, 3)  # bad×2 + acme
+    assert got[1].n_hits == 5 and got[1].flagged
+    assert (got[2].n_hits, got[2].flagged) == (0, False)
+    assert (got[3].n_hits, got[3].flagged) == (0, False)
+    with pytest.raises(ValueError):
+        lexicon_scan(df, [], cats)
+    with pytest.raises(ValueError):
+        lexicon_scan(df, ["doc_id"], {})
+    with pytest.raises(ValueError):
+        lexicon_scan(df, ["doc_id"], {"tox": ["  "]})
+
+
+def test_code_detect_signals(spark):
+    """Symbol/keyword/indent counts exact on a tiny snippet; prose
+    scores 0; NULL text scores 0; threshold drives is_code."""
+    from cow_spark.operators.quality import code_detect
+
+    code = "def f(x):\n    return x;"
+    df = spark.createDataFrame(
+        [(1, code), (2, "the cat sat on the mat"), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in code_detect(df, ["doc_id"]).collect()}
+    c = got[1]
+    assert (c.n_sym, c.n_kw, c.n_indent) == (3, 2, 1)
+    assert c.score_ppm == (3 * 10 + 2 * 40 + 1 * 80) * 1_000_000 \
+        // (len(code) + 1)
+    assert c.is_code
+    assert got[2].score_ppm == 0 and not got[2].is_code
+    assert got[3].n_chars == 0 and not got[3].is_code
+
+
+def test_neighborhood_function_summary(spark):
+    """Per-radius NF sums, floor shares vs the top radius, first
+    ge_90pct row is the effective diameter."""
+    from cow_spark.operators.graphrank import neighborhood_function
+
+    nf = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 2), ("a", 2, 4),
+         ("b", 0, 1), ("b", 1, 3), ("b", 2, 4)],
+        "node string, radius int, est long")
+    got = {r.radius: r for r in neighborhood_function(nf).collect()}
+    assert [got[r].nf_sum for r in (0, 1, 2)] == [2, 5, 8]
+    assert got[1].share_ppm == 625_000
+    assert got[2].share_ppm == 1_000_000
+    assert [got[r].ge_90pct for r in (0, 1, 2)] == [False, False, True]

@@ -324,3 +324,28 @@ def test_action_loops_runs(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         action_loops(df, min_run=1)
+
+
+def test_speech_acts_distribution(spark):
+    """Question/command/statement/empty classes, precedence, and
+    within-role conditional shares."""
+    from cow_spark.operators.dialogue import speech_acts
+
+    rows = [
+        ("user", "What time is it"),           # interrogative opener
+        ("user", "the train leaves at 9?"),    # terminal ?
+        ("user", "the sky is blue."),          # statement
+        ("user", "   "),                        # empty after trim
+        ("assistant", "Please book the 9am train"),  # command
+        ("assistant", "It departs from track 2."),
+    ]
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, r, t) for i, (r, t) in enumerate(rows)],
+        "conv_id string, turn_idx int, role string, text string")
+    got = {(r.role, r.act): r for r in speech_acts(df).collect()}
+    assert got[("user", "question")].n == 2
+    assert got[("user", "question")].share_ppm == 500_000
+    assert got[("user", "statement")].share_ppm == 250_000
+    assert got[("user", "empty")].n == 1
+    assert got[("assistant", "command")].share_ppm == 500_000
+    assert ("assistant", "question") not in got
