@@ -9162,6 +9162,116 @@ from c, t
 """
 
 
+_REL_PATTERNS = [
+    ("travels_to", "(Person[0-9]{2}) travels to ([A-Z][a-z]+)"),
+    ("meeting_in", "Meeting with (Person[0-9]{2}) in ([A-Z][a-z]+)"),
+    ("ask_about", "Ask (Person[0-9]{2}) about ([A-Z][a-z]+)"),
+]
+
+
+def q_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based relation extraction (mentions.py:pattern_triples)
+    over the LCG transcripts: three two-slot patterns matching the
+    travel/meeting/ask templates — the free-text half of the
+    north-star per-turn triple extraction (extract.py maps columns;
+    this mines the prose). All patterns run in ONE projection."""
+    from cow_spark.operators.mentions import pattern_triples
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return pattern_triples(transcripts_df(spark, 5000), _REL_PATTERNS)
+
+
+def _sql_pattern_triples() -> str:
+    parts = []
+    for name, pat in _REL_PATTERNS:
+        # DuckDB zips sibling unnests positionally, exactly the
+        # zip_with pairing of the two capture-group extractions
+        parts.append(
+            "select conv_id, turn_idx, '" + name + "' as pred,\n"
+            "       unnest(regexp_extract_all(text, '" + pat + "', 1))"
+            " as subj,\n"
+            "       unnest(regexp_extract_all(text, '" + pat + "', 2))"
+            " as obj\nfrom transcripts_gen")
+    gen = _sql_transcripts_gen()
+    return "with " + gen + "\n" + "\nunion all\n".join(parts)
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (stats.py:key_skew) on the documents
+    (lang, source) pair — 'en' carries ~45% of the corpus, so the
+    top-15 table shows real heavy hitters with times-mean ratios
+    well above 10⁶."""
+    from cow_spark.plans.stats import key_skew
+
+    return key_skew(_load(spark, sf_dir, "documents"),
+                    ["lang", "source"], k=15)
+
+
+_SQL_KEY_SKEW = """
+with c as (
+  select coalesce(cast(lang as varchar), '␀') || '|'
+         || coalesce(cast(source as varchar), '␀') as key,
+         count(*) as n
+  from documents group by 1
+),
+t as (select sum(n) as rows_, count(*) as keys_ from c),
+top as (select key, n from c order by n desc, key asc limit 15)
+select key, cast(n as bigint) as n,
+       cast(n * 1000000 // (select rows_ from t) as bigint) as share_ppm,
+       cast(n * 1000000 * (select keys_ from t)
+            // (select rows_ from t) as bigint) as xmean_ppm,
+       cast(row_number() over (order by n desc, key asc) as int) as rank
+from top
+"""
+
+
+def q_encoding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake screen (quality.py:encoding_health) over documents
+    with deterministic damage injected by shared rules: every 11th doc
+    gains a replacement char + a C0 bell, every 13th a C1 control —
+    clean rows, each signal, and the overlap all appear."""
+    from cow_spark.operators.quality import encoding_health
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\ufffd\x07"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\x9c"))
+            .otherwise(F.lit(""))).alias("text"))
+    return encoding_health(docs, ["doc_id"])
+
+
+def _sql_encoding_health() -> str:
+    return """
+with d as (
+  select cast(doc_id as bigint) as doc_id,
+         coalesce(text, '')
+           || case when doc_id % 11 = 0
+                   then chr(65533) || chr(7) else '' end
+           || case when doc_id % 13 = 0 then chr(156) else '' end as t
+  from documents
+)
+select doc_id, cast(length(t) as int) as n_chars,
+       cast(len(regexp_extract_all(t, chr(65533))) as int)
+         as n_replacement,
+       cast(len(regexp_extract_all(t,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) as int) as n_c0,
+       cast(len(regexp_extract_all(t, '[\\x7F-\\x9F]')) as int) as n_c1,
+       cast((len(regexp_extract_all(t, chr(65533)))
+             + len(regexp_extract_all(t,
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
+             + len(regexp_extract_all(t, '[\\x7F-\\x9F]')))
+            * 1000000 // greatest(length(t), 1) as bigint) as bad_ppm,
+       (len(regexp_extract_all(t, chr(65533)))
+        + len(regexp_extract_all(t,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
+        + len(regexp_extract_all(t, '[\\x7F-\\x9F]'))) > 0 as flagged
+from d
+"""
+
+
 def q_speech_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-act distribution (dialogue.py:speech_acts) over the
     LCG transcripts: the templates carry imperative openers
@@ -9733,6 +9843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_scan": q_lexicon_scan,
         "code_detect": q_code_detect,
         "neighborhood_fn": q_neighborhood_function,
+        "pattern_triples": q_pattern_triples,
+        "key_skew": q_key_skew,
+        "encoding_health": q_encoding_health,
     }
 
 
@@ -9935,4 +10048,7 @@ def oracle_sql() -> dict[str, str]:
         "lexicon_scan": _sql_lexicon_scan(),
         "code_detect": _sql_code_detect(),
         "neighborhood_fn": _sql_neighborhood_function(),
+        "pattern_triples": _sql_pattern_triples(),
+        "key_skew": _SQL_KEY_SKEW,
+        "encoding_health": _sql_encoding_health(),
     }

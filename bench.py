@@ -157,6 +157,9 @@ HEADLINE = [
     "lexicon_scan",
     "code_detect",
     "neighborhood_fn",
+    "pattern_triples",
+    "key_skew",
+    "encoding_health",
 ]
 
 

@@ -264,3 +264,57 @@ def quote_attribution(
         F.posexplode(spans).alias("quote_idx", "quote"))
         .withColumn("quote_chars",
                     F.length("quote").cast("int")))
+
+
+def pattern_triples(
+    df: DataFrame,
+    patterns: list[tuple[str, str]],
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Pattern-based relation extraction — the open-IE-lite stage
+    between :func:`detect_mentions` (entities only) and the spec-
+    driven column mapping (`operators/extract.py` maps COLUMNS; this
+    extracts (subj, pred, obj) from free TEXT, the north-star's
+    per-turn triple extraction when the relation lives in the prose):
+    each pattern is ``(predicate_name, regex with exactly two capture
+    groups)``; every match emits one triple row.
+
+    Output: ``(<id_cols...>, pred, subj, obj)``, one row per match,
+    all matches of all patterns per input row (overlaps across
+    patterns allowed — they are different relations). NULL text emits
+    nothing.
+
+    Scale shape: the whole pattern library evaluates in ONE projection
+    — per pattern the two group-extractions are zipped into a struct
+    array and the per-pattern arrays concat into a single explode, so
+    N patterns never become N union branches re-running the scan (the
+    no-CSE-across-unions rule). Zero shuffles, zero Python; the
+    zip_with lambda touches only its own elements, so the interpreted-
+    HOF re-evaluation trap doesn't bite.
+    """
+    if not patterns:
+        raise ValueError("pattern_triples: patterns must be non-empty")
+    for name, pat in patterns:
+        import re as _re
+        if _re.compile(pat).groups != 2:
+            raise ValueError(
+                f"pattern_triples: pattern {name!r} must have exactly "
+                f"two capture groups")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _mk(name):
+        # a closure, not a default arg: pyspark reads the lambda's
+        # ARITY to bind HOF variables, so a bound default would make
+        # zip_with look ternary
+        return lambda a, b: F.struct(F.lit(name).alias("pred"),
+                                     a.alias("subj"), b.alias("obj"))
+
+    arrs = []
+    for name, pat in patterns:
+        g1 = F.regexp_extract_all(t, F.lit(pat), 1)
+        g2 = F.regexp_extract_all(t, F.lit(pat), 2)
+        arrs.append(F.zip_with(g1, g2, _mk(name)))
+    exploded = df.select(
+        *id_cols, F.explode(F.concat(*arrs)).alias("m"))
+    return exploded.select(*id_cols, "m.pred", "m.subj", "m.obj")

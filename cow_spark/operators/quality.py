@@ -770,3 +770,51 @@ def code_detect(
         n_ind.cast("int").alias("n_indent"),
         score.alias("score_ppm"),
         (score >= min_score_ppm).alias("is_code"))
+
+
+# explicit byte-class regexes (Java∩RE2; no \s, no shorthand):
+# C0 controls excluding \t \n \r, DEL+C1 controls, and U+FFFD
+_ENC_C0 = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+_ENC_C1 = "[\\x7F-\\x9F]"
+_ENC_REPLACEMENT = "�"
+
+
+def encoding_health(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Mojibake / encoding-damage screen — the ingest-side text-health
+    gate before any tokenizer sees the corpus: U+FFFD replacement
+    chars mean a decoder already lost bytes, C0 controls mean binary
+    contamination, DEL/C1 controls are the classic UTF-8-read-as-
+    latin-1 signature. Damaged docs poison dedup fingerprints and BPE
+    merges, and the per-signal counts say which repair (re-decode,
+    strip, drop) applies.
+
+    Output per row: ``(<id_cols...>, n_chars, n_replacement, n_c0,
+    n_c1, bad_ppm, flagged)`` — ``bad_ppm`` floor-scaled over
+    ``n_chars`` (0 for empty/NULL text), ``flagged`` = any signal.
+    Tabs/newlines/CRs are NOT counted (real text contains them; the
+    classes are explicit, the `\\s`-vs-\\x0B engine gap never enters).
+
+    Scale shape: one linear scan, three counters in one codegen span,
+    no shuffle, no Python (pii_scan discipline).
+    """
+    if not id_cols:
+        raise ValueError("encoding_health: id_cols must be non-empty")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_rep = F.size(F.regexp_extract_all(t, F.lit(_ENC_REPLACEMENT), 0))
+    n_c0 = F.size(F.regexp_extract_all(t, F.lit(_ENC_C0), 0))
+    n_c1 = F.size(F.regexp_extract_all(t, F.lit(_ENC_C1), 0))
+    bad = (n_rep + n_c0 + n_c1).cast("long") * F.lit(1_000_000)
+    den = F.greatest(n_chars.cast("long"), F.lit(1))
+    return df.select(
+        *id_cols,
+        n_chars.cast("int").alias("n_chars"),
+        n_rep.cast("int").alias("n_replacement"),
+        n_c0.cast("int").alias("n_c0"),
+        n_c1.cast("int").alias("n_c1"),
+        ((bad - F.pmod(bad, den)) / den).cast("long").alias("bad_ppm"),
+        ((n_rep + n_c0 + n_c1) > 0).alias("flagged"))

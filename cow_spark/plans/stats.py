@@ -565,3 +565,51 @@ def null_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
                     F.col("n").cast("long").alias("n"),
                     ((share - F.pmod(share, F.col("_tot")))
                      / F.col("_tot")).cast("long").alias("share_ppm")))
+
+
+def key_skew(df: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
+    """Join/shuffle-key skew profile — the audit run BEFORE keying a
+    corpus-scale shuffle on a column: every groupBy/join partitions by
+    key hash, so one hot key = one straggler task, and the fix
+    (broadcast, salt, AQE skew split) is chosen from exactly this
+    table. Heavy-hitter share + the max/mean ratio quantify how bad.
+
+    One row per top-``k`` key by count (ties broken by key value for
+    determinism): ``(key, n, share_ppm, xmean_ppm, rank)`` — ``key``
+    the '|'-joined rendering (NULLs as the '␀' sentinel so a NULL key,
+    itself a classic skew source, is visible), ``share_ppm`` over all
+    rows, ``xmean_ppm`` = n·10⁶ / (rows/distinct keys): 10⁶ = a
+    perfectly even key, 10⁹ = a thousand-times-mean hot key.
+
+    Scale shape: ONE partial-aggregated groupBy on the key (the thing
+    being audited — unavoidable and exactly as expensive as the
+    shuffle it predicts), then a top-k take (no global sort) + a 1-row
+    broadcast of (rows, distinct). No windows, no Python.
+    """
+    from pyspark.sql import Window
+
+    if not cols:
+        raise ValueError("key_skew: cols must be non-empty")
+    for c in cols:
+        if c not in df.columns:
+            raise KeyError(f"key_skew: unknown column {c!r}")
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+               for c in cols])
+    counts = (df.select(key.alias("key"))
+              .groupBy("key").agg(F.count("*").alias("n")))
+    tot = counts.agg(F.sum("n").alias("_rows"),
+                     F.count("*").alias("_keys"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
+    share = F.col("n") * F.lit(1_000_000)
+    xmean = F.col("n") * F.lit(1_000_000) * F.col("_keys")
+    # the rank window runs over at most k rows post-limit — the one
+    # place a global orderBy window is healthy
+    return (top.crossJoin(F.broadcast(tot))
+            .select("key", F.col("n").cast("long").alias("n"),
+                    ((share - F.pmod(share, F.col("_rows")))
+                     / F.col("_rows")).cast("long").alias("share_ppm"),
+                    ((xmean - F.pmod(xmean, F.col("_rows")))
+                     / F.col("_rows")).cast("long").alias("xmean_ppm"))
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("key"))).cast("int")))

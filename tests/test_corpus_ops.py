@@ -2912,3 +2912,72 @@ def test_neighborhood_function_summary(spark):
     assert got[1].share_ppm == 625_000
     assert got[2].share_ppm == 1_000_000
     assert [got[r].ge_90pct for r in (0, 1, 2)] == [False, False, True]
+
+
+def test_pattern_triples_extraction(spark):
+    """Two-group patterns emit one triple per match, multi-match rows,
+    multiple patterns in one projection, NULL text, raises."""
+    from cow_spark.operators.mentions import pattern_triples
+
+    df = spark.createDataFrame(
+        [(1, "Person01 travels to Lima and Person02 travels to Oslo"),
+         (2, "Meeting with Person03 in Riga"),
+         (3, "nothing here"), (4, None)],
+        "doc_id long, text string")
+    pats = [("travels_to", r"(Person[0-9]{2}) travels to ([A-Z][a-z]+)"),
+            ("meeting_in", r"Meeting with (Person[0-9]{2}) in ([A-Z][a-z]+)")]
+    got = sorted((r.doc_id, r.pred, r.subj, r.obj)
+                 for r in pattern_triples(df, pats,
+                                          id_cols=("doc_id",)).collect())
+    assert got == [
+        (1, "travels_to", "Person01", "Lima"),
+        (1, "travels_to", "Person02", "Oslo"),
+        (2, "meeting_in", "Person03", "Riga"),
+    ]
+    with pytest.raises(ValueError):
+        pattern_triples(df, [], id_cols=("doc_id",))
+    with pytest.raises(ValueError):
+        pattern_triples(df, [("one_group", r"(Person[0-9]{2})")],
+                        id_cols=("doc_id",))
+
+
+def test_key_skew_profile(spark):
+    """Top-k heavy keys, NULL sentinel, deterministic tie order,
+    share and times-mean fixed points."""
+    from cow_spark.plans.stats import key_skew
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew(df, ["k"], k=3).orderBy("rank").collect()
+    assert [(r.key, r.n, r.rank) for r in got] == \
+        [("a", 6, 1), ("b", 2, 2), ("c", 1, 3)]
+    assert got[0].share_ppm == 600_000
+    assert got[0].xmean_ppm == 2_400_000     # 6 / (10/4 mean)
+    allk = {r.key for r in key_skew(df, ["k"], k=10).collect()}
+    assert "␀" in allk
+    with pytest.raises(ValueError):
+        key_skew(df, [])
+    with pytest.raises(KeyError):
+        key_skew(df, ["nope"])
+
+
+def test_encoding_health_signals(spark):
+    """Replacement/C0/C1 counts; tabs and newlines NOT counted; NULL
+    and clean rows unflagged; ppm over n_chars."""
+    from cow_spark.operators.quality import encoding_health
+
+    df = spark.createDataFrame(
+        [(1, "ok\ttext\nhere"), (2, "bad��byte"),
+         (3, "bell\x07 and c1 \x9c"), (4, None), (5, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           encoding_health(df, ["doc_id"]).collect()}
+    assert (got[1].n_replacement, got[1].n_c0, got[1].n_c1,
+            got[1].flagged) == (0, 0, 0, False)
+    assert (got[2].n_replacement, got[2].flagged) == (2, True)
+    assert got[2].bad_ppm == 2 * 1_000_000 // 9
+    assert (got[3].n_c0, got[3].n_c1) == (1, 1)
+    assert (got[4].n_chars, got[4].bad_ppm, got[4].flagged) \
+        == (0, 0, False)
+    with pytest.raises(ValueError):
+        encoding_health(df, [])
