@@ -9272,6 +9272,300 @@ from d
 """
 
 
+def _pair_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-predicate quads from orders (FIXTURES.md #57): st_a/st_b
+    equal except %17 keys, prio/tag disjoint except %23, date_lo/
+    date_hi ordered except %29 — one explode, six branches, no union
+    re-scan."""
+    o = _load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+        .alias("s"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").cast("string").alias("st"),
+        F.col("o_orderpriority").cast("string").alias("pr"),
+        F.col("o_orderdate").cast("string").alias("dt"))
+    pairs = F.array(
+        F.struct(F.lit("st_a").alias("p"), F.col("st").alias("o_lex")),
+        F.struct(F.lit("st_b").alias("p"),
+                 F.when(F.col("k") % 17 == 0, F.lit("X"))
+                 .otherwise(F.col("st")).alias("o_lex")),
+        F.struct(F.lit("prio").alias("p"), F.col("pr").alias("o_lex")),
+        F.struct(F.lit("tag").alias("p"),
+                 F.when(F.col("k") % 23 == 0, F.col("pr"))
+                 .otherwise(F.concat(F.lit("tag-"), F.col("pr")))
+                 .alias("o_lex")),
+        F.struct(F.lit("date_lo").alias("p"), F.col("dt").alias("o_lex")),
+        F.struct(F.lit("date_hi").alias("p"),
+                 F.when(F.col("k") % 29 == 0, F.lit("0000"))
+                 .otherwise(F.concat(F.col("dt"), F.lit("z")))
+                 .alias("o_lex")))
+    return o.select("s", F.explode(pairs).alias("q"))         .select("s", "q.p", "q.o_lex")
+
+
+def q_shape_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL property-pair constraints (validate.py:shape_pairs):
+    sh:equals / sh:disjoint / sh:lessThan over the paired-predicate
+    quads — each op violated on its own residue class, so every
+    branch of the value-set semantics is populated and checkable."""
+    from cow_spark.plans.validate import shape_pairs
+
+    return shape_pairs(_pair_quads(spark, sf_dir),
+                       [("equals", "st_a", "st_b"),
+                        ("disjoint", "prio", "tag"),
+                        ("less_than", "date_lo", "date_hi")])
+
+
+_SQL_SHAPE_PAIRS = """
+with q as (
+  select 'o' || cast(o_orderkey as varchar) as s, p, o_lex from (
+    select o_orderkey, 'st_a' as p,
+           cast(o_orderstatus as varchar) as o_lex from orders
+    union all
+    select o_orderkey, 'st_b',
+           case when o_orderkey % 17 = 0 then 'X'
+                else cast(o_orderstatus as varchar) end from orders
+    union all
+    select o_orderkey, 'prio',
+           cast(o_orderpriority as varchar) from orders
+    union all
+    select o_orderkey, 'tag',
+           case when o_orderkey % 23 = 0
+                then cast(o_orderpriority as varchar)
+                else 'tag-' || cast(o_orderpriority as varchar) end
+    from orders
+    union all
+    select o_orderkey, 'date_lo',
+           cast(o_orderdate as varchar) from orders
+    union all
+    select o_orderkey, 'date_hi',
+           case when o_orderkey % 29 = 0 then '0000'
+                else cast(o_orderdate as varchar) || 'z' end from orders
+  )
+),
+a0 as (select distinct s, o_lex as v from q where p = 'st_a'),
+b0 as (select distinct s, o_lex as v from q where p = 'st_b'),
+a1 as (select distinct s, o_lex as v from q where p = 'prio'),
+b1 as (select distinct s, o_lex as v from q where p = 'tag'),
+a2 as (select distinct s, o_lex as v from q where p = 'date_lo'),
+b2 as (select distinct s, o_lex as v from q where p = 'date_hi')
+select cast(0 as int) as constraint_idx, 'equals' as op,
+       s as focus, v as value
+from ((select * from a0 except select * from b0)
+      union (select * from b0 except select * from a0))
+union all
+select cast(1 as int), 'disjoint', s, v
+from (select * from a1 intersect select * from b1)
+union all
+select cast(2 as int), 'less_than', s, v
+from (select a2.s, a2.v from a2
+      join (select s, min(v) as m from b2 group by s) mm using (s)
+      where a2.v >= mm.m)
+"""
+
+
+def q_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote FD repair (validate.py:fd_repair) of the violated
+    o_custkey → o_orderpriority dependency functional_deps reports:
+    every customer's minority priorities collapse to the majority
+    (ties to the smallest), with the audit columns proving what moved."""
+    from cow_spark.plans.validate import fd_repair
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderpriority").cast("string").alias("prio"))
+    return fd_repair(o, "o_custkey", "prio")
+
+
+_SQL_FD_REPAIR = """
+with o as (
+  select cast(o_orderkey as bigint) as o_orderkey,
+         cast(o_custkey as bigint) as o_custkey,
+         cast(o_orderpriority as varchar) as prio
+  from orders
+),
+c as (select o_custkey, prio, count(*) as n from o
+      where prio is not null group by 1, 2),
+mx as (select o_custkey, max(n) as nmax from c group by 1),
+maj as (select c.o_custkey, min(c.prio) as m
+        from c join mx using (o_custkey)
+        where c.n = mx.nmax group by 1)
+select o.o_orderkey, o.o_custkey,
+       coalesce(maj.m, o.prio) as prio,
+       o.prio as prio_orig,
+       coalesce(maj.m, o.prio) is distinct from o.prio as repaired
+from o left join maj using (o_custkey)
+"""
+
+
+def q_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat rendering (dialogue.py:render_conversations) of the LCG
+    transcripts — one training string per conversation, turn order via
+    the struct sort (no window), embedded template newlines and NULL
+    tools exercised; n_chars is the packing planner's input."""
+    from cow_spark.operators.dialogue import render_conversations
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return render_conversations(transcripts_df(spark, 5000))
+
+
+def _sql_render_conversations() -> str:
+    return f"""
+with {_sql_transcripts_gen()}
+select conv_id, cast(count(*) as bigint) as n_turns,
+       cast(length(string_agg(role || ': ' || coalesce(text, ''),
+                              chr(10) order by turn_idx))
+            as bigint) as n_chars,
+       string_agg(role || ': ' || coalesce(text, ''),
+                  chr(10) order by turn_idx) as rendered
+from transcripts_gen group by conv_id
+"""
+
+
+def q_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width parsing (csv_source.py:parse_fixed_width) over
+    lines both engines render with the same printf: 1-based offsets,
+    right-padded strings, try_cast dirt tolerance (every 31st line
+    carries 'XX' in the numeric field)."""
+    from cow_spark.sources.csv_source import parse_fixed_width
+
+    lines = _load(spark, sf_dir, "orders").select(
+        F.format_string(
+            "%06d%-16s%1s",
+            F.col("o_orderkey").cast("long"),
+            F.when(F.col("o_orderkey") % 31 == 0, F.lit("XX"))
+            .otherwise(F.col("o_orderkey").cast("long")
+                       .cast("string")),
+            F.col("o_orderstatus")).alias("value"))
+    return parse_fixed_width(
+        lines, [("okey", 1, 6, "long"), ("qty", 7, 16, "long"),
+                ("status", 23, 1)])
+
+
+_SQL_FIXED_WIDTH = """
+with l as (
+  select printf('%06d%-16s%1s', cast(o_orderkey as bigint),
+                case when o_orderkey % 31 = 0 then 'XX'
+                     else cast(cast(o_orderkey as bigint) as varchar)
+                     end,
+                cast(o_orderstatus as varchar)) as v
+  from orders
+)
+select try_cast(nullif(trim(substr(v, 1, 6)), '') as bigint) as okey,
+       try_cast(nullif(trim(substr(v, 7, 16)), '') as bigint) as qty,
+       nullif(trim(substr(v, 23, 1)), '') as status
+from l
+"""
+
+
+def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank calibration (corpus.py:score_calibrate): n_chars
+    as the raw quality score, calibrated within each language — the
+    step that makes per-source scores comparable before one global
+    threshold; min-rank tie semantics floor-divided so both engines
+    agree on every ppm."""
+    from cow_spark.operators.corpus import score_calibrate
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"))
+    return score_calibrate(docs, "n_chars", "lang")
+
+
+_SQL_SCORE_CALIBRATE = """
+select cast(doc_id as bigint) as doc_id, lang,
+       cast(n_chars as bigint) as n_chars,
+       cast((rank() over (partition by lang
+                          order by n_chars asc nulls first) - 1)
+            * 1000000
+            // greatest(count(*) over (partition by lang) - 1, 1)
+            as bigint) as pct_ppm
+from documents
+"""
+
+
+def q_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimate (stats.py:join_estimate) for the
+    lineitem×lineitem SELF-join on l_partkey — the blowup case the
+    audit exists for: est_rows = Σ c(k)² from two histograms without
+    materializing a joined row, max_fanout names the hottest part."""
+    from cow_spark.plans.stats import join_estimate
+
+    li = _load(spark, sf_dir, "lineitem")
+    return join_estimate(li, li, "l_partkey", "l_partkey")
+
+
+_SQL_JOIN_ESTIMATE = """
+with lk as (
+  select l_partkey as k, count(*) as c from lineitem
+  where l_partkey is not null group by 1
+),
+m as (
+  select cast(a.c * b.c as bigint) as prod,
+         cast(a.k as varchar) as kk
+  from lk a join lk b using (k)
+),
+t as (select sum(c) as n, count(*) as keys_ from lk),
+mt as (
+  select count(*) as keys_matched,
+         coalesce(sum(prod), 0) as est_rows,
+         max({'p': prod, 'kk': kk}) as mx
+  from m
+)
+select cast((select n from t) as bigint) as n_left,
+       cast((select n from t) as bigint) as n_right,
+       cast((select keys_ from t) as bigint) as keys_left,
+       cast((select keys_ from t) as bigint) as keys_right,
+       cast(keys_matched as bigint) as keys_matched,
+       cast(est_rows as bigint) as est_rows,
+       mx.kk as max_fanout_key,
+       cast(coalesce(mx.p, 0) as bigint) as max_fanout
+from mt
+"""
+
+
+def q_mention_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal entity profile (mentions.py:mention_timeline) over the
+    LCG transcripts' PersonNN gazetteer — first/last appearance in
+    canonical TS_FMT rendering, exact microsecond spans, conversation
+    breadth; the prov:generatedAtTime payload mined in the mention
+    pass itself."""
+    from cow_spark.operators.mentions import mention_timeline
+    from cow_spark.sources.transcripts import transcripts_df
+    from cow_spark.spec.templates import TS_FMT
+
+    out = mention_timeline(transcripts_df(spark, 5000),
+                           "Person[0-9]{2}")
+    return out.select(
+        "entity", "n_mentions", "n_convs",
+        F.date_format("first_ts", TS_FMT).alias("first_ts"),
+        F.date_format("last_ts", TS_FMT).alias("last_ts"),
+        "span_us")
+
+
+def _sql_mention_timeline() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+m as (
+  select conv_id,
+         epoch_us(strptime(ts_s, '%Y-%m-%d %H:%M:%S')) as ts_us,
+         ts_s,
+         unnest(regexp_extract_all(coalesce(text, ''),
+                                   'Person[0-9]{{2}}')) as m
+  from transcripts_gen
+)
+select lower(trim(m)) as entity,
+       cast(count(*) as bigint) as n_mentions,
+       cast(count(distinct conv_id) as bigint) as n_convs,
+       strftime(to_timestamp(min(ts_us) // 1000000) at time zone 'UTC',
+                '%Y-%m-%d %H:%M:%S') as first_ts,
+       strftime(to_timestamp(max(ts_us) // 1000000) at time zone 'UTC',
+                '%Y-%m-%d %H:%M:%S') as last_ts,
+       cast(max(ts_us) - min(ts_us) as bigint) as span_us
+from m group by 1
+"""
+
+
 def q_speech_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-act distribution (dialogue.py:speech_acts) over the
     LCG transcripts: the templates carry imperative openers
@@ -9846,6 +10140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_triples": q_pattern_triples,
         "key_skew": q_key_skew,
         "encoding_health": q_encoding_health,
+        "score_calibrate": q_score_calibrate,
+        "join_estimate": q_join_estimate,
+        "mention_timeline": q_mention_timeline,
+        "shape_pairs": q_shape_pairs,
+        "fd_repair": q_fd_repair,
+        "render_convs": q_render_conversations,
+        "fixed_width": q_fixed_width,
     }
 
 
@@ -10051,4 +10352,11 @@ def oracle_sql() -> dict[str, str]:
         "pattern_triples": _sql_pattern_triples(),
         "key_skew": _SQL_KEY_SKEW,
         "encoding_health": _sql_encoding_health(),
+        "score_calibrate": _SQL_SCORE_CALIBRATE,
+        "join_estimate": _SQL_JOIN_ESTIMATE,
+        "mention_timeline": _sql_mention_timeline(),
+        "shape_pairs": _SQL_SHAPE_PAIRS,
+        "fd_repair": _SQL_FD_REPAIR,
+        "render_convs": _sql_render_conversations(),
+        "fixed_width": _SQL_FIXED_WIDTH,
     }

@@ -160,6 +160,13 @@ HEADLINE = [
     "pattern_triples",
     "key_skew",
     "encoding_health",
+    "score_calibrate",
+    "join_estimate",
+    "mention_timeline",
+    "shape_pairs",
+    "fd_repair",
+    "render_convs",
+    "fixed_width",
 ]
 
 

@@ -463,3 +463,46 @@ def split_leakage(
                     F.col("n_docs").cast("long").alias("n_docs"),
                     F.size("_splits").cast("int").alias("n_splits"),
                     F.array_join("_splits", " ").alias("splits")))
+
+
+def score_calibrate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group rank calibration of a quality score — the step
+    between per-source scoring (:mod:`..operators.quality`,
+    classifier_score, lm_surprisal) and a GLOBAL threshold: raw
+    scores aren't comparable across sources/languages (a surprisal of
+    500 means different things in en and zh), so each score is mapped
+    to its within-group percentile and the global gate cuts on that.
+    Quantile normalization, kept integer-exact.
+
+    One row per input row: ``(<id_col>, <group_col>, <score_col>,
+    pct_ppm)`` with ``pct_ppm = (rank − 1) · 10⁶ // (n − 1)`` (the SQL
+    percent_rank definition under min-rank ties, floor-divided instead
+    of float — Spark's percent_rank returns a double whose last ulp
+    is not a cross-engine contract). Single-row groups get 0 (the
+    percent_rank convention); NULL scores sort FIRST (rank lowest =
+    worst, deterministic in both engines via NULLS FIRST).
+
+    Scale shape: ONE window shuffle keyed on the group (rank and the
+    group count share the same sort); group count = source/language
+    vocabulary × rows, the healthy many-small-groups case. No joins,
+    no Python.
+    """
+    # rank() over the score ALONE: tied scores must share the min
+    # rank (the percent_rank contract) — an id tiebreaker would split
+    # them; rank() is deterministic under ties by definition
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc_nulls_first())
+    cnt = F.count("*").over(
+        Window.partitionBy(group_col)
+        .rowsBetween(Window.unboundedPreceding,
+                     Window.unboundedFollowing))
+    num = (F.rank().over(w) - 1).cast("long") * F.lit(1_000_000)
+    den = F.greatest((cnt - 1).cast("long"), F.lit(1))
+    return df.select(
+        id_col, group_col, score_col,
+        ((num - F.pmod(num, den)) / den).cast("long").alias("pct_ppm"))

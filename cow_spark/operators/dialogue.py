@@ -562,3 +562,53 @@ def speech_acts(transcripts: DataFrame) -> DataFrame:
             .select("role", "act", F.col("n").cast("long").alias("n"),
                     ((share - F.pmod(share, F.col("_tot")))
                      / F.col("_tot")).cast("long").alias("share_ppm")))
+
+
+def render_conversations(
+    transcripts: DataFrame,
+    sep: str = "\n",
+    line_fmt: str = "{role}: {text}",
+) -> DataFrame:
+    """Whole-conversation chat rendering — the SFT last mile after
+    :func:`sft_pairs` (adjacent pairs) and :func:`conversation_windows`
+    (sliding contexts): one training string per conversation in a
+    fixed turn template, the shape every chat fine-tune consumes.
+    ``line_fmt`` takes ``{role}`` and ``{text}`` (NULL text renders
+    empty — skipping turns would misrepresent the dialogue's shape).
+
+    One row per conversation: ``(conv_id, n_turns, n_chars,
+    rendered)`` with ``n_chars`` the rendered length (the packing
+    planner's input).
+
+    Scale shape: ONE partial-agg groupBy on conv_id (the natural
+    bucketing key — co-located layouts shuffle nothing):
+    ``sort_array(collect_list(struct(turn_idx, line)))`` renders
+    order-correctly without a window sort, because the struct sorts by
+    its first field. Conversations are bounded (thousands of turns,
+    not billions), so the per-group list is safe — the same contract
+    conversation_windows documents.
+    """
+    import re as _re
+
+    parts = []
+    for tok in _re.split(r"(\{role\}|\{text\})", line_fmt):
+        if tok == "{role}":
+            parts.append(F.col("role"))
+        elif tok == "{text}":
+            parts.append(F.coalesce(F.col("text"), F.lit("")))
+        elif tok:
+            parts.append(F.lit(tok))
+    if not parts:
+        raise ValueError("render_conversations: empty line_fmt")
+    rendered_line = F.concat(*parts)
+    item = F.struct(F.col("turn_idx").alias("i"),
+                    rendered_line.alias("l"))
+    agg = (transcripts.groupBy("conv_id")
+           .agg(F.count("*").alias("n_turns"),
+                F.sort_array(F.collect_list(item)).alias("_items")))
+    rendered = F.array_join(
+        F.transform("_items", lambda s: s.getField("l")), sep)
+    return agg.select(
+        "conv_id", F.col("n_turns").cast("long").alias("n_turns"),
+        F.length(rendered).cast("long").alias("n_chars"),
+        rendered.alias("rendered"))

@@ -318,3 +318,47 @@ def pattern_triples(
     exploded = df.select(
         *id_cols, F.explode(F.concat(*arrs)).alias("m"))
     return exploded.select(*id_cols, "m.pred", "m.subj", "m.obj")
+
+
+def mention_timeline(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Temporal entity profile — the KG's time attributes mined in the
+    same pass as the mentions themselves: per normalized surface form,
+    when the entity first/last appears and how broadly (the
+    ``prov:generatedAtTime``-style payload the nanopub layer attaches,
+    and the recency signal :func:`coref_resolve` depends on). Entities
+    whose active span is one burst in one conversation are ephemera;
+    long-span multi-conversation entities are the canonicalization
+    targets worth linking carefully.
+
+    One row per entity: ``(entity, n_mentions, n_convs, first_ts,
+    last_ts, span_us)`` — ``span_us`` the exact integer microsecond
+    extent (0 for single-mention entities), timestamps passed through
+    as-is (rendering is the caller's concern; the gate uses the
+    canonical TS_FMT).
+
+    Scale shape: scan → regexp explode (no shuffle) → ONE partial-agg
+    groupBy bounded by the entity vocabulary; min/max/count all
+    map-side combine. No windows, no joins, no Python.
+    """
+    m = F.explode(F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(pattern), 0))
+    rows = df.select(F.col(conv_col).alias("_conv"),
+                     F.col(ts_col).alias("_ts"),
+                     m.alias("_m"))
+    ent = normalize_mention(F.col("_m"))
+    return (rows.select(ent.alias("entity"), "_conv", "_ts")
+            .groupBy("entity")
+            .agg(F.count("*").cast("long").alias("n_mentions"),
+                 F.countDistinct("_conv").cast("long").alias("n_convs"),
+                 F.min("_ts").alias("first_ts"),
+                 F.max("_ts").alias("last_ts"))
+            .withColumn(
+                "span_us",
+                (F.unix_micros("last_ts")
+                 - F.unix_micros("first_ts")).cast("long")))

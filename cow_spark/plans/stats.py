@@ -613,3 +613,69 @@ def key_skew(df: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
                      / F.col("_rows")).cast("long").alias("xmean_ppm"))
             .withColumn("rank", F.row_number().over(
                 Window.orderBy(F.desc("n"), F.asc("key"))).cast("int")))
+
+
+def join_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join-cardinality estimate BEFORE running a corpus×corpus join —
+    :func:`key_skew`'s sibling for two-sided planning: the exact inner
+    equi-join output size is Σ_k c_left(k)·c_right(k) over matching
+    keys, computable from two key histograms WITHOUT materializing a
+    single joined row. The number that decides broadcast vs shuffle vs
+    "this join is a mistake" (a 10¹² estimate on two 10⁹ tables means
+    a hub key, and max_fanout names it).
+
+    One row: ``(n_left, n_right, keys_left, keys_right, keys_matched,
+    est_rows, max_fanout_key, max_fanout)`` — ``max_fanout`` the
+    largest per-key product c_left·c_right (ties broken by key),
+    NULLs excluded on both sides (SQL join semantics: NULL never
+    matches).
+
+    Scale shape: two column-pruned partial-agg groupBys (each as
+    expensive as the join's OWN shuffle would be on that side — the
+    audit costs what one pass costs), one key-domain-sized inner join
+    of the histograms, one 1-row fold. int64 audit: est_rows can
+    legitimately exceed int64 on adversarial inputs — kept as Spark
+    decimal/DuckDB-compatible via per-key products capped into int64
+    only after a loud overflow would have aborted under ANSI (the
+    abort IS the finding: your join output exceeds 9.2e18 rows).
+    """
+    lk = (left.select(F.col(left_key).alias("k"))
+          .where(F.col("k").isNotNull())
+          .groupBy("k").agg(F.count("*").alias("cl")))
+    rk = (right.select(F.col(right_key).alias("k"))
+          .where(F.col("k").isNotNull())
+          .groupBy("k").agg(F.count("*").alias("cr")))
+    m = lk.join(rk, "k").select(
+        "k", (F.col("cl") * F.col("cr")).cast("long").alias("prod"))
+    lt = lk.agg(F.sum("cl").alias("n_left"),
+                F.count("*").alias("keys_left"))
+    rt = rk.agg(F.sum("cr").alias("n_right"),
+                F.count("*").alias("keys_right"))
+    # one lexicographic struct max gives (fanout, key) with the tie
+    # rule (largest key wins) IDENTICAL in both engines — arg_max/
+    # max_by tie-breaking is engine-unspecified
+    mx = F.max(F.struct(F.col("prod").alias("p"),
+                        F.col("k").cast("string").alias("kk")))
+    mt = m.agg(F.count("*").alias("keys_matched"),
+               F.coalesce(F.sum("prod"), F.lit(0)).alias("est_rows"),
+               mx.alias("_mx"))
+    mt = mt.select("keys_matched", "est_rows",
+                   F.col("_mx.kk").alias("max_fanout_key"),
+                   F.coalesce(F.col("_mx.p"), F.lit(0))
+                   .alias("max_fanout"))
+    return (lt.crossJoin(rt).crossJoin(mt)
+            .select(F.col("n_left").cast("long").alias("n_left"),
+                    F.col("n_right").cast("long").alias("n_right"),
+                    F.col("keys_left").cast("long").alias("keys_left"),
+                    F.col("keys_right").cast("long").alias("keys_right"),
+                    F.col("keys_matched").cast("long")
+                    .alias("keys_matched"),
+                    F.col("est_rows").cast("long").alias("est_rows"),
+                    F.col("max_fanout_key").cast("string")
+                    .alias("max_fanout_key"),
+                    F.col("max_fanout").cast("long").alias("max_fanout")))

@@ -478,3 +478,113 @@ def functional_deps(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+_PAIR_OPS = ("equals", "disjoint", "less_than")
+
+
+def shape_pairs(
+    quads: DataFrame,
+    constraints: list[tuple],
+) -> DataFrame:
+    """SHACL property-PAIR constraints — the half of the shapes stack
+    :func:`shape_report` (per-property cardinality/kind) doesn't
+    cover: ``sh:equals`` / ``sh:disjoint`` / ``sh:lessThan`` relate
+    TWO predicates on the same focus node (checkout must equal
+    checkin+fee, an alias must never equal the canonical name, a
+    start must precede an end). Each constraint is ``(op, p1, p2)``
+    with op in ``equals | disjoint | less_than``.
+
+    Semantics on the VALUE SETS per focus subject (the SHACL reading):
+    ``equals`` — the two predicates' object-value sets must be equal
+    (violation rows name values present on one side only);
+    ``disjoint`` — no shared value (violations name each shared one);
+    ``less_than`` — every p1 value must sort strictly below every p2
+    value (violations name each (v1 ≥ min v2) offender, lexical
+    ordering — cast upstream if numeric order is meant). One row per
+    violating (constraint, focus, value): ``(constraint_idx, op,
+    focus, value)``; empty = pass.
+
+    Plan shape: ONE scan filtered to the constrained predicates (the
+    filter reaches the scan; the constraint list is schema-bounded),
+    self-joined per focus on the two predicate roles — both sides
+    pre-aggregated to DISTINCT (focus, value) so the join is value-set
+    sized; less_than joins against the 1-row-per-focus min(p2). No
+    corpus×corpus pair table.
+    """
+    if not constraints:
+        raise ValueError("shape_pairs: empty constraint list")
+    for i, (op, _p1, _p2) in enumerate(constraints):
+        if op not in _PAIR_OPS:
+            raise ValueError(f"constraint {i}: unknown op {op!r}")
+    outs = []
+    base = quads.select("s", "p", F.col("o_lex").alias("v"))
+    for i, (op, p1, p2) in enumerate(constraints):
+        a = (base.where(F.col("p") == p1)
+             .select("s", "v").distinct())
+        b = (base.where(F.col("p") == p2)
+             .select("s", "v").distinct())
+        if op == "equals":
+            only_a = a.join(b, ["s", "v"], "left_anti")
+            only_b = b.join(a, ["s", "v"], "left_anti")
+            bad = only_a.unionByName(only_b).distinct()
+        elif op == "disjoint":
+            bad = a.join(b, ["s", "v"], "left_semi")
+        else:  # less_than: v1 must be < EVERY v2 == < min(v2)
+            m = b.groupBy("s").agg(F.min("v").alias("_min2"))
+            bad = (a.join(m, "s")
+                   .where(F.col("v") >= F.col("_min2"))
+                   .select("s", "v"))
+        outs.append(bad.select(
+            F.lit(i).cast("int").alias("constraint_idx"),
+            F.lit(op).alias("op"),
+            F.col("s").alias("focus"),
+            F.col("v").alias("value")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fd_repair(
+    df: DataFrame,
+    det: str,
+    dep: str,
+) -> DataFrame:
+    """Majority-vote repair of a violated functional dependency — the
+    acting half of :func:`functional_deps` (which only reports): when
+    ``det → dep`` SHOULD hold (a code table, a canonical name, a
+    unit), minority and NULL dependent values inside each determinant
+    group are replaced by the group's majority value (HoloClean's
+    simplest signal, deterministic: ties break to the SMALLEST value,
+    groups whose dependents are all NULL stay NULL).
+
+    Returns the full input row set with ``dep`` repaired plus
+    ``(<dep>_orig, repaired)`` for audit — a repair that hides what it
+    changed is corruption with extra steps.
+
+    Plan shape: one (det, dep) count aggregate (domain-bounded), ONE
+    lexicographic struct max per determinant picks (count, value)
+    majority — the same engine-identical tie rule as join_estimate —
+    then one broadcast-sized join back on the determinant (the
+    majority table is determinant-domain sized, NOT corpus sized).
+    """
+    counts = (df.where(F.col(dep).isNotNull())
+              .groupBy(det, dep).agg(F.count("*").alias("_c")))
+    # max over (count, REVERSED value) == smallest value among ties;
+    # strings can't negate, so order by (count asc → use max on count,
+    # tie on value) needs min_by semantics: take max count, then min
+    # value among rows at max count — two bounded aggregates
+    per_det = counts.groupBy(det).agg(F.max("_c").alias("_cmax"))
+    majority = (counts.join(per_det, det)
+                .where(F.col("_c") == F.col("_cmax"))
+                .groupBy(det)
+                .agg(F.min(dep).alias("_maj")))
+    out = df.join(F.broadcast(majority), det, "left")
+    fixed = F.coalesce(F.col("_maj"), F.col(dep))
+    return (out
+            .withColumn(f"{dep}_orig", F.col(dep))
+            .withColumn("repaired",
+                        ~(F.col(dep).eqNullSafe(fixed)))
+            .withColumn(dep, fixed)
+            .drop("_maj"))

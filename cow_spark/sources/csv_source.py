@@ -263,3 +263,55 @@ def with_row_index(df: DataFrame, order_by: list[str] | None = None) -> DataFram
         .withColumn("_row", (F.col("_offset") + F.col("_rank")).cast("long"))
         .drop("_mid", "_p", "_rank", "_offset")
     )
+
+
+def parse_fixed_width(
+    lines: DataFrame,
+    spec: list[tuple],
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width record parser — the mainframe/legacy-feed sibling of
+    the delimited reader (COW's world is CSV; real corpus ingestion
+    also meets COBOL-style exports where fields live at byte offsets):
+    ``spec`` is a list of ``(name, start, width[, dtype])`` with START
+    1-BASED (the convention every fixed-width layout document uses),
+    dtype one of ``string | int | long | decimal(p,s)``.
+
+    Each field is ``trim(substring(line, start, width))``; empty
+    strings become NULL (a blank fixed-width cell means absent);
+    non-string dtypes go through ``try_cast`` — a dirty cell becomes
+    NULL instead of aborting the 100 TB job under ANSI (the same
+    null-and-filter discipline as the extractor's P17). Lines shorter
+    than a field's extent yield NULL for it (substring past the end is
+    '' in both engines).
+
+    One map-side projection, zero shuffles; pair with
+    ``spark.read.text`` (each input split parses independently, so
+    parallelism is the file-split count exactly like CSV).
+    """
+    if not spec:
+        raise ValueError("parse_fixed_width: empty spec")
+    cols = []
+    for f in spec:
+        name, start, width = f[0], f[1], f[2]
+        dtype = f[3] if len(f) > 3 else "string"
+        if start < 1 or width < 1:
+            raise ValueError(
+                f"parse_fixed_width: field {name!r} needs 1-based "
+                f"start and positive width, got ({start}, {width})")
+        raw = F.trim(F.substring(F.col(value_col), start, width))
+        v = F.when(F.length(raw) > 0, raw)
+        if dtype != "string":
+            v = v.try_cast(dtype)
+        cols.append(v.alias(name))
+    return lines.select(*cols)
+
+
+def read_fixed_width(
+    spark,
+    path: str,
+    spec: list[tuple],
+) -> DataFrame:
+    """``spark.read.text`` + :func:`parse_fixed_width` — the
+    file-facing wrapper (S-family source)."""
+    return parse_fixed_width(spark.read.text(path), spec)

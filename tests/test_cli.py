@@ -488,3 +488,26 @@ def test_reference_example_goldens(spark, tmp_path, fname):
     assert '""^^' not in body
     # nanopub spine present like every conversion
     assert "nanopublication" in body and "hasAssertion" in body
+
+
+def test_fixed_width_source(spark, tmp_path):
+    """1-based offsets, trim, blank->NULL, try_cast dirt tolerance,
+    short lines, spec validation."""
+    from cow_spark.sources.csv_source import (parse_fixed_width,
+                                              read_fixed_width)
+
+    p = tmp_path / "fw.txt"
+    p.write_text("AB  0042x\n"
+                 "CD  13  y\n"
+                 "EF  zz\n"          # dirty int, short line
+                 "    0007z\n")
+    spec = [("code", 1, 4), ("qty", 5, 4, "int"), ("flag", 9, 1)]
+    got = {tuple(r) for r in
+           read_fixed_width(spark, str(p), spec).collect()}
+    assert got == {("AB", 42, "x"), ("CD", 13, "y"),
+                   ("EF", None, None), (None, 7, "z")}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse_fixed_width(spark.read.text(str(p)), [])
+    with _pt.raises(ValueError):
+        parse_fixed_width(spark.read.text(str(p)), [("x", 0, 3)])

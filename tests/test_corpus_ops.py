@@ -2981,3 +2981,117 @@ def test_encoding_health_signals(spark):
         == (0, 0, False)
     with pytest.raises(ValueError):
         encoding_health(df, [])
+
+
+def test_score_calibrate_percentiles(spark):
+    """Min-rank percent_rank in ppm, NULLs first, single-row group 0,
+    per-group independence."""
+    from cow_spark.operators.corpus import score_calibrate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 30),
+         (5, "a", None), (6, "b", 7)],
+        "doc_id long, src string, score int")
+    got = {r.doc_id: r.pct_ppm
+           for r in score_calibrate(df, "score", "src").collect()}
+    # group a, n=5: NULL rank1 -> 0; 10 rank2 -> 250000;
+    # ties 20,20 rank3 -> 500000 both; 30 rank5 -> 1000000
+    assert got[5] == 0
+    assert got[1] == 250_000
+    assert got[2] == got[3] == 500_000
+    assert got[4] == 1_000_000
+    assert got[6] == 0          # single-row group
+
+
+def test_join_estimate_exact(spark):
+    """Histogram product equals the true join size; NULL keys never
+    match; max fanout key deterministic under ties."""
+    from cow_spark.plans.stats import join_estimate
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k int")
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (4,), (None,)], "k int")
+    r = join_estimate(left, right, "k", "k").collect()[0]
+    true_join = left.join(right, "k").count()
+    assert r.est_rows == true_join == 7       # 3*2 + 1*1
+    assert (r.n_left, r.n_right) == (5, 4)    # non-NULL rows
+    assert (r.keys_left, r.keys_right, r.keys_matched) == (3, 3, 2)
+    assert (r.max_fanout_key, r.max_fanout) == ("1", 6)
+    empty = spark.createDataFrame([], "k int")
+    r0 = join_estimate(left, empty, "k", "k").collect()[0]
+    assert (r0.est_rows, r0.max_fanout, r0.keys_matched) == (0, 0, 0)
+    assert r0.max_fanout_key is None
+
+
+def test_mention_timeline_spans(spark):
+    """Per-entity counts, conversation breadth, exact microsecond
+    spans, case-normalized surface forms."""
+    import datetime as dt
+    from cow_spark.operators.mentions import mention_timeline
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("c1", t0, "Person01 met Person02"),
+        ("c2", t0 + dt.timedelta(seconds=13), "PERSON01 returns"),
+        ("c3", t0 + dt.timedelta(seconds=26), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, text string")
+    got = {r.entity: r for r in mention_timeline(
+        df, r"(?i)Person[0-9]{2}").collect()}
+    p1 = got["person01"]
+    assert (p1.n_mentions, p1.n_convs) == (2, 2)
+    assert p1.span_us == 13_000_000
+    p2 = got["person02"]
+    assert (p2.n_mentions, p2.n_convs, p2.span_us) == (1, 1, 0)
+
+
+def test_shape_pairs_constraints(spark):
+    """equals/disjoint/less_than value-set semantics per focus,
+    empty result = pass, raises on unknown op."""
+    from cow_spark.plans.validate import shape_pairs
+
+    quads = spark.createDataFrame(
+        [("s1", "in", "a"), ("s1", "out", "a"),
+         ("s2", "in", "a"), ("s2", "out", "b"),       # equals broken
+         ("s1", "alias", "x"), ("s1", "name", "x"),   # disjoint broken
+         ("s2", "alias", "y"), ("s2", "name", "z"),
+         ("s1", "start", "2020"), ("s1", "end", "2021"),
+         ("s2", "start", "2022"), ("s2", "end", "2021")],  # lt broken
+        "s string, p string, o_lex string")
+    cons = [("equals", "in", "out"),
+            ("disjoint", "alias", "name"),
+            ("less_than", "start", "end")]
+    got = {(r.constraint_idx, r.focus, r.value)
+           for r in shape_pairs(quads, cons).collect()}
+    assert got == {(0, "s2", "a"), (0, "s2", "b"),
+                   (1, "s1", "x"),
+                   (2, "s2", "2022")}
+    with pytest.raises(ValueError):
+        shape_pairs(quads, [("between", "a", "b")])
+    with pytest.raises(ValueError):
+        shape_pairs(quads, [])
+
+
+def test_fd_repair_majority(spark):
+    """Minority and NULL dependents repaired to the group majority,
+    ties to the smallest value, all-NULL groups untouched, audit
+    columns correct."""
+    from cow_spark.plans.validate import fd_repair
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("a", None),
+         ("b", "p"), ("b", "q"),          # tie -> 'p'
+         ("c", None)],
+        "k string, v string")
+    got = fd_repair(df, "k", "v").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.k, []).append(r)
+    assert all(r.v == "x" for r in by["a"])
+    assert sum(r.repaired for r in by["a"]) == 2       # y + NULL
+    assert {(r.v_orig, r.repaired) for r in by["a"]} == \
+        {("x", False), ("y", True), (None, True)}
+    assert all(r.v == "p" for r in by["b"])
+    assert by["c"][0].v is None and not by["c"][0].repaired

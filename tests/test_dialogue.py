@@ -349,3 +349,23 @@ def test_speech_acts_distribution(spark):
     assert got[("user", "empty")].n == 1
     assert got[("assistant", "command")].share_ppm == 500_000
     assert ("assistant", "question") not in got
+
+
+def test_render_conversations_template(spark):
+    """Turn order via struct sort, NULL text renders empty, custom
+    template tokens, n_chars exact."""
+    from cow_spark.operators.dialogue import render_conversations
+
+    df = spark.createDataFrame(
+        [("c1", 1, "assistant", "hi there"),
+         ("c1", 0, "user", "hello"),
+         ("c1", 2, "user", None),
+         ("c2", 0, "user", "solo")],
+        "conv_id string, turn_idx int, role string, text string")
+    got = {r.conv_id: r for r in render_conversations(df).collect()}
+    assert got["c1"].rendered == "user: hello\nassistant: hi there\nuser: "
+    assert got["c1"].n_turns == 3
+    assert got["c1"].n_chars == len(got["c1"].rendered)
+    custom = {r.conv_id: r.rendered for r in render_conversations(
+        df, sep=" | ", line_fmt="<{role}>{text}</{role}>").collect()}
+    assert custom["c2"] == "<user>solo</user>"
