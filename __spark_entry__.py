@@ -9272,6 +9272,129 @@ from d
 """
 
 
+def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-JSON extraction (jsonl_source.py:extract_json) over
+    events.props with deterministic damage both engines share: every
+    19th event's cell becomes non-JSON (json_ok false), every 23rd a
+    string where the int should be (try_cast NULL, json_ok true) —
+    absence, damage, and dirt all graded separately."""
+    from cow_spark.sources.jsonl_source import extract_json
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(F.col("event_id") % 19 == 0, F.lit("corrupt"))
+        .when(F.col("event_id") % 23 == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props")).alias("props"))
+    return extract_json(ev, "props", [("k", "$.k", "int")])
+
+
+_SQL_EXTRACT_JSON = """
+with e as (
+  select cast(event_id as bigint) as event_id,
+         case when event_id % 19 = 0 then 'corrupt'
+              when event_id % 23 = 0 then '{"k": "oops"}'
+              else props end as props
+  from events
+)
+select event_id, props,
+       case when starts_with(trim(props), '{') and json_valid(props)
+            then try_cast(json_extract_string(props, '$.k') as int)
+            end as k,
+       coalesce(starts_with(trim(props), '{') and json_valid(props),
+                false) as json_ok
+from e
+"""
+
+
+def q_conversation_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-outcome labeling (dialogue.py:conversation_outcome)
+    over the LCG transcripts with lexicon phrases injected by shared
+    residues (turn%7=3 gains a failure phrase, turn%11=4 an
+    acknowledgment) — whether a phrase decides the label depends on
+    whether its turn lands in the conversation's closing two, so all
+    four classes appear."""
+    from cow_spark.operators.dialogue import conversation_outcome
+    from cow_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, 5000).withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 7 == 3,
+               F.concat("text", F.lit(" failed with error")))
+        .when(F.col("turn_idx") % 11 == 4,
+              F.concat("text", F.lit(" thanks, confirmed")))
+        .otherwise(F.col("text")))
+    return conversation_outcome(t)
+
+
+def _sql_conversation_outcome() -> str:
+    from cow_spark.operators.dialogue import _OUTCOME_ERR, _OUTCOME_OK
+
+    # SQL-escape (the error lexicon contains an apostrophe: can't)
+    _OUTCOME_OK_SQL = _OUTCOME_OK.replace("'", "''")
+    _OUTCOME_ERR_SQL = _OUTCOME_ERR.replace("'", "''")
+    return f"""
+with {_sql_transcripts_gen()},
+t as (
+  select conv_id, turn_idx, role,
+         lower(coalesce(case when turn_idx % 7 = 3
+                             then text || ' failed with error'
+                             when turn_idx % 11 = 4
+                             then text || ' thanks, confirmed'
+                             else text end, '')) as x
+  from transcripts_gen
+),
+a as (
+  select conv_id, count(*) as n_turns,
+         max({{'i': turn_idx, 'r': role, 'x': x}}) as lastt,
+         max(case when regexp_matches(x, '{_OUTCOME_OK_SQL}')
+                  then turn_idx end) as ok_i,
+         max(case when regexp_matches(x, '{_OUTCOME_ERR_SQL}')
+                  then turn_idx end) as err_i
+  from t group by conv_id
+)
+select conv_id, cast(n_turns as bigint) as n_turns,
+       lastt.r as last_role,
+       case when err_i >= lastt.i - 1 then 'error'
+            when ok_i >= lastt.i - 1 then 'resolved'
+            when lastt.r = 'user' then 'abandoned'
+            else 'open' end as outcome
+from a
+"""
+
+
+def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition latency profile (dialogue.py:turn_gaps): the
+    13-second LCG event grid makes every adjacent-turn gap exactly
+    13 s, so all nine role-pair rows carry identical stats and the
+    grouping/counting is what's graded (multi-valued gap behavior is
+    pinned in pytest)."""
+    from cow_spark.operators.dialogue import turn_gaps
+    from cow_spark.sources.transcripts import transcripts_df
+
+    return turn_gaps(transcripts_df(spark, 5000))
+
+
+def _sql_turn_gaps() -> str:
+    return f"""
+with {_sql_transcripts_gen()},
+g as (
+  select role,
+         lag(role) over w as prev_role,
+         epoch_us(strptime(ts_s, '%Y-%m-%d %H:%M:%S'))
+           - lag(epoch_us(strptime(ts_s, '%Y-%m-%d %H:%M:%S'))) over w
+           as gap
+  from transcripts_gen
+  window w as (partition by conv_id order by turn_idx)
+)
+select prev_role, role, cast(count(*) as bigint) as n,
+       cast(sum(gap) // count(*) as bigint) as mean_us,
+       cast(min(gap) as bigint) as min_us,
+       cast(max(gap) as bigint) as max_us
+from g where prev_role is not null
+group by prev_role, role
+"""
+
+
 def _pair_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paired-predicate quads from orders (FIXTURES.md #57): st_a/st_b
     equal except %17 keys, prio/tag disjoint except %23, date_lo/
@@ -10147,6 +10270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_repair": q_fd_repair,
         "render_convs": q_render_conversations,
         "fixed_width": q_fixed_width,
+        "extract_json": q_extract_json,
+        "conversation_outcome": q_conversation_outcome,
+        "turn_gaps": q_turn_gaps,
     }
 
 
@@ -10359,4 +10485,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_repair": _SQL_FD_REPAIR,
         "render_convs": _sql_render_conversations(),
         "fixed_width": _SQL_FIXED_WIDTH,
+        "extract_json": _SQL_EXTRACT_JSON,
+        "conversation_outcome": _sql_conversation_outcome(),
+        "turn_gaps": _sql_turn_gaps(),
     }

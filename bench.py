@@ -167,6 +167,9 @@ HEADLINE = [
     "fd_repair",
     "render_convs",
     "fixed_width",
+    "extract_json",
+    "conversation_outcome",
+    "turn_gaps",
 ]
 
 

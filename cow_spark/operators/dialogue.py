@@ -612,3 +612,89 @@ def render_conversations(
         "conv_id", F.col("n_turns").cast("long").alias("n_turns"),
         F.length(rendered).cast("long").alias("n_chars"),
         rendered.alias("rendered"))
+
+
+# outcome lexicons, Java∩RE2 subset, lowercased text
+_OUTCOME_OK = (r"\b(thanks|thank you|perfect|great|that works|solved|"
+               r"resolved|booked|done|confirmed)\b")
+_OUTCOME_ERR = (r"\b(error|failed|failure|exception|timeout|"
+                r"cannot|can't|unable|not working|crash)\b")
+
+
+def conversation_outcome(transcripts: DataFrame) -> DataFrame:
+    """Heuristic session-outcome labeling — the SFT corpus filter
+    after :func:`render_conversations` renders: training on abandoned
+    or error-terminated sessions teaches the failure mode, so each
+    conversation gets a cheap label from its CLOSING turns (where
+    outcomes live): ``resolved`` (acknowledgment lexicon in the last
+    user-visible text), ``error`` (failure lexicon in the final two
+    turns), ``abandoned`` (conversation ends on a user turn —
+    nobody answered), else ``open``. Precedence error > resolved >
+    abandoned — an error acknowledged with "thanks anyway" is still
+    an error session.
+
+    One row per conversation: ``(conv_id, n_turns, last_role,
+    outcome)``.
+
+    Scale shape: ONE partial-agg groupBy on conv_id — the closing
+    turns are found with max_by/struct-max aggregates (no window, no
+    sort): struct-max of (turn_idx, role/text) is the last turn,
+    conditional struct-max over the two lexicon hits scopes them to
+    the final two indices. No joins, no Python.
+    """
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    last = F.max(F.struct(F.col("turn_idx").alias("i"),
+                          F.col("role").alias("r"),
+                          t.alias("x")))
+    hit_ok = F.max(F.when(t.rlike(_OUTCOME_OK),
+                          F.col("turn_idx")))
+    hit_err = F.max(F.when(t.rlike(_OUTCOME_ERR),
+                           F.col("turn_idx")))
+    agg = (transcripts.groupBy("conv_id")
+           .agg(F.count("*").alias("n_turns"), last.alias("_last"),
+                hit_ok.alias("_ok_i"), hit_err.alias("_err_i")))
+    last_i = F.col("_last.i")
+    outcome = (
+        F.when(F.col("_err_i") >= last_i - 1, F.lit("error"))
+        .when(F.col("_ok_i") >= last_i - 1, F.lit("resolved"))
+        .when(F.col("_last.r") == "user", F.lit("abandoned"))
+        .otherwise(F.lit("open")))
+    return agg.select(
+        "conv_id", F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("_last.r").alias("last_role"),
+        outcome.alias("outcome"))
+
+
+def turn_gaps(transcripts: DataFrame) -> DataFrame:
+    """Role-transition latency profile — :func:`tool_latency`
+    generalized from the tool column to every speaker handoff: the
+    event-time gap between adjacent turns, aggregated per
+    (prev_role, role) pair. The ops read on WHO is slow (assistant
+    after tool = model latency, user after assistant = human think
+    time), and the drift alarm when a collection pipeline starts
+    batching writes.
+
+    One row per occurring transition: ``(prev_role, role, n, mean_us,
+    min_us, max_us)`` in exact integer micros (pmod-floored mean;
+    negative out-of-order gaps surface in min_us, not clamped —
+    tool_latency's rule).
+
+    Scale shape: ONE window on the natural (conv, turn) key for the
+    lag, one partial agg to the |roles|²-bounded profile. No joins,
+    no Python.
+    """
+    w = _turn_window()
+    g = (transcripts.select(
+        "conv_id", "turn_idx", "role",
+        F.unix_micros(F.col("ts")).alias("_us"))
+        .select("role",
+                F.lag("role").over(w).alias("prev_role"),
+                (F.col("_us") - F.lag("_us").over(w)).alias("_gap"))
+        .where(F.col("prev_role").isNotNull()))
+    s = F.sum("_gap")
+    n = F.count("*")
+    return (g.groupBy("prev_role", "role")
+            .agg(n.cast("long").alias("n"),
+                 ((s - F.pmod(s, n)) / n).cast("long").alias("mean_us"),
+                 F.min("_gap").cast("long").alias("min_us"),
+                 F.max("_gap").cast("long").alias("max_us")))

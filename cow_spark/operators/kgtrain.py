@@ -346,8 +346,8 @@ def transe_score_sql(triples_cte: str, dim: int = 16,
     return f"""
 with t as ({triples_cte})
 select s, p, o,
-       -sum(abs({comp('e', 's')} + {comp('r', 'p')} - {comp('e', 'o')}))
-         as score
+       cast(-sum(abs({comp('e', 's')} + {comp('r', 'p')}
+                     - {comp('e', 'o')})) as bigint) as score
 from t, generate_series(0, {dim - 1}) g(d)
 group by s, p, o
 """

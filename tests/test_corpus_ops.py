@@ -3095,3 +3095,28 @@ def test_fd_repair_majority(spark):
         {("x", False), ("y", True), (None, True)}
     assert all(r.v == "p" for r in by["b"])
     assert by["c"][0].v is None and not by["c"][0].repaired
+
+
+def test_extract_json_typed(spark):
+    """Typed path extraction, dirty-value try_cast, non-object and
+    NULL cells flagged, missing path NULL with ok=true."""
+    from cow_spark.sources.jsonl_source import extract_json
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 69, "a": {"b": "x"}}'),
+         (2, '{"k": "oops"}'),
+         (3, "not json"),
+         (4, "[1, 2]"),
+         (5, None)],
+        "doc_id long, props string")
+    got = {r.doc_id: r for r in extract_json(
+        df, "props",
+        [("k", "$.k", "int"), ("ab", "$.a.b")]).collect()}
+    assert (got[1].k, got[1].ab, got[1].json_ok) == (69, "x", True)
+    assert (got[2].k, got[2].ab, got[2].json_ok) == (None, None, True)
+    assert got[3].json_ok is False and got[3].k is None
+    assert got[4].json_ok is False
+    assert got[5].json_ok is False
+    assert got[1].props is not None       # row-preserving
+    with pytest.raises(ValueError):
+        extract_json(df, "props", [])

@@ -369,3 +369,58 @@ def test_render_conversations_template(spark):
     custom = {r.conv_id: r.rendered for r in render_conversations(
         df, sep=" | ", line_fmt="<{role}>{text}</{role}>").collect()}
     assert custom["c2"] == "<user>solo</user>"
+
+
+def test_conversation_outcome_labels(spark):
+    """resolved/error/abandoned/open with error-over-resolved
+    precedence scoped to the closing two turns."""
+    from cow_spark.operators.dialogue import conversation_outcome
+
+    rows = [
+        ("c1", 0, "user", "book it"),
+        ("c1", 1, "assistant", "Done, confirmed."),
+        ("c2", 0, "user", "run it"),
+        ("c2", 1, "assistant", "error: failed"),
+        ("c2", 2, "user", "thanks anyway"),
+        ("c3", 0, "assistant", "hello"),
+        ("c3", 1, "user", "are you there"),
+        ("c4", 0, "user", "hm"),
+        ("c4", 1, "assistant", "let me check that for you"),
+        ("c5", 0, "user", "it crashed with an error"),   # early error
+        ("c5", 1, "assistant", "try again"),
+        ("c5", 2, "assistant", "any luck"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r.conv_id: r for r in conversation_outcome(df).collect()}
+    assert got["c1"].outcome == "resolved"
+    assert got["c2"].outcome == "error"        # precedence over thanks
+    assert got["c3"].outcome == "abandoned"
+    assert got["c3"].last_role == "user"
+    assert got["c4"].outcome == "open"
+    assert got["c5"].outcome == "open"         # error outside last two
+
+
+def test_turn_gaps_profile(spark):
+    """Per role-pair exact micros, negative out-of-order gaps surface
+    in min_us, first turns excluded."""
+    import datetime as dt
+    from cow_spark.operators.dialogue import turn_gaps
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", t0),
+        ("c1", 1, "assistant", t0 + dt.timedelta(seconds=2)),
+        ("c1", 2, "user", t0 + dt.timedelta(seconds=5)),
+        ("c1", 3, "assistant", t0 + dt.timedelta(seconds=1)),  # ooo
+        ("c2", 0, "user", t0),
+        ("c2", 1, "assistant", t0 + dt.timedelta(seconds=4)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    got = {(r.prev_role, r.role): r for r in turn_gaps(df).collect()}
+    ua = got[("user", "assistant")]
+    assert (ua.n, ua.mean_us) == (3, (2_000_000 + 4_000_000 - 4_000_000) // 3)
+    assert ua.min_us == -4_000_000
+    assert ua.max_us == 4_000_000
+    assert got[("assistant", "user")].n == 1
