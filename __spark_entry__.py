@@ -10042,6 +10042,287 @@ having count(*) >= 2
 """
 
 
+def _bnode_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bnode-rich quads from orders (%13): a ground-anchored chain
+    ord{k} →p:rt→ _:s{k} →p:nx→ _:t{k} with literal leaves (status on
+    s, priority on t — one leaf typed xsd:string so literal keys
+    carry datatypes), plus anchor-FREE automorphic twins _:u{k}
+    (%91 of the sample) that 1-WL cannot distinguish — their
+    canonical rows must collapse to ONE. Single scan, one explode
+    (no union re-scan, CLAUDE.md); the %91 twin rides a NULL-struct
+    array slot filtered after the explode."""
+    o = (_load(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") % 13 == 0)
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").cast("string").alias("st"),
+                 F.col("o_orderpriority").cast("string").alias("pr")))
+    ks = F.col("k").cast("string")
+
+    def qd(s, p, kind, lex, dt=None):
+        return F.struct(
+            s.alias("s"), F.lit(p).alias("p"),
+            F.lit(kind).alias("o_kind"), lex.alias("o_lex"),
+            (F.lit(dt) if dt is not None
+             else F.lit(None).cast("string")).alias("o_dt"))
+
+    arr = F.array(
+        qd(F.concat(F.lit("ord"), ks), "p:rt", "iri",
+           F.concat(F.lit("_:s"), ks)),
+        qd(F.concat(F.lit("_:s"), ks), "p:st", "lit", F.col("st"),
+           "xsd:string"),
+        qd(F.concat(F.lit("_:s"), ks), "p:nx", "iri",
+           F.concat(F.lit("_:t"), ks)),
+        qd(F.concat(F.lit("_:t"), ks), "p:pr", "lit", F.col("pr")),
+        F.when(F.col("k") % 91 == 0,
+               qd(F.concat(F.lit("_:u"), ks), "p:tw", "lit", F.lit("x"))))
+    return (o.select(F.explode(arr).alias("x"))
+            .where(F.col("x").isNotNull())
+            .select(F.lit("g:m").alias("g"), "x.s", "x.p", "x.o_kind",
+                    "x.o_lex", "x.o_dt",
+                    F.lit(None).cast("string").alias("o_lang")))
+
+
+def q_bnode_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF blank-node canonicalization (canon.py:bnode_canon) — the
+    RDFC-1.0-style deterministic relabeling the reference cannot give
+    (rdflib BNode ids are stable only within a run, csvw.py:305,351).
+    Input-label invariance (relabel the _: ids, same output) and the
+    automorphic-orbit collapse are pinned in pytest; the twin unrolls
+    the labeled 1-WL rounds CTE-for-CTE."""
+    from cow_spark.operators.canon import bnode_canon
+
+    return bnode_canon(_bnode_quads(spark, sf_dir), rounds=2)
+
+
+_SQL_BNODE_QUADS = """
+select 'g:m' as g, s, p, o_kind, o_lex, o_dt,
+       cast(null as varchar) as o_lang
+from (
+  select 'ord' || cast(o_orderkey as varchar) as s, 'p:rt' as p,
+         'iri' as o_kind,
+         '_:s' || cast(o_orderkey as varchar) as o_lex,
+         cast(null as varchar) as o_dt
+  from orders where o_orderkey % 13 = 0
+  union all
+  select '_:s' || cast(o_orderkey as varchar), 'p:st', 'lit',
+         cast(o_orderstatus as varchar), 'xsd:string'
+  from orders where o_orderkey % 13 = 0
+  union all
+  select '_:s' || cast(o_orderkey as varchar), 'p:nx', 'iri',
+         '_:t' || cast(o_orderkey as varchar), null
+  from orders where o_orderkey % 13 = 0
+  union all
+  select '_:t' || cast(o_orderkey as varchar), 'p:pr', 'lit',
+         cast(o_orderpriority as varchar), null
+  from orders where o_orderkey % 13 = 0
+  union all
+  select '_:u' || cast(o_orderkey as varchar), 'p:tw', 'lit', 'x', null
+  from orders where o_orderkey % 13 = 0 and o_orderkey % 91 = 0
+)
+"""
+
+
+def _sql_bnode_canon() -> str:
+    from cow_spark.operators.canon import bnode_canon_oracle_sql
+
+    return bnode_canon_oracle_sql(_SQL_BNODE_QUADS, rounds=2)
+
+
+def _void_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed quads from orders (%7): rdf:type into 5 priority classes,
+    a plain literal, an xsd:date-typed literal (distinct-object terms
+    must see datatypes), and a customer IRI link. One scan, one
+    explode."""
+    o = (_load(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") % 7 == 0)
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").cast("string").alias("st"),
+                 F.col("o_orderpriority").cast("string").alias("pr"),
+                 F.col("o_orderdate").cast("string").alias("dt"),
+                 F.col("o_custkey").alias("ck")))
+    s = F.concat(F.lit("ord"), F.col("k").cast("string"))
+
+    def qd(p, kind, lex, dt=None):
+        return F.struct(
+            F.lit(p).alias("p"), F.lit(kind).alias("o_kind"),
+            lex.alias("o_lex"),
+            (F.lit(dt) if dt is not None
+             else F.lit(None).cast("string")).alias("o_dt"))
+
+    arr = F.array(
+        qd("rdf:type", "iri", F.concat(F.lit("c:P"), F.col("pr"))),
+        qd("p:st", "lit", F.col("st")),
+        qd("p:dt", "lit", F.col("dt"), "xsd:date"),
+        qd("p:ck", "iri",
+           F.concat(F.lit("cust"), F.col("ck").cast("string"))))
+    return (o.select(s.alias("s"), F.explode(arr).alias("x"))
+            .select("s", "x.p", "x.o_kind", "x.o_lex", "x.o_dt",
+                    F.lit(None).cast("string").alias("o_lang")))
+
+
+def q_void_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID dataset description (stats.py:void_description): dataset
+    cardinalities + per-predicate property partitions + per-class
+    entity partitions, emitted as (s, p, o_lex) triples over the
+    typed order quads."""
+    from cow_spark.plans.stats import void_description
+
+    return void_description(_void_quads(spark, sf_dir),
+                            dataset="d:orders", type_pred="rdf:type")
+
+
+_SQL_VOID_QUADS = """
+select 'ord' || cast(o_orderkey as varchar) as s, p, o_kind, o_lex, o_dt,
+       cast(null as varchar) as o_lang
+from (
+  select o_orderkey, 'rdf:type' as p, 'iri' as o_kind,
+         'c:P' || cast(o_orderpriority as varchar) as o_lex,
+         cast(null as varchar) as o_dt
+  from orders where o_orderkey % 7 = 0
+  union all
+  select o_orderkey, 'p:st', 'lit', cast(o_orderstatus as varchar), null
+  from orders where o_orderkey % 7 = 0
+  union all
+  select o_orderkey, 'p:dt', 'lit', cast(o_orderdate as varchar),
+         'xsd:date'
+  from orders where o_orderkey % 7 = 0
+  union all
+  select o_orderkey, 'p:ck', 'iri', 'cust' || cast(o_custkey as varchar),
+         null
+  from orders where o_orderkey % 7 = 0
+)
+"""
+
+
+def _sql_void_summary() -> str:
+    return f"""
+with q0 as materialized ({_SQL_VOID_QUADS}),
+qq as materialized (
+  select s, p, o_kind, o_lex,
+         concat_ws(chr(31), o_kind, o_lex, coalesce(o_dt, ''),
+                   coalesce(o_lang, '')) as ot
+  from q0)
+select 'd:orders' as s, m as p, o_lex from (
+  select 'void:triples' as m, cast(count(*) as varchar) as o_lex from qq
+  union all
+  select 'void:distinctSubjects', cast(count(distinct s) as varchar)
+  from qq
+  union all
+  select 'void:distinctObjects', cast(count(distinct ot) as varchar)
+  from qq
+  union all
+  select 'void:properties', cast(count(distinct p) as varchar) from qq
+  union all
+  select 'void:classes',
+         cast(count(distinct case when p = 'rdf:type' and o_kind = 'iri'
+                             then o_lex end) as varchar)
+  from qq
+)
+union all
+select 'd:orders/property/' || qq.p, 'void:triples',
+       cast(count(*) as varchar)
+from qq group by qq.p
+union all
+select 'd:orders/property/' || qq.p, 'void:distinctSubjects',
+       cast(count(distinct qq.s) as varchar)
+from qq group by qq.p
+union all
+select 'd:orders/class/' || qq.o_lex, 'void:entities',
+       cast(count(distinct qq.s) as varchar)
+from qq where qq.p = 'rdf:type' and qq.o_kind = 'iri'
+group by qq.o_lex
+"""
+
+
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal
+    (terms.py:kneser_ney_surprisal): the smoothed KenLM-family score
+    CCNet actually filters with, in ppm/1024-bit integer fixed point;
+    the twin replays the discount/continuation arithmetic and the
+    log2 kernel bit-exactly."""
+    from cow_spark.operators.terms import kneser_ney_surprisal
+
+    docs = _load_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return kneser_ney_surprisal(docs)
+
+
+def _sql_kn_bigram() -> str:
+    from cow_spark.functions.intmath import log2_fp_py, log2_fp_sql
+
+    s, d = 1_000_000, 750_000
+    log2_s = log2_fp_py(s)
+    l2p = log2_fp_sql("p_ppm")
+    return rf"""
+with tk as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from documents
+),
+bg as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) as u
+  from tk where len(t) >= 2
+),
+tf as materialized (
+  select doc_id, u.w1 as w1, u.w2 as w2, cast(count(*) as bigint) as tf
+  from bg group by doc_id, u.w1, u.w2
+),
+c2 as materialized (
+  select w1, w2, cast(sum(tf) as bigint) as c2 from tf group by w1, w2),
+c1 as (select w1, cast(sum(c2) as bigint) as c1,
+              cast(count(*) as bigint) as n1r from c2 group by w1),
+n1l as (select w2, cast(count(*) as bigint) as n1l from c2 group by w2),
+nn as (select cast(count(*) as bigint) as nn from c2),
+model as (
+  select c2.w1, c2.w2,
+         greatest(1, case when c2.c2 * {s} - {d} > 0
+                          then (c2.c2 * {s} - {d}) // c1.c1 else 0 end
+                     + ((({d} * c1.n1r) // c1.c1)
+                        * ((n1l.n1l * {s}) // nn.nn)) // {s}) as p_ppm
+  from c2 join c1 using (w1) join n1l using (w2) cross join nn
+),
+mb as materialized (
+  select w1, w2, {log2_s} - {l2p} as bits_fp from model),
+per as (
+  select doc_id, cast(sum(tf) as bigint) as n_bigrams,
+         cast(sum(tf * bits_fp) as bigint) as kn_bits_fp
+  from tf join mb using (w1, w2) group by doc_id
+)
+select ids.doc_id,
+       cast(coalesce(per.n_bigrams, 0) as bigint) as n_bigrams,
+       cast(coalesce(per.kn_bits_fp, 0) as bigint) as kn_bits_fp,
+       cast(per.kn_bits_fp // per.n_bigrams as bigint) as score_fp
+from (select distinct cast(doc_id as bigint) as doc_id from documents) ids
+left join per using (doc_id)
+"""
+
+
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct sketch (sketch.py:kmv_distinct): per-priority
+    distinct-customer estimates at k=64 — every group exceeds k so the
+    order-statistic estimator path is graded (the n<k exact path and
+    the union-merge property are pinned in pytest)."""
+    from cow_spark.functions.sketch import kmv_distinct
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").cast("string").alias("prio"),
+        F.col("o_custkey").cast("string").alias("v"))
+    return kmv_distinct(o, ("prio",), "v", k=64)
+
+
+def _sql_kmv_sketch() -> str:
+    from cow_spark.functions.sketch import kmv_distinct_oracle_sql
+
+    return kmv_distinct_oracle_sql(
+        "select cast(o_orderpriority as varchar) as prio, "
+        "cast(o_custkey as varchar) as v from orders",
+        ("prio",), k=64)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10273,6 +10554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_json": q_extract_json,
         "conversation_outcome": q_conversation_outcome,
         "turn_gaps": q_turn_gaps,
+        "bnode_canon": q_bnode_canon,
+        "void_summary": q_void_summary,
+        "kn_bigram": q_kn_bigram,
+        "kmv_sketch": q_kmv_sketch,
     }
 
 
@@ -10488,4 +10773,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_json": _SQL_EXTRACT_JSON,
         "conversation_outcome": _sql_conversation_outcome(),
         "turn_gaps": _sql_turn_gaps(),
+        "bnode_canon": _sql_bnode_canon(),
+        "void_summary": _sql_void_summary(),
+        "kn_bigram": _sql_kn_bigram(),
+        "kmv_sketch": _sql_kmv_sketch(),
     }

@@ -170,6 +170,10 @@ HEADLINE = [
     "extract_json",
     "conversation_outcome",
     "turn_gaps",
+    "bnode_canon",
+    "void_summary",
+    "kn_bigram",
+    "kmv_sketch",
 ]
 
 

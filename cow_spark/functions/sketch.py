@@ -611,3 +611,101 @@ def hist_quantiles_py(bucket_counts: dict[int, int],
                 break
         res[f"p{p}_fp"] = val
     return res
+
+
+KMV_BITS = 44          # hash space [0, 2^44): (k-1)*2^44 stays << 2^63
+KMV_SPACE = 1 << KMV_BITS
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    k: int = 64,
+    shards: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct-count sketch
+    per group — the ORDER-STATISTIC sibling of the HLL profile above.
+    Where HLL only unions, a KMV sketch supports intersection/Jaccard
+    estimates between groups (the k smallest hashes are a uniform
+    sample of each set), which is why theta sketches are the
+    warehouse-standard for audience-overlap questions.
+
+    Deterministic md5 hashing capped to 44 bits (``pmod``, the
+    prefix_duplicates discipline — (k−1)·2^44 must stay inside int64
+    under ANSI); estimate = (k−1)·2^44 div h_k, the unbiased KMV
+    estimator, EXACT (= n) whenever a group holds fewer than k
+    distinct values.
+
+    Scale shape: min-k is not a partial aggregate in the DataFrame
+    API, so it runs as TWO bounded window passes — per (group,
+    hash-shard) row_number keeps ≤ k·shards rows per group with task
+    size |group distincts|/shards, then the per-group pass sorts ≤
+    k·shards rows. The k smallest of a union are each among the k
+    smallest of their shard, so the split is lossless; ``shards``
+    scales with corpus (4096 at 100 TB), never with k. No collect_set
+    (whose per-group state is distinct-count-sized), no global sort.
+
+    Returns ``(group…, n_kept, kmv_threshold, est_distinct)`` — keep
+    n_kept/threshold: they ARE the mergeable sketch state (union =
+    min-k of concatenated sketches, see the pytest pin).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    g = [F.col(c) for c in group_cols]
+    h = F.pmod(
+        portable_hash60(F.concat(F.lit("kmv|"),
+                                 F.col(value_col).cast("string"))),
+        F.lit(KMV_SPACE)).alias("_h")
+    dist = (df.where(F.col(value_col).isNotNull())
+            .select(*g, h).distinct())
+    w1 = (Window.partitionBy(*group_cols,
+                             F.pmod(F.col("_h"), F.lit(shards)))
+          .orderBy("_h"))
+    w2 = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = (dist.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") <= k))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"({k - 1} * {KMV_SPACE}L) div greatest(1L, kmv_threshold)"))
+    return (kept.groupBy(*group_cols)
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.max("_h").alias("kmv_threshold"))
+            .select(*group_cols, "n_kept", "kmv_threshold",
+                    est.cast("long").alias("est_distinct")))
+
+
+def kmv_distinct_oracle_sql(
+    rows_sql: str,
+    group_cols: tuple[str, ...],
+    k: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct`. ``rows_sql`` must yield the
+    group columns plus a ``v`` varchar value column. One row_number
+    pass replaces the two-level shard split (provably the same k
+    minima); sums/counts cast to BIGINT (the HUGEINT class)."""
+    from .hashing import portable_hash60_sql
+
+    gl = ", ".join(group_cols)
+    h = portable_hash60_sql("concat('kmv|', v)")
+    return f"""
+with r as materialized ({rows_sql}),
+d as materialized (
+  select distinct {gl}, {h} % {KMV_SPACE} as h
+  from r where v is not null),
+t as (
+  select {gl}, h,
+         row_number() over (partition by {gl} order by h) as rn
+  from d)
+select {gl}, cast(count(*) as bigint) as n_kept,
+       cast(max(h) as bigint) as kmv_threshold,
+       cast(case when count(*) < {k} then count(*)
+            else ({k - 1} * {KMV_SPACE}) // greatest(1, max(h))
+            end as bigint) as est_distinct
+from t where rn <= {k}
+group by {gl}
+"""

@@ -611,3 +611,162 @@ def source_reliability(
                     # exact integer floor-div (pmod trick) — a double
                     # division's ulp could flip floor at exact quotients
                     rel.cast("long").alias("reliability_m")))
+
+
+def bnode_canon(
+    quads: DataFrame,
+    rounds: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic blank-node relabeling of an RDF quad table — the
+    canonicalization step RDFC-1.0/URDNA2015 performs before signing
+    or diffing graphs. The reference's rdflib BNode ids are stable
+    only within a run (csvw.py:305,351,524), so two conversions of the
+    same input are not byte-comparable; this rewrites every ``_:``
+    term to a label derived purely from the node's structural position
+    (never from its input label), making output N-Quads run-invariant.
+
+    Mechanics: labeled 1-WL over the quad incidence graph (the same
+    hash-refine loop as :func:`.graphrank.wl_refine`, which documents
+    the commutative-sum multiset hash and its scale shape). Ground
+    terms are initialized with the hash of their own lexical form —
+    they are the anchors — while every bnode starts from one shared
+    color; ``rounds`` rounds of
+
+        color' = H60(color, Σ H32(dir, graph|pred, neighbor color))
+
+    propagate anchor identity through bnode chains. The canonical
+    label is ``_:c<color>`` — the color VALUE, not a rank: assigning
+    dense ranks would need a global sort of the orbit table, while the
+    hash label is collision-bounded (60-bit) and needs no extra
+    shuffle. Automorphic bnodes (indistinguishable by 1-WL) share a
+    label by construction, and the final ``distinct()`` collapses
+    their now-identical quads — the semantics RDF dataset canonical
+    form requires. Literals key on (kind, lex, dt, lang) so equal
+    lexical forms under different datatypes stay distinct anchors.
+
+    Per round: one shuffle join + one partial-agg sum, lineage cut via
+    :func:`round_checkpoint`; the rewrite is two key joins on the
+    bnode-label table (bounded by the bnode count, not the quad
+    count). Returns canonical (g, s, p, o_kind, o_lex, o_dt, o_lang).
+    """
+    from ..functions.hashing import portable_hash32, portable_hash60
+
+    if rounds < 1:
+        raise ValueError(f"bnode_canon: rounds must be >= 1, got {rounds}")
+    okey = F.when(F.col("o_kind") == "iri", F.col("o_lex")).otherwise(
+        F.concat_ws("\x1f", F.lit("L"), F.col("o_lex"),
+                    F.coalesce(F.col("o_dt"), F.lit("")),
+                    F.coalesce(F.col("o_lang"), F.lit(""))))
+    e = quads.select(
+        F.col("s").alias("sk"), okey.alias("ok"),
+        F.concat_ws("|", F.coalesce(F.col("g"), F.lit("")),
+                    F.col("p")).alias("lbl"))
+    terms = round_checkpoint(
+        e.select(F.col("sk").alias("node"), F.lit("o").alias("dir"),
+                 "lbl", F.col("ok").alias("nbr"))
+        .unionByName(
+            e.select(F.col("ok").alias("node"), F.lit("i").alias("dir"),
+                     "lbl", F.col("sk").alias("nbr"))),
+        checkpoint_dir)
+    colors = round_checkpoint(
+        terms.select("node").distinct()
+        .select("node", F.when(
+            F.col("node").startswith("_:"),
+            portable_hash60(F.lit("bn"))).otherwise(
+            portable_hash60(F.concat(F.lit("gr|"), F.col("node"))))
+            .alias("color")),
+        checkpoint_dir)
+    for _ in range(rounds):
+        t = (terms
+             .join(colors.select(F.col("node").alias("nbr"),
+                                 F.col("color").alias("nc")), "nbr")
+             .select("node", portable_hash32(
+                 F.concat_ws("|", F.lit("bcE"), F.col("dir"), F.col("lbl"),
+                             F.col("nc").cast("string"))).alias("term"))
+             .groupBy("node").agg(F.sum("term").alias("ts")))
+        colors = round_checkpoint(
+            colors.join(t, "node", "left")
+            .select("node", portable_hash60(
+                F.concat_ws("|", F.lit("bcC"),
+                            F.col("color").cast("string"),
+                            F.coalesce(F.col("ts"), F.lit(-1))
+                            .cast("string"))).alias("color")),
+            checkpoint_dir)
+    lab = colors.where(F.col("node").startswith("_:")).select(
+        "node",
+        F.concat(F.lit("_:c"), F.col("color").cast("string"))
+        .alias("canon"))
+    sl = lab.select(F.col("node").alias("s"), F.col("canon").alias("_sc"))
+    ol = lab.select(F.col("node").alias("o_lex"),
+                    F.col("canon").alias("_oc"))
+    return (quads.join(sl, "s", "left").join(ol, "o_lex", "left")
+            .select(
+                "g", F.coalesce("_sc", "s").alias("s"), "p", "o_kind",
+                # the o_lex join alone would also hit a LITERAL whose
+                # lexical form happens to look like a bnode label —
+                # only iri-kind objects take the canonical name
+                F.when((F.col("o_kind") == "iri")
+                       & F.col("_oc").isNotNull(), F.col("_oc"))
+                .otherwise(F.col("o_lex")).alias("o_lex"),
+                "o_dt", "o_lang")
+            .distinct())
+
+
+def bnode_canon_oracle_sql(quads_sql: str, rounds: int = 2) -> str:
+    """DuckDB twin of :func:`bnode_canon`. ``quads_sql`` must yield
+    (g, s, p, o_kind, o_lex, o_dt, o_lang). Twice-referenced CTEs are
+    ``as materialized`` (DuckDB inlining trap); the per-round sum is
+    cast to BIGINT inside its CTE (the r3 HUGEINT driver-red class);
+    bnode detection uses ``starts_with`` because ``_`` is a LIKE
+    wildcard."""
+    from ..functions.hashing import portable_hash32_sql, portable_hash60_sql
+
+    parts = [
+        f"q as materialized ({quads_sql})",
+        "e as materialized ("
+        " select s as sk,"
+        "  case when o_kind = 'iri' then o_lex"
+        "   else concat_ws(chr(31), 'L', o_lex, coalesce(o_dt, ''),"
+        "                  coalesce(o_lang, '')) end as ok,"
+        "  concat_ws('|', coalesce(g, ''), p) as lbl"
+        " from q)",
+        "t as materialized ("
+        " select sk as node, 'o' as dir, lbl, ok as nbr from e"
+        " union all"
+        " select ok as node, 'i' as dir, lbl, sk as nbr from e)",
+        "c0 as materialized (select distinct node,"
+        " case when starts_with(node, '_:') then "
+        + portable_hash60_sql("'bn'")
+        + " else " + portable_hash60_sql("concat('gr|', node)")
+        + " end as color from t)",
+    ]
+    term = portable_hash32_sql(
+        "concat_ws('|', 'bcE', t.dir, t.lbl, cast(c.color as varchar))")
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"a{k} as materialized ("
+            f" select t.node, cast(sum({term}) as bigint) as ts"
+            f" from t join c{k - 1} c on t.nbr = c.node"
+            f" group by t.node)")
+        nxt = portable_hash60_sql(
+            "concat_ws('|', 'bcC', cast(c.color as varchar),"
+            " cast(coalesce(a.ts, -1) as varchar))")
+        parts.append(
+            f"c{k} as materialized ("
+            f" select c.node, {nxt} as color"
+            f" from c{k - 1} c left join a{k} a on a.node = c.node)")
+    parts.append(
+        f"lab as materialized (select node,"
+        f" '_:c' || cast(color as varchar) as canon"
+        f" from c{rounds} where starts_with(node, '_:'))")
+    return ("with " + ",\n".join(parts) + """
+select distinct q.g,
+       coalesce(ls.canon, q.s) as s,
+       q.p, q.o_kind,
+       case when q.o_kind = 'iri' and lo.canon is not null
+            then lo.canon else q.o_lex end as o_lex,
+       q.o_dt, q.o_lang
+from q
+left join lab ls on ls.node = q.s
+left join lab lo on q.o_kind = 'iri' and lo.node = q.o_lex""")

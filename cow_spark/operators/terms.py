@@ -755,3 +755,104 @@ def zipf_alpha(
                     (F.lit(1_000_000)
                      + _floor(bits * F.lit(1_000_000), F.lit(LN2_PPM)))
                     .alias("alpha_ppm")))
+
+
+def kneser_ney_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_ppm: int = 750_000,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal, integer-exact — the
+    smoothed upgrade of :func:`bigram_surprisal` (whose raw MLE gives
+    rare-but-seen bigrams 0-probability mass nowhere and cannot be
+    compared across heads). KenLM's KN smoothing is what CCNet
+    actually scores with; this is its bigram member in the module's
+    fixed-point discipline:
+
+        P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1) + λ(w1)·Pcont(w2)
+        λ(w1)    = D · N1+(w1·)/c(w1)
+        Pcont(w2)= N1+(·w2)/N1+(··)
+
+    with D = ``discount_ppm``/10^6 (default 0.75, the textbook
+    absolute discount). All ratios are parts-per-million floor
+    divisions and the per-bigram surprisal is
+
+        bits_fp = log2fp(10^6) − log2fp(p_ppm)      (1/1024-bit units)
+
+    via the integer log2 kernel, so DuckDB replays every row
+    bit-exactly. In exact arithmetic Σ_w2 P(w2|w1) = 1 and each term
+    ≤ 1; the ppm floors only shrink terms, so ``p_ppm ≤ 10^6`` and
+    bits_fp ≥ 0 always (p_ppm is floored at 1 so the log is defined
+    — an all-floors-to-zero bigram scores the 19.93-bit ceiling).
+
+    Plan shape: the corpus is exploded ONCE into per-doc bigram
+    partials (the only corpus-sized shuffle); c2/c1/N1+ tables are
+    re-aggregations of that tf table (bigram- and head-vocabulary
+    sized); the iterative log2 expression runs on the MODEL table
+    (vocabulary-sized), never per corpus row; docs join the model on
+    the bigram key — vocabulary joins, no fan-out, AQE splits hot
+    heads. Self-scoring (model = scored corpus) keeps every bigram
+    in-model; an OOV bigram from a foreign corpus would simply not
+    join and is dropped from n_bigrams — callers scoring cross-corpus
+    should train on the union.
+
+    Returns ``(doc_id, n_bigrams, kn_bits_fp, score_fp)`` with
+    ``score_fp = kn_bits_fp div n_bigrams`` (mean 1/1024-bits per
+    transition; NULL when a doc has no bigram).
+    """
+    from ..functions.intmath import log2_fp_py, with_log2_fp
+
+    s = 1_000_000
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    bigrams = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_t"), (i + 1).cast("int")).alias("w1"),
+                F.element_at(F.col("_t"), (i + 2).cast("int")).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    tf = (
+        staged.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    )
+    c2 = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"),
+                              F.count("*").cast("long").alias("n1r"))
+    n1l = c2.groupBy("w2").agg(F.count("*").cast("long").alias("n1l"))
+    nn = c2.agg(F.count("*").cast("long").alias("nn"))
+    d = int(discount_ppm)
+    model = (
+        c2.join(c1, "w1").join(n1l, "w2").crossJoin(F.broadcast(nn))
+        .withColumn("p_ppm", F.greatest(F.lit(1).cast("long"), F.expr(
+            f"case when c2 * {s} - {d} > 0"
+            f" then (c2 * {s} - {d}) div c1 else 0 end"
+            f" + ((({d} * n1r) div c1) * ((n1l * {s}) div nn)) div {s}")))
+    )
+    log2_s = log2_fp_py(s)
+    mb = with_log2_fp(model, "p_ppm", "_l2p").select(
+        "w1", "w2", (F.lit(log2_s) - F.col("_l2p")).alias("_bits_fp"))
+    per = (
+        tf.join(mb, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+             F.sum(F.col("tf") * F.col("_bits_fp")).cast("long")
+             .alias("kn_bits_fp"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("kn_bits_fp", F.lit(0)).alias("kn_bits_fp"),
+            # pre-coalesce columns: NULL div NULL = NULL for bigram-less
+            # docs (a literal 0 div 0 would ANSI-abort)
+            F.expr("kn_bits_fp div n_bigrams").alias("score_fp"),
+        )
+    )

@@ -658,3 +658,106 @@ def test_allen_relations_all_eleven_and_binning(spark):
                                   "id string, key string, lo_us long, "
                                   "hi_us long"),
             bin_us=2, max_bins_per_interval=100)
+
+
+def _bn_quads(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("p", T.StringType()),
+        T.StructField("o_kind", T.StringType()),
+        T.StructField("o_lex", T.StringType()),
+        T.StructField("o_dt", T.StringType()),
+        T.StructField("o_lang", T.StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_bnode_canon_input_label_invariance(spark):
+    """The canonical output must not depend on the INPUT bnode labels —
+    the property that makes two runs of the reference byte-comparable
+    after relabeling (rdflib BNodes are run-local, csvw.py:305)."""
+    from cow_spark.operators.canon import bnode_canon
+
+    base = [
+        ("g", "e:r1", "p:rt", "iri", "_:a", None, None),
+        ("g", "_:a", "p:st", "lit", "X", None, None),
+        ("g", "_:a", "p:nx", "iri", "_:b", None, None),
+        ("g", "_:b", "p:pr", "lit", "Y", None, None),
+        ("g", "e:r2", "p:rt", "iri", "_:c", None, None),
+        ("g", "_:c", "p:st", "lit", "Z", None, None),
+    ]
+    ren = {"_:a": "_:zz9", "_:b": "_:q", "_:c": "_:a"}  # permuted names
+    relab = [(g, ren.get(s, s), p, k, ren.get(o, o) if k == "iri" else o,
+              dt, lg) for g, s, p, k, o, dt, lg in base]
+    out1 = sorted(map(tuple, bnode_canon(_bn_quads(spark, base)).collect()))
+    out2 = sorted(map(tuple, bnode_canon(_bn_quads(spark, relab)).collect()))
+    assert out1 == out2
+    # and the bnode labels really were rewritten to _:c<hash> form
+    assert all(not s.startswith("_:") or s.startswith("_:c")
+               for _, s, *_ in out1)
+
+
+def test_bnode_canon_automorphic_orbit_collapses(spark):
+    """Anchor-free twins are 1-WL-indistinguishable: they share a
+    canonical label and their quads collapse to one row; a literal
+    whose lexical form LOOKS like a bnode label stays untouched."""
+    from cow_spark.operators.canon import bnode_canon
+
+    rows = [
+        ("g", "_:u1", "p:tw", "lit", "x", None, None),
+        ("g", "_:u2", "p:tw", "lit", "x", None, None),
+        ("g", "_:u3", "p:tw", "lit", "x", None, None),
+        ("g", "e:r", "p:note", "lit", "_:u1", None, None),  # literal decoy
+    ]
+    out = bnode_canon(_bn_quads(spark, rows)).collect()
+    assert len(out) == 2
+    lit = [r for r in out if r.p == "p:note"][0]
+    assert lit.o_lex == "_:u1"  # literal lexical form untouched
+    tw = [r for r in out if r.p == "p:tw"][0]
+    assert tw.s.startswith("_:c")
+
+
+def test_bnode_canon_distinguishes_datatyped_literals(spark):
+    """Literal anchors key on (kind, lex, dt, lang): two bnodes whose
+    only difference is their leaf's DATATYPE must get different
+    canonical labels."""
+    from cow_spark.operators.canon import bnode_canon
+
+    rows = [
+        ("g", "_:a", "p:v", "lit", "1", "xsd:int", None),
+        ("g", "_:b", "p:v", "lit", "1", None, None),
+    ]
+    out = bnode_canon(_bn_quads(spark, rows)).collect()
+    assert len(out) == 2
+    labels = {r.o_dt: r.s for r in out}
+    assert labels["xsd:int"] != labels[None]
+
+
+def test_void_description_values(spark):
+    """VoID counts on a hand-checkable graph: 2 subjects, 3 predicates,
+    2 classes; datatyped vs plain '1' are two distinct objects."""
+    from cow_spark.plans.stats import void_description
+
+    rows = [
+        ("g", "e:a", "rdf:type", "iri", "c:X", None, None),
+        ("g", "e:a", "p:v", "lit", "1", "xsd:int", None),
+        ("g", "e:b", "rdf:type", "iri", "c:Y", None, None),
+        ("g", "e:b", "p:v", "lit", "1", None, None),
+        ("g", "e:b", "p:w", "lit", "1", None, None),
+    ]
+    out = {(r.s, r.p): r.o_lex
+           for r in void_description(_bn_quads(spark, rows),
+                                     dataset="d:t").collect()}
+    assert out[("d:t", "void:triples")] == "5"
+    assert out[("d:t", "void:distinctSubjects")] == "2"
+    # c:X, c:Y, "1"^^xsd:int, "1"plain  → 4 distinct object terms
+    assert out[("d:t", "void:distinctObjects")] == "4"
+    assert out[("d:t", "void:properties")] == "3"
+    assert out[("d:t", "void:classes")] == "2"
+    assert out[("d:t/property/p:v", "void:triples")] == "2"
+    assert out[("d:t/property/p:v", "void:distinctSubjects")] == "2"
+    assert out[("d:t/class/c:X", "void:entities")] == "1"
+    assert out[("d:t/class/c:Y", "void:entities")] == "1"

@@ -342,3 +342,69 @@ def test_hist_build_as_streaming_aggregation(spark, tmp_path):
     want = {(r["g"], r["bucket"]): r["c"]
             for r in hist_build(batch, "v", ("g",)).collect()}
     assert got == want
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark):
+        from cow_spark.functions.sketch import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", f"v{i % 7}") for i in range(50)], "g string, v string")
+        row = kmv_distinct(df, ("g",), "v", k=64).collect()[0]
+        assert row.n_kept == 7 and row.est_distinct == 7
+
+    def test_estimate_within_bound(self, spark):
+        """KMV relative error ~ 1/sqrt(k-1); at k=256 over 5000
+        distincts a 20% corridor is lax enough to be deterministic and
+        tight enough to catch a broken estimator (which is off by
+        orders of magnitude)."""
+        from cow_spark.functions.sketch import kmv_distinct
+
+        n = 5000
+        df = spark.createDataFrame(
+            [("g", f"val-{i}") for i in range(n)], "g string, v string")
+        row = kmv_distinct(df, ("g",), "v", k=256).collect()[0]
+        assert row.n_kept == 256
+        assert 0.8 * n < row.est_distinct < 1.2 * n
+
+    def test_union_merge_property(self, spark):
+        """Sketch of A ∪ B == min-k merge of sketch(A) and sketch(B):
+        the mergeability contract that makes KMV a sketch rather than
+        a sample. Verified via the threshold/estimate of the union."""
+        from cow_spark.functions.sketch import kmv_distinct
+
+        a = spark.createDataFrame(
+            [("g", f"a{i}") for i in range(400)], "g string, v string")
+        b = spark.createDataFrame(
+            [("g", f"a{i}") for i in range(200, 600)],
+            "g string, v string")
+        u = kmv_distinct(a.union(b), ("g",), "v", k=64).collect()[0]
+        # merge by hand: k smallest of the two sketches' kept hashes
+        from cow_spark.functions.hashing import portable_hash60
+        from cow_spark.functions.sketch import KMV_SPACE
+        import hashlib
+
+        def h(v):
+            return int(hashlib.md5(f"kmv|{v}".encode())
+                       .hexdigest()[:15], 16) % KMV_SPACE
+
+        hs = sorted({h(f"a{i}") for i in range(600)})[:64]
+        assert u.kmv_threshold == hs[-1]
+        assert u.est_distinct == (63 * KMV_SPACE) // hs[-1]
+
+    def test_null_values_ignored(self, spark):
+        from cow_spark.functions.sketch import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", "x"), ("g", None), ("g", "y")], "g string, v string")
+        row = kmv_distinct(df, ("g",), "v", k=8).collect()[0]
+        assert row.n_kept == 2 and row.est_distinct == 2
+
+    def test_k_validation(self, spark):
+        import pytest as _pt
+
+        from cow_spark.functions.sketch import kmv_distinct
+
+        df = spark.createDataFrame([("g", "x")], "g string, v string")
+        with _pt.raises(ValueError):
+            kmv_distinct(df, ("g",), "v", k=1)

@@ -611,3 +611,73 @@ def test_zipf_alpha_matches_serial_twin(spark):
     assert zipf_alpha(docs, xmin=10).count() == 0
     with pytest.raises(ValueError):
         zipf_alpha(docs, xmin=0)
+
+
+def _kn_py(texts, d_ppm=750_000):
+    """Serial twin of kneser_ney_surprisal's ppm/log2 arithmetic."""
+    from cow_spark.functions.intmath import log2_fp_py
+
+    s = 1_000_000
+    toks = {i: t.lower().split() for i, t in texts}
+    tf: dict = {}
+    for i, t in toks.items():
+        for a, b in zip(t, t[1:]):
+            tf[(i, a, b)] = tf.get((i, a, b), 0) + 1
+    c2: dict = {}
+    for (i, a, b), n in tf.items():
+        c2[(a, b)] = c2.get((a, b), 0) + n
+    c1: dict = {}
+    n1r: dict = {}
+    n1l: dict = {}
+    for (a, b), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+        n1r[a] = n1r.get(a, 0) + 1
+        n1l[b] = n1l.get(b, 0) + 1
+    nn = len(c2)
+    log2_s = log2_fp_py(s)
+    out = {}
+    for i, t in toks.items():
+        nb = bits = 0
+        for a, b in zip(t, t[1:]):
+            term1 = max(c2[(a, b)] * s - d_ppm, 0) // c1[a]
+            lam = (d_ppm * n1r[a]) // c1[a]
+            pc = (n1l[b] * s) // nn
+            p = max(1, term1 + (lam * pc) // s)
+            assert p <= s  # proper distribution, floors only shrink
+            nb += 1
+            bits += log2_s - log2_fp_py(p)
+        out[i] = (nb, bits, bits // nb if nb else None)
+    return out
+
+
+def test_kneser_ney_matches_serial_twin(spark):
+    from cow_spark.operators.terms import kneser_ney_surprisal
+
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+        (4, "the the the the"),
+        (5, "solo"),  # no bigram: n=0, NULL score
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.kn_bits_fp, r.score_fp)
+           for r in kneser_ney_surprisal(docs).collect()}
+    exp = _kn_py(texts)
+    exp[5] = (0, 0, None)
+    assert got == exp
+
+
+def test_kneser_ney_smooths_rare_bigrams(spark):
+    """The discount moves mass off frequent bigrams: a once-seen
+    bigram with a promiscuous head scores HIGHER surprisal than the
+    head's dominant continuation — and both probabilities stay in
+    (0, 1] (bits_fp >= 0)."""
+    from cow_spark.operators.terms import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [(i, "go home") for i in range(9)] + [(100, "go away")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in kneser_ney_surprisal(docs).collect()}
+    assert rows[100].score_fp > rows[0].score_fp  # rare continuation
+    assert all(r.kn_bits_fp >= 0 for r in rows.values())
