@@ -10323,6 +10323,113 @@ def _sql_kmv_sketch() -> str:
         ("prio",), k=64)
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (graphrank.py:katz_centrality) over a
+    two-layer customer→order→part walk graph: parts score by
+    attenuated 2-hop walk counts, so the per-edge ppm attenuation and
+    the round unrolling are both graded; alpha·d_max stays far under
+    the divergence bound (orders have ≤ 7 parts)."""
+    from cow_spark.operators.graphrank import katz_centrality
+
+    orders = _load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 19 == 0)
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 19 == 0)
+    placed = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+        .alias("dst"))
+    contains = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"))
+    return katz_centrality(placed.unionByName(contains),
+                           alpha_ppm=50_000, rounds=3)
+
+
+def _sql_katz() -> str:
+    from cow_spark.operators.graphrank import katz_oracle_sql
+
+    edges = (
+        "select 'c' || cast(o_custkey as varchar) as src, "
+        "'o' || cast(o_orderkey as varchar) as dst "
+        "from orders where o_orderkey % 19 = 0 "
+        "union all "
+        "select 'o' || cast(l_orderkey as varchar), "
+        "'p' || cast(l_partkey as varchar) "
+        "from lineitem where l_orderkey % 19 = 0"
+    )
+    return katz_oracle_sql(edges, alpha_ppm=50_000, rounds=3)
+
+
+def _typed_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed/untyped order quads for NB type prediction (orders %11):
+    k%3==0 subjects are UNTYPED (the prediction targets); features =
+    status (weak signal), priority-initial hint on k%5!=0 rows (strong
+    signal with gaps), and a k%4 noise marker — so classes are
+    learnable but not trivially separable. One scan, one explode."""
+    o = (_load(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") % 11 == 0)
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").cast("string").alias("st"),
+                 F.col("o_orderpriority").cast("string").alias("pr")))
+    s = F.concat(F.lit("o"), F.col("k").cast("string"))
+
+    def qd(p, kind, lex):
+        return F.struct(F.lit(None).cast("string").alias("g_pad"),
+                        p.alias("p"), F.lit(kind).alias("o_kind"),
+                        lex.alias("o_lex"))
+
+    arr = F.array(
+        F.when(F.col("k") % 3 != 0,
+               qd(F.concat(F.lit("rdf:type")), "iri",
+                  F.concat(F.lit("c:"), F.col("pr")))),
+        qd(F.concat(F.lit("f:st-"), F.col("st")), "lit", F.lit("x")),
+        F.when(F.col("k") % 5 != 0,
+               qd(F.concat(F.lit("f:h"), F.substring("pr", 1, 1)),
+                  "lit", F.lit("x"))),
+        qd(F.concat(F.lit("f:m"), (F.col("k") % 4).cast("string")),
+           "lit", F.lit("x")))
+    return (o.select(s.alias("s"), F.explode(arr).alias("x"))
+            .where(F.col("x").isNotNull())
+            .select("s", "x.p", "x.o_kind", "x.o_lex"))
+
+
+def q_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes type prediction (kgtrain.py:type_predict) for the
+    untyped third of the order subjects — integer log-space scoring,
+    argmax tie-broken to the smallest class, replayed exactly by the
+    twin."""
+    from cow_spark.operators.kgtrain import type_predict
+
+    return type_predict(_typed_quads(spark, sf_dir))
+
+
+def _sql_type_predict() -> str:
+    from cow_spark.operators.kgtrain import type_predict_oracle_sql
+
+    quads = """
+select 'o' || cast(o_orderkey as varchar) as s, p, o_kind, o_lex from (
+  select o_orderkey, 'rdf:type' as p, 'iri' as o_kind,
+         'c:' || cast(o_orderpriority as varchar) as o_lex
+  from orders where o_orderkey % 11 = 0 and o_orderkey % 3 <> 0
+  union all
+  select o_orderkey, 'f:st-' || cast(o_orderstatus as varchar), 'lit', 'x'
+  from orders where o_orderkey % 11 = 0
+  union all
+  select o_orderkey,
+         'f:h' || substr(cast(o_orderpriority as varchar), 1, 1),
+         'lit', 'x'
+  from orders where o_orderkey % 11 = 0 and o_orderkey % 5 <> 0
+  union all
+  select o_orderkey, 'f:m' || cast(o_orderkey % 4 as varchar), 'lit', 'x'
+  from orders where o_orderkey % 11 = 0
+)"""
+    return type_predict_oracle_sql(quads)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10558,6 +10665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_summary": q_void_summary,
         "kn_bigram": q_kn_bigram,
         "kmv_sketch": q_kmv_sketch,
+        "katz": q_katz,
+        "type_predict": q_type_predict,
     }
 
 
@@ -10777,4 +10886,6 @@ def oracle_sql() -> dict[str, str]:
         "void_summary": _sql_void_summary(),
         "kn_bigram": _sql_kn_bigram(),
         "kmv_sketch": _sql_kmv_sketch(),
+        "katz": _sql_katz(),
+        "type_predict": _sql_type_predict(),
     }

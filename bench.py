@@ -174,6 +174,8 @@ HEADLINE = [
     "void_summary",
     "kn_bigram",
     "kmv_sketch",
+    "katz",
+    "type_predict",
 ]
 
 

@@ -3535,3 +3535,92 @@ def neighborhood_function(nf: DataFrame) -> DataFrame:
                     ((share - F.pmod(share, F.col("_max")))
                      / F.col("_max")).cast("long").alias("share_ppm"))
             .withColumn("ge_90pct", F.col("share_ppm") >= 900_000))
+
+
+KATZ_S = 1_000_000  # Katz fixed-point scale (ppm)
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha_ppm: int = 50_000,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Truncated Katz centrality, integer-exact: after K rounds of
+
+        x'(v) = Σ_{u→v} (alpha_ppm · (S + x(u))) div S
+
+    ``x`` is the ppm-scaled count of attenuated walks of length ≤ K
+    ENDING at v — the influence measure that, unlike PageRank, does
+    not normalize away a hub's raw pull (citation/mention graphs want
+    that), and unlike HITS is stable on directed acyclic regions. The
+    attenuation is applied PER EDGE before the sum (floor division on
+    each contribution), which map-side combines and bounds each term
+    at alpha_ppm·(S + x_max) — the order the DuckDB twin replays.
+
+    Convergence/overflow contract: the truncated sum is exact for any
+    alpha, but x grows as (alpha·d_max)^K — callers must keep
+    alpha_ppm·d_max < 10^6 (the classic 1/λ_max bound) or accept
+    divergence; under ANSI an int64 overflow fails LOUDLY rather than
+    wrapping, which is the correct behavior for a mis-tuned alpha.
+
+    Per round: one edge⋈rank join + one partial-agg sum + a node-sized
+    left join, lineage cut via round_checkpoint — the pagerank loop
+    shape; edges/nodes persist for the loop (AQE breaks ReuseExchange)
+    and are released before returning. Returns (node, katz_fp).
+    """
+    if rounds < 1:
+        raise ValueError(f"katz_centrality: rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    x = nodes.select("node", F.lit(0).cast("long").alias("katz_fp"))
+    for _ in range(rounds):
+        contrib = (
+            e.join(x.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr(
+                f"({alpha_ppm} * ({KATZ_S} + katz_fp)) div {KATZ_S}")
+                .alias("c")))
+        inflow = contrib.groupBy("dst").agg(
+            F.sum("c").cast("long").alias("inflow"))
+        x = round_checkpoint(
+            nodes.join(inflow.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .select("node", F.coalesce("inflow", F.lit(0)).cast("long")
+                    .alias("katz_fp")),
+            checkpoint_dir)
+    for handle in (e, nodes):
+        handle.unpersist()
+    return x
+
+
+def katz_oracle_sql(edges_sql: str, alpha_ppm: int = 50_000,
+                    rounds: int = 3) -> str:
+    """DuckDB twin of :func:`katz_centrality`. ``edges_sql`` must
+    yield (src, dst). The left-join-per-round form needs the
+    no-in-edge guard (a bare left join would hand every such node one
+    phantom alpha term); sums cast to BIGINT (HUGEINT class)."""
+    s = KATZ_S
+    parts = [
+        f"e as materialized (select distinct src, dst from ({edges_sql})"
+        " where src is not null and dst is not null)",
+        "n0 as materialized (select distinct node from"
+        " (select src as node from e union select dst from e))",
+        "x0 as materialized (select node, cast(0 as bigint) as x from n0)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"x{k} as materialized ("
+            f" select n.node, cast(coalesce(sum(case when e.src is null"
+            f" then 0 else ({alpha_ppm} * ({s} + p.x)) // {s} end), 0)"
+            f" as bigint) as x"
+            f" from n0 n left join e on e.dst = n.node"
+            f" left join x{k - 1} p on p.node = e.src"
+            f" group by n.node)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect node, x as katz_fp from x{rounds}")

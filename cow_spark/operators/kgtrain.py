@@ -413,3 +413,144 @@ def horn_rules(
                             / F.col("support")).cast("long"))
                     .otherwise(F.lit(0)).alias("confidence_ppm"))
             .where(F.col("confidence_ppm") >= min_conf_ppm))
+
+
+def type_predict(
+    quads: DataFrame,
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """Multinomial naive-Bayes type prediction for UNTYPED subjects —
+    the classic KG-completion baseline (SDType's statistical ancestor):
+    a subject's predicate multiset is the feature vector, its
+    ``type_pred`` classes are the labels, and every ratio lives in
+    1/1024-bit integer log space so the DuckDB twin replays the argmax
+    bit-exactly (floating-point log-sums tie-break differently across
+    engines; integer fixed point cannot).
+
+        score(c|s) = [l2(n_c) − l2(N)]
+                   + Σ_{p ∈ feats(s)} [l2(c(p,c)+1) − l2(c(·,c)+|P|)]
+
+    with l2 the integer log2 kernel and add-one smoothing, so unseen
+    (p, c) pairs cost −l2(c(·,c)+|P|) rather than −∞.
+
+    Scale shape: counts and the per-(predicate, class) weight table
+    are (vocabulary × classes)-sized — built once via a bounded
+    crossJoin (classes is a small side, broadcast). Untyped subjects'
+    feature rows join the weight table on the predicate (fan-out =
+    |classes|, bounded), partial-agg to (s, class), and the argmax is
+    ONE more partial agg: min(struct(−score, class)) — deterministic
+    tie-break to the lexicographically smallest class. No window, no
+    per-subject sort. The log2 kernel runs on the weight/prior tables
+    only, never per corpus row.
+
+    Returns ``(s, predicted, score_fp, n_feats)`` for every subject
+    that has features but no ``type_pred`` triple.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    typed = (quads.where((F.col("p") == type_pred)
+                         & (F.col("o_kind") == "iri"))
+             .select("s", F.col("o_lex").alias("cls")).distinct())
+    feats = quads.where(F.col("p") != type_pred).select("s", "p")
+    # training counts: every feature row of a typed subject, once per
+    # class of that subject (multi-typed subjects train every label)
+    tr = feats.join(typed, "s")
+    cpc = tr.groupBy("cls", "p").agg(F.count("*").alias("cpc"))
+    cc = tr.groupBy("cls").agg(F.count("*").alias("cc"))
+    n_c = typed.groupBy("cls").agg(F.countDistinct("s").alias("n_c"))
+    n_all = typed.agg(F.countDistinct("s").alias("n_all"))
+    vocab = feats.select("p").distinct()
+    v = vocab.agg(F.count("*").alias("v"))
+    # prior_fp(c) = l2(n_c) − l2(N)
+    # NB distinct temp names beyond case: Spark resolves column names
+    # case-INsensitively by default, so "_l2n" vs "_l2N" would be ONE
+    # column and withColumn would silently replace the first
+    pri = with_log2_fp(
+        n_c.crossJoin(F.broadcast(n_all)), "n_c", "_l2cls")
+    pri = with_log2_fp(pri, "n_all", "_l2tot").select(
+        "cls", (F.col("_l2cls") - F.col("_l2tot")).alias("prior_fp"))
+    # weight_fp(p, c) = l2(cpc+1) − l2(cc+|P|), full (vocab × classes)
+    grid = (vocab.crossJoin(F.broadcast(cc))
+            .crossJoin(F.broadcast(v))
+            .join(cpc, ["p", "cls"], "left")
+            .select("p", "cls",
+                    (F.coalesce("cpc", F.lit(0)) + 1).alias("_num"),
+                    (F.col("cc") + F.col("v")).alias("_den")))
+    w = with_log2_fp(grid, "_num", "_l2num")
+    w = with_log2_fp(w, "_den", "_l2den").select(
+        "p", "cls", (F.col("_l2num") - F.col("_l2den")).alias("w_fp"))
+    untyped = (feats.select("s").distinct()
+               .join(typed.select("s").distinct(), "s", "left_anti"))
+    scored = (feats.join(untyped, "s")
+              .join(w, "p")
+              .groupBy("s", "cls")
+              .agg(F.sum("w_fp").cast("long").alias("lik_fp"),
+                   F.count("*").cast("long").alias("n_feats"))
+              .join(F.broadcast(pri), "cls")
+              .select("s", "cls", "n_feats",
+                      (F.col("lik_fp") + F.col("prior_fp"))
+                      .alias("score_fp")))
+    best = (scored.groupBy("s")
+            .agg(F.min(F.struct((-F.col("score_fp")).alias("neg"),
+                                F.col("cls").alias("cls"),
+                                F.col("n_feats").alias("nf")))
+                 .alias("_b"))
+            .select("s", F.col("_b.cls").alias("predicted"),
+                    (-F.col("_b.neg")).cast("long").alias("score_fp"),
+                    F.col("_b.nf").alias("n_feats")))
+    return best
+
+
+def type_predict_oracle_sql(quads_sql: str,
+                            type_pred: str = "rdf:type") -> str:
+    """DuckDB twin of :func:`type_predict`. ``quads_sql`` must yield
+    (s, p, o_kind, o_lex). Counts cast to BIGINT before the log
+    kernel (HUGEINT class); argmax via min(row(-score, cls))."""
+    from ..functions.intmath import log2_fp_sql
+
+    return f"""
+with q as materialized ({quads_sql}),
+typed as materialized (
+  select distinct s, o_lex as cls from q
+  where p = '{type_pred}' and o_kind = 'iri'),
+feats as materialized (select s, p from q where p <> '{type_pred}'),
+tr as materialized (
+  select f.s, f.p, t.cls from feats f join typed t using (s)),
+cpc as (select cls, p, cast(count(*) as bigint) as cpc
+        from tr group by cls, p),
+cc as materialized (select cls, cast(count(*) as bigint) as cc
+                    from tr group by cls),
+n_c as (select cls, cast(count(distinct s) as bigint) as n_c
+        from typed group by cls),
+n_all as (select cast(count(distinct s) as bigint) as n_all from typed),
+vocab as materialized (select distinct p from feats),
+v as (select cast(count(*) as bigint) as v from vocab),
+pri as materialized (
+  select cls, {log2_fp_sql('n_c')} - {log2_fp_sql('n_all')} as prior_fp
+  from n_c cross join n_all),
+grid as materialized (
+  select vocab.p, cc.cls,
+         cast(coalesce(cpc.cpc, 0) + 1 as bigint) as num,
+         cast(cc.cc + v.v as bigint) as den
+  from vocab cross join cc cross join v
+  left join cpc on cpc.p = vocab.p and cpc.cls = cc.cls),
+w as materialized (
+  select p, cls, {log2_fp_sql('num')} - {log2_fp_sql('den')} as w_fp
+  from grid),
+untyped as materialized (
+  select distinct s from feats anti join typed using (s)),
+scored as materialized (
+  select f.s, w.cls,
+         cast(sum(w.w_fp) as bigint) as lik_fp,
+         cast(count(*) as bigint) as n_feats
+  from feats f join untyped u using (s) join w on w.p = f.p
+  group by f.s, w.cls),
+fin as (
+  select s, {{'neg': -(lik_fp + prior_fp), 'cls': cls,
+              'nf': n_feats}} as st
+  from scored join pri using (cls))
+select s, (min(st)).cls as predicted,
+       cast(-((min(st)).neg) as bigint) as score_fp,
+       cast((min(st)).nf as bigint) as n_feats
+from fin group by s
+"""

@@ -3120,3 +3120,52 @@ def test_extract_json_typed(spark):
     assert got[1].props is not None       # row-preserving
     with pytest.raises(ValueError):
         extract_json(df, "props", [])
+
+
+def _katz_py(edges, alpha_ppm=50_000, rounds=3, s=1_000_000):
+    nodes = {n for e in edges for n in e}
+    x = {n: 0 for n in nodes}
+    es = set(edges)
+    for _ in range(rounds):
+        nxt = {n: 0 for n in nodes}
+        for u, v in es:
+            nxt[v] += (alpha_ppm * (s + x[u])) // s
+        x = nxt
+    return x
+
+
+def test_katz_matches_serial_twin(spark):
+    from cow_spark.operators.graphrank import katz_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+             ("d", "a"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.katz_fp
+           for r in katz_centrality(df, rounds=3).collect()}
+    assert got == _katz_py(edges)
+
+
+def test_katz_hub_outranks_leaf_and_sources_zero(spark):
+    """A node fed by k spokes scores ~k·alpha; pure sources (no
+    in-edges) stay at 0 — the no-in-edge guard the oracle's left-join
+    form needs explicitly."""
+    from cow_spark.operators.graphrank import katz_centrality
+
+    edges = [(f"s{i}", "hub") for i in range(10)] + [("hub", "leaf")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.katz_fp
+           for r in katz_centrality(df, rounds=2).collect()}
+    assert got["hub"] == 10 * 50_000          # 10 spokes, depth 1 only
+    assert got["s0"] == 0                      # source: no in-edges
+    assert 50_000 < got["leaf"] < got["hub"]   # 1 walk + attenuated 10
+    assert got == _katz_py(edges, rounds=2)
+
+
+def test_katz_rounds_validation(spark):
+    import pytest as _pt
+
+    from cow_spark.operators.graphrank import katz_centrality
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError):
+        katz_centrality(df, rounds=0)

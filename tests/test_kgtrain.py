@@ -151,3 +151,56 @@ def test_alias_table_priors_and_pruning(spark):
     assert pc.prior_ppm == pp.prior_ppm == 500000
     with pytest.raises(ValueError):
         alias_table(df, min_count=0)
+
+
+def test_type_predict_learns_separable_classes(spark):
+    """Perfectly class-correlated features: every untyped subject must
+    take its feature's class; typed subjects never appear."""
+    from cow_spark.operators.kgtrain import type_predict
+
+    rows = []
+    for i in range(6):
+        cls = "c:A" if i % 2 == 0 else "c:B"
+        feat = "f:ea" if i % 2 == 0 else "f:eb"
+        if i < 4:  # typed training subjects
+            rows.append((f"s{i}", "rdf:type", "iri", cls))
+        rows.append((f"s{i}", feat, "lit", "x"))
+    q = spark.createDataFrame(
+        rows, "s string, p string, o_kind string, o_lex string")
+    got = {r.s: (r.predicted, r.n_feats)
+           for r in type_predict(q).collect()}
+    assert got == {"s4": ("c:A", 1), "s5": ("c:B", 1)}
+
+
+def test_type_predict_tie_breaks_to_smallest_class(spark):
+    """Symmetric training data → identical scores; the argmax must
+    deterministically pick the lexicographically smallest class."""
+    from cow_spark.operators.kgtrain import type_predict
+
+    rows = [
+        ("t1", "rdf:type", "iri", "c:B"), ("t1", "f:x", "lit", "x"),
+        ("t2", "rdf:type", "iri", "c:A"), ("t2", "f:x", "lit", "x"),
+        ("u", "f:x", "lit", "x"),
+    ]
+    q = spark.createDataFrame(
+        rows, "s string, p string, o_kind string, o_lex string")
+    out = type_predict(q).collect()
+    assert len(out) == 1 and out[0].predicted == "c:A"
+
+
+def test_type_predict_multi_typed_subject_trains_both(spark):
+    """A subject typed A AND B contributes its features to both
+    classes' counts (and is itself never predicted)."""
+    from cow_spark.operators.kgtrain import type_predict
+
+    rows = [
+        ("m", "rdf:type", "iri", "c:A"), ("m", "rdf:type", "iri", "c:B"),
+        ("m", "f:only", "lit", "x"),
+        ("t", "rdf:type", "iri", "c:C"), ("t", "f:other", "lit", "x"),
+        ("u", "f:only", "lit", "x"),
+    ]
+    q = spark.createDataFrame(
+        rows, "s string, p string, o_kind string, o_lex string")
+    out = {r.s: r.predicted for r in type_predict(q).collect()}
+    # f:only seen under A and B equally, never under C → tie A/B → A
+    assert out == {"u": "c:A"}
