@@ -10430,6 +10430,49 @@ select 'o' || cast(o_orderkey as varchar) as s, p, o_kind, o_lex from (
     return type_predict_oracle_sql(quads)
 
 
+def q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite one-mode projection (graphrank.py:bipartite_project):
+    parts co-ordered in the same order (%31 of lineitem) with exact
+    ppm overlap coefficients — the market-basket primitive; the hub
+    cap's exclusion semantics are pinned in pytest."""
+    from cow_spark.operators.graphrank import bipartite_project
+
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 31 == 0)
+    return bipartite_project(
+        li.select(F.col("l_orderkey").alias("src"),
+                  F.col("l_partkey").alias("dst")))
+
+
+def _sql_bipartite() -> str:
+    from cow_spark.operators.graphrank import bipartite_project_oracle_sql
+
+    return bipartite_project_oracle_sql(
+        "select l_orderkey as u, l_partkey as v "
+        "from lineitem where l_orderkey % 31 = 0")
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV pairwise overlap (sketch.py:kmv_jaccard): Jaccard /
+    intersection estimates between the three order-status customer
+    sets from bottom-64 sketches — the theta-sketch set operation HLL
+    cannot express."""
+    from cow_spark.functions.sketch import kmv_jaccard
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").cast("string").alias("g"),
+        F.col("o_custkey").cast("string").alias("v"))
+    return kmv_jaccard(o, "g", "v", k=64)
+
+
+def _sql_kmv_overlap() -> str:
+    from cow_spark.functions.sketch import kmv_jaccard_oracle_sql
+
+    return kmv_jaccard_oracle_sql(
+        "select cast(o_orderstatus as varchar) as g, "
+        "cast(o_custkey as varchar) as v from orders", k=64)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10667,6 +10710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sketch": q_kmv_sketch,
         "katz": q_katz,
         "type_predict": q_type_predict,
+        "bipartite": q_bipartite,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -10888,4 +10933,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_sketch": _sql_kmv_sketch(),
         "katz": _sql_katz(),
         "type_predict": _sql_type_predict(),
+        "bipartite": _sql_bipartite(),
+        "kmv_overlap": _sql_kmv_overlap(),
     }

@@ -176,6 +176,8 @@ HEADLINE = [
     "kmv_sketch",
     "katz",
     "type_predict",
+    "bipartite",
+    "kmv_overlap",
 ]
 
 

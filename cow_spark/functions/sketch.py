@@ -709,3 +709,139 @@ select {gl}, cast(count(*) as bigint) as n_kept,
 from t where rn <= {k}
 group by {gl}
 """
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    shards: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups from
+    their KMV sketches — the operation HLL cannot do and the reason
+    theta sketches exist: the bottom-k hashes of a set are a uniform
+    sample, so within the union's bottom-k the fraction present in
+    both sets estimates Jaccard, and intersection = J · |A ∪ B|.
+
+        jaccard_ppm = 10^6 · |bottom-k(A∪B) ∩ A ∩ B| div k_u
+        est_inter   = jaccard_ppm · est_union div 10^6
+
+    with k_u = |bottom-k(A∪B)| (exact when the union is smaller than
+    k, in which case est_union is exact too). All floors replay in
+    DuckDB bit-for-bit.
+
+    Scale shape: per-group bottom-k via the :func:`kmv_distinct`
+    shard→merge window pair (bounded tasks); the pair stage works on
+    SKETCHES only — group_pairs × 2k rows, never data × data. Group
+    count is the caller's contract (profile dimensions: sources,
+    languages, splits — dozens, not millions); the output is
+    |groups|²/2 rows.
+
+    Returns ``(g1, g2, k_union, n_both, est_union, est_inter,
+    jaccard_ppm)`` for every unordered group pair with g1 < g2.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_jaccard: k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    h = F.pmod(
+        portable_hash60(F.concat(F.lit("kmv|"),
+                                 F.col(value_col).cast("string"))),
+        F.lit(KMV_SPACE)).alias("_h")
+    dist = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("g"), h).distinct())
+    w1 = (Window.partitionBy("g", F.pmod(F.col("_h"), F.lit(shards)))
+          .orderBy("_h"))
+    w2 = Window.partitionBy("g").orderBy("_h")
+    kept = (dist.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") <= k)
+            .select("g", "_h"))
+    gs = kept.select("g").distinct()
+    pairs = (gs.select(F.col("g").alias("g1"))
+             .join(gs.select(F.col("g").alias("g2")),
+                   F.col("g1") < F.col("g2")))
+    # per pair: union of the two sketches' values, flagged by side
+    u = (pairs.join(kept.select(F.col("g").alias("g1"),
+                                F.col("_h").alias("h1")), "g1")
+         .select("g1", "g2", F.col("h1").alias("_h"),
+                 F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+         .unionByName(
+             pairs.join(kept.select(F.col("g").alias("g2"),
+                                    F.col("_h").alias("h2")), "g2")
+             .select("g1", "g2", F.col("h2").alias("_h"),
+                     F.lit(0).alias("_a"), F.lit(1).alias("_b")))
+         .groupBy("g1", "g2", "_h")
+         .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b")))
+    wp = Window.partitionBy("g1", "g2").orderBy("_h")
+    topu = (u.withColumn("_r", F.row_number().over(wp))
+            .where(F.col("_r") <= k))
+    agg = (topu.groupBy("g1", "g2")
+           .agg(F.count("*").cast("long").alias("k_union"),
+                F.max("_h").alias("_hk"),
+                F.sum((F.col("_a") * F.col("_b"))).cast("long")
+                .alias("n_both")))
+    est_u = F.when(
+        F.col("k_union") < k, F.col("k_union")).otherwise(
+        F.expr(f"({k - 1} * {KMV_SPACE}L) div greatest(1L, _hk)"))
+    out = agg.select(
+        "g1", "g2", "k_union", "n_both",
+        est_u.cast("long").alias("est_union"),
+        F.expr("(n_both * 1000000) div k_union").alias("jaccard_ppm"))
+    return out.select(
+        "g1", "g2", "k_union", "n_both", "est_union",
+        F.expr("(jaccard_ppm * est_union) div 1000000").cast("long")
+        .alias("est_inter"),
+        F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"))
+
+
+def kmv_jaccard_oracle_sql(rows_sql: str, k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_jaccard`. ``rows_sql`` must yield
+    (g, v)."""
+    from .hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('kmv|', v)")
+    return f"""
+with r as materialized ({rows_sql}),
+d as materialized (
+  select distinct g, {h} % {KMV_SPACE} as h
+  from r where v is not null),
+kept as materialized (
+  select g, h from (
+    select g, h, row_number() over (partition by g order by h) as rn
+    from d) t where rn <= {k}),
+gs as (select distinct g from kept),
+pairs as materialized (
+  select a.g as g1, b.g as g2
+  from gs a join gs b on a.g < b.g),
+u as materialized (
+  select g1, g2, h, max(a) as a, max(b) as b from (
+    select p.g1, p.g2, kk.h, 1 as a, 0 as b
+    from pairs p join kept kk on kk.g = p.g1
+    union all
+    select p.g1, p.g2, kk.h, 0, 1
+    from pairs p join kept kk on kk.g = p.g2
+  ) group by g1, g2, h),
+topu as (
+  select * from (
+    select g1, g2, h, a, b,
+           row_number() over (partition by g1, g2 order by h) as rn
+    from u) t where rn <= {k}),
+agg as (
+  select g1, g2, cast(count(*) as bigint) as k_union,
+         cast(max(h) as bigint) as hk,
+         cast(sum(a * b) as bigint) as n_both
+  from topu group by g1, g2)
+select g1, g2, k_union, n_both,
+       cast(case when k_union < {k} then k_union
+            else ({k - 1} * {KMV_SPACE}) // greatest(1, hk)
+            end as bigint) as est_union,
+       cast(((n_both * 1000000) // k_union)
+            * (case when k_union < {k} then k_union
+               else ({k - 1} * {KMV_SPACE}) // greatest(1, hk) end)
+            // 1000000 as bigint) as est_inter,
+       cast((n_both * 1000000) // k_union as bigint) as jaccard_ppm
+from agg
+"""

@@ -3624,3 +3624,75 @@ def katz_oracle_sql(edges_sql: str, alpha_ppm: int = 50_000,
             f" group by n.node)")
     return ("with " + ",\n".join(parts)
             + f"\nselect node, x as katz_fp from x{rounds}")
+
+
+def bipartite_project(
+    edges: DataFrame,
+    left: str = "src",
+    right: str = "dst",
+    max_left_degree: int = 1024,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph onto its
+    RIGHT vertex set — the market-basket/co-occurrence primitive
+    (parts co-ordered, tools co-invoked in a conversation, entities
+    co-mentioned): ``(v1, v2, weight, overlap_ppm)`` with v1 < v2,
+    weight = |common left neighbors| and overlap_ppm the Szymkiewicz-
+    Simpson coefficient weight/min(deg v1, deg v2) in exact ppm
+    (pmod floor).
+
+    Scale contract: a left vertex of degree d contributes C(d,2)
+    pairs — quadratic on hubs, the classic projection blowup. Left
+    vertices with degree > ``max_left_degree`` are EXCLUDED from pair
+    generation (they carry almost no co-occurrence signal and all of
+    the cost; same cap discipline as the dedup band caps — audit the
+    drop with one filter on the degree table). Right-degrees for the
+    overlap denominator still count ALL edges, so the coefficient
+    stays honest about capped mass. One dedup shuffle, one degree agg, one self-join on
+    the left key (AQE splits residual skew), one pair agg.
+    """
+    e = (edges.select(F.col(left).alias("u"), F.col(right).alias("v"))
+         .where(F.col(left).isNotNull() & F.col(right).isNotNull())
+         .distinct())
+    ldeg = e.groupBy("u").agg(F.count("*").alias("ld"))
+    rdeg = e.groupBy("v").agg(F.count("*").alias("rd"))
+    ok = e.join(ldeg.where(F.col("ld") <= max_left_degree), "u")
+    pairs = (ok.alias("a")
+             .join(ok.alias("b"), "u")
+             .where(F.col("a.v") < F.col("b.v"))
+             .groupBy(F.col("a.v").alias("v1"), F.col("b.v").alias("v2"))
+             .agg(F.count("*").cast("long").alias("weight")))
+    num = F.col("weight") * 1_000_000
+    den = F.least(F.col("d1"), F.col("d2"))
+    return (pairs
+            .join(rdeg.select(F.col("v").alias("v1"),
+                              F.col("rd").alias("d1")), "v1")
+            .join(rdeg.select(F.col("v").alias("v2"),
+                              F.col("rd").alias("d2")), "v2")
+            .select("v1", "v2", "weight",
+                    ((num - F.pmod(num, den)) / den).cast("long")
+                    .alias("overlap_ppm")))
+
+
+def bipartite_project_oracle_sql(edges_sql: str,
+                                 max_left_degree: int = 1024) -> str:
+    """DuckDB twin of :func:`bipartite_project`; ``edges_sql`` yields
+    (u, v). Counts cast to BIGINT; `//` replays the pmod floor."""
+    return f"""
+with e as materialized (
+  select distinct u, v from ({edges_sql})
+  where u is not null and v is not null),
+ld as (select u, count(*) as ld from e group by u),
+rd as materialized (select v, cast(count(*) as bigint) as rd
+                    from e group by v),
+ok as materialized (
+  select e.u, e.v from e join ld using (u)
+  where ld.ld <= {max_left_degree}),
+p as (
+  select a.v as v1, b.v as v2, cast(count(*) as bigint) as weight
+  from ok a join ok b using (u)
+  where a.v < b.v group by a.v, b.v)
+select p.v1, p.v2, p.weight,
+       cast((p.weight * 1000000) // least(r1.rd, r2.rd) as bigint)
+         as overlap_ppm
+from p join rd r1 on r1.v = p.v1 join rd r2 on r2.v = p.v2
+"""

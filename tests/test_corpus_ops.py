@@ -3169,3 +3169,68 @@ def test_katz_rounds_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pt.raises(ValueError):
         katz_centrality(df, rounds=0)
+
+
+def test_bipartite_project_weights_and_overlap(spark):
+    """Hand graph: baskets {A,B,C}, {A,B}, {B,C} → weights AB=2,
+    AC=1, BC=2; overlap = w/min(deg) in exact ppm."""
+    from cow_spark.operators.graphrank import bipartite_project
+
+    edges = [("u1", "A"), ("u1", "B"), ("u1", "C"),
+             ("u2", "A"), ("u2", "B"),
+             ("u3", "B"), ("u3", "C")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.v1, r.v2): (r.weight, r.overlap_ppm)
+           for r in bipartite_project(df).collect()}
+    # deg A=2, B=3, C=2
+    assert got == {("A", "B"): (2, 1_000_000),
+                   ("A", "C"): (1, 500_000),
+                   ("B", "C"): (2, 1_000_000)}
+
+
+def test_bipartite_project_hub_cap_excludes_pairs_not_degrees(spark):
+    """A left hub above the cap contributes NO pairs, but the right
+    degrees it creates still count in the overlap denominator."""
+    from cow_spark.operators.graphrank import bipartite_project
+
+    edges = ([("hub", f"X{i}") for i in range(5)]
+             + [("u", "X0"), ("u", "X1")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.v1, r.v2): (r.weight, r.overlap_ppm)
+           for r in bipartite_project(df, max_left_degree=4).collect()}
+    # only u's pair survives; deg X0 = deg X1 = 2 (hub edges counted)
+    assert got == {("X0", "X1"): (1, 500_000)}
+
+
+def test_kmv_jaccard_exact_on_small_sets(spark):
+    """Unions below k: all estimates are exact — Jaccard, union and
+    intersection reproduce set arithmetic precisely."""
+    from cow_spark.functions.sketch import kmv_jaccard
+
+    rows = ([("a", f"v{i}") for i in range(10)]
+            + [("b", f"v{i}") for i in range(5, 20)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_jaccard(df, "g", "v", k=64).collect()[0]
+    # |A|=10, |B|=15, inter=5, union=20
+    assert (r.g1, r.g2) == ("a", "b")
+    assert r.k_union == 20 and r.n_both == 5
+    assert r.est_union == 20 and r.jaccard_ppm == 250_000
+    assert r.est_inter == 5
+
+
+def test_kmv_jaccard_estimates_large_overlap(spark):
+    """Above k the estimator engages: identical sets must read
+    jaccard 10^6 and disjoint sets 0, with union in a loose corridor."""
+    from cow_spark.functions.sketch import kmv_jaccard
+
+    rows = ([("a", f"s{i}") for i in range(2000)]
+            + [("b", f"s{i}") for i in range(2000)]
+            + [("c", f"t{i}") for i in range(2000)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {(r.g1, r.g2): r for r in kmv_jaccard(df, "g", "v",
+                                                k=128).collect()}
+    ab = got[("a", "b")]
+    assert ab.jaccard_ppm == 1_000_000 and ab.n_both == ab.k_union
+    ac = got[("a", "c")]
+    assert ac.jaccard_ppm < 200_000  # ~0 up to sampling noise
+    assert 0.7 * 4000 < ac.est_union < 1.3 * 4000
