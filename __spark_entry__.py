@@ -10473,6 +10473,48 @@ def _sql_kmv_overlap() -> str:
         "cast(o_custkey as varchar) as v from orders", k=64)
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword salience (terms.py:textrank_keywords):
+    integer-fixed-point PageRank over the documents' token adjacency
+    graph — a pure composition of the bigram explode and the pagerank
+    loop, so the twin reuses pagerank_oracle_sql on tokenized
+    edges."""
+    from cow_spark.operators.terms import textrank_keywords
+
+    docs = _load_spread(spark, sf_dir, "documents")
+    return textrank_keywords(docs, iterations=4)
+
+
+def _sql_textrank() -> str:
+    from cow_spark.operators.terms import textrank_oracle_sql
+
+    return textrank_oracle_sql("select text from documents",
+                               iterations=4)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen (stats.py:robust_outliers)
+    per order priority: a uniform 0..99 signal with a 5000 spike on
+    every 97th key — mean/σ screens would drag toward the spike,
+    the median/MAD pair must not."""
+    from cow_spark.plans.stats import robust_outliers
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").cast("string").alias("g"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(5000))
+        .otherwise(F.col("o_custkey") % 100).cast("long").alias("v"))
+    return robust_outliers(o, "g", "v", k=3)
+
+
+def _sql_mad_outliers() -> str:
+    from cow_spark.plans.stats import robust_outliers_oracle_sql
+
+    return robust_outliers_oracle_sql(
+        "select cast(o_orderpriority as varchar) as g, "
+        "case when o_orderkey % 97 = 0 then 5000 "
+        "else o_custkey % 100 end as v from orders", k=3)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10712,6 +10754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_predict": q_type_predict,
         "bipartite": q_bipartite,
         "kmv_overlap": q_kmv_overlap,
+        "textrank": q_textrank,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -10935,4 +10979,6 @@ def oracle_sql() -> dict[str, str]:
         "type_predict": _sql_type_predict(),
         "bipartite": _sql_bipartite(),
         "kmv_overlap": _sql_kmv_overlap(),
+        "textrank": _sql_textrank(),
+        "mad_outliers": _sql_mad_outliers(),
     }

@@ -178,6 +178,8 @@ HEADLINE = [
     "type_predict",
     "bipartite",
     "kmv_overlap",
+    "textrank",
+    "mad_outliers",
 ]
 
 

@@ -856,3 +856,69 @@ def kneser_ney_surprisal(
             F.expr("kn_bits_fp div n_bigrams").alias("score_fp"),
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iterations: int = 4,
+) -> DataFrame:
+    """TextRank keyword scoring — PageRank over the token adjacency
+    graph (Mihalcea & Tarau's w=2 co-occurrence window): corpus-level
+    keyword salience that, unlike TF-IDF, rewards words that sit in
+    well-connected contexts rather than merely rare ones. A pure
+    COMPOSITION: the bigram explode this module already uses feeds
+    :func:`..graphrank.pagerank`'s integer fixed-point loop, so the
+    result inherits its bit-exact cross-engine replay.
+
+    Scale shape: one corpus explode into adjacent pairs, dedup to the
+    vocabulary-sized undirected edge set (both directions, self-pairs
+    dropped), then pagerank's vocabulary-sized rounds — the corpus is
+    touched exactly once. Returns ``(node, rank_fp)``; callers top-k
+    by rank_fp.
+    """
+    from .graphrank import pagerank
+
+    staged = df.select(
+        tokens(normalize_text(F.col(text_col))).alias("_t"))
+    pairs = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_t"), (i + 1).cast("int")).alias("w1"),
+                F.element_at(F.col("_t"), (i + 2).cast("int")).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    adj = (staged.select(F.explode(pairs).alias("bg"))
+           .select(F.col("bg.w1").alias("src"), F.col("bg.w2").alias("dst"))
+           .where(F.col("src") != F.col("dst")))
+    und = adj.unionByName(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(und, iterations=iterations)
+
+
+def textrank_oracle_sql(docs_cte: str, iterations: int = 4) -> str:
+    """DuckDB twin of :func:`textrank_keywords`. ``docs_cte`` must
+    yield a ``text`` column; tokenization mirrors tokens()∘
+    normalize_text() (the module's shared regex discipline)."""
+    from .graphrank import pagerank_oracle_sql
+
+    edges = rf"""
+with tk as (
+  select list_filter(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+    x -> length(x) > 0) as t
+  from ({docs_cte})
+),
+bg as (
+  select unnest(list_transform(generate_series(1, len(t) - 1),
+    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) as u
+  from tk where len(t) >= 2
+),
+a as (select u.w1 as src, u.w2 as dst from bg where u.w1 <> u.w2)
+select src, dst from a
+union all
+select dst, src from a
+"""
+    return pagerank_oracle_sql(edges, iterations=iterations)

@@ -752,3 +752,84 @@ def void_description(
                 F.lit("void:entities").alias("p"),
                 F.col("ne").cast("string").alias("o_lex")))
     return dataset_rows.unionByName(prop_rows).unionByName(class_rows)
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD robust outlier screen per group — the audit that
+    catches corrupted numeric feeds (a stuck sensor, a mis-parsed
+    currency) where mean/stddev screens are dragged by the very
+    outliers they hunt. Integer-exact: the LOWER MEDIAN is defined as
+    the ((n+1) div 2)-th smallest value (row_number selection — no
+    quantile-function semantics to disagree across engines), MAD is
+    the lower median of |x − med|, and a row is an outlier when
+    |x − med| > k·MAD (k·0 = 0: any deviation from a constant group
+    flags, the correct degenerate reading).
+
+    Scale shape: two per-group sort windows (values, then deviations)
+    plus group-sized joins — the EXACT-audit mode, same contract as
+    :func:`column_profile`'s percentile_disc path; at full corpus
+    scale run the histogram :mod:`~cow_spark.functions.sketch`
+    quantiles instead. Returns ``(group, n, med, mad, n_outliers)``.
+    """
+    from pyspark.sql.window import Window
+
+    g, v = F.col(group_col), F.col(value_col).cast("long")
+    base = (df.where(v.isNotNull())
+            .select(g.alias("g"), v.alias("v")))
+    w = Window.partitionBy("g").orderBy("v")
+    cw = Window.partitionBy("g")
+    med = (base
+           .withColumn("_rn", F.row_number().over(w))
+           .withColumn("_n", F.count("*").over(cw))
+           .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("g", F.col("v").alias("med"),
+                   F.col("_n").alias("n")))
+    dev = (base.join(med, "g")
+           .select("g", "v", "n", "med",
+                   F.abs(F.col("v") - F.col("med")).alias("d")))
+    wd = Window.partitionBy("g").orderBy("d")
+    mad = (dev
+           .withColumn("_rn", F.row_number().over(wd))
+           .where(F.col("_rn") == F.expr("(n + 1) div 2"))
+           .select("g", F.col("d").alias("mad")))
+    return (dev.join(mad, "g")
+            .groupBy("g")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.first("med").alias("med"),
+                 F.first("mad").alias("mad"),
+                 F.sum((F.col("d") > k * F.col("mad")).cast("long"))
+                 .cast("long").alias("n_outliers")))
+
+
+def robust_outliers_oracle_sql(rows_sql: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`robust_outliers`. ``rows_sql`` must yield
+    (g, v). The lower-median index (n+1)//2 replays via `//`."""
+    return f"""
+with b as materialized (
+  select g, cast(v as bigint) as v from ({rows_sql})
+  where v is not null),
+med as materialized (
+  select g, v as med, n from (
+    select g, v, row_number() over (partition by g order by v) as rn,
+           count(*) over (partition by g) as n
+    from b) t where rn = (n + 1) // 2),
+dev as materialized (
+  select b.g, b.v, med.n, med.med, abs(b.v - med.med) as d
+  from b join med using (g)),
+mad as (
+  select g, d as mad from (
+    select g, d, n, row_number() over (partition by g order by d) as rn
+    from dev) t where rn = (n + 1) // 2)
+select dev.g, cast(count(*) as bigint) as n,
+       cast(min(dev.med) as bigint) as med,
+       cast(min(mad.mad) as bigint) as mad,
+       cast(sum(case when dev.d > {k} * mad.mad then 1 else 0 end)
+            as bigint) as n_outliers
+from dev join mad using (g)
+group by dev.g
+"""

@@ -1185,3 +1185,31 @@ def test_set_similarity_join_rejects_bad_threshold(spark):
         set_similarity_join(df, threshold=0.0)
     with pytest.raises(ValueError):
         set_similarity_join(df, threshold=1.5)
+
+
+def test_robust_outliers_exact_medians(spark):
+    """Hand-checked lower-median semantics: even group sizes take the
+    LOWER middle value; MAD of a constant group is 0 and any
+    deviation flags."""
+    from cow_spark.plans.stats import robust_outliers
+
+    rows = ([("a", v) for v in [1, 2, 3, 4]]          # lower med = 2
+            + [("b", 7), ("b", 7), ("b", 7), ("b", 99)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.n, r.med, r.mad, r.n_outliers)
+           for r in robust_outliers(df, "g", "v", k=3).collect()}
+    # a: med 2, devs |1-2|,0,1,2 sorted [0,1,1,2] → mad 1; 3*1=3 → none
+    assert got["a"] == (4, 2, 1, 0)
+    # b: med 7, devs [0,0,0,92] → mad 0; 92 > 0 flags exactly one
+    assert got["b"] == (4, 7, 0, 1)
+
+
+def test_robust_outliers_resists_leverage(spark):
+    """The screen's point: one enormous value must not move the
+    median/MAD enough to hide itself (it would hide under mean/σ)."""
+    from cow_spark.plans.stats import robust_outliers
+
+    rows = [("g", v) for v in range(101)] + [("g", 10_000_000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = robust_outliers(df, "g", "v", k=3).collect()[0]
+    assert r.med == 50 and r.mad == 25 and r.n_outliers == 1

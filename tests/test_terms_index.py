@@ -681,3 +681,29 @@ def test_kneser_ney_smooths_rare_bigrams(spark):
     rows = {r.doc_id: r for r in kneser_ney_surprisal(docs).collect()}
     assert rows[100].score_fp > rows[0].score_fp  # rare continuation
     assert all(r.kn_bits_fp >= 0 for r in rows.values())
+
+
+def test_textrank_hub_word_wins(spark):
+    """A word adjacent to every other word collects the most rank;
+    degree-1 satellites tie below it."""
+    from cow_spark.operators.terms import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "hub alpha hub beta hub gamma")],
+        "doc_id long, text string")
+    rows = sorted(textrank_keywords(docs).collect(),
+                  key=lambda r: -r.rank_fp)
+    assert rows[0].node == "hub"
+    sats = {r.rank_fp for r in rows[1:]}
+    assert len(sats) == 1  # alpha/beta/gamma structurally identical
+
+
+def test_textrank_self_pairs_dropped(spark):
+    """Repeated tokens ('the the') must not self-loop; a two-word
+    doc yields exactly its two nodes."""
+    from cow_spark.operators.terms import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "the the cat")], "doc_id long, text string")
+    nodes = {r.node for r in textrank_keywords(docs).collect()}
+    assert nodes == {"the", "cat"}
