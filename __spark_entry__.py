@@ -10515,6 +10515,70 @@ def _sql_mad_outliers() -> str:
         "else o_custkey % 100 end as v from orders", k=3)
 
 
+def q_npy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.npy embedding-matrix ingest (npy_source.py:read_npy): a real
+    512×8 float32 matrix written driver-side with the formula
+    (i·31 + d·7) mod 97 — every value exactly float32-representable —
+    then scanned through binaryFile + the Arrow mapInPandas parser
+    and posexploded to scalars; the twin re-derives the formula via
+    generate_series, never seeing the bytes (the multimodal_stdlib
+    oracle pattern)."""
+    import os
+    import tempfile
+
+    from cow_spark.sources.npy_source import read_npy, write_npy_shard
+
+    import numpy as np
+
+    n, d = 512, 8
+    i = np.arange(n)[:, None]
+    dd = np.arange(d)[None, :]
+    m = ((i * 31 + dd * 7) % 97).astype(np.float32)
+    path = os.path.join(tempfile.gettempdir(),
+                        "cow_spark_npy_fixture.npy")
+    write_npy_shard(m, path)
+    emb = read_npy(spark, path)
+    return emb.select(
+        "row_idx", F.posexplode("vec").alias("dim", "val"))
+
+
+_SQL_NPY_INGEST = """
+select i as row_idx, cast(d as int) as dim,
+       cast((i * 31 + d * 7) % 97 as double) as val
+from generate_series(0, 511) t(i)
+cross join generate_series(0, 7) s(d)
+"""
+
+
+def q_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key profile (validate.py:key_discovery) over orders:
+    the true key, a non-unique column, a near-key pair, and a
+    unique-but-NULLABLE pair — which must report is_unique true /
+    is_key false (SQL keys reject NULLs)."""
+    from cow_spark.plans.validate import key_discovery
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus").cast("string")).alias("st"))
+    return key_discovery(o, [("o_orderkey",), ("o_custkey",),
+                             ("o_custkey", "o_orderdate"),
+                             ("st", "o_orderkey")])
+
+
+def _sql_key_discovery() -> str:
+    from cow_spark.plans.validate import key_discovery_oracle_sql
+
+    table = ("select o_orderkey, o_custkey, "
+             "cast(o_orderdate as varchar) as o_orderdate, "
+             "nullif(cast(o_orderstatus as varchar), 'P') as st "
+             "from orders")
+    return key_discovery_oracle_sql(
+        table, [("o_orderkey",), ("o_custkey",),
+                ("o_custkey", "o_orderdate"), ("st", "o_orderkey")])
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10756,6 +10820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "textrank": q_textrank,
         "mad_outliers": q_mad_outliers,
+        "npy_ingest": q_npy_ingest,
+        "key_discovery": q_key_discovery,
     }
 
 
@@ -10981,4 +11047,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _sql_kmv_overlap(),
         "textrank": _sql_textrank(),
         "mad_outliers": _sql_mad_outliers(),
+        "npy_ingest": _SQL_NPY_INGEST,
+        "key_discovery": _sql_key_discovery(),
     }

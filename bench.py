@@ -180,6 +180,8 @@ HEADLINE = [
     "kmv_overlap",
     "textrank",
     "mad_outliers",
+    "npy_ingest",
+    "key_discovery",
 ]
 
 

@@ -588,3 +588,95 @@ def fd_repair(
                         ~(F.col(dep).eqNullSafe(fixed)))
             .withColumn(dep, fixed)
             .drop("_maj"))
+
+
+def key_discovery(
+    df: DataFrame,
+    candidates: list[tuple[str, ...]],
+) -> DataFrame:
+    """Candidate-key profile — the uniqueness side of the dependency
+    audit (:func:`functional_deps` finds what columns DETERMINE,
+    :func:`inclusion_deps` what they REFERENCE; this finds what
+    IDENTIFIES): for each candidate column set, exact distinct count,
+    duplicate mass, NULL-bearing rows, and the verdict. SQL keys
+    cannot contain NULLs, so ``is_key`` requires zero null rows AND
+    full uniqueness — a (unique-but-nullable) set reports
+    ``is_unique`` true, ``is_key`` false, which is exactly the
+    distinction a migration to a keyed store needs.
+
+    One aggregate holds all candidates' exact distincts (one Expand,
+    |candidates|+1 shuffled copies — candidates is a short list by
+    contract); tuple values hash through the NULL-sentinel concat
+    (concat_ws silently drops NULLs — the iri.py discipline — so
+    (NULL,'x') and ('x',NULL) stay distinct tuples).
+
+    Returns ``(candidate, n_rows, n_distinct, n_dup_rows, n_null_rows,
+    is_unique, is_key)`` sorted by nothing (callers order).
+    """
+    from ..functions.iri import NULL_SENTINEL
+
+    if not candidates:
+        raise ValueError("key_discovery: empty candidate list")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for i, cols in enumerate(candidates):
+        if not cols:
+            raise ValueError("key_discovery: empty column tuple")
+        tup = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                 F.lit(NULL_SENTINEL)) for c in cols])
+        has_null = None
+        for c in cols:
+            cond = F.col(c).isNull()
+            has_null = cond if has_null is None else (has_null | cond)
+        aggs.append(F.countDistinct(tup).cast("long").alias(f"_d{i}"))
+        aggs.append(F.sum(has_null.cast("long")).cast("long")
+                    .alias(f"_n{i}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(",".join(cols)).alias("candidate"),
+                 F.col(f"_d{i}").alias("n_distinct"),
+                 F.col(f"_n{i}").alias("n_null_rows"))
+        for i, cols in enumerate(candidates)])
+    ex = one.select("n_rows", F.explode(rows).alias("x")).select(
+        "x.candidate", "n_rows", "x.n_distinct", "x.n_null_rows")
+    return ex.select(
+        "candidate", "n_rows", "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+        "n_null_rows",
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_unique"),
+        ((F.col("n_distinct") == F.col("n_rows"))
+         & (F.col("n_null_rows") == 0)).alias("is_key"))
+
+
+def key_discovery_oracle_sql(
+    table_sql: str,
+    candidates: list[tuple[str, ...]],
+) -> str:
+    """DuckDB twin of :func:`key_discovery`; one union branch per
+    candidate (the oracle optimizes for clarity, not scans). The NULL
+    sentinel is assembled with chr(0) — embedding a literal NUL in a
+    SQL string kills the DuckDB parser mid-statement (CLAUDE.md)."""
+    sentinel = "chr(0) || 'null' || chr(0)"
+    parts = []
+    for cols in candidates:
+        tup = ", ".join(
+            f"coalesce(cast({c} as varchar), {sentinel})"
+            for c in cols)
+        nul = " or ".join(f"{c} is null" for c in cols)
+        parts.append(f"""
+select '{",".join(cols)}' as candidate,
+       cast(count(*) as bigint) as n_rows,
+       cast(count(distinct concat_ws(chr(31), {tup})) as bigint)
+         as n_distinct,
+       cast(count(*) - count(distinct concat_ws(chr(31), {tup}))
+            as bigint) as n_dup_rows,
+       cast(sum(case when {nul} then 1 else 0 end) as bigint)
+         as n_null_rows
+from ({table_sql})""")
+    u = " union all ".join(parts)
+    return f"""
+select candidate, n_rows, n_distinct, n_dup_rows, n_null_rows,
+       n_distinct = n_rows as is_unique,
+       n_distinct = n_rows and n_null_rows = 0 as is_key
+from ({u})
+"""

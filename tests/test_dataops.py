@@ -1213,3 +1213,65 @@ def test_robust_outliers_resists_leverage(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     r = robust_outliers(df, "g", "v", k=3).collect()[0]
     assert r.med == 50 and r.mad == 25 and r.n_outliers == 1
+
+
+def test_read_npy_round_trip_and_sharding(spark, tmp_path):
+    """Two shards scan into (path, row_idx, vec); float32 upcasts
+    exactly; row_idx restarts per file."""
+    import numpy as np
+
+    from cow_spark.sources.npy_source import read_npy, write_npy_shard
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4) / 2
+    b = np.arange(8, dtype=np.float64).reshape(2, 4) * 3
+    write_npy_shard(a, str(tmp_path / "part-0.npy"))
+    write_npy_shard(b, str(tmp_path / "part-1.npy"))
+    rows = read_npy(spark, str(tmp_path)).collect()
+    assert len(rows) == 5
+    got = {(r.path.rsplit("/", 1)[-1], r.row_idx): r.vec for r in rows}
+    assert got[("part-0.npy", 2)] == [4.0, 4.5, 5.0, 5.5]
+    assert got[("part-1.npy", 0)] == [0.0, 3.0, 6.0, 9.0]
+
+
+def test_read_npy_rejects_non_matrix(spark, tmp_path):
+    """A 1-D dump is a data bug: the task must fail loudly, not
+    fabricate a shape."""
+    import numpy as np
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    from cow_spark.sources.npy_source import read_npy, write_npy_shard
+
+    write_npy_shard(np.arange(5, dtype=np.float32), str(tmp_path / "x.npy"))
+    with _pt.raises(Exception) as ei:
+        read_npy(spark, str(tmp_path / "x.npy")).collect()
+    assert "ndim" in str(ei.value)
+
+
+def test_key_discovery_verdicts(spark):
+    """Key vs unique-but-nullable vs duplicated — plus the sentinel
+    discipline: (NULL,'x') and ('x',NULL) are DIFFERENT tuples."""
+    from cow_spark.plans.validate import key_discovery
+
+    rows = [(1, "x", None), (2, "x", "x"), (3, None, "x")]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    got = {r.candidate: (r.n_distinct, r.n_null_rows, r.is_unique,
+                         r.is_key)
+           for r in key_discovery(
+               df, [("id",), ("a",), ("a", "b")]).collect()}
+    assert got["id"] == (3, 0, True, True)
+    assert got["a"] == (2, 1, False, False)          # 'x','x',NULL
+    # (x,NULL) / (x,x) / (NULL,x): three DISTINCT tuples, 2 null rows
+    assert got["a,b"] == (3, 2, True, False)
+
+
+def test_key_discovery_raises_on_empty(spark):
+    import pytest as _pt
+
+    from cow_spark.plans.validate import key_discovery
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pt.raises(ValueError):
+        key_discovery(df, [])
+    with _pt.raises(ValueError):
+        key_discovery(df, [()])
