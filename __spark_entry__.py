@@ -10579,6 +10579,68 @@ def _sql_key_discovery() -> str:
                 ("o_custkey", "o_orderdate"), ("st", "o_orderkey")])
 
 
+def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt dyad census (graphrank.py:dyad_census) over
+    a 500-node functional graph n(k) → n(7k+3 mod 500) from order
+    keys — dense enough that mutual, asym AND null dyads all occur,
+    so every census cell and the reciprocity ppm floor are graded."""
+    from cow_spark.operators.graphrank import dyad_census
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 500).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"),
+                 ((F.col("o_orderkey") * 7 + 3) % 500).cast("string"))
+        .alias("dst"))
+    return dyad_census(o)
+
+
+def _sql_dyad_census() -> str:
+    from cow_spark.operators.graphrank import dyad_census_oracle_sql
+
+    return dyad_census_oracle_sql(
+        "select 'n' || cast(o_orderkey % 500 as varchar) as src, "
+        "'n' || cast((o_orderkey * 7 + 3) % 500 as varchar) as dst "
+        "from orders")
+
+
+def q_canon_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER merge-quality audit (canon.py:canon_conflicts): customers
+    grouped by custkey decade (a deliberately coarse blocking = a bad
+    canonicalization), nation as the IFP-like claim with a 99-valued
+    corruption on every 7th customer — decades spanning nations must
+    flag, single-nation decades must not."""
+    from cow_spark.operators.canon import canon_conflicts
+
+    c = _load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0)
+    labels = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+        .alias("node"),
+        F.concat(F.lit("g"),
+                 F.expr("c_custkey div 10").cast("string")).alias("comp"))
+    claims = c.where(F.col("c_custkey") % 2 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+        .alias("node"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(99))
+        .otherwise(F.col("c_nationkey")).cast("string").alias("v"))
+    return canon_conflicts(labels, claims)
+
+
+def _sql_canon_conflicts() -> str:
+    from cow_spark.operators.canon import canon_conflicts_oracle_sql
+
+    labels = ("select 'c' || cast(c_custkey as varchar) as node, "
+              "'g' || cast(c_custkey // 10 as varchar) as comp "
+              "from customer where c_custkey % 3 = 0")
+    claims = ("select 'c' || cast(c_custkey as varchar) as node, "
+              "cast(case when c_custkey % 7 = 0 then 99 "
+              "else c_nationkey end as varchar) as v "
+              "from customer where c_custkey % 3 = 0 "
+              "and c_custkey % 2 = 0")
+    return canon_conflicts_oracle_sql(labels, claims)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10822,6 +10884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "npy_ingest": q_npy_ingest,
         "key_discovery": q_key_discovery,
+        "dyad_census": q_dyad_census,
+        "canon_conflicts": q_canon_conflicts,
     }
 
 
@@ -11049,4 +11113,6 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _sql_mad_outliers(),
         "npy_ingest": _SQL_NPY_INGEST,
         "key_discovery": _sql_key_discovery(),
+        "dyad_census": _sql_dyad_census(),
+        "canon_conflicts": _sql_canon_conflicts(),
     }

@@ -182,6 +182,8 @@ HEADLINE = [
     "mad_outliers",
     "npy_ingest",
     "key_discovery",
+    "dyad_census",
+    "canon_conflicts",
 ]
 
 

@@ -770,3 +770,57 @@ select distinct q.g,
 from q
 left join lab ls on ls.node = q.s
 left join lab lo on q.o_kind = 'iri' and lo.node = q.o_lex""")
+
+
+def canon_conflicts(
+    labels: DataFrame,
+    claims: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "comp",
+    value_col: str = "v",
+) -> DataFrame:
+    """Merge-quality audit of a canonicalization: for every component
+    of the entity-resolution output, how many member nodes carry a
+    claim on some single-valued attribute (an IFP-like email/SSN/
+    registration id) and how many DISTINCT values those claims take —
+    more than one means the component merged records that a correct
+    resolution would keep apart (an over-merge), the error
+    :func:`er_eval` can only see when gold labels exist. This is the
+    gold-free version: any functionally-single-valued attribute is a
+    free audit signal.
+
+    One node-keyed join (labels ⋈ claims) and one component-keyed
+    partial agg; NULL claims count as unclaimed, never as a value.
+    Returns ``(comp, n_nodes, n_claimed, n_values, has_conflict)``
+    for EVERY component (callers filter has_conflict — the clean rows
+    are the denominator an audit report needs).
+    """
+    lab = labels.select(F.col(node_col).alias("_n"),
+                        F.col(comp_col).alias("comp"))
+    cl = claims.select(F.col(node_col).alias("_n"),
+                       F.col(value_col).alias("_v"))
+    j = lab.join(cl, "_n", "left")
+    return (j.groupBy("comp")
+            .agg(F.countDistinct("_n").cast("long").alias("n_nodes"),
+                 F.countDistinct(F.when(F.col("_v").isNotNull(),
+                                        F.col("_n")))
+                 .cast("long").alias("n_claimed"),
+                 F.countDistinct("_v").cast("long").alias("n_values"))
+            .withColumn("has_conflict", F.col("n_values") > 1))
+
+
+def canon_conflicts_oracle_sql(labels_sql: str, claims_sql: str) -> str:
+    """DuckDB twin of :func:`canon_conflicts`. ``labels_sql`` yields
+    (node, comp); ``claims_sql`` yields (node, v)."""
+    return f"""
+with lab as materialized ({labels_sql}),
+cl as materialized ({claims_sql})
+select lab.comp,
+       cast(count(distinct lab.node) as bigint) as n_nodes,
+       cast(count(distinct case when cl.v is not null then lab.node end)
+            as bigint) as n_claimed,
+       cast(count(distinct cl.v) as bigint) as n_values,
+       count(distinct cl.v) > 1 as has_conflict
+from lab left join cl on cl.node = lab.node
+group by lab.comp
+"""

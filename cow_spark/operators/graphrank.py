@@ -3696,3 +3696,88 @@ select p.v1, p.v2, p.weight,
          as overlap_ppm
 from p join rd r1 on r1.v = p.v1 join rd r2 on r2.v = p.v2
 """
+
+
+def dyad_census(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Holland-Leinhardt dyad census of a directed graph — ONE row
+    ``(n_nodes, n_edges, n_mutual, n_asym, n_null, reciprocity_ppm)``:
+    mutual = unordered pairs linked both ways, asym = exactly one way,
+    null = C(n,2) − mutual − asym, reciprocity = 2M/(2M+A) in exact
+    ppm (the fraction of directed edges whose reverse exists — the
+    first structural signature of a conversation/citation graph:
+    reply networks are reciprocal, citation DAGs are not).
+
+    Shape: dedup, canonicalize each edge to its unordered pair (min,
+    max endpoint), ONE partial-agg count per pair (1 or 2 directions),
+    one global agg. Self-loops are dropped (a dyad is two distinct
+    nodes). C(n,2) is computed as n(n−1) div 2 in int64 — fine to
+    ~10^9 nodes, and ANSI makes the overflow loud past that.
+    """
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    nodes = (e.select(F.col("a").alias("n"))
+             .union(e.select(F.col("b").alias("n"))).distinct())
+    pair = (e.select(F.least("a", "b").alias("lo"),
+                     F.greatest("a", "b").alias("hi"))
+            .groupBy("lo", "hi").agg(F.count("*").alias("d")))
+    cnt = pair.agg(
+        F.sum(F.when(F.col("d") == 2, 1).otherwise(0)).cast("long")
+        .alias("n_mutual"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_asym"))
+    nn = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    num = F.lit(2_000_000) * F.col("n_mutual")
+    den = 2 * F.col("n_mutual") + F.col("n_asym")
+    return (cnt.crossJoin(nn)
+            .select(
+                "n_nodes",
+                # identity: every unordered pair contributes its
+                # direction count, so |E| = 2M + A — no extra scan
+                (2 * F.col("n_mutual") + F.col("n_asym")).cast("long")
+                .alias("n_edges"),
+                "n_mutual", "n_asym",
+                (F.expr("n_nodes * (n_nodes - 1) div 2")
+                 - F.col("n_mutual") - F.col("n_asym")).cast("long")
+                .alias("n_null"),
+                F.when(den == 0, F.lit(0)).otherwise(
+                    (num - F.pmod(num, den)) / den).cast("long")
+                .alias("reciprocity_ppm")))
+
+
+def dyad_census_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`dyad_census`; ``edges_sql`` yields
+    (src, dst)."""
+    return f"""
+with e as materialized (
+  select distinct cast(src as varchar) as a, cast(dst as varchar) as b
+  from ({edges_sql})
+  where src is not null and dst is not null
+    and cast(src as varchar) <> cast(dst as varchar)),
+p as (
+  select least(a, b) as lo, greatest(a, b) as hi, count(*) as d
+  from e group by least(a, b), greatest(a, b)),
+c as (
+  select cast(sum(case when d = 2 then 1 else 0 end) as bigint)
+           as n_mutual,
+         cast(sum(case when d = 1 then 1 else 0 end) as bigint)
+           as n_asym
+  from p),
+nn as (select cast(count(*) as bigint) as n_nodes from
+       (select a as n from e union select b from e))
+select n_nodes,
+       cast(2 * n_mutual + n_asym as bigint) as n_edges,
+       n_mutual, n_asym,
+       cast(n_nodes * (n_nodes - 1) // 2 - n_mutual - n_asym
+            as bigint) as n_null,
+       cast(case when 2 * n_mutual + n_asym = 0 then 0
+            else (2000000 * n_mutual) // (2 * n_mutual + n_asym)
+            end as bigint) as reciprocity_ppm
+from c cross join nn
+"""

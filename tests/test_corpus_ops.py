@@ -3234,3 +3234,29 @@ def test_kmv_jaccard_estimates_large_overlap(spark):
     ac = got[("a", "c")]
     assert ac.jaccard_ppm < 200_000  # ~0 up to sampling noise
     assert 0.7 * 4000 < ac.est_union < 1.3 * 4000
+
+
+def test_dyad_census_hand_graph(spark):
+    """4 nodes: a↔b mutual, a→c asym, self-loop and duplicate edges
+    ignored, d isolated via one in-edge → census + reciprocity
+    hand-checkable."""
+    from cow_spark.operators.graphrank import dyad_census
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"),
+             ("c", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = dyad_census(df).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (4, 4)
+    assert (r.n_mutual, r.n_asym) == (1, 2)
+    assert r.n_null == 6 - 1 - 2
+    # reciprocity = 2*1 / (2*1 + 2) = 0.5
+    assert r.reciprocity_ppm == 500_000
+
+
+def test_dyad_census_pure_dag_has_zero_reciprocity(spark):
+    from cow_spark.operators.graphrank import dyad_census
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string")
+    r = dyad_census(df).collect()[0]
+    assert r.n_mutual == 0 and r.reciprocity_ppm == 0 and r.n_null == 0

@@ -761,3 +761,22 @@ def test_void_description_values(spark):
     assert out[("d:t/property/p:v", "void:distinctSubjects")] == "2"
     assert out[("d:t/class/c:X", "void:entities")] == "1"
     assert out[("d:t/class/c:Y", "void:entities")] == "1"
+
+
+def test_canon_conflicts_flags_overmerge_only(spark):
+    """Component g1 merges two claim values (conflict); g2 has two
+    claimants agreeing (clean); g3 has members but no claims (clean,
+    n_values 0); NULL claims never count as values."""
+    from cow_spark.operators.canon import canon_conflicts
+
+    labels = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("c", "g2"), ("d", "g2"),
+         ("e", "g3")], "node string, comp string")
+    claims = spark.createDataFrame(
+        [("a", "x@1"), ("b", "y@2"), ("c", "z@3"), ("d", "z@3"),
+         ("e", None)], "node string, v string")
+    got = {r.comp: (r.n_nodes, r.n_claimed, r.n_values, r.has_conflict)
+           for r in canon_conflicts(labels, claims).collect()}
+    assert got == {"g1": (2, 2, 2, True),
+                   "g2": (2, 2, 1, False),
+                   "g3": (1, 0, 0, False)}
