@@ -10641,6 +10641,67 @@ def _sql_canon_conflicts() -> str:
     return canon_conflicts_oracle_sql(labels, claims)
 
 
+def q_term_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burst screen (stats.py:term_bursts) over order
+    priorities by month: a synthetic SPIKE term concentrated in the
+    March buckets (every 5th key) must burst; the uniform priorities
+    must sit near lift 10^6 and stay quiet."""
+    from cow_spark.plans.stats import term_bursts
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.when((F.month("o_orderdate") == 3)
+               & (F.col("o_orderkey") % 5 == 0), F.lit("SPIKE"))
+        .otherwise(F.col("o_orderpriority").cast("string"))
+        .alias("term"),
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+         - 1).cast("long").alias("bucket"))
+    return term_bursts(o, min_count=5, lift_threshold_ppm=2_000_000)
+
+
+def _sql_term_bursts() -> str:
+    from cow_spark.plans.stats import term_bursts_oracle_sql
+
+    return term_bursts_oracle_sql(
+        "select case when month(o_orderdate) = 3 and o_orderkey % 5 = 0"
+        " then 'SPIKE' else cast(o_orderpriority as varchar) end as term,"
+        " (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1"
+        " as bucket from orders",
+        min_count=5, lift_threshold_ppm=2_000_000)
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club profile (graphrank.py:rich_club): a hub-injected
+    order graph (20 'h' sinks absorb a third of the edges) profiled
+    at three thresholds — the top cut isolates the hubs, which never
+    wire to each other, so the 'populated club with zero edges' cell
+    is graded alongside the mixed cuts."""
+    from cow_spark.operators.graphrank import rich_club
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 400).cast("string"))
+        .alias("src"),
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(F.lit("h"),
+                        (F.col("o_orderkey") % 20).cast("string")))
+        .otherwise(F.concat(
+            F.lit("n"),
+            ((F.col("o_orderkey") * 13 + 7) % 400).cast("string")))
+        .alias("dst"))
+    return rich_club(o, [30, 100, 200])
+
+
+def _sql_rich_club() -> str:
+    from cow_spark.operators.graphrank import rich_club_oracle_sql
+
+    edges = (
+        "select 'n' || cast(o_orderkey % 400 as varchar) as src, "
+        "case when o_orderkey % 3 = 0 "
+        "then 'h' || cast(o_orderkey % 20 as varchar) "
+        "else 'n' || cast((o_orderkey * 13 + 7) % 400 as varchar) "
+        "end as dst from orders")
+    return rich_club_oracle_sql(edges, [30, 100, 200])
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10886,6 +10947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_discovery": q_key_discovery,
         "dyad_census": q_dyad_census,
         "canon_conflicts": q_canon_conflicts,
+        "term_bursts": q_term_bursts,
+        "rich_club": q_rich_club,
     }
 
 
@@ -11115,4 +11178,6 @@ def oracle_sql() -> dict[str, str]:
         "key_discovery": _sql_key_discovery(),
         "dyad_census": _sql_dyad_census(),
         "canon_conflicts": _sql_canon_conflicts(),
+        "term_bursts": _sql_term_bursts(),
+        "rich_club": _sql_rich_club(),
     }

@@ -184,6 +184,8 @@ HEADLINE = [
     "key_discovery",
     "dyad_census",
     "canon_conflicts",
+    "term_bursts",
+    "rich_club",
 ]
 
 

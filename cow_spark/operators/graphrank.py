@@ -3781,3 +3781,103 @@ select n_nodes,
             end as bigint) as reciprocity_ppm
 from c cross join nn
 """
+
+
+def rich_club(
+    edges: DataFrame,
+    thresholds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient profile of an undirected graph: for each
+    degree threshold t, φ(t) = |edges among nodes of degree > t| /
+    C(n_rich, 2) in exact ppm — do the hubs of the entity/mention
+    graph preferentially wire to EACH OTHER (a connectivity core the
+    skew-handling layer must expect) or spread their edges thin?
+
+    Shape: dedup + canonical orientation, one degree agg, each edge
+    annotated ONCE with min(endpoint degrees), then both counts come
+    from HISTOGRAMS (edges by min-degree, nodes by degree) joined to
+    the bounded threshold list — per-threshold work is
+    |distinct degrees| × |thresholds|, never another pass over the
+    edges. φ undefined below 2 rich nodes → 0 with n_rich carried so
+    the caller can tell 'no club' from 'empty club'.
+
+    Returns ``(threshold, n_rich, e_rich, phi_ppm)``.
+    """
+    if not thresholds:
+        raise ValueError("rich_club: empty threshold list")
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("lo"),
+                 F.greatest("a", "b").alias("hi"))
+         .distinct())
+    deg = (e.select(F.col("lo").alias("n"))
+           .unionByName(e.select(F.col("hi").alias("n")))
+           .groupBy("n").agg(F.count("*").cast("long").alias("d")))
+    em = (e.join(deg.select(F.col("n").alias("lo"),
+                            F.col("d").alias("d1")), "lo")
+          .join(deg.select(F.col("n").alias("hi"),
+                           F.col("d").alias("d2")), "hi")
+          .select(F.least("d1", "d2").alias("m"))
+          .groupBy("m").agg(F.count("*").cast("long").alias("c")))
+    dh = deg.groupBy("d").agg(F.count("*").cast("long").alias("c"))
+    spark = edges.sparkSession
+    thr = spark.createDataFrame([(int(t),) for t in thresholds],
+                                "threshold long")
+    e_t = (thr.join(em, em["m"] > thr["threshold"], "left")
+           .groupBy("threshold")
+           .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                .alias("e_rich")))
+    n_t = (thr.join(dh, dh["d"] > thr["threshold"], "left")
+           .groupBy("threshold")
+           .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                .alias("n_rich")))
+    num = F.col("e_rich") * 2_000_000
+    den = F.col("n_rich") * (F.col("n_rich") - 1)
+    return (n_t.join(e_t, "threshold")
+            .select("threshold", "n_rich", "e_rich",
+                    F.when(F.col("n_rich") < 2, F.lit(0)).otherwise(
+                        (num - F.pmod(num, den)) / den).cast("long")
+                    .alias("phi_ppm")))
+
+
+def rich_club_oracle_sql(edges_sql: str, thresholds: list[int]) -> str:
+    """DuckDB twin of :func:`rich_club`; ``edges_sql`` yields
+    (src, dst)."""
+    tl = ", ".join(f"({int(t)})" for t in thresholds)
+    return f"""
+with e as materialized (
+  select distinct least(a, b) as lo, greatest(a, b) as hi from (
+    select cast(src as varchar) as a, cast(dst as varchar) as b
+    from ({edges_sql})
+    where src is not null and dst is not null)
+  where a <> b),
+deg as materialized (
+  select n, cast(count(*) as bigint) as d from (
+    select lo as n from e union all select hi from e) group by n),
+em as materialized (
+  select least(d1.d, d2.d) as m, cast(count(*) as bigint) as c
+  from e join deg d1 on d1.n = e.lo join deg d2 on d2.n = e.hi
+  group by least(d1.d, d2.d)),
+dh as materialized (
+  select d, cast(count(*) as bigint) as c from deg group by d),
+thr as (select * from (values {tl}) t(threshold)),
+et as (
+  select thr.threshold,
+         cast(coalesce(sum(em.c), 0) as bigint) as e_rich
+  from thr left join em on em.m > thr.threshold
+  group by thr.threshold),
+nt as (
+  select thr.threshold,
+         cast(coalesce(sum(dh.c), 0) as bigint) as n_rich
+  from thr left join dh on dh.d > thr.threshold
+  group by thr.threshold)
+select cast(nt.threshold as bigint) as threshold, nt.n_rich, et.e_rich,
+       cast(case when nt.n_rich < 2 then 0
+            else (et.e_rich * 2000000) // (nt.n_rich * (nt.n_rich - 1))
+            end as bigint) as phi_ppm
+from nt join et using (threshold)
+"""

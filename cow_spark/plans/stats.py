@@ -833,3 +833,80 @@ select dev.g, cast(count(*) as bigint) as n,
 from dev join mad using (g)
 group by dev.g
 """
+
+
+def term_bursts(
+    df: DataFrame,
+    term_col: str = "term",
+    bucket_col: str = "bucket",
+    min_count: int = 5,
+    lift_threshold_ppm: int = 2_000_000,
+) -> DataFrame:
+    """Burst detection over (term, time-bucket) observations — the
+    Kleinberg-lite temporal screen a corpus/transcript monitor wants:
+    a cell bursts when its observed count exceeds the independence
+    expectation by ``lift_threshold_ppm`` (2x default) with at least
+    ``min_count`` observations (a lone event is an anecdote).
+
+        lift_ppm = floor(n(t,b) · N · 10^6 / (n(t) · n(b)))
+
+    — exact ppm lift (observed/expected), the same pointwise-
+    mutual-information shape collocations uses, on the time axis.
+    Bucketing is the CALLER's column (day/hour/release) so the
+    operator stays pure arithmetic.
+
+    Shape: one (term, bucket) partial agg off the scan, two
+    re-aggregations of it (term- and bucket-sized), a broadcast 1-row
+    total; joins hit vocabulary-sized sides only. The numerator
+    n·N·10^6 needs n·N < 9·10^12 per cell — pre-aggregate or shard by
+    epoch beyond ~10^9 rows per job (ANSI overflow is loud, not
+    wrong). Returns ``(term, bucket, n, lift_ppm, is_burst)``.
+    """
+    base = (df.where(F.col(term_col).isNotNull()
+                     & F.col(bucket_col).isNotNull())
+            .select(F.col(term_col).alias("term"),
+                    F.col(bucket_col).alias("bucket")))
+    tb = base.groupBy("term", "bucket").agg(
+        F.count("*").cast("long").alias("n"))
+    nt = tb.groupBy("term").agg(F.sum("n").cast("long").alias("nt"))
+    nb = tb.groupBy("bucket").agg(F.sum("n").cast("long").alias("nb"))
+    total = tb.agg(F.sum("n").cast("long").alias("total"))
+    num = F.col("n") * F.col("total") * 1_000_000
+    den = F.col("nt") * F.col("nb")
+    return (tb.join(nt, "term").join(nb, "bucket")
+            .crossJoin(F.broadcast(total))
+            .select("term", "bucket", "n",
+                    ((num - F.pmod(num, den)) / den).cast("long")
+                    .alias("lift_ppm"))
+            .withColumn(
+                "is_burst",
+                (F.col("n") >= min_count)
+                & (F.col("lift_ppm") > lift_threshold_ppm)))
+
+
+def term_bursts_oracle_sql(
+    rows_sql: str,
+    min_count: int = 5,
+    lift_threshold_ppm: int = 2_000_000,
+) -> str:
+    """DuckDB twin of :func:`term_bursts`; ``rows_sql`` yields
+    (term, bucket)."""
+    return f"""
+with b as materialized (
+  select term, bucket from ({rows_sql})
+  where term is not null and bucket is not null),
+tb as materialized (
+  select term, bucket, cast(count(*) as bigint) as n
+  from b group by term, bucket),
+nt as (select term, cast(sum(n) as bigint) as nt from tb group by term),
+nb as (select bucket, cast(sum(n) as bigint) as nb
+       from tb group by bucket),
+tt as (select cast(sum(n) as bigint) as total from tb)
+select tb.term, tb.bucket, tb.n,
+       cast((tb.n * tt.total * 1000000) // (nt.nt * nb.nb) as bigint)
+         as lift_ppm,
+       tb.n >= {min_count} and
+       (tb.n * tt.total * 1000000) // (nt.nt * nb.nb)
+         > {lift_threshold_ppm} as is_burst
+from tb join nt using (term) join nb using (bucket) cross join tt
+"""

@@ -1275,3 +1275,38 @@ def test_key_discovery_raises_on_empty(spark):
         key_discovery(df, [])
     with _pt.raises(ValueError):
         key_discovery(df, [()])
+
+
+def test_term_bursts_flags_concentration_only(spark):
+    """'spike' concentrates in bucket 1, 'base' spreads evenly, and a
+    3-event concentration clears the lift bar but not min_count —
+    bucket sizes 9/12, N=21, every lift hand-computed."""
+    from cow_spark.plans.stats import term_bursts
+
+    rows = ([("base", 0)] * 6 + [("base", 1)] * 6
+            + [("spike", 1)] * 6 + [("tiny", 0)] * 3)
+    df = spark.createDataFrame(rows, "term string, bucket long")
+    got = {(r.term, r.bucket): (r.n, r.lift_ppm, r.is_burst)
+           for r in term_bursts(df, min_count=5,
+                                lift_threshold_ppm=1_200_000).collect()}
+    assert got[("base", 0)] == (6, (6 * 21 * 10**6) // (12 * 9), False)
+    assert got[("base", 1)] == (6, (6 * 21 * 10**6) // (12 * 12), False)
+    assert got[("spike", 1)] == (6, (6 * 21 * 10**6) // (6 * 12), True)
+    # lift 2.33x BUT n=3 < min_count: the anecdote gate
+    assert got[("tiny", 0)] == (3, (3 * 21 * 10**6) // (3 * 9), False)
+
+
+def test_rich_club_hand_graph(spark):
+    """K4 plus a pendant: at t=1 the club is the K4 (phi=10^6); at
+    t=3 only the pendant's anchor qualifies → n_rich=1, phi=0."""
+    from cow_spark.operators.graphrank import rich_club
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(k4 + [("a", "e")],
+                               "src string, dst string")
+    got = {r.threshold: (r.n_rich, r.e_rich, r.phi_ppm)
+           for r in rich_club(df, [1, 3, 10]).collect()}
+    assert got[1] == (4, 6, 1_000_000)  # e has deg 1, a..d deg >= 3
+    assert got[3] == (1, 0, 0)          # only 'a' (deg 4): no club
+    assert got[10] == (0, 0, 0)
