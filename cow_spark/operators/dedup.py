@@ -1303,3 +1303,79 @@ def set_similarity_join(
     out = (v.where(num >= F.lit(thr_ppm) * union)
            .select("id_a", "id_b", jac_ppm.alias("jaccard_ppm")))
     return _attach_persisted(out, ex)
+
+
+# ---------------------------------------------------------------------------
+# survivor selection (dedup completion: which member of each group ships)
+# ---------------------------------------------------------------------------
+
+
+def select_survivors(
+    docs: DataFrame,
+    group_col: str = "group_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Canonical-document selection — the step that completes every
+    dedup pass: each duplicate group keeps exactly ONE member, and
+    which one matters (CCNet/RefinedWeb keep the highest-quality
+    copy, not an arbitrary one, because boilerplate mirrors often
+    outnumber the clean original). Input is the per-member table
+    ``(group, id, score, tokens)`` — the join of any grouping
+    operator here (:func:`near_duplicate_groups`, :func:`semdedup`,
+    URL dedup) with any scorer (:mod:`~cow_spark.operators.quality`).
+
+    Survivor = max score, ties broken by min id (fully deterministic:
+    the pick replays under any partitioning). Implemented as ONE
+    partial-aggregable ``min(struct(-score, id, tokens))`` — the
+    argmax rides the same map-side combine as the counts, so a
+    billion-member table costs a single group-sized shuffle and no
+    window sort. Returns ``(group, survivor_id, survivor_score,
+    n_members, kept_tokens, dropped_tokens)``; ``dropped_tokens``
+    summed over a corpus is the dedup savings headline.
+
+    No reference counterpart (COW ships every row); extension family
+    SURVEY.md §2.11.
+    """
+    g = F.col(group_col)
+    pick = F.min(F.struct(
+        (-F.col(score_col).cast("long")).alias("ns"),
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("tok")))
+    return (docs
+            .where(g.isNotNull() & F.col(id_col).isNotNull())
+            .groupBy(g.alias("group_id"))
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum(F.col(tokens_col).cast("long")).alias("_tot"),
+                 pick.alias("_s"))
+            .select("group_id",
+                    F.col("_s.id").alias("survivor_id"),
+                    (-F.col("_s.ns")).cast("long").alias("survivor_score"),
+                    "n_members",
+                    F.col("_s.tok").alias("kept_tokens"),
+                    (F.col("_tot") - F.col("_s.tok")).cast("long")
+                    .alias("dropped_tokens")))
+
+
+def select_survivors_oracle_sql(members_sql: str) -> str:
+    """DuckDB twin of :func:`select_survivors`. ``members_sql`` must
+    yield (group_id, doc_id, score, n_tokens). Same rule spelled as a
+    window: rank by (score desc, doc_id asc), keep rank 1."""
+    return f"""
+with m as materialized (
+  select group_id, doc_id, cast(score as bigint) as score,
+         cast(n_tokens as bigint) as n_tokens
+  from ({members_sql})
+  where group_id is not null and doc_id is not null),
+r as (
+  select *, row_number() over (
+    partition by group_id order by score desc, doc_id) as rn,
+    cast(count(*) over (partition by group_id) as bigint) as n_members,
+    cast(sum(n_tokens) over (partition by group_id) as bigint) as tot
+  from m)
+select group_id, doc_id as survivor_id, score as survivor_score,
+       n_members, n_tokens as kept_tokens,
+       cast(tot - n_tokens as bigint) as dropped_tokens
+from r where rn = 1
+"""

@@ -818,3 +818,111 @@ def encoding_health(
         n_c1.cast("int").alias("n_c1"),
         ((bad - F.pmod(bad, den)) / den).cast("long").alias("bad_ppm"),
         ((n_rep + n_c0 + n_c1) > 0).alias("flagged"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script mix profile (multilingual corpus audit)
+# ---------------------------------------------------------------------------
+
+# Explicit codepoint ranges, NOT \p{Script=...}: Java and RE2 spell
+# script properties differently (\p{IsCyrillic} vs \p{Cyrillic}) and
+# the oracle must replay the same sets — literal ranges are identical
+# in both engines. Whitespace is the explicit class (Java \s includes
+# \x0B, RE2's does not — text.py URL_PATTERN note).
+_SCRIPT_RANGES = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("han", "[一-鿿]"),
+]
+_SPACE_CLASS = "[ \t\n\r\f\x0b]"
+
+
+def script_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script composition audit — the multilingual complement
+    to language-ID (:func:`language_mix` infers the language of
+    mostly-Latin text; this catches the corpus-level failure modes
+    language-ID can't: a "Russian" shard that is 90% Latin mojibake,
+    CJK leaking into an English split, digit-dominated scrape junk).
+    Counts per document the characters in five literal script ranges
+    (Latin letters, ASCII digits, Cyrillic, Greek, CJK-unified Han)
+    plus explicit whitespace; ``other`` is the remainder against
+    codepoint length. The document's DOMINANT script is the
+    first-in-canonical-order class with the maximum count (ties
+    deterministic; all-zero → ``'none'``), and the output is the
+    dominant-script rollup: one row per script with document count
+    and the summed per-class character totals — a bounded profile
+    (≤ 6 rows) whatever the corpus size.
+
+    Shape: one linear scan, six ``regexp_count`` in one codegen span,
+    one tiny groupBy — no Python, no second pass (pii_scan
+    discipline). ``length()`` counts codepoints in both engines, so
+    the ``other`` arithmetic replays exactly.
+
+    No reference counterpart (COW is single-locale per run);
+    extension family SURVEY.md §2.11.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {name: F.regexp_count(t, F.lit(pat)).cast("long")
+              for name, pat in _SCRIPT_RANGES}
+    space = F.regexp_count(t, F.lit(_SPACE_CLASS)).cast("long")
+    n_chars = F.length(t).cast("long")
+    other = n_chars - space - sum(counts.values())
+    names = [n for n, _ in _SCRIPT_RANGES]
+    # first-with-max wins, in canonical order: latin beats cyrillic
+    # on an exact tie, etc. — the same CASE chain the oracle spells.
+    dom = F.lit("none")
+    for name in reversed(names):
+        later = [counts[m] for m in names[names.index(name) + 1:]]
+        cond = counts[name] > 0
+        for o in later:
+            cond = cond & (counts[name] >= o)
+        for e in names[:names.index(name)]:
+            cond = cond & (counts[name] > counts[e])
+        dom = F.when(cond, F.lit(name)).otherwise(dom)
+    per = docs.select(
+        dom.alias("script"), space.alias("_space"),
+        other.alias("_other"),
+        *[counts[n].alias(f"_{n}") for n in names])
+    return (per.groupBy("script")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 *[F.sum(f"_{n}").cast("long").alias(f"{n}_chars")
+                   for n in names],
+                 F.sum("_space").cast("long").alias("space_chars"),
+                 F.sum("_other").cast("long").alias("other_chars")))
+
+
+def script_profile_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`script_profile`; ``docs_sql`` yields
+    (text). Same literal ranges (RE2 accepts the identical class
+    strings); the dominance CASE replays first-with-max in order."""
+    # count of a 1-char class = len(t) - len(t with the class deleted)
+    c = {name: f"(length(t) - length(regexp_replace(t, '{pat}', '', 'g')))"
+         for name, pat in _SCRIPT_RANGES}
+    space = ("(length(t) - length(regexp_replace(t, '[ \t\n\r\f" +
+             "\x0b]', '', 'g')))")
+    names = [n for n, _ in _SCRIPT_RANGES]
+    whens = []
+    for i, name in enumerate(names):
+        conds = [f"{c[name]} > 0"]
+        conds += [f"{c[name]} > {c[e]}" for e in names[:i]]
+        conds += [f"{c[name]} >= {c[o]}" for o in names[i + 1:]]
+        whens.append(f"when {' and '.join(conds)} then '{name}'")
+    dom = "case " + " ".join(whens) + " else 'none' end"
+    sums = ", ".join(
+        f"cast(sum({c[n]}) as bigint) as {n}_chars" for n in names)
+    return f"""
+with d as materialized (
+  select coalesce(text, '') as t from ({docs_sql}))
+select {dom} as script, cast(count(*) as bigint) as n_docs,
+       {sums},
+       cast(sum({space}) as bigint) as space_chars,
+       cast(sum(length(t) - {space}
+                - ({' + '.join(c[n] for n in names)})) as bigint)
+         as other_chars
+from d group by 1
+"""

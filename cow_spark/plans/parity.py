@@ -347,3 +347,211 @@ select a.id as id_a, b.id as id_b, cast(b.rank - a.rank as int) as gap
 from ranked a join ranked b
   on b.rank > a.rank and b.rank - a.rank < {window}
 """
+
+
+def judge_kappa(
+    pairs: DataFrame,
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+) -> DataFrame:
+    """Cohen's kappa between two categorical raters — the standard
+    chance-corrected agreement statistic for LLM-judge validation
+    (raw agreement flatters any pair of judges that both say "good"
+    90% of the time; kappa is what a rubric change actually moves).
+
+    Exact integer arithmetic end to end: with n rows, D = #{a=b} and
+    S = Σ_k n_a(k)·n_b(k) (marginal product over the shared label
+    vocabulary), kappa = (n·D − S) / (n² − S) — an exact rational,
+    floor-scaled to ppm with the pmod trick (floor division holds for
+    NEGATIVE kappa too: pmod's non-negative remainder IS the floor
+    decomposition). Degenerate n² = S (both raters constant on one
+    label) reads as perfect trivial agreement → 10^6 by convention.
+
+    Scale shape: one linear scan (count + diag in one partial agg),
+    two label-sized marginal aggs joined on label, a 1-row combine.
+    The ppm numerators need n² · 10^6 < 2^63 ⇒ n ≤ ~3·10^6 — sample
+    or shard the rating table beyond that (a judge-agreement estimate
+    does not need a billion rows; ANSI overflow is loud, not wrong).
+
+    Returns one row: ``(n, n_agree, po_ppm, pe_ppm, kappa_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    base = (pairs.where(a.isNotNull() & b.isNotNull())
+            .select(a.alias("a"), b.alias("b")))
+    top = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long"))
+        .cast("long").alias("n_agree"))
+    ma = base.groupBy(F.col("a").alias("k")).agg(
+        F.count("*").cast("long").alias("na"))
+    mb = base.groupBy(F.col("b").alias("k")).agg(
+        F.count("*").cast("long").alias("nb"))
+    s = (ma.join(mb, "k")
+         .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+              .cast("long").alias("s")))
+
+    def _floordiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    n, d = F.col("n"), F.col("n_agree")
+    num = (n * d - F.col("s")) * F.lit(1_000_000)
+    den = n * n - F.col("s")
+    return (top.crossJoin(F.broadcast(s)).select(
+        "n", "n_agree",
+        _floordiv(d * F.lit(1_000_000), F.greatest(n, F.lit(1)))
+        .alias("po_ppm"),
+        _floordiv(F.col("s") * F.lit(1_000_000),
+                  F.greatest(n * n, F.lit(1))).alias("pe_ppm"),
+        F.when(den == 0, F.lit(1_000_000))
+        .otherwise(_floordiv(num, den)).cast("long")
+        .alias("kappa_ppm")))
+
+
+def judge_kappa_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`judge_kappa`; ``pairs_sql`` yields
+    (a, b). `//` floors; products cast to bigint pre-divide so no
+    HUGEINT reaches the output."""
+    return f"""
+with b as materialized (
+  select a, b from ({pairs_sql}) where a is not null and b is not null),
+top as (select cast(count(*) as bigint) as n,
+               cast(sum(case when a = b then 1 else 0 end) as bigint)
+                 as n_agree from b),
+ma as (select a as k, cast(count(*) as bigint) as na from b group by a),
+mb as (select b as k, cast(count(*) as bigint) as nb from b group by b),
+s as (select cast(coalesce(sum(na * nb), 0) as bigint) as s
+      from ma join mb using (k))
+select n, n_agree,
+  cast((n_agree * 1000000) // greatest(n, 1) as bigint) as po_ppm,
+  cast((s * 1000000) // greatest(n * n, 1) as bigint) as pe_ppm,
+  cast(case when n * n - s = 0 then 1000000
+       else ((n * n_agree - s) * 1000000) // (n * n - s) end
+       as bigint) as kappa_ppm
+from top cross join s
+"""
+
+
+_ROUGE_SPACE = "[ \t\n\r]+"
+
+
+def rouge_overlap(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+) -> DataFrame:
+    """ROUGE-1/-2 recall (distinct-n-gram variant) of a candidate
+    text against a reference per pair — the summarization/response
+    eval metric: what fraction of the reference's unigrams (and
+    bigrams) does the candidate cover. Distinct-set semantics (each
+    type counts once) — the clipped-multiset variant differs only on
+    repeated tokens and the set form is what an engine can compute
+    with joins alone.
+
+    Deliberately RELATIONAL, not array-lambda: tokens posexplode to
+    rows (the filter lambda touches only its element, so nothing
+    re-evaluates), bigrams come from a (pair, pos)=(pair, pos+1)
+    self-equijoin of the exploded table, overlaps are distinct
+    equijoins — whole-stage codegen end to end, partial-agg shuffles
+    keyed by (pair, gram). The zip_with-over-slices alternative
+    re-inlines the token expression into the lambda (the
+    set_similarity_join lesson) and is quadratic per row; here cost
+    is linear in corpus tokens.
+
+    Empty reference ⇒ recall 1 (nothing to recall — er_eval's
+    convention); pairs vanish from no aggregate because the id
+    universe left-joins back. Returns ``(pair_id, n_ref_uni,
+    n_ref_bi, rouge1_bp, rouge2_bp)`` with basis-point floor scaling.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    def toks(c):
+        return F.filter(F.split(F.lower(F.coalesce(c, F.lit(""))),
+                                F.lit(_ROUGE_SPACE)),
+                        lambda x: x != "")
+
+    ids = pairs.select(F.col(id_col).alias("pid")).distinct()
+    ex = {}
+    for side, col in (("c", cand_col), ("r", ref_col)):
+        e = (pairs.select(F.col(id_col).alias("pid"),
+                          F.posexplode(toks(F.col(col)))
+                          .alias("pos", "tok")))
+        ex[side] = e
+    uni = {s: ex[s].select("pid", "tok").distinct() for s in ex}
+    bi = {}
+    for s in ex:
+        l = ex[s].select("pid", "pos", F.col("tok").alias("t1"))
+        r = ex[s].select("pid", (F.col("pos") - 1).alias("pos"),
+                         F.col("tok").alias("t2"))
+        bi[s] = (l.join(r, ["pid", "pos"])
+                 .select("pid", F.concat_ws(" ", "t1", "t2")
+                         .alias("tok")).distinct())
+
+    def counts(df, name):
+        return df.groupBy("pid").agg(
+            F.count("*").cast("long").alias(name))
+
+    def inter(a, b, name):
+        return counts(a.join(b, ["pid", "tok"], "left_semi"), name)
+
+    nr1 = counts(uni["r"], "n_ref_uni")
+    nr2 = counts(bi["r"], "n_ref_bi")
+    i1 = inter(uni["r"], uni["c"], "i1")
+    i2 = inter(bi["r"], bi["c"], "i2")
+
+    def _recall_bp(i, n):
+        num = F.coalesce(i, F.lit(0)) * F.lit(10_000)
+        den = F.coalesce(n, F.lit(0))
+        return (F.when(den == 0, F.lit(10_000))
+                .otherwise((num - F.pmod(num, den)) / den)
+                .cast("long"))
+
+    out = (ids.join(nr1, "pid", "left").join(nr2, "pid", "left")
+           .join(i1, "pid", "left").join(i2, "pid", "left"))
+    return out.select(
+        F.col("pid").alias(id_col),
+        F.coalesce("n_ref_uni", F.lit(0)).cast("long")
+        .alias("n_ref_uni"),
+        F.coalesce("n_ref_bi", F.lit(0)).cast("long").alias("n_ref_bi"),
+        _recall_bp(F.col("i1"), F.col("n_ref_uni")).alias("rouge1_bp"),
+        _recall_bp(F.col("i2"), F.col("n_ref_bi")).alias("rouge2_bp"))
+
+
+def rouge_overlap_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`rouge_overlap`; ``pairs_sql`` yields
+    (pair_id, candidate, reference). List-lambda form (fine at oracle
+    scale); bigram builds guard len >= 2 explicitly."""
+    def toks(col):
+        return (f"list_filter(string_split_regex(lower(coalesce({col}, "
+                f"'')), '{_ROUGE_SPACE}'), x -> x <> '')")
+
+    def bigrams(t):
+        return (f"case when len({t}) >= 2 then list_transform("
+                f"generate_series(1, len({t}) - 1), "
+                f"i -> {t}[i] || ' ' || {t}[i + 1]) "
+                f"else [] end")
+
+    def ninter(a, b):
+        return (f"len(list_filter(list_distinct({a}), "
+                f"x -> list_contains({b}, x)))")
+
+    return f"""
+with p as materialized (
+  select pair_id, {toks('candidate')} as tc, {toks('reference')} as tr
+  from ({pairs_sql})),
+g as materialized (
+  select pair_id, list_distinct(tr) as ur, list_distinct(tc) as uc,
+         list_distinct({bigrams('tr')}) as br,
+         list_distinct({bigrams('tc')}) as bc
+  from p)
+select pair_id,
+  cast(len(ur) as bigint) as n_ref_uni,
+  cast(len(br) as bigint) as n_ref_bi,
+  cast(case when len(ur) = 0 then 10000
+       else ({ninter('ur', 'uc')} * 10000) // len(ur) end as bigint)
+    as rouge1_bp,
+  cast(case when len(br) = 0 then 10000
+       else ({ninter('br', 'bc')} * 10000) // len(br) end as bigint)
+    as rouge2_bp
+from g
+"""

@@ -3260,3 +3260,87 @@ def test_dyad_census_pure_dag_has_zero_reciprocity(spark):
         [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string")
     r = dyad_census(df).collect()[0]
     assert r.n_mutual == 0 and r.reciprocity_ppm == 0 and r.n_null == 0
+
+
+def test_select_survivors_max_score_min_id_tiebreak(spark):
+    """Group 1: d2 and d3 tie on score 9 → d2 (min id) survives and
+    drops the other 40 tokens; singleton group keeps everything;
+    NULL-group row is excluded entirely."""
+    from cow_spark.operators.dedup import select_survivors
+
+    rows = [(1, "d1", 5, 10), (1, "d2", 9, 20), (1, "d3", 9, 30),
+            (2, "d4", 1, 7), (None, "dx", 99, 99)]
+    df = spark.createDataFrame(
+        rows, "group_id bigint, doc_id string, score bigint, "
+              "n_tokens bigint")
+    got = {r.group_id: r for r in select_survivors(df).collect()}
+    assert set(got) == {1, 2}
+    g1 = got[1]
+    assert (g1.survivor_id, g1.survivor_score) == ("d2", 9)
+    assert (g1.n_members, g1.kept_tokens, g1.dropped_tokens) == (3, 20, 40)
+    g2 = got[2]
+    assert (g2.survivor_id, g2.n_members, g2.dropped_tokens) == ("d4", 1, 0)
+
+
+def test_script_profile_dominance_and_ties(spark):
+    """Latin wins an exact tie with Cyrillic (canonical order); Greek
+    and digit dominance branches fire; symbol-only and empty docs land
+    in 'none' with the remainder counted as other."""
+    from cow_spark.operators.quality import script_profile
+
+    docs = ["abc где",          # latin 3 = cyrillic 3 tie
+            "αβγ a",              # greek 3 > latin 1
+            "中文 12 34",                # digit 4 > han 2
+            "!!!",                                # none, other=3
+            ""]                                   # none, all zero
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = {r.script: r for r in script_profile(df).collect()}
+    assert set(got) == {"latin", "greek", "digit", "none"}
+    assert got["latin"].n_docs == 1
+    assert (got["latin"].latin_chars, got["latin"].cyrillic_chars) == (3, 3)
+    assert got["greek"].greek_chars == 3
+    assert (got["digit"].digit_chars, got["digit"].han_chars) == (4, 2)
+    n = got["none"]
+    assert n.n_docs == 2 and n.other_chars == 3 and n.space_chars == 0
+
+
+def test_judge_kappa_hand_case_and_degenerates(spark):
+    """6 ratings, 4 agreements, marginal product 20 → kappa exactly
+    1/4; both-constant table degenerates to 10^6; perfect
+    disagreement on a symmetric 2x2 floors to −10^6."""
+    from cow_spark.plans.parity import judge_kappa
+
+    rows = [("a", "a")] * 3 + [("b", "b")] + [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(rows, "label_a string, label_b string")
+    r = judge_kappa(df).collect()[0]
+    assert (r.n, r.n_agree) == (6, 4)
+    assert r.po_ppm == 666_666          # floor(4e6/6)
+    assert r.pe_ppm == 555_555          # floor(20e6/36)
+    assert r.kappa_ppm == 250_000       # (24-20)/(36-20) exactly
+
+    const = spark.createDataFrame([("x", "x")] * 4,
+                                  "label_a string, label_b string")
+    assert judge_kappa(const).collect()[0].kappa_ppm == 1_000_000
+
+    anti = spark.createDataFrame([("a", "b"), ("b", "a")],
+                                 "label_a string, label_b string")
+    assert judge_kappa(anti).collect()[0].kappa_ppm == -1_000_000
+
+
+def test_rouge_overlap_hand_case_and_empty_reference(spark):
+    """'the cat on mat' vs 'the cat sat on the mat': 4/5 distinct
+    unigrams, 1/5 distinct bigrams; empty reference scores 10^4 by
+    convention and an empty candidate scores 0."""
+    from cow_spark.plans.parity import rouge_overlap
+
+    rows = [(1, "the cat on mat", "the cat sat on the mat"),
+            (2, "whatever", ""),
+            (3, "", "a b")]
+    df = spark.createDataFrame(
+        rows, "pair_id bigint, candidate string, reference string")
+    got = {r.pair_id: r for r in rouge_overlap(df).collect()}
+    r1 = got[1]
+    assert (r1.n_ref_uni, r1.n_ref_bi) == (5, 5)
+    assert (r1.rouge1_bp, r1.rouge2_bp) == (8_000, 2_000)
+    assert (got[2].rouge1_bp, got[2].rouge2_bp) == (10_000, 10_000)
+    assert (got[3].rouge1_bp, got[3].rouge2_bp) == (0, 0)
