@@ -10825,6 +10825,111 @@ def _sql_rouge_overlap() -> str:
         "from documents where doc_id % 10 = 0")
 
 
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free scorer acceptance (parity.py:score_auc): every
+    third document is 'positive' and its score shifts up by 10 over a
+    0..39 base, so the classes overlap heavily with dense cross-class
+    ties — wins, ties, and the floor-scaled Mann-Whitney AUC must all
+    replay as exact integers."""
+    from cow_spark.plans.parity import score_auc
+
+    d = _load(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("doc_id") % 3 == 0).alias("is_pos"),
+        (F.col("n_chars") % 40
+         + F.when(F.col("doc_id") % 3 == 0, 10).otherwise(0))
+        .cast("long").alias("score"))
+    return score_auc(scored)
+
+
+def _sql_score_auc() -> str:
+    from cow_spark.plans.parity import score_auc_oracle_sql
+
+    return score_auc_oracle_sql(
+        "select n_chars % 40 + case when doc_id % 3 = 0 then 10 "
+        "else 0 end as s, doc_id % 3 = 0 as pos from documents")
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class P/R/F1 margins (parity.py:classifier_eval): the
+    predictor copies the order priority except every 5th key collapses
+    to '3-MEDIUM' and every 11th to the out-of-vocabulary '9-OTHER' —
+    one class gains spurious predictions, one has zero gold, and the
+    macro row averages over the full class union."""
+    from cow_spark.plans.parity import classifier_eval
+
+    o = _load(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_orderpriority").alias("gold"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("3-MEDIUM"))
+        .when(F.col("o_orderkey") % 11 == 0, F.lit("9-OTHER"))
+        .otherwise(F.col("o_orderpriority")).alias("pred"))
+    return classifier_eval(pairs)
+
+
+def _sql_classifier_eval() -> str:
+    from cow_spark.plans.parity import classifier_eval_oracle_sql
+
+    return classifier_eval_oracle_sql(
+        "select o_orderpriority as gold, case "
+        "when o_orderkey % 5 = 0 then '3-MEDIUM' "
+        "when o_orderkey % 11 = 0 then '9-OTHER' "
+        "else o_orderpriority end as pred from orders")
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-drift KS distance (parity.py:ks_test): even documents
+    score over 0..29, odd documents over 7..36 (a genuine location
+    shift), and every 97th document lands in a third slice the
+    explicit group names must ignore — D, its ppm scale, and the
+    smallest attaining split score replay exactly."""
+    from cow_spark.plans.parity import ks_test
+
+    d = _load(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(F.col("doc_id") % 97 == 0, F.lit("c"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("grp"),
+        (F.col("n_chars") % 30
+         + F.when(F.col("doc_id") % 2 == 0, 0).otherwise(7))
+        .cast("long").alias("score"))
+    return ks_test(scored, "grp", "score")
+
+
+def _sql_ks_test() -> str:
+    from cow_spark.plans.parity import ks_test_oracle_sql
+
+    return ks_test_oracle_sql(
+        "select case when doc_id % 97 = 0 then 'c' "
+        "when doc_id % 2 = 0 then 'a' else 'b' end as grp, "
+        "n_chars % 30 + case when doc_id % 2 = 0 then 0 else 7 end "
+        "as s from documents")
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO pair mining (dialogue.py:preference_pairs): documents
+    bucketed into 211 'prompts' with scores mod 37 — dense ties make
+    the min-id/max-id extreme selection and the gap>=1 margin filter
+    do real work on nearly every group."""
+    from cow_spark.operators.dialogue import preference_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    r = d.select(
+        (F.col("doc_id") % 211).cast("long").alias("prompt_id"),
+        F.col("doc_id").cast("string").alias("resp_id"),
+        (F.col("n_chars") % 37).cast("long").alias("score"))
+    return preference_pairs(r)
+
+
+def _sql_preference_pairs() -> str:
+    from cow_spark.operators.dialogue import preference_pairs_oracle_sql
+
+    return preference_pairs_oracle_sql(
+        "select doc_id % 211 as prompt_id, "
+        "cast(doc_id as varchar) as rid, n_chars % 37 as score "
+        "from documents")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -11076,6 +11181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "judge_kappa": q_judge_kappa,
         "rouge_overlap": q_rouge_overlap,
+        "score_auc": q_score_auc,
+        "classifier_eval": q_classifier_eval,
+        "ks_test": q_ks_test,
+        "preference_pairs": q_preference_pairs,
     }
 
 
@@ -11311,4 +11420,8 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _sql_script_profile(),
         "judge_kappa": _sql_judge_kappa(),
         "rouge_overlap": _sql_rouge_overlap(),
+        "score_auc": _sql_score_auc(),
+        "classifier_eval": _sql_classifier_eval(),
+        "ks_test": _sql_ks_test(),
+        "preference_pairs": _sql_preference_pairs(),
     }

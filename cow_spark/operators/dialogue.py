@@ -698,3 +698,85 @@ def turn_gaps(transcripts: DataFrame) -> DataFrame:
                  ((s - F.pmod(s, n)) / n).cast("long").alias("mean_us"),
                  F.min("_gap").cast("long").alias("min_us"),
                  F.max("_gap").cast("long").alias("max_us")))
+
+
+def preference_pairs(
+    responses: DataFrame,
+    prompt_col: str = "prompt_id",
+    id_col: str = "resp_id",
+    score_col: str = "score",
+    min_gap: int = 1,
+) -> DataFrame:
+    """DPO/RLHF preference-pair mining: for every prompt with several
+    scored responses (regenerations, A/B samples, judge-rated
+    candidates), emit ONE (chosen, rejected) pair — the best and the
+    worst response — when the score gap clears ``min_gap``. This is
+    the selection step between judge scoring (:func:`~cow_spark.plans
+    .parity.judge_kappa` validates the judge) and preference-tuning
+    data: a pair whose gap is inside the judge's noise band is label
+    noise, hence the explicit margin.
+
+    Both extremes ride ONE partial-aggregable groupBy (the
+    :func:`~cow_spark.operators.dedup.select_survivors` shape — no
+    window sort): chosen = min(struct(−score, id)) (max score, min-id
+    tie-break), rejected = max(struct(−score, id)) (min score, max-id
+    tie-break) — under an all-tied group the two ends land on
+    different ids, and the gap filter then drops the pair unless
+    ``min_gap == 0`` (document-your-noise default is 1). NULL
+    prompt/id/score rows are excluded; single-response prompts never
+    pair.
+
+    Scale shape: one group-keyed shuffle with map-side combine; the
+    output is prompt-bounded (≤1 row per prompt) at any corpus size.
+
+    Returns ``(prompt_id, n_candidates, chosen_id, chosen_score,
+    rejected_id, rejected_score, gap)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    p, i, s = F.col(prompt_col), F.col(id_col), F.col(score_col)
+    base = (responses
+            .where(p.isNotNull() & i.isNotNull() & s.isNotNull())
+            .select(p.alias("prompt_id"), i.alias("rid"),
+                    s.cast("long").alias("score")))
+    key = F.struct((-F.col("score")).alias("ns"),
+                   F.col("rid").alias("rid"))
+    g = base.groupBy("prompt_id").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.min(key).alias("top"),
+        F.max(key).alias("bot"))
+    out = g.select(
+        "prompt_id", "n_candidates",
+        F.col("top.rid").alias("chosen_id"),
+        (-F.col("top.ns")).cast("long").alias("chosen_score"),
+        F.col("bot.rid").alias("rejected_id"),
+        (-F.col("bot.ns")).cast("long").alias("rejected_score"),
+        (F.col("bot.ns") - F.col("top.ns")).cast("long").alias("gap"))
+    return out.where((F.col("n_candidates") >= 2)
+                     & (F.col("gap") >= int(min_gap)))
+
+
+def preference_pairs_oracle_sql(responses_sql: str,
+                                min_gap: int = 1) -> str:
+    """DuckDB twin of :func:`preference_pairs`; ``responses_sql``
+    yields (prompt_id, rid, score)."""
+    return f"""
+with b as materialized (
+  select prompt_id, rid, cast(score as bigint) as score
+  from ({responses_sql})
+  where prompt_id is not null and rid is not null
+    and score is not null),
+g as (
+  select prompt_id,
+         cast(count(*) as bigint) as n_candidates,
+         min(struct_pack(ns := -score, rid := rid)) as top,
+         max(struct_pack(ns := -score, rid := rid)) as bot
+  from b group by prompt_id)
+select prompt_id, n_candidates,
+       top.rid as chosen_id,
+       cast(-top.ns as bigint) as chosen_score,
+       bot.rid as rejected_id,
+       cast(-bot.ns as bigint) as rejected_score,
+       cast(bot.ns - top.ns as bigint) as gap
+from g
+where n_candidates >= 2 and bot.ns - top.ns >= {int(min_gap)}
+"""

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..model import object_term
 
@@ -554,4 +555,328 @@ select pair_id,
        else ({ninter('br', 'bc')} * 10000) // len(br) end as bigint)
     as rouge2_bp
 from g
+"""
+
+
+def score_auc(
+    scored: DataFrame,
+    label_col: str = "is_pos",
+    score_col: str = "score",
+) -> DataFrame:
+    """Binary ROC-AUC of a quality/classifier score — the
+    threshold-free counterpart of :func:`classifier_eval` and the
+    acceptance metric for every scorer feeding a corpus gate
+    (`classifier_score`, `lm_surprisal`, `dsir`): AUC is exactly the
+    Mann-Whitney probability P(score⁺ > score⁻) + ½·P(=), so it
+    reads straight off per-score class counts — no pair table.
+
+    Exact integer arithmetic: aggregate to one row per DISTINCT
+    score (cp, cn), a running sum of negatives strictly below, then
+    wins = Σ cp·cum_cn_below and ties = Σ cp·cn give
+    ``auc_ppm = floor((2·wins + ties)·10⁶ / (2·n_pos·n_neg))``.
+    One class absent ⇒ 500 000 (coin-flip) by convention.
+
+    Scale shape: one linear scan with a map-side combine down to
+    |distinct scores| rows, then ONE unpartitioned running-sum
+    window over that bounded table — callers feed DISCRETIZED scores
+    (the repo's scorers emit ppm/bp integers already; bucket raw
+    doubles first), so the single window task is vocabulary-sized,
+    never corpus-sized. Overflow contract: 2·n_pos·n_neg·10⁶ < 2⁶³
+    ⇒ n ≲ 4·10⁶ rows — sample beyond that; ANSI raises loudly.
+
+    Returns one row ``(n_pos, n_neg, tie_pairs, auc_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (scored
+            .where(F.col(label_col).isNotNull()
+                   & F.col(score_col).isNotNull())
+            .select(F.col(score_col).alias("s"),
+                    F.col(label_col).cast("boolean").alias("pos")))
+    per = base.groupBy("s").agg(
+        F.sum(F.col("pos").cast("long")).cast("long").alias("cp"),
+        F.sum((~F.col("pos")).cast("long")).cast("long").alias("cn"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    per = per.withColumn(
+        "below", F.coalesce(F.sum("cn").over(w), F.lit(0)))
+    agg = per.agg(
+        F.coalesce(F.sum("cp"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("cn"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(F.sum(F.col("cp") * F.col("below")), F.lit(0))
+        .cast("long").alias("wins"),
+        F.coalesce(F.sum(F.col("cp") * F.col("cn")), F.lit(0))
+        .cast("long").alias("tie_pairs"))
+    num = (F.lit(2) * F.col("wins") + F.col("tie_pairs")) \
+        * F.lit(1_000_000)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos", "n_neg", "tie_pairs",
+        F.when(den == 0, F.lit(500_000))
+        .otherwise(((num - F.pmod(num, den)) / den).cast("long"))
+        .cast("long").alias("auc_ppm"))
+
+
+def score_auc_oracle_sql(scored_sql: str) -> str:
+    """DuckDB twin of :func:`score_auc`; ``scored_sql`` yields
+    (s, pos). Products cast to bigint pre-divide — no HUGEINT out."""
+    return f"""
+with b as materialized (
+  select s, pos from ({scored_sql})
+  where s is not null and pos is not null),
+per as (
+  select s,
+         cast(sum(case when pos then 1 else 0 end) as bigint) as cp,
+         cast(sum(case when pos then 0 else 1 end) as bigint) as cn
+  from b group by s),
+run as (
+  select cp, cn,
+         cast(coalesce(sum(cn) over (order by s
+           rows between unbounded preceding and 1 preceding), 0)
+           as bigint) as below
+  from per),
+agg as (
+  select cast(coalesce(sum(cp), 0) as bigint) as n_pos,
+         cast(coalesce(sum(cn), 0) as bigint) as n_neg,
+         cast(coalesce(sum(cp * below), 0) as bigint) as wins,
+         cast(coalesce(sum(cp * cn), 0) as bigint) as tie_pairs
+  from run)
+select n_pos, n_neg, tie_pairs,
+  cast(case when n_pos * n_neg = 0 then 500000
+       else ((2 * wins + tie_pairs) * 1000000)
+            // (2 * n_pos * n_neg) end as bigint) as auc_ppm
+from agg
+"""
+
+
+def classifier_eval(
+    pairs: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class precision / recall / F1 of a categorical predictor
+    against gold labels, plus a ``<macro>`` summary row — the
+    confusion-matrix margins every labeling stage (speech acts, code
+    router, language ID, LLM-judge rubrics) is accepted or rejected
+    on.
+
+    Exact ppm integers via the harmonic identity
+    ``F1 = 2·tp / (n_gold + n_pred)`` — a single floor, no nested
+    rounding; precision/recall floor over their own margins, with a
+    0-denominator reading 0 (an unpredicted class has no precision
+    claim). The macro row is the floor-of-mean of the per-class
+    f1_ppm values over the class union — deterministic
+    floor-of-floors, replayed identically by the twin.
+
+    Scale shape: ONE corpus scan exploded to (role, class) charges
+    ('g' gold margin, 'p' pred margin, 't' diagonal) with a
+    map-side combine to the class-vocabulary-sized pivot; the macro
+    row re-aggregates that bounded pivot (the union re-executes only
+    the vocabulary-sized agg, never a second corpus scan, because
+    the exploded base is persisted — release via
+    :func:`~cow_spark.operators.dedup.release`).
+
+    Returns per-class rows + the macro row:
+    ``(label, n_gold, n_pred, tp, prec_ppm, rec_ppm, f1_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from ..operators.dedup import _attach_persisted
+
+    g, p = F.col(gold_col), F.col(pred_col)
+    base = (pairs.where(g.isNotNull() & p.isNotNull())
+            .select(F.explode(F.array(
+                F.struct(F.lit("g").alias("role"), g.alias("k")),
+                F.struct(F.lit("p").alias("role"), p.alias("k")),
+                F.struct(F.when(g == p, F.lit("t")).alias("role"),
+                         g.alias("k")),
+            )).alias("c"))
+            .where(F.col("c.role").isNotNull())
+            .select("c.role", "c.k"))
+    cls = (base.groupBy("k").agg(
+        F.sum((F.col("role") == "g").cast("long")).cast("long")
+        .alias("n_gold"),
+        F.sum((F.col("role") == "p").cast("long")).cast("long")
+        .alias("n_pred"),
+        F.sum((F.col("role") == "t").cast("long")).cast("long")
+        .alias("tp"))).persist()
+
+    def _ppm0(num, den):
+        num = num * F.lit(1_000_000)
+        return (F.when(den == 0, F.lit(0))
+                .otherwise((num - F.pmod(num, den)) / den)
+                .cast("long"))
+
+    per = cls.select(
+        F.col("k").alias("label"), "n_gold", "n_pred", "tp",
+        _ppm0(F.col("tp"), F.col("n_pred")).alias("prec_ppm"),
+        _ppm0(F.col("tp"), F.col("n_gold")).alias("rec_ppm"),
+        _ppm0(F.lit(2) * F.col("tp"),
+              F.col("n_gold") + F.col("n_pred")).alias("f1_ppm"))
+    macro = per.agg(
+        F.sum("n_gold").cast("long").alias("n_gold"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        _ppm0(F.sum("prec_ppm"),
+              F.count("*") * F.lit(1_000_000)).alias("prec_ppm"),
+        _ppm0(F.sum("rec_ppm"),
+              F.count("*") * F.lit(1_000_000)).alias("rec_ppm"),
+        _ppm0(F.sum("f1_ppm"),
+              F.count("*") * F.lit(1_000_000)).alias("f1_ppm"))
+    macro = macro.select(F.lit("<macro>").alias("label"), "n_gold",
+                         "n_pred", "tp", "prec_ppm", "rec_ppm",
+                         "f1_ppm")
+    return _attach_persisted(per.unionByName(macro), cls)
+
+
+def classifier_eval_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`classifier_eval`; ``pairs_sql`` yields
+    (gold, pred)."""
+    return f"""
+with b as materialized (
+  select gold, pred from ({pairs_sql})
+  where gold is not null and pred is not null),
+cls as materialized (
+  select k,
+         cast(sum(case when role = 'g' then 1 else 0 end) as bigint)
+           as n_gold,
+         cast(sum(case when role = 'p' then 1 else 0 end) as bigint)
+           as n_pred,
+         cast(sum(case when role = 't' then 1 else 0 end) as bigint)
+           as tp
+  from (
+    select 'g' as role, gold as k from b
+    union all
+    select 'p' as role, pred as k from b
+    union all
+    select 't' as role, gold as k from b where gold = pred)
+  group by k),
+per as materialized (
+  select k as label, n_gold, n_pred, tp,
+    cast(case when n_pred = 0 then 0
+         else (tp * 1000000) // n_pred end as bigint) as prec_ppm,
+    cast(case when n_gold = 0 then 0
+         else (tp * 1000000) // n_gold end as bigint) as rec_ppm,
+    cast(case when n_gold + n_pred = 0 then 0
+         else (2 * tp * 1000000) // (n_gold + n_pred) end as bigint)
+      as f1_ppm
+  from cls)
+select label, n_gold, n_pred, tp, prec_ppm, rec_ppm, f1_ppm from per
+union all
+select '<macro>',
+  cast(sum(n_gold) as bigint), cast(sum(n_pred) as bigint),
+  cast(sum(tp) as bigint),
+  cast(case when count(*) = 0 then 0
+       else sum(prec_ppm) // count(*) end as bigint),
+  cast(case when count(*) = 0 then 0
+       else sum(rec_ppm) // count(*) end as bigint),
+  cast(case when count(*) = 0 then 0
+       else sum(f1_ppm) // count(*) end as bigint)
+from per
+"""
+
+
+def ks_test(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the score
+    distributions of two named slices — the drift test
+    :func:`~cow_spark.operators.terms.corpus_drift`'s binned profile
+    can't give you: D = max_s |F_a(s) − F_b(s)| over the EXACT
+    empirical CDFs, plus the score where the gap peaks (the natural
+    threshold for a slice-aware gate).
+
+    Exact integers: per distinct score (ca, cb), inclusive running
+    sums (Ca, Cb), D's numerator is max |n_b·Ca − n_a·Cb| and
+    ``d_ppm = floor(max·10⁶ / (n_a·n_b))``; the argmax reports the
+    smallest attaining score (max(struct(diff, −s)) — deterministic
+    under ties). Either slice empty ⇒ 10⁶ (maximally distinguishable)
+    by convention. Group values outside {a, b} are ignored —
+    explicit slice names, no silent 2-group assumption.
+
+    Scale shape mirrors :func:`score_auc`: one scan → per-distinct-
+    score combine → one bounded unpartitioned running-sum window
+    (discretized integer scores). Overflow: n_a·n_b·10⁶ < 2⁶³.
+
+    Returns one row ``(n_a, n_b, d_ppm, split_score)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (scored
+            .where(F.col(group_col).isin(a, b)
+                   & F.col(score_col).isNotNull())
+            .select(F.col(score_col).cast("long").alias("s"),
+                    (F.col(group_col) == a).alias("ga")))
+    per = base.groupBy("s").agg(
+        F.sum(F.col("ga").cast("long")).cast("long").alias("ca"),
+        F.sum((~F.col("ga")).cast("long")).cast("long").alias("cb"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    per = per.select(
+        "s",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"))
+    tot = per.agg(F.coalesce(F.max("cum_a"), F.lit(0)).alias("n_a"),
+                  F.coalesce(F.max("cum_b"), F.lit(0)).alias("n_b"))
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "s", "n_a", "n_b",
+        F.abs(F.col("n_b") * F.col("cum_a")
+              - F.col("n_a") * F.col("cum_b")).alias("diff"))
+    agg = j.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("diff"), (-F.col("s")).alias("ns")))
+        .alias("m"))
+    num = F.col("m.diff") * F.lit(1_000_000)
+    den = F.col("n_a") * F.col("n_b")
+    out = agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(den == 0, F.lit(1_000_000))
+        .otherwise(((num - F.pmod(num, den)) / den).cast("long"))
+        .cast("long").alias("d_ppm"),
+        (-F.col("m.ns")).cast("long").alias("split_score"))
+    empty = tot.where((F.col("n_a") + F.col("n_b")) == 0).select(
+        F.lit(0).cast("long").alias("n_a"),
+        F.lit(0).cast("long").alias("n_b"),
+        F.lit(1_000_000).cast("long").alias("d_ppm"),
+        F.lit(0).cast("long").alias("split_score"))
+    return out.unionByName(empty)
+
+
+def ks_test_oracle_sql(scored_sql: str, a: str = "a",
+                       b: str = "b") -> str:
+    """DuckDB twin of :func:`ks_test`; ``scored_sql`` yields
+    (grp, s)."""
+    return f"""
+with base as materialized (
+  select cast(s as bigint) as s, grp = '{a}' as ga
+  from ({scored_sql})
+  where grp in ('{a}', '{b}') and s is not null),
+per as (
+  select s,
+         cast(sum(case when ga then 1 else 0 end) as bigint) as ca,
+         cast(sum(case when ga then 0 else 1 end) as bigint) as cb
+  from base group by s),
+run as materialized (
+  select s,
+         cast(sum(ca) over (order by s) as bigint) as cum_a,
+         cast(sum(cb) over (order by s) as bigint) as cum_b
+  from per),
+tot as materialized (
+  select cast(coalesce(max(cum_a), 0) as bigint) as n_a,
+         cast(coalesce(max(cum_b), 0) as bigint) as n_b from run),
+diffs as materialized (
+  select s, n_a, n_b,
+         abs(n_b * cum_a - n_a * cum_b) as diff
+  from run cross join tot),
+agg as (
+  select n_a, n_b, max(diff) as maxd,
+         cast(min(case when diff = (select max(diff) from diffs)
+                  then s end) as bigint) as split_score
+  from diffs group by n_a, n_b)
+select n_a, n_b,
+  cast(case when n_a * n_b = 0 then 1000000
+       else (maxd * 1000000) // (n_a * n_b) end as bigint) as d_ppm,
+  split_score
+from agg
+union all
+select 0, 0, 1000000, 0 from tot where n_a + n_b = 0
 """

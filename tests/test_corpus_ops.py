@@ -3344,3 +3344,80 @@ def test_rouge_overlap_hand_case_and_empty_reference(spark):
     assert (r1.rouge1_bp, r1.rouge2_bp) == (8_000, 2_000)
     assert (got[2].rouge1_bp, got[2].rouge2_bp) == (10_000, 10_000)
     assert (got[3].rouge1_bp, got[3].rouge2_bp) == (0, 0)
+
+
+def test_score_auc_hand_case_and_degenerate(spark):
+    """pos {1,2,4} vs neg {1,3}: 3 wins + 1 tie of 6 pairs →
+    583333 ppm; an all-positive table reads the 500000 coin-flip
+    convention."""
+    from cow_spark.plans.parity import score_auc
+
+    rows = [(1, True), (1, False), (2, True), (3, False), (4, True)]
+    df = spark.createDataFrame(rows, "score long, is_pos boolean")
+    r = score_auc(df).collect()[0]
+    assert (r.n_pos, r.n_neg, r.tie_pairs) == (3, 2, 1)
+    assert r.auc_ppm == 583_333
+
+    onesided = spark.createDataFrame([(5, True), (7, True)],
+                                     "score long, is_pos boolean")
+    assert score_auc(onesided).collect()[0].auc_ppm == 500_000
+
+
+def test_classifier_eval_margins_and_macro(spark):
+    """gold aabbc / pred abbba: per-class harmonic-identity F1s and
+    the floor-of-mean macro row over the 3-class union; class c has
+    zero predictions and scores 0 across the board."""
+    from cow_spark.plans.parity import classifier_eval
+    from cow_spark.operators.dedup import release
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    out = classifier_eval(df)
+    got = {r.label: r for r in out.collect()}
+    release(out)
+    assert set(got) == {"a", "b", "c", "<macro>"}
+    assert (got["a"].prec_ppm, got["a"].rec_ppm, got["a"].f1_ppm) == \
+        (500_000, 500_000, 500_000)
+    assert (got["b"].prec_ppm, got["b"].rec_ppm, got["b"].f1_ppm) == \
+        (666_666, 1_000_000, 800_000)
+    assert (got["c"].n_pred, got["c"].f1_ppm) == (0, 0)
+    m = got["<macro>"]
+    assert (m.n_gold, m.tp) == (5, 3)
+    assert (m.prec_ppm, m.f1_ppm) == (388_888, 433_333)
+
+
+def test_ks_test_split_score_and_ignored_group(spark):
+    """a={1,2} b={2,5}: D peaks at 1/2 first at score 1; rows in a
+    third group are ignored, an empty b side reads the 10^6
+    convention."""
+    from cow_spark.plans.parity import ks_test
+
+    rows = [("a", 1), ("a", 2), ("b", 2), ("b", 5), ("zz", 1)]
+    df = spark.createDataFrame(rows, "grp string, score long")
+    r = ks_test(df, "grp", "score").collect()[0]
+    assert (r.n_a, r.n_b, r.d_ppm, r.split_score) == (2, 2, 500_000, 1)
+
+    a_only = spark.createDataFrame([("a", 3)], "grp string, score long")
+    assert ks_test(a_only, "grp", "score").collect()[0].d_ppm == 1_000_000
+
+
+def test_preference_pairs_tiebreaks_and_margin(spark):
+    """Prompt 1: chosen = min-id of the tied best, rejected = the
+    worst; an all-tied prompt yields gap 0 and is dropped at
+    min_gap=1 but kept at 0; singletons never pair."""
+    from cow_spark.operators.dialogue import preference_pairs
+
+    rows = [(1, "b", 9), (1, "c", 9), (1, "a", 5),
+            (2, "d", 1), (2, "e", 1), (3, "f", 4)]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, resp_id string, score long")
+    got = {r.prompt_id: r for r in preference_pairs(df).collect()}
+    assert set(got) == {1}
+    p1 = got[1]
+    assert (p1.chosen_id, p1.chosen_score) == ("b", 9)
+    assert (p1.rejected_id, p1.rejected_score, p1.gap) == ("a", 5, 4)
+
+    loose = {r.prompt_id: r
+             for r in preference_pairs(df, min_gap=0).collect()}
+    assert set(loose) == {1, 2}
+    assert (loose[2].chosen_id, loose[2].rejected_id) == ("d", "e")
