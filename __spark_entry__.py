@@ -10930,6 +10930,165 @@ def _sql_preference_pairs() -> str:
         "from documents")
 
 
+def q_triad_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-triad census (graphrank.py:triad_motifs) over a 60-node
+    circulant digraph: step set chosen so every motif family provably
+    occurs — {5,9,14} composes transitively (030T), {5,22,33} sums to
+    60 (030C), {7,12,19} carries all three reverses (300), {19,22,41}
+    exactly two (210), {9,12,21} with 12 mutual yields both 120D and
+    120U, {14,5,19} yields 120C. Step index k%13 is coprime with the
+    node index k%60, so orders cover the (node, step) grid."""
+    from cow_spark.operators.graphrank import triad_motifs
+
+    o = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    steps = F.array(*[F.lit(x) for x in _TRIAD_STEPS])
+    x = (k % 60)
+    d = (x + F.element_at(steps, (k % 13 + 1).cast("int"))) % 60
+    e = o.select(
+        F.concat(F.lit("n"), x.cast("string")).alias("src"),
+        F.concat(F.lit("n"), d.cast("string")).alias("dst"))
+    return triad_motifs(e)
+
+
+_TRIAD_STEPS = [7, 19, 12, 9, 21, 53, 48, 41, 22, 5, 33, 14, 30]
+
+
+def _sql_triad_motifs() -> str:
+    from cow_spark.operators.graphrank import triad_motifs_oracle_sql
+
+    lst = "[" + ", ".join(str(x) for x in _TRIAD_STEPS) + "]"
+    return triad_motifs_oracle_sql(
+        f"select 'n' || cast(o_orderkey % 60 as varchar) as src, "
+        f"'n' || cast((o_orderkey % 60 + {lst}[cast(o_orderkey % 13 "
+        f"as int) + 1]) % 60 as varchar) as dst from orders")
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (sessionize.py:basket_rules) over event
+    baskets: every 6 consecutive event ids form one basket (an
+    sf-invariant shape), items are the 5 event types, so per-basket
+    distinct counts range 1..5 and max_basket_size=4 excludes the
+    full-vocabulary baskets — support/confidence/lift replay over
+    the surviving sub-population, not the raw table."""
+    from cow_spark.operators.sessionize import basket_rules
+
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("long")
+    b = e.select(((eid - F.pmod(eid, F.lit(6))) / 6).cast("long")
+                 .alias("basket"),
+                 F.col("event_type").alias("item"))
+    return basket_rules(b, "basket", "item",
+                        min_count=2, max_basket_size=4)
+
+
+def _sql_basket_rules() -> str:
+    from cow_spark.operators.sessionize import basket_rules_oracle_sql
+
+    return basket_rules_oracle_sql(
+        "select event_id // 6 as bk, event_type as it from events",
+        min_count=2, max_basket_size=4)
+
+
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (sessionize.py:cusum_alarm) per user-key
+    series: a deterministic 0..10 value with a +6 boost on every 5th
+    event id, ref 5 / slack 1 / threshold 12 — the prefix-sum minus
+    running-min identity must replay the sequential recursion
+    exactly, including resets to zero."""
+    from cow_spark.operators.sessionize import cusum_alarm
+
+    e = _load(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("long")
+    s = e.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 97).cast("string"))
+        .alias("key"),
+        eid.alias("seq"),
+        ((eid * 31) % 11
+         + F.when(eid % 5 == 0, 6).otherwise(0)).cast("long")
+        .alias("value"))
+    return cusum_alarm(s, ref=5, slack=1, threshold=12)
+
+
+def _sql_cusum_alarm() -> str:
+    from cow_spark.operators.sessionize import cusum_alarm_oracle_sql
+
+    return cusum_alarm_oracle_sql(
+        "select 'u' || cast(user_id % 97 as varchar) as key, "
+        "event_id as seq, "
+        "(event_id * 31) % 11 + case when event_id % 5 = 0 "
+        "then 6 else 0 end as value from events",
+        ref=5, slack=1, threshold=12)
+
+
+_DRI_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def q_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction (stats.py:domain_range_infer) from customer
+    instance data: customers are Person (%3=0) or Org, additionally
+    Agent on %5=0 (multi-typing charges each type), untyped on %7=0;
+    nation objects are typed, segment objects are not — plurality
+    types, ppm supports, and the literal/IRI split all graded."""
+    from cow_spark.plans.stats import domain_range_infer
+
+    c = _load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    ciri = F.concat(F.lit("c"), ck.cast("string"))
+    niri = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+
+    def q(s, p, kind, lex):
+        return [s.alias("s"), p.alias("p"),
+                F.lit(kind).alias("o_kind"), lex.alias("o_lex"),
+                F.lit(None).cast("string").alias("o_dt"),
+                F.lit(None).cast("string").alias("o_lang")]
+
+    t = F.lit(_DRI_TYPE)
+    quads = (
+        c.where(ck % 7 != 0).select(*q(
+            ciri, t, "iri",
+            F.when(ck % 3 == 0, "Person").otherwise(F.lit("Org"))))
+        .unionByName(c.where((ck % 7 != 0) & (ck % 5 == 0))
+                     .select(*q(ciri, t, "iri", F.lit("Agent"))))
+        .unionByName(c.select(*q(niri, t, "iri", F.lit("Nation"))))
+        .unionByName(c.select(*q(ciri, F.lit("in_nation"), "iri",
+                                 niri)))
+        .unionByName(c.select(*q(ciri, F.lit("name"), "lit",
+                                 F.col("c_name"))))
+        .unionByName(c.select(*q(
+            ciri, F.lit("segment"), "iri",
+            F.concat(F.lit("seg/"), F.col("c_mktsegment")))))
+    ).select(F.lit(None).cast("string").alias("g"), "s", "p",
+             "o_kind", "o_lex", "o_dt", "o_lang")
+    return domain_range_infer(quads)
+
+
+def _sql_domain_range() -> str:
+    from cow_spark.plans.stats import domain_range_infer_oracle_sql
+
+    return domain_range_infer_oracle_sql(f"""
+select 'c' || cast(c_custkey as varchar) as s, '{_DRI_TYPE}' as p,
+       'iri' as o_kind,
+       case when c_custkey % 3 = 0 then 'Person' else 'Org' end as o_lex
+from customer where c_custkey % 7 <> 0
+union all
+select 'c' || cast(c_custkey as varchar), '{_DRI_TYPE}', 'iri', 'Agent'
+from customer where c_custkey % 7 <> 0 and c_custkey % 5 = 0
+union all
+select 'n' || cast(c_nationkey as varchar), '{_DRI_TYPE}', 'iri',
+       'Nation' from customer
+union all
+select 'c' || cast(c_custkey as varchar), 'in_nation', 'iri',
+       'n' || cast(c_nationkey as varchar) from customer
+union all
+select 'c' || cast(c_custkey as varchar), 'name', 'lit', c_name
+from customer
+union all
+select 'c' || cast(c_custkey as varchar), 'segment', 'iri',
+       'seg/' || c_mktsegment from customer
+""")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -11185,6 +11344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": q_classifier_eval,
         "ks_test": q_ks_test,
         "preference_pairs": q_preference_pairs,
+        "triad_motifs": q_triad_motifs,
+        "basket_rules": q_basket_rules,
+        "cusum_alarm": q_cusum_alarm,
+        "domain_range": q_domain_range,
     }
 
 
@@ -11424,4 +11587,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": _sql_classifier_eval(),
         "ks_test": _sql_ks_test(),
         "preference_pairs": _sql_preference_pairs(),
+        "triad_motifs": _sql_triad_motifs(),
+        "basket_rules": _sql_basket_rules(),
+        "cusum_alarm": _sql_cusum_alarm(),
+        "domain_range": _sql_domain_range(),
     }

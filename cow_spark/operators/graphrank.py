@@ -3881,3 +3881,141 @@ select cast(nt.threshold as bigint) as threshold, nt.n_rich, et.e_rich,
             end as bigint) as phi_ppm
 from nt join et using (threshold)
 """
+
+
+_TRIAD_MOTIFS = ["030T", "030C", "120D", "120U", "120C", "210", "300"]
+
+
+def triad_motifs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Closed-triad motif census of a directed graph — the seven
+    Holland-Leinhardt triad types whose underlying triangle is
+    complete (030T transitive, 030C cycle, 120D/120U/120C one-mutual,
+    210, 300), the next structural signature after
+    :func:`dyad_census`: feed-forward-heavy graphs (030T ≫ 030C) are
+    hierarchies/DAG-ish tool pipelines, cycle- and mutual-heavy ones
+    are conversational. Always emits all 7 rows (a zero cell is
+    evidence, not absence).
+
+    Shape: distinct directed edges collapse to canonical unordered
+    pairs carrying two direction bits (fwd = lo→hi, bwd = hi→lo);
+    triangles enumerate once on the undirected support via the
+    degree-ordered wedge join (:func:`_enumerate_triangles`'s m^1.5
+    bound); each triangle joins its three pair-bit rows back
+    (broadcast-eligible only for small graphs — these are equi-joins
+    on pair keys, shuffle-partitioned otherwise) and classifies with
+    pure boolean arithmetic: m = #mutual dyads picks {300, 210,
+    1-mutual, 0-mutual}; m=0 splits on the two cyclic orientations;
+    m=1 on the third node's out-degree toward the mutual pair
+    (2 → 120D "divergent", 0 → 120U "convergent", 1 → 120C — the
+    igraph/MAN naming: 120D = A←B→C with A↔C). One final
+    motif-sized agg.
+
+    Returns ``(motif, n_triangles)``, 7 rows.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    e = (edges.select(F.col(src).cast("string").alias("u"),
+                      F.col(dst).cast("string").alias("v"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    pair = (e.select(F.least("u", "v").alias("a"),
+                     F.greatest("u", "v").alias("b"),
+                     (F.col("u") < F.col("v")).alias("isf"))
+            .groupBy("a", "b").agg(
+                F.max(F.col("isf").cast("int")).alias("f"),
+                F.max((~F.col("isf")).cast("int")).alias("w")))
+    tri = _enumerate_triangles(pair.select("a", "b"))
+
+    def bits(lo, hi, fcol, wcol):
+        p = pair.select(F.col("a").alias(lo), F.col("b").alias(hi),
+                        F.col("f").alias(fcol), F.col("w").alias(wcol))
+        return p
+
+    t = (tri
+         .join(bits("x", "y", "xy_f", "xy_b"), ["x", "y"])
+         .join(bits("x", "z", "xz_f", "xz_b"), ["x", "z"])
+         .join(bits("y", "z", "yz_f", "yz_b"), ["y", "z"]))
+    m = ((F.col("xy_f") * F.col("xy_b"))
+         + (F.col("xz_f") * F.col("xz_b"))
+         + (F.col("yz_f") * F.col("yz_b")))
+    cyc = (((F.col("xy_f") == 1) & (F.col("yz_f") == 1)
+            & (F.col("xz_b") == 1))
+           | ((F.col("xy_b") == 1) & (F.col("yz_b") == 1)
+              & (F.col("xz_f") == 1)))
+    # m=1: out-degree of the non-mutual node toward the mutual pair
+    third_out = (
+        F.when((F.col("xy_f") * F.col("xy_b")) == 1,   # mutual=xy, w=z
+               F.col("xz_b") + F.col("yz_b"))
+        .when((F.col("xz_f") * F.col("xz_b")) == 1,    # mutual=xz, w=y
+              F.col("xy_b") + F.col("yz_f"))
+        .otherwise(F.col("xy_f") + F.col("xz_f"))      # mutual=yz, w=x
+    )
+    motif = (F.when(m == 3, F.lit("300"))
+             .when(m == 2, F.lit("210"))
+             .when(m == 1,
+                   F.when(third_out == 2, F.lit("120D"))
+                   .when(third_out == 0, F.lit("120U"))
+                   .otherwise(F.lit("120C")))
+             .otherwise(F.when(cyc, F.lit("030C"))
+                        .otherwise(F.lit("030T"))))
+    counts = (t.select(motif.alias("motif"))
+              .groupBy("motif").agg(F.count("*").cast("long")
+                                    .alias("n")))
+    frame = (edges.sparkSession.range(1)
+             .select(F.explode(F.array(
+                 *[F.lit(x) for x in _TRIAD_MOTIFS])).alias("motif")))
+    return (frame.join(counts, "motif", "left")
+            .select("motif",
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_triangles")))
+
+
+def triad_motifs_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triad_motifs`; ``edges_sql`` yields
+    (src, dst)."""
+    return f"""
+with de as materialized (
+  select distinct cast(src as varchar) as u, cast(dst as varchar) as v
+  from ({edges_sql})
+  where src is not null and dst is not null
+    and cast(src as varchar) <> cast(dst as varchar)),
+pair as materialized (
+  select least(u, v) as a, greatest(u, v) as b,
+         cast(max(case when u < v then 1 else 0 end) as int) as f,
+         cast(max(case when u < v then 0 else 1 end) as int) as w
+  from de group by 1, 2),
+tri as materialized (
+  select p1.a as x, p1.b as y, p2.b as z
+  from pair p1
+  join pair p2 on p2.a = p1.a and p2.b > p1.b
+  join pair p3 on p3.a = p1.b and p3.b = p2.b),
+lab as (
+  select
+    (exy.f * exy.w + exz.f * exz.w + eyz.f * eyz.w) as m,
+    ((exy.f = 1 and eyz.f = 1 and exz.w = 1)
+     or (exy.w = 1 and eyz.w = 1 and exz.f = 1)) as cyc,
+    case when exy.f * exy.w = 1 then exz.w + eyz.w
+         when exz.f * exz.w = 1 then exy.w + eyz.f
+         else exy.f + exz.f end as third_out
+  from tri
+  join pair exy on exy.a = tri.x and exy.b = tri.y
+  join pair exz on exz.a = tri.x and exz.b = tri.z
+  join pair eyz on eyz.a = tri.y and eyz.b = tri.z),
+cnt as (
+  select case when m = 3 then '300'
+              when m = 2 then '210'
+              when m = 1 then (case when third_out = 2 then '120D'
+                                    when third_out = 0 then '120U'
+                                    else '120C' end)
+              when cyc then '030C' else '030T' end as motif,
+         cast(count(*) as bigint) as n
+  from lab group by 1)
+select motif, cast(coalesce(n, 0) as bigint) as n_triangles
+from (values ('030T'), ('030C'), ('120D'), ('120U'), ('120C'),
+             ('210'), ('300')) fr(motif)
+left join cnt using (motif)
+"""

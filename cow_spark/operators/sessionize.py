@@ -326,3 +326,200 @@ def gap_fill(
         cols.append(F.last("bucket_val", ignorenulls=True).over(w)
                     .alias("last_val"))
     return j.select(*cols)
+
+
+def basket_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_count: int = 2,
+    max_basket_size: int = 256,
+) -> DataFrame:
+    """Association rules A→B over transactional baskets (a session's
+    tool calls, a conversation's entity mentions, a user's event
+    types): support, confidence, and lift in exact ppm — the
+    signal behind "sessions that call search also call fetch" style
+    co-usage findings, where raw co-counts mislead (lift corrects for
+    item popularity the way PMI does for collocations).
+
+    Scale discipline is apriori's: items below ``min_count`` baskets
+    never enter the pair join (frequent-item pruning), and baskets
+    larger than ``max_basket_size`` are EXCLUDED outright — at corpus
+    scale those are bots/logs, and one 10^5-item basket alone would
+    emit 10^10 pairs. Both caps are explicit parameters, not silent
+    defaults buried in the plan. The pair table is built by ONE
+    within-basket self-equijoin of the pruned item set; everything
+    else is group-keyed partial aggs.
+
+    Exactness: support = floor(c_ab·10⁶/n), confidence =
+    floor(c_ab·10⁶/c_a), lift = floor(c_ab·n·10⁶/(c_a·c_b)) — the
+    lift numerator needs c_ab·n·10⁶ < 2⁶³ ⇒ n_baskets·c_ab ≲ 9·10¹²;
+    sample beyond that (ANSI raises loudly, it does not wrap).
+
+    Returns ``(ante, cons, n_both, n_ante, n_cons, support_ppm,
+    confidence_ppm, lift_ppm)`` for ordered pairs, both directions.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    bi = (baskets
+          .where(F.col(basket_col).isNotNull()
+                 & F.col(item_col).isNotNull())
+          .select(F.col(basket_col).alias("bk"),
+                  F.col(item_col).cast("string").alias("it"))
+          .distinct())
+    sized = (bi.groupBy("bk")
+             .agg(F.count("*").alias("sz"))
+             .where(F.col("sz") <= int(max_basket_size))
+             .select("bk"))
+    bi = bi.join(sized, "bk", "left_semi")
+    n = bi.select("bk").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets"))
+    ic = (bi.groupBy("it").agg(F.count("*").cast("long").alias("c"))
+          .where(F.col("c") >= int(min_count)))
+    freq = bi.join(ic.select("it"), "it", "left_semi")
+    a = freq.select("bk", F.col("it").alias("ante"))
+    b = freq.select("bk", F.col("it").alias("cons"))
+    pairs = (a.join(b, "bk")
+             .where(F.col("ante") != F.col("cons"))
+             .groupBy("ante", "cons")
+             .agg(F.count("*").cast("long").alias("n_both")))
+    ca = ic.select(F.col("it").alias("ante"), F.col("c").alias("n_ante"))
+    cb = ic.select(F.col("it").alias("cons"), F.col("c").alias("n_cons"))
+
+    def _ppm(num, den):
+        num = num * F.lit(1_000_000)
+        return (F.when(den == 0, F.lit(0))
+                .otherwise((num - F.pmod(num, den)) / den)
+                .cast("long"))
+
+    out = (pairs.join(ca, "ante").join(cb, "cons")
+           .crossJoin(F.broadcast(n)))
+    return out.select(
+        "ante", "cons", "n_both", "n_ante", "n_cons",
+        _ppm(F.col("n_both"), F.col("n_baskets")).alias("support_ppm"),
+        _ppm(F.col("n_both"), F.col("n_ante")).alias("confidence_ppm"),
+        _ppm(F.col("n_both") * F.col("n_baskets"),
+             F.col("n_ante") * F.col("n_cons")).alias("lift_ppm"))
+
+
+def basket_rules_oracle_sql(
+    baskets_sql: str,
+    min_count: int = 2,
+    max_basket_size: int = 256,
+) -> str:
+    """DuckDB twin of :func:`basket_rules`; ``baskets_sql`` yields
+    (bk, it)."""
+    return f"""
+with bi0 as materialized (
+  select distinct bk, cast(it as varchar) as it from ({baskets_sql})
+  where bk is not null and it is not null),
+ok as (select bk from bi0 group by bk
+       having count(*) <= {int(max_basket_size)}),
+bi as materialized (select bi0.* from bi0 join ok using (bk)),
+n as (select cast(count(distinct bk) as bigint) as n_baskets from bi),
+ic as materialized (
+  select it, cast(count(*) as bigint) as c from bi group by it
+  having count(*) >= {int(min_count)}),
+freq as materialized (select bi.* from bi join ic using (it)),
+pairs as (
+  select a.it as ante, b.it as cons,
+         cast(count(*) as bigint) as n_both
+  from freq a join freq b using (bk)
+  where a.it <> b.it
+  group by 1, 2)
+select ante, cons, n_both, ca.c as n_ante, cb.c as n_cons,
+  cast((n_both * 1000000) // n_baskets as bigint) as support_ppm,
+  cast((n_both * 1000000) // ca.c as bigint) as confidence_ppm,
+  cast((n_both * n_baskets * 1000000) // (ca.c * cb.c) as bigint)
+    as lift_ppm
+from pairs
+join ic ca on ca.it = pairs.ante
+join ic cb on cb.it = pairs.cons
+cross join n
+"""
+
+
+def cusum_alarm(
+    series: DataFrame,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    value_col: str = "value",
+    ref: int = 0,
+    slack: int = 0,
+    threshold: int = 10,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per keyed series — the
+    change-point test :func:`rolling_anomaly`'s fixed window can't
+    give you: a SMALL sustained shift accumulates until the statistic
+    crosses ``threshold``, while a single spike decays immediately.
+    The streaming-monitor classic (Page 1954), here over integer
+    fixed-point values (scale doubles to micros/ppm upstream).
+
+    The textbook recursion S_t = max(0, S_{t-1} + x_t − ref − slack)
+    looks inherently sequential; it is NOT: with prefix sums
+    P_t = Σ_{i≤t}(x_i − ref − slack), the identity
+    ``S_t = P_t − min(0, min_{j≤t} P_j)`` turns it into a cumulative
+    sum plus a running min — two stock window frames over (key, seq),
+    zero iteration, zero Python. One shuffle on the key.
+
+    ``seq`` must be unique per key (event index / timestamp micros) —
+    the window orders by it alone, so duplicated seq values would be
+    nondeterministic; callers with ties pre-rank. Overflow: |P_t| stays
+    in int64 as long as n·max|x−ref−slack| < 2⁶³ — loud under ANSI.
+
+    Returns the full per-row signal ``(key, seq, value, cusum,
+    alarm)``; alarms are rows with cusum ≥ threshold (callers keep
+    the first per key via min(struct(seq, …)) or filter).
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (series
+            .where(F.col(key_col).isNotNull()
+                   & F.col(seq_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+            .select(F.col(key_col).alias("key"),
+                    F.col(seq_col).cast("long").alias("seq"),
+                    F.col(value_col).cast("long").alias("value")))
+    d = (F.col("value") - F.lit(int(ref)) - F.lit(int(slack)))
+    w = (Window.partitionBy("key").orderBy("seq")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    p = base.withColumn("pf", F.sum(d).over(w))
+    p = p.withColumn(
+        "lowest", F.least(F.lit(0), F.min("pf").over(w)))
+    return p.select(
+        "key", "seq", "value",
+        (F.col("pf") - F.col("lowest")).cast("long").alias("cusum"),
+        ((F.col("pf") - F.col("lowest")) >= F.lit(int(threshold)))
+        .alias("alarm"))
+
+
+def cusum_alarm_oracle_sql(
+    series_sql: str,
+    ref: int = 0,
+    slack: int = 0,
+    threshold: int = 10,
+) -> str:
+    """DuckDB twin of :func:`cusum_alarm`; ``series_sql`` yields
+    (key, seq, value)."""
+    k = int(ref) + int(slack)
+    return f"""
+with base as materialized (
+  select key, cast(seq as bigint) as seq,
+         cast(value as bigint) as value
+  from ({series_sql})
+  where key is not null and seq is not null and value is not null),
+p as (
+  select key, seq, value,
+         cast(sum(value - {k}) over (partition by key order by seq
+           rows between unbounded preceding and current row)
+           as bigint) as pf
+  from base),
+q as (
+  select key, seq, value, pf,
+         least(0, min(pf) over (partition by key order by seq
+           rows between unbounded preceding and current row))
+           as lowest
+  from p)
+select key, seq, value,
+       cast(pf - lowest as bigint) as cusum,
+       (pf - lowest) >= {int(threshold)} as alarm
+from q
+"""

@@ -910,3 +910,131 @@ select tb.term, tb.bucket, tb.n,
          > {lift_threshold_ppm} as is_burst
 from tb join nt using (term) join nb using (bucket) cross join tt
 """
+
+
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def domain_range_infer(quads: DataFrame) -> DataFrame:
+    """Schema induction from instance data — per predicate, the
+    observed rdfs:domain / rdfs:range with its evidential support:
+    the step that turns a freshly-extracted KG (no ontology yet) into
+    a draft schema, and the drift alarm for an existing one (a
+    predicate whose top subject type slips from 90% to 60% support
+    means the extractor started mis-typing entities).
+
+    Per predicate p (rdf:type itself excluded — it IS the typing
+    relation): n triples; subjects joined to their rdf:type triples
+    → the plurality subject type (tie → lexicographically smallest,
+    via min(struct(−count, type)) — a partial-aggable argmax, no
+    window) with support = floor(count·10⁶ / typed-subject triples);
+    the same for IRI objects; plus the literal/IRI object split. A
+    multi-typed subject charges each of its types once — support is
+    over (triple, type) evidence pairs, the honest denominator when
+    typing is not single-valued.
+
+    Shape: the type map is built once (one filter of the quad scan);
+    two fact-sized equi-joins (s→type, o→type), two (p, type)
+    partial aggs collapsing to predicate-vocabulary-sized tables, one
+    argmax agg each, and a final broadcast-sized assembly join. No
+    driver collects, no windows.
+
+    Returns ``(p, n_triples, n_obj_iri, n_obj_lit, subj_type,
+    subj_typed, subj_support_ppm, obj_type, obj_typed,
+    obj_support_ppm)`` — NULL type/0 support where no typed evidence
+    exists. No reference counterpart; extension §2.11.
+    """
+    base = quads.where(F.col("p") != _RDF_TYPE_IRI)
+    tmap = (quads.where((F.col("p") == _RDF_TYPE_IRI)
+                        & (F.col("o_kind") == "iri"))
+            .select(F.col("s").alias("node"),
+                    F.col("o_lex").alias("type")).distinct())
+    head = base.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.sum((F.col("o_kind") == "iri").cast("long")).cast("long")
+        .alias("n_obj_iri"),
+        F.sum((F.col("o_kind") == "lit").cast("long")).cast("long")
+        .alias("n_obj_lit"))
+
+    def _plurality(ev, out_type, out_n, out_ppm):
+        per = ev.groupBy("p", "type").agg(
+            F.count("*").cast("long").alias("c"))
+        tot = per.groupBy("p").agg(
+            F.sum("c").cast("long").alias("tot"))
+        top = per.groupBy("p").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"),
+                           F.col("type").alias("t"))).alias("m"))
+        num = (-F.col("m.nc")) * F.lit(1_000_000)
+        return (top.join(tot, "p").select(
+            "p",
+            F.col("m.t").alias(out_type),
+            F.col("tot").alias(out_n),
+            ((num - F.pmod(num, F.col("tot"))) / F.col("tot"))
+            .cast("long").alias(out_ppm)))
+
+    sub = _plurality(
+        base.select("p", F.col("s").alias("node")).join(tmap, "node"),
+        "subj_type", "subj_typed", "subj_support_ppm")
+    obj = _plurality(
+        base.where(F.col("o_kind") == "iri")
+        .select("p", F.col("o_lex").alias("node")).join(tmap, "node"),
+        "obj_type", "obj_typed", "obj_support_ppm")
+    out = head.join(sub, "p", "left").join(obj, "p", "left")
+    return out.select(
+        "p", "n_triples", "n_obj_iri", "n_obj_lit",
+        "subj_type",
+        F.coalesce("subj_typed", F.lit(0)).cast("long")
+        .alias("subj_typed"),
+        F.coalesce("subj_support_ppm", F.lit(0)).cast("long")
+        .alias("subj_support_ppm"),
+        "obj_type",
+        F.coalesce("obj_typed", F.lit(0)).cast("long")
+        .alias("obj_typed"),
+        F.coalesce("obj_support_ppm", F.lit(0)).cast("long")
+        .alias("obj_support_ppm"))
+
+
+def domain_range_infer_oracle_sql(quads_sql: str) -> str:
+    """DuckDB twin of :func:`domain_range_infer`; ``quads_sql``
+    yields (s, p, o_kind, o_lex)."""
+    t = _RDF_TYPE_IRI
+    return f"""
+with q as materialized (
+  select s, p, o_kind, o_lex from ({quads_sql})),
+base as materialized (select * from q where p <> '{t}'),
+tmap as materialized (
+  select distinct s as node, o_lex as typ from q
+  where p = '{t}' and o_kind = 'iri'),
+head as (
+  select p, cast(count(*) as bigint) as n_triples,
+         cast(sum(case when o_kind = 'iri' then 1 else 0 end)
+              as bigint) as n_obj_iri,
+         cast(sum(case when o_kind = 'lit' then 1 else 0 end)
+              as bigint) as n_obj_lit
+  from base group by p),
+sev as materialized (
+  select p, typ, cast(count(*) as bigint) as c
+  from base join tmap on tmap.node = base.s group by 1, 2),
+oev as materialized (
+  select p, typ, cast(count(*) as bigint) as c
+  from base join tmap on tmap.node = base.o_lex
+  where base.o_kind = 'iri' group by 1, 2),
+stop as (
+  select p, min(struct_pack(nc := -c, t := typ)) as m,
+         cast(sum(c) as bigint) as tot from sev group by p),
+otop as (
+  select p, min(struct_pack(nc := -c, t := typ)) as m,
+         cast(sum(c) as bigint) as tot from oev group by p)
+select head.p, n_triples, n_obj_iri, n_obj_lit,
+  stop.m.t as subj_type,
+  cast(coalesce(stop.tot, 0) as bigint) as subj_typed,
+  cast(coalesce(((-stop.m.nc) * 1000000) // stop.tot, 0) as bigint)
+    as subj_support_ppm,
+  otop.m.t as obj_type,
+  cast(coalesce(otop.tot, 0) as bigint) as obj_typed,
+  cast(coalesce(((-otop.m.nc) * 1000000) // otop.tot, 0) as bigint)
+    as obj_support_ppm
+from head
+left join stop on stop.p = head.p
+left join otop on otop.p = head.p
+"""

@@ -3421,3 +3421,101 @@ def test_preference_pairs_tiebreaks_and_margin(spark):
              for r in preference_pairs(df, min_gap=0).collect()}
     assert set(loose) == {1, 2}
     assert (loose[2].chosen_id, loose[2].rejected_id) == ("d", "e")
+
+
+def test_triad_motifs_all_seven_types(spark):
+    """One hand-built triangle of each labeled kind: transitive,
+    cycle, 120D (third sends to both), 120U (third receives from
+    both), 120C (through-path), 210, 300 — and the zero rows stay
+    present."""
+    from cow_spark.operators.graphrank import triad_motifs
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"),              # 030T
+             ("d", "e"), ("e", "f"), ("f", "d"),              # 030C
+             ("g", "h"), ("h", "g"), ("i", "g"), ("i", "h"),  # 120D
+             ("j", "k"), ("k", "j"), ("j", "l"), ("k", "l"),  # 120U
+             ("m", "n"), ("n", "m"), ("m", "o"), ("o", "n"),  # 120C
+             ("p", "q"), ("q", "p"), ("p", "r"), ("r", "p"),
+             ("q", "r"),                                      # 210
+             ("w", "x"), ("x", "w"), ("w", "y"), ("y", "w"),
+             ("x", "y"), ("y", "x")]                          # 300
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.motif: r.n_triangles for r in triad_motifs(df).collect()}
+    assert got == {"030T": 1, "030C": 1, "120D": 1, "120U": 1,
+                   "120C": 1, "210": 1, "300": 1}
+
+    none = spark.createDataFrame([("a", "b")], "src string, dst string")
+    z = {r.motif: r.n_triangles for r in triad_motifs(none).collect()}
+    assert set(z) == {"030T", "030C", "120D", "120U", "120C",
+                      "210", "300"}
+    assert all(v == 0 for v in z.values())
+
+
+def test_basket_rules_pruning_and_lift(spark):
+    """4 baskets: {a,b} {a,b} {a} {c} — c is pruned at min_count=2,
+    a→b has conf 2/3 and lift 4/3; an oversized basket is excluded
+    before any count."""
+    from cow_spark.operators.sessionize import basket_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {(r.ante, r.cons): r for r in basket_rules(df).collect()}
+    assert set(got) == {("a", "b"), ("b", "a")}
+    ab = got[("a", "b")]
+    assert (ab.n_both, ab.n_ante, ab.n_cons) == (2, 3, 2)
+    assert (ab.support_ppm, ab.confidence_ppm, ab.lift_ppm) == \
+        (500_000, 666_666, 1_333_333)
+
+    big = rows + [(5, x) for x in "abcdefg"]
+    df2 = spark.createDataFrame(big, "basket_id long, item string")
+    got2 = {(r.ante, r.cons): r
+            for r in basket_rules(df2, max_basket_size=4).collect()}
+    assert got2[("a", "b")].n_both == 2  # basket 5 fully excluded
+
+
+def test_cusum_alarm_matches_sequential_recursion(spark):
+    """values 1,1,5,5,5 at ref=2: S = 0,0,3,6,9 — the prefix-sum
+    identity replays max(0, S+d) including the flat start; a
+    downward series never alarms."""
+    from cow_spark.operators.sessionize import cusum_alarm
+
+    rows = [("k", 1, 1), ("k", 2, 1), ("k", 3, 5), ("k", 4, 5),
+            ("k", 5, 5), ("q", 1, 0), ("q", 2, 0)]
+    df = spark.createDataFrame(rows, "key string, seq long, value long")
+    out = cusum_alarm(df, ref=2, threshold=5).collect()
+    k = {r.seq: r for r in out if r.key == "k"}
+    assert [k[i].cusum for i in (1, 2, 3, 4, 5)] == [0, 0, 3, 6, 9]
+    assert [k[i].alarm for i in (1, 2, 3, 4, 5)] == \
+        [False, False, False, True, True]
+    assert all(r.cusum == 0 and not r.alarm
+               for r in out if r.key == "q")
+
+
+def test_domain_range_infer_multitype_and_untyped(spark):
+    """s2 is both Person and Agent (each charged once), s3 untyped,
+    name objects are literals, segment objects untyped IRIs —
+    plurality, ppm support, and the NULL/0 conventions all land."""
+    from cow_spark.plans.stats import domain_range_infer
+
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("s1", T, "iri", "Person"), ("s2", T, "iri", "Person"),
+        ("s2", T, "iri", "Agent"), ("o1", T, "iri", "City"),
+        ("s1", "lives", "iri", "o1"), ("s2", "lives", "iri", "o1"),
+        ("s1", "name", "lit", "Ann"), ("s3", "name", "lit", "Bob"),
+        ("s1", "seg", "iri", "segA"),
+    ]
+    df = spark.createDataFrame(
+        [(None, s, p, k, o, None, None) for s, p, k, o in rows],
+        "g string, s string, p string, o_kind string, o_lex string, "
+        "o_dt string, o_lang string")
+    got = {r.p: r for r in domain_range_infer(df).collect()}
+    assert set(got) == {"lives", "name", "seg"}
+    lv = got["lives"]
+    assert (lv.subj_type, lv.subj_typed, lv.subj_support_ppm) == \
+        ("Person", 3, 666_666)
+    assert (lv.obj_type, lv.obj_support_ppm) == ("City", 1_000_000)
+    nm = got["name"]
+    assert (nm.n_obj_lit, nm.subj_typed, nm.obj_type, nm.obj_typed) \
+        == (2, 1, None, 0)
+    assert got["seg"].obj_type is None
