@@ -11089,6 +11089,118 @@ select 'c' || cast(c_custkey as varchar), 'segment', 'iri',
 """)
 
 
+def q_jsd_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice divergence (terms.py:jsd_slices): odd documents get a
+    repeated injected bigram so the two parity slices genuinely
+    diverge — slice entropies and the fixed-point JSD must replay
+    bit-identically on the integer log2 kernel."""
+    from cow_spark.operators.terms import jsd_slices
+
+    d = _load(spark, sf_dir, "documents")
+    docs = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise("b")
+        .alias("slice"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"),
+                            F.repeat(F.lit(" qq zz"),
+                                     (F.col("doc_id") % 3 + 1)
+                                     .cast("int"))))
+        .alias("text"))
+    return jsd_slices(docs, "slice", "text")
+
+
+def _sql_jsd_slices() -> str:
+    from cow_spark.operators.terms import jsd_slices_oracle_sql
+
+    return jsd_slices_oracle_sql(
+        "select case when doc_id % 2 = 0 then 'a' else 'b' end as "
+        "slice, case when doc_id % 2 = 0 then text else text || "
+        "repeat(' qq zz', cast(doc_id % 3 + 1 as int)) end as text "
+        "from documents")
+
+
+def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorer ordering agreement (parity.py:rank_corr): y = x plus a
+    mod-13 perturbation, id-tiebroken ranks — heavy x ties make the
+    deterministic (value, id) row_number the load-bearing detail."""
+    from cow_spark.plans.parity import rank_corr
+
+    d = _load(spark, sf_dir, "documents")
+    p = d.select(
+        (F.col("n_chars") % 101).cast("long").alias("x"),
+        ((F.col("n_chars") % 101) + (F.col("doc_id") % 13))
+        .cast("long").alias("y"),
+        F.col("doc_id").cast("long").alias("id"))
+    return rank_corr(p)
+
+
+def _sql_rank_corr() -> str:
+    from cow_spark.plans.parity import rank_corr_oracle_sql
+
+    return rank_corr_oracle_sql(
+        "select n_chars % 101 as x, "
+        "n_chars % 101 + doc_id % 13 as y, doc_id as id "
+        "from documents")
+
+
+def q_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (corpus.py:reliability_curve): scores span
+    0..10^6 inclusive (the endpoint must fold into the last bin, not
+    mint an 11th) against a deterministic mod-97 outcome — per-bin
+    confidence and accuracy replay as exact ppm."""
+    from cow_spark.operators.corpus import reliability_curve
+
+    d = _load(spark, sf_dir, "documents")
+    s = d.select(
+        ((F.col("doc_id") * 9973) % 1000001).cast("long")
+        .alias("score_ppm"),
+        (((F.col("doc_id") * 31 + F.col("n_chars")) % 97) < 40)
+        .alias("outcome"))
+    return reliability_curve(s)
+
+
+def _sql_reliability_curve() -> str:
+    from cow_spark.operators.corpus import reliability_curve_oracle_sql
+
+    return reliability_curve_oracle_sql(
+        "select (doc_id * 9973) % 1000001 as s, "
+        "(doc_id * 31 + n_chars) % 97 < 40 as outcome from documents")
+
+
+def q_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite metadata ingest (sqlite_source.py:read_sqlite): a real
+    500-row database written driver-side via stdlib sqlite3 (recursive
+    CTE, formula (i·37+11) mod 101 + tag u(i mod 13)), read back
+    through the streamed driver source and repartitioned; the twin
+    re-derives the formula via generate_series — it never sees the
+    file (the npy_ingest oracle pattern)."""
+    import os
+    import tempfile
+
+    from cow_spark.sources.sqlite_source import (read_sqlite,
+                                                 write_sqlite_fixture)
+
+    path = os.path.join(tempfile.gettempdir(),
+                        "cow_spark_sqlite_fixture.db")
+    write_sqlite_fixture(
+        path,
+        "create table reg (i integer primary key, val integer, "
+        "tag text)",
+        "with recursive g(i) as (select 0 union all select i + 1 "
+        "from g where i < 499) "
+        "insert into reg select i, (i * 37 + 11) % 101, "
+        "'u' || (i % 13) from g")
+    return read_sqlite(spark, path, "select i, val, tag from reg",
+                       num_partitions=4)
+
+
+_SQL_SQLITE_INGEST = """
+select i, (i * 37 + 11) % 101 as val,
+       'u' || cast(i % 13 as varchar) as tag
+from generate_series(0, 499) t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -11348,6 +11460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "cusum_alarm": q_cusum_alarm,
         "domain_range": q_domain_range,
+        "jsd_slices": q_jsd_slices,
+        "rank_corr": q_rank_corr,
+        "reliability_curve": q_reliability_curve,
+        "sqlite_ingest": q_sqlite_ingest,
     }
 
 
@@ -11591,4 +11707,8 @@ def oracle_sql() -> dict[str, str]:
         "basket_rules": _sql_basket_rules(),
         "cusum_alarm": _sql_cusum_alarm(),
         "domain_range": _sql_domain_range(),
+        "jsd_slices": _sql_jsd_slices(),
+        "rank_corr": _sql_rank_corr(),
+        "reliability_curve": _sql_reliability_curve(),
+        "sqlite_ingest": _SQL_SQLITE_INGEST,
     }

@@ -506,3 +506,74 @@ def score_calibrate(
     return df.select(
         id_col, group_col, score_col,
         ((num - F.pmod(num, den)) / den).cast("long").alias("pct_ppm"))
+
+
+def reliability_curve(
+    scored: DataFrame,
+    score_col: str = "score_ppm",
+    outcome_col: str = "outcome",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration reliability curve of a probability-like score
+    (ppm-scaled, 0..10⁶) against a boolean outcome — the diagram
+    behind "the classifier says 0.9 but is right 60% of the time":
+    per equal-width confidence bin, predicted confidence vs observed
+    accuracy, both exact ppm. :func:`score_calibrate` fixes ranks
+    within groups; this audits the absolute scale — together they're
+    the two calibration tools a scored corpus gate needs (cut
+    thresholds mean nothing on a mis-calibrated scale).
+
+    Bin = min(n_bins−1, floor(score·n_bins/10⁶)) so the 10⁶ endpoint
+    folds into the last bin instead of minting an n_bins+1-th.
+    Exactness: mean confidence = floor(Σscore/n), accuracy =
+    floor(pos·10⁶/n) — single floors over exact integer sums.
+
+    Shape: one scan, one n_bins-sized partial agg. Empty bins are
+    absent (callers plotting left-join a static bin frame — absence
+    IS the signal that a confidence region is unpopulated).
+
+    Returns ``(bin, n, conf_ppm, acc_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    s = F.col(score_col).cast("long")
+    o = F.col(outcome_col).cast("boolean")
+    nb = F.lit(int(n_bins))
+    num = s * nb
+    den = F.lit(1_000_000)
+    binc = F.least(nb - 1,
+                   ((num - F.pmod(num, den)) / den).cast("long"))
+    base = (scored.where(s.isNotNull() & o.isNotNull())
+            .select(binc.alias("bin"), s.alias("s"),
+                    o.cast("long").alias("pos")))
+    g = base.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("ssum"),
+        F.sum("pos").cast("long").alias("npos"))
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    return (g.select(
+        "bin", "n",
+        fdiv(F.col("ssum"), F.col("n")).alias("conf_ppm"),
+        fdiv(F.col("npos") * F.lit(1_000_000), F.col("n"))
+        .alias("acc_ppm")))
+
+
+def reliability_curve_oracle_sql(scored_sql: str,
+                                 n_bins: int = 10) -> str:
+    """DuckDB twin of :func:`reliability_curve`; ``scored_sql``
+    yields (s, outcome)."""
+    nb = int(n_bins)
+    return f"""
+with base as materialized (
+  select least({nb} - 1, (cast(s as bigint) * {nb}) // 1000000)
+           as bin,
+         cast(s as bigint) as s,
+         case when outcome then 1 else 0 end as pos
+  from ({scored_sql}) where s is not null and outcome is not null)
+select bin, cast(count(*) as bigint) as n,
+       cast(sum(s) // count(*) as bigint) as conf_ppm,
+       cast((sum(pos) * 1000000) // count(*) as bigint) as acc_ppm
+from base group by bin
+"""

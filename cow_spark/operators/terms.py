@@ -922,3 +922,151 @@ union all
 select dst, src from a
 """
     return pagerank_oracle_sql(edges, iterations=iterations)
+
+
+def jsd_slices(
+    docs: DataFrame,
+    slice_col: str,
+    text_col: str = "text",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two named corpus slices — the symmetric, bounded (≤1 bit)
+    complement of :func:`corpus_drift`'s binned profile and the
+    :func:`~cow_spark.plans.parity.ks_test` score test: JSD reads on
+    the TERM axis, so "the new crawl snapshot drifted" comes with
+    how-many-bits, comparable across corpora. Slice entropies ride
+    along (a collapsing H is mode collapse / dedup failure evidence).
+
+    Everything is exact fixed-point integer math on the
+    :mod:`~cow_spark.functions.intmath` log2 kernel (1/1024-bit
+    units, bit-identical across engines): with per-term counts
+    (c_a, c_b) and totals (n_a, n_b), the mixture numerator
+    m = c_a·n_b + c_b·n_a over denominator 2·n_a·n_b gives
+    H(M) = L(2·n_a·n_b) − floor(Σ m·L(m) / (2·n_a·n_b)), H(P/Q)
+    likewise, and JSD = H(M) − floor((H(P)+H(Q))/2) — a fixed
+    sequence of floors, replayed verbatim by the twin. Overflow
+    contract: Σ m·L(m) needs n_a·n_b·log2-ish < 2⁶³ ⇒ slice token
+    totals ≲ 10⁷ each — SAMPLE bigger slices (a divergence estimate
+    gains nothing from the full corpus; ANSI raises loudly).
+
+    Shape: one tokenize scan → term-keyed partial agg to the
+    vocabulary-sized count table; the log2 kernel stages integer
+    columns on that bounded table; three sums and a 1-row combine.
+    Either slice empty ⇒ NULL jsd (no convention hides a dead
+    slice). Returns one row ``(n_a, n_b, n_terms, h_a_fp, h_b_fp,
+    jsd_fp)``. No reference counterpart; extension §2.11.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    sl = F.col(slice_col)
+    base = (docs.where(sl.isin(a, b))
+            .select((sl == a).alias("ga"),
+                    F.explode(tokens(normalize_text(F.col(text_col))))
+                    .alias("term")))
+    v = base.groupBy("term").agg(
+        F.sum(F.col("ga").cast("long")).cast("long").alias("ca"),
+        F.sum((~F.col("ga")).cast("long")).cast("long").alias("cb"))
+    tot = v.agg(F.coalesce(F.sum("ca"), F.lit(0)).cast("long")
+                .alias("n_a"),
+                F.coalesce(F.sum("cb"), F.lit(0)).cast("long")
+                .alias("n_b"),
+                F.count("*").cast("long").alias("n_terms")).persist()
+    vv = v.crossJoin(F.broadcast(tot.select("n_a", "n_b")))
+    vv = vv.withColumn(
+        "m", F.col("ca") * F.col("n_b") + F.col("cb") * F.col("n_a"))
+    vv = with_log2_fp(vv, "ca", "la")
+    vv = with_log2_fp(vv, "cb", "lb")
+    vv = with_log2_fp(vv, "m", "lm")
+    sums = vv.agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("la")), F.lit(0))
+        .cast("long").alias("sa"),
+        F.coalesce(F.sum(F.col("cb") * F.col("lb")), F.lit(0))
+        .cast("long").alias("sb"),
+        F.coalesce(F.sum(F.col("m") * F.col("lm")), F.lit(0))
+        .cast("long").alias("sm"))
+    one = tot.crossJoin(F.broadcast(sums))
+    one = with_log2_fp(one.withColumn("_na1", F.col("n_a")),
+                       "_na1", "l_na")
+    one = with_log2_fp(one.withColumn("_nb1", F.col("n_b")),
+                       "_nb1", "l_nb")
+    one = with_log2_fp(
+        one.withColumn("_nm", 2 * F.col("n_a") * F.col("n_b")),
+        "_nm", "l_nm")
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    h_a = F.col("l_na") - fdiv(F.col("sa"), F.col("n_a"))
+    h_b = F.col("l_nb") - fdiv(F.col("sb"), F.col("n_b"))
+    h_m = (F.col("l_nm")
+           - fdiv(F.col("sm"), 2 * F.col("n_a") * F.col("n_b")))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    out = one.select(
+        "n_a", "n_b", "n_terms",
+        F.when(F.col("n_a") > 0, h_a).cast("long").alias("h_a_fp"),
+        F.when(F.col("n_b") > 0, h_b).cast("long").alias("h_b_fp"),
+        F.when(ok, h_m - fdiv(h_a + h_b, F.lit(2)))
+        .cast("long").alias("jsd_fp"))
+    from ..operators.dedup import _attach_persisted
+    return _attach_persisted(out, tot)
+
+
+def jsd_slices_oracle_sql(docs_sql: str, a: str = "a",
+                          b: str = "b") -> str:
+    """DuckDB twin of :func:`jsd_slices`; ``docs_sql`` yields
+    (slice, text). Counts of 0 map to NULL before the log2 kernel
+    (the kernel requires v >= 1) and products coalesce to 0 —
+    mirroring the Spark side's NULL-for-<1 convention."""
+    from ..functions.intmath import log2_fp_sql
+
+    l_ca = log2_fp_sql("nullif(ca, 0)")
+    l_cb = log2_fp_sql("nullif(cb, 0)")
+    l_m = log2_fp_sql("m")
+    l_na = log2_fp_sql("n_a")
+    l_nb = log2_fp_sql("n_b")
+    l_nm = log2_fp_sql("2 * n_a * n_b")
+    return rf"""
+with tk as materialized (
+  select (slice = '{a}') as ga,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0)) as term
+  from ({docs_sql}) where slice in ('{a}', '{b}')),
+v as materialized (
+  select term,
+         cast(sum(case when ga then 1 else 0 end) as bigint) as ca,
+         cast(sum(case when ga then 0 else 1 end) as bigint) as cb
+  from tk group by term),
+tot as materialized (
+  select cast(coalesce(sum(ca), 0) as bigint) as n_a,
+         cast(coalesce(sum(cb), 0) as bigint) as n_b,
+         cast(count(*) as bigint) as n_terms from v),
+vv as materialized (
+  select ca, cb, ca * n_b + cb * n_a as m, n_a, n_b
+  from v cross join tot),
+sums as materialized (
+  select cast(coalesce(sum(ca * coalesce({l_ca}, 0)), 0) as bigint)
+           as sa,
+         cast(coalesce(sum(cb * coalesce({l_cb}, 0)), 0) as bigint)
+           as sb,
+         cast(coalesce(sum(m * {l_m}), 0) as bigint) as sm
+  from vv),
+one as (
+  select n_a, n_b, n_terms, sa, sb, sm,
+         case when n_a > 0 then {l_na} end as l_na,
+         case when n_b > 0 then {l_nb} end as l_nb,
+         case when n_a > 0 and n_b > 0 then {l_nm} end as l_nm
+  from tot cross join sums)
+select n_a, n_b, n_terms,
+  cast(case when n_a > 0 then l_na - sa // n_a end as bigint)
+    as h_a_fp,
+  cast(case when n_b > 0 then l_nb - sb // n_b end as bigint)
+    as h_b_fp,
+  cast(case when n_a > 0 and n_b > 0 then
+    (l_nm - sm // (2 * n_a * n_b))
+    - ((l_na - sa // n_a) + (l_nb - sb // n_b)) // 2 end as bigint)
+    as jsd_fp
+from one
+"""

@@ -880,3 +880,76 @@ from agg
 union all
 select 0, 0, 1000000, 0 from tot where n_a + n_b = 0
 """
+
+
+def rank_corr(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+) -> DataFrame:
+    """Spearman rank correlation between two scores — "do my two
+    quality scorers ORDER the corpus the same way", the agreement
+    question :func:`judge_kappa` answers for categorical judges and
+    this answers for continuous ones. Tie-broken variant: ranks are
+    row_number over (value, id) — exact average-rank Spearman is not
+    integer-expressible, and with a unique ``id`` the tiebreak is
+    deterministic in BOTH engines (row_number over a non-unique
+    ordering would let each engine pick different permutations of
+    duplicate (x, y) rows and silently disagree).
+
+    Exact two-stage floor on the displaced-rank identity
+    ρ = 1 − 6·Σd²/(n(n²−1)): q = floor(6·Σd²/(n²−1)), ρ_ppm = 10⁶ −
+    floor(q·10⁶/n) — deviation from the single-floor value < 1/n
+    ppm, replayed verbatim by the twin. Overflow: 6·Σd² ≤ 2n³ < 2⁶³
+    ⇒ n ≲ 1.6·10⁶ — a rank-correlation ESTIMATE samples anyway, and
+    the two global row_number sorts are single-task (same bounded
+    contract as :func:`score_auc`'s window). n < 2 ⇒ ρ = 10⁶.
+
+    Returns one row ``(n, sum_d2, rho_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    x, y, i = F.col(x_col), F.col(y_col), F.col(id_col)
+    base = (pairs.where(x.isNotNull() & y.isNotNull() & i.isNotNull())
+            .select(x.alias("x"), y.alias("y"), i.alias("id")))
+    rx = F.row_number().over(Window.orderBy("x", "id"))
+    ry = F.row_number().over(Window.orderBy("y", "id"))
+    r = base.select(
+        (rx.cast("long") - ry.cast("long")).alias("d"))
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("d") * F.col("d")), F.lit(0))
+        .cast("long").alias("sum_d2"))
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    n = F.col("n")
+    q = fdiv(F.lit(6) * F.col("sum_d2"), n * n - 1)
+    return agg.select(
+        "n", "sum_d2",
+        F.when(n < 2, F.lit(1_000_000))
+        .otherwise(F.lit(1_000_000) - fdiv(q * F.lit(1_000_000), n))
+        .cast("long").alias("rho_ppm"))
+
+
+def rank_corr_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`rank_corr`; ``pairs_sql`` yields
+    (x, y, id)."""
+    return f"""
+with base as materialized (
+  select x, y, id from ({pairs_sql})
+  where x is not null and y is not null and id is not null),
+r as (
+  select cast(row_number() over (order by x, id) as bigint)
+           - cast(row_number() over (order by y, id) as bigint) as d
+  from base),
+agg as (
+  select cast(count(*) as bigint) as n,
+         cast(coalesce(sum(d * d), 0) as bigint) as sum_d2 from r)
+select n, sum_d2,
+  cast(case when n < 2 then 1000000
+       else 1000000 - (((6 * sum_d2) // (n * n - 1)) * 1000000) // n
+       end as bigint) as rho_ppm
+from agg
+"""

@@ -3519,3 +3519,101 @@ def test_domain_range_infer_multitype_and_untyped(spark):
     assert (nm.n_obj_lit, nm.subj_typed, nm.obj_type, nm.obj_typed) \
         == (2, 1, None, 0)
     assert got["seg"].obj_type is None
+
+
+def test_jsd_slices_hand_entropies_and_identical(spark):
+    """a='x x y' vs b='x y y z': H(P)~0.918, H(Q)=1.5, JSD~0.209
+    bits in 1/1024 units (kernel-exact 941/1536/214); identical
+    slices give exactly 0; a missing slice gives NULL jsd."""
+    from cow_spark.operators.terms import jsd_slices
+    from cow_spark.operators.dedup import release
+
+    df = spark.createDataFrame([("a", "x x y"), ("b", "x y y z")],
+                               "slice string, text string")
+    out = jsd_slices(df, "slice", "text")
+    r = out.collect()[0]
+    release(out)
+    assert (r.n_a, r.n_b, r.n_terms) == (3, 4, 3)
+    assert (r.h_a_fp, r.h_b_fp, r.jsd_fp) == (941, 1536, 214)
+
+    same = spark.createDataFrame([("a", "p q r"), ("b", "p q r")],
+                                 "slice string, text string")
+    out2 = jsd_slices(same, "slice", "text")
+    assert out2.collect()[0].jsd_fp == 0
+    release(out2)
+
+    only_a = spark.createDataFrame([("a", "p q")],
+                                   "slice string, text string")
+    out3 = jsd_slices(only_a, "slice", "text")
+    assert out3.collect()[0].jsd_fp is None
+    release(out3)
+
+
+def test_rank_corr_perfect_reversed_and_tiebreak(spark):
+    """Monotone pairs give 10^6, reversed give -10^6; duplicated
+    (x, y) rows stay rho=10^6 because both rankings break ties on
+    the same id."""
+    from cow_spark.plans.parity import rank_corr
+
+    up = spark.createDataFrame([(1, 10, 1), (2, 20, 2), (3, 30, 3)],
+                               "x long, y long, id long")
+    assert rank_corr(up).collect()[0].rho_ppm == 1_000_000
+    down = spark.createDataFrame([(1, 30, 1), (2, 20, 2), (3, 10, 3)],
+                                 "x long, y long, id long")
+    r = rank_corr(down).collect()[0]
+    assert (r.n, r.sum_d2, r.rho_ppm) == (3, 8, -1_000_000)
+    dup = spark.createDataFrame(
+        [(5, 7, 1), (5, 7, 2), (5, 7, 3), (9, 9, 4)],
+        "x long, y long, id long")
+    assert rank_corr(dup).collect()[0].rho_ppm == 1_000_000
+
+
+def test_reliability_curve_endpoint_fold_and_ppm(spark):
+    """Scores 950000/970000/1000000 share the last bin (the 10^6
+    endpoint folds, no 11th bin); conf is the floored mean score and
+    acc the floored positive rate."""
+    from cow_spark.operators.corpus import reliability_curve
+
+    rows = [(950_000, True), (970_000, False), (1_000_000, True),
+            (100_000, False)]
+    df = spark.createDataFrame(rows, "score_ppm long, outcome boolean")
+    got = {r.bin: r for r in reliability_curve(df).collect()}
+    assert set(got) == {9, 1}
+    b9 = got[9]
+    assert (b9.n, b9.conf_ppm, b9.acc_ppm) == (3, 973_333, 666_666)
+    assert (got[1].n, got[1].acc_ppm) == (1, 0)
+
+
+def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
+                                                          tmp_path):
+    """INTEGER/REAL/TEXT/BLOB map to long/double/string/binary; a
+    per-row mixed-type column raises with the column named; the
+    max_rows cap raises instead of truncating."""
+    import pytest as _pytest
+
+    from cow_spark.sources.sqlite_source import (read_sqlite,
+                                                 write_sqlite_fixture)
+
+    p = str(tmp_path / "t.db")
+    write_sqlite_fixture(
+        p,
+        "create table t (i integer, r real, s text, b blob)",
+        "insert into t values (1, 1.5, 'a', x'00ff'), "
+        "(2, 2.5, 'b', x'01'), (3, null, null, null)")
+    df = read_sqlite(spark, p, "select * from t order by i")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+        ["bigint", "double", "string", "binary"]
+    rows = df.orderBy("i").collect()
+    assert [r.i for r in rows] == [1, 2, 3]
+    assert rows[0].b == bytearray(b"\x00\xff")
+    assert rows[2].r is None
+
+    p2 = str(tmp_path / "mixed.db")
+    write_sqlite_fixture(
+        p2, "create table m (v)",
+        "insert into m values (1), ('oops')")
+    with _pytest.raises(ValueError, match="'v' mixes storage"):
+        read_sqlite(spark, p2, "select v from m")
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        read_sqlite(spark, p, "select * from t", max_rows=2)
