@@ -22,9 +22,10 @@ def _plan(spark, df) -> str:
 
 
 # queries whose plans may legitimately contain an Arrow-batched Python
-# stage (mapInPandas feature kernel); everything else must be JVM-only
+# stage (mapInPandas feature kernel / binary-format parser); everything
+# else must be JVM-only
 _ARROW_OK = {"multimodal_features", "multimodal_meta", "multimodal_resize",
-             "multimodal_stdlib"}
+             "multimodal_stdlib", "npy_ingest"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
