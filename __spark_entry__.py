@@ -11201,6 +11201,96 @@ from generate_series(0, 499) t(i)
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum slice comparison (parity.py:mann_whitney): the same
+    shifted-slices fixture family as ks_test but testing LOCATION via
+    doubled tied ranks — dense mod-30 scores make nearly every rank a
+    tie block, and the third slice must be ignored."""
+    from cow_spark.plans.parity import mann_whitney
+
+    d = _load(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(F.col("doc_id") % 89 == 0, F.lit("c"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("grp"),
+        ((F.col("n_chars") * 13 + F.col("doc_id")) % 30
+         + F.when(F.col("doc_id") % 2 == 0, 5).otherwise(0))
+        .cast("long").alias("score"))
+    return mann_whitney(scored, "grp", "score")
+
+
+def _sql_mann_whitney() -> str:
+    from cow_spark.plans.parity import mann_whitney_oracle_sql
+
+    return mann_whitney_oracle_sql(
+        "select case when doc_id % 89 = 0 then 'c' "
+        "when doc_id % 2 = 0 then 'a' else 'b' end as grp, "
+        "(n_chars * 13 + doc_id) % 30 "
+        "+ case when doc_id % 2 = 0 then 5 else 0 end as s "
+        "from documents")
+
+
+def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture inequality profile (stats.py:gini_index): token mass
+    per source domain — heavy tie blocks (n_chars repeats constantly)
+    exercise the doubled-rank block identity, and the two-limb ppm
+    division must replay DuckDB's `//` exactly."""
+    from cow_spark.plans.stats import gini_index
+
+    d = _load(spark, sf_dir, "documents")
+    return gini_index(d, "source", "n_chars")
+
+
+def _sql_gini_index() -> str:
+    from cow_spark.plans.stats import gini_index_oracle_sql
+
+    return gini_index_oracle_sql(
+        "select source as grp, n_chars as v from documents")
+
+
+def q_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment (corpus.py:mixture_allocate): char
+    mass per source, prime budget 1000003 so floor quotas undershoot
+    and the largest-remainder top-up decides real winners."""
+    from cow_spark.operators.corpus import mixture_allocate
+
+    d = _load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("w"))
+    return mixture_allocate(src, "source", "w", 1_000_003)
+
+
+def _sql_mixture_allocate() -> str:
+    from cow_spark.operators.corpus import mixture_allocate_oracle_sql
+
+    return mixture_allocate_oracle_sql(
+        "select source, cast(sum(n_chars) as bigint) as weight "
+        "from documents group by source", 1_000_003)
+
+
+def q_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate confidence intervals (parity.py:wilson_bounds): per-lang
+    pass rates from a deterministic mod-10 outcome — group sizes span
+    two orders of magnitude, so the lower bound reorders the ranking
+    the raw mean would give; exercises the exact isqrt kernel."""
+    from cow_spark.plans.parity import wilson_bounds
+
+    d = _load(spark, sf_dir, "documents")
+    o = d.select(
+        F.col("lang").alias("grp"),
+        (((F.col("doc_id") * 7 + F.col("n_chars")) % 10) < 4)
+        .alias("s"))
+    return wilson_bounds(o, "grp", "s")
+
+
+def _sql_wilson_bounds() -> str:
+    from cow_spark.plans.parity import wilson_bounds_oracle_sql
+
+    return wilson_bounds_oracle_sql(
+        "select lang as grp, (doc_id * 7 + n_chars) % 10 < 4 as s "
+        "from documents")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -11464,6 +11554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_corr": q_rank_corr,
         "reliability_curve": q_reliability_curve,
         "sqlite_ingest": q_sqlite_ingest,
+        "mann_whitney": q_mann_whitney,
+        "gini_index": q_gini_index,
+        "mixture_allocate": q_mixture_allocate,
+        "wilson_bounds": q_wilson_bounds,
     }
 
 
@@ -11711,4 +11805,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_corr": _sql_rank_corr(),
         "reliability_curve": _sql_reliability_curve(),
         "sqlite_ingest": _SQL_SQLITE_INGEST,
+        "mann_whitney": _sql_mann_whitney(),
+        "gini_index": _sql_gini_index(),
+        "mixture_allocate": _sql_mixture_allocate(),
+        "wilson_bounds": _sql_wilson_bounds(),
     }

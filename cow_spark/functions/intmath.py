@@ -17,7 +17,7 @@ integer columns are free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 Q = 30          # mantissa fixed-point: m in [2^30, 2^31)
@@ -73,6 +73,55 @@ def log2_fp_py(v: int, frac_bits: int = 10) -> int:
             frac |= 1
             m >>= 1
     return (b << frac_bits) + frac
+
+
+_ISQRT_MAX_T = 3037000499  # floor(sqrt(2^63 - 1)); (t+1)^2 would overflow
+
+
+def isqrt_col(x: Column) -> Column:
+    """Exact ``floor(sqrt(x))`` for bigint ``0 <= x < 2^63`` as a pure
+    Column (NULL for negative/NULL input). The libm double sqrt seeds
+    within ±1 of the true floor (int64→double conversion and IEEE sqrt
+    are both correctly rounded in every engine: absolute error ≤
+    sqrt(x)·2^-52 < 10^-6), then two integer correction rounds pin the
+    exact value — the result is engine-independent even where the
+    double seed is not. The seed subtree is duplicated by the
+    corrections; that is fine (one libm call, bounded fan-out).
+
+    The increment guard ``t < _ISQRT_MAX_T`` keeps ``(t+1)^2`` inside
+    int64 under ANSI mode (CASE evaluates lazily in both engines).
+    """
+
+    def _fix(t: Column) -> Column:
+        up = (F.when(t < _ISQRT_MAX_T,
+                     F.when((t + 1) * (t + 1) <= x, F.lit(1))
+                     .otherwise(F.lit(0)))
+              .otherwise(F.lit(0)))
+        down = F.when(t * t > x, F.lit(1)).otherwise(F.lit(0))
+        return t + up - down
+
+    seed = F.least(F.floor(F.sqrt(x.cast("double"))).cast("bigint"),
+                   F.lit(_ISQRT_MAX_T))
+    return F.when(x >= 0, _fix(_fix(seed)).cast("bigint"))
+
+
+def isqrt_seed_sql(x: str) -> str:
+    """DuckDB seed for :func:`isqrt_col`: double sqrt, floored, capped.
+    Stage the result as a CTE column, then apply :func:`isqrt_fix_sql`
+    twice (each round references its input ~5×, so staging keeps the
+    SQL linear instead of 25× duplicated)."""
+    return (f"least(cast(floor(sqrt(cast({x} as double))) as bigint), "
+            f"{_ISQRT_MAX_T})")
+
+
+def isqrt_fix_sql(t: str, x: str) -> str:
+    """One integer correction round of :func:`isqrt_col` in DuckDB SQL;
+    ``t``/``x`` should be simple column references."""
+    up = (f"(case when {t} < {_ISQRT_MAX_T} then "
+          f"(case when ({t} + 1) * ({t} + 1) <= {x} then 1 else 0 end) "
+          f"else 0 end)")
+    down = f"(case when {t} * {t} > {x} then 1 else 0 end)"
+    return f"({t} + {up} - {down})"
 
 
 def log2_fp_sql(e: str) -> str:

@@ -577,3 +577,101 @@ select bin, cast(count(*) as bigint) as n,
        cast((sum(pos) * 1000000) // count(*) as bigint) as acc_ppm
 from base group by bin
 """
+
+
+def mixture_allocate(
+    sources: DataFrame,
+    source_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder apportionment of an integer token budget over
+    weighted sources — the "how many tokens from each domain" step of
+    a mixture recipe. Every source gets ``floor(w·B/W)``; the leftover
+    ``B − Σfloor`` goes one token each to the largest remainders
+    (ties broken by source id ascending), so ``Σ quota = B`` exactly
+    and the allocation is deterministic.
+
+    Scale shape: the sources table is mixture-dimension-sized (one row
+    per domain/shard, thousands not billions), so the two 1-row
+    aggregates broadcast and the single unpartitioned remainder-rank
+    window is cheap by contract. The corpus itself never enters —
+    callers aggregate weights upstream. Overflow: ``w·B`` must stay
+    under int64 (ANSI aborts loudly past it); with per-source token
+    weights ≤ 10^12 that allows budgets to ~9·10^6 × the largest
+    weight.
+
+    ``W = 0`` (all weights zero/filtered) allocates nothing rather
+    than dividing by zero. Returns ``(source, weight, quota)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    b = F.lit(int(budget)).cast("long")
+    base = (sources
+            .where(F.col(weight_col).isNotNull()
+                   & (F.col(weight_col) >= 0))
+            .select(F.col(source_col).alias("source"),
+                    F.col(weight_col).cast("long").alias("weight")))
+    tot = base.agg(F.coalesce(F.sum("weight"), F.lit(0))
+                   .cast("long").alias("wsum"))
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    wd = base.crossJoin(F.broadcast(tot))
+    q0 = (wd.select(
+        "source", "weight", "wsum",
+        F.when(F.col("wsum") > 0,
+               fdiv(F.col("weight") * b, F.col("wsum")))
+        .otherwise(F.lit(0)).cast("long").alias("quota0"),
+        F.when(F.col("wsum") > 0,
+               F.pmod(F.col("weight") * b, F.col("wsum")))
+        .otherwise(F.lit(0)).cast("long").alias("rem")))
+    left = q0.agg(
+        (b - F.coalesce(F.sum("quota0"), F.lit(0)))
+        .cast("long").alias("leftover"),
+        F.max("wsum").alias("wsum_max"))
+    rk = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = (q0.withColumn("rk",
+                            F.row_number().over(rk).cast("long"))
+              .crossJoin(F.broadcast(left)))
+    return ranked.select(
+        "source", "weight",
+        (F.col("quota0")
+         + F.when((F.col("wsum_max") > 0)
+                  & (F.col("rk") <= F.col("leftover")),
+                  F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("quota"))
+
+
+def mixture_allocate_oracle_sql(sources_sql: str, budget: int) -> str:
+    """DuckDB twin of :func:`mixture_allocate`; ``sources_sql`` yields
+    (source, weight)."""
+    b = int(budget)
+    return f"""
+with base as (
+  select source, cast(weight as bigint) as weight
+  from ({sources_sql})
+  where weight is not null and weight >= 0),
+tot as (
+  select cast(coalesce(sum(weight), 0) as bigint) as wsum from base),
+q0 as materialized (
+  select source, weight, wsum,
+         cast(case when wsum > 0 then (weight * {b}) // wsum
+              else 0 end as bigint) as quota0,
+         cast(case when wsum > 0 then (weight * {b}) % wsum
+              else 0 end as bigint) as rem
+  from base, tot),
+lft as (
+  select cast({b} - coalesce(sum(quota0), 0) as bigint) as leftover,
+         max(wsum) as wsum_max
+  from q0),
+ranked as (
+  select source, weight, quota0,
+         cast(row_number() over (order by rem desc, source asc)
+              as bigint) as rk
+  from q0)
+select source, weight,
+  cast(quota0 + case when wsum_max > 0 and rk <= leftover
+       then 1 else 0 end as bigint) as quota
+from ranked, lft
+"""

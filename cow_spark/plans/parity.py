@@ -953,3 +953,199 @@ select n, sum_d2,
        end as bigint) as rho_ppm
 from agg
 """
+
+
+def mann_whitney(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Mann–Whitney U between the score distributions of two named
+    slices — the rank-based LOCATION test to :func:`ks_test`'s
+    max-gap SHAPE test: does slice ``a`` systematically score higher
+    than slice ``b``, robust to any monotone rescaling of the score.
+
+    Exact integers via doubled ranks: per distinct score the pooled
+    tie block starting at position ``start`` with ``m`` members
+    contributes ``ca·(2·start + m − 1)`` to ``2·ΣR_a`` (twice the
+    average-rank sum — average tied ranks are half-integers, so the
+    doubled sum is exact where the textbook sum is not). Then
+    ``u2 = 2·U_a = 2·ΣR_a − n_a·(n_a+1)`` and the common-language
+    effect size ``cles_ppm = floor(u2·10⁶ / (2·n_a·n_b))`` —
+    P(a > b) + ½·P(a = b), 500000 = indistinguishable. Either slice
+    empty ⇒ cles 500000 by the same convention. Group values outside
+    {a, b} are ignored.
+
+    Scale shape mirrors :func:`ks_test`: one scan → per-distinct-
+    score combine → one bounded unpartitioned running-sum window over
+    discretized integer scores. Overflow: 2·ΣR_a ≤ 2·n² and
+    u2·10⁶ ≤ 2·n_a·n_b·10⁶ ⇒ n ≲ 2·10⁶ pooled rows (an A/B eval
+    scale; sample above it).
+
+    Returns one row ``(n_a, n_b, u2, cles_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (scored
+            .where(F.col(group_col).isin(a, b)
+                   & F.col(score_col).isNotNull())
+            .select(F.col(score_col).cast("long").alias("s"),
+                    (F.col(group_col) == a).alias("ga")))
+    per = base.groupBy("s").agg(
+        F.sum(F.col("ga").cast("long")).cast("long").alias("ca"),
+        F.sum((~F.col("ga")).cast("long")).cast("long").alias("cb"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    m = F.col("ca") + F.col("cb")
+    blocks = per.select(
+        "ca", "cb",
+        (F.sum(m).over(w) - m).cast("long").alias("before"),
+        m.cast("long").alias("m"))
+    agg = blocks.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(F.col("ca")
+                  * (F.lit(2) * (F.col("before") + 1) + F.col("m")
+                     - 1)),
+            F.lit(0)).cast("long").alias("r2"))
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    na, nb = F.col("n_a"), F.col("n_b")
+    u2 = (F.col("r2") - na * (na + 1)).alias("u2")
+    return agg.select(
+        "n_a", "n_b", u2.cast("long").alias("u2"),
+        F.when(na * nb == 0, F.lit(500_000))
+        .otherwise(fdiv((F.col("r2") - na * (na + 1))
+                        * F.lit(1_000_000),
+                        F.lit(2) * na * nb))
+        .cast("long").alias("cles_ppm"))
+
+
+def mann_whitney_oracle_sql(scored_sql: str, a: str = "a",
+                            b: str = "b") -> str:
+    """DuckDB twin of :func:`mann_whitney`; ``scored_sql`` yields
+    (grp, s)."""
+    return f"""
+with base as materialized (
+  select cast(s as bigint) as s, grp = '{a}' as ga
+  from ({scored_sql})
+  where grp in ('{a}', '{b}') and s is not null),
+per as (
+  select s,
+         cast(sum(case when ga then 1 else 0 end) as bigint) as ca,
+         cast(sum(case when ga then 0 else 1 end) as bigint) as cb
+  from base group by s),
+blocks as materialized (
+  select ca, cb,
+         cast(sum(ca + cb) over (order by s) - (ca + cb) as bigint)
+           as before_n,
+         cast(ca + cb as bigint) as m
+  from per),
+agg as (
+  select cast(coalesce(sum(ca), 0) as bigint) as n_a,
+         cast(coalesce(sum(cb), 0) as bigint) as n_b,
+         cast(coalesce(sum(ca * (2 * (before_n + 1) + m - 1)), 0)
+              as bigint) as r2
+  from blocks)
+select n_a, n_b,
+  cast(r2 - n_a * (n_a + 1) as bigint) as u2,
+  cast(case when n_a * n_b = 0 then 500000
+       else ((r2 - n_a * (n_a + 1)) * 1000000)
+            // (2 * n_a * n_b) end as bigint) as cles_ppm
+from agg
+"""
+
+
+def wilson_bounds(
+    outcomes: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Per-group Wilson score interval (z = 2, ≈95.45%) for a success
+    rate — ranking judge verdicts, filter pass-rates, or tool success
+    by a lower bound instead of the raw mean, so a 3/3 source does not
+    outrank a 950/1000 one.
+
+    With ``z² = 4`` the interval is
+    ``(k + 2 ± 2·√(k·(n−k)/n + 1)) / (n + 4)``. The root runs on the
+    exact integer-sqrt kernel (:func:`~cow_spark.functions.intmath.
+    isqrt_col`) over the fixed-point radicand
+    ``s = isqrt(4·10^8 · ⌊10^4·(k(n−k)+n)/n⌋)`` — i.e. ``⌊2·10^6·√·⌋``
+    of a quantity within 10^-4 of the true radicand — then
+    ``lb_ppm = max(0, ⌊((k+2)·10^6 − s) / (n+4)⌋)`` and symmetrically
+    ``ub_ppm`` capped at 10^6. Every step is engine-independent
+    integer arithmetic (the double sqrt seed is corrected to the exact
+    integer floor), so the DuckDB twin replays it bit-for-bit; the
+    result sits within a few ppm of textbook Wilson. Bounds: exact for
+    ``n ≤ 10^6`` rows per group (radicand ≤ 10^18); ANSI aborts loudly
+    past it — sample or shard groups above a million trials.
+
+    Scale shape: one scan, one map-side-partial group-by, then pure
+    per-row column math — no window, no second shuffle. NULL successes
+    are excluded. Returns ``(grp, n, k, lb_ppm, ub_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from ..functions.intmath import isqrt_col
+
+    base = (outcomes
+            .where(F.col(success_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.col(success_col).cast("boolean").cast("long")
+                    .alias("s")))
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("k"))
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    n, k = F.col("n"), F.col("k")
+    rad = fdiv((k * (n - k) + n) * F.lit(10_000), n) * F.lit(400_000_000)
+    staged = agg.select("grp", "n", "k",
+                        isqrt_col(rad).alias("root"))
+    ctr = (F.col("k") + 2) * F.lit(1_000_000)
+    den = F.col("n") + 4
+    return staged.select(
+        "grp", "n", "k",
+        F.greatest(F.lit(0), fdiv(ctr - F.col("root"), den))
+        .cast("long").alias("lb_ppm"),
+        F.least(F.lit(1_000_000), fdiv(ctr + F.col("root"), den))
+        .cast("long").alias("ub_ppm"))
+
+
+def wilson_bounds_oracle_sql(outcomes_sql: str) -> str:
+    """DuckDB twin of :func:`wilson_bounds`; ``outcomes_sql`` yields
+    (grp, s) with s boolean-ish. The isqrt seed+2-correction chain is
+    staged through CTEs (each round references its input ~5×)."""
+    from ..functions.intmath import isqrt_fix_sql, isqrt_seed_sql
+
+    return f"""
+with base as (
+  select grp, cast(cast(s as boolean) as bigint) as s
+  from ({outcomes_sql}) where s is not null),
+agg as (
+  select grp, cast(count(*) as bigint) as n,
+         cast(sum(s) as bigint) as k
+  from base group by grp),
+rad as (
+  select grp, n, k,
+         cast(((k * (n - k) + n) * 10000) // n * 400000000 as bigint)
+           as x
+  from agg),
+t0 as (select grp, n, k, x,
+              cast({isqrt_seed_sql('x')} as bigint) as t from rad),
+t1 as (select grp, n, k, x,
+              cast({isqrt_fix_sql('t', 'x')} as bigint) as t from t0),
+t2 as (select grp, n, k,
+              cast({isqrt_fix_sql('t', 'x')} as bigint) as root
+       from t1)
+select grp, n, k,
+  cast(greatest(0, ((k + 2) * 1000000 - root) // (n + 4))
+       as bigint) as lb_ppm,
+  cast(least(1000000, ((k + 2) * 1000000 + root) // (n + 4))
+       as bigint) as ub_ppm
+from t2
+"""

@@ -1038,3 +1038,110 @@ from head
 left join stop on stop.p = head.p
 left join otop on otop.p = head.p
 """
+
+
+def gini_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer metric —
+    the inequality profile of a corpus mixture (how concentrated are
+    tokens across domains, triples across predicates, turns across
+    sessions). 0 = perfectly even, →1 = one member holds everything.
+
+    Exact integers via the sorted-rank identity
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` (x ascending, i 1-based),
+    computed over tie blocks: a block of ``m`` copies of value ``v``
+    after ``p`` smaller rows contributes ``v·(2·m·p + m·(m+1))`` to
+    the doubled rank sum — ties never need fractional ranks. The final
+    ppm division runs as two-limb long division (quotient at 10^3,
+    remainder refined at 10^3) so every intermediate stays under
+    int64 for ``n·Σx ≤ 9.2·10^15`` — document-count × token-total per
+    group, comfortably past trillion-token mixtures per domain; ANSI
+    aborts loudly beyond it rather than wrapping.
+
+    Scale shape: one scan → per-(group, value) combine (map-side
+    partial) → a running-count window per group over *distinct values
+    only* (bounded by the value vocabulary, not rows) → one per-group
+    aggregate. Rows with NULL or negative values are excluded.
+
+    Returns one row per group: ``(grp, n, total, gini_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from pyspark.sql import Window
+
+    base = (df
+            .where(F.col(value_col).isNotNull()
+                   & (F.col(value_col) >= 0))
+            .select(F.col(group_col).alias("grp"),
+                    F.col(value_col).cast("long").alias("v")))
+    per = base.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("m"))
+    w = (Window.partitionBy("grp").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    blocks = per.select(
+        "grp", "v", "m",
+        (F.sum("m").over(w) - F.col("m")).cast("long").alias("p"))
+    agg = blocks.groupBy("grp").agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("m")).cast("long").alias("total"),
+        F.sum(F.col("v")
+              * (F.lit(2) * F.col("m") * F.col("p")
+                 + F.col("m") * (F.col("m") + 1)))
+        .cast("long").alias("s2"))
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    n, total = F.col("n"), F.col("total")
+    numer = (F.col("s2") - (n + 1) * total).cast("long")
+    den = (n * total).cast("long")
+    q1 = fdiv(numer * F.lit(1000), den)
+    r1 = numer * F.lit(1000) - q1 * den
+    return agg.select(
+        "grp", "n", "total",
+        F.when(total > 0,
+               q1 * F.lit(1000) + fdiv(r1 * F.lit(1000), den))
+        .otherwise(F.lit(0)).cast("long").alias("gini_ppm"))
+
+
+def gini_index_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`gini_index`; ``rows_sql`` yields
+    (grp, v). Same two-limb division — DuckDB would survive on
+    HUGEINT, but replaying the bigint-staged steps keeps both engines
+    on the identical integer path."""
+    return f"""
+with base as (
+  select grp, cast(v as bigint) as v from ({rows_sql})
+  where v is not null and v >= 0),
+per as (
+  select grp, v, cast(count(*) as bigint) as m
+  from base group by grp, v),
+blocks as materialized (
+  select grp, v, m,
+         cast(sum(m) over (partition by grp order by v) - m as bigint)
+           as p
+  from per),
+agg as (
+  select grp,
+         cast(sum(m) as bigint) as n,
+         cast(sum(v * m) as bigint) as total,
+         cast(sum(v * (2 * m * p + m * (m + 1))) as bigint) as s2
+  from blocks group by grp),
+lim as (
+  select grp, n, total,
+         cast(s2 - (n + 1) * total as bigint) as numer,
+         cast(n * total as bigint) as den
+  from agg),
+q as (
+  select grp, n, total, numer, den,
+         cast(case when total > 0 then (numer * 1000) // den
+              else 0 end as bigint) as q1
+  from lim)
+select grp, n, total,
+  cast(case when total > 0
+       then q1 * 1000 + ((numer * 1000 - q1 * den) * 1000) // den
+       else 0 end as bigint) as gini_ppm
+from q
+"""

@@ -3617,3 +3617,97 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
 
     with _pytest.raises(ValueError, match="max_rows"):
         read_sqlite(spark, p, "select * from t", max_rows=2)
+
+
+def test_mann_whitney_ties_and_empty_side(spark):
+    """a={1,2,2} vs b={2,3}: the shared 2-block forces average tied
+    ranks (2·ΣR_a = 14, U_a = 1 ⇒ u2 = 2), cles = ⌊2e6/12⌋; a third
+    group is ignored; an empty b side reads the 500000 convention."""
+    from cow_spark.plans.parity import mann_whitney
+
+    rows = [("a", 1), ("a", 2), ("a", 2), ("b", 2), ("b", 3),
+            ("zz", 9)]
+    df = spark.createDataFrame(rows, "grp string, score long")
+    r = mann_whitney(df, "grp", "score").collect()[0]
+    assert (r.n_a, r.n_b, r.u2, r.cles_ppm) == (3, 2, 2, 166_666)
+
+    a_only = spark.createDataFrame([("a", 3)], "grp string, score long")
+    r = mann_whitney(a_only, "grp", "score").collect()[0]
+    assert (r.n_b, r.u2, r.cles_ppm) == (0, 0, 500_000)
+
+
+def test_gini_index_blocks_and_degenerate(spark):
+    """[1,1,2,4] ⇒ G = 10/32 = 0.3125 exactly (ties share a block);
+    an all-equal group is 0; an all-zero group reads the 0 convention
+    instead of dividing by zero."""
+    from cow_spark.plans.stats import gini_index
+
+    rows = ([("g", 1), ("g", 1), ("g", 2), ("g", 4)]
+            + [("eq", 7), ("eq", 7), ("eq", 7)]
+            + [("z", 0), ("z", 0)])
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = {r.grp: r for r in gini_index(df, "src", "v").collect()}
+    assert (got["g"].n, got["g"].total, got["g"].gini_ppm) == \
+        (4, 8, 312_500)
+    assert got["eq"].gini_ppm == 0
+    assert (got["z"].total, got["z"].gini_ppm) == (0, 0)
+
+
+def test_mixture_allocate_remainders_and_ties(spark):
+    """Budget 7 over weights 5/3/2: floors 3/2/1 leave one token for
+    the largest remainder (a); budget 6 over 1/1/2 ties the remainder
+    between a and b — source asc breaks it; Σ quota = budget always."""
+    from cow_spark.operators.corpus import mixture_allocate
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "s string, w long")
+    got = {r.source: r.quota
+           for r in mixture_allocate(df, "s", "w", 7).collect()}
+    assert got == {"a": 4, "b": 2, "c": 1}
+
+    df2 = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "s string, w long")
+    got2 = {r.source: r.quota
+            for r in mixture_allocate(df2, "s", "w", 6).collect()}
+    assert got2 == {"a": 2, "b": 1, "c": 3}
+    assert sum(got2.values()) == 6
+
+    zero = spark.createDataFrame([("a", 0)], "s string, w long")
+    assert mixture_allocate(zero, "s", "w", 5).collect()[0].quota == 0
+
+
+def test_wilson_bounds_extremes_and_midpoint(spark):
+    """k=0/n=4 pins lb=0 ub=500000 (textbook exact); k=n pins
+    ub=10^6; k=2/n=4 rides the isqrt: root = ⌊√(8·10^12)⌋ = 2828427
+    ⇒ lb 146446 / ub 853553."""
+    from cow_spark.plans.parity import wilson_bounds
+
+    rows = ([("none", i % 1 == 1) for i in range(4)]
+            + [("all", True)] * 4
+            + [("half", v) for v in (True, True, False, False)])
+    df = spark.createDataFrame(rows, "grp string, s boolean")
+    got = {r.grp: r for r in wilson_bounds(df, "grp", "s").collect()}
+    assert (got["none"].k, got["none"].lb_ppm, got["none"].ub_ppm) == \
+        (0, 0, 500_000)
+    assert (got["all"].lb_ppm, got["all"].ub_ppm) == (500_000, 1_000_000)
+    assert (got["half"].lb_ppm, got["half"].ub_ppm) == (146_446, 853_553)
+
+
+def test_isqrt_col_exact_at_boundaries(spark):
+    """Exact floor-sqrt where the double seed is off by one: MAX_T²±1
+    and 2^63−1 (the largest bigint), plus perfect squares and 0;
+    negatives go NULL."""
+    import math
+
+    from cow_spark.functions.intmath import isqrt_col
+
+    xs = [0, 1, 2, 3, 4, 15, 16, 17, 10**12, 10**12 + 1,
+          3037000499**2 - 1, 3037000499**2, 2**63 - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r.x: r.t for r in
+           df.select("x", isqrt_col(F.col("x")).alias("t")).collect()}
+    for x in xs:
+        assert got[x] == math.isqrt(x), x
+    neg = spark.createDataFrame([(-4,)], "x long")
+    assert neg.select(isqrt_col(F.col("x")).alias("t")) \
+        .collect()[0].t is None
