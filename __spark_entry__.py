@@ -11291,6 +11291,24 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical independence audit (stats.py:chi_square): is
+    language independent of source domain? 5×20 contingency table —
+    exercises the two-limb ppm cell terms and the exact isqrt behind
+    Cramér's V."""
+    from cow_spark.plans.stats import chi_square
+
+    d = _load(spark, sf_dir, "documents")
+    return chi_square(d, "lang", "source")
+
+
+def _sql_chi_square() -> str:
+    from cow_spark.plans.stats import chi_square_oracle_sql
+
+    return chi_square_oracle_sql(
+        "select lang as a, source as b from documents")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -11558,6 +11576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_index": q_gini_index,
         "mixture_allocate": q_mixture_allocate,
         "wilson_bounds": q_wilson_bounds,
+        "chi_square": q_chi_square,
     }
 
 
@@ -11809,4 +11828,5 @@ def oracle_sql() -> dict[str, str]:
         "gini_index": _sql_gini_index(),
         "mixture_allocate": _sql_mixture_allocate(),
         "wilson_bounds": _sql_wilson_bounds(),
+        "chi_square": _sql_chi_square(),
     }

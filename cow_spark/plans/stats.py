@@ -1145,3 +1145,122 @@ select grp, n, total,
        else 0 end as bigint) as gini_ppm
 from q
 """
+
+
+def chi_square(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chi-squared independence test + Cramér's V between two
+    categorical columns — are language and source domain independent,
+    does a judge's verdict depend on the model that answered, is a
+    quality gate biased by register. column_mi answers in bits; this
+    answers with the classical test statistic and a [0,1] effect size
+    comparable across tables of different shape.
+
+    Exact integers via ``χ² = N·(Σ O²/(R·C)) − N`` per cell, each term
+    two-limb floored at 10^6 (quotient at the cell, remainder scaled
+    by N) so intermediates stay under int64 for ``N ≤ 10^6`` pooled
+    rows (sample above; ANSI aborts loudly). ``chi2_fp6`` is the
+    sum-of-floors spec (within #cells·10^-6 of textbook);
+    ``v_ppm = ⌊10^6·√(χ²/(N·min(r−1,c−1)))⌋`` rides the exact
+    integer-sqrt kernel. A single-row or single-column table reads
+    V = 0 by convention.
+
+    Scale shape: one scan → per-cell combine (map-side partial), then
+    everything downstream lives on the cells table — vocabulary² by
+    contract — with broadcast joins for the margins and 1-row totals.
+    NULL categories are excluded. Returns one row
+    ``(n, r, c, chi2_fp6, v_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from ..functions.intmath import isqrt_col
+
+    base = (df.where(F.col(a_col).isNotNull()
+                     & F.col(b_col).isNotNull())
+            .select(F.col(a_col).alias("a"), F.col(b_col).alias("b")))
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("o"))
+    rows_m = cells.groupBy("a").agg(F.sum("o").cast("long").alias("rt"))
+    cols_m = cells.groupBy("b").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"))
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    j = (cells
+         .join(F.broadcast(rows_m), "a")
+         .join(F.broadcast(cols_m), "b")
+         .crossJoin(F.broadcast(tot)))
+    o2 = (F.col("o") * F.col("o")).cast("long")
+    rc = (F.col("rt") * F.col("ct")).cast("long")
+    t1 = fdiv(o2 * F.lit(1_000_000), rc)
+    rem = o2 * F.lit(1_000_000) - t1 * rc
+    term = (t1 * F.col("n") + fdiv(rem * F.col("n"), rc)).cast("long")
+    agg = j.groupBy("n", "r", "c").agg(
+        (F.sum(term) - F.col("n") * F.lit(1_000_000))
+        .cast("long").alias("chi2_fp6"))
+    mind = F.least(F.col("r") - 1, F.col("c") - 1)
+    q = fdiv(F.col("chi2_fp6"), F.col("n") * mind)
+    r2 = F.col("chi2_fp6") - q * F.col("n") * mind
+    v2 = q * F.lit(1_000_000) + fdiv(r2 * F.lit(1_000_000),
+                                     F.col("n") * mind)
+    return agg.select(
+        "n", "r", "c", "chi2_fp6",
+        F.when(mind >= 1, isqrt_col(v2))
+        .otherwise(F.lit(0)).cast("long").alias("v_ppm"))
+
+
+def chi_square_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`chi_square`; ``rows_sql`` yields (a, b).
+    Same two-limb floors; the isqrt seed/fix chain is staged through
+    CTEs."""
+    from ..functions.intmath import isqrt_fix_sql, isqrt_seed_sql
+
+    return f"""
+with base as (
+  select a, b from ({rows_sql}) where a is not null and b is not null),
+cells as materialized (
+  select a, b, cast(count(*) as bigint) as o from base group by a, b),
+rm as (select a, cast(sum(o) as bigint) as rt from cells group by a),
+cm as (select b, cast(sum(o) as bigint) as ct from cells group by b),
+tot as (
+  select cast(sum(o) as bigint) as n,
+         cast(count(distinct a) as bigint) as r,
+         cast(count(distinct b) as bigint) as c
+  from cells),
+terms as (
+  select n, r, c,
+         cast((o * o * 1000000) // (rt * ct) as bigint) as t1,
+         cast(o * o * 1000000 - ((o * o * 1000000) // (rt * ct))
+              * (rt * ct) as bigint) as rem,
+         cast(rt * ct as bigint) as rc
+  from cells
+  join rm using (a) join cm using (b) cross join tot),
+agg as (
+  select n, r, c,
+         cast(sum(t1 * n + (rem * n) // rc) - n * 1000000 as bigint)
+           as chi2_fp6
+  from terms group by n, r, c),
+v2s as (
+  select n, r, c, chi2_fp6,
+         cast(least(r - 1, c - 1) as bigint) as mind
+  from agg),
+v2t as (
+  select n, r, c, chi2_fp6, mind,
+         cast(case when mind >= 1 then
+           (chi2_fp6 // (n * mind)) * 1000000
+           + ((chi2_fp6 - (chi2_fp6 // (n * mind)) * n * mind)
+              * 1000000) // (n * mind)
+         else 0 end as bigint) as x
+  from v2s),
+t0 as (select *, cast({isqrt_seed_sql('x')} as bigint) as t from v2t),
+t1c as (select n, r, c, chi2_fp6, mind, x,
+               cast({isqrt_fix_sql('t', 'x')} as bigint) as t from t0),
+t2c as (select n, r, c, chi2_fp6, mind,
+               cast({isqrt_fix_sql('t', 'x')} as bigint) as root
+        from t1c)
+select n, r, c, chi2_fp6,
+  cast(case when mind >= 1 then root else 0 end as bigint) as v_ppm
+from t2c
+"""

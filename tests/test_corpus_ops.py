@@ -3693,6 +3693,28 @@ def test_wilson_bounds_extremes_and_midpoint(spark):
     assert (got["half"].lb_ppm, got["half"].ub_ppm) == (146_446, 853_553)
 
 
+def test_chi_square_pinned_2x2_and_degenerate(spark):
+    """2×2 table (8/2 vs 3/7): textbook χ² = 20·(56−6)²/(10·10·11·9)
+    = 5.0505... ⇒ chi2_fp6 = 5050502 by the sum-of-floors spec;
+    V = √(χ²/N) ⇒ v_ppm = ⌊√252525100000⌋ = 502518. NULL rows are
+    excluded; a single-column table reads V = 0."""
+    from cow_spark.plans.stats import chi_square
+
+    rows = ([("a", "x")] * 8 + [("a", "y")] * 2
+            + [("b", "x")] * 3 + [("b", "y")] * 7
+            + [(None, "x"), ("a", None)])
+    df = spark.createDataFrame(rows, "g string, h string")
+    r = chi_square(df, "g", "h").collect()[0]
+    assert (r.n, r.r, r.c) == (20, 2, 2)
+    assert r.chi2_fp6 == 5_050_502
+    assert r.v_ppm == 502_518
+
+    one_col = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "x")] * 7, "g string, h string")
+    r = chi_square(one_col, "g", "h").collect()[0]
+    assert (r.c, r.chi2_fp6, r.v_ppm) == (1, 0, 0)
+
+
 def test_isqrt_col_exact_at_boundaries(spark):
     """Exact floor-sqrt where the double seed is off by one: MAX_T²±1
     and 2^63−1 (the largest bigint), plus perfect squares and 0;
