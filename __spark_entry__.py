@@ -11291,6 +11291,142 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (simsearch.py:scalar_quantize) over
+    the embeddings table, posexploded to (vec_id, dim, code) scalars
+    for the hash compare; the twin replays per-dim min/max and the
+    fixed ((x−mn)·255)/(mx−mn) parenthesization in IEEE double —
+    float32→double promotion is exact on both engines."""
+    from cow_spark.operators.simsearch import scalar_quantize
+
+    embs = _load(spark, sf_dir, "embeddings")
+    out = scalar_quantize(embs)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("codes").alias("dim", "code"))
+
+
+_SQL_VEC_QUANTIZE = """
+with v as (
+  select cast(vec_id as bigint) as vec_id, embedding as e
+  from embeddings),
+ex0 as (
+  select vec_id,
+         unnest(list_transform(generate_series(1, len(e)),
+           i -> {'dim': i - 1, 'x': cast(e[i] as double)})) as u
+  from v),
+ex as materialized (
+  select vec_id, cast(u.dim as integer) as dim, u.x as x from ex0),
+rng as (
+  select dim, min(x) as mn, max(x) as mx from ex group by dim)
+select vec_id, dim,
+       cast(case when mx = mn then 0
+                 else floor(((x - mn) * 255.0) / (mx - mn))
+            end as integer) as code
+from ex join rng using (dim)
+"""
+
+
+def q_namespace_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespace induction (stats.py:namespace_profile) over a quad
+    table mixing slash namespaces (order/, clerk/, p/), a hash
+    vocabulary (vocab#), opaque urn:… objects (the empty-namespace
+    bucket), XSD datatype IRIs and graph IRIs — prefixes must come out
+    deterministically ordered by use count with namespace tiebreak."""
+    from cow_spark.plans.stats import namespace_profile
+
+    o = _load(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    oiri = F.concat(F.lit(f"{BASE}/order/"), okey.cast("string"))
+
+    def _q(g, p, kind, lex, dt=None):
+        return [(g if g is not None else F.lit(None))
+                .cast("string").alias("g"),
+                oiri.alias("s"), F.lit(p).alias("p"),
+                F.lit(kind).alias("o_kind"), lex.alias("o_lex"),
+                (F.lit(dt) if dt else F.lit(None)).cast("string")
+                .alias("o_dt"),
+                F.lit(None).cast("string").alias("o_lang")]
+
+    quads = (
+        o.select(*_q(
+            F.concat(F.lit(f"{BASE}/graph/g"),
+                     F.pmod(okey, F.lit(3)).cast("string")),
+            f"{BASE}/p/status", "lit", F.col("o_orderstatus"),
+            dt="http://www.w3.org/2001/XMLSchema#string"))
+        .unionByName(o.select(*_q(
+            None, f"{BASE}/vocab#clerk", "iri",
+            F.concat(F.lit(f"{BASE}/clerk/"),
+                     F.pmod(okey, F.lit(100)).cast("string")))))
+        .unionByName(o.select(*_q(
+            None, f"{BASE}/p/ref", "iri",
+            F.concat(F.lit("urn:ref:"),
+                     F.pmod(okey, F.lit(50)).cast("string")))))
+    )
+    return namespace_profile(quads)
+
+
+def _sql_namespace_induction() -> str:
+    from cow_spark.plans.stats import namespace_profile_oracle_sql
+
+    return namespace_profile_oracle_sql(f"""
+  select '{BASE}/graph/g' || cast(o_orderkey % 3 as varchar) as g,
+         '{BASE}/order/' || cast(o_orderkey as varchar) as s,
+         '{BASE}/p/status' as p, 'lit' as o_kind,
+         o_orderstatus as o_lex,
+         'http://www.w3.org/2001/XMLSchema#string' as o_dt,
+         cast(null as varchar) as o_lang
+  from orders
+  union all
+  select null, '{BASE}/order/' || cast(o_orderkey as varchar),
+         '{BASE}/vocab#clerk', 'iri',
+         '{BASE}/clerk/' || cast(o_orderkey % 100 as varchar),
+         null, null
+  from orders
+  union all
+  select null, '{BASE}/order/' || cast(o_orderkey as varchar),
+         '{BASE}/p/ref', 'iri',
+         'urn:ref:' || cast(o_orderkey % 50 as varchar), null, null
+  from orders""")
+
+
+def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML catalog ingest (xml_source.py:read_xml): a real 400-record
+    feed written driver-side via stdlib ElementTree (attributes @id/
+    @cat, child elements name/note, note ABSENT when i%5==0 so the
+    missing-child → NULL path is driver-checked), streamed back
+    through iterparse and repartitioned; the twin re-derives the
+    formulas via generate_series — it never sees the file (the
+    sqlite/npy oracle pattern)."""
+    import os
+    import tempfile
+
+    from cow_spark.sources.xml_source import read_xml, write_xml_fixture
+
+    path = os.path.join(tempfile.gettempdir(),
+                        "cow_spark_xml_fixture.xml")
+    write_xml_fixture(path, "catalog", "item", [
+        {"@id": i, "@cat": f"c{i % 7}",
+         "name": f"item-{(i * 53 + 7) % 211}",
+         "note": (f"n{(i * 3) % 17}" if i % 5 != 0 else None)}
+        for i in range(400)])
+    raw = read_xml(spark, path, "item", ["@id", "@cat", "name", "note"],
+                   num_partitions=4)
+    return raw.select(
+        F.col("id").try_cast("long").alias("id"),
+        "cat", "name", "note")
+
+
+_SQL_XML_INGEST = """
+select cast(i as bigint) as id,
+       'c' || cast(i % 7 as varchar) as cat,
+       'item-' || cast((i * 53 + 7) % 211 as varchar) as name,
+       case when i % 5 <> 0
+            then 'n' || cast((i * 3) % 17 as varchar) end as note
+from generate_series(0, 399) t(i)
+"""
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical independence audit (stats.py:chi_square): is
     language independent of source domain? 5×20 contingency table —
@@ -11577,6 +11713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocate": q_mixture_allocate,
         "wilson_bounds": q_wilson_bounds,
         "chi_square": q_chi_square,
+        "xml_ingest": q_xml_ingest,
+        "namespace_induction": q_namespace_induction,
+        "vec_quantize": q_vec_quantize,
     }
 
 
@@ -11829,4 +11968,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_allocate": _sql_mixture_allocate(),
         "wilson_bounds": _sql_wilson_bounds(),
         "chi_square": _sql_chi_square(),
+        "xml_ingest": _SQL_XML_INGEST,
+        "namespace_induction": _sql_namespace_induction(),
+        "vec_quantize": _SQL_VEC_QUANTIZE,
     }

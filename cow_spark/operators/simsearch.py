@@ -673,3 +673,46 @@ def rrf_fuse(
         .agg(F.count("*").cast("long").alias("n_lists"),
              F.sum("_c").cast("long").alias("rrf_fp"))
     )
+
+
+def scalar_quantize(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension int8 scalar quantization — the 4× storage shrink
+    (float32 → uint8 codes) that makes a 100 TB embedding store
+    scannable: SQ is what FAISS/vector stores apply before or instead
+    of PQ when recall must stay near-exact. Returns
+    ``(id_col, codes array<int>)`` with
+    ``code[d] = ⌊(x[d] − mn[d])·255 / (mx[d] − mn[d])⌋`` ∈ 0..255
+    (constant dimension → 0); dequantization is
+    ``mn[d] + code[d]·(mx[d] − mn[d])/255``.
+
+    Scale shape: pass 1 posexplodes to per-dimension ``min``/``max`` —
+    a partial-aggregated shuffle whose output is DIMENSION-sized, then
+    collected to the driver (bounded by the vector width, the k-row
+    centroid-collect discipline). Pass 2 is MAP-ONLY: the per-dim
+    ranges ship as constant-folded array literals inside one HOF
+    ``transform`` — no join, no regroup shuffle, no Python. Arithmetic
+    stays in exact-replayable territory: float32 → double promotion is
+    exact, and the ``((x − mn)·255) / (mx − mn)`` parenthesization is
+    fixed so any IEEE-double engine (the DuckDB twin included)
+    reproduces the codes bit-for-bit.
+    """
+    ex = df.select(F.posexplode(vec_col).alias("dim", "x"))
+    rng = (ex.groupBy("dim")
+           .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+           .orderBy("dim").collect())
+    mns = F.lit([float(r.mn) for r in rng])
+    mxs = F.lit([float(r.mx) for r in rng])
+
+    def _code(x, i):
+        mn = F.element_at(mns, i + 1)
+        mx = F.element_at(mxs, i + 1)
+        return (F.when(mx == mn, F.lit(0).cast("long"))
+                .otherwise(F.floor(
+                    ((x.cast("double") - mn) * F.lit(255.0))
+                    / (mx - mn))))
+
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), _code).cast("array<int>")
+        .alias("codes"))

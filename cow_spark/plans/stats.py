@@ -1264,3 +1264,103 @@ select n, r, c, chi2_fp6,
   cast(case when mind >= 1 then root else 0 end as bigint) as v_ppm
 from t2c
 """
+
+
+_NS_PATTERN = "^(.*[/#])[^/#]*$"
+
+
+def namespace_profile(quads: DataFrame) -> DataFrame:
+    """Namespace induction over a quad table — the prefix block a
+    serializer or SPARQL console needs, and the first vocabulary-drift
+    question on an unfamiliar graph: which vocabularies does it use,
+    where (subject/predicate/object/datatype/graph position), and how
+    hard. The reference hard-codes its namespace table
+    (`converter/csvw.py:43-57` `namespaces = {...}`); this induces the
+    equivalent table from the data itself.
+
+    Namespace = everything up to and including the LAST ``/`` or
+    ``#`` (the rdflib/Turtle split rule); an IRI with neither
+    separator (``urn:…``) groups under the empty namespace — counted
+    honestly, not dropped. Prefixes are assigned deterministically:
+    ``ns1, ns2, …`` by descending use count, namespace ascending on
+    ties — byte-identical across reruns, so emitted prefix blocks
+    diff cleanly between crawls.
+
+    Scale shape: ONE scan (positions staged via ``explode(array(
+    struct…))``, never a self-union that re-executes the upstream —
+    the no-CSE-across-union-branches rule), partial-agg combine to
+    the namespace-sized table, and the row_number window runs on that
+    bounded table only. Returns
+    ``(prefix, namespace, n_terms, n_uses, n_subj, n_pred, n_obj,
+    n_dt, n_graph)``.
+    """
+    occ = quads.select(F.explode(F.array(
+        F.struct(F.lit("s").alias("pos"), F.col("s").alias("iri")),
+        F.struct(F.lit("p").alias("pos"), F.col("p").alias("iri")),
+        F.struct(F.lit("o").alias("pos"),
+                 F.when(F.col("o_kind") == "iri", F.col("o_lex"))
+                 .alias("iri")),
+        F.struct(F.lit("dt").alias("pos"), F.col("o_dt").alias("iri")),
+        F.struct(F.lit("g").alias("pos"), F.col("g").alias("iri")),
+    )).alias("e")).select("e.pos", "e.iri").where(F.col("iri").isNotNull())
+    ns = occ.select(
+        F.regexp_extract("iri", _NS_PATTERN, 1).alias("namespace"),
+        "pos", "iri")
+    agg = ns.groupBy("namespace").agg(
+        F.countDistinct("iri").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_uses"),
+        F.sum((F.col("pos") == "s").cast("long")).cast("long")
+        .alias("n_subj"),
+        F.sum((F.col("pos") == "p").cast("long")).cast("long")
+        .alias("n_pred"),
+        F.sum((F.col("pos") == "o").cast("long")).cast("long")
+        .alias("n_obj"),
+        F.sum((F.col("pos") == "dt").cast("long")).cast("long")
+        .alias("n_dt"),
+        F.sum((F.col("pos") == "g").cast("long")).cast("long")
+        .alias("n_graph"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n_uses").desc(), F.col("namespace").asc())
+    return agg.select(
+        F.concat(F.lit("ns"), F.row_number().over(w).cast("string"))
+        .alias("prefix"),
+        "namespace", "n_terms", "n_uses", "n_subj", "n_pred",
+        "n_obj", "n_dt", "n_graph")
+
+
+def namespace_profile_oracle_sql(quads_sql: str) -> str:
+    """DuckDB twin of :func:`namespace_profile`; ``quads_sql`` yields
+    (g, s, p, o_kind, o_lex, o_dt, o_lang)."""
+    return f"""
+with q as materialized ({quads_sql}),
+occ as (
+  select pos, iri from (
+    select 's' as pos, s as iri from q
+    union all select 'p', p from q
+    union all select 'o', case when o_kind = 'iri' then o_lex end from q
+    union all select 'dt', o_dt from q
+    union all select 'g', g from q)
+  where iri is not null),
+ns as (
+  select regexp_extract(iri, '{_NS_PATTERN}', 1) as namespace, pos, iri
+  from occ),
+agg as (
+  select namespace,
+         cast(count(distinct iri) as bigint) as n_terms,
+         cast(count(*) as bigint) as n_uses,
+         cast(sum(case when pos = 's' then 1 else 0 end) as bigint)
+           as n_subj,
+         cast(sum(case when pos = 'p' then 1 else 0 end) as bigint)
+           as n_pred,
+         cast(sum(case when pos = 'o' then 1 else 0 end) as bigint)
+           as n_obj,
+         cast(sum(case when pos = 'dt' then 1 else 0 end) as bigint)
+           as n_dt,
+         cast(sum(case when pos = 'g' then 1 else 0 end) as bigint)
+           as n_graph
+  from ns group by namespace)
+select 'ns' || cast(row_number() over
+         (order by n_uses desc, namespace asc) as varchar) as prefix,
+       namespace, n_terms, n_uses, n_subj, n_pred, n_obj, n_dt, n_graph
+from agg
+"""

@@ -3619,6 +3619,95 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_scalar_quantize_endpoints_and_constant_dim(spark):
+    """min maps to 0, max to 255 (the x=mx quotient is exactly 255),
+    midpoint floors (0.5 → 127), a constant dimension reads 0 —
+    and codes never leave 0..255."""
+    from cow_spark.operators.simsearch import scalar_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [0.5, 5.0])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: list(r.codes)
+           for r in scalar_quantize(df).collect()}
+    assert got == {1: [0, 0], 2: [255, 0], 3: [127, 0]}
+
+
+def test_namespace_profile_split_rule_and_prefix_order(spark):
+    """Split at the LAST /or#: 'http://a/v#t' → 'http://a/v#',
+    trailing-slash IRI keeps itself as namespace, 'urn:x:1' (no
+    separator) lands in the '' bucket; prefixes order by n_uses desc
+    then namespace asc (deterministic tie)."""
+    from cow_spark.plans.stats import namespace_profile
+
+    rows = [
+        # g, s, p, o_kind, o_lex, o_dt, o_lang
+        (None, "http://a/s/1", "http://a/v#t", "iri",
+         "http://b/o/", None, None),
+        (None, "http://a/s/2", "http://a/v#t", "lit",
+         "x", "http://w3/xsd#int", None),
+        (None, "http://a/s/3", "http://a/v#u", "iri",
+         "urn:x:1", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+    got = {r.namespace: r for r in namespace_profile(df).collect()}
+    assert got["http://a/s/"].n_terms == 3
+    assert got["http://a/v#"].n_uses == 3  # predicate position ×3
+    assert got["http://a/v#"].n_pred == 3
+    assert got["http://b/o/"].n_terms == 1  # trailing-slash IRI
+    assert got[""].n_obj == 1 and got[""].n_uses == 1
+    assert got["http://w3/xsd#"].n_dt == 1
+    # ties at n_uses=1: '', http://b/o/, http://w3/xsd# — ns asc
+    prefixes = {r.namespace: r.prefix
+                for r in namespace_profile(df).collect()}
+    assert prefixes["http://a/s/"] == "ns1"  # 3 uses, '' sorts first
+    assert prefixes[""] == "ns3"
+    assert prefixes["http://b/o/"] == "ns4"
+
+
+def test_read_xml_nulls_caps_and_malformed(spark, tmp_path):
+    """Missing attribute / missing child / empty child all land NULL
+    (never ''); nested repeats read the FIRST direct child; max_rows
+    raises instead of truncating; a truncated document raises
+    ParseError loudly."""
+    import xml.etree.ElementTree as ET
+
+    import pytest as _pytest
+
+    from cow_spark.sources.xml_source import read_xml, write_xml_fixture
+
+    p = str(tmp_path / "c.xml")
+    write_xml_fixture(p, "cat", "item", [
+        {"@id": 0, "name": "a", "note": "x"},
+        {"@id": 1, "name": "b"},            # note child absent
+        {"@id": 2, "name": "", "note": "y"},  # empty element
+        {"name": "d"},                       # id attribute absent
+    ])
+    df = read_xml(spark, p, "item", ["@id", "name", "note"])
+    rows = df.collect()
+    assert [r.id for r in rows] == ["0", "1", "2", None]
+    assert rows[1].note is None and rows[2].name is None
+    assert df.schema.simpleString() == \
+        "struct<id:string,name:string,note:string>"
+
+    # first-direct-child rule on hand-built nesting
+    p2 = str(tmp_path / "n.xml")
+    with open(p2, "w") as fh:
+        fh.write("<r><rec><v>first</v><v>second</v></rec></r>")
+    assert read_xml(spark, p2, "rec", ["v"]).collect()[0].v == "first"
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        read_xml(spark, p, "item", ["name"], max_rows=2)
+
+    p3 = str(tmp_path / "trunc.xml")
+    with open(p3, "w") as fh:
+        fh.write("<r><rec><v>ok</v></rec><rec><v>cut")
+    with _pytest.raises(ET.ParseError):
+        read_xml(spark, p3, "rec", ["v"])
+
+
 def test_mann_whitney_ties_and_empty_side(spark):
     """a={1,2,2} vs b={2,3}: the shared 2-block forces average tied
     ranks (2·ΣR_a = 14, U_a = 1 ⇒ u2 = 2), cles = ⌊2e6/12⌋; a third
