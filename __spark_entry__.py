@@ -11291,6 +11291,218 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (corpus.py:fim_transform) at 50% over
+    documents: hash-deterministic selection and cut points, PSM
+    sentinel rearrangement byte-compared against the twin's substr
+    replay (all-ASCII fixture, so char counts agree by construction)."""
+    from cow_spark.operators.corpus import fim_transform
+
+    d = _load(spark, sf_dir, "documents")
+    return fim_transform(d)
+
+
+def _sql_fim_transform() -> str:
+    from cow_spark.operators.corpus import fim_transform_oracle_sql
+
+    inner = fim_transform_oracle_sql(
+        "select doc_id as id, text from documents")
+    return f"select id as doc_id, fim, out_text from ({inner})"
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (parity.py:runs_test): per-lang
+    pass/fail sequence in doc_id order, %29-sampled (the n ≤ 8000
+    overflow contract), with a block-clumped flag (runs of ~16 after
+    sampling, XOR mod-7 noise) so z comes out strongly negative and
+    the signed magnitude-floor convention is graded."""
+    from cow_spark.plans.parity import runs_test
+
+    d = _load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 29 == 0)
+    s = d.select(
+        "lang", "doc_id",
+        F.expr("((doc_id div 464) % 2 = 0) != (doc_id % 7 = 0)")
+        .alias("ok"))
+    return runs_test(s, "lang", "doc_id", "ok")
+
+
+def _sql_runs_test() -> str:
+    from cow_spark.plans.parity import runs_test_oracle_sql
+
+    return runs_test_oracle_sql(
+        "select lang as grp, doc_id as o, "
+        "((doc_id // 464) % 2 = 0) <> (doc_id % 7 = 0) as x "
+        "from documents where doc_id % 29 = 0")
+
+
+_OWL_NS = "http://www.w3.org/2002/07/owl#"
+_RDF_NS_E = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def q_owl_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-chain entailment (entail.py:owl_chain_closure): three
+    chained axioms — uncle ⊇ parent∘brother, gp ⊇ parent∘parent, and
+    greatuncle ⊇ gp∘brother, which FEEDS on the gp entailments so the
+    fixpoint needs a second round — over mod-97 functional kinship
+    edges; k%7 orders assert an uncle edge that exactly restates a
+    derived one, exercising the anti-join."""
+    from cow_spark.plans.entail import owl_chain_closure
+
+    rel = f"{BASE}/rel"
+    onto = [
+        (None, f"{rel}/uncle", f"{_OWL_NS}propertyChainAxiom", "iri",
+         f"{BASE}/l1", None, None),
+        (None, f"{BASE}/l1", f"{_RDF_NS_E}first", "iri",
+         f"{rel}/parent", None, None),
+        (None, f"{BASE}/l1", f"{_RDF_NS_E}rest", "iri",
+         f"{BASE}/l2", None, None),
+        (None, f"{BASE}/l2", f"{_RDF_NS_E}first", "iri",
+         f"{rel}/brother", None, None),
+        (None, f"{BASE}/l2", f"{_RDF_NS_E}rest", "iri",
+         f"{_RDF_NS_E}nil", None, None),
+        (None, f"{rel}/gp", f"{_OWL_NS}propertyChainAxiom", "iri",
+         f"{BASE}/l3", None, None),
+        (None, f"{BASE}/l3", f"{_RDF_NS_E}first", "iri",
+         f"{rel}/parent", None, None),
+        (None, f"{BASE}/l3", f"{_RDF_NS_E}rest", "iri",
+         f"{BASE}/l4", None, None),
+        (None, f"{BASE}/l4", f"{_RDF_NS_E}first", "iri",
+         f"{rel}/parent", None, None),
+        (None, f"{BASE}/l4", f"{_RDF_NS_E}rest", "iri",
+         f"{_RDF_NS_E}nil", None, None),
+        (None, f"{rel}/greatuncle", f"{_OWL_NS}propertyChainAxiom",
+         "iri", f"{BASE}/l5", None, None),
+        (None, f"{BASE}/l5", f"{_RDF_NS_E}first", "iri",
+         f"{rel}/gp", None, None),
+        (None, f"{BASE}/l5", f"{_RDF_NS_E}rest", "iri",
+         f"{BASE}/l6", None, None),
+        (None, f"{BASE}/l6", f"{_RDF_NS_E}first", "iri",
+         f"{rel}/brother", None, None),
+        (None, f"{BASE}/l6", f"{_RDF_NS_E}rest", "iri",
+         f"{_RDF_NS_E}nil", None, None),
+    ]
+    onto_df = spark.createDataFrame(
+        onto, "g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+
+    o = _load(spark, sf_dir, "orders")
+    k = F.pmod(F.col("o_orderkey").cast("long"), F.lit(97))
+
+    def _edge(df, pred, dst):
+        return df.select(
+            F.lit(None).cast("string").alias("g"),
+            F.concat(F.lit(f"{BASE}/x"), k.cast("string")).alias("s"),
+            F.lit(f"{rel}/{pred}").alias("p"),
+            F.lit("iri").alias("o_kind"),
+            F.concat(F.lit(f"{BASE}/x"), dst.cast("string"))
+            .alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"))
+
+    parent = _edge(o, "parent", F.pmod(k + 13, F.lit(97)))
+    brother = _edge(o, "brother", F.pmod(k * 5 + 2, F.lit(97)))
+    uncle_asserted = _edge(
+        o.where(F.pmod(F.col("o_orderkey"), F.lit(7)) == 0), "uncle",
+        F.pmod(F.pmod(k + 13, F.lit(97)) * 5 + 2, F.lit(97)))
+    quads = (onto_df.unionByName(parent).unionByName(brother)
+             .unionByName(uncle_asserted).dropDuplicates())
+    return owl_chain_closure(quads)
+
+
+def _sql_owl_chains() -> str:
+    from cow_spark.plans.entail import owl_chain_oracle_sql
+
+    rel = f"{BASE}/rel"
+    onto_vals = ", ".join(
+        f"(cast(null as varchar), '{s}', '{p}', 'iri', '{o}', "
+        f"cast(null as varchar), cast(null as varchar))"
+        for s, p, o in [
+            (f"{rel}/uncle", f"{_OWL_NS}propertyChainAxiom",
+             f"{BASE}/l1"),
+            (f"{BASE}/l1", f"{_RDF_NS_E}first", f"{rel}/parent"),
+            (f"{BASE}/l1", f"{_RDF_NS_E}rest", f"{BASE}/l2"),
+            (f"{BASE}/l2", f"{_RDF_NS_E}first", f"{rel}/brother"),
+            (f"{BASE}/l2", f"{_RDF_NS_E}rest", f"{_RDF_NS_E}nil"),
+            (f"{rel}/gp", f"{_OWL_NS}propertyChainAxiom",
+             f"{BASE}/l3"),
+            (f"{BASE}/l3", f"{_RDF_NS_E}first", f"{rel}/parent"),
+            (f"{BASE}/l3", f"{_RDF_NS_E}rest", f"{BASE}/l4"),
+            (f"{BASE}/l4", f"{_RDF_NS_E}first", f"{rel}/parent"),
+            (f"{BASE}/l4", f"{_RDF_NS_E}rest", f"{_RDF_NS_E}nil"),
+            (f"{rel}/greatuncle", f"{_OWL_NS}propertyChainAxiom",
+             f"{BASE}/l5"),
+            (f"{BASE}/l5", f"{_RDF_NS_E}first", f"{rel}/gp"),
+            (f"{BASE}/l5", f"{_RDF_NS_E}rest", f"{BASE}/l6"),
+            (f"{BASE}/l6", f"{_RDF_NS_E}first", f"{rel}/brother"),
+            (f"{BASE}/l6", f"{_RDF_NS_E}rest", f"{_RDF_NS_E}nil"),
+        ])
+    quads_sql = f"""
+  select * from (
+    select g, s, p, o_kind, o_lex, o_dt, o_lang
+    from (values {onto_vals})
+         v(g, s, p, o_kind, o_lex, o_dt, o_lang)
+    union all
+    select null, '{BASE}/x' || cast(o_orderkey % 97 as varchar),
+           '{rel}/parent', 'iri',
+           '{BASE}/x' || cast((o_orderkey % 97 + 13) % 97 as varchar),
+           null, null
+    from orders
+    union all
+    select null, '{BASE}/x' || cast(o_orderkey % 97 as varchar),
+           '{rel}/brother', 'iri',
+           '{BASE}/x' || cast((o_orderkey % 97 * 5 + 2) % 97
+                              as varchar),
+           null, null
+    from orders
+    union all
+    select null, '{BASE}/x' || cast(o_orderkey % 97 as varchar),
+           '{rel}/uncle', 'iri',
+           '{BASE}/x' || cast(((o_orderkey % 97 + 13) % 97 * 5 + 2)
+                              % 97 as varchar),
+           null, null
+    from orders where o_orderkey % 7 = 0
+  ) t
+  group by all"""
+    return owl_chain_oracle_sql(quads_sql, rounds=4)
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated eigenvector centrality (graphrank.py:
+    eigenvector_centrality) over a two-relation functional graph on
+    211 nodes (k → 7k+3 and k → 3k+11 mod 211) — cyclic by
+    construction so the power iteration stays live, with uneven
+    in-degrees so normalization decides real ppm rankings."""
+    from cow_spark.operators.graphrank import eigenvector_centrality
+
+    o = _load(spark, sf_dir, "orders")
+    k = F.pmod(F.col("o_orderkey").cast("long"), F.lit(211))
+    e1 = o.select(
+        F.concat(F.lit("n"), k.cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.pmod(k * 7 + 3, F.lit(211))
+                 .cast("string")).alias("dst"))
+    e2 = o.select(
+        F.concat(F.lit("n"), k.cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.pmod(k * 3 + 11, F.lit(211))
+                 .cast("string")).alias("dst"))
+    return eigenvector_centrality(e1.unionByName(e2), rounds=4)
+
+
+def _sql_eigenvector() -> str:
+    from cow_spark.operators.graphrank import eigenvector_oracle_sql
+
+    edges = (
+        "select 'n' || cast(o_orderkey % 211 as varchar) as src, "
+        "'n' || cast((o_orderkey % 211 * 7 + 3) % 211 as varchar) as dst "
+        "from orders "
+        "union all "
+        "select 'n' || cast(o_orderkey % 211 as varchar), "
+        "'n' || cast((o_orderkey % 211 * 3 + 11) % 211 as varchar) "
+        "from orders"
+    )
+    return eigenvector_oracle_sql(edges, rounds=4)
+
+
 def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization (simsearch.py:scalar_quantize) over
     the embeddings table, posexploded to (vec_id, dim, code) scalars
@@ -11716,6 +11928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_ingest": q_xml_ingest,
         "namespace_induction": q_namespace_induction,
         "vec_quantize": q_vec_quantize,
+        "eigenvector": q_eigenvector,
+        "owl_chains": q_owl_chains,
+        "runs_test": q_runs_test,
+        "fim_transform": q_fim_transform,
     }
 
 
@@ -11971,4 +12187,8 @@ def oracle_sql() -> dict[str, str]:
         "xml_ingest": _SQL_XML_INGEST,
         "namespace_induction": _sql_namespace_induction(),
         "vec_quantize": _SQL_VEC_QUANTIZE,
+        "eigenvector": _sql_eigenvector(),
+        "owl_chains": _sql_owl_chains(),
+        "runs_test": _sql_runs_test(),
+        "fim_transform": _sql_fim_transform(),
     }

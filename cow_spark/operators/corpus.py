@@ -675,3 +675,106 @@ select source, weight,
        then 1 else 0 end as bigint) as quota
 from ranked, lft
 """
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_ppm: int = 500_000,
+    salt: str = "fim-v1",
+    pre: str = "<|fim_pre|>",
+    suf: str = "<|fim_suf|>",
+    mid: str = "<|fim_mid|>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, the
+    code-model pretraining staple): for a deterministic ``rate_ppm``
+    fraction of documents, pick two hash-derived cut points, and emit
+    the PSM rearrangement
+
+        pre ∥ prefix ∥ suf ∥ suffix ∥ mid ∥ middle
+
+    so the model learns infilling from the same corpus bytes.
+    Untransformed rows pass text through unchanged with
+    ``fim = false``.
+
+    Selection AND cut points ride the portable md5 hash (id ⊕ salt ⊕
+    role) — the :func:`stratified_sample` discipline: reruns, retries,
+    and the DuckDB twin all derive the identical transform, which
+    ``rand()`` cannot promise. Cuts are 1..L−1 (both sides non-empty
+    by construction; equal cuts → empty middle, a real FIM case kept
+    deliberately); documents shorter than 2 chars never transform.
+    ASCII/codepoint note: cuts count characters, so both engines
+    agree on any UTF-8 text, but sentinel-free byte-exactness is only
+    meaningful if the sentinels don't collide with corpus text —
+    callers pick sentinels accordingly.
+
+    Scale shape: one linear scan, ZERO shuffles, pure column
+    expressions (three md5s + three substrings per row) — pipelines
+    with the scan and any downstream packer. Returns
+    (id, fim boolean, out_text).
+    """
+    from ..functions.hashing import portable_hash60
+
+    def h(role: str) -> Column:
+        return portable_hash60(F.concat_ws(
+            "\x1f", F.col(id_col).cast("string"), F.lit(salt),
+            F.lit(role)))
+
+    t = F.col(text_col)
+    ln = F.length(t)
+    selected = ((F.pmod(h("sel"), F.lit(1_000_000)) < F.lit(rate_ppm))
+                & (ln >= 2) & t.isNotNull())
+    c1 = F.pmod(h("cut1"), ln - 1) + 1
+    c2 = F.pmod(h("cut2"), ln - 1) + 1
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    rearranged = F.concat(
+        F.lit(pre), t.substr(F.lit(1), lo),
+        F.lit(suf), t.substr(hi + 1, ln),
+        F.lit(mid), t.substr(lo + 1, hi - lo))
+    return df.select(
+        F.col(id_col),
+        selected.alias("fim"),
+        F.when(selected, rearranged).otherwise(t).alias("out_text"))
+
+
+def fim_transform_oracle_sql(
+    rows_sql: str,
+    rate_ppm: int = 500_000,
+    salt: str = "fim-v1",
+    pre: str = "<|fim_pre|>",
+    suf: str = "<|fim_suf|>",
+    mid: str = "<|fim_mid|>",
+) -> str:
+    """DuckDB twin of :func:`fim_transform`; ``rows_sql`` yields
+    (id, text)."""
+    from ..functions.hashing import portable_hash60_sql
+
+    def h(role: str) -> str:
+        return portable_hash60_sql(
+            f"concat_ws(chr(31), cast(id as varchar), '{salt}', "
+            f"'{role}')")
+
+    return f"""
+with base as (select id, text from ({rows_sql})),
+cuts as (
+  select id, text, length(text) as ln,
+         ({h('sel')}) % 1000000 < {rate_ppm}
+           and length(text) >= 2 and text is not null as selected,
+         case when length(text) >= 2
+              then ({h('cut1')}) % (length(text) - 1) + 1 end as c1,
+         case when length(text) >= 2
+              then ({h('cut2')}) % (length(text) - 1) + 1 end as c2
+  from base),
+lohi as (
+  select id, text, ln, selected,
+         least(c1, c2) as lo, greatest(c1, c2) as hi
+  from cuts)
+select id, selected as fim,
+  case when selected then
+    '{pre}' || substr(text, 1, lo)
+    || '{suf}' || substr(text, hi + 1, ln)
+    || '{mid}' || substr(text, lo + 1, hi - lo)
+  else text end as out_text
+from lohi
+"""

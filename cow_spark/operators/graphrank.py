@@ -4019,3 +4019,120 @@ from (values ('030T'), ('030C'), ('120D'), ('120U'), ('120C'),
              ('210'), ('300')) fr(motif)
 left join cnt using (motif)
 """
+
+
+EIG_SCALE = 1_000_000  # eigenvector fixed-point scale (ppm)
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Truncated eigenvector centrality (power iteration), integer
+    exact: start at x = EIG_SCALE everywhere, then K rounds of
+
+        y(v) = Σ_{u→v} x(u);   x'(v) = (y(v) · EIG_SCALE) div max(y)
+
+    — the ∞-norm-normalized power step, so the most-central node
+    always reads exactly EIG_SCALE and everything else is its ppm
+    fraction. The measure PageRank's teleport deliberately distorts
+    and Katz's additive term floors: pure "you are central because
+    your in-neighbors are central", the right axis for vocabulary /
+    entity-prestige graphs where mass conservation is not wanted.
+
+    DAG-collapse rule (exact, both engines): a graph whose walks die
+    out (no cycles reachable) drives max(y) to 0 in ≤ diameter
+    rounds; from there every x is 0 — the true limit — and the loop
+    SHORT-CIRCUITS rather than dividing by zero. The twin replays the
+    same rule as a CASE on the per-round max.
+
+    Overflow contract: y ≤ indeg_max·EIG_SCALE and the normalization
+    multiplies by EIG_SCALE before dividing, so indeg_max must stay
+    below ~9.2·10^6 (int64 / 10^12); ANSI aborts loudly past it.
+
+    Per round: one edge⋈rank join + partial-agg sum (node-sized,
+    persisted for its two consumers — the max probe and the update),
+    a 1-row max collect (bounded), a node-sized left join, lineage
+    cut via round_checkpoint — the katz/pagerank loop shape; edges
+    and nodes persist for the loop and are released before returning.
+    Returns (node, eig_fp).
+    """
+    if rounds < 1:
+        raise ValueError(
+            f"eigenvector_centrality: rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct().persist())
+    if e.isEmpty():
+        e.unpersist()
+        id_type = edges.schema[src].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            [], f"node {id_type}, eig_fp long")
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    x = nodes.select(
+        "node", F.lit(EIG_SCALE).cast("long").alias("eig_fp"))
+    dead = False
+    for _ in range(rounds):
+        inflow = (
+            e.join(x.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst").agg(F.sum("eig_fp").cast("long")
+                                .alias("inflow"))
+            .persist())
+        m = inflow.agg(F.max("inflow")).collect()[0][0] or 0
+        if m == 0:
+            inflow.unpersist()
+            dead = True
+            break
+        x = round_checkpoint(
+            nodes.join(inflow.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .select("node", F.expr(
+                f"(coalesce(inflow, 0) * {EIG_SCALE}) div {m}")
+                .cast("long").alias("eig_fp")),
+            checkpoint_dir)
+        inflow.unpersist()
+    if dead:
+        x = nodes.select("node", F.lit(0).cast("long").alias("eig_fp"))
+    for handle in (e, nodes):
+        handle.unpersist()
+    return x
+
+
+def eigenvector_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`eigenvector_centrality`. ``edges_sql``
+    must yield (src, dst). One CTE chain per round (aggregates can't
+    ride a recursive CTE); the DAG-collapse short-circuit replays as
+    a CASE on the round's max — once a max hits 0 every later round
+    stays 0, which is exactly the short-circuited fixture."""
+    s = EIG_SCALE
+    parts = [
+        f"e as materialized (select distinct src, dst from ({edges_sql})"
+        " where src is not null and dst is not null)",
+        "n0 as materialized (select distinct node from"
+        " (select src as node from e union select dst from e))",
+        f"x0 as materialized (select node, cast({s} as bigint) as x"
+        " from n0)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"y{k} as materialized (select n0.node,"
+            f" cast(coalesce(s.i, 0) as bigint) as y from n0"
+            f" left join (select e.dst, sum(x{k - 1}.x) as i from e"
+            f" join x{k - 1} on x{k - 1}.node = e.src group by e.dst)"
+            " s on s.dst = n0.node)")
+        parts.append(
+            f"m{k} as (select max(y) as m from y{k})")
+        parts.append(
+            f"x{k} as materialized (select node,"
+            f" cast(case when (select m from m{k}) = 0 then 0"
+            f" else (y * {s}) // (select m from m{k}) end as bigint)"
+            f" as x from y{k})")
+    body = ",\n".join(parts)
+    return (f"with {body}\n"
+            f"select node, cast(x as bigint) as eig_fp "
+            f"from x{rounds}")

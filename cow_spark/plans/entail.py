@@ -599,3 +599,148 @@ def rdf_reified_statements(quads: DataFrame) -> DataFrame:
                     F.col("ro_lang").alias("o_lang"),
                     F.coalesce(F.col("declared"), F.lit(False))
                     .alias("declared")))
+
+
+OWL_CHAIN = OWL_NS + "propertyChainAxiom"
+
+
+def owl_chain_closure(
+    quads: DataFrame,
+    schema_limit: int = 100_000,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Return ``quads`` ∪ the ``owl:propertyChainAxiom`` entailments:
+    for each axiom ``P owl:propertyChainAxiom (Q R)``,
+    ``Q(x,y) ∧ R(y,z) ⊢ P(x,z)`` — hasParent∘hasBrother ⊆ hasUncle,
+    locatedIn∘partOf ⊆ locatedIn, the composition rules that turn a
+    flat extraction into a navigable graph. Chains may FEED each
+    other (an entailed head edge can be another chain's leg), so the
+    rule set runs to fixpoint with a loud ``max_iter`` guard.
+
+    Scope contract (loud, not fine print): chains of length exactly 2
+    and IRI members only — a longer axiom RAISES with the offending
+    list named. N-ary chains factor into binary ones through named
+    intermediate properties; silently truncating or part-applying a
+    3-chain would entail wrong triples. List parsing rides
+    :func:`rdf_list_members` (its malformed-list failures — double
+    tails, cycles — propagate loudly).
+
+    Provenance: entailed rows get ``g = NULL`` (two triggering edges,
+    no single source graph — the :func:`owl_property_closure`
+    convention) and entailments that restate an existing (s, p, o)
+    are anti-joined away rather than duplicated.
+
+    Scale shape: axioms + lists are schema-sized and collect under
+    ``schema_limit``; the corpus never iterates — only edges whose
+    predicate is a chain leg or head enter the loop (predicate filter
+    pushed to the scan), each round is one broadcast(chains) join +
+    one middle-node equi-join on that bounded edge set, fixpoint
+    detected by an empty-delta count with per-round localCheckpoint
+    lineage cuts.
+    """
+    base = quads.select(*QUAD_COLS)
+    ax_rows = (quads.where((F.col("p") == OWL_CHAIN)
+                           & (F.col("o_kind") == "iri"))
+               .select("s", "o_lex").dropDuplicates()
+               .limit(schema_limit + 1).collect())
+    if len(ax_rows) > schema_limit:
+        raise ValueError(
+            f"owl_chain_closure: more than {schema_limit} chain "
+            "axioms — not a vocabulary; raise schema_limit only for "
+            "a genuine (enormous) ontology")
+    if not ax_rows:
+        return base
+    list_heads = {r["o_lex"]: r["s"] for r in ax_rows}
+    members = (rdf_list_members(quads)
+               .where(F.col("head").isin(sorted(list_heads)))
+               .collect())
+    by_list: dict = {}
+    for r in members:
+        by_list.setdefault(r["head"], []).append(r)
+    chains = []
+    for lst, hp in sorted(list_heads.items()):
+        rows = sorted(by_list.get(lst, []), key=lambda r: r["pos"])
+        if len(rows) != 2 or any(r["member_kind"] != "iri"
+                                 for r in rows):
+            raise ValueError(
+                f"owl_chain_closure: axiom for {hp!r} has a chain of "
+                f"length {len(rows)} (list {lst!r}) — only binary IRI "
+                "chains are supported; factor longer chains through "
+                "named intermediate properties")
+        chains.append((hp, rows[0]["member"], rows[1]["member"]))
+
+    spark = quads.sparkSession
+    cdf = spark.createDataFrame(
+        chains, "hp string, q1 string, q2 string")
+    relevant = sorted({p for c in chains for p in c})
+    edges = (base.where((F.col("o_kind") == "iri")
+                        & F.col("p").isin(relevant))
+             .select("s", "p", F.col("o_lex").alias("o"))
+             .dropDuplicates())
+    cur = edges.localCheckpoint(eager=True)
+    for i in range(max_iter + 1):
+        a, b = cur.alias("a"), cur.alias("b")
+        step = (a.join(F.broadcast(cdf), F.col("a.p") == F.col("q1"))
+                .join(b, (F.col("a.o") == F.col("b.s"))
+                      & (F.col("b.p") == F.col("q2")))
+                .select(F.col("a.s").alias("s"),
+                        F.col("hp").alias("p"),
+                        F.col("b.o").alias("o"))
+                .dropDuplicates())
+        new = step.join(cur, ["s", "p", "o"], "left_anti")
+        if new.isEmpty():
+            break
+        if i == max_iter:
+            raise ValueError(
+                f"owl_chain_closure: no fixpoint after {max_iter} "
+                "rounds — pathological chain feeding; raise max_iter "
+                "if the ontology genuinely composes that deep")
+        cur = cur.unionByName(new).localCheckpoint(eager=True)
+    asserted = (base.where(F.col("o_kind") == "iri")
+                .select("s", "p", F.col("o_lex").alias("o"))
+                .dropDuplicates())
+    derived = cur.join(asserted, ["s", "p", "o"], "left_anti")
+    return base.unionByName(derived.select(
+        F.lit(None).cast("string").alias("g"), "s", "p",
+        F.lit("iri").alias("o_kind"), F.col("o").alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang")))
+
+
+def owl_chain_oracle_sql(quads_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`owl_chain_closure` for well-formed
+    binary chains; ``quads_sql`` yields QUAD_COLS. The fixpoint
+    unrolls to ``rounds`` chained materialized CTEs (a converged
+    round is a no-op, so any rounds ≥ the fixture's convergence depth
+    replays exactly)."""
+    parts = [
+        f"q as materialized ({quads_sql})",
+        f"ax as (select distinct s as hp, o_lex as lst from q"
+        f" where p = '{OWL_CHAIN}' and o_kind = 'iri')",
+        f"chains as materialized (select ax.hp, f1.o_lex as q1,"
+        f" f2.o_lex as q2"
+        f" from ax"
+        f" join q f1 on f1.s = ax.lst and f1.p = '{RDF_FIRST}'"
+        f" join q r1 on r1.s = ax.lst and r1.p = '{RDF_REST}'"
+        f" join q f2 on f2.s = r1.o_lex and f2.p = '{RDF_FIRST}')",
+        "e0 as materialized (select distinct s, p, o_lex as o from q"
+        " where o_kind = 'iri' and p in"
+        " (select q1 from chains union select q2 from chains"
+        " union select hp from chains))",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"e{k} as materialized (select s, p, o from e{k - 1}"
+            f" union"
+            f" select a.s, c.hp as p, b.o as o"
+            f" from e{k - 1} a join chains c on a.p = c.q1"
+            f" join e{k - 1} b on b.s = a.o and b.p = c.q2)")
+    body = ",\n".join(parts)
+    return f"""with {body}
+select g, s, p, o_kind, o_lex, o_dt, o_lang from q
+union all
+select null, d.s, d.p, 'iri', d.o, null, null
+from (select s, p, o from e{rounds}
+      except
+      select s, p, o_lex from q where o_kind = 'iri') d
+"""

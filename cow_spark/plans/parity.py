@@ -1149,3 +1149,102 @@ select grp, n, k,
        as bigint) as ub_ppm
 from t2
 """
+
+
+def runs_test(df: DataFrame, grp_col: str, ord_col: str,
+              flag_col: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per group — is a binary sequence
+    RANDOMLY ordered, or does it clump (drift, batch effects, a
+    quality gate whose pass/fail streaks follow the crawl order)?
+    ks_test/cusum_alarm read a score's level; this reads pure
+    ordering: too FEW runs = clustering, too MANY = alternation.
+
+    Exact integers end to end: runs ``R = 1 + Σ[x_t ≠ x_{t−1}]`` over
+    the ``ord_col``-ordered sequence (``ord_col`` must be unique per
+    group — equal keys would make the run count genuinely ambiguous),
+    then with ``N1 = R·n − n − 2·n1·n0`` (the μ-centered numerator
+    scaled by n) and ``D = 2·n1·n0·(2·n1·n0 − n)·(n − 1)`` (≥ 0
+    always),
+
+        z_ppm = sign(N1) · (10^6·|N1|·(n−1)) // ⌊√D⌋
+
+    on the exact isqrt kernel — the magnitude-floored convention keeps
+    +z/−z symmetric, and a degenerate group (one value only, or n=1)
+    reads z = 0. Overflow contract: D grows as n⁵/4, so n ≤ 8000 per
+    group (bucket or sample longer sequences); ANSI aborts loudly
+    past it. One keyed window (lag) + one partial-agg groupBy; all
+    downstream math on the group-sized table. Returns
+    (grp, n, n1, runs, z_ppm).
+    """
+    from ..functions.intmath import isqrt_col
+
+    base = df.select(F.col(grp_col).alias("grp"),
+                     F.col(ord_col).alias("o"),
+                     F.col(flag_col).cast("boolean").alias("x")) \
+             .where(F.col("x").isNotNull())
+    w = Window.partitionBy("grp").orderBy("o")
+    prev = F.lag("x").over(w)
+    ch = base.select(
+        "grp", F.col("x").cast("long").alias("xi"),
+        (prev.isNotNull() & (F.col("x") != prev)).cast("long")
+        .alias("chg"))
+    agg = ch.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("n1"),
+        (F.lit(1) + F.sum("chg")).cast("long").alias("runs"))
+    n, n1 = F.col("n"), F.col("n1")
+    n0 = n - n1
+    num = F.col("runs") * n - n - 2 * n1 * n0
+    d = 2 * n1 * n0 * (2 * n1 * n0 - n) * (n - 1)
+    root = isqrt_col(d)
+    scored = agg.select(
+        "grp", "n", "n1", "runs",
+        num.alias("_num"), root.alias("_root"))
+    mag = F.expr("(1000000 * abs(_num) * (n - 1)) div _root")
+    z = (F.when(F.col("_root") > 0,
+                F.when(F.col("_num") < 0, -mag).otherwise(mag))
+         .otherwise(F.lit(0)))
+    return scored.select("grp", "n", "n1", "runs",
+                         z.cast("long").alias("z_ppm"))
+
+
+def runs_test_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`runs_test`; ``rows_sql`` yields
+    (grp, o, x) with x boolean-ish and o unique per group."""
+    from ..functions.intmath import isqrt_fix_sql, isqrt_seed_sql
+
+    return f"""
+with base as (
+  select grp, o, cast(x as boolean) as x
+  from ({rows_sql}) where x is not null),
+ch as (
+  select grp, cast(x as bigint) as xi,
+         case when lag(x) over (partition by grp order by o)
+                   is not null
+               and x <> lag(x) over (partition by grp order by o)
+              then 1 else 0 end as chg
+  from base),
+agg as (
+  select grp, cast(count(*) as bigint) as n,
+         cast(sum(xi) as bigint) as n1,
+         cast(1 + sum(chg) as bigint) as runs
+  from ch group by grp),
+terms as (
+  select grp, n, n1, runs,
+         cast(runs * n - n - 2 * n1 * (n - n1) as bigint) as num,
+         cast(2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n) * (n - 1)
+              as bigint) as x
+  from agg),
+t0 as (select *, cast({isqrt_seed_sql('x')} as bigint) as t
+       from terms),
+t1 as (select grp, n, n1, runs, num, x,
+              cast({isqrt_fix_sql('t', 'x')} as bigint) as t from t0),
+t2 as (select grp, n, n1, runs, num,
+              cast({isqrt_fix_sql('t', 'x')} as bigint) as root
+       from t1)
+select grp, n, n1, runs,
+  cast(case when root > 0
+            then sign(num) * ((1000000 * abs(num) * (n - 1)) // root)
+            else 0 end as bigint) as z_ppm
+from t2
+"""

@@ -3619,6 +3619,128 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_fim_transform_reconstructs_and_respects_rate(spark):
+    """At rate 10^6 every doc with ≥2 chars transforms and
+    prefix+middle+suffix reassembles the original bytes exactly
+    (PSM order pinned); a 1-char doc never transforms; rate 0 is a
+    pure passthrough."""
+    import re
+
+    from cow_spark.operators.corpus import fim_transform
+
+    docs = [(1, "the quick brown fox jumps"), (2, "ab"), (3, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in fim_transform(df, rate_ppm=1_000_000).collect()}
+    orig = dict((i, t) for i, t in docs)
+    pat = re.compile(
+        r"^<\|fim_pre\|>(.*)<\|fim_suf\|>(.*)<\|fim_mid\|>(.*)$",
+        re.S)
+    for i in (1, 2):
+        assert rows[i].fim
+        m = pat.match(rows[i].out_text)
+        assert m, rows[i].out_text
+        p, s, mid = m.groups()
+        assert p + mid + s == orig[i]
+        assert p and s  # both sides non-empty by construction
+    assert not rows[3].fim and rows[3].out_text == "x"
+
+    off = fim_transform(df, rate_ppm=0).collect()
+    assert all(not r.fim for r in off)
+    assert {r.out_text for r in off} == {t for _, t in docs}
+
+
+def test_runs_test_hand_values_and_degenerate(spark):
+    """T T F F T: runs=3, N1 = 3·5−5−12 = −2, D = 12·7·4 = 336,
+    ⌊√336⌋ = 18 ⇒ z_ppm = −(8·10^6 // 18) = −444444 (the signed
+    magnitude-floor convention); an all-true group reads runs=1,
+    z=0 (σ=0 guard)."""
+    from cow_spark.plans.parity import runs_test
+
+    rows = ([("a", i, f) for i, f in
+             enumerate([True, True, False, False, True])]
+            + [("b", i, True) for i in range(3)])
+    df = spark.createDataFrame(rows, "g string, t int, f boolean")
+    got = {r.grp: r for r in runs_test(df, "g", "t", "f").collect()}
+    a = got["a"]
+    assert (a.n, a.n1, a.runs, a.z_ppm) == (5, 3, 3, -444_444)
+    b = got["b"]
+    assert (b.n, b.n1, b.runs, b.z_ppm) == (3, 3, 1, 0)
+
+
+def test_owl_chain_closure_feeding_restatement_and_arity_raise(spark):
+    """uncle⊇parent∘brother fires in round 1, greatuncle⊇gp∘brother
+    only after gp⊇parent∘parent has fired (chain feeding, round 2);
+    an asserted uncle(a,e) restating a derivable edge is NOT
+    re-entailed; a length-3 chain raises loudly."""
+    import pytest as _pytest
+
+    from cow_spark.plans.entail import (OWL_CHAIN, RDF_FIRST, RDF_NIL,
+                                        RDF_REST, owl_chain_closure)
+
+    schema = ("g string, s string, p string, o_kind string, "
+              "o_lex string, o_dt string, o_lang string")
+
+    def ax(head, lst, members):
+        rows = [(None, head, OWL_CHAIN, "iri", f"{lst}0", None, None)]
+        for i, m in enumerate(members):
+            nxt = f"{lst}{i + 1}" if i + 1 < len(members) else RDF_NIL
+            rows += [(None, f"{lst}{i}", RDF_FIRST, "iri", m,
+                      None, None),
+                     (None, f"{lst}{i}", RDF_REST, "iri", nxt,
+                      None, None)]
+        return rows
+
+    def edge(p, s, o):
+        return ("G1", f"n:{s}", f"r:{p}", "iri", f"n:{o}", None, None)
+
+    base = (ax("r:uncle", "l:u", ["r:parent", "r:brother"])
+            + ax("r:gp", "l:g", ["r:parent", "r:parent"])
+            + ax("r:greatuncle", "l:x", ["r:gp", "r:brother"])
+            + [edge("parent", "a", "b"), edge("parent", "b", "c"),
+               edge("brother", "c", "d"), edge("brother", "b", "e"),
+               edge("uncle", "a", "e")])
+    df = spark.createDataFrame(base, schema)
+    out = owl_chain_closure(df)
+    derived = {(r.s, r.p, r.o_lex)
+               for r in out.where(F.col("g").isNull()
+                                  & F.col("p").startswith("r:"))
+               .collect()}
+    assert derived == {("n:b", "r:uncle", "n:d"),
+                       ("n:a", "r:gp", "n:c"),
+                       ("n:a", "r:greatuncle", "n:d")}
+    assert out.count() == df.count() + 3
+
+    bad = spark.createDataFrame(
+        ax("r:h", "l:3", ["r:p1", "r:p2", "r:p3"]), schema)
+    with _pytest.raises(ValueError, match="length 3"):
+        owl_chain_closure(bad)
+
+
+def test_eigenvector_centrality_cycle_dag_and_empty(spark):
+    """Hand-rolled power iteration on cycle a→b→c→a with feeder d→a:
+    after 2 rounds x = (a:500000, b:10^6, c:500000, d:0); a pure DAG
+    collapses to all-zero (the max(y)=0 short-circuit); empty edges
+    return an empty frame."""
+    from cow_spark.operators.graphrank import eigenvector_centrality
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "src string, dst string")
+    got = {r.node: r.eig_fp
+           for r in eigenvector_centrality(cyc, rounds=2).collect()}
+    assert got == {"a": 500_000, "b": 1_000_000, "c": 500_000, "d": 0}
+
+    dag = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    vals = {r.eig_fp
+            for r in eigenvector_centrality(dag, rounds=3).collect()}
+    assert vals == {0}
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert eigenvector_centrality(empty, rounds=2).count() == 0
+
+
 def test_scalar_quantize_endpoints_and_constant_dim(spark):
     """min maps to 0, max to 255 (the x=mx quotient is exactly 255),
     midpoint floors (0.5 → 127), a constant dimension reads 0 —
