@@ -11291,6 +11291,117 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar corpus-drop ingest (tar_source.py:read_tar_text): a real
+    300-member .tar.gz written driver-side via stdlib tarfile (zeroed
+    mtimes, deterministic order), streamed back member-by-member with
+    a .txt suffix filter (every 9th member is .json and must be
+    skipped); the twin re-derives names and bodies via
+    generate_series — it never sees the archive."""
+    import os
+    import tempfile
+
+    from cow_spark.sources.tar_source import (read_tar_text,
+                                              write_tar_fixture)
+
+    path = os.path.join(tempfile.gettempdir(),
+                        "cow_spark_tar_fixture.tar.gz")
+    members = {}
+    for i in range(300):
+        ext = "json" if i % 9 == 0 else "txt"
+        members[f"docs/d{i:03d}.{ext}"] = f"m{i}:" + "x" * (i % 17)
+    write_tar_fixture(path, members)
+    return read_tar_text(spark, path, suffix=".txt", num_partitions=4)
+
+
+_SQL_TAR_INGEST = """
+select 'docs/d' || lpad(cast(i as varchar), 3, '0') || '.txt'
+         as member,
+       cast(length('m' || cast(i as varchar) || ':')
+            + (i % 17) as bigint) as n_bytes,
+       'm' || cast(i as varchar) || ':' || repeat('x', i % 17) as text
+from generate_series(0, 299) t(i)
+where i % 9 <> 0
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (corpus.py:pareto_frontier): pseudo-quality
+    (mod-101) vs brevity (−n_chars) over documents — heavy x-ties
+    exercise the ymax rule and duplicated frontier points must all
+    survive."""
+    from cow_spark.operators.corpus import pareto_frontier
+
+    d = _load(spark, sf_dir, "documents")
+    s = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ((F.col("doc_id") * 7 + F.col("n_chars")) % 101).cast("long")
+        .alias("q"),
+        (-F.col("n_chars")).cast("long").alias("nb"))
+    return pareto_frontier(s, "q", "nb")
+
+
+def _sql_pareto_frontier() -> str:
+    from cow_spark.operators.corpus import pareto_frontier_oracle_sql
+
+    return pareto_frontier_oracle_sql(
+        "select cast(doc_id as bigint) as doc_id, "
+        "cast((doc_id * 7 + n_chars) % 101 as bigint) as q, "
+        "cast(-n_chars as bigint) as nb from documents",
+        x_col="q", y_col="nb")
+
+
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness ranking (stats.py:fano_factor): per-user hourly
+    event counts — overdispersion in exact two-limb ppm, zero-sum
+    convention and Cauchy–Schwarz non-negative numerator."""
+    from cow_spark.plans.stats import fano_factor
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    series = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return fano_factor(series, "user_id", "cnt")
+
+
+def _sql_fano_factor() -> str:
+    from cow_spark.plans.stats import fano_factor_oracle_sql
+
+    return fano_factor_oracle_sql(
+        "select user_id as key, cast(count(*) as bigint) as x "
+        "from events where ts is not null and user_id is not null "
+        "group by user_id, epoch_us(ts) // 3600000000")
+
+
+def q_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series memory profile (sessionize.py:lag_autocorr): per
+    event_type hourly-bucket counts, lags 1..3 — the observed-sequence
+    contract, floored-mean spec, signed magnitude-floor r_ppm."""
+    from cow_spark.operators.sessionize import lag_autocorr
+
+    ev = _load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    series = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return lag_autocorr(series, "event_type", "bucket", "cnt",
+                        max_lag=3)
+
+
+def _sql_lag_autocorr() -> str:
+    from cow_spark.operators.sessionize import lag_autocorr_oracle_sql
+
+    return lag_autocorr_oracle_sql(
+        "select event_type as key, epoch_us(ts) // 3600000000 as o, "
+        "cast(count(*) as bigint) as x "
+        "from events where ts is not null "
+        "group by event_type, epoch_us(ts) // 3600000000")
+
+
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle (corpus.py:fim_transform) at 50% over
     documents: hash-deterministic selection and cut points, PSM
@@ -11932,6 +12043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_chains": q_owl_chains,
         "runs_test": q_runs_test,
         "fim_transform": q_fim_transform,
+        "lag_autocorr": q_lag_autocorr,
+        "fano_factor": q_fano_factor,
+        "pareto_frontier": q_pareto_frontier,
+        "tar_ingest": q_tar_ingest,
     }
 
 
@@ -12191,4 +12306,8 @@ def oracle_sql() -> dict[str, str]:
         "owl_chains": _sql_owl_chains(),
         "runs_test": _sql_runs_test(),
         "fim_transform": _sql_fim_transform(),
+        "lag_autocorr": _sql_lag_autocorr(),
+        "fano_factor": _sql_fano_factor(),
+        "pareto_frontier": _sql_pareto_frontier(),
+        "tar_ingest": _SQL_TAR_INGEST,
     }

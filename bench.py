@@ -186,6 +186,38 @@ HEADLINE = [
     "canon_conflicts",
     "term_bursts",
     "rich_club",
+    "dedup_survivors",
+    "script_profile",
+    "judge_kappa",
+    "rouge_overlap",
+    "score_auc",
+    "classifier_eval",
+    "ks_test",
+    "preference_pairs",
+    "triad_motifs",
+    "basket_rules",
+    "cusum_alarm",
+    "domain_range",
+    "jsd_slices",
+    "rank_corr",
+    "reliability_curve",
+    "sqlite_ingest",
+    "mann_whitney",
+    "gini_index",
+    "mixture_allocate",
+    "wilson_bounds",
+    "chi_square",
+    "xml_ingest",
+    "namespace_induction",
+    "vec_quantize",
+    "eigenvector",
+    "owl_chains",
+    "runs_test",
+    "fim_transform",
+    "lag_autocorr",
+    "fano_factor",
+    "pareto_frontier",
+    "tar_ingest",
 ]
 
 

@@ -778,3 +778,70 @@ select id, selected as fim,
   else text end as out_text
 from lohi
 """
+
+
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) — keep the rows no other row
+    beats on BOTH axes: quality vs brevity, surprisal vs dedup
+    distance, score vs recency. The curation question "which docs are
+    worth keeping at any trade-off weight" answered without choosing
+    the weight. Both axes MAXIMIZE; negate a column (exact on
+    integers) to minimize it.
+
+    Dominance is strict-somewhere (q ≥ on both, > on one): exact
+    duplicates of a frontier point all survive — dropping ties is a
+    dedup decision, not a dominance one. Derivation that avoids any
+    pairwise join: with ``ymax(x) = max y at that x`` and
+    ``M(x) = max ymax over all x' > x``, a row is on the frontier iff
+    ``y = ymax(x)`` and ``y > M(x)`` (M empty → kept). NULL on either
+    axis excludes the row.
+
+    Scale shape: one partial-agg groupBy to the DISTINCT-X table, one
+    ordered window (cummax, 1-row lag frame) over that table only,
+    one equi-join back — the corpus never enters a window. The
+    distinct-x table is value-cardinality-sized: ppm-quantized scores
+    bound it at 10^6+1 rows; raw doubles make it corpus-sized, so
+    quantize first (the repo-wide fixed-point discipline anyway).
+    Returns the input rows (all columns) that are on the frontier.
+    """
+    from pyspark.sql.window import Window
+
+    clean = df.where(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull())
+    per_x = clean.groupBy(F.col(x_col).alias("_px")).agg(
+        F.max(F.col(y_col)).alias("_ymax"))
+    w = (Window.orderBy(F.col("_px").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    marked = per_x.select(
+        "_px", "_ymax", F.max("_ymax").over(w).alias("_mstrict"))
+    keep = marked.where(F.col("_mstrict").isNull()
+                        | (F.col("_ymax") > F.col("_mstrict")))
+    return (clean.join(keep,
+                       (F.col(x_col) == F.col("_px"))
+                       & (F.col(y_col) == F.col("_ymax")))
+            .drop("_px", "_ymax", "_mstrict"))
+
+
+def pareto_frontier_oracle_sql(rows_sql: str, x_col: str = "x",
+                               y_col: str = "y") -> str:
+    """DuckDB twin of :func:`pareto_frontier`; ``rows_sql`` yields
+    rows with ``x_col``/``y_col`` plus any carried columns."""
+    return f"""
+with clean as (
+  select * from ({rows_sql})
+  where {x_col} is not null and {y_col} is not null),
+per_x as (
+  select {x_col} as px, max({y_col}) as ymax
+  from clean group by {x_col}),
+marked as (
+  select px, ymax,
+         max(ymax) over (order by px desc
+           rows between unbounded preceding and 1 preceding)
+           as mstrict
+  from per_x),
+keep as (
+  select px, ymax from marked
+  where mstrict is null or ymax > mstrict)
+select clean.* from clean
+join keep on clean.{x_col} = keep.px and clean.{y_col} = keep.ymax
+"""

@@ -523,3 +523,114 @@ select key, seq, value,
        (pf - lowest) >= {int(threshold)} as alarm
 from q
 """
+
+
+def lag_autocorr(
+    df: DataFrame,
+    key_col: str,
+    ord_col: str,
+    val_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lag-k autocorrelation of a per-key series — does activity
+    (events per hour, tokens per crawl day) carry MEMORY: r₁ ≈ 0 is
+    Poisson-ish, high r₁ means bursts persist, an r₂₄ spike on hourly
+    buckets is a daily cycle. rolling_anomaly flags single points;
+    this profiles the series' correlation structure.
+
+    Floored-mean spec (exact, both engines): with ``m = S div n`` per
+    key and ``d_t = x_t − m``,
+
+        r_k = sign·(10^6·|Σ_t d_t·d_{t+k}|) div (Σ_t d_t²)
+
+    — pairs skip the tail (lead NULL) and the denominator runs over
+    all rows, the standard ACF shape; the floored mean deviates from
+    the exact mean by < 1, a deliberate trade for integer-exact
+    cross-engine replay (runs_test's signed magnitude-floor
+    convention; a constant series reads 0). Values must be ≥ 0
+    (count/magnitude series — ``div`` truncation equals floor only
+    there) and the overflow contract is n·x_max² < 9.2·10^12 per key.
+
+    The series is the ORDERED OBSERVED sequence — absent buckets are
+    skipped, not zero-filled; compose with :func:`gap_fill` first
+    when calendar lags are wanted. ``ord_col`` must be unique per
+    key. One ordered window pass (whole-partition sum/count ride the
+    same shuffle), one explode to (row, lag), one partial-agg groupBy
+    — key-count-bounded output. Returns
+    (key, lag, n, n_pairs, r_ppm).
+    """
+    if max_lag < 1:
+        raise ValueError(f"lag_autocorr: max_lag must be >= 1, "
+                         f"got {max_lag}")
+    base = (df.select(F.col(key_col).alias("key"),
+                      F.col(ord_col).alias("o"),
+                      F.col(val_col).cast("long").alias("x"))
+            .where(F.col("x").isNotNull() & (F.col("x") >= 0)))
+    wp = Window.partitionBy("key")
+    wo = Window.partitionBy("key").orderBy("o")
+    m = F.expr("s div n")
+    staged = base.select(
+        "key",
+        F.sum("x").over(wp).alias("s"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.col("x"),
+        *[F.lead("x", k).over(wo).alias(f"_l{k}")
+          for k in range(1, max_lag + 1)],
+    ).select(
+        "key", "n", (F.col("x") - m).alias("d"),
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"),
+                     (F.col(f"_l{k}") - m).alias("dl"))
+            for k in range(1, max_lag + 1)])).alias("e"))
+    agg = staged.groupBy("key", F.col("e.lag").alias("lag")).agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("e.dl").cast("long").alias("n_pairs"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("_den"),
+        F.sum(F.when(F.col("e.dl").isNotNull(),
+                     F.col("d") * F.col("e.dl"))
+              .otherwise(F.lit(0))).cast("long").alias("_num"))
+    mag = F.expr("(1000000 * abs(_num)) div _den")
+    r = (F.when(F.col("_den") > 0,
+                F.when(F.col("_num") < 0, -mag).otherwise(mag))
+         .otherwise(F.lit(0)))
+    return agg.select("key", "lag", "n", "n_pairs",
+                      r.cast("long").alias("r_ppm"))
+
+
+def lag_autocorr_oracle_sql(series_sql: str, max_lag: int = 3) -> str:
+    """DuckDB twin of :func:`lag_autocorr`; ``series_sql`` yields
+    (key, o, x) with x ≥ 0 and o unique per key."""
+    leads = ", ".join(
+        f"lead(x, {k}) over (partition by key order by o) as l{k}"
+        for k in range(1, max_lag + 1))
+    stacks = ", ".join(
+        f"{{'lag': {k}, 'dl': l{k} - m}}"
+        for k in range(1, max_lag + 1))
+    return f"""
+with base as (
+  select key, o, cast(x as bigint) as x
+  from ({series_sql}) where x is not null and x >= 0),
+st as (
+  select key, x,
+         sum(x) over (partition by key) // count(*)
+           over (partition by key) as m,
+         count(*) over (partition by key) as n,
+         {leads}
+  from base),
+ex as (
+  select key, n, x - m as d,
+         unnest([{stacks}]) as e
+  from st),
+agg as (
+  select key, e.lag as lag, cast(max(n) as bigint) as n,
+         cast(count(e.dl) as bigint) as n_pairs,
+         cast(sum(d * d) as bigint) as den,
+         cast(sum(case when e.dl is not null then d * e.dl
+                       else 0 end) as bigint) as num
+  from ex group by key, e.lag)
+select key, lag, n, n_pairs,
+  cast(case when den > 0
+            then sign(num) * ((1000000 * abs(num)) // den)
+            else 0 end as bigint) as r_ppm
+from agg
+"""

@@ -1364,3 +1364,70 @@ select 'ns' || cast(row_number() over
        namespace, n_terms, n_uses, n_subj, n_pred, n_obj, n_dt, n_graph
 from agg
 """
+
+
+def fano_factor(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """Index of dispersion (Fano factor) per key — the one-number
+    burstiness verdict on a count series: F ≈ 1 is Poisson (memoryless
+    arrivals), F ≫ 1 is bursty (retry storms, crawler loops, viral
+    spikes), F < 1 is regular/throttled. :func:`~..operators.
+    sessionize.lag_autocorr` profiles WHERE the memory sits; this
+    ranks keys by HOW overdispersed they are, cheap enough to run on
+    every key of a 100 TB event log.
+
+    Exact integers: with n buckets, S = Σx, Q = Σx² per key,
+    ``F = σ²/μ = (n·Q − S²)/(n·S)`` and
+
+        fano_ppm = q·10^6 + (rem·10^6) // (n·S)
+
+    two-limb floored (q/rem the quotient/remainder of the first
+    division) so every intermediate stays under int64 while the
+    result is the exact ⌊10^6·F⌋. Zero-sum keys read 0 by convention.
+    Overflow contract: n·x_max < 3·10^9 (the n·Q term) and
+    n·S < 9.2·10^12 (the remainder limb); ANSI aborts loudly.
+    Values must be ≥ 0 (count series). One scan, one partial-agg
+    groupBy, all math on the key-sized table. Returns
+    (key, n, total, fano_ppm).
+    """
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(val_col).cast("long").alias("x")) \
+             .where(F.col("x").isNotNull() & (F.col("x") >= 0))
+    agg = base.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q2"))
+    # num = n·Σx² − S² ≥ 0 by Cauchy–Schwarz, so the pmod floor trick
+    # (exact-ppm division, the gap_fill convention) applies directly
+    num = F.col("n") * F.col("q2") - F.col("s") * F.col("s")
+    den = F.col("n") * F.col("s")
+    return agg.select(
+        "key", "n", F.col("s").alias("total"),
+        F.when(F.col("s") > 0,
+               ((num - F.pmod(num, den)) / den).cast("long")
+               * F.lit(1_000_000)
+               + ((F.pmod(num, den) * 1_000_000
+                   - F.pmod(F.pmod(num, den) * 1_000_000, den)) / den)
+               .cast("long"))
+        .otherwise(F.lit(0)).cast("long").alias("fano_ppm"))
+
+
+def fano_factor_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`fano_factor`; ``rows_sql`` yields
+    (key, x) with x ≥ 0."""
+    return f"""
+with base as (
+  select key, cast(x as bigint) as x
+  from ({rows_sql}) where x is not null and x >= 0),
+agg as (
+  select key, cast(count(*) as bigint) as n,
+         cast(sum(x) as bigint) as s,
+         cast(sum(x * x) as bigint) as q2
+  from base group by key)
+select key, n, s as total,
+  cast(case when s > 0 then
+    ((n * q2 - s * s) // (n * s)) * 1000000
+    + ((n * q2 - s * s - ((n * q2 - s * s) // (n * s)) * (n * s))
+       * 1000000) // (n * s)
+  else 0 end as bigint) as fano_ppm
+from agg
+"""

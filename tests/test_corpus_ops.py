@@ -3619,6 +3619,99 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_read_tar_text_filters_caps_and_strict_decode(spark, tmp_path):
+    """Suffix filter keeps only .txt; byte counts are pre-decode
+    sizes; max_files/max_bytes raise instead of truncating; a
+    non-UTF-8 member raises loudly (strict decode)."""
+    import tarfile as _tar
+
+    import pytest as _pytest
+
+    from cow_spark.sources.tar_source import (read_tar_text,
+                                              write_tar_fixture)
+
+    p = str(tmp_path / "c.tar.gz")
+    write_tar_fixture(p, {"a.txt": "héllo", "b.json": "{}",
+                          "c.txt": ""})
+    rows = {r.member: r for r in read_tar_text(spark, p, ".txt")
+            .collect()}
+    assert set(rows) == {"a.txt", "c.txt"}
+    assert rows["a.txt"].n_bytes == 6  # é is 2 bytes utf-8
+    assert rows["c.txt"].text == ""
+
+    with _pytest.raises(ValueError, match="max_files"):
+        read_tar_text(spark, p, max_files=1)
+    with _pytest.raises(ValueError, match="max_bytes"):
+        read_tar_text(spark, p, max_bytes=3)
+
+    bad = str(tmp_path / "bad.tar")
+    import io as _io
+
+    with _tar.open(bad, "w") as tf:
+        info = _tar.TarInfo(name="x.txt")
+        data = b"\xff\xfe broken"
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+    with _pytest.raises(UnicodeDecodeError):
+        read_tar_text(spark, bad)
+
+
+def test_pareto_frontier_dominance_ties_and_duplicates(spark):
+    """(3,1),(1,3) survive; (2,2) survives (incomparable); (1,1)
+    dominated on both; (3,0) dominated by (3,1) via the same-x rule;
+    an exact duplicate of a frontier point survives twice; NULL rows
+    drop. Brute-force dominance agrees."""
+    from cow_spark.operators.corpus import pareto_frontier
+
+    pts = [(1, 3, 1), (2, 1, 3), (3, 2, 2), (4, 1, 1), (5, 3, 0),
+           (6, 2, 2), (7, None, 9)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(r.id for r in pareto_frontier(df, "x", "y").collect())
+    assert got == [1, 2, 3, 6]
+
+    clean = [(i, x, y) for i, x, y in pts if x is not None]
+    brute = sorted(
+        i for i, x, y in clean
+        if not any((qx >= x and qy >= y and (qx > x or qy > y))
+                   for _, qx, qy in clean))
+    assert got == brute
+
+
+def test_fano_factor_hand_values(spark):
+    """[1,3] → F=0.5 (regular), [2,2,2] → 0 (constant), [0,0,6] → 4.0
+    (bursty), all-zero → 0 by the zero-sum convention; two-limb ppm
+    exact."""
+    from cow_spark.plans.stats import fano_factor
+
+    rows = ([("a", 1), ("a", 3)] + [("b", 2)] * 3
+            + [("c", 0), ("c", 0), ("c", 6)] + [("z", 0), ("z", 0)])
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = {r.key: r for r in fano_factor(df, "k", "x").collect()}
+    assert got["a"].fano_ppm == 500_000
+    assert got["b"].fano_ppm == 0
+    assert got["c"].fano_ppm == 4_000_000
+    assert (got["z"].fano_ppm, got["z"].total) == (0, 0)
+
+
+def test_lag_autocorr_alternating_and_constant(spark):
+    """2,4,2,4,2,4: m=3, d=±1, den=6 ⇒ r₁ = −(5·10^6 // 6) = −833333
+    (alternation), r₂ = 4·10^6 // 6 = 666666 (period 2); a constant
+    series reads 0 at every lag with den=0."""
+    from cow_spark.operators.sessionize import lag_autocorr
+
+    rows = ([("a", i, v) for i, v in enumerate([2, 4, 2, 4, 2, 4])]
+            + [("b", i, 5) for i in range(3)])
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    got = {(r.key, r.lag): r
+           for r in lag_autocorr(df, "k", "t", "x", max_lag=2)
+           .collect()}
+    assert got[("a", 1)].r_ppm == -833_333
+    assert got[("a", 1)].n_pairs == 5
+    assert got[("a", 2)].r_ppm == 666_666
+    assert got[("b", 1)].r_ppm == 0 and got[("b", 2)].r_ppm == 0
+    assert got[("b", 2)].n_pairs == 1
+
+
 def test_fim_transform_reconstructs_and_respects_rate(spark):
     """At rate 10^6 every doc with ≥2 chars transforms and
     prefix+middle+suffix reassembles the original bytes exactly
