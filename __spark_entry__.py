@@ -11291,6 +11291,121 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid drift (simsearch.py:embedding_drift): mod-3 vec_id
+    slices of the embeddings table — quantize-first integer centroids,
+    truncating means (negative sums exercise the div ≡ // pin), and
+    the sign-magnitude two-limb cosine on the exact isqrt."""
+    from cow_spark.operators.simsearch import embedding_drift
+
+    embs = _load(spark, sf_dir, "embeddings")
+    s = embs.select(
+        F.pmod(F.col("vec_id"), F.lit(3)).cast("long").alias("slc"),
+        "embedding")
+    return embedding_drift(s, "slc")
+
+
+def _sql_embedding_drift() -> str:
+    from cow_spark.operators.simsearch import embedding_drift_oracle_sql
+
+    return embedding_drift_oracle_sql(
+        "select cast(vec_id % 3 as bigint) as slc, embedding as e "
+        "from embeddings")
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group order-statistic clamp (corpus.py:winsorize): n_chars
+    per lang at p5/p95 — heavy value ties exercise the
+    value-at-rank-is-deterministic argument."""
+    from cow_spark.operators.corpus import winsorize
+
+    d = _load(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.col("lang").alias("key"),
+                 F.col("n_chars").cast("long").alias("v"))
+    out = winsorize(s, "key", "v")
+    return out.select("doc_id", "key", "v", "lo_val", "hi_val",
+                      "val_w")
+
+
+def _sql_winsorize() -> str:
+    from cow_spark.operators.corpus import winsorize_oracle_sql
+
+    return winsorize_oracle_sql(
+        "select doc_id, lang as key, cast(n_chars as bigint) as v "
+        "from documents")
+
+
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted reliability (sessionize.py:decay_score): per
+    user, event magnitudes (mod-7) folded oldest→newest at λ=0.9 —
+    the per-step integer fold both engines must replay verbatim."""
+    from cow_spark.operators.sessionize import decay_score
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    s = ev.select(
+        "user_id", F.col("event_id").alias("o"),
+        (F.pmod(F.col("event_id"), F.lit(7)) + 1).cast("long")
+        .alias("x"))
+    return decay_score(s, "user_id", "o", "x", decay_ppm=900_000)
+
+
+def _sql_decay_score() -> str:
+    from cow_spark.operators.sessionize import decay_score_oracle_sql
+
+    return decay_score_oracle_sql(
+        "select user_id as key, event_id as o, "
+        "event_id % 7 + 1 as x from events "
+        "where user_id is not null",
+        decay_ppm=900_000)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, driver-checked (multimodal.py:
+    sample_video_frames): the stdlib tier REALLY parses RVID
+    containers (8..12 frames each) and evenly samples 4 — the twin
+    re-derives src indices and per-frame pixel sums from the fixture
+    formula via generate_series, never seeing the bytes (the
+    multimodal_stdlib discipline)."""
+    from cow_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_video_df,
+    )
+
+    _ensure_workers_can_import(spark)
+    media = synthetic_video_df(spark, 48)  # generated fixture: sf-free
+    frames = sample_video_frames(media, n_frames=4, decoder="stdlib")
+    return frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("src_frame").cast("int").alias("src_frame"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("pixel_sum").cast("long").alias("pixel_sum"))
+
+
+_SQL_VIDEO_FRAMES = """
+with docs as (
+  select i, 8 + i % 5 as nf from generate_series(0, 47) t(i)),
+fr as (
+  select i, nf, cast(k as int) as frame_idx,
+         cast((k * (nf - 1)) // 3 as int) as src_frame
+  from docs, generate_series(0, 3) g(k)),
+px as (
+  select i, frame_idx, src_frame,
+         cast(sum((x * 7 + y * 11 + src_frame * 13 + c * 5 + i) % 256)
+              as bigint) as pixel_sum
+  from fr,
+       generate_series(0, 3) gx(x),
+       generate_series(0, 2) gy(y),
+       generate_series(0, 2) gc(c)
+  group by i, frame_idx, src_frame)
+select cast(i as bigint) as doc_id, frame_idx, src_frame,
+       cast(4 as int) as width, cast(3 as int) as height, pixel_sum
+from px
+"""
+
+
 def q_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tar corpus-drop ingest (tar_source.py:read_tar_text): a real
     300-member .tar.gz written driver-side via stdlib tarfile (zeroed
@@ -12047,6 +12162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_factor": q_fano_factor,
         "pareto_frontier": q_pareto_frontier,
         "tar_ingest": q_tar_ingest,
+        "video_frames": q_video_frames,
+        "decay_score": q_decay_score,
+        "winsorize": q_winsorize,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -12310,4 +12429,8 @@ def oracle_sql() -> dict[str, str]:
         "fano_factor": _sql_fano_factor(),
         "pareto_frontier": _sql_pareto_frontier(),
         "tar_ingest": _SQL_TAR_INGEST,
+        "video_frames": _SQL_VIDEO_FRAMES,
+        "decay_score": _sql_decay_score(),
+        "winsorize": _sql_winsorize(),
+        "embedding_drift": _sql_embedding_drift(),
     }

@@ -218,6 +218,10 @@ HEADLINE = [
     "fano_factor",
     "pareto_frontier",
     "tar_ingest",
+    "video_frames",
+    "decay_score",
+    "winsorize",
+    "embedding_drift",
 ]
 
 

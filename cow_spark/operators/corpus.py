@@ -845,3 +845,82 @@ keep as (
 select clean.* from clean
 join keep on clean.{x_col} = keep.px and clean.{y_col} = keep.ymax
 """
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo_ppm: int = 50_000,
+    hi_ppm: int = 950_000,
+) -> DataFrame:
+    """Per-group winsorization — clamp a metric at its exact per-group
+    order statistics before averaging/weighting, so one 10 MB document
+    or one latency outlier can't own the group mean
+    (:func:`~..plans.stats.mad_outliers` FLAGS outliers; this tames
+    them in place for downstream aggregates).
+
+    Exact, deterministic quantile spec (no interpolation — engines
+    disagree on interpolated quantiles): the clamp bounds are the
+    values at 0-based ranks ``((n−1)·p) div 10^6`` in ascending
+    ``val`` order. Ties make WHICH row holds a rank ambiguous but
+    never the VALUE at it, so the result is engine-independent without
+    a tiebreak column. NULL values pass through unclamped.
+
+    Scale shape: one keyed window (row_number + count ride the same
+    shuffle), the two boundary rows per group reduce to a KEY-SIZED
+    bounds table, broadcast back onto the corpus for the clamp — the
+    corpus crosses exactly one shuffle. Returns the input columns
+    plus ``val_w`` (the clamped value), ``lo_val``, ``hi_val``.
+    """
+    if not (0 <= lo_ppm <= hi_ppm <= 1_000_000):
+        raise ValueError(
+            f"winsorize: need 0 <= lo_ppm <= hi_ppm <= 10^6, got "
+            f"{lo_ppm}/{hi_ppm}")
+    from pyspark.sql.window import Window
+
+    ranked = (df.where(F.col(val_col).isNotNull())
+              .select(F.col(key_col).alias("_k"),
+                      F.col(val_col).alias("_v"))
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_k").orderBy(F.col("_v").asc())))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("_k"))))
+    lo_i = F.expr(f"((_n - 1) * {lo_ppm}) div 1000000") + 1
+    hi_i = F.expr(f"((_n - 1) * {hi_ppm}) div 1000000") + 1
+    bounds = (ranked
+              .where((F.col("_rn") == lo_i) | (F.col("_rn") == hi_i))
+              .groupBy("_k")
+              .agg(F.min("_v").alias("lo_val"),
+                   F.max("_v").alias("hi_val")))
+    out = df.join(F.broadcast(bounds),
+                  F.col(key_col) == F.col("_k"), "left").drop("_k")
+    clamped = F.when(
+        F.col(val_col).isNotNull(),
+        F.least(F.greatest(F.col(val_col), F.col("lo_val")),
+                F.col("hi_val")))
+    return out.withColumn("val_w", clamped)
+
+
+def winsorize_oracle_sql(rows_sql: str, lo_ppm: int = 50_000,
+                         hi_ppm: int = 950_000) -> str:
+    """DuckDB twin of :func:`winsorize`; ``rows_sql`` yields
+    (key, v [, carried columns])."""
+    return f"""
+with base as (select * from ({rows_sql})),
+ranked as (
+  select key as k, v,
+         row_number() over (partition by key order by v asc) as rn,
+         count(*) over (partition by key) as n
+  from base where v is not null),
+bounds as (
+  select k, min(v) as lo_val, max(v) as hi_val
+  from ranked
+  where rn = ((n - 1) * {lo_ppm}) // 1000000 + 1
+     or rn = ((n - 1) * {hi_ppm}) // 1000000 + 1
+  group by k)
+select base.*, lo_val, hi_val,
+       case when v is not null
+            then least(greatest(v, lo_val), hi_val) end as val_w
+from base left join bounds on base.key = bounds.k
+"""

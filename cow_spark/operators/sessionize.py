@@ -634,3 +634,86 @@ select key, lag, n, n_pairs,
             else 0 end as bigint) as r_ppm
 from agg
 """
+
+
+def decay_score(
+    df: DataFrame,
+    key_col: str,
+    ord_col: str,
+    val_col: str,
+    decay_ppm: int = 900_000,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Exponentially-decayed score per key — the "what have you done
+    lately" aggregate behind source-reliability and freshness ranking:
+    newest observation counts fully, each older one is discounted by
+    ``decay_ppm/10^6`` per STEP,
+
+        y ← (y · decay_ppm) div 10^6 + x     (oldest → newest)
+
+    Per-step (not per-time-gap) decay is the spec — compose with
+    :func:`gap_fill` first when calendar decay is wanted; the floor at
+    every step makes the fold EXACT and cross-engine (both sides
+    replay the identical integer sequence — a float Σx·λ^k would
+    diverge in the 15th digit and hash-mismatch). Overflow contract:
+    the fold converges to ≤ x_max·10^6/(10^6 − decay_ppm), and that
+    bound times decay_ppm must stay under 2^53 (the exact-division
+    precondition) — x_max/(1 − λ) < 9·10^9, satisfied by any count
+    series. Values must be ≥ 0.
+
+    A fold is inherently sequential, so the series is staged as a
+    per-key array (``collect_list`` → ``array_sort``) and folded by
+    one HOF ``aggregate`` — one keyed shuffle, no window, no Python.
+    That bounds per-key memory by the series length: ``max_points``
+    RAISES (ANSI-loud inside the expression) rather than truncating —
+    bucket or pre-aggregate longer series upstream. ``ord_col`` must
+    be unique per key (ties would make the fold order ambiguous).
+    Returns (key, n, score).
+    """
+    base = (df.select(F.col(key_col).alias("key"),
+                      F.col(ord_col).alias("o"),
+                      F.col(val_col).cast("long").alias("x"))
+            .where(F.col("x").isNotNull() & (F.col("x") >= 0)))
+    arr = base.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("o", "x"))).alias("pts"))
+    guarded = arr.select(
+        "key",
+        F.when(F.size("pts") > max_points,
+               F.raise_error(F.concat(
+                   F.lit(f"decay_score: series exceeds max_points="
+                         f"{max_points} for key "),
+                   F.col("key").cast("string"))))
+        .otherwise(F.transform("pts", lambda s: s["x"])).alias("xs"))
+    # exact step: acc·d − pmod(acc·d, 10^6) is a multiple of 10^6, and
+    # the contract keeps acc·d < 2^53 so the double division is exact
+    # before the cast (the repo-wide pmod floor trick's precondition)
+    def _step(acc, x):
+        ad = acc * F.lit(decay_ppm)
+        return (((ad - F.pmod(ad, F.lit(1_000_000))) / F.lit(1_000_000))
+                .cast("long") + x)
+
+    fold = F.aggregate("xs", F.lit(0).cast("long"), _step)
+    return guarded.select(
+        "key", F.size("xs").cast("long").alias("n"),
+        fold.cast("long").alias("score"))
+
+
+def decay_score_oracle_sql(series_sql: str,
+                           decay_ppm: int = 900_000) -> str:
+    """DuckDB twin of :func:`decay_score`; ``series_sql`` yields
+    (key, o, x) with x ≥ 0 and o unique per key. ``list_reduce`` has
+    no init argument, so 0 is prepended as the seed (scalar
+    accumulators carry correctly; only LIST-typed ones reset)."""
+    return f"""
+with base as (
+  select key, o, cast(x as bigint) as x
+  from ({series_sql}) where x is not null and x >= 0),
+arr as (
+  select key, list(x order by o) as xs
+  from base group by key)
+select key, cast(len(xs) as bigint) as n,
+  cast(list_reduce(list_prepend(cast(0 as bigint), xs),
+         (acc, x) -> (acc * {decay_ppm}) // 1000000 + x)
+       as bigint) as score
+from arr
+"""

@@ -716,3 +716,122 @@ def scalar_quantize(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col),
         F.transform(F.col(vec_col), _code).cast("array<int>")
         .alias("codes"))
+
+
+def embedding_drift(df: DataFrame, slice_col: str,
+                    vec_col: str = "embedding",
+                    scale: int = 1000) -> DataFrame:
+    """Embedding-space drift between corpus slices (crawl snapshots,
+    sources, time halves): per-slice centroid, then pairwise cosine
+    between centroids — the semantic companion to corpus_drift's
+    token-space divergence. A centroid cosine sliding from 1.0 is the
+    earliest signal that a source changed register, language mix, or
+    pipeline version.
+
+    Cross-engine exactness is the design driver: a float centroid is
+    a DISTRIBUTED SUM whose addition order differs per engine and per
+    partition — non-associative doubles would hash-mismatch. So
+    elements quantize FIRST (``⌊x·scale⌋`` — float32→double exact,
+    one correctly-rounded product, deterministic floor) and
+    everything downstream is associative integer math: per-dim sums,
+    truncating mean ``s div n`` (Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero — pinned equivalent), integer dot/norms, and
+
+        cos6 = sign(dot) · two-limb ⌊10^6·|dot| / ⌊√(n₁·n₂)⌋⌋
+
+    on the exact isqrt (the runs_test sign-magnitude convention; a
+    zero centroid reads 0). Quantization at ``scale`` bounds the
+    overflow: dim·(scale·x_max)² < 9.2·10^18.
+
+    Scale shape: one scan → quantized posexplode → partial-agg combine
+    to the (slice × dim) table; the pairwise join, norms, and isqrt
+    all run on that tiny table. Returns
+    (slice_a, slice_b, n_a, n_b, cos6).
+    """
+    from ..functions.intmath import isqrt_col
+
+    ex = df.select(F.col(slice_col).alias("slc"),
+                   F.posexplode(vec_col).alias("dim", "x"))
+    cent = (ex.groupBy("slc", "dim")
+            .agg(F.sum(F.floor(F.col("x").cast("double")
+                               * F.lit(scale)).cast("long")).alias("s"),
+                 F.count(F.lit(1)).cast("long").alias("n"))
+            .select("slc", "dim", F.expr("s div n").alias("m"), "n"))
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (a.join(b, (F.col("a.dim") == F.col("b.dim"))
+                    & (F.col("a.slc") < F.col("b.slc")))
+             .groupBy(F.col("a.slc").alias("slice_a"),
+                      F.col("b.slc").alias("slice_b"))
+             .agg(F.sum(F.col("a.m") * F.col("b.m")).cast("long")
+                  .alias("dot"),
+                  F.max(F.col("a.n")).cast("long").alias("n_a"),
+                  F.max(F.col("b.n")).cast("long").alias("n_b")))
+    norms = (cent.groupBy("slc")
+             .agg(F.sum(F.col("m") * F.col("m")).cast("long")
+                  .alias("nrm")))
+    j = (pairs
+         .join(F.broadcast(norms.withColumnRenamed("slc", "slice_a")
+                           .withColumnRenamed("nrm", "nrm_a")),
+               "slice_a")
+         .join(F.broadcast(norms.withColumnRenamed("slc", "slice_b")
+                           .withColumnRenamed("nrm", "nrm_b")),
+               "slice_b")
+         .select("slice_a", "slice_b", "n_a", "n_b", "dot",
+                 isqrt_col((F.col("nrm_a") * F.col("nrm_b"))
+                           .cast("long")).alias("r")))
+    mag = F.expr("(abs(dot) div r) * 1000000"
+                 " + ((abs(dot) % r) * 1000000) div r")
+    cos6 = (F.when(F.col("r") > 0,
+                   F.when(F.col("dot") < 0, -mag).otherwise(mag))
+            .otherwise(F.lit(0)))
+    return j.select("slice_a", "slice_b", "n_a", "n_b",
+                    cos6.cast("long").alias("cos6"))
+
+
+def embedding_drift_oracle_sql(rows_sql: str, scale: int = 1000) -> str:
+    """DuckDB twin of :func:`embedding_drift`; ``rows_sql`` yields
+    (slc, e) with e a float list."""
+    from ..functions.intmath import isqrt_fix_sql, isqrt_seed_sql
+
+    return f"""
+with v as (select slc, e from ({rows_sql})),
+ex0 as (
+  select slc,
+         unnest(list_transform(generate_series(1, len(e)),
+           i -> {{'dim': i - 1,
+                  'xi': cast(floor(cast(e[i] as double) * {scale})
+                             as bigint)}})) as u
+  from v),
+cent as materialized (
+  select slc, u.dim as dim,
+         cast(sum(u.xi) // count(*) as bigint) as m,
+         cast(count(*) as bigint) as n
+  from ex0 group by slc, u.dim),
+pairs as (
+  select a.slc as slice_a, b.slc as slice_b,
+         cast(sum(a.m * b.m) as bigint) as dot,
+         cast(max(a.n) as bigint) as n_a,
+         cast(max(b.n) as bigint) as n_b
+  from cent a join cent b on a.dim = b.dim and a.slc < b.slc
+  group by a.slc, b.slc),
+norms as (
+  select slc, cast(sum(m * m) as bigint) as nrm
+  from cent group by slc),
+rad as (
+  select slice_a, slice_b, n_a, n_b, dot,
+         cast(na.nrm * nb.nrm as bigint) as x
+  from pairs
+  join norms na on na.slc = slice_a
+  join norms nb on nb.slc = slice_b),
+t0 as (select *, cast({isqrt_seed_sql('x')} as bigint) as t from rad),
+t1 as (select slice_a, slice_b, n_a, n_b, dot, x,
+              cast({isqrt_fix_sql('t', 'x')} as bigint) as t from t0),
+t2 as (select slice_a, slice_b, n_a, n_b, dot,
+              cast({isqrt_fix_sql('t', 'x')} as bigint) as r from t1)
+select slice_a, slice_b, n_a, n_b,
+  cast(case when r > 0 then
+         sign(dot) * ((abs(dot) // r) * 1000000
+                      + ((abs(dot) % r) * 1000000) // r)
+       else 0 end as bigint) as cos6
+from t2
+"""

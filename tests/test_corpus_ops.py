@@ -3619,6 +3619,103 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_embedding_drift_identity_orthogonal_opposite(spark):
+    """Identical centroids → exactly 10^6; orthogonal → 0; opposite →
+    −10^6 (sign-magnitude path); pair keys are slice_a < slice_b."""
+    from cow_spark.operators.simsearch import embedding_drift
+
+    rows = ([(0, [1.0, 0.0])] * 2 + [(1, [1.0, 0.0])]
+            + [(2, [0.0, 1.0])] + [(3, [-1.0, 0.0])])
+    df = spark.createDataFrame(rows, "slc long, e array<float>")
+    got = {(r.slice_a, r.slice_b): r.cos6
+           for r in embedding_drift(df, "slc", "e").collect()}
+    assert got[(0, 1)] == 1_000_000
+    assert got[(0, 2)] == 0
+    assert got[(0, 3)] == -1_000_000
+    assert (1, 0) not in got
+
+
+def test_winsorize_exact_ranks_nulls_and_bounds(spark):
+    """11 values 0..100 step 10 at p5/p95: lo rank = ⌊10·0.05⌋+1 = 1
+    → lo=0... use p10/p90: ⌊10·0.1⌋+1 = 2 → lo=10, hi rank ⌊9.0⌋+1=10
+    → hi=90; extremes clamp, interior passes, NULL v stays NULL."""
+    from cow_spark.operators.corpus import winsorize
+
+    rows = [("a", i, v) for i, v in enumerate(range(0, 101, 10))]
+    rows.append(("a", 99, None))
+    df = spark.createDataFrame(rows, "key string, id int, v long")
+    out = {r.id: r for r in
+           winsorize(df, "key", "v", lo_ppm=100_000,
+                     hi_ppm=900_000).collect()}
+    assert (out[0].lo_val, out[0].hi_val) == (10, 90)
+    assert out[0].val_w == 10       # 0 clamped up
+    assert out[10].val_w == 90      # 100 clamped down
+    assert out[5].val_w == 50       # interior untouched
+    assert out[99].val_w is None    # NULL passes through
+
+
+def test_decay_score_fold_order_and_cap(spark):
+    """x=[10,10,10] at λ=0.9: 10 → 19 (⌊9.0⌋+10) → 27 (⌊17.1⌋+10);
+    order comes from ord not input order; max_points raises with the
+    key named."""
+    import pytest as _pytest
+
+    from cow_spark.operators.sessionize import decay_score
+
+    rows = [("a", 3, 10), ("a", 1, 10), ("a", 2, 10), ("b", 1, 5)]
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    got = {r.key: r for r in
+           decay_score(df, "k", "t", "x", decay_ppm=900_000).collect()}
+    assert (got["a"].n, got["a"].score) == (3, 27)
+    assert got["b"].score == 5
+
+    with _pytest.raises(Exception, match="max_points.*key a"):
+        decay_score(df, "k", "t", "x", max_points=2).collect()
+
+
+def test_sample_video_frames_rules_roundtrip_and_raises(spark):
+    """Even sampling pins endpoints (10 frames, k=4 → 0,3,6,9); a
+    video shorter than k emits every frame once; sampled frames
+    re-encode as P6 and decode_ppm round-trips the exact pixels;
+    truncated payloads raise; non-video rows are ignored."""
+    import pytest as _pytest
+
+    from cow_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_ppm, decode_rvid, sample_video_frames,
+        synthetic_rvid_bytes)
+
+    rows = [
+        (1, "video/x-rvid", bytearray(synthetic_rvid_bytes(1)),
+         4, 3, 400),                                       # 10 frames
+        (2, "video/x-rvid",
+         bytearray(synthetic_rvid_bytes(2, n_frames=2)), 4, 3, 80),
+        (3, "image/png", bytearray(b"notavideo"), 4, 3, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(media, n_frames=4).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.src_frame for r in sorted(by_doc[1],
+                                        key=lambda r: r.frame_idx)] \
+        == [0, 3, 6, 9]
+    assert [r.src_frame for r in sorted(by_doc[2],
+                                        key=lambda r: r.frame_idx)] \
+        == [0, 1]
+    assert 3 not in by_doc
+
+    # PPM round trip: re-decoded pixels equal the RVID source frame
+    _, _, frames = decode_rvid(synthetic_rvid_bytes(1))
+    r0 = next(r for r in by_doc[1] if r.frame_idx == 1)
+    w, h, px = decode_ppm(bytes(r0.content))
+    assert (w, h) == (4, 3)
+    assert (px == frames[3]).all()
+    assert r0.pixel_sum == int(frames[3].sum())
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_rvid(synthetic_rvid_bytes(1)[:-5])
+
+
 def test_read_tar_text_filters_caps_and_strict_decode(spark, tmp_path):
     """Suffix filter keeps only .txt; byte counts are pre-decode
     sizes; max_files/max_bytes raise instead of truncating; a
