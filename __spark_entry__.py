@@ -11291,6 +11291,110 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot contract check (validate.py:schema_diff): snapshot b
+    drops `source`, retypes n_chars to string, adds a sometimes-NULL
+    `flag` — statuses and exact null ppms are re-derived by the twin;
+    the engine TYPE strings are pinned literals there (DuckDB names
+    types differently by design, so types are fixture-pinned while
+    rates stay independently derived)."""
+    from cow_spark.plans.validate import schema_diff
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    b = (d.where(F.col("doc_id") % 2 == 1)
+         .select("doc_id",
+                 F.nullif(F.col("lang"), F.lit("de")).alias("lang"),
+                 F.col("n_chars").cast("string").alias("n_chars"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit(True))
+                 .alias("flag")))
+    return schema_diff(d, b)
+
+
+def _sql_schema_diff() -> str:
+    return """
+with a as (select doc_id, lang, source, n_chars from documents),
+b as (select doc_id, nullif(lang, 'de') as lang,
+             cast(n_chars as varchar) as n_chars,
+             case when doc_id % 3 = 0 then true end as flag
+      from documents where doc_id % 2 = 1),
+na as (select cast(count(*) as bigint) as n from a),
+nb as (select cast(count(*) as bigint) as n from b),
+cols(col, status, type_a, type_b, type_changed) as (values
+  ('doc_id', 'both', 'bigint', 'bigint', false),
+  ('flag', 'b_only', cast(null as varchar), 'boolean', false),
+  ('lang', 'both', 'string', 'string', false),
+  ('n_chars', 'both', 'bigint', 'string', true),
+  ('source', 'a_only', 'string', cast(null as varchar), false)),
+za as (
+  select 'doc_id' as col,
+         cast(sum(case when doc_id is null then 1 else 0 end)
+              as bigint) as z from a
+  union all select 'lang', sum(case when lang is null then 1 else 0
+                               end) from a
+  union all select 'n_chars', sum(case when n_chars is null then 1
+                                  else 0 end) from a
+  union all select 'source', sum(case when source is null then 1
+                                 else 0 end) from a),
+zb as (
+  select 'doc_id' as col,
+         cast(sum(case when doc_id is null then 1 else 0 end)
+              as bigint) as z from b
+  union all select 'lang', sum(case when lang is null then 1 else 0
+                               end) from b
+  union all select 'n_chars', sum(case when n_chars is null then 1
+                                  else 0 end) from b
+  union all select 'flag', sum(case when flag is null then 1 else 0
+                               end) from b)
+select cols.col as "column", status, type_a, type_b, type_changed,
+  cast(case when status in ('both', 'a_only')
+            then coalesce((za.z * 1000000) // (select n from na), 0)
+       end as bigint) as null_ppm_a,
+  cast(case when status in ('both', 'b_only')
+            then coalesce((zb.z * 1000000) // (select n from nb), 0)
+       end as bigint) as null_ppm_b
+from cols
+left join za on za.col = cols.col
+left join zb on zb.col = cols.col
+"""
+
+
+def q_example_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exemplars (corpus.py:example_sample): 3 per
+    source by md5 order with id tiebreak — the datasheet 'show me
+    examples' pull, stable across engines and reruns."""
+    from cow_spark.operators.corpus import example_sample
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    return example_sample(d, "source", k=3)
+
+
+def _sql_example_sample() -> str:
+    from cow_spark.operators.corpus import example_sample_oracle_sql
+
+    return example_sample_oracle_sql(
+        "select doc_id, lang, source from documents",
+        strata="source", idc="doc_id", k=3)
+
+
+def q_unk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit (terms.py:unk_rate): top-200 global
+    vocab over documents, UNK share per lang — the deterministic
+    K-boundary tiebreak is the graded edge."""
+    from cow_spark.operators.terms import unk_rate
+
+    d = _load_spread(spark, sf_dir, "documents")
+    return unk_rate(d, vocab_size=200, by_col="lang")
+
+
+def _sql_unk_rate() -> str:
+    from cow_spark.operators.terms import unk_rate_oracle_sql
+
+    return unk_rate_oracle_sql(
+        "select lang as slc, text from documents", vocab_size=200)
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid drift (simsearch.py:embedding_drift): mod-3 vec_id
     slices of the embeddings table — quantize-first integer centroids,
@@ -12166,6 +12270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_score": q_decay_score,
         "winsorize": q_winsorize,
         "embedding_drift": q_embedding_drift,
+        "unk_rate": q_unk_rate,
+        "example_sample": q_example_sample,
+        "schema_diff": q_schema_diff,
     }
 
 
@@ -12433,4 +12540,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_score": _sql_decay_score(),
         "winsorize": _sql_winsorize(),
         "embedding_drift": _sql_embedding_drift(),
+        "unk_rate": _sql_unk_rate(),
+        "example_sample": _sql_example_sample(),
+        "schema_diff": _sql_schema_diff(),
     }

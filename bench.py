@@ -222,6 +222,9 @@ HEADLINE = [
     "decay_score",
     "winsorize",
     "embedding_drift",
+    "unk_rate",
+    "example_sample",
+    "schema_diff",
 ]
 
 

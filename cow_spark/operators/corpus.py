@@ -924,3 +924,58 @@ select base.*, lo_val, hi_val,
             then least(greatest(v, lo_val), hi_val) end as val_w
 from base left join bounds on base.key = bounds.k
 """
+
+
+def example_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "ex-v1",
+) -> DataFrame:
+    """k deterministic exemplars per stratum — the "show me five
+    examples from every source" pull behind datasheets, eval sheets,
+    and review queues. Hash-ordered rather than ``rand()`` or "first
+    k" (which is really "whatever the scan order was"): the same k
+    rows come back on every rerun, engine, and retry, and changing
+    ``salt`` rotates the sample without touching anything else.
+
+    Order is ``(md5(id ⊕ salt), id)`` — the id tiebreak makes the cut
+    deterministic even on the (astronomically unlikely) hash tie.
+    One keyed window over many small groups (the healthy window
+    shape); rows with NULL id or stratum are excluded (they cannot be
+    addressed stably). Returns the input columns plus ``sample_rank``
+    (1-based)."""
+    if k < 1:
+        raise ValueError(f"example_sample: k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash60
+
+    h = portable_hash60(F.concat_ws(
+        "\x1f", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(id_col).asc())
+    return (df.where(F.col(id_col).isNotNull()
+                     & F.col(strata_col).isNotNull())
+            .withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= k))
+
+
+def example_sample_oracle_sql(rows_sql: str, strata: str, idc: str,
+                              k: int, salt: str = "ex-v1") -> str:
+    """DuckDB twin of :func:`example_sample`; ``rows_sql`` yields the
+    input columns."""
+    from ..functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        f"concat_ws(chr(31), cast({idc} as varchar), '{salt}')")
+    return f"""
+select * from (
+  select *, row_number() over (
+      partition by {strata} order by {h} asc, {idc} asc)
+    as sample_rank
+  from ({rows_sql})
+  where {idc} is not null and {strata} is not null)
+where sample_rank <= {k}
+"""

@@ -1070,3 +1070,79 @@ select n_a, n_b, n_terms,
     as jsd_fp
 from one
 """
+
+
+def unk_rate(
+    df: DataFrame,
+    vocab_size: int = 30_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by_col: str | None = None,
+) -> DataFrame:
+    """UNK-rate estimate under a top-K vocabulary — the tokenizer
+    sizing question asked before committing a vocab: if we keep only
+    the K most frequent terms, what fraction of each slice's tokens
+    become ``<unk>``? A slice whose unk_ppm is 3× the corpus mean is
+    under-served by the shared vocabulary (the multilingual-tokenizer
+    fairness audit in one number).
+
+    The vocabulary is the global top-``vocab_size`` terms by total
+    frequency, ties broken by term ascending (the K-boundary must be
+    deterministic or two engines disagree on which tied term is in).
+    unk_ppm = (n_unk·10^6) div n_tokens, exact.
+
+    Scale shape: one tokenize scan → term-frequency combine
+    (vocabulary-sized), distributed top-K sort-limit, then the chosen
+    vocab broadcasts back onto a second tokenize pass — two scans, no
+    corpus shuffle beyond the term combine; per-slice output. Returns
+    (slice, n_tokens, n_unk, unk_ppm) — ``slice`` is '(all)' when
+    ``by_col`` is None.
+    """
+    from ..functions.text import normalize_text, tokens
+
+    slice_col = (F.col(by_col).cast("string")
+                 if by_col else F.lit("(all)"))
+    toks = df.select(
+        slice_col.alias("slc"),
+        F.explode(tokens(normalize_text(F.col(text_col))))
+        .alias("term"))
+    vocab = (toks.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("tf"))
+             .orderBy(F.col("tf").desc(), F.col("term").asc())
+             .limit(vocab_size)
+             .select("term", F.lit(True).alias("_in")))
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    agg = joined.groupBy("slc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_unk"))
+    return agg.select(
+        F.col("slc").alias("slice"), "n_tokens", "n_unk",
+        F.expr("(n_unk * 1000000) div n_tokens").cast("long")
+        .alias("unk_ppm"))
+
+
+def unk_rate_oracle_sql(docs_sql: str, vocab_size: int) -> str:
+    """DuckDB twin of :func:`unk_rate`; ``docs_sql`` yields
+    (slc, text)."""
+    return f"""
+with tok as (
+  select slc,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0)) as term
+  from ({docs_sql})),
+vocab as (
+  select term from (
+    select term, count(*) as tf from tok group by term
+    order by tf desc, term asc limit {vocab_size})),
+agg as (
+  select slc, cast(count(*) as bigint) as n_tokens,
+         cast(sum(case when vocab.term is null then 1 else 0 end)
+              as bigint) as n_unk
+  from tok left join vocab on tok.term = vocab.term
+  group by slc)
+select slc as slice, n_tokens, n_unk,
+       cast((n_unk * 1000000) // n_tokens as bigint) as unk_ppm
+from agg
+"""

@@ -680,3 +680,55 @@ select candidate, n_rows, n_distinct, n_dup_rows, n_null_rows,
        n_distinct = n_rows and n_null_rows = 0 as is_key
 from ({u})
 """
+
+
+def schema_diff(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Column-level drift report between two snapshots of "the same"
+    table — the data-contract check a pipeline runs before swapping in
+    a new crawl/export: which columns appeared, vanished, changed
+    type, or went newly-NULL. infer_datatypes reads one table's cells;
+    this compares two tables' shapes.
+
+    Per column (union of both schemas, sorted): presence status
+    (``both`` / ``a_only`` / ``b_only``), the engine type on each
+    side, ``type_changed``, and the exact NULL rate
+    ``(nulls·10^6) div n`` per side (NULL for an absent side; 0 on an
+    empty table). A type change OR an absent side OR a null-rate jump
+    is the alert condition — the caller picks thresholds.
+
+    Scale shape: types come from the schema objects (free); null
+    counts are ONE single-pass aggregate per side (every column's
+    ``sum(isnull)`` rides the same scan — no per-column jobs),
+    collected as one row each (bounded by column count). The report
+    itself is column-count-sized. Returns (column, status, type_a,
+    type_b, type_changed, null_ppm_a, null_ppm_b).
+    """
+    def _side(df):
+        types = {f.name: f.dataType.simpleString()
+                 for f in df.schema.fields}
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_z_{i}")
+            for i, c in enumerate(types)]
+        row = df.agg(*aggs).collect()[0]
+        n = row["_n"]
+        nulls = {c: (row[f"_z_{i}"] or 0)
+                 for i, c in enumerate(types)}
+        return types, n, nulls
+
+    ta, na, za = _side(df_a)
+    tb, nb, zb = _side(df_b)
+    rows = []
+    for c in sorted(set(ta) | set(tb)):
+        in_a, in_b = c in ta, c in tb
+        status = "both" if in_a and in_b else (
+            "a_only" if in_a else "b_only")
+        ppm_a = ((za[c] * 1_000_000) // na if in_a and na > 0
+                 else (0 if in_a else None))
+        ppm_b = ((zb[c] * 1_000_000) // nb if in_b and nb > 0
+                 else (0 if in_b else None))
+        rows.append((c, status, ta.get(c), tb.get(c),
+                     in_a and in_b and ta[c] != tb[c], ppm_a, ppm_b))
+    return df_a.sparkSession.createDataFrame(
+        rows, "column string, status string, type_a string, "
+              "type_b string, type_changed boolean, "
+              "null_ppm_a long, null_ppm_b long")

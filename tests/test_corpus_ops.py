@@ -3619,6 +3619,65 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_example_sample_deterministic_and_salt_rotates(spark):
+    """Same k rows across two invocations; k caps per stratum; a
+    different salt rotates the sample; NULL ids are excluded."""
+    from cow_spark.operators.corpus import example_sample
+
+    rows = [(i, "s" + str(i % 2)) for i in range(40)] + [(None, "s0")]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    a1 = sorted((r.src, r.doc_id) for r in
+                example_sample(df, "src", k=3, id_col="doc_id")
+                .collect())
+    a2 = sorted((r.src, r.doc_id) for r in
+                example_sample(df, "src", k=3, id_col="doc_id")
+                .collect())
+    assert a1 == a2 and len(a1) == 6
+    assert all(i is not None for _, i in a1)
+    b = sorted((r.src, r.doc_id) for r in
+               example_sample(df, "src", k=3, id_col="doc_id",
+                              salt="other").collect())
+    assert b != a1  # salt rotates (md5 collision would be a miracle)
+
+
+def test_schema_diff_statuses_types_and_null_rates(spark):
+    """Dropped/added/retyped columns get the right status; null ppm
+    is exact per side; an empty side reads 0 not a crash."""
+    from cow_spark.plans.validate import schema_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, None, 20)], "id long, s string, v long")
+    b = spark.createDataFrame(
+        [(1, "10", True)], "id long, v string, f boolean")
+    got = {r.column: r for r in schema_diff(a, b).collect()}
+    assert got["s"].status == "a_only" and got["s"].type_b is None
+    assert got["f"].status == "b_only" and got["f"].null_ppm_a is None
+    assert got["v"].type_changed and (got["v"].type_a,
+                                      got["v"].type_b) == ("bigint",
+                                                           "string")
+    assert got["s"].null_ppm_a == 500_000
+    assert got["id"].null_ppm_b == 0
+
+    empty = spark.createDataFrame([], "id long")
+    assert {r.null_ppm_b for r in schema_diff(a, empty).collect()
+            if r.column == "id"} == {0}
+
+
+def test_unk_rate_boundary_tie_and_exact_ppm(spark):
+    """Counts a:3 b:3 c:1 d:1 with K=1: the a/b tie breaks term-asc
+    so 'a' is in-vocab; UNK = 5 of 8 tokens = 625000 ppm. K=4 covers
+    everything → 0."""
+    from cow_spark.operators.terms import unk_rate
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b d")], "doc_id long, text string")
+    r = unk_rate(df, vocab_size=1).collect()[0]
+    assert (r.slice, r.n_tokens, r.n_unk, r.unk_ppm) == \
+        ("(all)", 8, 5, 625_000)
+    r = unk_rate(df, vocab_size=4).collect()[0]
+    assert (r.n_unk, r.unk_ppm) == (0, 0)
+
+
 def test_embedding_drift_identity_orthogonal_opposite(spark):
     """Identical centroids → exactly 10^6; orthogonal → 0; opposite →
     −10^6 (sign-magnitude path); pair keys are slice_a < slice_b."""
