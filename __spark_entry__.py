@@ -11291,6 +11291,104 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (text.py:sentences): backreference-
+    rewrite boundary (RE2 has no lookbehind), explicit whitespace
+    class, per-sentence rows with positions and lengths."""
+    from cow_spark.functions.text import sentences
+
+    d = _load_spread(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(sentences(F.col("text")))
+        .alias("sent_idx", "sentence"),
+    ).select("doc_id", F.col("sent_idx").cast("int").alias("sent_idx"),
+             "sentence",
+             F.length("sentence").cast("long").alias("n_chars"))
+
+
+_SQL_SENTENCE_SPLIT = """
+with m as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(regexp_split_to_array(
+           regexp_replace(text, '([.!?])[ \\t\\n\\r\\f\\x0B]+',
+                          '\\1' || chr(31), 'g'), '\\x1f'),
+           s -> length(s) > 0) as l
+  from documents),
+ex as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(l)),
+           i -> {'idx': i - 1, 's': l[i]})) as u
+  from m)
+select doc_id, cast(u.idx as int) as sent_idx, u.s as sentence,
+       cast(length(u.s) as bigint) as n_chars
+from ex
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (simsearch.py:hard_negatives):
+    top-3 different-label neighbors per anchor inside training-free
+    cells — the twin replays assignment, pairing, and the tie-broken
+    top-k (%5 label folding keeps both labels present in every
+    cell)."""
+    from cow_spark.operators.simsearch import hard_negatives
+
+    embs = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.pmod(F.col("label"), F.lit(2)).cast("int").alias("label"))
+    return hard_negatives(embs, n_cells=8, k=3)
+
+
+_SQL_HARD_NEGATIVES = """
+with v as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as e,
+         cast(label % 2 as int) as lbl
+  from embeddings
+),
+cents as (
+  select row_number() over (order by vec_id) - 1 as cell_id, e as cv
+  from (select vec_id, e from v order by vec_id limit 8)
+),
+cosim as (
+  select v.vec_id, v.e, v.lbl, c.cell_id,
+    round(list_sum(list_transform(generate_series(1, len(v.e)),
+                                  i -> v.e[i] * c.cv[i])) /
+          (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) as sim
+  from v, cents c
+),
+assigned as (
+  select vec_id, e, lbl, cell_id as cell from (
+    select *, row_number() over (partition by vec_id
+                                 order by sim desc, cell_id) as rk
+    from cosim
+  ) where rk = 1
+),
+pairs as (
+  select a.vec_id as anchor_id, b.vec_id as nbr_id,
+         a.lbl as anchor_label, b.lbl as nbr_label,
+    round(list_sum(list_transform(generate_series(1, len(a.e)),
+                                  i -> a.e[i] * b.e[i])) /
+          (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+           sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) as sim
+  from assigned a join assigned b on a.cell = b.cell
+  where a.vec_id <> b.vec_id and a.lbl <> b.lbl
+),
+ranked as (
+  select anchor_id, nbr_id, anchor_label, nbr_label,
+         cast(floor(sim * 10000) as bigint) as cos4,
+         cast(row_number() over (partition by anchor_id
+                                 order by sim desc, nbr_id) as int)
+           as rank
+  from pairs
+)
+select anchor_id, nbr_id, anchor_label, nbr_label, cos4, rank
+from ranked where rank <= 3
+"""
+
+
 def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot contract check (validate.py:schema_diff): snapshot b
     drops `source`, retypes n_chars to string, adds a sometimes-NULL
@@ -12273,6 +12371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unk_rate": q_unk_rate,
         "example_sample": q_example_sample,
         "schema_diff": q_schema_diff,
+        "hard_negatives": q_hard_negatives,
+        "sentence_split": q_sentence_split,
     }
 
 
@@ -12543,4 +12643,6 @@ def oracle_sql() -> dict[str, str]:
         "unk_rate": _sql_unk_rate(),
         "example_sample": _sql_example_sample(),
         "schema_diff": _sql_schema_diff(),
+        "hard_negatives": _SQL_HARD_NEGATIVES,
+        "sentence_split": _SQL_SENTENCE_SPLIT,
     }

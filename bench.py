@@ -225,6 +225,8 @@ HEADLINE = [
     "unk_rate",
     "example_sample",
     "schema_diff",
+    "hard_negatives",
+    "sentence_split",
 ]
 
 

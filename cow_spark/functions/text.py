@@ -223,3 +223,24 @@ def canonical_url(c: Column) -> Column:
         F.concat(head, path,
                  F.when(q2 != "", F.concat(F.lit("?"), q2))
                  .otherwise(F.lit(""))))
+
+
+SENT_BOUNDARY = "([.!?])[ \t\n\r\f\x0B]+"
+
+
+def sentences(c: Column) -> Column:
+    """Split text into sentences at terminal punctuation followed by
+    whitespace — the rule-based segmenter under chunkers, readability
+    metrics, and per-sentence dedup. RE2 (the DuckDB twin's engine)
+    has no lookbehind, so the boundary is marked by a backreference
+    rewrite (``$1`` + US control char) and split on the marker — both
+    engines support capture-group replacement even though neither
+    supports lookbehind. The whitespace class is explicit (``\\x0B``
+    included — Java's ``\\s`` and RE2's differ there, the CLAUDE.md
+    trap). Text without a terminal boundary is one sentence; empty
+    text yields an empty array. Texts containing \\x1f are out of
+    contract (control chars are encoding damage — screen upstream).
+    """
+    marked = F.regexp_replace(c, SENT_BOUNDARY, "$1\x1f")
+    return F.filter(F.split(marked, "\x1f"),
+                    lambda s: F.length(s) > 0)

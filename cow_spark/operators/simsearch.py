@@ -835,3 +835,70 @@ select slice_a, slice_b, n_a, n_b,
        else 0 end as bigint) as cos6
 from t2
 """
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_cells: int = 8,
+    k: int = 3,
+    max_cell_rows: int = 50_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` MOST-similar vectors carrying a DIFFERENT label — the pairs
+    that actually move an embedding model (random negatives are
+    trivially separable; in-batch negatives are whatever shuffled in).
+
+    Candidate generation is celled, never all-pairs: training-free
+    first-``n_cells`` centroids (deterministic, so the oracle replays
+    the assignment — the IVF/SemDeDup discipline), pairs only within
+    a cell. A hard negative outside the anchor's cell is by
+    construction not hard (it lost the coarse-quantizer argmax), so
+    the cell boundary is the honest recall trade every ANN-backed
+    miner makes. ``max_cell_rows`` RAISES on a degenerate cell (one
+    cell holding the corpus = a silent all-pairs join) — raise
+    ``n_cells`` instead of the cap.
+
+    Similarity is the 6dp-rounded cosine (the assign_cells
+    convention); ranks break ties by neighbor id. Scale shape: one
+    assignment pass (map-only for small centroid sets), one
+    cell-keyed self-join bounded by cell sizes, one per-anchor top-k
+    window (many small groups). Returns
+    (anchor_id, nbr_id, anchor_label, nbr_label, cos4, rank).
+    """
+    cents = take_centroids(df, n_cells, id_col=id_col,
+                           vec_col=vec_col)
+    assigned = assign_cells(df, cents, id_col=id_col, vec_col=vec_col)
+    labeled = assigned.join(
+        df.select(F.col(id_col), F.col(label_col).alias("_lbl")),
+        id_col)
+    biggest = (labeled.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.max("c")).collect()[0][0])
+    if biggest and biggest > max_cell_rows:
+        raise ValueError(
+            f"hard_negatives: a cell holds {biggest} rows "
+            f"(> max_cell_rows={max_cell_rows}) — raise n_cells; a "
+            f"degenerate cell is a silent all-pairs join")
+    a = labeled.select(F.col(id_col).alias("anchor_id"),
+                       F.col("v").alias("va"), "cell",
+                       F.col("_lbl").alias("anchor_label"))
+    b = labeled.select(F.col(id_col).alias("nbr_id"),
+                       F.col("v").alias("vb"), "cell",
+                       F.col("_lbl").alias("nbr_label"))
+    pairs = (a.join(b, "cell")
+             .where((F.col("anchor_id") != F.col("nbr_id"))
+                    & (F.col("anchor_label") != F.col("nbr_label")))
+             .select("anchor_id", "nbr_id", "anchor_label",
+                     "nbr_label",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6)
+                     .alias("sim")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("anchor_id", "nbr_id", "anchor_label", "nbr_label",
+                    F.floor(F.col("sim") * 10_000).cast("long")
+                    .alias("cos4"),
+                    F.col("rank").cast("int").alias("rank")))

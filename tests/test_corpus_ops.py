@@ -3619,6 +3619,51 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_sentences_boundaries_and_edges(spark):
+    """Splits only at terminal punct + whitespace; '..' splits after
+    the run; no trailing boundary → one sentence; decimal points and
+    mid-word dots don't split; empty text → empty array."""
+    from cow_spark.functions.text import sentences
+
+    cases = [
+        (1, "One. Two! Three?", ["One.", "Two!", "Three?"]),
+        (2, "Wait.. ok", ["Wait..", "ok"]),
+        (3, "no boundary here", ["no boundary here"]),
+        (4, "pi is 3.14 exactly. yes", ["pi is 3.14 exactly.", "yes"]),
+        (5, "", []),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               "id long, t string")
+    got = {r.id: list(r.s) for r in
+           df.select("id", sentences(F.col("t")).alias("s")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
+
+
+def test_hard_negatives_picks_closest_other_label(spark):
+    """Anchors never pair with their own label; the rank-1 negative
+    is the most-similar other-label vector; the degenerate-cell cap
+    raises."""
+    import pytest as _pytest
+
+    from cow_spark.operators.simsearch import hard_negatives
+
+    # one cell (n_cells=1): anchor [1,0] lbl 0; negatives at cosine
+    # .99.. ([9,1]), 0 ([0,1]); same-label [1, .1] must not appear
+    rows = [(1, [1.0, 0.0], 0), (2, [9.0, 1.0], 1),
+            (3, [0.0, 1.0], 1), (4, [1.0, 0.1], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = [r for r in hard_negatives(df, n_cells=1, k=2).collect()
+           if r.anchor_id == 1]
+    assert [r.nbr_id for r in sorted(got, key=lambda r: r.rank)] == \
+        [2, 3]
+    assert all(r.nbr_label != r.anchor_label for r in got)
+
+    with _pytest.raises(ValueError, match="max_cell_rows"):
+        hard_negatives(df, n_cells=1, k=1, max_cell_rows=2)
+
+
 def test_example_sample_deterministic_and_salt_rotates(spark):
     """Same k rows across two invocations; k caps per stratum; a
     different salt rotates the sample; NULL ids are excluded."""
