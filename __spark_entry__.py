@@ -11291,6 +11291,35 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking keys (text.py:soundex): pseudo-names minted
+    by digit→letter translate over order keys (vowel separators, an H
+    and a W for the transparency rule, same-code adjacents for run
+    collapse) → distinct (name, soundex) pairs, both engines running
+    the identical left fold."""
+    from cow_spark.functions.text import soundex
+
+    o = _load(spark, sf_dir, "orders")
+    name = F.translate(
+        F.pmod(F.col("o_orderkey"), F.lit(4999)).cast("string"),
+        "0123456789", "OBERHANSIW")
+    return (o.select(name.alias("name"))
+            .dropDuplicates()
+            .select("name", soundex(F.col("name")).alias("sx")))
+
+
+def _sql_soundex_keys() -> str:
+    from cow_spark.functions.text import soundex_sql
+
+    return f"""
+with n as (
+  select distinct translate(cast(o_orderkey % 4999 as varchar),
+                            '0123456789', 'OBERHANSIW') as name
+  from orders)
+select name, {soundex_sql('name')} as sx from n
+"""
+
+
 def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation (text.py:sentences): backreference-
     rewrite boundary (RE2 has no lookbehind), explicit whitespace
@@ -12373,6 +12402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": q_schema_diff,
         "hard_negatives": q_hard_negatives,
         "sentence_split": q_sentence_split,
+        "soundex_keys": q_soundex_keys,
     }
 
 
@@ -12645,4 +12675,5 @@ def oracle_sql() -> dict[str, str]:
         "schema_diff": _sql_schema_diff(),
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "sentence_split": _SQL_SENTENCE_SPLIT,
+        "soundex_keys": _sql_soundex_keys(),
     }

@@ -227,6 +227,7 @@ HEADLINE = [
     "schema_diff",
     "hard_negatives",
     "sentence_split",
+    "soundex_keys",
 ]
 
 

@@ -244,3 +244,87 @@ def sentences(c: Column) -> Column:
     marked = F.regexp_replace(c, SENT_BOUNDARY, "$1\x1f")
     return F.filter(F.split(marked, "\x1f"),
                     lambda s: F.length(s) > 0)
+
+
+_SOUNDEX_FROM = "BFPVCGJKQSXZDTLMNR"
+_SOUNDEX_TO = "111122222222334556"
+
+
+def soundex(c: Column) -> Column:
+    """American Soundex — the classic phonetic blocking key for entity
+    resolution: Robert/Rupert → R163, Ashcraft → A261 (H transparent
+    between same codes), Pfister → P236 (first-letter code counts for
+    collapsing). Neither engine ships a usable builtin here (Spark has
+    one, RE2-based DuckDB replay of run-collapsing needs pattern
+    backreferences it lacks), so BOTH sides run the same explicit
+    left fold over the letter sequence — the full spec, not a regex
+    approximation:
+
+    - letters map B F P V→1, C G J K Q S X Z→2, D T→3, L→4, M N→5,
+      R→6; A E I O U Y are separators (reset the run); H W are
+      transparent (preserve it); non-letters are stripped first
+    - a digit equal to the previous EFFECTIVE code is skipped (runs
+      collapse across H/W, break across vowels), the first letter's
+      own code seeds the run
+    - output = first letter + digits, zero-padded/truncated to 4;
+      no letters at all → NULL
+
+    One HOF ``aggregate`` over the char array (struct accumulator);
+    the DuckDB twin folds the identical sequence with a
+    string-encoded accumulator (its ``list_reduce`` requires acc type
+    = element type — the subword.py delimited-string trick).
+    """
+    letters = F.filter(F.split(F.upper(c), ""),
+                       lambda ch: ch.rlike("^[A-Z]$"))
+
+    def step(acc, ch):
+        code = F.translate(ch, _SOUNDEX_FROM, _SOUNDEX_TO)
+        is_digit = code.rlike("^[1-6]$")
+        is_hw = ch.isin("H", "W")
+        first = acc["out"] == ""
+        out = (F.when(first, ch)
+               .when(is_digit & (code != acc["last"]),
+                     F.concat(acc["out"], code))
+               .otherwise(acc["out"]))
+        last = (F.when(first & is_digit, code)
+                .when(first, F.lit("0"))
+                .when(is_digit, code)
+                .when(is_hw, acc["last"])
+                .otherwise(F.lit("0")))
+        return F.struct(out.alias("out"), last.alias("last"))
+
+    folded = F.aggregate(
+        letters,
+        F.struct(F.lit("").alias("out"), F.lit("0").alias("last")),
+        step)
+    return F.when(F.size(letters) > 0,
+                  F.rpad(F.substring(folded["out"], 1, 4), 4, "0"))
+
+
+def soundex_sql(expr: str) -> str:
+    """DuckDB twin of :func:`soundex` for oracle SQL strings — the
+    same fold with a ``'OUT|last'`` string-encoded accumulator
+    (``list_reduce`` requires acc type = element type; parse with
+    left/right, never slices)."""
+    code = f"translate(x, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    out = "left(acc, length(acc) - 2)"
+    last = "right(acc, 1)"
+    step = f"""(
+      case
+        when {last} = '#' then
+          x || '|' || (case when {code} similar to '[1-6]'
+                            then {code} else '0' end)
+        when {code} similar to '[1-6]' and {code} <> {last} then
+          {out} || {code} || '|' || {code}
+        when {code} similar to '[1-6]' then acc
+        when x in ('H', 'W') then acc
+        else {out} || '|0'
+      end)"""
+    letters = (f"list_filter(string_split(upper({expr}), ''), "
+               f"x -> x similar to '[A-Z]')")
+    res = (f"list_reduce(list_prepend('|#', {letters}), "
+           f"(acc, x) -> {step})")
+    return f"""(
+  case when len({letters}) > 0 then
+    rpad(left(left({res}, length({res}) - 2), 4), 4, '0')
+  end)"""

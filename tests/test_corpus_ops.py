@@ -3619,6 +3619,24 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_soundex_classic_vectors(spark):
+    """Textbook American Soundex: R163 twins, H-transparency
+    (Ashcraft A261), first-letter-code collapse (Pfister P236),
+    zero-padding (Lee L000), punctuation stripping, and NULL for
+    letterless input."""
+    from cow_spark.functions.text import soundex
+
+    cases = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+             "Tymczak": "T522", "Pfister": "P236",
+             "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+             "Gutierrez": "G362", "Jackson": "J250",
+             "  o'Brien!": "O165", "123": None, "": None}
+    df = spark.createDataFrame([(k,) for k in cases], "n string")
+    got = {r.n: r.sx for r in
+           df.select("n", soundex(F.col("n")).alias("sx")).collect()}
+    assert got == cases
+
+
 def test_sentences_boundaries_and_edges(spark):
     """Splits only at terminal punct + whitespace; '..' splits after
     the run; no trailing boundary → one sentence; decimal points and
