@@ -11291,6 +11291,47 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (sessionize.py:attribution): purchase
+    conversions credited to the first and last non-purchase touch in
+    a 24h lookback — (ts, event_id) tiebreaks and the visible
+    '(none)' bucket are the graded edges."""
+    from cow_spark.operators.sessionize import attribution
+
+    ev = _load(spark, sf_dir, "events")
+    return attribution(ev, "purchase")
+
+
+def _sql_attribution() -> str:
+    from cow_spark.operators.sessionize import attribution_oracle_sql
+
+    return attribution_oracle_sql(
+        "select user_id as u, ts as t, event_type as ch, "
+        "event_id as i from events", "purchase")
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign projection (simsearch.py:random_projection): 64→6 dims
+    over the embeddings table, posexploded for the compare — signs
+    from the portable md5, elements quantized before any sum."""
+    from cow_spark.operators.simsearch import random_projection
+
+    embs = _load(spark, sf_dir, "embeddings")
+    out = random_projection(embs, out_dim=6)
+    return out.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.posexplode("proj").alias("d", "y"))
+
+
+def _sql_random_projection() -> str:
+    from cow_spark.operators.simsearch import (
+        random_projection_oracle_sql)
+
+    return random_projection_oracle_sql(
+        "select cast(vec_id as bigint) as id, embedding as e "
+        "from embeddings", out_dim=6)
+
+
 def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic blocking keys (text.py:soundex): pseudo-names minted
     by digit→letter translate over order keys (vowel separators, an H
@@ -12403,6 +12444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "sentence_split": q_sentence_split,
         "soundex_keys": q_soundex_keys,
+        "random_projection": q_random_projection,
+        "attribution": q_attribution,
     }
 
 
@@ -12676,4 +12719,6 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "sentence_split": _SQL_SENTENCE_SPLIT,
         "soundex_keys": _sql_soundex_keys(),
+        "random_projection": _sql_random_projection(),
+        "attribution": _sql_attribution(),
     }

@@ -228,6 +228,8 @@ HEADLINE = [
     "hard_negatives",
     "sentence_split",
     "soundex_keys",
+    "random_projection",
+    "attribution",
 ]
 
 

@@ -717,3 +717,116 @@ select key, cast(len(xs) as bigint) as n,
        as bigint) as score
 from arr
 """
+
+
+def attribution(
+    df: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    lookback_us: int = 86_400_000_000,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution — which channel
+    OPENED the path and which one CLOSED it: for every
+    ``conversion_type`` event, the earliest and latest non-conversion
+    touch by the same user within ``lookback_us`` gets the credit;
+    conversions with no in-window touch credit ``(none)`` (they must
+    stay visible — dropping them silently inflates every channel).
+
+    Deterministic: ties on the touch timestamp break by ``id_col``
+    (min/max over the (ts, id, type) struct), so two same-instant
+    touches attribute identically on every engine. Returns one row
+    per channel, ``(channel, first_touch, last_touch)`` conversion
+    counts, '(none)' included when it earned credit.
+
+    Scale shape: conversions ⋈ touches is USER-KEYED with the range
+    predicate applied inside the join — per-user fan-out is bounded
+    by per-user activity in the lookback (the sessionize family's
+    skew contract: screen bot users upstream); then one per-conversion
+    min_by/max_by partial agg and one channel-sized count. No
+    windows, no corpus sort.
+    """
+    base = df.select(F.col(user_col).alias("u"),
+                     F.col(ts_col).cast("timestamp").alias("t"),
+                     F.col(type_col).alias("ch"),
+                     F.col(id_col).alias("i")) \
+             .where(F.col(user_col).isNotNull()
+                    & F.col(ts_col).isNotNull())
+    conv = base.where(F.col("ch") == conversion_type) \
+        .select(F.col("u").alias("cu"), F.col("t").alias("ct"),
+                F.col("i").alias("ci"))
+    touch = base.where(F.col("ch") != conversion_type)
+    tus = F.unix_micros(F.col("t"))
+    cus = F.unix_micros(F.col("ct"))
+    # the range predicate rides the JOIN condition — a post-filter
+    # would silently drop conversions whose touches are all
+    # out-of-window instead of crediting '(none)'
+    j = conv.join(
+        touch,
+        (F.col("cu") == F.col("u")) & (tus <= cus)
+        & (cus - tus <= F.lit(lookback_us)),
+        "left")
+    per_conv = j.groupBy("ci").agg(
+        F.min_by(F.struct(F.col("t"), F.col("i"), F.col("ch")),
+                 F.struct(F.col("t"), F.col("i"))).alias("_f"),
+        F.max_by(F.struct(F.col("t"), F.col("i"), F.col("ch")),
+                 F.struct(F.col("t"), F.col("i"))).alias("_l"))
+    credited = per_conv.select(
+        F.coalesce(F.col("_f.ch"), F.lit("(none)")).alias("first_ch"),
+        F.coalesce(F.col("_l.ch"), F.lit("(none)")).alias("last_ch"))
+    first = credited.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("first_touch"))
+    last = credited.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("last_touch"))
+    return (first.join(last, "channel", "full")
+            .select("channel",
+                    F.coalesce("first_touch", F.lit(0)).cast("long")
+                    .alias("first_touch"),
+                    F.coalesce("last_touch", F.lit(0)).cast("long")
+                    .alias("last_touch")))
+
+
+def attribution_oracle_sql(events_sql: str, conversion_type: str,
+                           lookback_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of :func:`attribution`; ``events_sql`` yields
+    (u, t, ch, i). ``full`` is a reserved word — the outer join
+    aliases sides explicitly."""
+    return f"""
+with base as (
+  select u, t, ch, i from ({events_sql})
+  where u is not null and t is not null),
+conv as (
+  select u, t as ct, i as ci from base
+  where ch = '{conversion_type}'),
+touch as (select * from base where ch <> '{conversion_type}'),
+j as (
+  select conv.ci, touch.t, touch.i, touch.ch
+  from conv left join touch on conv.u = touch.u
+    and epoch_us(touch.t) <= epoch_us(conv.ct)
+    and epoch_us(conv.ct) - epoch_us(touch.t) <= {lookback_us}),
+per_conv as (
+  -- DuckDB min_by/max_by reject STRUCT keys: encode the (t, i)
+  -- order as a zero-padded string (lexicographic ≡ numeric here)
+  select ci,
+         coalesce(min_by(ch, lpad(cast(epoch_us(t) as varchar), 20,
+                                  '0') || '|'
+                         || lpad(cast(i as varchar), 12, '0')),
+                  '(none)') as first_ch,
+         coalesce(max_by(ch, lpad(cast(epoch_us(t) as varchar), 20,
+                                  '0') || '|'
+                         || lpad(cast(i as varchar), 12, '0')),
+                  '(none)') as last_ch
+  from j group by ci),
+f as (select first_ch as channel,
+             cast(count(*) as bigint) as first_touch
+      from per_conv group by first_ch),
+l as (select last_ch as channel,
+             cast(count(*) as bigint) as last_touch
+      from per_conv group by last_ch)
+select coalesce(f.channel, l.channel) as channel,
+       cast(coalesce(first_touch, 0) as bigint) as first_touch,
+       cast(coalesce(last_touch, 0) as bigint) as last_touch
+from f full outer join l on f.channel = l.channel
+"""

@@ -902,3 +902,99 @@ def hard_negatives(
                     F.floor(F.col("sim") * 10_000).cast("long")
                     .alias("cos4"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    scale: int = 1000,
+    salt: str = "rp-v1",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection — the dimensionality
+    crush (64→8, 768→64) run before LSH bucketing or coarse
+    clustering at 100 TB, when even the float32 vectors are too wide
+    to shuffle: ``y[d] = Σ_j s(d,j)·⌊x[j]·scale⌋`` with signs ±1
+    drawn from the portable md5 of (salt, d, j) — training-free,
+    deterministic, and (by Achlioptas 2001) distance-preserving in
+    expectation exactly like a Gaussian matrix.
+
+    Exactness: elements quantize before any aggregation (the
+    :func:`embedding_drift` rule — distributed float sums are
+    order-nonassociative) and everything after is associative integer
+    math the twin replays bit-for-bit. Overflow contract:
+    dim·scale·x_max < 9.2·10^18 per output coordinate — vast.
+
+    Scale shape: the sign matrix is out_dim×dim and ships as a
+    broadcast (built driver-side from the same md5 the engines use);
+    the corpus posexplodes once, joins the broadcast on the input
+    dimension, and partial-aggs to (id, d) — the shuffle carries
+    out_dim rows per vector, the whole point of projecting before
+    shuffling. Returns (id, proj array<long>) dense in output order;
+    empty/NULL vectors yield the zero vector.
+    """
+    import hashlib
+
+    spark = df.sparkSession
+    # sign(d, j) for all j up to the observed max dim — probe one row
+    head = df.select(F.size(vec_col).alias("n")) \
+        .agg(F.max("n")).collect()[0][0] or 0
+    signs = []
+    for d in range(out_dim):
+        for j in range(head):
+            h = int(hashlib.md5(
+                f"rp|{salt}|{d}|{j}".encode()).hexdigest()[:15], 16)
+            signs.append((d, j, 1 - 2 * (h % 2)))
+    sdf = spark.createDataFrame(signs, "d int, j int, s int")
+
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.posexplode(vec_col).alias("j", "x")) \
+        .select("_id", "j",
+                F.floor(F.col("x").cast("double") * F.lit(scale))
+                .cast("long").alias("xq"))
+    proj = (ex.join(F.broadcast(sdf), "j")
+            .groupBy("_id", "d")
+            .agg(F.sum(F.col("s") * F.col("xq")).cast("long")
+                 .alias("y")))
+    dense = (proj.groupBy("_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("d", "y"))).alias("_m"))
+             .select("_id", F.transform(
+                 F.sequence(F.lit(0), F.lit(out_dim - 1)),
+                 lambda i: F.coalesce(
+                     F.element_at(F.col("_m"), i.cast("int")),
+                     F.lit(0)).cast("long")).alias("proj")))
+    zeros = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)),
+                        lambda i: F.lit(0).cast("long"))
+    return (df.select(F.col(id_col).alias("_id")).distinct()
+            .join(dense, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("proj", zeros).alias("proj")))
+
+
+def random_projection_oracle_sql(rows_sql: str, out_dim: int,
+                                 scale: int = 1000,
+                                 salt: str = "rp-v1") -> str:
+    """DuckDB twin of :func:`random_projection`; ``rows_sql`` yields
+    (id, e). Output is the EXPLODED (id, d, y) form (the entry
+    posexplodes the packed array to match)."""
+    h = (f"cast(concat('0x', substr(md5('rp|{salt}|' "
+         f"|| cast(d as varchar) || '|' || cast(j as varchar)), "
+         f"1, 15)) as bigint)")
+    return f"""
+with v as (select id, e from ({rows_sql})),
+ex0 as (
+  select id,
+         unnest(list_transform(generate_series(1, len(e)),
+           i -> {{'j': i - 1,
+                  'xq': cast(floor(cast(e[i] as double) * {scale})
+                             as bigint)}})) as u
+  from v),
+exq as materialized (
+  select id, u.j as j, u.xq as xq from ex0)
+select id, cast(d as int) as d,
+       cast(sum((1 - 2 * ({h} % 2)) * xq) as bigint) as y
+from exq, generate_series(0, {out_dim - 1}) t(d)
+group by id, d
+"""

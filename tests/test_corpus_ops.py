@@ -3619,6 +3619,65 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_attribution_window_ties_and_none_bucket(spark):
+    """First/last credit split; an out-of-window touch credits
+    '(none)'; same-instant touches tie-break by event_id (lower id =
+    first, higher = last)."""
+    import datetime as dt
+
+    from cow_spark.operators.sessionize import attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(i, u, mins, ch):
+        return (i, t0 + dt.timedelta(minutes=mins), u, ch)
+
+    rows = [
+        ev(1, 1, 0, "click"), ev(2, 1, 5, "view"),
+        ev(3, 1, 10, "purchase"),
+        ev(4, 2, -60 * 25, "click"), ev(5, 2, 0, "purchase"),
+        ev(6, 3, 0, "ad_a"), ev(7, 3, 0, "ad_b"),
+        ev(8, 3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {r.channel: (r.first_touch, r.last_touch)
+           for r in attribution(df, "purchase").collect()}
+    assert got["click"] == (1, 0)
+    assert got["view"] == (0, 1)
+    assert got["(none)"] == (1, 1)
+    assert got["ad_a"] == (1, 0) and got["ad_b"] == (0, 1)
+
+
+def test_random_projection_serial_twin_and_zero_vector(spark):
+    """The distributed projection equals a serial Python replay of
+    the same md5 signs and quantization; an empty vector projects to
+    the zero vector."""
+    import hashlib
+
+    from cow_spark.operators.simsearch import random_projection
+
+    vecs = {1: [0.5, -1.25, 2.0], 2: [1.0, 1.0, 1.0], 3: []}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: list(r.proj)
+           for r in random_projection(df, out_dim=4).collect()}
+
+    def sgn(d, j):
+        h = int(hashlib.md5(
+            f"rp|rp-v1|{d}|{j}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * (h % 2)
+
+    import math
+    for k, v in vecs.items():
+        want = [sum(sgn(d, j) * math.floor(float(x) * 1000)
+                    for j, x in enumerate(v)) for d in range(4)]
+        assert got[k] == want, (k, got[k], want)
+    assert got[3] == [0, 0, 0, 0]
+
+
 def test_soundex_classic_vectors(spark):
     """Textbook American Soundex: R163 twins, H-transparency
     (Ashcraft A261), first-letter-code collapse (Pfister P236),
