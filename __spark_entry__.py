@@ -11291,6 +11291,57 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B decision layer (parity.py:ab_lift): three synthetic
+    experiments over events, mod-2 variants, mod-5 outcomes — Wilson
+    z=2 sides and the Newcombe radicals all on the exact isqrt."""
+    from cow_spark.plans.parity import ab_lift
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    s = ev.select(
+        F.concat(F.lit("e"), F.pmod(F.col("user_id"), F.lit(3))
+                 .cast("string")).alias("exp"),
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, "a")
+        .otherwise("b").alias("var"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % 5 < 2)
+        .alias("s"))
+    return ab_lift(s, "exp", "var", "s")
+
+
+def _sql_ab_lift() -> str:
+    from cow_spark.plans.parity import ab_lift_oracle_sql
+
+    return ab_lift_oracle_sql(
+        "select 'e' || cast(user_id % 3 as varchar) as exp, "
+        "case when event_id % 2 = 0 then 'a' else 'b' end as var, "
+        "(event_id * 7 + user_id) % 5 < 2 as s "
+        "from events where user_id is not null")
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-effect removal (corpus.py:quantile_normalize): per-lang
+    n_chars distributions mapped onto the pooled one — rank spec with
+    id tiebreaks, CDF lookup by cumulative count over distinct values
+    (never a global row_number)."""
+    from cow_spark.operators.corpus import quantile_normalize
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("v"))
+    out = quantile_normalize(d, "lang", "doc_id", "v")
+    return out.select("doc_id", "lang", "v", "v_norm")
+
+
+def _sql_quantile_normalize() -> str:
+    from cow_spark.operators.corpus import quantile_normalize_oracle_sql
+
+    inner = quantile_normalize_oracle_sql(
+        "select lang as slc, doc_id as id, "
+        "cast(n_chars as bigint) as v from documents")
+    return (f"select id as doc_id, slc as lang, v, v_norm "
+            f"from ({inner})")
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution (sessionize.py:attribution): purchase
     conversions credited to the first and last non-purchase touch in
@@ -12446,6 +12497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_keys": q_soundex_keys,
         "random_projection": q_random_projection,
         "attribution": q_attribution,
+        "quantile_normalize": q_quantile_normalize,
+        "ab_lift": q_ab_lift,
     }
 
 
@@ -12721,4 +12774,6 @@ def oracle_sql() -> dict[str, str]:
         "soundex_keys": _sql_soundex_keys(),
         "random_projection": _sql_random_projection(),
         "attribution": _sql_attribution(),
+        "quantile_normalize": _sql_quantile_normalize(),
+        "ab_lift": _sql_ab_lift(),
     }

@@ -230,6 +230,8 @@ HEADLINE = [
     "soundex_keys",
     "random_projection",
     "attribution",
+    "quantile_normalize",
+    "ab_lift",
 ]
 
 

@@ -979,3 +979,99 @@ select * from (
   where {idc} is not null and {strata} is not null)
 where sample_rank <= {k}
 """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    slice_col: str,
+    id_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Quantile normalization across slices — map every slice's score
+    distribution onto the POOLED distribution, so a judge/classifier
+    whose scale drifted between batches (the batch effect) becomes
+    comparable: after normalization the p90 of slice A and the p90 of
+    slice B are the same number, by construction.
+
+    Exact deterministic spec (no interpolation): a row at (id-tiebroken)
+    rank ``r`` of ``n_s`` in its slice maps to the pooled value at
+    position ``((r−1)·(N−1)) div max(n_s−1, 1) + 1`` — endpoints map
+    to pooled min/max, a singleton slice maps to the pooled min
+    (documented convention). The pooled lookup is BY CUMULATIVE COUNT
+    over DISTINCT values, not a global row_number — a corpus-wide
+    single-partition sort would be the scale bug; the distinct-value
+    CDF is value-cardinality-sized (quantize scores, the repo-wide
+    ppm discipline) and broadcasts. NULL values pass through with
+    ``v_norm`` NULL.
+
+    Shape: one keyed window (slice ranks), one distinct-value agg +
+    bounded window (CDF), one broadcast range join (each row matches
+    exactly one CDF bucket). Returns the input plus ``v_norm``.
+    """
+    from pyspark.sql.window import Window
+
+    clean = df.where(F.col(val_col).isNotNull())
+    n_total = clean.count()
+    if n_total == 0:
+        return df.withColumn("v_norm", F.lit(None).cast("long"))
+    ranked = clean.select(
+        F.col(slice_col).alias("_s"), F.col(id_col).alias("_i"),
+        F.col(val_col).cast("long").alias("_v")) \
+        .withColumn("_r", F.row_number().over(
+            Window.partitionBy("_s").orderBy(F.col("_v").asc(),
+                                             F.col("_i").asc()))) \
+        .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy("_s")))
+    pos = (F.expr(f"((_r - 1) * ({n_total} - 1))"
+                  f" div greatest(_n - 1, 1)") + 1).alias("_p")
+    cdf = (clean.groupBy(F.col(val_col).cast("long").alias("_cv"))
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .withColumn("_cum", F.sum("_c").over(
+               Window.orderBy(F.col("_cv").asc())
+               .rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("_prev", F.col("_cum") - F.col("_c"))
+           .select("_cv", "_prev", "_cum"))
+    mapped = (ranked.select("_s", "_i", "_v", pos)
+              .join(F.broadcast(cdf),
+                    (F.col("_p") > F.col("_prev"))
+                    & (F.col("_p") <= F.col("_cum")))
+              .select(F.col("_s"), F.col("_i"),
+                      F.col("_v"), F.col("_cv").alias("v_norm")))
+    out = df.join(
+        mapped.select(F.col("_s").alias(slice_col + "__qn"),
+                      F.col("_i").alias(id_col + "__qn"), "v_norm"),
+        (F.col(slice_col) == F.col(slice_col + "__qn"))
+        & (F.col(id_col) == F.col(id_col + "__qn")), "left") \
+        .drop(slice_col + "__qn", id_col + "__qn")
+    return out
+
+
+def quantile_normalize_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`quantile_normalize`; ``rows_sql`` yields
+    (slc, id, v)."""
+    return """
+with base as (select slc, id, v from (%s)),
+clean as (select * from base where v is not null),
+nt as (select cast(count(*) as bigint) as n from clean),
+ranked as (
+  select slc, id, v,
+         row_number() over (partition by slc order by v asc, id asc)
+           as r,
+         count(*) over (partition by slc) as ns
+  from clean),
+cdf as (
+  select cast(v as bigint) as cv, count(*) as c,
+         sum(count(*)) over (order by v asc
+           rows between unbounded preceding and current row) as cum
+  from clean group by v),
+mapped as (
+  select ranked.slc, ranked.id, ranked.v, cdf.cv as v_norm
+  from ranked join cdf
+    on ((r - 1) * ((select n from nt) - 1))
+       // greatest(ns - 1, 1) + 1 > cum - c
+   and ((r - 1) * ((select n from nt) - 1))
+       // greatest(ns - 1, 1) + 1 <= cum)
+select base.slc, base.id, base.v, mapped.v_norm
+from base left join mapped
+  on base.slc = mapped.slc and base.id = mapped.id
+""" % rows_sql

@@ -1248,3 +1248,170 @@ select grp, n, n1, runs,
             else 0 end as bigint) as z_ppm
 from t2
 """
+
+
+def ab_lift(df: DataFrame, exp_col: str, variant_col: str,
+            success_col: str) -> DataFrame:
+    """Two-proportion A/B comparison with a Newcombe score interval —
+    the decision layer over :func:`wilson_bounds`: per experiment,
+    the lift between its two variants and a 95%-ish (z=2) interval
+    that respects the boundary (no normal-approx negative-rate
+    nonsense at k≈0). An interval excluding 0 is the ship/rollback
+    signal.
+
+    Variants pair by name order (ascending — the lower-sorting name is
+    side a, lift = p_a − p_b); experiments with ≠ 2 distinct variants
+    are EXCLUDED (a 3-arm test needs pairwise calls — silently picking
+    two arms would be a wrong answer). Per side, Wilson z=2 bounds on
+    the exact isqrt kernel (the wilson_bounds radicand verbatim);
+    then Newcombe:
+
+        lo = d − ⌊√((p₁−l₁)² + (u₂−p₂)²)⌋
+        hi = d + ⌊√((u₁−p₁)² + (p₂−l₂)²)⌋
+
+    all in exact ppm. Plan hygiene note: the per-side Wilson columns
+    materialize through their own projection BEFORE pairing, so the
+    Newcombe radicals square COLUMN REFERENCES — inlining the full
+    per-side isqrt trees into the final radicals multiplies the
+    expression tree to analyzer-choking size (measured: 3 min → 13 s
+    on the 3-experiment fixture). One partial-agg groupBy, one
+    pivot-by-minmax, experiment-count-sized output. Returns (exp,
+    variant_a, variant_b, n_a, k_a, n_b, k_b, lift_ppm, lo_ppm,
+    hi_ppm).
+    """
+    from ..functions.intmath import isqrt_col
+
+    per = (df.select(F.col(exp_col).alias("exp"),
+                     F.col(variant_col).alias("var"),
+                     F.col(success_col).cast("boolean").cast("long")
+                     .alias("s"))
+           .where(F.col("s").isNotNull())
+           .groupBy("exp", "var")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("s").cast("long").alias("k")))
+    n, k = F.col("n"), F.col("k")
+    rad = ((((k * (n - k) + n) * F.lit(10_000)
+             - F.pmod((k * (n - k) + n) * F.lit(10_000), n)) / n)
+           .cast("long") * F.lit(400_000_000))
+    rooted = per.select("exp", "var", "n", "k",
+                        isqrt_col(rad).alias("_root"))
+    root = F.col("_root")
+    # numerator can only go negative where both engines clamp to 0
+    # anyway (greatest below), so the floor/truncate edge is moot
+    sides = rooted.select(
+        "exp", "var", "n", "k",
+        ((k * F.lit(1_000_000)
+          - F.pmod(k * F.lit(1_000_000), n)) / n).cast("long")
+        .alias("p"),
+        F.greatest(
+            F.lit(0),
+            (((k + 2) * F.lit(1_000_000) - root
+              - F.pmod((k + 2) * F.lit(1_000_000) - root, n + 4))
+             / (n + 4)).cast("long")).alias("lb"),
+        F.least(
+            F.lit(1_000_000),
+            (((k + 2) * F.lit(1_000_000) + root
+              - F.pmod((k + 2) * F.lit(1_000_000) + root, n + 4))
+             / (n + 4)).cast("long")).alias("ub"))
+    paired = (sides.groupBy("exp")
+              .agg(F.countDistinct("var").alias("_nv"),
+                   F.min_by(F.struct("var", "n", "k", "p", "lb", "ub"),
+                            F.col("var")).alias("_a"),
+                   F.max_by(F.struct("var", "n", "k", "p", "lb", "ub"),
+                            F.col("var")).alias("_b"))
+              .where(F.col("_nv") == 2))
+    flat = paired.select(
+        "exp", F.col("_a.var").alias("variant_a"),
+        F.col("_b.var").alias("variant_b"),
+        F.col("_a.n").alias("n_a"), F.col("_a.k").alias("k_a"),
+        F.col("_b.n").alias("n_b"), F.col("_b.k").alias("k_b"),
+        F.col("_a.p").alias("_p1"), F.col("_a.lb").alias("_l1"),
+        F.col("_a.ub").alias("_u1"),
+        F.col("_b.p").alias("_p2"), F.col("_b.lb").alias("_l2"),
+        F.col("_b.ub").alias("_u2"))
+    p1, l1, u1 = F.col("_p1"), F.col("_l1"), F.col("_u1")
+    p2, l2, u2 = F.col("_p2"), F.col("_l2"), F.col("_u2")
+    d = p1 - p2
+    lo = d - isqrt_col(((p1 - l1) * (p1 - l1)
+                        + (u2 - p2) * (u2 - p2)).cast("long"))
+    hi = d + isqrt_col(((u1 - p1) * (u1 - p1)
+                        + (p2 - l2) * (p2 - l2)).cast("long"))
+    return flat.select(
+        "exp", "variant_a", "variant_b", "n_a", "k_a", "n_b", "k_b",
+        d.cast("long").alias("lift_ppm"),
+        lo.cast("long").alias("lo_ppm"),
+        hi.cast("long").alias("hi_ppm"))
+
+
+def ab_lift_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`ab_lift`; ``rows_sql`` yields
+    (exp, var, s). Four isqrt chains (two Wilson roots, two Newcombe
+    radicands) staged through parallel seed/fix CTE columns."""
+    from ..functions.intmath import isqrt_fix_sql, isqrt_seed_sql
+
+    return f"""
+with base as (
+  select exp, var, cast(cast(s as boolean) as bigint) as s
+  from ({rows_sql}) where s is not null),
+per as (
+  select exp, var, cast(count(*) as bigint) as n,
+         cast(sum(s) as bigint) as k
+  from base group by exp, var),
+paired as (
+  select exp,
+         min_by({{'v': var, 'n': n, 'k': k}}, var) as a,
+         max_by({{'v': var, 'n': n, 'k': k}}, var) as b
+  from per group by exp
+  having count(distinct var) = 2),
+rads as (
+  select exp, a.v as va, b.v as vb,
+         a.n as na, a.k as ka, b.n as nb, b.k as kb,
+         cast(((a.k * (a.n - a.k) + a.n) * 10000) // a.n
+              * 400000000 as bigint) as xa,
+         cast(((b.k * (b.n - b.k) + b.n) * 10000) // b.n
+              * 400000000 as bigint) as xb
+  from paired),
+s0 as (select *, cast({isqrt_seed_sql('xa')} as bigint) as ta,
+              cast({isqrt_seed_sql('xb')} as bigint) as tb
+       from rads),
+s1 as (select exp, va, vb, na, ka, nb, kb, xa, xb,
+              cast({isqrt_fix_sql('ta', 'xa')} as bigint) as ta,
+              cast({isqrt_fix_sql('tb', 'xb')} as bigint) as tb
+       from s0),
+s2 as (select exp, va, vb, na, ka, nb, kb,
+              cast({isqrt_fix_sql('ta', 'xa')} as bigint) as ra,
+              cast({isqrt_fix_sql('tb', 'xb')} as bigint) as rb
+       from s1),
+bounds as (
+  select exp, va, vb, na, ka, nb, kb,
+         (ka * 1000000) // na as p1,
+         greatest(0, ((ka + 2) * 1000000 - ra) // (na + 4)) as l1,
+         least(1000000, ((ka + 2) * 1000000 + ra) // (na + 4)) as u1,
+         (kb * 1000000) // nb as p2,
+         greatest(0, ((kb + 2) * 1000000 - rb) // (nb + 4)) as l2,
+         least(1000000, ((kb + 2) * 1000000 + rb) // (nb + 4)) as u2
+  from s2),
+nrad as (
+  select *, cast((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2)
+                 as bigint) as xlo,
+            cast((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2)
+                 as bigint) as xhi
+  from bounds),
+n0 as (select *, cast({isqrt_seed_sql('xlo')} as bigint) as tlo,
+              cast({isqrt_seed_sql('xhi')} as bigint) as thi
+       from nrad),
+n1 as (select exp, va, vb, na, ka, nb, kb, p1, p2, xlo, xhi,
+              cast({isqrt_fix_sql('tlo', 'xlo')} as bigint) as tlo,
+              cast({isqrt_fix_sql('thi', 'xhi')} as bigint) as thi
+       from n0),
+n2 as (select exp, va, vb, na, ka, nb, kb, p1, p2,
+              cast({isqrt_fix_sql('tlo', 'xlo')} as bigint) as rlo,
+              cast({isqrt_fix_sql('thi', 'xhi')} as bigint) as rhi
+       from n1)
+select exp, va as variant_a, vb as variant_b,
+       na as n_a, ka as k_a, nb as n_b, kb as k_b,
+       cast(p1 - p2 as bigint) as lift_ppm,
+       cast(p1 - p2 - rlo as bigint) as lo_ppm,
+       cast(p1 - p2 + rhi as bigint) as hi_ppm
+from n2
+"""

@@ -3619,6 +3619,58 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_ab_lift_serial_twin_and_arm_count_gate(spark):
+    """The Spark result equals a serial integer replay of the Wilson+
+    Newcombe spec (k=2/4 vs 1/4); a 3-variant experiment is excluded;
+    variant names pair ascending."""
+    import math
+
+    from cow_spark.plans.parity import ab_lift
+
+    rows = ([("e1", "a", True)] * 2 + [("e1", "a", False)] * 2
+            + [("e1", "b", True)] * 1 + [("e1", "b", False)] * 3
+            + [("e3", v, True) for v in ("x", "y", "z")])
+    df = spark.createDataFrame(rows, "exp string, var string, s boolean")
+    out = ab_lift(df, "exp", "var", "s").collect()
+    assert [r.exp for r in out] == ["e1"]  # e3 has 3 arms → excluded
+    r = out[0]
+    assert (r.variant_a, r.variant_b) == ("a", "b")
+
+    def wilson(k, n):
+        root = math.isqrt(((k * (n - k) + n) * 10_000 // n)
+                          * 400_000_000)
+        p = k * 1_000_000 // n
+        lb = max(0, ((k + 2) * 1_000_000 - root) // (n + 4))
+        ub = min(1_000_000, ((k + 2) * 1_000_000 + root) // (n + 4))
+        return p, lb, ub
+
+    p1, l1, u1 = wilson(2, 4)
+    p2, l2, u2 = wilson(1, 4)
+    d = p1 - p2
+    lo = d - math.isqrt((p1 - l1) ** 2 + (u2 - p2) ** 2)
+    hi = d + math.isqrt((u1 - p1) ** 2 + (p2 - l2) ** 2)
+    assert (r.lift_ppm, r.lo_ppm, r.hi_ppm) == (d, lo, hi)
+    assert r.lo_ppm < 0 < r.hi_ppm  # n=4: nowhere near significant
+
+
+def test_quantile_normalize_hand_mapping_and_edges(spark):
+    """Hand CDF mapping over pooled {10,20,55,100,200,300}: slice
+    endpoints land on pooled min/max, interior ranks floor to the
+    right pooled value, a singleton slice reads the pooled min, NULL
+    passes through."""
+    from cow_spark.operators.corpus import quantile_normalize
+
+    rows = [("a", 1, 10), ("a", 2, 20),
+            ("b", 3, 100), ("b", 4, 200), ("b", 5, 300),
+            ("c", 6, 55), ("a", 7, None)]
+    df = spark.createDataFrame(rows, "slc string, id long, v long")
+    got = {r.id: r.v_norm
+           for r in quantile_normalize(df, "slc", "id", "v")
+           .collect()}
+    assert got == {1: 10, 2: 300, 3: 10, 4: 55, 5: 300,
+                   6: 10, 7: None}
+
+
 def test_attribution_window_ties_and_none_bucket(spark):
     """First/last credit split; an out-of-window touch credits
     '(none)'; same-instant touches tie-break by event_id (lower id =
