@@ -11291,6 +11291,37 @@ def _sql_wilson_bounds() -> str:
         "from documents")
 
 
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-annotator agreement (parity.py:krippendorff_alpha):
+    mod-293 items × mod-7 three-way verdicts from the events log
+    (%3-sampled for the n ≤ 10^5 contract) — ragged item coverage and
+    the per-item 1/(n_i−1) floors are the graded edges."""
+    from cow_spark.plans.parity import krippendorff_alpha
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("event_id") % 3 == 0)
+    s = ev.select(
+        F.concat(F.lit("i"), F.pmod(F.col("event_id"), F.lit(293))
+                 .cast("string")).alias("it"),
+        F.when((F.col("event_id") * 11 + F.col("user_id")) % 7 < 3,
+               "good")
+        .when((F.col("event_id") * 11 + F.col("user_id")) % 7 < 5,
+              "ok")
+        .otherwise("bad").alias("c"))
+    return krippendorff_alpha(s, "it", "c")
+
+
+def _sql_krippendorff() -> str:
+    from cow_spark.plans.parity import krippendorff_oracle_sql
+
+    return krippendorff_oracle_sql(
+        "select 'i' || cast(event_id % 293 as varchar) as it, "
+        "case when (event_id * 11 + user_id) % 7 < 3 then 'good' "
+        "when (event_id * 11 + user_id) % 7 < 5 then 'ok' "
+        "else 'bad' end as c "
+        "from events where event_id % 3 = 0")
+
+
 def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B decision layer (parity.py:ab_lift): three synthetic
     experiments over events, mod-2 variants, mod-5 outcomes — Wilson
@@ -12499,6 +12530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "quantile_normalize": q_quantile_normalize,
         "ab_lift": q_ab_lift,
+        "krippendorff": q_krippendorff,
     }
 
 
@@ -12776,4 +12808,5 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _sql_attribution(),
         "quantile_normalize": _sql_quantile_normalize(),
         "ab_lift": _sql_ab_lift(),
+        "krippendorff": _sql_krippendorff(),
     }

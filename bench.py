@@ -232,6 +232,7 @@ HEADLINE = [
     "attribution",
     "quantile_normalize",
     "ab_lift",
+    "krippendorff",
 ]
 
 

@@ -1415,3 +1415,105 @@ select exp, va as variant_a, vb as variant_b,
        cast(p1 - p2 + rhi as bigint) as hi_ppm
 from n2
 """
+
+
+def krippendorff_alpha(df: DataFrame, item_col: str, cat_col: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) — inter-annotator agreement when
+    raters are MANY and ragged (every item judged by a different
+    subset, missing judgments everywhere): the multi-judge
+    generalization of :func:`judge_kappa`, and the number an
+    LLM-judge ensemble must clear before its labels are trusted.
+
+    Canonical coincidence form over items with ≥ 2 judgments:
+
+        α = 1 − (n−1)·Σ_i Σ_c o_ic(n_i−o_ic)/(n_i−1)
+                 / Σ_c n_c(n−n_c)
+
+    Exact fixed point: the only non-integer is the per-item
+    1/(n_i−1); each item's disagreement ``S_i = Σ_c o_ic(n_i−o_ic)``
+    scales to ``t_i = ⌊10^6·S_i/(n_i−1)⌋`` (pmod-floored exactly, so
+    the spec deviates from the real sum by < #items·10^-6 of a
+    pair), and
+
+        alpha_ppm = 10^6 − sign-magnitude ⌊10^6·(n−1)·Σt_i / (10^6·D_e)⌋
+
+    with D_e = Σ_c n_c(n−n_c). Perfect agreement reads exactly 10^6;
+    D_e = 0 (one category total) reads 10^6 by convention (nothing to
+    disagree about). Overflow contract: n ≤ 10^5 judgments
+    ((n−1)·Σt_i ≤ n·#items·10^6·n_i — ANSI aborts loudly beyond).
+
+    One scan → (item, cat) combine → item-sized and category-sized
+    partial aggs → a 1-row result. NULL items/categories excluded.
+    Returns (n_items, n_judgments, alpha_ppm).
+    """
+    base = (df.select(F.col(item_col).alias("it"),
+                      F.col(cat_col).alias("c"))
+            .where(F.col("it").isNotNull() & F.col("c").isNotNull()))
+    oc = base.groupBy("it", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("o"))
+    ni = oc.groupBy("it").agg(F.sum("o").cast("long").alias("ni")) \
+        .where(F.col("ni") >= 2)
+    j = oc.join(ni, "it")
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    si = j.groupBy("it", "ni").agg(
+        F.sum(F.col("o") * (F.col("ni") - F.col("o"))).cast("long")
+        .alias("s"))
+    ti = si.select(
+        "ni", fdiv(F.col("s") * F.lit(1_000_000), F.col("ni") - 1)
+        .alias("t"))
+    tot = ti.agg(F.sum("t").cast("long").alias("do6"),
+                 F.sum("ni").cast("long").alias("n"))
+    nc = (j.groupBy("c").agg(F.sum("o").cast("long").alias("nc"))
+          .crossJoin(F.broadcast(tot))
+          .groupBy("do6", "n")
+          .agg(F.sum(F.col("nc") * (F.col("n") - F.col("nc")))
+               .cast("long").alias("de")))
+    num = (F.col("n") - 1) * F.col("do6")
+    den = F.col("de") * F.lit(1_000_000)
+    ratio = fdiv(num * F.lit(1_000_000), den)
+    n_items = ni.count()
+    return nc.select(
+        F.lit(n_items).cast("long").alias("n_items"),
+        F.col("n").alias("n_judgments"),
+        F.when(F.col("de") > 0,
+               F.lit(1_000_000) - ratio)
+        .otherwise(F.lit(1_000_000)).cast("long").alias("alpha_ppm"))
+
+
+def krippendorff_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha`; ``rows_sql`` yields
+    (it, c)."""
+    return f"""
+with base as (
+  select it, c from ({rows_sql})
+  where it is not null and c is not null),
+oc as (
+  select it, c, cast(count(*) as bigint) as o
+  from base group by it, c),
+ni as (
+  select it, cast(sum(o) as bigint) as ni from oc group by it
+  having sum(o) >= 2),
+j as materialized (select oc.it, oc.c, oc.o, ni.ni
+                   from oc join ni on oc.it = ni.it),
+si as (
+  select it, ni, cast(sum(o * (ni - o)) as bigint) as s
+  from j group by it, ni),
+tot as (
+  select cast(sum((s * 1000000) // (ni - 1)) as bigint) as do6,
+         cast(sum(ni) as bigint) as n,
+         cast(count(*) as bigint) as n_items
+  from si),
+de as (
+  select cast(sum(nc * (n - nc)) as bigint) as de, do6, n, n_items
+  from (select c, cast(sum(o) as bigint) as nc from j group by c)
+       cross join tot
+  group by do6, n, n_items)
+select n_items, n as n_judgments,
+  cast(case when de > 0 then
+         1000000 - ((n - 1) * do6 * 1000000) // (de * 1000000)
+       else 1000000 end as bigint) as alpha_ppm
+from de
+"""

@@ -3619,6 +3619,29 @@ def test_read_sqlite_types_rowcount_and_mixed_class_raise(spark,
         read_sqlite(spark, p, "select * from t", max_rows=2)
 
 
+def test_krippendorff_alpha_pinned_values(spark):
+    """Perfect agreement → 10^6; maximal pairwise disagreement on two
+    binary items → exactly −500000 (α = −0.5 textbook); one-category
+    data → 10^6 by the D_e=0 convention; singleton items are
+    excluded."""
+    from cow_spark.plans.parity import krippendorff_alpha
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "it string, c string")
+        return krippendorff_alpha(df, "it", "c").collect()[0]
+
+    perfect = ([("1", "a")] * 2 + [("2", "b")] * 3
+               + [("solo", "zzz")])  # singleton excluded
+    r = run(perfect)
+    assert (r.n_items, r.n_judgments, r.alpha_ppm) == (2, 5, 1_000_000)
+
+    worst = [("1", "a"), ("1", "b"), ("2", "a"), ("2", "b")]
+    assert run(worst).alpha_ppm == -500_000
+
+    onecat = [("1", "a"), ("1", "a"), ("2", "a"), ("2", "a")]
+    assert run(onecat).alpha_ppm == 1_000_000
+
+
 def test_ab_lift_serial_twin_and_arm_count_gate(spark):
     """The Spark result equals a serial integer replay of the Wilson+
     Newcombe spec (k=2/4 vs 1/4); a 3-variant experiment is excluded;
