@@ -254,9 +254,12 @@ def soundex(c: Column) -> Column:
     """American Soundex — the classic phonetic blocking key for entity
     resolution: Robert/Rupert → R163, Ashcraft → A261 (H transparent
     between same codes), Pfister → P236 (first-letter code counts for
-    collapsing). Neither engine ships a usable builtin here (Spark has
-    one, RE2-based DuckDB replay of run-collapsing needs pattern
-    backreferences it lacks), so BOTH sides run the same explicit
+    collapsing). Neither engine ships a usable builtin here: Spark's
+    ``F.soundex`` (Hive semantics) agrees on clean names but passes
+    NON-ALPHA-LEADING input through UNCHANGED ("  o'Brien!" → itself,
+    "123" → "123" — verified) where a blocking key must strip and
+    NULL, and RE2-based DuckDB replay of run-collapsing needs pattern
+    backreferences it lacks. So BOTH sides run the same explicit
     left fold over the letter sequence — the full spec, not a regex
     approximation:
 
