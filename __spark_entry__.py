@@ -12237,6 +12237,90 @@ def _sql_chi_square() -> str:
         "select lang as a, source as b from documents")
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry arena ratings (dialogue.py:bradley_terry): a
+    deterministic 23-player tournament derived from event ids (the
+    mod-7/mod-11 residues collide into self-matches that must drop),
+    6 MM rounds of the int64 fixed-point iterate."""
+    from cow_spark.operators.dialogue import bradley_terry
+
+    ev = _load(spark, sf_dir, "events")
+    m = ev.select(
+        F.concat(F.lit("p"), ((F.col("event_id") * 7) % 23)
+                 .cast("long").cast("string")).alias("winner"),
+        F.concat(F.lit("p"), ((F.col("event_id") * 11) % 23)
+                 .cast("long").cast("string")).alias("loser"))
+    return bradley_terry(m, rounds=6)
+
+
+def _sql_bradley_terry() -> str:
+    from cow_spark.operators.dialogue import bradley_terry_oracle_sql
+
+    return bradley_terry_oracle_sql(
+        "select 'p' || cast((event_id * 7) % 23 as varchar) as winner,"
+        " 'p' || cast((event_id * 11) % 23 as varchar) as loser"
+        " from events", rounds=6)
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall + Sen's slope (sessionize.py:mann_kendall) over
+    per-user DAILY event counts — the calendar bucketing keeps each
+    series ≤ the fixture's day span, the intended O(n²)-per-key
+    budget; single-day users pin the NULL-slope path."""
+    from cow_spark.operators.sessionize import mann_kendall
+
+    ev = _load(spark, sf_dir, "events")
+    daily = (ev.where(F.col("ts").isNotNull()
+                      & F.col("user_id").isNotNull())
+             .select("user_id",
+                     F.expr("unix_micros(cast(ts as timestamp))"
+                            " div 86400000000").alias("t"))
+             .groupBy("user_id", "t")
+             .agg(F.count("*").cast("long").alias("x")))
+    return mann_kendall(daily, "user_id", "t", "x")
+
+
+def _sql_mann_kendall() -> str:
+    from cow_spark.operators.sessionize import mann_kendall_oracle_sql
+
+    return mann_kendall_oracle_sql(
+        "select user_id as k, epoch_us(ts) // 86400000000 as t,"
+        " cast(count(*) as bigint) as x from events"
+        " where ts is not null and user_id is not null group by 1, 2")
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 + Good-Turing unseen mass (terms.py:vocab_richness) of
+    the documents vocabulary — one exact-integer row from the
+    frequency-of-frequencies profile."""
+    from cow_spark.operators.terms import vocab_richness
+
+    return vocab_richness(_load(spark, sf_dir, "documents"))
+
+
+def _sql_vocab_richness() -> str:
+    from cow_spark.operators.terms import vocab_richness_oracle_sql
+
+    return vocab_richness_oracle_sql("select doc_id, text from documents")
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2 diversity per language slice
+    (terms.py:distinct_ngrams) — the mode-collapse screen, with the
+    within-doc bigram rule and the zero-bigram convention exercised
+    by short docs."""
+    from cow_spark.operators.terms import distinct_ngrams
+
+    return distinct_ngrams(_load(spark, sf_dir, "documents"), "lang")
+
+
+def _sql_distinct_ngrams() -> str:
+    from cow_spark.operators.terms import distinct_ngrams_oracle_sql
+
+    return distinct_ngrams_oracle_sql(
+        "select lang as slc, doc_id, text from documents")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -12531,6 +12615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "ab_lift": q_ab_lift,
         "krippendorff": q_krippendorff,
+        "bradley_terry": q_bradley_terry,
+        "mann_kendall": q_mann_kendall,
+        "vocab_richness": q_vocab_richness,
+        "distinct_ngrams": q_distinct_ngrams,
     }
 
 
@@ -12809,4 +12897,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _sql_quantile_normalize(),
         "ab_lift": _sql_ab_lift(),
         "krippendorff": _sql_krippendorff(),
+        "bradley_terry": _sql_bradley_terry(),
+        "mann_kendall": _sql_mann_kendall(),
+        "vocab_richness": _sql_vocab_richness(),
+        "distinct_ngrams": _sql_distinct_ngrams(),
     }

@@ -780,3 +780,177 @@ select prompt_id, n_candidates,
 from g
 where n_candidates >= 2 and bot.ns - top.ns >= {int(min_gap)}
 """
+
+BT_SCALE = 10_000          # rating fixed-point unit (1.0 == 10^4)
+BT_S3 = BT_SCALE ** 3      # the shared numerator scale in the MM step
+BT_MIN = BT_SCALE // 100   # post-normalization clamp (comparability floor)
+
+
+def bradley_terry(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    rounds: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise outcomes — the
+    arena-style aggregation step downstream of
+    :func:`preference_pairs`: given (winner, loser) judgments between
+    model/policy/response variants, estimate a per-player strength
+    p_i such that P(i beats j) = p_i/(p_i+p_j), via ``rounds`` of the
+    classic MM (minorization-maximization) update
+
+        p_i' = W_i / Σ_{j~i} n_ij / (p_i + p_j)
+
+    re-expressed in pure int64 fixed point so the iterate is a
+    deterministic function of (matches, rounds) and replays
+    bit-identically in DuckDB (:func:`bradley_terry_oracle_sql`) and
+    pure Python (:func:`bradley_terry_py`):
+
+    - ratings carry ``BT_SCALE`` fixed point, init ``BT_SCALE``;
+    - denominator D_i = Σ (n_ij·BT_SCALE³) div (r_i + r_j);
+    - raw update ru_i = max((W_i·BT_SCALE³) div max(D_i,1), 1) — a
+      never-won player floors at 1 rather than collapsing the gauge;
+    - each round renormalizes to Σr ≈ N·BT_SCALE (the MM gauge fix):
+      r_i = max((ru_i·N·BT_SCALE) div Σru, BT_MIN).
+
+    All divisions are floor-div on non-negative ints (``div``/``//``
+    agree across engines); int64 bounds hold for ≤ ~9e6 wins per
+    player, ≤ ~1.8e9 total matches, ≤ ~2e5 players (docstring math:
+    the clamp keeps r_i+r_j ≥ 2·BT_MIN, the normalizer keeps
+    r ≤ ~N·BT_SCALE) — beyond arena scale by orders of magnitude.
+    ANSI mode makes any violation loud, not silent.
+
+    Scale shape: the corpus-sized match log is read ONCE into two
+    partial-agg tables (per-player wins, per-unordered-pair counts);
+    the K rounds run on the pair table only (players × avg-degree
+    rows), each round = two vocabulary-sized joins + one groupBy + a
+    1-row broadcast normalizer, lineage cut per round
+    (:func:`~.canon.round_checkpoint`). Self-matches and NULL
+    endpoints drop. Returns ``(player, rating_fp, wins, n_matches)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from .canon import round_checkpoint
+
+    m = (matches
+         .select(F.col(winner_col).cast("string").alias("w"),
+                 F.col(loser_col).cast("string").alias("l"))
+         .where(F.col("w").isNotNull() & F.col("l").isNotNull()
+                & (F.col("w") != F.col("l"))))
+    wins = (m.groupBy(F.col("w").alias("i"))
+            .agg(F.count("*").cast("long").alias("wins")).persist())
+    pc = (m.select(F.least("w", "l").alias("a"),
+                   F.greatest("w", "l").alias("b"))
+          .groupBy("a", "b").agg(F.count("*").cast("long").alias("n")))
+    pair_dir = (pc.select(F.col("a").alias("i"), F.col("b").alias("j"), "n")
+                .union(pc.select(F.col("b").alias("i"),
+                                 F.col("a").alias("j"), "n"))
+                .persist())
+    r = (pair_dir.select("i").distinct()
+         .select("i", F.lit(BT_SCALE).cast("long").alias("r")))
+    for _ in range(rounds):
+        d = (pair_dir
+             .join(r.select("i", F.col("r").alias("ri")), "i")
+             .join(r.select(F.col("i").alias("j"),
+                            F.col("r").alias("rj")), "j")
+             .groupBy("i")
+             .agg(F.sum(F.expr(f"(n * {BT_S3}) div (ri + rj)"))
+                  .cast("long").alias("d")))
+        u = (d.join(wins, "i", "left")
+             .select("i", F.greatest(
+                 F.expr(f"(coalesce(wins, 0) * {BT_S3})"
+                        " div greatest(d, 1)"),
+                 F.lit(1)).cast("long").alias("ru")))
+        tot = u.agg(F.sum("ru").cast("long").alias("tot"),
+                    F.count("*").cast("long").alias("nn"))
+        r = (u.crossJoin(F.broadcast(tot))
+             .select("i", F.greatest(
+                 F.expr(f"(ru * nn * {BT_SCALE}) div tot"),
+                 F.lit(BT_MIN)).cast("long").alias("r")))
+        r = round_checkpoint(r, checkpoint_dir)
+    nm = pair_dir.groupBy("i").agg(
+        F.sum("n").cast("long").alias("n_matches"))
+    out = (r.join(wins, "i", "left").join(nm, "i")
+           .select(F.col("i").alias("player"),
+                   F.col("r").alias("rating_fp"),
+                   F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+                   "n_matches"))
+    pair_dir.unpersist(), wins.unpersist()
+    return out
+
+
+def bradley_terry_py(matches, rounds: int = 8):
+    """Pure-Python twin of :func:`bradley_terry` — the identical
+    integer recurrence, for pytest/hypothesis pinning. Returns
+    ``{player: (rating_fp, wins, n_matches)}``."""
+    m = [(w, l) for w, l in matches
+         if w is not None and l is not None and w != l]
+    wins: dict = {}
+    pc: dict = {}
+    for w, l in m:
+        wins[w] = wins.get(w, 0) + 1
+        a, b = (w, l) if w < l else (l, w)
+        pc[(a, b)] = pc.get((a, b), 0) + 1
+    adj: dict = {}
+    for (a, b), n in pc.items():
+        adj.setdefault(a, {})[b] = n
+        adj.setdefault(b, {})[a] = n
+    r = {i: BT_SCALE for i in adj}
+    for _ in range(rounds):
+        d = {i: sum((n * BT_S3) // (r[i] + r[j])
+                    for j, n in js.items()) for i, js in adj.items()}
+        ru = {i: max((wins.get(i, 0) * BT_S3) // max(d[i], 1), 1)
+              for i in adj}
+        tot, nn = sum(ru.values()), len(ru)
+        r = {i: max((ru[i] * nn * BT_SCALE) // tot, BT_MIN) for i in adj}
+    return {i: (r[i], wins.get(i, 0), sum(adj[i].values())) for i in adj}
+
+
+def bradley_terry_oracle_sql(matches_sql: str, rounds: int = 8) -> str:
+    """DuckDB twin of :func:`bradley_terry`: one MATERIALIZED CTE per
+    MM round (the unrolled-chain discipline — an inlined chain would
+    re-scan the base 3^rounds times), every SUM cast to BIGINT at the
+    aggregate so no HUGEINT ever reaches an output or a divide."""
+    sql = [
+        f"with m as materialized (select winner, loser "
+        f"from ({matches_sql}) where winner is not null "
+        "and loser is not null and winner <> loser),",
+        "w as materialized (select winner as i, "
+        "cast(count(*) as bigint) as w from m group by winner),",
+        "pc as materialized (select least(winner, loser) as a, "
+        "greatest(winner, loser) as b, cast(count(*) as bigint) as n "
+        "from m group by 1, 2),",
+        "pdir as materialized (select a as i, b as j, n from pc "
+        "union all select b as i, a as j, n from pc),",
+        "nm as materialized (select i, cast(sum(n) as bigint) "
+        "as n_matches from pdir group by i),",
+        f"r0 as materialized (select i, cast({BT_SCALE} as bigint) "
+        "as r from nm),",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"r{k - 1}"
+        sql.append(
+            f"d{k} as (select pdir.i, cast(sum((pdir.n * {BT_S3}) "
+            f"// (ri.r + rj.r)) as bigint) as d "
+            f"from pdir join {p} ri on pdir.i = ri.i "
+            f"join {p} rj on pdir.j = rj.i group by pdir.i),")
+        sql.append(
+            f"u{k} as (select d{k}.i, greatest((coalesce(w.w, 0) "
+            f"* {BT_S3}) // greatest(d, 1), 1) as ru "
+            f"from d{k} left join w on d{k}.i = w.i),")
+        sql.append(
+            f"t{k} as (select cast(sum(ru) as bigint) as tot, "
+            f"cast(count(*) as bigint) as nn from u{k}),")
+        sql.append(
+            f"r{k} as materialized (select i, greatest((ru * nn "
+            f"* {BT_SCALE}) // tot, {BT_MIN}) as r from u{k}, t{k}),")
+    body = "\n".join(sql).rstrip()
+    assert body.endswith("),")
+    body = body[:-2] + ")"
+    return body + (
+        f"\nselect r.i as player, cast(r.r as bigint) as rating_fp,"
+        f" cast(coalesce(w.w, 0) as bigint) as wins, nm.n_matches"
+        f" from r{rounds} r left join w on r.i = w.i"
+        f" join nm on r.i = nm.i")

@@ -303,27 +303,41 @@ def coalesce_intervals(
 def coalesce_intervals_oracle_sql(intervals_cte: str,
                                   merge_touching: bool = True) -> str:
     """DuckDB twin of :func:`coalesce_intervals` — the same
-    gaps-and-islands windows, serially planned."""
+    gaps-and-islands windows, serially planned.
+
+    The row order must be pinned to a TOTAL order before the stacked
+    windows run: DuckDB evaluates the open-flag window and the
+    running-sum window in separate passes, each free to order
+    duplicate ``(lo, hi)`` rows differently — the flag then rides a
+    DIFFERENT duplicate than the sum counts, splitting one island in
+    two (caught by the sf0.1 replay, r4: duplicated intervals made
+    the twin NONDETERMINISTIC, 209 vs 210 rows across runs). A
+    materialized ``row_number`` freezes one arbitrary-but-fixed order
+    (duplicates are interchangeable, so which one wins is
+    value-irrelevant); both windows then order by it. Spark's side
+    never had the hazard — same-spec windows share one physical sort.
+    """
     cmp = ">" if merge_touching else ">="
     return f"""
-with iv as (
+with iv as materialized (
   select cast(key as varchar) as key, cast(lo as bigint) as lo,
-         cast(hi as bigint) as hi
+         cast(hi as bigint) as hi,
+         row_number() over (partition by key order by lo, hi) as rn
   from ({intervals_cte})
 ),
-marked as (
-  select key, lo, hi,
-         case when max(hi) over (partition by key order by lo, hi
+marked as materialized (
+  select key, lo, hi, rn,
+         case when max(hi) over (partition by key order by rn
                 rows between unbounded preceding and 1 preceding)
               is null
-           or lo {cmp} max(hi) over (partition by key order by lo, hi
+           or lo {cmp} max(hi) over (partition by key order by rn
                 rows between unbounded preceding and 1 preceding)
          then 1 else 0 end as _open
   from iv
 ),
 islands as (
   select key, lo, hi,
-         sum(_open) over (partition by key order by lo, hi
+         sum(_open) over (partition by key order by rn
            rows between unbounded preceding and current row) as _island
   from marked
 )

@@ -830,3 +830,148 @@ select coalesce(f.channel, l.channel) as channel,
        cast(coalesce(last_touch, 0) as bigint) as last_touch
 from f full outer join l on f.channel = l.channel
 """
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "t",
+    val_col: str = "x",
+) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per series — the
+    distribution-free "is this metric drifting, and how fast" screen
+    over per-entity metric series (daily quality scores, hourly
+    latencies, per-snapshot corpus stats): :func:`rolling_anomaly`
+    flags POINT breaks, :func:`~cow_spark.plans.stats.cusum_alarm`
+    localizes a mean SHIFT, this ranks sustained monotone TREND
+    without assuming a distribution or fitting a line by least
+    squares (one outlier owns an OLS fit; it moves a rank statistic
+    by one).
+
+    Exact integer surface, engine-replayable end to end:
+
+    - pairs = all row pairs with strictly increasing timestamp
+      (equal-``ts`` pairs are excluded: their slope is undefined and
+      classic MK's index order is meaningless for them);
+    - ``s_stat`` = Σ sign(x_j − x_i) over those pairs (CASE sign, not
+      libm signum);
+    - ``sen_slope_ppm`` = the exact order statistic at 0-based rank
+      ``(n_pairs−1)·5·10^5 div 10^6`` (lower middle — the repo's
+      no-interpolation quantile spec) of floor((x_j−x_i)·10^6 /
+      (t_j−t_i)), floor via the pmod trick so negative slopes floor
+      identically to DuckDB ``//``;
+    - ``var18`` = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) — 18·Var(S) kept
+      as the exact integer (callers needing z divide by 18 and sqrt
+      client-side; shipping a float sqrt would break replay).
+
+    Scale shape: the pair table is an equi-join on the series key
+    with a range predicate — O(n²/2) rows PER KEY, the honest cost of
+    an exact rank statistic. That is the right trade for per-entity
+    series whose length is calendar-bounded (the intended input;
+    bucket with :func:`gap_fill` first so n per key is days/hours,
+    not events). Corpus-wide million-point series want a windowed
+    approximation instead — out of scope here by contract. One
+    keyed shuffle builds the pairs; the median rides a per-key window
+    over the pair table; ties/var are one more partial agg on the
+    deduplicated (key, x) counts.
+
+    Returns ``(key, n, n_pairs, s_stat, var18, sen_slope_ppm)``;
+    single-point / all-tied-timestamp series report n_pairs=0 with
+    NULL slope and s_stat=0.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (df.select(F.col(key_col).alias("k"),
+                      F.col(ts_col).cast("long").alias("t"),
+                      F.col(val_col).cast("long").alias("x"))
+            .where(F.col(key_col).isNotNull()
+                   & F.col(ts_col).isNotNull()
+                   & F.col(val_col).isNotNull()))
+    l = base.select("k", F.col("t").alias("ti"), F.col("x").alias("xi"))
+    r = base.select("k", F.col("t").alias("tj"), F.col("x").alias("xj"))
+    num = (F.col("xj") - F.col("xi")) * F.lit(1_000_000)
+    den = F.col("tj") - F.col("ti")
+    pairs = (l.join(r, "k")
+             .where(F.col("ti") < F.col("tj"))
+             .select("k",
+                     F.when(F.col("xj") > F.col("xi"), F.lit(1))
+                     .when(F.col("xj") < F.col("xi"), F.lit(-1))
+                     .otherwise(F.lit(0)).cast("long").alias("sgn"),
+                     ((num - F.pmod(num, den)) / den).cast("long")
+                     .alias("slope_ppm")))
+    w = Window.partitionBy("k").orderBy(F.col("slope_ppm").asc())
+    ranked = (pairs
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_np", F.count(F.lit(1)).over(
+                  Window.partitionBy("k"))))
+    med_i = F.expr("((_np - 1) * 500000) div 1000000") + 1
+    stats = (ranked.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.max(F.when(F.col("_rn") == med_i, F.col("slope_ppm")))
+        .alias("sen_slope_ppm")))
+    n_tbl = base.groupBy("k").agg(F.count("*").cast("long").alias("n"))
+    ties = (base.groupBy("k", "x").agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 2)
+            .groupBy("k").agg(
+                F.sum(F.expr("c * (c - 1) * (2 * c + 5)"))
+                .cast("long").alias("tie18")))
+    var18 = (F.expr("n * (n - 1) * (2 * n + 5)")
+             - F.coalesce(F.col("tie18"), F.lit(0))).cast("long")
+    return (n_tbl.join(ties, "k", "left").join(stats, "k", "left")
+            .select(F.col("k").alias("key"), "n",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("s_stat", F.lit(0)).cast("long")
+                    .alias("s_stat"),
+                    var18.alias("var18"),
+                    F.col("sen_slope_ppm").cast("long")
+                    .alias("sen_slope_ppm")))
+
+
+def mann_kendall_oracle_sql(series_sql: str) -> str:
+    """DuckDB twin of :func:`mann_kendall`; ``series_sql`` yields
+    ``(k, t, x)``. Same pair construction, CASE sign, identical
+    lower-middle rank pick; every SUM casts to BIGINT before it can
+    reach the output as HUGEINT. DuckDB ``//`` TRUNCATES toward zero
+    on negative dividends (unlike the Spark side's pmod floor), so
+    the slope subtracts an explicitly non-negative remainder first —
+    the quotient is then exact and truncation equals floor."""
+    return f"""
+with base as materialized (
+  select k, cast(t as bigint) as t, cast(x as bigint) as x
+  from ({series_sql})
+  where k is not null and t is not null and x is not null),
+pairs as materialized (
+  select k,
+         case when num > 0 then 1
+              when num < 0 then -1 else 0 end as sgn,
+         (num - ((num % dt + dt) % dt)) // dt as slope_ppm
+  from (select l.k as k, (r.x - l.x) * 1000000 as num,
+               r.t - l.t as dt
+        from base l join base r on l.k = r.k and l.t < r.t)),
+ranked as (
+  select k, sgn, slope_ppm,
+         row_number() over (partition by k order by slope_ppm) as rn,
+         count(*) over (partition by k) as np
+  from pairs),
+stats as (
+  select k, cast(count(*) as bigint) as n_pairs,
+         cast(sum(sgn) as bigint) as s_stat,
+         cast(max(case when rn = ((np - 1) * 500000) // 1000000 + 1
+                       then slope_ppm end) as bigint) as sen_slope_ppm
+  from ranked group by k),
+n_tbl as (select k, cast(count(*) as bigint) as n from base group by k),
+ties as (
+  select k, cast(sum(c * (c - 1) * (2 * c + 5)) as bigint) as tie18
+  from (select k, x, count(*) as c from base group by k, x)
+  where c >= 2 group by k)
+select n_tbl.k as key, n,
+       cast(coalesce(n_pairs, 0) as bigint) as n_pairs,
+       cast(coalesce(s_stat, 0) as bigint) as s_stat,
+       cast(n * (n - 1) * (2 * n + 5)
+            - coalesce(tie18, 0) as bigint) as var18,
+       sen_slope_ppm
+from n_tbl
+left join ties on n_tbl.k = ties.k
+left join stats on n_tbl.k = stats.k
+"""

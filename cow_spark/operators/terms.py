@@ -1146,3 +1146,199 @@ select slc as slice, n_tokens, n_unk,
        cast((n_unk * 1000000) // n_tokens as bigint) as unk_ppm
 from agg
 """
+
+
+def vocab_richness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 species-richness estimate + Good-Turing unseen-mass for
+    the corpus vocabulary — the OTHER saturation question next to
+    :func:`vocab_growth`: the growth curve says how fast types are
+    still arriving; these estimators say how many types the corpus
+    has NOT seen yet (Chao1's lower bound on the true vocabulary from
+    singleton/doubleton counts) and what probability mass the next
+    sampled token gives to novel types (Turing's f1/N). Both are
+    computed from the frequency-of-frequencies profile tokenizer
+    training and DSIR-style importance estimates already need, on the
+    same one-pass counts.
+
+    One output row, bias-corrected Chao1 (finite at f2=0):
+
+    - ``chao1_types`` = V + (f1·(f1−1)) div (2·(f2+1)) — whole types,
+      unscaled (the correction term's grain; int64-safe to f1≈3e9);
+    - ``gt_unseen_ppm`` = (f1·10^6) div N — Good-Turing P(next token
+      is a new type); ``coverage_ppm`` = 10^6 − that.
+
+    Empty corpus → one row of zero counts with unseen 0 / coverage
+    10^6 (the repo's zero-denominator convention), so a gate on this
+    table never NULL-crashes.
+
+    Scale shape: tokens → term counts (one partial-agg shuffle on
+    term) → frequency-of-frequencies (second shuffle, bounded by the
+    count of DISTINCT counts ≪ V) → a 1-row conditional aggregate.
+    Corpus text is read once; nothing corpus-sized crosses the second
+    shuffle.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    counts = (_term_rows(df, id_col, text_col)
+              .groupBy("term").agg(F.count("*").alias("c")))
+    fof = counts.groupBy("c").agg(F.count("*").alias("f"))
+    agg = fof.agg(
+        F.coalesce(F.sum(F.expr("c * f")), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce(F.sum(F.when(F.col("c") == 1, F.col("f"))),
+                   F.lit(0)).cast("long").alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("c") == 2, F.col("f"))),
+                   F.lit(0)).cast("long").alias("f2"))
+    unseen = F.expr("if(n_tokens = 0, 0, (f1 * 1000000) div n_tokens)")
+    return agg.select(
+        "n_tokens", "n_types", "f1", "f2",
+        (F.col("n_types")
+         + F.expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+        .cast("long").alias("chao1_types"),
+        unseen.cast("long").alias("gt_unseen_ppm"),
+        (F.lit(1_000_000) - unseen).cast("long").alias("coverage_ppm"))
+
+
+def vocab_richness_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`vocab_richness`; ``docs_sql`` yields
+    ``(doc_id, text)`` and the tokenizer is the shared lowercased-
+    whitespace split."""
+    return rf"""
+with tr as (
+  select unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0)) as term
+  from ({docs_sql})),
+counts as (select term, cast(count(*) as bigint) as c
+           from tr group by term),
+fof as (select c, cast(count(*) as bigint) as f from counts group by c),
+agg as (
+  select cast(coalesce(sum(c * f), 0) as bigint) as n_tokens,
+         cast(coalesce(sum(f), 0) as bigint) as n_types,
+         cast(coalesce(sum(case when c = 1 then f end), 0) as bigint)
+           as f1,
+         cast(coalesce(sum(case when c = 2 then f end), 0) as bigint)
+           as f2
+  from fof)
+select n_tokens, n_types, f1, f2,
+       cast(n_types + (f1 * (f1 - 1)) // (2 * (f2 + 1)) as bigint)
+         as chao1_types,
+       cast(case when n_tokens = 0 then 0
+                 else (f1 * 1000000) // n_tokens end as bigint)
+         as gt_unseen_ppm,
+       cast(1000000 - case when n_tokens = 0 then 0
+                 else (f1 * 1000000) // n_tokens end as bigint)
+         as coverage_ppm
+from agg
+"""
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-1 / distinct-2 lexical-diversity ratios per corpus
+    slice — the standard mode-collapse screen for GENERATED text
+    (distillation outputs, synthetic corpora, model-vs-model slices):
+    a slice whose generations reuse the same phrasing scores low on
+    distinct bigrams long before a human notices, and comparing
+    slices (model version, temperature, source) is the point, hence
+    the ``group_col``. Complements :func:`~cow_spark.operators.
+    quality.repetition_stats` (WITHIN-doc repetition) by measuring
+    ACROSS-doc phrase reuse inside a slice.
+
+    Per slice: ``distinct1_ppm`` = 10^6·|distinct unigrams|/unigram
+    occurrences, ``distinct2_ppm`` = same over within-doc adjacent
+    bigrams (bigrams never span documents), plus the raw counts.
+    Slices with no bigram (every doc < 2 tokens) report 0 — the
+    zero-denominator convention, and honest: no bigram evidence means
+    no diversity evidence.
+
+    Scale shape: one posexplode of the shared tokenizer's array feeds
+    BOTH grams (the Generate boundary keeps the token expression from
+    being re-inlined into a per-element lambda — the CLAUDE.md HOF
+    rule); bigram = token joined to its within-doc successor by ONE
+    (slice, doc)-keyed window lead, so a document's grams never leak
+    across slices or documents. Input contract: one row per
+    (group, id) — a duplicated id within a slice would interleave two
+    token streams (the SQL twin is per-row and would diverge; the
+    repo's fixtures and any sane corpus satisfy this). Each gram
+    stream partial-aggregates on (slice, gram) then reduces to the
+    slice-bounded output.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    toks = df.select(
+        F.col(group_col).alias("slc"),
+        F.col(id_col).alias("_did"),
+        F.posexplode(tokens(normalize_text(F.col(text_col))))
+        .alias("pos", "term"))
+    uni = (toks.groupBy("slc", "term").agg(F.count("*").alias("n"))
+           .groupBy("slc").agg(
+               F.sum("n").cast("long").alias("n_unigrams"),
+               F.count("*").cast("long").alias("types1")))
+    w = Window.partitionBy("slc", "_did").orderBy("pos")
+    bg = (toks.withColumn("_t2", F.lead("term").over(w))
+          .where(F.col("_t2").isNotNull())
+          .select("slc", F.concat_ws("\x1f", "term", "_t2")
+                  .alias("gram")))
+    bi = (bg.groupBy("slc", "gram").agg(F.count("*").alias("n"))
+          .groupBy("slc").agg(
+              F.sum("n").cast("long").alias("n_bigrams"),
+              F.count("*").cast("long").alias("types2")))
+    d1 = F.expr("if(n_unigrams = 0, 0,"
+                " (types1 * 1000000) div n_unigrams)")
+    d2 = F.expr("if(coalesce(n_bigrams, 0) = 0, 0,"
+                " (types2 * 1000000) div n_bigrams)")
+    return (uni.join(bi, "slc", "left")
+            .select(F.col("slc").alias("slice"),
+                    "n_unigrams", "types1",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("types2", F.lit(0)).cast("long")
+                    .alias("types2"),
+                    d1.cast("long").alias("distinct1_ppm"),
+                    d2.cast("long").alias("distinct2_ppm")))
+
+
+def distinct_ngrams_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`distinct_ngrams`; ``docs_sql`` yields
+    ``(slc, doc_id, text)``."""
+    return rf"""
+with tk as (
+  select slc, doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+           x -> length(x) > 0) as t
+  from ({docs_sql})),
+uni_rows as (select slc, unnest(t) as term from tk),
+uni as (
+  select slc, cast(sum(n) as bigint) as n_unigrams,
+         cast(count(*) as bigint) as types1
+  from (select slc, term, count(*) as n from uni_rows
+        group by slc, term) group by slc),
+bg_rows as (
+  select slc, unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> t[i] || chr(31) || t[i + 1])) as gram
+  from tk where len(t) >= 2),
+bi as (
+  select slc, cast(sum(n) as bigint) as n_bigrams,
+         cast(count(*) as bigint) as types2
+  from (select slc, gram, count(*) as n from bg_rows
+        group by slc, gram) group by slc)
+select uni.slc as slice, n_unigrams, types1,
+       cast(coalesce(n_bigrams, 0) as bigint) as n_bigrams,
+       cast(coalesce(types2, 0) as bigint) as types2,
+       cast(case when n_unigrams = 0 then 0
+                 else (types1 * 1000000) // n_unigrams end as bigint)
+         as distinct1_ppm,
+       cast(case when coalesce(n_bigrams, 0) = 0 then 0
+                 else (types2 * 1000000) // n_bigrams end as bigint)
+         as distinct2_ppm
+from uni left join bi on uni.slc = bi.slc
+"""

@@ -1439,8 +1439,8 @@ def krippendorff_alpha(df: DataFrame, item_col: str, cat_col: str) -> DataFrame:
 
     with D_e = Σ_c n_c(n−n_c). Perfect agreement reads exactly 10^6;
     D_e = 0 (one category total) reads 10^6 by convention (nothing to
-    disagree about). Overflow contract: n ≤ 10^5 judgments
-    ((n−1)·Σt_i ≤ n·#items·10^6·n_i — ANSI aborts loudly beyond).
+    disagree about). Overflow contract: (n−1)·do6 with do6 ≤ n·10^6
+    bounds n at ~3·10^6 judgments — ANSI aborts loudly beyond.
 
     One scan → (item, cat) combine → item-sized and category-sized
     partial aggs → a 1-row result. NULL items/categories excluded.
@@ -1471,9 +1471,13 @@ def krippendorff_alpha(df: DataFrame, item_col: str, cat_col: str) -> DataFrame:
           .groupBy("do6", "n")
           .agg(F.sum(F.col("nc") * (F.col("n") - F.col("nc")))
                .cast("long").alias("de")))
+    # α = 1 − (n−1)·D_o/(n·D_e) with D_o carrying the 10^6 scale in
+    # do6: the textbook form multiplies num and den by another 10^6,
+    # which overflows int64 near n ≈ 3·10^4 (caught by the sf0.1
+    # replay, r4) — the shared factor cancels EXACTLY under floor
+    # (floor(a·k/(b·k)) = floor(a/b)), so divide it out of both limbs
     num = (F.col("n") - 1) * F.col("do6")
-    den = F.col("de") * F.lit(1_000_000)
-    ratio = fdiv(num * F.lit(1_000_000), den)
+    ratio = fdiv(num, F.col("de"))
     n_items = ni.count()
     return nc.select(
         F.lit(n_items).cast("long").alias("n_items"),
@@ -1513,7 +1517,7 @@ de as (
   group by do6, n, n_items)
 select n_items, n as n_judgments,
   cast(case when de > 0 then
-         1000000 - ((n - 1) * do6 * 1000000) // (de * 1000000)
+         1000000 - ((n - 1) * do6) // de
        else 1000000 end as bigint) as alpha_ppm
 from de
 """

@@ -424,3 +424,47 @@ def test_turn_gaps_profile(spark):
     assert ua.min_us == -4_000_000
     assert ua.max_us == 4_000_000
     assert got[("assistant", "user")].n == 1
+
+
+def test_bradley_terry_matches_python_twin_and_orders(spark):
+    """The int64 MM iterate equals the serial twin bit-for-bit;
+    a player who beats everyone outranks everyone; NULL and
+    self-matches drop."""
+    from cow_spark.operators.dialogue import (bradley_terry,
+                                              bradley_terry_py)
+
+    matches = ([("champ", "b")] * 3 + [("champ", "c")] * 3
+               + [("b", "c"), ("c", "b"), ("b", "c")]
+               + [("champ", None), (None, "b"), ("c", "c")])
+    df = spark.createDataFrame(matches, "winner string, loser string")
+    got = {r.player: (r.rating_fp, r.wins, r.n_matches)
+           for r in bradley_terry(df, rounds=8).collect()}
+    assert got == bradley_terry_py(matches, rounds=8)
+    ratings = {p: v[0] for p, v in got.items()}
+    assert ratings["champ"] > ratings["b"] > ratings["c"]
+    # wins/match bookkeeping excludes the dropped rows
+    assert got["champ"][1:] == (6, 6)
+    assert got["b"][1:] == (2, 9 - 3)
+
+
+def test_bradley_terry_symmetric_round_robin_is_flat(spark):
+    """A perfectly balanced tournament (everyone 1-1 against everyone)
+    converges to equal ratings — the normalizer's gauge."""
+    from cow_spark.operators.dialogue import bradley_terry
+
+    ps = ["a", "b", "c", "d"]
+    matches = [(x, y) for x in ps for y in ps if x != y]
+    df = spark.createDataFrame(matches, "winner string, loser string")
+    rows = bradley_terry(df, rounds=6).collect()
+    assert len({r.rating_fp for r in rows}) == 1
+    assert all(r.wins == 3 and r.n_matches == 6 for r in rows)
+
+
+def test_bradley_terry_empty_and_validation(spark):
+    from cow_spark.operators.dialogue import bradley_terry
+    import pytest
+
+    e = spark.createDataFrame([], "winner string, loser string")
+    assert bradley_terry(e, rounds=2).collect() == []
+    with pytest.raises(ValueError):
+        bradley_terry(e, rounds=0)

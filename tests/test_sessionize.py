@@ -245,3 +245,48 @@ def test_gap_fill_span_guard_raises(spark):
     # widening the bucket brings it under the cap
     assert gap_fill(ev, key="user_id", ts_col="ts",
                     bucket_us=365 * 24 * 3_600 * 1_000_000).count() >= 6
+
+
+def test_mann_kendall_hand_values(spark):
+    """Strictly increasing series: S = C(n,2), slope exact; tied x
+    values reduce var18 by t(t-1)(2t+5); a single point and an
+    all-equal-timestamp series report n_pairs=0 / NULL slope."""
+    from cow_spark.operators.sessionize import mann_kendall
+
+    rows = ([("a", t, 10 + 3 * t) for t in range(6)]
+            + [("b", 0, 9), ("b", 1, 9), ("b", 2, 7), ("b", 3, 5),
+               ("b", 4, 5)]
+            + [("c", 10, 1)]
+            + [("d", 5, 1), ("d", 5, 2), ("d", 5, 3)])
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {r.key: r for r in mann_kendall(df, "k", "t", "x").collect()}
+    a = got["a"]
+    assert (a.n, a.n_pairs, a.s_stat) == (6, 15, 15)
+    assert a.var18 == 6 * 5 * 17 and a.sen_slope_ppm == 3_000_000
+    b = got["b"]
+    # two tie groups of 2: var18 = 5*4*15 - 2*(2*1*9) = 264
+    assert b.var18 == 264 and b.s_stat == -8
+    # negative slope floors toward -inf (pmod floor): median of the
+    # 10 pairwise slopes, lower middle
+    assert b.sen_slope_ppm == -1_333_334
+    assert (got["c"].n_pairs, got["c"].sen_slope_ppm) == (0, None)
+    assert (got["d"].n_pairs, got["d"].s_stat) == (0, 0)
+
+
+def test_mann_kendall_brute_force_twin(spark):
+    """S, pair count, and the exact lower-middle Sen median agree
+    with a brute-force Python enumeration on an awkward series."""
+    from cow_spark.operators.sessionize import mann_kendall
+
+    series = [(0, 5), (2, -1), (3, -1), (7, 12), (8, 0), (13, 12)]
+    rows = [("k", t, x) for t, x in series]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    r = mann_kendall(df, "k", "t", "x").collect()[0]
+    pairs = [(series[i], series[j])
+             for i in range(len(series)) for j in range(len(series))
+             if series[i][0] < series[j][0]]
+    s = sum((xj > xi) - (xj < xi) for (_, xi), (_, xj) in pairs)
+    slopes = sorted(((xj - xi) * 1_000_000) // (tj - ti)
+                    for (ti, xi), (tj, xj) in pairs)
+    med = slopes[((len(slopes) - 1) * 500_000) // 1_000_000]
+    assert (r.n_pairs, r.s_stat, r.sen_slope_ppm) == (len(pairs), s, med)

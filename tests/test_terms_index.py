@@ -707,3 +707,42 @@ def test_textrank_self_pairs_dropped(spark):
         [(1, "the the cat")], "doc_id long, text string")
     nodes = {r.node for r in textrank_keywords(docs).collect()}
     assert nodes == {"the", "cat"}
+
+
+def test_vocab_richness_hand_values(spark):
+    """15 tokens / 11 types, f1=8, f2=2 → chao1 = 11 + 8·7//6 = 20,
+    Good-Turing unseen = 8e6//15; empty corpus hits the zero
+    convention with coverage 10^6."""
+    from cow_spark.operators.terms import vocab_richness
+
+    docs = [(1, "the cat sat on the mat"), (2, "the cat ran"),
+            (3, "a  b\tb c   "), (4, "solo"), (5, ""), (6, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert [tuple(r) for r in vocab_richness(df).collect()] == [
+        (15, 11, 8, 2, 20, 533_333, 466_667)]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert [tuple(r) for r in vocab_richness(empty).collect()] == [
+        (0, 0, 0, 0, 0, 0, 1_000_000)]
+
+
+def test_distinct_ngrams_within_doc_bigrams_only(spark):
+    """Bigrams never span documents: two one-token docs in a slice
+    yield distinct2 = 0 (zero-denominator convention), while the
+    same tokens in ONE doc yield a bigram."""
+    from cow_spark.operators.terms import distinct_ngrams
+
+    split = [(1, "aa", "s"), (2, "bb", "s")]
+    joined = [(1, "aa bb", "j")]
+    df = spark.createDataFrame(split + joined,
+                               "doc_id long, text string, g string")
+    got = {r.slice: r for r in distinct_ngrams(df, "g").collect()}
+    assert (got["s"].n_bigrams, got["s"].distinct2_ppm) == (0, 0)
+    assert (got["j"].n_bigrams, got["j"].types2,
+            got["j"].distinct2_ppm) == (1, 1, 1_000_000)
+    # repeated phrase collapses distinct-2
+    rep = spark.createDataFrame(
+        [(1, "go home go home go home", "r")],
+        "doc_id long, text string, g string")
+    r = distinct_ngrams(rep, "g").collect()[0]
+    # bigrams: go-home ×3, home-go ×2 → 5 occurrences, 2 types
+    assert (r.n_bigrams, r.types2, r.distinct2_ppm) == (5, 2, 400_000)
