@@ -12321,6 +12321,124 @@ def _sql_distinct_ngrams() -> str:
         "select lang as slc, doc_id, text from documents")
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated audio segmentation
+    (multimodal.py:audio_segments): 40 really-decoded PCM WAV docs
+    with planted silence blocks (gated sawtooth) — the oracle
+    re-derives every frame energy from the closed form via
+    generate_series, never seeing the bytes (the multimodal_stdlib
+    discipline)."""
+    from cow_spark.operators.multimodal import (
+        audio_segments,
+        synthetic_gated_wav_bytes,
+    )
+
+    _ensure_workers_can_import(spark)
+    rows = [(d, bytearray(synthetic_gated_wav_bytes(d)))
+            for d in range(40)]
+    media = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    return audio_segments(media, frame=40, threshold=1)
+
+
+_SQL_AUDIO_SEGMENTS = """
+with fr as (
+  select d as doc_id, f as frame_idx,
+         cast(list_sum(list_transform(generate_series(f * 40, f * 40 + 39),
+           i -> case when (i // 80) % 2 = 1
+                then abs((i * (2 * d + 3)) % 20000 - 10000)
+                else 0 end)) as bigint) as energy
+  from (select unnest(generate_series(0, 39)) as d),
+       (select unnest(generate_series(0, 9)) as f)),
+act as (select * from fr where energy >= 1),
+isl as (
+  select doc_id, frame_idx, energy,
+         frame_idx - row_number() over (partition by doc_id
+                                        order by frame_idx) as g
+  from act),
+seg as (
+  select doc_id, g, cast(min(frame_idx) as bigint) as start_frame,
+         cast(count(*) as bigint) as n_frames,
+         cast(sum(energy) as bigint) as energy_sum
+  from isl group by doc_id, g)
+select doc_id,
+       cast(row_number() over (partition by doc_id
+                               order by start_frame) - 1 as int)
+         as seg_idx,
+       start_frame, n_frames, energy_sum
+from seg
+"""
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (dedup.py:cdc_chunks) over documents
+    (window 16, divisor 64): per-chunk rows with portable hashes —
+    the insertion-resilient storage-dedup primitive; empty docs and
+    sub-window docs pin the single-chunk path."""
+    from cow_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(_load(spark, sf_dir, "documents"))
+
+
+def _sql_cdc_chunks() -> str:
+    from cow_spark.operators.dedup import cdc_chunks_oracle_sql
+
+    return cdc_chunks_oracle_sql("select doc_id, text from documents")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy (quality.py:char_entropy) per
+    document — integer log2 kernel end to end; the ASCII fixture is
+    the oracle contract (surrogate-halves gotcha documented)."""
+    from cow_spark.operators.quality import char_entropy
+
+    return char_entropy(_load(spark, sf_dir, "documents"))
+
+
+def _sql_char_entropy() -> str:
+    from cow_spark.operators.quality import char_entropy_oracle_sql
+
+    return char_entropy_oracle_sql("select doc_id, text from documents")
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC scan (sources/warc_source.py:read_warc): 400 canonical
+    records incl. CRLF-bearing payloads and a metadata type — one
+    declarative text scan with the multi-byte lineSep split, strict
+    Content-Length verification on."""
+    import os
+    import tempfile
+
+    from cow_spark.sources.warc_source import (read_warc,
+                                               write_warc_fixture)
+
+    path = os.path.join(tempfile.gettempdir(),
+                        "cow_spark_warc_fixture.warc")
+    recs = []
+    for i in range(400):
+        recs.append((
+            f"http://ex.com/p{i}",
+            f"2024-01-{i % 28 + 1:02d}T00:00:00Z",
+            f"doc {i}: " + "w " * (i % 23),
+            "metadata" if i % 97 == 0 else "response"))
+    write_warc_fixture(path, recs)
+    return read_warc(spark, path)
+
+
+_SQL_WARC_INGEST = """
+select case when i % 97 = 0 then 'metadata' else 'response' end
+         as rec_type,
+       'http://ex.com/p' || cast(i as varchar) as uri,
+       '2024-01-' || lpad(cast(i % 28 + 1 as varchar), 2, '0')
+         || 'T00:00:00Z' as warc_date,
+       cast(length(payload) as bigint) as content_length,
+       cast(length(payload) as bigint) as n_bytes,
+       payload as text
+from (select i, 'doc ' || cast(i as varchar) || ': '
+               || repeat('w ', i % 23) as payload
+      from generate_series(0, 399) t(i))
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -12619,6 +12737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "vocab_richness": q_vocab_richness,
         "distinct_ngrams": q_distinct_ngrams,
+        "char_entropy": q_char_entropy,
+        "warc_ingest": q_warc_ingest,
+        "cdc_chunks": q_cdc_chunks,
+        "audio_segments": q_audio_segments,
     }
 
 
@@ -12901,4 +13023,8 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall": _sql_mann_kendall(),
         "vocab_richness": _sql_vocab_richness(),
         "distinct_ngrams": _sql_distinct_ngrams(),
+        "char_entropy": _sql_char_entropy(),
+        "warc_ingest": _SQL_WARC_INGEST,
+        "cdc_chunks": _sql_cdc_chunks(),
+        "audio_segments": _SQL_AUDIO_SEGMENTS,
     }

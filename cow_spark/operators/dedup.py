@@ -1379,3 +1379,132 @@ select group_id, doc_id as survivor_id, score as survivor_score,
        cast(tot - n_tokens as bigint) as dropped_tokens
 from r where rn = 1
 """
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split every document at positions
+    where a hash of the trailing ``window`` characters ≡ 0 (mod
+    ``divisor``) — boundaries move WITH the content, so an insertion
+    near the top of a near-identical document shifts every byte
+    offset but almost no chunk boundary, and the shared tail chunks
+    hash equal. That is the storage/transfer dedup primitive
+    (rsync/LBFS/restic lineage) the fixed-shingle family can't give:
+    :func:`exact_duplicates` needs whole-doc equality,
+    :func:`substring_dedup` fixed-stride windows pay per-offset.
+    Expected chunk length ≈ ``divisor`` chars.
+
+    Deviation from classic gear-hash CDC, stated loudly: (a) the
+    boundary test hashes an explicit ``window``-char substring with
+    the portable md5 (engine-replayable; a rolling gear hash is the
+    same decision rule computed incrementally — swap in at 100 TB if
+    the md5 constant factor bites), and (b) there is NO min/max chunk
+    clamp — a clamp makes boundary k depend on boundary k−1
+    (sequential, unsplittable); unclamped, every boundary is a pure
+    local predicate and the whole pass is embarrassingly parallel.
+    Degenerate runs (e.g. one repeated char) therefore yield either
+    no boundaries or a boundary at every position — both bounded by
+    doc length, neither wrong.
+
+    Scale shape: one position-explode (corpus-char-sized, the honest
+    CDC cost, O(window) work per position) → boundary filter (~1/
+    ``divisor`` survives) → per-doc sorted boundary array (doc-
+    bounded) → one doc-keyed join back to rebuild chunk spans. The
+    aggregation boundary stages the array for the span lambda (no
+    re-inlined HOF subtree). Returns ``(doc_id, chunk_idx, lo_char,
+    n_chars, chunk_hash)`` — 1-based ``lo_char``; empty/NULL text
+    yields no rows; cross-doc sharing is one groupBy on
+    ``chunk_hash`` downstream.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if window < 2 or divisor < 2:
+        raise ValueError(
+            f"cdc_chunks: window >= 2 and divisor >= 2 required, got "
+            f"{window}/{divisor}")
+    from ..functions.hashing import portable_hash32
+
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("t"))
+            .where(F.col(text_col).isNotNull()
+                   & (F.length(text_col) >= 1))
+            .withColumn("n", F.length("t").cast("long")))
+    # Spark sequence(a, b) DESCENDS when b < a (CLAUDE.md gotcha) —
+    # guard the empty-candidate case explicitly
+    cand = F.when(F.col("n") - 1 >= window,
+                  F.sequence(F.lit(window).cast("long"),
+                             F.col("n") - 1)
+                  ).otherwise(F.array().cast("array<long>"))
+    pos = (base.select("doc_id", "t", F.explode(cand).alias("i"))
+           .where(F.pmod(
+               portable_hash32(F.expr(
+                   f"substring(t, cast(i as int) - {window - 1}, "
+                   f"{window})")),
+               F.lit(divisor)) == 0)
+           .groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list("i")).alias("bs")))
+    spans = (base.join(pos, "doc_id", "left")
+             .withColumn("f", F.expr(
+                 "concat(array(0L), coalesce(bs, array()), array(n))"))
+             .select("doc_id", "t", F.posexplode(F.expr(
+                 "transform(sequence(0, size(f) - 2), "
+                 "j -> struct(f[j] + 1 as lo, f[j + 1] as hi))"))
+                 .alias("chunk_idx", "s"))
+             .where(F.col("s.hi") >= F.col("s.lo")))
+    chunk = F.expr("substring(t, cast(s.lo as int), "
+                   "cast(s.hi - s.lo + 1 as int))")
+    return spans.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("s.lo").cast("long").alias("lo_char"),
+        (F.col("s.hi") - F.col("s.lo") + 1).cast("long")
+        .alias("n_chars"),
+        portable_hash60(chunk).alias("chunk_hash"))
+
+
+def cdc_chunks_oracle_sql(docs_sql: str, window: int = 16,
+                          divisor: int = 64) -> str:
+    """DuckDB twin of :func:`cdc_chunks`; ``docs_sql`` yields
+    ``(doc_id, text)``. generate_series(a, b) with b < a is EMPTY in
+    DuckDB (no descending trap), so no guard is needed."""
+    from ..functions.hashing import (portable_hash32_sql,
+                                     portable_hash60_sql)
+
+    h32 = portable_hash32_sql(
+        f"substr(t, cast(i as int) - {window - 1}, {window})")
+    h60 = portable_hash60_sql(
+        "substr(t, cast(lo as int), cast(hi - lo + 1 as int))")
+    return f"""
+with base as materialized (
+  select doc_id, text as t, cast(length(text) as bigint) as n
+  from ({docs_sql})
+  where text is not null and length(text) >= 1),
+pos as (
+  select doc_id, unnest(generate_series({window}, n - 1)) as i
+  from base),
+bnd as (
+  select p.doc_id, p.i
+  from pos p join base using (doc_id)
+  where {h32} % {divisor} = 0),
+bs as (
+  select doc_id, list_sort(list(i)) as bs from bnd group by doc_id),
+spans as (
+  select base.doc_id, t,
+         list_concat(list_concat([cast(0 as bigint)],
+                     coalesce(bs, [])), [n]) as f
+  from base left join bs using (doc_id)),
+chunks as (
+  select doc_id, t, j as chunk_idx,
+         f[j + 1] + 1 as lo, f[j + 2] as hi
+  from spans, lateral (select unnest(generate_series(0, len(f) - 2))
+                       as j) g
+  where f[j + 2] >= f[j + 1] + 1)
+select doc_id, cast(chunk_idx as int) as chunk_idx,
+       cast(lo as bigint) as lo_char,
+       cast(hi - lo + 1 as bigint) as n_chars,
+       {h60} as chunk_hash
+from chunks
+"""

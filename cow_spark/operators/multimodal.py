@@ -504,3 +504,103 @@ def sample_video_frames(
 
     return media.select("doc_id", "media_type", "content") \
         .mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def synthetic_gated_wav_bytes(seed: int, n_frames: int = 400,
+                              block: int = 80,
+                              framerate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM with PLANTED silence: sample i is
+    the integer sawtooth ``(i·(2·seed+3)) % 20000 − 10000`` inside
+    odd ``block``-sample stretches and 0 inside even ones — the
+    closed form an oracle can re-derive without touching bytes."""
+    import io
+    import wave
+
+    i = np.arange(n_frames)
+    amp = (i * (seed * 2 + 3)) % 20000 - 10000
+    x = np.where((i // block) % 2 == 1, amp, 0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+ENERGY_SCHEMA = ("doc_id bigint, frame_idx bigint, n_samples bigint, "
+                 "energy bigint")
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 80,
+                       ) -> DataFrame:
+    """PCM payloads → per-frame integer energy rows ``(doc_id,
+    frame_idx, n_samples, energy)`` with ``energy = Σ|sample|`` over
+    each ``frame``-sample window (int64-exact; channels interleave
+    into the sum — mono fixtures sidestep the ambiguity). The decode
+    is the ONLY Python crossing, Arrow-batched mapInPandas over the
+    binary column (the multimodal discipline: bytes never reach a
+    row-Python UDF); everything downstream is Column algebra."""
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_samples": [],
+                   "energy": []}
+            for doc, c in zip(b["doc_id"], b["content"]):
+                _, _, x = decode_wav(bytes(c))
+                a = np.abs(x)
+                for f0 in range(0, len(x), frame):
+                    w = a[f0:f0 + frame]
+                    out["doc_id"].append(doc)
+                    out["frame_idx"].append(f0 // frame)
+                    out["n_samples"].append(len(w))
+                    out["energy"].append(int(w.sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "content").mapInPandas(
+        run, schema=ENERGY_SCHEMA)
+
+
+def audio_segments(media: DataFrame, frame: int = 80,
+                   threshold: int = 1) -> DataFrame:
+    """Energy-threshold activity segmentation (VAD-lite): frames with
+    ``energy ≥ threshold`` group into maximal consecutive runs — the
+    speech/music spans a transcription or captioning stage would be
+    fed, and the silence-trim for audio-token budgeting. Real
+    spectral VAD (librosa/webrtcvad) plugs into the same frame table;
+    the energy gate is the stdlib-provable tier (the multimodal_stdlib
+    contract).
+
+    Segmentation is the classic islands trick on the frame table:
+    ``frame_idx − row_number`` is constant within a consecutive
+    active run (frame_idx is unique per doc, so the order is total —
+    no window-tie hazard). Returns ``(doc_id, seg_idx, start_frame,
+    n_frames, energy_sum)`` with ``seg_idx`` dense per doc in start
+    order; silent documents yield no rows.
+
+    Scale shape: the frame table is corpus-duration-sized (one row
+    per ~10 ms); one doc-keyed window + one groupBy ride the same
+    shuffle, segment table is run-bounded. Energies are exact ints —
+    the oracle re-derives them from the fixture's closed form via
+    generate_series, never decoding a byte.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from pyspark.sql.window import Window
+
+    en = audio_frame_energy(media, frame)
+    act = en.where(F.col("energy") >= int(threshold))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    isl = act.withColumn(
+        "_g", F.col("frame_idx") - F.row_number().over(w))
+    seg = (isl.groupBy("doc_id", "_g")
+           .agg(F.min("frame_idx").alias("start_frame"),
+                F.count("*").cast("long").alias("n_frames"),
+                F.sum("energy").cast("long").alias("energy_sum")))
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        (F.row_number().over(ws) - 1).cast("int").alias("seg_idx"),
+        F.col("start_frame").cast("long").alias("start_frame"),
+        "n_frames", "energy_sum")

@@ -926,3 +926,100 @@ select {dom} as script, cast(count(*) as bigint) as n_docs,
          as other_chars
 from d group by 1
 """
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the
+    compressibility proxy for gibberish/boilerplate screening
+    (Gopher-family signal): keyboard mash, base64 blobs, and
+    single-char padding sit at the entropy extremes where word-level
+    gates (:func:`gopher_quality`) are blind, and a cheap entropy
+    band prefilter runs before any tokenizer.
+    :func:`~cow_spark.plans.stats.script_profile` classifies WHICH
+    scripts appear; this measures how evenly the document spends its
+    alphabet.
+
+    Exact integer surface on the shared log2 kernel (no libm):
+    ``entropy_fp = log2_fp(n) − (Σ c·log2_fp(c)) div n`` in 1/1024-bit
+    units — algebraically H = log2 n − (1/n)Σ c·log2 c, every term
+    the engine-portable fixed-point log2, the one floor at the
+    division. Empty/NULL text reports (0, 0, 0) rather than
+    disappearing. Character = one regex-split element in BOTH engines
+    — identical for ASCII/BMP text (the repo's fixtures are ASCII;
+    astral-plane codepoints split into surrogate halves on the JVM
+    but one codepoint in DuckDB, the levenshtein-gotcha class —
+    oracle-facing fixtures stay ASCII by contract).
+
+    Scale shape: one char-explode (corpus-byte-sized, the honest cost
+    of an exact profile) into a (doc, char) partial-agg shuffle —
+    combiner-friendly, alphabet-bounded per doc; the log2 kernel
+    stages integer columns on the counts table only. Returns
+    ``(doc_id, n_chars, n_alphabet, entropy_fp)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("t"))
+    ch = (base.select("doc_id",
+                      F.explode(F.split(F.col("t"), "")).alias("ch"))
+          .where(F.length("ch") > 0)
+          .groupBy("doc_id", "ch").agg(F.count("*").alias("c")))
+    cc = with_log2_fp(ch, "c", "l2c")
+    per = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_alphabet"),
+        F.sum(F.col("c") * F.col("l2c")).cast("long").alias("num"))
+    per = with_log2_fp(per, "n_chars", "l2n")
+    ent = (F.col("l2n")
+           - F.expr("(num - pmod(num, n_chars)) div n_chars"))
+    scored = per.select(
+        "doc_id", "n_chars", "n_alphabet",
+        ent.cast("long").alias("entropy_fp"))
+    return (base.select("doc_id").distinct()
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_chars", F.lit(0)).cast("long")
+                    .alias("n_chars"),
+                    F.coalesce("n_alphabet", F.lit(0)).cast("long")
+                    .alias("n_alphabet"),
+                    F.coalesce("entropy_fp", F.lit(0)).cast("long")
+                    .alias("entropy_fp")))
+
+
+def char_entropy_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`char_entropy`; ``docs_sql`` yields
+    ``(doc_id, text)``."""
+    from ..functions.intmath import log2_fp_sql
+
+    l2c = log2_fp_sql("c")
+    l2n = log2_fp_sql("n_chars")
+    return f"""
+with base as materialized (select doc_id, text from ({docs_sql})),
+ch as (
+  select doc_id, unnest(regexp_split_to_array(text, '')) as ch
+  from base),
+cnt as (
+  select doc_id, ch, cast(count(*) as bigint) as c
+  from ch where length(ch) > 0 group by doc_id, ch),
+cc as (select doc_id, c, {l2c} as l2c from cnt),
+per as (
+  select doc_id, cast(sum(c) as bigint) as n_chars,
+         cast(count(*) as bigint) as n_alphabet,
+         cast(sum(c * l2c) as bigint) as num
+  from cc group by doc_id),
+scored as (
+  select doc_id, n_chars, n_alphabet,
+         cast({l2n} - num // n_chars as bigint) as entropy_fp
+  from per)
+select b.doc_id,
+       cast(coalesce(n_chars, 0) as bigint) as n_chars,
+       cast(coalesce(n_alphabet, 0) as bigint) as n_alphabet,
+       cast(coalesce(entropy_fp, 0) as bigint) as entropy_fp
+from (select distinct doc_id from base) b
+left join scored on b.doc_id = scored.doc_id
+"""

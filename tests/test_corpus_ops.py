@@ -4390,3 +4390,128 @@ def test_isqrt_col_exact_at_boundaries(spark):
     neg = spark.createDataFrame([(-4,)], "x long")
     assert neg.select(isqrt_col(F.col("x")).alias("t")) \
         .collect()[0].t is None
+
+
+def test_warc_reader_roundtrip_and_strict(spark, tmp_path):
+    """Canonical records round-trip (CRLF-bearing payloads, a
+    warcinfo type, unicode octet lengths); strict mode raises on a
+    Content-Length that cannot reconcile."""
+    import pytest
+    from cow_spark.sources.warc_source import (read_warc,
+                                               write_warc_fixture)
+
+    p = str(tmp_path / "f.warc")
+    recs = [
+        ("http://ex.com/a", "2024-01-01T00:00:00Z", "hello world"),
+        ("http://ex.com/b", "2024-01-02T00:00:00Z",
+         "multi\r\nline\r\n\r\npayload with blank line"),
+        ("http://ex.com/c", "2024-01-03T00:00:00Z", "", "warcinfo"),
+        ("http://ex.com/d", "2024-01-04T00:00:00Z", "café ✓"),
+    ]
+    write_warc_fixture(p, recs)
+    rows = {r.uri: r for r in read_warc(spark, p).collect()}
+    assert len(rows) == 4
+    assert rows["http://ex.com/b"].text == recs[1][2]
+    assert rows["http://ex.com/c"].rec_type == "warcinfo"
+    d = rows["http://ex.com/d"]
+    assert d.n_bytes == d.content_length == len("café ✓".encode())
+
+    bad = str(tmp_path / "bad.warc")
+    data = open(p, "rb").read().replace(b"Content-Length: 11",
+                                        b"Content-Length: 12")
+    open(bad, "wb").write(data)
+    with pytest.raises(ValueError, match="Content-Length"):
+        read_warc(spark, bad)
+    # non-strict ingests the same archive, flagging via the columns
+    loose = {r.uri: r for r in read_warc(spark, bad, strict=False)
+             .collect()}
+    assert loose["http://ex.com/a"].n_bytes == 11
+    assert loose["http://ex.com/a"].content_length == 12
+
+
+def test_cdc_chunks_tile_shift_and_degenerate(spark):
+    """Chunks tile each doc exactly (lo/n chain), a prefix insertion
+    preserves most tail chunk hashes (the CDC property), sub-window
+    and degenerate-run docs come back whole or bounded, empty/NULL
+    docs emit nothing, parameter validation raises."""
+    import random
+
+    import pytest
+    from cow_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    body = " ".join(rng.choice(words) for _ in range(400))
+    docs = [(1, body), (2, "INSERTED PREFIX!! " + body),
+            (3, "short"), (4, ""), (5, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = cdc_chunks(df, window=16, divisor=32).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append(r)
+    assert set(per) == {1, 2, 3}
+    for doc, chs in per.items():
+        chs.sort(key=lambda r: r.chunk_idx)
+        assert chs[0].lo_char == 1
+        for a, b in zip(chs, chs[1:]):
+            assert b.lo_char == a.lo_char + a.n_chars
+    assert per[3][0].n_chars == 5 and len(per[3]) == 1
+    h1 = {r.chunk_hash for r in per[1]}
+    h2 = {r.chunk_hash for r in per[2]}
+    assert len(h1 & h2) / len(h1) >= 0.7
+    with pytest.raises(ValueError):
+        cdc_chunks(df, window=1)
+
+
+def test_char_entropy_hand_values(spark):
+    """'aaaa' → 0 bits, 'abab' → 1 bit, 'abcd' → 2 bits (1/1024
+    units); empty and NULL text report the zero row; 3-char mixed doc
+    equals the log2 kernel."""
+    from cow_spark.functions.intmath import log2_fp_py
+    from cow_spark.operators.quality import char_entropy
+
+    docs = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None),
+            (6, "a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: tuple(r)[1:] for r in char_entropy(df).collect()}
+    assert got[1] == (4, 1, 0)
+    assert got[2] == (4, 2, 1024)
+    assert got[3] == (4, 4, 2048)
+    assert got[4] == (0, 0, 0) and got[5] == (0, 0, 0)
+    assert got[6] == (3, 3, log2_fp_py(3))
+
+
+def test_audio_segments_planted_silence(spark):
+    """The gated sawtooth fixture (400 samples, 80-sample blocks,
+    40-sample frames) has exactly two active runs per doc — frames
+    [2,3] and [6,7]; an all-silent payload yields no rows; energies
+    match a direct numpy decode."""
+    import numpy as np
+
+    from cow_spark.operators.multimodal import (audio_segments,
+                                                decode_wav,
+                                                synthetic_gated_wav_bytes)
+
+    rows = [(d, bytearray(synthetic_gated_wav_bytes(d)))
+            for d in range(3)]
+    import io
+    import wave
+
+    silent = io.BytesIO()
+    with wave.open(silent, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 400)
+    rows.append((99, bytearray(silent.getvalue())))
+    media = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    segs = sorted((r.doc_id, r.seg_idx, r.start_frame, r.n_frames,
+                   r.energy_sum)
+                  for r in audio_segments(media, frame=40).collect())
+    assert [s[:4] for s in segs] == [
+        (d, i, st, 2) for d in range(3) for i, st in ((0, 2), (1, 6))]
+    for d in range(3):
+        _, _, x = decode_wav(synthetic_gated_wav_bytes(d))
+        a = np.abs(x)
+        exp0 = int(a[80:160].sum())
+        exp1 = int(a[240:320].sum())
+        got = {s[1]: s[4] for s in segs if s[0] == d}
+        assert got == {0: exp0, 1: exp1}

@@ -25,7 +25,8 @@ def _plan(spark, df) -> str:
 # stage (mapInPandas feature kernel / binary-format parser); everything
 # else must be JVM-only
 _ARROW_OK = {"multimodal_features", "multimodal_meta", "multimodal_resize",
-             "multimodal_stdlib", "npy_ingest", "video_frames"}
+             "multimodal_stdlib", "npy_ingest", "video_frames",
+             "audio_segments"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
