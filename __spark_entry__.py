@@ -12321,6 +12321,91 @@ def _sql_distinct_ngrams() -> str:
         "select lang as slc, doc_id, text from documents")
 
 
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return (ev.where(F.col("ts").isNotNull()
+                     & F.col("user_id").isNotNull())
+            .select("user_id",
+                    F.expr("unix_micros(cast(ts as timestamp))"
+                           " div 86400000000").alias("t"))
+            .groupBy("user_id", "t")
+            .agg(F.count("*").cast("long").alias("x")))
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend forecast (sessionize.py:holt_forecast) of
+    per-user daily event volume, horizon 3 — the string-encoded
+    list_reduce accumulator twin (the struct-field reassignment trap
+    is the documented reason)."""
+    from cow_spark.operators.sessionize import holt_forecast
+
+    return holt_forecast(_daily_counts(spark, sf_dir),
+                         "user_id", "t", "x", horizon=3)
+
+
+def _sql_holt_forecast() -> str:
+    from cow_spark.operators.sessionize import holt_forecast_oracle_sql
+
+    return holt_forecast_oracle_sql(
+        "select user_id as key, epoch_us(ts) // 86400000000 as o,"
+        " cast(count(*) as bigint) as x from events"
+        " where ts is not null and user_id is not null group by 1, 2",
+        horizon=3)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI per source vs pooled (stats.py:psi_drift) over document
+    length bands (200-char buckets) — 1-ppm clamp and the log2-PSI
+    units documented."""
+    from cow_spark.plans.stats import psi_drift
+
+    d = _load(spark, sf_dir, "documents").select(
+        "source", F.expr("n_chars div 200").alias("band"))
+    return psi_drift(d, "source", "band")
+
+
+def _sql_psi_drift() -> str:
+    from cow_spark.plans.stats import psi_drift_oracle_sql
+
+    return psi_drift_oracle_sql(
+        "select source as slc, n_chars // 200 as b from documents")
+
+
+def q_grouped_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS of daily event volume vs day
+    (stats.py:grouped_linfit): decimal-lane cross-products, NULL on
+    degenerate groups; single-day users pin the NULL path."""
+    from cow_spark.plans.stats import grouped_linfit
+
+    return grouped_linfit(_daily_counts(spark, sf_dir),
+                          "user_id", "t", "x")
+
+
+def _sql_grouped_linfit() -> str:
+    from cow_spark.plans.stats import grouped_linfit_oracle_sql
+
+    return grouped_linfit_oracle_sql(
+        "select user_id as k, epoch_us(ts) // 86400000000 as x,"
+        " cast(count(*) as bigint) as y from events"
+        " where ts is not null and user_id is not null group by 1, 2")
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch (sketch.py:ams_f2) over the events user_id
+    column — prices the self-join fan-out without the frequency
+    table; 32 sign estimators, exact-median combine."""
+    from cow_spark.functions.sketch import ams_f2
+
+    return ams_f2(_load(spark, sf_dir, "events"), "user_id")
+
+
+def _sql_ams_f2() -> str:
+    from cow_spark.functions.sketch import ams_f2_oracle_sql
+
+    return ams_f2_oracle_sql(
+        "select cast(user_id as varchar) as v from events")
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-gated audio segmentation
     (multimodal.py:audio_segments): 40 really-decoded PCM WAV docs
@@ -12741,6 +12826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "cdc_chunks": q_cdc_chunks,
         "audio_segments": q_audio_segments,
+        "holt_forecast": q_holt_forecast,
+        "psi_drift": q_psi_drift,
+        "grouped_linfit": q_grouped_linfit,
+        "ams_f2": q_ams_f2,
     }
 
 
@@ -13027,4 +13116,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _SQL_WARC_INGEST,
         "cdc_chunks": _sql_cdc_chunks(),
         "audio_segments": _SQL_AUDIO_SEGMENTS,
+        "holt_forecast": _sql_holt_forecast(),
+        "psi_drift": _sql_psi_drift(),
+        "grouped_linfit": _sql_grouped_linfit(),
+        "ams_f2": _sql_ams_f2(),
     }

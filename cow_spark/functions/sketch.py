@@ -845,3 +845,98 @@ select g1, g2, k_union, n_both,
        cast((n_both * 1000000) // k_union as bigint) as jaccard_ppm
 from agg
 """
+
+
+def ams_f2(
+    df: DataFrame,
+    val_col: str,
+    estimators: int = 32,
+    salt: str = "ams",
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch: estimate
+    F₂ = Σ_v f(v)² — the self-join size of the value column — from
+    one pass, WITHOUT building the frequency table. The planning
+    use-case: F₂/n is the expected fan-out of an equi-join on this
+    key, so the sketch prices a join or a groupBy skew BEFORE running
+    it (the sampling sibling of :func:`~..plans.stats.join_estimate`,
+    mergeable like every sketch here: per-shard Z vectors just add).
+
+    Each estimator j keeps Z_j = Σ_rows sign_j(v) with four-wise-ish
+    independent ±1 signs from the portable md5 (training-free,
+    engine-replayable); E[Z_j²] = F₂. The estimate is the exact
+    lower-middle MEDIAN of the Z² values (the repo's no-interpolation
+    rank spec) — median-of-individuals is the variance-tamed classic;
+    callers needing tighter bounds raise ``estimators``.
+
+    Exact surface: signs, sums, squares, and the median rank are all
+    integers — the sketch is bit-replayable in DuckDB, and the
+    pytest checks the estimate against exact F₂ within the AMS error
+    bound on a skewed fixture. Overflow: |Z| ≤ n rows ⇒ Z² < 2⁶³ for
+    n < 3·10⁹ per shard.
+
+    Shape: one explode by the estimator count (rows × ``estimators``
+    — the honest sketch cost, map-side combinable) into an
+    ``estimators``-sized aggregate; the median rides a 1-partition
+    sort of ``estimators`` rows. Returns one row
+    ``(n_rows, n_estimators, f2_est)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if estimators < 1:
+        raise ValueError(f"estimators must be >= 1, got {estimators}")
+    from .hashing import portable_hash32
+
+    base = (df.select(F.col(val_col).cast("string").alias("v"))
+            .where(F.col(val_col).isNotNull()))
+    ex = base.select(
+        "v", F.explode(F.sequence(
+            F.lit(0), F.lit(int(estimators) - 1))).alias("j"))
+    sign = 1 - 2 * F.pmod(portable_hash32(F.concat_ws(
+        "\x1f", F.lit(salt), F.col("j").cast("string"), F.col("v"))),
+        F.lit(2))
+    z = (ex.groupBy("j")
+         .agg(F.sum(sign).cast("long").alias("z"),
+              F.count("*").cast("long").alias("n")))
+    zz = z.select("j", "n", (F.col("z") * F.col("z")).alias("z2"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("z2").asc())
+    ranked = (zz.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_m", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    med_i = F.expr("((_m - 1) * 500000) div 1000000") + 1
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_estimators"),
+        F.max(F.when(F.col("_rn") == med_i, F.col("z2")))
+        .cast("long").alias("f2_est"))
+
+
+def ams_f2_oracle_sql(vals_sql: str, estimators: int = 32,
+                      salt: str = "ams") -> str:
+    """DuckDB twin of :func:`ams_f2`; ``vals_sql`` yields ``(v)``."""
+    from .hashing import portable_hash32_sql
+
+    h = portable_hash32_sql(
+        f"'{salt}' || chr(31) || cast(j as varchar) || chr(31) || v")
+    return f"""
+with base as (
+  select cast(v as varchar) as v from ({vals_sql})
+  where v is not null),
+ex as (
+  select v, unnest(generate_series(0, {int(estimators) - 1})) as j
+  from base),
+z as (
+  select j, cast(sum(1 - 2 * ({h} % 2)) as bigint) as z,
+         cast(count(*) as bigint) as n
+  from ex group by j),
+zz as (
+  select j, n, z * z as z2,
+         row_number() over (order by z * z) as rn,
+         count(*) over () as m
+  from z)
+select cast(max(n) as bigint) as n_rows,
+       cast(count(*) as bigint) as n_estimators,
+       cast(max(case when rn = ((m - 1) * 500000) // 1000000 + 1
+                then z2 end) as bigint) as f2_est
+from zz
+"""

@@ -975,3 +975,141 @@ from n_tbl
 left join ties on n_tbl.k = ties.k
 left join stats on n_tbl.k = stats.k
 """
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    ord_col: str,
+    val_col: str,
+    alpha_ppm: int = 300_000,
+    beta_ppm: int = 100_000,
+    horizon: int = 1,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Holt double-exponential smoothing per series — the level+trend
+    forecast that closes the time-series family: :func:`mann_kendall`
+    DETECTS a sustained trend, :func:`decay_score` discounts history,
+    this EXTRAPOLATES it (capacity planning on event volumes, drift
+    projection on quality metrics). Seasonal Holt-Winters is the same
+    fold with a third accumulator — out of scope until a fixture
+    needs it.
+
+    Exact signed integer recurrence (α, β in ppm; all divisions are
+    TRUNCATING ``div`` — Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero, the aligned signed pair, unlike the
+    pmod-floor trick which is floor — pinned by a negative-trend
+    test):
+
+        l₀ = x₀ ; b₀ = x₁ − x₀ (0 when n = 1);  for t ≥ 1:
+        lₜ = (α·xₜ + (10⁶−α)·(lₜ₋₁+bₜ₋₁)) div 10⁶
+        bₜ = (β·(lₜ−lₜ₋₁) + (10⁶−β)·bₜ₋₁) div 10⁶
+
+    forecast = lₙ + horizon·bₙ. Overflow: 10⁶·(|x|+|l|+|b|) must stay
+    in int64 — |x| ≤ ~4·10¹² (ANSI aborts loudly beyond).
+
+    Like every sequential fold here, the series stages as a per-key
+    sorted array and folds in ONE HOF ``aggregate`` with a struct
+    accumulator — one keyed shuffle, no window, no Python;
+    ``max_points`` raises rather than truncating, ``ord_col`` must be
+    unique per key. Returns ``(key, n, level, trend, forecast)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if not (0 <= alpha_ppm <= 1_000_000 and 0 <= beta_ppm <= 1_000_000):
+        raise ValueError("holt_forecast: alpha/beta must be in [0, 1e6]")
+    base = (df.select(F.col(key_col).alias("key"),
+                      F.col(ord_col).alias("o"),
+                      F.col(val_col).cast("long").alias("x"))
+            .where(F.col("x").isNotNull() & F.col("key").isNotNull()))
+    arr = base.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("o", "x"))).alias("pts"))
+    guarded = arr.select(
+        "key",
+        F.when(F.size("pts") > max_points,
+               F.raise_error(F.concat(
+                   F.lit(f"holt_forecast: series exceeds max_points="
+                         f"{max_points} for key "),
+                   F.col("key").cast("string"))))
+        .otherwise(F.transform("pts", lambda s: s["x"])).alias("xs"))
+
+    m = F.lit(1_000_000)
+    a, b_ = F.lit(alpha_ppm), F.lit(beta_ppm)
+
+    def tdiv(num, den):
+        # truncating integer division on signed ints (== DuckDB //)
+        return ((num - num % den) / den).cast("long")
+
+    l0 = F.element_at("xs", 1)
+    b0 = F.when(F.size("xs") >= 2,
+                F.element_at("xs", 2) - l0).otherwise(F.lit(0)) \
+        .cast("long")
+    seed = F.struct(l0.cast("long").alias("l"), b0.alias("b"))
+    tail = F.expr("slice(xs, 2, greatest(size(xs) - 1, 0))")
+
+    def _step(acc, x):
+        lp, bp = acc["l"], acc["b"]
+        ln = tdiv(a * x + (m - a) * (lp + bp), m)
+        bn = tdiv(b_ * (ln - lp) + (m - b_) * bp, m)
+        return F.struct(ln.alias("l"), bn.alias("b"))
+
+    fin = F.aggregate(tail, seed, _step)
+    return guarded.where(F.size("xs") >= 1).select(
+        "key", F.size("xs").cast("long").alias("n"),
+        fin["l"].cast("long").alias("level"),
+        fin["b"].cast("long").alias("trend"),
+        (fin["l"] + F.lit(int(horizon)) * fin["b"]).cast("long")
+        .alias("forecast"))
+
+
+def holt_forecast_oracle_sql(
+    series_sql: str,
+    alpha_ppm: int = 300_000,
+    beta_ppm: int = 100_000,
+    horizon: int = 1,
+) -> str:
+    """DuckDB twin of :func:`holt_forecast`; ``series_sql`` yields
+    (key, o, x).
+
+    The two-register accumulator is STRING-ENCODED (``'l|b'``), the
+    subword.py/soundex escape hatch, because a two-FIELD struct
+    accumulator is unreliable here: when one field's expression
+    references a field an earlier field reassigns, DuckDB 1.0
+    evaluates the shared subexpression against the REASSIGNED value
+    on some plans (aggregate-built input lists) and the ORIGINAL on
+    others (literal-seeded lists) — the same lambda returned two
+    different folds on value-identical lists (r4, pinned by the
+    Spark↔oracle equality tests). A single string field has nothing
+    to reassign mid-step, so both registers advance atomically."""
+    m, a, b = 1_000_000, int(alpha_ppm), int(beta_ppm)
+    L = "cast(string_split(acc, '|')[1] as bigint)"
+    B = "cast(string_split(acc, '|')[2] as bigint)"
+    X = "cast(e as bigint)"
+    ln = f"(({a} * {X} + {m - a} * ({L} + {B})) // {m})"
+    bn = f"(({b} * ({ln} - {L}) + {m - b} * {B}) // {m})"
+    step = f"cast({ln} as varchar) || '|' || cast({bn} as varchar)"
+    return f"""
+with base as (
+  select key, o, cast(x as bigint) as x
+  from ({series_sql})
+  where x is not null and key is not null),
+arr as (
+  select key, list(x order by o) as xs
+  from base group by key),
+folded as (
+  select key, len(xs) as n,
+         string_split(list_reduce(
+           list_prepend(
+             cast(xs[1] as varchar) || '|' ||
+             cast(case when len(xs) >= 2
+                  then xs[2] - xs[1] else 0 end as varchar),
+             list_transform(xs[2:], x -> cast(x as varchar))),
+           (acc, e) -> {step}), '|') as f
+  from arr)
+select key, cast(n as bigint) as n,
+       cast(f[1] as bigint) as level,
+       cast(f[2] as bigint) as trend,
+       cast(cast(f[1] as bigint)
+            + {int(horizon)} * cast(f[2] as bigint) as bigint)
+         as forecast
+from folded
+"""

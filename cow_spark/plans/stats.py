@@ -1431,3 +1431,175 @@ select key, n, s as total,
   else 0 end as bigint) as fano_ppm
 from agg
 """
+
+
+def psi_drift(
+    df: DataFrame,
+    slice_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Population Stability Index per slice vs the pooled bucket
+    distribution — the monitoring-industry name for "has this score/
+    feature distribution moved", sibling to
+    :func:`~cow_spark.operators.terms.jsd_slices` (term axis,
+    pairwise) and :func:`cusum_alarm` (sequential): PSI reads per
+    SLICE against the pooled expectation on an already-bucketed axis
+    (score deciles, length bands, surprisal buckets), with the field
+    folklore thresholds (0.1 drift-watch, 0.25 act) as the consumer.
+
+    Exact integer surface: proportions floor to ppm and CLAMP at
+    1 ppm (the standard zero-bucket smoothing — PSI is infinite on
+    true zeros), and the log ratio rides the fixed-point log2 kernel:
+
+        psi_fp = Σ_b (p_ppm − q_ppm)·(L(p_ppm) − L(q_ppm))
+
+    in ppm·(1/1024-bit) units — log2 vs the textbook ln is the shared
+    constant ln 2 (the AA-score argument), and L's monotonicity makes
+    every term ≥ 0 exactly as in the real formula. Log2-PSI ≈
+    textbook-PSI × 1.4427; thresholds scale once.
+
+    Shape: one (slice, bucket) partial agg, one bucket-level pooled
+    agg broadcast back, log2 kernel staged on the bucket-bounded
+    table, one slice-sized sum. Returns ``(slice, n, n_buckets,
+    psi_fp)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    base = (df.select(F.col(slice_col).alias("slc"),
+                      F.col(bucket_col).alias("b"))
+            .where(F.col(slice_col).isNotNull()
+                   & F.col(bucket_col).isNotNull()))
+    sb = base.groupBy("slc", "b").agg(F.count("*").alias("c"))
+    slc_tot = sb.groupBy("slc").agg(F.sum("c").alias("n"))
+    pooled = sb.groupBy("b").agg(F.sum("c").alias("cq"))
+    pool_tot = pooled.agg(F.sum("cq").alias("nq"))
+    j = (sb.join(slc_tot, "slc")
+         .join(F.broadcast(pooled), "b")
+         .crossJoin(F.broadcast(pool_tot)))
+    p = F.greatest(F.expr("(c * 1000000) div n"), F.lit(1))
+    q = F.greatest(F.expr("(cq * 1000000) div nq"), F.lit(1))
+    j = j.withColumn("p", p.cast("long")).withColumn("q", q.cast("long"))
+    j = with_log2_fp(j, "p", "lp")
+    j = with_log2_fp(j, "q", "lq")
+    return (j.groupBy("slc")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("n_buckets"),
+                 F.sum((F.col("p") - F.col("q"))
+                       * (F.col("lp") - F.col("lq")))
+                 .cast("long").alias("psi_fp"))
+            .select(F.col("slc").alias("slice"), "n", "n_buckets",
+                    "psi_fp"))
+
+
+def psi_drift_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`psi_drift`; ``rows_sql`` yields
+    ``(slc, b)``."""
+    from ..functions.intmath import log2_fp_sql
+
+    lp = log2_fp_sql("p")
+    lq = log2_fp_sql("q")
+    return f"""
+with base as (
+  select slc, b from ({rows_sql})
+  where slc is not null and b is not null),
+sb as (select slc, b, cast(count(*) as bigint) as c
+       from base group by slc, b),
+slc_tot as (select slc, cast(sum(c) as bigint) as n
+            from sb group by slc),
+pooled as (select b, cast(sum(c) as bigint) as cq from sb group by b),
+pool_tot as (select cast(sum(cq) as bigint) as nq from pooled),
+j as (
+  select sb.slc, sb.b, greatest((c * 1000000) // n, 1) as p,
+         greatest((cq * 1000000) // nq, 1) as q, n
+  from sb join slc_tot using (slc) join pooled using (b)
+       cross join pool_tot),
+t as (select slc, n, p, q, {lp} as lp, {lq} as lq from j)
+select slc as slice, cast(max(n) as bigint) as n,
+       cast(count(*) as bigint) as n_buckets,
+       cast(sum((p - q) * (lp - lq)) as bigint) as psi_fp
+from t group by slc
+"""
+
+
+def grouped_linfit(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group closed-form OLS line — slope/intercept in exact ppm
+    from the four integer sums (n, Σx, Σy, Σxy, Σx²): the parametric
+    complement to :func:`~cow_spark.operators.sessionize.mann_kendall`
+    (rank trend) when the fitted RATE itself is the deliverable
+    (tokens-per-turn growth, latency-per-tool-call, bytes-per-doc by
+    snapshot).
+
+        slope_ppm = (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − (Σx)²)
+        icept_ppm = (Σy·10⁶ − slope_ppm·Σx) div n
+
+    Signed divisions are truncating on BOTH engines (Spark ``div`` ↔
+    DuckDB ``//``). The cross-products route through DECIMAL(38,0) —
+    n·Σxy·10⁶ overflows int64 at unremarkable sizes, and the decimal
+    lane is exact to 38 digits on the Spark side, HUGEINT on DuckDB's
+    (cast back to bigint only at the ppm outputs, the HUGEINT-hasher
+    rule). Degenerate groups (n < 2 or zero x-variance, e.g. all
+    points at one x) report NULL slope/intercept rather than a fake
+    line. One partial-agg shuffle; output is group-sized.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    d38 = "decimal(38,0)"
+    base = (df.select(F.col(key_col).alias("k"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"))
+            .where(F.col(key_col).isNotNull() & F.col(x_col).isNotNull()
+                   & F.col(y_col).isNotNull()))
+    agg = base.groupBy("k").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        * F.lit(1_000_000).cast(d38)
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = ((num - num % den) / den).cast("long")
+    out = agg.withColumn(
+        "slope_ppm",
+        F.when((F.col("n") >= 2) & (den != 0), slope))
+    inum = (F.col("sy") * F.lit(1_000_000).cast(d38)
+            - F.col("slope_ppm").cast(d38) * F.col("sx"))
+    icept = ((inum - inum % F.col("n")) / F.col("n")).cast("long")
+    return out.select(
+        F.col("k").alias("key"), F.col("n").cast("long").alias("n"),
+        "slope_ppm",
+        F.when(F.col("slope_ppm").isNotNull(), icept)
+        .alias("intercept_ppm"))
+
+
+def grouped_linfit_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`grouped_linfit`; ``rows_sql`` yields
+    ``(k, x, y)``. HUGEINT carries the cross-products; `//` truncates
+    like Spark `div`; outputs cast to BIGINT."""
+    return f"""
+with base as (
+  select k, cast(x as bigint) as x, cast(y as bigint) as y
+  from ({rows_sql})
+  where k is not null and x is not null and y is not null),
+agg as (
+  select k, count(*) as n, sum(x) as sx, sum(y) as sy,
+         sum(x * y) as sxy, sum(x * x) as sxx
+  from base group by k),
+fit as (
+  select k, n, sx, sy,
+         case when n >= 2 and n * sxx - sx * sx <> 0
+              then ((n * sxy - sx * sy) * 1000000)
+                   // (n * sxx - sx * sx) end as slope
+  from agg)
+select k as key, cast(n as bigint) as n,
+       cast(slope as bigint) as slope_ppm,
+       cast(case when slope is not null
+            then (sy * 1000000 - slope * sx) // n end as bigint)
+         as intercept_ppm
+from fit
+"""

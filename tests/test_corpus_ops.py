@@ -4515,3 +4515,41 @@ def test_audio_segments_planted_silence(spark):
         exp1 = int(a[240:320].sum())
         got = {s[1]: s[4] for s in segs if s[0] == d}
         assert got == {0: exp0, 1: exp1}
+
+
+def test_psi_drift_identical_slice_matches_pool_of_itself(spark):
+    """A slice whose distribution equals the pooled one reads PSI 0
+    exactly; a concentrated slice reads strictly higher than a
+    pool-shaped one; NULL slices/buckets drop."""
+    from cow_spark.plans.stats import psi_drift
+
+    # two identical slices → pool == each slice → PSI 0 for both
+    rows = ([("a", b) for b in range(4) for _ in range(10)]
+            + [("b", b) for b in range(4) for _ in range(10)])
+    df = spark.createDataFrame(rows, "s string, b int")
+    got = {r.slice: r.psi_fp for r in psi_drift(df, "s", "b").collect()}
+    assert got == {"a": 0, "b": 0}
+
+    rows2 = rows + [("hot", 0)] * 40 + [(None, 0), ("x", None)]
+    df2 = spark.createDataFrame(rows2, "s string, b int")
+    g2 = {r.slice: r for r in psi_drift(df2, "s", "b").collect()}
+    assert g2["hot"].psi_fp > g2["a"].psi_fp > 0
+    assert "x" not in g2 and None not in g2
+
+
+def test_grouped_linfit_exact_lines_and_degenerates(spark):
+    """Exact integer lines recover slope/intercept in exact ppm
+    (negative slope included); n=1 and zero-x-variance groups report
+    NULL rather than a fake line."""
+    from cow_spark.plans.stats import grouped_linfit
+
+    rows = ([("a", t, 7 * t + 3) for t in range(10)]
+            + [("d", t, 100 - 3 * t) for t in range(8)]
+            + [("b", 5, 1), ("b", 5, 9)] + [("c", 0, 4)])
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    d = {r.key: r for r in grouped_linfit(df, "k", "x", "y").collect()}
+    assert (d["a"].slope_ppm, d["a"].intercept_ppm) \
+        == (7_000_000, 3_000_000)
+    assert (d["d"].slope_ppm, d["d"].intercept_ppm) \
+        == (-3_000_000, 100_000_000)
+    assert d["b"].slope_ppm is None and d["c"].intercept_ppm is None

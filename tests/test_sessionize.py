@@ -290,3 +290,28 @@ def test_mann_kendall_brute_force_twin(spark):
                     for (ti, xi), (tj, xj) in pairs)
     med = slopes[((len(slopes) - 1) * 500_000) // 1_000_000]
     assert (r.n_pairs, r.s_stat, r.sen_slope_ppm) == (len(pairs), s, med)
+
+
+def test_holt_forecast_linear_fixed_point_and_edges(spark):
+    """On exactly linear data the integer Holt iterate sits at its
+    fixed point (level = last value, trend = slope) for ANY α/β —
+    positive and negative slopes; n=1 and n=2 seed paths pinned;
+    alpha validation raises."""
+    import pytest
+    from cow_spark.operators.sessionize import holt_forecast
+
+    rows = ([("up", t, 100 + 10 * t) for t in range(12)]
+            + [("down", t, 500 - 25 * t) for t in range(10)]
+            + [("one", 0, 42)]
+            + [("two", 0, 7), ("two", 1, 9)])
+    df = spark.createDataFrame(rows, "k string, o long, x long")
+    d = {r.key: r for r in
+         holt_forecast(df, "k", "o", "x", horizon=2).collect()}
+    assert (d["up"].level, d["up"].trend, d["up"].forecast) \
+        == (210, 10, 230)
+    assert (d["down"].level, d["down"].trend) == (275, -25)
+    assert (d["one"].level, d["one"].trend, d["one"].forecast) \
+        == (42, 0, 42)
+    assert (d["two"].level, d["two"].trend) == (9, 2)
+    with pytest.raises(ValueError):
+        holt_forecast(df, "k", "o", "x", alpha_ppm=2_000_000)

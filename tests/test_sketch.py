@@ -408,3 +408,28 @@ class TestKMV:
         df = spark.createDataFrame([("g", "x")], "g string, v string")
         with _pt.raises(ValueError):
             kmv_distinct(df, ("g",), "v", k=1)
+
+
+def test_ams_f2_estimates_within_bound_and_merges(spark):
+    """The sign-sketch estimate lands within the coarse AMS band of
+    exact F2 on a skewed corpus, is deterministic, and NULLs drop;
+    estimator-count validation raises."""
+    import random
+
+    import pytest
+    from cow_spark.functions.sketch import ams_f2
+
+    rng = random.Random(3)
+    vals = ([f"k{rng.randint(0, 50)}" for _ in range(2000)]
+            + ["hot"] * 500 + [None] * 5)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    r1 = ams_f2(df, "v", estimators=64).collect()[0]
+    r2 = ams_f2(df, "v", estimators=64).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    from collections import Counter
+    c = Counter(v for v in vals if v is not None)
+    f2 = sum(n * n for n in c.values())
+    assert r1.n_rows == 2500
+    assert 0.4 < r1.f2_est / f2 < 2.5
+    with pytest.raises(ValueError):
+        ams_f2(df, "v", estimators=0)
