@@ -12332,6 +12332,129 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("x")))
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival (parity.py:kaplan_meier): per-user activity span
+    in days as the duration, users with user_id % 4 == 0 censored,
+    three cohorts — log2-fixed-point curve, sticky-zero tail."""
+    from cow_spark.plans.parity import kaplan_meier
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    per = (ev.groupBy("user_id")
+           .agg((F.max(day) - F.min(day)).cast("long").alias("dur")))
+    rows = per.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("long")
+                 .cast("string")).alias("g"),
+        F.col("dur").alias("t"),
+        F.when(F.col("user_id") % 4 == 0, F.lit(0)).otherwise(F.lit(1))
+        .alias("ev"))
+    return kaplan_meier(rows, "g", "t", "ev")
+
+
+def _sql_kaplan_meier() -> str:
+    from cow_spark.plans.parity import kaplan_meier_oracle_sql
+
+    return kaplan_meier_oracle_sql("""
+select 'g' || cast(user_id % 3 as varchar) as g,
+       cast(max(epoch_us(ts) // 86400000000)
+            - min(epoch_us(ts) // 86400000000) as bigint) as t,
+       case when any_value(user_id) % 4 = 0 then 0 else 1 end as ev
+from events where user_id is not null and ts is not null
+group by user_id, user_id % 3, user_id % 4
+""")
+
+
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR (parity.py:benjamini_hochberg) over synthetic
+    per-(event_type, user-bucket) p-values — the cross-multiplied
+    integer rule, p-tie ranks broken by test id."""
+    from cow_spark.plans.parity import benjamini_hochberg
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    tests = (ev.groupBy("event_type",
+                        (F.col("user_id") % 50).cast("long").alias("b"))
+             .agg(F.count("*").alias("c"))
+             .select(F.col("event_type").alias("fam"),
+                     F.concat(F.lit("u"), F.col("b").cast("string"))
+                     .alias("tid"),
+                     ((F.col("b") * 7919 + F.col("c") * 104729)
+                      % 1_000_000).cast("long").alias("p")))
+    return benjamini_hochberg(tests, "fam", "tid", "p")
+
+
+def _sql_benjamini_hochberg() -> str:
+    from cow_spark.plans.parity import benjamini_hochberg_oracle_sql
+
+    return benjamini_hochberg_oracle_sql("""
+select event_type as fam, 'u' || cast(b as varchar) as tid,
+       cast((b * 7919 + c * 104729) % 1000000 as bigint) as p_ppm
+from (select event_type, user_id % 50 as b,
+             cast(count(*) as bigint) as c
+      from events
+      where user_id is not null and event_type is not null
+      group by 1, 2)
+""")
+
+
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold + coverage (parity.py:
+    conformal_threshold) per language over n_chars scores,
+    doc_id %3 == 0 as the eval split — the ceil-div rank spec."""
+    from cow_spark.plans.parity import conformal_threshold
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("g"),
+        F.when(F.col("doc_id") % 3 == 0, "eval").otherwise("cal")
+        .alias("sp"),
+        F.col("n_chars").cast("long").alias("s"))
+    return conformal_threshold(d, "g", "sp", "s")
+
+
+def _sql_conformal_threshold() -> str:
+    from cow_spark.plans.parity import conformal_threshold_oracle_sql
+
+    return conformal_threshold_oracle_sql(
+        "select lang as g, case when doc_id % 3 = 0 then 'eval'"
+        " else 'cal' end as sp, cast(n_chars as bigint) as s"
+        " from documents")
+
+
+def q_absorption_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov absorption (sessionize.py:absorption_probs): per-user
+    adjacent event transitions (lead with an $END sink), probability
+    of hitting 'purchase' before the journey ends — 12 monotone
+    fixed-point rounds."""
+    from pyspark.sql.window import Window as W
+
+    from cow_spark.operators.sessionize import absorption_probs
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    w = W.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(cast(ts as timestamp))"))
+    tr = (ev.select("user_id", F.col("event_type").alias("s"),
+                    F.lead("event_type", 1, "$END").over(w).alias("d"))
+          .groupBy("s", "d").agg(F.count("*").cast("long").alias("n")))
+    return absorption_probs(tr, "purchase", rounds=12,
+                            src_col="s", dst_col="d")
+
+
+def _sql_absorption_probs() -> str:
+    from cow_spark.operators.sessionize import absorption_probs_oracle_sql
+
+    return absorption_probs_oracle_sql("""
+select s, d, cast(count(*) as bigint) as n
+from (select event_type as s,
+             lead(event_type, 1, '$END') over
+               (partition by user_id order by epoch_us(ts)) as d
+      from events
+      where user_id is not null and event_type is not null)
+group by s, d
+""", "purchase", rounds=12)
+
+
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt level+trend forecast (sessionize.py:holt_forecast) of
     per-user daily event volume, horizon 3 — the string-encoded
@@ -12830,6 +12953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "grouped_linfit": q_grouped_linfit,
         "ams_f2": q_ams_f2,
+        "kaplan_meier": q_kaplan_meier,
+        "benjamini_hochberg": q_benjamini_hochberg,
+        "conformal_threshold": q_conformal_threshold,
+        "absorption_probs": q_absorption_probs,
     }
 
 
@@ -13120,4 +13247,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _sql_psi_drift(),
         "grouped_linfit": _sql_grouped_linfit(),
         "ams_f2": _sql_ams_f2(),
+        "kaplan_meier": _sql_kaplan_meier(),
+        "benjamini_hochberg": _sql_benjamini_hochberg(),
+        "conformal_threshold": _sql_conformal_threshold(),
+        "absorption_probs": _sql_absorption_probs(),
     }

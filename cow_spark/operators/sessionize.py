@@ -1113,3 +1113,122 @@ select key, cast(n as bigint) as n,
          as forecast
 from folded
 """
+
+
+def absorption_probs(
+    transitions: DataFrame,
+    target: str,
+    rounds: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_col: str = "n",
+) -> DataFrame:
+    """Absorption probability per state: from each state of the
+    empirical transition graph (the :func:`event_transitions`-shaped
+    ``(src, dst, n)`` counts), the probability of reaching ``target``
+    BEFORE getting stuck in any other absorbing state — the
+    conversion/escalation analytics a Markov-chain funnel answers
+    that the linear :func:`funnel` can't (cycles, branches, many
+    exits). p(target) = 1, p(other sink) = 0, interior states iterate
+
+        p'(s) = (Σ_{s'} n(s,s')·p(s')) div n(s)        [ppm]
+
+    ``rounds`` fixed-point rounds (probabilities rise monotonically
+    from 0 under floor — each round adds paths of one more step, so
+    the iterate is the exact "absorbed within k steps" lower bound,
+    a MEANINGFUL truncation, not an error). Absorbing = no outgoing
+    edges, plus ``target`` itself even if it has out-edges
+    (first-hit semantics: mass stops there).
+
+    Scale shape: the corpus-sized event log is already reduced to
+    the state-pair count table upstream; each round is one
+    state-keyed join + partial agg on that bounded table, lineage
+    cut per round (the pagerank discipline). Returns
+    ``(state, p_ppm, n_out)`` over all states (sinks included:
+    target 10⁶, other sinks 0, their ``n_out`` 0 when no
+    out-edges).
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from .canon import round_checkpoint
+
+    e = (transitions
+         .select(F.col(src_col).cast("string").alias("s"),
+                 F.col(dst_col).cast("string").alias("d"),
+                 F.col(n_col).cast("long").alias("n"))
+         .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+                & F.col(n_col).isNotNull() & (F.col(n_col) > 0))
+         # target is absorbing by fiat: drop its out-edges so its
+         # mass never leaks back into the chain
+         .where(F.col("s") != F.lit(target))
+         .persist())
+    states = (e.select(F.col("s").alias("st"))
+              .union(e.select(F.col("d").alias("st")))
+              .union(e.sparkSession.createDataFrame(
+                  [(str(target),)], "st string"))
+              .distinct().persist())
+    outdeg = e.groupBy("s").agg(F.sum("n").alias("n_out"))
+    p = states.select(
+        "st",
+        F.when(F.col("st") == target, F.lit(1_000_000))
+        .otherwise(F.lit(0)).cast("long").alias("p"))
+    for _ in range(rounds):
+        nxt = (e.join(p.select(F.col("st").alias("d"),
+                               F.col("p").alias("pd")), "d")
+               .groupBy("s")
+               .agg(F.expr("sum(n * pd)").cast("long").alias("mass"),
+                    F.sum("n").cast("long").alias("tot")))
+        p = (states.join(nxt, states.st == nxt.s, "left")
+             .select("st",
+                     F.when(F.col("st") == target, F.lit(1_000_000))
+                     .when(F.col("mass").isNotNull(),
+                           F.expr("mass div tot"))
+                     .otherwise(F.lit(0)).cast("long").alias("p")))
+        p = round_checkpoint(p, None)
+    out = (p.join(outdeg, p.st == outdeg.s, "left")
+           .select(F.col("st").alias("state"),
+                   F.col("p").alias("p_ppm"),
+                   F.coalesce("n_out", F.lit(0)).cast("long")
+                   .alias("n_out")))
+    e.unpersist(), states.unpersist()
+    return out
+
+
+def absorption_probs_oracle_sql(trans_sql: str, target: str,
+                                rounds: int = 16) -> str:
+    """DuckDB twin of :func:`absorption_probs`; ``trans_sql`` yields
+    ``(s, d, n)``. Unrolled MATERIALIZED CTE per round, SUMs cast to
+    BIGINT."""
+    t = target.replace("'", "''")
+    sql = [
+        f"with e as materialized (select s, d, cast(n as bigint) as n "
+        f"from ({trans_sql}) where s is not null and d is not null "
+        f"and n is not null and n > 0 and s <> '{t}'),",
+        "outdeg as materialized (select s, cast(sum(n) as bigint) "
+        "as n_out from e group by s),",
+        f"states as materialized (select distinct st from ("
+        f"select s as st from e union all select d from e "
+        f"union all select '{t}')),",
+        f"p0 as materialized (select st, cast(case when st = '{t}' "
+        "then 1000000 else 0 end as bigint) as p from states),",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"p{k - 1}"
+        sql.append(
+            f"m{k} as (select e.s, cast(sum(e.n * pp.p) as bigint) "
+            f"as mass, cast(sum(e.n) as bigint) as tot "
+            f"from e join {prev} pp on e.d = pp.st group by e.s),")
+        sql.append(
+            f"p{k} as materialized (select st, cast(case "
+            f"when st = '{t}' then 1000000 "
+            f"when mass is not null then mass // tot "
+            f"else 0 end as bigint) as p "
+            f"from states left join m{k} on states.st = m{k}.s),")
+    body = "\n".join(sql).rstrip()
+    assert body.endswith("),")
+    body = body[:-2] + ")"
+    return body + (
+        f"\nselect st as state, p as p_ppm,"
+        f" cast(coalesce(n_out, 0) as bigint) as n_out"
+        f" from p{rounds} left join outdeg on p{rounds}.st = outdeg.s")

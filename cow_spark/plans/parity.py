@@ -1521,3 +1521,304 @@ select n_items, n as n_judgments,
        else 1000000 end as bigint) as alpha_ppm
 from de
 """
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group with right-censoring —
+    the duration analytics the retention triangle can't give: "how
+    long until a user churns / a session dies / a job fails",
+    counting still-alive (censored) units correctly instead of
+    dropping them (the bias every naive mean-duration suffers).
+    ``event_col`` is 1 for an observed event, 0 for censored-at-
+    duration.
+
+    Exact integer surface — survival is reported in LOG2 fixed point:
+
+        S(t) = Π_{tᵢ ≤ t} (nᵢ − dᵢ)/nᵢ
+        surv_log2_fp(t) = Σ (L(nᵢ−dᵢ) − L(nᵢ))   [1/1024-bit units]
+
+    The product never materializes as a float (engines would drift);
+    the log form is a plain cumulative sum of kernel values, ≤ 0,
+    with 2^(fp/1024) recovering S client-side. When a step's
+    n−d = 0 (everyone remaining dies) S hits exactly 0 and every
+    later point reports NULL ``surv_log2_fp`` — a sticky flag, since
+    SQL SUM would silently skip the −∞ term.
+
+    Scale shape: (group, duration) partial agg → per-group windows
+    over the DISTINCT-duration table (at-risk = reverse cumulative
+    count, survival = forward cumulative sum — both ride one keyed
+    sort); curve rows only at durations with ≥1 observed event, the
+    KM convention. Returns ``(grp, t, n_risk, d, surv_log2_fp)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    from ..functions.intmath import with_log2_fp
+
+    base = (df.select(F.col(group_col).alias("g"),
+                      F.col(duration_col).cast("long").alias("t"),
+                      (F.col(event_col).cast("long") != 0).alias("ev"))
+            .where(F.col(group_col).isNotNull()
+                   & F.col(duration_col).isNotNull()
+                   & F.col(event_col).isNotNull()))
+    per_t = base.groupBy("g", "t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("ev").cast("long")).cast("long").alias("d"))
+    w_desc = (Window.partitionBy("g").orderBy(F.col("t").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    risked = per_t.withColumn(
+        "n_risk", F.sum("m").over(w_desc).cast("long"))
+    ev_rows = risked.where(F.col("d") > 0).withColumn(
+        "rem", (F.col("n_risk") - F.col("d")).cast("long"))
+    ev_rows = with_log2_fp(ev_rows, "n_risk", "ln")
+    # rem = 0 → log2(0) = −∞: with_log2_fp yields NULL there, and the
+    # sticky-zero window below turns NULL into "survival exactly 0"
+    ev_rows = with_log2_fp(ev_rows, "rem", "lr")
+    w_asc = (Window.partitionBy("g").orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    zero_seen = F.max((F.col("rem") == 0).cast("int")).over(w_asc)
+    cum = F.sum(F.col("lr") - F.col("ln")).over(w_asc)
+    return (ev_rows
+            .withColumn("_z", zero_seen)
+            .select(F.col("g").alias("grp"), "t", "n_risk", "d",
+                    F.when(F.col("_z") == 0, cum).cast("long")
+                    .alias("surv_log2_fp")))
+
+
+def kaplan_meier_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`kaplan_meier`; ``rows_sql`` yields
+    ``(g, t, ev)``."""
+    from ..functions.intmath import log2_fp_sql
+
+    ln = log2_fp_sql("n_risk")
+    lr = log2_fp_sql("rem")
+    return f"""
+with base as (
+  select g, cast(t as bigint) as t,
+         case when cast(ev as bigint) <> 0 then 1 else 0 end as ev
+  from ({rows_sql})
+  where g is not null and t is not null and ev is not null),
+per_t as (
+  select g, t, cast(count(*) as bigint) as m,
+         cast(sum(ev) as bigint) as d
+  from base group by g, t),
+risked as (
+  select g, t, m, d,
+         cast(sum(m) over (partition by g order by t desc
+           rows between unbounded preceding and current row)
+           as bigint) as n_risk
+  from per_t),
+ev_rows as (
+  select g, t, d, n_risk, n_risk - d as rem
+  from risked where d > 0),
+kern as (
+  select g, t, d, n_risk, rem,
+         case when rem > 0 then {lr} - {ln} end as step
+  from ev_rows),
+curve as (
+  select g, t, d, n_risk,
+         max(case when rem = 0 then 1 else 0 end)
+           over w as z,
+         sum(step) over w as cum
+  from kern
+  window w as (partition by g order by t
+               rows between unbounded preceding and current row))
+select g as grp, t, n_risk, d,
+       cast(case when z = 0 then cum end as bigint) as surv_log2_fp
+from curve
+"""
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    family_col: str,
+    test_col: str,
+    p_col: str,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control per test family — the
+    multiple-comparisons layer over this repo's test battery
+    (:func:`chi_square`, :func:`ks_test`, :func:`mann_whitney`, …):
+    run one drift test per slice × metric and a twentieth of them
+    are "significant" by luck at α=0.05; BH keeps the EXPECTED
+    false-discovery fraction at α by the step-up rule
+
+        k* = max{ k : p₍ₖ₎ ≤ k·α/m },  reject ranks ≤ k*.
+
+    All-integer: p in ppm, the comparison cross-multiplies
+    (``p_ppm·m ≤ rank·alpha_ppm``) so no division ever happens;
+    ranks break p-ties by test id (ties share the decision anyway —
+    the step-up rule's monotonicity — but the RANK column must be
+    deterministic for replay). Overflow: p_ppm·m < 2⁶³ for
+    m < 9·10¹² tests.
+
+    One family-keyed window (rank + the k* running max ride the same
+    sort). Returns ``(family, test_id, p_ppm, rnk, rejected)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (df.select(F.col(family_col).alias("fam"),
+                      F.col(test_col).cast("string").alias("tid"),
+                      F.col(p_col).cast("long").alias("p_ppm"))
+            .where(F.col(family_col).isNotNull()
+                   & F.col(test_col).isNotNull()
+                   & F.col(p_col).isNotNull()))
+    w = Window.partitionBy("fam").orderBy("p_ppm", "tid")
+    wall = Window.partitionBy("fam")
+    ranked = (base
+              .withColumn("rnk", F.row_number().over(w).cast("long"))
+              .withColumn("m", F.count(F.lit(1)).over(wall)
+                          .cast("long")))
+    ok_rank = F.when(
+        F.col("p_ppm") * F.col("m")
+        <= F.col("rnk") * F.lit(int(alpha_ppm)), F.col("rnk"))
+    kstar = F.max(ok_rank).over(wall)
+    return (ranked.withColumn("_k", kstar)
+            .select(F.col("fam").alias("family"),
+                    F.col("tid").alias("test_id"), "p_ppm", "rnk",
+                    (F.col("_k").isNotNull()
+                     & (F.col("rnk") <= F.col("_k")))
+                    .alias("rejected")))
+
+
+def benjamini_hochberg_oracle_sql(rows_sql: str,
+                                  alpha_ppm: int = 50_000) -> str:
+    """DuckDB twin of :func:`benjamini_hochberg`; ``rows_sql`` yields
+    ``(fam, tid, p_ppm)``."""
+    return f"""
+with base as (
+  select fam, cast(tid as varchar) as tid,
+         cast(p_ppm as bigint) as p_ppm
+  from ({rows_sql})
+  where fam is not null and tid is not null and p_ppm is not null),
+ranked as (
+  select fam, tid, p_ppm,
+         cast(row_number() over (partition by fam
+           order by p_ppm, tid) as bigint) as rnk,
+         cast(count(*) over (partition by fam) as bigint) as m
+  from base),
+marked as (
+  select fam, tid, p_ppm, rnk,
+         max(case when p_ppm * m <= rnk * {int(alpha_ppm)}
+             then rnk end) over (partition by fam) as kstar
+  from ranked)
+select fam as family, tid as test_id, p_ppm, rnk,
+       (kstar is not null and rnk <= kstar) as rejected
+from marked
+"""
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    split_col: str,
+    score_col: str,
+    alpha_ppm: int = 100_000,
+    cal_label: str = "cal",
+    eval_label: str = "eval",
+) -> DataFrame:
+    """Split-conformal threshold + achieved coverage per group — the
+    distribution-free guarantee layer over every scorer in this repo
+    (judge scores, :func:`~cow_spark.operators.quality.
+    classifier_score`, surprisal): pick the calibration
+    nonconformity quantile at rank ⌈(n+1)(1−α)⌉ and accepting
+    eval points with score ≤ threshold covers ≥ 1−α in expectation —
+    no assumption on the score distribution, which is exactly the
+    setting of an LLM judge whose scale drifts.
+
+    Exact spec: scores are pre-quantized ints (repo discipline);
+    rank r = ((n_cal+1)·(10⁶−α)) ceil-div 10⁶, clamped to n_cal;
+    ceil-div on positive ints is ``(x + d − 1) div d`` — NOT the
+    ``−((−x) div d)`` identity, which requires FLOORING division and
+    both engines truncate;
+    the threshold is the r-th smallest calibration score (VALUE at
+    rank — ties don't matter), coverage = eval points ≤ threshold in
+    floor ppm. Groups with an empty calibration split report NULLs
+    (no fake guarantee); empty eval reports NULL coverage.
+
+    One group-keyed window on the calibration slice + one broadcast
+    join onto the eval slice's group aggregate. Returns ``(grp,
+    n_cal, rnk, threshold, n_eval, coverage_ppm)``.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (df.select(F.col(group_col).alias("g"),
+                      F.col(split_col).alias("sp"),
+                      F.col(score_col).cast("long").alias("s"))
+            .where(F.col(group_col).isNotNull()
+                   & F.col(split_col).isin(cal_label, eval_label)
+                   & F.col(score_col).isNotNull()))
+    cal = base.where(F.col("sp") == cal_label)
+    w = Window.partitionBy("g").orderBy(F.col("s").asc())
+    ranked = (cal.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("g"))))
+    qn = 1_000_000 - int(alpha_ppm)
+    rnk = F.least(
+        F.expr(f"((_n + 1) * {qn} + 999999) div 1000000"),
+        F.col("_n").cast("long")).cast("long")
+    thr = (ranked.withColumn("_r", rnk)
+           .where(F.col("_rn") == F.col("_r"))
+           .groupBy("g")
+           .agg(F.max("_n").cast("long").alias("n_cal"),
+                F.max("_r").cast("long").alias("rnk"),
+                F.min("s").cast("long").alias("threshold")))
+    ev = base.where(F.col("sp") == eval_label)
+    groups = base.select("g").distinct()
+    evj = (ev.join(F.broadcast(thr), "g", "left")
+           .groupBy("g")
+           .agg(F.count("*").cast("long").alias("n_eval"),
+                F.sum((F.col("s") <= F.col("threshold"))
+                      .cast("long")).cast("long").alias("cov")))
+    out = (groups.join(thr, "g", "left").join(evj, "g", "left"))
+    cov_ppm = F.expr("(cov * 1000000) div n_eval")
+    return out.select(
+        F.col("g").alias("grp"), "n_cal", "rnk", "threshold",
+        F.coalesce("n_eval", F.lit(0)).cast("long").alias("n_eval"),
+        F.when(F.col("threshold").isNotNull()
+               & (F.coalesce("n_eval", F.lit(0)) > 0), cov_ppm)
+        .cast("long").alias("coverage_ppm"))
+
+
+def conformal_threshold_oracle_sql(rows_sql: str,
+                                   alpha_ppm: int = 100_000,
+                                   cal_label: str = "cal",
+                                   eval_label: str = "eval") -> str:
+    """DuckDB twin of :func:`conformal_threshold`; ``rows_sql``
+    yields ``(g, sp, s)``."""
+    q = 1_000_000 - int(alpha_ppm)
+    return f"""
+with base as (
+  select g, sp, cast(s as bigint) as s
+  from ({rows_sql})
+  where g is not null and sp in ('{cal_label}', '{eval_label}')
+    and s is not null),
+cal as (
+  select g, s,
+         row_number() over (partition by g order by s) as rn,
+         count(*) over (partition by g) as n
+  from base where sp = '{cal_label}'),
+thr as (
+  select g, cast(max(n) as bigint) as n_cal,
+         cast(max(r) as bigint) as rnk,
+         cast(min(s) as bigint) as threshold
+  from (select g, s, rn, n,
+               least(((n + 1) * {q} + 999999) // 1000000, n) as r
+        from cal)
+  where rn = r group by g),
+ev as (
+  select base.g, cast(count(*) as bigint) as n_eval,
+         cast(sum(case when s <= threshold then 1 else 0 end)
+              as bigint) as cov
+  from base left join thr on base.g = thr.g
+  where sp = '{eval_label}' group by base.g)
+select g as grp, n_cal, rnk, threshold,
+       cast(coalesce(n_eval, 0) as bigint) as n_eval,
+       cast(case when threshold is not null
+                  and coalesce(n_eval, 0) > 0
+            then (cov * 1000000) // n_eval end as bigint)
+         as coverage_ppm
+from (select distinct g from base)
+left join thr using (g) left join ev using (g)
+"""

@@ -4553,3 +4553,81 @@ def test_grouped_linfit_exact_lines_and_degenerates(spark):
     assert (d["d"].slope_ppm, d["d"].intercept_ppm) \
         == (-3_000_000, 100_000_000)
     assert d["b"].slope_ppm is None and d["c"].intercept_ppm is None
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """[1e, 2e, 3c, 4e]: S(1)=3/4, S(2)=1/2, S(4)=0 (NULL log, sticky
+    afterwards); ties aggregate; a fully-censored group emits no
+    curve rows."""
+    from cow_spark.plans.parity import kaplan_meier
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("a", 4, 1),
+            ("b", 5, 1), ("b", 5, 1), ("b", 7, 0),
+            ("c", 2, 0), ("c", 3, 0)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    got = {(r.grp, r.t): r for r in
+           kaplan_meier(df, "g", "t", "ev").collect()}
+    assert got[("a", 1)].n_risk == 4 and got[("a", 1)].d == 1
+    assert abs(2 ** (got[("a", 1)].surv_log2_fp / 1024) - 0.75) < 0.01
+    assert abs(2 ** (got[("a", 2)].surv_log2_fp / 1024) - 0.5) < 0.01
+    assert got[("a", 4)].surv_log2_fp is None
+    assert got[("b", 5)].d == 2 and got[("b", 5)].n_risk == 3
+    assert not any(g == "c" for g, _ in got)
+
+
+def test_benjamini_hochberg_stepup_rule(spark):
+    """The classic step-up example: k*=3 because p(3)·m == 3·α
+    exactly, p(2) alone would fail its own bar but is rescued by the
+    step-up; families are independent; a solo p=1 test never
+    rejects."""
+    from cow_spark.plans.parity import benjamini_hochberg
+
+    rows = ([("f", f"t{i}", p) for i, p in
+             enumerate([1000, 11000, 30000, 200000, 900000])]
+            + [("g", "x", 40_000), ("g", "y", 60_000)]
+            + [("h", "solo", 1_000_000)])
+    df = spark.createDataFrame(rows, "f string, tid string, p long")
+    got = {(r.family, r.test_id): r.rejected for r in
+           benjamini_hochberg(df, "f", "tid", "p").collect()}
+    assert got[("f", "t0")] and got[("f", "t1")] and got[("f", "t2")]
+    assert not got[("f", "t3")] and not got[("f", "t4")]
+    assert not got[("g", "x")] and not got[("h", "solo")]
+
+
+def test_conformal_threshold_rank_and_coverage(spark):
+    """n_cal=19, α=0.1 → rank ceil(20·0.9)=18, threshold = 18th
+    smallest; coverage exact ppm on the eval split; missing
+    calibration or eval reports NULLs, never a fake guarantee."""
+    from cow_spark.plans.parity import conformal_threshold
+
+    rows = ([("A", "cal", s) for s in range(1, 20)]
+            + [("A", "eval", s) for s in range(1, 25)]
+            + [("B", "eval", 5)] + [("C", "cal", 7)])
+    df = spark.createDataFrame(rows, "g string, sp string, s long")
+    d = {r.grp: tuple(r) for r in
+         conformal_threshold(df, "g", "sp", "s").collect()}
+    assert d["A"] == ("A", 19, 18, 18, 24, 750_000)
+    assert d["B"] == ("B", None, None, None, 1, None)
+    assert d["C"] == ("C", 1, 1, 7, 0, None)
+
+
+def test_absorption_probs_gambler_chain(spark):
+    """start→a→{convert, exit} gives exactly 1/2; a self-looping
+    state converges monotonically to 1 under floor (999999 at 20
+    rounds); the target's own out-edges are dropped (first-hit
+    semantics); rounds validation raises."""
+    import pytest
+    from cow_spark.operators.sessionize import absorption_probs
+
+    rows = [("start", "a", 2), ("a", "convert", 1), ("a", "exit", 1),
+            ("b", "b", 1), ("b", "convert", 1),
+            ("convert", "post", 5)]
+    df = spark.createDataFrame(rows, "src string, dst string, n long")
+    d = {r.state: r for r in
+         absorption_probs(df, "convert", rounds=20).collect()}
+    assert d["convert"].p_ppm == 1_000_000 and d["exit"].p_ppm == 0
+    assert d["a"].p_ppm == 500_000 == d["start"].p_ppm
+    assert d["b"].p_ppm == 999_999
+    assert d["convert"].n_out == 0        # out-edges dropped by fiat
+    with pytest.raises(ValueError):
+        absorption_probs(df, "convert", rounds=0)
