@@ -12332,6 +12332,74 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("x")))
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment (parity.py:cuped_adjust): per-user
+    second-fortnight event count as the metric, first-fortnight count
+    as the pre-period covariate (naturally correlated) — decimal-lane
+    θ, variance-reduction headline."""
+    from cow_spark.plans.parity import cuped_adjust
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    per = (ev.select("user_id", day.alias("d"))
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("d") - F.lit(19723) < 15, 1)
+                      .otherwise(0)).cast("long").alias("x"),
+                F.sum(F.when(F.col("d") - F.lit(19723) >= 15, 1)
+                      .otherwise(0)).cast("long").alias("y")))
+    rows = per.select(
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c")
+        .alias("arm"), "y", "x")
+    return cuped_adjust(rows, "arm", "y", "x")
+
+
+def _sql_cuped() -> str:
+    from cow_spark.plans.parity import cuped_adjust_oracle_sql
+
+    return cuped_adjust_oracle_sql("""
+select case when user_id % 2 = 0 then 't' else 'c' end as arm,
+       cast(sum(case when epoch_us(ts) // 86400000000 - 19723 >= 15
+                then 1 else 0 end) as bigint) as y,
+       cast(sum(case when epoch_us(ts) // 86400000000 - 19723 < 15
+                then 1 else 0 end) as bigint) as x
+from events where user_id is not null and ts is not null
+group by user_id
+""")
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD estimate (parity.py:diff_in_diff): even/odd users as
+    treat/control, first vs second fortnight as pre/post, per-event
+    milli-value as the metric — the four-floored-means grain."""
+    from cow_spark.plans.parity import diff_in_diff
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull())
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    rows = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control")
+        .alias("g"),
+        F.when(day - F.lit(19723) < 15, "pre").otherwise("post")
+        .alias("p"),
+        F.floor(F.col("value") * 1000).cast("long").alias("y"))
+    return diff_in_diff(rows, "g", "p", "y")
+
+
+def _sql_diff_in_diff() -> str:
+    from cow_spark.plans.parity import diff_in_diff_oracle_sql
+
+    return diff_in_diff_oracle_sql("""
+select case when user_id % 2 = 0 then 'treat' else 'control' end as g,
+       case when epoch_us(ts) // 86400000000 - 19723 < 15
+            then 'pre' else 'post' end as p,
+       cast(floor(value * 1000) as bigint) as y
+from events
+where user_id is not null and ts is not null and value is not null
+""")
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KM survival (parity.py:kaplan_meier): per-user activity span
     in days as the duration, users with user_id % 4 == 0 censored,
@@ -12957,6 +13025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benjamini_hochberg": q_benjamini_hochberg,
         "conformal_threshold": q_conformal_threshold,
         "absorption_probs": q_absorption_probs,
+        "cuped": q_cuped,
+        "diff_in_diff": q_diff_in_diff,
     }
 
 
@@ -13251,4 +13321,6 @@ def oracle_sql() -> dict[str, str]:
         "benjamini_hochberg": _sql_benjamini_hochberg(),
         "conformal_threshold": _sql_conformal_threshold(),
         "absorption_probs": _sql_absorption_probs(),
+        "cuped": _sql_cuped(),
+        "diff_in_diff": _sql_diff_in_diff(),
     }

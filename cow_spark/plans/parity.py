@@ -1822,3 +1822,255 @@ select g as grp, n_cal, rnk, threshold,
 from (select distinct g from base)
 left join thr using (g) left join ev using (g)
 """
+
+
+def cuped_adjust(
+    df: DataFrame,
+    arm_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for A/B metrics — the standard
+    pre-period-covariate adjustment (θ = cov(x,y)/var(x), pooled)
+    that cuts experiment runtimes: :func:`ab_lift` decides FROM
+    means, this makes those means decisively tighter when a
+    pre-experiment covariate (last month's activity, baseline score)
+    correlates with the metric.
+
+    Exact integer spec: θ in ppm from the same decimal-lane sums as
+    :func:`~.stats.grouped_linfit` (n·Σxy − ΣxΣy over n·Σx² −
+    (Σx)²); the adjusted metric per unit is
+
+        adj_ppm = y·10⁶ − θ_ppm·x + (θ_ppm·Σx) div n    [one floor]
+
+    and the headline ``varred_ppm`` = 10⁶ − (n·Σadj² − (Σadj)²)·10⁶
+    div (scaled y SSQ) — the fraction of metric variance the
+    covariate removed, computed entirely in DECIMAL(38)/HUGEINT and
+    cast to bigint only at the output. Zero x-variance (or n < 2)
+    degrades gracefully: θ = 0, adjustment is the identity,
+    varred 0.
+
+    One pass of sums (1-row broadcast), one map over units, one
+    per-arm aggregate. Returns per-arm ``(arm, n, mean_y_ppm,
+    mean_adj_ppm, theta_ppm, varred_ppm)`` — θ/varred are global,
+    repeated per row for a flat schema.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    d38 = "decimal(38,0)"
+    base = (df.select(F.col(arm_col).cast("string").alias("arm"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(x_col).cast("long").alias("x"))
+            .where(F.col(arm_col).isNotNull() & F.col(y_col).isNotNull()
+                   & F.col(x_col).isNotNull()))
+    g = base.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        * F.lit(1_000_000).cast(d38)
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = F.when(
+        (F.col("n") >= 2) & (den != 0),
+        ((num - num % den) / den).cast("long")).otherwise(F.lit(0))
+    g = g.withColumn("theta_ppm", theta.cast("long"))
+    shift_num = F.col("theta_ppm").cast(d38) * F.col("sx")
+    shift = ((shift_num - shift_num % F.col("n")) / F.col("n")) \
+        .cast("long")
+    g = g.select("n", "sx", "sy", "theta_ppm",
+                 shift.alias("shift_ppm")).persist()
+    j = base.crossJoin(F.broadcast(g))
+    adj = (F.col("y") * F.lit(1_000_000)
+           - F.col("theta_ppm") * F.col("x")
+           + F.col("shift_ppm")).cast("long")
+    ju = j.withColumn("adj", adj)
+    tot = ju.agg(
+        F.count("*").cast(d38).alias("tn"),
+        F.sum(F.col("adj").cast(d38)).alias("sa"),
+        F.sum(F.col("adj").cast(d38) * F.col("adj").cast(d38))
+        .alias("saa"),
+        F.sum((F.col("y") * F.lit(1_000_000)).cast(d38)).alias("sy6"),
+        F.sum((F.col("y") * F.lit(1_000_000)).cast(d38)
+              * (F.col("y") * F.lit(1_000_000)).cast(d38))
+        .alias("syy6"))
+    ssa = F.col("tn") * F.col("saa") - F.col("sa") * F.col("sa")
+    ssy = F.col("tn") * F.col("syy6") - F.col("sy6") * F.col("sy6")
+    vnum = ssa * F.lit(1_000_000).cast(d38)
+    varred = F.when(
+        ssy > 0,
+        F.lit(1_000_000)
+        - ((vnum - vnum % ssy) / ssy).cast("long")).otherwise(F.lit(0))
+    tot = tot.select(varred.cast("long").alias("varred_ppm"))
+    per_arm = (ju.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("(sum(y) * 1000000) div count(*)").cast("long")
+        .alias("mean_y_ppm"),
+        F.expr("sum(adj) div count(*)").cast("long")
+        .alias("mean_adj_ppm"),
+        F.max("theta_ppm").cast("long").alias("theta_ppm")))
+    out = per_arm.crossJoin(F.broadcast(tot)).select(
+        "arm", "n", "mean_y_ppm", "mean_adj_ppm", "theta_ppm",
+        "varred_ppm")
+    from ..operators.dedup import _attach_persisted
+    return _attach_persisted(out, g)
+
+
+def cuped_adjust_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of :func:`cuped_adjust`; ``rows_sql`` yields
+    ``(arm, y, x)``. HUGEINT carries every square; bigint only at
+    the output."""
+    return f"""
+with base as materialized (
+  select cast(arm as varchar) as arm, cast(y as bigint) as y,
+         cast(x as bigint) as x
+  from ({rows_sql})
+  where arm is not null and y is not null and x is not null),
+g as materialized (
+  select count(*) as n, sum(x) as sx, sum(y) as sy,
+         sum(x * y) as sxy, sum(x * x) as sxx
+  from base),
+th as materialized (
+  select n, sx,
+         cast(case when n >= 2 and n * sxx - sx * sx <> 0
+              then ((n * sxy - sx * sy) * 1000000)
+                   // (n * sxx - sx * sx) else 0 end as bigint)
+           as theta_ppm
+  from g),
+sh as materialized (
+  select n, theta_ppm,
+         cast((theta_ppm * sx) // n as bigint) as shift_ppm
+  from th),
+adjusted as materialized (
+  select arm, y, theta_ppm,
+         cast(y * 1000000 - theta_ppm * x + shift_ppm as bigint)
+           as adj
+  from base cross join sh),
+tot as (
+  select cast(case when count(*) * sum(cast(y as hugeint) * 1000000
+                        * cast(y as hugeint) * 1000000)
+                   - sum(cast(y as hugeint) * 1000000)
+                     * sum(cast(y as hugeint) * 1000000) > 0
+       then 1000000 -
+         ((count(*) * sum(cast(adj as hugeint) * adj)
+           - sum(cast(adj as hugeint)) * sum(cast(adj as hugeint)))
+          * 1000000)
+         // (count(*) * sum(cast(y as hugeint) * 1000000
+                            * cast(y as hugeint) * 1000000)
+             - sum(cast(y as hugeint) * 1000000)
+               * sum(cast(y as hugeint) * 1000000))
+       else 0 end as bigint) as varred_ppm
+  from adjusted)
+select arm, cast(count(*) as bigint) as n,
+       cast((sum(y) * 1000000) // count(*) as bigint) as mean_y_ppm,
+       cast(sum(adj) // count(*) as bigint) as mean_adj_ppm,
+       cast(max(theta_ppm) as bigint) as theta_ppm,
+       cast(max(varred_ppm) as bigint) as varred_ppm
+from adjusted cross join tot
+group by arm, varred_ppm
+"""
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    y_col: str,
+    treat_label: str = "treat",
+    control_label: str = "control",
+    pre_label: str = "pre",
+    post_label: str = "post",
+) -> DataFrame:
+    """Difference-in-differences point estimate — the observational
+    fallback when randomized :func:`ab_lift` isn't available (a
+    pipeline change rolled out to one source/region at a date):
+    (treat post − treat pre) − (control post − control pre), with
+    the parallel-trends assumption as the documented caveat, not a
+    hidden one.
+
+    Floor grain stated exactly: each of the four cell means floors
+    to ppm first (``Σy·10⁶ div n``), the estimate is the exact
+    integer combination of the four — so the result is reproducible
+    to the ppm, engine-identical. A missing cell (no rows) yields a
+    NULL estimate rather than a fabricated zero. Returns one row
+    ``(n_tp, n_tq, n_cp, n_cq, m_treat_pre, m_treat_post,
+    m_ctrl_pre, m_ctrl_post, did_ppm)`` (q = post).
+
+    One partial-agg groupBy over four cells; the pivot is a 4-row
+    conditional aggregate.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    base = (df.select(F.col(group_col).cast("string").alias("g"),
+                      F.col(period_col).cast("string").alias("p"),
+                      F.col(y_col).cast("long").alias("y"))
+            .where(F.col(group_col).isin(treat_label, control_label)
+                   & F.col(period_col).isin(pre_label, post_label)
+                   & F.col(y_col).isNotNull()))
+    cells = base.groupBy("g", "p").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("(sum(y) * 1000000) div count(*)").cast("long")
+        .alias("m"))
+
+    def pick(g, p, col):
+        return F.max(F.when((F.col("g") == g) & (F.col("p") == p),
+                            F.col(col)))
+
+    out = cells.agg(
+        F.coalesce(pick(treat_label, pre_label, "n"), F.lit(0))
+        .cast("long").alias("n_tp"),
+        F.coalesce(pick(treat_label, post_label, "n"), F.lit(0))
+        .cast("long").alias("n_tq"),
+        F.coalesce(pick(control_label, pre_label, "n"), F.lit(0))
+        .cast("long").alias("n_cp"),
+        F.coalesce(pick(control_label, post_label, "n"), F.lit(0))
+        .cast("long").alias("n_cq"),
+        pick(treat_label, pre_label, "m").alias("m_treat_pre"),
+        pick(treat_label, post_label, "m").alias("m_treat_post"),
+        pick(control_label, pre_label, "m").alias("m_ctrl_pre"),
+        pick(control_label, post_label, "m").alias("m_ctrl_post"))
+    did = ((F.col("m_treat_post") - F.col("m_treat_pre"))
+           - (F.col("m_ctrl_post") - F.col("m_ctrl_pre")))
+    return out.withColumn("did_ppm", did.cast("long"))
+
+
+def diff_in_diff_oracle_sql(rows_sql: str,
+                            treat_label: str = "treat",
+                            control_label: str = "control",
+                            pre_label: str = "pre",
+                            post_label: str = "post") -> str:
+    """DuckDB twin of :func:`diff_in_diff`; ``rows_sql`` yields
+    ``(g, p, y)``."""
+    t, c = treat_label, control_label
+    pr, po = pre_label, post_label
+    return f"""
+with base as (
+  select cast(g as varchar) as g, cast(p as varchar) as p,
+         cast(y as bigint) as y
+  from ({rows_sql})
+  where g in ('{t}', '{c}') and p in ('{pr}', '{po}')
+    and y is not null),
+cells as (
+  select g, p, cast(count(*) as bigint) as n,
+         cast((sum(y) * 1000000) // count(*) as bigint) as m
+  from base group by g, p),
+flat as (
+  select
+    cast(coalesce(max(case when g = '{t}' and p = '{pr}' then n end),
+                  0) as bigint) as n_tp,
+    cast(coalesce(max(case when g = '{t}' and p = '{po}' then n end),
+                  0) as bigint) as n_tq,
+    cast(coalesce(max(case when g = '{c}' and p = '{pr}' then n end),
+                  0) as bigint) as n_cp,
+    cast(coalesce(max(case when g = '{c}' and p = '{po}' then n end),
+                  0) as bigint) as n_cq,
+    max(case when g = '{t}' and p = '{pr}' then m end) as m_treat_pre,
+    max(case when g = '{t}' and p = '{po}' then m end) as m_treat_post,
+    max(case when g = '{c}' and p = '{pr}' then m end) as m_ctrl_pre,
+    max(case when g = '{c}' and p = '{po}' then m end) as m_ctrl_post
+  from cells)
+select n_tp, n_tq, n_cp, n_cq,
+       m_treat_pre, m_treat_post, m_ctrl_pre, m_ctrl_post,
+       cast((m_treat_post - m_treat_pre)
+            - (m_ctrl_post - m_ctrl_pre) as bigint) as did_ppm
+from flat
+"""

@@ -4631,3 +4631,49 @@ def test_absorption_probs_gambler_chain(spark):
     assert d["convert"].n_out == 0        # out-edges dropped by fiat
     with pytest.raises(ValueError):
         absorption_probs(df, "convert", rounds=0)
+
+
+def test_cuped_removes_covariate_variance(spark):
+    """With y ≈ 2x + noise + arm-lift, CUPED removes >90% of metric
+    variance, θ lands near 2, and the adjusted arm gap preserves the
+    planted lift; a zero-variance covariate degrades to the
+    identity adjustment."""
+    import random
+
+    from cow_spark.plans.parity import cuped_adjust
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        x = rng.randint(0, 100)
+        arm = "t" if i % 2 == 0 else "c"
+        rows.append((arm, 2 * x + rng.randint(0, 20)
+                     + (5 if arm == "t" else 0), x))
+    df = spark.createDataFrame(rows, "arm string, y long, x long")
+    d = {r.arm: r for r in cuped_adjust(df, "arm", "y", "x").collect()}
+    assert d["t"].varred_ppm > 900_000
+    assert 1_800_000 < d["t"].theta_ppm < 2_200_000
+    assert 3_000_000 < d["t"].mean_adj_ppm - d["c"].mean_adj_ppm \
+        < 7_000_000
+    z = spark.createDataFrame([("t", 5, 3), ("c", 9, 3)],
+                              "arm string, y long, x long")
+    zz = {r.arm: r for r in cuped_adjust(z, "arm", "y", "x").collect()}
+    assert zz["t"].theta_ppm == 0
+    assert zz["t"].mean_adj_ppm == 5_000_000
+
+
+def test_diff_in_diff_two_by_two(spark):
+    """(25−10) − (13−8) = 10 → 10e6 ppm; rows outside the four cells
+    are excluded; a missing cell yields NULL, not zero."""
+    from cow_spark.plans.parity import diff_in_diff
+
+    rows = ([("treat", "pre", 10)] * 5 + [("treat", "post", 25)] * 5
+            + [("control", "pre", 8)] * 4
+            + [("control", "post", 13)] * 4 + [("x", "post", 99)])
+    df = spark.createDataFrame(rows, "g string, p string, y long")
+    r = diff_in_diff(df, "g", "p", "y").collect()[0]
+    assert (r.n_tp, r.n_tq, r.n_cp, r.n_cq) == (5, 5, 4, 4)
+    assert r.did_ppm == 10_000_000
+    part = spark.createDataFrame(rows[:10], "g string, p string, y long")
+    r2 = diff_in_diff(part, "g", "p", "y").collect()[0]
+    assert r2.did_ppm is None and r2.n_cp == 0
