@@ -12332,6 +12332,56 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("x")))
 
 
+_FS_EM_ATTRS = ["name", "city", "dob"]
+# planted (m, u) per attribute in 1/1000 units, mixture keyed on
+# event_id % 7 == 0 (~14% matches); agreement = residue test so the
+# fixture is pure closed-form arithmetic in BOTH engines
+_FS_EM_MU = {"name": (920, 80), "city": (850, 300), "dob": (950, 20)}
+
+
+def q_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter m/u EM (parity.py:fs_em) on a planted two-class
+    mixture derived from event ids — the pattern-profile groupBy is
+    the corpus-scale stage, the 8-round integer EM replays in the
+    unrolled HUGEINT twin; recovered params should sit near the
+    planted (m, u) table."""
+    from cow_spark.plans.parity import fs_em
+
+    ev = _load(spark, sf_dir, "events").select("event_id")
+    parts = []
+    for i, a in enumerate(_FS_EM_ATTRS):
+        m, u = _FS_EM_MU[a]
+        thr = F.when(F.col("event_id") % 7 == 0, F.lit(m)) \
+            .otherwise(F.lit(u))
+        parts.append(ev.select(
+            F.concat(F.lit("A"), F.col("event_id").cast("string"))
+            .alias("id_a"),
+            F.concat(F.lit("B"), F.col("event_id").cast("string"))
+            .alias("id_b"),
+            F.lit(a).alias("attr"),
+            ((F.col("event_id") * (7919 + i * 104729)) % 1000 < thr)
+            .cast("int").alias("agree")))
+    pairs = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return fs_em(pairs, _FS_EM_ATTRS, rounds=8)
+
+
+def _sql_fs_em() -> str:
+    from cow_spark.plans.parity import fs_em_oracle_sql
+
+    sel = []
+    for i, a in enumerate(_FS_EM_ATTRS):
+        m, u = _FS_EM_MU[a]
+        sel.append(
+            f"select 'A' || cast(event_id as varchar) as id_a, "
+            f"'B' || cast(event_id as varchar) as id_b, "
+            f"'{a}' as attr, "
+            f"case when (event_id * {7919 + i * 104729}) % 1000 < "
+            f"case when event_id % 7 = 0 then {m} else {u} end "
+            f"then 1 else 0 end as agree from events")
+    return fs_em_oracle_sql(" union all ".join(sel), _FS_EM_ATTRS,
+                            rounds=8)
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED adjustment (parity.py:cuped_adjust): per-user
     second-fortnight event count as the metric, first-fortnight count
@@ -13027,6 +13077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absorption_probs": q_absorption_probs,
         "cuped": q_cuped,
         "diff_in_diff": q_diff_in_diff,
+        "fs_em": q_fs_em,
     }
 
 
@@ -13323,4 +13374,5 @@ def oracle_sql() -> dict[str, str]:
         "absorption_probs": _sql_absorption_probs(),
         "cuped": _sql_cuped(),
         "diff_in_diff": _sql_diff_in_diff(),
+        "fs_em": _sql_fs_em(),
     }

@@ -233,6 +233,25 @@ HEADLINE = [
     "quantile_normalize",
     "ab_lift",
     "krippendorff",
+    "bradley_terry",
+    "mann_kendall",
+    "vocab_richness",
+    "distinct_ngrams",
+    "char_entropy",
+    "warc_ingest",
+    "cdc_chunks",
+    "audio_segments",
+    "holt_forecast",
+    "psi_drift",
+    "grouped_linfit",
+    "ams_f2",
+    "kaplan_meier",
+    "benjamini_hochberg",
+    "conformal_threshold",
+    "absorption_probs",
+    "cuped",
+    "diff_in_diff",
+    "fs_em",
 ]
 
 

@@ -2074,3 +2074,207 @@ select n_tp, n_tq, n_cp, n_cq,
             - (m_ctrl_post - m_ctrl_pre) as bigint) as did_ppm
 from flat
 """
+
+
+def _fs_em_py(patterns: dict, n_attrs: int, rounds: int,
+              p0: int, m0: int, u0: int):
+    """The exact integer EM recurrence on a pattern-count profile —
+    shared by the operator (driver-side on the collected profile) and
+    the tests' brute-force twin. ``patterns`` maps a γ tuple of 0/1
+    (length ``n_attrs``) to its pair count. All probabilities are
+    ppm ints clamped to [1, 999999]; every division is a floor on
+    non-negative ints (``//`` == ``div``), so the iterate is a pure
+    function of (profile, rounds, init) and replays in SQL verbatim.
+    """
+    M = 1_000_000
+
+    def clamp(v):
+        return max(1, min(M - 1, int(v)))
+
+    p = clamp(p0)
+    m = [clamp(m0)] * n_attrs
+    u = [clamp(u0)] * n_attrs
+    total = sum(patterns.values())
+    for _ in range(rounds):
+        sw = 0          # Σ n·w            (w in ppm)
+        swa = [0] * n_attrs
+        sva = [0] * n_attrs
+        for g, n in patterns.items():
+            pm, pu = p, M - p
+            for a in range(n_attrs):
+                pm *= m[a] if g[a] else M - m[a]
+                pu *= u[a] if g[a] else M - u[a]
+            w = (pm * M) // (pm + pu)
+            sw += n * w
+            for a in range(n_attrs):
+                if g[a]:
+                    swa[a] += n * w
+                    sva[a] += n * (M - w)
+        if total == 0 or sw == 0 or sw == total * M:
+            break
+        p = clamp(sw // total)
+        m = [clamp((swa[a] * M) // sw) for a in range(n_attrs)]
+        u = [clamp((sva[a] * M) // (total * M - sw))
+             for a in range(n_attrs)]
+    return p, m, u, total
+
+
+def fs_em(
+    pairs: DataFrame,
+    attrs: list[str],
+    rounds: int = 8,
+    init_p_ppm: int = 100_000,
+    init_m_ppm: int = 900_000,
+    init_u_ppm: int = 100_000,
+) -> DataFrame:
+    """EM estimation of the Fellegi-Sunter m/u parameters from
+    UNLABELED candidate pairs — the Splink-style step that
+    :func:`fs_weights` assumes already happened: given per-pair
+    agreement vectors, the two-class mixture EM recovers P(agree |
+    match), P(agree | non-match), and the match prevalence, which
+    then feed the weight/threshold scoring. Classic identifiability
+    caveats apply (conditional independence between attributes; label
+    switching prevented by the m-favoring init) — stated here, not
+    hidden.
+
+    Exactness + scale split: the only corpus-scale work is ONE
+    groupBy collapsing the pair table to its agreement-pattern
+    profile (≤ 2^A rows, A = len(attrs) ≤ 16 enforced); the EM
+    recurrence then runs driver-side on that profile in pure integer
+    ppm arithmetic (:func:`_fs_em_py` — the k-means-centroid
+    precedent for bounded driver math, and the reason the iterate is
+    bit-replayable: the DuckDB twin unrolls the identical recurrence
+    over the pivoted profile in HUGEINT). Products carry ppm^(A+1)
+    scale — Python ints are unbounded, HUGEINT holds A ≤ 6 in the
+    twin; the fixture uses 3.
+
+    Input contract: ``pairs`` is tidy (id_a, id_b, attr, agree) and
+    every pair must carry EVERY attribute exactly once — missing or
+    duplicate attribute rows raise (a silent 0 would bias u
+    downward). Returns one row per attribute ``(attr, m_ppm, u_ppm,
+    p_ppm, n_pairs)`` with the global prevalence repeated (flat
+    schema, the cuped convention).
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if not attrs or len(attrs) > 16:
+        raise ValueError("fs_em: 1..16 attributes required")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    a_list = list(attrs)
+    base = (pairs.select("id_a", "id_b", "attr",
+                         (F.col("agree").cast("long") != 0)
+                         .cast("int").alias("g"))
+            .where(F.col("attr").isin(*a_list)))
+    prof = (base.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_na"),
+                 *[F.max(F.when(F.col("attr") == a, F.col("g")))
+                   .alias(f"g{i}") for i, a in enumerate(a_list)])
+            )
+    null_g = sum([F.col(f"g{i}").isNull().cast("int")
+                  for i in range(len(a_list))], F.lit(0))
+    bad = prof.where((F.col("_na") != len(a_list)) | (null_g > 0))
+    if not bad.isEmpty():
+        raise ValueError(
+            "fs_em: every pair must carry every attribute exactly "
+            "once (missing or duplicate attribute rows found)")
+    counts = (prof.groupBy(*[f"g{i}" for i in range(len(a_list))])
+              .agg(F.count("*").cast("long").alias("n")).collect())
+    patterns = {
+        tuple(int(r[f"g{i}"]) for i in range(len(a_list))): int(r["n"])
+        for r in counts}
+    p, m, u, total = _fs_em_py(patterns, len(a_list), rounds,
+                               init_p_ppm, init_m_ppm, init_u_ppm)
+    spark = pairs.sparkSession
+    rows = [(a, int(m[i]), int(u[i]), int(p), int(total))
+            for i, a in enumerate(a_list)]
+    return spark.createDataFrame(
+        rows, "attr string, m_ppm long, u_ppm long, p_ppm long, "
+              "n_pairs long")
+
+
+def fs_em_oracle_sql(pairs_sql: str, attrs: list[str],
+                     rounds: int = 8,
+                     init_p_ppm: int = 100_000,
+                     init_m_ppm: int = 900_000,
+                     init_u_ppm: int = 100_000) -> str:
+    """DuckDB twin of :func:`fs_em`: the profile pivot plus the EM
+    recurrence UNROLLED round by round in HUGEINT (A ≤ 6 keeps the
+    ppm^(A+1) products inside 128 bits). Every round is a pair of
+    materialized CTEs (per-pattern weights, then the parameter row);
+    clamps and floors mirror :func:`_fs_em_py` term by term."""
+    A = len(attrs)
+    if not (1 <= A <= 6):
+        raise ValueError("fs_em oracle supports 1..6 attributes")
+    M = 1_000_000
+    gcols = ", ".join(f"g{i}" for i in range(A))
+    pivots = ", ".join(
+        "max(case when attr = '{a}' then g end) as g{i}".format(
+            a=attrs[i].replace("'", "''"), i=i) for i in range(A))
+    clamp = "greatest(1, least({M} - 1, {{v}}))".format(M=M)
+    sql = [
+        f"with tidy as materialized (select id_a, id_b, attr, "
+        f"case when cast(agree as bigint) <> 0 then 1 else 0 end as g "
+        f"from ({pairs_sql})),",
+        f"prof as materialized (select {pivots}, "
+        f"cast(count(*) as bigint) as _dummy_n from tidy "
+        f"group by id_a, id_b),",
+        f"pat as materialized (select {gcols}, "
+        f"cast(count(*) as bigint) as n from prof group by {gcols}),",
+        f"tot as materialized (select cast(sum(n) as bigint) as total "
+        f"from pat),",
+        "prm0 as materialized (select "
+        f"cast({clamp.format(v=init_p_ppm)} as bigint) as p, "
+        + ", ".join(
+            f"cast({clamp.format(v=init_m_ppm)} as bigint) as m{i}, "
+            f"cast({clamp.format(v=init_u_ppm)} as bigint) as u{i}"
+            for i in range(A)) + "),",
+    ]
+    for k in range(1, rounds + 1):
+        pm = " * ".join(
+            f"cast(case when g{i} = 1 then m{i} else {M} - m{i} end "
+            f"as hugeint)" for i in range(A))
+        pu = " * ".join(
+            f"cast(case when g{i} = 1 then u{i} else {M} - u{i} end "
+            f"as hugeint)" for i in range(A))
+        sql.append(
+            f"w{k} as materialized (select pat.*, "
+            f"((cast(p as hugeint) * {pm}) * {M}) // "
+            f"(cast(p as hugeint) * {pm} "
+            f"+ cast({M} - p as hugeint) * {pu}) as w "
+            f"from pat cross join prm{k - 1}),")
+        swa = ", ".join(
+            f"cast(sum(case when g{i} = 1 then n * w else 0 end) "
+            f"as hugeint) as swa{i}, "
+            f"cast(sum(case when g{i} = 1 then n * ({M} - w) "
+            f"else 0 end) as hugeint) as sva{i}" for i in range(A))
+        sql.append(
+            f"s{k} as materialized (select "
+            f"cast(sum(n * w) as hugeint) as sw, {swa} from w{k}),")
+        mupd = ", ".join(
+            f"cast({clamp.format(v=f'(swa{i} * {M}) // sw')} "
+            f"as bigint) as m{i}, "
+            f"cast({clamp.format(v=f'(sva{i} * {M}) // (total * {M} - sw)')} "
+            f"as bigint) as u{i}" for i in range(A))
+        sql.append(
+            f"prm{k} as materialized (select case when total = 0 "
+            f"or sw = 0 or sw = total * {M} then prm{k - 1}.p else "
+            f"cast({clamp.format(v='sw // total')} as bigint) end "
+            f"as p, " +
+            ", ".join(
+                f"case when total = 0 or sw = 0 or sw = total * {M} "
+                f"then prm{k - 1}.m{i} else "
+                f"cast({clamp.format(v=f'(swa{i} * {M}) // sw')} "
+                f"as bigint) end as m{i}, "
+                f"case when total = 0 or sw = 0 or sw = total * {M} "
+                f"then prm{k - 1}.u{i} else "
+                f"cast({clamp.format(v=f'(sva{i} * {M}) // (total * {M} - sw)')} "
+                f"as bigint) end as u{i}" for i in range(A))
+            + f" from prm{k - 1} cross join s{k} cross join tot),")
+    body = "\n".join(sql).rstrip()
+    assert body.endswith("),")
+    body = body[:-2] + ")"
+    selects = " union all ".join(
+        f"select '{attrs[i].replace(chr(39), chr(39) * 2)}' as attr, "
+        f"m{i} as m_ppm, u{i} as u_ppm, p as p_ppm, total as n_pairs "
+        f"from prm{rounds} cross join tot" for i in range(A))
+    return body + "\n" + selects

@@ -4677,3 +4677,45 @@ def test_diff_in_diff_two_by_two(spark):
     part = spark.createDataFrame(rows[:10], "g string, p string, y long")
     r2 = diff_in_diff(part, "g", "p", "y").collect()[0]
     assert r2.did_ppm is None and r2.n_cp == 0
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    """On a 15%-match mixture with distinct per-attribute (m, u),
+    8 EM rounds recover every parameter to within a few percent and
+    estimate the prevalence; the exact integer recurrence equals the
+    shared _fs_em_py twin on the collected profile; incomplete pairs
+    raise."""
+    import random
+
+    import pytest
+    from cow_spark.plans.parity import _fs_em_py, fs_em
+
+    rng = random.Random(5)
+    attrs = ["name", "city", "dob"]
+    tm = {"name": 0.92, "city": 0.85, "dob": 0.95}
+    tu = {"name": 0.08, "city": 0.30, "dob": 0.02}
+    rows, patterns = [], {}
+    for i in range(3000):
+        is_m = rng.random() < 0.15
+        g = []
+        for a in attrs:
+            pr = tm[a] if is_m else tu[a]
+            g.append(1 if rng.random() < pr else 0)
+            rows.append((f"A{i}", f"B{i}", a, g[-1]))
+        patterns[tuple(g)] = patterns.get(tuple(g), 0) + 1
+    df = spark.createDataFrame(
+        rows, "id_a string, id_b string, attr string, agree int")
+    got = {r.attr: r for r in fs_em(df, attrs, rounds=8).collect()}
+    p, m, u, total = _fs_em_py(patterns, 3, 8,
+                               100_000, 900_000, 100_000)
+    for i, a in enumerate(attrs):
+        assert (got[a].m_ppm, got[a].u_ppm, got[a].p_ppm) \
+            == (m[i], u[i], p)
+        assert abs(got[a].m_ppm - tm[a] * 1e6) < 60_000
+        assert abs(got[a].u_ppm - tu[a] * 1e6) < 60_000
+    assert abs(p - 150_000) < 40_000 and total == 3000
+    with pytest.raises(ValueError):
+        fs_em(spark.createDataFrame(
+            rows[:-1],
+            "id_a string, id_b string, attr string, agree int"),
+            attrs, rounds=2)
