@@ -12332,6 +12332,79 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("x")))
 
 
+def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join run to completion
+    (streaming/stream.py:stream_join_tool_results): calls and
+    results derived from the events file-stream (result delayed by
+    event_id%600 s, so ~half fall outside the 5-minute bound); the
+    finished table must equal the batch time-bounded inner join —
+    exactly what the DuckDB twin replays. Inner-join emission is
+    eager, so availableNow drains everything without waiting on
+    watermark finalization."""
+    import uuid
+
+    from cow_spark.streaming.stream import stream_join_tool_results
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def src():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .where(F.col("user_id").isNotNull()))
+
+    calls = src().select(
+        F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string"))
+        .alias("conv_id"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string"))
+        .alias("call_id"),
+        F.col("event_type").alias("tool"), "ts")
+    results = src().select(
+        F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string"))
+        .alias("conv_id"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string"))
+        .alias("call_id"),
+        F.concat(F.lit("s"), (F.col("event_id") % 3).cast("string"))
+        .alias("status"),
+        (F.col("ts") + F.expr(
+            "make_interval(0, 0, 0, 0, 0, 0, event_id % 600)"))
+        .alias("ts"))
+    j = stream_join_tool_results(calls, results, within="5 minutes",
+                                 watermark="3650 days")
+    name = "sjoin_" + uuid.uuid4().hex[:8]
+    (j.writeStream.outputMode("append").format("memory")
+     .queryName(name).trigger(availableNow=True).start()
+     .awaitTermination(300))
+    return spark.table(name).select(
+        "conv_id", "call_id", "tool", "status", "latency_ms")
+
+
+_SQL_STREAM_TOOL_JOIN = """
+with base as (
+  select event_id, ts, user_id, event_type
+  from events where user_id is not null),
+calls as (
+  select 'c' || cast(user_id % 50 as varchar) as conv_id,
+         'k' || cast(event_id as varchar) as call_id,
+         event_type as tool, epoch_us(ts) as call_us
+  from base),
+results as (
+  select 'c' || cast(user_id % 50 as varchar) as conv_id,
+         'k' || cast(event_id as varchar) as call_id,
+         's' || cast(event_id % 3 as varchar) as status,
+         epoch_us(ts) + (event_id % 600) * 1000000 as result_us
+  from base)
+select c.conv_id, c.call_id, c.tool, r.status,
+       cast((r.result_us - c.call_us) // 1000 as bigint) as latency_ms
+from calls c join results r
+  on c.conv_id = r.conv_id and c.call_id = r.call_id
+ and r.result_us >= c.call_us
+ and r.result_us <= c.call_us + 300000000
+"""
+
+
 _FS_EM_ATTRS = ["name", "city", "dob"]
 # planted (m, u) per attribute in 1/1000 units, mixture keyed on
 # event_id % 7 == 0 (~14% matches); agreement = residue test so the
@@ -13078,6 +13151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "diff_in_diff": q_diff_in_diff,
         "fs_em": q_fs_em,
+        "stream_tool_join": q_stream_tool_join,
     }
 
 
@@ -13375,4 +13449,5 @@ def oracle_sql() -> dict[str, str]:
         "cuped": _sql_cuped(),
         "diff_in_diff": _sql_diff_in_diff(),
         "fs_em": _sql_fs_em(),
+        "stream_tool_join": _SQL_STREAM_TOOL_JOIN,
     }

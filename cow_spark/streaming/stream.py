@@ -466,3 +466,52 @@ def stream_dedup_against_index(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_join_tool_results(
+    calls: DataFrame,
+    results: DataFrame,
+    within: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each tool CALL with its RESULT
+    arriving within ``within`` of the call — the live face of the
+    batch :func:`~cow_spark.operators.asof.asof_join` for agent
+    telemetry (latency dashboards, orphaned-call alarms feed off the
+    same state). Schemas: calls ``(conv_id, call_id, tool, ts)``,
+    results ``(conv_id, call_id, status, ts)``.
+
+    The mechanics Structured Streaming REQUIRES, stated explicitly
+    because each omission silently grows state forever: BOTH sides
+    carry a watermark, and the join condition bounds result time in
+    BOTH directions relative to call time (``[call_ts, call_ts +
+    within]``) — that pair of bounds is what lets the engine expire
+    call state at ``watermark + within`` and result state at
+    ``watermark``. Equality keys (conv_id, call_id) shuffle both
+    streams to the same tasks; state per task is horizon-bounded.
+
+    Inner join by design: an unmatched call is ABSENT here, not
+    NULL-padded — outer stream-stream joins emit the NULL row only
+    after the watermark closes, which turns a latency feed into a
+    lagging one; the orphan alarm is a separate left-outer consumer.
+    Returns ``(conv_id, call_id, tool, status, call_ts, result_ts,
+    latency_ms)``.
+    """
+    c = (calls.withWatermark("ts", watermark)
+         .select("conv_id", "call_id", "tool",
+                 F.col("ts").alias("call_ts")))
+    r = (results.withWatermark("ts", watermark)
+         .select(F.col("conv_id").alias("r_conv"),
+                 F.col("call_id").alias("r_call"), "status",
+                 F.col("ts").alias("result_ts")))
+    within_ms = _duration_ms(within)
+    cond = ((c.conv_id == r.r_conv) & (c.call_id == r.r_call)
+            & (r.result_ts >= c.call_ts)
+            & (r.result_ts <= c.call_ts
+               + F.expr(f"interval {within_ms} milliseconds")))
+    j = c.join(r, cond, "inner")
+    return j.select(
+        "conv_id", "call_id", "tool", "status", "call_ts", "result_ts",
+        ((F.unix_micros(F.col("result_ts").cast("timestamp"))
+          - F.unix_micros(F.col("call_ts").cast("timestamp")))
+         / 1000).cast("long").alias("latency_ms"))

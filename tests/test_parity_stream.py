@@ -273,3 +273,50 @@ def test_stream_sessions_randomized_matches_reference(spark, tmp_path):
                           f"fits no true session"
             tn, tch, _, _ = hosts[0]
             assert n <= tn and ch <= tch
+
+
+def test_stream_join_tool_results_batch_equivalent(spark, tmp_path):
+    """The watermarked stream-stream join pairs every call with its
+    in-window result and matches the batch inner join with the same
+    time bound; an out-of-window result and an orphaned call never
+    emit."""
+    import datetime as dt
+
+    from cow_spark.streaming.stream import stream_join_tool_results
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    calls = [("c1", "k1", "search", ts(0)),
+             ("c1", "k2", "calc", ts(10)),
+             ("c2", "k1", "browse", ts(20)),   # same call_id, other conv
+             ("c2", "k9", "search", ts(30))]   # orphaned: no result
+    results = [("c1", "k1", "ok", ts(4)),
+               ("c1", "k2", "err", ts(400)),   # outside the 5m window
+               ("c2", "k1", "ok", ts(21)),
+               ("c3", "kX", "ok", ts(25))]     # result w/o call
+    cdf = spark.createDataFrame(
+        calls, "conv_id string, call_id string, tool string, "
+               "ts timestamp")
+    rdf = spark.createDataFrame(
+        results, "conv_id string, call_id string, status string, "
+                 "ts timestamp")
+    csrc, rsrc = str(tmp_path / "c"), str(tmp_path / "r")
+    cdf.write.parquet(csrc)
+    rdf.write.parquet(rsrc)
+    cs = spark.readStream.schema(cdf.schema).parquet(csrc)
+    rs = spark.readStream.schema(rdf.schema).parquet(rsrc)
+    joined = stream_join_tool_results(cs, rs, within="5 minutes",
+                                      watermark="0 seconds")
+    out = str(tmp_path / "out")
+    (joined.writeStream.outputMode("append").format("parquet")
+     .option("path", out)
+     .option("checkpointLocation", str(tmp_path / "ck"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+    got = sorted(
+        (r.conv_id, r.call_id, r.tool, r.status, r.latency_ms)
+        for r in spark.read.parquet(out).collect())
+    assert got == [("c1", "k1", "search", "ok", 4000),
+                   ("c2", "k1", "browse", "ok", 1000)]
