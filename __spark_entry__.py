@@ -12332,6 +12332,53 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("x")))
 
 
+_CASCADE_THS = [0, 200_000, 400_000, 600_000, 800_000, 1_000_001]
+
+
+def q_cascade_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-cascade routing sweep (parity.py:cascade_eval):
+    confidence from document length bands, small-model correctness
+    keyed to confidence (higher → likelier right), big tier on a
+    looser residue — six thresholds incl. route-none / route-all."""
+    from cow_spark.plans.parity import cascade_eval
+
+    d = _load(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") % 100) * 10_000).cast("long").alias("s"),
+        ((F.col("doc_id") * 13 + F.col("n_chars")) % 100
+         < (F.col("n_chars") % 100)).cast("int").alias("sok"),
+        ((F.col("doc_id") * 29) % 10 < 9).cast("int").alias("bok"))
+    return cascade_eval(d, "s", "sok", "bok", _CASCADE_THS)
+
+
+def _sql_cascade_eval() -> str:
+    from cow_spark.plans.parity import cascade_eval_oracle_sql
+
+    return cascade_eval_oracle_sql(
+        "select cast((n_chars % 100) * 10000 as bigint) as s,"
+        " case when (doc_id * 13 + n_chars) % 100 < n_chars % 100"
+        " then 1 else 0 end as sok,"
+        " case when (doc_id * 29) % 10 < 9 then 1 else 0 end as bok"
+        " from documents", _CASCADE_THS)
+
+
+def q_hub_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-removal robustness (graphrank.py:hub_ablation) of the
+    order-part bipartite graph, top-5 hubs — two CC runs, id-tiebroken
+    hub set, retained-LCC ppm."""
+    from cow_spark.operators.graphrank import hub_ablation
+
+    return hub_ablation(_cc_edges(spark, sf_dir), k=5)
+
+
+def _sql_hub_ablation() -> str:
+    from cow_spark.operators.graphrank import hub_ablation_oracle_sql
+
+    return hub_ablation_oracle_sql(
+        "select distinct 'o' || cast(l_orderkey as varchar) as a,"
+        " 'p' || cast(l_partkey as varchar) as b"
+        " from lineitem where l_orderkey % 41 = 0", k=5)
+
+
 def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM join run to completion
     (streaming/stream.py:stream_join_tool_results): calls and
@@ -13152,6 +13199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "fs_em": q_fs_em,
         "stream_tool_join": q_stream_tool_join,
+        "cascade_eval": q_cascade_eval,
+        "hub_ablation": q_hub_ablation,
     }
 
 
@@ -13450,4 +13499,6 @@ def oracle_sql() -> dict[str, str]:
         "diff_in_diff": _sql_diff_in_diff(),
         "fs_em": _sql_fs_em(),
         "stream_tool_join": _SQL_STREAM_TOOL_JOIN,
+        "cascade_eval": _sql_cascade_eval(),
+        "hub_ablation": _sql_hub_ablation(),
     }

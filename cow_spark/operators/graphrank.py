@@ -4136,3 +4136,136 @@ def eigenvector_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
     return (f"with {body}\n"
             f"select node, cast(x as bigint) as eig_fp "
             f"from x{rounds}")
+
+
+def hub_ablation(
+    edges: DataFrame,
+    k: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hub-removal robustness probe: how much of the graph's largest
+    connected component survives deleting the top-``k``
+    highest-degree nodes — the scale-free-network fragility question
+    for an entity graph (a KG whose connectivity lives in a handful
+    of celebrity entities degrades catastrophically under exactly the
+    canonicalization merges/splits those hubs attract; a robust one
+    doesn't). Complements :func:`graph_mixing` (who links to whom)
+    and the k-core profile (where density lives) with the
+    counterfactual: remove the hubs and measure.
+
+    Deterministic: hubs are the top-k by (degree DESC, node ASC) —
+    the id tiebreak pins the set when degrees tie. Undirected,
+    self-loops dropped. Returns one row ``(n_nodes, n_edges, k_used,
+    lcc_before, lcc_after, retained_ppm)`` where retained =
+    lcc_after·10⁶ div lcc_before (nodes in the post-ablation largest
+    component, counted over the surviving n_nodes − k_used nodes; an
+    empty post-ablation graph reports 0).
+
+    Scale shape: degrees = one partial agg; the hub set is k rows
+    (broadcast back as an anti-join filter); each LCC is one
+    :func:`~cow_spark.operators.canon.connected_components` run —
+    the iterative cost is the honest price, paid twice by design.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .canon import connected_components
+
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                & (F.col(src).cast("string")
+                   != F.col(dst).cast("string")))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .dropDuplicates().persist())
+    deg = (e.select(F.col("a").alias("n"))
+           .union(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    hubs = (deg.orderBy(F.col("d").desc(), F.col("n").asc())
+            .limit(int(k)).select("n").persist())
+    n_nodes = deg.count()
+    n_edges = e.count()
+    k_used = hubs.count()
+
+    def lcc(edge_df) -> int:
+        cc = connected_components(
+            edge_df.select(F.col("a").alias("src"),
+                           F.col("b").alias("dst")))
+        top = (cc.groupBy("component").agg(F.count("*").alias("c"))
+               .agg(F.max("c").alias("m")).collect())
+        return int(top[0]["m"]) if top and top[0]["m"] is not None else 0
+
+    before = lcc(e)
+    ha = hubs.select(F.col("n").alias("a"))
+    hb = hubs.select(F.col("n").alias("b"))
+    survived = (e.join(ha, "a", "left_anti")
+                .join(hb, "b", "left_anti"))
+    after = lcc(survived)
+    e.unpersist(), hubs.unpersist()
+    spark = edges.sparkSession
+    ret = (after * 1_000_000) // before if before else 0
+    return spark.createDataFrame(
+        [(int(n_nodes), int(n_edges), int(k_used), int(before),
+          int(after), int(ret))],
+        "n_nodes long, n_edges long, k_used long, lcc_before long, "
+        "lcc_after long, retained_ppm long")
+
+
+def hub_ablation_oracle_sql(edges_sql: str, k: int = 10) -> str:
+    """DuckDB twin of :func:`hub_ablation`; ``edges_sql`` yields
+    ``(a, b)``. Two recursive min-label propagations share one WITH
+    RECURSIVE block; the sibling-CTE union-poison gotcha doesn't bite
+    because each recursive CTE uses plain UNION internally only."""
+    return f"""
+with recursive base as (
+  select distinct least(ca, cb) as a, greatest(ca, cb) as b
+  from (select cast(a as varchar) as ca, cast(b as varchar) as cb
+        from ({edges_sql})
+        where a is not null and b is not null)
+  where ca <> cb),
+deg as (
+  select n, count(*) as d from (
+    select a as n from base union all select b as n from base)
+  group by n),
+hubs as materialized (
+  select n from deg order by d desc, n asc limit {int(k)}),
+surv as materialized (
+  select a, b from base
+  where a not in (select n from hubs)
+    and b not in (select n from hubs)),
+e1 as (select a as s, b as t from base
+       union all select b, a from base),
+r1(node, label) as (
+  select s, s from e1
+  union
+  select e1.t, r1.label from e1 join r1 on e1.s = r1.node
+  where r1.label < e1.t),
+e2 as (select a as s, b as t from surv
+       union all select b, a from surv),
+r2(node, label) as (
+  select s, s from e2
+  union
+  select e2.t, r2.label from e2 join r2 on e2.s = r2.node
+  where r2.label < e2.t),
+lcc1 as (
+  select coalesce(max(c), 0) as m from (
+    select count(*) as c from (
+      select node, min(label) as comp from r1 group by node)
+    group by comp)),
+lcc2 as (
+  select coalesce(max(c), 0) as m from (
+    select count(*) as c from (
+      select node, min(label) as comp from r2 group by node)
+    group by comp))
+select cast((select count(*) from deg) as bigint) as n_nodes,
+       cast((select count(*) from base) as bigint) as n_edges,
+       cast((select count(*) from hubs) as bigint) as k_used,
+       cast(lcc1.m as bigint) as lcc_before,
+       cast(lcc2.m as bigint) as lcc_after,
+       cast(case when lcc1.m > 0
+            then (lcc2.m * 1000000) // lcc1.m else 0 end as bigint)
+         as retained_ppm
+from lcc1 cross join lcc2
+"""

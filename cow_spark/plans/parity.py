@@ -2278,3 +2278,101 @@ def fs_em_oracle_sql(pairs_sql: str, attrs: list[str],
         f"m{i} as m_ppm, u{i} as u_ppm, p as p_ppm, total as n_pairs "
         f"from prm{rounds} cross join tot" for i in range(A))
     return body + "\n" + selects
+
+
+def cascade_eval(
+    df: DataFrame,
+    score_col: str,
+    small_ok_col: str,
+    big_ok_col: str,
+    thresholds_ppm: list[int],
+    big_cost_ratio_ppm: int = 10_000_000,
+) -> DataFrame:
+    """Model-cascade routing sweep: serve with the SMALL model when
+    its confidence clears the threshold, escalate to the BIG one
+    below it — for each candidate threshold, the expected accuracy,
+    escalation fraction, and blended cost. The router-tuning table
+    behind every small-model-first serving stack (and behind
+    distillation triage: rows where small fails and big succeeds are
+    the distillation set :func:`~cow_spark.operators.simsearch.
+    hard_negatives` then mines).
+
+    Requires per-item CORRECTNESS LABELS for both tiers (an eval
+    slice with gold answers or judge verdicts) — this is offline
+    router tuning, not online inference. Exact integers: accuracy =
+    (Σ routed-correct)·10⁶ div n; cost = 10⁶ + esc_frac·(ratio −
+    10⁶) div 10⁶-style blend computed as
+    ``(n_small·10⁶ + n_big·ratio) div n``.
+
+    One pass: the bounded threshold array explodes against the
+    scored rows (rows × |T| — the sweep's honest cost, map-side
+    combinable) into a |T|-sized aggregate. NULL scores/labels drop.
+    Returns ``(threshold_ppm, n, n_escalated, esc_ppm, acc_ppm,
+    cost_ppm)`` sorted by threshold.
+    No reference counterpart; extension family SURVEY.md §2.11.
+    """
+    if not thresholds_ppm:
+        raise ValueError("cascade_eval: thresholds_ppm must be "
+                         "non-empty")
+    ts = sorted(set(int(t) for t in thresholds_ppm))
+    base = (df.select(F.col(score_col).cast("long").alias("s"),
+                      (F.col(small_ok_col).cast("long") != 0)
+                      .alias("sok"),
+                      (F.col(big_ok_col).cast("long") != 0)
+                      .alias("bok"))
+            .where(F.col(score_col).isNotNull()
+                   & F.col(small_ok_col).isNotNull()
+                   & F.col(big_ok_col).isNotNull()))
+    arr = F.array(*[F.lit(t).cast("long") for t in ts])
+    ex = base.select("s", "sok", "bok",
+                     F.explode(arr).alias("threshold_ppm"))
+    esc = F.col("s") < F.col("threshold_ppm")
+    correct = F.when(esc, F.col("bok")).otherwise(F.col("sok"))
+    agg = (ex.groupBy("threshold_ppm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(esc.cast("long")).cast("long").alias("n_escalated"),
+        F.sum(correct.cast("long")).cast("long").alias("_ok")))
+    return (agg.select(
+        "threshold_ppm", "n", "n_escalated",
+        F.expr("(n_escalated * 1000000) div n").cast("long")
+        .alias("esc_ppm"),
+        F.expr("(_ok * 1000000) div n").cast("long").alias("acc_ppm"),
+        F.expr(f"((n - n_escalated) * 1000000 + n_escalated "
+               f"* {int(big_cost_ratio_ppm)}) div n").cast("long")
+        .alias("cost_ppm"))
+        .orderBy("threshold_ppm"))
+
+
+def cascade_eval_oracle_sql(rows_sql: str, thresholds_ppm: list[int],
+                            big_cost_ratio_ppm: int = 10_000_000
+                            ) -> str:
+    """DuckDB twin of :func:`cascade_eval`; ``rows_sql`` yields
+    ``(s, sok, bok)``."""
+    ts = sorted(set(int(t) for t in thresholds_ppm))
+    arr = "[" + ", ".join(str(t) for t in ts) + "]"
+    return f"""
+with base as (
+  select cast(s as bigint) as s,
+         case when cast(sok as bigint) <> 0 then 1 else 0 end as sok,
+         case when cast(bok as bigint) <> 0 then 1 else 0 end as bok
+  from ({rows_sql})
+  where s is not null and sok is not null and bok is not null),
+ex as (
+  select s, sok, bok,
+         cast(unnest({arr}) as bigint) as threshold_ppm
+  from base),
+agg as (
+  select threshold_ppm, cast(count(*) as bigint) as n,
+         cast(sum(case when s < threshold_ppm then 1 else 0 end)
+              as bigint) as n_escalated,
+         cast(sum(case when s < threshold_ppm then bok else sok end)
+              as bigint) as ok
+  from ex group by threshold_ppm)
+select threshold_ppm, n, n_escalated,
+       cast((n_escalated * 1000000) // n as bigint) as esc_ppm,
+       cast((ok * 1000000) // n as bigint) as acc_ppm,
+       cast(((n - n_escalated) * 1000000
+             + n_escalated * {int(big_cost_ratio_ppm)}) // n
+            as bigint) as cost_ppm
+from agg order by threshold_ppm
+"""

@@ -4719,3 +4719,46 @@ def test_fs_em_recovers_planted_mixture(spark):
             rows[:-1],
             "id_a string, id_b string, attr string, agree int"),
             attrs, rounds=2)
+
+
+def test_cascade_eval_threshold_sweep(spark):
+    """Route-none keeps small's accuracy at unit cost; route-all hits
+    the big tier's accuracy at full ratio; escalation between raises
+    accuracy monotonically on a confidence-correlated fixture."""
+    from cow_spark.plans.parity import cascade_eval
+
+    rows = [(s * 10_000,
+             1 if s >= 60 else (1 if s % 3 == 0 else 0), 1)
+            for s in range(100)]
+    df = spark.createDataFrame(rows, "s long, sok int, bok int")
+    ths = [0, 300_000, 600_000, 1_000_001]
+    d = {r.threshold_ppm: r for r in
+         cascade_eval(df, "s", "sok", "bok", ths).collect()}
+    assert d[0].esc_ppm == 0 and d[0].cost_ppm == 1_000_000
+    assert d[1_000_001].esc_ppm == 1_000_000
+    assert d[1_000_001].acc_ppm == 1_000_000
+    assert d[1_000_001].cost_ppm == 10_000_000
+    assert d[0].acc_ppm < d[300_000].acc_ppm <= d[600_000].acc_ppm
+
+
+def test_hub_ablation_barbell(spark):
+    """Two 5-cliques joined only through one hub: removing it halves
+    the giant component (11 → 5, retained 454545 ppm); the isolated
+    extra edge never matters; k validation raises."""
+    import pytest
+    from cow_spark.operators.graphrank import hub_ablation
+
+    edges = ([("h", f"a{i}") for i in range(5)]
+             + [("h", f"b{i}") for i in range(5)]
+             + [(f"a{i}", f"a{j}")
+                for i in range(5) for j in range(i + 1, 5)]
+             + [(f"b{i}", f"b{j}")
+                for i in range(5) for j in range(i + 1, 5)]
+             + [("x", "y")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = hub_ablation(df, k=1).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.k_used) == (13, 31, 1)
+    assert (r.lcc_before, r.lcc_after, r.retained_ppm) \
+        == (11, 5, 454_545)
+    with pytest.raises(ValueError):
+        hub_ablation(df, k=0)
