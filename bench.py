@@ -252,6 +252,9 @@ HEADLINE = [
     "cuped",
     "diff_in_diff",
     "fs_em",
+    "stream_tool_join",
+    "cascade_eval",
+    "hub_ablation",
 ]
 
 
