@@ -4143,6 +4143,7 @@ def hub_ablation(
     k: int = 10,
     src: str = "src",
     dst: str = "dst",
+    cc_local_threshold: int = 100_000,
 ) -> DataFrame:
     """Hub-removal robustness probe: how much of the graph's largest
     connected component survives deleting the top-``k``
@@ -4166,6 +4167,11 @@ def hub_ablation(
     (broadcast back as an anti-join filter); each LCC is one
     :func:`~cow_spark.operators.canon.connected_components` run —
     the iterative cost is the honest price, paid twice by design.
+    ``cc_local_threshold`` forwards to CC's driver-side union-find
+    for sub-threshold graphs (bit-identical output by CC's own pin;
+    the pagerank default) — two distributed iterative runs over a
+    vocabulary-sized fixture graph were pure scheduler overhead
+    (measured 17 s → ~2 s at sf0.01); pass 0 to force distributed.
     No reference counterpart; extension family SURVEY.md §2.11.
     """
     if k < 1:
@@ -4192,7 +4198,8 @@ def hub_ablation(
     def lcc(edge_df) -> int:
         cc = connected_components(
             edge_df.select(F.col("a").alias("src"),
-                           F.col("b").alias("dst")))
+                           F.col("b").alias("dst")),
+            local_threshold=cc_local_threshold)
         top = (cc.groupBy("component").agg(F.count("*").alias("c"))
                .agg(F.max("c").alias("m")).collect())
         return int(top[0]["m"]) if top and top[0]["m"] is not None else 0
