@@ -104,3 +104,109 @@ def test_decay_score_matches_serial_fold(spark, xs, decay):
     for x in xs:
         acc = (acc * decay) // 1_000_000 + x
     assert (r.n, r.score) == (len(xs), acc), (xs, decay)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0, max_size=60))
+def test_fuzz_bradley_terry_matches_python_twin(spark, ms):
+    """Arbitrary small tournaments (self-matches included — they must
+    drop) fold to the exact same int64 MM iterate as the serial
+    twin."""
+    from cow_spark.operators.dialogue import (bradley_terry,
+                                              bradley_terry_py)
+
+    matches = [(f"p{w}", f"p{l}") for w, l in ms]
+    if not [1 for w, l in matches if w != l]:
+        return
+    df = spark.createDataFrame(matches,
+                               "winner string, loser string")
+    got = {r.player: (r.rating_fp, r.wins, r.n_matches)
+           for r in bradley_terry(df, rounds=5).collect()}
+    assert got == bradley_terry_py(matches, rounds=5)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(-40, 40)),
+    min_size=1, max_size=25, unique_by=lambda p: p[0]))
+def test_fuzz_mann_kendall_brute_force(spark, series):
+    """S, pair count, tie-corrected var·18 and the exact Sen median
+    agree with brute-force enumeration on arbitrary integer series
+    (negative values and slopes included)."""
+    from cow_spark.operators.sessionize import mann_kendall
+
+    rows = [("k", t, x) for t, x in series]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    r = mann_kendall(df, "k", "t", "x").collect()[0]
+    pairs = [(a, b) for a in series for b in series if a[0] < b[0]]
+    s = sum((xj > xi) - (xj < xi) for (_, xi), (_, xj) in pairs)
+    n = len(series)
+    from collections import Counter
+    ties = Counter(x for _, x in series)
+    var18 = (n * (n - 1) * (2 * n + 5)
+             - sum(c * (c - 1) * (2 * c + 5)
+                   for c in ties.values() if c >= 2))
+    assert (r.n_pairs, r.s_stat, r.var18) == (len(pairs), s, var18)
+    if pairs:
+        # python // floors, matching the operator's pmod-floor spec
+        slopes = sorted(((xj - xi) * 1_000_000) // (tj - ti)
+                        for (ti, xi), (tj, xj) in pairs)
+        med = slopes[((len(slopes) - 1) * 500_000) // 1_000_000]
+        assert r.sen_slope_ppm == med
+    else:
+        assert r.sen_slope_ppm is None
+
+
+def _holt_py(xs, a=300_000, b=100_000):
+    m = 1_000_000
+
+    def tdiv(num, den):
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    l, bb = xs[0], (xs[1] - xs[0] if len(xs) >= 2 else 0)
+    for x in xs[1:]:
+        ln = tdiv(a * x + (m - a) * (l + bb), m)
+        bn = tdiv(b * (ln - l) + (m - b) * bb, m)
+        l, bb = ln, bn
+    return l, bb
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(-10_000, 10_000), min_size=1,
+                max_size=30))
+def test_fuzz_holt_matches_truncating_python_fold(spark, xs):
+    """The Spark HOF fold equals a serial TRUNCATING-division fold on
+    arbitrary signed series — pinning that `div` is truncation (the
+    DuckDB `//` pair), not floor."""
+    from cow_spark.operators.sessionize import holt_forecast
+
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, o long, x long")
+    r = holt_forecast(df, "k", "o", "x", horizon=1).collect()[0]
+    l, bb = _holt_py(xs)
+    assert (r.level, r.trend, r.forecast) == (l, bb, l + bb)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.dictionaries(
+    st.tuples(st.integers(0, 1), st.integers(0, 1), st.integers(0, 1)),
+    st.integers(1, 500), min_size=1, max_size=8))
+def test_fuzz_fs_em_recurrence_is_total(spark, patterns):
+    """The integer EM recurrence never divides by zero, stays inside
+    [1, 999999] ppm, and is idempotent once frozen — on ARBITRARY
+    pattern profiles including all-agree and all-disagree."""
+    from cow_spark.plans.parity import _fs_em_py
+
+    p, m, u, total = _fs_em_py(patterns, 3, 8,
+                               100_000, 900_000, 100_000)
+    assert total == sum(patterns.values())
+    for v in [p, *m, *u]:
+        assert 1 <= v <= 999_999
+    p2, m2, u2, _ = _fs_em_py(patterns, 3, 16,
+                              100_000, 900_000, 100_000)
+    # more rounds never crashes; values stay in range
+    for v in [p2, *m2, *u2]:
+        assert 1 <= v <= 999_999
