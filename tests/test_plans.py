@@ -123,3 +123,45 @@ def test_incremental_dedup_probes_by_broadcast(spark):
     batch-bounded tables move."""
     plan = _plan(spark, entry_mod.queries()["incremental_dedup"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_cdc_chunks_prunes_to_mapped_columns(spark):
+    """The CDC scan reads only (doc_id, text) — a chunker that drags
+    embeddings/metadata through the char explode multiplies the
+    corpus bytes it shuffles."""
+    plan = _plan(spark, entry_mod.queries()["cdc_chunks"](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    assert "doc_id" in read[0] and "text" in read[0]
+    assert "embedding" not in read[0] and "n_chars" not in read[0]
+
+
+def test_warc_scan_is_shuffle_free_pushed_map(spark):
+    """WARC parsing is a pure map pipeline over the text scan: no
+    shuffle, no join, no Python; the record filter is pushed to the
+    source (every operator rides whole-stage codegen — formatted mode
+    stars them rather than naming the span)."""
+    plan = _plan(spark, entry_mod.queries()["warc_ingest"](spark, SF))
+    for marker in ("Exchange", "Join", "BatchEvalPython"):
+        assert marker not in plan, f"unexpected {marker}:\n{plan}"
+    assert "PushedFilters" in plan
+    assert "* Filter" in plan or "* Project" in plan, plan
+
+
+def test_psi_drift_broadcasts_pooled_side(spark):
+    """The pooled bucket distribution joins back by BROADCAST — the
+    slice×bucket table never shuffles against a bucket-sized dim."""
+    plan = _plan(spark, entry_mod.queries()["psi_drift"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bradley_terry_final_joins_stay_broadcast(spark):
+    """The visible (post-round-checkpoint) plan joins the
+    player-sized ratings/wins/matches tables by broadcast — no
+    cartesian products, no sort-merge over vocabulary tables. (The
+    per-round normalizer crossJoin is materialized away by the
+    eager lineage cut; its 1-row broadcast shape is pinned by the
+    operator's own unit tests finishing in round-count time.)"""
+    plan = _plan(spark, entry_mod.queries()["bradley_terry"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
