@@ -128,7 +128,11 @@ def test_incremental_dedup_probes_by_broadcast(spark):
 def test_cdc_chunks_prunes_to_mapped_columns(spark):
     """The CDC scan reads only (doc_id, text) — a chunker that drags
     embeddings/metadata through the char explode multiplies the
-    corpus bytes it shuffles."""
+    corpus bytes it shuffles. Cache cleared first: a full-width
+    documents scan cached by ANY earlier test would be substituted
+    into this plan by the CacheManager and fake a pruning failure
+    (suite-order flake caught in the r4 final sweep)."""
+    spark.catalog.clearCache()
     plan = _plan(spark, entry_mod.queries()["cdc_chunks"](spark, SF))
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read, plan
