@@ -47,6 +47,7 @@ def prepare_corpus(
     substring_dedup_k: int | None = None,
     split_fractions: dict[str, float] | None = None,
     blocklist_domains: list[str] | None = None,
+    stage_checkpoint: bool = False,
 ):
     """documents(doc_id, text, source?) → (packed plan, audit dict).
 
@@ -58,6 +59,18 @@ def prepare_corpus(
     with ``audit_counts=False`` (one job, no counts) or persist the
     intermediate tables — the audit is a debugging/reporting mode, not
     the production hot path.
+
+    ``stage_checkpoint``: materialize ``docs`` (localCheckpoint with
+    carried-stats stripped) after every mutating stage. Several stages
+    JOIN the running corpus against a table derived FROM the running
+    corpus (line/span rewrites, quality keep-set, PII redaction, dedup
+    survivors) — without a cut, each such self-join DOUBLES the live
+    upstream plan and the chained pipeline's final stage re-executes
+    the front 2^k times while holding every intermediate's buffers (the
+    union-branch no-CSE gotcha, join edition; the 8 GB demo JVM hit
+    UNABLE_TO_ACQUIRE_MEMORY in r4 exactly here). Real corpus runs
+    materialize stage tables to storage anyway; this is the in-session
+    equivalent for demos/tests.
     """
     from pyspark.sql import functions as F
 
@@ -70,6 +83,11 @@ def prepare_corpus(
 
     def _n(d):
         return d.count() if audit_counts else -1
+
+    from cow_spark.operators.canon import round_checkpoint
+
+    def _cut(d):
+        return round_checkpoint(d, None) if stage_checkpoint else d
 
     audit: dict = {"input": _n(docs)}
 
@@ -102,8 +120,8 @@ def prepare_corpus(
         audit["boilerplate_lines_removed"] = (
             int(cleaned.agg(F.sum("n_removed")).first()[0] or 0)
             if audit_counts else -1)
-        docs = cleaned.select("doc_id", "text").join(
-            docs.drop("text"), "doc_id")
+        docs = _cut(cleaned.select("doc_id", "text").join(
+            docs.drop("text"), "doc_id"))
 
     if substring_dedup_k:
         # span-level complement of the line rule: cut every k-token
@@ -120,19 +138,20 @@ def prepare_corpus(
             .first()[0] or 0) if audit_counts else -1)
         changed = spans.where(F.col("kept_tok") < F.col("n_tok")) \
             .select("doc_id", F.col("cleaned_text").alias("_new"))
-        docs = (docs.join(changed, "doc_id", "left")
-                .withColumn("text", F.coalesce(F.col("_new"), F.col("text")))
+        docs = _cut(docs.join(changed, "doc_id", "left")
+                .withColumn("text",
+                            F.coalesce(F.col("_new"), F.col("text")))
                 .drop("_new"))
 
     kept = quality_filter(docs, min_tokens=min_tokens).where(F.col("keep"))
-    docs = docs.join(kept.select("doc_id"), "doc_id")
+    docs = _cut(docs.join(kept.select("doc_id"), "doc_id"))
     audit["after_quality"] = _n(docs)
 
     red = pii_scan(docs)
     audit["pii_spans_redacted"] = (int(
         red.agg(F.sum("n_pii")).first()[0] or 0) if audit_counts else -1)
-    docs = red.select("doc_id", F.col("redacted").alias("text")).join(
-        docs.drop("text"), "doc_id")
+    docs = _cut(red.select("doc_id", F.col("redacted").alias("text"))
+                .join(docs.drop("text"), "doc_id"))
 
     if benchmark is not None:
         docs = decontaminate(docs, benchmark)
@@ -140,7 +159,7 @@ def prepare_corpus(
 
     groups = near_duplicate_groups(docs)
     survivors = groups.where(F.col("is_canonical")).select("doc_id")
-    docs = docs.join(survivors, "doc_id")
+    docs = _cut(docs.join(survivors, "doc_id"))
     audit["after_dedup"] = _n(docs)
     release(groups)
 
@@ -177,6 +196,7 @@ RECIPE_KEYS = {
     "rates", "default_rate", "context", "n_shards", "min_tokens",
     "audit_counts", "line_dedup_min_repeats", "strip_markup_input",
     "substring_dedup_k", "split_fractions", "blocklist_domains",
+    "stage_checkpoint",
 }
 
 
@@ -241,13 +261,14 @@ def main() -> None:
         k: recipe[k] for k in (
             "min_tokens", "audit_counts", "line_dedup_min_repeats",
             "strip_markup_input", "substring_dedup_k", "split_fractions",
-            "blocklist_domains")
+            "blocklist_domains", "stage_checkpoint")
         if k in recipe
     }
     if args.demo:
         kwargs.setdefault("substring_dedup_k", 8)
         kwargs.setdefault("split_fractions",
                           {"train": 0.9, "val": 0.05, "test": 0.05})
+        kwargs.setdefault("stage_checkpoint", True)
     packed, audit = prepare_corpus(
         spark, docs, benchmark=bench, rates=rates,
         default_rate=default_rate,
