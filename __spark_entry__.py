@@ -12670,8 +12670,10 @@ def q_absorption_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    # event_type tiebreak keeps the pair deterministic under
+    # (user_id, ts) ties — same secondary key as event_transitions
     w = W.partitionBy("user_id").orderBy(
-        F.expr("unix_micros(cast(ts as timestamp))"))
+        F.expr("unix_micros(cast(ts as timestamp))"), F.col("event_type"))
     tr = (ev.select("user_id", F.col("event_type").alias("s"),
                     F.lead("event_type", 1, "$END").over(w).alias("d"))
           .groupBy("s", "d").agg(F.count("*").cast("long").alias("n")))
@@ -12686,7 +12688,7 @@ def _sql_absorption_probs() -> str:
 select s, d, cast(count(*) as bigint) as n
 from (select event_type as s,
              lead(event_type, 1, '$END') over
-               (partition by user_id order by epoch_us(ts)) as d
+               (partition by user_id order by epoch_us(ts), event_type) as d
       from events
       where user_id is not null and event_type is not null)
 group by s, d
@@ -12890,18 +12892,49 @@ from (select i, 'doc ' || cast(i as varchar) || ': '
 # ---------------------------------------------------------------------------
 
 
+# Round-5 driver window (the driver samples the FIRST 50 entries of
+# queries()). Rounds 1-4 greened 145 of the 295 entries cumulatively;
+# this FINAL round front-loads never-sampled entries by risk:
+#   - the 22 late-r4 additions (newest code, least accumulated
+#     evidence, incl. the value-checked stream-stream join),
+#   - 25 never-sampled entries preferring families with NO
+#     driver-green member yet (sketch: kmv_sketch/kmv_overlap;
+#     sources: xml/sqlite/tar/npy/fixed_width ingests; agreement/
+#     eval: krippendorff/judge_kappa/rouge_overlap/score_auc/
+#     classifier_eval; profiling: key_discovery/functional_deps/
+#     inclusion_deps/schema_diff; plus video_frames, extract_json,
+#     bnode_canon, void_summary, preference_pairs, embedding_drift,
+#     hard_negatives, example_sample, sentence_split),
+#   - 3 previously-green canaries re-pinned (kg_full_triples,
+#     dedup_groups, pagerank).
+# 47/50 of the window was never driver-sampled before this round.
+_R5_FRONT = [
+    # late-r4 set, newest first
+    "bradley_terry", "mann_kendall", "vocab_richness",
+    "distinct_ngrams", "char_entropy", "warc_ingest", "cdc_chunks",
+    "audio_segments", "holt_forecast", "psi_drift", "grouped_linfit",
+    "ams_f2", "kaplan_meier", "benjamini_hochberg",
+    "conformal_threshold", "absorption_probs", "cuped",
+    "diff_in_diff", "fs_em", "stream_tool_join", "cascade_eval",
+    "hub_ablation",
+    # no-driver-green families + high-risk never-sampled entries
+    "kmv_sketch", "kmv_overlap",
+    "xml_ingest", "sqlite_ingest", "tar_ingest", "npy_ingest",
+    "fixed_width",
+    "krippendorff", "judge_kappa", "rouge_overlap", "score_auc",
+    "classifier_eval",
+    "key_discovery", "functional_deps", "inclusion_deps",
+    "schema_diff",
+    "video_frames", "extract_json", "bnode_canon", "void_summary",
+    "preference_pairs", "embedding_drift", "hard_negatives",
+    "example_sample", "sentence_split",
+    # canaries: previously driver-green rows, re-pinned this round
+    "kg_full_triples", "dedup_groups", "pagerank",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver samples the FIRST 50 entries. Rounds
-    # 1-3 between them greened 97 of the 141 entries; ROUND 4 leads
-    # with the 42 entries the driver has never sampled (the r3 tail:
-    # bpe_segment .. neighbor_agg, plus event_transitions /
-    # surprisal_buckets which overflowed r3's window), then the two
-    # r3 hash-reds (`sessionize`, `bgp_aggregate` — root-caused to
-    # HUGEINT twin outputs, now cast to BIGINT) plus `gap_fill`
-    # (same bug, latent), then new r4 operators and canaries to
-    # fill the window. After this round every entry has a driver
-    # row in at least one of CORRECTNESS_r{1..4}.json.
-    return {
+    base = {
         "bpe_segment": q_bpe_segment,
         "quantile_sketch": q_quantile_sketch,
         "link_prediction": q_link_prediction,
@@ -13202,6 +13235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_eval": q_cascade_eval,
         "hub_ablation": q_hub_ablation,
     }
+    front = {k: base[k] for k in _R5_FRONT}
+    front.update((k, v) for k, v in base.items() if k not in front)
+    return front
 
 
 def oracle_sql() -> dict[str, str]:

@@ -877,8 +877,14 @@ def bradley_terry(
                    F.col("r").alias("rating_fp"),
                    F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
                    "n_matches"))
-    pair_dir.unpersist(), wins.unpersist()
-    return out
+    # The caller's single action still needs both cached partials for
+    # the final rating/wins/n_matches joins — hand the handles over
+    # (dedup.release(out) frees them) instead of unpersisting at
+    # plan-build time, which would re-aggregate the corpus-sized match
+    # log uncached.
+    from .dedup import _attach_persisted
+
+    return _attach_persisted(out, pair_dir, wins)
 
 
 def bradley_terry_py(matches, rounds: int = 8):

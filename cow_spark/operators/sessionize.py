@@ -1191,8 +1191,13 @@ def absorption_probs(
                    F.col("p").alias("p_ppm"),
                    F.coalesce("n_out", F.lit(0)).cast("long")
                    .alias("n_out")))
-    e.unpersist(), states.unpersist()
-    return out
+    # Keep both cached partials alive for the caller's action (the
+    # final outdeg join re-reads e) — hand the handles over via the
+    # repo's attach/release pattern instead of unpersisting at
+    # plan-build time.
+    from .dedup import _attach_persisted
+
+    return _attach_persisted(out, e, states)
 
 
 def absorption_probs_oracle_sql(trans_sql: str, target: str,

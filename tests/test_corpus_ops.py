@@ -4622,9 +4622,12 @@ def test_absorption_probs_gambler_chain(spark):
     rows = [("start", "a", 2), ("a", "convert", 1), ("a", "exit", 1),
             ("b", "b", 1), ("b", "convert", 1),
             ("convert", "post", 5)]
+    from cow_spark.operators.dedup import release
+
     df = spark.createDataFrame(rows, "src string, dst string, n long")
-    d = {r.state: r for r in
-         absorption_probs(df, "convert", rounds=20).collect()}
+    out = absorption_probs(df, "convert", rounds=20)
+    d = {r.state: r for r in out.collect()}
+    release(out)  # the operator hands its cached partials over
     assert d["convert"].p_ppm == 1_000_000 and d["exit"].p_ppm == 0
     assert d["a"].p_ppm == 500_000 == d["start"].p_ppm
     assert d["b"].p_ppm == 999_999

@@ -120,10 +120,14 @@ def test_fuzz_bradley_terry_matches_python_twin(spark, ms):
     matches = [(f"p{w}", f"p{l}") for w, l in ms]
     if not [1 for w, l in matches if w != l]:
         return
+    from cow_spark.operators.dedup import release
+
     df = spark.createDataFrame(matches,
                                "winner string, loser string")
+    out = bradley_terry(df, rounds=5)
     got = {r.player: (r.rating_fp, r.wins, r.n_matches)
-           for r in bradley_terry(df, rounds=5).collect()}
+           for r in out.collect()}
+    release(out)  # the operator now hands its cached partials over
     assert got == bradley_terry_py(matches, rounds=5)
 
 
