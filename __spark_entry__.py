@@ -7046,7 +7046,19 @@ def q_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch merged in O(batch) — CC re-runs only on the delta-bounded
     LABEL graph, the corpus-scale labels table is scanned once and
     shuffled never. Oracle is from-scratch CC over the union graph:
-    equality IS the correctness claim."""
+    equality IS the correctness claim.
+
+    The SETUP labeling (what the maintenance increments) goes through
+    the same vocabulary-size opt-in incremental_components defaults to
+    (local_threshold=100k; see connected_components' docstring): the
+    %41 fixture graph is 14.7k edges with diameter ~36, where the
+    distributed min-label rounds are pure scheduler overhead — profiled
+    r5: 18 rounds x ~0.7 s distributed vs 2.7 s driver union-find;
+    extra pointer jumps or double propagation do not break the
+    diameter bound (BENCH/BASELINE.md r5 notes). At real scale the
+    initial labeling is a precomputed checkpoint, not per-batch work —
+    the entry measures the O(batch) merge, which stays distributed in
+    shape (label-graph CC + broadcast rewrite)."""
     from cow_spark.operators.canon import (connected_components,
                                            incremental_components)
 
@@ -7060,7 +7072,7 @@ def q_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("l_partkey").cast("string")).alias("dst"))
             .distinct())
 
-    labels = connected_components(edges(41))
+    labels = connected_components(edges(41), local_threshold=100_000)
     return incremental_components(labels, edges(43),
                                   local_threshold=100_000)
 

@@ -148,40 +148,44 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # 1. propagate the neighbor minimum
+        # 1. propagate the neighbor minimum (carry the pre-round label
+        # so the convergence check below is a scan, not a join)
         prop = (
             e.join(labels, e["src"] == labels["node"])
             .select(F.col("dst").alias("node"), F.col("label"))
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        step = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("prev"),
                 F.least(F.col("label"), F.col("nbr_min")).alias("label"),
             )
         )
         # 2. pointer jump: label ← label's label
-        lab2 = new_labels.select(
+        lab2 = step.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
         )
         new_labels = round_checkpoint(
-            new_labels.join(lab2, new_labels["label"] == lab2["l_node"], "left")
+            step.join(lab2, step["label"] == lab2["l_node"], "left")
             .select(
                 "node",
+                "prev",
                 F.least(F.col("label"), F.col("l_label")).alias("label"),
             ),
             checkpoint_dir,
         )
+        # convergence: filter over the just-materialized checkpoint RDD
+        # (the old shape re-joined new vs old labels — one extra shuffle
+        # job per round, pure scheduler overhead at vocabulary scale)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
+            new_labels.where(F.col("label") != F.col("prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
 
