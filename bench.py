@@ -377,19 +377,27 @@ def main() -> None:
     })
     jq = _eq(_tdf(spark, n_slots), jinja_spec, dedup="none")
     timings["jinja_fallback_extract"] = round(min(_run(jq), _run(jq)), 3)
-    linked = linked.persist()
-    t0 = time.perf_counter()
-    n_linked = linked.count()
-    timings["transcript_link"] = round(time.perf_counter() - t0, 3)
 
+    # link + canon best-of-2 like every other timing (they were the
+    # only single-shot numbers left; each run starts from a cold
+    # persist so the min isolates JIT/codegen state, not cache hits)
     from cow_spark.operators.canon import canonical_entities
 
-    t0 = time.perf_counter()
-    n_components = (
-        canonical_entities(linked).select("canonical_id").distinct().count()
-    )
-    timings["transcript_canon"] = round(time.perf_counter() - t0, 3)
-    linked.unpersist()
+    best_link = best_canon = float("inf")
+    for _ in range(2):
+        lp = linked.persist()
+        t0 = time.perf_counter()
+        n_linked = lp.count()
+        best_link = min(best_link, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n_components = (
+            canonical_entities(lp).select("canonical_id")
+            .distinct().count()
+        )
+        best_canon = min(best_canon, time.perf_counter() - t0)
+        lp.unpersist()
+    timings["transcript_link"] = round(best_link, 3)
+    timings["transcript_canon"] = round(best_canon, 3)
 
     # ---- full per-query sweep (all 295 driver entries) ----
     qmap = entry.queries()

@@ -2218,18 +2218,23 @@ def weighted_paths(
         .dropDuplicates()
         .withColumn("dist", F.lit(0).cast("long")), checkpoint_dir)
     for _ in range(max_hops):
+        # relax via a full-outer join that carries the previous dist,
+        # so the convergence check is a scan over the just-checkpointed
+        # frame (the old shape re-joined new vs old — one extra shuffle
+        # job per round; same change as connected_components r5)
         cand = (dist.join(e, dist["node"] == e["src"])
-                .select(F.col("dst").alias("node"),
-                        (F.col("dist") + F.col("w")).alias("dist")))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cdist")))
         new = round_checkpoint(
-            dist.unionByName(cand).groupBy("node")
-            .agg(F.min("dist").alias("dist")), checkpoint_dir)
-        changed = (new.alias("n")
-                   .join(dist.alias("o"), "node", "left")
-                   .where(F.col("o.dist").isNull()
-                          | (F.col("n.dist") < F.col("o.dist")))
+            dist.join(cand, "node", "full")
+            .select("node",
+                    F.col("dist").alias("prev"),
+                    F.least("dist", "cdist").alias("dist")),
+            checkpoint_dir)
+        changed = (new.where(F.col("prev").isNull()
+                             | (F.col("dist") < F.col("prev")))
                    .limit(1).count())
-        dist = new
+        dist = new.select("node", "dist")
         if changed == 0:
             break
     e.unpersist()
