@@ -98,6 +98,21 @@ def test_oracle_no_hugeint_output(ddb, name):
     assert not bad, f"{name}: non-mirrorable output columns {bad}"
 
 
+def test_r5_driver_window_shape():
+    """The driver samples the FIRST 50 queries() entries; r5 pins that
+    window via _R5_FRONT. Guard the invariants a late edit could
+    silently break: exactly 50 unique names, every one resolvable,
+    every one oracle-checked, and the three canaries present."""
+    front = entry_mod._R5_FRONT
+    assert len(front) == 50 and len(set(front)) == 50
+    qs = entry_mod.queries()
+    assert list(qs)[:50] == front
+    osql = entry_mod.oracle_sql()
+    assert all(name in osql for name in front)
+    for canary in ("kg_full_triples", "dedup_groups", "pagerank"):
+        assert canary in front
+
+
 def test_rows_only_queries_run(spark):
     for name, q in entry_mod.queries().items():
         if name in entry_mod.oracle_sql():
