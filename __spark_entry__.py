@@ -7051,14 +7051,13 @@ def q_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     The SETUP labeling (what the maintenance increments) goes through
     the same vocabulary-size opt-in incremental_components defaults to
     (local_threshold=100k; see connected_components' docstring): the
-    %41 fixture graph is 14.7k edges with diameter ~36, where the
-    distributed min-label rounds are pure scheduler overhead — profiled
-    r5: 18 rounds x ~0.7 s distributed vs 2.7 s driver union-find;
-    extra pointer jumps or double propagation do not break the
-    diameter bound (BENCH/BASELINE.md r5 notes). At real scale the
-    initial labeling is a precomputed checkpoint, not per-batch work —
-    the entry measures the O(batch) merge, which stays distributed in
-    shape (label-graph CC + broadcast rewrite)."""
+    %41 fixture graph is 14.7k edges, where even the r5
+    star-contraction rounds (7 at ~1 s — down from label propagation's
+    18; BENCH/BASELINE.md r5 notes) are scheduler overhead next to the
+    2.7 s driver union-find. At real scale the initial labeling is a
+    precomputed checkpoint, not per-batch work — the entry measures
+    the O(batch) merge, which stays distributed in shape (label-graph
+    CC + broadcast rewrite)."""
     from cow_spark.operators.canon import (connected_components,
                                            incremental_components)
 

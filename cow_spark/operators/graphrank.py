@@ -3002,13 +3002,18 @@ def minimum_spanning_forest(
                   else round_checkpoint(chosen.unionByName(sel),
                                         checkpoint_dir))
         # merge the component forest (component-count-sized, shrinks
-        # geometrically); labels rebase through the merge map
+        # geometrically); labels rebase through the merge map. Late
+        # rounds' merge graphs are vocabulary-sized — the documented
+        # local_threshold opt-in (same rationale as canonical_entities'
+        # hub projection); the first rounds at corpus scale exceed the
+        # threshold and take the distributed star-contraction path.
         merged = connected_components(
             sel.join(comp.select(F.col("node").alias("a"),
                                  F.col("comp").alias("ca")), "a")
             .join(comp.select(F.col("node").alias("b"),
                               F.col("comp").alias("cb")), "b")
             .select(F.col("ca").alias("src"), F.col("cb").alias("dst")),
+            local_threshold=200_000,
             checkpoint_dir=checkpoint_dir)
         comp = round_checkpoint(
             comp.join(merged.withColumnRenamed("node", "comp")
