@@ -813,8 +813,6 @@ def semdedup(
 
     cents = (centroids if centroids is not None
              else take_centroids(df, n_cells, id_col, vec_col))
-    # map-only assignment: reusing it below costs a second scan of the
-    # input, never a repeated exchange (and nothing needs persisting)
     assigned = assign_cells(df, cents, id_col, vec_col)
     # pre-normalize ONCE per row so the per-PAIR predicate is a single
     # dot product — higher-order array expressions are interpreted, and
@@ -826,6 +824,14 @@ def semdedup(
                                    lambda acc, x: acc + x * x))
     ).withColumn(
         "u", F.transform(F.col("v"), lambda x: x / F.col("_nrm")))
+    # the assigned table feeds THREE consumers (cap guard, dominating
+    # side, probe side), and its interpreted-HOF assignment + norm
+    # re-execute per scan without a cache (r5: measured ~2 s of the
+    # entry's ~5 s). MEMORY_AND_DISK persist, handed to the caller via
+    # the family's attach/release convention — at corpus scale this
+    # trades one materialization against two re-derivations of the
+    # interpreted assignment, and spills rather than evicts.
+    assigned = assigned.persist()
 
     # bounded cell guard (≤ |centroids| rows, broadcast): restricting the
     # *dominating* side to under-cap cells makes every member of an
@@ -856,11 +862,13 @@ def semdedup(
                               6) >= eps)
                .groupBy(id_col)
                .agg(F.count("*").alias("_ndom")))
-        return (assigned.select(id_col, "cell", "csim")
-                .join(dom, id_col, "left")
-                .select(id_col, "cell", "csim",
-                        F.when(F.col("_ndom").isNull(), F.lit(1))
-                        .otherwise(F.lit(0)).alias("kept")))
+        return _attach_persisted(
+            assigned.select(id_col, "cell", "csim")
+            .join(dom, id_col, "left")
+            .select(id_col, "cell", "csim",
+                    F.when(F.col("_ndom").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).alias("kept")),
+            assigned)
     if pair_kernel != "hof":
         raise ValueError(
             f"pair_kernel must be 'hof' or 'arrow', got {pair_kernel!r}")
@@ -873,14 +881,14 @@ def semdedup(
         & higher_priority
         & (pair_cos >= eps)
     )
-    return (
+    return _attach_persisted(
         assigned.join(a, cond, "left")
         .groupBy(id_col, "cell", "csim")
         .agg(F.count("_aid").alias("_ndom"))
         .select(id_col, "cell", "csim",
                 F.when(F.col("_ndom") == 0, F.lit(1)).otherwise(F.lit(0))
-                .alias("kept"))
-    )
+                .alias("kept")),
+        assigned)
 
 
 # ---------------------------------------------------------------------------
