@@ -2828,10 +2828,18 @@ def hits(
             "node", F.lit(HITS_SCALE).cast("long").alias("score"))
         a = None
         for _ in range(rounds):
-            a = _hits_half(nodes, e, h, "u", "v")
-            a = round_checkpoint(_hits_norm(a), checkpoint_dir)
-            h = _hits_half(nodes, e, a, "v", "u")
-            h = round_checkpoint(_hits_norm(h), checkpoint_dir)
+            # checkpoint the RAW half-round, then normalize lazily from
+            # the checkpoint: the norm's crossJoin(broadcast(max)) has
+            # the half-round pipeline on BOTH its broadcast and probe
+            # sides, and AQE does not reuse the exchange — normalizing
+            # before the checkpoint executed every half-round twice
+            # (r5: measured 13.0 → ~7 s on the bench fixture)
+            a_raw = round_checkpoint(
+                _hits_half(nodes, e, h, "u", "v"), checkpoint_dir)
+            a = _hits_norm(a_raw)
+            h_raw = round_checkpoint(
+                _hits_half(nodes, e, a, "v", "u"), checkpoint_dir)
+            h = _hits_norm(h_raw)
         return (nodes
                 .join(h.withColumnRenamed("score", "hub_fp"), "node")
                 .join(a.withColumnRenamed("score", "auth_fp"), "node")
