@@ -1924,22 +1924,26 @@ def scc_fwbw(
                 checkpoint_dir)
             converged = False
             for _ in range(max_rounds):
+                # fold the improved-rows probe into the color update
+                # (carry the pre-round color; convergence is a scan of
+                # the just-checkpointed frame — the old shape paid a
+                # separate better-join + checkpoint per round)
                 prop = (ep.join(col.select(F.col("node").alias(src),
                                            "color"), src)
                         .groupBy(F.col(dst).alias("node"))
                         .agg(F.min("color").alias("c2")))
-                better = (prop.join(col, "node")
-                          .where(F.col("c2") < F.col("color"))
-                          .select("node", "c2"))
-                better = round_checkpoint(better, checkpoint_dir)
-                if better.isEmpty():
+                upd = round_checkpoint(
+                    col.join(prop, "node", "left")
+                    .select("node",
+                            F.col("color").alias("prev"),
+                            F.least("color", "c2").alias("color")),
+                    checkpoint_dir)
+                changed = (upd.where(F.col("color") != F.col("prev"))
+                           .limit(1).count())
+                col = upd.select("node", "color")
+                if changed == 0:
                     converged = True
                     break
-                col = round_checkpoint(
-                    col.join(better, "node", "left")
-                    .select("node",
-                            F.coalesce("c2", "color").alias("color")),
-                    checkpoint_dir)
             if not converged:
                 raise RuntimeError(
                     f"scc_fwbw coloring did not converge in {max_rounds} "
